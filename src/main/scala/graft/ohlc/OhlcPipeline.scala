@@ -1,0 +1,97 @@
+package graft.ohlc
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** The reference's whole dataflow (reference: /root/reference/main.py:102-188)
+  * as pure `DataFrame => DataFrame` stages, usable identically in batch and
+  * Structured Streaming (Spark's core promise — same plan, incrementalized).
+  *
+  * Scale design (SURVEY.md §7.3): the reference computes open/close by
+  * `collect_list` + `array_sort` + `element_at` (main.py:153-158), which
+  * materializes every trade per (window, symbol) group in aggregation state —
+  * O(rows) state, ObjectHashAggregate, no partial reduction. Here open/close
+  * are `min_by`/`max_by` over a `struct(ts, price)` ordering key: one (t, p)
+  * pair of state per group, partial-aggregable, identical tie semantics
+  * (lexicographic (t, p): ties on t take lowest price for open, highest for
+  * close — main.py array_sort is lexicographic by field order).
+  */
+object OhlcPipeline {
+
+  /** Parse raw Kafka-shaped rows (`topic: string, value: string`) into typed
+    * trades. Mirrors main.py:102-136: from_json with the fixed 14-string
+    * schema (malformed JSON → null struct → dropped by the isNotNull filter),
+    * epoch-seconds string → timestamp (double cast preserves null/truncation
+    * semantics), string → double casts, and the topic-regex base derivation
+    * with payload fallback.
+    */
+  def parseTrades(raw: DataFrame, topicPrefix: String = "parsed-trades-"): DataFrame = {
+    val parsed = raw
+      .select(col("topic"), from_json(col("value").cast("string"), TradeSchema.schema).as("data"))
+      .select(
+        col("topic"),
+        col("data.from_symbol").as("from_symbol"),
+        col("data.to_symbol").as("to_symbol"),
+        from_unixtime(col("data.timestamp").cast("long")).cast("timestamp").as("timestamp"),
+        col("data.price").cast("double").as("price"),
+        col("data.quantity").cast("double").as("quantity")
+      )
+      .where(col("timestamp").isNotNull)
+    val pattern = java.util.regex.Pattern.quote(topicPrefix) + "([^\\-]+)-usdt"
+    parsed.withColumn(
+      "base",
+      when(col("topic").rlike(pattern), regexp_extract(col("topic"), pattern, 1))
+        .otherwise(col("from_symbol"))
+    )
+  }
+
+  /** Ordered-first/last aggregation columns with the reference's tie rule. */
+  def openExpr(ts: Column, price: Column): Column = min_by(price, struct(ts, price))
+  def closeExpr(ts: Column, price: Column): Column = max_by(price, struct(ts, price))
+
+  /** trades → OHLCV candles per (1-window, base). Batch and streaming share
+    * this; pass `watermark = Some(delay)` for streaming (main.py:161).
+    * Output: base, start_ts, end_ts, open, high, low, close, volume
+    * (main.py:176-187).
+    */
+  def candles(
+      trades: DataFrame,
+      windowDuration: String = "1 minute",
+      watermark: Option[String] = None,
+      tsCol: String = "timestamp",
+      priceCol: String = "price",
+      qtyCol: String = "quantity",
+      symbolCol: String = "base"
+  ): DataFrame = {
+    val withWm = watermark.fold(trades)(trades.withWatermark(tsCol, _))
+    val ts = col(tsCol)
+    val price = col(priceCol)
+    withWm
+      .groupBy(window(ts, windowDuration), col(symbolCol).as("base"))
+      .agg(
+        openExpr(ts, price).as("open"),
+        max(price).as("high"),
+        min(price).as("low"),
+        closeExpr(ts, price).as("close"),
+        sum(col(qtyCol)).as("volume")
+      )
+      .select(
+        col("base"),
+        col("window.start").as("start_ts"),
+        col("window.end").as("end_ts"),
+        col("open"), col("high"), col("low"), col("close"), col("volume")
+      )
+  }
+
+  /** Candle rows → Kafka-shaped output (topic, key, JSON value) —
+    * main.py:173-188. */
+  def toKafkaOutput(candles: DataFrame, topicPrefix: String): DataFrame =
+    candles.select(
+      concat(lit(topicPrefix), col("base"), lit("-usdt")).as("topic"),
+      col("base").as("key"),
+      to_json(struct(
+        col("base"), col("start_ts"), col("end_ts"),
+        col("open"), col("high"), col("low"), col("close"), col("volume")
+      )).as("value")
+    )
+}
