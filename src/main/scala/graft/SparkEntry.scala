@@ -2,15 +2,15 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.core.Tables
+import graft.core.{QueryDef, Tables}
 import graft.ohlc.OhlcPipeline
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
   * Every entry in `queries` is deterministic (stable ORDER BY on unique keys,
-  * doubles rounded) so the driver's DuckDB hash-compare is stable; the
-  * matching `oracleSql` uses identical output column names (the compare sorts
-  * columns by name before hashing).
+  * float sums through exact decimal casts) so the driver's DuckDB
+  * hash-compare is stable; the matching `oracleSql` uses identical output
+  * column names (the compare sorts columns by name before hashing).
   */
 object SparkEntry {
 
@@ -19,52 +19,56 @@ object SparkEntry {
     Catalog.qOhlc1m(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Catalog.queries
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    Catalog.defs.map { case (k, q) => k -> q.build }
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Catalog.oracleSql
+    * the same parquet tables. Omitted for non-SQL-expressible ops
+    * (driver records a weaker rows-only check). */
+  def oracleSql: Map[String, String] =
+    Catalog.defs.collect { case (k, QueryDef(_, Some(sql), _)) => k -> sql }
 }
 
-/** The query catalog: name → (spark, sfDir) => DataFrame, plus DuckDB oracle
-  * SQL. Grouped by SURVEY.md §2 category. */
+/** The query catalog: SURVEY.md §2 categories, merged from the per-module
+  * QueryDef maps. */
 object Catalog {
 
   /** q_ohlc_1m — the reference's spine as a batch query over `events`
     * (ts ↔ trade timestamp, value ↔ price, event_type ↔ base; FIXTURES.md).
     * Window starts emitted as epoch seconds (bigint) to dodge the
     * ns-vs-µs timestamp mismatch between DuckDB and Spark (SURVEY §7.4.3).
+    * open/high/low/close are raw stored doubles (no arithmetic —
+    * bit-identical across engines); volume is an exact decimal sum.
     */
   def qOhlc1m(spark: SparkSession, dir: String): DataFrame = {
     val candles = OhlcPipeline.candles(
-      Tables.events(spark, dir),
+      Tables.events(spark, dir)
+        // exact-decimal quantity (events.value is 6dp-exact) so the volume
+        // sum is order-independent — double summation would flake vs DuckDB
+        .withColumn("qty_dec", col("value").cast("decimal(20,6)")),
       windowDuration = "1 minute",
-      tsCol = "ts", priceCol = "value", qtyCol = "value", symbolCol = "event_type"
+      tsCol = "ts", priceCol = "value", qtyCol = "qty_dec", symbolCol = "event_type"
     )
     candles.select(
       unix_timestamp(col("start_ts")).as("ws"),
       col("base"),
-      round(col("open"), 6).as("open"),
-      round(col("high"), 6).as("high"),
-      round(col("low"), 6).as("low"),
-      round(col("close"), 6).as("close"),
-      round(col("volume"), 4).as("volume")
+      col("open"), col("high"), col("low"), col("close"),
+      col("volume")
     ).orderBy("ws", "base")
   }
 
-  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_ohlc_1m" -> (qOhlc1m _)
-  )
-
-  val oracleSql: Map[String, String] = Map(
-    "q_ohlc_1m" ->
+  private val ohlcDefs: Map[String, QueryDef] = Map(
+    "q_ohlc_1m" -> QueryDef(qOhlc1m, Some(
       """SELECT CAST(epoch(date_trunc('minute', ts)) AS BIGINT) AS ws,
         |       event_type AS base,
-        |       round(first(value ORDER BY ts, value), 6) AS open,
-        |       round(max(value), 6) AS high,
-        |       round(min(value), 6) AS low,
-        |       round(last(value ORDER BY ts, value), 6) AS close,
-        |       round(sum(value), 4) AS volume
-        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+        |       first(value ORDER BY date_trunc('microseconds', ts), value) AS open,
+        |       max(value) AS high,
+        |       min(value) AS low,
+        |       last(value ORDER BY date_trunc('microseconds', ts), value) AS close,
+        |       sum(CAST(value AS DECIMAL(20,6))) AS volume
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
   )
+
+  val defs: Map[String, QueryDef] =
+    ohlcDefs ++ graft.queries.Relational.defs ++ graft.queries.Scalar.defs
 }

@@ -1,0 +1,23 @@
+package graft.core
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** One catalog entry: a Spark query over the driver testdata plus (when the
+  * semantics are SQL-expressible deterministically) an equivalent DuckDB
+  * oracle. Column names MUST match between the two — the driver's compare
+  * sorts columns by name before hashing.
+  *
+  * Determinism rules (SURVEY.md §7.4, proven by q_ohlc_1m in round 1):
+  *   - stable ORDER BY on a unique key in both dialects;
+  *   - no cross-engine float *arithmetic* in outputs: raw stored doubles are
+  *     bit-identical, sums go through exact decimal casts (the money/qty
+  *     columns are 2dp-exact), single IEEE ops (one multiply/divide) are
+  *     deterministic, multi-term double summation is not;
+  *   - timestamps leave as epoch bigints or formatted strings (events.ts is
+  *     ns in DuckDB, µs in Spark).
+  */
+final case class QueryDef(
+    build: (SparkSession, String) => DataFrame,
+    oracle: Option[String],
+    doc: String = ""
+)

@@ -25,11 +25,13 @@ object Tables {
     * to read as a timestamp. Read nanos as long and truncate to µs (integer
     * DIV — a double division would lose precision above 2^53 ns). DuckDB
     * keeps ns, so oracle SQL must not depend on sub-µs ordering.
+    *
+    * Requires `spark.sql.legacy.parquet.nanosAsLong=true`, set by every
+    * session builder in this repo (Verify, Bench, test harness) — kept out of
+    * here so a table loader never mutates shared session state.
     */
-  def events(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+  def events(s: SparkSession, d: String): DataFrame =
     load(s, d, "events").withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
-  }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
 }

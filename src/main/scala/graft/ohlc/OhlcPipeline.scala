@@ -32,9 +32,14 @@ object OhlcPipeline {
         col("topic"),
         col("data.from_symbol").as("from_symbol"),
         col("data.to_symbol").as("to_symbol"),
-        from_unixtime(col("data.timestamp").cast("long")).cast("timestamp").as("timestamp"),
-        col("data.price").cast("double").as("price"),
-        col("data.quantity").cast("double").as("quantity")
+        // try_cast throughout: Spark 4 defaults to ANSI mode, where a plain
+        // cast on a malformed string THROWS; the documented semantics
+        // (SURVEY §2.2 P4/P5, non-numeric → null → dropped by the filter)
+        // need the null-on-unparseable behavior.
+        from_unixtime(expr("try_cast(data.timestamp as long)"))
+          .cast("timestamp").as("timestamp"),
+        expr("try_cast(data.price as double)").as("price"),
+        expr("try_cast(data.quantity as double)").as("quantity")
       )
       .where(col("timestamp").isNotNull)
     val pattern = java.util.regex.Pattern.quote(topicPrefix) + "([^\\-]+)-usdt"

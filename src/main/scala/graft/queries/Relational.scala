@@ -1,0 +1,345 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.core.{QueryDef, Tables}
+
+/** Relational batch catalog — the operator categories the reference lacks
+  * entirely (SURVEY.md §2.5): joins of every flavor, hash/distinct/grouped
+  * aggregation, rollup/cube, window functions, top-k, set ops.
+  *
+  * Scale notes (100 TB):
+  *   - dimension joins (region, nation, the range-bucket dim) broadcast —
+  *     no shuffle of the fact side;
+  *   - fact-fact joins (orders⋈customer) shuffle on the join key and get
+  *     partial aggregation map-side before the exchange;
+  *   - the as-of join is the union+window formulation: one shuffle on the
+  *     partition key, no per-row range probe, state O(1) per row — this is
+  *     the formulation that survives 1000 executors, unlike a theta-join;
+  *   - top-k is TakeOrderedAndProject (per-partition k, then merge), never a
+  *     global sort;
+  *   - trailing orderBy(unique key) on each query is oracle-harness
+  *     stabilization, not part of the operator under test.
+  */
+object Relational {
+
+  /** Tiny dim ⋈ tiny dim — Catalyst auto-broadcasts; the explicit hint
+    * documents intent and keeps the plan stable under AQE. */
+  def joinBroadcast(s: SparkSession, d: String): DataFrame =
+    Tables.nation(s, d)
+      .join(broadcast(Tables.region(s, d)), col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey"), col("n_name"), col("r_name"))
+      .orderBy("n_nationkey")
+
+  /** Fact ⋈ fact ⋈ dim with grouped agg: orders⋈customer shuffles on
+    * custkey (SMJ/shuffle-hash at scale), nation broadcasts. */
+  def joinSmj(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(
+        count(lit(1)).as("order_cnt"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).as("sum_total")
+      )
+      .orderBy("n_name")
+
+  /** Left outer join preserving order-less customers (count=0, spend=0). */
+  def joinLeft(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"), "left")
+      .groupBy(col("c_custkey"))
+      .agg(
+        count(col("o_orderkey")).as("order_cnt"),
+        coalesce(sum(col("o_totalprice").cast("decimal(18,2)")),
+          lit(0).cast("decimal(18,2)")).as("spend")
+      )
+      .orderBy("c_custkey")
+
+  def joinSemi(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy("c_custkey")
+
+  /** Anti-joined against pending orders only — every customer has *some*
+    * order in this data, so the unfiltered anti-join would be empty. */
+  def joinAnti(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .join(Tables.orders(s, d).filter(col("o_orderstatus") === "P"),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy("c_custkey")
+
+  /** Range/theta join against a literal bucket dimension — broadcast, so the
+    * inequality predicate never drives a shuffle. */
+  def joinRange(s: SparkSession, d: String): DataFrame = {
+    val buckets = s.createDataFrame(Seq(
+      (1, 16, "small"), (17, 33, "medium"), (34, 50, "large")
+    )).toDF("lo", "hi", "bucket")
+    Tables.part(s, d)
+      .join(broadcast(buckets), col("p_size") >= col("lo") && col("p_size") <= col("hi"))
+      .groupBy(col("bucket"))
+      .agg(
+        count(lit(1)).as("part_cnt"),
+        sum(col("p_retailprice").cast("decimal(18,2)")).as("sum_retail")
+      )
+      .orderBy("bucket")
+  }
+
+  /** As-of join: for every purchase event, the most recent click by the same
+    * user at ts' <= ts. Union+window formulation (single shuffle on user_id,
+    * sorted once, last(ignoreNulls) running value) — the scalable shape; a
+    * per-row range probe would not survive 100 TB. Ties: clicks sort before
+    * purchases at equal ts (is_p 0<1 — `<=` semantics), equal-ts clicks
+    * resolve to the highest click event_id. */
+  def joinAsof(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val clicks = ev.filter(col("event_type") === "click").select(
+      col("user_id"), col("ts"),
+      col("event_id").as("click_id"), lit(0).as("is_p"),
+      lit(null).cast("bigint").as("p_id"))
+    val purchases = ev.filter(col("event_type") === "purchase").select(
+      col("user_id"), col("ts"),
+      lit(null).cast("bigint").as("click_id"), lit(1).as("is_p"),
+      col("event_id").as("p_id"))
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts"), col("is_p"), col("click_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    clicks.unionByName(purchases)
+      .withColumn("asof_click_id", last(col("click_id"), ignoreNulls = true).over(w))
+      .filter(col("is_p") === 1)
+      .select(col("p_id").as("event_id"), col("asof_click_id"))
+      .orderBy("event_id")
+  }
+
+  /** TPC-H Q1 shape: partial+final hash aggregation over lineitem. Sums go
+    * through exact decimal casts (2dp data); disc_price is a single IEEE
+    * multiply per row (deterministic) then an exact decimal sum. */
+  def aggHash(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(col("l_quantity").cast("decimal(18,2)")).as("sum_qty"),
+        sum(col("l_extendedprice").cast("decimal(18,2)")).as("sum_base"),
+        sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .cast("decimal(24,6)")).as("sum_disc"),
+        count(lit(1)).as("cnt")
+      )
+      .orderBy("l_returnflag", "l_linestatus")
+
+  def aggDistinct(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        countDistinct(col("l_partkey")).as("parts"),
+        countDistinct(col("l_suppkey")).as("supps"),
+        count(lit(1)).as("cnt")
+      )
+      .orderBy("l_returnflag")
+
+  /** HLL sketch — nondeterministic vs DuckDB, so rows-only check (no oracle). */
+  def aggApprox(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        approx_count_distinct(col("l_partkey")).as("approx_parts"),
+        count(lit(1)).as("cnt")
+      )
+      .orderBy("l_returnflag")
+
+  private def groupedSets(s: SparkSession, d: String, cube: Boolean): DataFrame = {
+    val li = Tables.lineitem(s, d)
+    val base =
+      if (cube) li.cube(col("l_returnflag"), col("l_linestatus"))
+      else li.rollup(col("l_returnflag"), col("l_linestatus"))
+    base.agg(
+        grouping(col("l_returnflag")).cast("int").as("g_rf"),
+        grouping(col("l_linestatus")).cast("int").as("g_ls"),
+        count(lit(1)).as("cnt"),
+        sum(col("l_quantity").cast("decimal(18,2)")).as("sum_qty")
+      )
+      // coalesce the grouping nulls to a sentinel: Spark sorts NULLS FIRST,
+      // DuckDB NULLS LAST — a sentinel dodges the divergence entirely.
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+        col("g_rf"), col("g_ls"), col("cnt"), col("sum_qty"))
+      .orderBy("rf", "ls")
+  }
+
+  def rollupQ(s: SparkSession, d: String): DataFrame = groupedSets(s, d, cube = false)
+  def cubeQ(s: SparkSession, d: String): DataFrame = groupedSets(s, d, cube = true)
+
+  def winRank(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("c_mktsegment")
+      .orderBy(col("c_acctbal").desc, col("c_custkey"))
+    Tables.customer(s, d).select(
+      col("c_custkey"), col("c_mktsegment"),
+      row_number().over(w).as("rn"),
+      rank().over(w).as("rnk"),
+      dense_rank().over(w).as("drnk")
+    ).orderBy("c_custkey")
+  }
+
+  /** lag/lead move raw stored doubles — no arithmetic, bit-identical. */
+  def winLag(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey").orderBy(col("o_orderdate"), col("o_orderkey"))
+    Tables.orders(s, d).select(
+      col("o_orderkey"), col("o_custkey"),
+      lag(col("o_totalprice"), 1).over(w).as("prev_price"),
+      lead(col("o_totalprice"), 1).over(w).as("next_price")
+    ).orderBy("o_orderkey")
+  }
+
+  /** Running sum over an explicit ROWS frame, exact decimal. */
+  def winFrame(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey").orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.orders(s, d).select(
+      col("o_orderkey"),
+      sum(col("o_totalprice").cast("decimal(18,2)")).over(w).as("running_spend")
+    ).orderBy("o_orderkey")
+  }
+
+  /** Top-k: Catalyst plans TakeOrderedAndProject (per-partition heap, merge
+    * of k) — never a global sort. Tie-broken on the unique key. */
+  def topk(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .select(col("o_orderkey"), col("o_totalprice"))
+      .limit(10)
+
+  private def buildingCustomers(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+      .select(col("c_custkey").as("key"))
+
+  private def fOrderCustomers(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d).filter(col("o_orderstatus") === "F")
+      .select(col("o_custkey").as("key"))
+
+  def unionQ(s: SparkSession, d: String): DataFrame =
+    buildingCustomers(s, d).union(fOrderCustomers(s, d)).distinct().orderBy("key")
+
+  def intersectQ(s: SparkSession, d: String): DataFrame =
+    buildingCustomers(s, d).intersect(fOrderCustomers(s, d)).orderBy("key")
+
+  def exceptQ(s: SparkSession, d: String): DataFrame =
+    buildingCustomers(s, d).except(fOrderCustomers(s, d)).orderBy("key")
+
+  val defs: Map[String, QueryDef] = Map(
+    "q_join_broadcast" -> QueryDef(joinBroadcast, Some(
+      """SELECT n_nationkey, n_name, r_name
+        |FROM nation JOIN region ON n_regionkey = r_regionkey
+        |ORDER BY n_nationkey""".stripMargin)),
+    "q_join_smj" -> QueryDef(joinSmj, Some(
+      """SELECT n_name, count(*) AS order_cnt,
+        |       sum(CAST(o_totalprice AS DECIMAL(18,2))) AS sum_total
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |            JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name ORDER BY n_name""".stripMargin)),
+    "q_join_left" -> QueryDef(joinLeft, Some(
+      """SELECT c_custkey, count(o_orderkey) AS order_cnt,
+        |       COALESCE(sum(CAST(o_totalprice AS DECIMAL(18,2))),
+        |                CAST(0 AS DECIMAL(18,2))) AS spend
+        |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin)),
+    "q_join_semi" -> QueryDef(joinSemi, Some(
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin)),
+    "q_join_anti" -> QueryDef(joinAnti, Some(
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey AND o_orderstatus = 'P')
+        |ORDER BY c_custkey""".stripMargin)),
+    "q_join_range" -> QueryDef(joinRange, Some(
+      """SELECT bucket, count(*) AS part_cnt,
+        |       sum(CAST(p_retailprice AS DECIMAL(18,2))) AS sum_retail
+        |FROM part JOIN (VALUES (1, 16, 'small'), (17, 33, 'medium'),
+        |                       (34, 50, 'large')) b(lo, hi, bucket)
+        |  ON p_size >= lo AND p_size <= hi
+        |GROUP BY bucket ORDER BY bucket""".stripMargin)),
+    "q_join_asof" -> QueryDef(joinAsof, Some(
+      """WITH u AS (
+        |  SELECT user_id, ts, event_id AS click_id, 0 AS is_p,
+        |         NULL::BIGINT AS p_id
+        |  FROM events WHERE event_type = 'click'
+        |  UNION ALL
+        |  SELECT user_id, ts, NULL::BIGINT, 1, event_id
+        |  FROM events WHERE event_type = 'purchase'),
+        |w AS (
+        |  SELECT *, last_value(click_id IGNORE NULLS) OVER (
+        |      PARTITION BY user_id
+        |      ORDER BY date_trunc('microseconds', ts), is_p, click_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS asof_click_id
+        |  FROM u)
+        |SELECT p_id AS event_id, asof_click_id FROM w WHERE is_p = 1
+        |ORDER BY event_id""".stripMargin)),
+    "q_agg_hash" -> QueryDef(aggHash, Some(
+      """SELECT l_returnflag, l_linestatus,
+        |       sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
+        |       sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_base,
+        |       sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(24,6))) AS sum_disc,
+        |       count(*) AS cnt
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin)),
+    "q_agg_distinct" -> QueryDef(aggDistinct, Some(
+      """SELECT l_returnflag, count(DISTINCT l_partkey) AS parts,
+        |       count(DISTINCT l_suppkey) AS supps, count(*) AS cnt
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+    "q_agg_approx" -> QueryDef(aggApprox, None,
+      doc = "HLL approx_count_distinct — sketch differs from DuckDB's, rows-only check"),
+    "q_rollup" -> QueryDef(rollupQ, Some(groupedSetsSql("ROLLUP"))),
+    "q_cube" -> QueryDef(cubeQ, Some(groupedSetsSql("CUBE"))),
+    "q_win_rank" -> QueryDef(winRank, Some(
+      """SELECT c_custkey, c_mktsegment,
+        |       row_number() OVER w AS rn, rank() OVER w AS rnk,
+        |       dense_rank() OVER w AS drnk
+        |FROM customer
+        |WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey)
+        |ORDER BY c_custkey""".stripMargin)),
+    "q_win_lag" -> QueryDef(winLag, Some(
+      """SELECT o_orderkey, o_custkey,
+        |       lag(o_totalprice, 1) OVER w AS prev_price,
+        |       lead(o_totalprice, 1) OVER w AS next_price
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_orderkey""".stripMargin)),
+    "q_win_frame" -> QueryDef(winFrame, Some(
+      """SELECT o_orderkey,
+        |       sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+        |         PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_spend
+        |FROM orders ORDER BY o_orderkey""".stripMargin)),
+    "q_topk" -> QueryDef(topk, Some(
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin)),
+    "q_union" -> QueryDef(unionQ, Some(
+      """SELECT c_custkey AS key FROM customer WHERE c_mktsegment = 'BUILDING'
+        |UNION
+        |SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+        |ORDER BY key""".stripMargin)),
+    "q_intersect" -> QueryDef(intersectQ, Some(
+      """SELECT c_custkey AS key FROM customer WHERE c_mktsegment = 'BUILDING'
+        |INTERSECT
+        |SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+        |ORDER BY key""".stripMargin)),
+    "q_except" -> QueryDef(exceptQ, Some(
+      """SELECT c_custkey AS key FROM customer WHERE c_mktsegment = 'BUILDING'
+        |EXCEPT
+        |SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+        |ORDER BY key""".stripMargin))
+  )
+
+  private def groupedSetsSql(op: String): String =
+    s"""SELECT COALESCE(l_returnflag, 'ALL') AS rf,
+       |       COALESCE(l_linestatus, 'ALL') AS ls,
+       |       CAST(GROUPING(l_returnflag) AS INTEGER) AS g_rf,
+       |       CAST(GROUPING(l_linestatus) AS INTEGER) AS g_ls,
+       |       count(*) AS cnt,
+       |       sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty
+       |FROM lineitem GROUP BY $op(l_returnflag, l_linestatus)
+       |ORDER BY rf, ls""".stripMargin
+}

@@ -1,0 +1,252 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.{QueryDef, Tables}
+
+/** Scalar-function batteries (SURVEY.md §2.5) plus the reference's own
+  * expression surface re-exercised over driver testdata: JSON parse/serialize
+  * round-trips, cast chains, the topic-routing regex (reference
+  * main.py:131-136 — including its loose-gate/strict-extract quirk), the
+  * collect/sort/higher-order array pipeline (main.py:153-158).
+  *
+  * Everything here is per-row scalar work — embarrassingly parallel, fully
+  * inside whole-stage codegen, no shuffle except the harness ORDER BY.
+  * Cross-engine float rules: see QueryDef. ln() is the one libm-dependent
+  * function exposed; rounded to 6dp the divergence probability is ~1e-10/row.
+  */
+object Scalar {
+
+  def stringFuncs(s: SparkSession, d: String): DataFrame =
+    Tables.part(s, d).select(
+      col("p_partkey"),
+      upper(col("p_brand")).as("ub"),
+      lower(col("p_type")).as("lt"),
+      substring(col("p_name"), 1, 8).as("pre8"),
+      length(col("p_name")).as("nlen"),
+      expr("replace(p_name, ' ', '_')").as("und"),
+      split(col("p_name"), " ").getItem(0).as("tok1"),
+      instr(col("p_name"), "a").as("pos_a"),
+      concat_ws("-", col("p_brand"), col("p_type")).as("cw"),
+      lpad(col("p_brand"), 12, "*").as("lp")
+    ).orderBy("p_partkey")
+
+  def dateFuncs(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d).select(
+      col("o_orderkey"),
+      year(col("o_orderdate")).as("y"),
+      month(col("o_orderdate")).as("m"),
+      dayofmonth(col("o_orderdate")).as("dd"),
+      quarter(col("o_orderdate")).as("q"),
+      date_format(col("o_orderdate"), "yyyy-MM").as("ym"),
+      datediff(col("o_orderdate"), lit("1995-01-01").cast("date")).as("dd95"),
+      date_format(add_months(col("o_orderdate"), 3), "yyyy-MM-dd").as("am3"),
+      date_format(last_day(col("o_orderdate")), "yyyy-MM-dd").as("ld"),
+      date_format(date_trunc("month", col("o_orderdate")), "yyyy-MM-dd").as("mon")
+    ).orderBy("o_orderkey")
+
+  /** Single-IEEE-op outputs only (sub/abs/sqrt/floor/ceil/multiply/mod are
+    * deterministic across engines); ln is rounded — see object doc. */
+  def mathFuncs(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d).select(
+      col("l_orderkey"), col("l_linenumber"),
+      abs(col("l_discount") - lit(0.05)).as("ad"),
+      sqrt(col("l_quantity")).as("sq"),
+      floor(col("l_extendedprice") / lit(7.0)).as("fl"),
+      ceil(col("l_extendedprice") / lit(7.0)).as("cl"),
+      (col("l_quantity") * col("l_quantity")).as("p2"),
+      round(log(col("l_extendedprice")), 6).as("lnp"),
+      (col("l_orderkey") % 7).as("md"),
+      signum(col("l_discount") - lit(0.05)).as("sg")
+    ).orderBy("l_orderkey", "l_linenumber")
+
+  def arrayFuncs(s: SparkSession, d: String): DataFrame = {
+    val w = split(col("text"), " ")
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      size(w).as("n_words"),
+      size(array_distinct(w)).as("n_distinct"),
+      element_at(w, 1).as("first_word"),
+      array_contains(w, "spark").as("has_spark"),
+      array_join(slice(sort_array(array_distinct(w)), 1, 3), ",").as("top3")
+    ).orderBy("doc_id")
+  }
+
+  def jsonGet(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d).select(
+      col("event_id"),
+      get_json_object(col("props"), "$.k").cast("int").as("k")
+    ).orderBy("event_id")
+
+  /** JSON serialize→parse round-trip (reference P2/P10): if from_json or
+    * to_json corrupts anything, the oracle (which reads the source columns
+    * directly) mismatches. */
+  def parseJson(s: SparkSession, d: String): DataFrame = {
+    val js = to_json(struct(col("event_id").as("id"), col("event_type").as("ty")))
+    Tables.events(s, d)
+      .select(col("event_id"),
+        from_json(js, lit("id BIGINT, ty STRING")).as("p"))
+      .select(col("event_id"), col("p.id").as("pid"), col("p.ty").as("pty"))
+      .orderBy("event_id")
+  }
+
+  def toJsonQ(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d).select(
+      col("event_id"),
+      to_json(struct(col("event_id").as("id"), col("event_type").as("ty"))).as("js")
+    ).orderBy("event_id")
+
+  /** Reference cast chain (P1/P4/P5): epoch↔timestamp↔string round-trips and
+    * the null-on-unparseable string→double cast. */
+  def castChain(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d).select(
+      col("event_id"),
+      unix_timestamp(col("ts")).as("ep"),
+      from_unixtime(unix_timestamp(col("ts"))).as("rt"),
+      col("value").cast("string").cast("double").as("vs"),
+      // try_cast: Spark 4 runs ANSI mode by default, a plain cast would throw
+      expr("try_cast(concat('x', cast(event_id as string)) as double)").as("bad")
+    ).orderBy("event_id")
+
+  def filterNotNull(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .select(col("event_id"),
+        get_json_object(col("props"), "$.k").cast("int").as("k"))
+      .where(col("k").isNotNull && col("k") % 2 === 0)
+      .orderBy("event_id")
+
+  /** Reference topic routing (main.py:131-136) kept quirk-for-quirk: the
+    * gate is the LOOSE pattern (`.+`), the extract the STRICT one
+    * (`[^-]+`), so a multi-hyphen topic passes the gate but extracts an
+    * empty base — observable behavior, reproduced deliberately (ADVICE r1).
+    * event_id%3==1 rows synthesize exactly that case. */
+  def topicRoute(s: SparkSession, d: String): DataFrame = {
+    val topic = when(col("event_id") % 3 === 0,
+        concat(lit("parsed-trades-"), col("event_type"), lit("-usdt")))
+      .when(col("event_id") % 3 === 1,
+        concat(lit("parsed-trades-x-"), col("event_type"), lit("-usdt")))
+      .otherwise(concat(lit("raw."), col("event_type")))
+    Tables.events(s, d)
+      .withColumn("topic", topic)
+      .withColumn("base",
+        when(col("topic").rlike("parsed-trades-.+-usdt"),
+          regexp_extract(col("topic"), "parsed-trades-([^-]+)-usdt", 1))
+          .otherwise(upper(col("event_type"))))
+      .select(col("event_id"), col("topic"), col("base"))
+      .orderBy("event_id")
+  }
+
+  /** The reference's collect_list/array_sort surface (main.py:153-158) as an
+    * engine capability — NOT used in the OHLC hot path (see OhlcPipeline). */
+  def collectSort(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy(col("l_orderkey"))
+      .agg(
+        expr("array_join(transform(array_sort(collect_list(l_linenumber))," +
+          " x -> cast(x as string)), ',')").as("lns"),
+        count(lit(1)).as("cnt")
+      )
+      .orderBy("l_orderkey")
+
+  /** transform/aggregate/filter/element_at/size higher-order battery
+    * (main.py:153-158's lambda surface, generalized). */
+  def higherOrder(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      expr("aggregate(transform(split(text, ' '), x -> length(x)), 0, (a, x) -> a + x)")
+        .as("tot_chars"),
+      element_at(split(col("text"), " "), 1).as("first_w"),
+      element_at(split(col("text"), " "), -1).as("last_w"),
+      size(split(col("text"), " ")).as("n_words"),
+      size(expr("filter(split(text, ' '), x -> length(x) > 4)")).as("long_cnt")
+    ).orderBy("doc_id")
+
+  val defs: Map[String, QueryDef] = Map(
+    "q_string_funcs" -> QueryDef(stringFuncs, Some(
+      """SELECT p_partkey, upper(p_brand) AS ub, lower(p_type) AS lt,
+        |       substring(p_name, 1, 8) AS pre8, length(p_name) AS nlen,
+        |       replace(p_name, ' ', '_') AS und,
+        |       string_split(p_name, ' ')[1] AS tok1,
+        |       instr(p_name, 'a') AS pos_a,
+        |       concat_ws('-', p_brand, p_type) AS cw,
+        |       lpad(p_brand, 12, '*') AS lp
+        |FROM part ORDER BY p_partkey""".stripMargin)),
+    "q_date_funcs" -> QueryDef(dateFuncs, Some(
+      """SELECT o_orderkey, year(o_orderdate) AS y, month(o_orderdate) AS m,
+        |       day(o_orderdate) AS dd, quarter(o_orderdate) AS q,
+        |       strftime(o_orderdate, '%Y-%m') AS ym,
+        |       datediff('day', DATE '1995-01-01', o_orderdate) AS dd95,
+        |       strftime(o_orderdate + INTERVAL 3 MONTH, '%Y-%m-%d') AS am3,
+        |       strftime(last_day(CAST(o_orderdate AS DATE)), '%Y-%m-%d') AS ld,
+        |       strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS mon
+        |FROM orders ORDER BY o_orderkey""".stripMargin)),
+    "q_math_funcs" -> QueryDef(mathFuncs, Some(
+      """SELECT l_orderkey, l_linenumber,
+        |       abs(l_discount - 0.05) AS ad, sqrt(l_quantity) AS sq,
+        |       floor(l_extendedprice / 7.0) AS fl,
+        |       ceil(l_extendedprice / 7.0) AS cl,
+        |       l_quantity * l_quantity AS p2,
+        |       round(ln(l_extendedprice), 6) AS lnp,
+        |       l_orderkey % 7 AS md,
+        |       CAST(sign(l_discount - 0.05) AS DOUBLE) AS sg
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin)),
+    "q_array_funcs" -> QueryDef(arrayFuncs, Some(
+      """SELECT doc_id, len(string_split(text, ' ')) AS n_words,
+        |       len(list_distinct(string_split(text, ' '))) AS n_distinct,
+        |       string_split(text, ' ')[1] AS first_word,
+        |       list_contains(string_split(text, ' '), 'spark') AS has_spark,
+        |       array_to_string(list_sort(list_distinct(string_split(text, ' ')))[1:3], ',') AS top3
+        |FROM documents ORDER BY doc_id""".stripMargin)),
+    "q_json_get" -> QueryDef(jsonGet, Some(
+      """SELECT event_id, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+        |FROM events ORDER BY event_id""".stripMargin)),
+    "q_parse_json" -> QueryDef(parseJson, Some(
+      """SELECT event_id, event_id AS pid, event_type AS pty
+        |FROM events ORDER BY event_id""".stripMargin)),
+    "q_to_json" -> QueryDef(toJsonQ, Some(
+      """SELECT event_id,
+        |       CAST(to_json(struct_pack(id := event_id, ty := event_type)) AS VARCHAR) AS js
+        |FROM events ORDER BY event_id""".stripMargin)),
+    "q_cast_chain" -> QueryDef(castChain, Some(
+      """SELECT event_id,
+        |       CAST(floor(epoch(ts)) AS BIGINT) AS ep,
+        |       strftime(to_timestamp(CAST(floor(epoch(ts)) AS BIGINT)), '%Y-%m-%d %H:%M:%S') AS rt,
+        |       TRY_CAST(CAST(value AS VARCHAR) AS DOUBLE) AS vs,
+        |       TRY_CAST('x' || CAST(event_id AS VARCHAR) AS DOUBLE) AS bad
+        |FROM events ORDER BY event_id""".stripMargin)),
+    "q_filter_notnull" -> QueryDef(filterNotNull, Some(
+      """SELECT event_id, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+        |FROM events
+        |WHERE CAST(json_extract_string(props, '$.k') AS INTEGER) IS NOT NULL
+        |  AND CAST(json_extract_string(props, '$.k') AS INTEGER) % 2 = 0
+        |ORDER BY event_id""".stripMargin)),
+    "q_topic_route" -> QueryDef(topicRoute, Some(
+      """WITH t AS (
+        |  SELECT event_id,
+        |         CASE WHEN event_id % 3 = 0
+        |                THEN 'parsed-trades-' || event_type || '-usdt'
+        |              WHEN event_id % 3 = 1
+        |                THEN 'parsed-trades-x-' || event_type || '-usdt'
+        |              ELSE 'raw.' || event_type END AS topic,
+        |         event_type
+        |  FROM events)
+        |SELECT event_id, topic,
+        |       CASE WHEN regexp_matches(topic, 'parsed-trades-.+-usdt')
+        |            THEN regexp_extract(topic, 'parsed-trades-([^-]+)-usdt', 1)
+        |            ELSE upper(event_type) END AS base
+        |FROM t ORDER BY event_id""".stripMargin)),
+    "q_collect_sort" -> QueryDef(collectSort, Some(
+      """SELECT l_orderkey,
+        |       array_to_string(list_sort(list(l_linenumber)), ',') AS lns,
+        |       count(*) AS cnt
+        |FROM lineitem GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin)),
+    "q_higher_order" -> QueryDef(higherOrder, Some(
+      """SELECT doc_id,
+        |       list_sum(list_transform(string_split(text, ' '), x -> len(x))) AS tot_chars,
+        |       string_split(text, ' ')[1] AS first_w,
+        |       string_split(text, ' ')[-1] AS last_w,
+        |       len(string_split(text, ' ')) AS n_words,
+        |       len(list_filter(string_split(text, ' '), x -> len(x) > 4)) AS long_cnt
+        |FROM documents ORDER BY doc_id""".stripMargin))
+  )
+}
