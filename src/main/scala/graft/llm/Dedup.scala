@@ -1,0 +1,121 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.{QueryDef, Tables}
+
+/** Deduplication operators for an LLM training-data pipeline.
+  *
+  * Three tiers, all shuffle-partitionable (no all-pairs comparison anywhere):
+  *
+  *  1. exact — hash-groupBy on raw content: one shuffle on the content hash.
+  *  2. fingerprint — groupBy an order-insensitive bag-of-words hash:
+  *     catches shuffled/re-ordered copies at identical cost.
+  *  3. near — MinHash-LSH over word 3-gram shingles: per doc, b×r md5
+  *     min-hashes (deterministic — md5, not a seeded murmur, so a DuckDB
+  *     oracle can replay them bit-for-bit), banded into b signatures;
+  *     candidate pairs = docs sharing a band bucket (shuffle on band
+  *     signature); candidates verified with exact shingle Jaccard.
+  *     With r=3, b=4 the detect probability is 1-(1-J³)⁴: ≥ 99.5% at
+  *     J=0.9, ~0.1% at the J≈0.07 background of this corpus — candidate
+  *     volume stays O(near-dups), not O(n²).
+  */
+object Dedup {
+
+  /** Exact dedup: survivor (min doc_id) + multiplicity per distinct text. */
+  def exact(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .groupBy(col("text"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("cnt"))
+      .select(col("keep_id"), col("cnt"))
+      .orderBy("keep_id")
+
+  /** Bag-of-words fingerprint dedup (order-insensitive exact dedup). */
+  def fingerprint(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .withColumn("fp",
+        md5(array_join(sort_array(array_distinct(TextStats.tokens(col("text")))), " ")
+          .cast("binary")))
+      .groupBy(col("fp"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("cnt"))
+      .orderBy("fp")
+
+  /** One min-hash: lexicographic min of md5("b#r#" + shingle) over the
+    * shingle set. md5 is the hash family on purpose — deterministic and
+    * available identically in the DuckDB oracle. */
+  private def minhash(b: Int, r: Int): Column =
+    expr(s"array_min(transform(sh, x -> md5(concat('$b#$r#', x))))")
+
+  /** (doc_id, band, sig) — one row per band, sig = r concatenated minhashes. */
+  def bandSignatures(docs: DataFrame, bands: Int, rows: Int): DataFrame = {
+    val sigs = (0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        concat_ws("|", (0 until rows).map(r => minhash(b, r)): _*).as("sig"))
+    }
+    docs.select(col("doc_id"), explode(array(sigs: _*)).as("bs"))
+      .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
+  }
+
+  /** MinHash-LSH near-dup: candidate pairs from shared band buckets,
+    * verified with exact shingle-set Jaccard >= `threshold`. */
+  def near(s: SparkSession, d: String, threshold: Double = 0.8,
+           bands: Int = 4, rows: Int = 3): DataFrame = {
+    val sh = Tables.documents(s, d)
+      .select(col("doc_id"), TextStats.shinglesExpr("text").as("sh"))
+      .filter(size(col("sh")) > 0)
+    val banded = bandSignatures(sh, bands, rows)
+    val cand = banded.as("x").join(banded.as("y"),
+        col("x.band") === col("y.band") && col("x.sig") === col("y.sig") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    val withSets = cand
+      .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
+      .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
+    withSets
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("jaccard",
+        round(lit(1.0) * col("inter") /
+          (size(col("sh_a")) + size(col("sh_b")) - col("inter")), 4))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  private def nearOracle(threshold: Double, bands: Int, rows: Int): String =
+    s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       |sh AS (
+       |  SELECT doc_id, list_distinct(list_transform(range(1, len(toks) - 1),
+       |           i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS s
+       |  FROM w WHERE len(toks) >= 3),
+       |mh AS (
+       |  SELECT doc_id, tb.b AS band, tr.r AS r,
+       |         list_aggregate(list_transform(s,
+       |           x -> md5(CAST(tb.b AS VARCHAR) || '#' || CAST(tr.r AS VARCHAR) || '#' || x)),
+       |           'min') AS h
+       |  FROM sh, range(0, $bands) tb(b), range(0, $rows) tr(r)),
+       |sig AS (SELECT doc_id, band, string_agg(h, '|' ORDER BY r) AS bsig
+       |        FROM mh GROUP BY doc_id, band),
+       |cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+       |         FROM sig x JOIN sig y
+       |           ON x.band = y.band AND x.bsig = y.bsig AND x.doc_id < y.doc_id),
+       |pairs AS (
+       |  SELECT doc_a, doc_b,
+       |         round(1.0 * len(list_intersect(a.s, b.s)) /
+       |               (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 4) AS jaccard
+       |  FROM cand JOIN sh a ON a.doc_id = doc_a JOIN sh b ON b.doc_id = doc_b)
+       |SELECT doc_a, doc_b, jaccard FROM pairs WHERE jaccard >= $threshold
+       |ORDER BY doc_a, doc_b""".stripMargin
+
+  val defs: Map[String, QueryDef] = Map(
+    "q_dedup_exact" -> QueryDef(exact(_, _), Some(
+      """SELECT min(doc_id) AS keep_id, count(*) AS cnt
+        |FROM documents GROUP BY text ORDER BY keep_id""".stripMargin)),
+    "q_dedup_fingerprint" -> QueryDef(fingerprint(_, _), Some(
+      """SELECT md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fp,
+        |       min(doc_id) AS keep_id, count(*) AS cnt
+        |FROM documents
+        |GROUP BY fp ORDER BY fp""".stripMargin)),
+    "q_dedup_near" -> QueryDef(near(_, _), Some(nearOracle(0.8, 4, 3)))
+  )
+}

@@ -1,0 +1,132 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.core.{QueryDef, Tables}
+
+/** Approximate-nearest-neighbor search over an embedding column
+  * (`embeddings.embedding: array<float>, dim 64`).
+  *
+  * Outputs are RANK-ONLY (qid, rnk, neighbor id) — cosine values never leave
+  * the query, so cross-engine float-summation differences can only matter if
+  * two similarities collide to within ~1e-15, which rank gaps of ~1e-3 in
+  * this data make a non-event. All math is double (arrays cast up-front):
+  * float arithmetic would diverge from any double-computing oracle.
+  *
+  * Scale shapes:
+  *   - `topkBrute`: the exact baseline. Query set broadcasts; candidate
+  *     scoring is map-side; top-k goes through a TWO-STAGE window (local
+  *     top-k per (query, shuffle partition), then global top-k of the
+  *     survivors) so the full n×q score set is never globally shuffled.
+  *   - `topkBucketed`: the IVF scale path. k-means-style centroids (here a
+  *     deterministic seed set — centroid *training* is out of scope),
+  *     vectors assigned to nearest centroid (broadcast centroids, map-side),
+  *     queries probe the `nprobe` nearest buckets only — candidate volume
+  *     drops by ~#centroids/nprobe. Fully deterministic, so even the
+  *     approximate variant has a DuckDB oracle.
+  */
+object Similarity {
+
+  /** Cosine similarity of two array<double> columns via higher-order
+    * functions — stays inside codegen'd expressions, no UDF. */
+  def cosine(a: Column, b: Column): Column = {
+    def dot(x: Column, y: Column): Column =
+      aggregate(zip_with(x, y, (p, q) => p * q), lit(0.0), (acc, v) => acc + v)
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+  }
+
+  private def vecs(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("e"),
+        col("label"))
+
+  /** Exact top-k neighbors for each query vector (vec_id < nQueries). */
+  def topkBrute(s: SparkSession, d: String, nQueries: Int = 20, k: Int = 5): DataFrame = {
+    val all = vecs(s, d)
+    val q = all.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("e").as("qe"))
+    val scored = all.join(broadcast(q), col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("nbr"), cosine(col("qe"), col("e")).as("cos"))
+    // two-stage top-k: local per-partition heads, then global — the
+    // global window only sees k rows per (query, partition)
+    val local = Window.partitionBy(col("qid"), spark_partition_id())
+      .orderBy(col("cos").desc, col("nbr"))
+    val global = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nbr"))
+    scored
+      .withColumn("lrn", row_number().over(local)).filter(col("lrn") <= k)
+      .withColumn("rnk", row_number().over(global)).filter(col("rnk") <= k)
+      .select(col("qid"), col("rnk"), col("nbr"))
+      .orderBy("qid", "rnk")
+  }
+
+  /** IVF-bucketed ANN: assign all vectors to their nearest of `nCentroids`
+    * seed centroids, probe the `nprobe` nearest buckets per query. */
+  def topkBucketed(s: SparkSession, d: String, nQueries: Int = 20, k: Int = 3,
+                   nCentroids: Int = 8, nprobe: Int = 2): DataFrame = {
+    val all = vecs(s, d)
+    val cents = all.filter(col("vec_id") < nCentroids)
+      .select(col("vec_id").as("cid"), col("e").as("ce"))
+    // nearest centroid per vector (ties: lowest cid) — broadcast, map-side
+    val wAssign = Window.partitionBy(col("vec_id"))
+      .orderBy(col("ccos").desc, col("cid"))
+    val assigned = all.join(broadcast(cents))
+      .select(col("vec_id"), col("e"), col("cid"),
+        cosine(col("ce"), col("e")).as("ccos"))
+      .withColumn("arn", row_number().over(wAssign)).filter(col("arn") === 1)
+      .select(col("vec_id"), col("e"), col("cid").as("bucket"))
+    // nprobe nearest buckets per query
+    val q = assigned.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("e").as("qe"))
+    val wProbe = Window.partitionBy(col("qid")).orderBy(col("pcos").desc, col("cid"))
+    val probes = q.join(broadcast(cents))
+      .select(col("qid"), col("qe"), col("cid"), cosine(col("ce"), col("qe")).as("pcos"))
+      .withColumn("prn", row_number().over(wProbe)).filter(col("prn") <= nprobe)
+      .select(col("qid"), col("qe"), col("cid").as("bucket"))
+    // search only the probed buckets
+    val wTop = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nbr"))
+    probes.join(assigned, "bucket")
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("nbr"), cosine(col("qe"), col("e")).as("cos"))
+      .withColumn("rnk", row_number().over(wTop)).filter(col("rnk") <= k)
+      .select(col("qid"), col("rnk"), col("nbr"))
+      .orderBy("qid", "rnk")
+  }
+
+  val defs: Map[String, QueryDef] = Map(
+    "q_sim_topk" -> QueryDef(topkBrute(_, _), Some(
+      """WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qe
+        |           FROM embeddings WHERE vec_id < 20),
+        |c AS (SELECT qid, vec_id AS nbr,
+        |             list_cosine_similarity(qe, CAST(embedding AS DOUBLE[])) AS cos
+        |      FROM q JOIN embeddings ON vec_id != qid),
+        |r AS (SELECT qid, nbr,
+        |             row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nbr) AS rnk
+        |      FROM c)
+        |SELECT qid, rnk, nbr FROM r WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin)),
+    "q_sim_bucketed" -> QueryDef(topkBucketed(_, _), Some(
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        |cents AS (SELECT vec_id AS cid, e AS ce FROM v WHERE vec_id < 8),
+        |assigned AS (
+        |  SELECT vec_id, e, cid AS bucket FROM (
+        |    SELECT v.vec_id, v.e, c.cid,
+        |           row_number() OVER (PARTITION BY v.vec_id
+        |             ORDER BY list_cosine_similarity(c.ce, v.e) DESC, c.cid) AS arn
+        |    FROM v, cents c) WHERE arn = 1),
+        |q AS (SELECT vec_id AS qid, e AS qe FROM assigned WHERE vec_id < 20),
+        |probes AS (
+        |  SELECT qid, qe, cid AS bucket FROM (
+        |    SELECT q.qid, q.qe, c.cid,
+        |           row_number() OVER (PARTITION BY q.qid
+        |             ORDER BY list_cosine_similarity(c.ce, q.qe) DESC, c.cid) AS prn
+        |    FROM q, cents c) WHERE prn <= 2),
+        |top AS (
+        |  SELECT qid, nbr, row_number() OVER (PARTITION BY qid
+        |           ORDER BY cos DESC, nbr) AS rnk
+        |  FROM (SELECT p.qid, a.vec_id AS nbr,
+        |               list_cosine_similarity(p.qe, a.e) AS cos
+        |        FROM probes p JOIN assigned a ON p.bucket = a.bucket
+        |        WHERE a.vec_id != p.qid))
+        |SELECT qid, rnk, nbr FROM top WHERE rnk <= 3 ORDER BY qid, rnk""".stripMargin))
+  )
+}

@@ -1,0 +1,147 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.{QueryDef, Tables}
+
+/** Text-analysis operators for an LLM training-data pipeline: tokenization,
+  * corpus statistics, n-gram language-ID scoring, quality signals, document
+  * fingerprinting. All per-row scalar work or single hash aggregations —
+  * embarrassingly parallel at 100 TB, no driver-side materialization.
+  */
+object TextStats {
+
+  /** Whitespace tokens. */
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** Distinct word-level n-gram shingles over `textExpr` (SQL expression
+    * string), the unit of near-dup detection and fingerprinting.
+    * Guarded: Spark's `sequence(1, k)` DESCENDS when k < 1, so texts shorter
+    * than n tokens must map to an empty array explicitly. */
+  def shinglesExpr(textExpr: String, n: Int = 3): Column = {
+    val w = s"split($textExpr, ' ')"
+    val parts = (0 until n).map(i => s"element_at($w, i + $i)").mkString(", ")
+    expr(
+      s"""CASE WHEN size($w) >= $n
+         |THEN array_distinct(transform(sequence(1, size($w) - ${n - 1}),
+         |                              i -> concat_ws(' ', $parts)))
+         |ELSE array() END""".stripMargin)
+  }
+
+  /** Marker-word hit count with multiplicity — the scoring primitive of
+    * marker-based language ID. */
+  def markerHitsExpr(textExpr: String, markers: Seq[String]): Column = {
+    val pred = markers.map(m => s"x = '$m'").mkString(" or ")
+    size(expr(s"filter(split($textExpr, ' '), x -> $pred)"))
+  }
+
+  val langMarkers: Map[String, Seq[String]] = Map(
+    "de" -> Seq("der", "die", "das", "und"),
+    "en" -> Seq("the", "a", "of", "and"),
+    "es" -> Seq("el", "la", "los", "de"),
+    "fr" -> Seq("les", "du", "et", "une"),
+    "zh" -> Seq("的", "是", "了", "在")
+  )
+  private val langsOrdered = langMarkers.keys.toSeq.sorted
+
+  /** Per-language corpus statistics: doc counts, token/char totals, an exact
+    * int-ratio quality signal (one IEEE division of exact integers —
+    * identical double in any engine). */
+  def textStats(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("doc_cnt"),
+        sum(size(tokens(col("text")))).as("sum_tokens"),
+        sum(col("n_chars")).as("sum_chars"),
+        countDistinct(col("source")).as("n_sources")
+      )
+      .withColumn("chars_per_token",
+        round(lit(1.0) * col("sum_chars") / col("sum_tokens"), 4))
+      .orderBy("lang")
+
+  /** Token counting three ways: whitespace, a BPE-ish regex ([a-z0-9]+ runs),
+    * and character length. */
+  def tokenCount(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      size(tokens(col("text"))).as("ws_tokens"),
+      size(regexp_extract_all(col("text"), lit("[a-z0-9]+"), lit(0))).as("re_tokens"),
+      length(col("text")).as("chars")
+    ).orderBy("doc_id")
+
+  /** Language ID by marker-word scoring, argmax with a fixed tie order
+    * (de,en,es,fr,zh). On this synthetic corpus every language shares one
+    * vocabulary, so accuracy is meaningless — the operator (score + argmax,
+    * deterministic) is what's under test. */
+  def langId(s: SparkSession, d: String): DataFrame = {
+    val scored = Tables.documents(s, d).select(
+      (Seq(col("doc_id"), col("lang")) ++
+        langsOrdered.map(l => markerHitsExpr("text", langMarkers(l)).as(s"s_$l"))): _*)
+    val pred = langsOrdered.init.zipWithIndex.foldRight(lit(langsOrdered.last): Column) {
+      case ((l, i), rest) =>
+        val geAll = langsOrdered.drop(i + 1)
+          .map(o => col(s"s_$l") >= col(s"s_$o")).reduce(_ && _)
+        when(geAll, lit(l)).otherwise(rest)
+    }
+    scored.withColumn("pred", pred)
+      .withColumn("correct", col("pred") === col("lang"))
+      .orderBy("doc_id")
+  }
+
+  /** Document fingerprints: full-content hash, an order-insensitive
+    * bag-of-words sketch (first 8 sorted distinct tokens), and a prefix. */
+  def docFingerprint(s: SparkSession, d: String): DataFrame = {
+    val sortedToks = sort_array(array_distinct(tokens(col("text"))))
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      md5(col("text").cast("binary")).as("md5_text"),
+      md5(array_join(slice(sortedToks, 1, 8), " ").cast("binary")).as("sketch8"),
+      substring(col("text"), 1, 64).as("prefix64")
+    ).orderBy("doc_id")
+  }
+
+  private def langIdOracle: String = {
+    val scores = langsOrdered.map { l =>
+      val pred = langMarkers(l).map(m => s"x = '$m'").mkString(" or ")
+      s"len(list_filter(string_split(text, ' '), x -> $pred)) AS s_$l"
+    }.mkString(",\n         ")
+    s"""WITH sc AS (
+       |  SELECT doc_id, lang,
+       |         $scores
+       |  FROM documents),
+       |p AS (
+       |  SELECT *,
+       |         CASE WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr AND s_de >= s_zh THEN 'de'
+       |              WHEN s_en >= s_es AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
+       |              WHEN s_es >= s_fr AND s_es >= s_zh THEN 'es'
+       |              WHEN s_fr >= s_zh THEN 'fr'
+       |              ELSE 'zh' END AS pred
+       |  FROM sc)
+       |SELECT doc_id, lang, s_de, s_en, s_es, s_fr, s_zh, pred,
+       |       pred = lang AS correct
+       |FROM p ORDER BY doc_id""".stripMargin
+  }
+
+  val defs: Map[String, QueryDef] = Map(
+    "q_text_stats" -> QueryDef(textStats, Some(
+      """SELECT lang, count(*) AS doc_cnt,
+        |       sum(len(string_split(text, ' '))) AS sum_tokens,
+        |       sum(n_chars) AS sum_chars,
+        |       count(DISTINCT source) AS n_sources,
+        |       round(1.0 * sum(n_chars) / sum(len(string_split(text, ' '))), 4)
+        |         AS chars_per_token
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin)),
+    "q_token_count" -> QueryDef(tokenCount, Some(
+      """SELECT doc_id, len(string_split(text, ' ')) AS ws_tokens,
+        |       len(regexp_extract_all(text, '[a-z0-9]+')) AS re_tokens,
+        |       length(text) AS chars
+        |FROM documents ORDER BY doc_id""".stripMargin)),
+    "q_lang_id" -> QueryDef(langId, Some(langIdOracle)),
+    "q_doc_fingerprint" -> QueryDef(docFingerprint, Some(
+      """SELECT doc_id, md5(text) AS md5_text,
+        |       md5(array_to_string(list_sort(list_distinct(string_split(text, ' ')))[1:8], ' ')) AS sketch8,
+        |       substring(text, 1, 64) AS prefix64
+        |FROM documents ORDER BY doc_id""".stripMargin))
+  )
+}
