@@ -42,10 +42,16 @@ object OhlcPipeline {
         expr("try_cast(data.quantity as double)").as("quantity")
       )
       .where(col("timestamp").isNotNull)
-    val pattern = java.util.regex.Pattern.quote(topicPrefix) + "([^\\-]+)-usdt"
+    // Reference quirk kept verbatim (main.py:131-136): the GATE is the loose
+    // pattern (`.+`), the EXTRACT the strict one (`[^-]+`) — so a
+    // multi-hyphen topic like `parsed-trades-a-b-usdt` passes the gate but
+    // extracts an empty base instead of falling back to from_symbol.
+    val quoted = java.util.regex.Pattern.quote(topicPrefix)
+    val gate = quoted + ".+-usdt"
+    val extract = quoted + "([^\\-]+)-usdt"
     parsed.withColumn(
       "base",
-      when(col("topic").rlike(pattern), regexp_extract(col("topic"), pattern, 1))
+      when(col("topic").rlike(gate), regexp_extract(col("topic"), extract, 1))
         .otherwise(col("from_symbol"))
     )
   }

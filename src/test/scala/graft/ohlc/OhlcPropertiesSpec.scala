@@ -1,0 +1,67 @@
+package graft.ohlc
+
+import graft.SparkTestBase
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+/** Property-based OHLC invariants (SURVEY.md §5.3) checked against a plain
+  * Scala reference model: for every (window, base) group over random trades,
+  *   open  = price of lexicographically-first (ts, price)
+  *   close = price of lexicographically-last  (ts, price)
+  *   low/high = min/max price, volume = Σ quantity,
+  *   window start = floor(ts / 60s).
+  * (The scalatest↔scalacheck bridge artifact isn't in the offline cache, so
+  * generators are driven manually with a fixed seed — same coverage,
+  * reproducible.)
+  */
+class OhlcPropertiesSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val t0 = 1704067200L
+  private case class T(base: String, ts: Long, price: Double, qty: Double)
+
+  // small ts range with heavy duplication so (ts) ties are common — the
+  // tie rule is the property under test
+  private val genTrades: Gen[List[T]] = Gen.nonEmptyListOf(for {
+    base <- Gen.oneOf("a", "b")
+    ts <- Gen.choose(t0, t0 + 179)
+    price <- Gen.oneOf(1.0, 2.5, 3.0, 7.25, 9.0)
+    qty <- Gen.choose(1, 5).map(_.toDouble)
+  } yield T(base, ts, price, qty))
+
+  test("candles match the reference model on random trade sets (tie rule included)") {
+    var seed = Seed(42L)
+    for (_ <- 1 to 15) {
+      val trades = genTrades.apply(Gen.Parameters.default, seed)
+        .getOrElse(fail("generator returned no sample"))
+      seed = seed.next
+
+      val df = trades
+        .map(t => (t.base, new java.sql.Timestamp(t.ts * 1000), t.price, t.qty))
+        .toDF("base", "timestamp", "price", "quantity")
+      val got = OhlcPipeline.candles(df).collect()
+        .map(r => (r.getAs[String]("base"),
+          r.getAs[java.sql.Timestamp]("start_ts").toInstant.getEpochSecond) ->
+          (r.getAs[Double]("open"), r.getAs[Double]("high"),
+            r.getAs[Double]("low"), r.getAs[Double]("close"),
+            r.getAs[Double]("volume"))).toMap
+
+      val expected = trades.groupBy(t => (t.base, t.ts / 60 * 60)).map {
+        case (k, ts) =>
+          val sorted = ts.sortBy(t => (t.ts, t.price))
+          k -> ((sorted.head.price, ts.map(_.price).max, ts.map(_.price).min,
+            sorted.last.price, ts.map(_.qty).sum))
+      }
+
+      assert(got.keySet == expected.keySet)
+      got.foreach { case (k, (o, h, l, c, v)) =>
+        val (eo, eh, el, ec, ev) = expected(k)
+        assert(o == eo, s"open mismatch at $k")
+        assert(c == ec, s"close mismatch at $k")
+        assert(h == eh && l == el)
+        assert(math.abs(v - ev) < 1e-9)
+        assert(l <= math.min(o, c) && h >= math.max(o, c))
+      }
+    }
+  }
+}

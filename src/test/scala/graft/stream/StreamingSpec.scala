@@ -1,0 +1,128 @@
+package graft.stream
+
+import graft.SparkTestBase
+import graft.ohlc.OhlcPipeline
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+/** Streaming semantics the batch oracle cannot observe (SURVEY.md §5.4):
+  * update-mode emission, late-row-within-watermark candle revision, too-late
+  * row dropped, and batch≡streaming equivalence — Structured Streaming's
+  * core promise, testable because OhlcPipeline is one pure function used in
+  * both modes. Reference behaviors: watermark main.py:161, update mode
+  * main.py:215. */
+class StreamingSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val t0 = 1704067200L // 2024-01-01 00:00:00 UTC
+  private def ts(sec: Long) = new java.sql.Timestamp(sec * 1000)
+
+  test("subscription heuristic routes exactly like the reference (main.py:80-85)") {
+    assert(SourceFactory.subscriptionOption("a,b") == ("subscribe", "a,b"))
+    assert(SourceFactory.subscriptionOption("plain") == ("subscribe", "plain"))
+    assert(SourceFactory.subscriptionOption("trades-.*") == ("subscribePattern", "trades-.*"))
+    assert(SourceFactory.subscriptionOption("t*") == ("subscribePattern", "t*"))
+    // the quirk, preserved: single plain topic with a dot → pattern mode
+    assert(SourceFactory.subscriptionOption("trades.v1") == ("subscribePattern", "trades.v1"))
+    // comma wins over pattern chars
+    assert(SourceFactory.subscriptionOption("a.x,b.y") == ("subscribe", "a.x,b.y"))
+  }
+
+  private def latestCandles(tbl: String): Map[(String, Long), (Double, Double)] =
+    spark.table(tbl).collect()
+      .map(r => (r.getAs[String]("base"),
+        r.getAs[java.sql.Timestamp]("start_ts").toInstant.getEpochSecond) ->
+        (r.getAs[Double]("close"), r.getAs[Double]("volume")))
+      .toMap // later updates overwrite earlier emissions for the same key
+
+  test("update mode: late row within watermark revises its candle; too-late row is dropped") {
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[(String, Long, Double, Double)]
+    val trades = input.toDF().toDF("base", "epoch", "price", "quantity")
+      .withColumn("timestamp", col("epoch").cast("timestamp")).drop("epoch")
+    val q = SinkFactory.memory(
+      OhlcPipeline.candles(trades, watermark = Some("2 minutes")), "candles_wm")
+    try {
+      // batch 1: one candle at w0, plus an advancer at +5min
+      //          → watermark becomes (t0+300) - 2min = t0+180
+      input.addData(("a", t0 + 10, 5.0, 1.0), ("a", t0 + 300, 9.0, 1.0))
+      q.processAllAvailable()
+      val v1 = latestCandles("candles_wm")
+      assert(v1((("a"), t0)) == (5.0, 1.0))
+
+      // batch 2: row at t0+130 (< watermark t0+180!) is TOO LATE → dropped;
+      // row at t0+310 (same window as advancer) revises that candle
+      input.addData(("a", t0 + 130, 100.0, 50.0), ("a", t0 + 310, 11.0, 1.0))
+      q.processAllAvailable()
+      val v2 = latestCandles("candles_wm")
+      assert(!v2.contains(("a", t0 + 120)), "too-late row must not create a candle")
+      assert(v2(("a", t0)) == (5.0, 1.0), "too-late row must not revise a candle")
+      assert(v2(("a", t0 + 300)) == (11.0, 2.0), "in-time row must revise its candle")
+    } finally q.stop()
+  }
+
+  test("batch ≡ streaming: same rows through MemoryStream equal the batch candles") {
+    implicit val ctx = spark.sqlContext
+    val rows = Seq(
+      ("a", t0 + 1, 3.0, 1.0), ("a", t0 + 1, 7.0, 1.0), // tie on ts
+      ("a", t0 + 50, 4.0, 2.0), ("b", t0 + 70, 8.0, 1.0))
+    val input = MemoryStream[(String, Long, Double, Double)]
+    def shape(df: org.apache.spark.sql.DataFrame) = df
+      .toDF("base", "epoch", "price", "quantity")
+      .withColumn("timestamp", col("epoch").cast("timestamp")).drop("epoch")
+
+    val q = SinkFactory.memory(
+      OhlcPipeline.candles(shape(input.toDF()), watermark = Some("2 minutes")),
+      "candles_eq")
+    try {
+      input.addData(rows: _*)
+      q.processAllAvailable()
+      val streamed = latestCandles("candles_eq")
+      val batch = OhlcPipeline.candles(shape(rows.toDF())).collect()
+        .map(r => (r.getAs[String]("base"),
+          r.getAs[java.sql.Timestamp]("start_ts").toInstant.getEpochSecond) ->
+          (r.getAs[Double]("close"), r.getAs[Double]("volume"))).toMap
+      assert(streamed == batch)
+    } finally q.stop()
+  }
+
+  test("checkpointed query resumes from state (restart keeps candle revisions)") {
+    implicit val ctx = spark.sqlContext
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+    val input = MemoryStream[(String, Long, Double, Double)]
+    def pipeline = OhlcPipeline.candles(
+      input.toDF().toDF("base", "epoch", "price", "quantity")
+        .withColumn("timestamp", col("epoch").cast("timestamp")).drop("epoch"),
+      watermark = Some("2 minutes"))
+    // memory sink can't recover from a checkpoint; foreachBatch can —
+    // same sink family the reference's update-mode Kafka writer belongs to
+    val seen = new java.util.concurrent.ConcurrentHashMap[(String, Long), (Double, Double)]()
+    def start() = pipeline.writeStream
+      .outputMode("update")
+      .option("checkpointLocation", SinkFactory.checkpointDir(ckpt, "candles_ck"))
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        df.collect().foreach { r =>
+          seen.put(
+            (r.getAs[String]("base"),
+              r.getAs[java.sql.Timestamp]("start_ts").toInstant.getEpochSecond),
+            (r.getAs[Double]("close"), r.getAs[Double]("volume")))
+        }
+      }
+      .start()
+
+    val q1 = start()
+    try {
+      input.addData(("a", t0 + 10, 5.0, 1.0))
+      q1.processAllAvailable()
+    } finally q1.stop()
+    assert(seen.get(("a", t0)) == (5.0, 1.0))
+
+    val q2 = start()
+    try {
+      input.addData(("a", t0 + 20, 9.0, 2.0))
+      q2.processAllAvailable()
+      // state restored across restart: volume includes the pre-restart row
+      assert(seen.get(("a", t0)) == (9.0, 3.0))
+    } finally q2.stop()
+  }
+}
