@@ -3,6 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.core.{QueryDef, Tables}
+import graft.core.QueryDef.OrderedOut
 import graft.ohlc.OhlcPipeline
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -54,7 +55,7 @@ object Catalog {
       col("base"),
       col("open"), col("high"), col("low"), col("close"),
       col("volume")
-    ).orderBy("ws", "base")
+    ).orderedBy("ws", "base")
   }
 
   private val ohlcDefs: Map[String, QueryDef] = Map(

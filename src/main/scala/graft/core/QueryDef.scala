@@ -21,3 +21,19 @@ final case class QueryDef(
     oracle: Option[String],
     doc: String = ""
 )
+
+object QueryDef {
+  /** Deterministic total order for harness-facing output WITHOUT a
+    * range-partitioned global sort: `repartition(1)` inserts a shuffle
+    * barrier (upstream stays fully parallel), then the single output
+    * partition is sorted locally. A plain `.orderBy` plans an Exchange
+    * rangepartitioning whose RangePartitioner SAMPLING PASS executes the
+    * entire child plan a second time — a systematic 2× tax on every catalog
+    * query. Harness-only trailer: at cluster scale the deliverable is the
+    * unordered result (the one deliberate global sort is q_topk's
+    * TakeOrderedAndProject, which needs no sampling either). */
+  implicit final class OrderedOut(private val df: DataFrame) extends AnyVal {
+    def orderedBy(cols: String*): DataFrame =
+      df.repartition(1).sortWithinPartitions(cols.head, cols.tail: _*)
+  }
+}

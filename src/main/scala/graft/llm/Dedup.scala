@@ -1,8 +1,9 @@
 package graft.llm
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.core.{QueryDef, Tables}
+import graft.core.QueryDef.OrderedOut
 
 /** Deduplication operators for an LLM training-data pipeline.
   *
@@ -11,11 +12,14 @@ import graft.core.{QueryDef, Tables}
   *  1. exact — hash-groupBy on raw content: one shuffle on the content hash.
   *  2. fingerprint — groupBy an order-insensitive bag-of-words hash:
   *     catches shuffled/re-ordered copies at identical cost.
-  *  3. near — MinHash-LSH over word 3-gram shingles: per doc, b×r md5
-  *     min-hashes (deterministic — md5, not a seeded murmur, so a DuckDB
-  *     oracle can replay them bit-for-bit), banded into b signatures;
-  *     candidate pairs = docs sharing a band bucket (shuffle on band
-  *     signature); candidates verified with exact shingle Jaccard.
+  *  3. near — MinHash-LSH over word 3-gram shingles. The hash family is md5
+  *     (not a seeded murmur) so a DuckDB oracle can replay it bit-for-bit.
+  *     Cost shape: md5 is computed ONCE per (doc, shingle) — the 12 minhash
+  *     functions are 8-hex-char chunks of ceil(12/4)=3 md5s — via
+  *     explode → hash → groupBy(doc).min, which partial-aggregates map-side
+  *     (never materializing per-doc hash arrays). Chunk-mins are banded into
+  *     b signatures; candidate pairs = docs sharing a band bucket (shuffle
+  *     on band signature); candidates verified with exact shingle Jaccard.
   *     With r=3, b=4 the detect probability is 1-(1-J³)⁴: ≥ 99.5% at
   *     J=0.9, ~0.1% at the J≈0.07 background of this corpus — candidate
   *     volume stays O(near-dups), not O(n²).
@@ -28,7 +32,7 @@ object Dedup {
       .groupBy(col("text"))
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("cnt"))
       .select(col("keep_id"), col("cnt"))
-      .orderBy("keep_id")
+      .orderedBy("keep_id")
 
   /** Bag-of-words fingerprint dedup (order-insensitive exact dedup). */
   def fingerprint(s: SparkSession, d: String): DataFrame =
@@ -38,21 +42,30 @@ object Dedup {
           .cast("binary")))
       .groupBy(col("fp"))
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("cnt"))
-      .orderBy("fp")
+      .orderedBy("fp")
 
-  /** One min-hash: lexicographic min of md5("b#r#" + shingle) over the
-    * shingle set. md5 is the hash family on purpose — deterministic and
-    * available identically in the DuckDB oracle. */
-  private def minhash(b: Int, r: Int): Column =
-    expr(s"array_min(transform(sh, x -> md5(concat('$b#$r#', x))))")
+  private def nHashes(bands: Int, rows: Int) = bands * rows
+  private def nGroups(bands: Int, rows: Int) = (nHashes(bands, rows) + 3) / 4
 
-  /** (doc_id, band, sig) — one row per band, sig = r concatenated minhashes. */
-  def bandSignatures(docs: DataFrame, bands: Int, rows: Int): DataFrame = {
-    val sigs = (0 until bands).map { b =>
-      struct(lit(b).as("band"),
-        concat_ws("|", (0 until rows).map(r => minhash(b, r)): _*).as("sig"))
+  /** (doc_id, band, sig): explode shingles, md5 each ONCE per hash group,
+    * take per-doc mins of the 8-hex-char chunks (map-side partial agg — no
+    * per-doc hash arrays materialize), concat r chunk-mins per band.
+    * Input `sh` must carry (doc_id, sh: array<string>). */
+  def bandSignatures(sh: DataFrame, bands: Int, rows: Int): DataFrame = {
+    val groups = nGroups(bands, rows)
+    val exploded = sh.select(col("doc_id"), explode(col("sh")).as("x"))
+      .select(col("doc_id") +:
+        (0 until groups).map(g =>
+          md5(concat(lit(s"$g#"), col("x"))).as(s"h$g")): _*)
+    val minCols = (0 until nHashes(bands, rows)).map { i =>
+      min(substring(col(s"h${i / 4}"), (i % 4) * 8 + 1, 8)).as(s"mh$i")
     }
-    docs.select(col("doc_id"), explode(array(sigs: _*)).as("bs"))
+    val sig = exploded.groupBy(col("doc_id")).agg(minCols.head, minCols.tail: _*)
+    val bandStructs = (0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        concat_ws("|", (0 until rows).map(r => col(s"mh${b * rows + r}")): _*).as("sig"))
+    }
+    sig.select(col("doc_id"), explode(array(bandStructs: _*)).as("bs"))
       .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
   }
 
@@ -79,25 +92,36 @@ object Dedup {
           (size(col("sh_a")) + size(col("sh_b")) - col("inter")), 4))
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
-      .orderBy("doc_a", "doc_b")
+      .orderedBy("doc_a", "doc_b")
   }
 
-  private def nearOracle(threshold: Double, bands: Int, rows: Int): String =
+  private def nearOracle(threshold: Double, bands: Int, rows: Int): String = {
+    val groups = nGroups(bands, rows)
+    val hashCols = (0 until groups)
+      .map(g => s"md5('$g#' || x) AS h$g").mkString(", ")
+    val minCols = (0 until nHashes(bands, rows))
+      .map(i => s"min(substr(h${i / 4}, ${(i % 4) * 8 + 1}, 8)) AS mh$i")
+      .mkString(",\n         ")
+    val bandSelects = (0 until bands).map { b =>
+      val sigExpr = (0 until rows).map(r => s"mh${b * rows + r}")
+        .mkString(" || '|' || ")
+      s"SELECT doc_id, $b AS band, $sigExpr AS bsig FROM sig"
+    }.mkString("\n  UNION ALL ")
     s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
        |sh AS (
        |  SELECT doc_id, list_distinct(list_transform(range(1, len(toks) - 1),
        |           i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS s
        |  FROM w WHERE len(toks) >= 3),
-       |mh AS (
-       |  SELECT doc_id, tb.b AS band, tr.r AS r,
-       |         list_aggregate(list_transform(s,
-       |           x -> md5(CAST(tb.b AS VARCHAR) || '#' || CAST(tr.r AS VARCHAR) || '#' || x)),
-       |           'min') AS h
-       |  FROM sh, range(0, $bands) tb(b), range(0, $rows) tr(r)),
-       |sig AS (SELECT doc_id, band, string_agg(h, '|' ORDER BY r) AS bsig
-       |        FROM mh GROUP BY doc_id, band),
+       |ex AS (SELECT doc_id, $hashCols
+       |       FROM (SELECT doc_id, unnest(s) AS x FROM sh)),
+       |sig AS (
+       |  SELECT doc_id,
+       |         $minCols
+       |  FROM ex GROUP BY doc_id),
+       |bands AS (
+       |  $bandSelects),
        |cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
-       |         FROM sig x JOIN sig y
+       |         FROM bands x JOIN bands y
        |           ON x.band = y.band AND x.bsig = y.bsig AND x.doc_id < y.doc_id),
        |pairs AS (
        |  SELECT doc_a, doc_b,
@@ -106,6 +130,7 @@ object Dedup {
        |  FROM cand JOIN sh a ON a.doc_id = doc_a JOIN sh b ON b.doc_id = doc_b)
        |SELECT doc_a, doc_b, jaccard FROM pairs WHERE jaccard >= $threshold
        |ORDER BY doc_a, doc_b""".stripMargin
+  }
 
   val defs: Map[String, QueryDef] = Map(
     "q_dedup_exact" -> QueryDef(exact(_, _), Some(

@@ -3,6 +3,7 @@ package graft.llm
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.core.{QueryDef, Tables}
+import graft.core.QueryDef.OrderedOut
 
 /** Multimodal-column plumbing: media as opaque `binary` payloads with typed
   * struct metadata, plus decode / feature-extract / frame-sample operators.
@@ -64,7 +65,7 @@ object Multimodal {
         col("f.fake_w").as("fake_w"),
         col("f.fake_h").as("fake_h")
       )
-      .orderBy("doc_id")
+      .orderedBy("doc_id")
   }
 
   val defs: Map[String, QueryDef] = Map(

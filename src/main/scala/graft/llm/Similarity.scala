@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.core.{QueryDef, Tables}
+import graft.core.QueryDef.OrderedOut
 
 /** Approximate-nearest-neighbor search over an embedding column
   * (`embeddings.embedding: array<float>, dim 64`).
@@ -57,7 +58,7 @@ object Similarity {
       .withColumn("lrn", row_number().over(local)).filter(col("lrn") <= k)
       .withColumn("rnk", row_number().over(global)).filter(col("rnk") <= k)
       .select(col("qid"), col("rnk"), col("nbr"))
-      .orderBy("qid", "rnk")
+      .orderedBy("qid", "rnk")
   }
 
   /** IVF-bucketed ANN: assign all vectors to their nearest of `nCentroids`
@@ -90,7 +91,7 @@ object Similarity {
       .select(col("qid"), col("vec_id").as("nbr"), cosine(col("qe"), col("e")).as("cos"))
       .withColumn("rnk", row_number().over(wTop)).filter(col("rnk") <= k)
       .select(col("qid"), col("rnk"), col("nbr"))
-      .orderBy("qid", "rnk")
+      .orderedBy("qid", "rnk")
   }
 
   val defs: Map[String, QueryDef] = Map(

@@ -3,6 +3,7 @@ package graft.llm
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.core.{QueryDef, Tables}
+import graft.core.QueryDef.OrderedOut
 
 /** Text-analysis operators for an LLM training-data pipeline: tokenization,
   * corpus statistics, n-gram language-ID scoring, quality signals, document
@@ -58,7 +59,7 @@ object TextStats {
       )
       .withColumn("chars_per_token",
         round(lit(1.0) * col("sum_chars") / col("sum_tokens"), 4))
-      .orderBy("lang")
+      .orderedBy("lang")
 
   /** Token counting three ways: whitespace, a BPE-ish regex ([a-z0-9]+ runs),
     * and character length. */
@@ -68,7 +69,7 @@ object TextStats {
       size(tokens(col("text"))).as("ws_tokens"),
       size(regexp_extract_all(col("text"), lit("[a-z0-9]+"), lit(0))).as("re_tokens"),
       length(col("text")).as("chars")
-    ).orderBy("doc_id")
+    ).orderedBy("doc_id")
 
   /** Language ID by marker-word scoring, argmax with a fixed tie order
     * (de,en,es,fr,zh). On this synthetic corpus every language shares one
@@ -86,7 +87,7 @@ object TextStats {
     }
     scored.withColumn("pred", pred)
       .withColumn("correct", col("pred") === col("lang"))
-      .orderBy("doc_id")
+      .orderedBy("doc_id")
   }
 
   /** Document fingerprints: full-content hash, an order-insensitive
@@ -98,7 +99,7 @@ object TextStats {
       md5(col("text").cast("binary")).as("md5_text"),
       md5(array_join(slice(sortedToks, 1, 8), " ").cast("binary")).as("sketch8"),
       substring(col("text"), 1, 64).as("prefix64")
-    ).orderBy("doc_id")
+    ).orderedBy("doc_id")
   }
 
   private def langIdOracle: String = {

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.core.{QueryDef, Tables}
+import graft.core.QueryDef.OrderedOut
 
 /** Relational batch catalog — the operator categories the reference lacks
   * entirely (SURVEY.md §2.5): joins of every flavor, hash/distinct/grouped
@@ -30,7 +31,7 @@ object Relational {
     Tables.nation(s, d)
       .join(broadcast(Tables.region(s, d)), col("n_regionkey") === col("r_regionkey"))
       .select(col("n_nationkey"), col("n_name"), col("r_name"))
-      .orderBy("n_nationkey")
+      .orderedBy("n_nationkey")
 
   /** Fact ⋈ fact ⋈ dim with grouped agg: orders⋈customer shuffles on
     * custkey (SMJ/shuffle-hash at scale), nation broadcasts. */
@@ -43,7 +44,7 @@ object Relational {
         count(lit(1)).as("order_cnt"),
         sum(col("o_totalprice").cast("decimal(18,2)")).as("sum_total")
       )
-      .orderBy("n_name")
+      .orderedBy("n_name")
 
   /** Left outer join preserving order-less customers (count=0, spend=0). */
   def joinLeft(s: SparkSession, d: String): DataFrame =
@@ -55,13 +56,13 @@ object Relational {
         coalesce(sum(col("o_totalprice").cast("decimal(18,2)")),
           lit(0).cast("decimal(18,2)")).as("spend")
       )
-      .orderBy("c_custkey")
+      .orderedBy("c_custkey")
 
   def joinSemi(s: SparkSession, d: String): DataFrame =
     Tables.customer(s, d)
       .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"), "left_semi")
       .select(col("c_custkey"), col("c_name"))
-      .orderBy("c_custkey")
+      .orderedBy("c_custkey")
 
   /** Anti-joined against pending orders only — every customer has *some*
     * order in this data, so the unfiltered anti-join would be empty. */
@@ -70,7 +71,7 @@ object Relational {
       .join(Tables.orders(s, d).filter(col("o_orderstatus") === "P"),
         col("c_custkey") === col("o_custkey"), "left_anti")
       .select(col("c_custkey"), col("c_name"))
-      .orderBy("c_custkey")
+      .orderedBy("c_custkey")
 
   /** Range/theta join against a literal bucket dimension — broadcast, so the
     * inequality predicate never drives a shuffle. */
@@ -85,7 +86,7 @@ object Relational {
         count(lit(1)).as("part_cnt"),
         sum(col("p_retailprice").cast("decimal(18,2)")).as("sum_retail")
       )
-      .orderBy("bucket")
+      .orderedBy("bucket")
   }
 
   /** As-of join: for every purchase event, the most recent click by the same
@@ -111,7 +112,7 @@ object Relational {
       .withColumn("asof_click_id", last(col("click_id"), ignoreNulls = true).over(w))
       .filter(col("is_p") === 1)
       .select(col("p_id").as("event_id"), col("asof_click_id"))
-      .orderBy("event_id")
+      .orderedBy("event_id")
   }
 
   /** TPC-H Q1 shape: partial+final hash aggregation over lineitem. Sums go
@@ -127,7 +128,7 @@ object Relational {
           .cast("decimal(24,6)")).as("sum_disc"),
         count(lit(1)).as("cnt")
       )
-      .orderBy("l_returnflag", "l_linestatus")
+      .orderedBy("l_returnflag", "l_linestatus")
 
   def aggDistinct(s: SparkSession, d: String): DataFrame =
     Tables.lineitem(s, d)
@@ -137,7 +138,7 @@ object Relational {
         countDistinct(col("l_suppkey")).as("supps"),
         count(lit(1)).as("cnt")
       )
-      .orderBy("l_returnflag")
+      .orderedBy("l_returnflag")
 
   /** HLL sketch — nondeterministic vs DuckDB, so rows-only check (no oracle). */
   def aggApprox(s: SparkSession, d: String): DataFrame =
@@ -147,7 +148,7 @@ object Relational {
         approx_count_distinct(col("l_partkey")).as("approx_parts"),
         count(lit(1)).as("cnt")
       )
-      .orderBy("l_returnflag")
+      .orderedBy("l_returnflag")
 
   private def groupedSets(s: SparkSession, d: String, cube: Boolean): DataFrame = {
     val li = Tables.lineitem(s, d)
@@ -166,7 +167,7 @@ object Relational {
         coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
         coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
         col("g_rf"), col("g_ls"), col("cnt"), col("sum_qty"))
-      .orderBy("rf", "ls")
+      .orderedBy("rf", "ls")
   }
 
   def rollupQ(s: SparkSession, d: String): DataFrame = groupedSets(s, d, cube = false)
@@ -180,7 +181,7 @@ object Relational {
       row_number().over(w).as("rn"),
       rank().over(w).as("rnk"),
       dense_rank().over(w).as("drnk")
-    ).orderBy("c_custkey")
+    ).orderedBy("c_custkey")
   }
 
   /** lag/lead move raw stored doubles — no arithmetic, bit-identical. */
@@ -190,7 +191,7 @@ object Relational {
       col("o_orderkey"), col("o_custkey"),
       lag(col("o_totalprice"), 1).over(w).as("prev_price"),
       lead(col("o_totalprice"), 1).over(w).as("next_price")
-    ).orderBy("o_orderkey")
+    ).orderedBy("o_orderkey")
   }
 
   /** Running sum over an explicit ROWS frame, exact decimal. */
@@ -200,7 +201,7 @@ object Relational {
     Tables.orders(s, d).select(
       col("o_orderkey"),
       sum(col("o_totalprice").cast("decimal(18,2)")).over(w).as("running_spend")
-    ).orderBy("o_orderkey")
+    ).orderedBy("o_orderkey")
   }
 
   /** Top-k: Catalyst plans TakeOrderedAndProject (per-partition heap, merge
@@ -220,13 +221,13 @@ object Relational {
       .select(col("o_custkey").as("key"))
 
   def unionQ(s: SparkSession, d: String): DataFrame =
-    buildingCustomers(s, d).union(fOrderCustomers(s, d)).distinct().orderBy("key")
+    buildingCustomers(s, d).union(fOrderCustomers(s, d)).distinct().orderedBy("key")
 
   def intersectQ(s: SparkSession, d: String): DataFrame =
-    buildingCustomers(s, d).intersect(fOrderCustomers(s, d)).orderBy("key")
+    buildingCustomers(s, d).intersect(fOrderCustomers(s, d)).orderedBy("key")
 
   def exceptQ(s: SparkSession, d: String): DataFrame =
-    buildingCustomers(s, d).except(fOrderCustomers(s, d)).orderBy("key")
+    buildingCustomers(s, d).except(fOrderCustomers(s, d)).orderedBy("key")
 
   val defs: Map[String, QueryDef] = Map(
     "q_join_broadcast" -> QueryDef(joinBroadcast, Some(

@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.core.{QueryDef, Tables}
+import graft.core.QueryDef.OrderedOut
 
 /** Scalar-function batteries (SURVEY.md §2.5) plus the reference's own
   * expression surface re-exercised over driver testdata: JSON parse/serialize
@@ -29,7 +30,7 @@ object Scalar {
       instr(col("p_name"), "a").as("pos_a"),
       concat_ws("-", col("p_brand"), col("p_type")).as("cw"),
       lpad(col("p_brand"), 12, "*").as("lp")
-    ).orderBy("p_partkey")
+    ).orderedBy("p_partkey")
 
   def dateFuncs(s: SparkSession, d: String): DataFrame =
     Tables.orders(s, d).select(
@@ -43,7 +44,7 @@ object Scalar {
       date_format(add_months(col("o_orderdate"), 3), "yyyy-MM-dd").as("am3"),
       date_format(last_day(col("o_orderdate")), "yyyy-MM-dd").as("ld"),
       date_format(date_trunc("month", col("o_orderdate")), "yyyy-MM-dd").as("mon")
-    ).orderBy("o_orderkey")
+    ).orderedBy("o_orderkey")
 
   /** Single-IEEE-op outputs only (sub/abs/sqrt/floor/ceil/multiply/mod are
     * deterministic across engines); ln is rounded — see object doc. */
@@ -58,7 +59,7 @@ object Scalar {
       round(log(col("l_extendedprice")), 6).as("lnp"),
       (col("l_orderkey") % 7).as("md"),
       signum(col("l_discount") - lit(0.05)).as("sg")
-    ).orderBy("l_orderkey", "l_linenumber")
+    ).orderedBy("l_orderkey", "l_linenumber")
 
   def arrayFuncs(s: SparkSession, d: String): DataFrame = {
     val w = split(col("text"), " ")
@@ -69,14 +70,14 @@ object Scalar {
       element_at(w, 1).as("first_word"),
       array_contains(w, "spark").as("has_spark"),
       array_join(slice(sort_array(array_distinct(w)), 1, 3), ",").as("top3")
-    ).orderBy("doc_id")
+    ).orderedBy("doc_id")
   }
 
   def jsonGet(s: SparkSession, d: String): DataFrame =
     Tables.events(s, d).select(
       col("event_id"),
       get_json_object(col("props"), "$.k").cast("int").as("k")
-    ).orderBy("event_id")
+    ).orderedBy("event_id")
 
   /** JSON serialize→parse round-trip (reference P2/P10): if from_json or
     * to_json corrupts anything, the oracle (which reads the source columns
@@ -87,14 +88,14 @@ object Scalar {
       .select(col("event_id"),
         from_json(js, lit("id BIGINT, ty STRING")).as("p"))
       .select(col("event_id"), col("p.id").as("pid"), col("p.ty").as("pty"))
-      .orderBy("event_id")
+      .orderedBy("event_id")
   }
 
   def toJsonQ(s: SparkSession, d: String): DataFrame =
     Tables.events(s, d).select(
       col("event_id"),
       to_json(struct(col("event_id").as("id"), col("event_type").as("ty"))).as("js")
-    ).orderBy("event_id")
+    ).orderedBy("event_id")
 
   /** Reference cast chain (P1/P4/P5): epoch↔timestamp↔string round-trips and
     * the null-on-unparseable string→double cast. */
@@ -106,14 +107,14 @@ object Scalar {
       col("value").cast("string").cast("double").as("vs"),
       // try_cast: Spark 4 runs ANSI mode by default, a plain cast would throw
       expr("try_cast(concat('x', cast(event_id as string)) as double)").as("bad")
-    ).orderBy("event_id")
+    ).orderedBy("event_id")
 
   def filterNotNull(s: SparkSession, d: String): DataFrame =
     Tables.events(s, d)
       .select(col("event_id"),
         get_json_object(col("props"), "$.k").cast("int").as("k"))
       .where(col("k").isNotNull && col("k") % 2 === 0)
-      .orderBy("event_id")
+      .orderedBy("event_id")
 
   /** Reference topic routing (main.py:131-136) kept quirk-for-quirk: the
     * gate is the LOOSE pattern (`.+`), the extract the STRICT one
@@ -133,7 +134,7 @@ object Scalar {
           regexp_extract(col("topic"), "parsed-trades-([^-]+)-usdt", 1))
           .otherwise(upper(col("event_type"))))
       .select(col("event_id"), col("topic"), col("base"))
-      .orderBy("event_id")
+      .orderedBy("event_id")
   }
 
   /** The reference's collect_list/array_sort surface (main.py:153-158) as an
@@ -146,7 +147,7 @@ object Scalar {
           " x -> cast(x as string)), ',')").as("lns"),
         count(lit(1)).as("cnt")
       )
-      .orderBy("l_orderkey")
+      .orderedBy("l_orderkey")
 
   /** transform/aggregate/filter/element_at/size higher-order battery
     * (main.py:153-158's lambda surface, generalized). */
@@ -159,7 +160,7 @@ object Scalar {
       element_at(split(col("text"), " "), -1).as("last_w"),
       size(split(col("text"), " ")).as("n_words"),
       size(expr("filter(split(text, ' '), x -> length(x) > 4)")).as("long_cnt")
-    ).orderBy("doc_id")
+    ).orderedBy("doc_id")
 
   val defs: Map[String, QueryDef] = Map(
     "q_string_funcs" -> QueryDef(stringFuncs, Some(
