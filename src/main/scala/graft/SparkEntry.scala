@@ -58,16 +58,37 @@ object Catalog {
     ).orderedBy("ws", "base")
   }
 
+  /** Same query via the built-in min_by/max_by formulation
+    * (OhlcPipeline.openExpr — SortAggregate path): keeps both open/close
+    * code paths oracle-verified against the identical DuckDB SQL. */
+  def qOhlcMinby(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    ev.groupBy(window(col("ts"), "1 minute"), col("event_type").as("base"))
+      .agg(
+        OhlcPipeline.openExpr(col("ts"), col("value")).as("open"),
+        max(col("value")).as("high"),
+        min(col("value")).as("low"),
+        OhlcPipeline.closeExpr(col("ts"), col("value")).as("close"),
+        sum(col("value").cast("decimal(20,6)")).as("volume")
+      )
+      .select(unix_timestamp(col("window.start")).as("ws"), col("base"),
+        col("open"), col("high"), col("low"), col("close"), col("volume"))
+      .orderedBy("ws", "base")
+  }
+
+  private val ohlcOracle =
+    """SELECT CAST(epoch(date_trunc('minute', ts)) AS BIGINT) AS ws,
+      |       event_type AS base,
+      |       first(value ORDER BY date_trunc('microseconds', ts), value) AS open,
+      |       max(value) AS high,
+      |       min(value) AS low,
+      |       last(value ORDER BY date_trunc('microseconds', ts), value) AS close,
+      |       sum(CAST(value AS DECIMAL(20,6))) AS volume
+      |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   private val ohlcDefs: Map[String, QueryDef] = Map(
-    "q_ohlc_1m" -> QueryDef(qOhlc1m, Some(
-      """SELECT CAST(epoch(date_trunc('minute', ts)) AS BIGINT) AS ws,
-        |       event_type AS base,
-        |       first(value ORDER BY date_trunc('microseconds', ts), value) AS open,
-        |       max(value) AS high,
-        |       min(value) AS low,
-        |       last(value ORDER BY date_trunc('microseconds', ts), value) AS close,
-        |       sum(CAST(value AS DECIMAL(20,6))) AS volume
-        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
+    "q_ohlc_1m" -> QueryDef(qOhlc1m, Some(ohlcOracle)),
+    "q_ohlc_minby" -> QueryDef(qOhlcMinby, Some(ohlcOracle))
   )
 
   val defs: Map[String, QueryDef] =

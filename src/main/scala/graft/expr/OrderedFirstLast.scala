@@ -1,0 +1,134 @@
+package graft.expr
+
+import java.nio.ByteBuffer
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.SparkSession
+
+/** Mutable (key, value) pair tracked by the ordered-first/last aggregates.
+  * `set=false` = empty group so far (all-null input stays null). */
+final class OrderedPair(var ts: Long, var price: Double, var set: Boolean)
+    extends Serializable
+
+/** Single-pass ordered first/last aggregate (SURVEY.md §7.3): the price at
+  * the lexicographically smallest/largest (ts, price) — the reference's OHLC
+  * open/close semantics (main.py:153-158: array_sort of (t, p) structs is
+  * lexicographic; ties on t resolve to lowest price for open, highest for
+  * close).
+  *
+  * Why not `min_by(price, struct(ts, price))`: the struct ordering key makes
+  * the aggregation buffer non-mutable, so Spark plans **SortAggregate** —
+  * every input row gets sorted by the grouping key before aggregation. This
+  * TypedImperativeAggregate keeps a 17-byte (long, double, set) buffer →
+  * **ObjectHashAggregateExec**: hash-based, partial-aggregable map-side,
+  * no sort of the fact stream. Identical tie semantics, hash-identical
+  * output (verified against the same DuckDB oracle as the min_by path).
+  *
+  * `ts` is any integral/timestamp column (compared as long), `price` double.
+  */
+abstract class OrderedByBase extends TypedImperativeAggregate[OrderedPair] {
+  // no-arg abstract base: Java deserialization of the task-serialized
+  // expression requires a no-arg constructor on non-case ancestors
+  def tsExpr: Expression
+  def priceExpr: Expression
+
+  /** true if (ts, p) should replace the current buffer content. */
+  protected def replaces(buf: OrderedPair, ts: Long, p: Double): Boolean
+
+  override def children: Seq[Expression] = Seq(tsExpr, priceExpr)
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+
+  override def createAggregationBuffer(): OrderedPair =
+    new OrderedPair(0L, 0.0, false)
+
+  override def update(buf: OrderedPair, input: InternalRow): OrderedPair = {
+    val tsVal = tsExpr.eval(input)
+    val pVal = priceExpr.eval(input)
+    if (tsVal != null && pVal != null) {
+      val ts = tsVal.asInstanceOf[Long]
+      val p = pVal.asInstanceOf[Double]
+      if (!buf.set || replaces(buf, ts, p)) {
+        buf.ts = ts; buf.price = p; buf.set = true
+      }
+    }
+    buf
+  }
+
+  override def merge(buf: OrderedPair, other: OrderedPair): OrderedPair = {
+    if (other.set && (!buf.set || replaces(buf, other.ts, other.price))) {
+      buf.ts = other.ts; buf.price = other.price; buf.set = true
+    }
+    buf
+  }
+
+  override def eval(buf: OrderedPair): Any =
+    if (buf.set) buf.price else null
+
+  override def serialize(buf: OrderedPair): Array[Byte] = {
+    val bb = ByteBuffer.allocate(17)
+    bb.putLong(buf.ts).putDouble(buf.price).put(if (buf.set) 1.toByte else 0.toByte)
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): OrderedPair = {
+    val bb = ByteBuffer.wrap(bytes)
+    new OrderedPair(bb.getLong, bb.getDouble, bb.get() == 1.toByte)
+  }
+}
+
+/** Price at the lexicographically-smallest (ts, price): OHLC `open`. */
+case class FirstByOrdered(
+    tsExpr: Expression,
+    priceExpr: Expression,
+    override val mutableAggBufferOffset: Int = 0,
+    override val inputAggBufferOffset: Int = 0
+) extends OrderedByBase {
+  override protected def replaces(buf: OrderedPair, ts: Long, p: Double): Boolean =
+    ts < buf.ts || (ts == buf.ts && p < buf.price)
+  override def prettyName: String = "first_by_ordered"
+  override def withNewMutableAggBufferOffset(offset: Int): FirstByOrdered =
+    copy(mutableAggBufferOffset = offset)
+  override def withNewInputAggBufferOffset(offset: Int): FirstByOrdered =
+    copy(inputAggBufferOffset = offset)
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): FirstByOrdered =
+    copy(tsExpr = c(0), priceExpr = c(1))
+}
+
+/** Price at the lexicographically-largest (ts, price): OHLC `close`. */
+case class LastByOrdered(
+    tsExpr: Expression,
+    priceExpr: Expression,
+    override val mutableAggBufferOffset: Int = 0,
+    override val inputAggBufferOffset: Int = 0
+) extends OrderedByBase {
+  override protected def replaces(buf: OrderedPair, ts: Long, p: Double): Boolean =
+    ts > buf.ts || (ts == buf.ts && p > buf.price)
+  override def prettyName: String = "last_by_ordered"
+  override def withNewMutableAggBufferOffset(offset: Int): LastByOrdered =
+    copy(mutableAggBufferOffset = offset)
+  override def withNewInputAggBufferOffset(offset: Int): LastByOrdered =
+    copy(inputAggBufferOffset = offset)
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): LastByOrdered =
+    copy(tsExpr = c(0), priceExpr = c(1))
+}
+
+/** Registration: SQL names `first_by_ordered(ts, price)` /
+  * `last_by_ordered(ts, price)` (ts integral — pass `unix_micros(ts)` for
+  * timestamps). Idempotent per session. */
+object GraftFunctions {
+  private def info(name: String) = new ExpressionInfo(classOf[OrderedByBase].getName, name)
+
+  def register(spark: SparkSession): Unit = {
+    val reg: FunctionRegistry = spark.sessionState.functionRegistry
+    reg.registerFunction(FunctionIdentifier("first_by_ordered"), info("first_by_ordered"),
+      (children: Seq[Expression]) => FirstByOrdered(children(0), children(1)))
+    reg.registerFunction(FunctionIdentifier("last_by_ordered"), info("last_by_ordered"),
+      (children: Seq[Expression]) => LastByOrdered(children(0), children(1)))
+  }
+}

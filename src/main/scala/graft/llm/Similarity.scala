@@ -49,13 +49,11 @@ object Similarity {
       .select(col("vec_id").as("qid"), col("e").as("qe"))
     val scored = all.join(broadcast(q), col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id").as("nbr"), cosine(col("qe"), col("e")).as("cos"))
-    // two-stage top-k: local per-partition heads, then global — the
-    // global window only sees k rows per (query, partition)
-    val local = Window.partitionBy(col("qid"), spark_partition_id())
-      .orderBy(col("cos").desc, col("nbr"))
+    // single ranking window: Spark 4 plans WindowGroupLimit on a rank<=k
+    // filter, pruning to k rows per (qid, partition) BEFORE the exchange —
+    // the full n×q score set never shuffles (verified in the formatted plan)
     val global = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nbr"))
     scored
-      .withColumn("lrn", row_number().over(local)).filter(col("lrn") <= k)
       .withColumn("rnk", row_number().over(global)).filter(col("rnk") <= k)
       .select(col("qid"), col("rnk"), col("nbr"))
       .orderedBy("qid", "rnk")

@@ -56,7 +56,12 @@ object OhlcPipeline {
     )
   }
 
-  /** Ordered-first/last aggregation columns with the reference's tie rule. */
+  /** Ordered-first/last aggregation columns with the reference's tie rule —
+    * the built-in formulation. CAVEAT: the struct ordering key forces
+    * SortAggregate (non-mutable agg buffer), which sorts the entire fact
+    * stream; `candles` uses the custom TypedImperativeAggregate
+    * (graft.expr.OrderedFirstLast) instead, which hash-aggregates with a
+    * 17-byte buffer. Both are oracle-checked (q_ohlc_1m / q_ohlc_minby). */
   def openExpr(ts: Column, price: Column): Column = min_by(price, struct(ts, price))
   def closeExpr(ts: Column, price: Column): Column = max_by(price, struct(ts, price))
 
@@ -74,16 +79,17 @@ object OhlcPipeline {
       qtyCol: String = "quantity",
       symbolCol: String = "base"
   ): DataFrame = {
+    graft.expr.GraftFunctions.register(trades.sparkSession)
     val withWm = watermark.fold(trades)(trades.withWatermark(tsCol, _))
     val ts = col(tsCol)
     val price = col(priceCol)
     withWm
       .groupBy(window(ts, windowDuration), col(symbolCol).as("base"))
       .agg(
-        openExpr(ts, price).as("open"),
+        expr(s"first_by_ordered(unix_micros(`$tsCol`), `$priceCol`)").as("open"),
         max(price).as("high"),
         min(price).as("low"),
-        closeExpr(ts, price).as("close"),
+        expr(s"last_by_ordered(unix_micros(`$tsCol`), `$priceCol`)").as("close"),
         sum(col(qtyCol)).as("volume")
       )
       .select(
