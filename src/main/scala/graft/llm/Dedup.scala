@@ -132,6 +132,174 @@ object Dedup {
        |ORDER BY doc_a, doc_b""".stripMargin
   }
 
+  // ---------------------------------------------------------------- SimHash
+
+  /** 32-bit SimHash over the distinct-token set: token hash = first 8 hex
+    * chars of md5 (so the DuckDB oracle replays it), per-bit ±1 majority
+    * vote via explode → 32 conditional sums (map-side partial agg), sign →
+    * bit. Near-identical token sets → tiny Hamming distance. */
+  def simhashDocs(s: SparkSession, d: String): DataFrame = {
+    val ex = Tables.documents(s, d)
+      .select(col("doc_id"),
+        explode(array_distinct(TextStats.tokens(col("text")))).as("tok"))
+      // conv(hex, 16, 10) of 8 hex chars fits a long exactly
+      .withColumn("hv", conv(substring(md5(col("tok").cast("binary")), 1, 8), 16, 10)
+        .cast("long"))
+    val bitSums = (0 until 32).map { j =>
+      sum(when(shiftright(col("hv"), j).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$j")
+    }
+    val sig = (0 until 32)
+      .map(j => when(col(s"b$j") > 0, lit(1L << j)).otherwise(lit(0L)): org.apache.spark.sql.Column)
+      .reduce(_ + _)
+    ex.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
+      .select(col("doc_id"), sig.as("simhash"))
+  }
+
+  /** SimHash near-dup: candidates share any of the 4 signature bytes
+    * (banded — no all-pairs), verified by Hamming distance <= maxHamming via
+    * bit_count(xor). */
+  def simhashPairs(s: SparkSession, d: String, maxHamming: Int = 0): DataFrame = {
+    val sh = simhashDocs(s, d)
+    val banded = sh.select(col("doc_id"), col("simhash"),
+        explode(array((0 until 4).map(b =>
+          struct(lit(b).as("band"),
+            shiftright(col("simhash"), b * 8).bitwiseAND(255).as("byte"))): _*)).as("bs"))
+      .select(col("doc_id"), col("simhash"), col("bs.band").as("band"), col("bs.byte").as("byte"))
+    banded.as("x").join(banded.as("y"),
+        col("x.band") === col("y.band") && col("x.byte") === col("y.byte") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+      .orderedBy("doc_a", "doc_b")
+  }
+
+  /** DuckDB has no conv(): reconstruct the 32-bit value from the 8 hex chars
+    * (strpos on the hex alphabet), then mirror the per-bit majority vote. */
+  private def simhashOracleCore: String = {
+    val hv = (1 to 8)
+      .map(i => s"(strpos('0123456789abcdef', substr(h, $i, 1)) - 1) * ${1L << ((8 - i) * 4)}")
+      .mkString(" + ")
+    val bitSums = (0 until 32)
+      .map(j => s"sum(CASE WHEN (hv // ${1L << j}) % 2 = 1 THEN 1 ELSE -1 END) AS b$j")
+      .mkString(",\n         ")
+    val sig = (0 until 32)
+      .map(j => s"CASE WHEN b$j > 0 THEN ${1L << j} ELSE 0 END")
+      .mkString(" + ")
+    s"""WITH tok AS (
+       |  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS t
+       |  FROM documents),
+       |hx AS (SELECT doc_id, substr(md5(t), 1, 8) AS h FROM tok),
+       |hv AS (SELECT doc_id, $hv AS hv FROM hx),
+       |bits AS (
+       |  SELECT doc_id,
+       |         $bitSums
+       |  FROM hv GROUP BY doc_id),
+       |sig AS (SELECT doc_id, $sig AS simhash FROM bits)""".stripMargin
+  }
+
+  private def simhashOracle: String =
+    s"""$simhashOracleCore
+       |SELECT doc_id, simhash FROM sig ORDER BY doc_id""".stripMargin
+
+  private def simhashPairsOracle(maxHamming: Int): String =
+    s"""$simhashOracleCore,
+       |banded AS (
+       |  SELECT doc_id, simhash, b.b AS band,
+       |         (simhash // power(256, b.b)::BIGINT) % 256 AS byte
+       |  FROM sig, range(0, 4) b(b)),
+       |cand AS (
+       |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+       |         bit_count(xor(x.simhash, y.simhash)) AS hamming
+       |  FROM banded x JOIN banded y
+       |    ON x.band = y.band AND x.byte = y.byte AND x.doc_id < y.doc_id)
+       |SELECT doc_a, doc_b, hamming FROM cand WHERE hamming <= $maxHamming
+       |ORDER BY doc_a, doc_b""".stripMargin
+
+  // ------------------------------------------- embedding-cosine near-dup
+
+  /** Embedding near-dup via sign-LSH: 8 deterministic "hyperplanes" (the
+    * seed vectors vec_id < 8), signature bit = sign(dot(e, plane)); banded
+    * 4×2 so candidates share a 2-bit band (detect ~93% at cos 0.45);
+    * candidates verified with exact cosine >= threshold. Output is pair ids
+    * only — cosine values stay inside (cross-engine last-ulp safety). */
+  def embedPairs(s: SparkSession, d: String, threshold: Double = 0.45): DataFrame = {
+    def dot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+    // pre-normalize ONCE (n rows) so pair verification is a single dot
+    // product, not 3 — higher-order lambdas don't codegen, so per-pair HOF
+    // count is the verify stage's cost driver
+    val all = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("e0"))
+      .select(col("vec_id"),
+        expr("transform(e0, x -> x / sqrt(aggregate(zip_with(e0, e0, (p, q) -> p * q)," +
+          " 0D, (acc, v) -> acc + v)))").as("e"))
+    val planes = all.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("pid"), col("e").as("pe"))
+    // 8 sign bits per vector (broadcast planes, map-side), 4 bands of 2 bits
+    val bits = all.join(broadcast(planes))
+      .select(col("vec_id"), col("e"), col("pid"),
+        when(dot(col("e"), col("pe")) > 0, 1).otherwise(0).as("bit"))
+      .groupBy(col("vec_id"))
+      .agg(first(col("e")).as("e"),
+        sum(when(col("pid") < 2, col("bit") * pow(lit(2), col("pid"))).otherwise(0)).as("band0"),
+        sum(when(col("pid") >= 2 && col("pid") < 4,
+          col("bit") * pow(lit(2), col("pid") - 2)).otherwise(0)).as("band1"),
+        sum(when(col("pid") >= 4 && col("pid") < 6,
+          col("bit") * pow(lit(2), col("pid") - 4)).otherwise(0)).as("band2"),
+        sum(when(col("pid") >= 6, col("bit") * pow(lit(2), col("pid") - 6)).otherwise(0)).as("band3"))
+    // candidates carry ONLY id pairs through the shuffle+distinct — dragging
+    // the 64-dim arrays through here cost ~70s at sf0.1; the vectors join
+    // back afterwards (id-keyed, broadcastable)
+    val banded = bits.select(col("vec_id"),
+        explode(array((0 until 4).map(b =>
+          struct(lit(b).as("band"), col(s"band$b").as("sig"))): _*)).as("bs"))
+      .select(col("vec_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
+    val cand = banded.as("x").join(banded.as("y"),
+        col("x.band") === col("y.band") && col("x.sig") === col("y.sig") &&
+          col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"))
+      .distinct()
+    cand
+      .join(all.select(col("vec_id").as("vec_a"), col("e").as("ea")), "vec_a")
+      .join(all.select(col("vec_id").as("vec_b"), col("e").as("eb")), "vec_b")
+      .filter(dot(col("ea"), col("eb")) >= threshold) // cosine of unit vectors
+      .select(col("vec_a"), col("vec_b"))
+      .orderedBy("vec_a", "vec_b")
+  }
+
+  private def embedPairsOracle(threshold: Double): String =
+    s"""WITH v0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e0 FROM embeddings),
+       |v AS (SELECT vec_id,
+       |             list_transform(e0, x -> x / sqrt(list_dot_product(e0, e0))) AS e
+       |      FROM v0),
+       |planes AS (SELECT vec_id AS pid, e AS pe FROM v WHERE vec_id < 8),
+       |bits AS (
+       |  SELECT v.vec_id, p.pid,
+       |         CASE WHEN list_dot_product(v.e, p.pe) > 0 THEN 1 ELSE 0 END AS bit
+       |  FROM v, planes p),
+       |sigs AS (
+       |  SELECT vec_id,
+       |         sum(CASE WHEN pid < 2 THEN bit * (2 ** pid) ELSE 0 END) AS band0,
+       |         sum(CASE WHEN pid >= 2 AND pid < 4 THEN bit * (2 ** (pid - 2)) ELSE 0 END) AS band1,
+       |         sum(CASE WHEN pid >= 4 AND pid < 6 THEN bit * (2 ** (pid - 4)) ELSE 0 END) AS band2,
+       |         sum(CASE WHEN pid >= 6 THEN bit * (2 ** (pid - 6)) ELSE 0 END) AS band3
+       |  FROM bits GROUP BY vec_id),
+       |banded AS (
+       |  SELECT vec_id, b.b AS band,
+       |         CASE b.b WHEN 0 THEN band0 WHEN 1 THEN band1
+       |                  WHEN 2 THEN band2 ELSE band3 END AS sig
+       |  FROM sigs, range(0, 4) b(b)),
+       |cand AS (
+       |  SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b
+       |  FROM banded x JOIN banded y
+       |    ON x.band = y.band AND x.sig = y.sig AND x.vec_id < y.vec_id)
+       |SELECT vec_a, vec_b
+       |FROM cand JOIN v a ON a.vec_id = vec_a JOIN v b ON b.vec_id = vec_b
+       |WHERE list_dot_product(a.e, b.e) >= $threshold
+       |ORDER BY vec_a, vec_b""".stripMargin
+
   val defs: Map[String, QueryDef] = Map(
     "q_dedup_exact" -> QueryDef(exact(_, _), Some(
       """SELECT min(doc_id) AS keep_id, count(*) AS cnt
@@ -141,6 +309,12 @@ object Dedup {
         |       min(doc_id) AS keep_id, count(*) AS cnt
         |FROM documents
         |GROUP BY fp ORDER BY fp""".stripMargin)),
-    "q_dedup_near" -> QueryDef(near(_, _), Some(nearOracle(0.8, 4, 3)))
+    "q_dedup_near" -> QueryDef(near(_, _), Some(nearOracle(0.8, 4, 3))),
+    "q_dedup_simhash" -> QueryDef((s, d) => simhashDocs(s, d).orderedBy("doc_id"),
+      Some(simhashOracle)),
+    "q_dedup_simhash_pairs" -> QueryDef((s, d) => simhashPairs(s, d),
+      Some(simhashPairsOracle(0))),
+    "q_dedup_embed" -> QueryDef((s, d) => embedPairs(s, d),
+      Some(embedPairsOracle(0.45)))
   )
 }
