@@ -86,6 +86,44 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("OhlcConfig.fromEnv: reference env keys, fail-fast on missing") {
+    val env = Map(
+      "SPARK_APP_NAME" -> "x", "SPARK_MASTER_URL" -> "local[2]",
+      "KAFKA_BOOTSTRAP_SERVERS" -> "b:9092", "KAFKA_SUBSCRIBE_TOPICS" -> "t",
+      "KAFKA_OUTPUT_PREFIX" -> "candles-", "CHECKPOINT_LOCATION" -> "/tmp/ck")
+    val cfg = OhlcConfig.fromEnv(env)
+    assert(cfg.windowDuration == "1 minute" && cfg.watermarkDelay == "2 minutes")
+    val err = intercept[IllegalArgumentException] {
+      OhlcConfig.fromEnv(env - "CHECKPOINT_LOCATION")
+    }
+    assert(err.getMessage.contains("CHECKPOINT_LOCATION"))
+  }
+
+  test("file source end-to-end: jsonDir -> OhlcApp.transform -> candle JSON rows") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-src").toString
+    val trade =
+      s"""{\\"type\\":\\"2\\",\\"market\\":\\"M\\",\\"from_symbol\\":\\"BTC\\",\\"to_symbol\\":\\"USDT\\",
+         |\\"flags\\":\\"1\\",\\"trade_id\\":\\"t\\",\\"timestamp\\":\\"$t0\\",\\"quantity\\":\\"2.0\\",
+         |\\"price\\":\\"42.5\\",\\"total_value\\":\\"0\\",\\"received_ts\\":\\"0\\",\\"ccseq\\":\\"0\\",
+         |\\"timestamp_ns\\":\\"0\\",\\"received_ts_ns\\":\\"0\\"}""".stripMargin.replace("\n", "")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(dir, "batch0.json"),
+      s"""{"topic": "parsed-trades-btc-usdt", "value": "$trade"}\n""")
+
+    val cfg = OhlcConfig("t", "local[2]", "none", "t", "out-", "/tmp/ck", "1 minute", "2 minutes")
+    val q = SinkFactory.memory(
+      OhlcApp.transform(SourceFactory.jsonDir(spark, dir), cfg), "app_e2e")
+    try {
+      q.processAllAvailable()
+      val rows = spark.table("app_e2e").collect()
+      assert(rows.length == 1)
+      assert(rows.head.getAs[String]("topic") == "out-btc-usdt")
+      assert(rows.head.getAs[String]("key") == "btc")
+      val v = rows.head.getAs[String]("value")
+      assert(v.contains("\"open\":42.5") && v.contains("\"volume\":2.0"))
+    } finally q.stop()
+  }
+
   test("checkpointed query resumes from state (restart keeps candle revisions)") {
     implicit val ctx = spark.sqlContext
     val ckpt = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
