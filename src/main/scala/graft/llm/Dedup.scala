@@ -74,7 +74,8 @@ object Dedup {
   def near(s: SparkSession, d: String, threshold: Double = 0.8,
            bands: Int = 4, rows: Int = 3): DataFrame = {
     val sh = Tables.documents(s, d)
-      .select(col("doc_id"), TextStats.shinglesExpr("text").as("sh"))
+      .select(col("doc_id"), TextStats.tokens(col("text")).as("toks"))
+      .select(col("doc_id"), TextStats.shinglesExpr("toks").as("sh"))
       .filter(size(col("sh")) > 0)
     val banded = bandSignatures(sh, bands, rows)
     val cand = banded.as("x").join(banded.as("y"),

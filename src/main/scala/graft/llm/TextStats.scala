@@ -15,12 +15,21 @@ object TextStats {
   /** Whitespace tokens. */
   def tokens(text: Column): Column = split(text, " ")
 
-  /** Distinct word-level n-gram shingles over `textExpr` (SQL expression
-    * string), the unit of near-dup detection and fingerprinting.
+  /** Distinct word-level n-gram shingles over an ALREADY-MATERIALIZED
+    * array<string> column (pass the column name), the unit of near-dup
+    * detection and fingerprinting.
+    *
+    * Why a column and not `split(text, ' ')` inline: an expression inlined
+    * here lands inside the per-element lambda and re-executes once per
+    * (element × n) — O(tokens²) regex splits per document, measured 10 s of
+    * a 14 s near-dup run at sf0.1. A materialized column referenced several
+    * times is NOT re-inlined by CollapseProject (non-cheap, multi-ref), so
+    * the split runs once per row.
+    *
     * Guarded: Spark's `sequence(1, k)` DESCENDS when k < 1, so texts shorter
     * than n tokens must map to an empty array explicitly. */
-  def shinglesExpr(textExpr: String, n: Int = 3): Column = {
-    val w = s"split($textExpr, ' ')"
+  def shinglesExpr(tokensCol: String, n: Int = 3): Column = {
+    val w = s"`$tokensCol`"
     val parts = (0 until n).map(i => s"element_at($w, i + $i)").mkString(", ")
     expr(
       s"""CASE WHEN size($w) >= $n

@@ -18,7 +18,9 @@ class LlmSpec extends SparkTestBase {
       (2L, "a b"),         // shorter than n → empty, NOT a descending sequence
       (3L, "x y z x y z x y z") // repeated shingles collapse via distinct
     ).toDF("doc_id", "text")
-    val out = df.select(col("doc_id"), TextStats.shinglesExpr("text").as("sh"))
+    val out = df
+      .select(col("doc_id"), TextStats.tokens(col("text")).as("toks"))
+      .select(col("doc_id"), TextStats.shinglesExpr("toks").as("sh"))
       .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
     assert(out(1L) == Seq("a b c", "b c d"))
     assert(out(2L).isEmpty)
@@ -31,7 +33,9 @@ class LlmSpec extends SparkTestBase {
       (1L, base + " extra"),                       // near-copy of 0
       (2L, "completely different words in this unrelated sentence about spark engines")
     ).toDF("doc_id", "text")
-    val sh = docs.select(col("doc_id"), TextStats.shinglesExpr("text").as("sh"))
+    val sh = docs
+      .select(col("doc_id"), TextStats.tokens(col("text")).as("toks"))
+      .select(col("doc_id"), TextStats.shinglesExpr("toks").as("sh"))
     val banded = Dedup.bandSignatures(sh, bands = 4, rows = 3)
     val cand = banded.as("x").join(banded.as("y"),
         col("x.band") === col("y.band") && col("x.sig") === col("y.sig") &&
