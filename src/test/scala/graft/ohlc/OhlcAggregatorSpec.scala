@@ -1,0 +1,53 @@
+package graft.ohlc
+
+import graft.SparkTestBase
+
+/** The typed Dataset[Trade] aggregation path must agree with the untyped
+  * candles() pipeline — same tie rule, same totals. */
+class OhlcAggregatorSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val t0 = 1704067200L
+  private def trade(base: String, sec: Long, p: Double, q: Double) =
+    Trade(base, new java.sql.Timestamp(sec * 1000), p, q)
+
+  test("typed one-pass OHLCV matches the untyped pipeline incl. tie rule") {
+    val trades = Seq(
+      trade("a", t0, 5.0, 1.0), trade("a", t0, 3.0, 1.0), trade("a", t0, 9.0, 1.0),
+      trade("a", t0 + 30, 7.0, 2.0), trade("b", t0 + 10, 2.0, 4.0),
+      trade("a", t0 + 65, 1.5, 1.0) // second window
+    )
+    val typed = trades.toDS()
+      .groupByKey(t => (t.timestamp.getTime / 60000 * 60, t.base))
+      .agg(OhlcAggregator.toColumn.name("c"))
+      .collect()
+      .map { case ((ws, base), c) => (base, ws) -> c }.toMap
+
+    val untyped = OhlcPipeline.candles(trades.toDF()).collect()
+      .map(r => (r.getAs[String]("base"),
+        r.getAs[java.sql.Timestamp]("start_ts").toInstant.getEpochSecond) ->
+        ((r.getAs[Double]("open"), r.getAs[Double]("high"), r.getAs[Double]("low"),
+          r.getAs[Double]("close"), r.getAs[Double]("volume")))).toMap
+
+    assert(typed.keySet == untyped.keySet)
+    typed.foreach { case (k, c) => assert(c == untyped(k), s"mismatch at $k") }
+    // spot-check the tie rule directly
+    assert(typed(("a", t0))._1 == 3.0 && typed(("a", t0))._4 == 7.0)
+  }
+
+  test("merge is associative/commutative across partition orders") {
+    val trades = (0 until 100).map(i =>
+      trade("a", t0 + (i % 7), (i % 13) + 0.5, 1.0))
+    val expected = {
+      val sorted = trades.sortBy(t => (t.timestamp.getTime, t.price))
+      (sorted.head.price, trades.map(_.price).max, trades.map(_.price).min,
+        sorted.last.price, 100.0)
+    }
+    for (parts <- Seq(1, 3, 8)) {
+      val got = trades.toDS().repartition(parts)
+        .groupByKey(_.base).agg(OhlcAggregator.toColumn.name("c"))
+        .collect().head._2
+      assert(got == expected, s"parts=$parts")
+    }
+  }
+}

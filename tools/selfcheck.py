@@ -6,8 +6,10 @@ not part of the shipped library). Usage:
 
 For each query in <outdir>/oracle_sql.json: run the SQL in DuckDB over the
 sf parquet tables, load the Spark result parquet, sort columns by name and
-rows by value, and compare cell-by-cell (exact; floats to 1e-9 rel as a
-diagnostic fallback)."""
+rows by value, and compare cell-by-cell. The compare is EXACT, floats
+included (only NaN==NaN is special-cased) — the catalog's determinism rules
+(decimal sums, raw stored doubles, rank-only floats) exist precisely so
+exact comparison holds."""
 import sys, json, glob, math
 import duckdb
 
