@@ -57,8 +57,13 @@ object Dedup {
       .select(col("doc_id") +:
         (0 until groups).map(g =>
           md5(concat(lit(s"$g#"), col("x"))).as(s"h$g")): _*)
+    // numeric min, not string min: a string agg buffer is not hash-mutable
+    // and forces SortAggregate; conv() the fixed-width hex chunk to a long
+    // first (same ordering — lowercase fixed-width hex sorts numerically)
+    // and the stage hash-aggregates with partial map-side mins
     val minCols = (0 until nHashes(bands, rows)).map { i =>
-      min(substring(col(s"h${i / 4}"), (i % 4) * 8 + 1, 8)).as(s"mh$i")
+      min(conv(substring(col(s"h${i / 4}"), (i % 4) * 8 + 1, 8), 16, 10)
+        .cast("long")).as(s"mh$i")
     }
     val sig = exploded.groupBy(col("doc_id")).agg(minCols.head, minCols.tail: _*)
     val bandStructs = (0 until bands).map { b =>
