@@ -1,0 +1,80 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.{QueryDef, Tables}
+import graft.core.QueryDef.OrderedOut
+
+/** Event-time windowing beyond the reference's single tumbling window
+  * (SURVEY §2.3 "not present" list): sliding windows and session windows,
+  * both as batch queries so DuckDB can oracle them.
+  *
+  * Scale: both are single hash-aggregations after a map-side expansion
+  * (sliding: ×(window/slide) row fan-out; session: gaps-and-islands via one
+  * window over (user, ts)) — no shuffles beyond the grouping exchange.
+  */
+object TimeWindows {
+
+  /** 5-minute windows sliding by 1 minute over events: each row lands in 5
+    * windows (map-side fan-out), then one hash agg. */
+  def slidingOhlc(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(window(col("ts"), "5 minutes", "1 minute"),
+        col("event_type").as("base"))
+      .agg(
+        max(col("value")).as("high"),
+        min(col("value")).as("low"),
+        sum(col("value").cast("decimal(20,6)")).as("volume"),
+        count(lit(1)).as("n")
+      )
+      .select(unix_timestamp(col("window.start")).as("ws"), col("base"),
+        col("high"), col("low"), col("volume"), col("n"))
+      .orderedBy("ws", "base")
+
+  /** Session windows per user with a 5-minute inactivity gap. Spark's
+    * session ends are exclusive (a gap of exactly the timeout starts a new
+    * session); the oracle's gaps-and-islands uses `>=` to match. */
+  def sessions(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(session_window(col("ts"), "5 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(20,6)")).as("sum_value"))
+      .select(
+        col("user_id"),
+        unix_micros(col("session_window.start")).as("sess_start"),
+        unix_micros(col("session_window.end")).as("sess_end"),
+        col("n_events"), col("sum_value"))
+      .orderedBy("user_id", "sess_start")
+
+  val defs: Map[String, QueryDef] = Map(
+    "q_win_sliding" -> QueryDef(slidingOhlc, Some(
+      """SELECT CAST(epoch(date_trunc('minute', ts) - b.b * INTERVAL 1 MINUTE) AS BIGINT) AS ws,
+        |       event_type AS base,
+        |       max(value) AS high, min(value) AS low,
+        |       sum(CAST(value AS DECIMAL(20,6))) AS volume,
+        |       count(*) AS n
+        |FROM events, range(0, 5) b(b)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+    "q_win_session" -> QueryDef(sessions, Some(
+      """WITH e AS (
+        |  SELECT user_id, date_trunc('microseconds', ts) AS ts, value
+        |  FROM events),
+        |m AS (
+        |  SELECT user_id, ts, value,
+        |         CASE WHEN lag(ts) OVER w IS NULL
+        |                OR ts - lag(ts) OVER w >= INTERVAL 5 MINUTE
+        |              THEN 1 ELSE 0 END AS new_s
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |g AS (
+        |  SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM m)
+        |SELECT user_id,
+        |       epoch_us(min(ts)) AS sess_start,
+        |       epoch_us(max(ts)) + 300000000 AS sess_end,
+        |       count(*) AS n_events,
+        |       sum(CAST(value AS DECIMAL(20,6))) AS sum_value
+        |FROM g GROUP BY user_id, sid
+        |ORDER BY user_id, sess_start""".stripMargin))
+  )
+}

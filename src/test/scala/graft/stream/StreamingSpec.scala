@@ -124,6 +124,46 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("flatMapGroupsWithState: candle emitted once when event time passes close + lateness") {
+    implicit val ctx = spark.sqlContext
+    import graft.ohlc.Trade
+    val input = MemoryStream[Trade]
+    val q = StatefulCandles.closedCandles(input.toDS())
+      .writeStream.format("memory").queryName("closed_candles")
+      .outputMode("append").start()
+    def table() = spark.table("closed_candles").collect()
+      .map(r => (r.getAs[java.sql.Timestamp]("start_ts").toInstant.getEpochSecond,
+        r.getAs[Double]("open"), r.getAs[Double]("close"), r.getAs[Double]("volume")))
+    def trade(sec: Long, p: Double, q: Double) =
+      Trade("a", new java.sql.Timestamp(sec * 1000), p, q)
+    try {
+      // window [t0, t0+60) accumulates; nothing closes yet
+      input.addData(trade(t0 + 10, 5.0, 1.0), trade(t0 + 20, 7.0, 2.0))
+      q.processAllAvailable()
+      assert(table().isEmpty)
+      // event time jumps past t0+60+120s lateness → candle closes, once
+      input.addData(trade(t0 + 200, 9.0, 1.0))
+      q.processAllAvailable()
+      assert(table().toSeq == Seq((t0, 5.0, 7.0, 3.0)))
+      // a too-late row for the closed window is ignored, no re-emission
+      input.addData(trade(t0 + 30, 100.0, 50.0), trade(t0 + 400, 1.0, 1.0))
+      q.processAllAvailable()
+      assert(table().count(_._1 == t0) == 1)
+    } finally q.stop()
+  }
+
+  test("StatefulCandles.advance: pure state transition closes and evicts windows") {
+    import graft.ohlc.Trade
+    def trade(sec: Long, p: Double) = Trade("a", new java.sql.Timestamp(sec * 1000), p, 1.0)
+    val (s1, out1) = StatefulCandles.advance("a",
+      Iterator(trade(t0, 2.0), trade(t0 + 10, 4.0)), None, 60000L, 120000L)
+    assert(out1.isEmpty && s1.open.size == 1)
+    val (s2, out2) = StatefulCandles.advance("a",
+      Iterator(trade(t0 + 200, 8.0)), Some(s1), 60000L, 120000L)
+    assert(out2.map(c => (c.open, c.close, c.volume)) == List((2.0, 4.0, 2.0)))
+    assert(s2.open.keySet == Set((t0 + 200) / 60 * 60 * 1000)) // only the live window
+  }
+
   test("checkpointed query resumes from state (restart keeps candle revisions)") {
     implicit val ctx = spark.sqlContext
     val ckpt = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
