@@ -1,0 +1,45 @@
+package graft.core
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Physical-layout utilities for the 100 TB path: partitioned dataset
+  * writes (so downstream scans prune), and key salting (so skewed join/agg
+  * keys spread across reducers).
+  */
+object Layout {
+
+  /** Write as a hive-partitioned parquet dataset. Scans filtered on
+    * `partitionCols` then prune directories (visible as PartitionFilters in
+    * the plan) — the layout decision that turns a 100 TB scan into a
+    * per-partition one. */
+  def writePartitioned(df: DataFrame, path: String, partitionCols: String*): Unit =
+    df.write.mode("overwrite").partitionBy(partitionCols: _*).parquet(path)
+
+  /** Salt a skewed key: `saltBuckets` pseudo-random buckets derived from
+    * stable row content (deterministic — pmod of a hash, no rand()). The
+    * heavy key's rows spread over `saltBuckets` reducers. */
+  def salted(key: Column, saltFrom: Column, saltBuckets: Int): Column =
+    struct(key.as("k"), pmod(hash(saltFrom), lit(saltBuckets)).as("s"))
+
+  /** Skew-safe equi-join of a skewed fact against a small dim: the dim is
+    * replicated `saltBuckets` times (explode) so every salted fact bucket
+    * finds its row; the join key becomes (key, salt). The fact salt may be
+    * anything (here a per-row hash) — correctness never depends on its
+    * value because the dim carries all salts; it only spreads the heavy key
+    * over `saltBuckets` reducers. Use when one fact key dominates and AQE's
+    * skew split isn't available (e.g. stream-static joins). */
+  def saltedJoin(
+      fact: DataFrame, dim: DataFrame, factKey: String, dimKey: String,
+      saltBuckets: Int
+  ): DataFrame = {
+    val saltedFact = fact.withColumn("__salt",
+      pmod(hash(col(factKey), monotonically_increasing_id()), lit(saltBuckets)))
+    val saltedDim = dim.withColumn("__salt",
+      explode(array((0 until saltBuckets).map(lit): _*)))
+    saltedFact.join(saltedDim,
+      saltedFact(factKey) === saltedDim(dimKey) &&
+        saltedFact("__salt") === saltedDim("__salt"))
+      .drop("__salt")
+  }
+}

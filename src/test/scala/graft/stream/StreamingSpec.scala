@@ -124,6 +124,25 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("dropDuplicatesWithinWatermark: streaming dedup by trade id, state watermark-bounded") {
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[(String, Long, Double)]
+    val deduped = input.toDF().toDF("trade_id", "epoch", "price")
+      .withColumn("timestamp", col("epoch").cast("timestamp")).drop("epoch")
+      .withWatermark("timestamp", "2 minutes")
+      .dropDuplicatesWithinWatermark("trade_id")
+    val q = deduped.writeStream.format("memory").queryName("dedup_stream")
+      .outputMode("append").start()
+    try {
+      input.addData(("t1", t0 + 1, 5.0), ("t1", t0 + 2, 5.0), ("t2", t0 + 3, 6.0))
+      q.processAllAvailable()
+      input.addData(("t1", t0 + 4, 5.0)) // duplicate within watermark → dropped
+      q.processAllAvailable()
+      val ids = spark.table("dedup_stream").collect().map(_.getAs[String]("trade_id"))
+      assert(ids.sorted.toSeq == Seq("t1", "t2"))
+    } finally q.stop()
+  }
+
   test("flatMapGroupsWithState: candle emitted once when event time passes close + lateness") {
     implicit val ctx = spark.sqlContext
     import graft.ohlc.Trade
