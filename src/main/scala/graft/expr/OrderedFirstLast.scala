@@ -130,5 +130,7 @@ object GraftFunctions {
       (children: Seq[Expression]) => FirstByOrdered(children(0), children(1)))
     reg.registerFunction(FunctionIdentifier("last_by_ordered"), info("last_by_ordered"),
       (children: Seq[Expression]) => LastByOrdered(children(0), children(1)))
+    reg.registerFunction(FunctionIdentifier("vec_dot"), info("vec_dot"),
+      (children: Seq[Expression]) => DotProduct(children(0), children(1)))
   }
 }

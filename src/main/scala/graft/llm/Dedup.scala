@@ -231,16 +231,14 @@ object Dedup {
     * candidates verified with exact cosine >= threshold. Output is pair ids
     * only — cosine values stay inside (cross-engine last-ulp safety). */
   def embedPairs(s: SparkSession, d: String, threshold: Double = 0.45): DataFrame = {
+    graft.expr.GraftFunctions.register(s)
     def dot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
-      aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+      call_function("vec_dot", a, b) // native codegen loop (expr.VectorExprs)
     // pre-normalize ONCE (n rows) so pair verification is a single dot
-    // product, not 3 — higher-order lambdas don't codegen, so per-pair HOF
-    // count is the verify stage's cost driver
     val all = Tables.embeddings(s, d)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("e0"))
       .select(col("vec_id"),
-        expr("transform(e0, x -> x / sqrt(aggregate(zip_with(e0, e0, (p, q) -> p * q)," +
-          " 0D, (acc, v) -> acc + v)))").as("e"))
+        expr("transform(e0, x -> x / sqrt(vec_dot(e0, e0)))").as("e"))
     val planes = all.filter(col("vec_id") < 8)
       .select(col("vec_id").as("pid"), col("e").as("pe"))
     // 8 sign bits per vector (broadcast planes, map-side), 4 bands of 2 bits

@@ -29,18 +29,23 @@ import graft.core.QueryDef.OrderedOut
   */
 object Similarity {
 
-  /** Cosine similarity of two array<double> columns via higher-order
-    * functions — stays inside codegen'd expressions, no UDF. */
+  /** Cosine similarity of two array<double> columns via the native codegen
+    * DotProduct expression (graft.expr.VectorExprs) — the HOF formulation
+    * (`aggregate(zip_with(...))`) runs its lambda interpreted per element
+    * and dominated every similarity operator's cost. Same index-ordered
+    * summation, bit-identical results. Requires GraftFunctions.register
+    * (done by the query builders). */
   def cosine(a: Column, b: Column): Column = {
-    def dot(x: Column, y: Column): Column =
-      aggregate(zip_with(x, y, (p, q) => p * q), lit(0.0), (acc, v) => acc + v)
+    def dot(x: Column, y: Column): Column = call_function("vec_dot", x, y)
     dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
   }
 
-  private def vecs(s: SparkSession, d: String): DataFrame =
+  private def vecs(s: SparkSession, d: String): DataFrame = {
+    graft.expr.GraftFunctions.register(s)
     Tables.embeddings(s, d)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("e"),
         col("label"))
+  }
 
   /** Exact top-k neighbors for each query vector (vec_id < nQueries). */
   def topkBrute(s: SparkSession, d: String, nQueries: Int = 20, k: Int = 5): DataFrame = {

@@ -47,6 +47,7 @@ class LlmSpec extends SparkTestBase {
   }
 
   test("cosine: hand-computable vectors") {
+    graft.expr.GraftFunctions.register(spark)
     val df = Seq(
       (Array(1.0, 0.0), Array(0.0, 1.0)),  // orthogonal → 0
       (Array(1.0, 2.0), Array(2.0, 4.0)),  // parallel → 1
