@@ -78,8 +78,9 @@ object Dedup {
     * verified with exact shingle-set Jaccard >= `threshold`. */
   def near(s: SparkSession, d: String, threshold: Double = 0.8,
            bands: Int = 4, rows: Int = 3): DataFrame = {
-    val sh = Tables.documents(s, d)
+    val docsTok = Tables.documents(s, d)
       .select(col("doc_id"), TextStats.tokens(col("text")).as("toks"))
+    val sh = docsTok
       .select(col("doc_id"), TextStats.shinglesExpr("toks").as("sh"))
       .filter(size(col("sh")) > 0)
     val banded = bandSignatures(sh, bands, rows)
@@ -88,9 +89,14 @@ object Dedup {
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
+    // verify joins carry TOKENS and shingle AFTER the join: shingling the
+    // full corpus twice more (the sh relation is referenced per side) cost
+    // ~2/3 of the query — candidates are O(near-dups), so shingle them only
     val withSets = cand
-      .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
-      .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
+      .join(docsTok.select(col("doc_id").as("doc_a"), col("toks").as("toks_a")), "doc_a")
+      .join(docsTok.select(col("doc_id").as("doc_b"), col("toks").as("toks_b")), "doc_b")
+      .withColumn("sh_a", TextStats.shinglesExpr("toks_a"))
+      .withColumn("sh_b", TextStats.shinglesExpr("toks_b"))
     withSets
       .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
       .withColumn("jaccard",
