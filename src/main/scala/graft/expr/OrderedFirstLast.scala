@@ -120,17 +120,33 @@ case class LastByOrdered(
 
 /** Registration: SQL names `first_by_ordered(ts, price)` /
   * `last_by_ordered(ts, price)` (ts integral — pass `unix_micros(ts)` for
-  * timestamps). Idempotent per session. */
+  * timestamps) and `vec_dot(a, b)`. Idempotent per session. Two paths:
+  * `GraftFunctions.register(spark)` imperatively, or
+  * `--conf spark.sql.extensions=graft.expr.GraftExtensions` at submit time.
+  */
 object GraftFunctions {
   private def info(name: String) = new ExpressionInfo(classOf[OrderedByBase].getName, name)
 
+  val functions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    (FunctionIdentifier("first_by_ordered"), info("first_by_ordered"),
+      (children: Seq[Expression]) => FirstByOrdered(children(0), children(1))),
+    (FunctionIdentifier("last_by_ordered"), info("last_by_ordered"),
+      (children: Seq[Expression]) => LastByOrdered(children(0), children(1))),
+    (FunctionIdentifier("vec_dot"), info("vec_dot"),
+      (children: Seq[Expression]) => DotProduct(children(0), children(1)))
+  )
+
   def register(spark: SparkSession): Unit = {
     val reg: FunctionRegistry = spark.sessionState.functionRegistry
-    reg.registerFunction(FunctionIdentifier("first_by_ordered"), info("first_by_ordered"),
-      (children: Seq[Expression]) => FirstByOrdered(children(0), children(1)))
-    reg.registerFunction(FunctionIdentifier("last_by_ordered"), info("last_by_ordered"),
-      (children: Seq[Expression]) => LastByOrdered(children(0), children(1)))
-    reg.registerFunction(FunctionIdentifier("vec_dot"), info("vec_dot"),
-      (children: Seq[Expression]) => DotProduct(children(0), children(1)))
+    functions.foreach { case (id, inf, builder) =>
+      reg.registerFunction(id, inf, builder)
+    }
   }
+}
+
+/** SparkSessionExtensions hook — the cluster-deployment registration path:
+  * `spark-submit --conf spark.sql.extensions=graft.expr.GraftExtensions`. */
+class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
+  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit =
+    GraftFunctions.functions.foreach(ext.injectFunction)
 }

@@ -124,6 +124,30 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("session_window works in streaming: gap merge + append emission after watermark") {
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[(Long, Long, Double)]
+    val sessions = input.toDF().toDF("user_id", "epoch", "value")
+      .withColumn("ts", col("epoch").cast("timestamp")).drop("epoch")
+      .withWatermark("ts", "1 minute")
+      .groupBy(session_window(col("ts"), "5 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("user_id"), col("n"))
+    val q = sessions.writeStream.format("memory").queryName("sessions_stream")
+      .outputMode("append").start()
+    try {
+      // two events 2min apart merge into one session; a third event far in
+      // the future advances the watermark past session end → emission
+      input.addData((1L, t0, 1.0), (1L, t0 + 120, 1.0))
+      q.processAllAvailable()
+      input.addData((1L, t0 + 3600, 1.0))
+      q.processAllAvailable()
+      val rows = spark.table("sessions_stream").collect()
+        .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("n")))
+      assert(rows.toSeq == Seq((1L, 2L))) // merged session of the first two
+    } finally q.stop()
+  }
+
   test("dropDuplicatesWithinWatermark: streaming dedup by trade id, state watermark-bounded") {
     implicit val ctx = spark.sqlContext
     val input = MemoryStream[(String, Long, Double)]
