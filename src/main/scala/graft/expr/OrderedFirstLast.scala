@@ -133,7 +133,16 @@ object GraftFunctions {
     (FunctionIdentifier("last_by_ordered"), info("last_by_ordered"),
       (children: Seq[Expression]) => LastByOrdered(children(0), children(1))),
     (FunctionIdentifier("vec_dot"), info("vec_dot"),
-      (children: Seq[Expression]) => DotProduct(children(0), children(1)))
+      (children: Seq[Expression]) => DotProduct(children(0), children(1))),
+    (FunctionIdentifier("word_shingles"), info("word_shingles"),
+      (children: Seq[Expression]) => {
+        val n = children(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+          case other => throw new IllegalArgumentException(
+            s"word_shingles n must be an integer literal, got $other")
+        }
+        WordShingles(children(0), n)
+      })
   )
 
   def register(spark: SparkSession): Unit = {

@@ -78,6 +78,7 @@ object Dedup {
     * verified with exact shingle-set Jaccard >= `threshold`. */
   def near(s: SparkSession, d: String, threshold: Double = 0.8,
            bands: Int = 4, rows: Int = 3): DataFrame = {
+    graft.expr.GraftFunctions.register(s)
     val docsTok = Tables.documents(s, d)
       .select(col("doc_id"), TextStats.tokens(col("text")).as("toks"))
     val sh = docsTok

@@ -15,28 +15,15 @@ object TextStats {
   /** Whitespace tokens. */
   def tokens(text: Column): Column = split(text, " ")
 
-  /** Distinct word-level n-gram shingles over an ALREADY-MATERIALIZED
-    * array<string> column (pass the column name), the unit of near-dup
-    * detection and fingerprinting.
-    *
-    * Why a column and not `split(text, ' ')` inline: an expression inlined
-    * here lands inside the per-element lambda and re-executes once per
-    * (element × n) — O(tokens²) regex splits per document, measured 10 s of
-    * a 14 s near-dup run at sf0.1. A materialized column referenced several
-    * times is NOT re-inlined by CollapseProject (non-cheap, multi-ref), so
-    * the split runs once per row.
-    *
-    * Guarded: Spark's `sequence(1, k)` DESCENDS when k < 1, so texts shorter
-    * than n tokens must map to an empty array explicitly. */
-  def shinglesExpr(tokensCol: String, n: Int = 3): Column = {
-    val w = s"`$tokensCol`"
-    val parts = (0 until n).map(i => s"element_at($w, i + $i)").mkString(", ")
-    expr(
-      s"""CASE WHEN size($w) >= $n
-         |THEN array_distinct(transform(sequence(1, size($w) - ${n - 1}),
-         |                              i -> concat_ws(' ', $parts)))
-         |ELSE array() END""".stripMargin)
-  }
+  /** Distinct word-level n-gram shingles over an array<string> column (pass
+    * the column name), the unit of near-dup detection and fingerprinting.
+    * Delegates to the native `word_shingles` expression
+    * (graft.expr.WordShingles — one evaluation per row; the HOF
+    * formulation's interpreted per-element lambdas were the near-dup
+    * pipeline's cost floor). Callers must have run
+    * `GraftFunctions.register(spark)`. */
+  def shinglesExpr(tokensCol: String, n: Int = 3): Column =
+    expr(s"word_shingles(`$tokensCol`, $n)")
 
   /** Marker-word hit count with multiplicity — the scoring primitive of
     * marker-based language ID. */

@@ -13,6 +13,7 @@ class LlmSpec extends SparkTestBase {
     "the quick brown fox jumps over the lazy dog and runs far away home tonight"
 
   test("shinglesExpr: 3-gram count, distinctness, and short-text guard") {
+    graft.expr.GraftFunctions.register(spark)
     val df = Seq(
       (1L, "a b c d"),     // 2 shingles
       (2L, "a b"),         // shorter than n → empty, NOT a descending sequence
@@ -28,6 +29,7 @@ class LlmSpec extends SparkTestBase {
   }
 
   test("near-dup: catches a near-copy, ignores an unrelated doc") {
+    graft.expr.GraftFunctions.register(spark)
     val docs = Seq(
       (0L, base),
       (1L, base + " extra"),                       // near-copy of 0
