@@ -95,6 +95,6 @@ object Catalog {
     ohlcDefs ++ graft.queries.Relational.defs ++ graft.queries.Scalar.defs ++
       graft.queries.TimeWindows.defs ++
       graft.llm.TextStats.defs ++ graft.llm.Dedup.defs ++
-      graft.llm.MlLsh.defs ++
+      graft.llm.MlLsh.defs ++ graft.llm.Pipeline.defs ++
       graft.llm.Similarity.defs ++ graft.llm.Multimodal.defs
 }

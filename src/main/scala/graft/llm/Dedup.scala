@@ -108,7 +108,9 @@ object Dedup {
       .orderedBy("doc_a", "doc_b")
   }
 
-  private def nearOracle(threshold: Double, bands: Int, rows: Int): String = {
+  /** The WITH-clause body shared by the near-dup oracle and composed
+    * pipelines (ends with the `pairs` CTE). */
+  private[llm] def nearOracleCtes(bands: Int, rows: Int): String = {
     val groups = nGroups(bands, rows)
     val hashCols = (0 until groups)
       .map(g => s"md5('$g#' || x) AS h$g").mkString(", ")
@@ -140,10 +142,13 @@ object Dedup {
        |  SELECT doc_a, doc_b,
        |         round(1.0 * len(list_intersect(a.s, b.s)) /
        |               (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 4) AS jaccard
-       |  FROM cand JOIN sh a ON a.doc_id = doc_a JOIN sh b ON b.doc_id = doc_b)
+       |  FROM cand JOIN sh a ON a.doc_id = doc_a JOIN sh b ON b.doc_id = doc_b)""".stripMargin
+  }
+
+  private def nearOracle(threshold: Double, bands: Int, rows: Int): String =
+    s"""${nearOracleCtes(bands, rows)}
        |SELECT doc_a, doc_b, jaccard FROM pairs WHERE jaccard >= $threshold
        |ORDER BY doc_a, doc_b""".stripMargin
-  }
 
   // ---------------------------------------------------------------- SimHash
 

@@ -124,6 +124,35 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("stream-stream interval join: purchase matches click within 10 minutes, watermarked") {
+    implicit val ctx = spark.sqlContext
+    val clicks = MemoryStream[(Long, Long, Long)]    // (click_id, user_id, epoch)
+    val purchases = MemoryStream[(Long, Long, Long)] // (p_id, user_id, epoch)
+    val c = clicks.toDF().toDF("click_id", "c_user", "c_epoch")
+      .withColumn("c_ts", col("c_epoch").cast("timestamp"))
+      .withWatermark("c_ts", "1 minute")
+    val p = purchases.toDF().toDF("p_id", "p_user", "p_epoch")
+      .withColumn("p_ts", col("p_epoch").cast("timestamp"))
+      .withWatermark("p_ts", "1 minute")
+    val joined = c.join(p,
+      col("c_user") === col("p_user") &&
+        col("p_ts") >= col("c_ts") &&
+        col("p_ts") <= col("c_ts") + expr("INTERVAL 10 MINUTES"))
+      .select(col("click_id"), col("p_id"))
+    val q = joined.writeStream.format("memory").queryName("ss_join")
+      .outputMode("append").start()
+    try {
+      clicks.addData((100L, 1L, t0), (101L, 2L, t0))
+      purchases.addData((200L, 1L, t0 + 300),   // within 10 min of click 100
+        (201L, 1L, t0 + 6000),                  // 100 min later — out of range
+        (202L, 3L, t0 + 60))                    // no matching user
+      q.processAllAvailable()
+      val got = spark.table("ss_join").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == Set((100L, 200L)))
+    } finally q.stop()
+  }
+
   test("session_window works in streaming: gap merge + append emission after watermark") {
     implicit val ctx = spark.sqlContext
     val input = MemoryStream[(Long, Long, Double)]
