@@ -1,0 +1,79 @@
+package graft.queries
+
+import graft.SparkTestBase
+import org.apache.spark.sql.Row
+
+/** Golden-value checks on the relational catalog at sf0.001 — the DuckDB
+  * oracle proves cross-engine agreement; these pin a handful of absolute
+  * values so a bug that broke BOTH sides identically (e.g. a wrong filter in
+  * a shared constant) would still surface. */
+class RelationalGoldenSpec extends SparkTestBase {
+
+  private val d = "/root/testdata/sf0.001"
+
+  test("q_join_broadcast: all 25 nations, 5 regions, keys intact") {
+    val rows = Relational.joinBroadcast(spark, d).collect()
+    assert(rows.length == 25)
+    assert(rows.map(_.getAs[Int]("n_nationkey")).toSeq == (0 until 25))
+    assert(rows.map(_.getAs[String]("r_name")).distinct.length == 5)
+  }
+
+  test("q_rollup: grand-total row aggregates everything") {
+    val rows = Relational.rollupQ(spark, d).collect()
+    val grand = rows.filter(r => r.getAs[String]("rf") == "ALL" &&
+      r.getAs[String]("ls") == "ALL")
+    assert(grand.length == 1)
+    assert(grand.head.getAs[Long]("cnt") == 6000L) // lineitem rows at sf0.001
+    assert(grand.head.getAs[Int]("g_rf") == 1 && grand.head.getAs[Int]("g_ls") == 1)
+    // rollup never produces the (rf=ALL, ls=concrete) combination
+    assert(!rows.exists(r => r.getAs[String]("rf") == "ALL" &&
+      r.getAs[String]("ls") != "ALL"))
+  }
+
+  test("q_cube includes the ls-marginal rows rollup omits") {
+    val rows = Relational.cubeQ(spark, d).collect()
+    assert(rows.exists(r => r.getAs[String]("rf") == "ALL" &&
+      r.getAs[String]("ls") != "ALL"))
+  }
+
+  test("set ops are consistent: |A∪B| = |A| + |B| - |A∩B|, |A\\B| = |A| - |A∩B|") {
+    val u = Relational.unionQ(spark, d).count()
+    val i = Relational.intersectQ(spark, d).count()
+    val e = Relational.exceptQ(spark, d).count()
+    val a = graft.core.Tables.customer(spark, d)
+      .filter(org.apache.spark.sql.functions.col("c_mktsegment") === "BUILDING").count()
+    val b = graft.core.Tables.orders(spark, d)
+      .filter(org.apache.spark.sql.functions.col("o_orderstatus") === "F")
+      .select("o_custkey").distinct().count()
+    assert(u == a + b - i)
+    assert(e == a - i)
+  }
+
+  test("q_topk is the true global top-10 (agrees with a full sort)") {
+    val topk = Relational.topk(spark, d).collect()
+      .map(r => (r.getAs[Long]("o_orderkey"), r.getAs[Double]("o_totalprice")))
+    val full = graft.core.Tables.orders(spark, d).collect()
+      .map(r => (r.getAs[Long]("o_orderkey"), r.getAs[Double]("o_totalprice")))
+      .sortBy { case (k, p) => (-p, k) }.take(10)
+    assert(topk.toSeq == full.toSeq)
+  }
+
+  test("q_join_asof: every asof click precedes its purchase for that user") {
+    // join result back to raw events and check the invariant directly
+    val ev = graft.core.Tables.events(spark, d)
+      .select("event_id", "user_id", "ts", "event_type").collect()
+      .map(r => r.getAs[Long]("event_id") ->
+        ((r.getAs[Long]("user_id"), r.getAs[java.sql.Timestamp]("ts"),
+          r.getAs[String]("event_type")))).toMap
+    val out = Relational.joinAsof(spark, d).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (pu, pts, pty) = ev(r.getAs[Long]("event_id"))
+      assert(pty == "purchase")
+      if (!r.isNullAt(r.fieldIndex("asof_click_id"))) {
+        val (cu, cts, cty) = ev(r.getAs[Long]("asof_click_id"))
+        assert(cty == "click" && cu == pu && !cts.after(pts))
+      }
+    }
+  }
+}
