@@ -16,6 +16,15 @@ object Layout {
   def writePartitioned(df: DataFrame, path: String, partitionCols: String*): Unit =
     df.write.mode("overwrite").partitionBy(partitionCols: _*).parquet(path)
 
+  /** Save as a bucketed+sorted catalog table: both sides of a recurring
+    * equi-join bucketed the same way join with NO exchange and NO sort —
+    * the pre-shuffle that pays for itself after one reuse at 100 TB.
+    * (Bucketing requires the session catalog, hence saveAsTable.) */
+  def writeBucketed(df: DataFrame, table: String, buckets: Int, key: String): Unit =
+    df.write.mode("overwrite")
+      .bucketBy(buckets, key).sortBy(key)
+      .format("parquet").saveAsTable(table)
+
   /** Salt a skewed key: `saltBuckets` pseudo-random buckets derived from
     * stable row content (deterministic — pmod of a hash, no rand()). The
     * heavy key's rows spread over `saltBuckets` reducers. */

@@ -20,6 +20,29 @@ class LayoutSpec extends SparkTestBase {
     assert(pruned.count() == expected && expected > 0)
   }
 
+  test("bucketed tables: co-located equi-join plans with no shuffle exchange") {
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force non-broadcast
+    try {
+      Layout.writeBucketed(
+        Tables.orders(spark, "/root/testdata/sf0.001"), "b_orders", 4, "o_custkey")
+      Layout.writeBucketed(
+        Tables.customer(spark, "/root/testdata/sf0.001"), "b_customer", 4, "c_custkey")
+      val joined = spark.table("b_orders")
+        .join(spark.table("b_customer"), col("o_custkey") === col("c_custkey"))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"bucketed join must not shuffle:\n$plan")
+      assert(joined.count() ==
+        Tables.orders(spark, "/root/testdata/sf0.001")
+          .join(Tables.customer(spark, "/root/testdata/sf0.001"),
+            col("o_custkey") === col("c_custkey")).count())
+    } finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.sql("DROP TABLE IF EXISTS b_orders")
+      spark.sql("DROP TABLE IF EXISTS b_customer")
+    }
+  }
+
   test("saltedJoin: equals the plain join on a skewed key distribution") {
     // 90% of fact rows share one key — the salting target
     val fact = (1 to 1000).map(i => (if (i <= 900) 1L else i.toLong, i)).toDF("k", "v")
