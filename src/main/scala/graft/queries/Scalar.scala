@@ -211,7 +211,8 @@ object Scalar {
     "q_cast_chain" -> QueryDef(castChain, Some(
       """SELECT event_id,
         |       CAST(floor(epoch(ts)) AS BIGINT) AS ep,
-        |       strftime(to_timestamp(CAST(floor(epoch(ts)) AS BIGINT)), '%Y-%m-%d %H:%M:%S') AS rt,
+        |       strftime(make_timestamp(CAST(floor(epoch(ts)) AS BIGINT) * 1000000),
+        |                '%Y-%m-%d %H:%M:%S') AS rt,
         |       TRY_CAST(CAST(value AS VARCHAR) AS DOUBLE) AS vs,
         |       TRY_CAST('x' || CAST(event_id AS VARCHAR) AS DOUBLE) AS bad
         |FROM events ORDER BY event_id""".stripMargin)),
