@@ -1,0 +1,121 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.core.{QueryDef, Tables}
+import graft.core.QueryDef.OrderedOut
+
+/** Second-tier relational breadth: pivot, explicit grouping sets, scalar
+  * subqueries, tolerance-bounded as-of. Same scale discipline as
+  * [[Relational]] — every query is a pruned scan + hash agg / single
+  * window, no extra shuffles.
+  */
+object Advanced {
+
+  /** Pivot l_linestatus into columns. Oracle uses portable FILTER
+    * aggregation (identical semantics, no PIVOT dialect dependence). */
+  def pivotQ(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .pivot("l_linestatus", Seq("F", "O", "P"))
+      .agg(sum(col("l_quantity").cast("decimal(18,2)")))
+      .withColumnsRenamed(Map("F" -> "qty_f", "O" -> "qty_o", "P" -> "qty_p"))
+      .orderedBy("l_returnflag")
+
+  /** Explicit GROUPING SETS — the (rf), (ls) marginals without the grand
+    * total, a combination rollup/cube can't express. DataFrame API has no
+    * grouping-sets verb, so this goes through SQL over a temp view —
+    * same Catalyst Aggregate(Expand) plan. */
+  def groupingSetsQ(s: SparkSession, d: String): DataFrame = {
+    Tables.lineitem(s, d).createOrReplaceTempView("lineitem_gs")
+    s.sql(
+      """SELECT COALESCE(l_returnflag, 'ALL') AS rf,
+        |       COALESCE(l_linestatus, 'ALL') AS ls,
+        |       count(1) AS cnt,
+        |       sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty
+        |FROM lineitem_gs
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))""".stripMargin)
+      .orderedBy("rf", "ls")
+  }
+
+  /** Scalar subquery: every order's price as a share of the global max —
+    * one broadcast scalar, one divide of raw stored doubles (deterministic). */
+  def scalarSubq(s: SparkSession, d: String): DataFrame = {
+    Tables.orders(s, d).createOrReplaceTempView("orders_ss")
+    s.sql(
+      """SELECT o_orderkey,
+        |       o_totalprice / (SELECT max(o_totalprice) FROM orders_ss)
+        |         AS price_share
+        |FROM orders_ss""".stripMargin)
+      .orderedBy("o_orderkey")
+  }
+
+  /** As-of with tolerance: the most recent same-user click, but only if it
+    * happened within 10 minutes before the purchase — the bounded-staleness
+    * variant of q_join_asof, same single-shuffle window formulation
+    * carrying the click timestamp alongside the id. */
+  def joinAsofTolerance(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val clicks = ev.filter(col("event_type") === "click").select(
+      col("user_id"), col("ts"),
+      col("event_id").as("click_id"), col("ts").as("click_ts"),
+      lit(0).as("is_p"), lit(null).cast("bigint").as("p_id"))
+    val purchases = ev.filter(col("event_type") === "purchase").select(
+      col("user_id"), col("ts"),
+      lit(null).cast("bigint").as("click_id"),
+      lit(null).cast("timestamp").as("click_ts"),
+      lit(1).as("is_p"), col("event_id").as("p_id"))
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts"), col("is_p"), col("click_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    clicks.unionByName(purchases)
+      .withColumn("a_id", last(col("click_id"), ignoreNulls = true).over(w))
+      .withColumn("a_ts", last(col("click_ts"), ignoreNulls = true).over(w))
+      .filter(col("is_p") === 1)
+      .select(col("p_id").as("event_id"),
+        when(col("a_ts") >= col("ts") - expr("INTERVAL 10 MINUTES"), col("a_id"))
+          .as("asof_click_id"))
+      .orderedBy("event_id")
+  }
+
+  val defs: Map[String, QueryDef] = Map(
+    "q_pivot" -> QueryDef(pivotQ, Some(
+      """SELECT l_returnflag,
+        |       sum(CAST(l_quantity AS DECIMAL(18,2))) FILTER (l_linestatus = 'F') AS qty_f,
+        |       sum(CAST(l_quantity AS DECIMAL(18,2))) FILTER (l_linestatus = 'O') AS qty_o,
+        |       sum(CAST(l_quantity AS DECIMAL(18,2))) FILTER (l_linestatus = 'P') AS qty_p
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+    "q_grouping_sets" -> QueryDef(groupingSetsQ, Some(
+      """SELECT COALESCE(l_returnflag, 'ALL') AS rf,
+        |       COALESCE(l_linestatus, 'ALL') AS ls,
+        |       count(1) AS cnt,
+        |       sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+        |ORDER BY rf, ls""".stripMargin)),
+    "q_scalar_subq" -> QueryDef(scalarSubq, Some(
+      """SELECT o_orderkey,
+        |       o_totalprice / (SELECT max(o_totalprice) FROM orders) AS price_share
+        |FROM orders ORDER BY o_orderkey""".stripMargin)),
+    "q_join_asof_tol" -> QueryDef(joinAsofTolerance, Some(
+      """WITH u AS (
+        |  SELECT user_id, ts, event_id AS click_id, ts AS click_ts,
+        |         0 AS is_p, NULL::BIGINT AS p_id
+        |  FROM events WHERE event_type = 'click'
+        |  UNION ALL
+        |  SELECT user_id, ts, NULL::BIGINT, NULL::TIMESTAMP_NS, 1, event_id
+        |  FROM events WHERE event_type = 'purchase'),
+        |w AS (
+        |  SELECT *,
+        |    last_value(click_id IGNORE NULLS) OVER win AS a_id,
+        |    last_value(click_ts IGNORE NULLS) OVER win AS a_ts
+        |  FROM u WINDOW win AS (
+        |    PARTITION BY user_id
+        |    ORDER BY date_trunc('microseconds', ts), is_p, click_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |SELECT p_id AS event_id,
+        |       CASE WHEN a_ts >= ts - INTERVAL 10 MINUTE THEN a_id END AS asof_click_id
+        |FROM w WHERE is_p = 1 ORDER BY event_id""".stripMargin))
+  )
+}
