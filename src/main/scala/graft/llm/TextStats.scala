@@ -120,7 +120,45 @@ object TextStats {
        |FROM p ORDER BY doc_id""".stripMargin
   }
 
+  /** Per-document quality signals, the pre-training filter battery: token
+    * count, repetition (distinct/total), mean token length, stopword ratio,
+    * digit ratio — every ratio is a single IEEE divide of exact ints
+    * (deterministic cross-engine), thresholds compose downstream. */
+  def quality(s: SparkSession, d: String): DataFrame = {
+    val w = tokens(col("text"))
+    val stop = langMarkers.values.flatten.toSeq.distinct.sorted
+      .filterNot(_.exists(_ > 127)) // ascii markers as the stopword list
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      size(w).as("n_tokens"),
+      round(lit(1.0) * size(array_distinct(w)) / size(w), 4).as("distinct_ratio"),
+      round(lit(1.0) * (length(col("text")) - size(w) + 1) / size(w), 4)
+        .as("mean_token_len"),
+      round(lit(1.0) * markerHitsExpr("text", stop) / size(w), 4).as("stopword_ratio"),
+      round(lit(1.0) * length(regexp_replace(col("text"), "[^0-9]", "")) /
+        length(col("text")), 4).as("digit_ratio")
+    ).orderedBy("doc_id")
+  }
+
+  private def qualityOracle: String = {
+    val stop = langMarkers.values.flatten.toSeq.distinct.sorted
+      .filterNot(_.exists(_ > 127))
+    val pred = stop.map(m => s"x = '$m'").mkString(" or ")
+    s"""SELECT doc_id,
+       |       len(string_split(text, ' ')) AS n_tokens,
+       |       round(1.0 * len(list_distinct(string_split(text, ' '))) /
+       |             len(string_split(text, ' ')), 4) AS distinct_ratio,
+       |       round(1.0 * (length(text) - len(string_split(text, ' ')) + 1) /
+       |             len(string_split(text, ' ')), 4) AS mean_token_len,
+       |       round(1.0 * len(list_filter(string_split(text, ' '), x -> $pred)) /
+       |             len(string_split(text, ' ')), 4) AS stopword_ratio,
+       |       round(1.0 * length(regexp_replace(text, '[^0-9]', '', 'g')) /
+       |             length(text), 4) AS digit_ratio
+       |FROM documents ORDER BY doc_id""".stripMargin
+  }
+
   val defs: Map[String, QueryDef] = Map(
+    "q_quality" -> QueryDef(quality, Some(qualityOracle)),
     "q_text_stats" -> QueryDef(textStats, Some(
       """SELECT lang, count(*) AS doc_cnt,
         |       sum(len(string_split(text, ' '))) AS sum_tokens,
