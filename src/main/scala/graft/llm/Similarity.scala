@@ -43,8 +43,7 @@ object Similarity {
   private def vecs(s: SparkSession, d: String): DataFrame = {
     graft.expr.GraftFunctions.register(s)
     Tables.embeddings(s, d)
-      .select(col("vec_id"), col("embedding").cast("array<double>").as("e"),
-        col("label"))
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
   }
 
   /** Exact top-k neighbors for each query vector (vec_id < nQueries). */

