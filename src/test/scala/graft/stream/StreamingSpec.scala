@@ -124,6 +124,44 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("batch ≡ streaming on the driver testdata: 10k events through the file-stream source") {
+    val d = "/root/testdata/sf0.01"
+    // the file-stream source wants a directory — stage the table into one
+    val srcDir = java.nio.file.Files.createTempDirectory("graft-evstream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$d/events.parquet"),
+      srcDir.resolve("events.parquet"))
+    // same nanos handling as Tables.events, but through readStream
+    val schema = "event_id BIGINT, ts BIGINT, user_id BIGINT, " +
+      "event_type STRING, value DOUBLE, props STRING"
+    val stream = spark.readStream.schema(schema)
+      .parquet(srcDir.toString)
+      .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+    val q = graft.ohlc.OhlcPipeline
+      .candles(stream, "1 minute", tsCol = "ts", priceCol = "value",
+        qtyCol = "value", symbolCol = "event_type")
+      .writeStream.format("memory").queryName("ohlc_full_stream")
+      .outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("ohlc_full_stream").collect()
+        .map(r => (r.getAs[String]("base"),
+          r.getAs[java.sql.Timestamp]("start_ts").getTime) ->
+          ((r.getAs[Double]("open"), r.getAs[Double]("high"),
+            r.getAs[Double]("low"), r.getAs[Double]("close")))).toMap
+      val batch = graft.ohlc.OhlcPipeline
+        .candles(graft.core.Tables.events(spark, d), "1 minute", tsCol = "ts",
+          priceCol = "value", qtyCol = "value", symbolCol = "event_type")
+        .collect()
+        .map(r => (r.getAs[String]("base"),
+          r.getAs[java.sql.Timestamp]("start_ts").getTime) ->
+          ((r.getAs[Double]("open"), r.getAs[Double]("high"),
+            r.getAs[Double]("low"), r.getAs[Double]("close")))).toMap
+      assert(streamed.size == batch.size && streamed.size > 9000)
+      assert(streamed == batch)
+    } finally q.stop()
+  }
+
   test("stream-stream interval join: purchase matches click within 10 minutes, watermarked") {
     implicit val ctx = spark.sqlContext
     val clicks = MemoryStream[(Long, Long, Long)]    // (click_id, user_id, epoch)
