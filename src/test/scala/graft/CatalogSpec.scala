@@ -32,6 +32,12 @@ class CatalogSpec extends SparkTestBase {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
+  test("custom ordered aggregate and min_by formulations agree row-for-row") {
+    def rows(name: String) = Catalog.defs(name).build(spark, dir).collect()
+      .map(_.toSeq).toSeq
+    assert(rows("q_ohlc_1m") == rows("q_ohlc_minby"))
+  }
+
   test("queries and oracleSql keys line up") {
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
   }

@@ -86,6 +86,29 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("multi-query orchestration: shared source lineage, awaitAnyTermination unblocks on first stop") {
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[(String, Long, Double, Double)]
+    val trades = input.toDF().toDF("base", "epoch", "price", "quantity")
+      .withColumn("timestamp", col("epoch").cast("timestamp")).drop("epoch")
+    // the reference's shape: several concurrent queries off one source
+    // (main.py starts 5); here three memory sinks share the lineage
+    val q1 = SinkFactory.memory(trades, "mq_raw", mode = "append")
+    val q2 = SinkFactory.memory(
+      OhlcPipeline.candles(trades, watermark = Some("2 minutes")), "mq_candles")
+    val q3 = SinkFactory.memory(trades.filter(col("price") > 5), "mq_filtered", mode = "append")
+    try {
+      input.addData(("a", t0 + 1, 9.0, 1.0))
+      Seq(q1, q2, q3).foreach(_.processAllAvailable())
+      val active = spark.streams.active.map(_.name).toSet
+      assert(Set("mq_raw", "mq_candles", "mq_filtered").subsetOf(active))
+      spark.streams.resetTerminated()
+      new Thread(() => { Thread.sleep(300); q2.stop() }).start()
+      spark.streams.awaitAnyTermination() // must unblock when q2 stops
+      assert(q1.isActive && q3.isActive && !q2.isActive)
+    } finally Seq(q1, q2, q3).foreach(q => if (q.isActive) q.stop())
+  }
+
   test("OhlcConfig.fromEnv: reference env keys, fail-fast on missing") {
     val env = Map(
       "SPARK_APP_NAME" -> "x", "SPARK_MASTER_URL" -> "local[2]",
