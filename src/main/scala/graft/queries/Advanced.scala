@@ -79,7 +79,30 @@ object Advanced {
       .orderedBy("event_id")
   }
 
+  /** Exact percentiles — interpolated (percentile/quantile_cont) and
+    * discrete (percentile_disc/quantile_disc) agree across engines because
+    * both use the standard (n-1)p linear-interpolation definition and the
+    * inputs are 2dp-exact doubles (interpolation = two IEEE ops). */
+  def percentileQ(s: SparkSession, d: String): DataFrame = {
+    Tables.lineitem(s, d).createOrReplaceTempView("lineitem_pct")
+    s.sql(
+      """SELECT l_returnflag,
+        |       percentile(l_quantity, 0.5) AS med,
+        |       percentile(l_quantity, 0.9) AS p90,
+        |       percentile_disc(0.25) WITHIN GROUP (ORDER BY l_quantity) AS q1d,
+        |       median(l_quantity) AS md
+        |FROM lineitem_pct GROUP BY l_returnflag""".stripMargin)
+      .orderedBy("l_returnflag")
+  }
+
   val defs: Map[String, QueryDef] = Map(
+    "q_percentile" -> QueryDef(percentileQ, Some(
+      """SELECT l_returnflag,
+        |       quantile_cont(l_quantity, 0.5) AS med,
+        |       quantile_cont(l_quantity, 0.9) AS p90,
+        |       quantile_disc(l_quantity, 0.25) AS q1d,
+        |       CAST(median(l_quantity) AS DOUBLE) AS md
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
     "q_pivot" -> QueryDef(pivotQ, Some(
       """SELECT l_returnflag,
         |       sum(CAST(l_quantity AS DECIMAL(18,2))) FILTER (l_linestatus = 'F') AS qty_f,

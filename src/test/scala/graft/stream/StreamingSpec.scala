@@ -86,6 +86,47 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("Trigger.AvailableNow: stream drains the source and self-terminates, then a partitioned sink is queryable") {
+    import org.apache.spark.sql.streaming.Trigger
+    val d = "/root/testdata/sf0.001"
+    val srcDir = java.nio.file.Files.createTempDirectory("graft-an-src")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$d/events.parquet"), srcDir.resolve("events.parquet"))
+    val outDir = java.nio.file.Files.createTempDirectory("graft-an-out").toString
+    val schema = "event_id BIGINT, ts BIGINT, user_id BIGINT, " +
+      "event_type STRING, value DOUBLE, props STRING"
+    val candles = graft.ohlc.OhlcPipeline.candles(
+      spark.readStream.schema(schema).parquet(srcDir.toString)
+        .withColumn("ts", expr("timestamp_micros(ts DIV 1000)")),
+      "1 minute", watermark = Some("2 minutes"),
+      tsCol = "ts", priceCol = "value", qtyCol = "value", symbolCol = "event_type")
+    // batch-like streaming run: drain everything available, then stop —
+    // the cron-shaped ingestion pattern; sink is lang-partitioned parquet
+    val q = candles.writeStream
+      .trigger(Trigger.AvailableNow())
+      .outputMode("append")
+      .option("checkpointLocation", s"$outDir/_ckpt")
+      .partitionBy("base")
+      .format("parquet")
+      .option("path", s"$outDir/candles")
+      .start()
+    q.awaitTermination(120000L)
+    assert(!q.isActive, "AvailableNow query must self-terminate")
+    val written = spark.read.parquet(s"$outDir/candles")
+    // append mode + watermark: only candles sealed by the final watermark
+    // emit; the last in-flight windows stay in state (expected, > 90%)
+    val sealedCnt = written.count()
+    val total = graft.ohlc.OhlcPipeline.candles(
+      graft.core.Tables.events(spark, d), "1 minute",
+      tsCol = "ts", priceCol = "value", qtyCol = "value",
+      symbolCol = "event_type").count()
+    assert(sealedCnt > total * 9 / 10 && sealedCnt <= total)
+    // partition pruning works on the sink layout
+    val one = written.filter(col("base") === "click")
+    assert(one.queryExecution.executedPlan.toString.contains("PartitionFilters"))
+    assert(one.count() > 0)
+  }
+
   test("multi-query orchestration: shared source lineage, awaitAnyTermination unblocks on first stop") {
     implicit val ctx = spark.sqlContext
     val input = MemoryStream[(String, Long, Double, Double)]
