@@ -41,4 +41,18 @@ class CatalogSpec extends SparkTestBase {
   test("queries and oracleSql keys line up") {
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
   }
+
+  test("plan guard: no CartesianProduct anywhere; SortAggregate only where documented") {
+    // q_ohlc_minby IS the documented SortAggregate path (struct agg buffer);
+    // everything else must hash-aggregate
+    val sortAggAllowed = Set("q_ohlc_minby")
+    Catalog.defs.foreach { case (name, q) =>
+      val plan = q.build(spark, dir).queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"),
+        s"$name plans a CartesianProduct")
+      if (!sortAggAllowed(name))
+        assert(!plan.contains("SortAggregate"),
+          s"$name unexpectedly plans SortAggregate")
+    }
+  }
 }
