@@ -96,7 +96,35 @@ object Similarity {
       .orderedBy("qid", "rnk")
   }
 
+  /** Mean-pooled centroid per label (first `dims` dimensions): the
+    * embedding-aggregation shape (class centroids, cluster summaries).
+    * Per-dim float values cast to exact decimal before summing — a random
+    * float's decimal expansion never terminates at the cast scale, so the
+    * cast is collision-free and the sum order-independent; the final mean
+    * is one IEEE divide, rounded. */
+  def embedPool(s: SparkSession, d: String, dims: Int = 8): DataFrame = {
+    val perDim = (1 to dims).flatMap { i =>
+      Seq(round(
+        (sum(element_at(col("embedding"), i).cast("decimal(20,8)")).cast("double") /
+          count(lit(1))), 6).as(s"m$i"))
+    }
+    Tables.embeddings(s, d)
+      .groupBy(col("label"))
+      .agg(perDim.head, perDim.tail: _*)
+      .orderedBy("label")
+  }
+
+  private def embedPoolOracle(dims: Int): String = {
+    val cols = (1 to dims).map(i =>
+      s"round(CAST(sum(CAST(embedding[$i] AS DECIMAL(20,8))) AS DOUBLE) / count(*), 6) AS m$i")
+      .mkString(",\n       ")
+    s"""SELECT label,
+       |       $cols
+       |FROM embeddings GROUP BY label ORDER BY label""".stripMargin
+  }
+
   val defs: Map[String, QueryDef] = Map(
+    "q_embed_pool" -> QueryDef(embedPool(_, _), Some(embedPoolOracle(8))),
     "q_sim_topk" -> QueryDef(topkBrute(_, _), Some(
       """WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qe
         |           FROM embeddings WHERE vec_id < 20),
