@@ -1,0 +1,46 @@
+package graft.core
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Batch source/sink formats beyond parquet — the ingestion surface of a
+  * training-data pipeline (raw corpora arrive as JSONL/CSV far more often
+  * than as parquet). All readers take explicit schemas: schema inference is
+  * a full extra pass over 100 TB.
+  */
+object Formats {
+
+  /** JSONL with malformed-line tolerance: PERMISSIVE mode routes bad lines
+    * to `_corrupt_record` instead of failing the job — on a web-scale crawl
+    * some fraction of lines is always garbage, and dropping them must be an
+    * explicit, countable decision, not a crash. */
+  def readJsonl(spark: SparkSession, path: String, ddl: String): DataFrame =
+    spark.read
+      .schema(ddl + ", _corrupt_record STRING")
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(path)
+
+  /** Split a tolerant JSONL read into (clean rows, corrupt lines). */
+  def partitionCorrupt(df: DataFrame): (DataFrame, DataFrame) = {
+    val cached = df.cache()
+    (cached.filter(col("_corrupt_record").isNull).drop("_corrupt_record"),
+      cached.filter(col("_corrupt_record").isNotNull).select(col("_corrupt_record")))
+  }
+
+  def writeJsonl(df: DataFrame, path: String, codec: String = "gzip"): Unit =
+    df.write.mode("overwrite").option("compression", codec).json(path)
+
+  def readCsv(spark: SparkSession, path: String, ddl: String,
+              header: Boolean = true): DataFrame =
+    spark.read.schema(ddl).option("header", header.toString).csv(path)
+
+  def writeCsv(df: DataFrame, path: String, header: Boolean = true): Unit =
+    df.write.mode("overwrite").option("header", header.toString).csv(path)
+
+  def readOrc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
+  def writeOrc(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").orc(path)
+}
