@@ -15,7 +15,6 @@ class StreamingSpec extends SparkTestBase {
   import spark.implicits._
 
   private val t0 = 1704067200L // 2024-01-01 00:00:00 UTC
-  private def ts(sec: Long) = new java.sql.Timestamp(sec * 1000)
 
   test("subscription heuristic routes exactly like the reference (main.py:80-85)") {
     assert(SourceFactory.subscriptionOption("a,b") == ("subscribe", "a,b"))
