@@ -54,7 +54,9 @@ object Catalog {
       unix_timestamp(col("start_ts")).as("ws"),
       col("base"),
       col("open"), col("high"), col("low"), col("close"),
-      col("volume")
+      // exact decimal sum, one final double cast — canonicalizes the
+      // decimal width (Spark 30,6 vs DuckDB 38,6) out of the output type
+      col("volume").cast("double").as("volume")
     ).orderedBy("ws", "base")
   }
 
@@ -69,7 +71,7 @@ object Catalog {
         max(col("value")).as("high"),
         min(col("value")).as("low"),
         OhlcPipeline.closeExpr(col("ts"), col("value")).as("close"),
-        sum(col("value").cast("decimal(20,6)")).as("volume")
+        sum(col("value").cast("decimal(20,6)")).cast("double").as("volume")
       )
       .select(unix_timestamp(col("window.start")).as("ws"), col("base"),
         col("open"), col("high"), col("low"), col("close"), col("volume"))
@@ -83,7 +85,7 @@ object Catalog {
       |       max(value) AS high,
       |       min(value) AS low,
       |       last(value ORDER BY date_trunc('microseconds', ts), value) AS close,
-      |       sum(CAST(value AS DECIMAL(20,6))) AS volume
+      |       CAST(sum(CAST(value AS DECIMAL(20,6))) AS DOUBLE) AS volume
       |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
   private val ohlcDefs: Map[String, QueryDef] = Map(

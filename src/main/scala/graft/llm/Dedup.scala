@@ -187,7 +187,7 @@ object Dedup {
         col("x.band") === col("y.band") && col("x.byte") === col("y.byte") &&
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
-        bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).as("hamming"))
+        bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).cast("long").as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxHamming)
       .orderedBy("doc_a", "doc_b")
@@ -229,7 +229,7 @@ object Dedup {
        |  FROM sig, range(0, 4) b(b)),
        |cand AS (
        |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
-       |         bit_count(xor(x.simhash, y.simhash)) AS hamming
+       |         CAST(bit_count(xor(x.simhash, y.simhash)) AS BIGINT) AS hamming
        |  FROM banded x JOIN banded y
        |    ON x.band = y.band AND x.byte = y.byte AND x.doc_id < y.doc_id)
        |SELECT doc_a, doc_b, hamming FROM cand WHERE hamming <= $maxHamming

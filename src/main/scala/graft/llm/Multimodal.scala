@@ -35,11 +35,12 @@ object Multimodal {
     * features. Deterministic, so the oracle can replay it. */
   def decodeStub(bin: Column): Column =
     struct(
-      length(bin).as("n_bytes"),
+      // int64 feature fields, matching DuckDB's octet_length/% output type
+      length(bin).cast("long").as("n_bytes"),
       md5(bin).as("content_md5"),
       ascii(bin.cast("string")).as("first_byte"),
-      pmod(length(bin), lit(640)).as("fake_w"),
-      pmod(length(bin) * 7, lit(480)).as("fake_h")
+      pmod(length(bin), lit(640)).cast("long").as("fake_w"),
+      pmod(length(bin) * 7, lit(480)).cast("long").as("fake_h")
     )
 
   /** Frame sampling: n fixed-width binary slices of the payload (the batch

@@ -23,7 +23,7 @@ object Pipeline {
                   nearThreshold: Double = 0.8): DataFrame = {
     graft.expr.GraftFunctions.register(s)
     val docs = Tables.documents(s, d)
-      .withColumn("n_tokens", size(TextStats.tokens(col("text"))))
+      .withColumn("n_tokens", size(TextStats.tokens(col("text"))).cast("long"))
       .filter(col("n_tokens") >= minTokens && col("n_tokens") <= maxTokens)
     val fpKeep = docs
       .withColumn("fp",

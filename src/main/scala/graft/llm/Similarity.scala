@@ -59,7 +59,7 @@ object Similarity {
     val global = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nbr"))
     scored
       .withColumn("rnk", row_number().over(global)).filter(col("rnk") <= k)
-      .select(col("qid"), col("rnk"), col("nbr"))
+      .select(col("qid"), col("rnk").cast("long").as("rnk"), col("nbr"))
       .orderedBy("qid", "rnk")
   }
 
@@ -92,7 +92,7 @@ object Similarity {
       .filter(col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id").as("nbr"), cosine(col("qe"), col("e")).as("cos"))
       .withColumn("rnk", row_number().over(wTop)).filter(col("rnk") <= k)
-      .select(col("qid"), col("rnk"), col("nbr"))
+      .select(col("qid"), col("rnk").cast("long").as("rnk"), col("nbr"))
       .orderedBy("qid", "rnk")
   }
 

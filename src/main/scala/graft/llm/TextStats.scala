@@ -29,7 +29,8 @@ object TextStats {
     * marker-based language ID. */
   def markerHitsExpr(textExpr: String, markers: Seq[String]): Column = {
     val pred = markers.map(m => s"x = '$m'").mkString(" or ")
-    size(expr(s"filter(split($textExpr, ' '), x -> $pred)"))
+    // int64 to exactly match DuckDB's len() output type
+    size(expr(s"filter(split($textExpr, ' '), x -> $pred)")).cast("long")
   }
 
   val langMarkers: Map[String, Seq[String]] = Map(
@@ -49,8 +50,9 @@ object TextStats {
       .groupBy(col("lang"))
       .agg(
         count(lit(1)).as("doc_cnt"),
-        sum(size(tokens(col("text")))).as("sum_tokens"),
-        sum(col("n_chars")).as("sum_chars"),
+        // both sums emitted as int64 on both sides (DuckDB sums to HUGEINT)
+        sum(size(tokens(col("text")))).cast("long").as("sum_tokens"),
+        sum(col("n_chars")).cast("long").as("sum_chars"),
         countDistinct(col("source")).as("n_sources")
       )
       .withColumn("chars_per_token",
@@ -62,9 +64,9 @@ object TextStats {
   def tokenCount(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d).select(
       col("doc_id"),
-      size(tokens(col("text"))).as("ws_tokens"),
-      size(regexp_extract_all(col("text"), lit("[a-z0-9]+"), lit(0))).as("re_tokens"),
-      length(col("text")).as("chars")
+      size(tokens(col("text"))).cast("long").as("ws_tokens"),
+      size(regexp_extract_all(col("text"), lit("[a-z0-9]+"), lit(0))).cast("long").as("re_tokens"),
+      length(col("text")).cast("long").as("chars")
     ).orderedBy("doc_id")
 
   /** Language ID by marker-word scoring, argmax with a fixed tie order
@@ -130,7 +132,7 @@ object TextStats {
       .filterNot(_.exists(_ > 127)) // ascii markers as the stopword list
     Tables.documents(s, d).select(
       col("doc_id"),
-      size(w).as("n_tokens"),
+      size(w).cast("long").as("n_tokens"),
       round(lit(1.0) * size(array_distinct(w)) / size(w), 4).as("distinct_ratio"),
       round(lit(1.0) * (length(col("text")) - size(w) + 1) / size(w), 4)
         .as("mean_token_len"),
@@ -161,8 +163,8 @@ object TextStats {
     "q_quality" -> QueryDef(quality, Some(qualityOracle)),
     "q_text_stats" -> QueryDef(textStats, Some(
       """SELECT lang, count(*) AS doc_cnt,
-        |       sum(len(string_split(text, ' '))) AS sum_tokens,
-        |       sum(n_chars) AS sum_chars,
+        |       CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS sum_tokens,
+        |       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
         |       count(DISTINCT source) AS n_sources,
         |       round(1.0 * sum(n_chars) / sum(len(string_split(text, ' '))), 4)
         |         AS chars_per_token

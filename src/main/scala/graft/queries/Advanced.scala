@@ -19,7 +19,9 @@ object Advanced {
     Tables.lineitem(s, d)
       .groupBy(col("l_returnflag"))
       .pivot("l_linestatus", Seq("F", "O", "P"))
-      .agg(sum(col("l_quantity").cast("decimal(18,2)")))
+      // One final double cast per pivoted sum: dodges the decimal-width
+      // divergence (Spark 28,2 vs DuckDB 38,2) while the sum stays exact.
+      .agg(sum(col("l_quantity").cast("decimal(18,2)")).cast("double"))
       .withColumnsRenamed(Map("F" -> "qty_f", "O" -> "qty_o", "P" -> "qty_p"))
       .orderedBy("l_returnflag")
 
@@ -33,7 +35,7 @@ object Advanced {
       """SELECT COALESCE(l_returnflag, 'ALL') AS rf,
         |       COALESCE(l_linestatus, 'ALL') AS ls,
         |       count(1) AS cnt,
-        |       sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty
+        |       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
         |FROM lineitem_gs
         |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))""".stripMargin)
       .orderedBy("rf", "ls")
@@ -105,15 +107,15 @@ object Advanced {
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
     "q_pivot" -> QueryDef(pivotQ, Some(
       """SELECT l_returnflag,
-        |       sum(CAST(l_quantity AS DECIMAL(18,2))) FILTER (l_linestatus = 'F') AS qty_f,
-        |       sum(CAST(l_quantity AS DECIMAL(18,2))) FILTER (l_linestatus = 'O') AS qty_o,
-        |       sum(CAST(l_quantity AS DECIMAL(18,2))) FILTER (l_linestatus = 'P') AS qty_p
+        |       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) FILTER (l_linestatus = 'F') AS DOUBLE) AS qty_f,
+        |       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) FILTER (l_linestatus = 'O') AS DOUBLE) AS qty_o,
+        |       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) FILTER (l_linestatus = 'P') AS DOUBLE) AS qty_p
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
     "q_grouping_sets" -> QueryDef(groupingSetsQ, Some(
       """SELECT COALESCE(l_returnflag, 'ALL') AS rf,
         |       COALESCE(l_linestatus, 'ALL') AS ls,
         |       count(1) AS cnt,
-        |       sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty
+        |       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
         |FROM lineitem
         |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
         |ORDER BY rf, ls""".stripMargin)),

@@ -42,7 +42,11 @@ object Relational {
       .groupBy(col("n_name"))
       .agg(
         count(lit(1)).as("order_cnt"),
-        sum(col("o_totalprice").cast("decimal(18,2)")).as("sum_total")
+        // Exact decimal sum, ONE final cast to double: Spark widens
+        // sum(decimal(18,2)) to decimal(28,2) while DuckDB widens to
+        // decimal(38,2) — emitting double sidesteps the width mismatch
+        // without losing determinism (the sum itself stays exact).
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("sum_total")
       )
       .orderedBy("n_name")
 
@@ -54,7 +58,7 @@ object Relational {
       .agg(
         count(col("o_orderkey")).as("order_cnt"),
         coalesce(sum(col("o_totalprice").cast("decimal(18,2)")),
-          lit(0).cast("decimal(18,2)")).as("spend")
+          lit(0).cast("decimal(18,2)")).cast("double").as("spend")
       )
       .orderedBy("c_custkey")
 
@@ -84,7 +88,7 @@ object Relational {
       .groupBy(col("bucket"))
       .agg(
         count(lit(1)).as("part_cnt"),
-        sum(col("p_retailprice").cast("decimal(18,2)")).as("sum_retail")
+        sum(col("p_retailprice").cast("decimal(18,2)")).cast("double").as("sum_retail")
       )
       .orderedBy("bucket")
   }
@@ -122,10 +126,10 @@ object Relational {
     Tables.lineitem(s, d)
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
-        sum(col("l_quantity").cast("decimal(18,2)")).as("sum_qty"),
-        sum(col("l_extendedprice").cast("decimal(18,2)")).as("sum_base"),
+        sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"),
+        sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double").as("sum_base"),
         sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
-          .cast("decimal(24,6)")).as("sum_disc"),
+          .cast("decimal(24,6)")).cast("double").as("sum_disc"),
         count(lit(1)).as("cnt")
       )
       .orderedBy("l_returnflag", "l_linestatus")
@@ -159,7 +163,7 @@ object Relational {
         grouping(col("l_returnflag")).cast("int").as("g_rf"),
         grouping(col("l_linestatus")).cast("int").as("g_ls"),
         count(lit(1)).as("cnt"),
-        sum(col("l_quantity").cast("decimal(18,2)")).as("sum_qty")
+        sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty")
       )
       // coalesce the grouping nulls to a sentinel: Spark sorts NULLS FIRST,
       // DuckDB NULLS LAST — a sentinel dodges the divergence entirely.
@@ -178,9 +182,9 @@ object Relational {
       .orderBy(col("c_acctbal").desc, col("c_custkey"))
     Tables.customer(s, d).select(
       col("c_custkey"), col("c_mktsegment"),
-      row_number().over(w).as("rn"),
-      rank().over(w).as("rnk"),
-      dense_rank().over(w).as("drnk")
+      row_number().over(w).cast("long").as("rn"),
+      rank().over(w).cast("long").as("rnk"),
+      dense_rank().over(w).cast("long").as("drnk")
     ).orderedBy("c_custkey")
   }
 
@@ -200,7 +204,7 @@ object Relational {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     Tables.orders(s, d).select(
       col("o_orderkey"),
-      sum(col("o_totalprice").cast("decimal(18,2)")).over(w).as("running_spend")
+      sum(col("o_totalprice").cast("decimal(18,2)")).over(w).cast("double").as("running_spend")
     ).orderedBy("o_orderkey")
   }
 
@@ -236,14 +240,14 @@ object Relational {
         |ORDER BY n_nationkey""".stripMargin)),
     "q_join_smj" -> QueryDef(joinSmj, Some(
       """SELECT n_name, count(*) AS order_cnt,
-        |       sum(CAST(o_totalprice AS DECIMAL(18,2))) AS sum_total
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_total
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |            JOIN nation ON c_nationkey = n_nationkey
         |GROUP BY n_name ORDER BY n_name""".stripMargin)),
     "q_join_left" -> QueryDef(joinLeft, Some(
       """SELECT c_custkey, count(o_orderkey) AS order_cnt,
-        |       COALESCE(sum(CAST(o_totalprice AS DECIMAL(18,2))),
-        |                CAST(0 AS DECIMAL(18,2))) AS spend
+        |       CAST(COALESCE(sum(CAST(o_totalprice AS DECIMAL(18,2))),
+        |                CAST(0 AS DECIMAL(18,2))) AS DOUBLE) AS spend
         |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
         |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin)),
     "q_join_semi" -> QueryDef(joinSemi, Some(
@@ -257,7 +261,7 @@ object Relational {
         |ORDER BY c_custkey""".stripMargin)),
     "q_join_range" -> QueryDef(joinRange, Some(
       """SELECT bucket, count(*) AS part_cnt,
-        |       sum(CAST(p_retailprice AS DECIMAL(18,2))) AS sum_retail
+        |       CAST(sum(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_retail
         |FROM part JOIN (VALUES (1, 16, 'small'), (17, 33, 'medium'),
         |                       (34, 50, 'large')) b(lo, hi, bucket)
         |  ON p_size >= lo AND p_size <= hi
@@ -280,9 +284,9 @@ object Relational {
         |ORDER BY event_id""".stripMargin)),
     "q_agg_hash" -> QueryDef(aggHash, Some(
       """SELECT l_returnflag, l_linestatus,
-        |       sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
-        |       sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_base,
-        |       sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(24,6))) AS sum_disc,
+        |       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base,
+        |       CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(24,6))) AS DOUBLE) AS sum_disc,
         |       count(*) AS cnt
         |FROM lineitem GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin)),
@@ -310,9 +314,9 @@ object Relational {
         |ORDER BY o_orderkey""".stripMargin)),
     "q_win_frame" -> QueryDef(winFrame, Some(
       """SELECT o_orderkey,
-        |       sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
         |         PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_spend
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_spend
         |FROM orders ORDER BY o_orderkey""".stripMargin)),
     "q_topk" -> QueryDef(topk, Some(
       """SELECT o_orderkey, o_totalprice FROM orders
@@ -340,7 +344,7 @@ object Relational {
        |       CAST(GROUPING(l_returnflag) AS INTEGER) AS g_rf,
        |       CAST(GROUPING(l_linestatus) AS INTEGER) AS g_ls,
        |       count(*) AS cnt,
-       |       sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty
+       |       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
        |FROM lineitem GROUP BY $op(l_returnflag, l_linestatus)
        |ORDER BY rf, ls""".stripMargin
 }

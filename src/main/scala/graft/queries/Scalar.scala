@@ -24,10 +24,13 @@ object Scalar {
       upper(col("p_brand")).as("ub"),
       lower(col("p_type")).as("lt"),
       substring(col("p_name"), 1, 8).as("pre8"),
-      length(col("p_name")).as("nlen"),
+      // int64 everywhere an INT would meet DuckDB's BIGINT: the driver's
+      // hash canonicalizes plain int widths today, but exact-type match
+      // removes the dependence on that behavior (VERDICT r2).
+      length(col("p_name")).cast("long").as("nlen"),
       expr("replace(p_name, ' ', '_')").as("und"),
       split(col("p_name"), " ").getItem(0).as("tok1"),
-      instr(col("p_name"), "a").as("pos_a"),
+      instr(col("p_name"), "a").cast("long").as("pos_a"),
       concat_ws("-", col("p_brand"), col("p_type")).as("cw"),
       lpad(col("p_brand"), 12, "*").as("lp")
     ).orderedBy("p_partkey")
@@ -35,12 +38,12 @@ object Scalar {
   def dateFuncs(s: SparkSession, d: String): DataFrame =
     Tables.orders(s, d).select(
       col("o_orderkey"),
-      year(col("o_orderdate")).as("y"),
-      month(col("o_orderdate")).as("m"),
-      dayofmonth(col("o_orderdate")).as("dd"),
-      quarter(col("o_orderdate")).as("q"),
+      year(col("o_orderdate")).cast("long").as("y"),
+      month(col("o_orderdate")).cast("long").as("m"),
+      dayofmonth(col("o_orderdate")).cast("long").as("dd"),
+      quarter(col("o_orderdate")).cast("long").as("q"),
       date_format(col("o_orderdate"), "yyyy-MM").as("ym"),
-      datediff(col("o_orderdate"), lit("1995-01-01").cast("date")).as("dd95"),
+      datediff(col("o_orderdate"), lit("1995-01-01").cast("date")).cast("long").as("dd95"),
       date_format(add_months(col("o_orderdate"), 3), "yyyy-MM-dd").as("am3"),
       date_format(last_day(col("o_orderdate")), "yyyy-MM-dd").as("ld"),
       date_format(date_trunc("month", col("o_orderdate")), "yyyy-MM-dd").as("mon")
@@ -65,8 +68,8 @@ object Scalar {
     val w = split(col("text"), " ")
     Tables.documents(s, d).select(
       col("doc_id"),
-      size(w).as("n_words"),
-      size(array_distinct(w)).as("n_distinct"),
+      size(w).cast("long").as("n_words"),
+      size(array_distinct(w)).cast("long").as("n_distinct"),
       element_at(w, 1).as("first_word"),
       array_contains(w, "spark").as("has_spark"),
       array_join(slice(sort_array(array_distinct(w)), 1, 3), ",").as("top3")
@@ -154,12 +157,14 @@ object Scalar {
   def higherOrder(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d).select(
       col("doc_id"),
+      // int64 on both sides: DuckDB's list_sum widens to HUGEINT,
+      // Spark's aggregate() stays INT — meet at BIGINT
       expr("aggregate(transform(split(text, ' '), x -> length(x)), 0, (a, x) -> a + x)")
-        .as("tot_chars"),
+        .cast("long").as("tot_chars"),
       element_at(split(col("text"), " "), 1).as("first_w"),
       element_at(split(col("text"), " "), -1).as("last_w"),
-      size(split(col("text"), " ")).as("n_words"),
-      size(expr("filter(split(text, ' '), x -> length(x) > 4)")).as("long_cnt")
+      size(split(col("text"), " ")).cast("long").as("n_words"),
+      size(expr("filter(split(text, ' '), x -> length(x) > 4)")).cast("long").as("long_cnt")
     ).orderedBy("doc_id")
 
   val defs: Map[String, QueryDef] = Map(
@@ -184,8 +189,8 @@ object Scalar {
     "q_math_funcs" -> QueryDef(mathFuncs, Some(
       """SELECT l_orderkey, l_linenumber,
         |       abs(l_discount - 0.05) AS ad, sqrt(l_quantity) AS sq,
-        |       floor(l_extendedprice / 7.0) AS fl,
-        |       ceil(l_extendedprice / 7.0) AS cl,
+        |       CAST(floor(l_extendedprice / 7.0) AS BIGINT) AS fl,
+        |       CAST(ceil(l_extendedprice / 7.0) AS BIGINT) AS cl,
         |       l_quantity * l_quantity AS p2,
         |       round(ln(l_extendedprice), 6) AS lnp,
         |       l_orderkey % 7 AS md,
@@ -244,7 +249,7 @@ object Scalar {
         |FROM lineitem GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin)),
     "q_higher_order" -> QueryDef(higherOrder, Some(
       """SELECT doc_id,
-        |       list_sum(list_transform(string_split(text, ' '), x -> len(x))) AS tot_chars,
+        |       CAST(list_sum(list_transform(string_split(text, ' '), x -> len(x))) AS BIGINT) AS tot_chars,
         |       string_split(text, ' ')[1] AS first_w,
         |       string_split(text, ' ')[-1] AS last_w,
         |       len(string_split(text, ' ')) AS n_words,

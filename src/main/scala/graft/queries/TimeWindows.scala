@@ -24,7 +24,9 @@ object TimeWindows {
       .agg(
         max(col("value")).as("high"),
         min(col("value")).as("low"),
-        sum(col("value").cast("decimal(20,6)")).as("volume"),
+        // exact 6dp-decimal sum, one final double cast (decimal-width
+        // canonicalization — Spark 30,6 vs DuckDB 38,6)
+        sum(col("value").cast("decimal(20,6)")).cast("double").as("volume"),
         count(lit(1)).as("n")
       )
       .select(unix_timestamp(col("window.start")).as("ws"), col("base"),
@@ -38,7 +40,7 @@ object TimeWindows {
     Tables.events(s, d)
       .groupBy(session_window(col("ts"), "5 minutes"), col("user_id"))
       .agg(count(lit(1)).as("n_events"),
-        sum(col("value").cast("decimal(20,6)")).as("sum_value"))
+        sum(col("value").cast("decimal(20,6)")).cast("double").as("sum_value"))
       .select(
         col("user_id"),
         unix_micros(col("session_window.start")).as("sess_start"),
@@ -51,7 +53,7 @@ object TimeWindows {
       """SELECT CAST(epoch(date_trunc('minute', ts) - b.b * INTERVAL 1 MINUTE) AS BIGINT) AS ws,
         |       event_type AS base,
         |       max(value) AS high, min(value) AS low,
-        |       sum(CAST(value AS DECIMAL(20,6))) AS volume,
+        |       CAST(sum(CAST(value AS DECIMAL(20,6))) AS DOUBLE) AS volume,
         |       count(*) AS n
         |FROM events, range(0, 5) b(b)
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
@@ -73,7 +75,7 @@ object TimeWindows {
         |       epoch_us(min(ts)) AS sess_start,
         |       epoch_us(max(ts)) + 300000000 AS sess_end,
         |       count(*) AS n_events,
-        |       sum(CAST(value AS DECIMAL(20,6))) AS sum_value
+        |       CAST(sum(CAST(value AS DECIMAL(20,6))) AS DOUBLE) AS sum_value
         |FROM g GROUP BY user_id, sid
         |ORDER BY user_id, sess_start""".stripMargin))
   )

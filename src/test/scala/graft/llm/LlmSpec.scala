@@ -67,9 +67,9 @@ class LlmSpec extends SparkTestBase {
     val df = Seq((1L, "der hund und der mann"), (2L, "nothing matches here"))
       .toDF("doc_id", "text")
     val out = df.select(col("doc_id"), hits.as("h")).collect()
-      .map(r => r.getLong(0) -> r.getInt(1)).toMap
-    assert(out(1L) == 3) // der ×2 + und ×1, multiplicity counted
-    assert(out(2L) == 0)
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out(1L) == 3L) // der ×2 + und ×1, multiplicity counted
+    assert(out(2L) == 0L)
   }
 
   test("multimodal: frame sampling slices the binary payload at fixed widths") {
@@ -87,7 +87,7 @@ class LlmSpec extends SparkTestBase {
       .select(Multimodal.decodeStub(col("bin")).as("f"))
       .select(col("f.n_bytes"), col("f.content_md5"), col("f.first_byte"))
       .collect().head
-    assert(f.getInt(0) == 5)
+    assert(f.getLong(0) == 5L)
     assert(f.getString(1) == "5d41402abc4b2a76b9719d911017c592") // md5("hello")
     assert(f.getInt(2) == 'h'.toInt)
   }
