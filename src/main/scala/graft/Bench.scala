@@ -33,9 +33,14 @@ object Bench {
       catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}"); false
       }
+      // the timed run is guarded too: one transient failure (OOM, FS
+      // hiccup) records -1.0 for that query instead of losing the JSON line
       val t0 = System.nanoTime()
-      if (ok) runOnce(fn)
-      val sec = if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
+      val ran = ok && (try { runOnce(fn); true }
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] $name timed run failed: ${e.getMessage}"); false
+      })
+      val sec = if (ran) (System.nanoTime() - t0) / 1e9 else -1.0
       name -> sec
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }

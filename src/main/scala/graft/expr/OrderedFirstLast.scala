@@ -3,7 +3,7 @@ package graft.expr
 import java.nio.ByteBuffer
 
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
+import org.apache.spark.sql.catalyst.analysis.{FunctionRegistry, TypeCheckResult}
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.FunctionIdentifier
@@ -29,7 +29,9 @@ final class OrderedPair(var ts: Long, var price: Double, var set: Boolean)
   * no sort of the fact stream. Identical tie semantics, hash-identical
   * output (verified against the same DuckDB oracle as the min_by path).
   *
-  * `ts` is any integral/timestamp column (compared as long), `price` double.
+  * `ts` is any integral or timestamp(-µs) column — widened to long via
+  * Number (an int ts evaluates to java.lang.Integer) — `price` double;
+  * anything else is rejected at analysis time by checkInputDataTypes.
   */
 abstract class OrderedByBase extends TypedImperativeAggregate[OrderedPair] {
   // no-arg abstract base: Java deserialization of the task-serialized
@@ -44,6 +46,17 @@ abstract class OrderedByBase extends TypedImperativeAggregate[OrderedPair] {
   override def dataType: DataType = DoubleType
   override def nullable: Boolean = true
 
+  override def checkInputDataTypes(): TypeCheckResult = tsExpr.dataType match {
+    case ByteType | ShortType | IntegerType | LongType | TimestampType =>
+      priceExpr.dataType match {
+        case DoubleType => TypeCheckResult.TypeCheckSuccess
+        case other => TypeCheckResult.TypeCheckFailure(
+          s"$prettyName value argument must be DOUBLE, got ${other.sql}")
+      }
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName ordering argument must be integral or TIMESTAMP, got ${other.sql}")
+  }
+
   override def createAggregationBuffer(): OrderedPair =
     new OrderedPair(0L, 0.0, false)
 
@@ -51,7 +64,9 @@ abstract class OrderedByBase extends TypedImperativeAggregate[OrderedPair] {
     val tsVal = tsExpr.eval(input)
     val pVal = priceExpr.eval(input)
     if (tsVal != null && pVal != null) {
-      val ts = tsVal.asInstanceOf[Long]
+      // integral widths accepted by checkInputDataTypes all box as Number;
+      // TimestampType evaluates to a java.lang.Long of epoch-µs
+      val ts = tsVal.asInstanceOf[Number].longValue
       val p = pVal.asInstanceOf[Double]
       if (!buf.set || replaces(buf, ts, p)) {
         buf.ts = ts; buf.price = p; buf.set = true
@@ -125,16 +140,18 @@ case class LastByOrdered(
   * `--conf spark.sql.extensions=graft.expr.GraftExtensions` at submit time.
   */
 object GraftFunctions {
-  private def info(name: String) = new ExpressionInfo(classOf[OrderedByBase].getName, name)
+  // each ExpressionInfo names the actual implementing class so DESCRIBE
+  // FUNCTION and analysis errors point at the right source
+  private def info(cls: Class[_], name: String) = new ExpressionInfo(cls.getName, name)
 
   val functions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
-    (FunctionIdentifier("first_by_ordered"), info("first_by_ordered"),
+    (FunctionIdentifier("first_by_ordered"), info(classOf[FirstByOrdered], "first_by_ordered"),
       (children: Seq[Expression]) => FirstByOrdered(children(0), children(1))),
-    (FunctionIdentifier("last_by_ordered"), info("last_by_ordered"),
+    (FunctionIdentifier("last_by_ordered"), info(classOf[LastByOrdered], "last_by_ordered"),
       (children: Seq[Expression]) => LastByOrdered(children(0), children(1))),
-    (FunctionIdentifier("vec_dot"), info("vec_dot"),
+    (FunctionIdentifier("vec_dot"), info(classOf[DotProduct], "vec_dot"),
       (children: Seq[Expression]) => DotProduct(children(0), children(1))),
-    (FunctionIdentifier("word_shingles"), info("word_shingles"),
+    (FunctionIdentifier("word_shingles"), info(classOf[WordShingles], "word_shingles"),
       (children: Seq[Expression]) => {
         val n = children(1) match {
           case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v

@@ -26,10 +26,16 @@ import graft.core.QueryDef.OrderedOut
   */
 object Dedup {
 
-  /** Exact dedup: survivor (min doc_id) + multiplicity per distinct text. */
+  /** Exact dedup: survivor (min doc_id) + multiplicity per distinct text.
+    * Groups by a (md5, length) content key, NOT the text itself — at corpus
+    * scale a full-text grouping key ships the whole corpus through the
+    * exchange; the 16-byte hash + length shuffles ~0.1% of that with a
+    * collision probability (even md5 alone, 500B docs) below 1e-17. */
   def exact(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
-      .groupBy(col("text"))
+      .select(md5(col("text").cast("binary")).as("ck"),
+        length(col("text")).as("cl"), col("doc_id"))
+      .groupBy(col("ck"), col("cl"))
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("cnt"))
       .select(col("keep_id"), col("cnt"))
       .orderedBy("keep_id")
@@ -319,7 +325,8 @@ object Dedup {
   val defs: Map[String, QueryDef] = Map(
     "q_dedup_exact" -> QueryDef(exact(_, _), Some(
       """SELECT min(doc_id) AS keep_id, count(*) AS cnt
-        |FROM documents GROUP BY text ORDER BY keep_id""".stripMargin)),
+        |FROM documents GROUP BY md5(text), length(text)
+        |ORDER BY keep_id""".stripMargin)),
     "q_dedup_fingerprint" -> QueryDef(fingerprint(_, _), Some(
       """SELECT md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fp,
         |       min(doc_id) AS keep_id, count(*) AS cnt

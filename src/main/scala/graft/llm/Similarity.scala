@@ -17,9 +17,11 @@ import graft.core.QueryDef.OrderedOut
   *
   * Scale shapes:
   *   - `topkBrute`: the exact baseline. Query set broadcasts; candidate
-  *     scoring is map-side; top-k goes through a TWO-STAGE window (local
-  *     top-k per (query, shuffle partition), then global top-k of the
-  *     survivors) so the full n×q score set is never globally shuffled.
+  *     scoring is map-side; top-k is a SINGLE row_number window whose
+  *     rank<=k filter Spark 4 rewrites to WindowGroupLimit — per-partition
+  *     top-k pruning before the exchange, so the full n×q score set is
+  *     never globally shuffled (a manual two-stage window would be
+  *     redundant; the plan guard asserts the WindowGroupLimit node).
   *   - `topkBucketed`: the IVF scale path. k-means-style centroids (here a
   *     deterministic seed set — centroid *training* is out of scope),
   *     vectors assigned to nearest centroid (broadcast centroids, map-side),

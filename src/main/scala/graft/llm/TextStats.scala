@@ -25,11 +25,21 @@ object TextStats {
   def shinglesExpr(tokensCol: String, n: Int = 3): Column =
     expr(s"word_shingles(`$tokensCol`, $n)")
 
-  /** Marker-word hit count with multiplicity — the scoring primitive of
-    * marker-based language ID. */
-  def markerHitsExpr(textExpr: String, markers: Seq[String]): Column = {
+  /** Marker-word hit count with multiplicity over a MATERIALIZED
+    * array<string> column — the scoring primitive of marker-based language
+    * ID. Callers must project the token array once first (split inside
+    * each filter lambda would re-tokenize per language — r2's #2 bench
+    * cost); CollapseProject keeps the multi-referenced split alias. */
+  def markerHitsToks(toksCol: String, markers: Seq[String]): Column = {
     val pred = markers.map(m => s"x = '$m'").mkString(" or ")
     // int64 to exactly match DuckDB's len() output type
+    size(expr(s"filter(`$toksCol`, x -> $pred)")).cast("long")
+  }
+
+  /** Convenience single-use variant splitting inline — only for callers
+    * that score ONE marker set (multiple sets: materialize + markerHitsToks). */
+  def markerHitsExpr(textExpr: String, markers: Seq[String]): Column = {
+    val pred = markers.map(m => s"x = '$m'").mkString(" or ")
     size(expr(s"filter(split($textExpr, ' '), x -> $pred)")).cast("long")
   }
 
@@ -74,9 +84,12 @@ object TextStats {
     * vocabulary, so accuracy is meaningless — the operator (score + argmax,
     * deterministic) is what's under test. */
   def langId(s: SparkSession, d: String): DataFrame = {
-    val scored = Tables.documents(s, d).select(
+    // tokenize ONCE, score all 5 languages over the materialized array
+    val toked = Tables.documents(s, d).select(
+      col("doc_id"), col("lang"), tokens(col("text")).as("toks"))
+    val scored = toked.select(
       (Seq(col("doc_id"), col("lang")) ++
-        langsOrdered.map(l => markerHitsExpr("text", langMarkers(l)).as(s"s_$l"))): _*)
+        langsOrdered.map(l => markerHitsToks("toks", langMarkers(l)).as(s"s_$l"))): _*)
     val pred = langsOrdered.init.zipWithIndex.foldRight(lit(langsOrdered.last): Column) {
       case ((l, i), rest) =>
         val geAll = langsOrdered.drop(i + 1)
@@ -127,16 +140,19 @@ object TextStats {
     * digit ratio — every ratio is a single IEEE divide of exact ints
     * (deterministic cross-engine), thresholds compose downstream. */
   def quality(s: SparkSession, d: String): DataFrame = {
-    val w = tokens(col("text"))
     val stop = langMarkers.values.flatten.toSeq.distinct.sorted
       .filterNot(_.exists(_ > 127)) // ascii markers as the stopword list
-    Tables.documents(s, d).select(
+    // tokenize once; every ratio reads the materialized array
+    val toked = Tables.documents(s, d).select(
+      col("doc_id"), col("text"), tokens(col("text")).as("toks"))
+    val w = col("toks")
+    toked.select(
       col("doc_id"),
       size(w).cast("long").as("n_tokens"),
       round(lit(1.0) * size(array_distinct(w)) / size(w), 4).as("distinct_ratio"),
       round(lit(1.0) * (length(col("text")) - size(w) + 1) / size(w), 4)
         .as("mean_token_len"),
-      round(lit(1.0) * markerHitsExpr("text", stop) / size(w), 4).as("stopword_ratio"),
+      round(lit(1.0) * markerHitsToks("toks", stop) / size(w), 4).as("stopword_ratio"),
       round(lit(1.0) * length(regexp_replace(col("text"), "[^0-9]", "")) /
         length(col("text")), 4).as("digit_ratio")
     ).orderedBy("doc_id")

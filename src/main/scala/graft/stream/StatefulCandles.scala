@@ -38,7 +38,14 @@ object StatefulCandles {
     val (openAfter, maxTs) = trades.foldLeft((st0.open, st0.maxTs)) {
       case ((open, mx), t) =>
         val ts = t.timestamp.getTime
-        if (ts + latenessMs < mx - (mx % windowMs)) (open, mx) // too late, window closed
+        // Drop iff the trade's OWN window is already closed-and-emitted
+        // (ws + window <= close boundary mx - lateness). Comparing against
+        // windowStart(mx) instead would let a too-late trade reopen an
+        // emitted window when lateness isn't a multiple of the window
+        // size — a duplicate candle under Append. The mx guard avoids
+        // Long.MinValue - lateness overflow before any trade is seen.
+        if (mx != Long.MinValue &&
+            windowStartMs(ts, windowMs) + windowMs <= mx - latenessMs) (open, mx)
         else {
           val ws = windowStartMs(ts, windowMs)
           val buf = open.getOrElse(ws, OhlcAggregator.zero)

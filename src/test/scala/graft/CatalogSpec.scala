@@ -42,10 +42,13 @@ class CatalogSpec extends SparkTestBase {
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
   }
 
-  test("plan guard: no CartesianProduct anywhere; SortAggregate only where documented") {
+  test("plan guard: no CartesianProduct, no full-text shuffle keys, SortAggregate only where documented") {
     // q_ohlc_minby IS the documented SortAggregate path (struct agg buffer);
     // everything else must hash-aggregate
     val sortAggAllowed = Set("q_ohlc_minby")
+    // a shuffle keyed on the raw document body ships the whole corpus
+    // through the exchange at scale — group on a hash/fingerprint instead
+    val textShuffle = raw"(?i)(hash|range)partitioning\([^\n]*\btext#".r
     Catalog.defs.foreach { case (name, q) =>
       val plan = q.build(spark, dir).queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"),
@@ -53,6 +56,17 @@ class CatalogSpec extends SparkTestBase {
       if (!sortAggAllowed(name))
         assert(!plan.contains("SortAggregate"),
           s"$name unexpectedly plans SortAggregate")
+      plan.linesIterator.filter(_.contains("Exchange")).foreach { line =>
+        assert(textShuffle.findFirstIn(line).isEmpty,
+          s"$name shuffles on the raw text column: $line")
+      }
     }
+  }
+
+  test("plan guard: brute-force ANN top-k prunes map-side via WindowGroupLimit") {
+    val plan = Catalog.defs("q_sim_topk").build(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"),
+      "q_sim_topk lost the WindowGroupLimit pushdown — the full n×q score set would shuffle")
   }
 }

@@ -337,6 +337,38 @@ class StreamingSpec extends SparkTestBase {
     assert(s2.open.keySet == Set((t0 + 200) / 60 * 60 * 1000)) // only the live window
   }
 
+  test("StatefulCandles.advance: no duplicate emission when lateness is not a multiple of the window") {
+    import graft.ohlc.Trade
+    def trade(sec: Long, p: Double) = Trade("a", new java.sql.Timestamp(sec * 1000), p, 1.0)
+    val (w, lat) = (60000L, 90000L) // 90s lateness, 60s window — NOT a multiple
+    // window [0,60s) closes at maxTs=151s (closeBefore = 61s >= 60s)
+    val (s1, out1) = StatefulCandles.advance("a",
+      Iterator(trade(0, 2.0), trade(151, 8.0)), None, w, lat)
+    assert(out1.map(_.start_ts.getTime) == List(0L))
+    // a too-late trade for the emitted window: its own window closed at
+    // 60s <= 151s - 90s, so it must be dropped — the old windowStart(maxTs)
+    // comparison (ts + lat < 120s) let it reopen the window and emit a
+    // duplicate candle on the next eviction pass
+    val (s2, out2) = StatefulCandles.advance("a",
+      Iterator(trade(59, 100.0)), Some(s1), w, lat)
+    assert(out2.isEmpty && !s2.open.contains(0L))
+    val (_, out3) = StatefulCandles.advance("a",
+      Iterator(trade(400, 1.0)), Some(s2), w, lat)
+    assert(!out3.exists(_.start_ts.getTime == 0L))
+
+    // property sweep: random batches, window starts are emitted at most once
+    val rnd = new scala.util.Random(42)
+    var st: Option[StatefulCandles.KeyState] = None
+    val emitted = scala.collection.mutable.Map.empty[Long, Int]
+    for (_ <- 1 to 40) {
+      val batch = List.fill(5)(trade(rnd.nextInt(600).toLong, 1.0 + rnd.nextInt(9)))
+      val (next, out) = StatefulCandles.advance("a", batch.iterator, st, w, lat)
+      st = Some(next)
+      out.foreach(c => emitted(c.start_ts.getTime) = emitted.getOrElse(c.start_ts.getTime, 0) + 1)
+    }
+    assert(emitted.values.forall(_ == 1), s"duplicate emissions: $emitted")
+  }
+
   test("checkpointed query resumes from state (restart keeps candle revisions)") {
     implicit val ctx = spark.sqlContext
     val ckpt = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
