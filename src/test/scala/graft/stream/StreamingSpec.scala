@@ -369,6 +369,59 @@ class StreamingSpec extends SparkTestBase {
     assert(emitted.values.forall(_ == 1), s"duplicate emissions: $emitted")
   }
 
+  test("stream-static join: dim enrichment broadcasts — no stateful join state") {
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[(String, Long, Double)]
+    val stream = input.toDF().toDF("base", "epoch", "price")
+      .withColumn("timestamp", col("epoch").cast("timestamp")).drop("epoch")
+    val dim = Seq(("btc", "satoshi", 8), ("eth", "wei", 18)).toDF("base", "unit", "decimals")
+    val q = Enrich.streamStaticJoin(stream, dim, "base")
+      .writeStream.format("memory").queryName("enriched").outputMode("append").start()
+    try {
+      input.addData(("btc", t0, 5.0), ("eth", t0 + 1, 7.0), ("doge", t0 + 2, 1.0))
+      q.processAllAvailable()
+      val rows = spark.table("enriched").collect()
+        .map(r => (r.getAs[String]("base"), r.getAs[String]("unit"), r.getAs[Int]("decimals")))
+      // inner join: the dim-less base is dropped, matches are enriched
+      assert(rows.toSet == Set(("btc", "satoshi", 8), ("eth", "wei", 18)))
+      // the static side must be broadcast (no shuffle of the stream, no
+      // join state) — asserted on the batch twin of the identical plan
+      val batchPlan = Enrich.streamStaticJoin(
+          Seq(("btc", 5.0)).toDF("base", "price"), dim, "base")
+        .queryExecution.executedPlan.toString
+      assert(batchPlan.contains("BroadcastHashJoin"),
+        s"static dim side not broadcast:\n$batchPlan")
+    } finally q.stop()
+  }
+
+  test("dropDuplicatesWithinWatermark: dups within the delay dropped, state evicted after") {
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[(Long, Long, Double)]
+    val stream = input.toDF().toDF("event_id", "epoch", "price")
+      .withColumn("timestamp", col("epoch").cast("timestamp")).drop("epoch")
+      .withWatermark("timestamp", "2 minutes")
+    val q = Enrich.dedupWithinWatermark(stream, "event_id")
+      .writeStream.format("memory").queryName("deduped").outputMode("append").start()
+    def count(id: Long) = spark.table("deduped").collect()
+      .count(_.getAs[Long]("event_id") == id)
+    try {
+      // same id twice in one batch and again in the next, all within the
+      // 2-minute delay → exactly one emission
+      input.addData((1L, t0, 5.0), (1L, t0 + 1, 5.0), (2L, t0 + 2, 6.0))
+      q.processAllAvailable()
+      input.addData((1L, t0 + 30, 5.0))
+      q.processAllAvailable()
+      assert(count(1L) == 1 && count(2L) == 1)
+      // advance the watermark far past t0 → id state evicted → a late
+      // re-send of id 1 is emitted again (the documented bounded-state trade-off)
+      input.addData((99L, t0 + 3600, 1.0))
+      q.processAllAvailable()
+      input.addData((1L, t0 + 3601, 5.0))
+      q.processAllAvailable()
+      assert(count(1L) == 2, "state for id 1 should have been evicted with the watermark")
+    } finally q.stop()
+  }
+
   test("checkpointed query resumes from state (restart keeps candle revisions)") {
     implicit val ctx = spark.sqlContext
     val ckpt = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
