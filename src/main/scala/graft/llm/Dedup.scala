@@ -81,16 +81,33 @@ object Dedup {
   }
 
   /** MinHash-LSH near-dup: candidate pairs from shared band buckets,
-    * verified with exact shingle-set Jaccard >= `threshold`. */
+    * verified with exact shingle-set Jaccard >= `threshold`.
+    *
+    * `maxBucket` (None = unlimited) caps the band-bucket size BEFORE the
+    * self-join: the bucket join is quadratic within a bucket, and at corpus
+    * scale a boilerplate cluster (license headers, templated pages) can put
+    * millions of docs in one bucket — n² candidate pairs from a single key.
+    * Dropping over-full buckets bounds the join at b·cap²/2 pairs per
+    * bucket; a true near-dup pair lost to one hot band usually re-surfaces
+    * via its other b-1 bands. */
   def near(s: SparkSession, d: String, threshold: Double = 0.8,
-           bands: Int = 4, rows: Int = 3): DataFrame = {
+           bands: Int = 4, rows: Int = 3, maxBucket: Option[Int] = None): DataFrame = {
     graft.expr.GraftFunctions.register(s)
     val docsTok = Tables.documents(s, d)
       .select(col("doc_id"), TextStats.tokens(col("text")).as("toks"))
     val sh = docsTok
       .select(col("doc_id"), TextStats.shinglesExpr("toks").as("sh"))
       .filter(size(col("sh")) > 0)
-    val banded = bandSignatures(sh, bands, rows)
+    val banded0 = bandSignatures(sh, bands, rows)
+    // the bucket-size count windows over the SAME (band, sig) key the
+    // self-join shuffles on — Catalyst reuses the exchange, no extra shuffle
+    val banded = maxBucket match {
+      case Some(cap) =>
+        val wB = org.apache.spark.sql.expressions.Window.partitionBy("band", "sig")
+        banded0.withColumn("bn", count(lit(1)).over(wB))
+          .filter(col("bn") <= cap).drop("bn")
+      case None => banded0
+    }
     val cand = banded.as("x").join(banded.as("y"),
         col("x.band") === col("y.band") && col("x.sig") === col("y.sig") &&
           col("x.doc_id") < col("y.doc_id"))
@@ -115,8 +132,10 @@ object Dedup {
   }
 
   /** The WITH-clause body shared by the near-dup oracle and composed
-    * pipelines (ends with the `pairs` CTE). */
-  private[llm] def nearOracleCtes(bands: Int, rows: Int): String = {
+    * pipelines (ends with the `pairs` CTE). `maxBucket` mirrors the Spark
+    * side's hot-bucket cap. */
+  private[llm] def nearOracleCtes(bands: Int, rows: Int,
+                                  maxBucket: Option[Int] = None): String = {
     val groups = nGroups(bands, rows)
     val hashCols = (0 until groups)
       .map(g => s"md5('$g#' || x) AS h$g").mkString(", ")
@@ -139,8 +158,16 @@ object Dedup {
        |  SELECT doc_id,
        |         $minCols
        |  FROM ex GROUP BY doc_id),
-       |bands AS (
+       |bands0 AS (
        |  $bandSelects),
+       |bands AS (${maxBucket match {
+        case Some(cap) =>
+          s"""
+       |  SELECT doc_id, band, bsig FROM (
+       |    SELECT *, count(*) OVER (PARTITION BY band, bsig) AS bn FROM bands0)
+       |  WHERE bn <= $cap"""
+        case None => "\n       |  SELECT doc_id, band, bsig FROM bands0"
+      }}),
        |cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
        |         FROM bands x JOIN bands y
        |           ON x.band = y.band AND x.bsig = y.bsig AND x.doc_id < y.doc_id),
@@ -151,8 +178,9 @@ object Dedup {
        |  FROM cand JOIN sh a ON a.doc_id = doc_a JOIN sh b ON b.doc_id = doc_b)""".stripMargin
   }
 
-  private def nearOracle(threshold: Double, bands: Int, rows: Int): String =
-    s"""${nearOracleCtes(bands, rows)}
+  private def nearOracle(threshold: Double, bands: Int, rows: Int,
+                         maxBucket: Option[Int] = None): String =
+    s"""${nearOracleCtes(bands, rows, maxBucket)}
        |SELECT doc_a, doc_b, jaccard FROM pairs WHERE jaccard >= $threshold
        |ORDER BY doc_a, doc_b""".stripMargin
 
@@ -333,6 +361,10 @@ object Dedup {
         |FROM documents
         |GROUP BY fp ORDER BY fp""".stripMargin)),
     "q_dedup_near" -> QueryDef(near(_, _), Some(nearOracle(0.8, 4, 3))),
+    // the 100 TB guard-rail variant: band buckets capped at 4 docs before
+    // the quadratic self-join (hot-bucket boilerplate clusters bounded)
+    "q_dedup_near_capped" -> QueryDef(
+      near(_, _, maxBucket = Some(4)), Some(nearOracle(0.8, 4, 3, Some(4)))),
     "q_dedup_simhash" -> QueryDef((s, d) => simhashDocs(s, d).orderedBy("doc_id"),
       Some(simhashOracle)),
     "q_dedup_simhash_pairs" -> QueryDef((s, d) => simhashPairs(s, d),

@@ -93,6 +93,22 @@ object Relational {
       .orderedBy("bucket")
   }
 
+  /** Skew-safe salted equi-join (Layout.saltedJoin): the fact side's join
+    * key is salted into 4 buckets and the dim replicated 4×, so one
+    * dominant key spreads over 4 reducers — the manual skew treatment for
+    * contexts where AQE's runtime skew split can't help (stream-static
+    * joins, deterministic plans). Result is IDENTICAL to the plain join
+    * (the oracle is the unsalted SQL), which is the point: salting is a
+    * physical-layout decision, not a semantic one. */
+  def joinSalted(s: SparkSession, d: String): DataFrame =
+    graft.core.Layout.saltedJoin(
+        Tables.orders(s, d), Tables.customer(s, d), "o_custkey", "c_custkey", 4)
+      .groupBy(col("c_mktsegment"))
+      .agg(
+        count(lit(1)).as("order_cnt"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("sum_total"))
+      .orderedBy("c_mktsegment")
+
   /** As-of join: for every purchase event, the most recent click by the same
     * user at ts' <= ts. Union+window formulation (single shuffle on user_id,
     * sorted once, last(ignoreNulls) running value) — the scalable shape; a
@@ -266,6 +282,11 @@ object Relational {
         |                       (34, 50, 'large')) b(lo, hi, bucket)
         |  ON p_size >= lo AND p_size <= hi
         |GROUP BY bucket ORDER BY bucket""".stripMargin)),
+    "q_join_salted" -> QueryDef(joinSalted, Some(
+      """SELECT c_mktsegment, count(*) AS order_cnt,
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_total
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)),
     "q_join_asof" -> QueryDef(joinAsof, Some(
       """WITH u AS (
         |  SELECT user_id, ts, event_id AS click_id, 0 AS is_p,

@@ -48,6 +48,25 @@ class LlmSpec extends SparkTestBase {
     assert(!cand.exists(p => p._1 == 2L || p._2 == 2L), "unrelated doc must not be a candidate")
   }
 
+  test("near-dup hot-bucket cap: an over-full band bucket is excluded, smaller buckets survive") {
+    // 6 exact copies share EVERY band bucket (identical signatures) → with
+    // maxBucket=4 all their buckets are over-full and the hot cluster
+    // produces no candidates; an independent near-copy pair (bucket size 2)
+    // is untouched. Uncapped, the hot cluster yields all 15 pairs.
+    val other = "completely different words in this unrelated sentence about spark engines"
+    val docs = ((0L until 6L).map(i => (i, base)) ++
+      Seq((10L, other), (11L, other + " tail"))).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft-capdocs").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    def pairs(cap: Option[Int]) =
+      Dedup.near(spark, dir, threshold = 0.8, maxBucket = cap)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val uncapped = pairs(None)
+    val capped = pairs(Some(4))
+    assert(uncapped.size == 15 + 1, s"expected 15 hot-cluster pairs + 1 other, got $uncapped")
+    assert(capped == Set((10L, 11L)), s"cap should keep only the small bucket's pair, got $capped")
+  }
+
   test("cosine: hand-computable vectors") {
     graft.expr.GraftFunctions.register(spark)
     val df = Seq(
