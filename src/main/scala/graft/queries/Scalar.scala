@@ -76,6 +76,34 @@ object Scalar {
     ).orderedBy("doc_id")
   }
 
+  /** Map-typed column surface: construct, merge, probe, enumerate. Outputs
+    * are scalars (probed values, joined key list, cardinality) so the
+    * oracle compares plain types — the map itself never leaves the query. */
+  def mapFuncs(s: SparkSession, d: String): DataFrame = {
+    val m = map_concat(
+      map(lit("nk"), col("n_nationkey").cast("string")),
+      map(lit("name"), col("n_name")))
+    Tables.nation(s, d).select(
+      col("n_nationkey"),
+      element_at(m, "name").as("v_name"),
+      element_at(m, "nk").as("v_nk"),
+      // ANSI mode (Spark 4 default) makes element_at THROW on a missing
+      // key — try_element_at is the null-on-absent probe
+      try_element_at(m, lit("missing")).as("v_absent"),
+      array_join(map_keys(m), ",").as("keys"),
+      size(m).cast("long").as("m_card")
+    ).orderedBy("n_nationkey")
+  }
+
+  /** Generate-node surface: posexplode of the token array — the row-fanout
+    * operator every ingest/flatten pipeline leans on. 1-based positions to
+    * match SQL ordinality. */
+  def explodeQ(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
+      .select(col("doc_id"), (col("pos") + 1).cast("long").as("pos"), col("tok"))
+      .orderedBy("doc_id", "pos")
+
   def jsonGet(s: SparkSession, d: String): DataFrame =
     Tables.events(s, d).select(
       col("event_id"),
@@ -203,6 +231,22 @@ object Scalar {
         |       list_contains(string_split(text, ' '), 'spark') AS has_spark,
         |       array_to_string(list_sort(list_distinct(string_split(text, ' ')))[1:3], ',') AS top3
         |FROM documents ORDER BY doc_id""".stripMargin)),
+    "q_map_funcs" -> QueryDef(mapFuncs, Some(
+      """SELECT n_nationkey,
+        |       n_name AS v_name,
+        |       CAST(n_nationkey AS VARCHAR) AS v_nk,
+        |       CAST(NULL AS VARCHAR) AS v_absent,
+        |       'nk,name' AS keys,
+        |       CAST(2 AS BIGINT) AS m_card
+        |FROM nation ORDER BY n_nationkey""".stripMargin),
+      doc = "map construct/probe/enumerate; oracle replays the observable scalars"),
+    "q_explode" -> QueryDef(explodeQ, Some(
+      // two unnests in one SELECT zip positionally (scalar range() builds
+      // the 1-based ordinality list — the lateral table fn can't correlate)
+      """SELECT doc_id,
+        |       unnest(range(1, len(string_split(text, ' ')) + 1)) AS pos,
+        |       unnest(string_split(text, ' ')) AS tok
+        |FROM documents ORDER BY doc_id, pos""".stripMargin)),
     "q_json_get" -> QueryDef(jsonGet, Some(
       """SELECT event_id, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
         |FROM events ORDER BY event_id""".stripMargin)),
