@@ -4,8 +4,8 @@ import java.nio.ByteBuffer
 
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.{FunctionRegistry, TypeCheckResult}
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.expressions.{And, AttributeReference, Cast, EqualTo, Expression, ExpressionInfo, GreaterThan, If, IsNotNull, LessThan, Literal, Not, Or, UnixMicros}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{DeclarativeAggregate, TypedImperativeAggregate}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.SparkSession
@@ -133,6 +133,109 @@ case class LastByOrdered(
     copy(tsExpr = c(0), priceExpr = c(1))
 }
 
+/** Ordered first/last as a **DeclarativeAggregate**: the same (ts, price)
+  * lexicographic semantics as [[OrderedByBase]], but the buffer is three
+  * mutable PRIMITIVE attributes (long, double, boolean) and every
+  * update/merge is a pure Catalyst expression — so Spark plans
+  * **HashAggregateExec inside whole-stage codegen** (no per-row interpreted
+  * `eval`, no buffer serialization between partial and final).
+  *
+  * This is the registered default for `first_by_ordered`/`last_by_ordered`
+  * (the OHLC hot path); the TypedImperativeAggregate twin stays registered
+  * under `*_obj` as the pattern sketch-style aggregates (HLL, reservoirs —
+  * genuinely object-buffered state) need, and the two are cross-checked
+  * row-for-row in tests.
+  */
+abstract class OrderedByDeclBase extends DeclarativeAggregate {
+  def tsExpr: Expression
+  def priceExpr: Expression
+
+  /** (ts, p) strictly replaces the current (curTs, curP) buffer content. */
+  protected def replaces(curTs: Expression, curP: Expression,
+                         ts: Expression, p: Expression): Expression
+
+  override def children: Seq[Expression] = Seq(tsExpr, priceExpr)
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = tsExpr.dataType match {
+    case ByteType | ShortType | IntegerType | LongType | TimestampType =>
+      priceExpr.dataType match {
+        case DoubleType => TypeCheckResult.TypeCheckSuccess
+        case other => TypeCheckResult.TypeCheckFailure(
+          s"$prettyName value argument must be DOUBLE, got ${other.sql}")
+      }
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName ordering argument must be integral or TIMESTAMP, got ${other.sql}")
+  }
+
+  /** ts widened to long µs-safely: Cast(timestamp AS long) would truncate
+    * to SECONDS — UnixMicros keeps the full ordering resolution. */
+  private def tsLong: Expression = tsExpr.dataType match {
+    case TimestampType => UnixMicros(tsExpr)
+    case LongType      => tsExpr
+    case _             => Cast(tsExpr, LongType)
+  }
+
+  protected lazy val bufTs: AttributeReference =
+    AttributeReference("bufTs", LongType, nullable = false)()
+  protected lazy val bufP: AttributeReference =
+    AttributeReference("bufP", DoubleType, nullable = false)()
+  protected lazy val bufSet: AttributeReference =
+    AttributeReference("bufSet", BooleanType, nullable = false)()
+
+  override lazy val aggBufferAttributes: Seq[AttributeReference] =
+    Seq(bufTs, bufP, bufSet)
+
+  override lazy val initialValues: Seq[Expression] =
+    Seq(Literal(0L), Literal(0.0), Literal(false))
+
+  override lazy val updateExpressions: Seq[Expression] = {
+    val valid = And(IsNotNull(tsExpr), IsNotNull(priceExpr))
+    val take = And(valid, Or(Not(bufSet), replaces(bufTs, bufP, tsLong, priceExpr)))
+    Seq(
+      If(take, tsLong, bufTs),
+      If(take, priceExpr, bufP),
+      Or(bufSet, valid)
+    )
+  }
+
+  override lazy val mergeExpressions: Seq[Expression] = {
+    val takeRight = And(bufSet.right,
+      Or(Not(bufSet.left), replaces(bufTs.left, bufP.left, bufTs.right, bufP.right)))
+    Seq(
+      If(takeRight, bufTs.right, bufTs.left),
+      If(takeRight, bufP.right, bufP.left),
+      Or(bufSet.left, bufSet.right)
+    )
+  }
+
+  override lazy val evaluateExpression: Expression =
+    If(bufSet, bufP, Literal(null, DoubleType))
+}
+
+/** Price at the lexicographically-smallest (ts, price) — codegen path. */
+case class FirstByOrderedDecl(tsExpr: Expression, priceExpr: Expression)
+    extends OrderedByDeclBase {
+  override protected def replaces(curTs: Expression, curP: Expression,
+                                  ts: Expression, p: Expression): Expression =
+    Or(LessThan(ts, curTs), And(EqualTo(ts, curTs), LessThan(p, curP)))
+  override def prettyName: String = "first_by_ordered"
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): FirstByOrderedDecl =
+    copy(tsExpr = c(0), priceExpr = c(1))
+}
+
+/** Price at the lexicographically-largest (ts, price) — codegen path. */
+case class LastByOrderedDecl(tsExpr: Expression, priceExpr: Expression)
+    extends OrderedByDeclBase {
+  override protected def replaces(curTs: Expression, curP: Expression,
+                                  ts: Expression, p: Expression): Expression =
+    Or(GreaterThan(ts, curTs), And(EqualTo(ts, curTs), GreaterThan(p, curP)))
+  override def prettyName: String = "last_by_ordered"
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): LastByOrderedDecl =
+    copy(tsExpr = c(0), priceExpr = c(1))
+}
+
 /** Registration: SQL names `first_by_ordered(ts, price)` /
   * `last_by_ordered(ts, price)` (ts integral — pass `unix_micros(ts)` for
   * timestamps) and `vec_dot(a, b)`. Idempotent per session. Two paths:
@@ -145,9 +248,16 @@ object GraftFunctions {
   private def info(cls: Class[_], name: String) = new ExpressionInfo(cls.getName, name)
 
   val functions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
-    (FunctionIdentifier("first_by_ordered"), info(classOf[FirstByOrdered], "first_by_ordered"),
+    // default = DeclarativeAggregate (HashAggregate, whole-stage codegen)
+    (FunctionIdentifier("first_by_ordered"), info(classOf[FirstByOrderedDecl], "first_by_ordered"),
+      (children: Seq[Expression]) => FirstByOrderedDecl(children(0), children(1))),
+    (FunctionIdentifier("last_by_ordered"), info(classOf[LastByOrderedDecl], "last_by_ordered"),
+      (children: Seq[Expression]) => LastByOrderedDecl(children(0), children(1))),
+    // object-buffered twin (ObjectHashAggregate) — the shape sketch-style
+    // aggregates need; kept registered and cross-checked against the default
+    (FunctionIdentifier("first_by_ordered_obj"), info(classOf[FirstByOrdered], "first_by_ordered_obj"),
       (children: Seq[Expression]) => FirstByOrdered(children(0), children(1))),
-    (FunctionIdentifier("last_by_ordered"), info(classOf[LastByOrdered], "last_by_ordered"),
+    (FunctionIdentifier("last_by_ordered_obj"), info(classOf[LastByOrdered], "last_by_ordered_obj"),
       (children: Seq[Expression]) => LastByOrdered(children(0), children(1))),
     (FunctionIdentifier("vec_dot"), info(classOf[DotProduct], "vec_dot"),
       (children: Seq[Expression]) => DotProduct(children(0), children(1))),

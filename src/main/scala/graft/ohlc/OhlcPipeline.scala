@@ -59,9 +59,11 @@ object OhlcPipeline {
   /** Ordered-first/last aggregation columns with the reference's tie rule —
     * the built-in formulation. CAVEAT: the struct ordering key forces
     * SortAggregate (non-mutable agg buffer), which sorts the entire fact
-    * stream; `candles` uses the custom TypedImperativeAggregate
-    * (graft.expr.OrderedFirstLast) instead, which hash-aggregates with a
-    * 17-byte buffer. Both are oracle-checked (q_ohlc_1m / q_ohlc_minby). */
+    * stream; `candles` uses the custom DeclarativeAggregate
+    * (graft.expr.FirstByOrderedDecl — primitive buffer, HashAggregate,
+    * whole-stage codegen) instead. Both are oracle-checked (q_ohlc_1m /
+    * q_ohlc_minby), and the object-buffered `*_obj` twin is cross-checked
+    * in OhlcAggregatorSpec. */
   def openExpr(ts: Column, price: Column): Column = min_by(price, struct(ts, price))
   def closeExpr(ts: Column, price: Column): Column = max_by(price, struct(ts, price))
 

@@ -35,6 +35,41 @@ class OhlcAggregatorSpec extends SparkTestBase {
     assert(typed(("a", t0))._1 == 3.0 && typed(("a", t0))._4 == 7.0)
   }
 
+  test("declarative and object-buffered ordered aggregates agree (incl. ties, nulls, partitions)") {
+    graft.expr.GraftFunctions.register(spark)
+    // seeded generator: heavy ts ties (7 distinct ts), duplicate prices,
+    // and interleaved null prices that both variants must skip
+    val rnd = new scala.util.Random(7)
+    val rows = (0 until 500).map { i =>
+      val p: java.lang.Double = if (i % 17 == 0) null else rnd.nextInt(13) + 0.5
+      (s"s${i % 3}", t0 * 1000000L + (rnd.nextInt(7) * 1000000L), p)
+    }
+    val df = rows.toDF("base", "ts_us", "price")
+    for (parts <- Seq(1, 4, 16)) {
+      val r = df.repartition(parts).groupBy($"base").agg(
+        org.apache.spark.sql.functions.expr("first_by_ordered(ts_us, price)").as("o_decl"),
+        org.apache.spark.sql.functions.expr("first_by_ordered_obj(ts_us, price)").as("o_obj"),
+        org.apache.spark.sql.functions.expr("last_by_ordered(ts_us, price)").as("c_decl"),
+        org.apache.spark.sql.functions.expr("last_by_ordered_obj(ts_us, price)").as("c_obj"))
+        .collect()
+      r.foreach { row =>
+        assert(row.get(1) == row.get(2), s"open mismatch parts=$parts: $row")
+        assert(row.get(3) == row.get(4), s"close mismatch parts=$parts: $row")
+      }
+      assert(r.length == 3)
+    }
+    // HashAggregate (codegen) for the declarative default, ObjectHashAggregate
+    // only when the object-buffered twin is requested
+    val declPlan = df.groupBy($"base")
+      .agg(org.apache.spark.sql.functions.expr("first_by_ordered(ts_us, price)"))
+      .queryExecution.executedPlan.toString
+    assert(declPlan.contains("HashAggregate") && !declPlan.contains("ObjectHashAggregate"))
+    val objPlan = df.groupBy($"base")
+      .agg(org.apache.spark.sql.functions.expr("first_by_ordered_obj(ts_us, price)"))
+      .queryExecution.executedPlan.toString
+    assert(objPlan.contains("ObjectHashAggregate"))
+  }
+
   test("merge is associative/commutative across partition orders") {
     val trades = (0 until 100).map(i =>
       trade("a", t0 + (i % 7), (i % 13) + 0.5, 1.0))
