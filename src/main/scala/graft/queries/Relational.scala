@@ -200,8 +200,28 @@ object Relational {
       col("c_custkey"), col("c_mktsegment"),
       row_number().over(w).cast("long").as("rn"),
       rank().over(w).cast("long").as("rnk"),
-      dense_rank().over(w).cast("long").as("drnk")
+      dense_rank().over(w).cast("long").as("drnk"),
+      // distribution ranks: exact rationals of (rank, n) — one IEEE divide,
+      // deterministic cross-engine
+      percent_rank().over(w).as("prnk"),
+      cume_dist().over(w).as("cd"),
+      ntile(4).over(w).cast("long").as("quartile")
     ).orderedBy("c_custkey")
+  }
+
+  /** Positional window values over an explicit frame: first/last/nth of the
+    * running frame — raw stored doubles, no arithmetic. last_value over the
+    * default running frame is the current row (both engines agree); nth
+    * before the frame reaches 2 rows is null. */
+  def winValue(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey").orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.orders(s, d).select(
+      col("o_orderkey"),
+      first(col("o_totalprice")).over(w).as("first_p"),
+      last(col("o_totalprice")).over(w).as("last_p"),
+      nth_value(col("o_totalprice"), 2).over(w).as("second_p")
+    ).orderedBy("o_orderkey")
   }
 
   /** lag/lead move raw stored doubles — no arithmetic, bit-identical. */
@@ -322,10 +342,22 @@ object Relational {
     "q_win_rank" -> QueryDef(winRank, Some(
       """SELECT c_custkey, c_mktsegment,
         |       row_number() OVER w AS rn, rank() OVER w AS rnk,
-        |       dense_rank() OVER w AS drnk
+        |       dense_rank() OVER w AS drnk,
+        |       percent_rank() OVER w AS prnk,
+        |       cume_dist() OVER w AS cd,
+        |       ntile(4) OVER w AS quartile
         |FROM customer
         |WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey)
         |ORDER BY c_custkey""".stripMargin)),
+    "q_win_value" -> QueryDef(winValue, Some(
+      """SELECT o_orderkey,
+        |       first_value(o_totalprice) OVER w AS first_p,
+        |       last_value(o_totalprice) OVER w AS last_p,
+        |       nth_value(o_totalprice, 2) OVER w AS second_p
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |ORDER BY o_orderkey""".stripMargin)),
     "q_win_lag" -> QueryDef(winLag, Some(
       """SELECT o_orderkey, o_custkey,
         |       lag(o_totalprice, 1) OVER w AS prev_price,
