@@ -101,6 +101,23 @@ object TextStats {
       .orderedBy("doc_id")
   }
 
+  /** Canonical text normalization — the cleaning primitive ahead of
+    * canonical-form dedup: lowercase, non-alphanumerics to spaces, collapsed
+    * whitespace, trimmed; emitted as the canonical hash + length (the
+    * downstream dedup keys), never the body. Single projection materializes
+    * the canonical form once. */
+  def normalize(s: SparkSession, d: String): DataFrame = {
+    val canon = trim(regexp_replace(
+      regexp_replace(lower(col("text")), "[^a-z0-9 ]", " "), " +", " "))
+    Tables.documents(s, d)
+      .select(col("doc_id"), canon.as("canon"))
+      .select(
+        col("doc_id"),
+        md5(col("canon").cast("binary")).as("canon_md5"),
+        length(col("canon")).cast("long").as("canon_len"))
+      .orderedBy("doc_id")
+  }
+
   /** Document fingerprints: full-content hash, an order-insensitive
     * bag-of-words sketch (first 8 sorted distinct tokens), and a prefix. */
   def docFingerprint(s: SparkSession, d: String): DataFrame = {
@@ -191,6 +208,17 @@ object TextStats {
         |       length(text) AS chars
         |FROM documents ORDER BY doc_id""".stripMargin)),
     "q_lang_id" -> QueryDef(langId, Some(langIdOracle)),
+    "q_text_normalize" -> QueryDef(normalize, Some(
+      // DuckDB regexp_replace needs the 'g' flag (first-match-only default;
+      // Spark's is global)
+      """WITH c AS (
+        |  SELECT doc_id,
+        |         trim(regexp_replace(regexp_replace(lower(text),
+        |              '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS canon
+        |  FROM documents)
+        |SELECT doc_id, md5(canon) AS canon_md5,
+        |       CAST(length(canon) AS BIGINT) AS canon_len
+        |FROM c ORDER BY doc_id""".stripMargin)),
     "q_doc_fingerprint" -> QueryDef(docFingerprint, Some(
       """SELECT doc_id, md5(text) AS md5_text,
         |       md5(array_to_string(list_sort(list_distinct(string_split(text, ' ')))[1:8], ' ')) AS sketch8,

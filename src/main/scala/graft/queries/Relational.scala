@@ -260,6 +260,21 @@ object Relational {
     Tables.orders(s, d).filter(col("o_orderstatus") === "F")
       .select(col("o_custkey").as("key"))
 
+  /** Full outer join over two key sets with exclusives on both sides —
+    * the one outer-join flavor the catalog lacked. Output is the merged
+    * key plus presence flags (null-pattern observability without nullable
+    * payload columns). */
+  def joinFull(s: SparkSession, d: String): DataFrame = {
+    val b = buildingCustomers(s, d).distinct().withColumnRenamed("key", "bk")
+    val f = fOrderCustomers(s, d).distinct().withColumnRenamed("key", "fk")
+    b.join(f, col("bk") === col("fk"), "full_outer")
+      .select(
+        coalesce(col("bk"), col("fk")).as("key"),
+        col("bk").isNotNull.as("in_building"),
+        col("fk").isNotNull.as("in_f"))
+      .orderedBy("key")
+  }
+
   def unionQ(s: SparkSession, d: String): DataFrame =
     buildingCustomers(s, d).union(fOrderCustomers(s, d)).distinct().orderedBy("key")
 
@@ -374,6 +389,16 @@ object Relational {
     "q_topk" -> QueryDef(topk, Some(
       """SELECT o_orderkey, o_totalprice FROM orders
         |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin)),
+    "q_join_full" -> QueryDef(joinFull, Some(
+      """SELECT COALESCE(b.key, f.key) AS key,
+        |       b.key IS NOT NULL AS in_building,
+        |       f.key IS NOT NULL AS in_f
+        |FROM (SELECT DISTINCT c_custkey AS key FROM customer
+        |      WHERE c_mktsegment = 'BUILDING') b
+        |FULL OUTER JOIN (SELECT DISTINCT o_custkey AS key FROM orders
+        |                 WHERE o_orderstatus = 'F') f
+        |  ON b.key = f.key
+        |ORDER BY key""".stripMargin)),
     "q_union" -> QueryDef(unionQ, Some(
       """SELECT c_custkey AS key FROM customer WHERE c_mktsegment = 'BUILDING'
         |UNION
