@@ -43,4 +43,32 @@ object Formats {
 
   def writeOrc(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").orc(path)
+
+  /** Raw text-line ingestion: one row per line (`value: string`) — the
+    * lowest common denominator a crawl dump or log corpus arrives in.
+    * `wholetext=true` flips to one row per FILE (document-per-file
+    * corpora). */
+  def readTextLines(spark: SparkSession, path: String,
+                    wholeFile: Boolean = false): DataFrame =
+    spark.read.option("wholetext", wholeFile.toString).text(path)
+
+  /** Opaque-file ingestion via the `binaryFile` source: one row per file
+    * with (path, modificationTime, length, content: binary) — THE
+    * ingestion shape for multimodal payloads (images/audio/video land as
+    * files; `content` feeds llm.Multimodal's decode path directly).
+    * `pathGlobFilter` prunes by extension at listing time — files that
+    * don't match are never opened. */
+  def readBinaryFiles(spark: SparkSession, path: String,
+                      glob: String = "*"): DataFrame =
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", glob)
+      .load(path)
+
+  /** Union parquet datasets whose schemas drifted (columns added over
+    * time): `mergeSchema` reconciles per-file footers into the union
+    * schema, nulling absent columns — routine at corpus scale where
+    * yesterday's partitions lack today's fields. Off by default in Spark
+    * because it reads every footer; turn it on explicitly per read. */
+  def readParquetMerged(spark: SparkSession, paths: String*): DataFrame =
+    spark.read.option("mergeSchema", "true").parquet(paths: _*)
 }

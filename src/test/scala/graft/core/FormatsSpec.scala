@@ -47,6 +47,49 @@ class FormatsSpec extends SparkTestBase {
     assert(docsSorted(back).toSeq == docsSorted(docs).toSeq)
   }
 
+  test("text-line ingestion: one row per line; wholetext flips to one row per file") {
+    val dir = tmp("graft-text")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(dir, "a.txt"),
+      "line one\nline two\nline three")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(dir, "b.txt"),
+      "solo line")
+    assert(Formats.readTextLines(spark, dir).count() == 4)
+    val whole = Formats.readTextLines(spark, dir, wholeFile = true).collect()
+      .map(_.getString(0)).sorted
+    assert(whole.length == 2 && whole.head == "line one\nline two\nline three")
+  }
+
+  test("binaryFile ingestion: per-file binary rows with metadata; glob prunes at listing") {
+    val dir = tmp("graft-bin")
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "x.img"),
+      Array[Byte](1, 2, 3, 4, 5))
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "y.img"),
+      Array[Byte](9, 8))
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(dir, "skip.txt"), "nope")
+    val rows = Formats.readBinaryFiles(spark, dir, glob = "*.img")
+      .select(col("path"), col("length"), col("content")).collect()
+    assert(rows.length == 2) // the .txt never matched the glob
+    val byLen = rows.map(r => r.getLong(1) -> r.getAs[Array[Byte]]("content")).toMap
+    assert(byLen(5L).toSeq == Seq[Byte](1, 2, 3, 4, 5) && byLen(2L).toSeq == Seq[Byte](9, 8))
+    // the binary content column feeds the multimodal decode stub directly
+    val feat = Formats.readBinaryFiles(spark, dir, glob = "*.img")
+      .select(graft.llm.Multimodal.decodeStub(col("content")).as("f"))
+      .select(col("f.n_bytes")).collect().map(_.getLong(0)).sorted
+    assert(feat.toSeq == Seq(2L, 5L))
+  }
+
+  test("mergeSchema read reconciles drifted parquet schemas, nulling absent columns") {
+    val v1 = tmp("graft-pq-v1"); val v2 = tmp("graft-pq-v2")
+    import spark.implicits._
+    Seq((1L, "alpha")).toDF("doc_id", "text").write.mode("overwrite").parquet(v1)
+    Seq((2L, "beta", "en")).toDF("doc_id", "text", "lang")
+      .write.mode("overwrite").parquet(v2)
+    val merged = Formats.readParquetMerged(spark, v1, v2)
+    assert(merged.columns.sorted.toSeq == Seq("doc_id", "lang", "text"))
+    val byId = merged.collect().map(r => r.getLong(0) -> Option(r.getAs[String]("lang"))).toMap
+    assert(byId(1L).isEmpty && byId(2L).contains("en"))
+  }
+
   test("ORC round-trip preserves lineitem exactly, including doubles and timestamps") {
     val out = tmp("graft-orc")
     val li = Tables.lineitem(spark, d)
