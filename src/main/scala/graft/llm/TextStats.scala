@@ -118,6 +118,21 @@ object TextStats {
       .orderedBy("doc_id")
   }
 
+  /** Corpus vocabulary: global token frequencies, top-k — the
+    * vocabulary/stopword-construction primitive. Scale shape: explode is
+    * map-side, the frequency count partial-aggregates before its exchange,
+    * and the top-k is TakeOrderedAndProject (per-partition heap of k, merge
+    * of k·parts rows) — never a global sort of the vocabulary. Ties broken
+    * on the token so the k-set is deterministic. */
+  def vocabTopk(s: SparkSession, d: String, k: Int = 25): DataFrame =
+    Tables.documents(s, d)
+      .select(explode(tokens(col("text"))).as("tok"))
+      .groupBy(col("tok"))
+      .agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("tok"))
+      .limit(k)
+      .orderedBy("tok")
+
   /** Document fingerprints: full-content hash, an order-insensitive
     * bag-of-words sketch (first 8 sorted distinct tokens), and a prefix. */
   def docFingerprint(s: SparkSession, d: String): DataFrame = {
@@ -219,6 +234,12 @@ object TextStats {
         |SELECT doc_id, md5(canon) AS canon_md5,
         |       CAST(length(canon) AS BIGINT) AS canon_len
         |FROM c ORDER BY doc_id""".stripMargin)),
+    "q_vocab_topk" -> QueryDef(vocabTopk(_, _), Some(
+      """SELECT tok, freq FROM (
+        |  SELECT tok, count(*) AS freq FROM (
+        |    SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+        |  GROUP BY tok ORDER BY freq DESC, tok LIMIT 25)
+        |ORDER BY tok""".stripMargin)),
     "q_doc_fingerprint" -> QueryDef(docFingerprint, Some(
       """SELECT doc_id, md5(text) AS md5_text,
         |       md5(array_to_string(list_sort(list_distinct(string_split(text, ' ')))[1:8], ' ')) AS sketch8,

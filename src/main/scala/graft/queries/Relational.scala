@@ -150,6 +150,28 @@ object Relational {
       )
       .orderedBy("l_returnflag", "l_linestatus")
 
+  /** Salted two-phase aggregation — the skew-agg twin of [[joinSalted]]:
+    * when one grouping key dominates, salt it into buckets, partially
+    * aggregate per (key, salt), then combine the partials per key. Sums and
+    * counts re-aggregate losslessly (exact decimals), so the result is
+    * IDENTICAL to the plain aggregation — the oracle is the unsalted SQL.
+    * Salt is a deterministic content hash (no rand()), per Layout.salted. */
+  def aggSalted(s: SparkSession, d: String): DataFrame = {
+    val partial = Tables.lineitem(s, d)
+      .withColumn("salt",
+        pmod(hash(col("l_orderkey"), col("l_linenumber")), lit(8)))
+      .groupBy(col("l_returnflag"), col("salt"))
+      .agg(
+        sum(col("l_quantity").cast("decimal(18,2)")).as("psum"),
+        count(lit(1)).as("pcnt"))
+    partial
+      .groupBy(col("l_returnflag"))
+      .agg(
+        sum(col("psum")).cast("double").as("sum_qty"),
+        sum(col("pcnt")).as("cnt"))
+      .orderedBy("l_returnflag")
+  }
+
   def aggDistinct(s: SparkSession, d: String): DataFrame =
     Tables.lineitem(s, d)
       .groupBy(col("l_returnflag"))
@@ -346,6 +368,11 @@ object Relational {
         |       count(*) AS cnt
         |FROM lineitem GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin)),
+    "q_agg_salted" -> QueryDef(aggSalted, Some(
+      """SELECT l_returnflag,
+        |       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |       count(*) AS cnt
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
     "q_agg_distinct" -> QueryDef(aggDistinct, Some(
       """SELECT l_returnflag, count(DISTINCT l_partkey) AS parts,
         |       count(DISTINCT l_suppkey) AS supps, count(*) AS cnt
