@@ -52,18 +52,29 @@ object StatefulCandles {
           (open.updated(ws, OhlcAggregator.reduce(buf, t)), math.max(mx, ts))
         }
     }
-    val closeBefore = maxTs - latenessMs
-    val (closed, stillOpen) = openAfter.partition { case (ws, _) =>
-      ws + windowMs <= closeBefore
+    closeUpTo(base, KeyState(openAfter, maxTs), maxTs - latenessMs, windowMs)
+  }
+
+  /** Close (emit + evict) every open window whose end is at or before
+    * `boundMs` — shared by the per-key data-driven eviction (bound =
+    * keyMaxTs - lateness) and the watermark-timeout path (bound = global
+    * watermark). */
+  def closeUpTo(base: String, st: KeyState, boundMs: Long,
+                windowMs: Long): (KeyState, List[Candle]) = {
+    val (closed, stillOpen) = st.open.partition { case (ws, _) =>
+      ws + windowMs <= boundMs
     }
     val candles = closed.toList.sortBy(_._1).map { case (ws, buf) =>
       val (o, h, l, c, v) = OhlcAggregator.finish(buf)
       Candle(base, new Timestamp(ws), new Timestamp(ws + windowMs), o, h, l, c, v)
     }
-    (KeyState(stillOpen, maxTs), candles)
+    (KeyState(stillOpen, st.maxTs), candles)
   }
 
-  /** Streaming wrapper: trades → closed candles, append semantics. */
+  /** Streaming wrapper: trades → closed candles, append semantics.
+    * CAVEAT: eviction is driven by each key's OWN event time — a symbol
+    * that stops trading never closes its last window(s). Use
+    * [[closedCandlesIdleClose]] when stream tails must emit. */
   def closedCandles(
       trades: Dataset[Trade],
       windowMs: Long = 60000L,
@@ -77,6 +88,45 @@ object StatefulCandles {
         (base: String, it: Iterator[Trade], state: GroupState[KeyState]) =>
           val (next, out) = advance(base, it, state.getOption, windowMs, latenessMs)
           state.update(next)
+          out.iterator
+      }
+  }
+
+  /** [[closedCandles]] plus idle-key closure via EventTimeTimeout: when the
+    * GLOBAL watermark (all keys' max event time minus the lateness delay)
+    * passes an open window's end, the window closes even if its own key
+    * went quiet — the stream-tail correctness the per-key variant cannot
+    * provide. After each batch the timeout is armed at the earliest open
+    * window end; on fire, every window at or before the watermark emits and
+    * fully-drained keys drop their state (bounded state for dead keys). */
+  def closedCandlesIdleClose(
+      trades: Dataset[Trade],
+      windowMs: Long = 60000L,
+      latenessMs: Long = 120000L
+  ): Dataset[Candle] = {
+    import trades.sparkSession.implicits._
+    trades
+      .withWatermark("timestamp", s"${latenessMs / 1000} seconds")
+      .groupByKey(_.base)
+      .flatMapGroupsWithState[KeyState, Candle](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (base: String, it: Iterator[Trade], state: GroupState[KeyState]) =>
+          val (next, out) =
+            if (state.hasTimedOut)
+              closeUpTo(base, state.get, state.getCurrentWatermarkMs(), windowMs)
+            else
+              advance(base, it, state.getOption, windowMs, latenessMs)
+          if (next.open.isEmpty && state.hasTimedOut) state.remove()
+          else {
+            state.update(next)
+            if (next.open.nonEmpty) {
+              // arm at the earliest remaining close boundary, but never at
+              // or behind the current watermark (Spark rejects that)
+              val earliestEnd = next.open.keys.min + windowMs
+              state.setTimeoutTimestamp(
+                math.max(earliestEnd, state.getCurrentWatermarkMs() + 1))
+            }
+          }
           out.iterator
       }
   }

@@ -325,6 +325,35 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("closedCandlesIdleClose: an idle key's window closes when the GLOBAL watermark passes it") {
+    implicit val ctx = spark.sqlContext
+    import graft.ohlc.Trade
+    def trade(base: String, sec: Long, p: Double) =
+      Trade(base, new java.sql.Timestamp(sec * 1000), p, 1.0)
+    val input = MemoryStream[Trade]
+    val q = StatefulCandles.closedCandlesIdleClose(input.toDS())
+      .writeStream.format("memory").queryName("idle_close").outputMode("append").start()
+    def bases() = spark.table("idle_close").collect().map(_.getAs[String]("base")).toSeq
+    try {
+      // b trades once in w0 then goes quiet; a keeps trading
+      input.addData(trade("a", t0 + 5, 1.0), trade("b", t0 + 10, 9.0))
+      q.processAllAvailable()
+      assert(bases().isEmpty)
+      // a advances the GLOBAL watermark past w0's close + lateness; the
+      // next batch fires b's event-time timeout even though b got no data
+      input.addData(trade("a", t0 + 600, 1.1))
+      q.processAllAvailable()
+      input.addData(trade("a", t0 + 601, 1.2))
+      q.processAllAvailable()
+      assert(bases().contains("b"),
+        s"idle key b must close via watermark timeout, got ${bases()}")
+      // the per-key variant CANNOT do this — b's own event time never moved
+      val rows = spark.table("idle_close").collect()
+      val b = rows.filter(_.getAs[String]("base") == "b")
+      assert(b.length == 1 && b.head.getAs[Double]("open") == 9.0)
+    } finally q.stop()
+  }
+
   test("StatefulCandles.advance: pure state transition closes and evicts windows") {
     import graft.ohlc.Trade
     def trade(sec: Long, p: Double) = Trade("a", new java.sql.Timestamp(sec * 1000), p, 1.0)
