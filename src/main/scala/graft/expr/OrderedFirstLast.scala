@@ -15,6 +15,24 @@ import org.apache.spark.sql.SparkSession
 final class OrderedPair(var ts: Long, var price: Double, var set: Boolean)
     extends Serializable
 
+/** Shared analysis-time signature check for BOTH ordered-aggregate families
+  * — one source of truth, so the declarative default and the `*_obj` twin
+  * (cross-checked row-for-row in tests) can never drift in what they
+  * accept. */
+private[expr] object OrderedByTypes {
+  def check(tsExpr: Expression, priceExpr: Expression,
+            prettyName: String): TypeCheckResult = tsExpr.dataType match {
+    case ByteType | ShortType | IntegerType | LongType | TimestampType =>
+      priceExpr.dataType match {
+        case DoubleType => TypeCheckResult.TypeCheckSuccess
+        case other => TypeCheckResult.TypeCheckFailure(
+          s"$prettyName value argument must be DOUBLE, got ${other.sql}")
+      }
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName ordering argument must be integral or TIMESTAMP, got ${other.sql}")
+  }
+}
+
 /** Single-pass ordered first/last aggregate (SURVEY.md §7.3): the price at
   * the lexicographically smallest/largest (ts, price) — the reference's OHLC
   * open/close semantics (main.py:153-158: array_sort of (t, p) structs is
@@ -46,16 +64,8 @@ abstract class OrderedByBase extends TypedImperativeAggregate[OrderedPair] {
   override def dataType: DataType = DoubleType
   override def nullable: Boolean = true
 
-  override def checkInputDataTypes(): TypeCheckResult = tsExpr.dataType match {
-    case ByteType | ShortType | IntegerType | LongType | TimestampType =>
-      priceExpr.dataType match {
-        case DoubleType => TypeCheckResult.TypeCheckSuccess
-        case other => TypeCheckResult.TypeCheckFailure(
-          s"$prettyName value argument must be DOUBLE, got ${other.sql}")
-      }
-    case other => TypeCheckResult.TypeCheckFailure(
-      s"$prettyName ordering argument must be integral or TIMESTAMP, got ${other.sql}")
-  }
+  override def checkInputDataTypes(): TypeCheckResult =
+    OrderedByTypes.check(tsExpr, priceExpr, prettyName)
 
   override def createAggregationBuffer(): OrderedPair =
     new OrderedPair(0L, 0.0, false)
@@ -158,16 +168,8 @@ abstract class OrderedByDeclBase extends DeclarativeAggregate {
   override def dataType: DataType = DoubleType
   override def nullable: Boolean = true
 
-  override def checkInputDataTypes(): TypeCheckResult = tsExpr.dataType match {
-    case ByteType | ShortType | IntegerType | LongType | TimestampType =>
-      priceExpr.dataType match {
-        case DoubleType => TypeCheckResult.TypeCheckSuccess
-        case other => TypeCheckResult.TypeCheckFailure(
-          s"$prettyName value argument must be DOUBLE, got ${other.sql}")
-      }
-    case other => TypeCheckResult.TypeCheckFailure(
-      s"$prettyName ordering argument must be integral or TIMESTAMP, got ${other.sql}")
-  }
+  override def checkInputDataTypes(): TypeCheckResult =
+    OrderedByTypes.check(tsExpr, priceExpr, prettyName)
 
   /** ts widened to long µs-safely: Cast(timestamp AS long) would truncate
     * to SECONDS — UnixMicros keeps the full ordering resolution. */
@@ -237,8 +239,9 @@ case class LastByOrderedDecl(tsExpr: Expression, priceExpr: Expression)
 }
 
 /** Registration: SQL names `first_by_ordered(ts, price)` /
-  * `last_by_ordered(ts, price)` (ts integral — pass `unix_micros(ts)` for
-  * timestamps) and `vec_dot(a, b)`. Idempotent per session. Two paths:
+  * `last_by_ordered(ts, price)` (ts integral or TIMESTAMP — timestamps
+  * widen µs-safely inside the aggregate, no manual unix_micros needed)
+  * and `vec_dot(a, b)`. Idempotent per session. Two paths:
   * `GraftFunctions.register(spark)` imperatively, or
   * `--conf spark.sql.extensions=graft.expr.GraftExtensions` at submit time.
   */

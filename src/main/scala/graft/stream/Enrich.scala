@@ -31,6 +31,8 @@ object Enrich {
 
   /** Event-id dedup with state bounded by the stream's watermark. The input
     * must already carry a watermark (`withWatermark`). */
-  def dedupWithinWatermark(stream: DataFrame, idCols: String*): DataFrame =
-    stream.dropDuplicatesWithinWatermark(idCols.head, idCols.tail: _*)
+  def dedupWithinWatermark(stream: DataFrame, idCols: String*): DataFrame = {
+    require(idCols.nonEmpty, "dedupWithinWatermark needs at least one id column")
+    stream.dropDuplicatesWithinWatermark(idCols)
+  }
 }

@@ -38,14 +38,19 @@ object StatefulCandles {
     val (openAfter, maxTs) = trades.foldLeft((st0.open, st0.maxTs)) {
       case ((open, mx), t) =>
         val ts = t.timestamp.getTime
-        // Drop iff the trade's OWN window is already closed-and-emitted
-        // (ws + window <= close boundary mx - lateness). Comparing against
-        // windowStart(mx) instead would let a too-late trade reopen an
-        // emitted window when lateness isn't a multiple of the window
-        // size — a duplicate candle under Append. The mx guard avoids
+        // Drop iff the trade's OWN window was closed-and-emitted in a
+        // PREVIOUS batch: ws + window <= st0.maxTs - lateness — exactly the
+        // bound the previous batch closed with. The bound is the
+        // batch-ENTRY max, never the running in-batch max: an iterator
+        // that happens to order a big advancer before a same-batch earlier
+        // trade must not drop it (flatMapGroupsWithState guarantees no
+        // intra-group order, and output must not depend on it). Comparing
+        // against windowStart(maxTs) instead would let a too-late trade
+        // reopen an emitted window when lateness isn't a multiple of the
+        // window size — a duplicate candle under Append. The guard avoids
         // Long.MinValue - lateness overflow before any trade is seen.
-        if (mx != Long.MinValue &&
-            windowStartMs(ts, windowMs) + windowMs <= mx - latenessMs) (open, mx)
+        if (st0.maxTs != Long.MinValue &&
+            windowStartMs(ts, windowMs) + windowMs <= st0.maxTs - latenessMs) (open, mx)
         else {
           val ws = windowStartMs(ts, windowMs)
           val buf = open.getOrElse(ws, OhlcAggregator.zero)
@@ -106,7 +111,10 @@ object StatefulCandles {
   ): Dataset[Candle] = {
     import trades.sparkSession.implicits._
     trades
-      .withWatermark("timestamp", s"${latenessMs / 1000} seconds")
+      // milliseconds, not a seconds division — a sub-second lateness
+      // component must not silently shrink the watermark delay below the
+      // per-key bound advance() uses
+      .withWatermark("timestamp", s"$latenessMs milliseconds")
       .groupByKey(_.base)
       .flatMapGroupsWithState[KeyState, Candle](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {

@@ -11,6 +11,7 @@ import org.apache.spark.sql.SparkSession
 object RepeatTimer {
   def main(args: Array[String]): Unit = {
     val reps = args.head.toInt
+    require(reps >= 1, s"reps must be >= 1, got $reps")
     val names = args.tail.toSeq
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -31,7 +32,11 @@ object RepeatTimer {
       }
       run() // warm-up
       val times = (1 to reps).map(_ => run())
-      println(f"$n%-24s ${times.map(t => f"$t%.2f").mkString(" ")}  median=${times.sorted.apply(reps / 2)}%.2f")
+      val s = times.sorted
+      // true median: middle element, or mean of the two middles for even n
+      val median =
+        if (reps % 2 == 1) s(reps / 2) else (s(reps / 2 - 1) + s(reps / 2)) / 2.0
+      println(f"$n%-24s ${times.map(t => f"$t%.2f").mkString(" ")}  median=$median%.2f")
     }
     spark.stop()
   }

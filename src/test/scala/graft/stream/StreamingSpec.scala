@@ -385,6 +385,16 @@ class StreamingSpec extends SparkTestBase {
       Iterator(trade(400, 1.0)), Some(s2), w, lat)
     assert(!out3.exists(_.start_ts.getTime == 0L))
 
+    // intra-batch iterator order must not change the output: the drop
+    // bound is the batch-ENTRY max (flatMapGroupsWithState guarantees no
+    // ordering within a group). With a running max, [advancer, early]
+    // would drop the early trade that [early, advancer] keeps.
+    val fwd = StatefulCandles.advance("a", Iterator(trade(10, 2.0), trade(200, 8.0)), None, w, lat)
+    val rev = StatefulCandles.advance("a", Iterator(trade(200, 8.0), trade(10, 2.0)), None, w, lat)
+    assert(fwd._2 == rev._2 && fwd._1.open == rev._1.open,
+      s"advance depends on intra-batch order: $fwd vs $rev")
+    assert(fwd._2.map(_.start_ts.getTime) == List(0L), "window [0,60s) must emit with the early trade")
+
     // property sweep: random batches, window starts are emitted at most once
     val rnd = new scala.util.Random(42)
     var st: Option[StatefulCandles.KeyState] = None

@@ -30,7 +30,7 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
 INT_FAMILY = {"TINYINT", "SMALLINT", "INTEGER", "BIGINT",
-              "UTINYINT", "USMALLINT", "UINTEGER"}
+              "UTINYINT", "USMALLINT", "UINTEGER", "UBIGINT"}
 
 
 def canon_type(t):
