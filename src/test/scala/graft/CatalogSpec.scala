@@ -63,6 +63,22 @@ class CatalogSpec extends SparkTestBase {
     }
   }
 
+  test("catalog queries run concurrently through one shared session") {
+    // a shared SparkSession must serve parallel jobs (the FAIR-scheduler /
+    // multi-tenant shape): 8 queries on 8 threads, results identical to
+    // their sequential runs
+    val names = Seq("q_agg_hash", "q_join_broadcast", "q_topk", "q_string_funcs",
+      "q_win_rank", "q_dedup_exact", "q_map_funcs", "q_vocab_topk")
+    val sequential = names.map(n => n -> Catalog.defs(n).build(spark, dir).count()).toMap
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val concurrent = Await.result(
+      Future.sequence(names.map(n =>
+        Future(n -> Catalog.defs(n).build(spark, dir).count()))), 5.minutes).toMap
+    assert(concurrent == sequential)
+  }
+
   test("plan guard: brute-force ANN top-k prunes map-side via WindowGroupLimit") {
     val plan = Catalog.defs("q_sim_topk").build(spark, dir)
       .queryExecution.executedPlan.toString

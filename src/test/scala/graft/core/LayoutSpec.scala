@@ -43,6 +43,24 @@ class LayoutSpec extends SparkTestBase {
     }
   }
 
+  test("salted two-phase aggregation equals the plain aggregation on a skewed key") {
+    import spark.implicits._
+    // 90% of rows share one group key — the salted-agg target
+    val df = (1 to 1000).map(i => (if (i <= 900) "hot" else s"k$i", i.toDouble))
+      .toDF("k", "v")
+    val plain = df.groupBy(col("k"))
+      .agg(sum(col("v")).as("s"), count(lit(1)).as("c"))
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2))).toSet
+    val partial = df
+      .withColumn("salt", pmod(hash(col("v")), lit(8)))
+      .groupBy(col("k"), col("salt"))
+      .agg(sum(col("v")).as("ps"), count(lit(1)).as("pc"))
+    val salted = partial.groupBy(col("k"))
+      .agg(sum(col("ps")).as("s"), sum(col("pc")).as("c"))
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2))).toSet
+    assert(salted == plain && plain.size == 101)
+  }
+
   test("saltedJoin: equals the plain join on a skewed key distribution") {
     // 90% of fact rows share one key — the salting target
     val fact = (1 to 1000).map(i => (if (i <= 900) 1L else i.toLong, i)).toDF("k", "v")
