@@ -33,17 +33,23 @@ object Layout {
 
   /** Skew-safe equi-join of a skewed fact against a small dim: the dim is
     * replicated `saltBuckets` times (explode) so every salted fact bucket
-    * finds its row; the join key becomes (key, salt). The fact salt may be
-    * anything (here a per-row hash) — correctness never depends on its
-    * value because the dim carries all salts; it only spreads the heavy key
-    * over `saltBuckets` reducers. Use when one fact key dominates and AQE's
+    * finds its row; the join key becomes (key, salt). Correctness never
+    * depends on the salt's value (the dim carries all salts); it only
+    * spreads the heavy key over `saltBuckets` reducers. The salt is a
+    * DETERMINISTIC content hash of the fact row (`saltFrom` columns, or
+    * every fact column when empty) — no rand(), no
+    * monotonically_increasing_id — so retries and re-runs replay the same
+    * partitioning. Caveat: byte-identical duplicate fact rows share a salt;
+    * pass a distinguishing `saltFrom` (e.g. a row id) when duplicates of
+    * one heavy key dominate. Use when one fact key dominates and AQE's
     * skew split isn't available (e.g. stream-static joins). */
   def saltedJoin(
       fact: DataFrame, dim: DataFrame, factKey: String, dimKey: String,
-      saltBuckets: Int
+      saltBuckets: Int, saltFrom: Seq[String] = Nil
   ): DataFrame = {
+    val saltCols = (if (saltFrom.nonEmpty) saltFrom else fact.columns.toSeq).map(col)
     val saltedFact = fact.withColumn("__salt",
-      pmod(hash(col(factKey), monotonically_increasing_id()), lit(saltBuckets)))
+      pmod(hash(saltCols: _*), lit(saltBuckets)))
     val saltedDim = dim.withColumn("__salt",
       explode(array((0 until saltBuckets).map(lit): _*)))
     saltedFact.join(saltedDim,

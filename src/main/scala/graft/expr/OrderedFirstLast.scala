@@ -15,6 +15,25 @@ import org.apache.spark.sql.SparkSession
 final class OrderedPair(var ts: Long, var price: Double, var set: Boolean)
     extends Serializable
 
+/** Catalyst's double total order (NaN == NaN, NaN greater than every other
+  * value, -0.0 == 0.0 — the `nanSafeCompareDoubles` semantics Catalyst's
+  * LessThan/GreaterThan codegen uses for doubles). The imperative twins
+  * tie-break through THIS, not Java primitive `<`/`>` (where any NaN
+  * comparison is false), so `first_by_ordered_obj` and the declarative
+  * default can never diverge when NaN prices share the winning ts.
+  * java.lang.Double.compare alone would also differ: it orders
+  * -0.0 < 0.0, which Catalyst does not. */
+private[expr] object NanSafeOrd {
+  def compare(x: Double, y: Double): Int = {
+    val xn = java.lang.Double.isNaN(x)
+    val yn = java.lang.Double.isNaN(y)
+    if ((xn && yn) || x == y) 0
+    else if (xn) 1
+    else if (yn) -1
+    else if (x > y) 1 else -1
+  }
+}
+
 /** Shared analysis-time signature check for BOTH ordered-aggregate families
   * — one source of truth, so the declarative default and the `*_obj` twin
   * (cross-checked row-for-row in tests) can never drift in what they
@@ -115,7 +134,7 @@ case class FirstByOrdered(
     override val inputAggBufferOffset: Int = 0
 ) extends OrderedByBase {
   override protected def replaces(buf: OrderedPair, ts: Long, p: Double): Boolean =
-    ts < buf.ts || (ts == buf.ts && p < buf.price)
+    ts < buf.ts || (ts == buf.ts && NanSafeOrd.compare(p, buf.price) < 0)
   override def prettyName: String = "first_by_ordered"
   override def withNewMutableAggBufferOffset(offset: Int): FirstByOrdered =
     copy(mutableAggBufferOffset = offset)
@@ -133,7 +152,7 @@ case class LastByOrdered(
     override val inputAggBufferOffset: Int = 0
 ) extends OrderedByBase {
   override protected def replaces(buf: OrderedPair, ts: Long, p: Double): Boolean =
-    ts > buf.ts || (ts == buf.ts && p > buf.price)
+    ts > buf.ts || (ts == buf.ts && NanSafeOrd.compare(p, buf.price) > 0)
   override def prettyName: String = "last_by_ordered"
   override def withNewMutableAggBufferOffset(offset: Int): LastByOrdered =
     copy(mutableAggBufferOffset = offset)

@@ -25,13 +25,22 @@ object TextStats {
   def shinglesExpr(tokensCol: String, n: Int = 3): Column =
     expr(s"word_shingles(`$tokensCol`, $n)")
 
+  /** Spark-SQL string-literal escape for a marker word spliced into an
+    * `expr(...)` lambda (backslash first, then quote — Spark string
+    * literals are backslash-escaped, and '' would parse as two adjacent
+    * literals). The built-in langMarkers are plain words; this keeps
+    * caller-supplied markers with quotes/backslashes from breaking the
+    * parse or injecting expression text. */
+  private def sqlLit(m: String): String =
+    m.replace("\\", "\\\\").replace("'", "\\'")
+
   /** Marker-word hit count with multiplicity over a MATERIALIZED
     * array<string> column — the scoring primitive of marker-based language
     * ID. Callers must project the token array once first (split inside
     * each filter lambda would re-tokenize per language — r2's #2 bench
     * cost); CollapseProject keeps the multi-referenced split alias. */
   def markerHitsToks(toksCol: String, markers: Seq[String]): Column = {
-    val pred = markers.map(m => s"x = '$m'").mkString(" or ")
+    val pred = markers.map(m => s"x = '${sqlLit(m)}'").mkString(" or ")
     // int64 to exactly match DuckDB's len() output type
     size(expr(s"filter(`$toksCol`, x -> $pred)")).cast("long")
   }
@@ -39,7 +48,7 @@ object TextStats {
   /** Convenience single-use variant splitting inline — only for callers
     * that score ONE marker set (multiple sets: materialize + markerHitsToks). */
   def markerHitsExpr(textExpr: String, markers: Seq[String]): Column = {
-    val pred = markers.map(m => s"x = '$m'").mkString(" or ")
+    val pred = markers.map(m => s"x = '${sqlLit(m)}'").mkString(" or ")
     size(expr(s"filter(split($textExpr, ' '), x -> $pred)")).cast("long")
   }
 

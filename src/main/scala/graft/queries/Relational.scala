@@ -97,9 +97,12 @@ object Relational {
     * key is salted into 4 buckets and the dim replicated 4×, so one
     * dominant key spreads over 4 reducers — the manual skew treatment for
     * contexts where AQE's runtime skew split can't help (stream-static
-    * joins, deterministic plans). Result is IDENTICAL to the plain join
-    * (the oracle is the unsalted SQL), which is the point: salting is a
-    * physical-layout decision, not a semantic one. */
+    * joins, deterministic plans). The salt is a deterministic content hash
+    * of the fact row (Layout.saltedJoin — no rand(), no
+    * monotonically_increasing_id), so re-runs and task retries replay the
+    * same partitioning. Result is IDENTICAL to the plain join (the oracle
+    * is the unsalted SQL), which is the point: salting is a physical-layout
+    * decision, not a semantic one. */
   def joinSalted(s: SparkSession, d: String): DataFrame =
     graft.core.Layout.saltedJoin(
         Tables.orders(s, d), Tables.customer(s, d), "o_custkey", "c_custkey", 4)

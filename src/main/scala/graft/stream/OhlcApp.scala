@@ -32,8 +32,11 @@ object OhlcConfig {
       subscribeTopics = req("KAFKA_SUBSCRIBE_TOPICS"),
       outputPrefix = req("KAFKA_OUTPUT_PREFIX"),
       checkpointLocation = req("CHECKPOINT_LOCATION"),
-      windowDuration = env.getOrElse("WINDOW_DURATION", "1 minute"),
-      watermarkDelay = env.getOrElse("WATERMARK_DELAY", "2 minutes"),
+      // no in-code defaults, matching the reference: all 8 keys are
+      // required (its fail-fast lives in the docker entrypoint; the
+      // .env.example defaults are deployment config, not code)
+      windowDuration = req("WINDOW_DURATION"),
+      watermarkDelay = req("WATERMARK_DELAY"),
       debug = env.get("GRAFT_DEBUG").contains("true")
     )
   }

@@ -124,16 +124,20 @@ object StatefulCandles {
               closeUpTo(base, state.get, state.getCurrentWatermarkMs(), windowMs)
             else
               advance(base, it, state.getOption, windowMs, latenessMs)
-          if (next.open.isEmpty && state.hasTimedOut) state.remove()
+          // Remove drained state on BOTH branches: a key whose windows all
+          // closed via the data path must not keep an empty KeyState with no
+          // timeout armed (EventTimeTimeout never fires without a registered
+          // timestamp — the state would leak forever). Dropping maxTs is
+          // safe: any trade that could target an already-emitted window is
+          // below the watermark and filtered before this function runs.
+          if (next.open.isEmpty) state.remove()
           else {
             state.update(next)
-            if (next.open.nonEmpty) {
-              // arm at the earliest remaining close boundary, but never at
-              // or behind the current watermark (Spark rejects that)
-              val earliestEnd = next.open.keys.min + windowMs
-              state.setTimeoutTimestamp(
-                math.max(earliestEnd, state.getCurrentWatermarkMs() + 1))
-            }
+            // arm at the earliest remaining close boundary, but never at
+            // or behind the current watermark (Spark rejects that)
+            val earliestEnd = next.open.keys.min + windowMs
+            state.setTimeoutTimestamp(
+              math.max(earliestEnd, state.getCurrentWatermarkMs() + 1))
           }
           out.iterator
       }

@@ -41,7 +41,13 @@ class OhlcAggregatorSpec extends SparkTestBase {
     // and interleaved null prices that both variants must skip
     val rnd = new scala.util.Random(7)
     val rows = (0 until 500).map { i =>
-      val p: java.lang.Double = if (i % 17 == 0) null else rnd.nextInt(13) + 0.5
+      // NaN prices included: both twins must follow Catalyst's double total
+      // order (NaN == NaN, NaN above everything) — Java primitive </> would
+      // silently never replace on a NaN tie
+      val p: java.lang.Double =
+        if (i % 17 == 0) null
+        else if (i % 23 == 0) Double.NaN
+        else rnd.nextInt(13) + 0.5
       (s"s${i % 3}", t0 * 1000000L + (rnd.nextInt(7) * 1000000L), p)
     }
     val df = rows.toDF("base", "ts_us", "price")
@@ -52,12 +58,30 @@ class OhlcAggregatorSpec extends SparkTestBase {
         org.apache.spark.sql.functions.expr("last_by_ordered(ts_us, price)").as("c_decl"),
         org.apache.spark.sql.functions.expr("last_by_ordered_obj(ts_us, price)").as("c_obj"))
         .collect()
+      // Scala's == unboxes to primitive comparison where NaN != NaN; the
+      // twins agreeing on NaN must count as equal
+      def eqv(a: Any, b: Any): Boolean = (a, b) match {
+        case (x: Double, y: Double) => x == y || (x.isNaN && y.isNaN)
+        case _ => a == b
+      }
       r.foreach { row =>
-        assert(row.get(1) == row.get(2), s"open mismatch parts=$parts: $row")
-        assert(row.get(3) == row.get(4), s"close mismatch parts=$parts: $row")
+        assert(eqv(row.get(1), row.get(2)), s"open mismatch parts=$parts: $row")
+        assert(eqv(row.get(3), row.get(4)), s"close mismatch parts=$parts: $row")
       }
       assert(r.length == 3)
     }
+    // focused NaN tie: at one shared ts, Catalyst's total order puts NaN
+    // above 5.0 — first (lexicographic min) is 5.0, last is NaN, on BOTH paths
+    val nanTie = Seq(("n", 1L, Double.NaN), ("n", 1L, 5.0)).toDF("base", "ts_us", "price")
+      .groupBy($"base").agg(
+        org.apache.spark.sql.functions.expr("first_by_ordered(ts_us, price)"),
+        org.apache.spark.sql.functions.expr("first_by_ordered_obj(ts_us, price)"),
+        org.apache.spark.sql.functions.expr("last_by_ordered(ts_us, price)"),
+        org.apache.spark.sql.functions.expr("last_by_ordered_obj(ts_us, price)"))
+      .collect().head
+    assert(nanTie.getDouble(1) == 5.0 && nanTie.getDouble(2) == 5.0, s"NaN tie first: $nanTie")
+    assert(nanTie.getDouble(3).isNaN && nanTie.getDouble(4).isNaN, s"NaN tie last: $nanTie")
+
     // HashAggregate (codegen) for the declarative default, ObjectHashAggregate
     // only when the object-buffered twin is requested
     val declPlan = df.groupBy($"base")

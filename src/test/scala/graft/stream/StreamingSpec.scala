@@ -149,17 +149,19 @@ class StreamingSpec extends SparkTestBase {
     } finally Seq(q1, q2, q3).foreach(q => if (q.isActive) q.stop())
   }
 
-  test("OhlcConfig.fromEnv: reference env keys, fail-fast on missing") {
+  test("OhlcConfig.fromEnv: all 8 reference env keys required, fail-fast on missing") {
     val env = Map(
       "SPARK_APP_NAME" -> "x", "SPARK_MASTER_URL" -> "local[2]",
       "KAFKA_BOOTSTRAP_SERVERS" -> "b:9092", "KAFKA_SUBSCRIBE_TOPICS" -> "t",
-      "KAFKA_OUTPUT_PREFIX" -> "candles-", "CHECKPOINT_LOCATION" -> "/tmp/ck")
+      "KAFKA_OUTPUT_PREFIX" -> "candles-", "CHECKPOINT_LOCATION" -> "/tmp/ck",
+      "WINDOW_DURATION" -> "1 minute", "WATERMARK_DELAY" -> "2 minutes")
     val cfg = OhlcConfig.fromEnv(env)
     assert(cfg.windowDuration == "1 minute" && cfg.watermarkDelay == "2 minutes")
-    val err = intercept[IllegalArgumentException] {
-      OhlcConfig.fromEnv(env - "CHECKPOINT_LOCATION")
+    // no in-code defaults, matching the reference: every key fails fast
+    for (k <- env.keys) {
+      val err = intercept[IllegalArgumentException] { OhlcConfig.fromEnv(env - k) }
+      assert(err.getMessage.contains(k), s"missing $k must name the key")
     }
-    assert(err.getMessage.contains("CHECKPOINT_LOCATION"))
   }
 
   test("file source end-to-end: jsonDir -> OhlcApp.transform -> candle JSON rows") {
@@ -351,6 +353,13 @@ class StreamingSpec extends SparkTestBase {
       val rows = spark.table("idle_close").collect()
       val b = rows.filter(_.getAs[String]("base") == "b")
       assert(b.length == 1 && b.head.getAs[Double]("open") == 9.0)
+      // drained keys drop their KeyState entirely (no empty-map entry with
+      // no timeout armed — that state would leak forever): only a remains
+      input.addData(trade("a", t0 + 602, 1.3))
+      q.processAllAvailable()
+      val st = q.lastProgress.stateOperators
+      assert(st.nonEmpty && st.head.numRowsTotal == 1,
+        s"drained key b must not leak state: ${st.map(_.numRowsTotal).mkString(",")}")
     } finally q.stop()
   }
 
