@@ -207,18 +207,49 @@ object Dedup {
       .select(col("doc_id"), sig.as("simhash"))
   }
 
-  /** SimHash near-dup: candidates share any of the 4 signature bytes
-    * (banded — no all-pairs), verified by Hamming distance <= maxHamming via
-    * bit_count(xor). */
-  def simhashPairs(s: SparkSession, d: String, maxHamming: Int = 0): DataFrame = {
+  /** The 6 = C(4,2) byte-pair bands of a 32-bit SimHash signature. */
+  private val simhashBytePairs: Seq[(Int, Int)] =
+    for (i <- 0 until 4; j <- (i + 1) until 4) yield (i, j)
+
+  /** SimHash near-dup: candidates share one of 6 SIXTEEN-bit bands — every
+    * C(4,2) byte pair of the signature, 65,536 buckets per band — verified
+    * by Hamming distance <= maxHamming via bit_count(xor).
+    *
+    * Why byte pairs, not single bytes: 8-bit bands give only 256 buckets,
+    * so candidate volume grows as n²/256 per band with no bound — the exact
+    * hot-bucket blowup [[near]]'s cap guards against, just hidden in the
+    * band width. 16-bit bands shrink the expected bucket to n/65,536 while
+    * KEEPING a recall guarantee: <= maxHamming bit flips touch at most
+    * maxHamming of the 4 bytes, so for maxHamming <= 2 at least one byte
+    * PAIR is untouched and the true pair still shares a band (pigeonhole);
+    * maxHamming=0 pairs share all 6.
+    *
+    * `maxBucket` (None = unlimited) additionally caps the per-(band,sig)
+    * bucket size before the quadratic self-join — the boilerplate-cluster
+    * guard at corpus scale, same count-window-over-the-join-key shape as
+    * [[near]] (the exchange is reused, no extra shuffle). A cluster of
+    * byte-identical docs overflows all 6 of its bands at once, so capping
+    * drops it entirely — by design: such clusters belong to exact dedup,
+    * which handles them linearly. */
+  def simhashPairs(s: SparkSession, d: String, maxHamming: Int = 0,
+                   maxBucket: Option[Int] = None): DataFrame = {
     val sh = simhashDocs(s, d)
-    val banded = sh.select(col("doc_id"), col("simhash"),
-        explode(array((0 until 4).map(b =>
-          struct(lit(b).as("band"),
-            shiftright(col("simhash"), b * 8).bitwiseAND(255).as("byte"))): _*)).as("bs"))
-      .select(col("doc_id"), col("simhash"), col("bs.band").as("band"), col("bs.byte").as("byte"))
+    def byteAt(i: Int) = shiftright(col("simhash"), i * 8).bitwiseAND(255)
+    val banded0 = sh.select(col("doc_id"), col("simhash"),
+        explode(array(simhashBytePairs.zipWithIndex.map { case ((i, j), b) =>
+          struct(lit(b).as("band"), (byteAt(i) * 256 + byteAt(j)).as("sig"))
+        }: _*)).as("bs"))
+      .select(col("doc_id"), col("simhash"),
+        col("bs.band").as("band"), col("bs.sig").as("sig"))
+    val banded = maxBucket match {
+      case Some(cap) =>
+        val wB = org.apache.spark.sql.expressions.Window.partitionBy("band", "sig")
+        banded0.withColumn("bn", count(lit(1)).over(wB))
+          .filter(col("bn") <= cap).drop("bn")
+      case None => banded0
+    }
     banded.as("x").join(banded.as("y"),
-        col("x.band") === col("y.band") && col("x.byte") === col("y.byte") &&
+        col("x.band") === col("y.band") && col("x.sig") === col("y.sig") &&
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
         bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).cast("long").as("hamming"))
@@ -255,19 +286,34 @@ object Dedup {
     s"""$simhashOracleCore
        |SELECT doc_id, simhash FROM sig ORDER BY doc_id""".stripMargin
 
-  private def simhashPairsOracle(maxHamming: Int): String =
+  /** Mirrors [[simhashPairs]]'s 6 byte-pair bands and optional bucket cap. */
+  private def simhashPairsOracle(maxHamming: Int,
+                                 maxBucket: Option[Int] = None): String = {
+    val bandSelects = simhashBytePairs.zipWithIndex.map { case ((i, j), b) =>
+      s"""SELECT doc_id, simhash, $b AS band,
+         |         ((simhash // ${1L << (8 * i)}) % 256) * 256 +
+         |         ((simhash // ${1L << (8 * j)}) % 256) AS bsig FROM sig"""
+        .stripMargin
+    }.mkString("\n  UNION ALL ")
     s"""$simhashOracleCore,
-       |banded AS (
-       |  SELECT doc_id, simhash, b.b AS band,
-       |         (simhash // power(256, b.b)::BIGINT) % 256 AS byte
-       |  FROM sig, range(0, 4) b(b)),
+       |banded0 AS (
+       |  $bandSelects),
+       |banded AS (${maxBucket match {
+        case Some(cap) =>
+          s"""
+       |  SELECT doc_id, simhash, band, bsig FROM (
+       |    SELECT *, count(*) OVER (PARTITION BY band, bsig) AS bn FROM banded0)
+       |  WHERE bn <= $cap"""
+        case None => "\n       |  SELECT doc_id, simhash, band, bsig FROM banded0"
+      }}),
        |cand AS (
        |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
        |         CAST(bit_count(xor(x.simhash, y.simhash)) AS BIGINT) AS hamming
        |  FROM banded x JOIN banded y
-       |    ON x.band = y.band AND x.byte = y.byte AND x.doc_id < y.doc_id)
+       |    ON x.band = y.band AND x.bsig = y.bsig AND x.doc_id < y.doc_id)
        |SELECT doc_a, doc_b, hamming FROM cand WHERE hamming <= $maxHamming
        |ORDER BY doc_a, doc_b""".stripMargin
+  }
 
   // ------------------------------------------- embedding-cosine near-dup
 
@@ -369,6 +415,11 @@ object Dedup {
       Some(simhashOracle)),
     "q_dedup_simhash_pairs" -> QueryDef((s, d) => simhashPairs(s, d),
       Some(simhashPairsOracle(0))),
+    // wider tolerance (hamming <= 2 — recall still guaranteed by the 6
+    // byte-pair bands) with the hot-bucket cap engaged: the 100 TB shape
+    "q_dedup_simhash_capped" -> QueryDef(
+      (s, d) => simhashPairs(s, d, maxHamming = 2, maxBucket = Some(4)),
+      Some(simhashPairsOracle(2, Some(4)))),
     "q_dedup_embed" -> QueryDef((s, d) => embedPairs(s, d),
       Some(embedPairsOracle(0.45)))
   )

@@ -67,6 +67,26 @@ class LlmSpec extends SparkTestBase {
     assert(capped == Set((10L, 11L)), s"cap should keep only the small bucket's pair, got $capped")
   }
 
+  test("simhash hot-bucket cap: byte-identical cluster overflows all 6 bands, small bucket survives") {
+    // 6 identical docs → identical signatures → every one of their 6
+    // byte-pair band buckets holds 6 docs. With maxBucket=4 all are
+    // over-full → the hot cluster contributes NO candidate pairs (bounded
+    // quadratic join — exact dedup owns identical docs); an independent
+    // identical pair (bucket size 2) is untouched.
+    val other = "completely different words in this unrelated sentence about spark engines"
+    val docs = ((0L until 6L).map(i => (i, base)) ++
+      Seq((10L, other), (11L, other))).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft-simcap").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    def pairs(cap: Option[Int]) =
+      Dedup.simhashPairs(spark, dir, maxHamming = 0, maxBucket = cap)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val uncapped = pairs(None)
+    val capped = pairs(Some(4))
+    assert(uncapped.size == 15 + 1, s"expected C(6,2) hot pairs + 1 small, got $uncapped")
+    assert(capped == Set((10L, 11L)), s"cap must drop only the hot cluster, got $capped")
+  }
+
   test("cosine: hand-computable vectors") {
     graft.expr.GraftFunctions.register(spark)
     val df = Seq(
