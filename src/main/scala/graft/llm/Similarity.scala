@@ -22,12 +22,13 @@ import graft.core.QueryDef.OrderedOut
   *     top-k pruning before the exchange, so the full n×q score set is
   *     never globally shuffled (a manual two-stage window would be
   *     redundant; the plan guard asserts the WindowGroupLimit node).
-  *   - `topkBucketed`: the IVF scale path. k-means-style centroids (here a
-  *     deterministic seed set — centroid *training* is out of scope),
-  *     vectors assigned to nearest centroid (broadcast centroids, map-side),
-  *     queries probe the `nprobe` nearest buckets only — candidate volume
-  *     drops by ~#centroids/nprobe. Fully deterministic, so even the
-  *     approximate variant has a DuckDB oracle.
+  *   - `topkBucketed`: the IVF scale path. Centroids are TRAINED by
+  *     [[trainCentroids]] (deterministic Lloyd's: seed = first k vectors,
+  *     fixed iteration count, exact-decimal means), vectors assigned to
+  *     nearest centroid (broadcast centroids, map-side), queries probe the
+  *     `nprobe` nearest buckets only — candidate volume drops by
+  *     ~#centroids/nprobe. Fully deterministic, training included, so even
+  *     the approximate variant has a DuckDB oracle.
   */
 object Similarity {
 
@@ -65,13 +66,44 @@ object Similarity {
       .orderedBy("qid", "rnk")
   }
 
-  /** IVF-bucketed ANN: assign all vectors to their nearest of `nCentroids`
-    * seed centroids, probe the `nprobe` nearest buckets per query. */
-  def topkBucketed(s: SparkSession, d: String, nQueries: Int = 20, k: Int = 3,
-                   nCentroids: Int = 8, nprobe: Int = 2): DataFrame = {
-    val all = vecs(s, d)
-    val cents = all.filter(col("vec_id") < nCentroids)
+  /** Deterministic Lloyd's k-means for IVF bucketing: seed centroids are
+    * the first `nCentroids` vectors, then `iters` assign-recompute rounds.
+    * Assignment is nearest-by-cosine (ties: lowest cid — the same rule the
+    * final bucketing uses); a recomputed centroid is the per-dimension MEAN
+    * through an exact-decimal sum, one IEEE divide, round(6) — the
+    * [[embedPool]] recipe, order-independent and bit-identical in any
+    * engine, so the TRAINING loop itself replays in the DuckDB oracle.
+    * Scale shape per round: centroids broadcast (k rows), scoring is
+    * map-side, the argmin is a WindowGroupLimit-pruned row_number, and the
+    * recompute is one hash agg keyed by bucket — the vector corpus crosses
+    * one partial/final agg exchange per round, nothing else. Clusters that
+    * lose every vector drop out identically on both engines. */
+  def trainCentroids(all: DataFrame, nCentroids: Int = 8, iters: Int = 2,
+                     dim: Int = 64): DataFrame = {
+    val seed = all.filter(col("vec_id") < nCentroids)
       .select(col("vec_id").as("cid"), col("e").as("ce"))
+    (1 to iters).foldLeft(seed) { (cents, _) =>
+      val wA = Window.partitionBy(col("vec_id")).orderBy(col("ccos").desc, col("cid"))
+      val assigned = all.join(broadcast(cents))
+        .select(col("vec_id"), col("e"), col("cid"), cosine(col("ce"), col("e")).as("ccos"))
+        .withColumn("arn", row_number().over(wA)).filter(col("arn") === 1)
+      val dims = (1 to dim).map(i =>
+        round(sum(element_at(col("e"), i).cast("decimal(20,8)")).cast("double") /
+          count(lit(1)), 6).as(s"c$i"))
+      assigned.groupBy(col("cid"))
+        .agg(dims.head, dims.tail: _*)
+        .select(col("cid"), array((1 to dim).map(i => col(s"c$i")): _*).as("ce"))
+    }
+  }
+
+  /** IVF-bucketed ANN: assign all vectors to their nearest of `nCentroids`
+    * TRAINED centroids ([[trainCentroids]] — `trainIters` deterministic
+    * Lloyd's rounds from the seed vectors), probe the `nprobe` nearest
+    * buckets per query. */
+  def topkBucketed(s: SparkSession, d: String, nQueries: Int = 20, k: Int = 3,
+                   nCentroids: Int = 8, nprobe: Int = 2, trainIters: Int = 2): DataFrame = {
+    val all = vecs(s, d)
+    val cents = trainCentroids(all, nCentroids, trainIters)
     // nearest centroid per vector (ties: lowest cid) — broadcast, map-side
     val wAssign = Window.partitionBy(col("vec_id"))
       .orderBy(col("ccos").desc, col("cid"))
@@ -116,6 +148,50 @@ object Similarity {
       .orderedBy("label")
   }
 
+  /** Mirrors [[topkBucketed]] end-to-end, training loop included: the
+    * `iters` Lloyd's rounds are unrolled as (assign, recompute) CTE pairs
+    * whose per-dim means use the exact-decimal recipe, so centroids are
+    * bit-identical across engines. */
+  private def bucketedOracle(nQueries: Int, k: Int, nCentroids: Int,
+                             nprobe: Int, iters: Int, dim: Int): String = {
+    val meanCols = (1 to dim).map(i =>
+      s"round(CAST(sum(CAST(e[$i] AS DECIMAL(20,8))) AS DOUBLE) / count(*), 6)")
+      .mkString(",\n          ")
+    def assignCte(a: String, c: String) =
+      s"""$a AS (
+         |  SELECT vec_id, e, cid AS bucket FROM (
+         |    SELECT v.vec_id, v.e, c.cid,
+         |           row_number() OVER (PARTITION BY v.vec_id
+         |             ORDER BY list_cosine_similarity(c.ce, v.e) DESC, c.cid) AS arn
+         |    FROM v, $c c) WHERE arn = 1)""".stripMargin
+    val trainCtes = (1 to iters).map { t =>
+      s"""${assignCte(s"a$t", s"c${t - 1}")},
+         |c$t AS (
+         |  SELECT bucket AS cid,
+         |         [$meanCols] AS ce
+         |  FROM a$t GROUP BY bucket)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+       |c0 AS (SELECT vec_id AS cid, e AS ce FROM v WHERE vec_id < $nCentroids),
+       |$trainCtes,
+       |${assignCte("assigned", s"c$iters")},
+       |q AS (SELECT vec_id AS qid, e AS qe FROM assigned WHERE vec_id < $nQueries),
+       |probes AS (
+       |  SELECT qid, qe, cid AS bucket FROM (
+       |    SELECT q.qid, q.qe, c.cid,
+       |           row_number() OVER (PARTITION BY q.qid
+       |             ORDER BY list_cosine_similarity(c.ce, q.qe) DESC, c.cid) AS prn
+       |    FROM q, c$iters c) WHERE prn <= $nprobe),
+       |top AS (
+       |  SELECT qid, nbr, row_number() OVER (PARTITION BY qid
+       |           ORDER BY cos DESC, nbr) AS rnk
+       |  FROM (SELECT p.qid, a.vec_id AS nbr,
+       |               list_cosine_similarity(p.qe, a.e) AS cos
+       |        FROM probes p JOIN assigned a ON p.bucket = a.bucket
+       |        WHERE a.vec_id != p.qid))
+       |SELECT qid, rnk, nbr FROM top WHERE rnk <= $k ORDER BY qid, rnk""".stripMargin
+  }
+
   private def embedPoolOracle(dims: Int): String = {
     val cols = (1 to dims).map(i =>
       s"round(CAST(sum(CAST(embedding[$i] AS DECIMAL(20,8))) AS DOUBLE) / count(*), 6) AS m$i")
@@ -137,29 +213,8 @@ object Similarity {
         |             row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nbr) AS rnk
         |      FROM c)
         |SELECT qid, rnk, nbr FROM r WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin)),
-    "q_sim_bucketed" -> QueryDef(topkBucketed(_, _), Some(
-      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
-        |cents AS (SELECT vec_id AS cid, e AS ce FROM v WHERE vec_id < 8),
-        |assigned AS (
-        |  SELECT vec_id, e, cid AS bucket FROM (
-        |    SELECT v.vec_id, v.e, c.cid,
-        |           row_number() OVER (PARTITION BY v.vec_id
-        |             ORDER BY list_cosine_similarity(c.ce, v.e) DESC, c.cid) AS arn
-        |    FROM v, cents c) WHERE arn = 1),
-        |q AS (SELECT vec_id AS qid, e AS qe FROM assigned WHERE vec_id < 20),
-        |probes AS (
-        |  SELECT qid, qe, cid AS bucket FROM (
-        |    SELECT q.qid, q.qe, c.cid,
-        |           row_number() OVER (PARTITION BY q.qid
-        |             ORDER BY list_cosine_similarity(c.ce, q.qe) DESC, c.cid) AS prn
-        |    FROM q, cents c) WHERE prn <= 2),
-        |top AS (
-        |  SELECT qid, nbr, row_number() OVER (PARTITION BY qid
-        |           ORDER BY cos DESC, nbr) AS rnk
-        |  FROM (SELECT p.qid, a.vec_id AS nbr,
-        |               list_cosine_similarity(p.qe, a.e) AS cos
-        |        FROM probes p JOIN assigned a ON p.bucket = a.bucket
-        |        WHERE a.vec_id != p.qid))
-        |SELECT qid, rnk, nbr FROM top WHERE rnk <= 3 ORDER BY qid, rnk""".stripMargin))
+    "q_sim_bucketed" -> QueryDef(topkBucketed(_, _),
+      Some(bucketedOracle(nQueries = 20, k = 3, nCentroids = 8,
+        nprobe = 2, iters = 2, dim = 64)))
   )
 }

@@ -87,6 +87,22 @@ class LlmSpec extends SparkTestBase {
     assert(capped == Set((10L, 11L)), s"cap must drop only the hot cluster, got $capped")
   }
 
+  test("IVF with trained centroids: recall against the exact brute-force top-k") {
+    val d = "/root/testdata/sf0.01"
+    def asSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(2))).toSet // (qid, nbr)
+    val brute = asSet(Similarity.topkBrute(spark, d, nQueries = 20, k = 3))
+    val trained = asSet(Similarity.topkBucketed(spark, d, k = 3))
+    val seedOnly = asSet(Similarity.topkBucketed(spark, d, k = 3, trainIters = 0))
+    val rTrained = trained.intersect(brute).size.toDouble / brute.size
+    val rSeed = seedOnly.intersect(brute).size.toDouble / brute.size
+    info(f"IVF recall@3: trained=$rTrained%.3f seed-only=$rSeed%.3f")
+    assert(brute.size == 60)
+    // nprobe=2 of 8 buckets scans ~1/4 of the corpus; recall must beat that
+    // scan fraction by a wide margin for the index to be worth anything
+    assert(rTrained >= 0.5, f"trained IVF recall $rTrained%.3f below floor")
+  }
+
   test("cosine: hand-computable vectors") {
     graft.expr.GraftFunctions.register(spark)
     val df = Seq(
