@@ -91,9 +91,18 @@ object Dedup {
     * bucket; a true near-dup pair lost to one hot band usually re-surfaces
     * via its other b-1 bands. */
   def near(s: SparkSession, d: String, threshold: Double = 0.8,
-           bands: Int = 4, rows: Int = 3, maxBucket: Option[Int] = None): DataFrame = {
-    graft.expr.GraftFunctions.register(s)
-    val docsTok = Tables.documents(s, d)
+           bands: Int = 4, rows: Int = 3, maxBucket: Option[Int] = None): DataFrame =
+    nearFor(Tables.documents(s, d), threshold, bands, rows, maxBucket)
+
+  /** [[near]] over an arbitrary (doc_id, text, ...) corpus DataFrame — the
+    * composition entry point: a pipeline that has already filtered or
+    * exact-deduped its corpus near-dedups the SURVIVORS, not the raw table
+    * (cheaper — fewer docs shingle — and it keeps exact-duplicate clusters
+    * from flooding band buckets; exact dedup owns those linearly). */
+  def nearFor(docs: DataFrame, threshold: Double = 0.8,
+              bands: Int = 4, rows: Int = 3, maxBucket: Option[Int] = None): DataFrame = {
+    graft.expr.GraftFunctions.register(docs.sparkSession)
+    val docsTok = docs
       .select(col("doc_id"), TextStats.tokens(col("text")).as("toks"))
     val sh = docsTok
       .select(col("doc_id"), TextStats.shinglesExpr("toks").as("sh"))
@@ -131,11 +140,14 @@ object Dedup {
       .orderedBy("doc_a", "doc_b")
   }
 
-  /** The WITH-clause body shared by the near-dup oracle and composed
-    * pipelines (ends with the `pairs` CTE). `maxBucket` mirrors the Spark
+  /** The CTE chain shared by the near-dup oracle and composed pipelines
+    * (ends with the `pairs` CTE; callers prepend `WITH ` or splice it after
+    * their own CTEs). `source` is the (doc_id, text) relation to near-dedup
+    * — mirrors [[nearFor]]'s corpus argument; `maxBucket` mirrors the Spark
     * side's hot-bucket cap. */
   private[llm] def nearOracleCtes(bands: Int, rows: Int,
-                                  maxBucket: Option[Int] = None): String = {
+                                  maxBucket: Option[Int] = None,
+                                  source: String = "documents"): String = {
     val groups = nGroups(bands, rows)
     val hashCols = (0 until groups)
       .map(g => s"md5('$g#' || x) AS h$g").mkString(", ")
@@ -147,7 +159,7 @@ object Dedup {
         .mkString(" || '|' || ")
       s"SELECT doc_id, $b AS band, $sigExpr AS bsig FROM sig"
     }.mkString("\n  UNION ALL ")
-    s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    s"""w AS (SELECT doc_id, string_split(text, ' ') AS toks FROM $source),
        |sh AS (
        |  SELECT doc_id, list_distinct(list_transform(range(1, len(toks) - 1),
        |           i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS s
@@ -180,7 +192,7 @@ object Dedup {
 
   private def nearOracle(threshold: Double, bands: Int, rows: Int,
                          maxBucket: Option[Int] = None): String =
-    s"""${nearOracleCtes(bands, rows, maxBucket)}
+    s"""WITH ${nearOracleCtes(bands, rows, maxBucket)}
        |SELECT doc_a, doc_b, jaccard FROM pairs WHERE jaccard >= $threshold
        |ORDER BY doc_a, doc_b""".stripMargin
 
