@@ -442,6 +442,65 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("RocksDB state store: stateful candles and watermark dedup run with off-heap state") {
+    // At 100 TB stream scale the default HDFS-backed store keeps every
+    // key's state ON-HEAP in each executor — the scale-killer for stateful
+    // ops. This variant proves both custom-state paths run (and keep their
+    // semantics) under RocksDBStateStoreProvider, the off-heap store a
+    // cluster deployment must configure.
+    implicit val ctx = spark.sqlContext
+    import graft.ohlc.Trade
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    def rocksMetrics(q: org.apache.spark.sql.streaming.StreamingQuery) =
+      q.lastProgress.stateOperators.head.customMetrics.keySet().toArray.map(_.toString)
+    def trade(base: String, sec: Long, p: Double) =
+      Trade(base, new java.sql.Timestamp(sec * 1000), p, 1.0)
+    try {
+      val in1 = MemoryStream[Trade]
+      val q1 = StatefulCandles.closedCandlesIdleClose(in1.toDS())
+        .writeStream.format("memory").queryName("rocks_candles")
+        .outputMode("append").start()
+      try {
+        in1.addData(trade("a", t0 + 5, 2.0), trade("b", t0 + 10, 9.0))
+        q1.processAllAvailable()
+        in1.addData(trade("a", t0 + 600, 3.0))
+        q1.processAllAvailable()
+        in1.addData(trade("a", t0 + 601, 4.0))
+        q1.processAllAvailable()
+        val rows = spark.table("rocks_candles").collect()
+        assert(rows.map(_.getAs[String]("base")).toSet == Set("a", "b"),
+          "idle-close semantics must hold under RocksDB")
+        assert(rocksMetrics(q1).exists(_.toLowerCase.contains("rocksdb")),
+          s"RocksDB provider not engaged: ${rocksMetrics(q1).mkString(",")}")
+      } finally q1.stop()
+
+      val in2 = MemoryStream[(Long, Long, Double)]
+      val stream = in2.toDF().toDF("event_id", "epoch", "price")
+        .withColumn("timestamp", col("epoch").cast("timestamp")).drop("epoch")
+        .withWatermark("timestamp", "2 minutes")
+      val q2 = Enrich.dedupWithinWatermark(stream, "event_id")
+        .writeStream.format("memory").queryName("rocks_dedup")
+        .outputMode("append").start()
+      try {
+        in2.addData((1L, t0, 5.0), (1L, t0 + 5, 5.0), (2L, t0 + 10, 6.0))
+        q2.processAllAvailable()
+        val ids = spark.table("rocks_dedup").collect().map(_.getAs[Long]("event_id"))
+        assert(ids.count(_ == 1L) == 1 && ids.count(_ == 2L) == 1,
+          "watermark dedup semantics must hold under RocksDB")
+        assert(rocksMetrics(q2).exists(_.toLowerCase.contains("rocksdb")),
+          s"RocksDB provider not engaged: ${rocksMetrics(q2).mkString(",")}")
+      } finally q2.stop()
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("dropDuplicatesWithinWatermark: dups within the delay dropped, state evicted after") {
     implicit val ctx = spark.sqlContext
     val input = MemoryStream[(Long, Long, Double)]
