@@ -34,10 +34,14 @@ object Relational {
       .orderedBy("n_nationkey")
 
   /** Fact ⋈ fact ⋈ dim with grouped agg: orders⋈customer shuffles on
-    * custkey (SMJ/shuffle-hash at scale), nation broadcasts. */
+    * custkey, nation broadcasts. The customer side carries an explicit
+    * `merge` hint: at test SF it sits under the broadcast threshold and
+    * Catalyst would silently plan BHJ — the hint pins the SortMergeJoin
+    * this query exists to exercise (at 100 TB both sides are facts and SMJ
+    * is the honest strategy), and the plan guard asserts it. */
   def joinSmj(s: SparkSession, d: String): DataFrame =
     Tables.orders(s, d)
-      .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+      .join(Tables.customer(s, d).hint("merge"), col("o_custkey") === col("c_custkey"))
       .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
       .groupBy(col("n_name"))
       .agg(

@@ -79,6 +79,28 @@ class CatalogSpec extends SparkTestBase {
     assert(concurrent == sequential)
   }
 
+  test("plan guard: dim joins broadcast, q_join_smj keeps its shuffle strategy") {
+    def plan(n: String) =
+      Catalog.defs(n).build(spark, dir).queryExecution.executedPlan.toString
+    // small-forever dim sides: silently losing the broadcast would put a
+    // full shuffle of the fact side in front of every one of these at scale
+    // (theta/range joins broadcast as nested-loop)
+    for (n <- Seq("q_join_broadcast", "q_join_range")) {
+      val p = plan(n)
+      assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+        s"$n no longer broadcasts its small side:\n$p")
+    }
+    // the named shuffle-join query must actually plan one (merge-hinted:
+    // at test SF customer fits under the broadcast threshold), while its
+    // nation dim stays broadcast — both asserted so a silent Catalyst
+    // strategy change fails loudly
+    val smj = plan("q_join_smj")
+    assert(smj.contains("SortMergeJoin"),
+      s"q_join_smj lost its sort-merge strategy:\n$smj")
+    assert(smj.contains("BroadcastHashJoin"),
+      s"q_join_smj's nation dim is no longer broadcast:\n$smj")
+  }
+
   test("plan guard: brute-force ANN top-k prunes map-side via WindowGroupLimit") {
     val plan = Catalog.defs("q_sim_topk").build(spark, dir)
       .queryExecution.executedPlan.toString
