@@ -283,6 +283,15 @@ object GraftFunctions {
       (children: Seq[Expression]) => LastByOrdered(children(0), children(1))),
     (FunctionIdentifier("vec_dot"), info(classOf[DotProduct], "vec_dot"),
       (children: Seq[Expression]) => DotProduct(children(0), children(1))),
+    (FunctionIdentifier("sample_bottom_k"), info(classOf[SampleK], "sample_bottom_k"),
+      (children: Seq[Expression]) => {
+        val k = children(2) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+          case other => throw new IllegalArgumentException(
+            s"sample_bottom_k k must be an integer literal, got $other")
+        }
+        SampleK(children(0), children(1), k)
+      }),
     (FunctionIdentifier("word_shingles"), info(classOf[WordShingles], "word_shingles"),
       (children: Seq[Expression]) => {
         val n = children(1) match {

@@ -97,7 +97,47 @@ object Advanced {
       .orderedBy("l_returnflag")
   }
 
+  /** Deterministic uniform sample of k lineitem rows per return flag via
+    * the `sample_bottom_k` sketch aggregate (graft.expr.SampleK): priority
+    * = 32-bit md5 prefix of the row identity (salted with `seed`), value =
+    * the order key. The whole sample is a pure function of the data — the
+    * DuckDB oracle replays it row-for-row — while the Spark plan is an
+    * ObjectHashAggregate whose partial state is O(k) pairs per group. */
+  def sampleK(s: SparkSession, d: String, k: Int = 5, seed: Int = 42): DataFrame = {
+    graft.expr.GraftFunctions.register(s)
+    Tables.lineitem(s, d)
+      .withColumn("pri",
+        conv(substring(md5(concat_ws("#", lit(seed), col("l_orderkey"),
+          col("l_linenumber"))), 1, 8), 16, 10).cast("long"))
+      .groupBy(col("l_returnflag"))
+      .agg(expr(s"sample_bottom_k(pri, l_orderkey, $k)").as("sample"))
+      .orderedBy("l_returnflag")
+  }
+
+  /** DuckDB has no conv(): rebuild the 32-bit priority from the 8 hex chars
+    * (strpos over the hex alphabet), then bottom-k per group = row_number
+    * over (pri, val) — the exact contract of the Spark-side heap. */
+  private def sampleKOracle(k: Int, seed: Int): String = {
+    val hv = (1 to 8)
+      .map(i => s"(strpos('0123456789abcdef', substr(h, $i, 1)) - 1) * ${1L << ((8 - i) * 4)}")
+      .mkString(" + ")
+    s"""WITH p AS (
+       |  SELECT l_returnflag, l_orderkey,
+       |         substr(md5('$seed' || '#' || CAST(l_orderkey AS VARCHAR) || '#' ||
+       |                    CAST(l_linenumber AS VARCHAR)), 1, 8) AS h
+       |  FROM lineitem),
+       |pv AS (SELECT l_returnflag, l_orderkey, $hv AS pri FROM p),
+       |r AS (SELECT l_returnflag, l_orderkey, pri,
+       |             row_number() OVER (PARTITION BY l_returnflag
+       |               ORDER BY pri, l_orderkey) AS rn
+       |      FROM pv)
+       |SELECT l_returnflag, list(l_orderkey ORDER BY pri, l_orderkey) AS sample
+       |FROM r WHERE rn <= $k
+       |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+  }
+
   val defs: Map[String, QueryDef] = Map(
+    "q_sample_k" -> QueryDef(sampleK(_, _), Some(sampleKOracle(5, 42))),
     "q_percentile" -> QueryDef(percentileQ, Some(
       """SELECT l_returnflag,
         |       quantile_cont(l_quantity, 0.5) AS med,
