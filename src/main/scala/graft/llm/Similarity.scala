@@ -120,9 +120,13 @@ object Similarity {
       .select(col("qid"), col("qe"), col("cid"), cosine(col("ce"), col("qe")).as("pcos"))
       .withColumn("prn", row_number().over(wProbe)).filter(col("prn") <= nprobe)
       .select(col("qid"), col("qe"), col("cid").as("bucket"))
-    // search only the probed buckets
+    // search only the probed buckets. The probe set (nQueries × nprobe
+    // rows) BROADCASTS: joining on `bucket` by shuffle would repartition
+    // the whole assigned corpus on a key with only nCentroids distinct
+    // values — maximal skew at scale — where the broadcast join scans each
+    // corpus partition in place.
     val wTop = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nbr"))
-    probes.join(assigned, "bucket")
+    assigned.join(broadcast(probes), "bucket")
       .filter(col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id").as("nbr"), cosine(col("qe"), col("e")).as("cos"))
       .withColumn("rnk", row_number().over(wTop)).filter(col("rnk") <= k)
