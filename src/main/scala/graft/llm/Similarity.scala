@@ -77,7 +77,14 @@ object Similarity {
     * map-side, the argmin is a WindowGroupLimit-pruned row_number, and the
     * recompute is one hash agg keyed by bucket — the vector corpus crosses
     * one partial/final agg exchange per round, nothing else. Clusters that
-    * lose every vector drop out identically on both engines. */
+    * lose every vector drop out identically on both engines.
+    *
+    * The training stays ONE lazy Catalyst plan so the DuckDB oracle can
+    * replay it; the price is that downstream references re-execute the
+    * train lineage (no materialization barrier). A production run at real
+    * corpus scale would `persist()` each iteration's assignment — same
+    * results, linear cost — a caching decision layered on this plan, not a
+    * different algorithm. */
   def trainCentroids(all: DataFrame, nCentroids: Int = 8, iters: Int = 2,
                      dim: Int = 64): DataFrame = {
     val seed = all.filter(col("vec_id") < nCentroids)
@@ -112,8 +119,11 @@ object Similarity {
         cosine(col("ce"), col("e")).as("ccos"))
       .withColumn("arn", row_number().over(wAssign)).filter(col("arn") === 1)
       .select(col("vec_id"), col("e"), col("cid").as("bucket"))
-    // nprobe nearest buckets per query
-    val q = assigned.filter(col("vec_id") < nQueries)
+    // nprobe nearest buckets per query. Queries derive from the RAW vector
+    // set: they only need (id, embedding), and deriving them from
+    // `assigned` would re-execute the whole train+assign lineage a second
+    // time just to drop its bucket column.
+    val q = all.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("qid"), col("e").as("qe"))
     val wProbe = Window.partitionBy(col("qid")).orderBy(col("pcos").desc, col("cid"))
     val probes = q.join(broadcast(cents))
@@ -179,7 +189,7 @@ object Similarity {
        |c0 AS (SELECT vec_id AS cid, e AS ce FROM v WHERE vec_id < $nCentroids),
        |$trainCtes,
        |${assignCte("assigned", s"c$iters")},
-       |q AS (SELECT vec_id AS qid, e AS qe FROM assigned WHERE vec_id < $nQueries),
+       |q AS (SELECT vec_id AS qid, e AS qe FROM v WHERE vec_id < $nQueries),
        |probes AS (
        |  SELECT qid, qe, cid AS bucket FROM (
        |    SELECT q.qid, q.qe, c.cid,
