@@ -144,6 +144,30 @@ object Similarity {
       .orderedBy("qid", "rnk")
   }
 
+  /** Scalar int8 quantization of the embedding column — the storage/
+    * bandwidth primitive of a large vector corpus (4 bytes/dim → 1). Per
+    * vector: scale = max |x_i| (a pure max of stored doubles — no
+    * arithmetic, bit-identical anywhere), q_i = round(x_i / scale · 127)
+    * as int. The divide and multiply are single IEEE ops and BOTH engines
+    * round half away from zero, so the int array hash-matches. Zero
+    * vectors quantize to zeros (guard, not NaN). Per-row scalar work —
+    * embarrassingly parallel at any scale. */
+  def quantize(s: SparkSession, d: String): DataFrame =
+    vecs(s, d)
+      .withColumn("scale", expr("array_max(transform(e, x -> abs(x)))"))
+      .select(col("vec_id"), col("scale"),
+        expr("transform(e, x -> CAST(round(CASE WHEN scale = 0.0 THEN 0.0" +
+          " ELSE x / scale * 127 END) AS INT))").as("q"))
+      .orderedBy("vec_id")
+
+  private def quantizeOracle: String =
+    """SELECT vec_id, scale,
+      |       list_transform(e, x -> CAST(round(CASE WHEN scale = 0.0 THEN 0.0
+      |         ELSE x / scale * 127 END) AS INTEGER)) AS q
+      |FROM (SELECT vec_id, e, list_max(list_transform(e, x -> abs(x))) AS scale
+      |      FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings))
+      |ORDER BY vec_id""".stripMargin
+
   /** Mean-pooled centroid per label (first `dims` dimensions): the
     * embedding-aggregation shape (class centroids, cluster summaries).
     * Per-dim float values cast to exact decimal before summing — a random
@@ -217,6 +241,7 @@ object Similarity {
 
   val defs: Map[String, QueryDef] = Map(
     "q_embed_pool" -> QueryDef(embedPool(_, _), Some(embedPoolOracle(8))),
+    "q_embed_quant" -> QueryDef(quantize, Some(quantizeOracle)),
     "q_sim_topk" -> QueryDef(topkBrute(_, _), Some(
       """WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qe
         |           FROM embeddings WHERE vec_id < 20),

@@ -1,6 +1,7 @@
 package graft.llm
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.core.{QueryDef, Tables}
 import graft.core.QueryDef.OrderedOut
@@ -142,6 +143,49 @@ object TextStats {
       .limit(k)
       .orderedBy("tok")
 
+  /** TF-IDF top-k terms per document — the keyword/feature-extraction
+    * primitive. tf and df are exact ints; idf = ln((N+1)/(df+1)) + 1
+    * (smoothed) and score = tf·idf stay INSIDE the query: the output is
+    * RANK-ONLY (doc_id, rnk, tok, tf, df), the q_sim_topk pattern, so a
+    * last-ulp ln() difference between engines can only matter if two
+    * distinct (tf, df) combinations land within ~1e-15 of each other —
+    * equal combinations tie-break on the token. Scale shape: one token
+    * explode feeding both the tf and df aggregations (partial map-side),
+    * tf⋈df shuffles on the token (vocab-sized right side), N is one
+    * broadcast scalar, and the per-doc top-k is a WindowGroupLimit-pruned
+    * row_number — never a global sort. */
+  def tfidfTopk(s: SparkSession, d: String, k: Int = 3): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val toks = docs.select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+    val tf = toks.groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+    val dfc = toks.groupBy(col("tok")).agg(countDistinct(col("doc_id")).as("df"))
+    val n = docs.agg(count(lit(1)).as("n"))
+    val scored = tf.join(dfc, "tok").crossJoin(broadcast(n))
+      .withColumn("score",
+        col("tf") * (log((col("n") + lit(1.0)) / (col("df") + lit(1.0))) + lit(1.0)))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("score").desc, col("tok"))
+    scored
+      .withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
+      .select(col("doc_id"), col("rnk").cast("long").as("rnk"),
+        col("tok"), col("tf"), col("df"))
+      .orderedBy("doc_id", "rnk")
+  }
+
+  private def tfidfOracle(k: Int): String =
+    s"""WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+       |tf AS (SELECT doc_id, tok, count(*) AS tf FROM t GROUP BY doc_id, tok),
+       |df AS (SELECT tok, count(DISTINCT doc_id) AS df FROM t GROUP BY tok),
+       |n AS (SELECT count(*) AS n FROM documents),
+       |sc AS (SELECT tf.doc_id, tf.tok, tf.tf, df.df,
+       |              tf.tf * (ln((n.n + 1.0) / (df.df + 1.0)) + 1.0) AS score
+       |       FROM tf JOIN df USING (tok), n),
+       |r AS (SELECT doc_id, tok, tf, df,
+       |             row_number() OVER (PARTITION BY doc_id
+       |               ORDER BY score DESC, tok) AS rnk
+       |      FROM sc)
+       |SELECT doc_id, rnk, tok, tf, df FROM r WHERE rnk <= $k
+       |ORDER BY doc_id, rnk""".stripMargin
+
   /** Document fingerprints: full-content hash, an order-insensitive
     * bag-of-words sketch (first 8 sorted distinct tokens), and a prefix. */
   def docFingerprint(s: SparkSession, d: String): DataFrame = {
@@ -232,6 +276,7 @@ object TextStats {
         |       length(text) AS chars
         |FROM documents ORDER BY doc_id""".stripMargin)),
     "q_lang_id" -> QueryDef(langId, Some(langIdOracle)),
+    "q_tfidf" -> QueryDef(tfidfTopk(_, _), Some(tfidfOracle(3))),
     "q_text_normalize" -> QueryDef(normalize, Some(
       // DuckDB regexp_replace needs the 'g' flag (first-match-only default;
       // Spark's is global)

@@ -103,6 +103,47 @@ class LlmSpec extends SparkTestBase {
     assert(rTrained >= 0.5, f"trained IVF recall $rTrained%.3f below floor")
   }
 
+  test("tfidf: rare terms outrank ubiquitous ones; ranks deterministic") {
+    // 'common' appears in every doc (idf floor: ln((N+1)/(N+1))+1 = 1);
+    // each doc's repeated rare word (tf 2, df 1 → score 2·(ln(2)+1) ≈ 3.39)
+    // must outrank it
+    val docs = Seq(
+      (1L, "common alpha alpha"),
+      (2L, "common beta beta"),
+      (3L, "common gamma gamma")).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft-tfidf").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val top1 = TextStats.tfidfTopk(spark, dir, k = 1).collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(top1 == Map(1L -> "alpha", 2L -> "beta", 3L -> "gamma"), s"got $top1")
+  }
+
+  test("embedding quantization: int8 range, exact extremes, dequant error bound") {
+    val d = "/root/testdata/sf0.001"
+    val rows = Similarity.quantize(spark, d).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val scale = r.getDouble(1)
+      val q = r.getSeq[Int](2)
+      assert(q.forall(v => v >= -127 && v <= 127), s"out of int8 range: $q")
+      // the max-|x| dim must quantize to exactly +-127
+      assert(q.exists(v => math.abs(v) == 127) || scale == 0.0)
+    }
+    // round-trip error of round-to-nearest: |q*scale/127 - x| <= scale/254
+    val checked = Similarity.quantize(spark, d).limit(5).collect().map(_.getLong(0)).toSet
+    val orig = graft.core.Tables.embeddings(spark, d)
+      .filter(col("vec_id").isin(checked.toSeq: _*)).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble)).toMap
+    rows.filter(r => checked(r.getLong(0))).foreach { r =>
+      val (scale, q) = (r.getDouble(1), r.getSeq[Int](2))
+      val e = orig(r.getLong(0))
+      q.zip(e).foreach { case (qi, xi) =>
+        assert(math.abs(qi * scale / 127 - xi) <= scale / 254 + 1e-9,
+          s"dequant error too large for vec ${r.getLong(0)}")
+      }
+    }
+  }
+
   test("cosine: hand-computable vectors") {
     graft.expr.GraftFunctions.register(spark)
     val df = Seq(
