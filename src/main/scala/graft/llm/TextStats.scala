@@ -198,6 +198,58 @@ object TextStats {
     ).orderedBy("doc_id")
   }
 
+  /** Winnowing document fingerprints (the rolling-hash fingerprint family,
+    * per the public Schleimer/Wilkerson/Aiken algorithm): positional word
+    * 3-gram hashes (32-bit md5 prefix, DuckDB-replayable), sliding MINIMUM
+    * over every window of `w` consecutive gram hashes, fingerprint set =
+    * sorted distinct window minima. Guarantee: two docs sharing a run of
+    * >= w+2 tokens share at least one fingerprint — the basis of
+    * shared-substring detection joins (explode the set, join on the
+    * fingerprint — banded, never all-pairs). Everything is ONE per-row HOF
+    * projection: no explode, no shuffle, embarrassingly parallel; only the
+    * compact fingerprint sets leave the row. Docs shorter than w+2 tokens
+    * have no full window and are excluded (identically in the oracle —
+    * also keeps Spark's sequence() off its descending-sequence edge). */
+  def winnow(s: SparkSession, d: String, w: Int = 4): DataFrame = {
+    val minToks = 2 + w
+    Tables.documents(s, d)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= minToks)
+      .withColumn("grams", expr(
+        """transform(sequence(1, size(toks) - 2),
+          |  i -> concat(element_at(toks, i), ' ',
+          |              element_at(toks, i + 1), ' ',
+          |              element_at(toks, i + 2)))""".stripMargin))
+      .withColumn("gh", expr(
+        "transform(grams, g -> CAST(conv(substring(md5(CAST(g AS BINARY)), 1, 8), 16, 10) AS BIGINT))"))
+      .withColumn("mins", expr(
+        s"transform(sequence(1, size(gh) - ${w - 1}), i -> array_min(slice(gh, i, $w)))"))
+      .withColumn("fps", sort_array(array_distinct(col("mins"))))
+      .select(col("doc_id"), size(col("fps")).cast("long").as("n_fps"), col("fps"))
+      .orderedBy("doc_id")
+  }
+
+  private def winnowOracle(w: Int): String = {
+    val minToks = 2 + w
+    val hv = (1 to 8)
+      .map(i => s"(strpos('0123456789abcdef', substr(x, $i, 1)) - 1) * ${1L << ((8 - i) * 4)}")
+      .mkString(" + ")
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       |g AS (SELECT doc_id,
+       |        list_transform(range(1, len(toks) - 1),
+       |          i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) AS grams
+       |      FROM t WHERE len(toks) >= $minToks),
+       |hx AS (SELECT doc_id,
+       |         list_transform(grams, gg -> substr(md5(gg), 1, 8)) AS hs FROM g),
+       |hv AS (SELECT doc_id, list_transform(hs, x -> $hv) AS gh FROM hx),
+       |m AS (SELECT doc_id,
+       |        list_transform(range(1, len(gh) - ${w - 2}),
+       |          i -> list_min(gh[i:i+${w - 1}])) AS mins FROM hv)
+       |SELECT doc_id, CAST(len(fps) AS BIGINT) AS n_fps, fps FROM (
+       |  SELECT doc_id, list_sort(list_distinct(mins)) AS fps FROM m)
+       |ORDER BY doc_id""".stripMargin
+  }
+
   private def langIdOracle: String = {
     val scores = langsOrdered.map { l =>
       val pred = langMarkers(l).map(m => s"x = '$m'").mkString(" or ")
@@ -277,6 +329,7 @@ object TextStats {
         |FROM documents ORDER BY doc_id""".stripMargin)),
     "q_lang_id" -> QueryDef(langId, Some(langIdOracle)),
     "q_tfidf" -> QueryDef(tfidfTopk(_, _), Some(tfidfOracle(3))),
+    "q_doc_winnow" -> QueryDef(winnow(_, _), Some(winnowOracle(4))),
     "q_text_normalize" -> QueryDef(normalize, Some(
       // DuckDB regexp_replace needs the 'g' flag (first-match-only default;
       // Spark's is global)

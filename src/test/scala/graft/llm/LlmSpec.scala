@@ -118,6 +118,23 @@ class LlmSpec extends SparkTestBase {
     assert(top1 == Map(1L -> "alpha", 2L -> "beta", 3L -> "gamma"), s"got $top1")
   }
 
+  test("winnowing: shared token runs share fingerprints, disjoint docs share none") {
+    val docs = Seq(
+      (1L, base),
+      (2L, base + " with a fresh continuation of entirely new trailing words"),
+      (3L, "unrelated vocabulary entirely disjoint tokens forever spinning quietly onward")
+    ).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft-winnow").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val fps = TextStats.winnow(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](2).toSet).toMap
+    // docs 1 and 2 share the full 14-token run of `base` (>= w+2 = 6):
+    // winnowing guarantees at least one common fingerprint
+    assert((fps(1L) intersect fps(2L)).nonEmpty, "shared run must share a fingerprint")
+    assert((fps(1L) intersect fps(3L)).isEmpty, "disjoint docs must not collide")
+    assert(fps.values.forall(s => s.nonEmpty))
+  }
+
   test("embedding quantization: int8 range, exact extremes, dequant error bound") {
     val d = "/root/testdata/sf0.001"
     val rows = Similarity.quantize(spark, d).collect()
