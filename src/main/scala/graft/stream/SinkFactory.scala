@@ -41,6 +41,33 @@ object SinkFactory {
       .queryName(queryName)
       .start()
 
+  /** foreachBatch escape hatch — the pattern for sinks without native
+    * streaming support (JDBC, object stores, arbitrary formats): each
+    * micro-batch is handed to `f` as (batchDf, batchId). Structured
+    * Streaming guarantees batchId is stable across crash-replays, so an
+    * idempotent `f` keyed on it upgrades at-least-once delivery to
+    * exactly-once OUTPUT. */
+  def foreachBatchSink(df: DataFrame, checkpoint: String, queryName: String)(
+      f: (DataFrame, Long) => Unit): StreamingQuery =
+    df.writeStream
+      .foreachBatch(f)
+      .option("checkpointLocation", checkpoint)
+      .queryName(queryName)
+      .start()
+
+  /** The idempotent instantiation of [[foreachBatchSink]]: every batch
+    * OVERWRITES its own batchId-keyed directory, so a batch replayed after
+    * a crash-restart replaces its previous (possibly partial) output
+    * instead of appending duplicates. Exposed separately so the replay
+    * property is directly testable. */
+  def writeBatchParquet(outRoot: String)(batch: DataFrame, batchId: Long): Unit =
+    batch.write.mode("overwrite").parquet(s"$outRoot/batch_id=$batchId")
+
+  /** Exactly-once parquet output via [[writeBatchParquet]]. */
+  def parquetByBatch(df: DataFrame, outRoot: String, checkpoint: String,
+                     queryName: String = "batch_sink"): StreamingQuery =
+    foreachBatchSink(df, checkpoint, queryName)(writeBatchParquet(outRoot))
+
   /** Memory sink for tests: update-mode results land in an in-memory table
     * named `queryName`. */
   def memory(df: DataFrame, queryName: String, mode: String = "update"): StreamingQuery =

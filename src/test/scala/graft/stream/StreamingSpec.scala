@@ -442,6 +442,34 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("foreachBatch parquet sink: batchId-keyed overwrite is replay-idempotent") {
+    implicit val ctx = spark.sqlContext
+    val outRoot = java.nio.file.Files.createTempDirectory("graft-fbsink").toString
+    val ck = java.nio.file.Files.createTempDirectory("graft-fbck").toString
+    val input = MemoryStream[(String, Long, Double, Double)]
+    val trades = input.toDF().toDF("base", "epoch", "price", "quantity")
+      .withColumn("timestamp", col("epoch").cast("timestamp")).drop("epoch")
+    val q = SinkFactory.parquetByBatch(trades, outRoot, ck, "fb_sink")
+    try {
+      input.addData(("a", t0, 1.0, 2.0), ("b", t0 + 1, 2.0, 3.0))
+      q.processAllAvailable()
+      input.addData(("a", t0 + 2, 3.0, 1.0))
+      q.processAllAvailable()
+      val all = spark.read.parquet(outRoot)
+      assert(all.count() == 3)
+      assert(all.select("base").collect().map(_.getString(0)).sorted.toSeq == Seq("a", "a", "b"))
+      // crash-replay scenario: the same batch lands AGAIN with the same
+      // batchId (at-least-once delivery) — the overwrite keyed on batchId
+      // must leave a single copy, not append a duplicate
+      val replay = Seq(("a", 3.0, 1.0)).toDF("base", "price", "quantity")
+        .withColumn("timestamp", lit(t0 + 2).cast("timestamp"))
+      SinkFactory.writeBatchParquet(outRoot)(replay, 1L)
+      SinkFactory.writeBatchParquet(outRoot)(replay, 1L)
+      assert(spark.read.parquet(outRoot).count() == 3,
+        "replayed batch must overwrite its own output, not duplicate it")
+    } finally q.stop()
+  }
+
   test("RocksDB state store: stateful candles and watermark dedup run with off-heap state") {
     // At 100 TB stream scale the default HDFS-backed store keeps every
     // key's state ON-HEAP in each executor — the scale-killer for stateful
