@@ -62,7 +62,90 @@ object Pipeline {
        |WHERE doc_id NOT IN (SELECT doc_id FROM dropped)
        |ORDER BY doc_id""".stripMargin
 
+  /** Deterministic train/val/test split assignment: bucket = 32-bit md5
+    * prefix of the salted doc_id, mod 100 — a pure function of (salt,
+    * doc_id), so the split is stable across runs, machines, and engines
+    * (rand()-based splits are none of those), and any future doc lands in
+    * a split without re-shuffling the corpus. Per-row scalar work. */
+  def splitAssign(s: SparkSession, d: String,
+                  testPct: Int = 5, valPct: Int = 5, salt: String = "split"): DataFrame =
+    Tables.documents(s, d)
+      .withColumn("bucket",
+        conv(substring(md5(concat_ws("#", lit(salt), col("doc_id")).cast("binary")), 1, 8),
+          16, 10).cast("long") % 100)
+      .withColumn("split",
+        when(col("bucket") < testPct, "test")
+          .when(col("bucket") < testPct + valPct, "val")
+          .otherwise("train"))
+      .select(col("doc_id"), col("bucket"), col("split"))
+      .orderedBy("doc_id")
+
+  private def splitOracle(testPct: Int, valPct: Int, salt: String): String = {
+    val hv = (1 to 8)
+      .map(i => s"(strpos('0123456789abcdef', substr(h, $i, 1)) - 1) * ${1L << ((8 - i) * 4)}")
+      .mkString(" + ")
+    s"""WITH h AS (
+       |  SELECT doc_id, substr(md5('$salt' || '#' || CAST(doc_id AS VARCHAR)), 1, 8) AS h
+       |  FROM documents),
+       |b AS (SELECT doc_id, ($hv) % 100 AS bucket FROM h)
+       |SELECT doc_id, bucket,
+       |       CASE WHEN bucket < $testPct THEN 'test'
+       |            WHEN bucket < ${testPct + valPct} THEN 'val'
+       |            ELSE 'train' END AS split
+       |FROM b ORDER BY doc_id""".stripMargin
+  }
+
+  /** Benchmark decontamination: flag corpus docs sharing any word 3-gram
+    * with a held-out benchmark set (here: doc_id < `benchMax` stands in for
+    * the eval set). The benchmark's distinct shingle HASHES broadcast
+    * (benchmark sets are tiny next to a training corpus), the corpus side
+    * explodes once and joins map-side, and only (doc_id, hash) pairs ever
+    * move — never shingle text. Docs with zero overlap keep hits = 0 via
+    * the corpus-side left join. */
+  def decontaminate(s: SparkSession, d: String, benchMax: Long = 10L): DataFrame = {
+    graft.expr.GraftFunctions.register(s)
+    val sh = Tables.documents(s, d)
+      .select(col("doc_id"), TextStats.tokens(col("text")).as("toks"))
+      .select(col("doc_id"), TextStats.shinglesExpr("toks").as("sh"))
+      .filter(size(col("sh")) > 0) // ≡ the oracle's len(toks) >= 3
+    val bench = sh.filter(col("doc_id") < benchMax)
+      .select(explode(col("sh")).as("g"))
+      .select(md5(col("g").cast("binary")).as("gh")).distinct()
+    val corpus = sh.filter(col("doc_id") >= benchMax)
+    val hits = corpus
+      .select(col("doc_id"), explode(col("sh")).as("g"))
+      .select(col("doc_id"), md5(col("g").cast("binary")).as("gh"))
+      .join(broadcast(bench), "gh")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("hits"))
+    corpus.select(col("doc_id"), size(col("sh")).cast("long").as("n_shingles"))
+      .join(hits, Seq("doc_id"), "left")
+      .withColumn("hits", coalesce(col("hits"), lit(0L)))
+      .withColumn("contaminated", col("hits") > 0)
+      .orderedBy("doc_id")
+  }
+
+  private def decontOracle(benchMax: Long): String =
+    s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       |sh AS (
+       |  SELECT doc_id, list_distinct(list_transform(range(1, len(toks) - 1),
+       |           i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS s
+       |  FROM w WHERE len(toks) >= 3),
+       |bench AS (SELECT DISTINCT md5(g) AS gh
+       |          FROM (SELECT unnest(s) AS g FROM sh WHERE doc_id < $benchMax)),
+       |corpus AS (SELECT doc_id, s FROM sh WHERE doc_id >= $benchMax),
+       |ex AS (SELECT doc_id, md5(g) AS gh
+       |       FROM (SELECT doc_id, unnest(s) AS g FROM corpus)),
+       |hits AS (SELECT doc_id, count(*) AS hits
+       |         FROM ex JOIN bench USING (gh) GROUP BY doc_id)
+       |SELECT c.doc_id, CAST(len(c.s) AS BIGINT) AS n_shingles,
+       |       COALESCE(h.hits, 0) AS hits,
+       |       COALESCE(h.hits, 0) > 0 AS contaminated
+       |FROM corpus c LEFT JOIN hits h ON c.doc_id = h.doc_id
+       |ORDER BY c.doc_id""".stripMargin
+
   val defs: Map[String, QueryDef] = Map(
-    "q_pipeline_clean" -> QueryDef(cleanCorpus(_, _), Some(oracle(20, 500, 0.8)))
+    "q_pipeline_clean" -> QueryDef(cleanCorpus(_, _), Some(oracle(20, 500, 0.8))),
+    "q_split_assign" -> QueryDef(splitAssign(_, _), Some(splitOracle(5, 5, "split"))),
+    "q_decontaminate" -> QueryDef(decontaminate(_, _), Some(decontOracle(10L)))
   )
 }

@@ -135,6 +135,32 @@ class LlmSpec extends SparkTestBase {
     assert(fps.values.forall(s => s.nonEmpty))
   }
 
+  test("decontamination: benchmark-overlapping doc flagged, disjoint doc clean") {
+    val docs = Seq(
+      (1L, base), // benchmark doc (id < 10)
+      (12L, "intro words then " + base + " copied straight into training"),
+      (13L, "no overlap with anything held out just ordinary fresh sentences")
+    ).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft-decont").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = Pipeline.decontaminate(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getBoolean(3))).toMap
+    assert(out(12L)._2 && out(12L)._1 > 0, s"copied doc must be flagged: $out")
+    assert(!out(13L)._2 && out(13L)._1 == 0, s"fresh doc must be clean: $out")
+    assert(!out.contains(1L), "benchmark docs are not part of the scored corpus")
+  }
+
+  test("split assignment: deterministic, complete, and near the requested fractions") {
+    val d = "/root/testdata/sf0.01"
+    val a = Pipeline.splitAssign(spark, d).collect().map(r => (r.getLong(0), r.getString(2)))
+    val b = Pipeline.splitAssign(spark, d).collect().map(r => (r.getLong(0), r.getString(2)))
+    assert(a.toSeq == b.toSeq, "split must be a pure function of (salt, doc_id)")
+    val frac = a.groupBy(_._2).view.mapValues(_.length.toDouble / a.length).toMap
+    assert(a.length == 500)
+    assert(frac("train") > 0.8 && frac("test") < 0.12 && frac("val") < 0.12,
+      s"split fractions off: $frac")
+  }
+
   test("embedding quantization: int8 range, exact extremes, dequant error bound") {
     val d = "/root/testdata/sf0.001"
     val rows = Similarity.quantize(spark, d).collect()
