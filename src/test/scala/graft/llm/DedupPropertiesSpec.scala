@@ -23,6 +23,39 @@ class DedupPropertiesSpec extends SparkTestBase {
     x.intersect(y).size.toDouble / x.union(y).size
   }
 
+  test("simhashPairs(maxHamming=2) returns EXACTLY the hamming<=2 pairs — the byte-pair banding guarantee") {
+    // Soundness is the hamming filter; COMPLETENESS is the pigeonhole claim
+    // (<=2 bit flips leave one of the 6 byte pairs untouched), checked here
+    // against ground truth recomputed from the signatures themselves.
+    val genDoc = Gen.listOfN(40, Gen.oneOf(vocab)).map(_.mkString(" "))
+    var seed = Seed(13L)
+    val docs = (0 until 15).map { i =>
+      val d = genDoc.apply(Gen.Parameters.default, seed).get
+      seed = seed.next
+      (i.toLong, d)
+    }
+    // exact copies (hamming 0) and one-token tweaks (small, often <=2)
+    val copies = docs.take(3).map { case (id, t) => (id + 100L, t) }
+    val tweaks = docs.slice(3, 8).map { case (id, t) =>
+      (id + 200L, t.replaceFirst("alpha", "omega")) }
+    val corpus = docs ++ copies ++ tweaks
+    val dir = java.nio.file.Files.createTempDirectory("graft-simprop").toString
+    corpus.toDF("doc_id", "text").write.mode("overwrite").parquet(s"$dir/documents.parquet")
+
+    val sigs = Dedup.simhashDocs(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val ids = sigs.keys.toSeq.sorted
+    val truth = (for {
+      a <- ids; b <- ids if a < b
+      if java.lang.Long.bitCount(sigs(a) ^ sigs(b)) <= 2
+    } yield (a, b)).toSet
+    assert(truth.nonEmpty, "fixture must contain hamming<=2 pairs")
+    val got = Dedup.simhashPairs(spark, dir, maxHamming = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == truth,
+      s"missing=${truth -- got} spurious=${got -- truth}")
+  }
+
   test("near() finds every planted near-copy and reports exact Jaccard") {
     val genDoc = Gen.listOfN(60, Gen.oneOf(vocab)).map(_.mkString(" "))
     var seed = Seed(7L)
