@@ -107,4 +107,15 @@ class CatalogSpec extends SparkTestBase {
     assert(plan.contains("WindowGroupLimit"),
       "q_sim_topk lost the WindowGroupLimit pushdown — the full n×q score set would shuffle")
   }
+
+  test("plan guard: tfidf top-k window-prunes; decontamination broadcasts the benchmark set") {
+    val tfidf = Catalog.defs("q_tfidf").build(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(tfidf.contains("WindowGroupLimit"),
+      "q_tfidf lost its per-doc top-k pruning — every (doc, token) score would shuffle")
+    val dec = Catalog.defs("q_decontaminate").build(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(dec.contains("BroadcastHashJoin"),
+      s"q_decontaminate no longer broadcasts the benchmark shingle set:\n$dec")
+  }
 }
