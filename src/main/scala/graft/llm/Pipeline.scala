@@ -143,8 +143,37 @@ object Pipeline {
        |FROM corpus c LEFT JOIN hits h ON c.doc_id = h.doc_id
        |ORDER BY c.doc_id""".stripMargin
 
+  /** Greedy sequence packing: assign docs to fixed-token-budget training
+    * packs by running prefix sum — pack_id = floor(tokens-before-this-doc /
+    * budget), the contiguous-fill approximation of bin packing every
+    * pretraining data loader uses. Packing is scoped PER LANGUAGE (window
+    * partitioned by lang, ordered by doc_id): each language packs in
+    * parallel — a single global ordering would serialize the window into
+    * one partition at corpus scale. All arithmetic is exact ints (window
+    * sum, one integer division). */
+  def packGreedy(s: SparkSession, d: String, budget: Int = 2048): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang")).orderBy(col("doc_id"))
+    Tables.documents(s, d)
+      .withColumn("n_tokens", size(TextStats.tokens(col("text"))).cast("long"))
+      .withColumn("cum", sum(col("n_tokens")).over(w))
+      .withColumn("pack_id", expr(s"CAST((cum - n_tokens) DIV $budget AS BIGINT)"))
+      .select(col("doc_id"), col("lang"), col("n_tokens"), col("pack_id"))
+      .orderedBy("doc_id")
+  }
+
+  private def packOracle(budget: Int): String =
+    s"""WITH t AS (
+       |  SELECT doc_id, lang, len(string_split(text, ' ')) AS n_tokens
+       |  FROM documents)
+       |SELECT doc_id, lang, n_tokens,
+       |       CAST((sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id)
+       |             - n_tokens) // $budget AS BIGINT) AS pack_id
+       |FROM t ORDER BY doc_id""".stripMargin
+
   val defs: Map[String, QueryDef] = Map(
     "q_pipeline_clean" -> QueryDef(cleanCorpus(_, _), Some(oracle(20, 500, 0.8))),
+    "q_pack_greedy" -> QueryDef(packGreedy(_, _), Some(packOracle(2048))),
     "q_split_assign" -> QueryDef(splitAssign(_, _), Some(splitOracle(5, 5, "split"))),
     "q_decontaminate" -> QueryDef(decontaminate(_, _), Some(decontOracle(10L)))
   )

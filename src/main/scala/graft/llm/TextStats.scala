@@ -143,6 +143,36 @@ object TextStats {
       .limit(k)
       .orderedBy("tok")
 
+  /** PII-style redaction battery: count and scrub email-shaped tokens and
+    * long digit runs, emitting counts + the redacted text's hash and length
+    * (never the body — the downstream contract is "was anything redacted
+    * and what does the result hash to"). Patterns stay in the portable
+    * RE2/Java common subset (explicit classes, no lookaround) so both
+    * engines match identically. Per-row scalar work. */
+  def redact(s: SparkSession, d: String): DataFrame = {
+    val emailRe = "[a-z0-9._]+@[a-z0-9.]+"
+    val numRe = "[0-9]{4,}"
+    val redacted = regexp_replace(
+      regexp_replace(col("text"), emailRe, "<EMAIL>"), numRe, "<NUM>")
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      size(regexp_extract_all(col("text"), lit(emailRe), lit(0))).cast("long").as("n_emails"),
+      size(regexp_extract_all(col("text"), lit(numRe), lit(0))).cast("long").as("n_nums"),
+      md5(redacted.cast("binary")).as("redacted_md5"),
+      length(redacted).cast("long").as("redacted_len")
+    ).orderedBy("doc_id")
+  }
+
+  private def redactOracle: String =
+    """SELECT doc_id,
+      |       len(regexp_extract_all(text, '[a-z0-9._]+@[a-z0-9.]+')) AS n_emails,
+      |       len(regexp_extract_all(text, '[0-9]{4,}')) AS n_nums,
+      |       md5(regexp_replace(regexp_replace(text, '[a-z0-9._]+@[a-z0-9.]+',
+      |           '<EMAIL>', 'g'), '[0-9]{4,}', '<NUM>', 'g')) AS redacted_md5,
+      |       CAST(length(regexp_replace(regexp_replace(text, '[a-z0-9._]+@[a-z0-9.]+',
+      |           '<EMAIL>', 'g'), '[0-9]{4,}', '<NUM>', 'g')) AS BIGINT) AS redacted_len
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   /** TF-IDF top-k terms per document — the keyword/feature-extraction
     * primitive. tf and df are exact ints; idf = ln((N+1)/(df+1)) + 1
     * (smoothed) and score = tf·idf stay INSIDE the query: the output is
@@ -330,6 +360,7 @@ object TextStats {
     "q_lang_id" -> QueryDef(langId, Some(langIdOracle)),
     "q_tfidf" -> QueryDef(tfidfTopk(_, _), Some(tfidfOracle(3))),
     "q_doc_winnow" -> QueryDef(winnow(_, _), Some(winnowOracle(4))),
+    "q_redact" -> QueryDef(redact, Some(redactOracle)),
     "q_text_normalize" -> QueryDef(normalize, Some(
       // DuckDB regexp_replace needs the 'g' flag (first-match-only default;
       // Spark's is global)

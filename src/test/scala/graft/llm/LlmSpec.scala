@@ -161,6 +161,35 @@ class LlmSpec extends SparkTestBase {
       s"split fractions off: $frac")
   }
 
+  test("greedy packing: per-lang prefix-sum bin assignment, hand-checked") {
+    // n_tokens 3,4,5,2 with budget 6: tokens-before = 0,3,7,12 → packs 0,0,1,2;
+    // the other lang packs independently from zero
+    val docs = Seq(
+      (1L, "en", "a b c"), (2L, "en", "a b c d"),
+      (3L, "en", "a b c d e"), (4L, "en", "a b"),
+      (5L, "de", "x y z w")).toDF("doc_id", "lang", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft-pack").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = Pipeline.packGreedy(spark, dir, budget = 6).collect()
+      .map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(out == Map(1L -> 0L, 2L -> 0L, 3L -> 1L, 4L -> 2L, 5L -> 0L), s"got $out")
+  }
+
+  test("redaction: emails and digit runs scrubbed, counted, and hashed") {
+    val docs = Seq(
+      (1L, "contact me@example.com or call 12345 soon"),
+      (2L, "clean text with a short 123 number")).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft-redact").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = TextStats.redact(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(out(1L)._1 == 1 && out(1L)._2 == 1)
+    assert(out(1L)._3 == md5hex("contact <EMAIL> or call <NUM> soon"))
+    assert(out(2L) == ((0L, 0L, md5hex("clean text with a short 123 number"))))
+  }
+
   test("embedding quantization: int8 range, exact extremes, dequant error bound") {
     val d = "/root/testdata/sf0.001"
     val rows = Similarity.quantize(spark, d).collect()
