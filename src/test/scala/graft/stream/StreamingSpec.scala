@@ -256,6 +256,48 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("stream-stream LEFT OUTER interval join: unmatched click emits nulls only after the watermark closes its window") {
+    implicit val ctx = spark.sqlContext
+    val clicks = MemoryStream[(Long, Long, Long)]
+    val purchases = MemoryStream[(Long, Long, Long)]
+    val c = clicks.toDF().toDF("click_id", "c_user", "c_epoch")
+      .withColumn("c_ts", col("c_epoch").cast("timestamp"))
+      .withWatermark("c_ts", "1 minute")
+    val p = purchases.toDF().toDF("p_id", "p_user", "p_epoch")
+      .withColumn("p_ts", col("p_epoch").cast("timestamp"))
+      .withWatermark("p_ts", "1 minute")
+    val joined = c.join(p,
+      col("c_user") === col("p_user") &&
+        col("p_ts") >= col("c_ts") &&
+        col("p_ts") <= col("c_ts") + expr("INTERVAL 10 MINUTES"),
+      "leftOuter")
+      .select(col("click_id"), col("p_id"))
+    val q = joined.writeStream.format("memory").queryName("ss_left_join")
+      .outputMode("append").start()
+    def rows() = spark.table("ss_left_join").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) None else Some(r.getLong(1)))).toSet
+    try {
+      clicks.addData((100L, 1L, t0), (101L, 2L, t0)) // 101 will never match
+      purchases.addData((200L, 1L, t0 + 300))
+      q.processAllAvailable()
+      // the matched pair emits; the unmatched click must NOT emit a null
+      // row while its 10-minute window is still open (a purchase could
+      // still arrive) — outer emission is watermark-gated state eviction
+      assert(rows() == Set((100L, Some(200L))), s"premature outer emission: ${rows()}")
+      // advance BOTH watermarks far past click+10min+delay, then run one
+      // more batch (outer results land on the eviction after the advance)
+      clicks.addData((199L, 9L, t0 + 3600))
+      purchases.addData((299L, 9L, t0 + 3600))
+      q.processAllAvailable()
+      clicks.addData((198L, 8L, t0 + 3700))
+      purchases.addData((298L, 8L, t0 + 3700))
+      q.processAllAvailable()
+      assert(rows().contains((101L, None)),
+        s"unmatched click must emit with null purchase after eviction: ${rows()}")
+      assert(rows().count(_._1 == 101L) == 1, "outer row must emit exactly once")
+    } finally q.stop()
+  }
+
   test("session_window works in streaming: gap merge + append emission after watermark") {
     implicit val ctx = spark.sqlContext
     val input = MemoryStream[(Long, Long, Double)]
