@@ -100,7 +100,15 @@ object Dedup {
     * (cheaper — fewer docs shingle — and it keeps exact-duplicate clusters
     * from flooding band buckets; exact dedup owns those linearly). */
   def nearFor(docs: DataFrame, threshold: Double = 0.8,
-              bands: Int = 4, rows: Int = 3, maxBucket: Option[Int] = None): DataFrame = {
+              bands: Int = 4, rows: Int = 3, maxBucket: Option[Int] = None): DataFrame =
+    nearPairsUnordered(docs, threshold, bands, rows, maxBucket)
+      .orderedBy("doc_a", "doc_b")
+
+  /** [[nearFor]] without the harness ordering trailer — the composition
+    * entry point for downstream graph work ([[nearClusters]]), where a
+    * repartition(1) in the lineage would serialize every later stage. */
+  private[llm] def nearPairsUnordered(docs: DataFrame, threshold: Double = 0.8,
+      bands: Int = 4, rows: Int = 3, maxBucket: Option[Int] = None): DataFrame = {
     graft.expr.GraftFunctions.register(docs.sparkSession)
     val docsTok = docs
       .select(col("doc_id"), TextStats.tokens(col("text")).as("toks"))
@@ -137,7 +145,54 @@ object Dedup {
           (size(col("sh_a")) + size(col("sh_b")) - col("inter")), 4))
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
-      .orderedBy("doc_a", "doc_b")
+  }
+
+  /** Near-dup CLUSTERS: connected components over the LSH pair graph via
+    * `iters` rounds of min-label propagation — label(v) starts as v's own
+    * id and each round takes the min over {self} ∪ in-neighbors, so a
+    * component collapses onto its smallest doc_id (the canonical
+    * survivor). FIXED iteration count, not run-to-convergence: both
+    * engines execute the same steps, so even an unconverged state is
+    * bit-identical and the DuckDB oracle unrolls the rounds as CTEs
+    * (`iters` bounds reachable diameter — near-dup clusters are shallow;
+    * raise it for pathological chains). Scale shape per round: one
+    * edge⋈label join plus a min-groupBy, both keyed on the id — the edge
+    * list is O(near-dup pairs), never the corpus. */
+  def nearClusters(s: SparkSession, d: String, threshold: Double = 0.8,
+                   iters: Int = 3): DataFrame = {
+    val pairs = nearPairsUnordered(Tables.documents(s, d), threshold)
+      .select(col("doc_a"), col("doc_b"))
+    val edges = pairs.unionByName(
+        pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+      .toDF("src", "dst")
+    val labels0 = edges.select(col("src").as("id")).distinct()
+      .withColumn("lbl", col("id"))
+    val labels = (1 to iters).foldLeft(labels0) { (l, _) =>
+      val viaEdges = edges.join(l.withColumnRenamed("id", "src"), "src")
+        .select(col("dst").as("id"), col("lbl"))
+      l.unionByName(viaEdges).groupBy(col("id")).agg(min(col("lbl")).as("lbl"))
+    }
+    labels.select(col("id").as("doc_id"), col("lbl").as("cluster"))
+      .orderedBy("doc_id")
+  }
+
+  /** Mirrors [[nearClusters]]: the propagation rounds unroll as CTEs. */
+  private def nearClustersOracle(threshold: Double, iters: Int): String = {
+    val rounds = (1 to iters).map { t =>
+      s"""l$t AS (
+         |  SELECT id, min(lbl) AS lbl FROM (
+         |    SELECT id, lbl FROM l${t - 1}
+         |    UNION ALL
+         |    SELECT e.dst AS id, l.lbl FROM edges e JOIN l${t - 1} l ON l.id = e.src)
+         |  GROUP BY id)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ${nearOracleCtes(4, 3)},
+       |p2 AS (SELECT doc_a, doc_b FROM pairs WHERE jaccard >= $threshold),
+       |edges AS (SELECT doc_a AS src, doc_b AS dst FROM p2
+       |          UNION ALL SELECT doc_b, doc_a FROM p2),
+       |l0 AS (SELECT DISTINCT src AS id, src AS lbl FROM edges),
+       |$rounds
+       |SELECT id AS doc_id, lbl AS cluster FROM l$iters ORDER BY doc_id""".stripMargin
   }
 
   /** The CTE chain shared by the near-dup oracle and composed pipelines
@@ -419,6 +474,8 @@ object Dedup {
         |FROM documents
         |GROUP BY fp ORDER BY fp""".stripMargin)),
     "q_dedup_near" -> QueryDef(near(_, _), Some(nearOracle(0.8, 4, 3))),
+    "q_dedup_clusters" -> QueryDef(nearClusters(_, _),
+      Some(nearClustersOracle(0.8, 3))),
     // the 100 TB guard-rail variant: band buckets capped at 4 docs before
     // the quadratic self-join (hot-bucket boilerplate clusters bounded)
     "q_dedup_near_capped" -> QueryDef(

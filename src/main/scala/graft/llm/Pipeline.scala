@@ -39,7 +39,7 @@ object Pipeline {
       .select(col("doc_id"))
     // survivors of stages 1-2 (still carrying text for stage 3's shingles)
     val kept = docs.join(fpKeep, "doc_id") // semi-equivalent: fpKeep ids unique
-    val nearDrop = Dedup.nearFor(kept, nearThreshold)
+    val nearDrop = Dedup.nearPairsUnordered(kept, nearThreshold)
       .select(col("doc_b").as("doc_id")).distinct()
     kept
       .join(nearDrop, Seq("doc_id"), "left_anti")

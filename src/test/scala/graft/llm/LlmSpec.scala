@@ -135,6 +135,26 @@ class LlmSpec extends SparkTestBase {
     assert(fps.values.forall(s => s.nonEmpty))
   }
 
+  test("near-dup clusters: min-label propagates across a 2-hop chain") {
+    // sliding 40-token windows over 48 tokens: (1,2) and (2,3) are
+    // near-pairs (J≈0.81) but (1,3) is not (J≈0.65) — doc 3 joins cluster
+    // 1 only through label propagation via doc 2. Docs 10/11 are an
+    // independent identical pair; doc 20 is unrelated (absent from output).
+    val w = (1 to 48).map(i => f"t$i%02d")
+    def window(from: Int) = w.slice(from - 1, from - 1 + 40).mkString(" ")
+    val docs = Seq(
+      (1L, window(1)), (2L, window(5)), (3L, window(9)),
+      (10L, base), (11L, base),
+      (20L, "totally unrelated content that shares nothing with the chain docs at all")
+    ).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft-clusters").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = Dedup.nearClusters(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L),
+      s"got $got")
+  }
+
   test("decontamination: benchmark-overlapping doc flagged, disjoint doc clean") {
     val docs = Seq(
       (1L, base), // benchmark doc (id < 10)
