@@ -162,9 +162,17 @@ object Dedup {
                    iters: Int = 3): DataFrame = {
     val pairs = nearPairsUnordered(Tables.documents(s, d), threshold)
       .select(col("doc_a"), col("doc_b"))
-    val edges = pairs.unionByName(
-        pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
-      .toDF("src", "dst")
+    // Both edge directions from ONE pass over the pairs (explode, not a
+    // union of two references), then PERSIST: every propagation round
+    // references the edge list, and without materialization each
+    // reference re-executes the whole LSH pipeline — the iterative-graph
+    // materialization every Spark graph framework performs internally.
+    // The edge list is O(near-dup pairs), tiny next to the corpus.
+    val edges = pairs.select(explode(array(
+        struct(col("doc_a").as("src"), col("doc_b").as("dst")),
+        struct(col("doc_b").as("src"), col("doc_a").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
+      .persist()
     val labels0 = edges.select(col("src").as("id")).distinct()
       .withColumn("lbl", col("id"))
     val labels = (1 to iters).foldLeft(labels0) { (l, _) =>
