@@ -189,6 +189,67 @@ object Relational {
       )
       .orderedBy("l_returnflag")
 
+  /** A fully-deterministic HLL-style distinct sketch, expressed as plain
+    * relational ops — the "novel sketch" shape with a COMPLETE cross-engine
+    * oracle (unlike the built-in approx_count_distinct, whose murmur/HLL++
+    * internals DuckDB can't replay):
+    *
+    *   hash = 32-bit md5 prefix of the value; bucket = hash mod m (m=64);
+    *   w = hash div m (26 bits); rho = leading-zero rank of w, computed
+    *   EXACTLY via bin-string length (both engines have bin(); no
+    *   floor(log2) boundary risk); register = max(rho) per bucket; raw HLL
+    *   estimate = alpha·m² / Σ 2^-reg.
+    *
+    * Why the estimate is bit-identical cross-engine: every Σ term is an
+    * exact dyadic 2^-k (k ≤ 27) built by integer shift + one divide, and
+    * 64 such terms span < 52 mantissa bits, so EVERY partial sum is exact
+    * — the harmonic mean is order-independent. The remaining ops are
+    * single IEEE multiply/divide + round. Scale shape: two hash aggs
+    * (partial map-side), ≤ m registers of state per group; no correction
+    * branch (ln() would reintroduce last-ulp divergence) — this is the raw
+    * estimator, ±~13% at m=64, and the test bounds it against the exact
+    * count. */
+  def distinctSketch(s: SparkSession, d: String, m: Int = 64): DataFrame = {
+    val h = conv(substring(md5(col("l_partkey").cast("string").cast("binary")), 1, 8), 16, 10)
+      .cast("long")
+    Tables.lineitem(s, d)
+      .select(col("l_returnflag"), h.as("h"))
+      .withColumn("bucket", col("h") % m)
+      .withColumn("w", expr(s"h DIV $m"))
+      .withColumn("rho",
+        when(col("w") === 0, lit(27)).otherwise(lit(27) - length(bin(col("w")))))
+      .groupBy(col("l_returnflag"), col("bucket"))
+      .agg(max(col("rho")).as("reg"))
+      .groupBy(col("l_returnflag"))
+      .agg(
+        expr("sum(1.0 / shiftleft(CAST(1 AS BIGINT), CAST(reg AS INT)))").as("sp"),
+        count(lit(1)).as("nb"))
+      .select(col("l_returnflag"), col("nb"),
+        round(lit(0.709 * m * m) / (col("sp") + (lit(m) - col("nb"))), 4).as("distinct_est"))
+      .orderedBy("l_returnflag")
+  }
+
+  private def distinctSketchOracle(m: Int): String = {
+    val hv = (1 to 8)
+      .map(i => s"(strpos('0123456789abcdef', substr(hx, $i, 1)) - 1) * ${1L << ((8 - i) * 4)}")
+      .mkString(" + ")
+    s"""WITH hsrc AS (
+       |  SELECT l_returnflag, substr(md5(CAST(l_partkey AS VARCHAR)), 1, 8) AS hx
+       |  FROM lineitem),
+       |h AS (SELECT l_returnflag, $hv AS h FROM hsrc),
+       |b AS (SELECT l_returnflag, h % $m AS bucket, h // $m AS w FROM h),
+       |r AS (SELECT l_returnflag, bucket,
+       |             max(CASE WHEN w = 0 THEN 27 ELSE 27 - length(bin(w)) END) AS reg
+       |      FROM b GROUP BY l_returnflag, bucket),
+       |a AS (SELECT l_returnflag,
+       |             sum(1.0 / (CAST(1 AS BIGINT) << CAST(reg AS INT))) AS sp,
+       |             count(*) AS nb
+       |      FROM r GROUP BY l_returnflag)
+       |SELECT l_returnflag, nb,
+       |       round(${0.709 * m * m} / (sp + ($m - nb)), 4) AS distinct_est
+       |FROM a ORDER BY l_returnflag""".stripMargin
+  }
+
   /** HLL sketch — nondeterministic vs DuckDB, so rows-only check (no oracle). */
   def aggApprox(s: SparkSession, d: String): DataFrame =
     Tables.lineitem(s, d)
@@ -386,6 +447,9 @@ object Relational {
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
     "q_agg_approx" -> QueryDef(aggApprox, None,
       doc = "HLL approx_count_distinct — sketch differs from DuckDB's, rows-only check"),
+    // the replayable sketch twin: md5-register HLL, full hash oracle
+    "q_distinct_sketch" -> QueryDef(distinctSketch(_, _),
+      Some(distinctSketchOracle(64))),
     "q_rollup" -> QueryDef(rollupQ, Some(groupedSetsSql("ROLLUP"))),
     "q_cube" -> QueryDef(cubeQ, Some(groupedSetsSql("CUBE"))),
     "q_win_rank" -> QueryDef(winRank, Some(

@@ -108,6 +108,18 @@ class CatalogSpec extends SparkTestBase {
       "q_sim_topk lost the WindowGroupLimit pushdown — the full n×q score set would shuffle")
   }
 
+  test("md5-register HLL sketch estimates land near the exact distinct counts") {
+    val d = "/root/testdata/sf0.01"
+    val exact = graft.queries.Relational.aggDistinct(spark, d).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap // parts per returnflag
+    val est = graft.queries.Relational.distinctSketch(spark, d).collect()
+      .map(r => r.getString(0) -> r.getDouble(2)).toMap
+    exact.foreach { case (rf, n) =>
+      val rel = math.abs(est(rf) - n) / n
+      assert(rel < 0.35, f"$rf: estimate ${est(rf)}%.0f vs exact $n (${rel * 100}%.0f%% off)")
+    }
+  }
+
   test("plan guard: tfidf top-k window-prunes; decontamination broadcasts the benchmark set") {
     val tfidf = Catalog.defs("q_tfidf").build(spark, dir)
       .queryExecution.executedPlan.toString
