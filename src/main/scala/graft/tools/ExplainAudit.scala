@@ -19,7 +19,8 @@ object ExplainAudit {
       "q_ohlc_1m", "q_agg_hash", "q_join_smj", "q_join_broadcast",
       "q_join_asof", "q_dedup_near", "q_sim_topk", "q_sim_bucketed",
       "q_topk", "q_json_get", "q_sample_k", "q_dedup_simhash_capped",
-      "q_tfidf", "q_doc_winnow", "q_decontaminate", "q_dedup_clusters")
+      "q_tfidf", "q_doc_winnow", "q_decontaminate", "q_dedup_clusters",
+      "q_distinct_sketch")
     names.foreach { n =>
       println(s"\n========== $n ==========")
       graft.SparkEntry.queries(n)(spark, d).explain("formatted")
