@@ -26,5 +26,9 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // local[32] runs driver+executor in ONE JVM: 8g starved the 77-query
+  // bench (broadcast/shuffle state of earlier queries pushed later ones
+  // into GC thrash — BENCH_r04 showed 41s for a query that runs 2.8s in
+  // isolation); the box has 128 GiB, so give the single JVM a real slice
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "28g")}",
 )

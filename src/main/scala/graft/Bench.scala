@@ -22,6 +22,9 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+      // backstop for the per-query System.gc(): the ContextCleaner only
+      // reclaims dropped broadcasts/shuffles after a driver GC notices them
+      .config("spark.cleaner.periodicGC.interval", "30s")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
@@ -29,6 +32,13 @@ object Bench {
       fn(spark, sfDir).write.format("noop").mode("overwrite").save()
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      // per-query isolation: earlier queries leave broadcast blocks, cached
+      // relations, and shuffle state behind; without a driver GC the
+      // ContextCleaner never reclaims them (weak-ref based) and the shared
+      // JVM degrades — BENCH_r04 measured 41.6s for q_dedup_near vs 2.8s
+      // in isolation. Untimed, so per-query numbers stay comparable.
+      spark.catalog.clearCache()
+      System.gc()
       val ok = try { runOnce(fn); true } // warm-up, untimed
       catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}"); false

@@ -96,6 +96,7 @@ object Catalog {
   val defs: Map[String, QueryDef] =
     ohlcDefs ++ graft.queries.Relational.defs ++ graft.queries.Scalar.defs ++
       graft.queries.TimeWindows.defs ++ graft.queries.Advanced.defs ++
+      graft.queries.Stats.defs ++
       graft.llm.TextStats.defs ++ graft.llm.Dedup.defs ++
       graft.llm.MlLsh.defs ++ graft.llm.Pipeline.defs ++
       graft.llm.Similarity.defs ++ graft.llm.Multimodal.defs

@@ -147,6 +147,79 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
 
+  /** N-gram Jaccard near-dup WITHOUT MinHash: candidate pairs come from an
+    * inverted index on RARE shingles — docs sharing any 3-gram whose
+    * document frequency is in [2, maxDf] — then exact-Jaccard verification,
+    * identical to [[near]]'s verify stage.
+    *
+    * The complementary recall/cost trade to MinHash-LSH: recall is EXACT
+    * for any pair sharing at least one rare shingle (near-dups above ~0.5
+    * Jaccard on natural text essentially always do), and the df ceiling is
+    * a BUILT-IN hot-bucket bound — a shingle with df > maxDf (stopword
+    * runs, boilerplate) never joins, so the self-join is capped at
+    * maxDf²/2 pairs per shingle by construction, where MinHash needs the
+    * bolt-on count-window cap. Cost: the df groupBy shuffles every
+    * (shingle, doc) pair once — same volume the MinHash explode already
+    * shuffles — then only rare-shingle postings (a small fraction at
+    * corpus scale: boilerplate is exactly what the ceiling drops) enter
+    * the join. Shingle strings are the join key (~30 bytes); at 100 TB
+    * hash them to 16 bytes first if the exchange bytes ever dominate. */
+  def ngramPairs(s: SparkSession, d: String, threshold: Double = 0.8,
+                 maxDf: Int = 10): DataFrame = {
+    graft.expr.GraftFunctions.register(s)
+    val docsTok = Tables.documents(s, d)
+      .select(col("doc_id"), TextStats.tokens(col("text")).as("toks"))
+    val sh = docsTok
+      .select(col("doc_id"), TextStats.shinglesExpr("toks").as("sh"))
+      .filter(size(col("sh")) > 0)
+    val postings = sh.select(col("doc_id"), explode(col("sh")).as("g"))
+    val rare = postings.groupBy(col("g"))
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") >= 2 && col("df") <= maxDf)
+      .select(col("g"))
+    val rarePostings = postings.join(rare, "g")
+    val cand = rarePostings.as("x").join(rarePostings.as("y"),
+        col("x.g") === col("y.g") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    val withSets = cand
+      .join(docsTok.select(col("doc_id").as("doc_a"), col("toks").as("toks_a")), "doc_a")
+      .join(docsTok.select(col("doc_id").as("doc_b"), col("toks").as("toks_b")), "doc_b")
+      .withColumn("sh_a", TextStats.shinglesExpr("toks_a"))
+      .withColumn("sh_b", TextStats.shinglesExpr("toks_b"))
+    withSets
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("jaccard",
+        round(lit(1.0) * col("inter") /
+          (size(col("sh_a")) + size(col("sh_b")) - col("inter")), 4))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+      .orderedBy("doc_a", "doc_b")
+  }
+
+  /** Mirrors [[ngramPairs]]: rare-shingle postings join + Jaccard verify.
+    * Shingles here are DISTINCT per doc (list_distinct in `sh`), so df
+    * counts documents, matching the Spark side's set semantics. */
+  private def ngramOracle(threshold: Double, maxDf: Int): String =
+    s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       |sh AS (
+       |  SELECT doc_id, list_distinct(list_transform(range(1, len(toks) - 1),
+       |           i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS s
+       |  FROM w WHERE len(toks) >= 3),
+       |post AS (SELECT doc_id, unnest(s) AS g FROM sh),
+       |rare AS (SELECT g FROM post GROUP BY g
+       |         HAVING count(*) >= 2 AND count(*) <= $maxDf),
+       |rp AS (SELECT doc_id, g FROM post JOIN rare USING (g)),
+       |cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+       |         FROM rp x JOIN rp y ON x.g = y.g AND x.doc_id < y.doc_id),
+       |pairs AS (
+       |  SELECT doc_a, doc_b,
+       |         round(1.0 * len(list_intersect(a.s, b.s)) /
+       |               (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 4) AS jaccard
+       |  FROM cand JOIN sh a ON a.doc_id = doc_a JOIN sh b ON b.doc_id = doc_b)
+       |SELECT doc_a, doc_b, jaccard FROM pairs WHERE jaccard >= $threshold
+       |ORDER BY doc_a, doc_b""".stripMargin
+
   /** Near-dup CLUSTERS: connected components over the LSH pair graph via
     * `iters` rounds of min-label propagation — label(v) starts as v's own
     * id and each round takes the min over {self} ∪ in-neighbors, so a
@@ -482,6 +555,9 @@ object Dedup {
         |FROM documents
         |GROUP BY fp ORDER BY fp""".stripMargin)),
     "q_dedup_near" -> QueryDef(near(_, _), Some(nearOracle(0.8, 4, 3))),
+    // exact-recall complement to MinHash: rare-shingle inverted index with
+    // the df ceiling as the built-in hot-bucket bound
+    "q_dedup_ngram" -> QueryDef(ngramPairs(_, _), Some(ngramOracle(0.8, 10))),
     "q_dedup_clusters" -> QueryDef(nearClusters(_, _),
       Some(nearClustersOracle(0.8, 3))),
     // the 100 TB guard-rail variant: band buckets capped at 4 docs before

@@ -155,15 +155,18 @@ object Similarity {
   def quantize(s: SparkSession, d: String): DataFrame =
     vecs(s, d)
       .withColumn("scale", expr("array_max(transform(e, x -> abs(x)))"))
+      // the harness output stringifies the int8 vector: the driver compare
+      // sorts every result column with pandas, which cannot sort array
+      // cells — a downstream consumer would stop one projection earlier
       .select(col("vec_id"), col("scale"),
-        expr("transform(e, x -> CAST(round(CASE WHEN scale = 0.0 THEN 0.0" +
-          " ELSE x / scale * 127 END) AS INT))").as("q"))
+        expr("array_join(transform(e, x -> CAST(CAST(round(CASE WHEN scale = 0.0" +
+          " THEN 0.0 ELSE x / scale * 127 END) AS INT) AS STRING)), ',')").as("q"))
       .orderedBy("vec_id")
 
   private def quantizeOracle: String =
     """SELECT vec_id, scale,
-      |       list_transform(e, x -> CAST(round(CASE WHEN scale = 0.0 THEN 0.0
-      |         ELSE x / scale * 127 END) AS INTEGER)) AS q
+      |       array_to_string(list_transform(e, x -> CAST(round(CASE WHEN scale = 0.0 THEN 0.0
+      |         ELSE x / scale * 127 END) AS INTEGER)), ',') AS q
       |FROM (SELECT vec_id, e, list_max(list_transform(e, x -> abs(x))) AS scale
       |      FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings))
       |ORDER BY vec_id""".stripMargin

@@ -255,7 +255,11 @@ object TextStats {
       .withColumn("mins", expr(
         s"transform(sequence(1, size(gh) - ${w - 1}), i -> array_min(slice(gh, i, $w)))"))
       .withColumn("fps", sort_array(array_distinct(col("mins"))))
-      .select(col("doc_id"), size(col("fps")).cast("long").as("n_fps"), col("fps"))
+      // stringified for the harness: the driver compare sorts result
+      // columns with pandas, which cannot sort array cells — the
+      // fingerprint-set JOIN consumer would explode `mins` instead
+      .select(col("doc_id"), size(col("fps")).cast("long").as("n_fps"),
+        expr("array_join(transform(fps, x -> CAST(x AS STRING)), ',')").as("fps"))
       .orderedBy("doc_id")
   }
 
@@ -275,7 +279,8 @@ object TextStats {
        |m AS (SELECT doc_id,
        |        list_transform(range(1, len(gh) - ${w - 2}),
        |          i -> list_min(gh[i:i+${w - 1}])) AS mins FROM hv)
-       |SELECT doc_id, CAST(len(fps) AS BIGINT) AS n_fps, fps FROM (
+       |SELECT doc_id, CAST(len(fps) AS BIGINT) AS n_fps,
+       |       array_to_string(fps, ',') AS fps FROM (
        |  SELECT doc_id, list_sort(list_distinct(mins)) AS fps FROM m)
        |ORDER BY doc_id""".stripMargin
   }

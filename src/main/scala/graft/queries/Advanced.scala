@@ -110,7 +110,10 @@ object Advanced {
         conv(substring(md5(concat_ws("#", lit(seed), col("l_orderkey"),
           col("l_linenumber"))), 1, 8), 16, 10).cast("long"))
       .groupBy(col("l_returnflag"))
-      .agg(expr(s"sample_bottom_k(pri, l_orderkey, $k)").as("sample"))
+      // stringified for the harness: the driver compare sorts result
+      // columns with pandas, which cannot sort array cells
+      .agg(expr(s"array_join(transform(sample_bottom_k(pri, l_orderkey, $k)," +
+        " x -> CAST(x AS STRING)), ',')").as("sample"))
       .orderedBy("l_returnflag")
   }
 
@@ -131,7 +134,8 @@ object Advanced {
        |             row_number() OVER (PARTITION BY l_returnflag
        |               ORDER BY pri, l_orderkey) AS rn
        |      FROM pv)
-       |SELECT l_returnflag, list(l_orderkey ORDER BY pri, l_orderkey) AS sample
+       |SELECT l_returnflag,
+       |       array_to_string(list(l_orderkey ORDER BY pri, l_orderkey), ',') AS sample
        |FROM r WHERE rn <= $k
        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
   }

@@ -1,0 +1,215 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.{QueryDef, Tables}
+import graft.core.QueryDef.OrderedOut
+
+/** Statistical aggregates and sketch-style summaries.
+  *
+  * The scale thesis of this module: every operator is a SINGLE-PASS
+  * hash-aggregation whose state is a fixed-width vector of exact integer
+  * power sums (moments) or bounded bin counts — partial-aggregatable
+  * map-side, merge-associative, O(1) per group regardless of input size.
+  * That is the shape that survives 100 TB: an exact `percentile_cont`
+  * sorts every group (`q_percentile` exists as the exact twin); the
+  * histogram sketch here answers the same question with bounded memory.
+  *
+  * Cross-engine determinism (the catalog's oracle discipline): float
+  * inputs are 2dp-exact money/quantity columns, so they lift to exact
+  * integers (×100) whose power sums are exact in both engines (BIGINT →
+  * HUGEINT/DECIMAL as needed). Final statistics are then a FIXED tree of
+  * IEEE double ops on identical inputs — identical bits in both engines —
+  * expressed once in [[momentFormulas]] and spliced verbatim into BOTH the
+  * Spark projection and the DuckDB oracle. Spark's builtin
+  * stddev/skewness/kurtosis/corr use streaming (Welford-style) merges
+  * whose float result depends on partition boundaries — correct
+  * distributed design, but un-oracle-able; StatsSpec cross-checks the
+  * moment formulas against the builtins to ~1e-8 relative.
+  */
+object Stats {
+
+  /** The moment→statistic formulas, shared verbatim by Spark and DuckDB.
+    * Inputs: n (rows), m1..m4 (double moments of q = 100·quantity),
+    * p1, p2 (moments of p = 100·price), mxy (mean of q·p). Scale factors:
+    * mean/variance/covariance divide the 100s back out; skewness,
+    * kurtosis, and corr are scale-invariant so the factors cancel —
+    * IDENTICALLY in both engines, because both evaluate this exact op
+    * tree. sqrt is IEEE-correctly-rounded (no pow(x, 1.5), which may
+    * differ in the last ulp cross-engine). */
+  private val momentFormulas: Seq[(String, String)] = Seq(
+    // no bare `1.0 *` promotions: a 1.0 literal is DOUBLE in Spark but
+    // DECIMAL(2,1) in DuckDB, which would silently switch the arithmetic
+    // family — every promotion is an explicit CAST AS DOUBLE on both sides
+    "mean_qty" -> "round(m1 / 100, 6)",
+    "var_samp_qty" -> "round((m2 - m1 * m1) * (CAST(n AS DOUBLE) / (n - 1)) / 10000, 6)",
+    "std_samp_qty" -> "round(sqrt((m2 - m1 * m1) * (CAST(n AS DOUBLE) / (n - 1))) / 100, 6)",
+    "skew_qty" ->
+      "round((m3 - 3 * m1 * m2 + 2 * m1 * m1 * m1) / ((m2 - m1 * m1) * sqrt(m2 - m1 * m1)), 6)",
+    "kurt_qty" ->
+      "round((m4 - 4 * m1 * m3 + 6 * m1 * m1 * m2 - 3 * m1 * m1 * m1 * m1) / ((m2 - m1 * m1) * (m2 - m1 * m1)) - 3, 6)",
+    "covar_pop" -> "round((mxy - m1 * p1) / 10000, 6)",
+    "covar_samp" -> "round((mxy - m1 * p1) * (CAST(n AS DOUBLE) / (n - 1)) / 10000, 6)",
+    "corr_qp" -> "round((mxy - m1 * p1) / (sqrt(m2 - m1 * m1) * sqrt(p2 - p1 * p1)), 6)"
+  )
+
+  /** Moment-sketch statistical battery per return flag: mean, sample
+    * variance/stddev, skewness, excess kurtosis of quantity; population and
+    * sample covariance and correlation of (quantity, price). One hash agg
+    * over 8 exact integer power sums; q⁴ and p² sums exceed BIGINT at
+    * scale, so those lift to DECIMAL(38,0) (Spark) / HUGEINT (DuckDB sum
+    * of BIGINT) — still exact. */
+  def aggStats(s: SparkSession, d: String): DataFrame = {
+    val qp = Tables.lineitem(s, d).select(
+      col("l_returnflag"),
+      round(col("l_quantity") * 100).cast("long").as("q"),
+      round(col("l_extendedprice") * 100).cast("long").as("p"))
+    val sums = qp.groupBy(col("l_returnflag")).agg(
+      count(lit(1)).as("n"),
+      sum(col("q")).as("s1"),
+      sum(col("q") * col("q")).as("s2"),
+      sum(col("q") * col("q") * col("q")).as("s3"),
+      // q⁴ ≤ 6.25e14 per row: the SUM overflows BIGINT (ANSI would
+      // throw) — sum exact decimals instead
+      sum((col("q") * col("q") * col("q") * col("q")).cast("decimal(20,0)")).as("s4"),
+      sum(col("p")).as("t1"),
+      sum((col("p") * col("p")).cast("decimal(20,0)")).as("t2"),
+      sum(col("q") * col("p")).as("sxy"))
+    val moments = sums.select(
+      col("l_returnflag"), col("n"),
+      expr("CAST(s1 AS DOUBLE) / n").as("m1"), expr("CAST(s2 AS DOUBLE) / n").as("m2"),
+      expr("CAST(s3 AS DOUBLE) / n").as("m3"), expr("CAST(s4 AS DOUBLE) / n").as("m4"),
+      expr("CAST(t1 AS DOUBLE) / n").as("p1"), expr("CAST(t2 AS DOUBLE) / n").as("p2"),
+      expr("CAST(sxy AS DOUBLE) / n").as("mxy"))
+    moments.select(col("l_returnflag") +: col("n") +:
+        momentFormulas.map { case (name, f) => expr(f).as(name) }: _*)
+      .orderedBy("l_returnflag")
+  }
+
+  private def aggStatsOracle: String = {
+    val stats = momentFormulas.map { case (name, f) => s"$f AS $name" }
+      .mkString(",\n       ")
+    s"""WITH qp AS (
+       |  SELECT l_returnflag,
+       |         CAST(round(l_quantity * 100) AS BIGINT) AS q,
+       |         CAST(round(l_extendedprice * 100) AS BIGINT) AS p
+       |  FROM lineitem),
+       |sums AS (
+       |  SELECT l_returnflag, count(*) AS n,
+       |         sum(q) AS s1, sum(q * q) AS s2, sum(q * q * q) AS s3,
+       |         sum(CAST(q * q * q * q AS DECIMAL(20,0))) AS s4,
+       |         sum(p) AS t1, sum(CAST(p * p AS DECIMAL(20,0))) AS t2,
+       |         sum(q * p) AS sxy
+       |  FROM qp GROUP BY l_returnflag),
+       |m AS (
+       |  SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+       |         CAST(s1 AS DOUBLE) / n AS m1, CAST(s2 AS DOUBLE) / n AS m2,
+       |         CAST(s3 AS DOUBLE) / n AS m3, CAST(s4 AS DOUBLE) / n AS m4,
+       |         CAST(t1 AS DOUBLE) / n AS p1, CAST(t2 AS DOUBLE) / n AS p2,
+       |         CAST(sxy AS DOUBLE) / n AS mxy
+       |  FROM sums)
+       |SELECT l_returnflag, n,
+       |       $stats
+       |FROM m ORDER BY l_returnflag""".stripMargin
+  }
+
+  /** Histogram-sketch quantiles: per return flag, bucket quantity into
+    * unit-wide integer bins (bounded state: one count per occupied bin),
+    * then read p50/p90 off the cumulative counts. The sketch twin of the
+    * exact `q_percentile` (which must sort each group): a bin count vector
+    * merges associatively, so this is one hash agg + one tiny window over
+    * (flag, bin) — at 100 TB the bins per group stay O(value range), not
+    * O(rows). Estimates are the lower edge of the covering bin —
+    * deterministic integer logic end-to-end. */
+  def quantileHist(s: SparkSession, d: String): DataFrame = {
+    val binned = Tables.lineitem(s, d)
+      .select(col("l_returnflag"),
+        (round(col("l_quantity") * 100).cast("long") / lit(100L)).cast("long").as("bin"))
+      .groupBy(col("l_returnflag"), col("bin")).agg(count(lit(1)).as("c"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("l_returnflag").orderBy("bin")
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy("l_returnflag")
+    binned
+      .withColumn("cum", sum(col("c")).over(w))
+      .withColumn("n", sum(col("c")).over(wAll))
+      .groupBy(col("l_returnflag"))
+      .agg(
+        max(col("n")).as("n"),
+        min(when(col("cum") >= ceil(col("n") * 0.5), col("bin"))).as("p50_bin"),
+        min(when(col("cum") >= ceil(col("n") * 0.9), col("bin"))).as("p90_bin"))
+      .orderedBy("l_returnflag")
+  }
+
+  private def quantileHistOracle: String =
+    """WITH b AS (
+      |  SELECT l_returnflag,
+      |         CAST(round(l_quantity * 100) AS BIGINT) // 100 AS bin,
+      |         count(*) AS c
+      |  FROM lineitem GROUP BY 1, 2),
+      |cw AS (
+      |  SELECT l_returnflag, bin, c,
+      |         sum(c) OVER (PARTITION BY l_returnflag ORDER BY bin) AS cum,
+      |         sum(c) OVER (PARTITION BY l_returnflag) AS n
+      |  FROM b)
+      |SELECT l_returnflag, CAST(max(n) AS BIGINT) AS n,
+      |       min(CASE WHEN cum >= ceil(n * 0.5) THEN bin END) AS p50_bin,
+      |       min(CASE WHEN cum >= ceil(n * 0.9) THEN bin END) AS p90_bin
+      |FROM cw GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  /** Gaps-and-islands sessionization over the events stream (batch form):
+    * a session breaks after `gapMin` minutes of user inactivity. Session
+    * ids are the running count of breaks per user — lag → flag → running
+    * sum → per-session agg, ALL on the one user_id exchange (the two
+    * window passes and the final groupBy share the partitioning, so
+    * Catalyst plans a single shuffle). The portable formulation of
+    * `q_win_session`'s session_window (same semantics, `>` vs `>=` gap
+    * boundary aside) — at 100 TB this is one shuffle of (user_id, ts)
+    * pairs, no state store. Tie-safe: equal timestamps give gap 0 for
+    * every intra-tie order, so session ids don't depend on tie-breaks. */
+  def sessionize(s: SparkSession, d: String, gapMin: Int = 5): DataFrame = {
+    val byUser = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("ts", "event_id")
+    Tables.events(s, d)
+      .select(col("user_id"), col("event_id"), col("ts"))
+      .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+      .withColumn("brk",
+        when(col("prev_ts").isNull ||
+          unix_micros(col("ts")) - unix_micros(col("prev_ts")) > gapMin * 60L * 1000000L, 1L)
+          .otherwise(0L))
+      .withColumn("session_id", sum(col("brk")).over(byUser))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(count(lit(1)).as("n_events"),
+        min(unix_micros(col("ts"))).as("start_us"),
+        max(unix_micros(col("ts"))).as("end_us"))
+      .withColumn("dur_us", col("end_us") - col("start_us"))
+      .orderedBy("user_id", "session_id")
+  }
+
+  private def sessionizeOracle(gapMin: Int): String =
+    s"""WITH e AS (
+       |  SELECT user_id, event_id, ts,
+       |         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+       |  FROM events),
+       |f AS (
+       |  SELECT user_id, event_id, ts,
+       |         CASE WHEN prev_ts IS NULL
+       |                OR epoch_us(ts) - epoch_us(prev_ts) > $gapMin * 60 * 1000000
+       |              THEN 1 ELSE 0 END AS brk
+       |  FROM e),
+       |sid AS (
+       |  SELECT user_id, ts,
+       |         CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS session_id
+       |  FROM f)
+       |SELECT user_id, session_id, count(*) AS n_events,
+       |       min(epoch_us(ts)) AS start_us,
+       |       max(epoch_us(ts)) AS end_us,
+       |       max(epoch_us(ts)) - min(epoch_us(ts)) AS dur_us
+       |FROM sid GROUP BY user_id, session_id
+       |ORDER BY user_id, session_id""".stripMargin
+
+  val defs: Map[String, QueryDef] = Map(
+    "q_agg_stats" -> QueryDef(aggStats, Some(aggStatsOracle)),
+    "q_quantile_hist" -> QueryDef(quantileHist, Some(quantileHistOracle)),
+    "q_sessionize" -> QueryDef(sessionize(_, _), Some(sessionizeOracle(5)))
+  )
+}

@@ -20,7 +20,8 @@ object ExplainAudit {
       "q_join_asof", "q_dedup_near", "q_sim_topk", "q_sim_bucketed",
       "q_topk", "q_json_get", "q_sample_k", "q_dedup_simhash_capped",
       "q_tfidf", "q_doc_winnow", "q_decontaminate", "q_dedup_clusters",
-      "q_distinct_sketch")
+      "q_distinct_sketch", "q_agg_stats", "q_quantile_hist", "q_sessionize",
+      "q_dedup_ngram")
     names.foreach { n =>
       println(s"\n========== $n ==========")
       graft.SparkEntry.queries(n)(spark, d).explain("formatted")

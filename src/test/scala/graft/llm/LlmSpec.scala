@@ -127,7 +127,7 @@ class LlmSpec extends SparkTestBase {
     val dir = java.nio.file.Files.createTempDirectory("graft-winnow").toString
     docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
     val fps = TextStats.winnow(spark, dir).collect()
-      .map(r => r.getLong(0) -> r.getSeq[Long](2).toSet).toMap
+      .map(r => r.getLong(0) -> r.getString(2).split(',').map(_.toLong).toSet).toMap
     // docs 1 and 2 share the full 14-token run of `base` (>= w+2 = 6):
     // winnowing guarantees at least one common fingerprint
     assert((fps(1L) intersect fps(2L)).nonEmpty, "shared run must share a fingerprint")
@@ -216,7 +216,7 @@ class LlmSpec extends SparkTestBase {
     assert(rows.nonEmpty)
     rows.foreach { r =>
       val scale = r.getDouble(1)
-      val q = r.getSeq[Int](2)
+      val q = r.getString(2).split(',').map(_.toInt).toSeq
       assert(q.forall(v => v >= -127 && v <= 127), s"out of int8 range: $q")
       // the max-|x| dim must quantize to exactly +-127
       assert(q.exists(v => math.abs(v) == 127) || scale == 0.0)
@@ -227,7 +227,7 @@ class LlmSpec extends SparkTestBase {
       .filter(col("vec_id").isin(checked.toSeq: _*)).collect()
       .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble)).toMap
     rows.filter(r => checked(r.getLong(0))).foreach { r =>
-      val (scale, q) = (r.getDouble(1), r.getSeq[Int](2))
+      val (scale, q) = (r.getDouble(1), r.getString(2).split(',').map(_.toInt).toSeq)
       val e = orig(r.getLong(0))
       q.zip(e).foreach { case (qi, xi) =>
         assert(math.abs(qi * scale / 127 - xi) <= scale / 254 + 1e-9,

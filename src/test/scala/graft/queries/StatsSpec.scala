@@ -1,0 +1,105 @@
+package graft.queries
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+class StatsSpec extends SparkTestBase {
+
+  private val d = "/root/testdata/sf0.001"
+  import org.apache.spark.sql.Row
+
+  test("moment formulas agree with Spark's builtin statistical aggregates") {
+    // the catalog query computes stats from exact integer power sums (so the
+    // DuckDB oracle replays them bit-for-bit); Spark's builtins use
+    // streaming merges. Same estimator, different float paths — they must
+    // agree to ~1e-8 relative on real data.
+    val mine = Stats.aggStats(spark, d).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val ref = graft.core.Tables.lineitem(spark, d)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        avg("l_quantity").as("mean_qty"),
+        var_samp("l_quantity").as("var_samp_qty"),
+        stddev_samp("l_quantity").as("std_samp_qty"),
+        skewness("l_quantity").as("skew_qty"),
+        kurtosis("l_quantity").as("kurt_qty"),
+        covar_pop("l_quantity", "l_extendedprice").as("covar_pop"),
+        covar_samp("l_quantity", "l_extendedprice").as("covar_samp"),
+        corr("l_quantity", "l_extendedprice").as("corr_qp"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(mine.keySet == ref.keySet && mine.nonEmpty)
+    def rel(a: Double, b: Double) = math.abs(a - b) / math.max(1.0, math.abs(b))
+    for (flag <- mine.keys; i <- 2 until 10) {
+      val a = mine(flag).getDouble(i)
+      val b = ref(flag).getDouble(i - 1) // ref has no n column
+      assert(rel(a, b) < 1e-6, s"flag=$flag col=$i mine=$a builtin=$b")
+    }
+  }
+
+  test("histogram quantile bins cover the exact percentiles") {
+    // the sketch's p50/p90 bin must contain the exact percentile value:
+    // |exact - bin| < 1 (unit-wide bins)
+    val sk = Stats.quantileHist(spark, d).collect()
+      .map(r => r.getString(0) -> ((r.getLong(2), r.getLong(3)))).toMap
+    val exact = graft.core.Tables.lineitem(spark, d)
+      .groupBy(col("l_returnflag"))
+      .agg(expr("percentile(l_quantity, 0.5)").as("p50"),
+        expr("percentile(l_quantity, 0.9)").as("p90"))
+      .collect().map(r => r.getString(0) -> ((r.getDouble(1), r.getDouble(2)))).toMap
+    for (flag <- sk.keys) {
+      val ((b50, b90), (e50, e90)) = (sk(flag), exact(flag))
+      assert(math.abs(b50 - e50) <= 1.0, s"$flag p50 bin=$b50 exact=$e50")
+      assert(math.abs(b90 - e90) <= 1.0, s"$flag p90 bin=$b90 exact=$e90")
+    }
+  }
+
+  test("sessionize splits on gap > threshold, keeps runs together") {
+    import spark.implicits._
+    val t0 = 1700000000000000L // epoch micros
+    val min = 60L * 1000000L
+    val rows = Seq(
+      // user 1: 3 events within gaps <= 5min => one session, then a 6-min
+      // gap => second session
+      (1L, 101L, t0), (1L, 102L, t0 + 4 * min), (1L, 103L, t0 + 9 * min),
+      (1L, 104L, t0 + 15 * min + 1),
+      // user 2: single event
+      (2L, 201L, t0),
+      // user 3: boundary case — gap of EXACTLY 5min stays in-session
+      (3L, 301L, t0), (3L, 302L, t0 + 5 * min)
+    )
+    val dir = java.nio.file.Files.createTempDirectory("graft-sess").toString
+    rows.toDF("user_id", "event_id", "us")
+      .select(col("user_id"), col("event_id"),
+        // write NANOS so Tables.events' DIV 1000 truncation path is the
+        // one under test
+        (col("us") * 1000).as("ts"), lit("t").as("event_type"),
+        lit(1.0).as("value"), lit("{}").as("props"))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = Stats.sessionize(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> ((r.getLong(2), r.getLong(5)))).toMap
+    assert(out.keySet == Set((1L, 1L), (1L, 2L), (2L, 1L), (3L, 1L)))
+    assert(out((1L, 1L)) == ((3L, 9 * min)))     // 3 events over 9 min
+    assert(out((1L, 2L)) == ((1L, 0L)))          // the post-gap singleton
+    assert(out((3L, 1L)) == ((2L, 5 * min)))     // exact-gap stays together
+  }
+
+  test("ngram dedup: rare-shingle pairs found, hot boilerplate shingles never join") {
+    import spark.implicits._
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron"
+    val boiler = "terms of service apply to this document"
+    // docs 1/2: near-identical (share many rare shingles); docs 10..30 all
+    // share ONLY the boilerplate sentence, whose shingles have df=21 >
+    // maxDf=10 — the inverted index must produce NO pairs among them
+    val docs = Seq(
+      (1L, base + " tail one"),
+      (2L, base + " tail two")
+    ) ++ (10L to 30L).map(i => (i, s"unique$i " + boiler))
+    val dir = java.nio.file.Files.createTempDirectory("graft-ngram").toString
+    docs.toDF("doc_id", "text").write.mode("overwrite")
+      .parquet(s"$dir/documents.parquet")
+    val pairs = graft.llm.Dedup.ngramPairs(spark, dir, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.toSeq == Seq((1L, 2L)), s"got ${pairs.toSeq}")
+  }
+}

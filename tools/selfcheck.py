@@ -77,6 +77,16 @@ def main(outdir, sfdir):
             if sorted(ocols) != sorted(scols):
                 print(f"FAIL {name}: columns differ spark={sorted(scols)} oracle={sorted(ocols)}")
                 n_fail += 1; continue
+            # the driver sorts every result column with pandas sort_values,
+            # which raises "unhashable type: numpy.ndarray" on LIST/STRUCT/MAP
+            # cells (observed r4: q_doc_winnow/q_embed_quant/q_sample_k) —
+            # nested result columns must be stringified (array_join) upstream
+            nested = [(c, t) for c, t in list(zip(scols, stypes)) + list(zip(ocols, otypes))
+                      if "[]" in t or t.startswith(("STRUCT", "MAP", "LIST", "UNION"))]
+            if nested:
+                det = ", ".join(f"{c}: {t}" for c, t in nested)
+                print(f"FAIL {name}: nested result column (driver pandas sort cannot hash it) — {det}")
+                n_fail += 1; continue
             # typed compare, column-name order (the driver sorts by name too)
             otype_by = dict(zip(ocols, otypes))
             stype_by = dict(zip(scols, stypes))
