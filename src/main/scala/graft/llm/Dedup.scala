@@ -470,7 +470,8 @@ object Dedup {
     * 4×2 so candidates share a 2-bit band (detect ~93% at cos 0.45);
     * candidates verified with exact cosine >= threshold. Output is pair ids
     * only — cosine values stay inside (cross-engine last-ulp safety). */
-  def embedPairs(s: SparkSession, d: String, threshold: Double = 0.45): DataFrame = {
+  def embedPairs(s: SparkSession, d: String, threshold: Double = 0.45,
+                 maxBucket: Option[Int] = None): DataFrame = {
     graft.expr.GraftFunctions.register(s)
     def dot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
       call_function("vec_dot", a, b) // native codegen loop (expr.VectorExprs)
@@ -496,10 +497,22 @@ object Dedup {
     // candidates carry ONLY id pairs through the shuffle+distinct — dragging
     // the 64-dim arrays through here cost ~70s at sf0.1; the vectors join
     // back afterwards (id-keyed, broadcastable)
-    val banded = bits.select(col("vec_id"),
+    val banded0 = bits.select(col("vec_id"),
         explode(array((0 until 4).map(b =>
           struct(lit(b).as("band"), col(s"band$b").as("sig"))): _*)).as("bs"))
       .select(col("vec_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
+    // 2-bit bands mean only FOUR buckets per band: without a cap the
+    // candidate join tends to n²/4 per band at corpus scale — the sharpest
+    // hot-bucket exposure in the dedup family (MinHash/SimHash have
+    // 65k-bucket bands; this one needs the cap most). Same
+    // count-window-over-the-join-key shape: the exchange is reused.
+    val banded = maxBucket match {
+      case Some(cap) =>
+        val wB = org.apache.spark.sql.expressions.Window.partitionBy("band", "sig")
+        banded0.withColumn("bn", count(lit(1)).over(wB))
+          .filter(col("bn") <= cap).drop("bn")
+      case None => banded0
+    }
     val cand = banded.as("x").join(banded.as("y"),
         col("x.band") === col("y.band") && col("x.sig") === col("y.sig") &&
           col("x.vec_id") < col("y.vec_id"))
@@ -513,7 +526,8 @@ object Dedup {
       .orderedBy("vec_a", "vec_b")
   }
 
-  private def embedPairsOracle(threshold: Double): String =
+  private def embedPairsOracle(threshold: Double,
+                               maxBucket: Option[Int] = None): String =
     s"""WITH v0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e0 FROM embeddings),
        |v AS (SELECT vec_id,
        |             list_transform(e0, x -> x / sqrt(list_dot_product(e0, e0))) AS e
@@ -530,11 +544,19 @@ object Dedup {
        |         sum(CASE WHEN pid >= 4 AND pid < 6 THEN bit * (2 ** (pid - 4)) ELSE 0 END) AS band2,
        |         sum(CASE WHEN pid >= 6 THEN bit * (2 ** (pid - 6)) ELSE 0 END) AS band3
        |  FROM bits GROUP BY vec_id),
-       |banded AS (
+       |banded0 AS (
        |  SELECT vec_id, b.b AS band,
        |         CASE b.b WHEN 0 THEN band0 WHEN 1 THEN band1
        |                  WHEN 2 THEN band2 ELSE band3 END AS sig
        |  FROM sigs, range(0, 4) b(b)),
+       |banded AS (${maxBucket match {
+        case Some(cap) =>
+          s"""
+       |  SELECT vec_id, band, sig FROM (
+       |    SELECT *, count(*) OVER (PARTITION BY band, sig) AS bn FROM banded0)
+       |  WHERE bn <= $cap"""
+        case None => "\n       |  SELECT vec_id, band, sig FROM banded0"
+      }}),
        |cand AS (
        |  SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b
        |  FROM banded x JOIN banded y
@@ -574,6 +596,11 @@ object Dedup {
       (s, d) => simhashPairs(s, d, maxHamming = 2, maxBucket = Some(4)),
       Some(simhashPairsOracle(2, Some(4)))),
     "q_dedup_embed" -> QueryDef((s, d) => embedPairs(s, d),
-      Some(embedPairsOracle(0.45)))
+      Some(embedPairsOracle(0.45))),
+    // the 100 TB shape: 2-bit sign-LSH bands have only 4 buckets each, so
+    // the cap is what bounds the candidate join at corpus scale
+    "q_dedup_embed_capped" -> QueryDef(
+      (s, d) => embedPairs(s, d, maxBucket = Some(512)),
+      Some(embedPairsOracle(0.45, Some(512))))
   )
 }

@@ -143,6 +143,49 @@ object TextStats {
       .limit(k)
       .orderedBy("tok")
 
+  /** Bigram language-model counts: corpus-wide bigram frequencies WITH
+    * MULTIPLICITY (unlike the distinct `word_shingles` dedup unit) plus the
+    * conditional probability p(w2|w1) = c(w1 w2) / c(w1 ·), top-k by count.
+    * The denominator is a window sum over the bigram relation itself
+    * (continuation counts), not a second corpus pass. Scale shape: one
+    * per-row gram expansion → one hash agg on the bigram → a w1-partitioned
+    * window → global top-k via TakeOrderedAndProject (per-partition k,
+    * merge of k — never a full sort). All counts exact ints; p is one IEEE
+    * divide. */
+  def bigramLm(s: SparkSession, d: String, k: Int = 100): DataFrame =
+    Tables.documents(s, d)
+      .select(tokens(col("text")).as("toks"))
+      // size >= 2 keeps Spark's sequence() off its descending edge
+      // (sequence(1, 0) DESCENDS; DuckDB range(1, 1) is just empty)
+      .filter(size(col("toks")) >= 2)
+      .select(explode(expr(
+        """transform(sequence(1, size(toks) - 1),
+          |  i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1)))"""
+          .stripMargin)).as("bg"))
+      .groupBy(col("bg")).agg(count(lit(1)).as("c2"))
+      .withColumn("w1", element_at(split(col("bg"), " "), 1))
+      .withColumn("c1", sum(col("c2")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("w1")))
+      .select(col("bg"), col("w1"), col("c2"), col("c1"),
+        round(col("c2").cast("double") / col("c1"), 6).as("p"))
+      .orderBy(col("c2").desc, col("bg"))
+      .limit(k)
+      .orderedBy("bg")
+
+  private def bigramLmOracle(k: Int): String =
+    s"""WITH t AS (SELECT string_split(text, ' ') AS toks FROM documents),
+       |g AS (SELECT unnest(list_transform(range(1, len(toks)),
+       |               i -> toks[i] || ' ' || toks[i+1])) AS bg
+       |      FROM t WHERE len(toks) >= 2),
+       |b2 AS (SELECT bg, count(*) AS c2 FROM g GROUP BY bg),
+       |cw AS (SELECT bg, string_split(bg, ' ')[1] AS w1, c2,
+       |              sum(c2) OVER (PARTITION BY string_split(bg, ' ')[1]) AS c1
+       |       FROM b2)
+       |SELECT bg, w1, c2, CAST(c1 AS BIGINT) AS c1,
+       |       round(CAST(c2 AS DOUBLE) / c1, 6) AS p
+       |FROM (SELECT * FROM cw ORDER BY c2 DESC, bg LIMIT $k)
+       |ORDER BY bg""".stripMargin
+
   /** PII-style redaction battery: count and scrub email-shaped tokens and
     * long digit runs, emitting counts + the redacted text's hash and length
     * (never the body — the downstream contract is "was anything redacted
@@ -364,6 +407,7 @@ object TextStats {
         |FROM documents ORDER BY doc_id""".stripMargin)),
     "q_lang_id" -> QueryDef(langId, Some(langIdOracle)),
     "q_tfidf" -> QueryDef(tfidfTopk(_, _), Some(tfidfOracle(3))),
+    "q_bigram_lm" -> QueryDef(bigramLm(_, _), Some(bigramLmOracle(100))),
     "q_doc_winnow" -> QueryDef(winnow(_, _), Some(winnowOracle(4))),
     "q_redact" -> QueryDef(redact, Some(redactOracle)),
     "q_text_normalize" -> QueryDef(normalize, Some(

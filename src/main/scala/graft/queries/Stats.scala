@@ -207,9 +207,44 @@ object Stats {
        |FROM sid GROUP BY user_id, session_id
        |ORDER BY user_id, session_id""".stripMargin
 
+  /** Latest-observation compaction: one row per (user_id, event_type) —
+    * the newest value by the lexicographic (ts, value) order — via the
+    * custom `last_by_ordered` DeclarativeAggregate (the OHLC close
+    * aggregate in its second natural habitat). This is the CDC/snapshot
+    * shape: at 100 TB the window-function formulation (`row_number` DESC
+    * = 1) SORTS every key group; the ordered aggregate is one
+    * HashAggregate with an 17-byte buffer, map-side partials, whole-stage
+    * codegen — no sort anywhere. The oracle replays the tie rule with
+    * exactly that window formulation. */
+  def latestByKey(s: SparkSession, d: String): DataFrame = {
+    graft.expr.GraftFunctions.register(s)
+    Tables.events(s, d)
+      .select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"), col("value"))
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(expr("last_by_ordered(us, value)").as("last_value"),
+        max(col("us")).as("last_us"),
+        count(lit(1)).as("n"))
+      .orderedBy("user_id", "event_type")
+  }
+
+  private def latestByKeyOracle: String =
+    """WITH e AS (
+      |  SELECT user_id, event_type, epoch_us(ts) AS us, value,
+      |         row_number() OVER (PARTITION BY user_id, event_type
+      |           ORDER BY us DESC, value DESC) AS rn
+      |  FROM events),
+      |a AS (SELECT user_id, event_type, count(*) AS n, max(us) AS last_us
+      |      FROM e GROUP BY user_id, event_type)
+      |SELECT a.user_id, a.event_type, e.value AS last_value, a.last_us, a.n
+      |FROM a JOIN e ON e.user_id = a.user_id AND e.event_type = a.event_type
+      |              AND e.rn = 1
+      |ORDER BY a.user_id, a.event_type""".stripMargin
+
   val defs: Map[String, QueryDef] = Map(
     "q_agg_stats" -> QueryDef(aggStats, Some(aggStatsOracle)),
     "q_quantile_hist" -> QueryDef(quantileHist, Some(quantileHistOracle)),
-    "q_sessionize" -> QueryDef(sessionize(_, _), Some(sessionizeOracle(5)))
+    "q_sessionize" -> QueryDef(sessionize(_, _), Some(sessionizeOracle(5))),
+    "q_latest_by_key" -> QueryDef(latestByKey, Some(latestByKeyOracle))
   )
 }

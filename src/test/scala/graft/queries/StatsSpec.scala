@@ -83,6 +83,55 @@ class StatsSpec extends SparkTestBase {
     assert(out((3L, 1L)) == ((2L, 5 * min)))     // exact-gap stays together
   }
 
+  test("latest-by-key picks the max (ts, value) pair via the ordered aggregate") {
+    import spark.implicits._
+    val t0 = 1700000000000000L
+    val rows = Seq(
+      // key (1, a): later ts wins regardless of value
+      (1L, "a", t0, 9.0), (1L, "a", t0 + 10, 1.5),
+      // key (1, b): ts tie — max value wins (the lexicographic tie rule)
+      (1L, "b", t0, 3.0), (1L, "b", t0, 7.0),
+      (2L, "a", t0 + 5, 4.25))
+    val dir = java.nio.file.Files.createTempDirectory("graft-latest").toString
+    rows.toDF("user_id", "event_type", "us", "value")
+      .select(lit(0L).as("event_id"), (col("us") * 1000).as("ts"),
+        col("user_id"), col("event_type"), col("value"), lit("{}").as("props"))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = Stats.latestByKey(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> ((r.getDouble(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    assert(out((1L, "a")) == ((1.5, t0 + 10, 2L)))
+    assert(out((1L, "b")) == ((7.0, t0, 2L)))
+    assert(out((2L, "a")) == ((4.25, t0 + 5, 1L)))
+  }
+
+  test("embed sign-LSH cap: capped pairs are a subset of uncapped") {
+    val d = "/root/testdata/sf0.001"
+    val uncapped = graft.llm.Dedup.embedPairs(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val capped = graft.llm.Dedup.embedPairs(spark, d, maxBucket = Some(64))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped.subsetOf(uncapped))
+    // 500 vectors over 4 buckets/band: the average bucket is ~125 > 64, so
+    // the cap must actually bind at this scale
+    assert(capped.size < uncapped.size || uncapped.isEmpty)
+  }
+
+  test("bigram LM: counts carry multiplicity and conditionals sum to 1 per w1") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b a b a c"), // bigrams: a b, b a, a b, b a, a c
+      (2L, "a b"))
+    val dir = java.nio.file.Files.createTempDirectory("graft-bigram").toString
+    docs.toDF("doc_id", "text").write.mode("overwrite")
+      .parquet(s"$dir/documents.parquet")
+    val out = graft.llm.TextStats.bigramLm(spark, dir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(out("a b") == ((3L, 4L, 0.75)))  // c(a·)=4: "a b"×3 + "a c"
+    assert(out("b a") == ((2L, 2L, 1.0)))
+    assert(out("a c") == ((1L, 4L, 0.25)))
+  }
+
   test("ngram dedup: rare-shingle pairs found, hot boilerplate shingles never join") {
     import spark.implicits._
     val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
