@@ -21,7 +21,7 @@ object ExplainAudit {
       "q_topk", "q_json_get", "q_sample_k", "q_dedup_simhash_capped",
       "q_tfidf", "q_doc_winnow", "q_decontaminate", "q_dedup_clusters",
       "q_distinct_sketch", "q_agg_stats", "q_quantile_hist", "q_sessionize",
-      "q_dedup_ngram")
+      "q_dedup_ngram", "q_latest_by_key", "q_bigram_lm", "q_dedup_embed_capped")
     names.foreach { n =>
       println(s"\n========== $n ==========")
       graft.SparkEntry.queries(n)(spark, d).explain("formatted")
