@@ -24,11 +24,14 @@ import graft.core.QueryDef.OrderedOut
   */
 object Pipeline {
 
-  def cleanCorpus(s: SparkSession, d: String,
-                  minTokens: Int = 20, maxTokens: Int = 500,
-                  nearThreshold: Double = 0.8): DataFrame = {
-    graft.expr.GraftFunctions.register(s)
-    val docs = Tables.documents(s, d)
+  /** Stages 1-3 over an arbitrary (doc_id, text, ...) corpus, returning the
+    * surviving rows with their columns plus `n_tokens` — the composition
+    * point [[cleanCorpus]] and [[fullPipeline]] share. */
+  private[llm] def cleanSurvivors(raw: DataFrame,
+                                  minTokens: Int, maxTokens: Int,
+                                  nearThreshold: Double): DataFrame = {
+    graft.expr.GraftFunctions.register(raw.sparkSession)
+    val docs = raw
       .withColumn("n_tokens", size(TextStats.tokens(col("text"))).cast("long"))
       .filter(col("n_tokens") >= minTokens && col("n_tokens") <= maxTokens)
     val fpKeep = docs
@@ -41,11 +44,15 @@ object Pipeline {
     val kept = docs.join(fpKeep, "doc_id") // semi-equivalent: fpKeep ids unique
     val nearDrop = Dedup.nearPairsUnordered(kept, nearThreshold)
       .select(col("doc_b").as("doc_id")).distinct()
-    kept
-      .join(nearDrop, Seq("doc_id"), "left_anti")
+    kept.join(nearDrop, Seq("doc_id"), "left_anti")
+  }
+
+  def cleanCorpus(s: SparkSession, d: String,
+                  minTokens: Int = 20, maxTokens: Int = 500,
+                  nearThreshold: Double = 0.8): DataFrame =
+    cleanSurvivors(Tables.documents(s, d), minTokens, maxTokens, nearThreshold)
       .select(col("doc_id"), col("n_tokens"))
       .orderedBy("doc_id")
-  }
 
   private def oracle(minTokens: Int, maxTokens: Int, nearThreshold: Double): String =
     s"""WITH q AS (
@@ -171,8 +178,110 @@ object Pipeline {
        |             - n_tokens) // $budget AS BIGINT) AS pack_id
        |FROM t ORDER BY doc_id""".stripMargin
 
+  /** The WHOLE corpus-management pipeline in one Catalyst plan — what a
+    * pretraining data job actually runs end-to-end:
+    *
+    *   1-3. [[cleanSurvivors]]: quality gate, exact/bag-of-words dedup,
+    *        near-dedup of the survivors (bench docs held out up front);
+    *   4.   decontamination: drop survivors sharing any 3-gram with the
+    *        benchmark set (doc_id < benchMax), benchmark hashes broadcast;
+    *   5.   deterministic split assignment (salted md5 bucket);
+    *   6.   greedy sequence packing per (split, lang).
+    *
+    * Output: one row per surviving doc with its split and pack id. No
+    * intermediate materialization — Catalyst fuses all six stages; every
+    * stage is the already-oracled operator, and the DuckDB oracle composes
+    * the same CTE chain end-to-end, which is the real proof the operators
+    * CHAIN (each stage's scope is exactly the prior stage's survivors). */
+  def fullPipeline(s: SparkSession, d: String,
+                   minTokens: Int = 20, maxTokens: Int = 500,
+                   nearThreshold: Double = 0.8, benchMax: Long = 10L,
+                   testPct: Int = 5, valPct: Int = 5, salt: String = "split",
+                   budget: Int = 2048): DataFrame = {
+    val raw = Tables.documents(s, d)
+    val clean = cleanSurvivors(raw.filter(col("doc_id") >= benchMax),
+      minTokens, maxTokens, nearThreshold)
+    // stage 4: benchmark shingle hashes broadcast; contaminated ids out.
+    // The benchmark is the RAW held-out set (an eval set is what it is —
+    // quality-gating it would un-hold-out whatever the gate rejects).
+    val bench = raw.filter(col("doc_id") < benchMax)
+      .select(TextStats.tokens(col("text")).as("toks"))
+      .select(explode(TextStats.shinglesExpr("toks")).as("g"))
+      .select(md5(col("g").cast("binary")).as("gh")).distinct()
+    val cont = clean
+      .select(col("doc_id"), TextStats.tokens(col("text")).as("toks"))
+      .select(col("doc_id"), explode(TextStats.shinglesExpr("toks")).as("g"))
+      .select(col("doc_id"), md5(col("g").cast("binary")).as("gh"))
+      .join(broadcast(bench), "gh")
+      .select(col("doc_id")).distinct()
+    val decont = clean.join(cont, Seq("doc_id"), "left_anti")
+    // stages 5-6: split, then pack per (split, lang)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("split"), col("lang")).orderBy(col("doc_id"))
+    decont
+      .withColumn("bucket",
+        conv(substring(md5(concat_ws("#", lit(salt), col("doc_id")).cast("binary")), 1, 8),
+          16, 10).cast("long") % 100)
+      .withColumn("split",
+        when(col("bucket") < testPct, "test")
+          .when(col("bucket") < testPct + valPct, "val")
+          .otherwise("train"))
+      .withColumn("cum", sum(col("n_tokens")).over(w))
+      .withColumn("pack_id", expr(s"CAST((cum - n_tokens) DIV $budget AS BIGINT)"))
+      .select(col("doc_id"), col("lang"), col("n_tokens"), col("split"), col("pack_id"))
+      .orderedBy("doc_id")
+  }
+
+  private def fullOracle(minTokens: Int, maxTokens: Int, nearThreshold: Double,
+                         benchMax: Long, testPct: Int, valPct: Int,
+                         salt: String, budget: Int): String = {
+    val hv = (1 to 8)
+      .map(i => s"(strpos('0123456789abcdef', substr(h, $i, 1)) - 1) * ${1L << ((8 - i) * 4)}")
+      .mkString(" + ")
+    s"""WITH corpus0 AS (SELECT doc_id, text, lang FROM documents WHERE doc_id >= $benchMax),
+       |q AS (
+       |  SELECT doc_id, text, lang, len(string_split(text, ' ')) AS n_tokens,
+       |         md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fp
+       |  FROM corpus0),
+       |qf AS (SELECT * FROM q WHERE n_tokens >= $minTokens AND n_tokens <= $maxTokens),
+       |keepers AS (SELECT min(doc_id) AS doc_id FROM qf GROUP BY fp),
+       |kept AS (SELECT qf.* FROM qf JOIN keepers USING (doc_id)),
+       |${Dedup.nearOracleCtes(4, 3, source = "kept")},
+       |dropped AS (SELECT DISTINCT doc_b AS doc_id FROM pairs
+       |            WHERE jaccard >= $nearThreshold),
+       |clean AS (SELECT * FROM kept
+       |          WHERE doc_id NOT IN (SELECT doc_id FROM dropped)),
+       |bw AS (SELECT string_split(text, ' ') AS toks FROM documents
+       |       WHERE doc_id < $benchMax),
+       |bsh AS (SELECT DISTINCT md5(g) AS gh FROM (
+       |  SELECT unnest(list_distinct(list_transform(range(1, len(toks) - 1),
+       |           i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS g
+       |  FROM bw WHERE len(toks) >= 3)),
+       |cont AS (SELECT DISTINCT e.doc_id
+       |         FROM (SELECT doc_id, md5(g) AS gh
+       |               FROM (SELECT doc_id, unnest(s) AS g FROM sh)) e
+       |         JOIN bsh USING (gh)),
+       |dec AS (SELECT doc_id, lang, n_tokens FROM clean
+       |        WHERE doc_id NOT IN (SELECT doc_id FROM cont)),
+       |hb AS (SELECT doc_id, lang, n_tokens,
+       |              substr(md5('$salt' || '#' || CAST(doc_id AS VARCHAR)), 1, 8) AS h
+       |       FROM dec),
+       |sp AS (SELECT doc_id, lang, n_tokens, ($hv) % 100 AS bucket FROM hb),
+       |spl AS (SELECT doc_id, lang, n_tokens,
+       |               CASE WHEN bucket < $testPct THEN 'test'
+       |                    WHEN bucket < ${testPct + valPct} THEN 'val'
+       |                    ELSE 'train' END AS split
+       |        FROM sp)
+       |SELECT doc_id, lang, n_tokens, split,
+       |       CAST((sum(n_tokens) OVER (PARTITION BY split, lang ORDER BY doc_id)
+       |             - n_tokens) // $budget AS BIGINT) AS pack_id
+       |FROM spl ORDER BY doc_id""".stripMargin
+  }
+
   val defs: Map[String, QueryDef] = Map(
     "q_pipeline_clean" -> QueryDef(cleanCorpus(_, _), Some(oracle(20, 500, 0.8))),
+    "q_pipeline_full" -> QueryDef(fullPipeline(_, _),
+      Some(fullOracle(20, 500, 0.8, 10L, 5, 5, "split", 2048))),
     "q_pack_greedy" -> QueryDef(packGreedy(_, _), Some(packOracle(2048))),
     "q_split_assign" -> QueryDef(splitAssign(_, _), Some(splitOracle(5, 5, "split"))),
     "q_decontaminate" -> QueryDef(decontaminate(_, _), Some(decontOracle(10L)))

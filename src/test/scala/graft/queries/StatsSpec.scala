@@ -132,6 +132,31 @@ class StatsSpec extends SparkTestBase {
     assert(out("a c") == ((1L, 4L, 0.25)))
   }
 
+  test("full pipeline: bench held out, contaminated dropped, packs fill per (split, lang)") {
+    import spark.implicits._
+    val fillerW = (1 to 30).map(i => s"w$i").mkString(" ")
+    val fillerX = (1 to 30).map(i => s"x$i").mkString(" ")
+    val benchText = "the quick brown fox jumps over the lazy dog tonight " + fillerW
+    val docs = Seq(
+      (1L, benchText, "en"),                              // benchmark doc (id < 10)
+      (20L, "contaminated copy shares this: the quick brown fox jumps over the lazy dog tonight", "en"),
+      (21L, s"clean document alpha about $fillerX", "en"),
+      (22L, s"fresh unrelated beta piece $fillerX reversed", "en"),
+      (23L, "too short", "en"))                           // quality-gated out
+    val dir = java.nio.file.Files.createTempDirectory("graft-fullpipe").toString
+    docs.toDF("doc_id", "text", "lang")
+      .withColumn("source", lit("s")).withColumn("n_chars", length(col("text")).cast("long"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = graft.llm.Pipeline.fullPipeline(spark, dir, minTokens = 5,
+        nearThreshold = 0.95, benchMax = 10L, budget = 40).collect()
+      .map(r => r.getLong(0) -> ((r.getString(3), r.getLong(4)))).toMap
+    // bench doc 1 held out; doc 20 shares bench shingles -> decontaminated;
+    // doc 23 under minTokens; 21/22 survive (their Jaccard is ~0.85 via the
+    // shared filler, below the 0.95 threshold) with in-budget pack 0
+    assert(out.keySet == Set(21L, 22L), s"got $out")
+    assert(out.values.forall(_._2 == 0L), s"got $out")
+  }
+
   test("ngram dedup: rare-shingle pairs found, hot boilerplate shingles never join") {
     import spark.implicits._
     val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
