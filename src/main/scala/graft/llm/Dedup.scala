@@ -162,8 +162,12 @@ object Dedup {
     * (shingle, doc) pair once — same volume the MinHash explode already
     * shuffles — then only rare-shingle postings (a small fraction at
     * corpus scale: boilerplate is exactly what the ceiling drops) enter
-    * the join. Shingle strings are the join key (~30 bytes); at 100 TB
-    * hash them to 16 bytes first if the exchange bytes ever dominate. */
+    * the join. The posting/join key is a 48-bit md5 prefix of the shingle
+    * (8 bytes through the exchange, not a ~30-byte string); a hash
+    * collision can only ADD a candidate pair, never lose one, and the
+    * exact-Jaccard verify discards the additions — so recall is unchanged
+    * and the collision rate only pads the verify stage (~1e-5 of pairs at
+    * a billion distinct shingles). */
   def ngramPairs(s: SparkSession, d: String, threshold: Double = 0.8,
                  maxDf: Int = 10): DataFrame = {
     graft.expr.GraftFunctions.register(s)
@@ -173,13 +177,16 @@ object Dedup {
       .select(col("doc_id"), TextStats.shinglesExpr("toks").as("sh"))
       .filter(size(col("sh")) > 0)
     val postings = sh.select(col("doc_id"), explode(col("sh")).as("g"))
-    val rare = postings.groupBy(col("g"))
+      .select(col("doc_id"),
+        conv(substring(md5(col("g").cast("binary")), 1, 12), 16, 10)
+          .cast("long").as("gh"))
+    val rare = postings.groupBy(col("gh"))
       .agg(count(lit(1)).as("df"))
       .filter(col("df") >= 2 && col("df") <= maxDf)
-      .select(col("g"))
-    val rarePostings = postings.join(rare, "g")
+      .select(col("gh"))
+    val rarePostings = postings.join(rare, "gh")
     val cand = rarePostings.as("x").join(rarePostings.as("y"),
-        col("x.g") === col("y.g") && col("x.doc_id") < col("y.doc_id"))
+        col("x.gh") === col("y.gh") && col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
     val withSets = cand
@@ -199,19 +206,26 @@ object Dedup {
 
   /** Mirrors [[ngramPairs]]: rare-shingle postings join + Jaccard verify.
     * Shingles here are DISTINCT per doc (list_distinct in `sh`), so df
-    * counts documents, matching the Spark side's set semantics. */
-  private def ngramOracle(threshold: Double, maxDf: Int): String =
+    * counts documents, matching the Spark side's set semantics; the
+    * 48-bit hash key is rebuilt from 12 md5 hex chars (DuckDB has no
+    * conv()). */
+  private def ngramOracle(threshold: Double, maxDf: Int): String = {
+    val hv = (1 to 12)
+      .map(i => s"(strpos('0123456789abcdef', substr(h, $i, 1)) - 1) * ${1L << ((12 - i) * 4)}")
+      .mkString(" + ")
     s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
        |sh AS (
        |  SELECT doc_id, list_distinct(list_transform(range(1, len(toks) - 1),
        |           i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS s
        |  FROM w WHERE len(toks) >= 3),
-       |post AS (SELECT doc_id, unnest(s) AS g FROM sh),
-       |rare AS (SELECT g FROM post GROUP BY g
+       |post AS (SELECT doc_id, $hv AS gh FROM (
+       |  SELECT doc_id, substr(md5(g), 1, 12) AS h FROM (
+       |    SELECT doc_id, unnest(s) AS g FROM sh))),
+       |rare AS (SELECT gh FROM post GROUP BY gh
        |         HAVING count(*) >= 2 AND count(*) <= $maxDf),
-       |rp AS (SELECT doc_id, g FROM post JOIN rare USING (g)),
+       |rp AS (SELECT doc_id, gh FROM post JOIN rare USING (gh)),
        |cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
-       |         FROM rp x JOIN rp y ON x.g = y.g AND x.doc_id < y.doc_id),
+       |         FROM rp x JOIN rp y ON x.gh = y.gh AND x.doc_id < y.doc_id),
        |pairs AS (
        |  SELECT doc_a, doc_b,
        |         round(1.0 * len(list_intersect(a.s, b.s)) /
@@ -219,6 +233,7 @@ object Dedup {
        |  FROM cand JOIN sh a ON a.doc_id = doc_a JOIN sh b ON b.doc_id = doc_b)
        |SELECT doc_a, doc_b, jaccard FROM pairs WHERE jaccard >= $threshold
        |ORDER BY doc_a, doc_b""".stripMargin
+  }
 
   /** Near-dup CLUSTERS: connected components over the LSH pair graph via
     * `iters` rounds of min-label propagation — label(v) starts as v's own

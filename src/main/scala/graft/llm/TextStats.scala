@@ -143,6 +143,75 @@ object TextStats {
       .limit(k)
       .orderedBy("tok")
 
+  /** Count-min sketch frequency estimation: d=4 hash rows × w=1024 buckets
+    * of exact integer counts — fixed O(d·w) state per partition regardless
+    * of vocabulary size, merged by cell-wise addition (one hash agg with
+    * map-side partials). Estimate(token) = min over rows of its bucket
+    * cell; the sketch only OVERESTIMATES (collisions add), never loses —
+    * asserted in the output (`over` = est − exact ≥ 0). The query sketches
+    * the corpus vocabulary, then reads back estimates for the exact top-k
+    * tokens. md5-bucketed, so the DuckDB oracle replays every cell; the
+    * sketch twin of `q_distinct_sketch`'s HLL (count-distinct) for
+    * point-frequency queries — at 100 TB the exact per-token count is a
+    * vocabulary-sized shuffle, the sketch is 4 KiB per task. */
+  def cmsTopk(s: SparkSession, d: String, depth: Int = 4, width: Int = 1024,
+              k: Int = 25): DataFrame = {
+    val toks = Tables.documents(s, d)
+      .select(explode(tokens(col("text"))).as("tok"))
+    val counts = toks.groupBy(col("tok")).agg(count(lit(1)).as("c"))
+    def bucket(j: Int, c: org.apache.spark.sql.Column) =
+      conv(substring(md5(concat(lit(s"$j#"), c).cast("binary")), 1, 8), 16, 10)
+        .cast("long") % width
+    // the sketch: cell(j, b) = total count of tokens hashing to bucket b in
+    // row j — built from the per-token counts (equivalent to per-occurrence
+    // increments, since addition is associative)
+    val cells = counts.select(col("c") +:
+        (0 until depth).map(j => bucket(j, col("tok")).as(s"b$j")): _*)
+      .select(col("c"), explode(array((0 until depth).map(j =>
+        struct(lit(j).as("j"), col(s"b$j").as("b"))): _*)).as("jb"))
+      .groupBy(col("jb.j").as("j"), col("jb.b").as("b"))
+      .agg(sum(col("c")).as("cell"))
+    val top = counts.orderBy(col("c").desc, col("tok")).limit(k)
+    top
+      .select(col("tok"), col("c") +:
+        (0 until depth).map(j => bucket(j, col("tok")).as(s"b$j")): _*)
+      .select(col("tok"), col("c"), explode(array((0 until depth).map(j =>
+        struct(lit(j).as("j"), col(s"b$j").as("b"))): _*)).as("jb"))
+      .join(broadcast(cells),
+        col("jb.j") === col("j") && col("jb.b") === col("b"))
+      .groupBy(col("tok"))
+      .agg(max(col("c")).as("exact"), min(col("cell")).as("est"))
+      .select(col("tok"), col("exact"), col("est"),
+        (col("est") - col("exact")).as("over"))
+      .orderedBy("tok")
+  }
+
+  private def cmsOracle(depth: Int, width: Int, k: Int): String = {
+    val hv = (1 to 8)
+      .map(i => s"(strpos('0123456789abcdef', substr(h, $i, 1)) - 1) * ${1L << ((8 - i) * 4)}")
+      .mkString(" + ")
+    def bucketSel(src: String) = (0 until depth).map { j =>
+      s"""SELECT tok, c, $j AS j,
+         |       ($hv) % $width AS b
+         |FROM (SELECT tok, c, substr(md5('$j#' || tok), 1, 8) AS h FROM $src)"""
+        .stripMargin
+    }.mkString("\n  UNION ALL ")
+    s"""WITH t AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+       |counts AS (SELECT tok, count(*) AS c FROM t GROUP BY tok),
+       |jb AS (
+       |  ${bucketSel("counts")}),
+       |cells AS (SELECT j, b, sum(c) AS cell FROM jb GROUP BY j, b),
+       |top AS (SELECT tok, c FROM counts ORDER BY c DESC, tok LIMIT $k),
+       |tjb AS (
+       |  ${bucketSel("top")}),
+       |est AS (
+       |  SELECT tok, max(c) AS exact, min(cell) AS est
+       |  FROM tjb JOIN cells USING (j, b) GROUP BY tok)
+       |SELECT tok, CAST(exact AS BIGINT) AS exact, CAST(est AS BIGINT) AS est,
+       |       CAST(est - exact AS BIGINT) AS over
+       |FROM est ORDER BY tok""".stripMargin
+  }
+
   /** Bigram language-model counts: corpus-wide bigram frequencies WITH
     * MULTIPLICITY (unlike the distinct `word_shingles` dedup unit) plus the
     * conditional probability p(w2|w1) = c(w1 w2) / c(w1 ·), top-k by count.
