@@ -173,7 +173,7 @@ object TextStats {
       .agg(sum(col("c")).as("cell"))
     val top = counts.orderBy(col("c").desc, col("tok")).limit(k)
     top
-      .select(col("tok"), col("c") +:
+      .select(col("tok") +: col("c") +:
         (0 until depth).map(j => bucket(j, col("tok")).as(s"b$j")): _*)
       .select(col("tok"), col("c"), explode(array((0 until depth).map(j =>
         struct(lit(j).as("j"), col(s"b$j").as("b"))): _*)).as("jb"))
@@ -475,6 +475,7 @@ object TextStats {
         |       length(text) AS chars
         |FROM documents ORDER BY doc_id""".stripMargin)),
     "q_lang_id" -> QueryDef(langId, Some(langIdOracle)),
+    "q_cms_topk" -> QueryDef(cmsTopk(_, _), Some(cmsOracle(4, 1024, 25))),
     "q_tfidf" -> QueryDef(tfidfTopk(_, _), Some(tfidfOracle(3))),
     "q_bigram_lm" -> QueryDef(bigramLm(_, _), Some(bigramLmOracle(100))),
     "q_doc_winnow" -> QueryDef(winnow(_, _), Some(winnowOracle(4))),

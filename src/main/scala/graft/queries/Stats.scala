@@ -68,13 +68,17 @@ object Stats {
       count(lit(1)).as("n"),
       sum(col("q")).as("s1"),
       sum(col("q") * col("q")).as("s2"),
-      sum(col("q") * col("q") * col("q")).as("s3"),
-      // q⁴ ≤ 6.25e14 per row: the SUM overflows BIGINT (ANSI would
-      // throw) — sum exact decimals instead
-      sum((col("q") * col("q") * col("q") * col("q")).cast("decimal(20,0)")).as("s4"),
+      // per-row products fit BIGINT (q³ ≤ 1.25e11, q⁴ ≤ 6.25e14,
+      // q·p ≤ 5e11) but their SUMs overflow it within a group around
+      // ~7e7 rows (≈ sf50) — non-ANSI Spark would wrap silently while
+      // the DuckDB oracle sums to HUGEINT, a silent cross-engine
+      // divergence at scale. Sum exact decimals for every power ≥ 3
+      // and for the cross term; s1/s2 stay BIGINT (exact past sf10⁶).
+      sum((col("q") * col("q") * col("q")).cast("decimal(28,0)")).as("s3"),
+      sum((col("q") * col("q") * col("q") * col("q")).cast("decimal(30,0)")).as("s4"),
       sum(col("p")).as("t1"),
-      sum((col("p") * col("p")).cast("decimal(20,0)")).as("t2"),
-      sum(col("q") * col("p")).as("sxy"))
+      sum((col("p") * col("p")).cast("decimal(28,0)")).as("t2"),
+      sum((col("q") * col("p")).cast("decimal(30,0)")).as("sxy"))
     val moments = sums.select(
       col("l_returnflag"), col("n"),
       expr("CAST(s1 AS DOUBLE) / n").as("m1"), expr("CAST(s2 AS DOUBLE) / n").as("m2"),
@@ -96,10 +100,11 @@ object Stats {
        |  FROM lineitem),
        |sums AS (
        |  SELECT l_returnflag, count(*) AS n,
-       |         sum(q) AS s1, sum(q * q) AS s2, sum(q * q * q) AS s3,
-       |         sum(CAST(q * q * q * q AS DECIMAL(20,0))) AS s4,
-       |         sum(p) AS t1, sum(CAST(p * p AS DECIMAL(20,0))) AS t2,
-       |         sum(q * p) AS sxy
+       |         sum(q) AS s1, sum(q * q) AS s2,
+       |         sum(CAST(q * q * q AS DECIMAL(28,0))) AS s3,
+       |         sum(CAST(q * q * q * q AS DECIMAL(30,0))) AS s4,
+       |         sum(p) AS t1, sum(CAST(p * p AS DECIMAL(28,0))) AS t2,
+       |         sum(CAST(q * p AS DECIMAL(30,0))) AS sxy
        |  FROM qp GROUP BY l_returnflag),
        |m AS (
        |  SELECT l_returnflag, CAST(n AS BIGINT) AS n,

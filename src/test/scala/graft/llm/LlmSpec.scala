@@ -210,6 +210,31 @@ class LlmSpec extends SparkTestBase {
     assert(out(2L) == ((0L, 0L, md5hex("clean text with a short 123 number"))))
   }
 
+  test("count-min sketch: never undercounts; width-1 forces full collision") {
+    // exact counts: a=4, b=3, c=1, d=1 (total occurrences = 9)
+    val docs = Seq((1L, "a a a b b c"), (2L, "a b d")).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft-cms").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val wide = TextStats.cmsTopk(spark, dir, depth = 4, width = 1024, k = 10)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(wide.keySet == Set("a", "b", "c", "d"))
+    assert(wide("a")._1 == 4 && wide("b")._1 == 3 && wide("c")._1 == 1)
+    // the CMS invariant: estimate >= exact, always
+    wide.foreach { case (tok, (_, est, over)) =>
+      assert(over >= 0 && est >= wide(tok)._1, s"sketch undercounted '$tok'")
+    }
+    // width=1: every token collides into the one bucket of every row, so
+    // est = total corpus occurrences for every token — maximal (bounded)
+    // overestimate, still never an undercount
+    val narrow = TextStats.cmsTopk(spark, dir, depth = 4, width = 1, k = 10)
+      .collect()
+    narrow.foreach { r =>
+      assert(r.getLong(2) == 9, s"width-1 est must be the 9-token total, got $r")
+      assert(r.getLong(3) == 9 - r.getLong(1))
+    }
+  }
+
   test("embedding quantization: int8 range, exact extremes, dequant error bound") {
     val d = "/root/testdata/sf0.001"
     val rows = Similarity.quantize(spark, d).collect()
