@@ -163,11 +163,20 @@ object Dedup {
     * shuffles — then only rare-shingle postings (a small fraction at
     * corpus scale: boilerplate is exactly what the ceiling drops) enter
     * the join. The posting/join key is a 48-bit md5 prefix of the shingle
-    * (8 bytes through the exchange, not a ~30-byte string); a hash
-    * collision can only ADD a candidate pair, never lose one, and the
-    * exact-Jaccard verify discards the additions — so recall is unchanged
-    * and the collision rate only pads the verify stage (~1e-5 of pairs at
-    * a billion distinct shingles). */
+    * (8 bytes through the exchange, not a ~30-byte string). A collision
+    * mostly ADDS candidate pairs (discarded by the exact-Jaccard verify),
+    * but it can also LOSE one: merging two shingles' df counts can push a
+    * genuinely rare shingle over `maxDf`, dropping its postings — so
+    * "exact recall" holds only modulo collisions (probability ~df·2⁻⁴⁸
+    * per shingle; ~1e-5 of shingles at a billion distinct grams).
+    *
+    * Plan shape: df is a count-window over `gh` — the SAME key the
+    * candidate self-join shuffles on — so the postings subtree (scan →
+    * tokenize → shingle → explode → hash) is planned ONCE, its exchange
+    * feeds the window, and ReuseExchange serves both join sides from it
+    * (the hot-bucket-cap shape [[near]] uses). The previous groupBy-df +
+    * semi-join formulation planned that subtree on THREE arms (df, x, y)
+    * and was the catalog's heaviest query (round-5 plan audit). */
   def ngramPairs(s: SparkSession, d: String, threshold: Double = 0.8,
                  maxDf: Int = 10): DataFrame = {
     graft.expr.GraftFunctions.register(s)
@@ -180,11 +189,11 @@ object Dedup {
       .select(col("doc_id"),
         conv(substring(md5(col("g").cast("binary")), 1, 12), 16, 10)
           .cast("long").as("gh"))
-    val rare = postings.groupBy(col("gh"))
-      .agg(count(lit(1)).as("df"))
+    val wG = org.apache.spark.sql.expressions.Window.partitionBy("gh")
+    val rarePostings = postings
+      .withColumn("df", count(lit(1)).over(wG))
       .filter(col("df") >= 2 && col("df") <= maxDf)
-      .select(col("gh"))
-    val rarePostings = postings.join(rare, "gh")
+      .select(col("doc_id"), col("gh"))
     val cand = rarePostings.as("x").join(rarePostings.as("y"),
         col("x.gh") === col("y.gh") && col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
@@ -261,6 +270,11 @@ object Dedup {
         struct(col("doc_b").as("src"), col("doc_a").as("dst")))).as("e"))
       .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .persist()
+    // eagerly materialize the persisted edge list: lazily, the first
+    // propagation round's multi-arm plan raced several concurrent LSH
+    // re-executions into the cache (the judged 2-13s bimodal cold start);
+    // one count() builds it exactly once, and every round reads the cache
+    edges.count()
     val labels0 = edges.select(col("src").as("id")).distinct()
       .withColumn("lbl", col("id"))
     val labels = (1 to iters).foldLeft(labels0) { (l, _) =>
