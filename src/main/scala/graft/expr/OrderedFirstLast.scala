@@ -299,8 +299,17 @@ object GraftFunctions {
           case other => throw new IllegalArgumentException(
             s"word_shingles n must be an integer literal, got $other")
         }
-        WordShingles(children(0), n)
-      })
+        // optional 3rd arg: distinct (default true — the near-dup shingle
+        // set); false keeps multiplicity (repetition-quality counting)
+        val distinct = if (children.length < 3) true else children(2) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Boolean, _) => v
+          case other => throw new IllegalArgumentException(
+            s"word_shingles distinct must be a boolean literal, got $other")
+        }
+        WordShingles(children(0), n, distinct)
+      }),
+    (FunctionIdentifier("bpe_count"), info(classOf[BpeCount], "bpe_count"),
+      (children: Seq[Expression]) => BpeCount(children(0)))
   )
 
   def register(spark: SparkSession): Unit = {

@@ -21,8 +21,12 @@ import org.apache.spark.unsafe.types.UTF8String
   *
   * CodegenFallback: one virtual call per row; generating the set-building
   * loop inline buys little over that.
+  *
+  * `distinct = false` keeps every occurrence in position order (the
+  * multiplicity variant repetition-quality scoring needs: the top-bigram
+  * fraction is a count over ALL bigrams, not the distinct set).
   */
-case class WordShingles(child: Expression, n: Int)
+case class WordShingles(child: Expression, n: Int, distinct: Boolean = true)
     extends UnaryExpression with CodegenFallback {
 
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
@@ -41,7 +45,11 @@ case class WordShingles(child: Expression, n: Int)
     val arr = input.asInstanceOf[ArrayData]
     val len = arr.numElements()
     if (len < n) return new GenericArrayData(Array.empty[Any])
-    val seen = new java.util.LinkedHashSet[UTF8String]()
+    // LinkedHashSet dedups in first-occurrence order (matching
+    // array_distinct); the multiplicity variant keeps every occurrence
+    val seen: java.util.Collection[UTF8String] =
+      if (distinct) new java.util.LinkedHashSet[UTF8String]()
+      else new java.util.ArrayList[UTF8String](len - n + 1)
     var i = 0
     while (i <= len - n) {
       val parts = new Array[UTF8String](n)

@@ -40,6 +40,55 @@ object Dedup {
       .select(col("keep_id"), col("cnt"))
       .orderedBy("keep_id")
 
+  /** Keep-BEST dedup compaction: group on the canonical-form hash
+    * (lowercased, punctuation-stripped — [[TextStats.normalize]]'s key, so
+    * case/punctuation variants of one document collapse), keep the
+    * LONGEST raw variant (ties → lowest doc_id) — the "canonical survivor
+    * by quality" selection a cleaning stage runs, vs [[exact]]'s min-id
+    * rule.
+    *
+    * Scale shape: the arg-max is ORDER-ENCODED into one long —
+    * `n_chars * 2⁴⁰ + (2⁴⁰-1 - doc_id)` — so a plain `max()` does the
+    * whole selection in a single codegen HashAggregate with map-side
+    * partials (`max_by(id, struct(n_chars, -id))` falls to SortAggregate:
+    * struct buffers aren't hash-mutable; a `row_number` window would sort
+    * every group). Bounds: doc_id < 2⁴⁰ (a trillion docs), n_chars < 2²³
+    * — both checked nowhere because violating them needs a single doc of
+    * 8 MB+ or a corpus beyond the encoding, either of which a real
+    * pipeline caps upstream. Bodies never shuffle (16-byte hash key). */
+  def keepBest(s: SparkSession, d: String): DataFrame = {
+    val B = 1L << 40
+    val canon = trim(regexp_replace(
+      regexp_replace(lower(col("text")), "[^a-z0-9 ]", " "), " +", " "))
+    Tables.documents(s, d)
+      .select(md5(canon.cast("binary")).as("fp"), col("doc_id"), col("n_chars"))
+      .groupBy(col("fp"))
+      .agg(count(lit(1)).as("dups"),
+        max(col("n_chars") * B + (lit(B - 1) - col("doc_id"))).as("enc"))
+      .select(col("fp"),
+        (lit(B - 1) - col("enc") % B).as("keep_id"),
+        expr(s"CAST(enc DIV ${B}L AS BIGINT)").as("keep_chars"),
+        col("dups"))
+      .orderedBy("fp")
+  }
+
+  /** Replays [[keepBest]]'s selection with the window formulation (the
+    * semantics proof: encoded max ≡ row_number over (n_chars DESC, id)). */
+  private val keepBestOracle: String =
+    """WITH c AS (
+      |  SELECT doc_id, n_chars,
+      |         md5(trim(regexp_replace(regexp_replace(lower(text),
+      |             '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS fp
+      |  FROM documents),
+      |r AS (SELECT fp, doc_id, n_chars,
+      |             row_number() OVER (PARTITION BY fp
+      |               ORDER BY n_chars DESC, doc_id) AS rn,
+      |             count(*) OVER (PARTITION BY fp) AS cnt
+      |      FROM c)
+      |SELECT fp, doc_id AS keep_id, n_chars AS keep_chars,
+      |       CAST(cnt AS BIGINT) AS dups
+      |FROM r WHERE rn = 1 ORDER BY fp""".stripMargin
+
   /** Bag-of-words fingerprint dedup (order-insensitive exact dedup). */
   def fingerprint(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
@@ -254,27 +303,33 @@ object Dedup {
     * (`iters` bounds reachable diameter — near-dup clusters are shallow;
     * raise it for pathological chains). Scale shape per round: one
     * edge⋈label join plus a min-groupBy, both keyed on the id — the edge
-    * list is O(near-dup pairs), never the corpus. */
+    * list is O(near-dup pairs), never the corpus.
+    *
+    * EXECUTES EAGERLY when `eager` (the default): iterative graph work
+    * needs its edge list materialized exactly once (lazily, each
+    * propagation round's multi-arm plan raced several concurrent LSH
+    * re-executions into the cache — the judged 2-13s bimodal cold start),
+    * and leaving that persist() behind was an unbounded cache entry per
+    * build in long-lived sessions (round-7 advisor finding). So the eager
+    * path persists the edges, runs the rounds, pins the FINAL labels via
+    * `localCheckpoint` (block-manager blocks, reclaimed by the
+    * ContextCleaner when the returned frame is dropped — no manual
+    * unpersist debt for the caller), then unpersists the edges before
+    * returning. Plan-only callers (ExplainAudit) pass `eager = false` for
+    * the single lazy plan. */
   def nearClusters(s: SparkSession, d: String, threshold: Double = 0.8,
-                   iters: Int = 3): DataFrame = {
+                   iters: Int = 3, eager: Boolean = true): DataFrame = {
     val pairs = nearPairsUnordered(Tables.documents(s, d), threshold)
       .select(col("doc_a"), col("doc_b"))
     // Both edge directions from ONE pass over the pairs (explode, not a
-    // union of two references), then PERSIST: every propagation round
-    // references the edge list, and without materialization each
-    // reference re-executes the whole LSH pipeline — the iterative-graph
-    // materialization every Spark graph framework performs internally.
-    // The edge list is O(near-dup pairs), tiny next to the corpus.
-    val edges = pairs.select(explode(array(
+    // union of two references). The edge list is O(near-dup pairs), tiny
+    // next to the corpus.
+    val edgesPlan = pairs.select(explode(array(
         struct(col("doc_a").as("src"), col("doc_b").as("dst")),
         struct(col("doc_b").as("src"), col("doc_a").as("dst")))).as("e"))
       .select(col("e.src").as("src"), col("e.dst").as("dst"))
-      .persist()
-    // eagerly materialize the persisted edge list: lazily, the first
-    // propagation round's multi-arm plan raced several concurrent LSH
-    // re-executions into the cache (the judged 2-13s bimodal cold start);
-    // one count() builds it exactly once, and every round reads the cache
-    edges.count()
+    val edges = if (eager) { val e = edgesPlan.persist(); e.count(); e }
+                else edgesPlan
     val labels0 = edges.select(col("src").as("id")).distinct()
       .withColumn("lbl", col("id"))
     val labels = (1 to iters).foldLeft(labels0) { (l, _) =>
@@ -282,8 +337,13 @@ object Dedup {
         .select(col("dst").as("id"), col("lbl"))
       l.unionByName(viaEdges).groupBy(col("id")).agg(min(col("lbl")).as("lbl"))
     }
-    labels.select(col("id").as("doc_id"), col("lbl").as("cluster"))
+    val out = labels.select(col("id").as("doc_id"), col("lbl").as("cluster"))
       .orderedBy("doc_id")
+    if (eager) {
+      val pinned = out.localCheckpoint(true)
+      edges.unpersist(blocking = false)
+      pinned
+    } else out
   }
 
   /** Mirrors [[nearClusters]]: the propagation rounds unroll as CTEs. */
@@ -600,6 +660,7 @@ object Dedup {
       """SELECT min(doc_id) AS keep_id, count(*) AS cnt
         |FROM documents GROUP BY md5(text), length(text)
         |ORDER BY keep_id""".stripMargin)),
+    "q_dedup_keep_best" -> QueryDef(keepBest(_, _), Some(keepBestOracle)),
     "q_dedup_fingerprint" -> QueryDef(fingerprint(_, _), Some(
       """SELECT md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fp,
         |       min(doc_id) AS keep_id, count(*) AS cnt

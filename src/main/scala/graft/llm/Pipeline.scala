@@ -169,6 +169,37 @@ object Pipeline {
       .orderedBy("doc_id")
   }
 
+  /** [[packGreedy]] with a TOKENIZER-AWARE budget: pack assignment by the
+    * native `bpe_count` estimate (graft.expr.BpeCount, ~4 chars/BPE token
+    * over pre-tokenizer runs) instead of whitespace words — whitespace
+    * counts undershoot real tokenizer counts on punctuation/digit-heavy
+    * docs, so whitespace-budgeted packs overflow the sequence length at
+    * training time (round-5 verdict #6). Same exact-integer window
+    * arithmetic, same per-language parallel packing. */
+  def packTokens(s: SparkSession, d: String, budget: Int = 1024): DataFrame = {
+    graft.expr.GraftFunctions.register(s)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang")).orderBy(col("doc_id"))
+    Tables.documents(s, d)
+      .withColumn("bpe_tokens", expr("bpe_count(text)"))
+      .withColumn("cum", sum(col("bpe_tokens")).over(w))
+      .withColumn("pack_id", expr(s"CAST((cum - bpe_tokens) DIV $budget AS BIGINT)"))
+      .select(col("doc_id"), col("lang"), col("bpe_tokens"), col("pack_id"))
+      .orderedBy("doc_id")
+  }
+
+  private def packTokensOracle(budget: Int): String =
+    s"""WITH t AS (
+       |  SELECT doc_id, lang,
+       |         CAST(COALESCE(list_sum(list_transform(
+       |           regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \\t\\n\\r\\f]+'),
+       |           p -> (len(p) + 3) // 4)), 0) AS BIGINT) AS bpe_tokens
+       |  FROM documents)
+       |SELECT doc_id, lang, bpe_tokens,
+       |       CAST((sum(bpe_tokens) OVER (PARTITION BY lang ORDER BY doc_id)
+       |             - bpe_tokens) // $budget AS BIGINT) AS pack_id
+       |FROM t ORDER BY doc_id""".stripMargin
+
   private def packOracle(budget: Int): String =
     s"""WITH t AS (
        |  SELECT doc_id, lang, len(string_split(text, ' ')) AS n_tokens
@@ -283,6 +314,7 @@ object Pipeline {
     "q_pipeline_full" -> QueryDef(fullPipeline(_, _),
       Some(fullOracle(20, 500, 0.8, 10L, 5, 5, "split", 2048))),
     "q_pack_greedy" -> QueryDef(packGreedy(_, _), Some(packOracle(2048))),
+    "q_pack_tokens" -> QueryDef(packTokens(_, _), Some(packTokensOracle(1024))),
     "q_split_assign" -> QueryDef(splitAssign(_, _), Some(splitOracle(5, 5, "split"))),
     "q_decontaminate" -> QueryDef(decontaminate(_, _), Some(decontOracle(10L)))
   )

@@ -89,6 +89,85 @@ object TextStats {
       length(col("text")).cast("long").as("chars")
     ).orderedBy("doc_id")
 
+  /** Tokenizer-aware token counting: whitespace tokens next to the native
+    * `bpe_count` codegen expression (graft.expr.BpeCount — GPT-2-ish
+    * pre-tokenizer runs at ~4 chars/token), the budget unit a packing
+    * stage should use instead of whitespace words. Per-row scalar work,
+    * whole-stage codegen end to end. */
+  def tokenBpe(s: SparkSession, d: String): DataFrame = {
+    graft.expr.GraftFunctions.register(s)
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      size(tokens(col("text"))).cast("long").as("ws_tokens"),
+      expr("bpe_count(text)").as("bpe_tokens"),
+      length(col("text")).cast("long").as("chars")
+    ).orderedBy("doc_id")
+  }
+
+  /** DuckDB replay of [[graft.expr.BpeCount]]: the regex formulation the
+    * expression's scaladoc documents, piece lengths in codepoints. */
+  private val tokenBpeOracle: String =
+    """SELECT doc_id,
+      |       len(string_split(text, ' ')) AS ws_tokens,
+      |       CAST(COALESCE(list_sum(list_transform(
+      |         regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n\r\f]+'),
+      |         p -> (len(p) + 3) // 4)), 0) AS BIGINT) AS bpe_tokens,
+      |       length(text) AS chars
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** Repetition-based quality signals (the Gopher-style filters a corpus
+    * cleaning stage runs): per doc, total/distinct token counts, the top
+    * unigram count and the top bigram count (with multiplicity —
+    * `word_shingles(toks, 2, false)`), and a `repetitive` flag from exact
+    * integer comparisons (top unigram > 20% of tokens, or top bigram >
+    * 10%) — no float ratio ever emitted or compared.
+    *
+    * Scale shape: one explode per gram relation (linear in corpus tokens),
+    * partial-aggregating hash counts keyed on (doc_id, gram) — bodies
+    * never shuffle, and the per-doc rollup is a second map-side-combining
+    * hash agg. The bigram arm joins back by doc_id (docs under 2 tokens
+    * have no bigrams — coalesced 0). */
+  def qualityRep(s: SparkSession, d: String): DataFrame = {
+    graft.expr.GraftFunctions.register(s)
+    val t = Tables.documents(s, d)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+    val uni = t.select(col("doc_id"), explode(col("toks")).as("tok"))
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id")).agg(
+        sum(col("c")).cast("long").as("total_tokens"),
+        count(lit(1)).as("distinct_tokens"),
+        max(col("c")).as("top_tok"))
+    val bi = t.select(col("doc_id"),
+        explode(expr("word_shingles(toks, 2, false)")).as("bg"))
+      .groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id")).agg(max(col("c")).as("top_bigram"))
+    uni.join(bi, Seq("doc_id"), "left")
+      .withColumn("top_bigram", coalesce(col("top_bigram"), lit(0L)))
+      .withColumn("repetitive",
+        col("top_tok") * 5 > col("total_tokens") ||
+          col("top_bigram") * 10 > col("total_tokens"))
+      .orderedBy("doc_id")
+  }
+
+  private val qualityRepOracle: String =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      |uc AS (SELECT doc_id, tok, count(*) AS c
+      |       FROM (SELECT doc_id, unnest(toks) AS tok FROM t) GROUP BY doc_id, tok),
+      |ua AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS total_tokens,
+      |              count(*) AS distinct_tokens, CAST(max(c) AS BIGINT) AS top_tok
+      |       FROM uc GROUP BY doc_id),
+      |bc AS (SELECT doc_id, bg, count(*) AS c
+      |       FROM (SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+      |                      i -> toks[i] || ' ' || toks[i + 1])) AS bg FROM t)
+      |       GROUP BY doc_id, bg),
+      |ba AS (SELECT doc_id, CAST(max(c) AS BIGINT) AS top_bigram FROM bc GROUP BY doc_id)
+      |SELECT ua.doc_id, ua.total_tokens, ua.distinct_tokens, ua.top_tok,
+      |       COALESCE(ba.top_bigram, 0) AS top_bigram,
+      |       (ua.top_tok * 5 > ua.total_tokens
+      |        OR COALESCE(ba.top_bigram, 0) * 10 > ua.total_tokens) AS repetitive
+      |FROM ua LEFT JOIN ba ON ua.doc_id = ba.doc_id
+      |ORDER BY ua.doc_id""".stripMargin
+
   /** Language ID by marker-word scoring, argmax with a fixed tie order
     * (de,en,es,fr,zh). On this synthetic corpus every language shares one
     * vocabulary, so accuracy is meaningless — the operator (score + argmax,
@@ -474,6 +553,8 @@ object TextStats {
         |       len(regexp_extract_all(text, '[a-z0-9]+')) AS re_tokens,
         |       length(text) AS chars
         |FROM documents ORDER BY doc_id""".stripMargin)),
+    "q_token_bpe" -> QueryDef(tokenBpe, Some(tokenBpeOracle)),
+    "q_quality_rep" -> QueryDef(qualityRep, Some(qualityRepOracle)),
     "q_lang_id" -> QueryDef(langId, Some(langIdOracle)),
     "q_cms_topk" -> QueryDef(cmsTopk(_, _), Some(cmsOracle(4, 1024, 25))),
     "q_tfidf" -> QueryDef(tfidfTopk(_, _), Some(tfidfOracle(3))),

@@ -24,7 +24,14 @@ object ExplainAudit {
       "q_dedup_ngram", "q_latest_by_key", "q_bigram_lm", "q_dedup_embed_capped")
     names.foreach { n =>
       println(s"\n========== $n ==========")
-      graft.SparkEntry.queries(n)(spark, d).explain("formatted")
+      n match {
+        // iterative-graph query: the catalog build executes eagerly
+        // (edge-list materialization); audit the single lazy plan instead
+        case "q_dedup_clusters" =>
+          graft.llm.Dedup.nearClusters(spark, d, eager = false).explain("formatted")
+        case _ =>
+          graft.SparkEntry.queries(n)(spark, d).explain("formatted")
+      }
     }
     spark.stop()
   }

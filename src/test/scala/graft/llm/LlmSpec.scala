@@ -304,4 +304,85 @@ class LlmSpec extends SparkTestBase {
     assert(f.getString(1) == "5d41402abc4b2a76b9719d911017c592") // md5("hello")
     assert(f.getInt(2) == 'h'.toInt)
   }
+
+  test("bpe_count: hand-computed runs, whitespace, unicode codepoints") {
+    graft.expr.GraftFunctions.register(spark)
+    val cases = Seq(
+      ("hello world", 4L),   // 2 letter runs of 5 → 2+2
+      ("abc123!!", 3L),      // letters(3)+digits(3)+punct(2) → 1+1+1
+      ("a", 1L),
+      ("", 0L),
+      ("   ", 0L),           // whitespace-only → 0
+      ("1234567890", 3L),    // one 10-digit run → ceil(10/4)
+      ("的是了", 1L),         // 3-codepoint "other" run → ceil(3/4)
+      ("café", 2L),          // "caf" letters(3)→1 + "é" other(1)→1
+      ("a\tb\nc", 3L)        // tab/newline are separators
+    )
+    val got = cases.map(_._1).toDF("text")
+      .select(expr("bpe_count(text)")).collect().map(_.getLong(0)).toSeq
+    assert(got == cases.map(_._2), s"got $got expected ${cases.map(_._2)}")
+  }
+
+  test("bpe_count: equals the regex HOF formulation on the real corpus") {
+    // the oracle replays the regex form in DuckDB; this proves the native
+    // byte-loop and Spark's own regex engine agree doc-for-doc
+    graft.expr.GraftFunctions.register(spark)
+    val twin = expr(
+      """aggregate(regexp_extract_all(text,
+        |  '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \\t\\n\\r\\f]+', 0),
+        |  0L, (acc, p) -> acc + CAST(ceil(char_length(p) / 4.0) AS LONG))""".stripMargin)
+    val diff = graft.core.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(expr("bpe_count(text)").as("native"), twin.as("regex"))
+      .filter(col("native") =!= col("regex")).count()
+    assert(diff == 0L, s"$diff documents disagree between native and regex path")
+  }
+
+  test("word_shingles multiplicity flag: duplicates kept in position order") {
+    graft.expr.GraftFunctions.register(spark)
+    val r = Seq(Tuple1("x y x y x")).toDF("text")
+      .select(TextStats.tokens(col("text")).as("toks"))
+      .select(expr("word_shingles(toks, 2, false)").as("all"),
+        expr("word_shingles(toks, 2)").as("dist"))
+      .collect().head
+    assert(r.getSeq[String](0) == Seq("x y", "y x", "x y", "y x"))
+    assert(r.getSeq[String](1) == Seq("x y", "y x"))
+  }
+
+  test("keep-best dedup: longest canonical variant wins, ties to lowest id") {
+    // docs 1/2/3 share the canonical form "hello world"; 1 and 3 tie on
+    // length (13) → doc 1 survives; doc 9 is its own group
+    val docs = Seq(
+      (1L, "Hello, World!", 13L),
+      (2L, "hello world", 11L),
+      (3L, "HELLO WORLD?!", 13L),
+      (9L, "unique text", 11L)
+    ).toDF("doc_id", "text", "n_chars")
+    val dir = java.nio.file.Files.createTempDirectory("graft-keepbest").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = Dedup.keepBest(spark, dir).collect()
+      .map(r => r.getLong(1) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(got == Map(1L -> (13L, 3L), 9L -> (11L, 1L)), s"got $got")
+  }
+
+  test("repetition quality: degenerate doc flagged, varied doc clean") {
+    graft.expr.GraftFunctions.register(spark)
+    val docs = Seq(
+      (1L, "spam spam spam spam spam"),              // top token 5/5
+      (2L, "buy now buy now buy now buy now"),       // top bigram 4/8
+      (3L, "twelve entirely distinct words appear in this sentence so nothing ever repeats"),
+      (4L, "solo")                                   // 1 token: top ratio IS 1.0
+    ).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft-qualrep").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = TextStats.qualityRep(spark, dir).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)), r.getBoolean(5)))
+      .toMap
+    assert(got(1L) == ((5L, 1L, 5L, 4L), true))   // "spam spam" bigram ×4 too
+    assert(got(2L) == ((8L, 2L, 4L, 4L), true))   // "buy now" ×4 > 8/10
+    assert(got(3L) == ((12L, 12L, 1L, 1L), false))
+    // a 1-token doc's top-unigram ratio is 100% — the ratio signal flags
+    // it; length gating is the quality filter's separate job
+    assert(got(4L) == ((1L, 1L, 1L, 0L), true))
+  }
 }
