@@ -219,15 +219,34 @@ object Dedup {
     * "exact recall" holds only modulo collisions (probability ~df·2⁻⁴⁸
     * per shingle; ~1e-5 of shingles at a billion distinct grams).
     *
-    * Plan shape: df is a count-window over `gh` — the SAME key the
-    * candidate self-join shuffles on — so the postings subtree (scan →
-    * tokenize → shingle → explode → hash) is planned ONCE, its exchange
-    * feeds the window, and ReuseExchange serves both join sides from it
-    * (the hot-bucket-cap shape [[near]] uses). The previous groupBy-df +
-    * semi-join formulation planned that subtree on THREE arms (df, x, y)
-    * and was the catalog's heaviest query (round-5 plan audit). */
+    * Plan shape: the df ceiling makes per-gram posting lists TINY (≤
+    * maxDf) by construction, so candidate pairs are generated IN-GROUP —
+    * `groupBy(gh).agg(collect_list(doc_id))`, filter the list size to
+    * [2, maxDf], expand the ≤ maxDf·(maxDf-1)/2 in-memory pairs per gram
+    * with array lambdas. ONE hash-partial-aggregating exchange of 8-byte
+    * keys and NO sort anywhere: the r6 count-window formulation kept one
+    * plan but sorted the ENTIRE postings relation once per self-join arm
+    * (two Window sorts of every (doc, gram) row — measured 7.8 s median
+    * vs [[near]]'s sort-free 2.1 s on the same explode volume); the r5
+    * groupBy-df + semi-join planned the postings subtree on three arms.
+    * The lambda expansion is interpreted, but it only touches rare-gram
+    * groups — O(candidates), not O(corpus).
+    *
+    * `minShared` (default 2) requires a candidate pair to share that many
+    * rare grams before verification — the candidate-volume guard this
+    * operator needs at scale, playing the role of [[near]]'s bucket cap.
+    * Templated corpora make single-gram co-occurrence common between
+    * unrelated docs while true near-dups share MANY rare grams: measured
+    * at sf0.1, minShared 1→2 cut candidates 435,954 → 17,207 (25×) and
+    * lost 1 of 256 true pairs (a pair sharing exactly one rare gram).
+    * The "exact recall" contract is therefore: pairs sharing ≥ minShared
+    * rare grams, modulo 48-bit collisions. Verification joins the
+    * PER-DOC shingle relation (computed once per doc), not per pair —
+    * with candidates ≫ docs, per-pair-side shingling was 2·|cand| HOF
+    * evaluations vs 2·|docs| (measured 6.2 → 1.9 s median with the
+    * candidate cut combined). */
   def ngramPairs(s: SparkSession, d: String, threshold: Double = 0.8,
-                 maxDf: Int = 10): DataFrame = {
+                 maxDf: Int = 10, minShared: Int = 2): DataFrame = {
     graft.expr.GraftFunctions.register(s)
     val docsTok = Tables.documents(s, d)
       .select(col("doc_id"), TextStats.tokens(col("text")).as("toks"))
@@ -238,20 +257,26 @@ object Dedup {
       .select(col("doc_id"),
         conv(substring(md5(col("g").cast("binary")), 1, 12), 16, 10)
           .cast("long").as("gh"))
-    val wG = org.apache.spark.sql.expressions.Window.partitionBy("gh")
-    val rarePostings = postings
-      .withColumn("df", count(lit(1)).over(wG))
-      .filter(col("df") >= 2 && col("df") <= maxDf)
-      .select(col("doc_id"), col("gh"))
-    val cand = rarePostings.as("x").join(rarePostings.as("y"),
-        col("x.gh") === col("y.gh") && col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-      .distinct()
+    // distinct grams in one doc can collide into one gh (48-bit prefix):
+    // the sorted list then holds a doc twice and i<j pairing yields a
+    // self-pair — dropped by the doc_a <> doc_b filter, exactly as the
+    // self-join's x.doc_id < y.doc_id excluded it
+    val cand = postings.groupBy(col("gh"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
+      .filter(size(col("ds")) >= 2 && size(col("ds")) <= maxDf)
+      .select(explode(expr(
+        """flatten(transform(ds, (a, i) ->
+          |  transform(slice(ds, i + 2, size(ds) - i - 1),
+          |            b -> struct(a AS doc_a, b AS doc_b))))""".stripMargin)).as("p"))
+      .select(col("p.doc_a"), col("p.doc_b"))
+      .filter(col("doc_a") =!= col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= minShared)
+      .select(col("doc_a"), col("doc_b"))
     val withSets = cand
-      .join(docsTok.select(col("doc_id").as("doc_a"), col("toks").as("toks_a")), "doc_a")
-      .join(docsTok.select(col("doc_id").as("doc_b"), col("toks").as("toks_b")), "doc_b")
-      .withColumn("sh_a", TextStats.shinglesExpr("toks_a"))
-      .withColumn("sh_b", TextStats.shinglesExpr("toks_b"))
+      .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
+      .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
     withSets
       .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
       .withColumn("jaccard",
@@ -267,7 +292,8 @@ object Dedup {
     * counts documents, matching the Spark side's set semantics; the
     * 48-bit hash key is rebuilt from 12 md5 hex chars (DuckDB has no
     * conv()). */
-  private def ngramOracle(threshold: Double, maxDf: Int): String = {
+  private def ngramOracle(threshold: Double, maxDf: Int,
+                          minShared: Int = 2): String = {
     val hv = (1 to 12)
       .map(i => s"(strpos('0123456789abcdef', substr(h, $i, 1)) - 1) * ${1L << ((12 - i) * 4)}")
       .mkString(" + ")
@@ -282,8 +308,9 @@ object Dedup {
        |rare AS (SELECT gh FROM post GROUP BY gh
        |         HAVING count(*) >= 2 AND count(*) <= $maxDf),
        |rp AS (SELECT doc_id, gh FROM post JOIN rare USING (gh)),
-       |cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
-       |         FROM rp x JOIN rp y ON x.gh = y.gh AND x.doc_id < y.doc_id),
+       |cand AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b
+       |         FROM rp x JOIN rp y ON x.gh = y.gh AND x.doc_id < y.doc_id
+       |         GROUP BY doc_a, doc_b HAVING count(*) >= $minShared),
        |pairs AS (
        |  SELECT doc_a, doc_b,
        |         round(1.0 * len(list_intersect(a.s, b.s)) /
@@ -332,18 +359,21 @@ object Dedup {
                 else edgesPlan
     val labels0 = edges.select(col("src").as("id")).distinct()
       .withColumn("lbl", col("id"))
+    // each round references the PREVIOUS round twice (union arm + join
+    // arm), so an unmaterialized fold re-executes round N-1 twice — 2^N
+    // arms by the last round. The eager path pins every round (label sets
+    // are O(near-dup docs), tiny), so each round's shuffle runs exactly
+    // once — the per-iteration persist every Pregel-style loop does.
     val labels = (1 to iters).foldLeft(labels0) { (l, _) =>
       val viaEdges = edges.join(l.withColumnRenamed("id", "src"), "src")
         .select(col("dst").as("id"), col("lbl"))
-      l.unionByName(viaEdges).groupBy(col("id")).agg(min(col("lbl")).as("lbl"))
+      val next = l.unionByName(viaEdges)
+        .groupBy(col("id")).agg(min(col("lbl")).as("lbl"))
+      if (eager) next.localCheckpoint(true) else next
     }
-    val out = labels.select(col("id").as("doc_id"), col("lbl").as("cluster"))
+    if (eager) edges.unpersist(blocking = false)
+    labels.select(col("id").as("doc_id"), col("lbl").as("cluster"))
       .orderedBy("doc_id")
-    if (eager) {
-      val pinned = out.localCheckpoint(true)
-      edges.unpersist(blocking = false)
-      pinned
-    } else out
   }
 
   /** Mirrors [[nearClusters]]: the propagation rounds unroll as CTEs. */

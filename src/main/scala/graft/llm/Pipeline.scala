@@ -102,6 +102,44 @@ object Pipeline {
        |FROM b ORDER BY doc_id""".stripMargin
   }
 
+  /** Deterministic stratified sample: k docs per language by salted-md5
+    * priority — the per-stratum quota draw a corpus-inspection or
+    * eval-set-construction stage runs. Like [[splitAssign]], the draw is a
+    * pure function of (seed, doc_id): stable across runs/engines, and new
+    * docs perturb only their own stratum. Scale shape: `row_number <= k`
+    * is WindowGroupLimit-pruned map-side (each partition keeps its own
+    * top-k before the stratum shuffle), so the exchange carries
+    * O(k × partitions), not the corpus. */
+  def sampleStratified(s: SparkSession, d: String,
+                       k: Int = 25, seed: Int = 42): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang")).orderBy(col("pri"), col("doc_id"))
+    Tables.documents(s, d)
+      .withColumn("pri",
+        conv(substring(md5(concat_ws("#", lit(seed), col("doc_id")).cast("binary")), 1, 8),
+          16, 10).cast("long"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= k)
+      .select(col("doc_id"), col("lang"), col("rn"))
+      .orderedBy("doc_id")
+  }
+
+  private def sampleStratifiedOracle(k: Int, seed: Int): String = {
+    val hv = (1 to 8)
+      .map(i => s"(strpos('0123456789abcdef', substr(h, $i, 1)) - 1) * ${1L << ((8 - i) * 4)}")
+      .mkString(" + ")
+    s"""WITH p AS (
+       |  SELECT doc_id, lang,
+       |         substr(md5('$seed' || '#' || CAST(doc_id AS VARCHAR)), 1, 8) AS h
+       |  FROM documents),
+       |pv AS (SELECT doc_id, lang, ($hv) AS pri FROM p),
+       |r AS (SELECT doc_id, lang,
+       |             row_number() OVER (PARTITION BY lang ORDER BY pri, doc_id) AS rn
+       |      FROM pv)
+       |SELECT doc_id, lang, rn FROM r WHERE rn <= $k
+       |ORDER BY doc_id""".stripMargin
+  }
+
   /** Benchmark decontamination: flag corpus docs sharing any word 3-gram
     * with a held-out benchmark set (here: doc_id < `benchMax` stands in for
     * the eval set). The benchmark's distinct shingle HASHES broadcast
@@ -316,6 +354,8 @@ object Pipeline {
     "q_pack_greedy" -> QueryDef(packGreedy(_, _), Some(packOracle(2048))),
     "q_pack_tokens" -> QueryDef(packTokens(_, _), Some(packTokensOracle(1024))),
     "q_split_assign" -> QueryDef(splitAssign(_, _), Some(splitOracle(5, 5, "split"))),
+    "q_sample_stratified" -> QueryDef(sampleStratified(_, _),
+      Some(sampleStratifiedOracle(25, 42))),
     "q_decontaminate" -> QueryDef(decontaminate(_, _), Some(decontOracle(10L)))
   )
 }

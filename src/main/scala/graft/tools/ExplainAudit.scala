@@ -21,7 +21,9 @@ object ExplainAudit {
       "q_topk", "q_json_get", "q_sample_k", "q_dedup_simhash_capped",
       "q_tfidf", "q_doc_winnow", "q_decontaminate", "q_dedup_clusters",
       "q_distinct_sketch", "q_agg_stats", "q_quantile_hist", "q_sessionize",
-      "q_dedup_ngram", "q_latest_by_key", "q_bigram_lm", "q_dedup_embed_capped")
+      "q_dedup_ngram", "q_latest_by_key", "q_bigram_lm", "q_dedup_embed_capped",
+      "q_token_bpe", "q_pack_tokens", "q_quality_rep", "q_dedup_keep_best",
+      "q_sample_stratified")
     names.foreach { n =>
       println(s"\n========== $n ==========")
       n match {

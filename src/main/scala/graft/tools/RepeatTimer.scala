@@ -21,6 +21,9 @@ object RepeatTimer {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+      // same reclamation backstop as Bench: the ContextCleaner frees
+      // broadcast/shuffle/checkpoint blocks only after a driver GC
+      .config("spark.cleaner.periodicGC.interval", "30s")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     names.foreach { n =>
@@ -30,6 +33,12 @@ object RepeatTimer {
         fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         (System.nanoTime() - t0) / 1e9
       }
+      // per-query isolation, exactly as Bench: without it, block-manager
+      // state left by an earlier heavy query inflates this one's reps
+      // (measured: q_sample_stratified 5.15s median after the dedup
+      // family vs 0.54s isolated — same lesson as BENCH_r04)
+      spark.catalog.clearCache()
+      System.gc()
       run() // warm-up
       val times = (1 to reps).map(_ => run())
       val s = times.sorted

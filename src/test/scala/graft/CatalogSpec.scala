@@ -125,6 +125,10 @@ class CatalogSpec extends SparkTestBase {
       .queryExecution.executedPlan.toString
     assert(tfidf.contains("WindowGroupLimit"),
       "q_tfidf lost its per-doc top-k pruning — every (doc, token) score would shuffle")
+    val strat = Catalog.defs("q_sample_stratified").build(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(strat.contains("WindowGroupLimit"),
+      "q_sample_stratified lost its map-side per-stratum top-k pruning")
     val dec = Catalog.defs("q_decontaminate").build(spark, dir)
       .queryExecution.executedPlan.toString
     assert(dec.contains("BroadcastHashJoin"),
