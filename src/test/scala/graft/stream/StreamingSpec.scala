@@ -638,4 +638,49 @@ class StreamingSpec extends SparkTestBase {
       assert(seen.get(("a", t0)) == (9.0, 3.0))
     } finally q2.stop()
   }
+
+  test("transformWithState: candle parity with flatMapGroupsWithState, idle-key timer closure") {
+    // the Spark-4 StatefulProcessor API runs only on the RocksDB store
+    implicit val ctx = spark.sqlContext
+    import graft.ohlc.{Candle, Trade}
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    def trade(base: String, sec: Long, p: Double) =
+      Trade(base, new java.sql.Timestamp(sec * 1000), p, 1.0)
+    // same scenario as the idle-close fMGWS test: b trades once then goes
+    // quiet; a keeps trading and advances the global watermark
+    val script = Seq(
+      Seq(trade("a", t0 + 5, 1.0), trade("a", t0 + 20, 3.0), trade("b", t0 + 10, 9.0)),
+      Seq(trade("a", t0 + 600, 1.1)),
+      Seq(trade("a", t0 + 601, 1.2)))
+    def drive(mk: org.apache.spark.sql.Dataset[Trade] => org.apache.spark.sql.Dataset[Candle],
+              name: String): Seq[(String, Long, Double, Double)] = {
+      val in = MemoryStream[Trade]
+      val q = mk(in.toDS()).writeStream.format("memory")
+        .queryName(name).outputMode("append").start()
+      try {
+        script.foreach { batch => in.addData(batch); q.processAllAvailable() }
+        spark.table(name).collect().map(r =>
+          (r.getAs[String]("base"), r.getAs[java.sql.Timestamp]("start_ts").getTime,
+            r.getAs[Double]("open"), r.getAs[Double]("close"))).toSeq.sorted
+      } finally q.stop()
+    }
+    try {
+      val tws = drive(TwsCandles.closedCandles(_), "tws_candles")
+      val fmgws = drive(StatefulCandles.closedCandlesIdleClose(_), "fmgws_candles")
+      assert(tws == fmgws, s"API parity broken:\ntws=$tws\nfmgws=$fmgws")
+      // the idle key b emitted via the event-time TIMER (its own event
+      // time never passed the close bound)
+      assert(tws.exists(_._1 == "b"), s"idle key b missing from $tws")
+      assert(tws.exists(c => c._1 == "a" && c._3 == 1.0 && c._4 == 3.0),
+        "a's w0 candle must carry the (open=1.0, close=3.0) tie rule")
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
 }
