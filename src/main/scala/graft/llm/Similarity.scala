@@ -171,6 +171,50 @@ object Similarity {
       |      FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings))
       |ORDER BY vec_id""".stripMargin
 
+  /** Top-k search over the int8-QUANTIZED corpus — the read side of
+    * [[quantize]]: score against dequantized vectors (q_i · scale / 127),
+    * so the search path touches 1 byte/dim + one scale instead of 8
+    * bytes/dim — the 8× scan-bandwidth saving that makes brute-force
+    * rescoring viable over a corpus slice at 100 TB. Same broadcast-probe
+    * + WindowGroupLimit shape as [[topkBrute]]; rank-only output. The
+    * dequantization op tree (round → int → double · scale / 127) is
+    * spliced VERBATIM into the oracle — single IEEE ops, bit-identical —
+    * and LlmSpec pins the measured recall@k against the full-precision
+    * ranks. */
+  def topkQuantized(s: SparkSession, d: String,
+                    nQueries: Int = 20, k: Int = 3): DataFrame = {
+    val deq = vecs(s, d)
+      .withColumn("scale", expr("array_max(transform(e, x -> abs(x)))"))
+      .withColumn("de", expr(
+        "transform(e, x -> CAST(CAST(round(CASE WHEN scale = 0.0 THEN 0.0" +
+          " ELSE x / scale * 127 END) AS INT) AS DOUBLE) * scale / CAST(127 AS DOUBLE))"))
+      .select(col("vec_id"), col("de"))
+    val q = deq.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("de").as("qe"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nbr"))
+    deq.join(broadcast(q), col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("nbr"), cosine(col("qe"), col("de")).as("cos"))
+      .withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
+      .select(col("qid"), col("rnk").cast("long").as("rnk"), col("nbr"))
+      .orderedBy("qid", "rnk")
+  }
+
+  private def quantizedOracle(nQueries: Int, k: Int): String =
+    s"""WITH v0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+       |v AS (SELECT vec_id,
+       |             list_transform(e, x -> CAST(CAST(round(CASE WHEN scale = 0.0 THEN 0.0
+       |               ELSE x / scale * 127 END) AS INTEGER) AS DOUBLE)
+       |               * scale / CAST(127 AS DOUBLE)) AS de
+       |      FROM (SELECT vec_id, e, list_max(list_transform(e, x -> abs(x))) AS scale
+       |            FROM v0)),
+       |q AS (SELECT vec_id AS qid, de AS qe FROM v WHERE vec_id < $nQueries),
+       |c AS (SELECT qid, vec_id AS nbr, list_cosine_similarity(qe, de) AS cos
+       |      FROM q JOIN v ON vec_id != qid),
+       |r AS (SELECT qid, nbr,
+       |             row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nbr) AS rnk
+       |      FROM c)
+       |SELECT qid, rnk, nbr FROM r WHERE rnk <= $k ORDER BY qid, rnk""".stripMargin
+
   /** Mean-pooled centroid per label (first `dims` dimensions): the
     * embedding-aggregation shape (class centroids, cluster summaries).
     * Per-dim float values cast to exact decimal before summing — a random
@@ -257,6 +301,8 @@ object Similarity {
         |SELECT qid, rnk, nbr FROM r WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin)),
     "q_sim_bucketed" -> QueryDef(topkBucketed(_, _),
       Some(bucketedOracle(nQueries = 20, k = 3, nCentroids = 8,
-        nprobe = 2, iters = 2, dim = 64)))
+        nprobe = 2, iters = 2, dim = 64))),
+    "q_sim_quantized" -> QueryDef(topkQuantized(_, _),
+      Some(quantizedOracle(20, 3)))
   )
 }

@@ -305,6 +305,18 @@ class LlmSpec extends SparkTestBase {
     assert(f.getInt(2) == 'h'.toInt)
   }
 
+  test("quantized search: recall@3 vs full-precision ranks stays high") {
+    // int8 dequantized scoring must track the exact ranks — measured 58/60
+    // at sf0.001 AND sf0.01 (deterministic data); bound leaves headroom
+    val d = "/root/testdata/sf0.001"
+    val exact = Similarity.topkBrute(spark, d, 20, 3).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val quant = Similarity.topkQuantized(spark, d, 20, 3).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = (exact & quant).size.toDouble / exact.size
+    assert(recall >= 0.9, s"quantized recall@3 dropped to $recall")
+  }
+
   test("bpe_count: hand-computed runs, whitespace, unicode codepoints") {
     graft.expr.GraftFunctions.register(spark)
     val cases = Seq(
