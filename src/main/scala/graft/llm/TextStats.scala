@@ -168,6 +168,62 @@ object TextStats {
       |FROM ua LEFT JOIN ba ON ua.doc_id = ba.doc_id
       |ORDER BY ua.doc_id""".stripMargin
 
+  /** PMI-ranked co-occurrence: the top-k bigrams by pointwise mutual
+    * information — the collocation-mining primitive (phrase detection,
+    * tokenizer-merge candidates). PMI = ln(N·c_xy / (c_x·c_y)) is MONOTONE
+    * in its argument, so the ranking sorts by the exact-integer ratio
+    * itself (two IEEE multiplies + one divide over exactly-representable
+    * counts — bit-identical cross-engine) and ln never has to leave the
+    * query or reach an output; rank-only emission, tie-broken on the
+    * bigram. `minCount` floors the bigram count (PMI is noise-maximal on
+    * hapax pairs). Scale shape: two gram-keyed hash counts (map-side
+    * partials), the scalar N broadcast, vocabulary joins on the word key;
+    * nothing global except the final top-k TakeOrdered/window over the
+    * already-filtered collocation set. */
+  def cooccurPmi(s: SparkSession, d: String,
+                 minCount: Int = 5, k: Int = 25): DataFrame = {
+    graft.expr.GraftFunctions.register(s)
+    val t = Tables.documents(s, d).select(tokens(col("text")).as("toks"))
+    val uni = t.select(explode(col("toks")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("cw"))
+    val bi = t.select(explode(expr("word_shingles(toks, 2, false)")).as("bg"))
+      .groupBy(col("bg")).agg(count(lit(1)).as("cxy"))
+      .filter(col("cxy") >= minCount)
+    val nb = t.select(
+      sum(when(size(col("toks")) >= 2, size(col("toks")) - 1).otherwise(0))
+        .cast("double").as("nb"))
+    val scored = bi.crossJoin(broadcast(nb))
+      .withColumn("w1", element_at(split(col("bg"), " "), 1))
+      .withColumn("w2", element_at(split(col("bg"), " "), 2))
+      .join(uni.select(col("w").as("w1"), col("cw").as("cw1")), "w1")
+      .join(uni.select(col("w").as("w2"), col("cw").as("cw2")), "w2")
+      .withColumn("ratio",
+        col("nb") * col("cxy") / (col("cw1").cast("double") * col("cw2")))
+    val wR = Window.orderBy(col("ratio").desc, col("bg"))
+    scored.withColumn("rnk", row_number().over(wR)).filter(col("rnk") <= k)
+      .select(col("bg"), col("rnk").cast("long").as("rnk"))
+      .orderedBy("bg")
+  }
+
+  private def cooccurPmiOracle(minCount: Int, k: Int): String =
+    s"""WITH t AS (SELECT string_split(text, ' ') AS toks FROM documents),
+       |uni AS (SELECT w, count(*) AS cw
+       |        FROM (SELECT unnest(toks) AS w FROM t) GROUP BY w),
+       |bi AS (SELECT bg, count(*) AS cxy
+       |       FROM (SELECT unnest(list_transform(range(1, len(toks)),
+       |                      i -> toks[i] || ' ' || toks[i + 1])) AS bg FROM t)
+       |       GROUP BY bg HAVING count(*) >= $minCount),
+       |n AS (SELECT CAST(sum(CASE WHEN len(toks) >= 2 THEN len(toks) - 1
+       |                           ELSE 0 END) AS DOUBLE) AS nb FROM t),
+       |j AS (SELECT bg,
+       |             nb * cxy / (CAST(u1.cw AS DOUBLE) * u2.cw) AS ratio
+       |      FROM bi CROSS JOIN n
+       |      JOIN uni u1 ON u1.w = string_split(bg, ' ')[1]
+       |      JOIN uni u2 ON u2.w = string_split(bg, ' ')[2]),
+       |r AS (SELECT bg, row_number() OVER (ORDER BY ratio DESC, bg) AS rnk
+       |      FROM j)
+       |SELECT bg, rnk FROM r WHERE rnk <= $k ORDER BY bg""".stripMargin
+
   /** Language ID by marker-word scoring, argmax with a fixed tie order
     * (de,en,es,fr,zh). On this synthetic corpus every language shares one
     * vocabulary, so accuracy is meaningless — the operator (score + argmax,
@@ -554,6 +610,7 @@ object TextStats {
         |       length(text) AS chars
         |FROM documents ORDER BY doc_id""".stripMargin)),
     "q_token_bpe" -> QueryDef(tokenBpe, Some(tokenBpeOracle)),
+    "q_cooccur_pmi" -> QueryDef(cooccurPmi(_, _), Some(cooccurPmiOracle(5, 25))),
     "q_quality_rep" -> QueryDef(qualityRep, Some(qualityRepOracle)),
     "q_lang_id" -> QueryDef(langId, Some(langIdOracle)),
     "q_cms_topk" -> QueryDef(cmsTopk(_, _), Some(cmsOracle(4, 1024, 25))),

@@ -54,6 +54,24 @@ object Relational {
       )
       .orderedBy("n_name")
 
+  /** The third equi-join strategy, SHUFFLED HASH (no sort of either side —
+    * builds a hash map per partition from the smaller side): right at
+    * 100 TB when both sides are too big to broadcast but one is much
+    * smaller than the other and sorting the big side (SMJ) is the
+    * dominant cost. Hinted; the plan guard asserts the strategy so a
+    * silent Catalyst fallback to SMJ fails loudly. Same aggregate as
+    * [[joinSmj]] over a different dim, so strategy is the only variable. */
+  def joinShj(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .join(Tables.supplier(s, d).hint("shuffle_hash"),
+        col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("s_nationkey"))
+      .agg(
+        count(lit(1)).as("item_cnt"),
+        sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double").as("sum_price")
+      )
+      .orderedBy("s_nationkey")
+
   /** Left outer join preserving order-less customers (count=0, spend=0). */
   def joinLeft(s: SparkSession, d: String): DataFrame =
     Tables.customer(s, d)
@@ -385,6 +403,11 @@ object Relational {
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |            JOIN nation ON c_nationkey = n_nationkey
         |GROUP BY n_name ORDER BY n_name""".stripMargin)),
+    "q_join_shj" -> QueryDef(joinShj, Some(
+      """SELECT s_nationkey, count(*) AS item_cnt,
+        |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin)),
     "q_join_left" -> QueryDef(joinLeft, Some(
       """SELECT c_custkey, count(o_orderkey) AS order_cnt,
         |       CAST(COALESCE(sum(CAST(o_totalprice AS DECIMAL(18,2))),

@@ -99,6 +99,11 @@ class CatalogSpec extends SparkTestBase {
       s"q_join_smj lost its sort-merge strategy:\n$smj")
     assert(smj.contains("BroadcastHashJoin"),
       s"q_join_smj's nation dim is no longer broadcast:\n$smj")
+    // the third strategy: hinted shuffled-hash must not silently fall
+    // back to sort-merge (losing the no-sort property it exists for)
+    val shj = plan("q_join_shj")
+    assert(shj.contains("ShuffledHashJoin"),
+      s"q_join_shj lost its shuffled-hash strategy:\n$shj")
   }
 
   test("plan guard: brute-force ANN top-k prunes map-side via WindowGroupLimit") {
