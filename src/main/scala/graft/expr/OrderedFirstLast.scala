@@ -309,7 +309,21 @@ object GraftFunctions {
         WordShingles(children(0), n, distinct)
       }),
     (FunctionIdentifier("bpe_count"), info(classOf[BpeCount], "bpe_count"),
-      (children: Seq[Expression]) => BpeCount(children(0)))
+      (children: Seq[Expression]) => BpeCount(children(0))),
+    (FunctionIdentifier("char_shingles"), info(classOf[CharShingles], "char_shingles"),
+      (children: Seq[Expression]) => {
+        val n = children(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+          case other => throw new IllegalArgumentException(
+            s"char_shingles n must be an integer literal, got $other")
+        }
+        val distinct = if (children.length < 3) true else children(2) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Boolean, _) => v
+          case other => throw new IllegalArgumentException(
+            s"char_shingles distinct must be a boolean literal, got $other")
+        }
+        CharShingles(children(0), n, distinct)
+      })
   )
 
   def register(spark: SparkSession): Unit = {

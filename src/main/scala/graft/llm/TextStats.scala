@@ -168,6 +168,81 @@ object TextStats {
       |FROM ua LEFT JOIN ba ON ua.doc_id = ba.doc_id
       |ORDER BY ua.doc_id""".stripMargin
 
+  /** Character-TRIGRAM language ID — the n-gram-profile method real
+    * language identifiers use (vs [[langId]]'s fixed marker words):
+    * per-language profiles are the top-`topM` char trigrams of that
+    * language's corpus slice (self-supervised — no external word lists),
+    * a doc scores each language by how many of its DISTINCT trigrams hit
+    * the profile (exact integers, no floats anywhere), argmax with ties
+    * to the lexicographically first language. Docs under 3 chars score 0
+    * everywhere and fall to the tie rule — deterministically, both
+    * engines.
+    *
+    * Scale shape: profile building is one (lang, trigram) hash count +
+    * per-lang WindowGroupLimit top-m; scoring joins the exploded doc
+    * trigrams against the BROADCAST profile (|langs|·topM rows — tiny
+    * forever); the argmax window partitions by doc (|langs| rows per
+    * group). Nothing global, bodies never shuffle. */
+  def langNgram(s: SparkSession, d: String, topM: Int = 8): DataFrame = {
+    graft.expr.GraftFunctions.register(s)
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), lower(col("text")).as("c"))
+    // char_shingles (graft.expr.CharShingles) decodes each string ONCE —
+    // the transform(sequence(...), i -> substring(c, i, 3)) formulation
+    // ran an interpreted lambda per position, each substring re-decoding
+    // from the start (5.2 s -> the dominant cost at sf0.1). Short strings
+    // yield an empty array (no descending-sequence guard needed).
+    val triAll = docs
+      .select(col("lang"), explode(expr("char_shingles(c, 3, false)")).as("tg"))
+    val wP = Window.partitionBy(col("lang")).orderBy(col("cnt").desc, col("tg"))
+    val profile = triAll.groupBy(col("lang"), col("tg"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("rn", row_number().over(wP)).filter(col("rn") <= topM)
+      .select(col("lang").as("plang"), col("tg"))
+    val docTri = docs
+      .select(col("doc_id"), explode(expr("char_shingles(c, 3)")).as("tg"))
+    val hits = docTri.join(broadcast(profile), "tg")
+      .groupBy(col("doc_id"), col("plang")).agg(count(lit(1)).as("h"))
+    val grid = docs.select(col("doc_id"), col("lang"))
+      .crossJoin(broadcast(profile.select(col("plang")).distinct()))
+    val wD = Window.partitionBy(col("doc_id")).orderBy(col("h").desc, col("plang"))
+    grid.join(hits, Seq("doc_id", "plang"), "left")
+      .withColumn("h", coalesce(col("h"), lit(0L)))
+      .withColumn("rn", row_number().over(wD)).filter(col("rn") === 1)
+      .select(col("doc_id"), col("lang"), col("plang").as("pred"),
+        col("h").as("hits"))
+      .withColumn("correct", col("pred") === col("lang"))
+      .orderedBy("doc_id")
+  }
+
+  private def langNgramOracle(topM: Int): String =
+    s"""WITH d AS (SELECT doc_id, lang, lower(text) AS c FROM documents),
+       |ta AS (SELECT lang, unnest(list_transform(range(1, length(c) - 1),
+       |                    i -> substr(c, i, 3))) AS tg
+       |       FROM d WHERE length(c) >= 3),
+       |pc AS (SELECT lang, tg, count(*) AS cnt FROM ta GROUP BY lang, tg),
+       |prof AS (SELECT lang AS plang, tg FROM (
+       |    SELECT lang, tg,
+       |           row_number() OVER (PARTITION BY lang ORDER BY cnt DESC, tg) AS rn
+       |    FROM pc) WHERE rn <= $topM),
+       |dt AS (SELECT doc_id, unnest(list_distinct(list_transform(
+       |                range(1, length(c) - 1), i -> substr(c, i, 3)))) AS tg
+       |       FROM d WHERE length(c) >= 3),
+       |hits AS (SELECT doc_id, plang, count(*) AS h
+       |         FROM dt JOIN prof USING (tg) GROUP BY doc_id, plang),
+       |grid AS (SELECT d.doc_id, d.lang, p.plang
+       |         FROM d CROSS JOIN (SELECT DISTINCT plang FROM prof) p),
+       |sc AS (SELECT g.doc_id, g.lang, g.plang, COALESCE(h.h, 0) AS h
+       |       FROM grid g LEFT JOIN hits h
+       |         ON h.doc_id = g.doc_id AND h.plang = g.plang),
+       |r AS (SELECT doc_id, lang, plang, h,
+       |             row_number() OVER (PARTITION BY doc_id
+       |               ORDER BY h DESC, plang) AS rn
+       |      FROM sc)
+       |SELECT doc_id, lang, plang AS pred, CAST(h AS BIGINT) AS hits,
+       |       plang = lang AS correct
+       |FROM r WHERE rn = 1 ORDER BY doc_id""".stripMargin
+
   /** PMI-ranked co-occurrence: the top-k bigrams by pointwise mutual
     * information — the collocation-mining primitive (phrase detection,
     * tokenizer-merge candidates). PMI = ln(N·c_xy / (c_x·c_y)) is MONOTONE
@@ -613,6 +688,7 @@ object TextStats {
     "q_cooccur_pmi" -> QueryDef(cooccurPmi(_, _), Some(cooccurPmiOracle(5, 25))),
     "q_quality_rep" -> QueryDef(qualityRep, Some(qualityRepOracle)),
     "q_lang_id" -> QueryDef(langId, Some(langIdOracle)),
+    "q_lang_ngram" -> QueryDef(langNgram(_, _), Some(langNgramOracle(8))),
     "q_cms_topk" -> QueryDef(cmsTopk(_, _), Some(cmsOracle(4, 1024, 25))),
     "q_tfidf" -> QueryDef(tfidfTopk(_, _), Some(tfidfOracle(3))),
     "q_bigram_lm" -> QueryDef(bigramLm(_, _), Some(bigramLmOracle(100))),

@@ -376,6 +376,43 @@ class LlmSpec extends SparkTestBase {
     assert(got == Map(1L -> (13L, 3L), 9L -> (11L, 1L)), s"got $got")
   }
 
+  test("char_shingles: equals the sequence/substring HOF formulation on the real corpus") {
+    graft.expr.GraftFunctions.register(spark)
+    val diff = graft.core.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(lower(col("text")).as("c"))
+      .filter(length(col("c")) >= 3)
+      .select(
+        expr("char_shingles(c, 3, false)").as("native"),
+        expr("transform(sequence(1, length(c) - 2), i -> substring(c, i, 3))").as("hof"))
+      .filter(col("native") =!= col("hof")).count()
+    assert(diff == 0L, s"$diff documents disagree between native and HOF char shingles")
+    // short + empty strings yield empty arrays, multiplicity flag works
+    val r = Seq("ab", "", "aaaa").toDF("c")
+      .select(expr("char_shingles(c, 3, false)").as("all"),
+        expr("char_shingles(c, 3)").as("dist")).collect()
+    assert(r(0).getSeq[String](0).isEmpty && r(1).getSeq[String](0).isEmpty)
+    assert(r(2).getSeq[String](0) == Seq("aaa", "aaa") && r(2).getSeq[String](1) == Seq("aaa"))
+  }
+
+  test("char-trigram language ID: disjoint alphabets classify; short doc falls to tie rule") {
+    val docs = Seq(
+      (1L, "aaabbbcccaaabbbccc", "xx"),  // xx corpus: abc-alphabet
+      (2L, "cccbbbaaacccbbbaaa", "xx"),
+      (3L, "xxxyyyzzzxxxyyyzzz", "yy"),  // yy corpus: xyz-alphabet
+      (4L, "zzzyyyxxxzzzyyyxxx", "yy"),
+      (5L, "aaabbbreally", "xx"),        // abc-leaning doc
+      (6L, "ab", "xx")                   // < 3 chars: zero hits -> first lang
+    ).map { case (id, t, l) => (id, t, l, "s", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = java.nio.file.Files.createTempDirectory("graft-langngram").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = TextStats.langNgram(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getString(2), r.getLong(3))).toMap
+    assert(got(1L)._1 == "xx" && got(3L)._1 == "yy" && got(4L)._1 == "yy")
+    assert(got(5L)._1 == "xx", s"abc-leaning doc misclassified: ${got(5L)}")
+    assert(got(6L) == ("xx", 0L), "short doc must fall to the first-language tie rule")
+  }
+
   test("repetition quality: degenerate doc flagged, varied doc clean") {
     graft.expr.GraftFunctions.register(spark)
     val docs = Seq(
