@@ -1,6 +1,7 @@
 package graft
 
 import graft.core.QueryDef
+import org.apache.spark.sql.functions._
 
 /** Smoke + shape checks for every catalog entry at sf0.001: each query runs,
   * returns rows (except the genuinely-empty set difference at this scale),
@@ -104,6 +105,64 @@ class CatalogSpec extends SparkTestBase {
     val shj = plan("q_join_shj")
     assert(shj.contains("ShuffledHashJoin"),
       s"q_join_shj lost its shuffled-hash strategy:\n$shj")
+  }
+
+  test("plan guard: filters and projections reach the parquet scan") {
+    // a scan that reads every column for a narrow projection, or filters
+    // rows after reading them all, wastes the dominant cost at 100 TB.
+    // q_ohlc_1m: the null gate pushes to the scan and the wide props
+    // column never leaves the file (q_filter_notnull can't demonstrate
+    // this — its predicate is a JSON-path expression, unpushable by
+    // design and legitimately reading props)
+    val plan = Catalog.defs("q_ohlc_1m").build(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull"),
+      s"q_ohlc_1m's null filter no longer pushes to the scan:\n$plan")
+    val rs = plan.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!rs.contains("props"),
+      s"q_ohlc_1m scan reads the unprojected props column: $rs")
+    // and the canonical shape on a raw table read: a stored-column
+    // predicate + narrow projection both reach the FileScan
+    val demo = graft.core.Tables.lineitem(spark, dir)
+      .filter(col("l_quantity") < 10.0)
+      .select(col("l_orderkey"), col("l_quantity"))
+      .queryExecution.executedPlan.toString
+    assert(demo.contains("PushedFilters: [IsNotNull(l_quantity), LessThan(l_quantity,10.0)]"),
+      s"stored-column predicate not pushed:\n$demo")
+    val demoRs = demo.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(demoRs.contains("l_orderkey") && !demoRs.contains("l_comment"),
+      s"scan not pruned to the projection: $demoRs")
+  }
+
+  test("plan guard: AQE runtime bloom filter prunes the fact side of a selective join") {
+    // Spark's InjectRuntimeFilter builds a bloom filter from the selective
+    // dim side and pushes might_contain onto the fact scan — the runtime
+    // semi-join reduction a 100 TB star join lives on. Assert the rewrite
+    // engages so a conf/Catalyst change that silently loses it fails here.
+    val confs = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100MB",
+      // the fact side must exceed this scan-size floor for injection —
+      // zero it so the rewrite engages at test scale
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val d01 = "/root/testdata/sf0.01"
+      val dim = graft.core.Tables.orders(spark, d01)
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_orderkey"))
+      val fact = graft.core.Tables.lineitem(spark, d01)
+      val joined = fact.join(dim, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_returnflag")).agg(count(lit(1)).as("cnt"))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("might_contain") || plan.contains("bloom_filter"),
+        s"runtime bloom filter not injected on the fact side:\n$plan")
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
   }
 
   test("plan guard: brute-force ANN top-k prunes map-side via WindowGroupLimit") {

@@ -349,6 +349,32 @@ class LlmSpec extends SparkTestBase {
     assert(diff == 0L, s"$diff documents disagree between native and regex path")
   }
 
+  test("bpe_count: randomized strings match an independent Scala regex reference") {
+    graft.expr.GraftFunctions.register(spark)
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    // mixed alphabet: ASCII letters/digits/punct, whitespace incl. the
+    // excluded-vs-Java-\s vertical tab, and multi-byte unicode
+    val alphabet = ('a' to 'z') ++ ('A' to 'Z') ++ ('0' to '9') ++
+      " \t\n\r\f!@#,.;:-€的是éß".toSeq
+    val genStr = Gen.chooseNum(0, 80).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf(alphabet)).map(_.mkString))
+    var seed = Seed(42L)
+    val cases = (0 until 200).map { _ =>
+      val s = genStr.apply(Gen.Parameters.default, seed).get
+      seed = seed.next
+      s
+    }
+    val ref = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n\r\f]+".r
+    def expected(s: String): Long =
+      ref.findAllIn(s).map(p => (p.codePointCount(0, p.length) + 3L) / 4L).sum
+    val got = cases.toDF("text").select(expr("bpe_count(text)"))
+      .collect().map(_.getLong(0)).toSeq
+    val want = cases.map(expected)
+    assert(got == want,
+      s"first mismatch: ${cases.zip(got.zip(want)).find { case (_, (g, w)) => g != w }}")
+  }
+
   test("word_shingles multiplicity flag: duplicates kept in position order") {
     graft.expr.GraftFunctions.register(spark)
     val r = Seq(Tuple1("x y x y x")).toDF("text")
