@@ -23,7 +23,8 @@ object ExplainAudit {
       "q_distinct_sketch", "q_agg_stats", "q_quantile_hist", "q_sessionize",
       "q_dedup_ngram", "q_latest_by_key", "q_bigram_lm", "q_dedup_embed_capped",
       "q_token_bpe", "q_pack_tokens", "q_quality_rep", "q_dedup_keep_best",
-      "q_sample_stratified", "q_sim_quantized")
+      "q_sample_stratified", "q_sim_quantized", "q_lang_ngram",
+      "q_cooccur_pmi", "q_join_shj")
     names.foreach { n =>
       println(s"\n========== $n ==========")
       n match {
