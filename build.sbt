@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Pass the forked process's stdout straight through: sbt's default logger
+// prefixes every forked-run line with "[info] ", which breaks any
+// line-anchored JSON parse of Bench's one-line output (BENCH_r01..r07 all
+// recorded parsed:null even when the full line fit the driver's tail).
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -685,7 +685,78 @@ object Dedup {
        |WHERE list_dot_product(a.e, b.e) >= $threshold
        |ORDER BY vec_a, vec_b""".stripMargin
 
+  /** MOSS-style shared-substring pair detection over winnow fingerprints
+    * (Schleimer et al., SIGMOD'03 "Winnowing: Local Algorithms for
+    * Document Fingerprinting" — the local-fingerprint dedup family member:
+    * [[near]] estimates GLOBAL set similarity, this finds docs sharing
+    * verbatim RUNS). Reuses TextStats.winnowSets' guarantee — two docs
+    * sharing a run of >= w+2 tokens share a fingerprint — so the inverted
+    * fingerprint index is an exact-recall candidate generator for
+    * copy-paste overlap.
+    *
+    * 100 TB shape mirrors [[ngramPairs]]: fingerprints are 32-bit ints
+    * (the only thing the posting exchange carries), `maxDf` caps
+    * boilerplate fingerprints before the quadratic pair expansion,
+    * `minShared` prunes coincidental single-window collisions before
+    * verification, and the verify join hits the per-doc fingerprint SET
+    * relation (computed once per doc), never per pair. Score is
+    * containment of the smaller set — MOSS reports "fraction of this file
+    * matched", not Jaccard, so one doc embedded inside a larger one still
+    * scores 1.0. */
+  def winnowPairs(s: SparkSession, d: String, w: Int = 4, maxDf: Int = 10,
+                  minShared: Int = 2, threshold: Double = 0.5): DataFrame = {
+    val fp = TextStats.winnowSets(s, d, w)
+    val post = fp.select(col("doc_id"), explode(col("fps")).as("f"))
+    // fps are distinct within a doc (array_distinct), so a bucket holds a
+    // doc at most once — no self-pair path, unlike ngramPairs' 48-bit case
+    val cand = post.groupBy(col("f"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
+      .filter(size(col("ds")) >= 2 && size(col("ds")) <= maxDf)
+      .select(explode(expr(
+        """flatten(transform(ds, (a, i) ->
+          |  transform(slice(ds, i + 2, size(ds) - i - 1),
+          |            b -> struct(a AS doc_a, b AS doc_b))))""".stripMargin)).as("p"))
+      .select(col("p.doc_a"), col("p.doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= minShared)
+    cand
+      .join(fp.select(col("doc_id").as("doc_a"), col("fps").as("f_a")), "doc_a")
+      .join(fp.select(col("doc_id").as("doc_b"), col("fps").as("f_b")), "doc_b")
+      .withColumn("inter", size(array_intersect(col("f_a"), col("f_b"))))
+      .withColumn("overlap",
+        round(lit(1.0) * col("inter") /
+          least(size(col("f_a")), size(col("f_b"))), 4))
+      .filter(col("overlap") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("shared"), col("overlap"))
+      .orderedBy("doc_a", "doc_b")
+  }
+
+  /** Mirrors [[winnowPairs]]: inverted fingerprint index + containment
+    * verify, on TextStats.winnowSetsCte's fingerprint sets. */
+  private def winnowPairsOracle(w: Int, maxDf: Int, minShared: Int,
+                                threshold: Double): String =
+    s"""WITH ${TextStats.winnowSetsCte(w)},
+       |post AS (SELECT doc_id, unnest(fps) AS f FROM fp),
+       |b AS (SELECT f FROM post GROUP BY f
+       |      HAVING count(*) >= 2 AND count(*) <= $maxDf),
+       |rp AS (SELECT doc_id, f FROM post JOIN b USING (f)),
+       |cand AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
+       |                count(*) AS shared
+       |         FROM rp x JOIN rp y ON x.f = y.f AND x.doc_id < y.doc_id
+       |         GROUP BY doc_a, doc_b HAVING count(*) >= $minShared),
+       |pairs AS (
+       |  SELECT doc_a, doc_b, shared,
+       |         round(1.0 * len(list_intersect(a.fps, b.fps)) /
+       |               least(len(a.fps), len(b.fps)), 4) AS overlap
+       |  FROM cand JOIN fp a ON a.doc_id = doc_a JOIN fp b ON b.doc_id = doc_b)
+       |SELECT doc_a, doc_b, shared, overlap FROM pairs
+       |WHERE overlap >= $threshold
+       |ORDER BY doc_a, doc_b""".stripMargin
+
   val defs: Map[String, QueryDef] = Map(
+    "q_dedup_winnow" -> QueryDef(winnowPairs(_, _),
+      Some(winnowPairsOracle(4, 10, 2, 0.5))),
     "q_dedup_exact" -> QueryDef(exact(_, _), Some(
       """SELECT min(doc_id) AS keep_id, count(*) AS cnt
         |FROM documents GROUP BY md5(text), length(text)

@@ -562,7 +562,19 @@ object TextStats {
     * compact fingerprint sets leave the row. Docs shorter than w+2 tokens
     * have no full window and are excluded (identically in the oracle —
     * also keeps Spark's sequence() off its descending-sequence edge). */
-  def winnow(s: SparkSession, d: String, w: Int = 4): DataFrame = {
+  def winnow(s: SparkSession, d: String, w: Int = 4): DataFrame =
+    winnowSets(s, d, w)
+      // stringified for the harness: the driver compare sorts result
+      // columns with pandas, which cannot sort array cells — the
+      // fingerprint-set JOIN consumer would explode `fps` instead
+      .select(col("doc_id"), size(col("fps")).cast("long").as("n_fps"),
+        expr("array_join(transform(fps, x -> CAST(x AS STRING)), ',')").as("fps"))
+      .orderedBy("doc_id")
+
+  /** The winnow fingerprint-set relation (doc_id, fps: array<bigint>) —
+    * shared by [[winnow]]'s per-doc dump and Dedup.winnowPairs' MOSS-style
+    * shared-substring join. */
+  private[llm] def winnowSets(s: SparkSession, d: String, w: Int): DataFrame = {
     val minToks = 2 + w
     Tables.documents(s, d)
       .select(col("doc_id"), tokens(col("text")).as("toks"))
@@ -576,21 +588,18 @@ object TextStats {
         "transform(grams, g -> CAST(conv(substring(md5(CAST(g AS BINARY)), 1, 8), 16, 10) AS BIGINT))"))
       .withColumn("mins", expr(
         s"transform(sequence(1, size(gh) - ${w - 1}), i -> array_min(slice(gh, i, $w)))"))
-      .withColumn("fps", sort_array(array_distinct(col("mins"))))
-      // stringified for the harness: the driver compare sorts result
-      // columns with pandas, which cannot sort array cells — the
-      // fingerprint-set JOIN consumer would explode `mins` instead
-      .select(col("doc_id"), size(col("fps")).cast("long").as("n_fps"),
-        expr("array_join(transform(fps, x -> CAST(x AS STRING)), ',')").as("fps"))
-      .orderedBy("doc_id")
+      .select(col("doc_id"), sort_array(array_distinct(col("mins"))).as("fps"))
   }
 
-  private def winnowOracle(w: Int): String = {
+  /** DuckDB CTE chain producing the winnow fingerprint sets as `fp(doc_id,
+    * fps)` — the oracle twin of [[winnowSets]], shared with
+    * Dedup.winnowPairs' oracle. Splice after WITH. */
+  private[llm] def winnowSetsCte(w: Int): String = {
     val minToks = 2 + w
     val hv = (1 to 8)
       .map(i => s"(strpos('0123456789abcdef', substr(x, $i, 1)) - 1) * ${1L << ((8 - i) * 4)}")
       .mkString(" + ")
-    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    s"""t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
        |g AS (SELECT doc_id,
        |        list_transform(range(1, len(toks) - 1),
        |          i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) AS grams
@@ -600,12 +609,15 @@ object TextStats {
        |hv AS (SELECT doc_id, list_transform(hs, x -> $hv) AS gh FROM hx),
        |m AS (SELECT doc_id,
        |        list_transform(range(1, len(gh) - ${w - 2}),
-       |          i -> list_min(gh[i:i+${w - 1}])) AS mins FROM hv)
-       |SELECT doc_id, CAST(len(fps) AS BIGINT) AS n_fps,
-       |       array_to_string(fps, ',') AS fps FROM (
-       |  SELECT doc_id, list_sort(list_distinct(mins)) AS fps FROM m)
-       |ORDER BY doc_id""".stripMargin
+       |          i -> list_min(gh[i:i+${w - 1}])) AS mins FROM hv),
+       |fp AS (SELECT doc_id, list_sort(list_distinct(mins)) AS fps FROM m)""".stripMargin
   }
+
+  private def winnowOracle(w: Int): String =
+    s"""WITH ${winnowSetsCte(w)}
+       |SELECT doc_id, CAST(len(fps) AS BIGINT) AS n_fps,
+       |       array_to_string(fps, ',') AS fps FROM fp
+       |ORDER BY doc_id""".stripMargin
 
   private def langIdOracle: String = {
     val scores = langsOrdered.map { l =>
