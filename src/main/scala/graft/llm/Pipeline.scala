@@ -1,6 +1,6 @@
 package graft.llm
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, SparkSession, functions}
 import org.apache.spark.sql.functions._
 import graft.core.{QueryDef, Tables}
 import graft.core.QueryDef.OrderedOut
@@ -238,6 +238,81 @@ object Pipeline {
        |             - bpe_tokens) // $budget AS BIGINT) AS pack_id
        |FROM t ORDER BY doc_id""".stripMargin
 
+  /** Fixed-window token chunking with overlap — the context-window
+    * splitter that runs BEFORE packing: every doc becomes chunks of `size`
+    * tokens starting every `stride` tokens (stride < size ⇒ overlapping
+    * windows, the standard long-doc training-sample construction). Chunk
+    * identity ships as an md5 over the chunk's tokens so downstream
+    * chunk-level dedup can join on it without re-materializing text.
+    *
+    * 100 TB shape: ONE Generate (explode of the start offsets) per row, no
+    * shuffle anywhere — chunk_id derives arithmetically from the start
+    * offset rather than a positional explode ordinal, so the operator
+    * stays a pure per-row projection; output volume is the only cost
+    * (~n/stride rows per doc), and only (ids, counts, md5) leave the row. */
+  def chunkSplit(s: SparkSession, d: String,
+                 size: Int = 64, stride: Int = 48): DataFrame = {
+    Tables.documents(s, d)
+      .select(col("doc_id"), TextStats.tokens(col("text")).as("toks"))
+      .select(col("doc_id"), col("toks"),
+        explode(expr(s"sequence(1, size(toks), $stride)")).as("start"))
+      .withColumn("c", expr(s"slice(toks, start, $size)"))
+      .select(col("doc_id"),
+        expr(s"CAST((start - 1) DIV $stride AS BIGINT)").as("chunk_id"),
+        col("start").cast("long").as("start"),
+        functions.size(col("c")).cast("long").as("n_tok"),
+        md5(expr("CAST(array_join(c, ' ') AS BINARY)")).as("chunk_md5"))
+      .orderedBy("doc_id", "chunk_id")
+  }
+
+  private def chunkOracle(size: Int, stride: Int): String =
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       |st AS (SELECT doc_id, toks,
+       |              unnest(range(1, len(toks) + 1, $stride)) AS start FROM t),
+       |c AS (SELECT doc_id, start,
+       |             toks[start:start + ${size - 1}] AS chunk FROM st)
+       |SELECT doc_id, CAST((start - 1) // $stride AS BIGINT) AS chunk_id,
+       |       CAST(start AS BIGINT) AS start,
+       |       CAST(len(chunk) AS BIGINT) AS n_tok,
+       |       md5(array_to_string(chunk, ' ')) AS chunk_md5
+       |FROM c ORDER BY doc_id, chunk_id""".stripMargin
+
+  /** Temperature-scaled source mixing weights — the multi-source /
+    * multilingual upsampling rule (w_s ∝ mass_s^α with α < 1 flattens the
+    * source distribution so low-resource sources are over-sampled relative
+    * to their raw token share; α = 1 is proportional, α = 0 uniform).
+    * Fixed at α = 0.5 because sqrt is the one power IEEE 754 requires
+    * correctly rounded — pow(x, 0.5) may differ across engines/libms,
+    * sqrt(x) cannot. All inputs are exact integer token masses; the one
+    * order-sensitive FP step (the denominator sum over sources) is rounded
+    * out at 6dp. 100 TB shape: one source-keyed hash agg over the corpus
+    * (map-side partials), then the per-source relation (tiny — sources
+    * number in the thousands at worst) crossJoins its own broadcast scalar
+    * sum. */
+  def mixWeights(s: SparkSession, d: String): DataFrame = {
+    val stats = Tables.documents(s, d)
+      .withColumn("n_tokens",
+        functions.size(TextStats.tokens(col("text"))).cast("long"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"))
+    val denom = stats.agg(sum(sqrt(col("n_tokens"))).as("denom"))
+    stats.crossJoin(broadcast(denom))
+      .withColumn("weight", round(sqrt(col("n_tokens")) / col("denom"), 6))
+      .select(col("source"), col("n_docs"), col("n_tokens"), col("weight"))
+      .orderedBy("source")
+  }
+
+  private def mixWeightsOracle: String =
+    """WITH t AS (SELECT source, len(string_split(text, ' ')) AS n_tokens
+      |           FROM documents),
+      |st AS (SELECT source, count(*) AS n_docs,
+      |              CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+      |       FROM t GROUP BY source),
+      |dn AS (SELECT sum(sqrt(n_tokens)) AS denom FROM st)
+      |SELECT source, n_docs, n_tokens,
+      |       round(sqrt(n_tokens) / denom, 6) AS weight
+      |FROM st CROSS JOIN dn ORDER BY source""".stripMargin
+
   private def packOracle(budget: Int): String =
     s"""WITH t AS (
        |  SELECT doc_id, lang, len(string_split(text, ' ')) AS n_tokens
@@ -352,6 +427,8 @@ object Pipeline {
     "q_pipeline_full" -> QueryDef(fullPipeline(_, _),
       Some(fullOracle(20, 500, 0.8, 10L, 5, 5, "split", 2048))),
     "q_pack_greedy" -> QueryDef(packGreedy(_, _), Some(packOracle(2048))),
+    "q_chunk_split" -> QueryDef(chunkSplit(_, _), Some(chunkOracle(64, 48))),
+    "q_mix_weights" -> QueryDef(mixWeights, Some(mixWeightsOracle)),
     "q_pack_tokens" -> QueryDef(packTokens(_, _), Some(packTokensOracle(1024))),
     "q_split_assign" -> QueryDef(splitAssign(_, _), Some(splitOracle(5, 5, "split"))),
     "q_sample_stratified" -> QueryDef(sampleStratified(_, _),

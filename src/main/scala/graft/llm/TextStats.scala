@@ -299,6 +299,60 @@ object TextStats {
        |      FROM j)
        |SELECT bg, rnk FROM r WHERE rnk <= $k ORDER BY bg""".stripMargin
 
+  /** Per-document cross-entropy under the corpus's OWN add-one-smoothed
+    * bigram LM — the perplexity-style fluency filter of a pretraining
+    * pipeline (CCNet/Gopher-style: score every doc under a reference LM,
+    * drop the high-perplexity tail), self-contained so no external model
+    * ships with the query. xent(doc) = -(1/n)·Σ log2 p(w_i|w_{i-1}) with
+    * p(b|a) = (c(a,b)+1)/(c(a·)+V); each instance's term is decomposed as
+    * log2(c(a·)+V) - log2(c(a,b)+1) over exact integer counts, and the one
+    * FP-order-sensitive step (the avg) is rounded to 3dp — double noise is
+    * ~1e-12, eight orders below the rounding grain.
+    *
+    * 100 TB shape: the bigram-instance relation joins the bigram-count and
+    * head-count relations on their own gram/word hash keys (shuffle joins
+    * on the natural keys — both sides corpus-sized, nothing to broadcast),
+    * the scalar vocab size broadcasts, and the final per-doc avg is one
+    * doc-keyed hash agg. No arm carries document text — only grams and
+    * counts. */
+  def qualityLm(s: SparkSession, d: String): DataFrame = {
+    graft.expr.GraftFunctions.register(s)
+    val t = Tables.documents(s, d)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+    val bi = t.filter(size(col("toks")) >= 2)
+      .select(col("doc_id"), explode(expr("word_shingles(toks, 2, false)")).as("bg"))
+    val cb = bi.groupBy(col("bg")).agg(count(lit(1)).as("cbg"))
+    val hd = bi.select(substring_index(col("bg"), " ", 1).as("h"))
+      .groupBy(col("h")).agg(count(lit(1)).as("ch"))
+    val v = t.select(explode(col("toks")).as("w"))
+      .agg(countDistinct(col("w")).as("vsz"))
+    bi.join(cb, "bg")
+      .withColumn("h", substring_index(col("bg"), " ", 1))
+      .join(hd, "h")
+      .crossJoin(broadcast(v))
+      .withColumn("nll", log2(col("ch") + col("vsz")) - log2(col("cbg") + 1))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), round(avg(col("nll")), 3).as("xent"))
+      .orderedBy("doc_id")
+  }
+
+  private def qualityLmOracle: String =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      |bi AS (SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+      |                i -> toks[i] || ' ' || toks[i + 1])) AS bg
+      |       FROM t WHERE len(toks) >= 2),
+      |cb AS (SELECT bg, count(*) AS cbg FROM bi GROUP BY bg),
+      |hd AS (SELECT split_part(bg, ' ', 1) AS h, count(*) AS ch
+      |       FROM bi GROUP BY h),
+      |v AS (SELECT count(DISTINCT w) AS vsz
+      |      FROM (SELECT unnest(toks) AS w FROM t)),
+      |sc AS (SELECT doc_id, log2(ch + vsz) - log2(cbg + 1) AS nll
+      |       FROM bi JOIN cb USING (bg)
+      |       JOIN hd ON split_part(bg, ' ', 1) = h
+      |       CROSS JOIN v)
+      |SELECT doc_id, count(*) AS n_bigrams, round(avg(nll), 3) AS xent
+      |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   /** Language ID by marker-word scoring, argmax with a fixed tie order
     * (de,en,es,fr,zh). On this synthetic corpus every language shares one
     * vocabulary, so accuracy is meaningless — the operator (score + argmax,
@@ -698,6 +752,7 @@ object TextStats {
         |FROM documents ORDER BY doc_id""".stripMargin)),
     "q_token_bpe" -> QueryDef(tokenBpe, Some(tokenBpeOracle)),
     "q_cooccur_pmi" -> QueryDef(cooccurPmi(_, _), Some(cooccurPmiOracle(5, 25))),
+    "q_quality_lm" -> QueryDef(qualityLm, Some(qualityLmOracle)),
     "q_quality_rep" -> QueryDef(qualityRep, Some(qualityRepOracle)),
     "q_lang_id" -> QueryDef(langId, Some(langIdOracle)),
     "q_lang_ngram" -> QueryDef(langNgram(_, _), Some(langNgramOracle(8))),

@@ -460,4 +460,78 @@ class LlmSpec extends SparkTestBase {
     // it; length gating is the quality filter's separate job
     assert(got(4L) == ((1L, 1L, 1L, 0L), true))
   }
+
+  test("winnow pairs: copy-paste run detected, embedded doc scores containment 1.0, unrelated doc absent") {
+    val run = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu nu xi"
+    val docs = Seq(
+      (0L, run + " omicron pi rho sigma tau"),
+      (1L, "prefix words here " + run + " different ending entirely"), // shares the run
+      (2L, run),                                                       // embedded: fps(2) ⊆ fps-ish of 0
+      (3L, "totally disjoint vocabulary sentence about streams joins shuffles partitions caches")
+    ).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft-winpairs").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = Dedup.winnowPairs(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3)).toMap
+    assert(got.contains((0L, 1L)), s"shared-run pair missing: ${got.keySet}")
+    assert(got.get((0L, 2L)).contains(1.0),
+      s"embedded doc must score containment 1.0, got ${got.get((0L, 2L))}")
+    assert(!got.keySet.exists(p => p._1 == 3L || p._2 == 3L),
+      "disjoint doc must produce no pair")
+  }
+
+  test("quality LM: cross-entropy matches the hand-computed add-one bigram model") {
+    val docs = Seq(
+      (1L, "a b a b a"), // bigrams: ab, ba, ab, ba — all common
+      (2L, "a c")        // bigram ac occurs once — the surprising doc
+    ).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft-qlm").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    // corpus: c(a b)=2, c(b a)=2, c(a c)=1; heads c(a·)=3, c(b·)=2; V=3
+    def lg2(x: Double) = math.log(x) / math.log(2)
+    val nll = (cbg: Int, ch: Int) => lg2(ch + 3.0) - lg2(cbg + 1.0)
+    val exp1 = BigDecimal((nll(2, 3) + nll(2, 2) + nll(2, 3) + nll(2, 2)) / 4)
+      .setScale(3, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val exp2 = BigDecimal(nll(1, 3))
+      .setScale(3, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val got = TextStats.qualityLm(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(got(1L) == ((4L, exp1)), s"got ${got(1L)}, expected (4, $exp1)")
+    assert(got(2L) == ((1L, exp2)), s"got ${got(2L)}, expected (1, $exp2)")
+    assert(got(2L)._2 > got(1L)._2, "rare-bigram doc must score higher xent")
+  }
+
+  test("chunk split: stride windows, tail chunk, identical chunks hash identically") {
+    val docs = Seq(
+      (1L, "t1 t2 t3 t4 t5 t6 t7 t8 t9 t10"),
+      (2L, "t1 t2 t3 t4")                      // = doc 1's first window
+    ).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft-chunk").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = Pipeline.chunkSplit(spark, dir, size = 4, stride = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getString(4)))).toMap
+    // doc 1: starts 1,4,7,10 → lengths 4,4,4,1
+    assert(rows((1L, 0L))._1 == 1L && rows((1L, 0L))._2 == 4L)
+    assert(rows((1L, 1L)) ._1 == 4L && rows((1L, 1L))._2 == 4L)
+    assert(rows((1L, 3L)) == ((10L, 1L, rows((1L, 3L))._3)))
+    assert(rows.count(_._1._1 == 1L) == 4)
+    // chunk identity: doc 2 IS doc 1's first window → same md5
+    assert(rows((2L, 0L))._3 == rows((1L, 0L))._3,
+      "identical token windows must share chunk_md5")
+  }
+
+  test("mix weights: sqrt temperature flattens a 9:16 token split to 3:4") {
+    val docs = Seq(
+      (1L, "w w w w w w w w w", "srcA"),                       // 9 tokens
+      (2L, "w w w w w w w w w w w w w w w w", "srcB")          // 16 tokens
+    ).toDF("doc_id", "text", "source")
+    val dir = java.nio.file.Files.createTempDirectory("graft-mixw").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = Pipeline.mixWeights(spark, dir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(got("srcA") == ((1L, 9L, 0.428571)), s"srcA: ${got("srcA")}") // 3/7
+    assert(got("srcB") == ((1L, 16L, 0.571429)), s"srcB: ${got("srcB")}") // 4/7
+  }
 }
