@@ -323,6 +323,15 @@ object GraftFunctions {
             s"char_shingles distinct must be a boolean literal, got $other")
         }
         CharShingles(children(0), n, distinct)
+      }),
+    (FunctionIdentifier("winnow_fps"), info(classOf[WinnowFps], "winnow_fps"),
+      (children: Seq[Expression]) => {
+        val w = children(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+          case other => throw new IllegalArgumentException(
+            s"winnow_fps w must be an integer literal, got $other")
+        }
+        WinnowFps(children(0), w)
       })
   )
 

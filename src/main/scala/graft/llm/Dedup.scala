@@ -754,7 +754,54 @@ object Dedup {
        |WHERE overlap >= $threshold
        |ORDER BY doc_a, doc_b""".stripMargin
 
+  /** Chunk-granular duplicate accounting — the boilerplate detector that
+    * works BELOW document granularity (headers, licence blocks, templated
+    * sections shared across otherwise-distinct docs): split every doc into
+    * non-overlapping `size`-token chunks (Pipeline.chunks with stride =
+    * size), flag chunks whose md5 appears in >= 2 DISTINCT docs, and
+    * report each doc's duplicated-chunk fraction — the signal a cleaning
+    * pass thresholds on to drop or trim template-heavy docs.
+    *
+    * 100 TB shape: only (doc_id, chunk_md5) pairs ever shuffle (chunk text
+    * dies inside the per-row projection); the dup relation is an md5-keyed
+    * hash agg; the flag join is md5-keyed; the final rollup is one
+    * doc-keyed hash agg. Within-doc repetition is deliberately NOT flagged
+    * (count distinct docs, not instances) — that's q_quality_rep's job. */
+  def chunkDups(s: SparkSession, d: String, size: Int = 32): DataFrame = {
+    val ch = Pipeline.chunks(s, d, size, size)
+      .select(col("doc_id"), col("chunk_md5"))
+    val dup = ch.groupBy(col("chunk_md5"))
+      .agg(countDistinct(col("doc_id")).as("ndocs"))
+      .filter(col("ndocs") >= 2)
+      .select(col("chunk_md5"), lit(1).as("isdup"))
+    ch.join(dup, Seq("chunk_md5"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(coalesce(col("isdup"), lit(0))).as("dup_chunks"))
+      .withColumn("dup_frac",
+        round(lit(1.0) * col("dup_chunks") / col("n_chunks"), 4))
+      .orderedBy("doc_id")
+  }
+
+  private def chunkDupsOracle(size: Int): String =
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       |st AS (SELECT doc_id, toks,
+       |              unnest(range(1, len(toks) + 1, $size)) AS start FROM t),
+       |c AS (SELECT doc_id,
+       |             md5(array_to_string(toks[start:start + ${size - 1}], ' ')) AS chunk_md5
+       |      FROM st),
+       |dup AS (SELECT chunk_md5 FROM c GROUP BY chunk_md5
+       |        HAVING count(DISTINCT doc_id) >= 2),
+       |f AS (SELECT c.doc_id,
+       |             CASE WHEN d.chunk_md5 IS NULL THEN 0 ELSE 1 END AS isdup
+       |      FROM c LEFT JOIN dup d USING (chunk_md5))
+       |SELECT doc_id, count(*) AS n_chunks,
+       |       CAST(sum(isdup) AS BIGINT) AS dup_chunks,
+       |       round(1.0 * sum(isdup) / count(*), 4) AS dup_frac
+       |FROM f GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   val defs: Map[String, QueryDef] = Map(
+    "q_dedup_chunk" -> QueryDef(chunkDups(_, _), Some(chunkDupsOracle(32))),
     "q_dedup_winnow" -> QueryDef(winnowPairs(_, _),
       Some(winnowPairsOracle(4, 10, 2, 0.5))),
     "q_dedup_exact" -> QueryDef(exact(_, _), Some(

@@ -251,7 +251,13 @@ object Pipeline {
     * stays a pure per-row projection; output volume is the only cost
     * (~n/stride rows per doc), and only (ids, counts, md5) leave the row. */
   def chunkSplit(s: SparkSession, d: String,
-                 size: Int = 64, stride: Int = 48): DataFrame = {
+                 size: Int = 64, stride: Int = 48): DataFrame =
+    chunks(s, d, size, stride).orderedBy("doc_id", "chunk_id")
+
+  /** The unordered chunk relation behind [[chunkSplit]] — also the input
+    * of Dedup.chunkDups (chunk-granular dedup joins on chunk_md5). */
+  private[llm] def chunks(s: SparkSession, d: String,
+                          size: Int, stride: Int): DataFrame = {
     Tables.documents(s, d)
       .select(col("doc_id"), TextStats.tokens(col("text")).as("toks"))
       .select(col("doc_id"), col("toks"),
@@ -262,7 +268,6 @@ object Pipeline {
         col("start").cast("long").as("start"),
         functions.size(col("c")).cast("long").as("n_tok"),
         md5(expr("CAST(array_join(c, ' ') AS BINARY)")).as("chunk_md5"))
-      .orderedBy("doc_id", "chunk_id")
   }
 
   private def chunkOracle(size: Int, stride: Int): String =

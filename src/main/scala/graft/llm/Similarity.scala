@@ -237,8 +237,10 @@ object Similarity {
     * `iters` Lloyd's rounds are unrolled as (assign, recompute) CTE pairs
     * whose per-dim means use the exact-decimal recipe, so centroids are
     * bit-identical across engines. */
-  private def bucketedOracle(nQueries: Int, k: Int, nCentroids: Int,
-                             nprobe: Int, iters: Int, dim: Int): String = {
+  /** The bucketed-search CTE chain through `top` (ranked IVF candidates)
+    * — shared by [[bucketedOracle]] and the recall oracle. */
+  private def bucketedBody(nQueries: Int, nCentroids: Int,
+                           nprobe: Int, iters: Int, dim: Int): String = {
     val meanCols = (1 to dim).map(i =>
       s"round(CAST(sum(CAST(e[$i] AS DECIMAL(20,8))) AS DOUBLE) / count(*), 6)")
       .mkString(",\n          ")
@@ -256,7 +258,7 @@ object Similarity {
          |         [$meanCols] AS ce
          |  FROM a$t GROUP BY bucket)""".stripMargin
     }.mkString(",\n")
-    s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    s"""v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
        |c0 AS (SELECT vec_id AS cid, e AS ce FROM v WHERE vec_id < $nCentroids),
        |$trainCtes,
        |${assignCte("assigned", s"c$iters")},
@@ -273,9 +275,52 @@ object Similarity {
        |  FROM (SELECT p.qid, a.vec_id AS nbr,
        |               list_cosine_similarity(p.qe, a.e) AS cos
        |        FROM probes p JOIN assigned a ON p.bucket = a.bucket
-       |        WHERE a.vec_id != p.qid))
-       |SELECT qid, rnk, nbr FROM top WHERE rnk <= $k ORDER BY qid, rnk""".stripMargin
+       |        WHERE a.vec_id != p.qid))""".stripMargin
   }
+
+  private def bucketedOracle(nQueries: Int, k: Int, nCentroids: Int,
+                             nprobe: Int, iters: Int, dim: Int): String =
+    s"""WITH ${bucketedBody(nQueries, nCentroids, nprobe, iters, dim)}
+       |SELECT qid, rnk, nbr FROM top WHERE rnk <= $k ORDER BY qid, rnk""".stripMargin
+
+  /** ANN quality evaluation: recall@k of the IVF-bucketed search against
+    * the exact brute-force top-k, per query — the measurement every
+    * approximate index ships with (an ANN operator without a recall gauge
+    * is untrustable at corpus scale; this keeps the gauge an oracled
+    * first-class query rather than a test-only assertion). hits counts the
+    * overlap of the two k-sets; recall = hits/k is a single IEEE divide by
+    * a constant. Scale shape: both searches are already WindowGroupLimit-
+    * pruned top-k relations of nQueries·k rows — the recall join touches
+    * only those. */
+  def annRecall(s: SparkSession, d: String,
+                nQueries: Int = 20, k: Int = 3): DataFrame = {
+    val brute = topkBrute(s, d, nQueries, k).select(col("qid"), col("nbr"))
+    val ivf = topkBucketed(s, d, nQueries, k).select(col("qid"), col("nbr"))
+    val hits = brute.join(ivf, Seq("qid", "nbr"))
+      .groupBy(col("qid")).agg(count(lit(1)).as("hits"))
+    brute.select(col("qid")).distinct()
+      .join(hits, Seq("qid"), "left")
+      .withColumn("hits", coalesce(col("hits"), lit(0L)))
+      .withColumn("recall", round(lit(1.0) * col("hits") / k, 4))
+      .orderedBy("qid")
+  }
+
+  private def recallOracle(nQueries: Int, k: Int, nCentroids: Int,
+                           nprobe: Int, iters: Int, dim: Int): String =
+    s"""WITH ${bucketedBody(nQueries, nCentroids, nprobe, iters, dim)},
+       |bc AS (SELECT qid, vec_id AS nbr,
+       |              list_cosine_similarity(qe, e) AS cos
+       |       FROM q JOIN v ON vec_id != qid),
+       |br AS (SELECT qid, nbr, row_number() OVER (PARTITION BY qid
+       |              ORDER BY cos DESC, nbr) AS rnk FROM bc),
+       |bt AS (SELECT qid, nbr FROM br WHERE rnk <= $k),
+       |it AS (SELECT qid, nbr FROM top WHERE rnk <= $k),
+       |h AS (SELECT qid, count(*) AS hits
+       |      FROM bt JOIN it USING (qid, nbr) GROUP BY qid)
+       |SELECT b.qid, COALESCE(h.hits, 0) AS hits,
+       |       round(1.0 * COALESCE(h.hits, 0) / $k, 4) AS recall
+       |FROM (SELECT DISTINCT qid FROM bt) b LEFT JOIN h USING (qid)
+       |ORDER BY qid""".stripMargin
 
   private def embedPoolOracle(dims: Int): String = {
     val cols = (1 to dims).map(i =>
@@ -303,6 +348,9 @@ object Similarity {
       Some(bucketedOracle(nQueries = 20, k = 3, nCentroids = 8,
         nprobe = 2, iters = 2, dim = 64))),
     "q_sim_quantized" -> QueryDef(topkQuantized(_, _),
-      Some(quantizedOracle(20, 3)))
+      Some(quantizedOracle(20, 3))),
+    "q_sim_recall" -> QueryDef(annRecall(_, _),
+      Some(recallOracle(nQueries = 20, k = 3, nCentroids = 8,
+        nprobe = 2, iters = 2, dim = 64)))
   )
 }

@@ -309,12 +309,16 @@ object TextStats {
     * FP-order-sensitive step (the avg) is rounded to 3dp — double noise is
     * ~1e-12, eight orders below the rounding grain.
     *
-    * 100 TB shape: the bigram-instance relation joins the bigram-count and
-    * head-count relations on their own gram/word hash keys (shuffle joins
-    * on the natural keys — both sides corpus-sized, nothing to broadcast),
-    * the scalar vocab size broadcasts, and the final per-doc avg is one
-    * doc-keyed hash agg. No arm carries document text — only grams and
-    * counts. */
+    * 100 TB shape: the corpus is scanned on exactly TWO arms (the
+    * bigram-instance relation and the bigram-count agg) — head counts and
+    * vocab size both derive from the already-aggregated bigram-TYPE
+    * relation, orders of magnitude smaller than the corpus: c(a·) =
+    * Σ_b c(a,b) is an agg-of-the-agg, and V counts distinct words across
+    * bigram types (so the model's vocab is "tokens seen in a bigram
+    * context"; sub-2-token docs contribute neither mass nor vocab). The
+    * instance⋈count join shuffles on the gram key, the scalar V
+    * broadcasts, and the final per-doc avg is one doc-keyed hash agg. No
+    * arm carries document text — only grams and counts. */
   def qualityLm(s: SparkSession, d: String): DataFrame = {
     graft.expr.GraftFunctions.register(s)
     val t = Tables.documents(s, d)
@@ -322,9 +326,9 @@ object TextStats {
     val bi = t.filter(size(col("toks")) >= 2)
       .select(col("doc_id"), explode(expr("word_shingles(toks, 2, false)")).as("bg"))
     val cb = bi.groupBy(col("bg")).agg(count(lit(1)).as("cbg"))
-    val hd = bi.select(substring_index(col("bg"), " ", 1).as("h"))
-      .groupBy(col("h")).agg(count(lit(1)).as("ch"))
-    val v = t.select(explode(col("toks")).as("w"))
+    val hd = cb.select(substring_index(col("bg"), " ", 1).as("h"), col("cbg"))
+      .groupBy(col("h")).agg(sum(col("cbg")).as("ch"))
+    val v = cb.select(explode(split(col("bg"), " ")).as("w"))
       .agg(countDistinct(col("w")).as("vsz"))
     bi.join(cb, "bg")
       .withColumn("h", substring_index(col("bg"), " ", 1))
@@ -342,10 +346,10 @@ object TextStats {
       |                i -> toks[i] || ' ' || toks[i + 1])) AS bg
       |       FROM t WHERE len(toks) >= 2),
       |cb AS (SELECT bg, count(*) AS cbg FROM bi GROUP BY bg),
-      |hd AS (SELECT split_part(bg, ' ', 1) AS h, count(*) AS ch
-      |       FROM bi GROUP BY h),
+      |hd AS (SELECT split_part(bg, ' ', 1) AS h, CAST(sum(cbg) AS BIGINT) AS ch
+      |       FROM cb GROUP BY h),
       |v AS (SELECT count(DISTINCT w) AS vsz
-      |      FROM (SELECT unnest(toks) AS w FROM t)),
+      |      FROM (SELECT unnest(string_split(bg, ' ')) AS w FROM cb)),
       |sc AS (SELECT doc_id, log2(ch + vsz) - log2(cbg + 1) AS nll
       |       FROM bi JOIN cb USING (bg)
       |       JOIN hd ON split_part(bg, ' ', 1) = h
@@ -627,22 +631,19 @@ object TextStats {
 
   /** The winnow fingerprint-set relation (doc_id, fps: array<bigint>) —
     * shared by [[winnow]]'s per-doc dump and Dedup.winnowPairs' MOSS-style
-    * shared-substring join. */
+    * shared-substring join. Delegates the whole per-row chain to the
+    * native `winnow_fps` expression (graft.expr.WinnowFps): the chained
+    * transform-HOF formulation was interpreted AND projection-collapse
+    * inlined split(text) into the innermost lambda — O(tokens²) per doc,
+    * catastrophic once the pairs query referenced this relation on three
+    * join arms (see WinnowFps scaladoc). */
   private[llm] def winnowSets(s: SparkSession, d: String, w: Int): DataFrame = {
+    graft.expr.GraftFunctions.register(s)
     val minToks = 2 + w
     Tables.documents(s, d)
       .select(col("doc_id"), tokens(col("text")).as("toks"))
       .filter(size(col("toks")) >= minToks)
-      .withColumn("grams", expr(
-        """transform(sequence(1, size(toks) - 2),
-          |  i -> concat(element_at(toks, i), ' ',
-          |              element_at(toks, i + 1), ' ',
-          |              element_at(toks, i + 2)))""".stripMargin))
-      .withColumn("gh", expr(
-        "transform(grams, g -> CAST(conv(substring(md5(CAST(g AS BINARY)), 1, 8), 16, 10) AS BIGINT))"))
-      .withColumn("mins", expr(
-        s"transform(sequence(1, size(gh) - ${w - 1}), i -> array_min(slice(gh, i, $w)))"))
-      .select(col("doc_id"), sort_array(array_distinct(col("mins"))).as("fps"))
+      .select(col("doc_id"), expr(s"winnow_fps(toks, $w)").as("fps"))
   }
 
   /** DuckDB CTE chain producing the winnow fingerprint sets as `fp(doc_id,

@@ -140,7 +140,27 @@ object Advanced {
        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
   }
 
+  /** UNPIVOT (melt): the wide→long inverse of q_pivot — four measure
+    * columns become (measure, val) rows keyed by the line identity. Spark
+    * plans this as a Generate over a literal array (pure per-row fanout,
+    * no shuffle, no UDF); values are raw stored doubles passing through
+    * untouched, so the cross-engine compare is bit-exact. */
+  def unpivotQ(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .unpivot(
+        Array(col("l_orderkey"), col("l_linenumber")),
+        Array(col("l_quantity"), col("l_extendedprice"),
+          col("l_discount"), col("l_tax")),
+        "measure", "val")
+      .orderedBy("l_orderkey", "l_linenumber", "measure")
+
+  private val unpivotOracle: String =
+    Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+      .map(c => s"SELECT l_orderkey, l_linenumber, '$c' AS measure, $c AS val FROM lineitem")
+      .mkString("", "\nUNION ALL\n", "\nORDER BY l_orderkey, l_linenumber, measure")
+
   val defs: Map[String, QueryDef] = Map(
+    "q_unpivot" -> QueryDef(unpivotQ, Some(unpivotOracle)),
     "q_sample_k" -> QueryDef(sampleK(_, _), Some(sampleKOracle(5, 42))),
     "q_percentile" -> QueryDef(percentileQ, Some(
       """SELECT l_returnflag,

@@ -24,7 +24,9 @@ object ExplainAudit {
       "q_dedup_ngram", "q_latest_by_key", "q_bigram_lm", "q_dedup_embed_capped",
       "q_token_bpe", "q_pack_tokens", "q_quality_rep", "q_dedup_keep_best",
       "q_sample_stratified", "q_sim_quantized", "q_lang_ngram",
-      "q_cooccur_pmi", "q_join_shj")
+      "q_cooccur_pmi", "q_join_shj",
+      "q_dedup_winnow", "q_quality_lm", "q_chunk_split", "q_mix_weights",
+      "q_dedup_chunk", "q_unpivot", "q_sim_recall")
     names.foreach { n =>
       println(s"\n========== $n ==========")
       n match {

@@ -198,4 +198,18 @@ class CatalogSpec extends SparkTestBase {
     assert(dec.contains("BroadcastHashJoin"),
       s"q_decontaminate no longer broadcasts the benchmark shingle set:\n$dec")
   }
+
+  test("plan guard: quality LM's bigram-count exchange is computed once, reused by its other consumers") {
+    // qualityLm derives head counts AND vocab size from the bigram-count
+    // agg (cb) instead of re-scanning the corpus; the three cb consumers
+    // appear as identical static subtrees that AQE must collapse into one
+    // exchange + ReusedExchange nodes. If reuse is lost, the corpus gets
+    // tokenized+exploded four times per run at scale. Final adaptive plan
+    // only materializes after an action.
+    val df = Catalog.defs("q_quality_lm").build(spark, dir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("ReusedExchange") || plan.contains("ReusedQueryStage"),
+      s"q_quality_lm no longer reuses the bigram-count exchange:\n$plan")
+  }
 }

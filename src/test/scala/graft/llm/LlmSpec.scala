@@ -521,6 +521,25 @@ class LlmSpec extends SparkTestBase {
       "identical token windows must share chunk_md5")
   }
 
+  test("chunk dedup: cross-doc shared chunk flagged, within-doc repetition is not") {
+    val docs = Seq(
+      (1L, "a b c d e f g h"),          // chunks(4): [a b c d], [e f g h]
+      (2L, "a b c d x y z w"),          // shares [a b c d] with doc 1
+      (3L, "p q r s p q r s"),          // within-doc repeat only → clean
+      (4L, "m n o t u v w2 x2")         // all unique
+    ).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft-chunkdup").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = Dedup.chunkDups(spark, dir, size = 4).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(got(1L) == ((2L, 1L, 0.5)), s"doc1: ${got(1L)}")
+    assert(got(2L) == ((2L, 1L, 0.5)), s"doc2: ${got(2L)}")
+    assert(got(3L) == ((2L, 0L, 0.0)),
+      s"within-doc repeat must not flag (distinct-doc count): ${got(3L)}")
+    assert(got(4L) == ((2L, 0L, 0.0)), s"doc4: ${got(4L)}")
+  }
+
   test("mix weights: sqrt temperature flattens a 9:16 token split to 3:4") {
     val docs = Seq(
       (1L, "w w w w w w w w w", "srcA"),                       // 9 tokens

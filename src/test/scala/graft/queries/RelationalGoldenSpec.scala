@@ -76,4 +76,24 @@ class RelationalGoldenSpec extends SparkTestBase {
       }
     }
   }
+
+  test("q_unpivot: 4 measure rows per lineitem, values match the wide columns") {
+    val n = graft.core.Tables.lineitem(spark, d).count()
+    val out = Advanced.unpivotQ(spark, d)
+    assert(out.count() == 4 * n)
+    val measures = out.select("measure").distinct().collect()
+      .map(_.getString(0)).toSet
+    assert(measures ==
+      Set("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
+    // spot-check one line's four values against the wide row
+    val wide = graft.core.Tables.lineitem(spark, d)
+      .orderBy("l_orderkey", "l_linenumber").limit(1).collect().head
+    val (ok, ln) = (wide.getAs[Long]("l_orderkey"), wide.getAs[Int]("l_linenumber"))
+    val long = out
+      .filter(org.apache.spark.sql.functions.col("l_orderkey") === ok)
+      .filter(org.apache.spark.sql.functions.col("l_linenumber") === ln)
+      .collect().map(r => r.getAs[String]("measure") -> r.getAs[Double]("val")).toMap
+    assert(long("l_quantity") == wide.getAs[Double]("l_quantity"))
+    assert(long("l_tax") == wide.getAs[Double]("l_tax"))
+  }
 }
