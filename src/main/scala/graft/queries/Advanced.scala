@@ -142,9 +142,10 @@ object Advanced {
 
   /** UNPIVOT (melt): the wide→long inverse of q_pivot — four measure
     * columns become (measure, val) rows keyed by the line identity. Spark
-    * plans this as a Generate over a literal array (pure per-row fanout,
-    * no shuffle, no UDF); values are raw stored doubles passing through
-    * untouched, so the cross-engine compare is bit-exact. */
+    * plans this as a single Expand over the scan (pure per-row 4× fanout,
+    * no shuffle, no UDF — PLANS_r8 q_unpivot); values are raw stored
+    * doubles passing through untouched, so the cross-engine compare is
+    * bit-exact. */
   def unpivotQ(s: SparkSession, d: String): DataFrame =
     Tables.lineitem(s, d)
       .unpivot(

@@ -43,6 +43,15 @@ class CatalogSpec extends SparkTestBase {
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
   }
 
+  test("every catalog query is oracled except the two documented rows-only cases") {
+    // q_agg_approx (HLL sketch) and q_dedup_near_ml (mllib murmur hashing)
+    // cannot replay in DuckDB by design; anything else missing an oracle is
+    // an operator that silently dropped out of the correctness gate
+    val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    assert(noOracle == Set("q_agg_approx", "q_dedup_near_ml"),
+      s"unexpected oracle-less queries: $noOracle")
+  }
+
   test("plan guard: no CartesianProduct, no full-text shuffle keys, SortAggregate only where documented") {
     // q_ohlc_minby IS the documented SortAggregate path (struct agg buffer);
     // everything else must hash-aggregate
