@@ -246,7 +246,65 @@ object Stats {
       |              AND e.rn = 1
       |ORDER BY a.user_id, a.event_type""".stripMargin
 
+  // q_outliers' shared formula strings — spliced VERBATIM into both the
+  // Spark projection and the DuckDB oracle (the momentFormulas discipline:
+  // exact integer power sums in, one fixed tree of IEEE double ops out, so
+  // z is bit-identical cross-engine and the |z| >= zMax cut selects the
+  // same rows; z is additionally rounded at the output boundary only).
+  private val outlierMean = "CAST(s1 AS DOUBLE) / n"
+  private val outlierStd =
+    s"sqrt(CAST(s2 AS DOUBLE) / n - ($outlierMean) * ($outlierMean))"
+  private val outlierZ = "(CAST(v AS DOUBLE) - mv) / sv"
+
+  /** Z-score anomaly detection per event_type — the outlier gate an
+    * ingestion pipeline runs on a metric column (drop or quarantine rows
+    * far from their group's distribution). events.value is 6dp-exact, so
+    * it lifts to exact integers (×10⁶) whose power sums are exact (s2
+    * summed as decimal — v² fits BIGINT per row but not summed); mean and
+    * population std come out of the fixed double tree above, and the z
+    * computation + cut replay bit-identically in DuckDB.
+    *
+    * 100 TB shape: one group-keyed hash agg over the corpus (fixed 3-long
+    * state), the tiny per-group stats relation broadcast back onto the
+    * event scan, per-row z — no second corpus shuffle. */
+  def outliers(s: SparkSession, d: String, zMax: Int = 3): DataFrame = {
+    val ev = Tables.events(s, d).select(
+      col("event_id"), col("event_type"), col("value"),
+      round(col("value") * 1000000).cast("long").as("v"))
+    val sums = ev.groupBy(col("event_type")).agg(
+      count(lit(1)).as("n"),
+      sum(col("v")).as("s1"),
+      sum((col("v") * col("v")).cast("decimal(38,0)")).as("s2"))
+    val stats = sums.select(col("event_type"),
+      expr(outlierMean).as("mv"), expr(outlierStd).as("sv"))
+    ev.join(broadcast(stats), "event_type")
+      .withColumn("z", expr(outlierZ))
+      .filter(abs(col("z")) >= zMax)
+      .select(col("event_id"), col("event_type"), col("value"),
+        round(col("z"), 3).as("z"))
+      .orderedBy("event_id")
+  }
+
+  private def outliersOracle(zMax: Int): String =
+    s"""WITH ev AS (
+       |  SELECT event_id, event_type, value,
+       |         CAST(round(value * 1000000) AS BIGINT) AS v
+       |  FROM events),
+       |sums AS (
+       |  SELECT event_type, count(*) AS n, sum(v) AS s1, sum(v * v) AS s2
+       |  FROM ev GROUP BY event_type),
+       |stats AS (
+       |  SELECT event_type, $outlierMean AS mv, $outlierStd AS sv
+       |  FROM sums),
+       |z AS (
+       |  SELECT event_id, event_type, value, $outlierZ AS z
+       |  FROM ev JOIN stats USING (event_type))
+       |SELECT event_id, event_type, value, round(z, 3) AS z
+       |FROM z WHERE abs(z) >= $zMax
+       |ORDER BY event_id""".stripMargin
+
   val defs: Map[String, QueryDef] = Map(
+    "q_outliers" -> QueryDef(outliers(_, _), Some(outliersOracle(3))),
     "q_agg_stats" -> QueryDef(aggStats, Some(aggStatsOracle)),
     "q_quantile_hist" -> QueryDef(quantileHist, Some(quantileHistOracle)),
     "q_sessionize" -> QueryDef(sessionize(_, _), Some(sessionizeOracle(5))),

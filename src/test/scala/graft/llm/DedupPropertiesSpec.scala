@@ -98,4 +98,51 @@ class DedupPropertiesSpec extends SparkTestBase {
       }
     }
   }
+
+  test("winnow_fps equals the declarative transform-HOF formulation on random corpora") {
+    // The native expression (graft.expr.WinnowFps) replaced the chained
+    // transform HOFs for performance; this pins the two formulations equal
+    // on arbitrary inputs — md5 prefix fold, window minima, distinct+sort,
+    // and the shorter-than-w+2 empty guard. Random lengths 0..20 cover the
+    // guard boundary (w=4 → docs under 6 tokens must yield empty sets and
+    // be filtered by callers).
+    graft.expr.GraftFunctions.register(spark)
+    val w = 4
+    val genDoc = Gen.choose(0, 20).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf(vocab)).map(_.mkString(" ")))
+    var seed = Seed(99L)
+    val docs = (0 until 60).map { i =>
+      val d = genDoc.apply(Gen.Parameters.default, seed).get
+      seed = seed.next
+      (i.toLong, d)
+    }
+    val df = docs.toDF("doc_id", "text")
+      .select(col("doc_id"), TextStats.tokens(col("text")).as("toks"))
+    val native = df
+      .select(col("doc_id"), expr(s"winnow_fps(toks, $w)").as("fps"))
+    val declarative = df
+      .withColumn("grams", expr(
+        """CASE WHEN size(toks) < 3 THEN array()
+          |ELSE transform(sequence(1, size(toks) - 2),
+          |  i -> concat(element_at(toks, i), ' ',
+          |              element_at(toks, i + 1), ' ',
+          |              element_at(toks, i + 2)))
+          |END""".stripMargin))
+      .withColumn("gh", expr(
+        "transform(grams, g -> CAST(conv(substring(md5(CAST(g AS BINARY)), 1, 8), 16, 10) AS BIGINT))"))
+      .withColumn("fps", expr(
+        s"""CASE WHEN size(gh) < $w THEN array()
+           |ELSE array_sort(array_distinct(
+           |  transform(sequence(1, size(gh) - ${w - 1}),
+           |            i -> array_min(slice(gh, i, $w)))))
+           |END""".stripMargin))
+      .select(col("doc_id"), col("fps"))
+    val n = native.collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val m = declarative.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(n.keySet == m.keySet)
+    n.foreach { case (id, fps) =>
+      assert(fps == m(id), s"doc $id: native=$fps declarative=${m(id)}")
+    }
+  }
 }
