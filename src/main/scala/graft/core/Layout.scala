@@ -31,6 +31,21 @@ object Layout {
   def salted(key: Column, saltFrom: Column, saltBuckets: Int): Column =
     struct(key.as("k"), pmod(hash(saltFrom), lit(saltBuckets)).as("s"))
 
+  /** Z-order (Morton) key: interleave the low `bits` bits of two integer
+    * dimensions so rows close in BOTH dimensions sort close in ONE key —
+    * the multi-dimensional clustering layout (Delta/Iceberg OPTIMIZE
+    * ZORDER) that lets per-file min/max stats skip data for predicates on
+    * either dimension, where a plain sort only serves its leading column.
+    * Pure exact integer bit arithmetic (shifts + AND), identical in any
+    * engine; write-side usage is `df.repartitionByRange(sortCol =
+    * zorderKey(...)).sortWithinPartitions(...)` ahead of
+    * [[writePartitioned]]. */
+  def zorderKey(x: Column, y: Column, bits: Int = 16): Column =
+    (0 until bits).map { i =>
+      shiftleft(shiftright(x, i).bitwiseAND(lit(1L)), 2 * i) +
+        shiftleft(shiftright(y, i).bitwiseAND(lit(1L)), 2 * i + 1)
+    }.reduce(_ + _)
+
   /** Skew-safe equi-join of a skewed fact against a small dim: the dim is
     * replicated `saltBuckets` times (explode) so every salted fact bucket
     * finds its row; the join key becomes (key, salt). Correctness never

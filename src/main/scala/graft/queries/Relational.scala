@@ -134,6 +134,39 @@ object Relational {
         sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("sum_total"))
       .orderedBy("c_mktsegment")
 
+  /** Z-order clustering key (Layout.zorderKey) over events: interleave
+    * 16 bits of user_id with 16 bits of the event's epoch-minute, plus the
+    * coarse zkey>>20 file bucket a write job would range-partition on —
+    * the multi-dimensional layout that lets min/max file stats skip data
+    * for predicates on EITHER user or time. The key derivation is what's
+    * under oracle here (pure exact bit arithmetic, bit-identical
+    * cross-engine); the write-side effect (PartitionFilters pruning) is
+    * LayoutSpec's job. */
+  def zorderQ(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d).select(
+      col("event_id"),
+      (col("user_id") % 65536).as("x"),
+      (expr("unix_micros(ts) DIV 60000000") % 65536).as("y"))
+    ev.select(col("event_id"), col("x"), col("y"),
+        graft.core.Layout.zorderKey(col("x"), col("y")).as("zkey"))
+      .withColumn("zbucket", expr("zkey DIV 1048576"))
+      .orderedBy("event_id")
+  }
+
+  /** Mirrors Layout.zorderKey bit-for-bit with DuckDB shift operators. */
+  private val zorderOracle: String = {
+    val interleave = (0 until 16).map(i =>
+      s"(((x >> $i) & 1) << ${2 * i}) + (((y >> $i) & 1) << ${2 * i + 1})")
+      .mkString(" + ")
+    s"""WITH e AS (
+       |  SELECT event_id, user_id % 65536 AS x,
+       |         (epoch_us(ts) // 60000000) % 65536 AS y
+       |  FROM events),
+       |z AS (SELECT event_id, x, y, $interleave AS zkey FROM e)
+       |SELECT event_id, x, y, zkey, zkey // 1048576 AS zbucket
+       |FROM z ORDER BY event_id""".stripMargin
+  }
+
   /** As-of join: for every purchase event, the most recent click by the same
     * user at ts' <= ts. Union+window formulation (single shuffle on user_id,
     * sorted once, last(ignoreNulls) running value) — the scalable shape; a
@@ -430,6 +463,7 @@ object Relational {
         |                       (34, 50, 'large')) b(lo, hi, bucket)
         |  ON p_size >= lo AND p_size <= hi
         |GROUP BY bucket ORDER BY bucket""".stripMargin)),
+    "q_zorder" -> QueryDef(zorderQ, Some(zorderOracle)),
     "q_join_salted" -> QueryDef(joinSalted, Some(
       """SELECT c_mktsegment, count(*) AS order_cnt,
         |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_total

@@ -43,6 +43,27 @@ class LayoutSpec extends SparkTestBase {
     }
   }
 
+  test("zorderKey matches the reference Morton interleave and is injective on the grid") {
+    def morton(x: Int, y: Int): Long = (0 until 16).map { i =>
+      (((x >> i) & 1).toLong << (2 * i)) | (((y >> i) & 1).toLong << (2 * i + 1))
+    }.sum
+    val grid = for (x <- 0 until 16; y <- 0 until 16) yield (x.toLong, y.toLong)
+    val got = grid.toDF("x", "y")
+      .select(col("x"), col("y"), Layout.zorderKey(col("x"), col("y")).as("z"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    grid.foreach { case (x, y) =>
+      assert(got((x, y)) == morton(x.toInt, y.toInt),
+        s"($x,$y): got ${got((x, y))}, expected ${morton(x.toInt, y.toInt)}")
+    }
+    // interleaving distinct (x,y) pairs must give distinct keys
+    assert(got.values.toSet.size == grid.size)
+    // the quadrant property that makes min/max stats work: all keys of the
+    // low-low quadrant sort before any key of the high-high quadrant
+    val lowLow = grid.filter(p => p._1 < 8 && p._2 < 8).map(got)
+    val highHigh = grid.filter(p => p._1 >= 8 && p._2 >= 8).map(got)
+    assert(lowLow.max < highHigh.min)
+  }
+
   test("salted two-phase aggregation equals the plain aggregation on a skewed key") {
     import spark.implicits._
     // 90% of rows share one group key — the salted-agg target
