@@ -246,6 +246,59 @@ object Stats {
       |              AND e.rn = 1
       |ORDER BY a.user_id, a.event_type""".stripMargin
 
+  /** Snapshot reconciliation — the incremental-ingestion diff (what
+    * changed between two corpus crawls): FULL OUTER join of old vs new on
+    * the stable key, rows classified added / removed / changed / unchanged
+    * by comparing content hashes, so re-processing (tokenize, dedup,
+    * embed) touches only the added+changed slice. The "new" snapshot is
+    * derived deterministically from the same table (docs ≡0 mod 23
+    * removed, ≡0 mod 7 re-edited via upper(), ≡0 mod 11 cloned as
+    * additions under doc_id+1000000) — the derivation is the fixture, the
+    * OPERATOR is the outer-join-and-classify, which is what replays in the
+    * oracle.
+    *
+    * 100 TB shape: both sides shuffle once on the key; only (key, md5)
+    * pairs cross the exchange — document bodies stay in their scan until
+    * the classification verdict says they're needed. */
+  def snapshotDiff(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val old = docs.select(col("doc_id"),
+      md5(col("text").cast("binary")).as("h_old"))
+    val kept = docs.filter(col("doc_id") % 23 =!= 0)
+    val newSnap = kept.select(col("doc_id"),
+        md5(when(col("doc_id") % 7 === 0, upper(col("text")))
+          .otherwise(col("text")).cast("binary")).as("h_new"))
+      .unionByName(kept.filter(col("doc_id") % 11 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          md5(col("text").cast("binary")).as("h_new")))
+    old.join(newSnap, Seq("doc_id"), "full_outer")
+      .withColumn("status",
+        when(col("h_old").isNull, lit("added"))
+          .when(col("h_new").isNull, lit("removed"))
+          .when(col("h_old") === col("h_new"), lit("unchanged"))
+          .otherwise(lit("changed")))
+      .select(col("doc_id"), col("status"))
+      .orderedBy("doc_id")
+  }
+
+  private def snapshotDiffOracle: String =
+    """WITH old AS (SELECT doc_id, md5(text) AS h_old FROM documents),
+      |kept AS (SELECT * FROM documents WHERE doc_id % 23 <> 0),
+      |new_snap AS (
+      |  SELECT doc_id,
+      |         md5(CASE WHEN doc_id % 7 = 0 THEN upper(text) ELSE text END) AS h_new
+      |  FROM kept
+      |  UNION ALL
+      |  SELECT doc_id + 1000000 AS doc_id, md5(text) AS h_new
+      |  FROM kept WHERE doc_id % 11 = 0)
+      |SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+      |       CASE WHEN o.doc_id IS NULL THEN 'added'
+      |            WHEN n.doc_id IS NULL THEN 'removed'
+      |            WHEN h_old = h_new THEN 'unchanged'
+      |            ELSE 'changed' END AS status
+      |FROM old o FULL OUTER JOIN new_snap n ON o.doc_id = n.doc_id
+      |ORDER BY doc_id""".stripMargin
+
   // q_outliers' shared formula strings — spliced VERBATIM into both the
   // Spark projection and the DuckDB oracle (the momentFormulas discipline:
   // exact integer power sums in, one fixed tree of IEEE double ops out, so
@@ -305,6 +358,7 @@ object Stats {
 
   val defs: Map[String, QueryDef] = Map(
     "q_outliers" -> QueryDef(outliers(_, _), Some(outliersOracle(3))),
+    "q_snapshot_diff" -> QueryDef(snapshotDiff, Some(snapshotDiffOracle)),
     "q_agg_stats" -> QueryDef(aggStats, Some(aggStatsOracle)),
     "q_quantile_hist" -> QueryDef(quantileHist, Some(quantileHistOracle)),
     "q_sessionize" -> QueryDef(sessionize(_, _), Some(sessionizeOracle(5))),

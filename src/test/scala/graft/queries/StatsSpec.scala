@@ -176,4 +176,21 @@ class StatsSpec extends SparkTestBase {
       .collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(pairs.toSeq == Seq((1L, 2L)), s"got ${pairs.toSeq}")
   }
+
+  test("snapshot diff: statuses match the fixture derivation exactly") {
+    val d = "/root/testdata/sf0.001"
+    val ids = graft.core.Tables.documents(spark, d).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    val got = Stats.snapshotDiff(spark, d).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val removed = ids.filter(_ % 23 == 0)
+    val kept = ids -- removed
+    val changed = kept.filter(_ % 7 == 0)
+    val added = kept.filter(_ % 11 == 0).map(_ + 1000000L)
+    assert(got.filter(_._2 == "removed").keySet == removed)
+    assert(got.filter(_._2 == "changed").keySet == changed)
+    assert(got.filter(_._2 == "added").keySet == added)
+    assert(got.filter(_._2 == "unchanged").keySet == kept -- changed)
+    assert(got.size == ids.size + added.size)
+  }
 }
