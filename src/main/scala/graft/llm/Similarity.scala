@@ -237,20 +237,20 @@ object Similarity {
     * `iters` Lloyd's rounds are unrolled as (assign, recompute) CTE pairs
     * whose per-dim means use the exact-decimal recipe, so centroids are
     * bit-identical across engines. */
-  /** The bucketed-search CTE chain through `top` (ranked IVF candidates)
-    * — shared by [[bucketedOracle]] and the recall oracle. */
-  private def bucketedBody(nQueries: Int, nCentroids: Int,
-                           nprobe: Int, iters: Int, dim: Int): String = {
+  private def assignCte(a: String, c: String) =
+    s"""$a AS (
+       |  SELECT vec_id, e, cid AS bucket FROM (
+       |    SELECT v.vec_id, v.e, c.cid,
+       |           row_number() OVER (PARTITION BY v.vec_id
+       |             ORDER BY list_cosine_similarity(c.ce, v.e) DESC, c.cid) AS arn
+       |    FROM v, $c c) WHERE arn = 1)""".stripMargin
+
+  /** The Lloyd's-training CTE chain (v, c0, a1/c1 .. a_iters/c_iters) —
+    * shared by [[bucketedBody]] and the centroid-export oracle. */
+  private def trainBody(nCentroids: Int, iters: Int, dim: Int): String = {
     val meanCols = (1 to dim).map(i =>
       s"round(CAST(sum(CAST(e[$i] AS DECIMAL(20,8))) AS DOUBLE) / count(*), 6)")
       .mkString(",\n          ")
-    def assignCte(a: String, c: String) =
-      s"""$a AS (
-         |  SELECT vec_id, e, cid AS bucket FROM (
-         |    SELECT v.vec_id, v.e, c.cid,
-         |           row_number() OVER (PARTITION BY v.vec_id
-         |             ORDER BY list_cosine_similarity(c.ce, v.e) DESC, c.cid) AS arn
-         |    FROM v, $c c) WHERE arn = 1)""".stripMargin
     val trainCtes = (1 to iters).map { t =>
       s"""${assignCte(s"a$t", s"c${t - 1}")},
          |c$t AS (
@@ -260,7 +260,14 @@ object Similarity {
     }.mkString(",\n")
     s"""v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
        |c0 AS (SELECT vec_id AS cid, e AS ce FROM v WHERE vec_id < $nCentroids),
-       |$trainCtes,
+       |$trainCtes""".stripMargin
+  }
+
+  /** The bucketed-search CTE chain through `top` (ranked IVF candidates)
+    * — shared by [[bucketedOracle]] and the recall oracle. */
+  private def bucketedBody(nQueries: Int, nCentroids: Int,
+                           nprobe: Int, iters: Int, dim: Int): String =
+    s"""${trainBody(nCentroids, iters, dim)},
        |${assignCte("assigned", s"c$iters")},
        |q AS (SELECT vec_id AS qid, e AS qe FROM v WHERE vec_id < $nQueries),
        |probes AS (
@@ -276,7 +283,6 @@ object Similarity {
        |               list_cosine_similarity(p.qe, a.e) AS cos
        |        FROM probes p JOIN assigned a ON p.bucket = a.bucket
        |        WHERE a.vec_id != p.qid))""".stripMargin
-  }
 
   private def bucketedOracle(nQueries: Int, k: Int, nCentroids: Int,
                              nprobe: Int, iters: Int, dim: Int): String =
@@ -322,6 +328,28 @@ object Similarity {
        |FROM (SELECT DISTINCT qid FROM bt) b LEFT JOIN h USING (qid)
        |ORDER BY qid""".stripMargin
 
+  /** The trained IVF centroids as a first-class output — the index
+    * artifact a vector-serving layer loads (assignments and probes both
+    * derive from it). Emits the first `dims` dimensions per centroid;
+    * every value is already round(6) of an exact-decimal mean from the
+    * deterministic training loop, so the export replays bit-for-bit in
+    * the oracle's unrolled training CTEs. Dropped clusters (lost every
+    * vector during training) are absent on both sides identically. */
+  def centroidsQ(s: SparkSession, d: String, nCentroids: Int = 8,
+                 iters: Int = 2, dims: Int = 8): DataFrame = {
+    val cents = trainCentroids(vecs(s, d), nCentroids, iters)
+    cents.select(col("cid") +:
+        (1 to dims).map(i => element_at(col("ce"), i).as(s"c$i")): _*)
+      .orderedBy("cid")
+  }
+
+  private def centroidsOracle(nCentroids: Int, iters: Int, dim: Int,
+                              dims: Int): String = {
+    val cols = (1 to dims).map(i => s"ce[$i] AS c$i").mkString(", ")
+    s"""WITH ${trainBody(nCentroids, iters, dim)}
+       |SELECT cid, $cols FROM c$iters ORDER BY cid""".stripMargin
+  }
+
   private def embedPoolOracle(dims: Int): String = {
     val cols = (1 to dims).map(i =>
       s"round(CAST(sum(CAST(embedding[$i] AS DECIMAL(20,8))) AS DOUBLE) / count(*), 6) AS m$i")
@@ -351,6 +379,8 @@ object Similarity {
       Some(quantizedOracle(20, 3))),
     "q_sim_recall" -> QueryDef(annRecall(_, _),
       Some(recallOracle(nQueries = 20, k = 3, nCentroids = 8,
-        nprobe = 2, iters = 2, dim = 64)))
+        nprobe = 2, iters = 2, dim = 64))),
+    "q_sim_centroids" -> QueryDef(centroidsQ(_, _),
+      Some(centroidsOracle(nCentroids = 8, iters = 2, dim = 64, dims = 8)))
   )
 }
