@@ -357,6 +357,45 @@ object TextStats {
       |SELECT doc_id, count(*) AS n_bigrams, round(avg(nll), 3) AS xent
       |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** Per-doc out-of-vocabulary rate against the corpus's own top-`k`
+    * vocabulary — the vocabulary-coverage quality signal (docs full of
+    * tokens a tokenizer's vocab won't cover are noise, OCR junk, or the
+    * wrong language; filters threshold on this before training). Vocab
+    * ties at the k boundary break on the token string, so the cut is
+    * deterministic; the rate is one IEEE divide of exact ints rounded at
+    * the boundary. 100 TB shape: the vocab is a TakeOrdered top-k
+    * (map-side partial), broadcast back onto the token stream; one
+    * doc-keyed hash agg closes it. */
+  def oovRate(s: SparkSession, d: String, k: Int = 20): DataFrame = {
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("w"))
+    val vocab = toks.groupBy(col("w")).agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("w")).limit(k)
+      .select(col("w"), lit(1).as("iv"))
+    toks.join(broadcast(vocab), Seq("w"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tok"),
+        sum(coalesce(col("iv"), lit(0))).as("in_vocab"))
+      .withColumn("oov_rate",
+        round(lit(1.0) * (col("n_tok") - col("in_vocab")) / col("n_tok"), 4))
+      .select(col("doc_id"), col("n_tok"),
+        col("in_vocab").cast("long").as("in_vocab"), col("oov_rate"))
+      .orderedBy("doc_id")
+  }
+
+  private def oovOracle(k: Int): String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+       |vf AS (SELECT w, count(*) AS freq FROM toks GROUP BY w),
+       |vr AS (SELECT w, row_number() OVER (ORDER BY freq DESC, w) AS rn FROM vf),
+       |vocab AS (SELECT w, 1 AS iv FROM vr WHERE rn <= $k),
+       |j AS (SELECT t.doc_id, COALESCE(v.iv, 0) AS iv
+       |      FROM toks t LEFT JOIN vocab v USING (w))
+       |SELECT doc_id, count(*) AS n_tok,
+       |       CAST(sum(iv) AS BIGINT) AS in_vocab,
+       |       round(1.0 * (count(*) - sum(iv)) / count(*), 4) AS oov_rate
+       |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   /** Language ID by marker-word scoring, argmax with a fixed tie order
     * (de,en,es,fr,zh). On this synthetic corpus every language shares one
     * vocabulary, so accuracy is meaningless — the operator (score + argmax,
@@ -754,6 +793,7 @@ object TextStats {
     "q_token_bpe" -> QueryDef(tokenBpe, Some(tokenBpeOracle)),
     "q_cooccur_pmi" -> QueryDef(cooccurPmi(_, _), Some(cooccurPmiOracle(5, 25))),
     "q_quality_lm" -> QueryDef(qualityLm, Some(qualityLmOracle)),
+    "q_quality_oov" -> QueryDef(oovRate(_, _), Some(oovOracle(20))),
     "q_quality_rep" -> QueryDef(qualityRep, Some(qualityRepOracle)),
     "q_lang_id" -> QueryDef(langId, Some(langIdOracle)),
     "q_lang_ngram" -> QueryDef(langNgram(_, _), Some(langNgramOracle(8))),

@@ -27,7 +27,7 @@ object ExplainAudit {
       "q_cooccur_pmi", "q_join_shj",
       "q_dedup_winnow", "q_quality_lm", "q_chunk_split", "q_mix_weights",
       "q_dedup_chunk", "q_unpivot", "q_sim_recall", "q_outliers", "q_zorder",
-      "q_snapshot_diff", "q_sim_centroids")
+      "q_snapshot_diff", "q_sim_centroids", "q_quality_oov")
     names.foreach { n =>
       println(s"\n========== $n ==========")
       n match {
