@@ -73,11 +73,15 @@ object Similarity {
     * through an exact-decimal sum, one IEEE divide, round(6) — the
     * [[embedPool]] recipe, order-independent and bit-identical in any
     * engine, so the TRAINING loop itself replays in the DuckDB oracle.
-    * Scale shape per round: centroids broadcast (k rows), scoring is
-    * map-side, the argmin is a WindowGroupLimit-pruned row_number, and the
-    * recompute is one hash agg keyed by bucket — the vector corpus crosses
-    * one partial/final agg exchange per round, nothing else. Clusters that
-    * lose every vector drop out identically on both engines.
+    * Scale shape per round: the centroid table collapses to ONE broadcast
+    * row and assignment is a per-row broadcast argmax ([[assignNearest]] —
+    * zero corpus shuffle; the earlier window formulation moved the corpus
+    * nCentroids× through an exchange per round), and the recompute's
+    * per-dim decimal sums partial-aggregate map-side so its exchange
+    * carries fixed-width partials only — NOTHING corpus-sized crosses the
+    * wire in a training round (plan-verified: no exchange carries the
+    * vector column). Clusters that lose every vector drop out identically
+    * on both engines.
     *
     * The training stays ONE lazy Catalyst plan so the DuckDB oracle can
     * replay it; the price is that downstream references re-execute the
@@ -90,10 +94,7 @@ object Similarity {
     val seed = all.filter(col("vec_id") < nCentroids)
       .select(col("vec_id").as("cid"), col("e").as("ce"))
     (1 to iters).foldLeft(seed) { (cents, _) =>
-      val wA = Window.partitionBy(col("vec_id")).orderBy(col("ccos").desc, col("cid"))
-      val assigned = all.join(broadcast(cents))
-        .select(col("vec_id"), col("e"), col("cid"), cosine(col("ce"), col("e")).as("ccos"))
-        .withColumn("arn", row_number().over(wA)).filter(col("arn") === 1)
+      val assigned = assignNearest(all, cents)
       val dims = (1 to dim).map(i =>
         round(sum(element_at(col("e"), i).cast("decimal(20,8)")).cast("double") /
           count(lit(1)), 6).as(s"c$i"))
@@ -101,6 +102,39 @@ object Similarity {
         .agg(dims.head, dims.tail: _*)
         .select(col("cid"), array((1 to dim).map(i => col(s"c$i")): _*).as("ce"))
     }
+  }
+
+  /** Nearest-centroid assignment with ZERO corpus shuffle: the centroid
+    * table collapses to ONE broadcast row (collect_list of (cid, ce, own
+    * norm)), and each vector picks its centroid via array_max over an
+    * inline scored transform — so the corpus never crosses an exchange
+    * during assignment, where the previous window formulation first fanned
+    * every vector out nCentroids× through the centroid join and then
+    * shuffled THAT relation on vec_id for a per-partition sort +
+    * row_number. At 1000 executors the difference is "no corpus movement
+    * at all" vs "nCentroids× the corpus through the wire per training
+    * round". Tie rule unchanged (max on (score, -cid) ≡ ORDER BY score
+    * DESC, cid ASC — the (score, -cid) pair is unique per cid, so the
+    * struct comparison never reaches deeper fields); the score expression
+    * is the same op tree as [[cosine]], so assignments are bit-identical
+    * to the window formulation and the unrolled DuckDB oracle. The
+    * interpreted transform touches nCentroids elements per row — bounded,
+    * unlike the chained-HOF-over-tokens shapes WinnowFps exists to avoid.
+    */
+  private[llm] def assignNearest(all: DataFrame, cents: DataFrame): DataFrame = {
+    // norms enter the broadcast/projection PRE-SQRTED so the per-element
+    // lambda does one native vec_dot, one multiply, one divide — the
+    // (sqrt·sqrt) product order matches [[cosine]] exactly, so scores stay
+    // bit-identical to the window formulation the oracle unrolls
+    val cs = cents.agg(collect_list(struct(col("cid"), col("ce"),
+      sqrt(call_function("vec_dot", col("ce"), col("ce"))).as("snrm"))).as("cs"))
+    all.crossJoin(broadcast(cs))
+      .withColumn("snrm_e", sqrt(call_function("vec_dot", col("e"), col("e"))))
+      .withColumn("best", expr(
+        """array_max(transform(cs, c -> struct(
+          |  vec_dot(c.ce, e) / (c.snrm * snrm_e) AS s,
+          |  -c.cid AS negcid, c.cid AS cid)))""".stripMargin))
+      .select(col("vec_id"), col("e"), col("best.cid").as("cid"))
   }
 
   /** IVF-bucketed ANN: assign all vectors to their nearest of `nCentroids`
@@ -111,13 +145,10 @@ object Similarity {
                    nCentroids: Int = 8, nprobe: Int = 2, trainIters: Int = 2): DataFrame = {
     val all = vecs(s, d)
     val cents = trainCentroids(all, nCentroids, trainIters)
-    // nearest centroid per vector (ties: lowest cid) — broadcast, map-side
-    val wAssign = Window.partitionBy(col("vec_id"))
-      .orderBy(col("ccos").desc, col("cid"))
-    val assigned = all.join(broadcast(cents))
-      .select(col("vec_id"), col("e"), col("cid"),
-        cosine(col("ce"), col("e")).as("ccos"))
-      .withColumn("arn", row_number().over(wAssign)).filter(col("arn") === 1)
+    // nearest centroid per vector (ties: lowest cid) — zero-shuffle
+    // broadcast argmax (assignNearest), the same rule the training rounds
+    // use
+    val assigned = assignNearest(all, cents)
       .select(col("vec_id"), col("e"), col("cid").as("bucket"))
     // nprobe nearest buckets per query. Queries derive from the RAW vector
     // set: they only need (id, embedding), and deriving them from
