@@ -78,6 +78,49 @@ object Catalog {
       .orderedBy("ws", "base")
   }
 
+  /** The reference's STREAMING spine under the batch oracle: the same
+    * candle pipeline executed by the streaming engine — file source over
+    * the same events data, `Trigger.AvailableNow` (process everything,
+    * terminate), complete-mode aggregation into a memory sink — then the
+    * materialized result is returned for the driver's DuckDB compare
+    * against the IDENTICAL SQL as q_ohlc_1m. This makes
+    * batch ≡ streaming an oracled property of the driver gate, not only a
+    * spec assertion: StateStore restore/save, the streaming aggregation
+    * path, and the micro-batch planner all sit between the parquet bytes
+    * and the hash compare. EXECUTES EAGERLY in the builder (runs the
+    * streaming query to termination — the nearClusters precedent); each
+    * call uses a fresh memory-sink name so warm-up + timed bench runs
+    * don't collide. Complete mode keeps all window state (finite input,
+    * no watermark eviction), exactly batch semantics. */
+  def qOhlcStreamed(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+    // glob, not a bare file path: the file source requires a directory
+    // basePath, and the glob makes it the sf dir while matching only the
+    // events file
+    val src = spark.readStream.schema(schema).parquet(s"$dir/events.*")
+      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      .withColumn("qty_dec", col("value").cast("decimal(20,6)"))
+    val candles = OhlcPipeline.candles(src, windowDuration = "1 minute",
+      tsCol = "ts", priceCol = "value", qtyCol = "qty_dec",
+      symbolCol = "event_type")
+    val out = candles.select(
+      unix_timestamp(col("start_ts")).as("ws"), col("base"),
+      col("open"), col("high"), col("low"), col("close"),
+      col("volume").cast("double").as("volume"))
+    val name = "ohlc_streamed_" +
+      java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = out.writeStream.outputMode("complete").format("memory")
+      .queryName(name)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name).orderedBy("ws", "base")
+  }
+
   private val ohlcOracle =
     """SELECT CAST(epoch(date_trunc('minute', ts)) AS BIGINT) AS ws,
       |       event_type AS base,
@@ -90,7 +133,10 @@ object Catalog {
 
   private val ohlcDefs: Map[String, QueryDef] = Map(
     "q_ohlc_1m" -> QueryDef(qOhlc1m, Some(ohlcOracle)),
-    "q_ohlc_minby" -> QueryDef(qOhlcMinby, Some(ohlcOracle))
+    "q_ohlc_minby" -> QueryDef(qOhlcMinby, Some(ohlcOracle)),
+    // the streaming engine's answer against the SAME SQL — batch ≡
+    // streaming as a driver-oracled property
+    "q_ohlc_streamed" -> QueryDef(qOhlcStreamed, Some(ohlcOracle))
   )
 
   val defs: Map[String, QueryDef] =
