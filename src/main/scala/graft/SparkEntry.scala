@@ -93,16 +93,7 @@ object Catalog {
     * don't collide. Complete mode keeps all window state (finite input,
     * no watermark eviction), exactly batch semantics. */
   def qOhlcStreamed(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.types._
-    val schema = StructType(Seq(
-      StructField("event_id", LongType), StructField("ts", LongType),
-      StructField("user_id", LongType), StructField("event_type", StringType),
-      StructField("value", DoubleType), StructField("props", StringType)))
-    // glob, not a bare file path: the file source requires a directory
-    // basePath, and the glob makes it the sf dir while matching only the
-    // events file
-    val src = spark.readStream.schema(schema).parquet(s"$dir/events.*")
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    val src = Tables.eventsStream(spark, dir)
       .withColumn("qty_dec", col("value").cast("decimal(20,6)"))
     val candles = OhlcPipeline.candles(src, windowDuration = "1 minute",
       tsCol = "ts", priceCol = "value", qtyCol = "qty_dec",
@@ -111,14 +102,7 @@ object Catalog {
       unix_timestamp(col("start_ts")).as("ws"), col("base"),
       col("open"), col("high"), col("low"), col("close"),
       col("volume").cast("double").as("volume"))
-    val name = "ohlc_streamed_" +
-      java.util.UUID.randomUUID().toString.replace("-", "")
-    val q = out.writeStream.outputMode("complete").format("memory")
-      .queryName(name)
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    spark.table(name).orderedBy("ws", "base")
+    Tables.runStreamComplete(out, "ohlc_streamed_").orderedBy("ws", "base")
   }
 
   private val ohlcOracle =

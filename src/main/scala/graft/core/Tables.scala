@@ -34,4 +34,37 @@ object Tables {
     load(s, d, "events").withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
+
+  /** STREAMING twin of [[events]] — the same table through the file
+    * source (explicit schema: file sources don't infer; ts declared LONG,
+    * read under the session's nanosAsLong conf, truncated to µs exactly
+    * as the batch loader does). Path is a glob because the file source
+    * requires a directory basePath while the testdata table is one file.
+    * Feeds the batch≡streaming oracle bridges (q_ohlc_streamed,
+    * q_session_streamed). */
+  def eventsStream(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+    s.readStream.schema(schema).parquet(s"$d/events.*")
+      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+  }
+
+  /** Run a finite streaming frame to termination (Trigger.AvailableNow,
+    * complete mode, memory sink under a fresh name) and return the
+    * materialized result — the executor of the batch≡streaming oracle
+    * bridges. Complete mode keeps all state on finite input: exactly
+    * batch semantics, so the streamed result hash-compares against the
+    * batch query's own oracle SQL. */
+  def runStreamComplete(df: DataFrame, prefix: String): DataFrame = {
+    val name = prefix + java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = df.writeStream.outputMode("complete").format("memory")
+      .queryName(name)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    df.sparkSession.table(name)
+  }
 }

@@ -48,6 +48,25 @@ object TimeWindows {
         col("n_events"), col("sum_value"))
       .orderedBy("user_id", "sess_start")
 
+  /** [[sessions]] executed by the STREAMING engine (file source,
+    * AvailableNow, complete mode, memory sink — the qOhlcStreamed bridge)
+    * and registered against the IDENTICAL oracle SQL: the streaming
+    * session-merge state machine (MergingSessionsExec / session state
+    * store) answers to the batch gaps-and-islands SQL on every round. */
+  def sessionsStreamed(s: SparkSession, d: String): DataFrame = {
+    val out = Tables.eventsStream(s, d)
+      .groupBy(session_window(col("ts"), "5 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(20,6)")).cast("double").as("sum_value"))
+      .select(
+        col("user_id"),
+        unix_micros(col("session_window.start")).as("sess_start"),
+        unix_micros(col("session_window.end")).as("sess_end"),
+        col("n_events"), col("sum_value"))
+    Tables.runStreamComplete(out, "session_streamed_")
+      .orderedBy("user_id", "sess_start")
+  }
+
   val defs: Map[String, QueryDef] = Map(
     "q_win_sliding" -> QueryDef(slidingOhlc, Some(
       """SELECT CAST(epoch(date_trunc('minute', ts) - b.b * INTERVAL 1 MINUTE) AS BIGINT) AS ws,
@@ -57,26 +76,32 @@ object TimeWindows {
         |       count(*) AS n
         |FROM events, range(0, 5) b(b)
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
-    "q_win_session" -> QueryDef(sessions, Some(
-      """WITH e AS (
-        |  SELECT user_id, date_trunc('microseconds', ts) AS ts, value
-        |  FROM events),
-        |m AS (
-        |  SELECT user_id, ts, value,
-        |         CASE WHEN lag(ts) OVER w IS NULL
-        |                OR ts - lag(ts) OVER w >= INTERVAL 5 MINUTE
-        |              THEN 1 ELSE 0 END AS new_s
-        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
-        |g AS (
-        |  SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
-        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
-        |  FROM m)
-        |SELECT user_id,
-        |       epoch_us(min(ts)) AS sess_start,
-        |       epoch_us(max(ts)) + 300000000 AS sess_end,
-        |       count(*) AS n_events,
-        |       CAST(sum(CAST(value AS DECIMAL(20,6))) AS DOUBLE) AS sum_value
-        |FROM g GROUP BY user_id, sid
-        |ORDER BY user_id, sess_start""".stripMargin))
+    "q_win_session" -> QueryDef(sessions, Some(sessionOracle)),
+    // the streaming session-merge engine against the SAME gaps-and-islands
+    // SQL — batch ≡ streaming as a driver-oracled property (see
+    // q_ohlc_streamed for the tumbling-window twin)
+    "q_session_streamed" -> QueryDef(sessionsStreamed, Some(sessionOracle))
   )
+
+  private lazy val sessionOracle: String =
+    """WITH e AS (
+      |  SELECT user_id, date_trunc('microseconds', ts) AS ts, value
+      |  FROM events),
+      |m AS (
+      |  SELECT user_id, ts, value,
+      |         CASE WHEN lag(ts) OVER w IS NULL
+      |                OR ts - lag(ts) OVER w >= INTERVAL 5 MINUTE
+      |              THEN 1 ELSE 0 END AS new_s
+      |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+      |g AS (
+      |  SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      |  FROM m)
+      |SELECT user_id,
+      |       epoch_us(min(ts)) AS sess_start,
+      |       epoch_us(max(ts)) + 300000000 AS sess_end,
+      |       count(*) AS n_events,
+      |       CAST(sum(CAST(value AS DECIMAL(20,6))) AS DOUBLE) AS sum_value
+      |FROM g GROUP BY user_id, sid
+      |ORDER BY user_id, sess_start""".stripMargin
 }
