@@ -52,6 +52,17 @@ object Tables {
       .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
   }
 
+  /** STREAMING twin of [[documents]] (file source, explicit schema, glob
+    * path — see [[eventsStream]]). */
+  def documentsStream(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("lang", StringType), StructField("source", StringType),
+      StructField("n_chars", LongType)))
+    s.readStream.schema(schema).parquet(s"$d/documents.*")
+  }
+
   /** Run a finite streaming frame to termination (Trigger.AvailableNow,
     * complete mode, memory sink under a fresh name) and return the
     * materialized result — the executor of the batch≡streaming oracle

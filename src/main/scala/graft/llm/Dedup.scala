@@ -800,8 +800,29 @@ object Dedup {
        |       round(1.0 * sum(isdup) / count(*), 4) AS dup_frac
        |FROM f GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** [[exact]] executed by the STREAMING engine — content-hash dedup as a
+    * complete-mode streaming aggregation (min/count are streamable aggs
+    * with fixed-width state), registered against the IDENTICAL oracle SQL
+    * as the batch query. With q_ohlc_streamed / q_session_streamed this
+    * makes the third batch≡streaming bridge: the dedup family's core
+    * grouping runs under the micro-batch planner + StateStore and still
+    * hash-matches DuckDB. The 100 TB framing is the streaming-ingest
+    * dedup shape: state is one (hash, min-id, count) row per distinct
+    * document content, never the corpus. */
+  def exactStreamed(s: SparkSession, d: String): DataFrame = {
+    val out = Tables.documentsStream(s, d)
+      .groupBy(md5(col("text").cast("binary")), length(col("text")))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("cnt"))
+      .select(col("keep_id"), col("cnt"))
+    Tables.runStreamComplete(out, "dedup_streamed_").orderedBy("keep_id")
+  }
+
   val defs: Map[String, QueryDef] = Map(
     "q_dedup_chunk" -> QueryDef(chunkDups(_, _), Some(chunkDupsOracle(32))),
+    "q_dedup_streamed" -> QueryDef(exactStreamed, Some(
+      """SELECT min(doc_id) AS keep_id, count(*) AS cnt
+        |FROM documents GROUP BY md5(text), length(text)
+        |ORDER BY keep_id""".stripMargin)),
     "q_dedup_winnow" -> QueryDef(winnowPairs(_, _),
       Some(winnowPairsOracle(4, 10, 2, 0.5))),
     "q_dedup_exact" -> QueryDef(exact(_, _), Some(
