@@ -450,6 +450,28 @@ object TextStats {
       .limit(k)
       .orderedBy("tok")
 
+  /** [[vocabTopk]] executed by the STREAMING engine — the fourth
+    * batch≡streaming bridge, covering the one shape the other three
+    * don't: global sort + limit over a streaming aggregation (legal only
+    * in complete mode, which is exactly what the finite-input bridge
+    * runs). Same oracle SQL as the batch query. */
+  def vocabStreamed(s: SparkSession, d: String, k: Int = 25): DataFrame = {
+    val out = Tables.documentsStream(s, d)
+      .select(explode(tokens(col("text"))).as("tok"))
+      .groupBy(col("tok"))
+      .agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("tok"))
+      .limit(k)
+    Tables.runStreamComplete(out, "vocab_streamed_").orderedBy("tok")
+  }
+
+  private val vocabOracle: String =
+    """SELECT tok, freq FROM (
+      |  SELECT tok, count(*) AS freq FROM (
+      |    SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+      |  GROUP BY tok ORDER BY freq DESC, tok LIMIT 25)
+      |ORDER BY tok""".stripMargin
+
   /** Count-min sketch frequency estimation: d=4 hash rows × w=1024 buckets
     * of exact integer counts — fixed O(d·w) state per partition regardless
     * of vocabulary size, merged by cell-wise addition (one hash agg with
@@ -813,12 +835,8 @@ object TextStats {
         |SELECT doc_id, md5(canon) AS canon_md5,
         |       CAST(length(canon) AS BIGINT) AS canon_len
         |FROM c ORDER BY doc_id""".stripMargin)),
-    "q_vocab_topk" -> QueryDef(vocabTopk(_, _), Some(
-      """SELECT tok, freq FROM (
-        |  SELECT tok, count(*) AS freq FROM (
-        |    SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
-        |  GROUP BY tok ORDER BY freq DESC, tok LIMIT 25)
-        |ORDER BY tok""".stripMargin)),
+    "q_vocab_topk" -> QueryDef(vocabTopk(_, _), Some(vocabOracle)),
+    "q_vocab_streamed" -> QueryDef(vocabStreamed(_, _), Some(vocabOracle)),
     "q_doc_fingerprint" -> QueryDef(docFingerprint, Some(
       """SELECT doc_id, md5(text) AS md5_text,
         |       md5(array_to_string(list_sort(list_distinct(string_split(text, ' ')))[1:8], ' ')) AS sketch8,
