@@ -43,6 +43,17 @@ class CatalogSpec extends SparkTestBase {
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
   }
 
+  test("streaming bridges share their batch twin's oracle verbatim") {
+    // the bridges' entire claim is "the streaming engine answers the SAME
+    // question"; a drifted oracle would silently weaken batch ≡ streaming
+    // to two unrelated checks
+    val o = SparkEntry.oracleSql
+    assert(o("q_ohlc_streamed") == o("q_ohlc_1m"))
+    assert(o("q_session_streamed") == o("q_win_session"))
+    assert(o("q_dedup_streamed") == o("q_dedup_exact"))
+    assert(o("q_vocab_streamed") == o("q_vocab_topk"))
+  }
+
   test("every catalog query is oracled except the two documented rows-only cases") {
     // q_agg_approx (HLL sketch) and q_dedup_near_ml (mllib murmur hashing)
     // cannot replay in DuckDB by design; anything else missing an oracle is
