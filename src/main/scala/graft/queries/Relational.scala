@@ -385,6 +385,27 @@ object Relational {
     ).orderedBy("o_orderkey")
   }
 
+  /** RANGE-frame window (value-banded, vs [[winFrame]]'s ROWS frame): per
+    * part, the count and retail mass of same-brand parts within ±2 of its
+    * size — the "neighborhood aggregate" frame type (price bands, time
+    * bands). RANGE frames are VALUE-based, so tied order keys share one
+    * frame and the result is deterministic without a tie-break column;
+    * the sum is exact-decimal with one double cast. Scale shape: one
+    * shuffle on the partition key, one sort per partition — the frame
+    * itself is a sliding pointer pair over the sorted run. */
+  def winRangeFrame(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("p_brand").orderBy(col("p_size"))
+      .rangeBetween(-2, 2)
+    Tables.part(s, d).select(
+      col("p_partkey"),
+      col("p_brand"),
+      col("p_size").cast("long").as("p_size"),
+      count(lit(1)).over(w).as("near_cnt"),
+      sum(col("p_retailprice").cast("decimal(18,2)")).over(w)
+        .cast("double").as("near_retail")
+    ).orderedBy("p_partkey")
+  }
+
   /** Top-k: Catalyst plans TakeOrderedAndProject (per-partition heap, merge
     * of k) — never a global sort. Tie-broken on the unique key. */
   def topk(s: SparkSession, d: String): DataFrame =
@@ -541,6 +562,14 @@ object Relational {
         |         PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
         |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_spend
         |FROM orders ORDER BY o_orderkey""".stripMargin)),
+    "q_win_range_frame" -> QueryDef(winRangeFrame, Some(
+      """SELECT p_partkey, p_brand, CAST(p_size AS BIGINT) AS p_size,
+        |       count(*) OVER w AS near_cnt,
+        |       CAST(sum(CAST(p_retailprice AS DECIMAL(18,2))) OVER w AS DOUBLE) AS near_retail
+        |FROM part
+        |WINDOW w AS (PARTITION BY p_brand ORDER BY p_size
+        |             RANGE BETWEEN 2 PRECEDING AND 2 FOLLOWING)
+        |ORDER BY p_partkey""".stripMargin)),
     "q_topk" -> QueryDef(topk, Some(
       """SELECT o_orderkey, o_totalprice FROM orders
         |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin)),
