@@ -71,20 +71,27 @@ object Bench {
     // driver's tail window; the cheap tail is summarized, never dropped
     // silently.
     val byCost = results.sortBy { case (_, v) => -v }
-    def entry(k: String, v: Double) = "\"" + k + "\":" + f"$v%.2f"
+    // JVM-default-locale f"" can emit comma decimals → invalid JSON; pin ROOT.
+    def num(v: Double, pattern: String) =
+      String.format(java.util.Locale.ROOT, pattern, Double.box(v))
+    def entry(k: String, v: Double) = "\"" + k + "\":" + num(v, "%.2f")
     val budget = 1600
-    val head = f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${results.size},"detail":"BENCH_DETAIL.json","queries":{"""
-    val kept = scala.collection.mutable.ArrayBuffer.empty[String]
+    val head = s"""{"metric":"total","value":${num(total, "%.3f")},"unit":"sec","n_queries":${results.size},"detail":"BENCH_DETAIL.json","queries":{"""
+    val kept = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
     var used = head.length + 100 // slack for the omitted summary + sf suffix
     byCost.foreach { case (k, v) =>
       val e = entry(k, v)
-      if (used + e.length + 1 <= budget) { kept += e; used += e.length + 1 }
+      if (used + e.length + 1 <= budget) { kept += (k -> e); used += e.length + 1 }
     }
-    val omitted = byCost.drop(kept.size)
+    // omitted = everything NOT kept (a long-named expensive entry can be
+    // skipped while shorter, cheaper ones still fit — suffix-drop would
+    // silently lose it and double-count the kept tail in omitted.sec)
+    val keptKeys = kept.map(_._1).toSet
+    val omitted = byCost.filterNot { case (k, _) => keptKeys(k) }
     val omittedJson =
       if (omitted.isEmpty) ""
-      else f""","omitted":{"n":${omitted.size},"sec":${omitted.collect { case (_, v) if v >= 0 => v }.sum}%.2f}"""
-    println(head + kept.mkString(",") + "}" + omittedJson + s""","sf":"$sfDir"}""")
+      else s""","omitted":{"n":${omitted.size},"sec":${num(omitted.collect { case (_, v) if v >= 0 => v }.sum, "%.2f")}}"""
+    println(head + kept.map(_._2).mkString(",") + "}" + omittedJson + s""","sf":"$sfDir"}""")
     spark.stop()
   }
 }

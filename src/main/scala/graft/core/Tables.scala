@@ -70,12 +70,22 @@ object Tables {
     * batch semantics, so the streamed result hash-compares against the
     * batch query's own oracle SQL. */
   def runStreamComplete(df: DataFrame, prefix: String): DataFrame = {
+    val s = df.sparkSession
     val name = prefix + java.util.UUID.randomUUID().toString.replace("-", "")
     val q = df.writeStream.outputMode("complete").format("memory")
       .queryName(name)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    df.sparkSession.table(name)
+    // Re-pin the result as a localCheckpoint (executor block storage the
+    // ContextCleaner reclaims once the caller drops the DataFrame), then
+    // release the memory sink's strong refs — the catalog temp view and
+    // the terminated-query registry would otherwise keep every bridge
+    // result pinned in driver memory for the rest of a 112-query Bench
+    // run (each streamed query runs twice: warm-up + timed).
+    val out = s.table(name).localCheckpoint(true)
+    s.catalog.dropTempView(name)
+    s.streams.resetTerminated()
+    out
   }
 }

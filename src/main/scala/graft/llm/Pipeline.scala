@@ -300,7 +300,13 @@ object Pipeline {
         functions.size(TextStats.tokens(col("text"))).cast("long"))
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"))
-    val denom = stats.agg(sum(sqrt(col("n_tokens"))).as("denom"))
+    // denominator: per-source roots rounded at 9dp then summed as DECIMAL —
+    // an exact, order-independent sum (a raw double sum's partial-agg order
+    // is engine-chosen, and round(6) at the output only masks last-ulp drift
+    // when the quotient isn't sitting on a rounding boundary)
+    val denom = stats.agg(
+      sum(round(sqrt(col("n_tokens")), 9).cast("decimal(28,9)"))
+        .cast("double").as("denom"))
     stats.crossJoin(broadcast(denom))
       .withColumn("weight", round(sqrt(col("n_tokens")) / col("denom"), 6))
       .select(col("source"), col("n_docs"), col("n_tokens"), col("weight"))
@@ -313,7 +319,8 @@ object Pipeline {
       |st AS (SELECT source, count(*) AS n_docs,
       |              CAST(sum(n_tokens) AS BIGINT) AS n_tokens
       |       FROM t GROUP BY source),
-      |dn AS (SELECT sum(sqrt(n_tokens)) AS denom FROM st)
+      |dn AS (SELECT CAST(sum(CAST(round(sqrt(n_tokens), 9) AS DECIMAL(28,9)))
+      |                   AS DOUBLE) AS denom FROM st)
       |SELECT source, n_docs, n_tokens,
       |       round(sqrt(n_tokens) / denom, 6) AS weight
       |FROM st CROSS JOIN dn ORDER BY source""".stripMargin

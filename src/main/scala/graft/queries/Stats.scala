@@ -327,7 +327,10 @@ object Stats {
     val sums = ev.groupBy(col("event_type")).agg(
       count(lit(1)).as("n"),
       sum(col("v")).as("s1"),
-      sum((col("v") * col("v")).cast("decimal(38,0)")).as("s2"))
+      // cast BEFORE multiplying: a Long v*v silently wraps in Spark
+      // (non-ANSI) past |v|~3.03e9 while DuckDB's BIGINT multiply errors —
+      // decimal(19,0)*decimal(19,0) → decimal(38,0) is exact for any Long v
+      sum(col("v").cast("decimal(19,0)") * col("v").cast("decimal(19,0)")).as("s2"))
     val stats = sums.select(col("event_type"),
       expr(outlierMean).as("mv"), expr(outlierStd).as("sv"))
     ev.join(broadcast(stats), "event_type")
@@ -344,7 +347,8 @@ object Stats {
        |         CAST(round(value * 1000000) AS BIGINT) AS v
        |  FROM events),
        |sums AS (
-       |  SELECT event_type, count(*) AS n, sum(v) AS s1, sum(v * v) AS s2
+       |  SELECT event_type, count(*) AS n, sum(v) AS s1,
+         sum(CAST(v AS DECIMAL(19,0)) * CAST(v AS DECIMAL(19,0))) AS s2
        |  FROM ev GROUP BY event_type),
        |stats AS (
        |  SELECT event_type, $outlierMean AS mv, $outlierStd AS sv
