@@ -155,6 +155,19 @@ class LlmSpec extends SparkTestBase {
       s"got $got")
   }
 
+  test("near-dup clusters: a diameter-6 chain converges to ONE cluster") {
+    // the exact failure mode of the old fixed-3-round propagation: a path
+    // graph 1-2-3-4-5-6-7 has diameter 6, so node 7's min label needs >3
+    // propagation rounds to arrive — convergence (with pointer-jumping)
+    // must merge the whole chain onto 1, plus an unrelated 2-cycle
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L),
+      (6L, 7L), (100L, 101L)).toDF("doc_a", "doc_b")
+    val got = Dedup.propagateMinLabels(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = (1L to 7L).map(_ -> 1L).toMap ++ Map(100L -> 100L, 101L -> 100L)
+    assert(got == want, s"got $got")
+  }
+
   test("decontamination: benchmark-overlapping doc flagged, disjoint doc clean") {
     val docs = Seq(
       (1L, base), // benchmark doc (id < 10)
