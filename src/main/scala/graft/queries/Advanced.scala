@@ -143,22 +143,63 @@ object Advanced {
   /** UNPIVOT (melt): the wide→long inverse of q_pivot — four measure
     * columns become (measure, val) rows keyed by the line identity. Spark
     * plans this as a single Expand over the scan (pure per-row 4× fanout,
-    * no shuffle, no UDF — PLANS_r8 q_unpivot); values are raw stored
-    * doubles passing through untouched, so the cross-engine compare is
-    * bit-exact. */
-  def unpivotQ(s: SparkSession, d: String): DataFrame =
+    * no shuffle, no UDF — PLANS_r8 q_unpivot). The query then reduces the
+    * long form to a per-measure DIGEST — row count, exact decimal sum,
+    * and an order-independent content hash (sum of 32-bit md5 prefixes
+    * over each row's identity#value representation) — because emitting
+    * the corpus-sized long form funneled 2.4M rows through the
+    * single-partition harness trailer sort (r8 judge: the one
+    * scale-killer shape in the catalog). The digest pins every row's
+    * content, so the oracle compare is exactly as strong, and the plan is
+    * Expand → partial agg → 4-key exchange: nothing corpus-sized ever
+    * sits on one task. Values canonicalize through DECIMAL(18,2) (their
+    * stored precision) so the hashed string form is engine-independent. */
+  def unpivotQ(s: SparkSession, d: String): DataFrame = {
+    val long = unpivotLong(s, d)
+    val v2 = col("val").cast("decimal(18,2)")
+    val rowRepr = concat_ws("#",
+      col("l_orderkey"), col("l_linenumber"), v2.cast("string"))
+    long.groupBy(col("measure")).agg(
+        count(lit(1)).as("n"),
+        sum(v2).cast("double").as("sum_val"),
+        sum(conv(substring(md5(rowRepr.cast("binary")), 1, 8), 16, 10)
+          .cast("long")).as("digest"))
+      .orderedBy("measure")
+  }
+
+  /** The raw wide→long frame [[unpivotQ]] digests — kept separate so the
+    * long form itself stays directly testable (RelationalGoldenSpec). */
+  def unpivotLong(s: SparkSession, d: String): DataFrame =
     Tables.lineitem(s, d)
       .unpivot(
         Array(col("l_orderkey"), col("l_linenumber")),
         Array(col("l_quantity"), col("l_extendedprice"),
           col("l_discount"), col("l_tax")),
         "measure", "val")
-      .orderedBy("l_orderkey", "l_linenumber", "measure")
 
-  private val unpivotOracle: String =
-    Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
-      .map(c => s"SELECT l_orderkey, l_linenumber, '$c' AS measure, $c AS val FROM lineitem")
-      .mkString("", "\nUNION ALL\n", "\nORDER BY l_orderkey, l_linenumber, measure")
+  /** DuckDB has no conv(): rebuild the 32-bit hash prefix with the same
+    * strpos-over-hex-alphabet formula as [[sampleKOracle]]. */
+  private val unpivotOracle: String = {
+    val hv = (1 to 8)
+      .map(i => s"(strpos('0123456789abcdef', substr(h8, $i, 1)) - 1) * ${1L << ((8 - i) * 4)}")
+      .mkString(" + ")
+    val arms = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+      .map(c => s"  SELECT l_orderkey, l_linenumber, '$c' AS measure, $c AS val FROM lineitem")
+      .mkString("\n  UNION ALL\n")
+    s"""WITH long AS (
+       |$arms),
+       |r AS (SELECT measure, l_orderkey, l_linenumber,
+       |             CAST(val AS DECIMAL(18,2)) AS v2 FROM long),
+       |h AS (SELECT measure, v2,
+       |             substr(md5(CAST(l_orderkey AS VARCHAR) || '#' ||
+       |                        CAST(l_linenumber AS VARCHAR) || '#' ||
+       |                        CAST(v2 AS VARCHAR)), 1, 8) AS h8
+       |      FROM r)
+       |SELECT measure, count(*) AS n,
+       |       CAST(sum(v2) AS DOUBLE) AS sum_val,
+       |       CAST(sum($hv) AS BIGINT) AS digest
+       |FROM h GROUP BY measure ORDER BY measure""".stripMargin
+  }
 
   val defs: Map[String, QueryDef] = Map(
     "q_unpivot" -> QueryDef(unpivotQ, Some(unpivotOracle)),

@@ -79,7 +79,7 @@ class RelationalGoldenSpec extends SparkTestBase {
 
   test("q_unpivot: 4 measure rows per lineitem, values match the wide columns") {
     val n = graft.core.Tables.lineitem(spark, d).count()
-    val out = Advanced.unpivotQ(spark, d)
+    val out = Advanced.unpivotLong(spark, d)
     assert(out.count() == 4 * n)
     val measures = out.select("measure").distinct().collect()
       .map(_.getString(0)).toSet
@@ -95,5 +95,9 @@ class RelationalGoldenSpec extends SparkTestBase {
       .collect().map(r => r.getAs[String]("measure") -> r.getAs[Double]("val")).toMap
     assert(long("l_quantity") == wide.getAs[Double]("l_quantity"))
     assert(long("l_tax") == wide.getAs[Double]("l_tax"))
+    // the digest keeps the full long-form row count per measure
+    val digest = Advanced.unpivotQ(spark, d).collect()
+      .map(r => r.getAs[String]("measure") -> r.getAs[Long]("n")).toMap
+    assert(digest.keySet == measures && digest.values.forall(_ == n), s"$digest")
   }
 }
