@@ -4,7 +4,7 @@ import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType, StructType}
 
 /** Dot product of two array<double> columns as a NATIVE codegen expression.
   *
@@ -65,5 +65,139 @@ case class DotProduct(left: Expression, right: Expression)
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): DotProduct =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Nearest-centroid-by-cosine argmax as ONE native codegen expression:
+  * `vec_argmax_cos(cs, e)` where `cs` is the broadcast centroid array
+  * (struct<cid: bigint, ce: array<double>, snrm: double> — `snrm` the
+  * PRE-SQRTED centroid self-norm) and `e` the row's vector; returns the
+  * winning cid (null for an empty/null centroid list).
+  *
+  * Replaces the interpreted
+  * `array_max(transform(cs, c -> struct(vec_dot(c.ce, e)/(c.snrm*snrm_e),
+  * -c.cid, c.cid)))` in the IVF assignment hot path — the HOF allocates a
+  * scored struct per centroid per row and evaluates its lambda boxed
+  * outside whole-stage codegen (the documented ±10% cost of the r8
+  * zero-shuffle rework). This is the same op tree fused into a primitive
+  * loop: per centroid one index-ordered dot, one multiply, one divide —
+  * so scores, and therefore assignments, stay BIT-IDENTICAL to the HOF
+  * formulation and the unrolled DuckDB oracle (the query norm
+  * sqrt(vec_dot(e,e)) is computed inside, same tree).
+  *
+  * Selection rule replicated from array_max over (s, -cid): strictly
+  * higher score wins; equal score → lower cid. Constraint: scores must be
+  * finite (zero-norm vectors would yield NaN, where array_max's NaN-is-
+  * greatest ordering and this loop can disagree on which NaN wins);
+  * embedding corpora here are non-zero by construction. */
+case class CosArgMax(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "vec_argmax_cos"
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val csOk = left.dataType match {
+      case ArrayType(st: StructType, _) if st.length == 3 =>
+        st(0).dataType == LongType &&
+          (st(1).dataType match {
+            case ArrayType(DoubleType, _) => true
+            case _ => false
+          }) && st(2).dataType == DoubleType
+      case _ => false
+    }
+    val eOk = right.dataType match {
+      case ArrayType(DoubleType, _) => true
+      case _ => false
+    }
+    if (csOk && eOk) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      "vec_argmax_cos requires (array<struct<cid: bigint, ce: array<double>, " +
+        s"snrm: double>>, array<double>), got ${left.dataType.simpleString} " +
+        s"and ${right.dataType.simpleString}")
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val cs = a.asInstanceOf[ArrayData]
+    val e = b.asInstanceOf[ArrayData]
+    val ne = e.numElements()
+    var qacc = 0.0
+    var i = 0
+    while (i < ne) { val v = e.getDouble(i); qacc += v * v; i += 1 }
+    val qnrm = math.sqrt(qacc)
+    val n = cs.numElements()
+    var bestCid = 0L
+    var bestS = 0.0
+    var found = false
+    var c = 0
+    while (c < n) {
+      val row = cs.getStruct(c, 3)
+      val cid = row.getLong(0)
+      val ce = row.getArray(1)
+      val m = math.min(ce.numElements(), ne)
+      var acc = 0.0
+      var j = 0
+      while (j < m) { acc += ce.getDouble(j) * e.getDouble(j); j += 1 }
+      val s = acc / (row.getDouble(2) * qnrm)
+      if (!found || s > bestS || (s == bestS && cid < bestCid)) {
+        found = true; bestS = s; bestCid = cid
+      }
+      c += 1
+    }
+    if (found) bestCid else null
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val ne = ctx.freshName("ne")
+      val qacc = ctx.freshName("qacc")
+      val qnrm = ctx.freshName("qnrm")
+      val n = ctx.freshName("n")
+      val bestCid = ctx.freshName("bestCid")
+      val bestS = ctx.freshName("bestS")
+      val found = ctx.freshName("found")
+      val c = ctx.freshName("c")
+      val row = ctx.freshName("row")
+      val cid = ctx.freshName("cid")
+      val ce = ctx.freshName("ce")
+      val m = ctx.freshName("m")
+      val acc = ctx.freshName("acc")
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val s = ctx.freshName("s")
+      val v = ctx.freshName("v")
+      s"""
+         |int $ne = $b.numElements();
+         |double $qacc = 0.0;
+         |for (int $i = 0; $i < $ne; $i++) {
+         |  double $v = $b.getDouble($i);
+         |  $qacc += $v * $v;
+         |}
+         |double $qnrm = java.lang.Math.sqrt($qacc);
+         |int $n = $a.numElements();
+         |long $bestCid = 0L;
+         |double $bestS = 0.0;
+         |boolean $found = false;
+         |for (int $c = 0; $c < $n; $c++) {
+         |  org.apache.spark.sql.catalyst.InternalRow $row = $a.getStruct($c, 3);
+         |  long $cid = $row.getLong(0);
+         |  org.apache.spark.sql.catalyst.util.ArrayData $ce = $row.getArray(1);
+         |  int $m = java.lang.Math.min($ce.numElements(), $ne);
+         |  double $acc = 0.0;
+         |  for (int $j = 0; $j < $m; $j++) {
+         |    $acc += $ce.getDouble($j) * $b.getDouble($j);
+         |  }
+         |  double $s = $acc / ($row.getDouble(2) * $qnrm);
+         |  if (!$found || $s > $bestS || ($s == $bestS && $cid < $bestCid)) {
+         |    $found = true; $bestS = $s; $bestCid = $cid;
+         |  }
+         |}
+         |if (!$found) { ${ev.isNull} = true; } else { ${ev.value} = $bestCid; }
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): CosArgMax =
     copy(left = newLeft, right = newRight)
 }

@@ -122,19 +122,19 @@ object Similarity {
     * unlike the chained-HOF-over-tokens shapes WinnowFps exists to avoid.
     */
   private[llm] def assignNearest(all: DataFrame, cents: DataFrame): DataFrame = {
-    // norms enter the broadcast/projection PRE-SQRTED so the per-element
-    // lambda does one native vec_dot, one multiply, one divide — the
-    // (sqrt·sqrt) product order matches [[cosine]] exactly, so scores stay
-    // bit-identical to the window formulation the oracle unrolls
+    // norms enter the broadcast PRE-SQRTED so the per-centroid loop does
+    // one native dot, one multiply, one divide — the (sqrt·sqrt) product
+    // order matches [[cosine]] exactly, so scores stay bit-identical to
+    // the window formulation the oracle unrolls. The whole score+argmax is
+    // ONE codegen expression (expr.CosArgMax): the earlier
+    // array_max-over-transform built a boxed scored struct per centroid
+    // per row in an interpreted lambda — the documented ±10% local cost of
+    // the r8 zero-shuffle rework, now gone (same op tree, fused loop).
     val cs = cents.agg(collect_list(struct(col("cid"), col("ce"),
       sqrt(call_function("vec_dot", col("ce"), col("ce"))).as("snrm"))).as("cs"))
     all.crossJoin(broadcast(cs))
-      .withColumn("snrm_e", sqrt(call_function("vec_dot", col("e"), col("e"))))
-      .withColumn("best", expr(
-        """array_max(transform(cs, c -> struct(
-          |  vec_dot(c.ce, e) / (c.snrm * snrm_e) AS s,
-          |  -c.cid AS negcid, c.cid AS cid)))""".stripMargin))
-      .select(col("vec_id"), col("e"), col("best.cid").as("cid"))
+      .select(col("vec_id"), col("e"),
+        call_function("vec_argmax_cos", col("cs"), col("e")).as("cid"))
   }
 
   /** IVF-bucketed ANN: assign all vectors to their nearest of `nCentroids`

@@ -168,14 +168,31 @@ object Advanced {
   }
 
   /** The raw wide→long frame [[unpivotQ]] digests — kept separate so the
-    * long form itself stays directly testable (RelationalGoldenSpec). */
-  def unpivotLong(s: SparkSession, d: String): DataFrame =
-    Tables.lineitem(s, d)
-      .unpivot(
-        Array(col("l_orderkey"), col("l_linenumber")),
-        Array(col("l_quantity"), col("l_extendedprice"),
-          col("l_discount"), col("l_tax")),
-        "measure", "val")
+    * long form itself stays directly testable (RelationalGoldenSpec).
+    *
+    * The scan fans out through one narrow exchange (6 projected columns)
+    * ONLY when it yields fewer splits than the session's cores: parquet
+    * can split no finer than row-group boundaries, and the driver
+    * testdata is written as a single row group, so without this the whole
+    * Expand + per-row digest hashing of [[unpivotQ]] runs on ONE task
+    * (measured: ~3.2 s of md5 on one core at sf0.1). At corpus scale the
+    * scan splits naturally, the guard sees parts >= cores, and no
+    * exchange is added — the check reads split planning only, it runs no
+    * job. */
+  def unpivotLong(s: SparkSession, d: String): DataFrame = {
+    val wide = Tables.lineitem(s, d).select(
+      col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+      col("l_extendedprice"), col("l_discount"), col("l_tax"))
+    val cores = s.sparkContext.defaultParallelism
+    val fanned =
+      if (wide.rdd.getNumPartitions * 2 < cores) wide.repartition(cores)
+      else wide
+    fanned.unpivot(
+      Array(col("l_orderkey"), col("l_linenumber")),
+      Array(col("l_quantity"), col("l_extendedprice"),
+        col("l_discount"), col("l_tax")),
+      "measure", "val")
+  }
 
   /** DuckDB has no conv(): rebuild the 32-bit hash prefix with the same
     * strpos-over-hex-alphabet formula as [[sampleKOracle]]. */
