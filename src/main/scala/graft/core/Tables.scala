@@ -69,10 +69,20 @@ object Tables {
     * bridges. Complete mode keeps all state on finite input: exactly
     * batch semantics, so the streamed result hash-compares against the
     * batch query's own oracle SQL. */
-  def runStreamComplete(df: DataFrame, prefix: String): DataFrame = {
+  def runStreamComplete(df: DataFrame, prefix: String): DataFrame =
+    runStream(df, prefix, "complete")
+
+  /** Append-mode twin of [[runStreamComplete]] for the operators complete
+    * mode cannot express (stream-stream joins, watermark dedup): on finite
+    * AvailableNow input every match/survivor emits in the batch it arrives
+    * in, so the materialized sink is again exactly the batch answer. */
+  def runStreamAppend(df: DataFrame, prefix: String): DataFrame =
+    runStream(df, prefix, "append")
+
+  private def runStream(df: DataFrame, prefix: String, mode: String): DataFrame = {
     val s = df.sparkSession
     val name = prefix + java.util.UUID.randomUUID().toString.replace("-", "")
-    val q = df.writeStream.outputMode("complete").format("memory")
+    val q = df.writeStream.outputMode(mode).format("memory")
       .queryName(name)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()

@@ -851,8 +851,36 @@ object Dedup {
     Tables.runStreamComplete(out, "dedup_streamed_").orderedBy("keep_id")
   }
 
+  /** [[graft.stream.Enrich.dedupWithinWatermark]] under the exact-dedup
+    * oracle (the 6th streaming bridge): documents stream in with a
+    * deterministic event time (doc_id as epoch µs), get watermarked, and
+    * dropDuplicatesWithinWatermark keeps one row per (content md5,
+    * length). WHICH physical row survives a duplicate group is
+    * arrival-order-dependent, so the query emits only the KEY columns —
+    * deterministic whatever the order — and the oracle is a plain
+    * DISTINCT. Append mode + AvailableNow: every first-seen key emits in
+    * its arrival batch. 100 TB shape: this is the at-least-once ingest
+    * dedup — state holds one entry per key seen within the watermark
+    * delay and the eviction clock is what keeps it bounded (the unbounded
+    * dropDuplicates twin would pin every key forever). */
+  def dedupWmStreamed(s: SparkSession, d: String): DataFrame = {
+    val keyed = Tables.documentsStream(s, d)
+      .select(md5(col("text").cast("binary")).as("h"),
+        length(col("text")).cast("long").as("len"),
+        // +1s: the initial watermark is epoch 0 and the state store treats
+        // a row AT the watermark as expired — doc_id 0 must not land on it
+        timestamp_micros(col("doc_id") + lit(1000000L)).as("ts"))
+      .withWatermark("ts", "1 minute")
+    val deduped = graft.stream.Enrich.dedupWithinWatermark(keyed, "h", "len")
+      .select(col("h"), col("len"))
+    Tables.runStreamAppend(deduped, "dedup_wm_streamed_").orderedBy("h")
+  }
+
   val defs: Map[String, QueryDef] = Map(
     "q_dedup_chunk" -> QueryDef(chunkDups(_, _), Some(chunkDupsOracle(32))),
+    "q_dedup_wm_streamed" -> QueryDef(dedupWmStreamed, Some(
+      """SELECT md5(text) AS h, CAST(length(text) AS BIGINT) AS len
+        |FROM documents GROUP BY 1, 2 ORDER BY h""".stripMargin)),
     "q_dedup_streamed" -> QueryDef(exactStreamed, Some(
       """SELECT min(doc_id) AS keep_id, count(*) AS cnt
         |FROM documents GROUP BY md5(text), length(text)

@@ -67,7 +67,55 @@ object TimeWindows {
       .orderedBy("user_id", "sess_start")
   }
 
+  /** Stream-stream INTERVAL JOIN under the batch oracle (the 5th — and
+    * most failure-prone — streaming bridge): clicks and purchases are two
+    * independent streaming readers of the same events data, both
+    * watermarked, inner-joined per user with purchase time in
+    * [click, click + 10 min]. Append mode + AvailableNow over finite
+    * input: every matching pair emits in the batch both sides arrive in
+    * (inner-join emission is match-driven; the watermarks only bound join
+    * STATE), so the sink holds exactly the batch join — the SQL a
+    * [[graft.queries.Relational]] range join would use. 100 TB shape:
+    * both sides shuffle on user_id once and state is watermark-bounded to
+    * (rate × 10 min + delay) per side — never the stream's history. */
+  def joinStreamed(s: SparkSession, d: String): DataFrame = {
+    val c = Tables.eventsStream(s, d)
+      .filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
+        col("ts").as("c_ts"))
+      .withWatermark("c_ts", "1 minute")
+    val p = Tables.eventsStream(s, d)
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id").as("p_user"),
+        col("ts").as("p_ts"))
+      .withWatermark("p_ts", "1 minute")
+    val joined = c.join(p,
+      col("c_user") === col("p_user") &&
+        col("p_ts") >= col("c_ts") &&
+        col("p_ts") <= col("c_ts") + expr("INTERVAL 10 MINUTES"))
+      .select(col("click_id"), col("p_id"))
+    Tables.runStreamAppend(joined, "join_streamed_")
+      .orderedBy("click_id", "p_id")
+  }
+
+  private val joinStreamedOracle: String =
+    """WITH c AS (
+      |  SELECT event_id AS click_id, user_id,
+      |         date_trunc('microseconds', ts) AS c_ts
+      |  FROM events WHERE event_type = 'click'),
+      |p AS (
+      |  SELECT event_id AS p_id, user_id,
+      |         date_trunc('microseconds', ts) AS p_ts
+      |  FROM events WHERE event_type = 'purchase')
+      |SELECT click_id, p_id
+      |FROM c JOIN p USING (user_id)
+      |WHERE p_ts >= c_ts AND p_ts <= c_ts + INTERVAL 10 MINUTE
+      |ORDER BY click_id, p_id""".stripMargin
+
   val defs: Map[String, QueryDef] = Map(
+    // the streaming join state machine against plain batch-join SQL —
+    // batch ≡ streaming as a driver-oracled property
+    "q_join_streamed" -> QueryDef(joinStreamed, Some(joinStreamedOracle)),
     "q_win_sliding" -> QueryDef(slidingOhlc, Some(
       """SELECT CAST(epoch(date_trunc('minute', ts) - b.b * INTERVAL 1 MINUTE) AS BIGINT) AS ws,
         |       event_type AS base,
