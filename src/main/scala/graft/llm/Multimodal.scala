@@ -49,13 +49,23 @@ object Multimodal {
   def frameSample(binExpr: String, n: Int, width: Int): Column =
     expr(s"transform(sequence(0, ${n - 1}), i -> substring($binExpr, i * $width + 1, $width))")
 
-  /** Catalog query: pack → decode-stub → flatten. Frame slices are exercised
-    * in tests (DuckDB 1.0 can't substring BLOBs, so they stay out of the
-    * oracle-facing output). */
+  /** Catalog query: pack → decode-stub → flatten → frame-sample. The
+    * [[frameSample]] slices operate on the BINARY payload (the real
+    * video-frame batch shape), then collapse to driver-visible scalars —
+    * per-frame md5s and byte lengths, comma-joined — so the slicing sits
+    * under the DuckDB hash compare. DuckDB 1.0 has no BLOB
+    * substring/md5, so the ORACLE replays the slices on the string side:
+    * valid because the stand-in payload is the utf-8 bytes of `text` and
+    * the fixture corpus is pure ASCII (byte slice ≡ char slice —
+    * verified octet_length(encode(text)) = length(text) over the
+    * testdata; a real codec payload would keep the Spark side unchanged
+    * and move this query to the rows-only gate). */
   def mediaFeatures(s: SparkSession, d: String): DataFrame = {
     val packed = packDocumentsAsMedia(Tables.documents(s, d))
+    val frames = frameSample("bin", nFrames, frameWidth)
     packed
       .withColumn("f", decodeStub(col("bin")))
+      .withColumn("frames", frames)
       .select(
         col("doc_id"),
         col("meta.mime").as("mime"),
@@ -64,19 +74,29 @@ object Multimodal {
         col("f.content_md5").as("content_md5"),
         col("f.first_byte").as("first_byte"),
         col("f.fake_w").as("fake_w"),
-        col("f.fake_h").as("fake_h")
+        col("f.fake_h").as("fake_h"),
+        expr("array_join(transform(frames, x -> md5(x)), ',')").as("frames_md5"),
+        expr("array_join(transform(frames, x -> CAST(length(x) AS STRING)), ',')")
+          .as("frames_len")
       )
       .orderedBy("doc_id")
   }
 
+  private val nFrames = 4
+  private val frameWidth = 32
+
   val defs: Map[String, QueryDef] = Map(
     "q_multimodal" -> QueryDef(mediaFeatures(_, _), Some(
-      """SELECT doc_id, 'text/plain' AS mime, lang,
-        |       octet_length(CAST(text AS BLOB)) AS n_bytes,
-        |       md5(text) AS content_md5,
-        |       ascii(substring(text, 1, 1)) AS first_byte,
-        |       octet_length(CAST(text AS BLOB)) % 640 AS fake_w,
-        |       (octet_length(CAST(text AS BLOB)) * 7) % 480 AS fake_h
-        |FROM documents ORDER BY doc_id""".stripMargin))
+      s"""SELECT doc_id, 'text/plain' AS mime, lang,
+         |       octet_length(CAST(text AS BLOB)) AS n_bytes,
+         |       md5(text) AS content_md5,
+         |       ascii(substring(text, 1, 1)) AS first_byte,
+         |       octet_length(CAST(text AS BLOB)) % 640 AS fake_w,
+         |       (octet_length(CAST(text AS BLOB)) * 7) % 480 AS fake_h,
+         |       array_to_string(list_transform(range(0, $nFrames),
+         |         i -> md5(substring(text, i * $frameWidth + 1, $frameWidth))), ',') AS frames_md5,
+         |       array_to_string(list_transform(range(0, $nFrames),
+         |         i -> CAST(length(substring(text, i * $frameWidth + 1, $frameWidth)) AS VARCHAR)), ',') AS frames_len
+         |FROM documents ORDER BY doc_id""".stripMargin))
   )
 }
