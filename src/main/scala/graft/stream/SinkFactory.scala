@@ -15,17 +15,30 @@ object SinkFactory {
   def checkpointDir(root: String, queryName: String): String =
     new java.io.File(root, queryName).getPath
 
+  /** The exact writer option map the reference sets (main.py:208-217),
+    * exposed as data for the same broker-less golden test as
+    * [[SourceFactory.kafkaSourceOptions]]. */
+  def kafkaSinkOptions(bootstrapServers: String, checkpointRoot: String,
+                       queryName: String): Seq[(String, String)] =
+    Seq(
+      "kafka.bootstrap.servers" -> bootstrapServers,
+      "checkpointLocation" -> checkpointDir(checkpointRoot, queryName))
+
+  /** The sink's row shape (reference main.py:209): dynamic per-row `topic`,
+    * key/value cast to STRING — the three columns the Kafka writer consumes. */
+  def kafkaProjection(candlesOut: DataFrame): DataFrame =
+    candlesOut.selectExpr(
+      "topic", "CAST(key AS STRING) AS key", "CAST(value AS STRING) AS value")
+
   /** The production Kafka sink shape: update-mode, dynamic per-row `topic`
     * column, isolated checkpoint (reference main.py:208-217). The input
     * DataFrame must carry (topic, key, value) — see OhlcPipeline.toKafkaOutput. */
   def kafka(candlesOut: DataFrame, bootstrapServers: String,
             checkpointRoot: String, queryName: String = "kafka_sink"): DataStreamWriter[Row] =
-    candlesOut
-      .selectExpr("topic", "CAST(key AS STRING) AS key", "CAST(value AS STRING) AS value")
-      .writeStream
-      .format("kafka")
-      .option("kafka.bootstrap.servers", bootstrapServers)
-      .option("checkpointLocation", checkpointDir(checkpointRoot, queryName))
+    kafkaSinkOptions(bootstrapServers, checkpointRoot, queryName)
+      .foldLeft(kafkaProjection(candlesOut).writeStream.format("kafka")) {
+        case (w, (k, v)) => w.option(k, v)
+      }
       .queryName(queryName)
       .outputMode("update")
 

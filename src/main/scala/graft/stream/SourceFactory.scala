@@ -21,17 +21,27 @@ object SourceFactory {
     else
       ("subscribePattern", topics)
 
+  /** The exact reader option map the reference sets (main.py:77-87),
+    * exposed as data so it stays golden-testable without a broker or the
+    * kafka connector jar (KafkaWiringSpec pins every key and value against
+    * the reference's literals — the only part of the Kafka path this
+    * environment can execute). */
+  def kafkaSourceOptions(bootstrapServers: String, topics: String): Seq[(String, String)] = {
+    val (mode, value) = subscriptionOption(topics)
+    Seq(
+      "kafka.bootstrap.servers" -> bootstrapServers,
+      mode -> value,
+      "startingOffsets" -> "earliest")
+  }
+
   /** Kafka streaming source with full-history replay (reference
     * main.py:77-87). Requires the kafka connector jar on the cluster. */
-  def kafka(spark: SparkSession, bootstrapServers: String, topics: String): DataFrame = {
-    val (mode, value) = subscriptionOption(topics)
-    spark.readStream
-      .format("kafka")
-      .option("kafka.bootstrap.servers", bootstrapServers)
-      .option(mode, value)
-      .option("startingOffsets", "earliest")
+  def kafka(spark: SparkSession, bootstrapServers: String, topics: String): DataFrame =
+    kafkaSourceOptions(bootstrapServers, topics)
+      .foldLeft(spark.readStream.format("kafka")) {
+        case (r, (k, v)) => r.option(k, v)
+      }
       .load()
-  }
 
   /** File-based source for local/e2e testing: JSON lines with the same
     * (topic, value) shape the Kafka source exposes after the reference's
