@@ -150,17 +150,7 @@ object Similarity {
     // use
     val assigned = assignNearest(all, cents)
       .select(col("vec_id"), col("e"), col("cid").as("bucket"))
-    // nprobe nearest buckets per query. Queries derive from the RAW vector
-    // set: they only need (id, embedding), and deriving them from
-    // `assigned` would re-execute the whole train+assign lineage a second
-    // time just to drop its bucket column.
-    val q = all.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("qid"), col("e").as("qe"))
-    val wProbe = Window.partitionBy(col("qid")).orderBy(col("pcos").desc, col("cid"))
-    val probes = q.join(broadcast(cents))
-      .select(col("qid"), col("qe"), col("cid"), cosine(col("ce"), col("qe")).as("pcos"))
-      .withColumn("prn", row_number().over(wProbe)).filter(col("prn") <= nprobe)
-      .select(col("qid"), col("qe"), col("cid").as("bucket"))
+    val probes = ivfProbes(all, cents, nQueries, nprobe)
     // search only the probed buckets. The probe set (nQueries × nprobe
     // rows) BROADCASTS: joining on `bucket` by shuffle would repartition
     // the whole assigned corpus on a key with only nCentroids distinct
@@ -173,6 +163,40 @@ object Similarity {
       .withColumn("rnk", row_number().over(wTop)).filter(col("rnk") <= k)
       .select(col("qid"), col("rnk").cast("long").as("rnk"), col("nbr"))
       .orderedBy("qid", "rnk")
+  }
+
+  /** The probe set: `nprobe` nearest buckets per query, (qid, qe, bucket).
+    * Queries derive from the RAW vector set: they only need
+    * (id, embedding), and deriving them from the assigned relation would
+    * re-execute the whole train+assign lineage a second time just to drop
+    * its bucket column. */
+  private[llm] def ivfProbes(all: DataFrame, cents: DataFrame,
+                             nQueries: Int, nprobe: Int): DataFrame = {
+    val q = all.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("e").as("qe"))
+    val wProbe = Window.partitionBy(col("qid")).orderBy(col("pcos").desc, col("cid"))
+    q.join(broadcast(cents))
+      .select(col("qid"), col("qe"), col("cid"), cosine(col("ce"), col("qe")).as("pcos"))
+      .withColumn("prn", row_number().over(wProbe)).filter(col("prn") <= nprobe)
+      .select(col("qid"), col("qe"), col("cid").as("bucket"))
+  }
+
+  /** Diagnostic for the nprobe cost knob (tools.IvfSweep): per-query count
+    * of candidates the bucketed search would score — the same
+    * probes⋈assigned join as [[topkBucketed]] minus the scoring, so the
+    * measured candidate volume is exactly the search's. */
+  def ivfCandidates(s: SparkSession, d: String, nQueries: Int = 20,
+                    nCentroids: Int = 8, nprobe: Int = 2,
+                    trainIters: Int = 2): DataFrame = {
+    val all = vecs(s, d)
+    val cents = trainCentroids(all, nCentroids, trainIters)
+    val assigned = assignNearest(all, cents)
+      .select(col("vec_id"), col("cid").as("bucket"))
+    ivfProbes(all, cents, nQueries, nprobe)
+      .select(col("qid"), col("bucket"))
+      .join(assigned, "bucket")
+      .filter(col("vec_id") =!= col("qid"))
+      .groupBy(col("qid")).agg(count(lit(1)).as("n_cand"))
   }
 
   /** Scalar int8 quantization of the embedding column — the storage/
@@ -330,9 +354,11 @@ object Similarity {
     * pruned top-k relations of nQueries·k rows — the recall join touches
     * only those. */
   def annRecall(s: SparkSession, d: String,
-                nQueries: Int = 20, k: Int = 3): DataFrame = {
+                nQueries: Int = 20, k: Int = 3, nCentroids: Int = 8,
+                nprobe: Int = 2, trainIters: Int = 2): DataFrame = {
     val brute = topkBrute(s, d, nQueries, k).select(col("qid"), col("nbr"))
-    val ivf = topkBucketed(s, d, nQueries, k).select(col("qid"), col("nbr"))
+    val ivf = topkBucketed(s, d, nQueries, k, nCentroids, nprobe, trainIters)
+      .select(col("qid"), col("nbr"))
     val hits = brute.join(ivf, Seq("qid", "nbr"))
       .groupBy(col("qid")).agg(count(lit(1)).as("hits"))
     brute.select(col("qid")).distinct()
