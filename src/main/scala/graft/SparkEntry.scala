@@ -105,6 +105,99 @@ object Catalog {
     Tables.runStreamComplete(out, "ohlc_streamed_").orderedBy("ws", "base")
   }
 
+  /** The CUSTOM-STATE streaming engine under the batch oracle (7th bridge,
+    * and the one covering code no built-in aggregation runs):
+    * [[graft.stream.StatefulCandles.closedCandles]] — flatMapGroupsWithState
+    * with explicit per-symbol open-window state, append emission when the
+    * key's own event time passes window end + lateness. On AvailableNow
+    * finite input the emission set is a deterministic function of the
+    * data — exactly the windows with end ≤ maxTs(base) − lateness — which
+    * the oracle replays with a per-base max join. Two deliberate contract
+    * differences from q_ohlc_1m's SQL: the engine's tie rule is
+    * MILLISECOND-truncated (Timestamp.getTime), so the oracle orders by
+    * epoch_ms; and volume is omitted from the output — the state fold
+    * sums doubles in iterator order, the one non-order-independent value
+    * in the candle (the batch paths cover volume with exact decimal
+    * sums). */
+  def qOhlcStateful(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val trades = Tables.eventsStream(spark, dir)
+      .select(col("event_type").as("base"), col("ts").as("timestamp"),
+        col("value").as("price"), col("value").as("quantity"))
+      .as[graft.ohlc.Trade]
+    val candles = graft.stream.StatefulCandles.closedCandles(trades)
+    val out = candles.toDF().select(
+      unix_timestamp(col("start_ts")).as("ws"), col("base"),
+      col("open"), col("high"), col("low"), col("close"))
+    Tables.runStreamAppend(out, "ohlc_stateful_").orderedBy("ws", "base")
+  }
+
+  /** The transformWithState engine (MapState/ValueState + first-class
+    * event-time timers — TwsCandles) under the oracle, 8th bridge. Its
+    * emission bound differs from [[qOhlcStateful]]: the data batch emits
+    * per-key (end ≤ keyMax − lateness), then the AvailableNow tail batch
+    * fires the watermark timers, closing every window with
+    * end ≤ GLOBAL max − lateness — a superset, and what the oracle
+    * replays with a global max. Same ms tie rule, volume omitted for the
+    * same order-independence reason. */
+  def qOhlcTws(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val trades = Tables.eventsStream(spark, dir)
+      .select(col("event_type").as("base"), col("ts").as("timestamp"),
+        col("value").as("price"), col("value").as("quantity"))
+      .as[graft.ohlc.Trade]
+    val candles = graft.stream.TwsCandles.closedCandles(trades)
+    val out = candles.toDF().select(
+      unix_timestamp(col("start_ts")).as("ws"), col("base"),
+      col("open"), col("high"), col("low"), col("close"))
+    // the StatefulProcessor API needs multi-column-family state, which
+    // only the RocksDB provider supports — scoped set + restore (the conf
+    // is read once at query start; the other bridges keep the default)
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try Tables.runStreamAppend(out, "ohlc_tws_").orderedBy("ws", "base")
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
+  private val ohlcTwsOracle =
+    """WITH t AS (
+      |  SELECT event_type AS base, epoch_ms(ts) AS ms, value
+      |  FROM events),
+      |b AS (SELECT max(ms) AS max_ms FROM t),
+      |w AS (SELECT base, ms - ms % 60000 AS ws_ms, ms, value FROM t),
+      |g AS (SELECT base, ws_ms,
+      |        first(value ORDER BY ms, value) AS open,
+      |        max(value) AS high, min(value) AS low,
+      |        last(value ORDER BY ms, value) AS close
+      |      FROM w GROUP BY base, ws_ms)
+      |SELECT CAST(ws_ms // 1000 AS BIGINT) AS ws, base,
+      |       open, high, low, close
+      |FROM g CROSS JOIN b
+      |WHERE ws_ms + 60000 <= max_ms - 120000
+      |ORDER BY ws, base""".stripMargin
+
+  private val ohlcStatefulOracle =
+    """WITH t AS (
+      |  SELECT event_type AS base, epoch_ms(ts) AS ms, value
+      |  FROM events),
+      |b AS (SELECT base, max(ms) AS max_ms FROM t GROUP BY base),
+      |w AS (SELECT base, ms - ms % 60000 AS ws_ms, ms, value FROM t),
+      |g AS (SELECT base, ws_ms,
+      |        first(value ORDER BY ms, value) AS open,
+      |        max(value) AS high, min(value) AS low,
+      |        last(value ORDER BY ms, value) AS close
+      |      FROM w GROUP BY base, ws_ms)
+      |SELECT CAST(ws_ms // 1000 AS BIGINT) AS ws, g.base,
+      |       open, high, low, close
+      |FROM g JOIN b USING (base)
+      |WHERE ws_ms + 60000 <= max_ms - 120000
+      |ORDER BY ws, base""".stripMargin
+
   private val ohlcOracle =
     """SELECT CAST(epoch(date_trunc('minute', ts)) AS BIGINT) AS ws,
       |       event_type AS base,
@@ -120,7 +213,12 @@ object Catalog {
     "q_ohlc_minby" -> QueryDef(qOhlcMinby, Some(ohlcOracle)),
     // the streaming engine's answer against the SAME SQL — batch ≡
     // streaming as a driver-oracled property
-    "q_ohlc_streamed" -> QueryDef(qOhlcStreamed, Some(ohlcOracle))
+    "q_ohlc_streamed" -> QueryDef(qOhlcStreamed, Some(ohlcOracle)),
+    // the flatMapGroupsWithState engine against its deterministic
+    // emission-bound SQL (ms tie rule, volume deliberately omitted)
+    "q_ohlc_stateful" -> QueryDef(qOhlcStateful, Some(ohlcStatefulOracle)),
+    // the transformWithState engine (timers close to the GLOBAL watermark)
+    "q_ohlc_tws" -> QueryDef(qOhlcTws, Some(ohlcTwsOracle))
   )
 
   val defs: Map[String, QueryDef] =
