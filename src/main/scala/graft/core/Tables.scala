@@ -82,11 +82,26 @@ object Tables {
   private def runStream(df: DataFrame, prefix: String, mode: String): DataFrame = {
     val s = df.sparkSession
     val name = prefix + java.util.UUID.randomUUID().toString.replace("-", "")
-    val q = df.writeStream.outputMode(mode).format("memory")
-      .queryName(name)
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    // Stateful-shuffle sizing, scoped to this bridge run (read once at
+    // query start; restored before any other plan is built): a streaming
+    // query instantiates one state store per shuffle partition per
+    // stateful operator PER BATCH — at the gate's finite input, 32
+    // partitions is pure per-store setup overhead (measured 7.3 s median
+    // for the stream-stream join; 3.0 s at 8). Production sizing is
+    // rate-based and belongs to the deployment, not the operator.
+    val key = "spark.sql.shuffle.partitions"
+    val prev = s.conf.getOption(key)
+    s.conf.set(key, "8")
+    try {
+      val q = df.writeStream.outputMode(mode).format("memory")
+        .queryName(name)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally prev match {
+      case Some(v) => s.conf.set(key, v)
+      case None => s.conf.unset(key)
+    }
     // Re-pin the result as a localCheckpoint (executor block storage the
     // ContextCleaner reclaims once the caller drops the DataFrame), then
     // release the memory sink's strong refs — the catalog temp view and

@@ -67,6 +67,27 @@ object TimeWindows {
       .orderedBy("user_id", "sess_start")
   }
 
+  /** [[slidingOhlc]] executed by the STREAMING engine (file source,
+    * AvailableNow, complete mode, memory sink) against the identical
+    * oracle SQL — the sliding-window fan-out (each row in window/slide
+    * panes) through the streaming aggregation path, completing the
+    * windowed-agg bridge family (tumbling: q_ohlc_streamed, session:
+    * q_session_streamed). */
+  def slidingStreamed(s: SparkSession, d: String): DataFrame = {
+    val out = Tables.eventsStream(s, d)
+      .groupBy(window(col("ts"), "5 minutes", "1 minute"),
+        col("event_type").as("base"))
+      .agg(
+        max(col("value")).as("high"),
+        min(col("value")).as("low"),
+        sum(col("value").cast("decimal(20,6)")).cast("double").as("volume"),
+        count(lit(1)).as("n")
+      )
+      .select(unix_timestamp(col("window.start")).as("ws"), col("base"),
+        col("high"), col("low"), col("volume"), col("n"))
+    Tables.runStreamComplete(out, "sliding_streamed_").orderedBy("ws", "base")
+  }
+
   /** Stream-stream INTERVAL JOIN under the batch oracle (the 5th — and
     * most failure-prone — streaming bridge): clicks and purchases are two
     * independent streaming readers of the same events data, both
@@ -112,18 +133,22 @@ object TimeWindows {
       |WHERE p_ts >= c_ts AND p_ts <= c_ts + INTERVAL 10 MINUTE
       |ORDER BY click_id, p_id""".stripMargin
 
+  private val slidingOracle: String =
+    """SELECT CAST(epoch(date_trunc('minute', ts) - b.b * INTERVAL 1 MINUTE) AS BIGINT) AS ws,
+      |       event_type AS base,
+      |       max(value) AS high, min(value) AS low,
+      |       CAST(sum(CAST(value AS DECIMAL(20,6))) AS DOUBLE) AS volume,
+      |       count(*) AS n
+      |FROM events, range(0, 5) b(b)
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   val defs: Map[String, QueryDef] = Map(
     // the streaming join state machine against plain batch-join SQL —
     // batch ≡ streaming as a driver-oracled property
     "q_join_streamed" -> QueryDef(joinStreamed, Some(joinStreamedOracle)),
-    "q_win_sliding" -> QueryDef(slidingOhlc, Some(
-      """SELECT CAST(epoch(date_trunc('minute', ts) - b.b * INTERVAL 1 MINUTE) AS BIGINT) AS ws,
-        |       event_type AS base,
-        |       max(value) AS high, min(value) AS low,
-        |       CAST(sum(CAST(value AS DECIMAL(20,6))) AS DOUBLE) AS volume,
-        |       count(*) AS n
-        |FROM events, range(0, 5) b(b)
-        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+    "q_win_sliding" -> QueryDef(slidingOhlc, Some(slidingOracle)),
+    // the streaming sliding-window fan-out against the SAME SQL
+    "q_sliding_streamed" -> QueryDef(slidingStreamed, Some(slidingOracle)),
     "q_win_session" -> QueryDef(sessions, Some(sessionOracle)),
     // the streaming session-merge engine against the SAME gaps-and-islands
     // SQL — batch ≡ streaming as a driver-oracled property (see
