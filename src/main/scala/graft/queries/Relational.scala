@@ -72,6 +72,40 @@ object Relational {
       )
       .orderedBy("s_nationkey")
 
+  /** Runtime BLOOM-FILTER join: Catalyst's InjectRuntimeFilter builds a
+    * bloom filter from the SELECTIVE dim side (part, filtered to one
+    * brand) and pushes `might_contain(xxhash64(l_partkey))` onto the fact
+    * scan — at 100 TB this prunes ~96% of lineitem BEFORE the shuffle,
+    * the single biggest exchange-volume lever Spark has for selective
+    * fact⋈dim shuffle joins. Injection is gated on plan-size thresholds
+    * (application side > 10 GB by default) that testdata never meets, so
+    * the query runs in a conf-isolated child session (`newSession` clones
+    * the SQLConf, shares the SparkContext and catalog cache) with the
+    * thresholds scaled down to replicate cluster-scale conditions;
+    * broadcast is disabled there because a broadcast join already prunes
+    * build-side misses in the probe — the filter only pays on shuffle
+    * joins, which is what 100 TB plans. The filter is semantics-free
+    * (false positives only re-admit rows the join drops), so the oracle
+    * is the plain join SQL; the plan guard asserts `might_contain` /
+    * `bloom_filter_agg` actually landed. */
+  def joinBloom(s: SparkSession, d: String): DataFrame = {
+    val s2 = s.newSession()
+    s2.conf.set("spark.sql.shuffle.partitions", "8")
+    s2.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+    s2.conf.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "100MB")
+    s2.conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "1KB")
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    Tables.lineitem(s2, d)
+      .join(Tables.part(s2, d).filter(col("p_brand") === "Brand#23"),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("l_returnflag"))
+      .agg(
+        count(lit(1)).as("item_cnt"),
+        sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double").as("sum_price")
+      )
+      .orderedBy("l_returnflag")
+  }
+
   /** Left outer join preserving order-less customers (count=0, spend=0). */
   def joinLeft(s: SparkSession, d: String): DataFrame =
     Tables.customer(s, d)
@@ -462,6 +496,12 @@ object Relational {
         |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
         |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
         |GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin)),
+    "q_join_bloom" -> QueryDef(joinBloom, Some(
+      """SELECT l_returnflag, count(*) AS item_cnt,
+        |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE p_brand = 'Brand#23'
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
     "q_join_left" -> QueryDef(joinLeft, Some(
       """SELECT c_custkey, count(o_orderkey) AS order_cnt,
         |       CAST(COALESCE(sum(CAST(o_totalprice AS DECIMAL(18,2))),

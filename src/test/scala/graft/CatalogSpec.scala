@@ -154,35 +154,30 @@ class CatalogSpec extends SparkTestBase {
       s"scan not pruned to the projection: $demoRs")
   }
 
-  test("plan guard: AQE runtime bloom filter prunes the fact side of a selective join") {
+  test("plan guard: q_join_bloom injects the runtime bloom filter; conf isolation holds") {
     // Spark's InjectRuntimeFilter builds a bloom filter from the selective
     // dim side and pushes might_contain onto the fact scan — the runtime
-    // semi-join reduction a 100 TB star join lives on. Assert the rewrite
-    // engages so a conf/Catalyst change that silently loses it fails here.
-    val confs = Seq(
-      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
-      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100MB",
-      // the fact side must exceed this scan-size floor for injection —
-      // zero it so the rewrite engages at test scale
-      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
-      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
-    val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
-    confs.foreach { case (k, v) => spark.conf.set(k, v) }
-    try {
-      val d01 = "/root/testdata/sf0.01"
-      val dim = graft.core.Tables.orders(spark, d01)
-        .filter(col("o_orderpriority") === "1-URGENT")
-        .select(col("o_orderkey"))
-      val fact = graft.core.Tables.lineitem(spark, d01)
-      val joined = fact.join(dim, col("l_orderkey") === col("o_orderkey"))
-        .groupBy(col("l_returnflag")).agg(count(lit(1)).as("cnt"))
-      val plan = joined.queryExecution.executedPlan.toString
-      assert(plan.contains("might_contain") || plan.contains("bloom_filter"),
-        s"runtime bloom filter not injected on the fact side:\n$plan")
-    } finally prev.foreach {
-      case (k, Some(v)) => spark.conf.set(k, v)
-      case (k, None) => spark.conf.unset(k)
-    }
+    // semi-join reduction a 100 TB star join lives on. q_join_bloom runs it
+    // as a first-class oracled catalog entry inside a conf-isolated child
+    // session; assert the rewrite actually engages there (a conf/Catalyst
+    // change that silently loses it fails here), that the child confs never
+    // leak into the parent session, and that the filter is semantics-free.
+    val d01 = "/root/testdata/sf0.01"
+    val df = graft.queries.Relational.joinBloom(spark, d01)
+    val plan = df.queryExecution.optimizedPlan.toString
+    assert(plan.contains("might_contain") && plan.contains("bloom_filter_agg"),
+      s"runtime bloom filter not injected on the fact side:\n$plan")
+    assert(spark.conf.get("spark.sql.autoBroadcastJoinThreshold") != "-1",
+      "child-session conf leaked into the parent session")
+    val plain = graft.core.Tables.lineitem(spark, d01)
+      .join(graft.core.Tables.part(spark, d01).filter(col("p_brand") === "Brand#23"),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("item_cnt"),
+        sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double").as("sum_price"))
+      .orderBy("l_returnflag")
+    assert(df.collect().toSeq == plain.collect().toSeq,
+      "bloom-filtered join result diverged from the default-conf join")
   }
 
   test("plan guard: brute-force ANN top-k prunes map-side via WindowGroupLimit") {
