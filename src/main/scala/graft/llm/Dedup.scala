@@ -40,6 +40,43 @@ object Dedup {
       .select(col("keep_id"), col("cnt"))
       .orderedBy("keep_id")
 
+  /** INCREMENTAL ingest dedup — the production-standard daily pattern: a
+    * small new batch (here doc_id ≡ 4 mod 5, a deterministic 20% split)
+    * arrives against a huge already-deduped corpus (the other 80%), and
+    * the question is which new docs survive. The naive anti-join shuffles
+    * the corpus on the content key — at 100 TB that is the whole corpus
+    * through an exchange, every day. This formulation never shuffles the
+    * corpus: (1) the batch's distinct content keys broadcast, and the
+    * corpus is scanned ONCE map-side through a broadcast LEFT SEMI join
+    * (output = the tiny collision set); (2) the collision set broadcasts
+    * back and the batch anti-joins it. Both joins are BroadcastHashJoin —
+    * the plan guard pins that no sort/shuffle join strategy appears. The
+    * only exchanges carry batch keys and collisions (increment-sized,
+    * ~0.1% of a day's text as 16-byte hashes). Precondition: the daily
+    * increment's key set fits the broadcast budget — at the point it does
+    * not, fall back to the bucketed-corpus layout ([[graft.core.Layout
+    * .writeBucketed]]) where the anti-join co-locates with zero shuffle
+    * instead. Key is (md5, length) as in [[exact]]. */
+  def incremental(s: SparkSession, d: String): DataFrame = {
+    val keyed = Tables.documents(s, d)
+      .select(col("doc_id"), md5(col("text").cast("binary")).as("ck"),
+        length(col("text")).cast("bigint").as("cl"))
+    val batch  = keyed.filter(pmod(col("doc_id"), lit(5)) === 4)
+    val corpus = keyed.filter(pmod(col("doc_id"), lit(5)) =!= 4)
+    // within-batch dedup first: the day's own duplicates collapse to the
+    // earliest doc_id before the corpus check
+    val firstInBatch = batch.groupBy(col("ck"), col("cl"))
+      .agg(min(col("doc_id")).as("doc_id"))
+    val collisions = corpus
+      .join(broadcast(batch.select(col("ck"), col("cl")).distinct()),
+        Seq("ck", "cl"), "left_semi")
+      .select(col("ck"), col("cl")).distinct()
+    firstInBatch
+      .join(broadcast(collisions), Seq("ck", "cl"), "left_anti")
+      .select(col("doc_id"), col("ck"), col("cl"))
+      .orderedBy("doc_id")
+  }
+
   /** Keep-BEST dedup compaction: group on the canonical-form hash
     * (lowercased, punctuation-stripped — [[TextStats.normalize]]'s key, so
     * case/punctuation variants of one document collapse), keep the
@@ -891,6 +928,18 @@ object Dedup {
       """SELECT min(doc_id) AS keep_id, count(*) AS cnt
         |FROM documents GROUP BY md5(text), length(text)
         |ORDER BY keep_id""".stripMargin)),
+    "q_dedup_incremental" -> QueryDef(incremental(_, _), Some(
+      """WITH batch AS (
+        |  SELECT md5(text) AS ck, length(text) AS cl, doc_id
+        |  FROM documents WHERE doc_id % 5 = 4),
+        |first_in_batch AS (
+        |  SELECT ck, cl, min(doc_id) AS doc_id FROM batch GROUP BY ck, cl)
+        |SELECT doc_id, ck, cl FROM first_in_batch f
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM documents c
+        |  WHERE c.doc_id % 5 <> 4
+        |    AND md5(c.text) = f.ck AND length(c.text) = f.cl)
+        |ORDER BY doc_id""".stripMargin)),
     "q_dedup_keep_best" -> QueryDef(keepBest(_, _), Some(keepBestOracle)),
     "q_dedup_fingerprint" -> QueryDef(fingerprint(_, _), Some(
       """SELECT md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fp,

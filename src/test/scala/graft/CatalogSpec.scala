@@ -199,6 +199,19 @@ class CatalogSpec extends SparkTestBase {
     }
   }
 
+  test("plan guard: q_dedup_incremental never shuffles the corpus") {
+    // Both joins (corpus semi-probe against the batch keys, batch anti-join
+    // against the collision set) must be broadcast — a SortMergeJoin or
+    // ShuffledHashJoin here means the 100 TB corpus went through an
+    // exchange, the exact cost this formulation exists to avoid.
+    val plan = Catalog.defs("q_dedup_incremental").build(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert("BroadcastHashJoin".r.findAllIn(plan).size == 2,
+      s"expected exactly 2 broadcast joins in q_dedup_incremental:\n$plan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
+      s"corpus-shuffling join strategy crept into q_dedup_incremental:\n$plan")
+  }
+
   test("plan guard: tfidf top-k window-prunes; decontamination broadcasts the benchmark set") {
     val tfidf = Catalog.defs("q_tfidf").build(spark, dir)
       .queryExecution.executedPlan.toString
