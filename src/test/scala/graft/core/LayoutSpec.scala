@@ -92,4 +92,38 @@ class LayoutSpec extends SparkTestBase {
       .select(col("v"), col("name")).collect().map(r => (r.getInt(0), r.getString(1))).toSet
     assert(salted == plain && plain.size == 901)
   }
+
+  test("AQE skew join splits the hot partition (the automatic path saltedJoin backs up)") {
+    // At 100 TB the FIRST line of defense against a hot join key is AQE's
+    // OptimizeSkewedJoin: the oversized shuffle partition is split into
+    // advisory-sized reads, each joined against a replicated copy of the
+    // other side — same rewrite as Layout.saltedJoin but decided at
+    // RUNTIME from map-output sizes, no salt column. saltedJoin remains
+    // for where AQE can't run (stream-static joins). Detection thresholds
+    // (256 MB partition floor) never fire at test scale, so this runs in
+    // a conf-isolated child session with the floors scaled down —
+    // replicating cluster conditions the same way q_join_bloom does.
+    // NOTE: the final adaptive plan only materializes on the DataFrame's
+    // OWN QueryExecution (collect; a write plans a separate one), and
+    // OptimizeSkewedJoin declines when extra shuffles would follow (e.g.
+    // a downstream groupBy) unless forceOptimizeSkewedJoin is set.
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.shuffle.partitions", "8")
+    s2.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+    s2.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64KB")
+    s2.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "32KB")
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val fact = s2.range(0, 200000).select(
+      when(col("id") < 190000, lit(0L)).otherwise(pmod(col("id"), lit(7L))).as("k"),
+      concat(lit("payload-payload-payload-payload-"), col("id")).as("v"))
+    val dim = s2.range(0, 7).select(col("id").as("k"),
+      concat(lit("dim"), col("id")).as("dv"))
+    val j = fact.join(dim, "k").select(col("k"), col("v"), col("dv"))
+    val rows = j.collect()
+    assert(rows.length == 200000, "every fact row must match exactly one dim row")
+    assert(rows.count(_.getLong(0) == 0L) >= 190000)
+    val plan = j.queryExecution.executedPlan.toString
+    assert(plan.contains("skew=true") && plan.contains("skewed"),
+      s"AQE did not split the skewed partition:\n$plan")
+  }
 }
