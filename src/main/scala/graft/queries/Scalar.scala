@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.core.{QueryDef, Tables}
 import graft.core.QueryDef.OrderedOut
@@ -51,18 +51,48 @@ object Scalar {
 
   /** Single-IEEE-op outputs only (sub/abs/sqrt/floor/ceil/multiply/mod are
     * deterministic across engines); ln is rounded — see object doc. */
-  def mathFuncs(s: SparkSession, d: String): DataFrame =
-    Tables.lineitem(s, d).select(
+  /** Math-function battery over EVERY lineitem row — abs/sqrt/floor/ceil/
+    * pow/ln/mod/sign — digested per `l_orderkey % 7` group instead of
+    * emitted long-form: the raw battery was the catalog's last
+    * corpus-sized output (600 k rows × 10 cols through the single-task
+    * harness sort — the q_unpivot lesson). The per-row md5-prefix digest
+    * pins every row's value of every function (any wrong row moves the
+    * sum), so the oracle compare is exactly as strong; doubles
+    * canonicalize through round(·,6) → DECIMAL(18,6) so the hashed string
+    * form is engine-independent. Same guarded fan-out as q_unpivot: the
+    * single-row-group testdata scan would otherwise run the md5 loop on
+    * one task (no-op at corpus scale where the scan splits). */
+  def mathFuncs(s: SparkSession, d: String): DataFrame = {
+    val wide = Tables.lineitem(s, d).select(
+      col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+      col("l_extendedprice"), col("l_discount"))
+    val cores = s.sparkContext.defaultParallelism
+    val fanned =
+      if (wide.rdd.getNumPartitions * 2 < cores) wide.repartition(cores)
+      else wide
+    def d6(c: Column): Column = c.cast("decimal(18,6)").cast("string")
+    val fl = floor(col("l_extendedprice") / lit(7.0))
+    val cl = ceil(col("l_extendedprice") / lit(7.0))
+    val repr = concat_ws("#",
       col("l_orderkey"), col("l_linenumber"),
-      abs(col("l_discount") - lit(0.05)).as("ad"),
-      sqrt(col("l_quantity")).as("sq"),
-      floor(col("l_extendedprice") / lit(7.0)).as("fl"),
-      ceil(col("l_extendedprice") / lit(7.0)).as("cl"),
-      (col("l_quantity") * col("l_quantity")).as("p2"),
-      round(log(col("l_extendedprice")), 6).as("lnp"),
-      (col("l_orderkey") % 7).as("md"),
-      signum(col("l_discount") - lit(0.05)).as("sg")
-    ).orderedBy("l_orderkey", "l_linenumber")
+      d6(round(abs(col("l_discount") - lit(0.05)), 6)),
+      d6(round(sqrt(col("l_quantity")), 6)),
+      fl, cl,
+      d6(round(col("l_quantity") * col("l_quantity"), 6)),
+      d6(round(log(col("l_extendedprice")), 6)),
+      signum(col("l_discount") - lit(0.05)).cast("int"))
+    fanned
+      .select((col("l_orderkey") % 7).as("md"), fl.as("fl"), cl.as("cl"),
+        repr.as("r"))
+      .groupBy(col("md"))
+      .agg(
+        count(lit(1)).as("cnt"),
+        sum(col("fl")).as("sum_fl"),
+        sum(col("cl")).as("sum_cl"),
+        sum(conv(substring(md5(col("r").cast("binary")), 1, 8), 16, 10)
+          .cast("long")).as("digest"))
+      .orderedBy("md")
+  }
 
   def arrayFuncs(s: SparkSession, d: String): DataFrame = {
     val w = split(col("text"), " ")
@@ -195,6 +225,37 @@ object Scalar {
       size(expr("filter(split(text, ' '), x -> length(x) > 4)")).cast("long").as("long_cnt")
     ).orderedBy("doc_id")
 
+  /** DuckDB twin of [[mathFuncs]]: same per-row repr string, same 32-bit
+    * md5-prefix digest (DuckDB has no conv() — the strpos-over-hex-alphabet
+    * rebuild matches q_unpivot's oracle). DuckDB floor/ceil return DOUBLE,
+    * hence the BIGINT casts before stringifying; sum(BIGINT) widens to
+    * HUGEINT, hence the casts on the way out. */
+  private val mathOracle: String = {
+    val hv = (1 to 8)
+      .map(i => s"(strpos('0123456789abcdef', substr(h8, $i, 1)) - 1) * ${1L << ((8 - i) * 4)}")
+      .mkString(" + ")
+    s"""WITH r AS (
+       |  SELECT l_orderkey % 7 AS md,
+       |         CAST(floor(l_extendedprice / 7.0) AS BIGINT) AS fl,
+       |         CAST(ceil(l_extendedprice / 7.0) AS BIGINT) AS cl,
+       |         CAST(l_orderkey AS VARCHAR) || '#' ||
+       |         CAST(l_linenumber AS VARCHAR) || '#' ||
+       |         CAST(CAST(round(abs(l_discount - 0.05), 6) AS DECIMAL(18,6)) AS VARCHAR) || '#' ||
+       |         CAST(CAST(round(sqrt(l_quantity), 6) AS DECIMAL(18,6)) AS VARCHAR) || '#' ||
+       |         CAST(CAST(floor(l_extendedprice / 7.0) AS BIGINT) AS VARCHAR) || '#' ||
+       |         CAST(CAST(ceil(l_extendedprice / 7.0) AS BIGINT) AS VARCHAR) || '#' ||
+       |         CAST(CAST(round(l_quantity * l_quantity, 6) AS DECIMAL(18,6)) AS VARCHAR) || '#' ||
+       |         CAST(CAST(round(ln(l_extendedprice), 6) AS DECIMAL(18,6)) AS VARCHAR) || '#' ||
+       |         CAST(CAST(sign(l_discount - 0.05) AS INTEGER) AS VARCHAR) AS repr
+       |  FROM lineitem),
+       |h AS (SELECT md, fl, cl, substr(md5(repr), 1, 8) AS h8 FROM r)
+       |SELECT md, count(*) AS cnt,
+       |       CAST(sum(fl) AS BIGINT) AS sum_fl,
+       |       CAST(sum(cl) AS BIGINT) AS sum_cl,
+       |       CAST(sum($hv) AS BIGINT) AS digest
+       |FROM h GROUP BY md ORDER BY md""".stripMargin
+  }
+
   val defs: Map[String, QueryDef] = Map(
     "q_string_funcs" -> QueryDef(stringFuncs, Some(
       """SELECT p_partkey, upper(p_brand) AS ub, lower(p_type) AS lt,
@@ -214,16 +275,7 @@ object Scalar {
         |       strftime(last_day(CAST(o_orderdate AS DATE)), '%Y-%m-%d') AS ld,
         |       strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS mon
         |FROM orders ORDER BY o_orderkey""".stripMargin)),
-    "q_math_funcs" -> QueryDef(mathFuncs, Some(
-      """SELECT l_orderkey, l_linenumber,
-        |       abs(l_discount - 0.05) AS ad, sqrt(l_quantity) AS sq,
-        |       CAST(floor(l_extendedprice / 7.0) AS BIGINT) AS fl,
-        |       CAST(ceil(l_extendedprice / 7.0) AS BIGINT) AS cl,
-        |       l_quantity * l_quantity AS p2,
-        |       round(ln(l_extendedprice), 6) AS lnp,
-        |       l_orderkey % 7 AS md,
-        |       CAST(sign(l_discount - 0.05) AS DOUBLE) AS sg
-        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin)),
+    "q_math_funcs" -> QueryDef(mathFuncs, Some(mathOracle)),
     "q_array_funcs" -> QueryDef(arrayFuncs, Some(
       """SELECT doc_id, len(string_split(text, ' ')) AS n_words,
         |       len(list_distinct(string_split(text, ' '))) AS n_distinct,
