@@ -2,7 +2,7 @@ package graft.llm
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.core.{QueryDef, Tables}
+import graft.core.{OracleSql, QueryDef, Tables}
 import graft.core.QueryDef.OrderedOut
 
 /** Deduplication operators for an LLM training-data pipeline.
@@ -331,9 +331,7 @@ object Dedup {
     * conv()). */
   private def ngramOracle(threshold: Double, maxDf: Int,
                           minShared: Int = 2): String = {
-    val hv = (1 to 12)
-      .map(i => s"(strpos('0123456789abcdef', substr(h, $i, 1)) - 1) * ${1L << ((12 - i) * 4)}")
-      .mkString(" + ")
+    val hv = OracleSql.hexPrefixToLong("h", 12)
     s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
        |sh AS (
        |  SELECT doc_id, list_distinct(list_transform(range(1, len(toks) - 1),
@@ -599,9 +597,7 @@ object Dedup {
   /** DuckDB has no conv(): reconstruct the 32-bit value from the 8 hex chars
     * (strpos on the hex alphabet), then mirror the per-bit majority vote. */
   private def simhashOracleCore: String = {
-    val hv = (1 to 8)
-      .map(i => s"(strpos('0123456789abcdef', substr(h, $i, 1)) - 1) * ${1L << ((8 - i) * 4)}")
-      .mkString(" + ")
+    val hv = OracleSql.hexPrefixToLong("h")
     val bitSums = (0 until 32)
       .map(j => s"sum(CASE WHEN (hv // ${1L << j}) % 2 = 1 THEN 1 ELSE -1 END) AS b$j")
       .mkString(",\n         ")

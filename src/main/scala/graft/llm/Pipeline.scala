@@ -2,7 +2,7 @@ package graft.llm
 
 import org.apache.spark.sql.{DataFrame, SparkSession, functions}
 import org.apache.spark.sql.functions._
-import graft.core.{QueryDef, Tables}
+import graft.core.{OracleSql, QueryDef, Tables}
 import graft.core.QueryDef.OrderedOut
 
 /** The composed training-data cleaning pipeline — the shape a corpus
@@ -88,9 +88,7 @@ object Pipeline {
       .orderedBy("doc_id")
 
   private def splitOracle(testPct: Int, valPct: Int, salt: String): String = {
-    val hv = (1 to 8)
-      .map(i => s"(strpos('0123456789abcdef', substr(h, $i, 1)) - 1) * ${1L << ((8 - i) * 4)}")
-      .mkString(" + ")
+    val hv = OracleSql.hexPrefixToLong("h")
     s"""WITH h AS (
        |  SELECT doc_id, substr(md5('$salt' || '#' || CAST(doc_id AS VARCHAR)), 1, 8) AS h
        |  FROM documents),
@@ -125,9 +123,7 @@ object Pipeline {
   }
 
   private def sampleStratifiedOracle(k: Int, seed: Int): String = {
-    val hv = (1 to 8)
-      .map(i => s"(strpos('0123456789abcdef', substr(h, $i, 1)) - 1) * ${1L << ((8 - i) * 4)}")
-      .mkString(" + ")
+    val hv = OracleSql.hexPrefixToLong("h")
     s"""WITH p AS (
        |  SELECT doc_id, lang,
        |         substr(md5('$seed' || '#' || CAST(doc_id AS VARCHAR)), 1, 8) AS h
@@ -391,9 +387,7 @@ object Pipeline {
   private def fullOracle(minTokens: Int, maxTokens: Int, nearThreshold: Double,
                          benchMax: Long, testPct: Int, valPct: Int,
                          salt: String, budget: Int): String = {
-    val hv = (1 to 8)
-      .map(i => s"(strpos('0123456789abcdef', substr(h, $i, 1)) - 1) * ${1L << ((8 - i) * 4)}")
-      .mkString(" + ")
+    val hv = OracleSql.hexPrefixToLong("h")
     s"""WITH corpus0 AS (SELECT doc_id, text, lang FROM documents WHERE doc_id >= $benchMax),
        |q AS (
        |  SELECT doc_id, text, lang, len(string_split(text, ' ')) AS n_tokens,

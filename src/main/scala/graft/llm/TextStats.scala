@@ -3,7 +3,7 @@ package graft.llm
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.core.{QueryDef, Tables}
+import graft.core.{OracleSql, QueryDef, Tables}
 import graft.core.QueryDef.OrderedOut
 
 /** Text-analysis operators for an LLM training-data pipeline: tokenization,
@@ -516,9 +516,7 @@ object TextStats {
   }
 
   private def cmsOracle(depth: Int, width: Int, k: Int): String = {
-    val hv = (1 to 8)
-      .map(i => s"(strpos('0123456789abcdef', substr(h, $i, 1)) - 1) * ${1L << ((8 - i) * 4)}")
-      .mkString(" + ")
+    val hv = OracleSql.hexPrefixToLong("h")
     def bucketSel(src: String) = (0 until depth).map { j =>
       s"""SELECT tok, c, $j AS j,
          |       ($hv) % $width AS b
@@ -712,9 +710,7 @@ object TextStats {
     * Dedup.winnowPairs' oracle. Splice after WITH. */
   private[llm] def winnowSetsCte(w: Int): String = {
     val minToks = 2 + w
-    val hv = (1 to 8)
-      .map(i => s"(strpos('0123456789abcdef', substr(x, $i, 1)) - 1) * ${1L << ((8 - i) * 4)}")
-      .mkString(" + ")
+    val hv = OracleSql.hexPrefixToLong("x")
     s"""t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
        |g AS (SELECT doc_id,
        |        list_transform(range(1, len(toks) - 1),

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.core.{QueryDef, Tables}
+import graft.core.{OracleSql, QueryDef, Tables}
 import graft.core.QueryDef.OrderedOut
 
 /** Second-tier relational breadth: pivot, explicit grouping sets, scalar
@@ -121,9 +121,7 @@ object Advanced {
     * (strpos over the hex alphabet), then bottom-k per group = row_number
     * over (pri, val) — the exact contract of the Spark-side heap. */
   private def sampleKOracle(k: Int, seed: Int): String = {
-    val hv = (1 to 8)
-      .map(i => s"(strpos('0123456789abcdef', substr(h, $i, 1)) - 1) * ${1L << ((8 - i) * 4)}")
-      .mkString(" + ")
+    val hv = OracleSql.hexPrefixToLong("h")
     s"""WITH p AS (
        |  SELECT l_returnflag, l_orderkey,
        |         substr(md5('$seed' || '#' || CAST(l_orderkey AS VARCHAR) || '#' ||
@@ -197,9 +195,7 @@ object Advanced {
   /** DuckDB has no conv(): rebuild the 32-bit hash prefix with the same
     * strpos-over-hex-alphabet formula as [[sampleKOracle]]. */
   private val unpivotOracle: String = {
-    val hv = (1 to 8)
-      .map(i => s"(strpos('0123456789abcdef', substr(h8, $i, 1)) - 1) * ${1L << ((8 - i) * 4)}")
-      .mkString(" + ")
+    val hv = OracleSql.hexPrefixToLong("h8")
     val arms = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
       .map(c => s"  SELECT l_orderkey, l_linenumber, '$c' AS measure, $c AS val FROM lineitem")
       .mkString("\n  UNION ALL\n")

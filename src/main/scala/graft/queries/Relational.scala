@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.core.{QueryDef, Tables}
+import graft.core.{OracleSql, QueryDef, Tables}
 import graft.core.QueryDef.OrderedOut
 
 /** Relational batch catalog — the operator categories the reference lacks
@@ -315,9 +315,7 @@ object Relational {
   }
 
   private def distinctSketchOracle(m: Int): String = {
-    val hv = (1 to 8)
-      .map(i => s"(strpos('0123456789abcdef', substr(hx, $i, 1)) - 1) * ${1L << ((8 - i) * 4)}")
-      .mkString(" + ")
+    val hv = OracleSql.hexPrefixToLong("hx")
     s"""WITH hsrc AS (
        |  SELECT l_returnflag, substr(md5(CAST(l_partkey AS VARCHAR)), 1, 8) AS hx
        |  FROM lineitem),

@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.core.{QueryDef, Tables}
+import graft.core.{OracleSql, QueryDef, Tables}
 import graft.core.QueryDef.OrderedOut
 
 /** Scalar-function batteries (SURVEY.md §2.5) plus the reference's own
@@ -231,9 +231,7 @@ object Scalar {
     * hence the BIGINT casts before stringifying; sum(BIGINT) widens to
     * HUGEINT, hence the casts on the way out. */
   private val mathOracle: String = {
-    val hv = (1 to 8)
-      .map(i => s"(strpos('0123456789abcdef', substr(h8, $i, 1)) - 1) * ${1L << ((8 - i) * 4)}")
-      .mkString(" + ")
+    val hv = OracleSql.hexPrefixToLong("h8")
     s"""WITH r AS (
        |  SELECT l_orderkey % 7 AS md,
        |         CAST(floor(l_extendedprice / 7.0) AS BIGINT) AS fl,
