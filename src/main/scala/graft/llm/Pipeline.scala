@@ -1,6 +1,7 @@
 package graft.llm
 
 import org.apache.spark.sql.{DataFrame, SparkSession, functions}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.core.{OracleSql, QueryDef, Tables}
 import graft.core.QueryDef.OrderedOut
@@ -86,6 +87,44 @@ object Pipeline {
           .otherwise("train"))
       .select(col("doc_id"), col("bucket"), col("split"))
       .orderedBy("doc_id")
+
+  /** Deterministic EPOCH SHUFFLE + SHARDING — the last step before a
+    * training run reads the corpus: every doc gets a seeded pseudo-random
+    * priority (md5 of seed#doc_id — change the seed, get the next epoch's
+    * permutation, bit-reproducibly on any cluster), lands in one of
+    * `nShards` shards for data-parallel readers, and takes its position
+    * from the per-shard priority order. No global sort anywhere: the one
+    * exchange hash-partitions on shard and each shard sorts locally
+    * (window per shard) — a global `orderBy(pri)` would range-sample and
+    * sort 100 TB to produce the same within-shard orders. Output is the
+    * (shard, pos → doc) reading manifest. */
+  def shuffleShard(s: SparkSession, d: String,
+                   nShards: Int = 8, seed: String = "epoch0"): DataFrame = {
+    val pri = conv(substring(
+      md5(concat_ws("#", lit(seed), col("doc_id")).cast("binary")), 1, 8),
+      16, 10).cast("long")
+    val w = Window.partitionBy(col("shard")).orderBy(col("pri"), col("doc_id"))
+    Tables.documents(s, d)
+      .select(col("doc_id"), pri.as("pri"))
+      .withColumn("shard", pmod(col("pri"), lit(nShards)))
+      .withColumn("pos", row_number().over(w).cast("bigint"))
+      .select(col("shard"), col("pos"), col("doc_id"))
+      .orderedBy("shard", "pos")
+  }
+
+  private def shuffleShardOracle(nShards: Int, seed: String): String = {
+    val hv = OracleSql.hexPrefixToLong("h")
+    s"""WITH h AS (
+       |  SELECT doc_id, substr(md5('$seed' || '#' || CAST(doc_id AS VARCHAR)), 1, 8) AS h
+       |  FROM documents),
+       |p AS (SELECT doc_id, ($hv) AS pri FROM h),
+       |a AS (SELECT doc_id, pri, pri % $nShards AS shard FROM p)
+       |SELECT shard,
+       |       CAST(row_number() OVER (PARTITION BY shard
+       |         ORDER BY pri, doc_id) AS BIGINT) AS pos,
+       |       doc_id
+       |FROM a ORDER BY shard, pos""".stripMargin
+  }
 
   private def splitOracle(testPct: Int, valPct: Int, salt: String): String = {
     val hv = OracleSql.hexPrefixToLong("h")
@@ -437,6 +476,8 @@ object Pipeline {
     "q_mix_weights" -> QueryDef(mixWeights, Some(mixWeightsOracle)),
     "q_pack_tokens" -> QueryDef(packTokens(_, _), Some(packTokensOracle(1024))),
     "q_split_assign" -> QueryDef(splitAssign(_, _), Some(splitOracle(5, 5, "split"))),
+    "q_shuffle_shard" -> QueryDef(shuffleShard(_, _),
+      Some(shuffleShardOracle(8, "epoch0"))),
     "q_sample_stratified" -> QueryDef(sampleStratified(_, _),
       Some(sampleStratifiedOracle(25, 42))),
     "q_decontaminate" -> QueryDef(decontaminate(_, _), Some(decontOracle(10L)))

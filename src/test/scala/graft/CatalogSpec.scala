@@ -199,6 +199,19 @@ class CatalogSpec extends SparkTestBase {
     }
   }
 
+  test("plan guard: q_shuffle_shard epoch shuffle has no global sort") {
+    // The reading manifest must come from ONE hash exchange on shard +
+    // per-shard local sorts; a rangepartitioning exchange means Spark
+    // planned a global sort (with its double-execution sampling pass)
+    // over what is the whole corpus at 100 TB.
+    val plan = Catalog.defs("q_shuffle_shard").build(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("rangepartitioning"),
+      s"q_shuffle_shard planned a global range sort:\n$plan")
+    assert(plan.contains("hashpartitioning(shard"),
+      s"q_shuffle_shard lost its shard hash partitioning:\n$plan")
+  }
+
   test("plan guard: q_dedup_incremental never shuffles the corpus") {
     // Both joins (corpus semi-probe against the batch keys, batch anti-join
     // against the collision set) must be broadcast — a SortMergeJoin or
