@@ -119,6 +119,35 @@ object TimeWindows {
       .orderedBy("click_id", "p_id")
   }
 
+  /** Stream-static ENRICHMENT bridge — [[graft.stream.Enrich
+    * .streamStaticJoin]] under the DuckDB oracle: the streaming events
+    * fact joins the broadcast nation dim (user → geo via a deterministic
+    * key derivation) inside the micro-batch engine, then aggregates per
+    * dim attribute in complete mode (25-row state). Each micro-batch
+    * joins MAP-SIDE against the re-evaluated static plan — no stateful
+    * join state, the stream never shuffles for the join itself. The
+    * oracle is the plain batch join+agg SQL, so batch ≡ streaming holds
+    * for the tenth bridge: the last §2.3 extension operator outside the
+    * driver gate. */
+  def enrichStreamed(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.eventsStream(s, d)
+      .select(pmod(col("user_id"), lit(25)).as("nk"), col("value"))
+    val dim = Tables.nation(s, d)
+      .select(col("n_nationkey").as("nk"), col("n_name"))
+    val agg = graft.stream.Enrich.streamStaticJoin(ev, dim, "nk")
+      .groupBy(col("n_name"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("value").cast("decimal(20,6)")).cast("double").as("sum_val"))
+    Tables.runStreamComplete(agg, "enrich_streamed_")
+      .orderedBy("n_name")
+  }
+
+  private val enrichStreamedOracle: String =
+    """SELECT n_name, count(*) AS cnt,
+      |       CAST(sum(CAST(value AS DECIMAL(20,6))) AS DOUBLE) AS sum_val
+      |FROM events JOIN nation ON user_id % 25 = n_nationkey
+      |GROUP BY n_name ORDER BY n_name""".stripMargin
+
   private val joinStreamedOracle: String =
     """WITH c AS (
       |  SELECT event_id AS click_id, user_id,
@@ -146,6 +175,7 @@ object TimeWindows {
     // the streaming join state machine against plain batch-join SQL —
     // batch ≡ streaming as a driver-oracled property
     "q_join_streamed" -> QueryDef(joinStreamed, Some(joinStreamedOracle)),
+    "q_enrich_streamed" -> QueryDef(enrichStreamed, Some(enrichStreamedOracle)),
     "q_win_sliding" -> QueryDef(slidingOhlc, Some(slidingOracle)),
     // the streaming sliding-window fan-out against the SAME SQL
     "q_sliding_streamed" -> QueryDef(slidingStreamed, Some(slidingOracle)),
