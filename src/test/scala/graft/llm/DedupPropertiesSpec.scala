@@ -99,6 +99,52 @@ class DedupPropertiesSpec extends SparkTestBase {
     }
   }
 
+  test("incremental() equals the naive batch-anti-join-corpus formulation") {
+    // The zero-corpus-shuffle formulation (semi-probe + double broadcast)
+    // must answer the same question as the shape it replaces: dedup the
+    // batch within itself, then drop anything whose (md5, length) key
+    // exists in the corpus.
+    val d = "/root/testdata/sf0.001"
+    import org.apache.spark.sql.functions._
+    val keyed = graft.core.Tables.documents(spark, d)
+      .select(col("doc_id"), md5(col("text").cast("binary")).as("ck"),
+        length(col("text")).cast("bigint").as("cl"))
+    val naive = keyed.filter(pmod(col("doc_id"), lit(5)) === 4)
+      .groupBy(col("ck"), col("cl")).agg(min(col("doc_id")).as("doc_id"))
+      .join(keyed.filter(pmod(col("doc_id"), lit(5)) =!= 4),
+        Seq("ck", "cl"), "left_anti")
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    val scaled = Dedup.incremental(spark, d)
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    assert(scaled == naive && naive.nonEmpty)
+    // survivors are batch members and carry no corpus-colliding key
+    assert(scaled.forall(_ % 5 == 4))
+  }
+
+  test("shuffleShard() is a seeded permutation: total, shard-contiguous, seed-sensitive") {
+    val d = "/root/testdata/sf0.001"
+    import org.apache.spark.sql.functions._
+    val all = graft.core.Tables.documents(spark, d)
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    val m = Pipeline.shuffleShard(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // every doc exactly once — a manifest that drops or doubles a doc
+    // corrupts the epoch
+    assert(m.map(_._3).toSet == all && m.length == all.size)
+    // positions are 1..n contiguous per shard (a reader can seek by pos)
+    m.groupBy(_._1).foreach { case (_, rows) =>
+      assert(rows.map(_._2).sorted.toSeq == (1L to rows.length).toSeq)
+    }
+    // a different seed yields a different permutation of some shard
+    val m2 = Pipeline.shuffleShard(spark, d, seed = "epoch1").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(m2 != m.toSet)
+    // same seed replays bit-identically
+    val m3 = Pipeline.shuffleShard(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(m3 == m.toSet)
+  }
+
   test("winnow_fps equals the declarative transform-HOF formulation on random corpora") {
     // The native expression (graft.expr.WinnowFps) replaced the chained
     // transform HOFs for performance; this pins the two formulations equal
