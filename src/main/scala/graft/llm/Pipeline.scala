@@ -97,7 +97,13 @@ object Pipeline {
     * exchange hash-partitions on shard and each shard sorts locally
     * (window per shard) — a global `orderBy(pri)` would range-sample and
     * sort 100 TB to produce the same within-shard orders. Output is the
-    * (shard, pos → doc) reading manifest. */
+    * (shard, pos → doc) reading manifest.
+    *
+    * `nShards` is the parallelism knob: each shard's sort is one task's
+    * work, so at corpus scale size it to corpus / target-shard-bytes
+    * (thousands, matching the data-parallel reader count) — the default 8
+    * is a test-scale setting, and the priority key is uniform so shards
+    * stay balanced at any count. */
   def shuffleShard(s: SparkSession, d: String,
                    nShards: Int = 8, seed: String = "epoch0"): DataFrame = {
     val pri = conv(substring(
