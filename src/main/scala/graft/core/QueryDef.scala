@@ -36,4 +36,16 @@ object QueryDef {
     def orderedBy(cols: String*): DataFrame =
       df.repartition(1).sortWithinPartitions(cols.head, cols.tail: _*)
   }
+
+  /** Guarded fan-out ahead of md5-heavy per-row stages: parquet can split
+    * no finer than row-group boundaries and the driver testdata is written
+    * as a single row group, so without this the whole downstream
+    * projection runs on ONE task (measured: ~3.2 s of md5 on one core for
+    * q_unpivot at sf0.1). At corpus scale the scan splits naturally, the
+    * guard sees parts >= cores, and no exchange is added — the check reads
+    * split planning only, it runs no job. */
+  def fanOut(df: DataFrame): DataFrame = {
+    val cores = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions * 2 < cores) df.repartition(cores) else df
+  }
 }

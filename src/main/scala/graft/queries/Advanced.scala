@@ -181,10 +181,7 @@ object Advanced {
     val wide = Tables.lineitem(s, d).select(
       col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
       col("l_extendedprice"), col("l_discount"), col("l_tax"))
-    val cores = s.sparkContext.defaultParallelism
-    val fanned =
-      if (wide.rdd.getNumPartitions * 2 < cores) wide.repartition(cores)
-      else wide
+    val fanned = QueryDef.fanOut(wide)
     fanned.unpivot(
       Array(col("l_orderkey"), col("l_linenumber")),
       Array(col("l_quantity"), col("l_extendedprice"),

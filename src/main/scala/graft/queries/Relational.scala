@@ -79,8 +79,10 @@ object Relational {
     * the single biggest exchange-volume lever Spark has for selective
     * fact⋈dim shuffle joins. Injection is gated on plan-size thresholds
     * (application side > 10 GB by default) that testdata never meets, so
-    * the query runs in a conf-isolated child session (`newSession` clones
-    * the SQLConf, shares the SparkContext and catalog cache) with the
+    * the query runs in a conf-isolated child session — `newSession`
+    * starts from the BUILDER-time conf (runtime `conf.set` changes on the
+    * parent are NOT inherited; that would be `cloneSession`, which is
+    * private) and shares the SparkContext and cached data — with the
     * thresholds scaled down to replicate cluster-scale conditions;
     * broadcast is disabled there because a broadcast join already prunes
     * build-side misses in the probe — the filter only pays on shuffle

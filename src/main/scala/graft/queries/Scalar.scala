@@ -66,10 +66,7 @@ object Scalar {
     val wide = Tables.lineitem(s, d).select(
       col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
       col("l_extendedprice"), col("l_discount"))
-    val cores = s.sparkContext.defaultParallelism
-    val fanned =
-      if (wide.rdd.getNumPartitions * 2 < cores) wide.repartition(cores)
-      else wide
+    val fanned = QueryDef.fanOut(wide)
     def d6(c: Column): Column = c.cast("decimal(18,6)").cast("string")
     val fl = floor(col("l_extendedprice") / lit(7.0))
     val cl = ceil(col("l_extendedprice") / lit(7.0))
