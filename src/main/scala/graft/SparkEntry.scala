@@ -227,5 +227,6 @@ object Catalog {
       graft.queries.Stats.defs ++
       graft.llm.TextStats.defs ++ graft.llm.Dedup.defs ++
       graft.llm.MlLsh.defs ++ graft.llm.Pipeline.defs ++
-      graft.llm.Similarity.defs ++ graft.llm.Multimodal.defs
+      graft.llm.Similarity.defs ++ graft.llm.SimilarityPq.defs ++
+      graft.llm.Multimodal.defs
 }

@@ -285,6 +285,8 @@ object GraftFunctions {
       (children: Seq[Expression]) => DotProduct(children(0), children(1))),
     (FunctionIdentifier("vec_argmax_cos"), info(classOf[CosArgMax], "vec_argmax_cos"),
       (children: Seq[Expression]) => CosArgMax(children(0), children(1))),
+    (FunctionIdentifier("vec_argmin_l2"), info(classOf[L2ArgMin], "vec_argmin_l2"),
+      (children: Seq[Expression]) => L2ArgMin(children(0), children(1))),
     (FunctionIdentifier("sample_bottom_k"), info(classOf[SampleK], "sample_bottom_k"),
       (children: Seq[Expression]) => {
         val k = children(2) match {

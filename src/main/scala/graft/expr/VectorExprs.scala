@@ -201,3 +201,123 @@ case class CosArgMax(left: Expression, right: Expression)
       newLeft: Expression, newRight: Expression): CosArgMax =
     copy(left = newLeft, right = newRight)
 }
+
+/** Nearest-centroid-by-EUCLIDEAN-distance argmin as ONE native codegen
+  * expression: `vec_argmin_l2(cs, e)` where `cs` is the broadcast codebook
+  * array (struct<cid: bigint, ce: array<double>, n2: double> — `n2` the
+  * PRECOMPUTED centroid self-dot `vec_dot(ce, ce)`) and `e` the row's
+  * (sub)vector; returns the winning cid (null for an empty/null list).
+  *
+  * The product-quantization assignment rule (SimilarityPq): canonical PQ
+  * quantizes each subspace by L2, not cosine — a direction-only quantizer
+  * reconstructs segments at arbitrary norms, which distorts the full-vector
+  * asymmetric score (measured: recall@3 0.17 cosine vs 0.30+ L2 on the
+  * driver embeddings). Scored as argmin of `n2 - 2·dot(ce, e)`:
+  * equal-ordered with |ce - e|² (the row's own |e|² is constant across
+  * centroids) but free of subtraction loops and sqrt, so the oracle can
+  * replay it EXACTLY — `c.n2 - 2 * list_inner_product(c.ce, s.e)` is the
+  * identical op tree (index-ordered dot, one multiply, one subtract) and
+  * stays bit-identical cross-engine, where ordering by a sqrt'd distance
+  * could collapse distinct squared distances onto one rounded double and
+  * flip a tiebreak.
+  *
+  * Selection rule: strictly lower score wins; equal score → lower cid.
+  * Scores are finite for finite inputs (no norm divisions — zero vectors
+  * are safe here, unlike the cosine argmax). */
+case class L2ArgMin(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "vec_argmin_l2"
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val csOk = left.dataType match {
+      case ArrayType(st: StructType, _) if st.length == 3 =>
+        st(0).dataType == LongType &&
+          (st(1).dataType match {
+            case ArrayType(DoubleType, _) => true
+            case _ => false
+          }) && st(2).dataType == DoubleType
+      case _ => false
+    }
+    val eOk = right.dataType match {
+      case ArrayType(DoubleType, _) => true
+      case _ => false
+    }
+    if (csOk && eOk) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      "vec_argmin_l2 requires (array<struct<cid: bigint, ce: array<double>, " +
+        s"n2: double>>, array<double>), got ${left.dataType.simpleString} " +
+        s"and ${right.dataType.simpleString}")
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val cs = a.asInstanceOf[ArrayData]
+    val e = b.asInstanceOf[ArrayData]
+    val ne = e.numElements()
+    val n = cs.numElements()
+    var bestCid = 0L
+    var bestS = 0.0
+    var found = false
+    var c = 0
+    while (c < n) {
+      val row = cs.getStruct(c, 3)
+      val cid = row.getLong(0)
+      val ce = row.getArray(1)
+      val m = math.min(ce.numElements(), ne)
+      var acc = 0.0
+      var j = 0
+      while (j < m) { acc += ce.getDouble(j) * e.getDouble(j); j += 1 }
+      val s = row.getDouble(2) - 2.0 * acc
+      if (!found || s < bestS || (s == bestS && cid < bestCid)) {
+        found = true; bestS = s; bestCid = cid
+      }
+      c += 1
+    }
+    if (found) bestCid else null
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val ne = ctx.freshName("ne")
+      val n = ctx.freshName("n")
+      val bestCid = ctx.freshName("bestCid")
+      val bestS = ctx.freshName("bestS")
+      val found = ctx.freshName("found")
+      val c = ctx.freshName("c")
+      val row = ctx.freshName("row")
+      val cid = ctx.freshName("cid")
+      val ce = ctx.freshName("ce")
+      val m = ctx.freshName("m")
+      val acc = ctx.freshName("acc")
+      val j = ctx.freshName("j")
+      val s = ctx.freshName("s")
+      s"""
+         |int $ne = $b.numElements();
+         |int $n = $a.numElements();
+         |long $bestCid = 0L;
+         |double $bestS = 0.0;
+         |boolean $found = false;
+         |for (int $c = 0; $c < $n; $c++) {
+         |  org.apache.spark.sql.catalyst.InternalRow $row = $a.getStruct($c, 3);
+         |  long $cid = $row.getLong(0);
+         |  org.apache.spark.sql.catalyst.util.ArrayData $ce = $row.getArray(1);
+         |  int $m = java.lang.Math.min($ce.numElements(), $ne);
+         |  double $acc = 0.0;
+         |  for (int $j = 0; $j < $m; $j++) {
+         |    $acc += $ce.getDouble($j) * $b.getDouble($j);
+         |  }
+         |  double $s = $row.getDouble(2) - 2.0 * $acc;
+         |  if (!$found || $s < $bestS || ($s == $bestS && $cid < $bestCid)) {
+         |    $found = true; $bestS = $s; $bestCid = $cid;
+         |  }
+         |}
+         |if (!$found) { ${ev.isNull} = true; } else { ${ev.value} = $bestCid; }
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): L2ArgMin =
+    copy(left = newLeft, right = newRight)
+}

@@ -43,7 +43,7 @@ object Similarity {
     dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
   }
 
-  private def vecs(s: SparkSession, d: String): DataFrame = {
+  private[llm] def vecs(s: SparkSession, d: String): DataFrame = {
     graft.expr.GraftFunctions.register(s)
     Tables.embeddings(s, d)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))

@@ -1,0 +1,76 @@
+package graft.llm
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+/** Semantics + scale-shape of the product-quantization component
+  * (SimilarityPq + the native vec_argmin_l2 expression). The catalog
+  * queries prove oracle parity; these pin the quantizer's selection rule,
+  * the compression-loss floor, and the no-corpus-shuffle plan shape. */
+class PqSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val d001 = "/root/testdata/sf0.001"
+
+  test("vec_argmin_l2: picks the L2-nearest entry, not the cosine-nearest; ties break low") {
+    graft.expr.GraftFunctions.register(spark)
+    // x = (1,1). cid 0 = (10,10): SAME direction (cosine 1.0) but far in L2
+    // (n2-2dot = 200-40 = 160); cid 1 = (0,1): L2-nearer (1-2 = -1) though
+    // cosine-worse — the L2 argmin must pick 1 where the cosine argmax
+    // would pick 0. cid 2 duplicates cid 1's entry → equal score, tie to
+    // the LOWER cid (still 1).
+    val df = Seq(Tuple1(Seq(1.0, 1.0))).toDF("e")
+      .withColumn("cs", expr(
+        "array(named_struct('cid', 0L, 'ce', array(10.0d, 10.0d), 'n2', 200.0d)," +
+          "      named_struct('cid', 1L, 'ce', array(0.0d, 1.0d), 'n2', 1.0d)," +
+          "      named_struct('cid', 2L, 'ce', array(0.0d, 1.0d), 'n2', 1.0d))"))
+    val got = df.select(expr("vec_argmin_l2(cs, e)")).head.getLong(0)
+    assert(got == 1L, s"expected L2-nearest cid 1, got $got")
+    // empty codebook → null
+    val nul = df.select(expr(
+      "vec_argmin_l2(CAST(array() AS ARRAY<STRUCT<cid: BIGINT, ce: ARRAY<DOUBLE>, n2: DOUBLE>>), e)"))
+      .head.isNullAt(0)
+    assert(nul, "empty codebook must yield null")
+  }
+
+  test("PQ codes: every code is a live codebook entry id in [0, ks)") {
+    val codes = SimilarityPq.pqCodes(spark, d001)
+    val mx = codes.select(greatest((1 to SimilarityPq.m).map(j => col(s"c$j")): _*).as("mx"),
+        least((1 to SimilarityPq.m).map(j => col(s"c$j")): _*).as("mn"))
+      .agg(max(col("mx")), min(col("mn"))).head
+    assert(mx.getLong(1) >= 0L && mx.getLong(0) < SimilarityPq.ks,
+      s"codes out of [0, ${SimilarityPq.ks}): $mx")
+    assert(codes.count() == 500)
+  }
+
+  test("PQ recall@3 vs brute force beats the compression-blind floor") {
+    // 32x compression CANNOT keep exact ranks (the int8 path at 4x keeps
+    // 0.9+); the gauge's job is honesty. Floor: well above random top-3
+    // of a 500-vector corpus (3/499 ≈ 0.006) and above the cosine-trained
+    // quantizer this replaced (0.17 measured) — L2 training lands ~0.37.
+    val rec = SimilarityPq.pqRecall(spark, d001)
+      .agg(avg(col("recall"))).head.getDouble(0)
+    info(f"PQ recall@3: $rec%.3f")
+    assert(rec >= 0.25, f"PQ recall@3 $rec%.3f below floor")
+  }
+
+  test("plan guard: PQ search prunes via WindowGroupLimit; no exchange carries a vector") {
+    val plan = SimilarityPq.pqTopk(spark, d001)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"),
+      "q_sim_pq lost the WindowGroupLimit pushdown — the full n×q score set would shuffle")
+    // the only exchanges may carry (qid, nbr, cos)-shaped scalars (plus the
+    // harness trailer's single-partition shuffle) — never the raw vector,
+    // a codebook column, or the reconstruction
+    plan.linesIterator.filter(_.contains("Exchange")).foreach { line =>
+      for (bad <- Seq(" e#", "recon#", "cs1#", "qe#"))
+        assert(!line.contains(bad), s"vector column crosses an exchange: $line")
+    }
+  }
+
+  test("PQ top-k is deterministic across runs") {
+    val a = SimilarityPq.pqTopk(spark, d001).collect().toSeq
+    val b = SimilarityPq.pqTopk(spark, d001).collect().toSeq
+    assert(a == b)
+  }
+}
