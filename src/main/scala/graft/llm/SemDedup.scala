@@ -1,0 +1,76 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.QueryDef
+import graft.core.QueryDef.OrderedOut
+
+/** Semantic deduplication (SemDeDup, Abbas et al. 2023): cluster the
+  * embedding corpus with trained k-means, then within each cluster flag as
+  * duplicates the vectors whose cosine to a HIGHER-PRIORITY cluster-mate
+  * (here: lower vec_id — deterministic keep order) exceeds a threshold.
+  * Complements the hash-bucket family: sign-LSH ([[Dedup]] embed queries)
+  * buckets by random-hyperplane bits; this buckets by LEARNED cluster
+  * structure — the actual SemDeDup recipe — and makes the keep/drop rule
+  * an oracled first-class output rather than candidate pairs.
+  *
+  * The keep rule is the paper's one-shot greedy: a vector is dropped iff
+  * SOME lower-id cluster-mate is within the threshold, even if that mate
+  * is itself dropped — no transitive chasing (chain-merging is
+  * q_dedup_clusters' job). Threshold 0.3 is tuned to the driver corpus
+  * (near-isotropic synthetic embeddings whose extreme pairwise cosine is
+  * ~0.4; the paper's 0.95+ presumes a trained encoder's geometry — the
+  * knob is data-dependent, the operator shape is not).
+  *
+  * Scale shape: clustering reuses [[Similarity.trainCentroids]] /
+  * [[Similarity.assignNearest]] — zero corpus shuffle up to assignment.
+  * The within-cluster pairing DOES co-locate each cluster through one
+  * exchange on the cluster id (unavoidable — it is the algorithm), and its
+  * quadratic is bounded per cluster: at corpus scale nCentroids grows with
+  * the corpus so cluster size stays ~constant (the paper runs 50k clusters
+  * over 5B embeddings) — the same per-bucket-bounded discipline as the
+  * capped LSH variants, with k as the knob. Only (vec_id, e, bucket)
+  * crosses that exchange; the verdict output joins pair survivors back by
+  * id. */
+object SemDedup {
+
+  val nCentroids = 8
+  val iters = 2
+  val threshold = 0.3
+
+  /** (vec_id, bucket, is_dup 0/1) for every vector — the dedup verdict an
+    * LLM pipeline consumes (filter is_dup = 0), emitted as the full
+    * per-vector table so the oracle hashes the whole decision surface. */
+  def semantic(s: SparkSession, d: String): DataFrame = {
+    val all = Similarity.vecs(s, d)
+    val cents = Similarity.trainCentroids(all, nCentroids, iters)
+    val assigned = Similarity.assignNearest(all, cents)
+      .select(col("vec_id"), col("e"), col("cid").as("bucket"))
+    val dups = assigned.as("a").join(assigned.as("b"),
+        col("a.bucket") === col("b.bucket") &&
+          col("a.vec_id") > col("b.vec_id") &&
+          Similarity.cosine(col("a.e"), col("b.e")) > threshold)
+      .select(col("a.vec_id").as("vec_id")).distinct()
+    assigned.select(col("vec_id"), col("bucket"))
+      .join(dups.withColumn("hit", lit(1L)), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("bucket"),
+        coalesce(col("hit"), lit(0L)).as("is_dup"))
+      .orderedBy("vec_id")
+  }
+
+  private def semanticOracle: String =
+    s"""WITH ${Similarity.trainBody(nCentroids, iters, 64)},
+       |${Similarity.assignCte("assigned", s"c$iters")},
+       |dups AS (
+       |  SELECT DISTINCT a.vec_id FROM assigned a JOIN assigned b
+       |  ON a.bucket = b.bucket AND a.vec_id > b.vec_id
+       |     AND list_cosine_similarity(a.e, b.e) > $threshold)
+       |SELECT s.vec_id, s.bucket,
+       |       CAST(CASE WHEN d.vec_id IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS is_dup
+       |FROM assigned s LEFT JOIN dups d ON s.vec_id = d.vec_id
+       |ORDER BY s.vec_id""".stripMargin
+
+  val defs: Map[String, QueryDef] = Map(
+    "q_dedup_semantic" -> QueryDef(semantic, Some(semanticOracle))
+  )
+}

@@ -292,7 +292,7 @@ object Similarity {
     * `iters` Lloyd's rounds are unrolled as (assign, recompute) CTE pairs
     * whose per-dim means use the exact-decimal recipe, so centroids are
     * bit-identical across engines. */
-  private def assignCte(a: String, c: String) =
+  private[llm] def assignCte(a: String, c: String) =
     s"""$a AS (
        |  SELECT vec_id, e, cid AS bucket FROM (
        |    SELECT v.vec_id, v.e, c.cid,
@@ -302,7 +302,7 @@ object Similarity {
 
   /** The Lloyd's-training CTE chain (v, c0, a1/c1 .. a_iters/c_iters) —
     * shared by [[bucketedBody]] and the centroid-export oracle. */
-  private def trainBody(nCentroids: Int, iters: Int, dim: Int): String = {
+  private[llm] def trainBody(nCentroids: Int, iters: Int, dim: Int): String = {
     val meanCols = (1 to dim).map(i =>
       s"round(CAST(sum(CAST(e[$i] AS DECIMAL(20,8))) AS DOUBLE) / count(*), 6)")
       .mkString(",\n          ")

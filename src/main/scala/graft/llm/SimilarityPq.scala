@@ -54,64 +54,84 @@ object SimilarityPq {
 
   private def off(j: Int): Int = (j - 1) * ds + 1
 
-  /** Nearest-codebook-entry assignment by L2, zero corpus shuffle: the
-    * codebook collapses to one broadcast row carrying each entry's
-    * precomputed self-dot, and the row-side argmin is one codegen loop. */
-  private def assignL2(sub: DataFrame, cents: DataFrame): DataFrame = {
-    val cs = cents.agg(collect_list(struct(col("cid"), col("ce"),
-      call_function("vec_dot", col("ce"), col("ce")).as("n2"))).as("cs"))
-    sub.crossJoin(broadcast(cs))
-      .select(col("vec_id"), col("e"),
-        call_function("vec_argmin_l2", col("cs"), col("e")).as("cid"))
+  /** Exploded subvector view: (vec_id, j, se) — one row per vector per
+    * subspace, produced MAP-SIDE (no exchange: the fan-out is a projection,
+    * and the aggregations over it partial-aggregate before their shuffle,
+    * so only fixed-width (j, cid) partials ever cross the wire). */
+  private def subVecs(all: DataFrame): DataFrame =
+    all.select(col("vec_id"), posexplode(array((1 to m).map(j =>
+        slice(col("e"), off(j), ds)): _*)))
+      .select(col("vec_id"), (col("pos") + 1).as("j"), col("col").as("se"))
+
+  /** Collapse a (j, cid, ce) centroid table to ONE broadcastable row:
+    * map j -> array<struct<cid, ce, n2>>, the per-subspace list
+    * [[graft.expr.L2ArgMin]] consumes (n2 = precomputed self-dot). */
+  private def toCbRow(cents: DataFrame): DataFrame =
+    cents.groupBy(col("j"))
+      .agg(collect_list(struct(col("cid"), col("ce"),
+        call_function("vec_dot", col("ce"), col("ce")).as("n2"))).as("cs"))
+      .agg(map_from_entries(collect_list(struct(col("j"), col("cs")))).as("cm"))
+
+  /** All `m` codebooks trained in ONE aggregation pass — deterministic
+    * per-subspace Lloyd's under the L2 metric: seed = first `ks` slices,
+    * one broadcast-argmin assign round over the exploded view, one grouped
+    * exact-decimal mean recompute ([[Similarity.trainCentroids]]'s recipe,
+    * keyed (j, cid)). Per-subspace results are identical to `m`
+    * independent trainings — same seeds, same assignment rule, same mean
+    * arithmetic — so the oracle's per-subspace CTEs replay unchanged; the
+    * restructure only collapses what WAS m seed scans + m assign scans +
+    * m−1 one-row crossJoins (~50 scheduled jobs, measured ~2.3 s of
+    * q_sim_pq_codes at sf0.1) into three small aggregations. Empty
+    * clusters drop out identically on both engines. */
+  private def codebooksRow(all: DataFrame): DataFrame = {
+    val sub = subVecs(all)
+    val seedRow = toCbRow(sub.filter(col("vec_id") < ks)
+      .select(col("j"), col("vec_id").as("cid"), col("se").as("ce")))
+    val assigned = sub.crossJoin(broadcast(seedRow))
+      .select(col("j"), col("se"), call_function("vec_argmin_l2",
+        element_at(col("cm"), col("j")), col("se")).as("cid"))
+    val dims = (1 to ds).map(i =>
+      round(sum(element_at(col("se"), i).cast("decimal(20,8)")).cast("double") /
+        count(lit(1)), 6).as(s"m$i"))
+    toCbRow(assigned.groupBy(col("j"), col("cid"))
+      .agg(dims.head, dims.tail: _*)
+      .select(col("j"), col("cid"),
+        array((1 to ds).map(i => col(s"m$i")): _*).as("ce")))
   }
 
-  /** Deterministic per-subspace Lloyd's under the L2 metric — the
-    * [[Similarity.trainCentroids]] recipe with the assignment rule swapped:
-    * exact-decimal per-dim means, round(6), clusters that lose every
-    * vector drop out identically on both engines. */
-  private def trainCodebook(sub: DataFrame, iters: Int = 1): DataFrame = {
-    val seed = sub.filter(col("vec_id") < ks)
-      .select(col("vec_id").as("cid"), col("e").as("ce"))
-    (1 to iters).foldLeft(seed) { (cents, _) =>
-      val assigned = assignL2(sub, cents)
-      val dims = (1 to ds).map(i =>
-        round(sum(element_at(col("e"), i).cast("decimal(20,8)")).cast("double") /
-          count(lit(1)), 6).as(s"c$i"))
-      assigned.groupBy(col("cid"))
-        .agg(dims.head, dims.tail: _*)
-        .select(col("cid"), array((1 to ds).map(i => col(s"c$i")): _*).as("ce"))
-    }
-  }
-
-  /** One broadcastable row holding all `m` codebooks, each as the
-    * (cid, ce, n2) struct list [[graft.expr.L2ArgMin]] consumes. */
-  private def codebooksRow(all: DataFrame): DataFrame =
-    (1 to m).map { j =>
-      val sub = all.select(col("vec_id"), slice(col("e"), off(j), ds).as("e"))
-      trainCodebook(sub)
-        .agg(collect_list(struct(col("cid"), col("ce"),
-          call_function("vec_dot", col("ce"), col("ce")).as("n2")))
-          .as(s"cs$j"))
-    }.reduce(_.crossJoin(_))
-
-  /** (vec_id, e, c1..cm, cs1..csm): every vector with its per-subspace
-    * nearest-codebook-entry codes, codebook columns kept for lookups.
+  /** (vec_id, e, cm, c1..cm): every vector with its per-subspace
+    * nearest-codebook-entry codes, the codebook map kept for lookups.
     * Broadcast-only — the corpus never shuffles. */
   private def coded(all: DataFrame): DataFrame =
     all.crossJoin(broadcast(codebooksRow(all)))
-      .select(col("vec_id") +: col("e") +:
-        ((1 to m).map(j => call_function("vec_argmin_l2", col(s"cs$j"),
-          slice(col("e"), off(j), ds)).as(s"c$j")) ++
-          (1 to m).map(j => col(s"cs$j"))): _*)
+      .select(col("vec_id") +: col("e") +: col("cm") +:
+        (1 to m).map(j => call_function("vec_argmin_l2",
+          element_at(col("cm"), lit(j)), slice(col("e"), off(j), ds)).as(s"c$j")): _*)
 
-  /** Code-reconstructed vectors: concat of each subspace's assigned
-    * centroid. The lookup filters a `ks`-entry broadcast list per row —
-    * bounded work, not the unbounded chained-HOF shape WinnowFps avoids. */
-  private def reconstructed(all: DataFrame): DataFrame =
-    coded(all).select(col("vec_id"),
-      concat((1 to m).map(j =>
-        element_at(filter(col(s"cs$j"), s => s("cid") === col(s"c$j")), 1)("ce")): _*)
-        .as("recon"))
+  /** Code-reconstructed vectors (vec_id, recon, rnrm): concat of each
+    * subspace's assigned centroid, plus the reconstruction's own norm.
+    *
+    * The filter-HOF lookup is DELIBERATELY CodegenFallback: whole-stage
+    * codegen defers a streamed-side expression that nothing upstream of
+    * the broadcast join references into the join's generated inner loop,
+    * re-evaluating it once per (row, query) PAIR — an all-native
+    * formulation of this projection (a centroid-returning argmin twin of
+    * vec_argmin_l2) measured 8.9 s vs 3.5 s at sf0.1, and a predicate
+    * barrier doesn't help because PushPredicateThroughNonJoin substitutes
+    * the alias into the pushed predicate. The interpreted projection is
+    * the one in-Catalyst materialization barrier that neither collapses
+    * nor defers, so recon and rnrm are computed ONCE per corpus row; the
+    * join loop then does a single dot per pair. Bounded interpreted work:
+    * m codebooks × ks entries per row. `rnrm` must live in THIS projection
+    * — as a later projection it would be all-codegen and deferred per pair
+    * right back. */
+  private def reconstructed(all: DataFrame): DataFrame = {
+    def recon = concat((1 to m).map(j =>
+      element_at(filter(element_at(col("cm"), lit(j)),
+        s => s("cid") === col(s"c$j")), 1)("ce")): _*)
+    coded(all).select(col("vec_id"), recon.as("recon"),
+      sqrt(call_function("vec_dot", recon, recon)).as("rnrm"))
+  }
 
   /** The PQ index artifact: (vec_id, c1..cm) — the 8-bytes-per-vector coded
     * corpus a serving layer scans instead of raw floats. */
@@ -126,12 +146,19 @@ object SimilarityPq {
   def pqTopk(s: SparkSession, d: String,
              nQueries: Int = nQueries, k: Int = k): DataFrame = {
     val all = Similarity.vecs(s, d)
+    // query norms materialize at the broadcast build, reconstruction norms
+    // in the interpreted projection (see reconstructed) — the per-pair
+    // expression is ONE dot, one multiply, one divide, the identical op
+    // tree as Similarity.cosine (dot / (sqrt·sqrt)), so the oracle's
+    // list_cosine_similarity compare is unchanged
     val q = all.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("qid"), col("e").as("qe"))
+      .select(col("vec_id").as("qid"), col("e").as("qe"),
+        sqrt(call_function("vec_dot", col("e"), col("e"))).as("qnrm"))
     val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nbr"))
     reconstructed(all).join(broadcast(q), col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id").as("nbr"),
-        Similarity.cosine(col("qe"), col("recon")).as("cos"))
+        (call_function("vec_dot", col("qe"), col("recon")) /
+          (col("qnrm") * col("rnrm"))).as("cos"))
       .withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
       .select(col("qid"), col("rnk").cast("long").as("rnk"), col("nbr"))
       .orderedBy("qid", "rnk")

@@ -1,0 +1,32 @@
+package graft.llm
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+/** Semantics of SemDeDup on a fixture where the right answer is obvious:
+  * orthogonal one-hot vectors can never exceed the cosine threshold, a
+  * near-copy always does, and the keep rule prefers the LOWER vec_id. */
+class SemDedupSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("semantic dedup: near-copy flagged against the lower-id original, orthogonal survivors kept") {
+    // v0..v7: orthogonal one-hots (the 8 k-means seeds — each founds its
+    // own cluster); v8: a scaled copy of v0 (cos = 1 → same cluster, dup);
+    // v9: one-hot on a fresh dimension (cos = 0 to everything → kept
+    // wherever it lands)
+    def oneHot(i: Int, scale: Double = 1.0): Seq[Float] =
+      Seq.tabulate(64)(j => if (j == i) scale.toFloat else 0.0f)
+    val rows = (0 to 7).map(i => (i.toLong, oneHot(i), i)) ++
+      Seq((8L, oneHot(0, 0.5), 0), (9L, oneHot(20), 9))
+    val dir = java.nio.file.Files.createTempDirectory("graft-semdedup").toString
+    rows.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+
+    val out = SemDedup.semantic(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(out(8L) == 1L, "near-copy of v0 must be flagged as a duplicate")
+    assert(out.filter(_._2 == 1L).keySet == Set(8L),
+      s"only the near-copy may be flagged, got ${out.filter(_._2 == 1L).keySet}")
+    assert(out.size == 10)
+  }
+}
