@@ -228,5 +228,6 @@ object Catalog {
       graft.llm.TextStats.defs ++ graft.llm.Dedup.defs ++
       graft.llm.MlLsh.defs ++ graft.llm.Pipeline.defs ++
       graft.llm.Similarity.defs ++ graft.llm.SimilarityPq.defs ++
-      graft.llm.SemDedup.defs ++ graft.llm.Multimodal.defs
+      graft.llm.SemDedup.defs ++ graft.llm.Vectorize.defs ++
+      graft.llm.Multimodal.defs
 }

@@ -1,0 +1,75 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.{OracleSql, QueryDef, Tables}
+import graft.core.QueryDef.OrderedOut
+
+/** Feature-hashing document vectorizer (the "hashing trick", Weinberger et
+  * al. 2009): every token hashes to one of `dim` buckets with a ±1 sign
+  * bit, and the document's vector is the signed bucket-count histogram —
+  * a model-free, vocabulary-free embedding that bridges the text tables
+  * into the vector operators (dedup, ANN, clustering) deterministically.
+  *
+  * Everything is EXACT integer arithmetic until the final norm: the hash
+  * is the repo's md5-prefix integer (conv of 8 hex chars — the sampling/
+  * digest idiom, rebuilt in DuckDB via [[OracleSql.hexPrefixToLong]]),
+  * bucket = hv mod dim, sign = bit 16 of hv, features are signed BIGINT
+  * sums, and the L2 norm is one sqrt of an exact integer — bit-identical
+  * cross-engine with no rounding recipe needed.
+  *
+  * Scale shape: tokenize + hash fan out map-side; the single exchange
+  * carries (doc_id, dim fixed-width partial sums) — partial aggregation
+  * collapses each document's tokens before the shuffle, and document
+  * bodies never leave the scan. Output is dim feature COLUMNS (not an
+  * array) so the driver's column-sorted hash compare applies directly. */
+object Vectorize {
+
+  /** Test-scale width; production would use 2^18+ buckets — the operator
+    * shape (conditional-sum histogram) is width-independent. */
+  val dim = 16
+
+  def hashingVec(s: SparkSession, d: String): DataFrame = {
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"), explode(TextStats.tokens(col("text"))).as("t"))
+    val hv = conv(substring(md5(col("t")), 1, 8), 16, 10).cast("long")
+    val hashed = toks.select(col("doc_id"), (hv % dim).as("idx"),
+      when(shiftright(hv, 16) % 2 === 1, 1L).otherwise(-1L).as("sgn"))
+    val feats = (1 to dim).map(i =>
+      sum(when(col("idx") === (i - 1), col("sgn")).otherwise(0L)).as(s"f$i"))
+    val sq = (1 to dim).map(i => col(s"f$i") * col(s"f$i")).reduce(_ + _)
+    hashed.groupBy(col("doc_id"))
+      .agg(feats.head, feats.tail: _*)
+      .select(col("doc_id") +: (1 to dim).map(i => col(s"f$i")) :+
+        sqrt(sq.cast("double")).as("nrm"): _*)
+      .orderedBy("doc_id")
+  }
+
+  private def hashingOracle: String = {
+    val hv = OracleSql.hexPrefixToLong("h")
+    val feats = (1 to dim).map(i =>
+      s"CAST(sum(CASE WHEN hv % $dim = ${i - 1} THEN sgn ELSE 0 END) AS BIGINT) AS f$i")
+      .mkString(",\n       ")
+    val sq = (1 to dim).map(i => s"f$i*f$i").mkString(" + ")
+    s"""WITH tok AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+       |hv AS (
+       |  SELECT doc_id, $hv AS hv
+       |  FROM (SELECT doc_id, substr(md5(t), 1, 8) AS h FROM tok)),
+       |sg AS (
+       |  SELECT doc_id, hv,
+       |         CASE WHEN (hv // 65536) % 2 = 1 THEN 1 ELSE -1 END AS sgn
+       |  FROM hv),
+       |f AS (
+       |  SELECT doc_id,
+       |       $feats
+       |  FROM sg GROUP BY doc_id)
+       |SELECT doc_id, ${(1 to dim).map(i => s"f$i").mkString(", ")},
+       |       sqrt(CAST($sq AS DOUBLE)) AS nrm
+       |FROM f ORDER BY doc_id""".stripMargin
+  }
+
+  val defs: Map[String, QueryDef] = Map(
+    "q_embed_hashing" -> QueryDef(hashingVec, Some(hashingOracle))
+  )
+}
