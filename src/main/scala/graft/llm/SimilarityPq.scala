@@ -99,12 +99,13 @@ object SimilarityPq {
         array((1 to ds).map(i => col(s"m$i")): _*).as("ce")))
   }
 
-  /** (vec_id, e, cm, c1..cm): every vector with its per-subspace
-    * nearest-codebook-entry codes, the codebook map kept for lookups.
-    * Broadcast-only — the corpus never shuffles. */
-  private def coded(all: DataFrame): DataFrame =
-    all.crossJoin(broadcast(codebooksRow(all)))
-      .select(col("vec_id") +: col("e") +: col("cm") +:
+  /** (df.* , cm, c1..cm): every vector with its per-subspace
+    * nearest-codebook-entry codes, the codebook map kept for lookups;
+    * codebooks train on `df`'s own vectors. Broadcast-only — the corpus
+    * never shuffles. `df` needs (vec_id, e); extra columns ride along. */
+  private def coded(df: DataFrame): DataFrame =
+    df.crossJoin(broadcast(codebooksRow(df)))
+      .select(df.columns.map(col) ++ Seq(col("cm")) ++
         (1 to m).map(j => call_function("vec_argmin_l2",
           element_at(col("cm"), lit(j)), slice(col("e"), off(j), ds)).as(s"c$j")): _*)
 
@@ -125,13 +126,15 @@ object SimilarityPq {
     * m codebooks × ks entries per row. `rnrm` must live in THIS projection
     * — as a later projection it would be all-codegen and deferred per pair
     * right back. */
-  private def reconstructed(all: DataFrame): DataFrame = {
+  private[llm] def withRecon(df: DataFrame, keep: String*): DataFrame = {
     def recon = concat((1 to m).map(j =>
       element_at(filter(element_at(col("cm"), lit(j)),
         s => s("cid") === col(s"c$j")), 1)("ce")): _*)
-    coded(all).select(col("vec_id"), recon.as("recon"),
-      sqrt(call_function("vec_dot", recon, recon)).as("rnrm"))
+    coded(df).select(keep.map(col) ++ Seq(col("vec_id"), recon.as("recon"),
+      sqrt(call_function("vec_dot", recon, recon)).as("rnrm")): _*)
   }
+
+  private def reconstructed(all: DataFrame): DataFrame = withRecon(all)
 
   /** The PQ index artifact: (vec_id, c1..cm) — the 8-bytes-per-vector coded
     * corpus a serving layer scans instead of raw floats. */
@@ -199,21 +202,24 @@ object SimilarityPq {
        |                       - 2 * list_inner_product(c.ce, s.e)) ASC, c.cid) AS arn
        |    FROM $src s, $cents c) WHERE arn = 1)""".stripMargin
 
+  /** Per-subspace (slice, seed, assign, recompute, encode) CTEs —
+    * reference an existing `v` CTE, so they compose with the coarse-IVF
+    * chain in the IVF-PQ oracle. */
+  private def pqSubCtes: String = (1 to m).map { j =>
+    s"""s$j AS (SELECT vec_id, list_slice(e, ${off(j)}, ${off(j) + ds - 1}) AS e FROM v),
+       |c0_$j AS (SELECT vec_id AS cid, e AS ce FROM s$j WHERE vec_id < $ks),
+       |${assignSql(s"a1_$j", s"s$j", s"c0_$j")},
+       |c1_$j AS (
+       |  SELECT bucket AS cid,
+       |         [$meanCols] AS ce
+       |  FROM a1_$j GROUP BY bucket),
+       |${assignSql(s"enc_$j", s"s$j", s"c1_$j")}""".stripMargin
+  }.mkString(",\n")
+
   /** v + per-subspace (slice, seed, assign, recompute, encode) CTEs. */
-  private def pqBody: String = {
-    val subs = (1 to m).map { j =>
-      s"""s$j AS (SELECT vec_id, list_slice(e, ${off(j)}, ${off(j) + ds - 1}) AS e FROM v),
-         |c0_$j AS (SELECT vec_id AS cid, e AS ce FROM s$j WHERE vec_id < $ks),
-         |${assignSql(s"a1_$j", s"s$j", s"c0_$j")},
-         |c1_$j AS (
-         |  SELECT bucket AS cid,
-         |         [$meanCols] AS ce
-         |  FROM a1_$j GROUP BY bucket),
-         |${assignSql(s"enc_$j", s"s$j", s"c1_$j")}""".stripMargin
-    }.mkString(",\n")
+  private def pqBody: String =
     s"""v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
-       |$subs""".stripMargin
-  }
+       |$pqSubCtes""".stripMargin
 
   private def reconCte: String = {
     val joins = (2 to m).map(j =>
@@ -270,9 +276,65 @@ object SimilarityPq {
        |FROM (SELECT DISTINCT qid FROM bt) b LEFT JOIN h USING (qid)
        |ORDER BY qid""".stripMargin
 
+  /** IVF-PQ composed (the FAISS IVFPQ shape — the billion-scale serving
+    * index): the trained coarse quantizer ([[Similarity.trainCentroids]],
+    * cosine) buckets the corpus and prunes candidates to the `nprobe`
+    * probed buckets; the PQ codebooks score the survivors against their
+    * 8-byte reconstructions. Both stages reuse their existing trained
+    * machinery verbatim, so the oracle is the concatenation of the two CTE
+    * families. Scale shape: probes, coarse centroids, and the PQ codebook
+    * map all broadcast; candidate volume drops ~nprobe/nCentroids; scoring
+    * touches reconstructions, not raw vectors; the only exchange carries
+    * (qid, nbr, cos) scalars after the WindowGroupLimit prune. */
+  def ivfPqTopk(s: SparkSession, d: String,
+                nQueries: Int = nQueries, k: Int = k,
+                nCentroids: Int = 8, nprobe: Int = 2,
+                trainIters: Int = 2): DataFrame = {
+    val all = Similarity.vecs(s, d)
+    val cents = Similarity.trainCentroids(all, nCentroids, trainIters)
+    val assigned = Similarity.assignNearest(all, cents)
+      .select(col("vec_id"), col("e"), col("cid").as("bucket"))
+    val rec = withRecon(assigned, "bucket")
+    val probes = Similarity.ivfProbes(all, cents, nQueries, nprobe)
+      .withColumn("qnrm", sqrt(call_function("vec_dot", col("qe"), col("qe"))))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nbr"))
+    rec.join(broadcast(probes), "bucket")
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("nbr"),
+        (call_function("vec_dot", col("qe"), col("recon")) /
+          (col("qnrm") * col("rnrm"))).as("cos"))
+      .withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
+      .select(col("qid"), col("rnk").cast("long").as("rnk"), col("nbr"))
+      .orderedBy("qid", "rnk")
+  }
+
+  private def ivfPqOracle(nQueries: Int, k: Int, nCentroids: Int,
+                          nprobe: Int, iters: Int): String =
+    s"""WITH ${Similarity.trainBody(nCentroids, iters, dim)},
+       |${Similarity.assignCte("assigned", s"c$iters")},
+       |$pqSubCtes,
+       |$reconCte,
+       |q AS (SELECT vec_id AS qid, e AS qe FROM v WHERE vec_id < $nQueries),
+       |probes AS (
+       |  SELECT qid, qe, cid AS bucket FROM (
+       |    SELECT q.qid, q.qe, c.cid,
+       |           row_number() OVER (PARTITION BY q.qid
+       |             ORDER BY list_cosine_similarity(c.ce, q.qe) DESC, c.cid) AS prn
+       |    FROM q, c$iters c) WHERE prn <= $nprobe),
+       |sc AS (SELECT p.qid, a.vec_id AS nbr,
+       |              list_cosine_similarity(p.qe, r.recon) AS cos
+       |       FROM probes p JOIN assigned a ON p.bucket = a.bucket
+       |       JOIN recon r ON r.vec_id = a.vec_id
+       |       WHERE a.vec_id != p.qid),
+       |rk AS (SELECT qid, nbr, row_number() OVER (PARTITION BY qid
+       |              ORDER BY cos DESC, nbr) AS rnk FROM sc)
+       |SELECT qid, rnk, nbr FROM rk WHERE rnk <= $k ORDER BY qid, rnk""".stripMargin
+
   val defs: Map[String, QueryDef] = Map(
     "q_sim_pq_codes" -> QueryDef(pqCodes, Some(codesOracle)),
     "q_sim_pq" -> QueryDef(pqTopk(_, _), Some(topkOracle(nQueries, k))),
-    "q_sim_pq_recall" -> QueryDef(pqRecall(_, _), Some(recallOracle(nQueries, k)))
+    "q_sim_pq_recall" -> QueryDef(pqRecall(_, _), Some(recallOracle(nQueries, k))),
+    "q_sim_ivfpq" -> QueryDef(ivfPqTopk(_, _),
+      Some(ivfPqOracle(nQueries, k, nCentroids = 8, nprobe = 2, iters = 2)))
   )
 }

@@ -68,6 +68,20 @@ class PqSpec extends SparkTestBase {
     }
   }
 
+  test("IVF-PQ: the composed index still beats the compression-blind floor") {
+    // double approximation (coarse pruning + 32x code scoring) loses
+    // ground on BOTH axes; it must still beat random by a wide margin and
+    // stay within reach of plain PQ (pruning may not cost recall when the
+    // coarse buckets capture the true neighbors)
+    def asSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val brute = asSet(Similarity.topkBrute(spark, d001, nQueries = 20, k = 3))
+    val ivfpq = asSet(SimilarityPq.ivfPqTopk(spark, d001))
+    val rec = ivfpq.intersect(brute).size.toDouble / brute.size
+    info(f"IVF-PQ recall@3: $rec%.3f")
+    assert(rec >= 0.15, f"IVF-PQ recall@3 $rec%.3f below floor")
+  }
+
   test("PQ top-k is deterministic across runs") {
     val a = SimilarityPq.pqTopk(spark, d001).collect().toSeq
     val b = SimilarityPq.pqTopk(spark, d001).collect().toSeq
