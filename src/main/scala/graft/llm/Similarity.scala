@@ -302,7 +302,9 @@ object Similarity {
 
   /** The Lloyd's-training CTE chain (v, c0, a1/c1 .. a_iters/c_iters) —
     * shared by [[bucketedBody]] and the centroid-export oracle. */
-  private[llm] def trainBody(nCentroids: Int, iters: Int, dim: Int): String = {
+  private[llm] def trainBody(nCentroids: Int, iters: Int, dim: Int,
+      vSql: String =
+        "SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings"): String = {
     val meanCols = (1 to dim).map(i =>
       s"round(CAST(sum(CAST(e[$i] AS DECIMAL(20,8))) AS DOUBLE) / count(*), 6)")
       .mkString(",\n          ")
@@ -313,7 +315,7 @@ object Similarity {
          |         [$meanCols] AS ce
          |  FROM a$t GROUP BY bucket)""".stripMargin
     }.mkString(",\n")
-    s"""v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    s"""v AS ($vSql),
        |c0 AS (SELECT vec_id AS cid, e AS ce FROM v WHERE vec_id < $nCentroids),
        |$trainCtes""".stripMargin
   }

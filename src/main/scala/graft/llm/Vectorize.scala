@@ -29,7 +29,9 @@ object Vectorize {
     * shape (conditional-sum histogram) is width-independent. */
   val dim = 16
 
-  def hashingVec(s: SparkSession, d: String): DataFrame = {
+  /** Untrailed core — (doc_id, f1..fdim, nrm) — for composition into the
+    * text-side semantic dedup ([[SemDedup.semanticText]]). */
+  private[llm] def hashingCore(s: SparkSession, d: String): DataFrame = {
     val toks = Tables.documents(s, d)
       .select(col("doc_id"), explode(TextStats.tokens(col("text"))).as("t"))
     val hv = conv(substring(md5(col("t")), 1, 8), 16, 10).cast("long")
@@ -42,16 +44,16 @@ object Vectorize {
       .agg(feats.head, feats.tail: _*)
       .select(col("doc_id") +: (1 to dim).map(i => col(s"f$i")) :+
         sqrt(sq.cast("double")).as("nrm"): _*)
-      .orderedBy("doc_id")
   }
 
-  private def hashingOracle: String = {
+  /** The f-table as SQL CTEs (tok/hv/sg/f) — the oracle-side twin of
+    * [[hashingCore]], shared with the semantic-text dedup oracle. */
+  private[llm] def hashingCtes: String = {
     val hv = OracleSql.hexPrefixToLong("h")
     val feats = (1 to dim).map(i =>
       s"CAST(sum(CASE WHEN hv % $dim = ${i - 1} THEN sgn ELSE 0 END) AS BIGINT) AS f$i")
       .mkString(",\n       ")
-    val sq = (1 to dim).map(i => s"f$i*f$i").mkString(" + ")
-    s"""WITH tok AS (
+    s"""tok AS (
        |  SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
        |hv AS (
        |  SELECT doc_id, $hv AS hv
@@ -63,7 +65,15 @@ object Vectorize {
        |f AS (
        |  SELECT doc_id,
        |       $feats
-       |  FROM sg GROUP BY doc_id)
+       |  FROM sg GROUP BY doc_id)""".stripMargin
+  }
+
+  def hashingVec(s: SparkSession, d: String): DataFrame =
+    hashingCore(s, d).orderedBy("doc_id")
+
+  private def hashingOracle: String = {
+    val sq = (1 to dim).map(i => s"f$i*f$i").mkString(" + ")
+    s"""WITH $hashingCtes
        |SELECT doc_id, ${(1 to dim).map(i => s"f$i").mkString(", ")},
        |       sqrt(CAST($sq AS DOUBLE)) AS nrm
        |FROM f ORDER BY doc_id""".stripMargin

@@ -29,4 +29,23 @@ class SemDedupSpec extends SparkTestBase {
       s"only the near-copy may be flagged, got ${out.filter(_._2 == 1L).keySet}")
     assert(out.size == 10)
   }
+
+  test("text-side semantic dedup: identical text flagged, disjoint vocab kept") {
+    // 8 distinct-vocab seed docs + one exact copy of doc 0's text (cosine
+    // 1.0 in hashing space, same cluster) + one fresh-vocab doc
+    val seeds = (0 to 7).map(i =>
+      (i.toLong, s"word${i}a word${i}b word${i}c word${i}a", "en", "a", 30L))
+    val rows = seeds ++ Seq(
+      (8L, seeds.head._2, "en", "a", 30L),
+      (9L, "zeta eta theta iota kappa", "en", "a", 25L))
+    val dir = java.nio.file.Files.createTempDirectory("graft-semtext").toString
+    rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+
+    val out = SemDedup.semanticText(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(out(8L) == 1L, "identical text must be flagged against the lower doc_id")
+    assert(out(9L) == 0L, "fresh-vocab doc must be kept")
+    assert(out(0L) == 0L, "the lower-id original must be kept")
+  }
 }
