@@ -29,7 +29,8 @@ object ExplainAudit {
       "q_dedup_chunk", "q_unpivot", "q_sim_recall", "q_outliers", "q_zorder",
       "q_snapshot_diff", "q_sim_centroids", "q_quality_oov",
       "q_join_bloom", "q_dedup_incremental", "q_math_funcs",
-      "q_sim_pq", "q_sim_pq_codes", "q_sim_pq_recall", "q_dedup_semantic")
+      "q_sim_pq", "q_sim_pq_codes", "q_sim_pq_recall", "q_dedup_semantic",
+      "q_sim_ivfpq", "q_embed_hashing", "q_dedup_semantic_text")
     names.foreach { n =>
       println(s"\n========== $n ==========")
       n match {
