@@ -30,9 +30,12 @@ object Vectorize {
   val dim = 16
 
   /** Untrailed core — (doc_id, f1..fdim, nrm) — for composition into the
-    * text-side semantic dedup ([[SemDedup.semanticText]]). */
-  private[llm] def hashingCore(s: SparkSession, d: String): DataFrame = {
-    val toks = Tables.documents(s, d)
+    * text-side semantic dedup ([[SemDedup.semanticText]]) and the
+    * streaming bridge (works unchanged on a streaming frame: explode and
+    * hashing are stateless projections, the histogram is one grouped
+    * aggregation — exactly the complete-mode streaming shape). */
+  private[llm] def hashingFrom(docs: DataFrame): DataFrame = {
+    val toks = docs
       .select(col("doc_id"), explode(TextStats.tokens(col("text"))).as("t"))
     val hv = conv(substring(md5(col("t")), 1, 8), 16, 10).cast("long")
     val hashed = toks.select(col("doc_id"), (hv % dim).as("idx"),
@@ -68,8 +71,21 @@ object Vectorize {
        |  FROM sg GROUP BY doc_id)""".stripMargin
   }
 
+  private[llm] def hashingCore(s: SparkSession, d: String): DataFrame =
+    hashingFrom(Tables.documents(s, d))
+
   def hashingVec(s: SparkSession, d: String): DataFrame =
     hashingCore(s, d).orderedBy("doc_id")
+
+  /** The vectorizer executed by the STREAMING engine (11th bridge):
+    * file source over the same documents parquet, AvailableNow,
+    * complete-mode aggregation into a memory sink, hash-compared against
+    * the IDENTICAL oracle SQL as q_embed_hashing — the newest operator
+    * family under the batch ≡ streaming gate like the candle/session/
+    * dedup/vocab/join/enrich bridges before it. */
+  def hashingStreamed(s: SparkSession, d: String): DataFrame =
+    Tables.runStreamComplete(hashingFrom(Tables.documentsStream(s, d)),
+      "hashvec_streamed_").orderedBy("doc_id")
 
   private def hashingOracle: String = {
     val sq = (1 to dim).map(i => s"f$i*f$i").mkString(" + ")
@@ -80,6 +96,7 @@ object Vectorize {
   }
 
   val defs: Map[String, QueryDef] = Map(
-    "q_embed_hashing" -> QueryDef(hashingVec, Some(hashingOracle))
+    "q_embed_hashing" -> QueryDef(hashingVec, Some(hashingOracle)),
+    "q_hashvec_streamed" -> QueryDef(hashingStreamed, Some(hashingOracle))
   )
 }
