@@ -32,4 +32,43 @@ class VectorizeSpec extends SparkTestBase {
         s"norm of doc $id must be the exact sqrt of the integer square sum")
     }
   }
+
+  test("hashing vectors match a pure-Scala recomputation; token order is irrelevant") {
+    // ground truth replays the WHOLE hash path outside Spark: md5 -> first
+    // 8 hex chars -> long -> bucket hv % dim, sign bit 16 — any divergence
+    // in the Spark expression chain (conv width, shiftright, when-order)
+    // breaks this, not just the DuckDB parity
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "epsilon", "zeta",
+      "eta", "theta", "iota", "kappa")
+    val rnd = new scala.util.Random(7)
+    val docs = (0L until 12L).map { i =>
+      val toks = Seq.fill(20)(vocab(rnd.nextInt(vocab.size)))
+      (i, toks, toks.mkString(" "))
+    }
+    // permuted twins: same multiset, reversed order
+    val rows = docs.map { case (i, _, t) => (i, t, "en", "a", 1L) } ++
+      docs.map { case (i, toks, _) => (i + 100L, toks.reverse.mkString(" "), "en", "a", 1L) }
+    val dir = java.nio.file.Files.createTempDirectory("graft-hashprop").toString
+    rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+
+    def groundTruth(toks: Seq[String]): Seq[Long] = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val acc = Array.fill(Vectorize.dim)(0L)
+      toks.foreach { t =>
+        val hex = md.digest(t.getBytes("UTF-8")).take(4)
+          .map(b => f"${b & 0xff}%02x").mkString
+        val hv = java.lang.Long.parseLong(hex, 16)
+        val sgn = if (((hv >> 16) & 1L) == 1L) 1L else -1L
+        acc((hv % Vectorize.dim).toInt) += sgn
+      }
+      acc.toSeq
+    }
+    val out = Vectorize.hashingVec(spark, dir).collect()
+      .map(r => r.getLong(0) -> (1 to Vectorize.dim).map(i => r.getLong(i))).toMap
+    docs.foreach { case (i, toks, _) =>
+      assert(out(i) == groundTruth(toks), s"doc $i diverges from ground truth")
+      assert(out(i) == out(i + 100L), s"doc $i is token-order sensitive")
+    }
+  }
 }
