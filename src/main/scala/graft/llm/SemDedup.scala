@@ -41,9 +41,14 @@ object SemDedup {
   /** (vec_id, bucket, is_dup 0/1) for every vector — the dedup verdict an
     * LLM pipeline consumes (filter is_dup = 0), emitted as the full
     * per-vector table so the oracle hashes the whole decision surface. */
-  def semantic(s: SparkSession, d: String): DataFrame = {
+  def semantic(s: SparkSession, d: String): DataFrame =
+    semanticAt(s, d, nCentroids)
+
+  /** [[semantic]] at an explicit cluster count — the k knob
+    * (tools.SemSweep demonstrates pair volume ∝ ~1/k). */
+  def semanticAt(s: SparkSession, d: String, k: Int): DataFrame = {
     val all = Similarity.vecs(s, d)
-    val cents = Similarity.trainCentroids(all, nCentroids, iters)
+    val cents = Similarity.trainCentroids(all, k, iters)
     val assigned = Similarity.assignNearest(all, cents)
       .select(col("vec_id"), col("e"), col("cid").as("bucket"))
     val dups = assigned.as("a").join(assigned.as("b"),
@@ -56,6 +61,20 @@ object SemDedup {
       .select(col("vec_id"), col("bucket"),
         coalesce(col("hit"), lit(0L)).as("is_dup"))
       .orderedBy("vec_id")
+  }
+
+  /** Diagnostic for the k knob (tools.SemSweep): per-cluster candidate
+    * pair count at cluster count `k` — the quantity the within-cluster
+    * quadratic scales with (~n²/2k for balanced clusters; the paper's
+    * lever is exactly "grow k with the corpus"). */
+  def candidatePairs(s: SparkSession, d: String, k: Int): DataFrame = {
+    val all = Similarity.vecs(s, d)
+    val cents = Similarity.trainCentroids(all, k, iters)
+    Similarity.assignNearest(all, cents)
+      .groupBy(col("cid")).agg(count(lit(1)).as("n"))
+      // n·(n−1) is even, so the double division is exact; cast back to the
+      // integer count
+      .select(col("cid"), (col("n") * (col("n") - 1) / 2).cast("long").as("n_pairs"))
   }
 
   private def semanticOracle: String =

@@ -1,0 +1,54 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.llm.SemDedup
+
+/** The SemDeDup cluster-count knob demonstration (BASELINE.md): sweep k
+  * and print the within-cluster candidate-pair volume and query latency —
+  * the evidence that the pairing quadratic really is bounded per cluster
+  * and shrinks ~1/k, which is how the operator scales to a 100 TB corpus
+  * (grow k with the corpus so cluster size stays constant). Same-JVM
+  * medians, same session shape as RepeatTimer/IvfSweep.
+  *
+  * Usage: runMain graft.tools.SemSweep [k ...]
+  */
+object SemSweep {
+  def main(args: Array[String]): Unit = {
+    val ks = if (args.nonEmpty) args.map(_.toInt).toSeq
+             else Seq(2, 4, 8, 16, 32, 64)
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .config("spark.cleaner.periodicGC.interval", "30s")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def medianSec(reps: Int)(f: => Unit): Double = {
+      f
+      val ts = (1 to reps).map { _ =>
+        val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+      }
+      ts.sorted.apply(reps / 2)
+    }
+    def noop(df: org.apache.spark.sql.DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
+
+    val n = graft.core.Tables.embeddings(spark, sfDir).count()
+    val allPairs = n * (n - 1) / 2
+    println(f"vectors=$n all_pairs=$allPairs")
+    ks.foreach { k =>
+      val pairs = SemDedup.candidatePairs(spark, sfDir, k)
+        .agg(sum(col("n_pairs"))).first().getLong(0)
+      val sec = medianSec(3)(noop(SemDedup.semanticAt(spark, sfDir, k)))
+      println(f"k=$k%-3d pairs=$pairs%9d ratio=${pairs.toDouble / allPairs}%.4f " +
+        f"expected=${1.0 / k}%.4f sec=$sec%.2f")
+    }
+    spark.stop()
+  }
+}
