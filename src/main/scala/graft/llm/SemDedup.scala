@@ -51,17 +51,37 @@ object SemDedup {
     val cents = Similarity.trainCentroids(all, k, iters)
     val assigned = Similarity.assignNearest(all, cents)
       .select(col("vec_id"), col("e"), col("cid").as("bucket"))
+    verdict(assigned, threshold, "vec_id")
+  }
+
+  /** The SemDeDup keep/drop rule — ONE implementation for both the
+    * embedding and text variants: within-cluster pairing against
+    * lower-id mates over `t`, then the per-vector verdict table keyed
+    * `idName`. */
+  private def verdict(assigned: DataFrame, t: Double, idName: String): DataFrame = {
     val dups = assigned.as("a").join(assigned.as("b"),
         col("a.bucket") === col("b.bucket") &&
           col("a.vec_id") > col("b.vec_id") &&
-          Similarity.cosine(col("a.e"), col("b.e")) > threshold)
-      .select(col("a.vec_id").as("vec_id")).distinct()
-    assigned.select(col("vec_id"), col("bucket"))
-      .join(dups.withColumn("hit", lit(1L)), Seq("vec_id"), "left")
-      .select(col("vec_id"), col("bucket"),
+          Similarity.cosine(col("a.e"), col("b.e")) > t)
+      .select(col("a.vec_id").as(idName)).distinct()
+    assigned.select(col("vec_id").as(idName), col("bucket"))
+      .join(dups.withColumn("hit", lit(1L)), Seq(idName), "left")
+      .select(col(idName), col("bucket"),
         coalesce(col("hit"), lit(0L)).as("is_dup"))
-      .orderedBy("vec_id")
+      .orderedBy(idName)
   }
+
+  /** Oracle twin of [[verdict]] — the dups + verdict SQL tail (needs the
+    * `assigned` CTE in scope). */
+  private def verdictSql(t: Double, idOut: String): String =
+    s"""dups AS (
+       |  SELECT DISTINCT a.vec_id FROM assigned a JOIN assigned b
+       |  ON a.bucket = b.bucket AND a.vec_id > b.vec_id
+       |     AND list_cosine_similarity(a.e, b.e) > $t)
+       |SELECT s.vec_id AS $idOut, s.bucket,
+       |       CAST(CASE WHEN d.vec_id IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS is_dup
+       |FROM assigned s LEFT JOIN dups d ON s.vec_id = d.vec_id
+       |ORDER BY $idOut""".stripMargin
 
   /** Diagnostic for the k knob (tools.SemSweep): per-cluster candidate
     * pair count at cluster count `k` — the quantity the within-cluster
@@ -80,14 +100,7 @@ object SemDedup {
   private def semanticOracle: String =
     s"""WITH ${Similarity.trainBody(nCentroids, iters, 64)},
        |${Similarity.assignCte("assigned", s"c$iters")},
-       |dups AS (
-       |  SELECT DISTINCT a.vec_id FROM assigned a JOIN assigned b
-       |  ON a.bucket = b.bucket AND a.vec_id > b.vec_id
-       |     AND list_cosine_similarity(a.e, b.e) > $threshold)
-       |SELECT s.vec_id, s.bucket,
-       |       CAST(CASE WHEN d.vec_id IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS is_dup
-       |FROM assigned s LEFT JOIN dups d ON s.vec_id = d.vec_id
-       |ORDER BY s.vec_id""".stripMargin
+       |${verdictSql(threshold, "vec_id")}""".stripMargin
 
   /** TEXT-side SemDeDup end-to-end: documents → feature-hashing vectors
     * ([[Vectorize.hashingCore]] — no embedding model in the loop) →
@@ -113,17 +126,7 @@ object SemDedup {
     val cents = Similarity.trainCentroids(vecs, nCentroids, iters, textDim)
     val assigned = Similarity.assignNearest(vecs, cents)
       .select(col("vec_id"), col("e"), col("cid").as("bucket"))
-    val dups = assigned.as("a").join(assigned.as("b"),
-        col("a.bucket") === col("b.bucket") &&
-          col("a.vec_id") > col("b.vec_id") &&
-          Similarity.cosine(col("a.e"), col("b.e")) > textThreshold)
-      .select(col("a.vec_id").as("vec_id")).distinct()
-    val dupsHit = dups.select(col("vec_id").as("doc_id"), lit(1L).as("hit"))
-    assigned.select(col("vec_id").as("doc_id"), col("bucket"))
-      .join(dupsHit, Seq("doc_id"), "left")
-      .select(col("doc_id"), col("bucket"),
-        coalesce(col("hit"), lit(0L)).as("is_dup"))
-      .orderedBy("doc_id")
+    verdict(assigned, textThreshold, "doc_id")
   }
 
   private def semanticTextOracle: String = {
@@ -134,14 +137,7 @@ object SemDedup {
     s"""WITH ${Vectorize.hashingCtes},
        |${Similarity.trainBody(nCentroids, iters, textDim, vSql)},
        |${Similarity.assignCte("assigned", s"c$iters")},
-       |dups AS (
-       |  SELECT DISTINCT a.vec_id FROM assigned a JOIN assigned b
-       |  ON a.bucket = b.bucket AND a.vec_id > b.vec_id
-       |     AND list_cosine_similarity(a.e, b.e) > $textThreshold)
-       |SELECT s.vec_id AS doc_id, s.bucket,
-       |       CAST(CASE WHEN d.vec_id IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS is_dup
-       |FROM assigned s LEFT JOIN dups d ON s.vec_id = d.vec_id
-       |ORDER BY doc_id""".stripMargin
+       |${verdictSql(textThreshold, "doc_id")}""".stripMargin
   }
 
   val defs: Map[String, QueryDef] = Map(

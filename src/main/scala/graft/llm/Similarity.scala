@@ -357,11 +357,17 @@ object Similarity {
     * only those. */
   def annRecall(s: SparkSession, d: String,
                 nQueries: Int = 20, k: Int = 3, nCentroids: Int = 8,
-                nprobe: Int = 2, trainIters: Int = 2): DataFrame = {
+                nprobe: Int = 2, trainIters: Int = 2): DataFrame =
+    recallAgainst(s, d, nQueries, k,
+      topkBucketed(s, d, nQueries, k, nCentroids, nprobe, trainIters))
+
+  /** The recall-gauge recipe shared by every approximate search (IVF here,
+    * PQ in [[SimilarityPq]]): overlap of the approximate and brute k-sets
+    * per query, recall = hits/k as one IEEE divide by a constant. */
+  private[llm] def recallAgainst(s: SparkSession, d: String, nQueries: Int,
+                                 k: Int, approx: DataFrame): DataFrame = {
     val brute = topkBrute(s, d, nQueries, k).select(col("qid"), col("nbr"))
-    val ivf = topkBucketed(s, d, nQueries, k, nCentroids, nprobe, trainIters)
-      .select(col("qid"), col("nbr"))
-    val hits = brute.join(ivf, Seq("qid", "nbr"))
+    val hits = brute.join(approx.select(col("qid"), col("nbr")), Seq("qid", "nbr"))
       .groupBy(col("qid")).agg(count(lit(1)).as("hits"))
     brute.select(col("qid")).distinct()
       .join(hits, Seq("qid"), "left")
@@ -370,22 +376,29 @@ object Similarity {
       .orderedBy("qid")
   }
 
-  private def recallOracle(nQueries: Int, k: Int, nCentroids: Int,
-                           nprobe: Int, iters: Int, dim: Int): String =
-    s"""WITH ${bucketedBody(nQueries, nCentroids, nprobe, iters, dim)},
-       |bc AS (SELECT qid, vec_id AS nbr,
+  /** The recall-gauge CTE tail — brute top-k chain (needs `q` and `v`
+    * CTEs in scope) joined against the ranked approximate CTE
+    * `approxCte` (columns qid, nbr, rnk). Shared with the PQ recall
+    * oracle so both gauges stay one recipe. */
+  private[llm] def recallTail(k: Int, approxCte: String): String =
+    s"""bc AS (SELECT qid, vec_id AS nbr,
        |              list_cosine_similarity(qe, e) AS cos
        |       FROM q JOIN v ON vec_id != qid),
        |br AS (SELECT qid, nbr, row_number() OVER (PARTITION BY qid
        |              ORDER BY cos DESC, nbr) AS rnk FROM bc),
        |bt AS (SELECT qid, nbr FROM br WHERE rnk <= $k),
-       |it AS (SELECT qid, nbr FROM top WHERE rnk <= $k),
+       |it AS (SELECT qid, nbr FROM $approxCte WHERE rnk <= $k),
        |h AS (SELECT qid, count(*) AS hits
        |      FROM bt JOIN it USING (qid, nbr) GROUP BY qid)
        |SELECT b.qid, COALESCE(h.hits, 0) AS hits,
        |       round(1.0 * COALESCE(h.hits, 0) / $k, 4) AS recall
        |FROM (SELECT DISTINCT qid FROM bt) b LEFT JOIN h USING (qid)
        |ORDER BY qid""".stripMargin
+
+  private def recallOracle(nQueries: Int, k: Int, nCentroids: Int,
+                           nprobe: Int, iters: Int, dim: Int): String =
+    s"""WITH ${bucketedBody(nQueries, nCentroids, nprobe, iters, dim)},
+       |${recallTail(k, "top")}""".stripMargin
 
   /** The trained IVF centroids as a first-class output — the index
     * artifact a vector-serving layer loads (assignments and probes both

@@ -168,21 +168,11 @@ object SimilarityPq {
   }
 
   /** Recall@k of the PQ search against the exact brute-force top-k — the
-    * compression-loss gauge, an oracled first-class query like
-    * [[Similarity.annRecall]]. */
+    * compression-loss gauge, the [[Similarity.recallAgainst]] recipe with
+    * the PQ search as the approximate side. */
   def pqRecall(s: SparkSession, d: String,
-               nQueries: Int = nQueries, k: Int = k): DataFrame = {
-    val brute = Similarity.topkBrute(s, d, nQueries, k)
-      .select(col("qid"), col("nbr"))
-    val pq = pqTopk(s, d, nQueries, k).select(col("qid"), col("nbr"))
-    val hits = brute.join(pq, Seq("qid", "nbr"))
-      .groupBy(col("qid")).agg(count(lit(1)).as("hits"))
-    brute.select(col("qid")).distinct()
-      .join(hits, Seq("qid"), "left")
-      .withColumn("hits", coalesce(col("hits"), lit(0L)))
-      .withColumn("recall", round(lit(1.0) * col("hits") / k, 4))
-      .orderedBy("qid")
-  }
+               nQueries: Int = nQueries, k: Int = k): DataFrame =
+    Similarity.recallAgainst(s, d, nQueries, k, pqTopk(s, d, nQueries, k))
 
   // ---- DuckDB oracle: the training + encode + reconstruct chain unrolled
   // as per-subspace CTEs, the Similarity.trainBody recipe on list_slice'd
@@ -262,19 +252,7 @@ object SimilarityPq {
     s"""WITH $pqBody,
        |$reconCte,
        |${topCte(nQueries)},
-       |bc AS (SELECT qid, vec_id AS nbr,
-       |              list_cosine_similarity(qe, e) AS cos
-       |       FROM q JOIN v ON vec_id != qid),
-       |br AS (SELECT qid, nbr, row_number() OVER (PARTITION BY qid
-       |              ORDER BY cos DESC, nbr) AS rnk FROM bc),
-       |bt AS (SELECT qid, nbr FROM br WHERE rnk <= $k),
-       |it AS (SELECT qid, nbr FROM ptop WHERE rnk <= $k),
-       |h AS (SELECT qid, count(*) AS hits
-       |      FROM bt JOIN it USING (qid, nbr) GROUP BY qid)
-       |SELECT b.qid, COALESCE(h.hits, 0) AS hits,
-       |       round(1.0 * COALESCE(h.hits, 0) / $k, 4) AS recall
-       |FROM (SELECT DISTINCT qid FROM bt) b LEFT JOIN h USING (qid)
-       |ORDER BY qid""".stripMargin
+       |${Similarity.recallTail(k, "ptop")}""".stripMargin
 
   /** IVF-PQ composed (the FAISS IVFPQ shape — the billion-scale serving
     * index): the trained coarse quantizer ([[Similarity.trainCentroids]],

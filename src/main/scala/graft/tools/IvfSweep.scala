@@ -1,6 +1,5 @@
 package graft.tools
 
-import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import graft.llm.Similarity
 
@@ -18,27 +17,9 @@ object IvfSweep {
     val nprobes = if (args.length > 1) args.tail.map(_.toInt).toSeq
                   else Seq(1, 2, 4, 8, 16, 32)
     val (nQueries, k, iters) = (20, 3, 2)
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.ui.enabled", "false")
-      .config("spark.cleaner.periodicGC.interval", "30s")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("ERROR")
-
-    def medianSec(reps: Int)(f: => Unit): Double = {
-      f // warm-up, untimed
-      val ts = (1 to reps).map { _ =>
-        val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
-      }
-      ts.sorted.apply(reps / 2)
-    }
-    def noop(df: org.apache.spark.sql.DataFrame): Unit =
-      df.write.format("noop").mode("overwrite").save()
+    val sfDir = BenchSession.sfDir
+    val spark = BenchSession.build()
+    import BenchSession.{medianSec, noop}
 
     val nVecs = graft.core.Tables.embeddings(spark, sfDir).count()
     val exhaustive = (nVecs - 1) * nQueries // brute-force pairs scored

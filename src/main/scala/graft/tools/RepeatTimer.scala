@@ -1,7 +1,5 @@
 package graft.tools
 
-import org.apache.spark.sql.SparkSession
-
 /** Same-JVM repeated query timing: the only reliable perf signal on a noisy
   * box (BASELINE.md "perf lessons" — cross-JVM bench totals vary ±50%).
   * Usage: runMain graft.tools.RepeatTimer <reps> <query>... with
@@ -13,19 +11,8 @@ object RepeatTimer {
     val reps = args.head.toInt
     require(reps >= 1, s"reps must be >= 1, got $reps")
     val names = args.tail.toSeq
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.ui.enabled", "false")
-      // same reclamation backstop as Bench: the ContextCleaner frees
-      // broadcast/shuffle/checkpoint blocks only after a driver GC
-      .config("spark.cleaner.periodicGC.interval", "30s")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("ERROR")
+    val sfDir = BenchSession.sfDir
+    val spark = BenchSession.build()
     names.foreach { n =>
       val fn = graft.SparkEntry.queries(n)
       def run(): Double = {
