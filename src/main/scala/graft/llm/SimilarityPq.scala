@@ -286,9 +286,11 @@ object SimilarityPq {
       .orderedBy("qid", "rnk")
   }
 
-  private def ivfPqOracle(nQueries: Int, k: Int, nCentroids: Int,
-                          nprobe: Int, iters: Int): String =
-    s"""WITH ${Similarity.trainBody(nCentroids, iters, dim)},
+  /** The IVFPQ oracle chain through the ranked `rk` CTE — shared by the
+    * search and its recall gauge. */
+  private def ivfPqBody(nQueries: Int, nCentroids: Int,
+                        nprobe: Int, iters: Int): String =
+    s"""${Similarity.trainBody(nCentroids, iters, dim)},
        |${Similarity.assignCte("assigned", s"c$iters")},
        |$pqSubCtes,
        |$reconCte,
@@ -305,14 +307,32 @@ object SimilarityPq {
        |       JOIN recon r ON r.vec_id = a.vec_id
        |       WHERE a.vec_id != p.qid),
        |rk AS (SELECT qid, nbr, row_number() OVER (PARTITION BY qid
-       |              ORDER BY cos DESC, nbr) AS rnk FROM sc)
+       |              ORDER BY cos DESC, nbr) AS rnk FROM sc)""".stripMargin
+
+  private def ivfPqOracle(nQueries: Int, k: Int, nCentroids: Int,
+                          nprobe: Int, iters: Int): String =
+    s"""WITH ${ivfPqBody(nQueries, nCentroids, nprobe, iters)}
        |SELECT qid, rnk, nbr FROM rk WHERE rnk <= $k ORDER BY qid, rnk""".stripMargin
+
+  /** Recall@k of the composed IVFPQ index vs brute force — completes the
+    * gauge trio (IVF, PQ, IVFPQ), all three through the one
+    * [[Similarity.recallAgainst]]/[[Similarity.recallTail]] recipe. */
+  def ivfPqRecall(s: SparkSession, d: String,
+                  nQueries: Int = nQueries, k: Int = k): DataFrame =
+    Similarity.recallAgainst(s, d, nQueries, k, ivfPqTopk(s, d, nQueries, k))
+
+  private def ivfPqRecallOracle(nQueries: Int, k: Int, nCentroids: Int,
+                                nprobe: Int, iters: Int): String =
+    s"""WITH ${ivfPqBody(nQueries, nCentroids, nprobe, iters)},
+       |${Similarity.recallTail(k, "rk")}""".stripMargin
 
   val defs: Map[String, QueryDef] = Map(
     "q_sim_pq_codes" -> QueryDef(pqCodes, Some(codesOracle)),
     "q_sim_pq" -> QueryDef(pqTopk(_, _), Some(topkOracle(nQueries, k))),
     "q_sim_pq_recall" -> QueryDef(pqRecall(_, _), Some(recallOracle(nQueries, k))),
     "q_sim_ivfpq" -> QueryDef(ivfPqTopk(_, _),
-      Some(ivfPqOracle(nQueries, k, nCentroids = 8, nprobe = 2, iters = 2)))
+      Some(ivfPqOracle(nQueries, k, nCentroids = 8, nprobe = 2, iters = 2))),
+    "q_sim_ivfpq_recall" -> QueryDef(ivfPqRecall(_, _),
+      Some(ivfPqRecallOracle(nQueries, k, nCentroids = 8, nprobe = 2, iters = 2)))
   )
 }
