@@ -287,6 +287,12 @@ object GraftFunctions {
       (children: Seq[Expression]) => CosArgMax(children(0), children(1))),
     (FunctionIdentifier("vec_argmin_l2"), info(classOf[L2ArgMin], "vec_argmin_l2"),
       (children: Seq[Expression]) => L2ArgMin(children(0), children(1))),
+    (FunctionIdentifier("byte_sum"), info(classOf[ByteSum], "byte_sum"),
+      (children: Seq[Expression]) => ByteSum(children(0))),
+    (FunctionIdentifier("byte_min"), info(classOf[ByteMin], "byte_min"),
+      (children: Seq[Expression]) => ByteMin(children(0))),
+    (FunctionIdentifier("byte_max"), info(classOf[ByteMax], "byte_max"),
+      (children: Seq[Expression]) => ByteMax(children(0))),
     (FunctionIdentifier("sample_bottom_k"), info(classOf[SampleK], "sample_bottom_k"),
       (children: Seq[Expression]) => {
         val k = children(2) match {

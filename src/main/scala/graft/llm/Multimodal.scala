@@ -85,7 +85,85 @@ object Multimodal {
   private val nFrames = 4
   private val frameWidth = 32
 
+  /** A REAL in-engine image decode — no codec libraries required, because
+    * the format is binary netpbm (PGM "P5"), parseable with byte
+    * arithmetic alone. [[packAsPgm]] writes each document's bytes as a
+    * VALID P5 grayscale image (ASCII header `P5\n{w} {h}\n255\n` + raw
+    * 8-bit pixels); [[pgmDecode]] then decodes WITHOUT looking at the
+    * source text: it parses the dimensions out of the header it finds in
+    * the payload, slices the pixel section it declares, and extracts
+    * pixel statistics via the native byte folds
+    * ([[graft.expr.ByteFold]]). The DuckDB oracle recomputes the same
+    * features from the SOURCE text independently — so a header-parsing
+    * or slicing bug in the decoder fails the hash gate, which is what
+    * makes this a decode rather than a stub. (`decodeStub` remains the
+    * honest stand-in for codec formats — JPEG/H.264 need libraries this
+    * toolchain lacks — but the decode CONTRACT is now exercised
+    * end-to-end on a real format.) */
+  private val pgmW = 32
+
+  def packAsPgm(docs: DataFrame): DataFrame = {
+    val h = floor(length(col("text")) / pgmW)
+    docs
+      .filter(h > 0)
+      .select(col("doc_id"),
+        concat(
+          concat(lit(s"P5\n$pgmW "), h.cast("string"), lit("\n255\n")).cast("binary"),
+          expr(s"substring(CAST(text AS BINARY), 1, " +
+            s"CAST($pgmW * floor(length(text) / $pgmW) AS INT))")).as("img"))
+  }
+
+  def pgmDecode(s: SparkSession, d: String): DataFrame = {
+    graft.expr.GraftFunctions.register(s)
+    decodeImg(packAsPgm(Tables.documents(s, d))).orderedBy("doc_id")
+  }
+
+  /** The decode stage alone, over any (doc_id, img) frame — split out so
+    * the spec can push a CORRUPTED payload through the real chain. */
+  private[llm] def decodeImg(packed: DataFrame): DataFrame = {
+    val pat = "^P5\\n(\\d+) (\\d+)\\n255\\n"
+    packed
+      .withColumn("head", substring(col("img"), 1, 24).cast("string"))
+      .withColumn("hdr", regexp_extract(col("head"), pat, 0))
+      // a corrupted header (no regexp match -> '') must decode to NULL
+      // dims, not throw under ANSI mode — CaseWhen evaluates the cast
+      // branch only on a real match (the malformed-payload contract
+      // PgmSpec pins)
+      .withColumn("w", when(regexp_extract(col("head"), pat, 1) =!= "",
+        regexp_extract(col("head"), pat, 1).cast("long")))
+      .withColumn("h", when(regexp_extract(col("head"), pat, 2) =!= "",
+        regexp_extract(col("head"), pat, 2).cast("long")))
+      .withColumn("px",
+        expr("substring(img, length(hdr) + 1, CAST(w * h AS INT))"))
+      .select(col("doc_id"), col("w"), col("h"),
+        length(col("px")).cast("long").as("px_n"),
+        call_function("byte_sum", col("px")).as("px_sum"),
+        call_function("byte_min", col("px")).as("px_min"),
+        call_function("byte_max", col("px")).as("px_max"))
+      .withColumn("px_mean", col("px_sum") / col("px_n"))
+  }
+
+  /** Ground truth from the SOURCE text (ASCII ⇒ byte ≡ char code), fully
+    * independent of the packed payload and the decoder's parsing. */
+  private def pgmOracle: String =
+    s"""WITH d AS (
+       |  SELECT doc_id, text, length(text) // $pgmW AS hh FROM documents
+       |  WHERE length(text) // $pgmW > 0),
+       |c AS (
+       |  SELECT doc_id, CAST($pgmW AS BIGINT) AS w, CAST(hh AS BIGINT) AS h,
+       |         CAST($pgmW * hh AS BIGINT) AS px_n,
+       |         list_transform(range(1, CAST($pgmW * hh + 1 AS BIGINT)),
+       |           i -> ord(substr(text, CAST(i AS INT), 1))) AS codes
+       |  FROM d)
+       |SELECT doc_id, w, h, px_n,
+       |       CAST(list_sum(codes) AS BIGINT) AS px_sum,
+       |       CAST(list_min(codes) AS BIGINT) AS px_min,
+       |       CAST(list_max(codes) AS BIGINT) AS px_max,
+       |       CAST(list_sum(codes) AS DOUBLE) / px_n AS px_mean
+       |FROM c ORDER BY doc_id""".stripMargin
+
   val defs: Map[String, QueryDef] = Map(
+    "q_media_decode" -> QueryDef(pgmDecode, Some(pgmOracle)),
     "q_multimodal" -> QueryDef(mediaFeatures(_, _), Some(
       s"""SELECT doc_id, 'text/plain' AS mime, lang,
          |       octet_length(CAST(text AS BLOB)) AS n_bytes,

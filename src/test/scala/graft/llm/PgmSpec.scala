@@ -1,0 +1,61 @@
+package graft.llm
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+/** The PGM decode path on handcrafted payloads: known pixel values, byte
+  * folds, and the parse-failure contract. */
+class PgmSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("byte folds: sum/min/max over known bytes, null on empty") {
+    graft.expr.GraftFunctions.register(spark)
+    val out = Seq(("abcA", ""), ("zz", "")).toDF("s", "empty")
+      .select(
+        expr("byte_sum(CAST(s AS BINARY))").as("sum"),
+        expr("byte_min(CAST(s AS BINARY))").as("mn"),
+        expr("byte_max(CAST(s AS BINARY))").as("mx"),
+        expr("byte_sum(CAST(empty AS BINARY))").as("esum"))
+      .collect()
+    // 'a'=97 'b'=98 'c'=99 'A'=65
+    assert(out(0).getLong(0) == 97 + 98 + 99 + 65)
+    assert(out(0).getLong(1) == 65 && out(0).getLong(2) == 99)
+    assert(out(0).isNullAt(3), "empty binary must fold to null")
+    assert(out(1).getLong(0) == 122 * 2)
+  }
+
+  test("pgmDecode: parsed dims and pixel stats match a handcrafted document") {
+    // 64 chars of known content -> w=32, h=2, pixels = all 64 bytes
+    val text = ("a" * 63) + "Z" // 63×97 + 90
+    val short = "tiny"          // < 32 chars -> filtered out (h = 0)
+    val dir = java.nio.file.Files.createTempDirectory("graft-pgm").toString
+    Seq((1L, text, "en", "a", 64L), (2L, short, "en", "a", 4L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+
+    val rows = Multimodal.pgmDecode(spark, dir).collect()
+    assert(rows.length == 1, "sub-width doc must be filtered, not decoded")
+    val r = rows.head
+    assert(r.getLong(0) == 1L)
+    assert(r.getLong(1) == 32L && r.getLong(2) == 2L, "parsed dims")
+    assert(r.getLong(3) == 64L)
+    assert(r.getLong(4) == 63L * 97 + 90)
+    assert(r.getLong(5) == 90L && r.getLong(6) == 97L)
+    assert(r.getDouble(7) == (63.0 * 97 + 90) / 64)
+  }
+
+  test("a corrupted header yields null features through the real decode chain") {
+    graft.expr.GraftFunctions.register(spark)
+    // flip the magic byte: the REAL decoder must produce null dims and
+    // null pixel stats (ANSI cast would otherwise throw on ''), never a
+    // silently mis-decoded number
+    val good = ("P5\n32 2\n255\n" + "a" * 64).getBytes("UTF-8")
+    val bad = ("Q5\n32 2\n255\n" + "a" * 64).getBytes("UTF-8")
+    val out = Multimodal.decodeImg(
+        Seq((1L, good), (2L, bad)).toDF("doc_id", "img"))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getLong(1) == 32L && out(1L).getLong(4) == 64L * 97)
+    for (i <- 1 to 7)
+      assert(out(2L).isNullAt(i), s"corrupted payload must null field $i")
+  }
+}
