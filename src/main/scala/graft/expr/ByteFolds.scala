@@ -83,3 +83,12 @@ case class ByteMax(child: Expression) extends ByteFold {
     s"java.lang.Math.max($acc, (long) $v)"
   override protected def withNewChildInternal(c: Expression): ByteMax = copy(child = c)
 }
+
+case class ByteSumSq(child: Expression) extends ByteFold {
+  override def prettyName: String = "byte_sumsq"
+  override protected def init: Long = 0L
+  override protected def fold(acc: Long, v: Int): Long = acc + v.toLong * v
+  override protected def foldJava(acc: String, v: String): String =
+    s"$acc + ((long) $v) * $v"
+  override protected def withNewChildInternal(c: Expression): ByteSumSq = copy(child = c)
+}

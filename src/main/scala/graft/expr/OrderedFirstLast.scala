@@ -293,6 +293,8 @@ object GraftFunctions {
       (children: Seq[Expression]) => ByteMin(children(0))),
     (FunctionIdentifier("byte_max"), info(classOf[ByteMax], "byte_max"),
       (children: Seq[Expression]) => ByteMax(children(0))),
+    (FunctionIdentifier("byte_sumsq"), info(classOf[ByteSumSq], "byte_sumsq"),
+      (children: Seq[Expression]) => ByteSumSq(children(0))),
     (FunctionIdentifier("sample_bottom_k"), info(classOf[SampleK], "sample_bottom_k"),
       (children: Seq[Expression]) => {
         val k = children(2) match {

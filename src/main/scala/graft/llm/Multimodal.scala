@@ -143,6 +143,82 @@ object Multimodal {
       .withColumn("px_mean", col("px_sum") / col("px_n"))
   }
 
+  /** AUDIO twin of the PGM path — binary RIFF/WAVE, 8-bit mono PCM: a
+    * VALID playable WAV (44-byte canonical header, little-endian fields)
+    * whose samples are the document's bytes. The decode demonstrates the
+    * harder parse: multi-byte LITTLE-ENDIAN integers read from payload
+    * bytes (sample rate at offset 25, data length at 41) via single-byte
+    * `byte_sum` slices — no codec library, no UDF. Features are the audio
+    * staples: sample count, peak deviation from the unsigned-PCM midpoint
+    * (derived from the min/max folds), and energy (sum of squares — the
+    * `byte_sumsq` fold). The oracle recomputes everything from the source
+    * text, so a header-layout or endianness bug fails the hash gate. */
+  private val wavRate = 8000
+
+  def packAsWav(docs: DataFrame): DataFrame = {
+    // LE32 of the data length, assembled as 4 hex byte pairs -> unhex
+    def le32hex(n: Column): Column = concat(
+      lpad(lower(hex(pmod(n, lit(256)))), 2, "0"),
+      lpad(lower(hex(pmod(floor(n / 256), lit(256)))), 2, "0"),
+      lpad(lower(hex(pmod(floor(n / 65536), lit(256)))), 2, "0"),
+      lpad(lower(hex(pmod(floor(n / 16777216), lit(256)))), 2, "0"))
+    val n = length(col("text"))
+    val rateHex = f"${wavRate & 0xff}%02x${(wavRate >> 8) & 0xff}%02x${(wavRate >> 16) & 0xff}%02x${(wavRate >> 24) & 0xff}%02x"
+    docs.select(col("doc_id"),
+      concat(
+        lit("RIFF").cast("binary"), unhex(le32hex(n + 36)),
+        lit("WAVEfmt ").cast("binary"),
+        unhex(lit("10000000")),            // fmt chunk size 16
+        unhex(lit("01000100")),            // PCM, mono
+        unhex(lit(rateHex)),               // sample rate LE32
+        unhex(lit(rateHex)),               // byte rate (8-bit mono = rate)
+        unhex(lit("01000800")),            // block align 1, bits 8
+        lit("data").cast("binary"), unhex(le32hex(n)),
+        col("text").cast("binary")).as("aud"))
+  }
+
+  def wavDecode(s: SparkSession, d: String): DataFrame = {
+    graft.expr.GraftFunctions.register(s)
+    decodeAud(packAsWav(Tables.documents(s, d))).orderedBy("doc_id")
+  }
+
+  /** The audio decode stage over any (doc_id, aud) frame. */
+  private[llm] def decodeAud(packed: DataFrame): DataFrame = {
+    // single-byte slice -> its unsigned value (byte_sum over one byte)
+    def byteAt(i: Int): Column =
+      call_function("byte_sum", expr(s"substring(aud, $i, 1)"))
+    def le32(off: Int): Column =
+      byteAt(off) + byteAt(off + 1) * 256L +
+        byteAt(off + 2) * 65536L + byteAt(off + 3) * 16777216L
+    packed
+      .withColumn("magic_ok",
+        substring(col("aud"), 1, 4).cast("string") === "RIFF" &&
+          substring(col("aud"), 9, 8).cast("string") === "WAVEfmt ")
+      .withColumn("sample_rate", when(col("magic_ok"), le32(25)))
+      .withColumn("n_samples", when(col("magic_ok"), le32(41)))
+      .withColumn("px",
+        expr("substring(aud, 45, CAST(n_samples AS INT))"))
+      .select(col("doc_id"), col("sample_rate"), col("n_samples"),
+        (col("n_samples") / lit(wavRate.toDouble)).as("duration_sec"),
+        greatest(call_function("byte_max", col("px")) - 128L,
+          lit(128L) - call_function("byte_min", col("px"))).as("peak"),
+        call_function("byte_sumsq", col("px")).as("energy"))
+  }
+
+  private def wavOracle: String =
+    s"""WITH c AS (
+       |  SELECT doc_id, CAST($wavRate AS BIGINT) AS sample_rate,
+       |         CAST(length(text) AS BIGINT) AS n_samples,
+       |         list_transform(range(1, CAST(length(text) + 1 AS BIGINT)),
+       |           i -> ord(substr(text, CAST(i AS INT), 1))) AS codes
+       |  FROM documents)
+       |SELECT doc_id, sample_rate, n_samples,
+       |       CAST(n_samples AS DOUBLE) / $wavRate AS duration_sec,
+       |       greatest(CAST(list_max(codes) AS BIGINT) - 128,
+       |                128 - CAST(list_min(codes) AS BIGINT)) AS peak,
+       |       CAST(list_sum(list_transform(codes, x -> x * x)) AS BIGINT) AS energy
+       |FROM c ORDER BY doc_id""".stripMargin
+
   /** Ground truth from the SOURCE text (ASCII ⇒ byte ≡ char code), fully
     * independent of the packed payload and the decoder's parsing. */
   private def pgmOracle: String =
@@ -164,6 +240,7 @@ object Multimodal {
 
   val defs: Map[String, QueryDef] = Map(
     "q_media_decode" -> QueryDef(pgmDecode, Some(pgmOracle)),
+    "q_audio_decode" -> QueryDef(wavDecode, Some(wavOracle)),
     "q_multimodal" -> QueryDef(mediaFeatures(_, _), Some(
       s"""SELECT doc_id, 'text/plain' AS mime, lang,
          |       octet_length(CAST(text AS BLOB)) AS n_bytes,

@@ -44,6 +44,29 @@ class PgmSpec extends SparkTestBase {
     assert(r.getDouble(7) == (63.0 * 97 + 90) / 64)
   }
 
+  test("wavDecode: a handcrafted payload round-trips through the RIFF parse") {
+    // 40 chars -> 40 samples; 'a'=97 deviation 31 from midpoint 128,
+    // 'Z'=90 deviation 38 -> peak 38; energy = 39*97^2 + 90^2
+    val text = ("a" * 39) + "Z"
+    val dir = java.nio.file.Files.createTempDirectory("graft-wav").toString
+    Seq((1L, text, "en", "a", 40L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val r = Multimodal.wavDecode(spark, dir).head
+    assert(r.getLong(1) == 8000L, "sample rate must be parsed little-endian")
+    assert(r.getLong(2) == 40L)
+    assert(r.getDouble(3) == 40.0 / 8000)
+    assert(r.getLong(4) == 38L)
+    assert(r.getLong(5) == 39L * 97 * 97 + 90L * 90)
+    // the packed bytes really are a canonical 44-byte-header WAV
+    val aud = Multimodal.packAsWav(
+      spark.read.parquet(s"$dir/documents.parquet")).head.getAs[Array[Byte]]("aud")
+    assert(aud.length == 44 + 40)
+    assert(new String(aud.take(4), "UTF-8") == "RIFF")
+    assert(new String(aud.slice(8, 16), "UTF-8") == "WAVEfmt ")
+    assert((aud(24) & 0xff) + ((aud(25) & 0xff) << 8) == 8000, "LE rate bytes")
+  }
+
   test("a corrupted header yields null features through the real decode chain") {
     graft.expr.GraftFunctions.register(spark)
     // flip the magic byte: the REAL decoder must produce null dims and
