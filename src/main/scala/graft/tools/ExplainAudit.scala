@@ -30,7 +30,8 @@ object ExplainAudit {
       "q_snapshot_diff", "q_sim_centroids", "q_quality_oov",
       "q_join_bloom", "q_dedup_incremental", "q_math_funcs",
       "q_sim_pq", "q_sim_pq_codes", "q_sim_pq_recall", "q_dedup_semantic",
-      "q_sim_ivfpq", "q_embed_hashing", "q_dedup_semantic_text")
+      "q_sim_ivfpq", "q_embed_hashing", "q_dedup_semantic_text",
+      "q_media_decode", "q_audio_decode")
     names.foreach { n =>
       println(s"\n========== $n ==========")
       n match {
