@@ -121,20 +121,32 @@ object Multimodal {
   /** The decode stage alone, over any (doc_id, img) frame — split out so
     * the spec can push a CORRUPTED payload through the real chain. */
   private[llm] def decodeImg(packed: DataFrame): DataFrame = {
-    val pat = "^P5\\n(\\d+) (\\d+)\\n255\\n"
+    // dims bounded to 9 digits: a decoder enforces format limits — an
+    // unbounded \d+ would let a syntactically valid but absurd header
+    // (w=h=10^13) overflow the ANSI Long multiply / Int cast below and
+    // crash the query instead of degrading (the malformed-payload
+    // contract PgmSpec pins)
+    val pat = "^P5\\n(\\d{1,9}) (\\d{1,9})\\n255\\n"
+    // widest bounded header: "P5\n" + 9 digits + " " + 9 digits + "\n255\n"
+    val headWindow = 3 + 9 + 1 + 9 + 5
     packed
-      .withColumn("head", substring(col("img"), 1, 24).cast("string"))
+      .withColumn("head", substring(col("img"), 1, headWindow).cast("string"))
       .withColumn("hdr", regexp_extract(col("head"), pat, 0))
       // a corrupted header (no regexp match -> '') must decode to NULL
       // dims, not throw under ANSI mode — CaseWhen evaluates the cast
-      // branch only on a real match (the malformed-payload contract
-      // PgmSpec pins)
-      .withColumn("w", when(regexp_extract(col("head"), pat, 1) =!= "",
+      // branch only on a real match; hdr (group 0) is non-empty iff the
+      // pattern matched, so it guards both dim extractions
+      .withColumn("w", when(col("hdr") =!= "",
         regexp_extract(col("head"), pat, 1).cast("long")))
-      .withColumn("h", when(regexp_extract(col("head"), pat, 2) =!= "",
+      .withColumn("h", when(col("hdr") =!= "",
         regexp_extract(col("head"), pat, 2).cast("long")))
+      // 9-digit dims still multiply to ~10^18 (fits Long) but overflow
+      // the Int cast; the CASE clamp is NULL-PRESERVING (least() would
+      // swallow the null of a corrupted header and decode the whole
+      // payload) and truncation is safe — substring stops at payload end
       .withColumn("px",
-        expr("substring(img, length(hdr) + 1, CAST(w * h AS INT))"))
+        expr("substring(img, length(hdr) + 1, CAST(CASE WHEN w * h > 2147483647" +
+          " THEN 2147483647 ELSE w * h END AS INT))"))
       .select(col("doc_id"), col("w"), col("h"),
         length(col("px")).cast("long").as("px_n"),
         call_function("byte_sum", col("px")).as("px_sum"),
@@ -163,8 +175,11 @@ object Multimodal {
       lpad(lower(hex(pmod(floor(n / 65536), lit(256)))), 2, "0"),
       lpad(lower(hex(pmod(floor(n / 16777216), lit(256)))), 2, "0"))
     val n = length(col("text"))
+    // no NULL payloads: concat(NULL) would null the whole aud while the
+    // oracle's constant sample_rate stays non-null — drop such rows on
+    // BOTH sides (oracle: WHERE text IS NOT NULL)
     val rateHex = f"${wavRate & 0xff}%02x${(wavRate >> 8) & 0xff}%02x${(wavRate >> 16) & 0xff}%02x${(wavRate >> 24) & 0xff}%02x"
-    docs.select(col("doc_id"),
+    docs.filter(col("text").isNotNull).select(col("doc_id"),
       concat(
         lit("RIFF").cast("binary"), unhex(le32hex(n + 36)),
         lit("WAVEfmt ").cast("binary"),
@@ -196,8 +211,12 @@ object Multimodal {
           substring(col("aud"), 9, 8).cast("string") === "WAVEfmt ")
       .withColumn("sample_rate", when(col("magic_ok"), le32(25)))
       .withColumn("n_samples", when(col("magic_ok"), le32(41)))
+      // a corrupted LE32 length (up to 2^32-1) must not overflow the
+      // ANSI Int cast — null-preserving CASE clamp (least() would swallow
+      // the bad-magic null), substring truncates at payload end
       .withColumn("px",
-        expr("substring(aud, 45, CAST(n_samples AS INT))"))
+        expr("substring(aud, 45, CAST(CASE WHEN n_samples > 2147483647" +
+          " THEN 2147483647 ELSE n_samples END AS INT))"))
       .select(col("doc_id"), col("sample_rate"), col("n_samples"),
         (col("n_samples") / lit(wavRate.toDouble)).as("duration_sec"),
         greatest(call_function("byte_max", col("px")) - 128L,
@@ -211,7 +230,7 @@ object Multimodal {
        |         CAST(length(text) AS BIGINT) AS n_samples,
        |         list_transform(range(1, CAST(length(text) + 1 AS BIGINT)),
        |           i -> ord(substr(text, CAST(i AS INT), 1))) AS codes
-       |  FROM documents)
+       |  FROM documents WHERE text IS NOT NULL)
        |SELECT doc_id, sample_rate, n_samples,
        |       CAST(n_samples AS DOUBLE) / $wavRate AS duration_sec,
        |       greatest(CAST(list_max(codes) AS BIGINT) - 128,

@@ -71,14 +71,44 @@ class PgmSpec extends SparkTestBase {
     graft.expr.GraftFunctions.register(spark)
     // flip the magic byte: the REAL decoder must produce null dims and
     // null pixel stats (ANSI cast would otherwise throw on ''), never a
-    // silently mis-decoded number
+    // silently mis-decoded number; absurd-but-syntactic dims must degrade
+    // too (ANSI Int-cast overflow), not crash the query
     val good = ("P5\n32 2\n255\n" + "a" * 64).getBytes("UTF-8")
     val bad = ("Q5\n32 2\n255\n" + "a" * 64).getBytes("UTF-8")
+    val absurd = ("P5\n999999999 999999999\n255\n" + "a" * 8).getBytes("UTF-8")
     val out = Multimodal.decodeImg(
-        Seq((1L, good), (2L, bad)).toDF("doc_id", "img"))
+        Seq((1L, good), (2L, bad), (3L, absurd)).toDF("doc_id", "img"))
       .collect().map(r => r.getLong(0) -> r).toMap
     assert(out(1L).getLong(1) == 32L && out(1L).getLong(4) == 64L * 97)
     for (i <- 1 to 7)
       assert(out(2L).isNullAt(i), s"corrupted payload must null field $i")
+    assert(out(3L).getLong(1) == 999999999L,
+      "dims parse — the payload is just truncated")
+    assert(out(3L).getLong(3) == 8L, "pixel slice clamps to the payload")
+  }
+
+  test("corrupted WAV payloads degrade, never crash, through the real audio chain") {
+    graft.expr.GraftFunctions.register(spark)
+    def wav(magic: String, lenBytes: Array[Byte], samples: String): Array[Byte] = {
+      val head = (magic + "????WAVEfmt ").getBytes("UTF-8") ++
+        Array[Byte](16, 0, 0, 0, 1, 0, 1, 0) ++
+        Array[Byte](0x40, 0x1f, 0, 0) ++ Array[Byte](0x40, 0x1f, 0, 0) ++
+        Array[Byte](1, 0, 8, 0) ++ "data".getBytes("UTF-8") ++ lenBytes
+      head ++ samples.getBytes("UTF-8")
+    }
+    val okLen = Array[Byte](4, 0, 0, 0)
+    val hugeLen = Array[Byte](-1, -1, -1, -1) // LE 2^32-1: must not overflow
+    val out = Multimodal.decodeAud(Seq(
+        (1L, wav("RIFF", okLen, "abcd")),
+        (2L, wav("XIFF", okLen, "abcd")),   // bad magic -> nulls
+        (3L, wav("RIFF", hugeLen, "abcd")) // absurd length -> clamped slice
+      ).toDF("doc_id", "aud"))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getLong(1) == 8000L && out(1L).getLong(2) == 4L)
+    for (i <- 1 to 5)
+      assert(out(2L).isNullAt(i), s"bad magic must null field $i")
+    assert(out(3L).getLong(2) == 4294967295L, "declared length parses")
+    assert(out(3L).getLong(5) == 97L * 97 + 98 * 98 + 99 * 99 + 100 * 100,
+      "energy computed over the bytes that exist")
   }
 }
