@@ -92,3 +92,88 @@ case class ByteSumSq(child: Expression) extends ByteFold {
     s"$acc + ((long) $v) * $v"
   override protected def withNewChildInternal(c: Expression): ByteSumSq = copy(child = c)
 }
+
+/** 2× box downsample of a row-major 8-bit bitmap: `pgm_shrink(px, w, h)`
+  * averages each 2×2 pixel block (integer floor mean) into one output
+  * byte — the REAL resize stage of the media pipeline
+  * (Multimodal.pgmResize), one codegen loop per row, no codec library.
+  * Output dims are (w/2, h/2) floored; odd trailing rows/columns are
+  * dropped (box filter semantics). NULL when the payload is shorter than
+  * the declared w·h (corrupt payload) or a dim is non-positive. */
+case class PgmShrink(bin: Expression, wExpr: Expression, hExpr: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.TernaryExpression {
+
+  override def first: Expression = bin
+  override def second: Expression = wExpr
+  override def third: Expression = hExpr
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+  override def prettyName: String = "pgm_shrink"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (bin.dataType, wExpr.dataType, hExpr.dataType) match {
+      case (BinaryType, org.apache.spark.sql.types.IntegerType,
+            org.apache.spark.sql.types.IntegerType) =>
+        TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"pgm_shrink requires (BINARY, INT, INT), got $other")
+    }
+
+  override def nullSafeEval(b: Any, wv: Any, hv: Any): Any = {
+    val bytes = b.asInstanceOf[Array[Byte]]
+    val w = wv.asInstanceOf[Int]
+    val h = hv.asInstanceOf[Int]
+    if (w <= 0 || h <= 0 || bytes.length < w.toLong * h) null
+    else {
+      val ow = w / 2
+      val oh = h / 2
+      val out = new Array[Byte](ow * oh)
+      var oy = 0
+      while (oy < oh) {
+        var ox = 0
+        while (ox < ow) {
+          val i = oy * 2 * w + ox * 2
+          val s = (bytes(i) & 0xff) + (bytes(i + 1) & 0xff) +
+            (bytes(i + w) & 0xff) + (bytes(i + w + 1) & 0xff)
+          out(oy * ow + ox) = (s / 4).toByte
+          ox += 1
+        }
+        oy += 1
+      }
+      out
+    }
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (b, w, h) => {
+      val ow = ctx.freshName("ow")
+      val oh = ctx.freshName("oh")
+      val out = ctx.freshName("out")
+      val oy = ctx.freshName("oy")
+      val ox = ctx.freshName("ox")
+      val i = ctx.freshName("i")
+      val sAcc = ctx.freshName("sAcc")
+      s"""
+         |if ($w <= 0 || $h <= 0 || $b.length < (long) $w * $h) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  int $ow = $w / 2;
+         |  int $oh = $h / 2;
+         |  byte[] $out = new byte[$ow * $oh];
+         |  for (int $oy = 0; $oy < $oh; $oy++) {
+         |    for (int $ox = 0; $ox < $ow; $ox++) {
+         |      int $i = $oy * 2 * $w + $ox * 2;
+         |      int $sAcc = ($b[$i] & 0xff) + ($b[$i + 1] & 0xff)
+         |        + ($b[$i + $w] & 0xff) + ($b[$i + $w + 1] & 0xff);
+         |      $out[$oy * $ow + $ox] = (byte) ($sAcc / 4);
+         |    }
+         |  }
+         |  ${ev.value} = $out;
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): PgmShrink =
+    copy(bin = f, wExpr = s, hExpr = t)
+}

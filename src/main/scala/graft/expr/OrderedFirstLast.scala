@@ -295,6 +295,8 @@ object GraftFunctions {
       (children: Seq[Expression]) => ByteMax(children(0))),
     (FunctionIdentifier("byte_sumsq"), info(classOf[ByteSumSq], "byte_sumsq"),
       (children: Seq[Expression]) => ByteSumSq(children(0))),
+    (FunctionIdentifier("pgm_shrink"), info(classOf[PgmShrink], "pgm_shrink"),
+      (children: Seq[Expression]) => PgmShrink(children(0), children(1), children(2))),
     (FunctionIdentifier("sample_bottom_k"), info(classOf[SampleK], "sample_bottom_k"),
       (children: Seq[Expression]) => {
         val k = children(2) match {

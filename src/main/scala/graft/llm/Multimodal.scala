@@ -118,9 +118,14 @@ object Multimodal {
     decodeImg(packAsPgm(Tables.documents(s, d))).orderedBy("doc_id")
   }
 
-  /** The decode stage alone, over any (doc_id, img) frame — split out so
-    * the spec can push a CORRUPTED payload through the real chain. */
-  private[llm] def decodeImg(packed: DataFrame): DataFrame = {
+  /** The decode stage alone (parse + stats), over any (doc_id, img)
+    * frame — split out so the spec can push a CORRUPTED payload through
+    * the real chain. */
+  private[llm] def decodeImg(packed: DataFrame): DataFrame =
+    decodeImgStats(parsedImg(packed))
+
+  /** Header parse + pixel slice: (doc_id, .., w, h, px). */
+  private[llm] def parsedImg(packed: DataFrame): DataFrame = {
     // dims bounded to 9 digits: a decoder enforces format limits — an
     // unbounded \d+ would let a syntactically valid but absurd header
     // (w=h=10^13) overflow the ANSI Long multiply / Int cast below and
@@ -147,12 +152,73 @@ object Multimodal {
       .withColumn("px",
         expr("substring(img, length(hdr) + 1, CAST(CASE WHEN w * h > 2147483647" +
           " THEN 2147483647 ELSE w * h END AS INT))"))
+  }
+
+  /** Pixel statistics over the parsed bitmap — the feature-extract stage. */
+  private[llm] def decodeImgStats(parsed: DataFrame): DataFrame =
+    parsed
       .select(col("doc_id"), col("w"), col("h"),
         length(col("px")).cast("long").as("px_n"),
         call_function("byte_sum", col("px")).as("px_sum"),
         call_function("byte_min", col("px")).as("px_min"),
         call_function("byte_max", col("px")).as("px_max"))
       .withColumn("px_mean", col("px_sum") / col("px_n"))
+
+  /** A REAL resize — the remaining stage of the advertised multimodal
+    * quartet (decode / feature-extract / RESIZE / frame-sample): 2× box
+    * downsample of the DECODED bitmap via the native
+    * [[graft.expr.PgmShrink]] codegen loop (each 2×2 block's integer
+    * floor mean). Output: halved dims, the shrunken image's md5, and its
+    * byte-fold statistics — all scalars, so the whole resize sits under
+    * the hash gate; the oracle replays the block averaging over the
+    * source text's character codes with pure list arithmetic. Requires
+    * h ≥ 2 (a one-row image has nothing to average). */
+  def pgmResize(s: SparkSession, d: String): DataFrame = {
+    graft.expr.GraftFunctions.register(s)
+    parsedImg(packAsPgm(Tables.documents(s, d)))
+      .filter(col("h") >= 2)
+      .withColumn("sh", call_function("pgm_shrink",
+        col("px"), col("w").cast("int"), col("h").cast("int")))
+      .select(col("doc_id"),
+        floor(col("w") / 2).cast("long").as("ow"),
+        floor(col("h") / 2).cast("long").as("oh"),
+        md5(col("sh")).as("out_md5"),
+        call_function("byte_sum", col("sh")).as("out_sum"),
+        call_function("byte_min", col("sh")).as("out_min"),
+        call_function("byte_max", col("sh")).as("out_max"))
+      .orderedBy("doc_id")
+  }
+
+  /** Block-average replay over source character codes: output pixel i at
+    * (ox, oy) = (i % ow, i // ow) averages input indices
+    * (2oy·w + 2ox) .. (+1, +w, +w+1), all 1-based in substr. The md5
+    * compares byte-identically because averaged ASCII stays single-byte
+    * UTF-8. */
+  private def pgmResizeOracle: String = {
+    val w = pgmW
+    val ow = pgmW / 2
+    s"""WITH d AS (
+       |  SELECT doc_id, text, length(text) // $w AS hh FROM documents
+       |  WHERE length(text) // $w >= 2),
+       |c AS (
+       |  SELECT doc_id, hh,
+       |         list_transform(range(1, CAST($w * hh + 1 AS BIGINT)),
+       |           i -> ord(substr(text, CAST(i AS INT), 1))) AS codes
+       |  FROM d),
+       |s AS (
+       |  SELECT doc_id, CAST($ow AS BIGINT) AS ow, CAST(hh // 2 AS BIGINT) AS oh,
+       |         list_transform(range(0, CAST($ow * (hh // 2) AS BIGINT)), i ->
+       |           (codes[CAST((i // $ow) * 2 * $w + (i % $ow) * 2 + 1 AS INT)]
+       |          + codes[CAST((i // $ow) * 2 * $w + (i % $ow) * 2 + 2 AS INT)]
+       |          + codes[CAST(((i // $ow) * 2 + 1) * $w + (i % $ow) * 2 + 1 AS INT)]
+       |          + codes[CAST(((i // $ow) * 2 + 1) * $w + (i % $ow) * 2 + 2 AS INT)]) // 4) AS oc
+       |  FROM c)
+       |SELECT doc_id, ow, oh,
+       |       md5(array_to_string(list_transform(oc, x -> chr(CAST(x AS INT))), '')) AS out_md5,
+       |       CAST(list_sum(oc) AS BIGINT) AS out_sum,
+       |       CAST(list_min(oc) AS BIGINT) AS out_min,
+       |       CAST(list_max(oc) AS BIGINT) AS out_max
+       |FROM s ORDER BY doc_id""".stripMargin
   }
 
   /** AUDIO twin of the PGM path — binary RIFF/WAVE, 8-bit mono PCM: a
@@ -260,6 +326,7 @@ object Multimodal {
   val defs: Map[String, QueryDef] = Map(
     "q_media_decode" -> QueryDef(pgmDecode, Some(pgmOracle)),
     "q_audio_decode" -> QueryDef(wavDecode, Some(wavOracle)),
+    "q_media_resize" -> QueryDef(pgmResize, Some(pgmResizeOracle)),
     "q_multimodal" -> QueryDef(mediaFeatures(_, _), Some(
       s"""SELECT doc_id, 'text/plain' AS mime, lang,
          |       octet_length(CAST(text AS BLOB)) AS n_bytes,

@@ -87,6 +87,17 @@ class PgmSpec extends SparkTestBase {
     assert(out(3L).getLong(3) == 8L, "pixel slice clamps to the payload")
   }
 
+  test("pgm_shrink: a handcrafted 4x2 bitmap averages its 2x2 blocks exactly") {
+    graft.expr.GraftFunctions.register(spark)
+    // rows: [10 20 30 40] / [50 60 70 80] -> blocks avg (10+20+50+60)/4=35,
+    // (30+40+70+80)/4=55; short payload -> null
+    val bm = Array[Byte](10, 20, 30, 40, 50, 60, 70, 80)
+    val out = Seq((bm, 4, 2), (bm.take(5), 4, 2)).toDF("px", "w", "h")
+      .select(expr("pgm_shrink(px, w, h)").as("sh")).collect()
+    assert(out(0).getAs[Array[Byte]](0).toSeq == Seq[Byte](35, 55))
+    assert(out(1).isNullAt(0), "payload shorter than w*h must shrink to null")
+  }
+
   test("corrupted WAV payloads degrade, never crash, through the real audio chain") {
     graft.expr.GraftFunctions.register(spark)
     def wav(magic: String, lenBytes: Array[Byte], samples: String): Array[Byte] = {
