@@ -198,6 +198,35 @@ object Catalog {
       |WHERE ws_ms + 60000 <= max_ms - 120000
       |ORDER BY ws, base""".stripMargin
 
+  /** VWAP candles — the OHLC sibling every trading engine ships:
+    * volume-weighted average price per (window, base), with the trade
+    * count. In this table `value` is both price and quantity (the same
+    * convention q_ohlc_1m's volume uses — reference FIXTURES.md mapping),
+    * so vwap = Σ(p·q)/Σ(q) = Σ(v²)/Σ(v). Both sums are EXACT decimals
+    * ((16,6)² → (33,12) products, no precision cap on either engine);
+    * the final value is one IEEE divide of the two canonicalized
+    * doubles — deterministic, the q_ohlc_1m volume discipline. */
+  def qOhlcVwap(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val vDec = col("value").cast("decimal(16,6)")
+    ev.groupBy(window(col("ts"), "1 minute"), col("event_type").as("base"))
+      .agg(
+        count(lit(1)).as("n_trades"),
+        (sum(vDec * vDec).cast("double") /
+          sum(col("value").cast("decimal(20,6)")).cast("double")).as("vwap"))
+      .select(unix_timestamp(col("window.start")).as("ws"), col("base"),
+        col("n_trades"), col("vwap"))
+      .orderedBy("ws", "base")
+  }
+
+  private val ohlcVwapOracle =
+    """SELECT CAST(epoch(date_trunc('minute', ts)) AS BIGINT) AS ws,
+      |       event_type AS base,
+      |       count(*) AS n_trades,
+      |       CAST(sum(CAST(value AS DECIMAL(16,6)) * CAST(value AS DECIMAL(16,6))) AS DOUBLE)
+      |         / CAST(sum(CAST(value AS DECIMAL(20,6))) AS DOUBLE) AS vwap
+      |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   private val ohlcOracle =
     """SELECT CAST(epoch(date_trunc('minute', ts)) AS BIGINT) AS ws,
       |       event_type AS base,
@@ -218,7 +247,8 @@ object Catalog {
     // emission-bound SQL (ms tie rule, volume deliberately omitted)
     "q_ohlc_stateful" -> QueryDef(qOhlcStateful, Some(ohlcStatefulOracle)),
     // the transformWithState engine (timers close to the GLOBAL watermark)
-    "q_ohlc_tws" -> QueryDef(qOhlcTws, Some(ohlcTwsOracle))
+    "q_ohlc_tws" -> QueryDef(qOhlcTws, Some(ohlcTwsOracle)),
+    "q_ohlc_vwap" -> QueryDef(qOhlcVwap, Some(ohlcVwapOracle))
   )
 
   val defs: Map[String, QueryDef] =
