@@ -219,6 +219,22 @@ object Catalog {
       .orderedBy("ws", "base")
   }
 
+  /** VWAP executed by the streaming engine (12th bridge): the identical
+    * aggregation over the file source, AvailableNow, complete mode,
+    * memory sink — hash-compared against the same SQL as the batch twin. */
+  def qOhlcVwapStreamed(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.eventsStream(spark, dir)
+    val vDec = col("value").cast("decimal(16,6)")
+    val out = ev.groupBy(window(col("ts"), "1 minute"), col("event_type").as("base"))
+      .agg(
+        count(lit(1)).as("n_trades"),
+        (sum(vDec * vDec).cast("double") /
+          sum(col("value").cast("decimal(20,6)")).cast("double")).as("vwap"))
+      .select(unix_timestamp(col("window.start")).as("ws"), col("base"),
+        col("n_trades"), col("vwap"))
+    Tables.runStreamComplete(out, "ohlc_vwap_streamed_").orderedBy("ws", "base")
+  }
+
   private val ohlcVwapOracle =
     """SELECT CAST(epoch(date_trunc('minute', ts)) AS BIGINT) AS ws,
       |       event_type AS base,
@@ -248,7 +264,8 @@ object Catalog {
     "q_ohlc_stateful" -> QueryDef(qOhlcStateful, Some(ohlcStatefulOracle)),
     // the transformWithState engine (timers close to the GLOBAL watermark)
     "q_ohlc_tws" -> QueryDef(qOhlcTws, Some(ohlcTwsOracle)),
-    "q_ohlc_vwap" -> QueryDef(qOhlcVwap, Some(ohlcVwapOracle))
+    "q_ohlc_vwap" -> QueryDef(qOhlcVwap, Some(ohlcVwapOracle)),
+    "q_vwap_streamed" -> QueryDef(qOhlcVwapStreamed, Some(ohlcVwapOracle))
   )
 
   val defs: Map[String, QueryDef] =
