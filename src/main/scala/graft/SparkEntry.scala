@@ -206,41 +206,39 @@ object Catalog {
     * ((16,6)² → (33,12) products, no precision cap on either engine);
     * the final value is one IEEE divide of the two canonicalized
     * doubles — deterministic, the q_ohlc_1m volume discipline. */
-  def qOhlcVwap(spark: SparkSession, dir: String): DataFrame = {
-    val ev = Tables.events(spark, dir)
+  def qOhlcVwap(spark: SparkSession, dir: String): DataFrame =
+    vwapAgg(Tables.events(spark, dir)).orderedBy("ws", "base")
+
+  /** The VWAP aggregation shared by the batch and streaming twins. A
+    * window whose quantity sum is ZERO has no defined vwap — emitted as
+    * NULL via a branch-lazy guard (sf0.1 has such a window; an unguarded
+    * ANSI divide throws DIVIDE_BY_ZERO), mirrored by the oracle's CASE. */
+  private def vwapAgg(ev: DataFrame): DataFrame = {
     val vDec = col("value").cast("decimal(16,6)")
     ev.groupBy(window(col("ts"), "1 minute"), col("event_type").as("base"))
       .agg(
         count(lit(1)).as("n_trades"),
-        (sum(vDec * vDec).cast("double") /
-          sum(col("value").cast("decimal(20,6)")).cast("double")).as("vwap"))
+        sum(vDec * vDec).cast("double").as("spq"),
+        sum(col("value").cast("decimal(20,6)")).cast("double").as("sq"))
       .select(unix_timestamp(col("window.start")).as("ws"), col("base"),
-        col("n_trades"), col("vwap"))
-      .orderedBy("ws", "base")
+        col("n_trades"),
+        when(col("sq") =!= 0.0, col("spq") / col("sq")).as("vwap"))
   }
 
   /** VWAP executed by the streaming engine (12th bridge): the identical
     * aggregation over the file source, AvailableNow, complete mode,
     * memory sink — hash-compared against the same SQL as the batch twin. */
-  def qOhlcVwapStreamed(spark: SparkSession, dir: String): DataFrame = {
-    val ev = Tables.eventsStream(spark, dir)
-    val vDec = col("value").cast("decimal(16,6)")
-    val out = ev.groupBy(window(col("ts"), "1 minute"), col("event_type").as("base"))
-      .agg(
-        count(lit(1)).as("n_trades"),
-        (sum(vDec * vDec).cast("double") /
-          sum(col("value").cast("decimal(20,6)")).cast("double")).as("vwap"))
-      .select(unix_timestamp(col("window.start")).as("ws"), col("base"),
-        col("n_trades"), col("vwap"))
-    Tables.runStreamComplete(out, "ohlc_vwap_streamed_").orderedBy("ws", "base")
-  }
+  def qOhlcVwapStreamed(spark: SparkSession, dir: String): DataFrame =
+    Tables.runStreamComplete(vwapAgg(Tables.eventsStream(spark, dir)),
+      "ohlc_vwap_streamed_").orderedBy("ws", "base")
 
   private val ohlcVwapOracle =
     """SELECT CAST(epoch(date_trunc('minute', ts)) AS BIGINT) AS ws,
       |       event_type AS base,
       |       count(*) AS n_trades,
-      |       CAST(sum(CAST(value AS DECIMAL(16,6)) * CAST(value AS DECIMAL(16,6))) AS DOUBLE)
-      |         / CAST(sum(CAST(value AS DECIMAL(20,6))) AS DOUBLE) AS vwap
+      |       CASE WHEN CAST(sum(CAST(value AS DECIMAL(20,6))) AS DOUBLE) = 0.0 THEN NULL
+      |            ELSE CAST(sum(CAST(value AS DECIMAL(16,6)) * CAST(value AS DECIMAL(16,6))) AS DOUBLE)
+      |                 / CAST(sum(CAST(value AS DECIMAL(20,6))) AS DOUBLE) END AS vwap
       |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
   private val ohlcOracle =
