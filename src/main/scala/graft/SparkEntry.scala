@@ -92,18 +92,18 @@ object Catalog {
     * call uses a fresh memory-sink name so warm-up + timed bench runs
     * don't collide. Complete mode keeps all window state (finite input,
     * no watermark eviction), exactly batch semantics. */
-  def qOhlcStreamed(spark: SparkSession, dir: String): DataFrame = {
-    val src = Tables.eventsStream(spark, dir)
-      .withColumn("qty_dec", col("value").cast("decimal(20,6)"))
-    val candles = OhlcPipeline.candles(src, windowDuration = "1 minute",
-      tsCol = "ts", priceCol = "value", qtyCol = "qty_dec",
-      symbolCol = "event_type")
-    val out = candles.select(
-      unix_timestamp(col("start_ts")).as("ws"), col("base"),
-      col("open"), col("high"), col("low"), col("close"),
-      col("volume").cast("double").as("volume"))
-    Tables.runStreamComplete(out, "ohlc_streamed_").orderedBy("ws", "base")
-  }
+  def qOhlcStreamed(spark: SparkSession, dir: String): DataFrame =
+    Tables.runStreamComplete(spark, "ohlc_streamed_") { cs =>
+      val src = Tables.eventsStream(cs, dir)
+        .withColumn("qty_dec", col("value").cast("decimal(20,6)"))
+      val candles = OhlcPipeline.candles(src, windowDuration = "1 minute",
+        tsCol = "ts", priceCol = "value", qtyCol = "qty_dec",
+        symbolCol = "event_type")
+      candles.select(
+        unix_timestamp(col("start_ts")).as("ws"), col("base"),
+        col("open"), col("high"), col("low"), col("close"),
+        col("volume").cast("double").as("volume"))
+    }.orderedBy("ws", "base")
 
   /** The CUSTOM-STATE streaming engine under the batch oracle (7th bridge,
     * and the one covering code no built-in aggregation runs):
@@ -119,18 +119,18 @@ object Catalog {
     * sums doubles in iterator order, the one non-order-independent value
     * in the candle (the batch paths cover volume with exact decimal
     * sums). */
-  def qOhlcStateful(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    val trades = Tables.eventsStream(spark, dir)
-      .select(col("event_type").as("base"), col("ts").as("timestamp"),
-        col("value").as("price"), col("value").as("quantity"))
-      .as[graft.ohlc.Trade]
-    val candles = graft.stream.StatefulCandles.closedCandles(trades)
-    val out = candles.toDF().select(
-      unix_timestamp(col("start_ts")).as("ws"), col("base"),
-      col("open"), col("high"), col("low"), col("close"))
-    Tables.runStreamAppend(out, "ohlc_stateful_").orderedBy("ws", "base")
-  }
+  def qOhlcStateful(spark: SparkSession, dir: String): DataFrame =
+    Tables.runStreamAppend(spark, "ohlc_stateful_") { cs =>
+      import cs.implicits._
+      val trades = Tables.eventsStream(cs, dir)
+        .select(col("event_type").as("base"), col("ts").as("timestamp"),
+          col("value").as("price"), col("value").as("quantity"))
+        .as[graft.ohlc.Trade]
+      val candles = graft.stream.StatefulCandles.closedCandles(trades)
+      candles.toDF().select(
+        unix_timestamp(col("start_ts")).as("ws"), col("base"),
+        col("open"), col("high"), col("low"), col("close"))
+    }.orderedBy("ws", "base")
 
   /** The transformWithState engine (MapState/ValueState + first-class
     * event-time timers — TwsCandles) under the oracle, 8th bridge. Its
@@ -140,29 +140,23 @@ object Catalog {
     * end ≤ GLOBAL max − lateness — a superset, and what the oracle
     * replays with a global max. Same ms tie rule, volume omitted for the
     * same order-independence reason. */
-  def qOhlcTws(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    val trades = Tables.eventsStream(spark, dir)
-      .select(col("event_type").as("base"), col("ts").as("timestamp"),
-        col("value").as("price"), col("value").as("quantity"))
-      .as[graft.ohlc.Trade]
-    val candles = graft.stream.TwsCandles.closedCandles(trades)
-    val out = candles.toDF().select(
-      unix_timestamp(col("start_ts")).as("ws"), col("base"),
-      col("open"), col("high"), col("low"), col("close"))
+  def qOhlcTws(spark: SparkSession, dir: String): DataFrame =
     // the StatefulProcessor API needs multi-column-family state, which
-    // only the RocksDB provider supports — scoped set + restore (the conf
-    // is read once at query start; the other bridges keep the default)
-    val key = "spark.sql.streaming.stateStore.providerClass"
-    val prev = spark.conf.getOption(key)
-    spark.conf.set(key,
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    try Tables.runStreamAppend(out, "ohlc_tws_").orderedBy("ws", "base")
-    finally prev match {
-      case Some(v) => spark.conf.set(key, v)
-      case None => spark.conf.unset(key)
-    }
-  }
+    // only the RocksDB provider supports — passed as bridge-session-only
+    // conf (the child session owns it; nothing leaks to the caller)
+    Tables.runStreamAppend(spark, "ohlc_tws_", Map(
+      "spark.sql.streaming.stateStore.providerClass" ->
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")) { cs =>
+      import cs.implicits._
+      val trades = Tables.eventsStream(cs, dir)
+        .select(col("event_type").as("base"), col("ts").as("timestamp"),
+          col("value").as("price"), col("value").as("quantity"))
+        .as[graft.ohlc.Trade]
+      val candles = graft.stream.TwsCandles.closedCandles(trades)
+      candles.toDF().select(
+        unix_timestamp(col("start_ts")).as("ws"), col("base"),
+        col("open"), col("high"), col("low"), col("close"))
+    }.orderedBy("ws", "base")
 
   private val ohlcTwsOracle =
     """WITH t AS (
@@ -229,8 +223,9 @@ object Catalog {
     * aggregation over the file source, AvailableNow, complete mode,
     * memory sink — hash-compared against the same SQL as the batch twin. */
   def qOhlcVwapStreamed(spark: SparkSession, dir: String): DataFrame =
-    Tables.runStreamComplete(vwapAgg(Tables.eventsStream(spark, dir)),
-      "ohlc_vwap_streamed_").orderedBy("ws", "base")
+    Tables.runStreamComplete(spark, "ohlc_vwap_streamed_") { cs =>
+      vwapAgg(Tables.eventsStream(cs, dir))
+    }.orderedBy("ws", "base")
 
   private val ohlcVwapOracle =
     """SELECT CAST(epoch(date_trunc('minute', ts)) AS BIGINT) AS ws,

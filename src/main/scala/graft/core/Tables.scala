@@ -69,39 +69,47 @@ object Tables {
     * bridges. Complete mode keeps all state on finite input: exactly
     * batch semantics, so the streamed result hash-compares against the
     * batch query's own oracle SQL. */
-  def runStreamComplete(df: DataFrame, prefix: String): DataFrame =
-    runStream(df, prefix, "complete")
+  def runStreamComplete(parent: SparkSession, prefix: String)(
+      build: SparkSession => DataFrame): DataFrame =
+    runStream(parent, prefix, "complete", Map.empty)(build)
 
   /** Append-mode twin of [[runStreamComplete]] for the operators complete
     * mode cannot express (stream-stream joins, watermark dedup): on finite
     * AvailableNow input every match/survivor emits in the batch it arrives
-    * in, so the materialized sink is again exactly the batch answer. */
-  def runStreamAppend(df: DataFrame, prefix: String): DataFrame =
-    runStream(df, prefix, "append")
+    * in, so the materialized sink is again exactly the batch answer.
+    * `extraConf` carries bridge-only settings (e.g. the RocksDB state
+    * store provider for transformWithState). */
+  def runStreamAppend(parent: SparkSession, prefix: String,
+      extraConf: Map[String, String] = Map.empty)(
+      build: SparkSession => DataFrame): DataFrame =
+    runStream(parent, prefix, "append", extraConf)(build)
 
-  private def runStream(df: DataFrame, prefix: String, mode: String): DataFrame = {
-    val s = df.sparkSession
-    val name = prefix + java.util.UUID.randomUUID().toString.replace("-", "")
-    // Stateful-shuffle sizing, scoped to this bridge run (read once at
-    // query start; restored before any other plan is built): a streaming
+  private def runStream(parent: SparkSession, prefix: String, mode: String,
+      extraConf: Map[String, String])(
+      build: SparkSession => DataFrame): DataFrame = {
+    // Conf isolation (ADVICE r9): bridge-only settings used to set/restore
+    // on the caller's shared session, so any query planned concurrently
+    // during a bridge run silently picked them up. The bridge now plans
+    // and runs inside a CHILD session (the q_join_bloom newSession
+    // pattern): same SparkContext — warmed block manager, codegen cache —
+    // but its own SQLConf, catalog, and StreamingQueryManager, so nothing
+    // leaks to or from the caller. Builder-time confs (timezone, ANSI,
+    // parquet nanos) are inherited from the SparkContext conf.
+    val s = parent.newSession()
+    // Stateful-shuffle sizing, scoped to this bridge session: a streaming
     // query instantiates one state store per shuffle partition per
     // stateful operator PER BATCH — at the gate's finite input, 32
     // partitions is pure per-store setup overhead (measured 7.3 s median
     // for the stream-stream join; 3.0 s at 8). Production sizing is
     // rate-based and belongs to the deployment, not the operator.
-    val key = "spark.sql.shuffle.partitions"
-    val prev = s.conf.getOption(key)
-    s.conf.set(key, "8")
-    try {
-      val q = df.writeStream.outputMode(mode).format("memory")
-        .queryName(name)
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-    } finally prev match {
-      case Some(v) => s.conf.set(key, v)
-      case None => s.conf.unset(key)
-    }
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    extraConf.foreach { case (k, v) => s.conf.set(k, v) }
+    val name = prefix + java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = build(s).writeStream.outputMode(mode).format("memory")
+      .queryName(name)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
     // Re-pin the result as a localCheckpoint (executor block storage the
     // ContextCleaner reclaims once the caller drops the DataFrame), then
     // release the memory sink's strong refs — the catalog temp view and

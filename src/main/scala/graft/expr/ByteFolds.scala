@@ -93,6 +93,105 @@ case class ByteSumSq(child: Expression) extends ByteFold {
   override protected def withNewChildInternal(c: Expression): ByteSumSq = copy(child = c)
 }
 
+/** STRIDED byte folds — `byte_sum_stride` / `byte_min_stride` /
+  * `byte_max_stride(bin, off, stride)` — the per-CHANNEL statistics
+  * primitives of the color decode path (Multimodal.ppmDecode): an
+  * interleaved RGB pixel section samples one channel as bytes
+  * off, off+stride, off+2·stride, …. `off` is 0-based; non-positive
+  * stride, out-of-range offset, or an empty selection folds to NULL
+  * (same no-identity-leak contract as the contiguous folds). One codegen
+  * loop, no per-index substring HOFs. */
+abstract class ByteFoldStride
+    extends org.apache.spark.sql.catalyst.expressions.TernaryExpression {
+  def bin: Expression
+  def off: Expression
+  def stride: Expression
+
+  override def first: Expression = bin
+  override def second: Expression = off
+  override def third: Expression = stride
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+
+  protected def init: Long
+  protected def fold(acc: Long, v: Int): Long
+  protected def foldJava(acc: String, v: String): String
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (bin.dataType, off.dataType, stride.dataType) match {
+      case (BinaryType, org.apache.spark.sql.types.IntegerType,
+            org.apache.spark.sql.types.IntegerType) =>
+        TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (BINARY, INT, INT), got $other")
+    }
+
+  override def nullSafeEval(b: Any, o: Any, st: Any): Any = {
+    val bytes = b.asInstanceOf[Array[Byte]]
+    val start = o.asInstanceOf[Int]
+    val step = st.asInstanceOf[Int]
+    if (step <= 0 || start < 0 || start >= bytes.length) null
+    else {
+      var acc = init
+      var i = start
+      while (i < bytes.length) { acc = fold(acc, bytes(i) & 0xff); i += step }
+      acc
+    }
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (b, o, st) => {
+      val acc = ctx.freshName("acc")
+      val i = ctx.freshName("i")
+      val v = ctx.freshName("v")
+      s"""
+         |if ($st <= 0 || $o < 0 || $o >= $b.length) { ${ev.isNull} = true; } else {
+         |  long $acc = ${init}L;
+         |  for (int $i = $o; $i < $b.length; $i += $st) {
+         |    int $v = $b[$i] & 0xff;
+         |    $acc = ${foldJava(acc, v)};
+         |  }
+         |  ${ev.value} = $acc;
+         |}
+       """.stripMargin
+    })
+}
+
+case class ByteSumStride(bin: Expression, off: Expression, stride: Expression)
+    extends ByteFoldStride {
+  override def prettyName: String = "byte_sum_stride"
+  override protected def init: Long = 0L
+  override protected def fold(acc: Long, v: Int): Long = acc + v
+  override protected def foldJava(acc: String, v: String): String = s"$acc + $v"
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): ByteSumStride =
+    copy(bin = f, off = s, stride = t)
+}
+
+case class ByteMinStride(bin: Expression, off: Expression, stride: Expression)
+    extends ByteFoldStride {
+  override def prettyName: String = "byte_min_stride"
+  override protected def init: Long = 255L
+  override protected def fold(acc: Long, v: Int): Long = math.min(acc, v)
+  override protected def foldJava(acc: String, v: String): String =
+    s"java.lang.Math.min($acc, (long) $v)"
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): ByteMinStride =
+    copy(bin = f, off = s, stride = t)
+}
+
+case class ByteMaxStride(bin: Expression, off: Expression, stride: Expression)
+    extends ByteFoldStride {
+  override def prettyName: String = "byte_max_stride"
+  override protected def init: Long = 0L
+  override protected def fold(acc: Long, v: Int): Long = math.max(acc, v)
+  override protected def foldJava(acc: String, v: String): String =
+    s"java.lang.Math.max($acc, (long) $v)"
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): ByteMaxStride =
+    copy(bin = f, off = s, stride = t)
+}
+
 /** 2× box downsample of a row-major 8-bit bitmap: `pgm_shrink(px, w, h)`
   * averages each 2×2 pixel block (integer floor mean) into one output
   * byte — the REAL resize stage of the media pipeline

@@ -86,10 +86,13 @@ case class DotProduct(left: Expression, right: Expression)
   * sqrt(vec_dot(e,e)) is computed inside, same tree).
   *
   * Selection rule replicated from array_max over (s, -cid): strictly
-  * higher score wins; equal score → lower cid. Constraint: scores must be
-  * finite (zero-norm vectors would yield NaN, where array_max's NaN-is-
-  * greatest ordering and this loop can disagree on which NaN wins);
-  * embedding corpora here are non-zero by construction. */
+  * higher score wins; equal score → lower cid. Zero norms are guarded, not
+  * assumed away (ADVICE r9): a zero-norm query vector returns NULL (cosine
+  * is undefined, and the NaN scores it would produce order differently
+  * under array_max's NaN-is-greatest rule than under this loop's
+  * comparisons), and a zero-norm centroid is skipped rather than divided
+  * by. For non-degenerate inputs every score is finite and the selection
+  * is bit-identical to the HOF formulation. */
 case class CosArgMax(left: Expression, right: Expression)
     extends BinaryExpression {
 
@@ -126,7 +129,8 @@ case class CosArgMax(left: Expression, right: Expression)
     var i = 0
     while (i < ne) { val v = e.getDouble(i); qacc += v * v; i += 1 }
     val qnrm = math.sqrt(qacc)
-    val n = cs.numElements()
+    // zero-norm query → cosine undefined → null (never NaN-score a winner)
+    val n = if (qnrm == 0.0) 0 else cs.numElements()
     var bestCid = 0L
     var bestS = 0.0
     var found = false
@@ -135,13 +139,16 @@ case class CosArgMax(left: Expression, right: Expression)
       val row = cs.getStruct(c, 3)
       val cid = row.getLong(0)
       val ce = row.getArray(1)
-      val m = math.min(ce.numElements(), ne)
-      var acc = 0.0
-      var j = 0
-      while (j < m) { acc += ce.getDouble(j) * e.getDouble(j); j += 1 }
-      val s = acc / (row.getDouble(2) * qnrm)
-      if (!found || s > bestS || (s == bestS && cid < bestCid)) {
-        found = true; bestS = s; bestCid = cid
+      val snrm = row.getDouble(2)
+      if (snrm > 0.0) { // zero-norm centroid: skip, never divide by it
+        val m = math.min(ce.numElements(), ne)
+        var acc = 0.0
+        var j = 0
+        while (j < m) { acc += ce.getDouble(j) * e.getDouble(j); j += 1 }
+        val s = acc / (snrm * qnrm)
+        if (!found || s > bestS || (s == bestS && cid < bestCid)) {
+          found = true; bestS = s; bestCid = cid
+        }
       }
       c += 1
     }
@@ -175,7 +182,8 @@ case class CosArgMax(left: Expression, right: Expression)
          |  $qacc += $v * $v;
          |}
          |double $qnrm = java.lang.Math.sqrt($qacc);
-         |int $n = $a.numElements();
+         |// zero-norm query -> cosine undefined -> null result
+         |int $n = ($qnrm == 0.0) ? 0 : $a.numElements();
          |long $bestCid = 0L;
          |double $bestS = 0.0;
          |boolean $found = false;
@@ -183,14 +191,17 @@ case class CosArgMax(left: Expression, right: Expression)
          |  org.apache.spark.sql.catalyst.InternalRow $row = $a.getStruct($c, 3);
          |  long $cid = $row.getLong(0);
          |  org.apache.spark.sql.catalyst.util.ArrayData $ce = $row.getArray(1);
-         |  int $m = java.lang.Math.min($ce.numElements(), $ne);
-         |  double $acc = 0.0;
-         |  for (int $j = 0; $j < $m; $j++) {
-         |    $acc += $ce.getDouble($j) * $b.getDouble($j);
-         |  }
-         |  double $s = $acc / ($row.getDouble(2) * $qnrm);
-         |  if (!$found || $s > $bestS || ($s == $bestS && $cid < $bestCid)) {
-         |    $found = true; $bestS = $s; $bestCid = $cid;
+         |  double $v = $row.getDouble(2);
+         |  if ($v > 0.0) { // zero-norm centroid: skip, never divide by it
+         |    int $m = java.lang.Math.min($ce.numElements(), $ne);
+         |    double $acc = 0.0;
+         |    for (int $j = 0; $j < $m; $j++) {
+         |      $acc += $ce.getDouble($j) * $b.getDouble($j);
+         |    }
+         |    double $s = $acc / ($v * $qnrm);
+         |    if (!$found || $s > $bestS || ($s == $bestS && $cid < $bestCid)) {
+         |      $found = true; $bestS = $s; $bestCid = $cid;
+         |    }
          |  }
          |}
          |if (!$found) { ${ev.isNull} = true; } else { ${ev.value} = $bestCid; }

@@ -876,13 +876,13 @@ object Dedup {
     * hash-matches DuckDB. The 100 TB framing is the streaming-ingest
     * dedup shape: state is one (hash, min-id, count) row per distinct
     * document content, never the corpus. */
-  def exactStreamed(s: SparkSession, d: String): DataFrame = {
-    val out = Tables.documentsStream(s, d)
-      .groupBy(md5(col("text").cast("binary")), length(col("text")))
-      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("cnt"))
-      .select(col("keep_id"), col("cnt"))
-    Tables.runStreamComplete(out, "dedup_streamed_").orderedBy("keep_id")
-  }
+  def exactStreamed(s: SparkSession, d: String): DataFrame =
+    Tables.runStreamComplete(s, "dedup_streamed_") { cs =>
+      Tables.documentsStream(cs, d)
+        .groupBy(md5(col("text").cast("binary")), length(col("text")))
+        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("cnt"))
+        .select(col("keep_id"), col("cnt"))
+    }.orderedBy("keep_id")
 
   /** [[graft.stream.Enrich.dedupWithinWatermark]] under the exact-dedup
     * oracle (the 6th streaming bridge): documents stream in with a
@@ -897,16 +897,29 @@ object Dedup {
     * delay and the eviction clock is what keeps it bounded (the unbounded
     * dropDuplicates twin would pin every key forever). */
   def dedupWmStreamed(s: SparkSession, d: String): DataFrame = {
-    val keyed = Tables.documentsStream(s, d)
-      .select(md5(col("text").cast("binary")).as("h"),
-        length(col("text")).cast("long").as("len"),
-        // +1s: the initial watermark is epoch 0 and the state store treats
-        // a row AT the watermark as expired — doc_id 0 must not land on it
-        timestamp_micros(col("doc_id") + lit(1000000L)).as("ts"))
-      .withWatermark("ts", "1 minute")
-    val deduped = graft.stream.Enrich.dedupWithinWatermark(keyed, "h", "len")
-      .select(col("h"), col("len"))
-    Tables.runStreamAppend(deduped, "dedup_wm_streamed_").orderedBy("h")
+    // Fixture-time scale guard (ADVICE r9): event time is doc_id micros,
+    // so the corpus spans max(doc_id) microseconds — a FIXED delay would
+    // silently start evicting keys mid-run once the span exceeds it
+    // (~60M docs for "1 minute"), re-admitting later duplicates. Derive
+    // the delay from the corpus's actual span (+60s margin) via a one-row
+    // scalar pre-read; state retention stays bounded by that same span,
+    // which is the honest cost of replaying a finite corpus through an
+    // event-time dedup in one run.
+    val spanMicros = Tables.documents(s, d)
+      .agg(max(col("doc_id"))).head.getLong(0) + 1000000L
+    val delaySec = spanMicros / 1000000L + 61L
+    Tables.runStreamAppend(s, "dedup_wm_streamed_") { cs =>
+      val keyed = Tables.documentsStream(cs, d)
+        .select(md5(col("text").cast("binary")).as("h"),
+          length(col("text")).cast("long").as("len"),
+          // +1s: the initial watermark is epoch 0 and the state store
+          // treats a row AT the watermark as expired — doc_id 0 must not
+          // land on it
+          timestamp_micros(col("doc_id") + lit(1000000L)).as("ts"))
+        .withWatermark("ts", s"$delaySec seconds")
+      graft.stream.Enrich.dedupWithinWatermark(keyed, "h", "len")
+        .select(col("h"), col("len"))
+    }.orderedBy("h")
   }
 
   val defs: Map[String, QueryDef] = Map(

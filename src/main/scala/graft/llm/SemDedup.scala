@@ -46,20 +46,59 @@ object SemDedup {
 
   /** [[semantic]] at an explicit cluster count — the k knob
     * (tools.SemSweep demonstrates pair volume ∝ ~1/k). */
-  def semanticAt(s: SparkSession, d: String, k: Int): DataFrame = {
+  def semanticAt(s: SparkSession, d: String, k: Int,
+                 maxMates: Option[Int] = None): DataFrame = {
     val all = Similarity.vecs(s, d)
     val cents = Similarity.trainCentroids(all, k, iters)
     val assigned = Similarity.assignNearest(all, cents)
       .select(col("vec_id"), col("e"), col("cid").as("bucket"))
-    verdict(assigned, threshold, "vec_id")
+    verdict(assigned, threshold, "vec_id", maxMates)
   }
+
+  /** The 100 TB guard-rail variant of [[semantic]] (VERDICT r9 item 3):
+    * identical clustering, but the keep/drop pairing is bounded per
+    * cluster by [[maxMatesCap]] — growing k with the corpus keeps
+    * clusters small ON AVERAGE (the paper's lever), while this cap is
+    * the worst-case bound the other five dedup families already carry:
+    * a mass-duplicated corpus that collapses into one giant cluster
+    * costs n·cap comparisons there, never n². */
+  val maxMatesCap = 16
+  def semanticCapped(s: SparkSession, d: String): DataFrame =
+    semanticAt(s, d, nCentroids, Some(maxMatesCap))
+
+  private def semanticCappedOracle: String =
+    s"""WITH ${Similarity.trainBody(nCentroids, iters, 64)},
+       |${Similarity.assignCte("assigned", s"c$iters")},
+       |${verdictSql(threshold, "vec_id", Some(maxMatesCap))}""".stripMargin
 
   /** The SemDeDup keep/drop rule — ONE implementation for both the
     * embedding and text variants: within-cluster pairing against
     * lower-id mates over `t`, then the per-vector verdict table keyed
-    * `idName`. */
-  private def verdict(assigned: DataFrame, t: Double, idName: String): DataFrame = {
-    val dups = assigned.as("a").join(assigned.as("b"),
+    * `idName`. `maxMates` (None = unlimited) is the hot-cluster cap: the
+    * b-side of the pairing is restricted to each cluster's `maxMates`
+    * LOWEST vec_ids (a row_number window over the SAME bucket key the
+    * join shuffles on — exchange reuse, like the LSH count-window cap).
+    * This bounds the within-cluster join at n·cap rows per cluster —
+    * LINEAR in cluster size — where the uncapped rule is n²/2: an
+    * adversarial corpus (mass duplication collapsing into one giant
+    * cluster) degrades to a bounded scan instead of a quadratic blow-up.
+    * Semantics under the cap: a vector is dropped iff it is within the
+    * threshold of one of its cluster's `maxMates` highest-priority
+    * (lowest-id) members — the greedy keep-set is bounded per cluster,
+    * which is exactly how a production SemDeDup bounds representative
+    * comparisons; on any cluster with ≤ cap members the answer is
+    * IDENTICAL to the uncapped rule. */
+  private def verdict(assigned: DataFrame, t: Double, idName: String,
+                      maxMates: Option[Int] = None): DataFrame = {
+    val mates = maxMates match {
+      case Some(cap) =>
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("bucket").orderBy("vec_id")
+        assigned.withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= cap).drop("rn")
+      case None => assigned
+    }
+    val dups = assigned.as("a").join(mates.as("b"),
         col("a.bucket") === col("b.bucket") &&
           col("a.vec_id") > col("b.vec_id") &&
           Similarity.cosine(col("a.e"), col("b.e")) > t)
@@ -73,15 +112,27 @@ object SemDedup {
 
   /** Oracle twin of [[verdict]] — the dups + verdict SQL tail (needs the
     * `assigned` CTE in scope). */
-  private def verdictSql(t: Double, idOut: String): String =
-    s"""dups AS (
-       |  SELECT DISTINCT a.vec_id FROM assigned a JOIN assigned b
+  private def verdictSql(t: Double, idOut: String,
+                         maxMates: Option[Int] = None): String = {
+    val matesCte = maxMates match {
+      case Some(cap) =>
+        s"""mates AS (
+           |  SELECT vec_id, e, bucket FROM (
+           |    SELECT vec_id, e, bucket,
+           |           row_number() OVER (PARTITION BY bucket ORDER BY vec_id) AS rn
+           |    FROM assigned) WHERE rn <= $cap),
+           |""".stripMargin
+      case None => "mates AS (SELECT * FROM assigned),\n"
+    }
+    s"""${matesCte}dups AS (
+       |  SELECT DISTINCT a.vec_id FROM assigned a JOIN mates b
        |  ON a.bucket = b.bucket AND a.vec_id > b.vec_id
        |     AND list_cosine_similarity(a.e, b.e) > $t)
        |SELECT s.vec_id AS $idOut, s.bucket,
        |       CAST(CASE WHEN d.vec_id IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS is_dup
        |FROM assigned s LEFT JOIN dups d ON s.vec_id = d.vec_id
        |ORDER BY $idOut""".stripMargin
+  }
 
   /** Diagnostic for the k knob (tools.SemSweep): per-cluster candidate
     * pair count at cluster count `k` — the quantity the within-cluster
@@ -142,6 +193,8 @@ object SemDedup {
 
   val defs: Map[String, QueryDef] = Map(
     "q_dedup_semantic" -> QueryDef(semantic, Some(semanticOracle)),
+    "q_dedup_semantic_capped" -> QueryDef(semanticCapped(_, _),
+      Some(semanticCappedOracle)),
     "q_dedup_semantic_text" -> QueryDef(semanticText, Some(semanticTextOracle))
   )
 }

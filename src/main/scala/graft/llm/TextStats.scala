@@ -455,15 +455,15 @@ object TextStats {
     * don't: global sort + limit over a streaming aggregation (legal only
     * in complete mode, which is exactly what the finite-input bridge
     * runs). Same oracle SQL as the batch query. */
-  def vocabStreamed(s: SparkSession, d: String, k: Int = 25): DataFrame = {
-    val out = Tables.documentsStream(s, d)
-      .select(explode(tokens(col("text"))).as("tok"))
-      .groupBy(col("tok"))
-      .agg(count(lit(1)).as("freq"))
-      .orderBy(col("freq").desc, col("tok"))
-      .limit(k)
-    Tables.runStreamComplete(out, "vocab_streamed_").orderedBy("tok")
-  }
+  def vocabStreamed(s: SparkSession, d: String, k: Int = 25): DataFrame =
+    Tables.runStreamComplete(s, "vocab_streamed_") { cs =>
+      Tables.documentsStream(cs, d)
+        .select(explode(tokens(col("text"))).as("tok"))
+        .groupBy(col("tok"))
+        .agg(count(lit(1)).as("freq"))
+        .orderBy(col("freq").desc, col("tok"))
+        .limit(k)
+    }.orderedBy("tok")
 
   private val vocabOracle: String =
     """SELECT tok, freq FROM (

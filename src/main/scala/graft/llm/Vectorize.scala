@@ -84,8 +84,9 @@ object Vectorize {
     * family under the batch ≡ streaming gate like the candle/session/
     * dedup/vocab/join/enrich bridges before it. */
   def hashingStreamed(s: SparkSession, d: String): DataFrame =
-    Tables.runStreamComplete(hashingFrom(Tables.documentsStream(s, d)),
-      "hashvec_streamed_").orderedBy("doc_id")
+    Tables.runStreamComplete(s, "hashvec_streamed_") { cs =>
+      hashingFrom(Tables.documentsStream(cs, d))
+    }.orderedBy("doc_id")
 
   private def hashingOracle: String = {
     val sq = (1 to dim).map(i => s"f$i*f$i").mkString(" + ")

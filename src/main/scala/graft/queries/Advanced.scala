@@ -160,8 +160,13 @@ object Advanced {
     long.groupBy(col("measure")).agg(
         count(lit(1)).as("n"),
         sum(v2).cast("double").as("sum_val"),
+        // digest accumulates as DECIMAL(38,0), not BIGINT: ~1e10 rows ×
+        // up-to-2^32 prefixes exceeds Long.MaxValue, which ANSI mode
+        // aborts on (and DuckDB's HUGEINT→BIGINT cast errors
+        // symmetrically) — decimal keeps the digest exact at any corpus
+        // size (ADVICE r9)
         sum(conv(substring(md5(rowRepr.cast("binary")), 1, 8), 16, 10)
-          .cast("long")).as("digest"))
+          .cast("decimal(38,0)")).as("digest"))
       .orderedBy("measure")
   }
 
@@ -207,7 +212,7 @@ object Advanced {
        |      FROM r)
        |SELECT measure, count(*) AS n,
        |       CAST(sum(v2) AS DOUBLE) AS sum_val,
-       |       CAST(sum($hv) AS BIGINT) AS digest
+       |       CAST(sum($hv) AS DECIMAL(38,0)) AS digest
        |FROM h GROUP BY measure ORDER BY measure""".stripMargin
   }
 

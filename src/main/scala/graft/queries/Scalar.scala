@@ -86,8 +86,10 @@ object Scalar {
         count(lit(1)).as("cnt"),
         sum(col("fl")).as("sum_fl"),
         sum(col("cl")).as("sum_cl"),
+        // decimal(38,0), not long: the digest sum overflows BIGINT around
+        // 2e9 rows/group, a hard ANSI abort at corpus scale (ADVICE r9)
         sum(conv(substring(md5(col("r").cast("binary")), 1, 8), 16, 10)
-          .cast("long")).as("digest"))
+          .cast("decimal(38,0)")).as("digest"))
       .orderedBy("md")
   }
 
@@ -247,7 +249,7 @@ object Scalar {
        |SELECT md, count(*) AS cnt,
        |       CAST(sum(fl) AS BIGINT) AS sum_fl,
        |       CAST(sum(cl) AS BIGINT) AS sum_cl,
-       |       CAST(sum($hv) AS BIGINT) AS digest
+       |       CAST(sum($hv) AS DECIMAL(38,0)) AS digest
        |FROM h GROUP BY md ORDER BY md""".stripMargin
   }
 

@@ -53,19 +53,18 @@ object TimeWindows {
     * and registered against the IDENTICAL oracle SQL: the streaming
     * session-merge state machine (MergingSessionsExec / session state
     * store) answers to the batch gaps-and-islands SQL on every round. */
-  def sessionsStreamed(s: SparkSession, d: String): DataFrame = {
-    val out = Tables.eventsStream(s, d)
-      .groupBy(session_window(col("ts"), "5 minutes"), col("user_id"))
-      .agg(count(lit(1)).as("n_events"),
-        sum(col("value").cast("decimal(20,6)")).cast("double").as("sum_value"))
-      .select(
-        col("user_id"),
-        unix_micros(col("session_window.start")).as("sess_start"),
-        unix_micros(col("session_window.end")).as("sess_end"),
-        col("n_events"), col("sum_value"))
-    Tables.runStreamComplete(out, "session_streamed_")
-      .orderedBy("user_id", "sess_start")
-  }
+  def sessionsStreamed(s: SparkSession, d: String): DataFrame =
+    Tables.runStreamComplete(s, "session_streamed_") { cs =>
+      Tables.eventsStream(cs, d)
+        .groupBy(session_window(col("ts"), "5 minutes"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("value").cast("decimal(20,6)")).cast("double").as("sum_value"))
+        .select(
+          col("user_id"),
+          unix_micros(col("session_window.start")).as("sess_start"),
+          unix_micros(col("session_window.end")).as("sess_end"),
+          col("n_events"), col("sum_value"))
+    }.orderedBy("user_id", "sess_start")
 
   /** [[slidingOhlc]] executed by the STREAMING engine (file source,
     * AvailableNow, complete mode, memory sink) against the identical
@@ -73,20 +72,20 @@ object TimeWindows {
     * panes) through the streaming aggregation path, completing the
     * windowed-agg bridge family (tumbling: q_ohlc_streamed, session:
     * q_session_streamed). */
-  def slidingStreamed(s: SparkSession, d: String): DataFrame = {
-    val out = Tables.eventsStream(s, d)
-      .groupBy(window(col("ts"), "5 minutes", "1 minute"),
-        col("event_type").as("base"))
-      .agg(
-        max(col("value")).as("high"),
-        min(col("value")).as("low"),
-        sum(col("value").cast("decimal(20,6)")).cast("double").as("volume"),
-        count(lit(1)).as("n")
-      )
-      .select(unix_timestamp(col("window.start")).as("ws"), col("base"),
-        col("high"), col("low"), col("volume"), col("n"))
-    Tables.runStreamComplete(out, "sliding_streamed_").orderedBy("ws", "base")
-  }
+  def slidingStreamed(s: SparkSession, d: String): DataFrame =
+    Tables.runStreamComplete(s, "sliding_streamed_") { cs =>
+      Tables.eventsStream(cs, d)
+        .groupBy(window(col("ts"), "5 minutes", "1 minute"),
+          col("event_type").as("base"))
+        .agg(
+          max(col("value")).as("high"),
+          min(col("value")).as("low"),
+          sum(col("value").cast("decimal(20,6)")).cast("double").as("volume"),
+          count(lit(1)).as("n")
+        )
+        .select(unix_timestamp(col("window.start")).as("ws"), col("base"),
+          col("high"), col("low"), col("volume"), col("n"))
+    }.orderedBy("ws", "base")
 
   /** Stream-stream INTERVAL JOIN under the batch oracle (the 5th — and
     * most failure-prone — streaming bridge): clicks and purchases are two
@@ -99,25 +98,24 @@ object TimeWindows {
     * [[graft.queries.Relational]] range join would use. 100 TB shape:
     * both sides shuffle on user_id once and state is watermark-bounded to
     * (rate × 10 min + delay) per side — never the stream's history. */
-  def joinStreamed(s: SparkSession, d: String): DataFrame = {
-    val c = Tables.eventsStream(s, d)
-      .filter(col("event_type") === "click")
-      .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
-        col("ts").as("c_ts"))
-      .withWatermark("c_ts", "1 minute")
-    val p = Tables.eventsStream(s, d)
-      .filter(col("event_type") === "purchase")
-      .select(col("event_id").as("p_id"), col("user_id").as("p_user"),
-        col("ts").as("p_ts"))
-      .withWatermark("p_ts", "1 minute")
-    val joined = c.join(p,
-      col("c_user") === col("p_user") &&
-        col("p_ts") >= col("c_ts") &&
-        col("p_ts") <= col("c_ts") + expr("INTERVAL 10 MINUTES"))
-      .select(col("click_id"), col("p_id"))
-    Tables.runStreamAppend(joined, "join_streamed_")
-      .orderedBy("click_id", "p_id")
-  }
+  def joinStreamed(s: SparkSession, d: String): DataFrame =
+    Tables.runStreamAppend(s, "join_streamed_") { cs =>
+      val c = Tables.eventsStream(cs, d)
+        .filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
+          col("ts").as("c_ts"))
+        .withWatermark("c_ts", "1 minute")
+      val p = Tables.eventsStream(cs, d)
+        .filter(col("event_type") === "purchase")
+        .select(col("event_id").as("p_id"), col("user_id").as("p_user"),
+          col("ts").as("p_ts"))
+        .withWatermark("p_ts", "1 minute")
+      c.join(p,
+        col("c_user") === col("p_user") &&
+          col("p_ts") >= col("c_ts") &&
+          col("p_ts") <= col("c_ts") + expr("INTERVAL 10 MINUTES"))
+        .select(col("click_id"), col("p_id"))
+    }.orderedBy("click_id", "p_id")
 
   /** Stream-static ENRICHMENT bridge — [[graft.stream.Enrich
     * .streamStaticJoin]] under the DuckDB oracle: the streaming events
@@ -129,18 +127,17 @@ object TimeWindows {
     * oracle is the plain batch join+agg SQL, so batch ≡ streaming holds
     * for the tenth bridge: the last §2.3 extension operator outside the
     * driver gate. */
-  def enrichStreamed(s: SparkSession, d: String): DataFrame = {
-    val ev = Tables.eventsStream(s, d)
-      .select(pmod(col("user_id"), lit(25)).as("nk"), col("value"))
-    val dim = Tables.nation(s, d)
-      .select(col("n_nationkey").as("nk"), col("n_name"))
-    val agg = graft.stream.Enrich.streamStaticJoin(ev, dim, "nk")
-      .groupBy(col("n_name"))
-      .agg(count(lit(1)).as("cnt"),
-        sum(col("value").cast("decimal(20,6)")).cast("double").as("sum_val"))
-    Tables.runStreamComplete(agg, "enrich_streamed_")
-      .orderedBy("n_name")
-  }
+  def enrichStreamed(s: SparkSession, d: String): DataFrame =
+    Tables.runStreamComplete(s, "enrich_streamed_") { cs =>
+      val ev = Tables.eventsStream(cs, d)
+        .select(pmod(col("user_id"), lit(25)).as("nk"), col("value"))
+      val dim = Tables.nation(cs, d)
+        .select(col("n_nationkey").as("nk"), col("n_name"))
+      graft.stream.Enrich.streamStaticJoin(ev, dim, "nk")
+        .groupBy(col("n_name"))
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("value").cast("decimal(20,6)")).cast("double").as("sum_val"))
+    }.orderedBy("n_name")
 
   private val enrichStreamedOracle: String =
     """SELECT n_name, count(*) AS cnt,
