@@ -21,35 +21,43 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = load(s, d, "lineitem")
-  /** `events.ts` is stored as parquet TIMESTAMP(NANOS), which Spark 4 refuses
-    * to read as a timestamp. Read nanos as long and truncate to µs (integer
-    * DIV — a double division would lose precision above 2^53 ns). DuckDB
-    * keeps ns, so oracle SQL must not depend on sub-µs ordering.
-    *
-    * Requires `spark.sql.legacy.parquet.nanosAsLong=true`, set by every
-    * session builder in this repo (Verify, Bench, test harness) — kept out of
-    * here so a table loader never mutates shared session state.
+  /** `events.ts` normalization — the generator has shipped it two ways:
+    * parquet TIMESTAMP(NANOS) (Spark 4 refuses to read it as a timestamp;
+    * under `spark.sql.legacy.parquet.nanosAsLong=true` — set by every
+    * session builder in this repo — it surfaces as LONG nanos) and, since
+    * round 10, plain TIMESTAMP(MICROS) without isAdjustedToUTC (surfaces
+    * as TIMESTAMP_NTZ). Both land on session-timezone TIMESTAMP at µs
+    * precision: nanos get integer-DIV truncation (a double division would
+    * lose precision above 2^53 ns), NTZ gets a cast that is
+    * value-preserving under the repo-wide UTC session timezone. DuckDB
+    * reads the same file natively, so oracle SQL must not depend on
+    * sub-µs ordering.
     */
+  private def normalizeTs(df: DataFrame): DataFrame =
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        df.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => df
+    }
+
   def events(s: SparkSession, d: String): DataFrame =
-    load(s, d, "events").withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    normalizeTs(load(s, d, "events"))
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
 
   /** STREAMING twin of [[events]] — the same table through the file
-    * source (explicit schema: file sources don't infer; ts declared LONG,
-    * read under the session's nanosAsLong conf, truncated to µs exactly
-    * as the batch loader does). Path is a glob because the file source
-    * requires a directory basePath while the testdata table is one file.
-    * Feeds the batch≡streaming oracle bridges (q_ohlc_streamed,
+    * source (explicit schema: file sources don't infer, so the batch
+    * loader's RAW schema — one footer read — is declared verbatim, which
+    * keeps the stream robust to the generator's ts encoding; see
+    * [[normalizeTs]]). Path is a glob because the file source requires a
+    * directory basePath while the testdata table is one file. Feeds the
+    * batch≡streaming oracle bridges (q_ohlc_streamed,
     * q_session_streamed). */
   def eventsStream(s: SparkSession, d: String): DataFrame = {
-    import org.apache.spark.sql.types._
-    val schema = StructType(Seq(
-      StructField("event_id", LongType), StructField("ts", LongType),
-      StructField("user_id", LongType), StructField("event_type", StringType),
-      StructField("value", DoubleType), StructField("props", StringType)))
-    s.readStream.schema(schema).parquet(s"$d/events.*")
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    val schema = load(s, d, "events").schema
+    normalizeTs(s.readStream.schema(schema).parquet(s"$d/events.*"))
   }
 
   /** STREAMING twin of [[documents]] (file source, explicit schema, glob

@@ -33,14 +33,19 @@ class SemDedupSpec extends SparkTestBase {
   test("capped semantic dedup: one-giant-cluster adversarial corpus still fully deduped, pairing bounded") {
     // The uncapped failure mode (VERDICT r9): mass duplication collapses
     // the corpus into ONE cluster and the within-cluster pairing goes
-    // n²/2. 40 near-copies of the same direction (tiny per-vector jitter
-    // on a second dimension keeps them distinct but cosine ≈ 1) force
-    // exactly that shape. With maxMates = 16 the b-side is bounded at 16
-    // mates, yet every copy but the lowest id is still within threshold
-    // of mate v0 — the verdict must equal the uncapped answer here.
+    // n²/2. 40 near-copies of the same direction force exactly that
+    // shape: the per-vector jitter on a second dimension keeps the rows
+    // DISTINCT (1e-12 is representable as a float) but is far below
+    // double-cosine resolution (score contributions ~1e-24 vanish against
+    // 1.0), so every assignment score ties at exactly 1.0 and the
+    // lowest-cid tie rule sends the whole corpus to cluster 0 — one giant
+    // cluster, the adversarial case. With maxMates = 16 the b-side is
+    // bounded at 16 mates, yet every copy but the lowest id is still
+    // within threshold of mate v0 — the verdict must equal the uncapped
+    // answer here.
     val n = 40
     def vec(i: Int): Seq[Float] =
-      Seq.tabulate(64)(j => if (j == 0) 1.0f else if (j == 1) i * 1e-4f else 0.0f)
+      Seq.tabulate(64)(j => if (j == 0) 1.0f else if (j == 1) i * 1e-12f else 0.0f)
     val rows = (0 until n).map(i => (i.toLong, vec(i), 0))
     val dir = java.nio.file.Files.createTempDirectory("graft-semcap").toString
     rows.toDF("vec_id", "embedding", "label")

@@ -92,11 +92,8 @@ class StreamingSpec extends SparkTestBase {
     java.nio.file.Files.copy(
       java.nio.file.Paths.get(s"$d/events.parquet"), srcDir.resolve("events.parquet"))
     val outDir = java.nio.file.Files.createTempDirectory("graft-an-out").toString
-    val schema = "event_id BIGINT, ts BIGINT, user_id BIGINT, " +
-      "event_type STRING, value DOUBLE, props STRING"
     val candles = graft.ohlc.OhlcPipeline.candles(
-      spark.readStream.schema(schema).parquet(srcDir.toString)
-        .withColumn("ts", expr("timestamp_micros(ts DIV 1000)")),
+      graft.core.Tables.eventsStream(spark, srcDir.toString),
       "1 minute", watermark = Some("2 minutes"),
       tsCol = "ts", priceCol = "value", qtyCol = "value", symbolCol = "event_type")
     // batch-like streaming run: drain everything available, then stop —
@@ -196,12 +193,8 @@ class StreamingSpec extends SparkTestBase {
     java.nio.file.Files.copy(
       java.nio.file.Paths.get(s"$d/events.parquet"),
       srcDir.resolve("events.parquet"))
-    // same nanos handling as Tables.events, but through readStream
-    val schema = "event_id BIGINT, ts BIGINT, user_id BIGINT, " +
-      "event_type STRING, value DOUBLE, props STRING"
-    val stream = spark.readStream.schema(schema)
-      .parquet(srcDir.toString)
-      .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+    // same ts normalization as Tables.events, but through readStream
+    val stream = graft.core.Tables.eventsStream(spark, srcDir.toString)
     val q = graft.ohlc.OhlcPipeline
       .candles(stream, "1 minute", tsCol = "ts", priceCol = "value",
         qtyCol = "value", symbolCol = "event_type")
