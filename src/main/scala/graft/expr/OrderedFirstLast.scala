@@ -297,6 +297,12 @@ object GraftFunctions {
       (children: Seq[Expression]) => ByteSumSq(children(0))),
     (FunctionIdentifier("pgm_shrink"), info(classOf[PgmShrink], "pgm_shrink"),
       (children: Seq[Expression]) => PgmShrink(children(0), children(1), children(2))),
+    (FunctionIdentifier("byte_sum_stride"), info(classOf[ByteSumStride], "byte_sum_stride"),
+      (children: Seq[Expression]) => ByteSumStride(children(0), children(1), children(2))),
+    (FunctionIdentifier("byte_min_stride"), info(classOf[ByteMinStride], "byte_min_stride"),
+      (children: Seq[Expression]) => ByteMinStride(children(0), children(1), children(2))),
+    (FunctionIdentifier("byte_max_stride"), info(classOf[ByteMaxStride], "byte_max_stride"),
+      (children: Seq[Expression]) => ByteMaxStride(children(0), children(1), children(2))),
     (FunctionIdentifier("sample_bottom_k"), info(classOf[SampleK], "sample_bottom_k"),
       (children: Seq[Expression]) => {
         val k = children(2) match {

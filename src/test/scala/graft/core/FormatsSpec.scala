@@ -71,11 +71,13 @@ class FormatsSpec extends SparkTestBase {
     assert(rows.length == 2) // the .txt never matched the glob
     val byLen = rows.map(r => r.getLong(1) -> r.getAs[Array[Byte]]("content")).toMap
     assert(byLen(5L).toSeq == Seq[Byte](1, 2, 3, 4, 5) && byLen(2L).toSeq == Seq[Byte](9, 8))
-    // the binary content column feeds the multimodal decode stub directly
+    // the binary content column feeds the multimodal byte folds directly
+    graft.expr.GraftFunctions.register(spark)
     val feat = Formats.readBinaryFiles(spark, dir, glob = "*.img")
-      .select(graft.llm.Multimodal.decodeStub(col("content")).as("f"))
-      .select(col("f.n_bytes")).collect().map(_.getLong(0)).sorted
-    assert(feat.toSeq == Seq(2L, 5L))
+      .select(org.apache.spark.sql.functions.call_function(
+        "byte_sum", col("content")).as("s"))
+      .collect().map(_.getLong(0)).sorted
+    assert(feat.toSeq == Seq(15L, 17L)) // 1+2+3+4+5, 9+8
   }
 
   test("mergeSchema read reconciles drifted parquet schemas, nulling absent columns") {

@@ -298,24 +298,40 @@ class LlmSpec extends SparkTestBase {
     assert(out(2L) == 0L)
   }
 
-  test("multimodal: frame sampling slices the binary payload at fixed widths") {
-    val df = Seq("abcdefghij").toDF("text")
-      .select(col("text").cast("binary").as("bin"))
-    val frames = df.select(Multimodal.frameSample("bin", n = 3, width = 4).as("f"))
-      .collect().head.getSeq[Array[Byte]](0)
-    assert(frames.map(new String(_, "UTF-8")) == Seq("abcd", "efgh", "ij"))
+  test("multimodal: P6 decode parses dims from the packed header and channel-folds the pixels") {
+    graft.expr.GraftFunctions.register(spark)
+    // 2 frames of 96 bytes: frame 0 all 'A' (65), frame 1 all 'z' (122)
+    val text = "A" * 96 + "z" * 96 + "tail-ignored"
+    val dir = java.nio.file.Files.createTempDirectory("graft-ppm").toString
+    Seq((1L, text, "en", "a", text.length.toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val r = Multimodal.multimodalFeatures(spark, dir).collect().head
+    assert(r.getAs[Long]("w") == 8L && r.getAs[Long]("h") == 8L)
+    assert(r.getAs[Long]("nf") == 2L)
+    // per-channel sums over BOTH frames: 32 samples/channel/frame
+    assert(r.getAs[Long]("r_sum") == 32L * 65 + 32L * 122)
+    assert(r.getAs[Long]("r_max") == 122L && r.getAs[Long]("b_min") == 65L)
+    // sampled frame indices at nf=2: j*2 DIV 4 = 0,0,1,1 — and the two
+    // distinct frames hash differently (REAL slicing at parsed offsets)
+    val md5s = r.getAs[String]("frames_md5").split(",")
+    assert(md5s(0) == md5s(1) && md5s(2) == md5s(3) && md5s(0) != md5s(2))
+    val rsums = r.getAs[String]("frames_rsum").split(",").map(_.toLong)
+    assert(rsums.toSeq == Seq(32L * 65, 32L * 65, 32L * 122, 32L * 122))
   }
 
-  test("multimodal: decode stub is deterministic and pure-built-in") {
-    val df = Seq((1L, "hello")).toDF("doc_id", "text")
-    val f = Multimodal.packDocumentsAsMedia(
-        df.withColumn("lang", lit("en")).withColumn("n_chars", lit(5L)))
-      .select(Multimodal.decodeStub(col("bin")).as("f"))
-      .select(col("f.n_bytes"), col("f.content_md5"), col("f.first_byte"))
-      .collect().head
-    assert(f.getLong(0) == 5L)
-    assert(f.getString(1) == "5d41402abc4b2a76b9719d911017c592") // md5("hello")
-    assert(f.getInt(2) == 'h'.toInt)
+  test("multimodal: corrupted P6 header decodes to NULL dims, never throws") {
+    graft.expr.GraftFunctions.register(spark)
+    val good = Multimodal.packAsPpm(
+      Seq((1L, "x" * 96, "en", "a", 96L))
+        .toDF("doc_id", "text", "lang", "source", "n_chars"))
+    // flip the magic: P6 -> Q6 (header regex must miss, dims go null)
+    val bad = good.select(col("doc_id"),
+      concat(lit("Q").cast("binary"),
+        expr("substring(img, 2, length(img) - 1)")).as("img"), col("meta"))
+    val r = Multimodal.parsedPpm(bad)
+      .select(col("w"), col("h"), col("nf")).collect().head
+    assert(r.isNullAt(0) && r.isNullAt(1) && r.isNullAt(2))
   }
 
   test("quantized search: recall@3 vs full-precision ranks stays high") {
