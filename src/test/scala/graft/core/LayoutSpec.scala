@@ -125,5 +125,83 @@ class LayoutSpec extends SparkTestBase {
     val plan = j.queryExecution.executedPlan.toString
     assert(plan.contains("skew=true") && plan.contains("skewed"),
       s"AQE did not split the skewed partition:\n$plan")
+    // beyond the plan-string flag: the PARTITION METRICS of the split.
+    // The final adaptive plan's AQEShuffleRead must carry multiple
+    // PartialReducerPartitionSpec entries all reading the SAME reducer —
+    // the hot partition physically split into advisory-sized slices
+    // (each joined against a replicated copy of the other side).
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, AQEShuffleReadExec, QueryStageExec}
+    import org.apache.spark.sql.execution.PartialReducerPartitionSpec
+    val adaptive = j.queryExecution.executedPlan
+      .asInstanceOf[AdaptiveSparkPlanExec]
+    // query stages hold their plan OUT of the child list (Spark 4 wraps
+    // the whole result in ResultQueryStageExec) — recurse through them
+    def allReads(p: org.apache.spark.sql.execution.SparkPlan): Seq[AQEShuffleReadExec] =
+      p.collect {
+        case r: AQEShuffleReadExec => Seq(r)
+        case q: QueryStageExec => allReads(q.plan)
+      }.flatten
+    val partials = allReads(adaptive.executedPlan)
+      .flatMap(_.partitionSpecs)
+      .collect { case p: PartialReducerPartitionSpec => p }
+    assert(partials.size > 1,
+      s"expected the hot reducer split into >1 partial reads, got $partials")
+    val byReducer = partials.groupBy(_.reducerIndex)
+    assert(byReducer.values.exists(_.size > 1),
+      s"partial reads must target one hot reducer repeatedly: $byReducer")
+    // the split slices respect the 32KB advisory sizing order-of-magnitude
+    // (each strictly smaller than the unsplit hot partition would be)
+    val hotSlices = byReducer.values.maxBy(_.size)
+    assert(hotSlices.forall(_.dataSize < 10L * 32 * 1024),
+      s"slices should be advisory-sized, got ${hotSlices.map(_.dataSize)}")
+  }
+
+  test("Z-order layout: a 2-D box predicate scans a fraction of what the linear sort scans") {
+    // The data-skipping PROOF for zorderKey (VERDICT r9 item 8): the same
+    // 1024x1024 grid written twice — clustered by the Morton key vs sorted
+    // lexicographically by (x, y) — with small parquet row groups so each
+    // file carries many stats ranges. A 32x32 box predicate at the origin
+    // (1024 of ~1M rows, 0.1%) is then pushed into both scans. The scan
+    // metric numOutputRows counts rows that SURVIVE parquet's stats-based
+    // row-group/page skipping (pushed filters prune groups before any row
+    // materializes), so it measures exactly what the layout buys: under
+    // the linear sort every x<32 row group spans the full y range (y
+    // cycles within each x stripe — min/max useless), while the Morton
+    // order makes the box a compact key range.
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val n = 1024
+    val grid = spark.range(0, n.toLong * n).select(
+      (col("id") % n).as("x"), (col("id") / n).cast("long").as("y"),
+      // pad inflates row size so 256KB blocks yield many row groups
+      concat(lit("pad-"), col("id"), lit("-" + "q" * 128)).as("pad"))
+    val zDir = java.nio.file.Files.createTempDirectory("graft-zorder").toString + "/t"
+    val linDir = java.nio.file.Files.createTempDirectory("graft-linear").toString + "/t"
+    grid.repartition(1)
+      .sortWithinPartitions(Layout.zorderKey(col("x"), col("y")))
+      .write.option("parquet.block.size", 256 * 1024).parquet(zDir)
+    grid.repartition(1).sortWithinPartitions(col("x"), col("y"))
+      .write.option("parquet.block.size", 256 * 1024).parquet(linDir)
+
+    def scanned(dir: String): (Set[(Long, Long)], Long) = {
+      val q = spark.read.parquet(dir)
+        .filter(col("x") < 32 && col("y") < 32).select(col("x"), col("y"))
+      val rows = q.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val scan = q.queryExecution.executedPlan
+        .collectFirst { case s: FileSourceScanExec => s }.get
+      assert(scan.metadata("PushedFilters").contains("LessThan"),
+        "box predicate must reach the parquet scan")
+      (rows, scan.metrics("numOutputRows").value)
+    }
+    val (zRows, zScanned) = scanned(zDir)
+    val (lRows, lScanned) = scanned(linDir)
+    val expected = (for (x <- 0L until 32; y <- 0L until 32) yield (x, y)).toSet
+    assert(zRows == expected && lRows == expected)
+    // the metric assertion: Z-order must skip most of what linear reads
+    // (measured ~10x at this shape; 4x leaves headroom for row-group
+    // boundary drift across parquet versions)
+    assert(zScanned * 4 <= lScanned,
+      s"zorder scanned $zScanned rows, linear scanned $lScanned — no skipping win")
+    info(f"zorder scanned $zScanned%d rows vs linear $lScanned%d " +
+      f"(${(1.0 - zScanned.toDouble / lScanned) * 100}%.1f%% skipped relative to linear)")
   }
 }
