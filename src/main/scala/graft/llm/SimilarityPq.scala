@@ -43,25 +43,34 @@ import graft.core.QueryDef.OrderedOut
   */
 object SimilarityPq {
 
-  /** Test-scale knobs: 16 subspaces × 4 dims, 16-entry codebooks, one
-    * Lloyd's refinement round (seeds are the first `ks` vector slices). */
+  /** Gate-scale knobs: 16 subspaces × 4 dims, 64-entry codebooks, two
+    * Lloyd's refinement rounds (seeds are the first `ks` vector slices).
+    * Chosen from the measured compression/recall frontier (tools.PqSweep,
+    * BASELINE.md round-10 table): the original 8-byte (ks=16, 1-round)
+    * codes cap at recall@3 ≈ 0.33 on the near-isotropic driver
+    * embeddings — more rounds do NOT fix 4-bit codes (3 rounds measured
+    * WORSE, 0.28) — while 6-bit entries with one extra round reach 0.50
+    * at a still-21× compression (96-bit codes vs 256 float bytes). */
   val dim = 64
   val m = 16
   val ds: Int = dim / m
-  val ks = 16
+  val ks = 64
+  val rounds = 2
   val nQueries = 20
   val k = 3
 
-  private def off(j: Int): Int = (j - 1) * ds + 1
+  private def off(j: Int, dsub: Int = ds): Int = (j - 1) * dsub + 1
 
   /** Exploded subvector view: (vec_id, j, se) — one row per vector per
     * subspace, produced MAP-SIDE (no exchange: the fan-out is a projection,
     * and the aggregations over it partial-aggregate before their shuffle,
     * so only fixed-width (j, cid) partials ever cross the wire). */
-  private def subVecs(all: DataFrame): DataFrame =
-    all.select(col("vec_id"), posexplode(array((1 to m).map(j =>
-        slice(col("e"), off(j), ds)): _*)))
+  private def subVecs(all: DataFrame, msub: Int): DataFrame = {
+    val dsub = dim / msub
+    all.select(col("vec_id"), posexplode(array((1 to msub).map(j =>
+        slice(col("e"), off(j, dsub), dsub)): _*)))
       .select(col("vec_id"), (col("pos") + 1).as("j"), col("col").as("se"))
+  }
 
   /** Collapse a (j, cid, ce) centroid table to ONE broadcastable row:
     * map j -> array<struct<cid, ce, n2>>, the per-subspace list
@@ -83,31 +92,38 @@ object SimilarityPq {
     * m−1 one-row crossJoins (~50 scheduled jobs, measured ~2.3 s of
     * q_sim_pq_codes at sf0.1) into three small aggregations. Empty
     * clusters drop out identically on both engines. */
-  private def codebooksRow(all: DataFrame): DataFrame = {
-    val sub = subVecs(all)
-    val seedRow = toCbRow(sub.filter(col("vec_id") < ks)
+  private def codebooksRow(all: DataFrame, msub: Int = m, kse: Int = ks,
+                           rounds: Int = rounds): DataFrame = {
+    val dsub = dim / msub
+    val sub = subVecs(all, msub)
+    val seedRow = toCbRow(sub.filter(col("vec_id") < kse)
       .select(col("j"), col("vec_id").as("cid"), col("se").as("ce")))
-    val assigned = sub.crossJoin(broadcast(seedRow))
-      .select(col("j"), col("se"), call_function("vec_argmin_l2",
-        element_at(col("cm"), col("j")), col("se")).as("cid"))
-    val dims = (1 to ds).map(i =>
+    val dims = (1 to dsub).map(i =>
       round(sum(element_at(col("se"), i).cast("decimal(20,8)")).cast("double") /
         count(lit(1)), 6).as(s"m$i"))
-    toCbRow(assigned.groupBy(col("j"), col("cid"))
-      .agg(dims.head, dims.tail: _*)
-      .select(col("j"), col("cid"),
-        array((1 to ds).map(i => col(s"m$i")): _*).as("ce")))
+    (1 to rounds).foldLeft(seedRow) { (cbRow, _) =>
+      val assigned = sub.crossJoin(broadcast(cbRow))
+        .select(col("j"), col("se"), call_function("vec_argmin_l2",
+          element_at(col("cm"), col("j")), col("se")).as("cid"))
+      toCbRow(assigned.groupBy(col("j"), col("cid"))
+        .agg(dims.head, dims.tail: _*)
+        .select(col("j"), col("cid"),
+          array((1 to dsub).map(i => col(s"m$i")): _*).as("ce")))
+    }
   }
 
   /** (df.* , cm, c1..cm): every vector with its per-subspace
     * nearest-codebook-entry codes, the codebook map kept for lookups;
     * codebooks train on `df`'s own vectors. Broadcast-only — the corpus
     * never shuffles. `df` needs (vec_id, e); extra columns ride along. */
-  private def coded(df: DataFrame): DataFrame =
-    df.crossJoin(broadcast(codebooksRow(df)))
+  private def coded(df: DataFrame, msub: Int = m, kse: Int = ks,
+                    rounds: Int = rounds): DataFrame = {
+    val dsub = dim / msub
+    df.crossJoin(broadcast(codebooksRow(df, msub, kse, rounds)))
       .select(df.columns.map(col) ++ Seq(col("cm")) ++
-        (1 to m).map(j => call_function("vec_argmin_l2",
-          element_at(col("cm"), lit(j)), slice(col("e"), off(j), ds)).as(s"c$j")): _*)
+        (1 to msub).map(j => call_function("vec_argmin_l2",
+          element_at(col("cm"), lit(j)), slice(col("e"), off(j, dsub), dsub)).as(s"c$j")): _*)
+  }
 
   /** Code-reconstructed vectors (vec_id, recon, rnrm): concat of each
     * subspace's assigned centroid, plus the reconstruction's own norm.
@@ -126,11 +142,15 @@ object SimilarityPq {
     * m codebooks × ks entries per row. `rnrm` must live in THIS projection
     * — as a later projection it would be all-codegen and deferred per pair
     * right back. */
-  private[llm] def withRecon(df: DataFrame, keep: String*): DataFrame = {
-    def recon = concat((1 to m).map(j =>
+  private[llm] def withRecon(df: DataFrame, keep: String*): DataFrame =
+    withReconAt(df, m, ks, rounds, keep: _*)
+
+  private[llm] def withReconAt(df: DataFrame, msub: Int, kse: Int,
+                               rounds: Int, keep: String*): DataFrame = {
+    def recon = concat((1 to msub).map(j =>
       element_at(filter(element_at(col("cm"), lit(j)),
         s => s("cid") === col(s"c$j")), 1)("ce")): _*)
-    coded(df).select(keep.map(col) ++ Seq(col("vec_id"), recon.as("recon"),
+    coded(df, msub, kse, rounds).select(keep.map(col) ++ Seq(col("vec_id"), recon.as("recon"),
       sqrt(call_function("vec_dot", recon, recon)).as("rnrm")): _*)
   }
 
@@ -147,7 +167,8 @@ object SimilarityPq {
     * candidates. Same broadcast-queries + WindowGroupLimit shape as
     * [[Similarity.topkBrute]]; rank-only output. */
   def pqTopk(s: SparkSession, d: String,
-             nQueries: Int = nQueries, k: Int = k): DataFrame = {
+             nQueries: Int = nQueries, k: Int = k,
+             msub: Int = m, kse: Int = ks, rounds: Int = rounds): DataFrame = {
     val all = Similarity.vecs(s, d)
     // query norms materialize at the broadcast build, reconstruction norms
     // in the interpreted projection (see reconstructed) — the per-pair
@@ -158,7 +179,7 @@ object SimilarityPq {
       .select(col("vec_id").as("qid"), col("e").as("qe"),
         sqrt(call_function("vec_dot", col("e"), col("e"))).as("qnrm"))
     val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nbr"))
-    reconstructed(all).join(broadcast(q), col("vec_id") =!= col("qid"))
+    withReconAt(all, msub, kse, rounds).join(broadcast(q), col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id").as("nbr"),
         (call_function("vec_dot", col("qe"), col("recon")) /
           (col("qnrm") * col("rnrm"))).as("cos"))
@@ -173,6 +194,14 @@ object SimilarityPq {
   def pqRecall(s: SparkSession, d: String,
                nQueries: Int = nQueries, k: Int = k): DataFrame =
     Similarity.recallAgainst(s, d, nQueries, k, pqTopk(s, d, nQueries, k))
+
+  /** Sweep entry (tools.PqSweep): recall@k at an arbitrary (m, ks,
+    * rounds) configuration — Spark-side only; the gate queries stay at
+    * the object defaults, which the oracle templates share. */
+  def pqRecallAt(s: SparkSession, d: String, msub: Int, kse: Int,
+                 rounds: Int): DataFrame =
+    Similarity.recallAgainst(s, d, nQueries, k,
+      pqTopk(s, d, nQueries, k, msub, kse, rounds))
 
   // ---- DuckDB oracle: the training + encode + reconstruct chain unrolled
   // as per-subspace CTEs, the Similarity.trainBody recipe on list_slice'd
@@ -192,18 +221,21 @@ object SimilarityPq {
        |                       - 2 * list_inner_product(c.ce, s.e)) ASC, c.cid) AS arn
        |    FROM $src s, $cents c) WHERE arn = 1)""".stripMargin
 
-  /** Per-subspace (slice, seed, assign, recompute, encode) CTEs —
-    * reference an existing `v` CTE, so they compose with the coarse-IVF
-    * chain in the IVF-PQ oracle. */
+  /** Per-subspace (slice, seed, `rounds`× assign+recompute, encode)
+    * CTEs — reference an existing `v` CTE, so they compose with the
+    * coarse-IVF chain in the IVF-PQ oracle. */
   private def pqSubCtes: String = (1 to m).map { j =>
+    val lloyd = (1 to rounds).map { r =>
+      s"""${assignSql(s"a${r}_$j", s"s$j", s"c${r - 1}_$j")},
+         |c${r}_$j AS (
+         |  SELECT bucket AS cid,
+         |         [$meanCols] AS ce
+         |  FROM a${r}_$j GROUP BY bucket)""".stripMargin
+    }.mkString(",\n")
     s"""s$j AS (SELECT vec_id, list_slice(e, ${off(j)}, ${off(j) + ds - 1}) AS e FROM v),
        |c0_$j AS (SELECT vec_id AS cid, e AS ce FROM s$j WHERE vec_id < $ks),
-       |${assignSql(s"a1_$j", s"s$j", s"c0_$j")},
-       |c1_$j AS (
-       |  SELECT bucket AS cid,
-       |         [$meanCols] AS ce
-       |  FROM a1_$j GROUP BY bucket),
-       |${assignSql(s"enc_$j", s"s$j", s"c1_$j")}""".stripMargin
+       |$lloyd,
+       |${assignSql(s"enc_$j", s"s$j", s"c${rounds}_$j")}""".stripMargin
   }.mkString(",\n")
 
   /** v + per-subspace (slice, seed, assign, recompute, encode) CTEs. */
@@ -213,12 +245,12 @@ object SimilarityPq {
 
   private def reconCte: String = {
     val joins = (2 to m).map(j =>
-      s"JOIN enc_$j e$j ON e$j.vec_id = e1.vec_id JOIN c1_$j cb$j ON cb$j.cid = e$j.bucket")
+      s"JOIN enc_$j e$j ON e$j.vec_id = e1.vec_id JOIN c${rounds}_$j cb$j ON cb$j.cid = e$j.bucket")
       .mkString("\n  ")
     val cat = (1 to m).map(j => s"cb$j.ce").mkString(" || ")
     s"""recon AS (
        |  SELECT e1.vec_id, $cat AS recon
-       |  FROM enc_1 e1 JOIN c1_1 cb1 ON cb1.cid = e1.bucket
+       |  FROM enc_1 e1 JOIN c${rounds}_1 cb1 ON cb1.cid = e1.bucket
        |  $joins)""".stripMargin
   }
 

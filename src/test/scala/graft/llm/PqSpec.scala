@@ -44,14 +44,17 @@ class PqSpec extends SparkTestBase {
   }
 
   test("PQ recall@3 vs brute force beats the compression-blind floor") {
-    // 32x compression CANNOT keep exact ranks (the int8 path at 4x keeps
+    // 21x compression CANNOT keep exact ranks (the int8 path at 4x keeps
     // 0.9+); the gauge's job is honesty. Floor: well above random top-3
-    // of a 500-vector corpus (3/499 ≈ 0.006) and above the cosine-trained
-    // quantizer this replaced (0.17 measured) — L2 training lands ~0.37.
+    // of a 500-vector corpus (3/499 ≈ 0.006) and above both the
+    // cosine-trained quantizer this replaced (0.17) and the original
+    // 8-byte ks=16 config (0.30–0.37) — the swept (ks=64, 2-round)
+    // gate config lands 0.50 at sf0.01 (tools.PqSweep frontier,
+    // BASELINE.md round-10 table).
     val rec = SimilarityPq.pqRecall(spark, d001)
       .agg(avg(col("recall"))).head.getDouble(0)
     info(f"PQ recall@3: $rec%.3f")
-    assert(rec >= 0.25, f"PQ recall@3 $rec%.3f below floor")
+    assert(rec >= 0.40, f"PQ recall@3 $rec%.3f below floor")
   }
 
   test("plan guard: PQ search prunes via WindowGroupLimit; no shuffle carries a vector") {
