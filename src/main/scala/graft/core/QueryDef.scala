@@ -10,9 +10,16 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * Determinism rules (SURVEY.md §7.4, proven by q_ohlc_1m in round 1):
   *   - stable ORDER BY on a unique key in both dialects;
   *   - no cross-engine float *arithmetic* in outputs: raw stored doubles are
-  *     bit-identical, sums go through exact decimal casts (the money/qty
-  *     columns are 2dp-exact), single IEEE ops (one multiply/divide) are
-  *     deterministic, multi-term double summation is not;
+  *     bit-identical, sums go through exact decimal casts, single IEEE ops
+  *     (one multiply/divide) are deterministic, multi-term double summation
+  *     is not;
+  *   - dp-exactness is PER COLUMN and must be re-verified after any testdata
+  *     regen (DeterminismSpec pins it): as of the r10 regen only
+  *     `l_quantity` is 2dp-exact; `l_extendedprice`/`l_discount`/`l_tax`/
+  *     `o_totalprice` carry >2 decimals on ~10% of rows, so an exact-decimal
+  *     lift of those columns must go through an explicit shared round
+  *     (`round(c*100)` on BOTH engines), never a bare DECIMAL(x,2) cast
+  *     assumed lossless;
   *   - timestamps leave as epoch bigints or formatted strings (events.ts is
   *     ns in DuckDB, µs in Spark).
   */

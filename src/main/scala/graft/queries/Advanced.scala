@@ -157,16 +157,22 @@ object Advanced {
     val v2 = col("val").cast("decimal(18,2)")
     val rowRepr = concat_ws("#",
       col("l_orderkey"), col("l_linenumber"), v2.cast("string"))
+    // Digest lanes: ~1e10 rows × up-to-2^32 prefixes exceeds Long.MaxValue
+    // (an ANSI abort — ADVICE r9), so the 32-bit prefix splits into hi/lo
+    // 16-bit BIGINT lanes (each exact past 1e14 rows/group) that recombine
+    // into one decimal per GROUP. Emitted as STRING, not DECIMAL(38,0):
+    // the raw decimal reaches the driver's hash as pyarrow-decimal on the
+    // Spark side vs float64 from DuckDB (the r10 hash regression).
+    val h32 = conv(substring(md5(rowRepr.cast("binary")), 1, 8), 16, 10)
+      .cast("long")
     long.groupBy(col("measure")).agg(
         count(lit(1)).as("n"),
         sum(v2).cast("double").as("sum_val"),
-        // digest accumulates as DECIMAL(38,0), not BIGINT: ~1e10 rows ×
-        // up-to-2^32 prefixes exceeds Long.MaxValue, which ANSI mode
-        // aborts on (and DuckDB's HUGEINT→BIGINT cast errors
-        // symmetrically) — decimal keeps the digest exact at any corpus
-        // size (ADVICE r9)
-        sum(conv(substring(md5(rowRepr.cast("binary")), 1, 8), 16, 10)
-          .cast("decimal(38,0)")).as("digest"))
+        sum(shiftright(h32, 16)).as("hi"),
+        sum(h32.bitwiseAND(lit(0xffffL))).as("lo"))
+      .select(col("measure"), col("n"), col("sum_val"),
+        (col("hi").cast("decimal(38,0)") * lit(65536) + col("lo"))
+          .cast("string").as("digest"))
       .orderedBy("measure")
   }
 
@@ -212,7 +218,7 @@ object Advanced {
        |      FROM r)
        |SELECT measure, count(*) AS n,
        |       CAST(sum(v2) AS DOUBLE) AS sum_val,
-       |       CAST(sum($hv) AS DECIMAL(38,0)) AS digest
+       |       CAST(CAST(sum($hv) AS DECIMAL(38,0)) AS VARCHAR) AS digest
        |FROM h GROUP BY measure ORDER BY measure""".stripMargin
   }
 

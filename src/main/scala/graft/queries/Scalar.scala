@@ -78,18 +78,29 @@ object Scalar {
       d6(round(col("l_quantity") * col("l_quantity"), 6)),
       d6(round(log(col("l_extendedprice")), 6)),
       signum(col("l_discount") - lit(0.05)).cast("int"))
+    // The 32-bit md5 prefix accumulates in two BIGINT lanes (hi/lo 16-bit
+    // halves): each lane's sum stays under Long.MaxValue past 1e14
+    // rows/group (vs ~2e9 for a single-lane BIGINT sum — the ANSI abort
+    // ADVICE r9 flagged), and the lanes recombine exactly into one decimal
+    // per GROUP, not per row. Emitted as STRING: a raw DECIMAL(38,0)
+    // output column reaches the driver's hash as pyarrow-decimal on the
+    // Spark side but float64 from DuckDB (the r10 hash regression) —
+    // strings round-trip identically through both loaders.
+    val h32 = conv(substring(md5(repr.cast("binary")), 1, 8), 16, 10)
+      .cast("long")
     fanned
       .select((col("l_orderkey") % 7).as("md"), fl.as("fl"), cl.as("cl"),
-        repr.as("r"))
+        h32.as("h"))
       .groupBy(col("md"))
       .agg(
         count(lit(1)).as("cnt"),
         sum(col("fl")).as("sum_fl"),
         sum(col("cl")).as("sum_cl"),
-        // decimal(38,0), not long: the digest sum overflows BIGINT around
-        // 2e9 rows/group, a hard ANSI abort at corpus scale (ADVICE r9)
-        sum(conv(substring(md5(col("r").cast("binary")), 1, 8), 16, 10)
-          .cast("decimal(38,0)")).as("digest"))
+        sum(shiftright(col("h"), 16)).as("hi"),
+        sum(col("h").bitwiseAND(lit(0xffffL))).as("lo"))
+      .select(col("md"), col("cnt"), col("sum_fl"), col("sum_cl"),
+        (col("hi").cast("decimal(38,0)") * lit(65536) + col("lo"))
+          .cast("string").as("digest"))
       .orderedBy("md")
   }
 
@@ -249,7 +260,7 @@ object Scalar {
        |SELECT md, count(*) AS cnt,
        |       CAST(sum(fl) AS BIGINT) AS sum_fl,
        |       CAST(sum(cl) AS BIGINT) AS sum_cl,
-       |       CAST(sum($hv) AS DECIMAL(38,0)) AS digest
+       |       CAST(CAST(sum($hv) AS DECIMAL(38,0)) AS VARCHAR) AS digest
        |FROM h GROUP BY md ORDER BY md""".stripMargin
   }
 

@@ -25,6 +25,7 @@ catalog's determinism rules (decimal sums cast to double once, raw stored
 doubles, rank-only floats) exist precisely so exact comparison holds."""
 import sys, json, glob, math
 import duckdb
+import pandas as pd
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
@@ -45,6 +46,49 @@ def norm(rows, cols):
     out = [tuple(r[i] for i in order) for r in rows]
     out.sort(key=lambda t: tuple((v is None, str(v)) for v in t))
     return [cols[i] for i in order], out
+
+
+# pandas dtype canonicalization for the driver-representation gate: the
+# driver demonstrably tolerates plain int-width differences (q_array_funcs
+# r2) and µs-vs-ns datetime64 resolution (the r10 timestamp queries were
+# green across both testdata encodings); everything else must match.
+def canon_dtype(d):
+    s = str(d)
+    if s.startswith(("int", "Int")):
+        return "INTFAM"
+    if s.startswith("datetime64"):
+        return "DATETIME"
+    return s
+
+
+def pandas_repr_diffs(sdf, odf, cols):
+    """The r10 failure class: a column can compare equal through DuckDB's
+    value model yet reach the driver's pandas-hash layer as two different
+    representations (the driver loads Spark parquet via pyarrow->pandas and
+    the oracle via duckdb .df()). DECIMAL(38,0) did exactly that in r10:
+    both selfcheck sides read through DuckDB and passed, the driver hashed
+    a pyarrow-decimal object column against duckdb's float64 and failed.
+    Compare dtype per column, and for object columns the Python class and
+    hashability of the first non-null cell (the driver's pandas sort/hash
+    raises on unhashable cells — the r4 ndarray failure)."""
+    diffs = []
+    for c in cols:
+        sd, od = sdf[c].dtype, odf[c].dtype
+        if canon_dtype(sd) != canon_dtype(od):
+            diffs.append(f"{c}: spark-pandas={sd} oracle-pandas={od}")
+            continue
+        if str(sd) == "object":
+            sv = next((v for v in sdf[c] if v is not None), None)
+            ov = next((v for v in odf[c] if v is not None), None)
+            if sv is not None and ov is not None and type(sv) is not type(ov):
+                diffs.append(f"{c}: spark-cell={type(sv).__name__} "
+                             f"oracle-cell={type(ov).__name__}")
+                continue
+            try:
+                hash(sv), hash(ov)
+            except TypeError as e:
+                diffs.append(f"{c}: unhashable pandas cell ({e})")
+    return diffs
 
 
 def cell_eq(a, b):
@@ -102,6 +146,18 @@ def main(outdir, sfdir):
                 det = ", ".join(f"{c}: spark={st} oracle={ot}" for c, st, ot in width_warn)
                 print(f"WARN {name}: int-width diff (driver canonicalizes, but don't rely on it) — {det}")
                 n_warn += 1
+            # driver-representation gate (the r10 DECIMAL(38,0) escape):
+            # replay the driver's actual loaders — Spark side through
+            # pyarrow->pandas, oracle side through duckdb .df() — and
+            # require the per-column pandas representations to agree.
+            sdf = pd.concat([pd.read_parquet(f) for f in files],
+                            ignore_index=True)
+            odf = orel.df()
+            repr_bad = pandas_repr_diffs(sdf, odf, sorted(ocols))
+            if repr_bad:
+                det = ", ".join(repr_bad)
+                print(f"FAIL {name}: driver pandas representation differs — {det}")
+                n_fail += 1; continue
             ocols2, orows2 = norm(orows, ocols)
             _, srows2 = norm(srows, scols)
             if len(orows2) != len(srows2):
