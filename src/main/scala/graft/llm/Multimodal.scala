@@ -28,10 +28,11 @@ object Multimodal {
     * ([[graft.expr.ByteFold]]). The DuckDB oracle recomputes the same
     * features from the SOURCE text independently — so a header-parsing
     * or slicing bug in the decoder fails the hash gate, which is what
-    * makes this a decode rather than a stub. (`decodeStub` remains the
-    * honest stand-in for codec formats — JPEG/H.264 need libraries this
-    * toolchain lacks — but the decode CONTRACT is now exercised
-    * end-to-end on a real format.) */
+    * makes this a decode rather than a stub. (Codec formats — JPEG,
+    * H.264 — need libraries this toolchain lacks; per the file header
+    * they would slot in as a vectorized decode expression exactly where
+    * this parse sits. The decode CONTRACT is exercised end-to-end on the
+    * real formats in this file.) */
   private val pgmW = 32
 
   def packAsPgm(docs: DataFrame): DataFrame = {
@@ -49,6 +50,20 @@ object Multimodal {
     graft.expr.GraftFunctions.register(s)
     decodeImg(packAsPgm(Tables.documents(s, d))).orderedBy("doc_id")
   }
+
+  /** The PGM decode chain executed by the STREAMING engine (13th
+    * batch≡streaming bridge): file source over the same documents parquet,
+    * AvailableNow, APPEND mode — the whole pack→parse→byte-fold chain is
+    * stateless projections plus a filter, so every decoded row emits in
+    * the micro-batch it arrives in and the materialized sink is exactly
+    * the batch answer — memory sink, hash-compared against the IDENTICAL
+    * [[pgmOracle]] as q_media_decode. Puts binary payload decode under
+    * the streaming engine like every other operator family. */
+  def pgmStreamed(s: SparkSession, d: String): DataFrame =
+    Tables.runStreamAppend(s, "media_streamed_") { cs =>
+      graft.expr.GraftFunctions.register(cs)
+      decodeImg(packAsPgm(Tables.documentsStream(cs, d)))
+    }.orderedBy("doc_id")
 
   /** The decode stage alone (parse + stats), over any (doc_id, img)
     * frame — split out so the spec can push a CORRUPTED payload through
@@ -370,6 +385,7 @@ object Multimodal {
 
   val defs: Map[String, QueryDef] = Map(
     "q_media_decode" -> QueryDef(pgmDecode, Some(pgmOracle)),
+    "q_media_streamed" -> QueryDef(pgmStreamed, Some(pgmOracle)),
     "q_audio_decode" -> QueryDef(wavDecode, Some(wavOracle)),
     "q_media_resize" -> QueryDef(pgmResize, Some(pgmResizeOracle)),
     "q_multimodal" -> QueryDef(multimodalFeatures(_, _), Some(multimodalOracle))

@@ -12,9 +12,10 @@ import graft.core.QueryDef.OrderedOut
   * ([[Similarity.quantize]]): the 64-dim vector splits into `m` contiguous
   * subvectors, each quantized to the nearest entry of an independently
   * trained per-subspace codebook, so a vector stores as `m` small codes
-  * (16 × log2(16) bits = 8 bytes vs 256 float bytes — 32×) and search
-  * scores the query's FULL-precision vector against code-reconstructed
-  * candidates (asymmetric distance).
+  * (m · ceil(log2 ks) bits — 16 × 6 = 96 bits = 12 bytes at the gate
+  * knobs, vs 256 float bytes: 21×) and search scores the query's
+  * FULL-precision vector against code-reconstructed candidates
+  * (asymmetric distance).
   *
   * Subspace assignment is canonical L2 — nearest centroid by Euclidean
   * distance via the native [[graft.expr.L2ArgMin]] codegen argmin on
@@ -39,7 +40,7 @@ import graft.core.QueryDef.OrderedOut
   * (qid, nbr, cos) scalars — no vector or reconstruction ever crosses the
   * wire. Like the IVF trainer, the codebooks stay lazy Catalyst lineage so
   * the oracle can replay them; a corpus-scale run would persist the coded
-  * table once and serve from the 8-byte codes.
+  * table once and serve from the m·ceil(log2 ks)-bit codes.
   */
 object SimilarityPq {
 
@@ -58,6 +59,28 @@ object SimilarityPq {
   val rounds = 2
   val nQueries = 20
   val k = 3
+
+  /** Lloyd's refinement rounds train on a deterministic SAMPLE of the
+    * corpus — vectors whose id-string md5 starts strictly below this hex
+    * digit (lexicographic compare on the lowercase hex digest ⇒ uniform
+    * first-nibble fraction, here 8/16 = 50%). This is the honest corpus-
+    * scale design (FAISS trains quantizers on a sample, not the corpus):
+    * the per-round assign scan touches the sample only, the threshold is a
+    * stateless per-row predicate (no global sort, no count — unlike a
+    * bottom-k priority sample), and the oracle replays the identical
+    * predicate, so the TRAINED index still hash-compares. Seeds stay the
+    * first `ks` slices of the FULL corpus (sample-independent); ENCODING
+    * always covers every vector. Fraction measured on the recall gauge:
+    * 50% yields recall@3 0.483 vs the full-corpus 0.50 at the 500-vector
+    * gate scale — the floor (0.40) holds with margin, and at corpus scale
+    * the sample is far past k-means saturation (BASELINE.md r11). */
+  val trainHexLt = "8"
+
+  private def trainSampled(all: DataFrame): DataFrame =
+    all.filter(md5(col("vec_id").cast("string").cast("binary")) < lit(trainHexLt))
+
+  /** The oracle's twin of [[trainSampled]]'s predicate. */
+  private def trainSamplePred = s"md5(CAST(vec_id AS VARCHAR)) < '$trainHexLt'"
 
   private def off(j: Int, dsub: Int = ds): Int = (j - 1) * dsub + 1
 
@@ -96,13 +119,15 @@ object SimilarityPq {
                            rounds: Int = rounds): DataFrame = {
     val dsub = dim / msub
     val sub = subVecs(all, msub)
+    // refinement scans the sampled view; seeds come from the full corpus
+    val tsub = subVecs(trainSampled(all), msub)
     val seedRow = toCbRow(sub.filter(col("vec_id") < kse)
       .select(col("j"), col("vec_id").as("cid"), col("se").as("ce")))
     val dims = (1 to dsub).map(i =>
       round(sum(element_at(col("se"), i).cast("decimal(20,8)")).cast("double") /
         count(lit(1)), 6).as(s"m$i"))
     (1 to rounds).foldLeft(seedRow) { (cbRow, _) =>
-      val assigned = sub.crossJoin(broadcast(cbRow))
+      val assigned = tsub.crossJoin(broadcast(cbRow))
         .select(col("j"), col("se"), call_function("vec_argmin_l2",
           element_at(col("cm"), col("j")), col("se")).as("cid"))
       toCbRow(assigned.groupBy(col("j"), col("cid"))
@@ -114,12 +139,19 @@ object SimilarityPq {
 
   /** (df.* , cm, c1..cm): every vector with its per-subspace
     * nearest-codebook-entry codes, the codebook map kept for lookups;
-    * codebooks train on `df`'s own vectors. Broadcast-only — the corpus
-    * never shuffles. `df` needs (vec_id, e); extra columns ride along. */
+    * codebooks train on `trainOn` (default: `df`'s own vectors).
+    * Broadcast-only — the corpus never shuffles. `df` needs (vec_id, e);
+    * extra columns ride along. `trainOn` matters when `df` is itself a
+    * derived frame: the codebook broadcast EXECUTES its training lineage,
+    * so training the IVF-PQ codebooks on the coarse-ASSIGNED frame (as
+    * pre-r11) re-ran the whole coarse train+assign chain inside the
+    * broadcast even though the vector SET is identical to the raw corpus —
+    * the oracle always trained from raw `v`. */
   private def coded(df: DataFrame, msub: Int = m, kse: Int = ks,
-                    rounds: Int = rounds): DataFrame = {
+                    rounds: Int = rounds,
+                    trainOn: Option[DataFrame] = None): DataFrame = {
     val dsub = dim / msub
-    df.crossJoin(broadcast(codebooksRow(df, msub, kse, rounds)))
+    df.crossJoin(broadcast(codebooksRow(trainOn.getOrElse(df), msub, kse, rounds)))
       .select(df.columns.map(col) ++ Seq(col("cm")) ++
         (1 to msub).map(j => call_function("vec_argmin_l2",
           element_at(col("cm"), lit(j)), slice(col("e"), off(j, dsub), dsub)).as(s"c$j")): _*)
@@ -142,22 +174,25 @@ object SimilarityPq {
     * m codebooks × ks entries per row. `rnrm` must live in THIS projection
     * — as a later projection it would be all-codegen and deferred per pair
     * right back. */
-  private[llm] def withRecon(df: DataFrame, keep: String*): DataFrame =
-    withReconAt(df, m, ks, rounds, keep: _*)
+  private[llm] def withRecon(df: DataFrame, trainOn: Option[DataFrame],
+                             keep: String*): DataFrame =
+    withReconAt(df, m, ks, rounds, trainOn, keep: _*)
 
   private[llm] def withReconAt(df: DataFrame, msub: Int, kse: Int,
-                               rounds: Int, keep: String*): DataFrame = {
+                               rounds: Int, trainOn: Option[DataFrame],
+                               keep: String*): DataFrame = {
     def recon = concat((1 to msub).map(j =>
       element_at(filter(element_at(col("cm"), lit(j)),
         s => s("cid") === col(s"c$j")), 1)("ce")): _*)
-    coded(df, msub, kse, rounds).select(keep.map(col) ++ Seq(col("vec_id"), recon.as("recon"),
+    coded(df, msub, kse, rounds, trainOn).select(keep.map(col) ++ Seq(col("vec_id"), recon.as("recon"),
       sqrt(call_function("vec_dot", recon, recon)).as("rnrm")): _*)
   }
 
-  private def reconstructed(all: DataFrame): DataFrame = withRecon(all)
+  private def reconstructed(all: DataFrame): DataFrame = withRecon(all, None)
 
-  /** The PQ index artifact: (vec_id, c1..cm) — the 8-bytes-per-vector coded
-    * corpus a serving layer scans instead of raw floats. */
+  /** The PQ index artifact: (vec_id, c1..cm) — the m·ceil(log2 ks)-bit
+    * (12 bytes at the gate knobs) coded corpus a serving layer scans
+    * instead of raw floats. */
   def pqCodes(s: SparkSession, d: String): DataFrame =
     coded(Similarity.vecs(s, d))
       .select(col("vec_id") +: (1 to m).map(j => col(s"c$j")): _*)
@@ -179,7 +214,7 @@ object SimilarityPq {
       .select(col("vec_id").as("qid"), col("e").as("qe"),
         sqrt(call_function("vec_dot", col("e"), col("e"))).as("qnrm"))
     val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nbr"))
-    withReconAt(all, msub, kse, rounds).join(broadcast(q), col("vec_id") =!= col("qid"))
+    withReconAt(all, msub, kse, rounds, None).join(broadcast(q), col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id").as("nbr"),
         (call_function("vec_dot", col("qe"), col("recon")) /
           (col("qnrm") * col("rnrm"))).as("cos"))
@@ -225,8 +260,10 @@ object SimilarityPq {
     * CTEs — reference an existing `v` CTE, so they compose with the
     * coarse-IVF chain in the IVF-PQ oracle. */
   private def pqSubCtes: String = (1 to m).map { j =>
+    // ts_j: the sampled training view ([[trainSampled]]'s predicate) —
+    // Lloyd rounds assign from it; seeding and encoding stay on full s_j
     val lloyd = (1 to rounds).map { r =>
-      s"""${assignSql(s"a${r}_$j", s"s$j", s"c${r - 1}_$j")},
+      s"""${assignSql(s"a${r}_$j", s"(SELECT * FROM s$j WHERE $trainSamplePred)", s"c${r - 1}_$j")},
          |c${r}_$j AS (
          |  SELECT bucket AS cid,
          |         [$meanCols] AS ce
@@ -290,7 +327,8 @@ object SimilarityPq {
     * index): the trained coarse quantizer ([[Similarity.trainCentroids]],
     * cosine) buckets the corpus and prunes candidates to the `nprobe`
     * probed buckets; the PQ codebooks score the survivors against their
-    * 8-byte reconstructions. Both stages reuse their existing trained
+    * code reconstructions (12 bytes/vector at the gate knobs). Both
+    * stages reuse their existing trained
     * machinery verbatim, so the oracle is the concatenation of the two CTE
     * families. Scale shape: probes, coarse centroids, and the PQ codebook
     * map all broadcast; candidate volume drops ~nprobe/nCentroids; scoring
@@ -304,7 +342,11 @@ object SimilarityPq {
     val cents = Similarity.trainCentroids(all, nCentroids, trainIters)
     val assigned = Similarity.assignNearest(all, cents)
       .select(col("vec_id"), col("e"), col("cid").as("bucket"))
-    val rec = withRecon(assigned, "bucket")
+    // codebooks train on the RAW corpus (same vector set, exactly what the
+    // oracle's pqSubCtes train from v) — training on `assigned` would
+    // embed the coarse train+assign chain in the codebook broadcast and
+    // re-execute it there (measured: the r10 q_sim_ivfpq 10 s bench line)
+    val rec = withRecon(assigned, Some(all), "bucket")
     val probes = Similarity.ivfProbes(all, cents, nQueries, nprobe)
       .withColumn("qnrm", sqrt(call_function("vec_dot", col("qe"), col("qe"))))
     val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nbr"))

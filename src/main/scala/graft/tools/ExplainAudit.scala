@@ -31,7 +31,8 @@ object ExplainAudit {
       "q_join_bloom", "q_dedup_incremental", "q_math_funcs",
       "q_sim_pq", "q_sim_pq_codes", "q_sim_pq_recall", "q_dedup_semantic",
       "q_sim_ivfpq", "q_embed_hashing", "q_dedup_semantic_text",
-      "q_media_decode", "q_audio_decode", "q_media_resize")
+      "q_media_decode", "q_audio_decode", "q_media_resize",
+      "q_dedup_semantic_capped", "q_multimodal", "q_sim_ivfpq_recall")
     names.foreach { n =>
       println(s"\n========== $n ==========")
       n match {

@@ -192,16 +192,27 @@ class LayoutSpec extends SparkTestBase {
         "box predicate must reach the parquet scan")
       (rows, scan.metrics("numOutputRows").value)
     }
-    val (zRows, zScanned) = scanned(zDir)
-    val (lRows, lScanned) = scanned(linDir)
-    val expected = (for (x <- 0L until 32; y <- 0L until 32) yield (x, y)).toSet
-    assert(zRows == expected && lRows == expected)
-    // the metric assertion: Z-order must skip most of what linear reads
-    // (measured ~10x at this shape; 4x leaves headroom for row-group
-    // boundary drift across parquet versions)
-    assert(zScanned * 4 <= lScanned,
-      s"zorder scanned $zScanned rows, linear scanned $lScanned — no skipping win")
-    info(f"zorder scanned $zScanned%d rows vs linear $lScanned%d " +
-      f"(${(1.0 - zScanned.toDouble / lScanned) * 100}%.1f%% skipped relative to linear)")
+    try {
+      val (zRows, zScanned) = scanned(zDir)
+      val (lRows, lScanned) = scanned(linDir)
+      val expected = (for (x <- 0L until 32; y <- 0L until 32) yield (x, y)).toSet
+      assert(zRows == expected && lRows == expected)
+      // the metric assertion: Z-order must skip most of what linear reads
+      // (measured ~10x at this shape; 4x leaves headroom for row-group
+      // boundary drift across parquet versions)
+      assert(zScanned * 4 <= lScanned,
+        s"zorder scanned $zScanned rows, linear scanned $lScanned — no skipping win")
+      info(f"zorder scanned $zScanned%d rows vs linear $lScanned%d " +
+        f"(${(1.0 - zScanned.toDouble / lScanned) * 100}%.1f%% skipped relative to linear)")
+    } finally {
+      // ~270MB of padded parquet across the two dirs — delete eagerly
+      // (deleteOnExit can't remove non-empty dirs), ADVICE r10
+      Seq(zDir, linDir).foreach { d =>
+        val root = java.nio.file.Paths.get(d).getParent
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(root).iterator().asScala.toSeq.reverse
+          .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      }
+    }
   }
 }
