@@ -1,0 +1,137 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.{QueryDef, Tables}
+import graft.core.QueryDef.OrderedOut
+
+/** BPE merge-table training (Sennrich et al. 2016) — the tokenizer-
+  * construction operator of an LLM data pipeline: iteratively merge the
+  * most frequent adjacent symbol pair over a word-frequency table, emitting
+  * the ranked merge list (the artifact a tokenizer ships). Complements
+  * [[graft.expr.BpeCount]]'s token*counting* (q_token_bpe), which applies a
+  * fixed segmenter; this TRAINS the segmenter.
+  *
+  * Scale shape: the corpus is touched exactly ONCE — the word-frequency
+  * aggregation (explode map-side, partial agg before its single exchange,
+  * TakeOrderedAndProject top-V cap). Every merge round then iterates on the
+  * ≤V-row vocabulary frame: pair counts are a few-hundred-row aggregation,
+  * the winning pair is a one-row broadcast (never collected to the driver),
+  * and the merge application is a per-row string replace. Per-round
+  * `localCheckpoint` pins each round's ≤V-row result so round r's lineage
+  * does not replay rounds 1..r-1 (the [[Dedup.nearClusters]] iterative
+  * discipline); at 100 TB only the word-count pass grows — the training
+  * loop's input is capped by V regardless of corpus size.
+  *
+  * Determinism: symbols join with TWO spaces so the merge pattern
+  * `' a  b '` keeps one delimiter space on each side — adjacent repeats
+  * ("a b a b") then merge in one pass exactly like reference BPE, and
+  * leftmost-first overlap resolution ("a a a" → "aa a") is the shared
+  * left-to-right non-overlapping `replace` semantics of both engines
+  * (verified: Java UTF8String.replace ≡ DuckDB replace on both cases).
+  * Merge ties break on the pair string; the top-V vocabulary cap ties on
+  * the word. The oracle unrolls the same rounds as CTE chains.
+  */
+object BpeTrain {
+
+  /** Gate knobs: top-V word-frequency table, N merge rounds. Production
+    * would raise V (the loop cost is V-bounded, not corpus-bounded) and
+    * run to a target vocab size. */
+  val topWords = 200
+  val nMerges = 20
+
+  /** Characters joined by the two-space delimiter + end-of-word marker:
+    * "low" → "l  o  w  </w>". */
+  private def spacedChars(word: Column): Column =
+    concat(expr(
+      "array_join(transform(sequence(1, length(word)), i -> substring(word, i, 1)), '  ')"),
+      lit("  </w>"))
+
+  /** (seq, f): the word-frequency table in symbol-sequence form — the only
+    * corpus-wide computation. */
+  private def vocab0(docs: DataFrame): DataFrame =
+    docs
+      .select(explode(TextStats.tokens(col("text"))).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy(col("word")).agg(count(lit(1)).as("f"))
+      .orderBy(col("f").desc, col("word")).limit(topWords)
+      .select(spacedChars(col("word")).as("seq"), col("f"))
+
+  /** Weighted adjacent-pair counts over the current vocabulary. */
+  private def pairCounts(v: DataFrame): DataFrame =
+    v.select(col("f"), split(col("seq"), "  ").as("sy"))
+      .filter(size(col("sy")) >= 2)
+      .select(col("f"), explode(expr(
+        "transform(sequence(1, size(sy) - 1), " +
+          "i -> concat(element_at(sy, i), ' ', element_at(sy, i + 1)))")).as("pair"))
+      .groupBy(col("pair")).agg(sum(col("f")).as("cnt"))
+
+  /** The ranked merge table: (rnk, pair, cnt) — pair as "a b", cnt the
+    * weighted frequency at merge time. */
+  def bpeTrain(s: SparkSession, d: String): DataFrame =
+    trainFrom(Tables.documents(s, d), nMerges).orderedBy("rnk")
+
+  /** The training loop over any (text) frame — split out so the spec can
+    * replay the hand-checkable Sennrich fixture through the real chain. */
+  private[llm] def trainFrom(docs: DataFrame, merges: Int): DataFrame = {
+    var v = vocab0(docs).localCheckpoint(true)
+    val rounds = (1 to merges).map { r =>
+      val best = pairCounts(v)
+        .orderBy(col("cnt").desc, col("pair")).limit(1)
+        .localCheckpoint(true)
+      // ' a  b ' → ' ab ': one delimiter space survives on each side, so
+      // the double-space convention is restored around the merged symbol
+      v = v.crossJoin(broadcast(best))
+        .select(trim(expr(
+          "replace(concat(' ', seq, ' '), " +
+            "concat(' ', replace(pair, ' ', '  '), ' '), " +
+            "concat(' ', replace(pair, ' ', ''), ' '))")).as("seq"), col("f"))
+        .localCheckpoint(true)
+      best.select(lit(r.toLong).as("rnk"), col("pair"), col("cnt"))
+    }
+    rounds.reduce(_ unionAll _)
+  }
+
+  /** The oracle unrolls the identical rounds: v0 (top-V spelled-out
+    * vocabulary), then per round (pair counts, 1-row argmax, replace).
+    * Every per-round CTE is MATERIALIZED: DuckDB inlines plain CTEs, and
+    * each round references the previous one from two places, so the
+    * 20-round chain would otherwise expand ~3^20 subplans (observed as a
+    * too-many-open-files abort re-scanning documents.parquet). */
+  private def bpeOracle: String = {
+    val rounds = (1 to nMerges).map { r =>
+      s"""p$r AS MATERIALIZED (
+         |  SELECT pair, CAST(sum(f) AS BIGINT) AS cnt FROM (
+         |    SELECT f, unnest(list_transform(range(1, len(sy)),
+         |        i -> sy[CAST(i AS INT)] || ' ' || sy[CAST(i + 1 AS INT)])) AS pair
+         |    FROM (SELECT f, string_split(seq, '  ') AS sy FROM v${r - 1}))
+         |  GROUP BY pair),
+         |b$r AS MATERIALIZED (SELECT pair, cnt FROM p$r ORDER BY cnt DESC, pair LIMIT 1),
+         |v$r AS MATERIALIZED (
+         |  SELECT trim(replace(' ' || seq || ' ',
+         |           ' ' || replace(pair, ' ', '  ') || ' ',
+         |           ' ' || replace(pair, ' ', '') || ' ')) AS seq, f
+         |  FROM v${r - 1}, b$r)""".stripMargin
+    }.mkString(",\n")
+    val out = (1 to nMerges)
+      .map(r => s"SELECT $r AS rnk, pair, cnt FROM b$r")
+      .mkString("\nUNION ALL\n")
+    s"""WITH wf AS MATERIALIZED (
+       |  SELECT word, count(*) AS f FROM (
+       |    SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+       |  WHERE length(word) > 0
+       |  GROUP BY word ORDER BY f DESC, word LIMIT $topWords),
+       |v0 AS MATERIALIZED (
+       |  SELECT array_to_string(list_transform(range(1, length(word) + 1),
+       |           i -> substr(word, CAST(i AS INT), 1)), '  ') || '  </w>' AS seq, f
+       |  FROM wf),
+       |$rounds
+       |SELECT CAST(rnk AS BIGINT) AS rnk, pair, cnt FROM (
+       |$out
+       |) ORDER BY rnk""".stripMargin
+  }
+
+  val defs: Map[String, QueryDef] = Map(
+    "q_bpe_train" -> QueryDef(bpeTrain, Some(bpeOracle))
+  )
+}
