@@ -77,6 +77,123 @@ object Dedup {
       .orderedBy("doc_id")
   }
 
+  /** INCREMENTAL NEAR-dup ingest — [[incremental]]'s daily pattern lifted
+    * from exact content keys to MinHash-LSH: which docs of a small new
+    * batch (doc_id ≡ 4 mod 5) are near-duplicates of the already-ingested
+    * corpus (the other 80%), or of an earlier doc in their own batch?
+    *
+    * Scale shape mirrors [[incremental]] with the band-signature table as
+    * the index: corpus bodies never shuffle — signatures partial-aggregate
+    * map-side into fixed-width (doc, band, sig) rows (at corpus scale this
+    * index is built once at ingest and persisted, exactly like the PQ code
+    * table); the BATCH's bands broadcast against the corpus band table, so
+    * candidate discovery is a map-side broadcast join; the tiny candidate
+    * set then broadcasts back to fetch corpus TOKENS map-side, and only
+    * candidates are re-shingled for the exact-Jaccard verify (the [[near]]
+    * discipline — shingling the corpus twice cost ~2/3 of the r5 query).
+    * Within-batch near-dups come from the batch bands' own self-join
+    * (increment-sized, trivially small). Every join around the corpus is
+    * a BroadcastHashJoin by construction.
+    *
+    * Output: one row per batch doc — corpus near-dup count, count of
+    * LOWER-id batch near-dups, and the survival verdict (no hits on
+    * either side), the decision a daily ingest job writes back. */
+  def nearIncremental(s: SparkSession, d: String, threshold: Double = 0.8,
+                      bands: Int = 4, rows: Int = 3): DataFrame = {
+    graft.expr.GraftFunctions.register(s)
+    val isBatch = pmod(col("doc_id"), lit(5)) === 4
+    val docsTok = Tables.documents(s, d)
+      .select(col("doc_id"), TextStats.tokens(col("text")).as("toks"))
+    val shB = docsTok.filter(isBatch)
+      .select(col("doc_id"), TextStats.shinglesExpr("toks").as("sh"))
+      .filter(size(col("sh")) > 0)
+    val shC = docsTok.filter(!isBatch)
+      .select(col("doc_id"), TextStats.shinglesExpr("toks").as("sh"))
+      .filter(size(col("sh")) > 0)
+    val bandB = bandSignatures(shB, bands, rows)
+      .select(col("band"), col("sig"), col("doc_id").as("bid"))
+    val bandC = bandSignatures(shC, bands, rows)
+    // corpus×batch candidates: batch bands broadcast, corpus scanned in place
+    val candBC = bandC.join(broadcast(bandB), Seq("band", "sig"))
+      .select(col("doc_id").as("cid"), col("bid")).distinct()
+    // within-batch candidates: increment-sized self-join
+    val candBB = bandB.as("x").join(bandB.as("y"),
+        col("x.band") === col("y.band") && col("x.sig") === col("y.sig") &&
+          col("x.bid") < col("y.bid"))
+      .select(col("x.bid").as("aid"), col("y.bid").as("bid")).distinct()
+    val shBatch = shB.select(col("doc_id").as("bid"), col("sh").as("sh_b"))
+    def jaccardHits(withSets: DataFrame, out: String) =
+      withSets
+        .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+        .withColumn("j", round(lit(1.0) * col("inter") /
+          (size(col("sh_a")) + size(col("sh_b")) - col("inter")), 4))
+        .filter(col("j") >= threshold)
+        .groupBy(col("bid")).agg(count(lit(1)).as(out))
+    // corpus verify: candidate ids broadcast into the token scan; ONLY
+    // candidate corpus docs shingle
+    val verBC = jaccardHits(
+      docsTok.select(col("doc_id").as("cid"), col("toks"))
+        .join(broadcast(candBC), "cid")
+        .withColumn("sh_a", TextStats.shinglesExpr("toks")).drop("toks")
+        .join(broadcast(shBatch), "bid"), "corpus_hits")
+    val verBB = jaccardHits(
+      candBB
+        .join(broadcast(shBatch.select(col("bid").as("aid"), col("sh_b").as("sh_a"))), "aid")
+        .join(broadcast(shBatch), "bid"), "batch_hits")
+    // hit tables are O(near-dups in the increment) — broadcast both left
+    // joins so the batch scan never sorts or exchanges
+    Tables.documents(s, d).filter(isBatch).select(col("doc_id"))
+      .join(broadcast(verBC.withColumnRenamed("bid", "doc_id")), Seq("doc_id"), "left")
+      .join(broadcast(verBB.withColumnRenamed("bid", "doc_id")), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("corpus_hits"), lit(0L)).as("corpus_hits"),
+        coalesce(col("batch_hits"), lit(0L)).as("batch_hits"),
+        (coalesce(col("corpus_hits"), lit(0L)) === 0 &&
+          coalesce(col("batch_hits"), lit(0L)) === 0).cast("long").as("survives"))
+      .orderedBy("doc_id")
+  }
+
+  /** Mirrors [[nearIncremental]] over the shared [[sigCtes]] chain: the
+    * oracle computes signatures over ALL docs (per-doc values — identical
+    * to split computation) and applies the batch/corpus split in the
+    * candidate joins. */
+  private def nearIncrementalOracle(threshold: Double, bands: Int,
+                                    rows: Int): String =
+    s"""WITH ${sigCtes(bands, rows)},
+       |candbc AS (
+       |  SELECT DISTINCT c.doc_id AS cid, b.doc_id AS bid
+       |  FROM bands c JOIN bands b ON c.band = b.band AND c.bsig = b.bsig
+       |  WHERE c.doc_id % 5 <> 4 AND b.doc_id % 5 = 4),
+       |candbb AS (
+       |  SELECT DISTINCT x.doc_id AS aid, y.doc_id AS bid
+       |  FROM bands x JOIN bands y ON x.band = y.band AND x.bsig = y.bsig
+       |    AND x.doc_id < y.doc_id
+       |  WHERE x.doc_id % 5 = 4 AND y.doc_id % 5 = 4),
+       |vbc AS (
+       |  SELECT bid, count(*) AS corpus_hits FROM (
+       |    SELECT cid, bid,
+       |           round(1.0 * len(list_intersect(a.s, b.s)) /
+       |                 (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 4) AS j
+       |    FROM candbc JOIN sh a ON a.doc_id = cid JOIN sh b ON b.doc_id = bid)
+       |  WHERE j >= $threshold GROUP BY bid),
+       |vbb AS (
+       |  SELECT bid, count(*) AS batch_hits FROM (
+       |    SELECT aid, bid,
+       |           round(1.0 * len(list_intersect(a.s, b.s)) /
+       |                 (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 4) AS j
+       |    FROM candbb JOIN sh a ON a.doc_id = aid JOIN sh b ON b.doc_id = bid)
+       |  WHERE j >= $threshold GROUP BY bid)
+       |SELECT d.doc_id,
+       |       CAST(COALESCE(vbc.corpus_hits, 0) AS BIGINT) AS corpus_hits,
+       |       CAST(COALESCE(vbb.batch_hits, 0) AS BIGINT) AS batch_hits,
+       |       CAST(CASE WHEN COALESCE(vbc.corpus_hits, 0) = 0
+       |                  AND COALESCE(vbb.batch_hits, 0) = 0
+       |            THEN 1 ELSE 0 END AS BIGINT) AS survives
+       |FROM (SELECT doc_id FROM documents WHERE doc_id % 5 = 4) d
+       |LEFT JOIN vbc ON vbc.bid = d.doc_id
+       |LEFT JOIN vbb ON vbb.bid = d.doc_id
+       |ORDER BY d.doc_id""".stripMargin
+
   /** Keep-BEST dedup compaction: group on the canonical-form hash
     * (lowercased, punctuation-stripped — [[TextStats.normalize]]'s key, so
     * case/punctuation variants of one document collapse), keep the
@@ -469,9 +586,15 @@ object Dedup {
     * their own CTEs). `source` is the (doc_id, text) relation to near-dedup
     * — mirrors [[nearFor]]'s corpus argument; `maxBucket` mirrors the Spark
     * side's hot-bucket cap. */
-  private[llm] def nearOracleCtes(bands: Int, rows: Int,
-                                  maxBucket: Option[Int] = None,
-                                  source: String = "documents"): String = {
+  /** The shingle → minhash → band-signature CTE chain (w/sh/ex/sig/bands)
+    * alone — shared by [[nearOracleCtes]]'s pair tail and the incremental
+    * oracle's cross-set candidate joins. Signatures are PER-DOC (mins over
+    * the doc's own shingles), so computing them over the union and
+    * filtering by set membership afterwards is identical to per-set
+    * computation — which is what lets one chain serve both sides. */
+  private[llm] def sigCtes(bands: Int, rows: Int,
+                           maxBucket: Option[Int] = None,
+                           source: String = "documents"): String = {
     val groups = nGroups(bands, rows)
     val hashCols = (0 until groups)
       .map(g => s"md5('$g#' || x) AS h$g").mkString(", ")
@@ -503,7 +626,13 @@ object Dedup {
        |    SELECT *, count(*) OVER (PARTITION BY band, bsig) AS bn FROM bands0)
        |  WHERE bn <= $cap"""
         case None => "\n       |  SELECT doc_id, band, bsig FROM bands0"
-      }}),
+      }})""".stripMargin
+  }
+
+  private[llm] def nearOracleCtes(bands: Int, rows: Int,
+                                  maxBucket: Option[Int] = None,
+                                  source: String = "documents"): String =
+    s"""${sigCtes(bands, rows, maxBucket, source)},
        |cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
        |         FROM bands x JOIN bands y
        |           ON x.band = y.band AND x.bsig = y.bsig AND x.doc_id < y.doc_id),
@@ -512,7 +641,6 @@ object Dedup {
        |         round(1.0 * len(list_intersect(a.s, b.s)) /
        |               (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 4) AS jaccard
        |  FROM cand JOIN sh a ON a.doc_id = doc_a JOIN sh b ON b.doc_id = doc_b)""".stripMargin
-  }
 
   private def nearOracle(threshold: Double, bands: Int, rows: Int,
                          maxBucket: Option[Int] = None): String =
@@ -949,6 +1077,8 @@ object Dedup {
         |  WHERE c.doc_id % 5 <> 4
         |    AND md5(c.text) = f.ck AND length(c.text) = f.cl)
         |ORDER BY doc_id""".stripMargin)),
+    "q_dedup_near_incr" -> QueryDef(nearIncremental(_, _),
+      Some(nearIncrementalOracle(0.8, 4, 3))),
     "q_dedup_keep_best" -> QueryDef(keepBest(_, _), Some(keepBestOracle)),
     "q_dedup_fingerprint" -> QueryDef(fingerprint(_, _), Some(
       """SELECT md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fp,

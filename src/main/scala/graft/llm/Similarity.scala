@@ -88,7 +88,14 @@ object Similarity {
     * train lineage (no materialization barrier). A production run at real
     * corpus scale would `persist()` each iteration's assignment — same
     * results, linear cost — a caching decision layered on this plan, not a
-    * different algorithm. */
+    * different algorithm. Corpus-scale training would also run on a
+    * deterministic SAMPLE rather than the full corpus — the implemented
+    * pattern is [[SimilarityPq]]'s md5-prefix-threshold sample (a
+    * stateless per-row predicate both engines replay; see `trainSampled`
+    * there). It is deliberately NOT applied to this coarse trainer at gate
+    * scale: 8-16 centroids make the full-corpus assign rounds cheap, and
+    * the fixture-scale consumers (SemDedupSpec's adversarial vector sets)
+    * rely on training over their handful of rows. */
   def trainCentroids(all: DataFrame, nCentroids: Int = 8, iters: Int = 2,
                      dim: Int = 64): DataFrame = {
     val seed = all.filter(col("vec_id") < nCentroids)

@@ -225,6 +225,20 @@ class CatalogSpec extends SparkTestBase {
       s"corpus-shuffling join strategy crept into q_dedup_incremental:\n$plan")
   }
 
+  test("plan guard: q_dedup_near_incr joins are all broadcast") {
+    // Candidate discovery (batch bands into the corpus band table), both
+    // Jaccard-verify fetches (candidate ids into the corpus token scan,
+    // batch shingles), and the final hit-count left joins must all be
+    // BroadcastHashJoin: any sort/shuffle strategy here means either the
+    // corpus band table or the corpus token scan went through an exchange.
+    val plan = Catalog.defs("q_dedup_near_incr").build(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
+      s"corpus-shuffling join strategy crept into q_dedup_near_incr:\n$plan")
+    assert("BroadcastHashJoin".r.findAllIn(plan).size >= 6,
+      s"expected the broadcast-join chain in q_dedup_near_incr:\n$plan")
+  }
+
   test("plan guard: tfidf top-k window-prunes; decontamination broadcasts the benchmark set") {
     val tfidf = Catalog.defs("q_tfidf").build(spark, dir)
       .queryExecution.executedPlan.toString

@@ -121,6 +121,36 @@ class DedupPropertiesSpec extends SparkTestBase {
     assert(scaled.forall(_ % 5 == 4))
   }
 
+  test("nearIncremental() equals the whole-corpus LSH pair set, split by role") {
+    // The incremental formulation (separate batch/corpus signatures,
+    // broadcast cross-join) must find exactly the pairs the monolithic
+    // nearFor() finds — signatures are per-doc, so bucketing the union and
+    // filtering by role afterwards is the same candidate set.
+    val d = "/root/testdata/sf0.001"
+    import org.apache.spark.sql.functions._
+    val pairs = Dedup.nearFor(graft.core.Tables.documents(spark, d))
+      .select(col("doc_a"), col("doc_b")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    def isB(id: Long) = id % 5 == 4
+    val corpusHits = pairs.collect {
+      case (a, b) if isB(a) && !isB(b) => a
+      case (a, b) if isB(b) && !isB(a) => b
+    }.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val batchHits = pairs.collect { // (a < b by construction) -> b's lower-id dup
+      case (a, b) if isB(a) && isB(b) => b
+    }.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val got = Dedup.nearIncremental(spark, d).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("corpus_hits"), r.getAs[Long]("batch_hits"),
+          r.getAs[Long]("survives")))).toMap
+    assert(got.keySet.forall(isB))
+    got.foreach { case (id, (ch, bh, sv)) =>
+      assert(ch == corpusHits.getOrElse(id, 0L), s"doc $id corpus_hits")
+      assert(bh == batchHits.getOrElse(id, 0L), s"doc $id batch_hits")
+      assert(sv == (if (ch == 0 && bh == 0) 1L else 0L), s"doc $id survives")
+    }
+  }
+
   test("shuffleShard() is a seeded permutation: total, shard-contiguous, seed-sensitive") {
     val d = "/root/testdata/sf0.001"
     import org.apache.spark.sql.functions._
