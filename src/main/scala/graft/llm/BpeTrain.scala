@@ -72,13 +72,18 @@ object BpeTrain {
     trainFrom(Tables.documents(s, d), nMerges).orderedBy("rnk")
 
   /** The training loop over any (text) frame — split out so the spec can
-    * replay the hand-checkable Sennrich fixture through the real chain. */
-  private[llm] def trainFrom(docs: DataFrame, merges: Int): DataFrame = {
-    var v = vocab0(docs).localCheckpoint(true)
+    * replay the hand-checkable Sennrich fixture through the real chain.
+    * `checkpoint = false` keeps the whole loop one lazy Catalyst plan
+    * (plan-shape audits only — round r's lineage then replays rounds
+    * 1..r-1, the exact cost the default checkpointing exists to avoid). */
+  private[graft] def trainFrom(docs: DataFrame, merges: Int,
+                               checkpoint: Boolean = true): DataFrame = {
+    def pin(df: DataFrame): DataFrame =
+      if (checkpoint) df.localCheckpoint(true) else df
+    var v = pin(vocab0(docs))
     val rounds = (1 to merges).map { r =>
-      val best = pairCounts(v)
-        .orderBy(col("cnt").desc, col("pair")).limit(1)
-        .localCheckpoint(true)
+      val best = pin(pairCounts(v)
+        .orderBy(col("cnt").desc, col("pair")).limit(1))
       // ' a  b ' → ' ab ': one delimiter space survives on each side, so
       // the double-space convention is restored around the merged symbol
       v = v.crossJoin(broadcast(best))
@@ -86,7 +91,7 @@ object BpeTrain {
           "replace(concat(' ', seq, ' '), " +
             "concat(' ', replace(pair, ' ', '  '), ' '), " +
             "concat(' ', replace(pair, ' ', ''), ' '))")).as("seq"), col("f"))
-        .localCheckpoint(true)
+      v = pin(v)
       best.select(lit(r.toLong).as("rnk"), col("pair"), col("cnt"))
     }
     rounds.reduce(_ unionAll _)

@@ -32,7 +32,8 @@ object ExplainAudit {
       "q_sim_pq", "q_sim_pq_codes", "q_sim_pq_recall", "q_dedup_semantic",
       "q_sim_ivfpq", "q_embed_hashing", "q_dedup_semantic_text",
       "q_media_decode", "q_audio_decode", "q_media_resize",
-      "q_dedup_semantic_capped", "q_multimodal", "q_sim_ivfpq_recall")
+      "q_dedup_semantic_capped", "q_multimodal", "q_sim_ivfpq_recall",
+      "q_dedup_near_incr", "q_bpe_train")
     names.foreach { n =>
       println(s"\n========== $n ==========")
       n match {
@@ -40,6 +41,12 @@ object ExplainAudit {
         // (edge-list materialization); audit the single lazy plan instead
         case "q_dedup_clusters" =>
           graft.llm.Dedup.nearClusters(spark, d, eager = false).explain("formatted")
+        // iterative trainer: audit a 2-round lazy unroll (the catalog
+        // build checkpoints each round eagerly)
+        case "q_bpe_train" =>
+          graft.llm.BpeTrain.trainFrom(
+            graft.core.Tables.documents(spark, d), 2, checkpoint = false)
+            .explain("formatted")
         case _ =>
           graft.SparkEntry.queries(n)(spark, d).explain("formatted")
       }
