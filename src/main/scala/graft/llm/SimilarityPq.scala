@@ -76,8 +76,9 @@ object SimilarityPq {
     * the sample is far past k-means saturation (BASELINE.md r11). */
   val trainHexLt = "8"
 
-  private def trainSampled(all: DataFrame): DataFrame =
-    all.filter(md5(col("vec_id").cast("string").cast("binary")) < lit(trainHexLt))
+  private def trainSampled(all: DataFrame,
+                           hexLt: String = trainHexLt): DataFrame =
+    all.filter(md5(col("vec_id").cast("string").cast("binary")) < lit(hexLt))
 
   /** The oracle's twin of [[trainSampled]]'s predicate. */
   private def trainSamplePred = s"md5(CAST(vec_id AS VARCHAR)) < '$trainHexLt'"
@@ -116,11 +117,12 @@ object SimilarityPq {
     * q_sim_pq_codes at sf0.1) into three small aggregations. Empty
     * clusters drop out identically on both engines. */
   private def codebooksRow(all: DataFrame, msub: Int = m, kse: Int = ks,
-                           rounds: Int = rounds): DataFrame = {
+                           rounds: Int = rounds,
+                           hexLt: String = trainHexLt): DataFrame = {
     val dsub = dim / msub
     val sub = subVecs(all, msub)
     // refinement scans the sampled view; seeds come from the full corpus
-    val tsub = subVecs(trainSampled(all), msub)
+    val tsub = subVecs(trainSampled(all, hexLt), msub)
     val seedRow = toCbRow(sub.filter(col("vec_id") < kse)
       .select(col("j"), col("vec_id").as("cid"), col("se").as("ce")))
     val dims = (1 to dsub).map(i =>
@@ -149,9 +151,10 @@ object SimilarityPq {
     * the oracle always trained from raw `v`. */
   private def coded(df: DataFrame, msub: Int = m, kse: Int = ks,
                     rounds: Int = rounds,
-                    trainOn: Option[DataFrame] = None): DataFrame = {
+                    trainOn: Option[DataFrame] = None,
+                    hexLt: String = trainHexLt): DataFrame = {
     val dsub = dim / msub
-    df.crossJoin(broadcast(codebooksRow(trainOn.getOrElse(df), msub, kse, rounds)))
+    df.crossJoin(broadcast(codebooksRow(trainOn.getOrElse(df), msub, kse, rounds, hexLt)))
       .select(df.columns.map(col) ++ Seq(col("cm")) ++
         (1 to msub).map(j => call_function("vec_argmin_l2",
           element_at(col("cm"), lit(j)), slice(col("e"), off(j, dsub), dsub)).as(s"c$j")): _*)
@@ -176,15 +179,15 @@ object SimilarityPq {
     * right back. */
   private[llm] def withRecon(df: DataFrame, trainOn: Option[DataFrame],
                              keep: String*): DataFrame =
-    withReconAt(df, m, ks, rounds, trainOn, keep: _*)
+    withReconAt(df, m, ks, rounds, trainOn, trainHexLt, keep: _*)
 
   private[llm] def withReconAt(df: DataFrame, msub: Int, kse: Int,
                                rounds: Int, trainOn: Option[DataFrame],
-                               keep: String*): DataFrame = {
+                               hexLt: String, keep: String*): DataFrame = {
     def recon = concat((1 to msub).map(j =>
       element_at(filter(element_at(col("cm"), lit(j)),
         s => s("cid") === col(s"c$j")), 1)("ce")): _*)
-    coded(df, msub, kse, rounds, trainOn).select(keep.map(col) ++ Seq(col("vec_id"), recon.as("recon"),
+    coded(df, msub, kse, rounds, trainOn, hexLt).select(keep.map(col) ++ Seq(col("vec_id"), recon.as("recon"),
       sqrt(call_function("vec_dot", recon, recon)).as("rnrm")): _*)
   }
 
@@ -203,7 +206,8 @@ object SimilarityPq {
     * [[Similarity.topkBrute]]; rank-only output. */
   def pqTopk(s: SparkSession, d: String,
              nQueries: Int = nQueries, k: Int = k,
-             msub: Int = m, kse: Int = ks, rounds: Int = rounds): DataFrame = {
+             msub: Int = m, kse: Int = ks, rounds: Int = rounds,
+             hexLt: String = trainHexLt): DataFrame = {
     val all = Similarity.vecs(s, d)
     // query norms materialize at the broadcast build, reconstruction norms
     // in the interpreted projection (see reconstructed) — the per-pair
@@ -214,7 +218,8 @@ object SimilarityPq {
       .select(col("vec_id").as("qid"), col("e").as("qe"),
         sqrt(call_function("vec_dot", col("e"), col("e"))).as("qnrm"))
     val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nbr"))
-    withReconAt(all, msub, kse, rounds, None).join(broadcast(q), col("vec_id") =!= col("qid"))
+    withReconAt(all, msub, kse, rounds, None, hexLt)
+      .join(broadcast(q), col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id").as("nbr"),
         (call_function("vec_dot", col("qe"), col("recon")) /
           (col("qnrm") * col("rnrm"))).as("cos"))
@@ -237,6 +242,13 @@ object SimilarityPq {
                  rounds: Int): DataFrame =
     Similarity.recallAgainst(s, d, nQueries, k,
       pqTopk(s, d, nQueries, k, msub, kse, rounds))
+
+  /** Sweep entry (tools.SampleSweep): recall@k at an arbitrary training
+    * sample fraction — Spark-side only; the gate queries stay at
+    * [[trainHexLt]], which the oracle templates share. */
+  def pqRecallSample(s: SparkSession, d: String, hexLt: String): DataFrame =
+    Similarity.recallAgainst(s, d, nQueries, k,
+      pqTopk(s, d, nQueries, k, m, ks, rounds, hexLt))
 
   // ---- DuckDB oracle: the training + encode + reconstruct chain unrolled
   // as per-subspace CTEs, the Similarity.trainBody recipe on list_slice'd
