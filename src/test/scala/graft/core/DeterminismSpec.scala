@@ -20,7 +20,8 @@ import org.apache.spark.sql.functions._
   */
 class DeterminismSpec extends SparkTestBase {
 
-  private val dirs = Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")
+  private val dirs = Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01",
+    "/root/testdata/sf0.1")
 
   /** Fraction of rows where c*100 is integral (the stored double is an
     * exact 2dp value). */
