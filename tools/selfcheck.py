@@ -78,8 +78,19 @@ def pandas_repr_diffs(sdf, odf, cols):
             diffs.append(f"{c}: spark-pandas={sd} oracle-pandas={od}")
             continue
         if str(sd) == "object":
-            sv = next((v for v in sdf[c] if v is not None), None)
-            ov = next((v for v in odf[c] if v is not None), None)
+            # nulls in object columns arrive as None from pyarrow but can be
+            # float NaN from duckdb .df() — skip BOTH null spellings, else
+            # the class compare hits the NaN and spuriously FAILs the column
+            def first_real(col):
+                for v in col:
+                    if v is None:
+                        continue
+                    if isinstance(v, float) and math.isnan(v):
+                        continue
+                    return v
+                return None
+            sv = first_real(sdf[c])
+            ov = first_real(odf[c])
             if sv is not None and ov is not None and type(sv) is not type(ov):
                 diffs.append(f"{c}: spark-cell={type(sv).__name__} "
                              f"oracle-cell={type(ov).__name__}")
