@@ -43,9 +43,9 @@ object BpeTrain {
   /** Characters joined by the two-space delimiter + end-of-word marker:
     * "low" → "l  o  w  </w>". */
   private def spacedChars(word: Column): Column =
-    concat(expr(
-      "array_join(transform(sequence(1, length(word)), i -> substring(word, i, 1)), '  ')"),
-      lit("  </w>"))
+    concat(array_join(
+      transform(sequence(lit(1), length(word)), i => word.substr(i, lit(1))),
+      "  "), lit("  </w>"))
 
   /** (seq, f): the word-frequency table in symbol-sequence form — the only
     * corpus-wide computation. */

@@ -116,8 +116,10 @@ object Dedup {
     // corpus×batch candidates: batch bands broadcast, corpus scanned in place
     val candBC = bandC.join(broadcast(bandB), Seq("band", "sig"))
       .select(col("doc_id").as("cid"), col("bid")).distinct()
-    // within-batch candidates: increment-sized self-join
-    val candBB = bandB.as("x").join(bandB.as("y"),
+    // within-batch candidates: increment-sized self-join — explicit
+    // broadcast like every other join in the chain, so a large increment
+    // can't silently fall to SortMergeJoin
+    val candBB = bandB.as("x").join(broadcast(bandB.as("y")),
         col("x.band") === col("y.band") && col("x.sig") === col("y.sig") &&
           col("x.bid") < col("y.bid"))
       .select(col("x.bid").as("aid"), col("y.bid").as("bid")).distinct()
@@ -537,18 +539,27 @@ object Dedup {
                 else edgesPlan
     val labels0 = edges.select(col("src").as("id")).distinct()
       .withColumn("lbl", col("id"))
+    // Each round RETURNS (id, lbl, prev) where prev is the incoming label:
+    // prev rides the propagate aggregate (every id is in l, so min over the
+    // single non-null carrier reproduces it exactly), which makes the
+    // convergence test a filter over the round's own checkpointed blocks —
+    // no extra join, no second plan execution per round (the r11 verdict's
+    // q_dedup_clusters regression was exactly that second execution).
     def round(l: DataFrame): DataFrame = {
       val viaEdges = edges.join(l.withColumnRenamed("id", "src"), "src")
-        .select(col("dst").as("id"), col("lbl"))
-      val prop = l.unionByName(viaEdges)
-        .groupBy(col("id")).agg(min(col("lbl")).as("lbl"))
+        .select(col("dst").as("id"), col("lbl"),
+          lit(null).cast(l.schema("lbl").dataType).as("prev"))
+      val prop = l.withColumn("prev", col("lbl")).unionByName(viaEdges)
+        .groupBy(col("id"))
+        .agg(min(col("lbl")).as("lbl"), min(col("prev")).as("prev"))
       // lbl(lbl(v)): labels are ids in the domain and lbl(p) ≤ p, so the
       // self-join is total and the looked-up label only improves
       val parents = prop.select(col("id").as("lbl"), col("lbl").as("jumped"))
-      prop.join(parents, "lbl").select(col("id"), col("jumped").as("lbl"))
+      prop.join(parents, "lbl")
+        .select(col("id"), col("jumped").as("lbl"), col("prev"))
     }
     if (!eager) // plan-shape path: fixed unroll, no actions
-      return (1 to 3).foldLeft(labels0)((l, _) => round(l))
+      return (1 to 3).foldLeft(labels0)((l, _) => round(l).drop("prev"))
     var l = labels0.localCheckpoint(true)
     var rounds = 0
     var converged = false
@@ -556,9 +567,10 @@ object Dedup {
       rounds += 1
       require(rounds <= 64, "min-label propagation failed to converge in 64 rounds")
       val next = round(l).localCheckpoint(true)
-      converged = next.join(l.withColumnRenamed("lbl", "prev"), "id")
-        .filter(col("lbl") =!= col("prev")).isEmpty
-      l = next
+      // reads the blocks the checkpoint just wrote — a cached scan, not a
+      // re-execution of the round's shuffles
+      converged = next.filter(col("lbl") =!= col("prev")).isEmpty
+      l = next.drop("prev")
     }
     edges.unpersist(blocking = false)
     l

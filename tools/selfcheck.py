@@ -91,6 +91,15 @@ def pandas_repr_diffs(sdf, odf, cols):
                 return None
             sv = first_real(sdf[c])
             ov = first_real(odf[c])
+            # one side all-null, the other not (row counts already known
+            # equal): a representation difference the class compare below
+            # can't see — flag it instead of silently passing
+            if (sv is None) != (ov is None):
+                diffs.append(f"{c}: spark-cell="
+                             f"{'all-null' if sv is None else type(sv).__name__} "
+                             f"oracle-cell="
+                             f"{'all-null' if ov is None else type(ov).__name__}")
+                continue
             if sv is not None and ov is not None and type(sv) is not type(ov):
                 diffs.append(f"{c}: spark-cell={type(sv).__name__} "
                              f"oracle-cell={type(ov).__name__}")
