@@ -118,7 +118,8 @@ object SimilarityPq {
     * clusters drop out identically on both engines. */
   private def codebooksRow(all: DataFrame, msub: Int = m, kse: Int = ks,
                            rounds: Int = rounds,
-                           hexLt: String = trainHexLt): DataFrame = {
+                           hexLt: String = trainHexLt,
+                           pin: Boolean = false): DataFrame = {
     val dsub = dim / msub
     val sub = subVecs(all, msub)
     // refinement scans the sampled view; seeds come from the full corpus
@@ -128,7 +129,7 @@ object SimilarityPq {
     val dims = (1 to dsub).map(i =>
       round(sum(element_at(col("se"), i).cast("decimal(20,8)")).cast("double") /
         count(lit(1)), 6).as(s"m$i"))
-    (1 to rounds).foldLeft(seedRow) { (cbRow, _) =>
+    val trained = (1 to rounds).foldLeft(seedRow) { (cbRow, _) =>
       val assigned = tsub.crossJoin(broadcast(cbRow))
         .select(col("j"), col("se"), call_function("vec_argmin_l2",
           element_at(col("cm"), col("j")), col("se")).as("cid"))
@@ -137,6 +138,11 @@ object SimilarityPq {
         .select(col("j"), col("cid"),
           array((1 to dsub).map(i => col(s"m$i")): _*).as("ce")))
     }
+    // `pin` materializes the ONE-row codebook map so encode/reconstruct
+    // consumers broadcast the artifact instead of re-running the Lloyd
+    // rounds inside each broadcast build (trainCentroids' `pin` rationale;
+    // deterministic training, so results are unchanged).
+    if (pin) trained.localCheckpoint(true) else trained
   }
 
   /** (df.* , cm, c1..cm): every vector with its per-subspace
@@ -152,9 +158,10 @@ object SimilarityPq {
   private def coded(df: DataFrame, msub: Int = m, kse: Int = ks,
                     rounds: Int = rounds,
                     trainOn: Option[DataFrame] = None,
-                    hexLt: String = trainHexLt): DataFrame = {
+                    hexLt: String = trainHexLt,
+                    pin: Boolean = false): DataFrame = {
     val dsub = dim / msub
-    df.crossJoin(broadcast(codebooksRow(trainOn.getOrElse(df), msub, kse, rounds, hexLt)))
+    df.crossJoin(broadcast(codebooksRow(trainOn.getOrElse(df), msub, kse, rounds, hexLt, pin)))
       .select(df.columns.map(col) ++ Seq(col("cm")) ++
         (1 to msub).map(j => call_function("vec_argmin_l2",
           element_at(col("cm"), lit(j)), slice(col("e"), off(j, dsub), dsub)).as(s"c$j")): _*)
@@ -179,15 +186,16 @@ object SimilarityPq {
     * right back. */
   private[llm] def withRecon(df: DataFrame, trainOn: Option[DataFrame],
                              keep: String*): DataFrame =
-    withReconAt(df, m, ks, rounds, trainOn, trainHexLt, keep: _*)
+    withReconAt(df, m, ks, rounds, trainOn, trainHexLt, pin = true, keep: _*)
 
   private[llm] def withReconAt(df: DataFrame, msub: Int, kse: Int,
                                rounds: Int, trainOn: Option[DataFrame],
-                               hexLt: String, keep: String*): DataFrame = {
+                               hexLt: String, pin: Boolean,
+                               keep: String*): DataFrame = {
     def recon = concat((1 to msub).map(j =>
       element_at(filter(element_at(col("cm"), lit(j)),
         s => s("cid") === col(s"c$j")), 1)("ce")): _*)
-    coded(df, msub, kse, rounds, trainOn, hexLt).select(keep.map(col) ++ Seq(col("vec_id"), recon.as("recon"),
+    coded(df, msub, kse, rounds, trainOn, hexLt, pin).select(keep.map(col) ++ Seq(col("vec_id"), recon.as("recon"),
       sqrt(call_function("vec_dot", recon, recon)).as("rnrm")): _*)
   }
 
@@ -197,7 +205,7 @@ object SimilarityPq {
     * (12 bytes at the gate knobs) coded corpus a serving layer scans
     * instead of raw floats. */
   def pqCodes(s: SparkSession, d: String): DataFrame =
-    coded(Similarity.vecs(s, d))
+    coded(Similarity.vecs(s, d), pin = true)
       .select(col("vec_id") +: (1 to m).map(j => col(s"c$j")): _*)
       .orderedBy("vec_id")
 
@@ -218,7 +226,7 @@ object SimilarityPq {
       .select(col("vec_id").as("qid"), col("e").as("qe"),
         sqrt(call_function("vec_dot", col("e"), col("e"))).as("qnrm"))
     val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nbr"))
-    withReconAt(all, msub, kse, rounds, None, hexLt)
+    withReconAt(all, msub, kse, rounds, None, hexLt, pin = true)
       .join(broadcast(q), col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id").as("nbr"),
         (call_function("vec_dot", col("qe"), col("recon")) /
@@ -351,7 +359,7 @@ object SimilarityPq {
                 nCentroids: Int = 8, nprobe: Int = 2,
                 trainIters: Int = 2): DataFrame = {
     val all = Similarity.vecs(s, d)
-    val cents = Similarity.trainCentroids(all, nCentroids, trainIters)
+    val cents = Similarity.trainCentroids(all, nCentroids, trainIters, pin = true)
     val assigned = Similarity.assignNearest(all, cents)
       .select(col("vec_id"), col("e"), col("cid").as("bucket"))
     // codebooks train on the RAW corpus (same vector set, exactly what the
