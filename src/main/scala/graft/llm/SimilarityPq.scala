@@ -159,9 +159,18 @@ object SimilarityPq {
                     rounds: Int = rounds,
                     trainOn: Option[DataFrame] = None,
                     hexLt: String = trainHexLt,
-                    pin: Boolean = false): DataFrame = {
+                    pin: Boolean = false): DataFrame =
+    encodeWith(df,
+      codebooksRow(trainOn.getOrElse(df), msub, kse, rounds, hexLt, pin), msub)
+
+  /** Encode `df`'s vectors against an ALREADY-BUILT codebook row — split
+    * from [[coded]] so the persisted-index build can encode against the
+    * same pinned artifact it writes to disk (re-deriving the codebooks
+    * inside the encode would train a second time). */
+  private def encodeWith(df: DataFrame, cbRow: DataFrame,
+                         msub: Int = m): DataFrame = {
     val dsub = dim / msub
-    df.crossJoin(broadcast(codebooksRow(trainOn.getOrElse(df), msub, kse, rounds, hexLt, pin)))
+    df.crossJoin(broadcast(cbRow))
       .select(df.columns.map(col) ++ Seq(col("cm")) ++
         (1 to msub).map(j => call_function("vec_argmin_l2",
           element_at(col("cm"), lit(j)), slice(col("e"), off(j, dsub), dsub)).as(s"c$j")): _*)
@@ -420,6 +429,86 @@ object SimilarityPq {
     s"""WITH ${ivfPqBody(nQueries, nCentroids, nprobe, iters)},
        |${Similarity.recallTail(k, "rk")}""".stripMargin
 
+  /** Reconstruction from PERSISTED codes — the serve-side twin of
+    * [[withRecon]]: `codes` carries (vec_id, c1..cm) read back from the
+    * index table instead of being encoded in-plan, the codebook map rides
+    * the same one-row broadcast, and the filter-HOF lookup keeps the same
+    * deliberately-interpreted projection barrier (recon computed once per
+    * stored row, never per (row, query) pair — [[withReconAt]]'s
+    * rationale). */
+  private def reconFromCodes(codes: DataFrame, cbRow: DataFrame,
+                             msub: Int, keep: String*): DataFrame = {
+    def recon = concat((1 to msub).map(j =>
+      element_at(filter(element_at(col("cm"), lit(j)),
+        s => s("cid") === col(s"c$j")), 1)("ce")): _*)
+    codes.crossJoin(broadcast(cbRow))
+      .select(keep.map(col) ++ Seq(col("vec_id"), recon.as("recon"),
+        sqrt(call_function("vec_dot", recon, recon)).as("rnrm")): _*)
+  }
+
+  /** Index-artifact location for [[ivfPqPersisted]] — under the build
+    * directory, keyed by the source dataset so scale factors never share
+    * an index. */
+  private def indexRoot(d: String): String =
+    s"${sys.props("user.dir")}/target/graft_index/${d.replaceAll("[^A-Za-z0-9.]", "_")}"
+
+  /** IVFPQ as a PERSISTED serving index — the on-disk half of the corpus-
+    * scale similarity story ("index once, query many", the FAISS
+    * deployment shape): the BUILD step trains the coarse quantizer + PQ
+    * codebooks once, encodes every vector, and writes three artifacts —
+    * centroids (nCentroids rows), codebooks (m·ks rows), and the coded
+    * corpus laid out as a hive-PARTITIONED table on the coarse bucket
+    * (12-byte codes per vector, [[graft.core.Layout.writePartitioned]]);
+    * the SERVE step reads only the artifacts back, ranks probe buckets
+    * from the persisted centroids, and scans the coded table with the
+    * probe join planted on the PARTITION column, so dynamic partition
+    * pruning drops every unprobed bucket's directory before a byte of it
+    * is read (plan-guarded in CatalogSpec; the measured fraction is in
+    * BASELINE.md). Search math is bit-identical to [[ivfPqTopk]] — doubles
+    * round-trip parquet exactly, codes are ints, and the reconstruction/
+    * scoring op trees are shared — so the SAME oracle adjudicates both.
+    * At 100 TB the build runs once a day over the corpus delta and the
+    * serve side is the only recurring cost: nprobe/nCentroids of the coded
+    * table (21× smaller than the raw floats) per query batch. */
+  def ivfPqPersisted(s: SparkSession, d: String,
+                     nQueries: Int = nQueries, k: Int = k,
+                     nCentroids: Int = 8, nprobe: Int = 2,
+                     trainIters: Int = 2): DataFrame = {
+    val root = indexRoot(d)
+    val all = Similarity.vecs(s, d)
+    // ---- BUILD: train once (pinned), encode, persist the three artifacts
+    val cents = Similarity.trainCentroids(all, nCentroids, trainIters, pin = true)
+    cents.write.mode("overwrite").parquet(s"$root/centroids")
+    val cb = codebooksRow(all, pin = true)
+    cb.select(explode(col("cm")).as(Seq("j", "cs")))
+      .select(col("j"), explode(col("cs")).as("c"))
+      .select(col("j"), col("c.cid").as("cid"), col("c.ce").as("ce"))
+      .write.mode("overwrite").parquet(s"$root/codebooks")
+    val assigned = Similarity.assignNearest(all, cents)
+      .select(col("vec_id"), col("e"), col("cid").as("bucket"))
+    graft.core.Layout.writePartitioned(
+      encodeWith(assigned, cb)
+        .select(col("vec_id") +: col("bucket") +: (1 to m).map(j => col(s"c$j")): _*),
+      s"$root/codes", "bucket")
+    // ---- SERVE: everything below reads the artifacts, not the corpus
+    // (queries keep their raw full-precision vectors — asymmetric search)
+    val centsP = s.read.parquet(s"$root/centroids")
+    val cbP = toCbRow(s.read.parquet(s"$root/codebooks"))
+    val codesP = s.read.parquet(s"$root/codes")
+    val probes = Similarity.ivfProbes(all, centsP, nQueries, nprobe)
+      .withColumn("qnrm", sqrt(call_function("vec_dot", col("qe"), col("qe"))))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nbr"))
+    reconFromCodes(codesP, cbP, m, "bucket")
+      .join(broadcast(probes), "bucket")
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("nbr"),
+        (call_function("vec_dot", col("qe"), col("recon")) /
+          (col("qnrm") * col("rnrm"))).as("cos"))
+      .withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
+      .select(col("qid"), col("rnk").cast("long").as("rnk"), col("nbr"))
+      .orderedBy("qid", "rnk")
+  }
+
   val defs: Map[String, QueryDef] = Map(
     "q_sim_pq_codes" -> QueryDef(pqCodes, Some(codesOracle)),
     "q_sim_pq" -> QueryDef(pqTopk(_, _), Some(topkOracle(nQueries, k))),
@@ -427,6 +516,10 @@ object SimilarityPq {
     "q_sim_ivfpq" -> QueryDef(ivfPqTopk(_, _),
       Some(ivfPqOracle(nQueries, k, nCentroids = 8, nprobe = 2, iters = 2))),
     "q_sim_ivfpq_recall" -> QueryDef(ivfPqRecall(_, _),
-      Some(ivfPqRecallOracle(nQueries, k, nCentroids = 8, nprobe = 2, iters = 2)))
+      Some(ivfPqRecallOracle(nQueries, k, nCentroids = 8, nprobe = 2, iters = 2))),
+    // identical semantics to q_sim_ivfpq — the search serves from the
+    // persisted index, so the SAME oracle adjudicates the round trip
+    "q_sim_ivfpq_persisted" -> QueryDef(ivfPqPersisted(_, _),
+      Some(ivfPqOracle(nQueries, k, nCentroids = 8, nprobe = 2, iters = 2)))
   )
 }

@@ -105,4 +105,37 @@ class PqSpec extends SparkTestBase {
     val b = SimilarityPq.pqTopk(spark, d001).collect().toSeq
     assert(a == b)
   }
+
+  test("persisted IVFPQ index: serve side prunes partitions dynamically " +
+    "and matches the in-memory search") {
+    val served = SimilarityPq.ivfPqPersisted(spark, d001)
+    // plan guard: the codes scan must carry a dynamic-pruning partition
+    // filter on the coarse bucket — without it the serve side reads every
+    // bucket's directory and the persisted layout buys nothing at scale
+    val planStr = served.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(planStr.contains("dynamicpruning"),
+      "persisted-index serve scan lost dynamic partition pruning on bucket")
+    // round-trip equivalence: parquet round-trips doubles and int codes
+    // exactly, so serving from the index must reproduce the in-memory
+    // search bit-for-bit
+    assert(served.collect().toSeq ==
+      SimilarityPq.ivfPqTopk(spark, d001).collect().toSeq,
+      "persisted-index serve diverged from the in-memory IVFPQ search")
+    // the measured scan fraction the layout exists for (recorded in
+    // BASELINE.md). DPP prunes to the UNION of the batch's probed
+    // buckets, so the fraction depends on batch size: each query touches
+    // exactly nprobe/total; the gate's 20-query batch covers everything
+    // at 8 buckets; a small serving batch must actually prune.
+    val all = Similarity.vecs(spark, d001)
+    val cents = Similarity.trainCentroids(all)
+    val total = Similarity.assignNearest(all, cents)
+      .select(col("cid")).distinct().count()
+    val smallBatch = Similarity.ivfProbes(all, cents, nQueries = 3, nprobe = 2)
+      .select(col("bucket")).distinct().count()
+    info(s"per-query: 2 of $total buckets; 3-query batch union: " +
+      s"$smallBatch of $total")
+    assert(smallBatch < total,
+      "a 3-query batch (≤6 probes) should leave at least one bucket unread")
+  }
 }
