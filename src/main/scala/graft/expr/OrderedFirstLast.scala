@@ -312,6 +312,15 @@ object GraftFunctions {
         }
         SampleK(children(0), children(1), k)
       }),
+    (FunctionIdentifier("quantile_sketch"), info(classOf[QuantileSketch], "quantile_sketch"),
+      (children: Seq[Expression]) => {
+        val k = children(2) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+          case other => throw new IllegalArgumentException(
+            s"quantile_sketch k must be an integer literal, got $other")
+        }
+        QuantileSketch(children(0), children(1), k)
+      }),
     (FunctionIdentifier("word_shingles"), info(classOf[WordShingles], "word_shingles"),
       (children: Seq[Expression]) => {
         val n = children(1) match {

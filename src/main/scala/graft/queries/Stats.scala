@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.core.{QueryDef, Tables}
+import graft.core.{OracleSql, QueryDef, Tables}
 import graft.core.QueryDef.OrderedOut
 
 /** Statistical aggregates and sketch-style summaries.
@@ -160,6 +160,63 @@ object Stats {
       |       min(CASE WHEN cum >= ceil(n * 0.5) THEN bin END) AS p50_bin,
       |       min(CASE WHEN cum >= ceil(n * 0.9) THEN bin END) AS p90_bin
       |FROM cw GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  /** Mergeable quantile sketch over the CENT-exact quantity (unbounded-
+    * domain twin of [[quantileHist]], VERDICT r11 item 4): the
+    * `quantile_sketch` TypedImperativeAggregate keeps an exact count plus
+    * the k smallest (hash-priority, value) pairs per group — O(k) state,
+    * order-independent, merge-associative — and emits nearest-rank
+    * p50/p90 of the kept sample. Unlike the histogram sketch this needs
+    * NO bounded integer domain: state is O(k) whatever the value range.
+    * The hash-priority discipline (vs KLL's order-dependent compaction)
+    * is what lets the DuckDB oracle replay the sketch row-for-row; the
+    * price — rank error O(1/√k) — is pinned by StatsSpec's containment
+    * window against the exact percentile. */
+  def quantileSketch(s: SparkSession, d: String, k: Int = 256,
+                     seed: Int = 7): DataFrame = {
+    graft.expr.GraftFunctions.register(s)
+    Tables.lineitem(s, d)
+      .select(col("l_returnflag"),
+        conv(substring(md5(concat_ws("#", lit(seed), col("l_orderkey"),
+          col("l_linenumber"))), 1, 8), 16, 10).cast("long").as("pri"),
+        round(col("l_quantity") * 100).cast("long").as("q100"))
+      .groupBy(col("l_returnflag"))
+      .agg(expr(s"quantile_sketch(pri, q100, $k)").as("sk"))
+      .select(col("l_returnflag"), col("sk.n").as("n"),
+        col("sk.kept").as("kept"), col("sk.p50").as("p50_q100"),
+        col("sk.p90").as("p90_q100"))
+      .orderedBy("l_returnflag")
+  }
+
+  /** Replays the sketch exactly: kept = bottom-k by (pri, value), the
+    * estimate = the ceil(q·m)-th smallest kept value (rv is unique, so
+    * `min(val | rv ≥ ceil(q·m))` IS that element; value ties collapse to
+    * the same selected VALUE on both engines). */
+  private def quantileSketchOracle(k: Int, seed: Int): String = {
+    val hv = OracleSql.hexPrefixToLong("h")
+    s"""WITH p AS (
+       |  SELECT l_returnflag, CAST(round(l_quantity * 100) AS BIGINT) AS q100,
+       |         substr(md5('$seed' || '#' || CAST(l_orderkey AS VARCHAR) || '#' ||
+       |                    CAST(l_linenumber AS VARCHAR)), 1, 8) AS h
+       |  FROM lineitem),
+       |pv AS (SELECT l_returnflag, q100, $hv AS pri FROM p),
+       |tot AS (SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n
+       |        FROM pv GROUP BY 1),
+       |r AS (SELECT l_returnflag, q100,
+       |             row_number() OVER (PARTITION BY l_returnflag
+       |               ORDER BY pri, q100) AS rn
+       |      FROM pv),
+       |kr AS (SELECT l_returnflag, q100,
+       |              row_number() OVER (PARTITION BY l_returnflag
+       |                ORDER BY q100) AS rv,
+       |              count(*) OVER (PARTITION BY l_returnflag) AS m
+       |       FROM r WHERE rn <= $k)
+       |SELECT kr.l_returnflag, max(t.n) AS n, CAST(max(kr.m) AS BIGINT) AS kept,
+       |       min(CASE WHEN rv >= ceil(0.5 * m) THEN q100 END) AS p50_q100,
+       |       min(CASE WHEN rv >= ceil(0.9 * m) THEN q100 END) AS p90_q100
+       |FROM kr JOIN tot t USING (l_returnflag)
+       |GROUP BY kr.l_returnflag ORDER BY kr.l_returnflag""".stripMargin
+  }
 
   /** Gaps-and-islands sessionization over the events stream (batch form):
     * a session breaks after `gapMin` minutes of user inactivity. Session
@@ -365,6 +422,8 @@ object Stats {
     "q_snapshot_diff" -> QueryDef(snapshotDiff, Some(snapshotDiffOracle)),
     "q_agg_stats" -> QueryDef(aggStats, Some(aggStatsOracle)),
     "q_quantile_hist" -> QueryDef(quantileHist, Some(quantileHistOracle)),
+    "q_quantile_sketch" -> QueryDef(quantileSketch(_, _),
+      Some(quantileSketchOracle(256, 7))),
     "q_sessionize" -> QueryDef(sessionize(_, _), Some(sessionizeOracle(5))),
     "q_latest_by_key" -> QueryDef(latestByKey, Some(latestByKeyOracle))
   )

@@ -53,6 +53,35 @@ class StatsSpec extends SparkTestBase {
     }
   }
 
+  test("quantile sketch: estimates contained in the exact percentile's " +
+    "rank window; plans ObjectHashAggregate") {
+    val df = Stats.quantileSketch(spark, d)
+    // the sampling bound the scaladoc claims: the true CDF at the sketch
+    // estimate must sit within ~4σ = 4·sqrt(q(1-q)/k) of q (k=256 →
+    // ±0.125 at p50, ±0.075 at p90), plus one discrete atom of slack
+    // (l_quantity has ~50 distinct values, each carrying ~2% mass)
+    val sk = df.collect()
+      .map(r => r.getString(0) -> ((r.getLong(3), r.getLong(4)))).toMap
+    val li = graft.core.Tables.lineitem(spark, d)
+      .select(col("l_returnflag"),
+        round(col("l_quantity") * 100).cast("long").as("q100"))
+    for ((flag, (p50, p90)) <- sk) {
+      def cdfAt(v: Long): Double = {
+        val Array(le, n) = li.filter(col("l_returnflag") === flag)
+          .agg(sum((col("q100") <= v).cast("long")), count(lit(1)))
+          .head.toSeq.map(_.asInstanceOf[Long].toDouble).toArray
+        le / n
+      }
+      val (c50, c90) = (cdfAt(p50), cdfAt(p90))
+      assert(c50 > 0.35 && c50 < 0.65, s"$flag: CDF(p50est)=$c50 outside window")
+      assert(c90 > 0.80 && c90 <= 1.0, s"$flag: CDF(p90est)=$c90 outside window")
+    }
+    // scale shape: object-hash aggregation with map-side partials — O(k)
+    // sketch state per group crosses the exchange, never the rows
+    assert(df.queryExecution.executedPlan.toString.contains("ObjectHashAggregate"),
+      "quantile_sketch lost the ObjectHashAggregate plan")
+  }
+
   test("sessionize splits on gap > threshold, keeps runs together") {
     import spark.implicits._
     val t0 = 1700000000000000L // epoch micros
