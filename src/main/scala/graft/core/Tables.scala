@@ -92,6 +92,41 @@ object Tables {
       build: SparkSession => DataFrame): DataFrame =
     runStream(parent, prefix, "append", extraConf)(build)
 
+  /** foreachBatch twin of [[runStreamComplete]] for whole-plan bridges:
+    * `source` builds the streaming input, `process` runs an arbitrary
+    * BATCH plan over each micro-batch (the foreachBatch contract — this is
+    * how production jobs run a multi-join verdict chain per ingest batch),
+    * and the materialized per-batch results union into the returned frame.
+    * A parquet file source with no maxFilesPerTrigger delivers ALL files
+    * in ONE AvailableNow micro-batch, so a whole-increment chain (e.g.
+    * within-batch candidate self-joins) sees the same increment as its
+    * batch twin and hash-compares against the identical oracle SQL. */
+  def runStreamForeachBatch(parent: SparkSession, prefix: String)(
+      source: SparkSession => DataFrame)(
+      process: (SparkSession, DataFrame) => DataFrame): DataFrame = {
+    val s = parent.newSession()
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    val acc = new java.util.concurrent.atomic.AtomicReference[DataFrame](null)
+    val q = source(s).writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        // pin each batch's verdicts: the accumulated frame must outlive
+        // the micro-batch execution that produced it. `process` gets the
+        // BATCH's session — the stream cloned the child session at start,
+        // so registrations/conf on the outer session no longer reach it.
+        val out = process(batch.sparkSession, batch).localCheckpoint(true)
+        acc.updateAndGet(prev =>
+          if (prev == null) out else prev.unionByName(out))
+        ()
+      }
+      .queryName(prefix + java.util.UUID.randomUUID().toString.replace("-", ""))
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.streams.resetTerminated()
+    require(acc.get() != null, "foreachBatch bridge saw no micro-batch")
+    acc.get()
+  }
+
   private def runStream(parent: SparkSession, prefix: String, mode: String,
       extraConf: Map[String, String])(
       build: SparkSession => DataFrame): DataFrame = {

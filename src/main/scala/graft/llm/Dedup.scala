@@ -100,14 +100,26 @@ object Dedup {
     * either side), the decision a daily ingest job writes back. */
   def nearIncremental(s: SparkSession, d: String, threshold: Double = 0.8,
                       bands: Int = 4, rows: Int = 3): DataFrame = {
-    graft.expr.GraftFunctions.register(s)
+    val docs = Tables.documents(s, d)
     val isBatch = pmod(col("doc_id"), lit(5)) === 4
-    val docsTok = Tables.documents(s, d)
+    nearIncrementalFrom(s, docs.filter(isBatch), docs.filter(!isBatch),
+      threshold, bands, rows)
+  }
+
+  /** The ingest-verdict chain over EXPLICIT increment/corpus frames — split
+    * from [[nearIncremental]] so the streaming bridge can hand the
+    * micro-batch in as the increment (both need (doc_id, text)). */
+  private[llm] def nearIncrementalFrom(s: SparkSession, batchDocs: DataFrame,
+      corpusDocs: DataFrame, threshold: Double = 0.8,
+      bands: Int = 4, rows: Int = 3): DataFrame = {
+    graft.expr.GraftFunctions.register(s)
+    val corpusTok = corpusDocs
       .select(col("doc_id"), TextStats.tokens(col("text")).as("toks"))
-    val shB = docsTok.filter(isBatch)
+    val shB = batchDocs
+      .select(col("doc_id"), TextStats.tokens(col("text")).as("toks"))
       .select(col("doc_id"), TextStats.shinglesExpr("toks").as("sh"))
       .filter(size(col("sh")) > 0)
-    val shC = docsTok.filter(!isBatch)
+    val shC = corpusTok
       .select(col("doc_id"), TextStats.shinglesExpr("toks").as("sh"))
       .filter(size(col("sh")) > 0)
     val bandB = bandSignatures(shB, bands, rows)
@@ -134,7 +146,7 @@ object Dedup {
     // corpus verify: candidate ids broadcast into the token scan; ONLY
     // candidate corpus docs shingle
     val verBC = jaccardHits(
-      docsTok.select(col("doc_id").as("cid"), col("toks"))
+      corpusTok.select(col("doc_id").as("cid"), col("toks"))
         .join(broadcast(candBC), "cid")
         .withColumn("sh_a", TextStats.shinglesExpr("toks")).drop("toks")
         .join(broadcast(shBatch), "bid"), "corpus_hits")
@@ -144,7 +156,7 @@ object Dedup {
         .join(broadcast(shBatch), "bid"), "batch_hits")
     // hit tables are O(near-dups in the increment) — broadcast both left
     // joins so the batch scan never sorts or exchanges
-    Tables.documents(s, d).filter(isBatch).select(col("doc_id"))
+    batchDocs.select(col("doc_id"))
       .join(broadcast(verBC.withColumnRenamed("bid", "doc_id")), Seq("doc_id"), "left")
       .join(broadcast(verBB.withColumnRenamed("bid", "doc_id")), Seq("doc_id"), "left")
       .select(col("doc_id"),
@@ -153,6 +165,27 @@ object Dedup {
         (coalesce(col("corpus_hits"), lit(0L)) === 0 &&
           coalesce(col("batch_hits"), lit(0L)) === 0).cast("long").as("survives"))
       .orderedBy("doc_id")
+  }
+
+  /** [[nearIncremental]] under the STREAMING engine (the 14th
+    * batch≡streaming bridge, VERDICT r11 item 5): the daily increment
+    * arrives as an AvailableNow micro-batch and foreachBatch runs the
+    * IDENTICAL all-BroadcastHashJoin ingest-verdict chain against the
+    * static corpus — the production shape of continuous ingest dedup
+    * (stream the increment, verdict per micro-batch, corpus stays a
+    * static table that never shuffles). The parquet source delivers the
+    * whole increment in one micro-batch (no maxFilesPerTrigger), so the
+    * within-batch candidate self-join sees the same increment as the
+    * batch twin and the SAME oracle SQL adjudicates both. */
+  def nearIncrStreamed(s: SparkSession, d: String, threshold: Double = 0.8,
+                       bands: Int = 4, rows: Int = 3): DataFrame = {
+    val isBatch = pmod(col("doc_id"), lit(5)) === 4
+    Tables.runStreamForeachBatch(s, "dedup_incr_streamed_") { cs =>
+      Tables.documentsStream(cs, d).filter(isBatch)
+    } { (cs, batch) =>
+      nearIncrementalFrom(cs, batch,
+        Tables.documents(cs, d).filter(!isBatch), threshold, bands, rows)
+    }.orderedBy("doc_id")
   }
 
   /** Mirrors [[nearIncremental]] over the shared [[sigCtes]] chain: the
@@ -1090,6 +1123,9 @@ object Dedup {
         |    AND md5(c.text) = f.ck AND length(c.text) = f.cl)
         |ORDER BY doc_id""".stripMargin)),
     "q_dedup_near_incr" -> QueryDef(nearIncremental(_, _),
+      Some(nearIncrementalOracle(0.8, 4, 3))),
+    // 14th bridge: the same chain under the micro-batch planner, same oracle
+    "q_dedup_incr_streamed" -> QueryDef(nearIncrStreamed(_, _),
       Some(nearIncrementalOracle(0.8, 4, 3))),
     "q_dedup_keep_best" -> QueryDef(keepBest(_, _), Some(keepBestOracle)),
     "q_dedup_fingerprint" -> QueryDef(fingerprint(_, _), Some(
