@@ -507,6 +507,86 @@ object Dedup {
        |ORDER BY doc_a, doc_b""".stripMargin
   }
 
+  /** EXACT-SUBSTRING dedup at the long-span tier (Lee et al. 2022's
+    * production companion to MinHash: two documents sharing any exact
+    * ≥n-token span are duplicates regardless of their overall Jaccard —
+    * the license-header / quoted-paragraph / copy-paste class MinHash's
+    * global similarity misses). No suffix array needed: a span IS an
+    * n-gram, so the [[ngramPairs]] machinery applies verbatim with n
+    * raised from 3 to the span tier — df-capped 48-bit span-hash postings
+    * (the cap drops boilerplate spans shared by > maxDf docs), bucket
+    * pairing, then VERIFY ON COLLISION by intersecting the two docs'
+    * actual span sets (string equality — a 48-bit hash collision cannot
+    * produce a false pair). Output: (doc_a, doc_b, shared_spans).
+    *
+    * Gate knob n=20 (driver docs average ~55 tokens; production runs 50 —
+    * the plan is n-independent). Scale shape: postings explode ≈ doc
+    * tokens × 1 rows (spans overlap but are hashed, not materialized,
+    * map-side); buckets are df-capped before the quadratic pairing;
+    * verification materializes span STRINGS only for candidate docs. */
+  def substrPairs(s: SparkSession, d: String, n: Int = 20,
+                  maxDf: Int = 10): DataFrame = {
+    graft.expr.GraftFunctions.register(s)
+    substrPairsFrom(Tables.documents(s, d), n, maxDf)
+  }
+
+  /** The chain over an explicit (doc_id, text) frame — split out so the
+    * embedded-span fixture spec can drive it. */
+  private[llm] def substrPairsFrom(docs: DataFrame, n: Int,
+                                   maxDf: Int): DataFrame = {
+    val docsTok = docs
+      .select(col("doc_id"), TextStats.tokens(col("text")).as("toks"))
+    val sp = docsTok.filter(size(col("toks")) >= n)
+      .select(col("doc_id"), expr(s"word_shingles(toks, $n, true)").as("sp"))
+    val postings = sp.select(col("doc_id"), explode(col("sp")).as("g"))
+      .select(col("doc_id"),
+        conv(substring(md5(col("g").cast("binary")), 1, 12), 16, 10)
+          .cast("long").as("gh"))
+    val cand = postings.groupBy(col("gh"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
+      .filter(size(col("ds")) >= 2 && size(col("ds")) <= maxDf)
+      .select(explode(expr(
+        """flatten(transform(ds, (a, i) ->
+          |  transform(slice(ds, i + 2, size(ds) - i - 1),
+          |            b -> struct(a AS doc_a, b AS doc_b))))""".stripMargin)).as("p"))
+      .select(col("p.doc_a"), col("p.doc_b"))
+      .filter(col("doc_a") =!= col("doc_b"))
+      .distinct()
+    cand
+      .join(sp.select(col("doc_id").as("doc_a"), col("sp").as("sp_a")), "doc_a")
+      .join(sp.select(col("doc_id").as("doc_b"), col("sp").as("sp_b")), "doc_b")
+      .withColumn("shared_spans",
+        size(array_intersect(col("sp_a"), col("sp_b"))).cast("long"))
+      .filter(col("shared_spans") >= 1)
+      .select(col("doc_a"), col("doc_b"), col("shared_spans"))
+      .orderedBy("doc_a", "doc_b")
+  }
+
+  /** Mirrors [[substrPairs]]: span postings with the df cap, bucket
+    * pairing, exact span-set intersect verify. */
+  private def substrOracle(n: Int, maxDf: Int): String = {
+    val hv = OracleSql.hexPrefixToLong("h", 12)
+    s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       |sp AS (
+       |  SELECT doc_id, list_distinct(list_transform(range(1, len(toks) - $n + 2),
+       |           i -> array_to_string(toks[i:i + ${n - 1}], ' '))) AS s
+       |  FROM w WHERE len(toks) >= $n),
+       |post AS (SELECT doc_id, $hv AS gh FROM (
+       |  SELECT doc_id, substr(md5(g), 1, 12) AS h FROM (
+       |    SELECT doc_id, unnest(s) AS g FROM sp))),
+       |bkt AS (SELECT gh FROM post GROUP BY gh
+       |        HAVING count(*) >= 2 AND count(*) <= $maxDf),
+       |bp AS (SELECT doc_id, gh FROM post JOIN bkt USING (gh)),
+       |cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+       |         FROM bp x JOIN bp y ON x.gh = y.gh AND x.doc_id < y.doc_id),
+       |v AS (
+       |  SELECT doc_a, doc_b,
+       |         CAST(len(list_intersect(a.s, b.s)) AS BIGINT) AS shared_spans
+       |  FROM cand JOIN sp a ON a.doc_id = doc_a JOIN sp b ON b.doc_id = doc_b)
+       |SELECT doc_a, doc_b, shared_spans FROM v WHERE shared_spans >= 1
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
   /** Near-dup CLUSTERS: EXACT connected components over the LSH pair
     * graph — every component collapses onto its smallest doc_id (the
     * canonical survivor), whatever the component's diameter. Until round 8
@@ -1137,6 +1217,9 @@ object Dedup {
     // exact-recall complement to MinHash: rare-shingle inverted index with
     // the df ceiling as the built-in hot-bucket bound
     "q_dedup_ngram" -> QueryDef(ngramPairs(_, _), Some(ngramOracle(0.8, 10))),
+    // exact ≥20-token-span dedup (Lee et al. 2022's exact-substring mode):
+    // df-capped span-hash postings, verify on collision via true span sets
+    "q_dedup_substr" -> QueryDef(substrPairs(_, _), Some(substrOracle(20, 10))),
     "q_dedup_clusters" -> QueryDef(nearClusters(_, _),
       Some(nearClustersOracle(0.8))),
     // the 100 TB guard-rail variant: band buckets capped at 4 docs before

@@ -151,6 +151,41 @@ class DedupPropertiesSpec extends SparkTestBase {
     }
   }
 
+  test("substrPairs: embedded ≥n-token span found at any offset; " +
+    "(n-1)-token overlap and df-capped boilerplate never pair") {
+    val n = 8 // span tier for the fixture (the chain is n-independent)
+    def words(seed: Int, len: Int): Seq[String] =
+      (0 until len).map(i => vocab((seed * 31 + i * 7) % vocab.size) + i)
+    val span = (0 until n).map(i => s"shared$i")          // the planted span
+    val shortSpan = span.take(n - 1)                      // one token short
+    val boiler = (0 until n).map(i => s"boiler$i")        // hot span
+    val mk: ((Long, Seq[String])) => (Long, String) =
+      { case (id, toks) => (id, toks.mkString(" ")) }
+    val corpus = (Seq(
+      // A/B: same n-span embedded at DIFFERENT offsets → must pair
+      1L -> (words(1, 5) ++ span ++ words(2, 9)),
+      2L -> (words(3, 13) ++ span ++ words(4, 3)),
+      // C/D: only an (n-1)-token run in common → must NOT pair
+      3L -> (words(5, 6) ++ shortSpan ++ words(6, 9)),
+      4L -> (words(7, 11) ++ shortSpan ++ words(8, 5)),
+      // E..P: 12 docs (> maxDf=10) all sharing the boilerplate span →
+      // the df cap drops its bucket, so none of them pair through it
+    ) ++ (5L to 16L).map(id =>
+      id -> (words(id.toInt, 4) ++ boiler ++ words(id.toInt + 20, 4)))).map(mk)
+    val docs = corpus.toDF("doc_id", "text")
+    graft.expr.GraftFunctions.register(spark)
+    val got = Dedup.substrPairsFrom(docs, n, maxDf = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((1L, 2L)),
+      s"expected exactly the embedded-span pair (1,2), got $got")
+    // sanity: without the df cap the boilerplate family DOES pair — the
+    // cap, not a recall gap, is what suppressed those 66 pairs above
+    val uncapped = Dedup.substrPairsFrom(docs, n, maxDf = 1000)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(uncapped.contains((5L, 6L)) && uncapped.size == 1 + 66,
+      s"uncapped run should add the 12-choose-2 boilerplate pairs, got ${uncapped.size}")
+  }
+
   test("shuffleShard() is a seeded permutation: total, shard-contiguous, seed-sensitive") {
     val d = "/root/testdata/sf0.001"
     import org.apache.spark.sql.functions._
