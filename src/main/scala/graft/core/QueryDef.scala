@@ -44,6 +44,24 @@ object QueryDef {
       df.repartition(1).sortWithinPartitions(cols.head, cols.tail: _*)
   }
 
+  /** Pin an iterative trainer's per-round result. Default (`None`):
+    * `localCheckpoint` — executor block storage, fast, but LOST with an
+    * executor, which kills a long-running cluster train mid-loop. With a
+    * `checkpointDir`: RELIABLE checkpoint to that (shared) filesystem
+    * path — the cluster deployment rule (docs/DEPLOY.md §iterative
+    * trainers); results are identical either way, only durability and
+    * write cost differ. The dir is set once per SparkContext; passing a
+    * different dir later keeps the first (Spark's checkpoint dir is
+    * context-global). */
+  def pinRound(df: DataFrame, checkpointDir: Option[String]): DataFrame =
+    checkpointDir match {
+      case Some(dir) =>
+        val sc = df.sparkSession.sparkContext
+        if (sc.getCheckpointDir.isEmpty) sc.setCheckpointDir(dir)
+        df.checkpoint(eager = true)
+      case None => df.localCheckpoint(eager = true)
+    }
+
   /** Guarded fan-out ahead of md5-heavy per-row stages: parquet can split
     * no finer than row-group boundaries and the driver testdata is written
     * as a single row group, so without this the whole downstream

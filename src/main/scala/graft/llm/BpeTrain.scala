@@ -77,9 +77,10 @@ object BpeTrain {
     * (plan-shape audits only — round r's lineage then replays rounds
     * 1..r-1, the exact cost the default checkpointing exists to avoid). */
   private[graft] def trainFrom(docs: DataFrame, merges: Int,
-                               checkpoint: Boolean = true): DataFrame = {
+                               checkpoint: Boolean = true,
+                               checkpointDir: Option[String] = None): DataFrame = {
     def pin(df: DataFrame): DataFrame =
-      if (checkpoint) df.localCheckpoint(true) else df
+      if (checkpoint) graft.core.QueryDef.pinRound(df, checkpointDir) else df
     var v = pin(vocab0(docs))
     val rounds = (1 to merges).map { r =>
       val best = pin(pairCounts(v)

@@ -600,10 +600,11 @@ object Dedup {
     * reachability) instead of replaying Spark's rounds. See
     * [[propagateMinLabels]] for the convergence argument and scale shape. */
   def nearClusters(s: SparkSession, d: String, threshold: Double = 0.8,
-                   eager: Boolean = true): DataFrame = {
+                   eager: Boolean = true,
+                   checkpointDir: Option[String] = None): DataFrame = {
     val pairs = nearPairsUnordered(Tables.documents(s, d), threshold)
       .select(col("doc_a"), col("doc_b"))
-    propagateMinLabels(pairs, eager)
+    propagateMinLabels(pairs, eager, checkpointDir)
       .select(col("id").as("doc_id"), col("lbl").as("cluster"))
       .orderedBy("doc_id")
   }
@@ -640,7 +641,8 @@ object Dedup {
     * `eager = false` and get a fixed 3-round lazy unroll: same per-round
     * plan shape, no data-dependent loop. */
   private[llm] def propagateMinLabels(pairs: DataFrame,
-                                      eager: Boolean = true): DataFrame = {
+                                      eager: Boolean = true,
+                                      checkpointDir: Option[String] = None): DataFrame = {
     // Both edge directions from ONE pass over the pairs (explode, not a
     // union of two references). The edge list is O(near-dup pairs), tiny
     // next to the corpus.
@@ -673,13 +675,15 @@ object Dedup {
     }
     if (!eager) // plan-shape path: fixed unroll, no actions
       return (1 to 3).foldLeft(labels0)((l, _) => round(l).drop("prev"))
-    var l = labels0.localCheckpoint(true)
+    // per-round pinning: localCheckpoint by default; a checkpointDir swaps
+    // in reliable checkpoints for cluster runs (QueryDef.pinRound)
+    var l = graft.core.QueryDef.pinRound(labels0, checkpointDir)
     var rounds = 0
     var converged = false
     while (!converged) {
       rounds += 1
       require(rounds <= 64, "min-label propagation failed to converge in 64 rounds")
-      val next = round(l).localCheckpoint(true)
+      val next = graft.core.QueryDef.pinRound(round(l), checkpointDir)
       // reads the blocks the checkpoint just wrote — a cached scan, not a
       // re-execution of the round's shuffles
       converged = next.filter(col("lbl") =!= col("prev")).isEmpty

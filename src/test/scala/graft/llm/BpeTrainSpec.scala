@@ -30,6 +30,33 @@ class BpeTrainSpec extends SparkTestBase {
       (5L, "lo w", 7L)), out.mkString(", "))
   }
 
+  test("reliable-checkpoint variant: identical results, files on disk " +
+    "(the cluster deployment rule for both iterative trainers)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+    // BPE trainer: the Sennrich fixture through the reliable-pin path
+    val words =
+      Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+        Seq.fill(6)("newest") ++ Seq.fill(3)("widest")
+    val docs = Seq(words.mkString(" ")).toDF("text")
+    def merges(ckpt: Option[String]) =
+      BpeTrain.trainFrom(docs, 5, checkpoint = true, checkpointDir = ckpt)
+        .orderBy("rnk").collect().toSeq
+    assert(merges(Some(dir)) == merges(None),
+      "reliable-checkpoint BPE training diverged from localCheckpoint")
+    // label propagation: a 2-component pair graph through the same path
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("doc_a", "doc_b")
+    def labels(ckpt: Option[String]) =
+      Dedup.propagateMinLabels(pairs, eager = true, checkpointDir = ckpt)
+        .orderBy("id").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(labels(Some(dir)) == Seq(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      10L -> 10L, 11L -> 10L))
+    assert(labels(Some(dir)) == labels(None))
+    // durability is the point: the rounds must actually be ON DISK
+    val files = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+      .filter(java.nio.file.Files.isRegularFile(_)).count()
+    assert(files > 0, s"no reliable checkpoint files written under $dir")
+  }
+
   test("adjacent repeats merge in one pass; leftmost wins on overlap") {
     // "ababab": after merging (a b) every occurrence must collapse in the
     // SAME round (the two-space delimiter convention), giving 3 'ab'
