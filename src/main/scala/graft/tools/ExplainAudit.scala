@@ -33,7 +33,8 @@ object ExplainAudit {
       "q_sim_ivfpq", "q_embed_hashing", "q_dedup_semantic_text",
       "q_media_decode", "q_audio_decode", "q_media_resize",
       "q_dedup_semantic_capped", "q_multimodal", "q_sim_ivfpq_recall",
-      "q_dedup_near_incr", "q_bpe_train")
+      "q_dedup_near_incr", "q_bpe_train",
+      "q_sim_ivfpq_persisted", "q_quantile_sketch", "q_dedup_substr")
     names.foreach { n =>
       println(s"\n========== $n ==========")
       n match {

@@ -52,6 +52,10 @@ class CatalogSpec extends SparkTestBase {
     assert(o("q_session_streamed") == o("q_win_session"))
     assert(o("q_dedup_streamed") == o("q_dedup_exact"))
     assert(o("q_vocab_streamed") == o("q_vocab_topk"))
+    assert(o("q_dedup_incr_streamed") == o("q_dedup_near_incr"))
+    // the persisted-index serve makes the same claim against its
+    // in-memory twin: same search, same oracle
+    assert(o("q_sim_ivfpq_persisted") == o("q_sim_ivfpq"))
   }
 
   test("every catalog query is oracled except the two documented rows-only cases") {
