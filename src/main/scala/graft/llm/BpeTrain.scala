@@ -104,7 +104,9 @@ object BpeTrain {
     * each round references the previous one from two places, so the
     * 20-round chain would otherwise expand ~3^20 subplans (observed as a
     * too-many-open-files abort re-scanning documents.parquet). */
-  private def bpeOracle: String = {
+  /** The training-round CTE chain (wf, v0, p_r/b_r/v_r per round) —
+    * shared by the train oracle and the apply oracle. */
+  private def trainCtes: String = {
     val rounds = (1 to nMerges).map { r =>
       s"""p$r AS MATERIALIZED (
          |  SELECT pair, CAST(sum(f) AS BIGINT) AS cnt FROM (
@@ -119,10 +121,7 @@ object BpeTrain {
          |           ' ' || replace(pair, ' ', '') || ' ')) AS seq, f
          |  FROM v${r - 1}, b$r)""".stripMargin
     }.mkString(",\n")
-    val out = (1 to nMerges)
-      .map(r => s"SELECT $r AS rnk, pair, cnt FROM b$r")
-      .mkString("\nUNION ALL\n")
-    s"""WITH wf AS MATERIALIZED (
+    s"""wf AS MATERIALIZED (
        |  SELECT word, count(*) AS f FROM (
        |    SELECT unnest(string_split(text, ' ')) AS word FROM documents)
        |  WHERE length(word) > 0
@@ -131,13 +130,100 @@ object BpeTrain {
        |  SELECT array_to_string(list_transform(range(1, length(word) + 1),
        |           i -> substr(word, CAST(i AS INT), 1)), '  ') || '  </w>' AS seq, f
        |  FROM wf),
-       |$rounds
+       |$rounds""".stripMargin
+  }
+
+  private def bpeOracle: String = {
+    val out = (1 to nMerges)
+      .map(r => s"SELECT $r AS rnk, pair, cnt FROM b$r")
+      .mkString("\nUNION ALL\n")
+    s"""WITH $trainCtes
        |SELECT CAST(rnk AS BIGINT) AS rnk, pair, cnt FROM (
        |$out
        |) ORDER BY rnk""".stripMargin
   }
 
+  /** APPLY the trained merges — the encode half of the tokenizer loop
+    * (train on the corpus, then tokenize the corpus with the result):
+    * every document's words encode through the `nMerges` ranked merges in
+    * rank order, and the query reports per-doc word count, subword count,
+    * and the fertility ratio (subwords per word — THE tokenizer-quality
+    * number a data pipeline tracks per language/source).
+    *
+    * Scale shape: merges collapse to ONE broadcast row (rank-sorted
+    * array); encoding runs over the DISTINCT-word vocabulary, not the
+    * token stream — the vocabulary trick: apply 20 folds to |vocab| words
+    * once, then join the (word → n_sub) table back onto the per-doc word
+    * counts (broadcast at gate scale; a corpus-scale run bucket-joins on
+    * word). The fold is `aggregate` over the ≤nMerges-element merge array
+    * — bounded interpreted work per DISTINCT word, nothing per token.
+    * Boundary-space equivalence with the training rounds: the fold keeps
+    * the ' ' sentinels across all rounds and trims once — identical to
+    * trim-per-round + re-wrap, since every replace preserves the
+    * boundary spaces it consumes. */
+  def bpeApply(s: SparkSession, d: String): DataFrame =
+    bpeApplyFrom(Tables.documents(s, d), nMerges)
+
+  private[graft] def bpeApplyFrom(docs: DataFrame, merges: Int): DataFrame = {
+    val mrow = trainFrom(docs, merges)
+      .agg(array_sort(collect_list(struct(col("rnk"), col("pair")))).as("ms"))
+    val wc = docs
+      .select(col("doc_id"), explode(TextStats.tokens(col("text"))).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("f"))
+    val encoded = wc.select(col("word")).distinct()
+      .crossJoin(broadcast(mrow))
+      .withColumn("seq0", spacedChars(col("word")))
+      .withColumn("enc", expr(
+        """trim(aggregate(ms, concat(' ', seq0, ' '), (acc, m) ->
+          | replace(acc,
+          |   concat(' ', replace(m.pair, ' ', '  '), ' '),
+          |   concat(' ', replace(m.pair, ' ', ''), ' '))))""".stripMargin))
+      .select(col("word"), size(split(col("enc"), "  ")).cast("long").as("n_sub"))
+    wc.join(broadcast(encoded), "word")
+      .groupBy(col("doc_id"))
+      .agg(sum(col("f")).as("n_words"),
+        sum(col("f") * col("n_sub")).as("n_subtokens"))
+      .withColumn("fertility",
+        round(lit(1.0) * col("n_subtokens") / col("n_words"), 4))
+      .orderedBy("doc_id")
+  }
+
+  /** Unrolls the same rank-ordered fold: s_r applies merge r to the
+    * spelled-out DISTINCT-word vocabulary, n_sub counts the surviving
+    * double-space-delimited symbols. */
+  private def bpeApplyOracle: String = {
+    val applies = (1 to nMerges).map { r =>
+      s"""s$r AS (
+         |  SELECT word, replace(acc,
+         |           ' ' || replace(pair, ' ', '  ') || ' ',
+         |           ' ' || replace(pair, ' ', '') || ' ') AS acc
+         |  FROM s${r - 1}, b$r)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $trainCtes,
+       |w AS (
+       |  SELECT doc_id, word FROM (
+       |    SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents)
+       |  WHERE length(word) > 0),
+       |wc AS (SELECT doc_id, word, count(*) AS f FROM w GROUP BY doc_id, word),
+       |s0 AS (
+       |  SELECT word, ' ' || array_to_string(list_transform(range(1, length(word) + 1),
+       |           i -> substr(word, CAST(i AS INT), 1)), '  ') || '  </w>' || ' ' AS acc
+       |  FROM (SELECT DISTINCT word FROM wc)),
+       |$applies,
+       |enc AS (SELECT word,
+       |               CAST(len(string_split(trim(acc), '  ')) AS BIGINT) AS n_sub
+       |        FROM s$nMerges)
+       |SELECT doc_id, CAST(sum(f) AS BIGINT) AS n_words,
+       |       CAST(sum(f * n_sub) AS BIGINT) AS n_subtokens,
+       |       round(1.0 * sum(f * n_sub) / sum(f), 4) AS fertility
+       |FROM wc JOIN enc USING (word)
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
+
   val defs: Map[String, QueryDef] = Map(
-    "q_bpe_train" -> QueryDef(bpeTrain, Some(bpeOracle))
+    "q_bpe_train" -> QueryDef(bpeTrain, Some(bpeOracle)),
+    // the encode half: trained merges applied corpus-wide in rank order
+    "q_bpe_apply" -> QueryDef(bpeApply, Some(bpeApplyOracle))
   )
 }

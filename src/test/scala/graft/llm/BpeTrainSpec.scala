@@ -72,6 +72,26 @@ class BpeTrainSpec extends SparkTestBase {
     assert(m(0) == ("a b", 12L), m.mkString(", "))
   }
 
+  test("bpeApply: Sennrich fixture encodes to the hand-computed subword counts") {
+    // after the first 5 merges (e s, es t, est </w>, l o, lo w):
+    //   low    -> [low, </w>]            = 2 symbols
+    //   lower  -> [low, e, r, </w>]      = 4
+    //   newest -> [n, e, w, est</w>]     = 4
+    //   widest -> [w, i, d, est</w>]     = 4
+    val words =
+      Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+        Seq.fill(6)("newest") ++ Seq.fill(3)("widest")
+    val docs = Seq((1L, words.mkString(" "))).toDF("doc_id", "text")
+    val out = BpeTrain.bpeApplyFrom(docs, 5).collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getAs[Long]("n_words") == 16L)
+    // 5*2 + 2*4 + 6*4 + 3*4 = 54
+    assert(r.getAs[Long]("n_subtokens") == 54L,
+      s"n_subtokens=${r.getAs[Long]("n_subtokens")}")
+    assert(r.getAs[Double]("fertility") == 3.375)
+  }
+
   test("driver corpus: deterministic across runs, ranks complete") {
     val d = "/root/testdata/sf0.001"
     val a = BpeTrain.bpeTrain(spark, d).collect()
