@@ -71,6 +71,13 @@ object Tables {
     s.readStream.schema(schema).parquet(s"$d/documents.*")
   }
 
+  /** STREAMING twin of [[lineitem]] (file source, schema from the batch
+    * table, glob path — see [[eventsStream]]). */
+  def lineitemStream(s: SparkSession, d: String): DataFrame = {
+    val schema = load(s, d, "lineitem").schema
+    s.readStream.schema(schema).parquet(s"$d/lineitem.*")
+  }
+
   /** Run a finite streaming frame to termination (Trigger.AvailableNow,
     * complete mode, memory sink under a fresh name) and return the
     * materialized result — the executor of the batch≡streaming oracle

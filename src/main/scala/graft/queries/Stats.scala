@@ -175,7 +175,13 @@ object Stats {
   def quantileSketch(s: SparkSession, d: String, k: Int = 256,
                      seed: Int = 7): DataFrame = {
     graft.expr.GraftFunctions.register(s)
-    Tables.lineitem(s, d)
+    sketchAgg(Tables.lineitem(s, d), k, seed).orderedBy("l_returnflag")
+  }
+
+  /** The sketch aggregation body shared by the batch query and its
+    * streaming bridge twin. */
+  private def sketchAgg(lineitem: DataFrame, k: Int, seed: Int): DataFrame =
+    lineitem
       .select(col("l_returnflag"),
         conv(substring(md5(concat_ws("#", lit(seed), col("l_orderkey"),
           col("l_linenumber"))), 1, 8), 16, 10).cast("long").as("pri"),
@@ -185,8 +191,20 @@ object Stats {
       .select(col("l_returnflag"), col("sk.n").as("n"),
         col("sk.kept").as("kept"), col("sk.p50").as("p50_q100"),
         col("sk.p90").as("p90_q100"))
-      .orderedBy("l_returnflag")
-  }
+
+  /** [[quantileSketch]] executed by the STREAMING engine (15th
+    * batch≡streaming bridge): the custom TypedImperativeAggregate's
+    * partial/merge/serialize path runs under the micro-batch planner and
+    * the StateStore (complete mode persists the serialized O(k) sketch
+    * buffer per group between batches) and must still hash-match the
+    * row-for-row DuckDB replay — the same oracle as the batch twin. This
+    * is the continuous-telemetry shape: per-key quantile state bounded at
+    * O(k) however long the stream runs. */
+  def quantileSketchStreamed(s: SparkSession, d: String): DataFrame =
+    Tables.runStreamComplete(s, "sketch_streamed_") { cs =>
+      graft.expr.GraftFunctions.register(cs)
+      sketchAgg(Tables.lineitemStream(cs, d), 256, 7)
+    }.orderedBy("l_returnflag")
 
   /** Replays the sketch exactly: kept = bottom-k by (pri, value), the
     * estimate = the ceil(q·m)-th smallest kept value (rv is unique, so
@@ -423,6 +441,9 @@ object Stats {
     "q_agg_stats" -> QueryDef(aggStats, Some(aggStatsOracle)),
     "q_quantile_hist" -> QueryDef(quantileHist, Some(quantileHistOracle)),
     "q_quantile_sketch" -> QueryDef(quantileSketch(_, _),
+      Some(quantileSketchOracle(256, 7))),
+    // 15th bridge: the custom sketch aggregate under the StateStore
+    "q_sketch_streamed" -> QueryDef(quantileSketchStreamed,
       Some(quantileSketchOracle(256, 7))),
     "q_sessionize" -> QueryDef(sessionize(_, _), Some(sessionizeOracle(5))),
     "q_latest_by_key" -> QueryDef(latestByKey, Some(latestByKeyOracle))

@@ -53,6 +53,7 @@ class CatalogSpec extends SparkTestBase {
     assert(o("q_dedup_streamed") == o("q_dedup_exact"))
     assert(o("q_vocab_streamed") == o("q_vocab_topk"))
     assert(o("q_dedup_incr_streamed") == o("q_dedup_near_incr"))
+    assert(o("q_sketch_streamed") == o("q_quantile_sketch"))
     // the persisted-index serve makes the same claim against its
     // in-memory twin: same search, same oracle
     assert(o("q_sim_ivfpq_persisted") == o("q_sim_ivfpq"))
