@@ -446,6 +446,68 @@ object SimilarityPq {
         sqrt(call_function("vec_dot", recon, recon)).as("rnrm")): _*)
   }
 
+  /** INCREMENTAL index ingest — the ANN twin of the dedup family's
+    * daily-increment pattern and the update half of the "index once,
+    * query many" story: NEW vectors (vec_id % 5 = 4, the same increment
+    * convention as [[Dedup.nearIncremental]]) are coarse-assigned and
+    * PQ-encoded against centroids and codebooks trained on the EXISTING
+    * corpus only — no retrain, which is how production IVFPQ indexes
+    * absorb deltas (FAISS add_with_ids; quantizers retrain on drift
+    * schedules, not per batch). Output: the increment's index rows
+    * (vec_id, coarse bucket, c1..cm), appendable to the persisted coded
+    * table. Scale shape: the increment never shuffles — both trained
+    * artifacts arrive as one-row broadcasts (pinned), and the corpus is
+    * touched only inside the one-time training lineage. */
+  def indexIngest(s: SparkSession, d: String): DataFrame = {
+    val all = Similarity.vecs(s, d)
+    val isNew = pmod(col("vec_id"), lit(5)) === 4
+    val corpus = all.filter(!isNew)
+    val cents = Similarity.trainCentroids(corpus, 8, 2, pin = true)
+    val cb = codebooksRow(corpus, pin = true)
+    val assigned = Similarity.assignNearest(all.filter(isNew), cents)
+      .select(col("vec_id"), col("e"), col("cid").as("bucket"))
+    encodeWith(assigned, cb)
+      .select(col("vec_id") +: col("bucket") +: (1 to m).map(j => col(s"c$j")): _*)
+      .orderedBy("vec_id")
+  }
+
+  /** Trains from the corpus-only `v`, then assigns/encodes the increment
+    * `vn` — the training CTEs are the standard chains with `v` filtered,
+    * the encode CTEs are [[assignSql]] pointed at the increment. */
+  private def indexIngestOracle: String = {
+    val encNew = (1 to m).map { j =>
+      s"""sn$j AS (SELECT vec_id, list_slice(e, ${off(j)}, ${off(j) + ds - 1}) AS e FROM vn),
+         |${assignSql(s"encn_$j", s"sn$j", s"c${rounds}_$j")}""".stripMargin
+    }.mkString(",\n")
+    val joins = (2 to m)
+      .map(j => s"JOIN encn_$j e$j ON e$j.vec_id = e1.vec_id").mkString(" ")
+    val cols = (1 to m).map(j => s"e$j.bucket AS c$j").mkString(", ")
+    s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+       |           FROM embeddings WHERE vec_id % 5 <> 4),
+       |vn AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+       |       FROM embeddings WHERE vec_id % 5 = 4),
+       |c0 AS (SELECT vec_id AS cid, e AS ce FROM v WHERE vec_id < 8),
+       |${(1 to 2).map(t =>
+          s"""${Similarity.assignCte(s"a$t", s"c${t - 1}")},
+             |c$t AS (
+             |  SELECT bucket AS cid,
+             |         [${(1 to dim).map(i =>
+                  s"round(CAST(sum(CAST(e[$i] AS DECIMAL(20,8))) AS DOUBLE) / count(*), 6)")
+                  .mkString(",\n          ")}] AS ce
+             |  FROM a$t GROUP BY bucket)""".stripMargin).mkString(",\n")},
+       |coarse AS (
+       |  SELECT vec_id, cid AS bucket FROM (
+       |    SELECT n.vec_id, c.cid,
+       |           row_number() OVER (PARTITION BY n.vec_id
+       |             ORDER BY list_cosine_similarity(c.ce, n.e) DESC, c.cid) AS arn
+       |    FROM vn n, c2 c) WHERE arn = 1),
+       |$pqSubCtes,
+       |$encNew
+       |SELECT e1.vec_id, coarse.bucket, $cols
+       |FROM encn_1 e1 $joins JOIN coarse ON coarse.vec_id = e1.vec_id
+       |ORDER BY e1.vec_id""".stripMargin
+  }
+
   /** Index-artifact location for [[ivfPqPersisted]] — under the build
     * directory, keyed by the source dataset so scale factors never share
     * an index. */
@@ -520,6 +582,9 @@ object SimilarityPq {
     // identical semantics to q_sim_ivfpq — the search serves from the
     // persisted index, so the SAME oracle adjudicates the round trip
     "q_sim_ivfpq_persisted" -> QueryDef(ivfPqPersisted(_, _),
-      Some(ivfPqOracle(nQueries, k, nCentroids = 8, nprobe = 2, iters = 2)))
+      Some(ivfPqOracle(nQueries, k, nCentroids = 8, nprobe = 2, iters = 2))),
+    // increment encoded against the EXISTING index's trained artifacts —
+    // index update without retrain
+    "q_sim_index_ingest" -> QueryDef(indexIngest, Some(indexIngestOracle))
   )
 }
