@@ -71,6 +71,15 @@ object QueryDef {
     * split planning only, it runs no job. */
   def fanOut(df: DataFrame): DataFrame = {
     val cores = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions * 2 < cores) df.repartition(cores) else df
+    // read the scan's own split planning (the source of the partition
+    // count) instead of converting the whole frame to an RDD — df.rdd
+    // appends a deserializer stage and RDD lineage just to ask this
+    // question (r11 advice); fall back to the RDD only for non-file plans
+    val parts = df.queryExecution.sparkPlan.collectLeaves().map {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.inputRDD.getNumPartitions
+      case _ => df.rdd.getNumPartitions
+    }.sum
+    if (parts * 2 < cores) df.repartition(cores) else df
   }
 }
