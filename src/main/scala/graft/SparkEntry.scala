@@ -269,5 +269,6 @@ object Catalog {
       graft.llm.MlLsh.defs ++ graft.llm.Pipeline.defs ++
       graft.llm.Similarity.defs ++ graft.llm.SimilarityPq.defs ++
       graft.llm.SemDedup.defs ++ graft.llm.Vectorize.defs ++
-      graft.llm.Multimodal.defs ++ graft.llm.BpeTrain.defs
+      graft.llm.Multimodal.defs ++ graft.llm.BpeTrain.defs ++
+      graft.llm.Retrieval.defs
 }

@@ -507,6 +507,88 @@ object Dedup {
        |ORDER BY doc_a, doc_b""".stripMargin
   }
 
+  /** CONTAINMENT detection — the asymmetric complement of [[ngramPairs]]:
+    * Jaccard containment C(A,B) = |A∩B| / |A| flags A as (near-)contained
+    * in B, catching the doc-in-doc class symmetric Jaccard misses — a
+    * short document quoted whole inside a much longer one scores
+    * J ≈ |A|/|B| ≈ 0 but C(A,B) ≈ 1. Candidate generation is the same
+    * rare-shingle inverted index (df-capped postings — recall argument and
+    * hot-bucket bound inherited verbatim); the verify step computes BOTH
+    * directions on the candidate pair's true shingle sets and keeps pairs
+    * where either is >= `threshold`, emitting the two rounded scores so
+    * the consumer can orient the containment (which side to drop or
+    * excerpt). Same scale shape as ngramPairs: only doc-id pairs and
+    * shingle SETS of candidates move, never the corpus text. */
+  def containPairs(s: SparkSession, d: String, threshold: Double = 0.5,
+                   maxDf: Int = 10, minShared: Int = 2): DataFrame = {
+    graft.expr.GraftFunctions.register(s)
+    containPairsFrom(Tables.documents(s, d), threshold, maxDf, minShared)
+  }
+
+  /** [[containPairs]] over an arbitrary (doc_id, text) frame — the
+    * fixture entry point. */
+  private[llm] def containPairsFrom(docs: DataFrame, threshold: Double,
+                                    maxDf: Int, minShared: Int): DataFrame = {
+    val docsTok = docs
+      .select(col("doc_id"), TextStats.tokens(col("text")).as("toks"))
+    val sh = docsTok
+      .select(col("doc_id"), TextStats.shinglesExpr("toks").as("sh"))
+      .filter(size(col("sh")) > 0)
+    val postings = sh.select(col("doc_id"), explode(col("sh")).as("g"))
+      .select(col("doc_id"),
+        conv(substring(md5(col("g").cast("binary")), 1, 12), 16, 10)
+          .cast("long").as("gh"))
+    val cand = postings.groupBy(col("gh"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
+      .filter(size(col("ds")) >= 2 && size(col("ds")) <= maxDf)
+      .select(explode(expr(
+        """flatten(transform(ds, (a, i) ->
+          |  transform(slice(ds, i + 2, size(ds) - i - 1),
+          |            b -> struct(a AS doc_a, b AS doc_b))))""".stripMargin)).as("p"))
+      .select(col("p.doc_a"), col("p.doc_b"))
+      .filter(col("doc_a") =!= col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= minShared)
+      .select(col("doc_a"), col("doc_b"))
+    cand
+      .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
+      .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("c_ab", round(lit(1.0) * col("inter") / size(col("sh_a")), 4))
+      .withColumn("c_ba", round(lit(1.0) * col("inter") / size(col("sh_b")), 4))
+      .filter(col("c_ab") >= threshold || col("c_ba") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("c_ab"), col("c_ba"))
+      .orderedBy("doc_a", "doc_b")
+  }
+
+  private def containOracle(threshold: Double, maxDf: Int,
+                            minShared: Int = 2): String = {
+    val hv = OracleSql.hexPrefixToLong("h", 12)
+    s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       |sh AS (
+       |  SELECT doc_id, list_distinct(list_transform(range(1, len(toks) - 1),
+       |           i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS s
+       |  FROM w WHERE len(toks) >= 3),
+       |post AS (SELECT doc_id, $hv AS gh FROM (
+       |  SELECT doc_id, substr(md5(g), 1, 12) AS h FROM (
+       |    SELECT doc_id, unnest(s) AS g FROM sh))),
+       |rare AS (SELECT gh FROM post GROUP BY gh
+       |         HAVING count(*) >= 2 AND count(*) <= $maxDf),
+       |rp AS (SELECT doc_id, gh FROM post JOIN rare USING (gh)),
+       |cand AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b
+       |         FROM rp x JOIN rp y ON x.gh = y.gh AND x.doc_id < y.doc_id
+       |         GROUP BY doc_a, doc_b HAVING count(*) >= $minShared),
+       |pairs AS (
+       |  SELECT doc_a, doc_b,
+       |         round(1.0 * len(list_intersect(a.s, b.s)) / len(a.s), 4) AS c_ab,
+       |         round(1.0 * len(list_intersect(a.s, b.s)) / len(b.s), 4) AS c_ba
+       |  FROM cand JOIN sh a ON a.doc_id = doc_a JOIN sh b ON b.doc_id = doc_b)
+       |SELECT doc_a, doc_b, c_ab, c_ba FROM pairs
+       |WHERE c_ab >= $threshold OR c_ba >= $threshold
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
   /** EXACT-SUBSTRING dedup at the long-span tier (Lee et al. 2022's
     * production companion to MinHash: two documents sharing any exact
     * ≥n-token span are duplicates regardless of their overall Jaccard —
@@ -1221,6 +1303,9 @@ object Dedup {
     // exact-recall complement to MinHash: rare-shingle inverted index with
     // the df ceiling as the built-in hot-bucket bound
     "q_dedup_ngram" -> QueryDef(ngramPairs(_, _), Some(ngramOracle(0.8, 10))),
+    // asymmetric containment (doc-in-doc): same rare-shingle candidates,
+    // directional |A∩B|/|A| verify — the quoted-whole-document class
+    "q_dedup_contain" -> QueryDef(containPairs(_, _), Some(containOracle(0.5, 10))),
     // exact ≥20-token-span dedup (Lee et al. 2022's exact-substring mode):
     // df-capped span-hash postings, verify on collision via true span sets
     "q_dedup_substr" -> QueryDef(substrPairs(_, _), Some(substrOracle(20, 10))),

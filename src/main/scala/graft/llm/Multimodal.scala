@@ -237,6 +237,49 @@ object Multimodal {
         call_function("byte_sumsq", col("px")).as("energy"))
   }
 
+  /** Windowed audio FRAMING — the analysis front-end every audio feature
+    * pipeline starts with (VAD, MFCC, loudness normalization all consume
+    * fixed frames, not whole clips): slice the PCM payload into
+    * `frame`-sample windows and fold each into energy (sum of squares)
+    * and center-relative peak. One Generate (frame offsets) + per-frame
+    * codegen'd byte folds over binary substrings — no per-sample explode
+    * (the array-of-samples formulation would move n_samples rows per clip
+    * through the plan; this moves n_samples/frame), no shuffle, corpus
+    * stays put. All-integer outputs; the oracle recomputes every frame
+    * from the source text bytes. */
+  def wavFrames(s: SparkSession, d: String, frame: Int = 64): DataFrame = {
+    graft.expr.GraftFunctions.register(s)
+    packAsWav(Tables.documents(s, d))
+      .withColumn("n", (length(col("aud")) - 44).cast("long"))
+      .filter(col("n") >= 1)
+      .select(col("doc_id"), col("aud"),
+        explode(expr(s"sequence(1, CAST(n AS INT), $frame)")).as("off"))
+      .withColumn("fb", expr(s"substring(aud, 44 + off, $frame)"))
+      .select(col("doc_id"),
+        expr(s"CAST((off - 1) DIV $frame AS BIGINT)").as("frame_id"),
+        length(col("fb")).cast("long").as("n_samp"),
+        call_function("byte_sumsq", col("fb")).as("energy"),
+        greatest(call_function("byte_max", col("fb")) - 128L,
+          lit(128L) - call_function("byte_min", col("fb"))).as("peak"))
+      .orderedBy("doc_id", "frame_id")
+  }
+
+  private def wavFramesOracle(frame: Int): String =
+    s"""WITH c AS (
+       |  SELECT doc_id, text, CAST(length(text) AS BIGINT) AS n
+       |  FROM documents WHERE text IS NOT NULL AND length(text) >= 1),
+       |fr AS (SELECT doc_id, text, n,
+       |              unnest(range(1, n + 1, $frame)) AS off FROM c),
+       |s AS (SELECT doc_id, CAST((off - 1) // $frame AS BIGINT) AS frame_id,
+       |             list_transform(range(off, least(off + $frame, n + 1)),
+       |               i -> ord(substr(text, CAST(i AS INT), 1))) AS codes
+       |      FROM fr)
+       |SELECT doc_id, frame_id, CAST(len(codes) AS BIGINT) AS n_samp,
+       |       CAST(list_sum(list_transform(codes, x -> x * x)) AS BIGINT) AS energy,
+       |       greatest(CAST(list_max(codes) AS BIGINT) - 128,
+       |                128 - CAST(list_min(codes) AS BIGINT)) AS peak
+       |FROM s ORDER BY doc_id, frame_id""".stripMargin
+
   private def wavOracle: String =
     s"""WITH c AS (
        |  SELECT doc_id, CAST($wavRate AS BIGINT) AS sample_rate,
@@ -387,6 +430,9 @@ object Multimodal {
     "q_media_decode" -> QueryDef(pgmDecode, Some(pgmOracle)),
     "q_media_streamed" -> QueryDef(pgmStreamed, Some(pgmOracle)),
     "q_audio_decode" -> QueryDef(wavDecode, Some(wavOracle)),
+    // the feature-extraction front-end shape: fixed windows over the PCM
+    // payload, per-frame energy/peak via the codegen'd byte folds
+    "q_audio_frames" -> QueryDef(wavFrames(_, _), Some(wavFramesOracle(64))),
     "q_media_resize" -> QueryDef(pgmResize, Some(pgmResizeOracle)),
     "q_multimodal" -> QueryDef(multimodalFeatures(_, _), Some(multimodalOracle))
   )

@@ -473,7 +473,184 @@ object Pipeline {
        |FROM spl ORDER BY doc_id""".stripMargin
   }
 
+  /** Cross-document boilerplate STRIP — the rewrite half of chunk dedup
+    * (CCNet/RefinedWeb-style: headers, navigation, license blurbs repeat
+    * across many pages; [[Dedup.chunkDups]] measures them, this removes
+    * them and re-emits the cleaned document). A token chunk (size-aligned,
+    * non-overlapping — the q_dedup_chunk unit) is boilerplate when it
+    * appears verbatim in >= `dfMin` DISTINCT documents.
+    *
+    * Scale design — the corpus text itself NEVER shuffles:
+    *   1. chunk-hash postings (doc_id, start, 16-byte md5) shuffle once to
+    *      count document frequency — narrow rows, the q_dedup_chunk shape;
+    *   2. the boilerplate set (df >= dfMin) is by construction SMALL (high
+    *      df ⇒ few distinct such chunks) and broadcasts;
+    *   3. flagged occurrences (doc_id → chunk starts) aggregate — rows
+    *      proportional to boilerplate hits, not the corpus — and broadcast
+    *      back onto a second corpus scan, where one codegen'd projection
+    *      drops the flagged spans and reassembles the text map-side.
+    * Broadcast-budget caveat: step 3's hit table is bounded by the corpus'
+    * boilerplate occurrence count; a pathological corpus (everything
+    * boilerplate) exceeds the budget — the fallback is the plain doc_id
+    * shuffle join of the hit table, which still never moves `text`.
+    */
+  def boilerplateStrip(s: SparkSession, d: String, size: Int = 16,
+                       dfMin: Int = 2): DataFrame = {
+    val ch = chunks(s, d, size, size).select(col("doc_id"), col("start"), col("chunk_md5"))
+    val bp = ch.groupBy(col("chunk_md5"))
+      .agg(countDistinct(col("doc_id")).as("ndocs"))
+      .filter(col("ndocs") >= dfMin)
+      .select(col("chunk_md5"))
+    val flagged = ch.join(broadcast(bp), "chunk_md5")
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(col("start"))).as("drop"))
+    Tables.documents(s, d)
+      .select(col("doc_id"), TextStats.tokens(col("text")).as("toks"))
+      .join(broadcast(flagged), Seq("doc_id"), "left")
+      .withColumn("drop", coalesce(col("drop"), expr("CAST(array() AS ARRAY<BIGINT>)")))
+      .withColumn("kept", expr(
+        s"""flatten(transform(
+           |  filter(sequence(1, size(toks), $size),
+           |         s -> NOT array_contains(drop, CAST(s AS BIGINT))),
+           |  s -> slice(toks, s, $size)))""".stripMargin))
+      .select(
+        col("doc_id"),
+        expr(s"CAST(size(sequence(1, size(toks), $size)) AS BIGINT)").as("n_chunks"),
+        functions.size(col("drop")).cast("long").as("bp_chunks"),
+        functions.size(col("kept")).cast("long").as("clean_tok"),
+        md5(expr("CAST(array_join(kept, ' ') AS BINARY)")).as("clean_md5"))
+      .orderedBy("doc_id")
+  }
+
+  private def boilerplateOracle(size: Int, dfMin: Int): String =
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       |st AS (SELECT doc_id, toks,
+       |              unnest(range(1, len(toks) + 1, $size)) AS start FROM t),
+       |c AS (SELECT doc_id, start, toks[start:start + ${size - 1}] AS chunk,
+       |             md5(array_to_string(toks[start:start + ${size - 1}], ' ')) AS chunk_md5
+       |      FROM st),
+       |bp AS (SELECT chunk_md5 FROM c GROUP BY chunk_md5
+       |       HAVING count(DISTINCT doc_id) >= $dfMin),
+       |f AS (SELECT c.*, CASE WHEN bp.chunk_md5 IS NULL THEN 0 ELSE 1 END AS isbp
+       |      FROM c LEFT JOIN bp USING (chunk_md5))
+       |SELECT doc_id, count(*) AS n_chunks,
+       |       CAST(sum(isbp) AS BIGINT) AS bp_chunks,
+       |       CAST(coalesce(sum(len(chunk)) FILTER (WHERE isbp = 0), 0) AS BIGINT) AS clean_tok,
+       |       md5(coalesce(array_to_string(
+       |             flatten(list(chunk ORDER BY start) FILTER (WHERE isbp = 0)),
+       |             ' '), '')) AS clean_md5
+       |FROM f GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  /** Curriculum ordering — phase-bucketed, shard-shuffled corpus order (the
+    * "easy → hard" schedule a curriculum-trained run consumes). Complexity
+    * proxy: lexical diversity (distinct-token ratio, the q_quality
+    * feature). Phase boundaries are the score's exact quartiles computed in
+    * ONE one-row aggregate and broadcast back — phase assignment is then a
+    * map-side comparison chain, NOT a global ntile() window (a corpus-wide
+    * single-partition sort at 100 TB). Within a phase, consumption order
+    * is a deterministic shuffle: md5-keyed order inside `nShards` hash
+    * shards, so the per-shard row_number window is bounded by
+    * corpus/(4·nShards) — production sets nShards ∝ corpus size; nothing
+    * in the plan is corpus-global except the one-row quartile agg. */
+  def curriculum(s: SparkSession, d: String, nShards: Int = 8): DataFrame = {
+    val scored = Tables.documents(s, d)
+      .select(col("doc_id"), TextStats.tokens(col("text")).as("toks"))
+      .select(col("doc_id"),
+        round(lit(1.0) * size(array_distinct(col("toks"))) / size(col("toks")), 4)
+          .as("score"))
+    val cuts = scored.agg(
+      expr("percentile(score, CAST(0.25 AS DOUBLE))").as("t1"),
+      expr("percentile(score, CAST(0.5 AS DOUBLE))").as("t2"),
+      expr("percentile(score, CAST(0.75 AS DOUBLE))").as("t3"))
+    val keyed = scored.crossJoin(broadcast(cuts))
+      .withColumn("phase", (lit(1) + (col("score") > col("t1")).cast("int")
+        + (col("score") > col("t2")).cast("int")
+        + (col("score") > col("t3")).cast("int")).cast("long"))
+      .withColumn("h", md5(col("doc_id").cast("string").cast("binary")))
+      .withColumn("shard",
+        (conv(substring(col("h"), 1, 8), 16, 10).cast("long") % nShards).cast("long"))
+    keyed
+      .withColumn("pos", row_number().over(Window
+        .partitionBy(col("phase"), col("shard"))
+        .orderBy(col("h"), col("doc_id"))).cast("long"))
+      .select(col("phase"), col("shard"), col("pos"), col("doc_id"), col("score"))
+      .orderedBy("phase", "shard", "pos")
+  }
+
+  private def curriculumOracle(nShards: Int): String = {
+    val hv = OracleSql.hexPrefixToLong("h", 8)
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       |sc AS (SELECT doc_id,
+       |              round(1.0 * len(list_distinct(toks)) / len(toks), 4) AS score
+       |       FROM t),
+       |cuts AS (SELECT quantile_cont(score, 0.25) AS t1,
+       |                quantile_cont(score, 0.5) AS t2,
+       |                quantile_cont(score, 0.75) AS t3 FROM sc),
+       |ph AS (SELECT doc_id, score,
+       |              CAST(1 + CASE WHEN score > t1 THEN 1 ELSE 0 END
+       |                     + CASE WHEN score > t2 THEN 1 ELSE 0 END
+       |                     + CASE WHEN score > t3 THEN 1 ELSE 0 END AS BIGINT) AS phase,
+       |              md5(CAST(doc_id AS VARCHAR)) AS h
+       |       FROM sc, cuts),
+       |sh AS (SELECT doc_id, score, phase, h, ($hv) % $nShards AS shard FROM ph)
+       |SELECT phase, CAST(shard AS BIGINT) AS shard,
+       |       CAST(row_number() OVER (PARTITION BY phase, shard
+       |              ORDER BY h, doc_id) AS BIGINT) AS pos,
+       |       doc_id, score
+       |FROM sh ORDER BY phase, shard, pos""".stripMargin
+  }
+
+  /** WEIGHTED sampling without replacement — Efraimidis–Spirakis
+    * exponential clocks (the public A-ES scheme): each row draws a
+    * deterministic uniform u ∈ (0,1] from a salted 32-bit md5 prefix and
+    * competes with key = −ln(u)/w; the k smallest keys are the sample,
+    * each row's inclusion probability proportional to its weight (here
+    * n_chars — sample long documents preferentially, the token-budget
+    * weighting a corpus subset draw uses). One map-side projection then
+    * TakeOrderedAndProject — per-partition heaps, no shuffle of the
+    * corpus, no RangePartitioner sampling pass; identical salted-hash
+    * replay in the oracle (the q_sample_k / q_split_assign discipline).
+    * Keys round to 12 decimals into an exact decimal so the cross-engine
+    * ranking never hinges on an ln() ulp. */
+  def sampleWeighted(s: SparkSession, d: String, k: Int = 25,
+                     salt: String = "wsamp"): DataFrame = {
+    val h = conv(substring(
+      md5(concat(lit(s"$salt#"), col("doc_id").cast("string")).cast("binary")),
+      1, 8), 16, 10).cast("long")
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("n_chars").as("w"), h.as("h"))
+      .withColumn("key_dec", expr(
+        "CAST(round(-ln((h + CAST(1 AS DOUBLE)) / CAST(4294967296 AS DOUBLE)) / w, 12) AS DECIMAL(20,12))"))
+      .orderBy(col("key_dec"), col("doc_id")).limit(k)
+      .select(
+        row_number().over(Window.orderBy(col("key_dec"), col("doc_id")))
+          .cast("long").as("rnk"),
+        col("doc_id"), col("w"), col("key_dec").cast("double").as("key"))
+      .orderedBy("rnk")
+  }
+
+  private def sampleWeightedOracle(k: Int, salt: String): String = {
+    val hv = OracleSql.hexPrefixToLong("hx")
+    s"""WITH b AS (
+       |  SELECT doc_id, n_chars AS w, ($hv) AS h FROM (
+       |    SELECT doc_id, n_chars,
+       |           substr(md5('$salt#' || CAST(doc_id AS VARCHAR)), 1, 8) AS hx
+       |    FROM documents)),
+       |kd AS (SELECT doc_id, w,
+       |              CAST(round(-ln((h + CAST(1 AS DOUBLE)) / CAST(4294967296 AS DOUBLE)) / w, 12)
+       |                   AS DECIMAL(20,12)) AS key_dec
+       |       FROM b),
+       |top AS (SELECT * FROM kd ORDER BY key_dec, doc_id LIMIT $k)
+       |SELECT CAST(row_number() OVER (ORDER BY key_dec, doc_id) AS BIGINT) AS rnk,
+       |       doc_id, w, CAST(key_dec AS DOUBLE) AS key
+       |FROM top ORDER BY rnk""".stripMargin
+  }
+
   val defs: Map[String, QueryDef] = Map(
+    "q_boilerplate" -> QueryDef(boilerplateStrip(_, _), Some(boilerplateOracle(16, 2))),
+    "q_sample_weighted" -> QueryDef(sampleWeighted(_, _),
+      Some(sampleWeightedOracle(25, "wsamp"))),
+    "q_curriculum" -> QueryDef(curriculum(_, _), Some(curriculumOracle(8))),
     "q_pipeline_clean" -> QueryDef(cleanCorpus(_, _), Some(oracle(20, 500, 0.8))),
     "q_pipeline_full" -> QueryDef(fullPipeline(_, _),
       Some(fullOracle(20, 500, 0.8, 10L, 5, 5, "split", 2048))),

@@ -335,6 +335,73 @@ object Relational {
        |FROM a ORDER BY l_returnflag""".stripMargin
   }
 
+  /** Sketch MERGE — the property that makes [[distinctSketch]] a 100 TB
+    * operator: registers are a commutative-monoid state (bucket-wise max),
+    * so per-PARTITION sketches (here: per day — the daily sketch table a
+    * production pipeline persists) merge into exact union sketches without
+    * rescanning history. The query builds daily (event_type, bucket, reg)
+    * sub-sketches, merges them register-wise across days, and estimates
+    * distinct users per event_type from the MERGED registers — at scale
+    * the daily table is all that's ever recomputed, and the merge input is
+    * m rows per (group, day), never the event stream. Algebraic check
+    * (max-of-max = global max ⇒ merged ≡ direct whole-corpus sketch) is
+    * pinned by a spec; the oracle replays the full two-level chain. */
+  def sketchMerge(s: SparkSession, d: String, m: Int = 64): DataFrame = {
+    val daily = dailySketch(Tables.events(s, d), m)
+    val merged = daily
+      .groupBy(col("event_type"), col("bucket"))
+      .agg(max(col("reg")).as("reg"))
+    val nDays = daily.select(col("event_type"), col("day")).distinct()
+      .groupBy(col("event_type")).agg(count(lit(1)).as("n_days"))
+    merged.groupBy(col("event_type"))
+      .agg(
+        expr("sum(1.0 / shiftleft(CAST(1 AS BIGINT), CAST(reg AS INT)))").as("sp"),
+        count(lit(1)).as("nb"))
+      .join(nDays, "event_type") // few-groups join, post-aggregate
+      .select(col("event_type"), col("n_days"), col("nb"),
+        round(lit(0.709 * m * m) / (col("sp") + (lit(m) - col("nb"))), 4)
+          .as("distinct_est"))
+      .orderedBy("event_type")
+  }
+
+  /** The daily sketch table: one register row per (group, day, bucket). */
+  private[queries] def dailySketch(events: DataFrame, m: Int): DataFrame = {
+    val h = conv(substring(md5(col("user_id").cast("string").cast("binary")), 1, 8), 16, 10)
+      .cast("long")
+    events
+      .select(col("event_type"), to_date(col("ts")).as("day"), h.as("h"))
+      .withColumn("bucket", col("h") % m)
+      .withColumn("w", expr(s"h DIV $m"))
+      .withColumn("rho",
+        when(col("w") === 0, lit(27)).otherwise(lit(27) - length(bin(col("w")))))
+      .groupBy(col("event_type"), col("day"), col("bucket"))
+      .agg(max(col("rho")).as("reg"))
+  }
+
+  private def sketchMergeOracle(m: Int): String = {
+    val hv = OracleSql.hexPrefixToLong("hx")
+    s"""WITH hsrc AS (
+       |  SELECT event_type, CAST(ts AS DATE) AS day,
+       |         substr(md5(CAST(user_id AS VARCHAR)), 1, 8) AS hx
+       |  FROM events),
+       |h AS (SELECT event_type, day, $hv AS h FROM hsrc),
+       |b AS (SELECT event_type, day, h % $m AS bucket, h // $m AS w FROM h),
+       |r AS (SELECT event_type, day, bucket,
+       |             max(CASE WHEN w = 0 THEN 27 ELSE 27 - length(bin(w)) END) AS reg
+       |      FROM b GROUP BY event_type, day, bucket),
+       |mg AS (SELECT event_type, bucket, max(reg) AS reg
+       |       FROM r GROUP BY event_type, bucket),
+       |nd AS (SELECT event_type, count(DISTINCT day) AS n_days FROM r
+       |       GROUP BY event_type),
+       |a AS (SELECT event_type,
+       |             sum(1.0 / (CAST(1 AS BIGINT) << CAST(reg AS INT))) AS sp,
+       |             count(*) AS nb
+       |      FROM mg GROUP BY event_type)
+       |SELECT a.event_type, n_days, nb,
+       |       round(${0.709 * m * m} / (sp + ($m - nb)), 4) AS distinct_est
+       |FROM a JOIN nd USING (event_type) ORDER BY event_type""".stripMargin
+  }
+
   /** HLL sketch — nondeterministic vs DuckDB, so rows-only check (no oracle). */
   def aggApprox(s: SparkSession, d: String): DataFrame =
     Tables.lineitem(s, d)
@@ -568,6 +635,9 @@ object Relational {
     // the replayable sketch twin: md5-register HLL, full hash oracle
     "q_distinct_sketch" -> QueryDef(distinctSketch(_, _),
       Some(distinctSketchOracle(64))),
+    // sketch MERGEABILITY: daily register tables unioned register-wise —
+    // the persisted-sketch-table pattern that avoids rescanning history
+    "q_sketch_merge" -> QueryDef(sketchMerge(_, _), Some(sketchMergeOracle(64))),
     "q_rollup" -> QueryDef(rollupQ, Some(groupedSetsSql("ROLLUP"))),
     "q_cube" -> QueryDef(cubeQ, Some(groupedSetsSql("CUBE"))),
     "q_win_rank" -> QueryDef(winRank, Some(

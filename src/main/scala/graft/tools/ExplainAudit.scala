@@ -34,7 +34,11 @@ object ExplainAudit {
       "q_media_decode", "q_audio_decode", "q_media_resize",
       "q_dedup_semantic_capped", "q_multimodal", "q_sim_ivfpq_recall",
       "q_dedup_near_incr", "q_bpe_train",
-      "q_sim_ivfpq_persisted", "q_quantile_sketch", "q_dedup_substr")
+      "q_sim_ivfpq_persisted", "q_quantile_sketch", "q_dedup_substr",
+      "q_bm25", "q_bm25_scored", "q_boilerplate", "q_curriculum",
+      "q_dedup_contain", "q_sim_ivfpq_rerank", "q_sketch_merge",
+      "q_sample_weighted", "q_audio_frames", "q_bpe_apply",
+      "q_sim_index_ingest")
     names.foreach { n =>
       println(s"\n========== $n ==========")
       n match {

@@ -186,6 +186,30 @@ class DedupPropertiesSpec extends SparkTestBase {
       s"uncapped run should add the 12-choose-2 boilerplate pairs, got ${uncapped.size}")
   }
 
+  test("containPairs flags the quoted-whole-document pair symmetric Jaccard misses") {
+    // A (12 tokens) quoted verbatim inside B (12 + 48 others): every
+    // shingle of A is a shingle of B, so containment c_ab = 1.0 while
+    // plain Jaccard |A∩B|/|A∪B| ≈ 10/58 ≈ 0.17 — under any dedup
+    // threshold. C is unrelated noise.
+    val quoted = (0 until 12).map(i => vocab(i))
+    val corpus = Seq(
+      1L -> quoted.mkString(" "),
+      2L -> ((0 until 24).map(i => s"p$i") ++ quoted ++
+        (0 until 24).map(i => s"q$i")).mkString(" "),
+      3L -> (0 until 40).map(i => s"z$i").mkString(" "))
+    val docs = corpus.toDF("doc_id", "text")
+    graft.expr.GraftFunctions.register(spark)
+    val got = Dedup.containPairsFrom(docs, threshold = 0.5, maxDf = 10,
+      minShared = 2).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(got.keySet == Set((1L, 2L)), s"expected exactly (1,2), got $got")
+    assert(got((1L, 2L)) == 1.0, s"full quote must give c_ab = 1.0: $got")
+    // while the pair's SYMMETRIC Jaccard sits far under any dedup
+    // threshold — the class this operator exists for
+    val j = jaccard(corpus(0)._2, corpus(1)._2)
+    assert(j < 0.3, f"fixture Jaccard $j%.3f unexpectedly high")
+  }
+
   test("shuffleShard() is a seeded permutation: total, shard-contiguous, seed-sensitive") {
     val d = "/root/testdata/sf0.001"
     import org.apache.spark.sql.functions._

@@ -100,6 +100,23 @@ class PqSpec extends SparkTestBase {
     assert(rec >= 0.15, f"IVF-PQ recall@3 $rec%.3f below floor")
   }
 
+  test("refine stage: exact rerank of IVFPQ candidates does not lose recall") {
+    // the refine contract: ranking the 10-candidate pool by EXACT cosine
+    // can only promote true neighbors the code distances misranked, so
+    // refined recall@3 >= raw IVFPQ recall@3 (strict gain whenever a true
+    // neighbor sat at ADC rank 4..10)
+    def asSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val brute = asSet(Similarity.topkBrute(spark, d001, nQueries = 20, k = 3))
+    val raw = asSet(SimilarityPq.ivfPqTopk(spark, d001))
+    val refined = asSet(SimilarityPq.ivfPqRerank(spark, d001))
+    val rawRec = raw.intersect(brute).size.toDouble / brute.size
+    val refRec = refined.intersect(brute).size.toDouble / brute.size
+    info(f"IVF-PQ recall@3 raw: $rawRec%.3f refined: $refRec%.3f")
+    assert(refRec >= rawRec,
+      f"refine lost recall: $refRec%.3f < $rawRec%.3f")
+  }
+
   test("PQ top-k is deterministic across runs") {
     val a = SimilarityPq.pqTopk(spark, d001).collect().toSeq
     val b = SimilarityPq.pqTopk(spark, d001).collect().toSeq

@@ -18,6 +18,45 @@ class RelationalGoldenSpec extends SparkTestBase {
     assert(rows.map(_.getAs[String]("r_name")).distinct.length == 5)
   }
 
+  test("q_sketch_merge: merged daily registers equal the direct whole-corpus sketch") {
+    // register state is a max-monoid: max over (day, bucket) partials ==
+    // max over the raw stream, so the merged estimate must be EXACTLY the
+    // single-pass estimate — the property that makes persisted daily
+    // sketch tables sound
+    import org.apache.spark.sql.functions._
+    val m = 64
+    val daily = Relational.dailySketch(graft.core.Tables.events(spark, d), m)
+    val merged = daily.groupBy(col("event_type"), col("bucket"))
+      .agg(max(col("reg")).as("reg"))
+    // direct sketch: same register chain with NO intermediate day level
+    val h = conv(substring(md5(col("user_id").cast("string").cast("binary")), 1, 8), 16, 10)
+      .cast("long")
+    val direct = graft.core.Tables.events(spark, d)
+      .select(col("event_type"), h.as("h"))
+      .withColumn("bucket", col("h") % m)
+      .withColumn("w", expr(s"h DIV $m"))
+      .withColumn("rho",
+        when(col("w") === 0, lit(27)).otherwise(lit(27) - length(bin(col("w")))))
+      .groupBy(col("event_type"), col("bucket")).agg(max(col("rho")).as("reg"))
+    val a = merged.collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSet
+    val b = direct.collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSet
+    assert(a == b)
+    // and the catalog query's estimates are within the FM-sketch error
+    // envelope of the exact counts
+    val est = Relational.sketchMerge(spark, d).collect()
+      .map(r => r.getString(0) -> r.getDouble(3)).toMap
+    val exact = graft.core.Tables.events(spark, d)
+      .groupBy(col("event_type")).agg(countDistinct(col("user_id")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // envelope only where the FM estimator is in regime (n >= 2m; below
+    // that the uncorrected formula over-estimates — linear counting's
+    // territory, not what this operator ships)
+    exact.filter(_._2 >= 2L * m).foreach { case (k, n) =>
+      assert(math.abs(est(k) - n) / n <= 0.35,
+        s"$k: est ${est(k)} vs exact $n out of envelope")
+    }
+  }
+
   test("q_rollup: grand-total row aggregates everything") {
     val rows = Relational.rollupQ(spark, d).collect()
     val grand = rows.filter(r => r.getAs[String]("rf") == "ALL" &&
