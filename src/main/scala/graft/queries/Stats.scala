@@ -435,7 +435,60 @@ object Stats {
        |FROM z WHERE abs(z) >= $zMax
        |ORDER BY event_id""".stripMargin
 
+  /** Ordered-event FUNNEL — the conversion query every event pipeline
+    * ships (signup → view → purchase, each stage strictly AFTER the
+    * user's previous-stage time). Three stage-scoped passes over the
+    * event stream, each a filtered scan + user-keyed min-aggregate joined
+    * to the previous stage's (user, t) table — every shuffle is keyed on
+    * user_id, stage tables shrink monotonically, and nothing is ever
+    * collected or windowed corpus-wide. The final stage counts are
+    * four one-row aggregates unioned with the conversion ratio against
+    * the entry stage (single IEEE divide on exact longs). */
+  def funnel(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val t1 = ev.filter(col("event_type") === "signup")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
+    val t2 = ev.filter(col("event_type") === "view").join(t1, "user_id")
+      .filter(col("ts") > col("t1"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t2"))
+    val t3 = ev.filter(col("event_type") === "purchase").join(t2, "user_id")
+      .filter(col("ts") > col("t2"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t3"))
+    def stage(n: Long, name: String, df: DataFrame): DataFrame =
+      df.agg(count(lit(1)).as("users"))
+        .select(lit(n).as("stage"), lit(name).as("name"), col("users"))
+    val s0 = ev.agg(countDistinct(col("user_id")).as("users"))
+      .select(lit(0L).as("stage"), lit("any").as("name"), col("users"))
+    val stages = s0
+      .unionByName(stage(1L, "signup", t1))
+      .unionByName(stage(2L, "view_after_signup", t2))
+      .unionByName(stage(3L, "purchase_after_view", t3))
+    val entry = t1.agg(count(lit(1)).as("u1"))
+    stages.crossJoin(broadcast(entry))
+      .select(col("stage"), col("name"), col("users"),
+        round(lit(1.0) * col("users") / col("u1"), 4).as("conv"))
+      .orderedBy("stage")
+  }
+
+  private def funnelOracle: String =
+    """WITH t1 AS (SELECT user_id, min(ts) AS t1 FROM events
+      |            WHERE event_type = 'signup' GROUP BY user_id),
+      |t2 AS (SELECT e.user_id, min(ts) AS t2 FROM events e JOIN t1 USING (user_id)
+      |       WHERE event_type = 'view' AND ts > t1 GROUP BY e.user_id),
+      |t3 AS (SELECT e.user_id, min(ts) AS t3 FROM events e JOIN t2 USING (user_id)
+      |       WHERE event_type = 'purchase' AND ts > t2 GROUP BY e.user_id),
+      |st AS (
+      |  SELECT CAST(0 AS BIGINT) AS stage, 'any' AS name,
+      |         count(DISTINCT user_id) AS users FROM events
+      |  UNION ALL SELECT 1, 'signup', count(*) FROM t1
+      |  UNION ALL SELECT 2, 'view_after_signup', count(*) FROM t2
+      |  UNION ALL SELECT 3, 'purchase_after_view', count(*) FROM t3),
+      |c1 AS (SELECT count(*) AS u1 FROM t1)
+      |SELECT stage, name, users, round(1.0 * users / u1, 4) AS conv
+      |FROM st, c1 ORDER BY stage""".stripMargin
+
   val defs: Map[String, QueryDef] = Map(
+    "q_funnel" -> QueryDef(funnel, Some(funnelOracle)),
     "q_outliers" -> QueryDef(outliers(_, _), Some(outliersOracle(3))),
     "q_snapshot_diff" -> QueryDef(snapshotDiff, Some(snapshotDiffOracle)),
     "q_agg_stats" -> QueryDef(aggStats, Some(aggStatsOracle)),
