@@ -691,6 +691,82 @@ object Dedup {
       .orderedBy("doc_id")
   }
 
+  /** PAGERANK over the near-dup graph — the centrality companion to
+    * [[nearClusters]]: within a duplication cluster, the highest-rank doc
+    * is the canonical representative (the hub many variants point at),
+    * a better keep-rule than min-id when clusters are star-shaped.
+    * Classic damped PageRank (d = 0.85) in FIXED-POINT INTEGER units
+    * (1 rank = 10⁻¹² of the total mass): every divide is a floor
+    * division and every sum is exact, so three unrolled rounds produce
+    * bit-identical longs on any engine and any partitioning — no float
+    * summation order, no libm. Per round: one join of the rank table to
+    * the edge list (both keyed on the node id) + one dst-keyed sum —
+    * the standard distributed PR shape; the rank table is node-sized,
+    * never corpus-sized, and 3 rounds is a fixed lazy plan (no
+    * checkpointing needed at this depth). */
+  def pagerank(s: SparkSession, d: String, threshold: Double = 0.8,
+               iters: Int = 3,
+               checkpointDir: Option[String] = None): DataFrame = {
+    val SCALE = 1000000000000L
+    val pairs = nearPairsUnordered(Tables.documents(s, d), threshold)
+      .select(col("doc_a"), col("doc_b"))
+    // pin the edge list: the lazy unroll references it in every round's
+    // join AND the degree table, so without the pin the whole LSH
+    // candidate+verify subtree replicates ~2·iters+1 times in one plan
+    // (measured: 192 parquet scans, zero static ReusedExchange). The
+    // materialized table is edge-sized, not corpus-sized — the
+    // nearClusters eager-graph precedent; checkpointDir swaps in the
+    // reliable-checkpoint cluster rule (docs/DEPLOY.md).
+    val edges = graft.core.QueryDef.pinRound(
+      pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+        .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst"))),
+      checkpointDir)
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    val n = deg.agg(count(lit(1)).as("n"))
+    var r = deg.crossJoin(broadcast(n))
+      .select(col("src").as("id"), expr(s"$SCALE DIV n").as("r"))
+    for (_ <- 1 to iters) {
+      val inflow = edges.join(r, edges("src") === r("id"))
+        .join(deg, "src")
+        .select(col("dst"), expr("r DIV deg").as("c"))
+        .groupBy(col("dst")).agg(sum(col("c")).as("inflow"))
+      r = inflow.crossJoin(broadcast(n))
+        .select(col("dst").as("id"),
+          expr(s"((($SCALE * 15) DIV 100) DIV n) + ((inflow * 85) DIV 100)")
+            .as("r"))
+    }
+    r.join(deg, r("id") === deg("src"))
+      .select(col("id").as("doc_id"), col("deg"), col("r").as("pr"))
+      .orderedBy("doc_id")
+  }
+
+  private def pagerankOracle(threshold: Double, iters: Int): String = {
+    val SCALE = 1000000000000L
+    val rounds = (1 to iters).map { k =>
+      s"""i$k AS (SELECT e.dst AS id,
+         |        CAST(sum(r${k - 1}.r // deg.deg) AS BIGINT) AS inflow
+         |        FROM e JOIN r${k - 1} ON e.src = r${k - 1}.id
+         |             JOIN deg ON e.src = deg.src
+         |        GROUP BY e.dst),
+         |r$k AS (SELECT id,
+         |        ((($SCALE * 15) // 100) // n) + ((inflow * 85) // 100) AS r
+         |        FROM i$k, n)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ${nearOracleCtes(4, 3)},
+       |e AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+       |      WHERE jaccard >= $threshold
+       |      UNION ALL
+       |      SELECT doc_b AS src, doc_a AS dst FROM pairs
+       |      WHERE jaccard >= $threshold),
+       |deg AS (SELECT src, count(*) AS deg FROM e GROUP BY src),
+       |n AS (SELECT count(*) AS n FROM deg),
+       |r0 AS (SELECT src AS id, $SCALE // n AS r FROM deg, n),
+       |$rounds
+       |SELECT r$iters.id AS doc_id, deg.deg, r$iters.r AS pr
+       |FROM r$iters JOIN deg ON deg.src = r$iters.id
+       |ORDER BY doc_id""".stripMargin
+  }
+
   /** Min-label propagation run to CONVERGENCE, with pointer-jumping so
     * the round count is O(log diameter), not O(diameter). Per round:
     *
@@ -1311,6 +1387,9 @@ object Dedup {
     "q_dedup_substr" -> QueryDef(substrPairs(_, _), Some(substrOracle(20, 10))),
     "q_dedup_clusters" -> QueryDef(nearClusters(_, _),
       Some(nearClustersOracle(0.8))),
+    // damped PageRank on the same graph, fixed-point integer units —
+    // canonical-representative ranking, bit-exact on any engine
+    "q_graph_pagerank" -> QueryDef(pagerank(_, _), Some(pagerankOracle(0.8, 3))),
     // the 100 TB guard-rail variant: band buckets capped at 4 docs before
     // the quadratic self-join (hot-bucket boilerplate clusters bounded)
     "q_dedup_near_capped" -> QueryDef(

@@ -487,8 +487,80 @@ object Stats {
       |SELECT stage, name, users, round(1.0 * users / u1, 4) AS conv
       |FROM st, c1 ORDER BY stage""".stripMargin
 
+  /** Cohort RETENTION — the matrix behind every growth dashboard: users
+    * cohorted by first-active day, activity counted at each day offset,
+    * with the retained fraction against the cohort's size. Plan shape:
+    * one (user, day) distinct pass, a user-keyed min-aggregate for the
+    * cohort day, a user-keyed join back, then a (cohort, offset)
+    * aggregate — every shuffle keyed on user_id or the tiny cohort key;
+    * nothing corpus-global. */
+  def retention(s: SparkSession, d: String): DataFrame = {
+    val act = Tables.events(s, d)
+      .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+    val coh = act.groupBy(col("user_id")).agg(min(col("day")).as("c_day"))
+    val sizes = coh.groupBy(col("c_day")).agg(count(lit(1)).as("cohort_users"))
+    act.join(coh, "user_id")
+      .select(col("c_day"), datediff(col("day"), col("c_day")).cast("long").as("offset"))
+      .groupBy(col("c_day"), col("offset")).agg(count(lit(1)).as("users"))
+      .join(sizes, "c_day")
+      .select(date_format(col("c_day"), "yyyy-MM-dd").as("cohort"),
+        col("offset"), col("users"),
+        round(lit(1.0) * col("users") / col("cohort_users"), 4).as("pct"))
+      .orderedBy("cohort", "offset")
+  }
+
+  private def retentionOracle: String =
+    """WITH act AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+      |coh AS (SELECT user_id, min(day) AS c_day FROM act GROUP BY user_id),
+      |sizes AS (SELECT c_day, count(*) AS cohort_users FROM coh GROUP BY c_day),
+      |j AS (SELECT coh.c_day, CAST(day - c_day AS BIGINT) AS off
+      |      FROM act JOIN coh USING (user_id)),
+      |r AS (SELECT c_day, off, count(*) AS users FROM j GROUP BY c_day, off)
+      |SELECT strftime(r.c_day, '%Y-%m-%d') AS cohort, off AS "offset", users,
+      |       round(1.0 * users / cohort_users, 4) AS pct
+      |FROM r JOIN sizes USING (c_day)
+      |ORDER BY cohort, "offset"""".stripMargin
+
+  /** SCD TYPE-2 interval build — collapse each user's event-type stream
+    * into change-point versions with [valid_from, valid_to) millisecond
+    * validity, the dimension-history table every warehouse maintains.
+    * Two windows over the SAME (user_id | ts, event_id) partitioning —
+    * one exchange + one sort feed both lag (change detection) and
+    * lead/row_number (interval close + version numbering); state per
+    * partition is one row. */
+  def scd2(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    Tables.events(s, d)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("prev", lag(col("event_type"), 1).over(w))
+      .filter(col("prev").isNull || col("prev") =!= col("event_type"))
+      .withColumn("version", row_number().over(w).cast("long"))
+      .withColumn("valid_to_ts", lead(col("ts"), 1).over(w))
+      .select(col("user_id"), col("version"), col("event_type").as("attr"),
+        unix_millis(col("ts")).as("valid_from"),
+        unix_millis(col("valid_to_ts")).as("valid_to"))
+      .orderedBy("user_id", "version")
+  }
+
+  private def scd2Oracle: String =
+    """WITH c AS (
+      |  SELECT user_id, ts, event_id, event_type,
+      |         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+      |  FROM events),
+      |ch AS (SELECT * FROM c WHERE prev IS NULL OR prev <> event_type),
+      |v AS (SELECT user_id, event_type AS attr, ts,
+      |             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS version,
+      |             lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to_ts
+      |      FROM ch)
+      |SELECT user_id, CAST(version AS BIGINT) AS version, attr,
+      |       epoch_ms(ts) AS valid_from, epoch_ms(valid_to_ts) AS valid_to
+      |FROM v ORDER BY user_id, version""".stripMargin
+
   val defs: Map[String, QueryDef] = Map(
     "q_funnel" -> QueryDef(funnel, Some(funnelOracle)),
+    "q_retention" -> QueryDef(retention, Some(retentionOracle)),
+    "q_scd2" -> QueryDef(scd2, Some(scd2Oracle)),
     "q_outliers" -> QueryDef(outliers(_, _), Some(outliersOracle(3))),
     "q_snapshot_diff" -> QueryDef(snapshotDiff, Some(snapshotDiffOracle)),
     "q_agg_stats" -> QueryDef(aggStats, Some(aggStatsOracle)),
