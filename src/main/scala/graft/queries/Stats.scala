@@ -557,10 +557,24 @@ object Stats {
       |       epoch_ms(ts) AS valid_from, epoch_ms(valid_to_ts) AS valid_to
       |FROM v ORDER BY user_id, version""".stripMargin
 
+  /** [[scd2]] executed by the streaming engine (17th bridge — the CDC
+    * shape): explicit per-key custom state via flatMapGroupsWithState,
+    * AvailableNow, append mode, hash-compared against the IDENTICAL SQL
+    * as the batch twin. See [[graft.stream.Scd2Stream]]. */
+  def scd2Streamed(s: SparkSession, d: String): DataFrame =
+    Tables.runStreamAppend(s, "scd2_streamed_") { cs =>
+      import cs.implicits._
+      val ev = Tables.eventsStream(cs, d)
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+        .as[graft.stream.Scd2Stream.Ev]
+      graft.stream.Scd2Stream.versions(ev).toDF()
+    }.orderedBy("user_id", "version")
+
   val defs: Map[String, QueryDef] = Map(
     "q_funnel" -> QueryDef(funnel, Some(funnelOracle)),
     "q_retention" -> QueryDef(retention, Some(retentionOracle)),
     "q_scd2" -> QueryDef(scd2, Some(scd2Oracle)),
+    "q_scd2_streamed" -> QueryDef(scd2Streamed, Some(scd2Oracle)),
     "q_outliers" -> QueryDef(outliers(_, _), Some(outliersOracle(3))),
     "q_snapshot_diff" -> QueryDef(snapshotDiff, Some(snapshotDiffOracle)),
     "q_agg_stats" -> QueryDef(aggStats, Some(aggStatsOracle)),

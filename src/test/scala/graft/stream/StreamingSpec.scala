@@ -676,4 +676,32 @@ class StreamingSpec extends SparkTestBase {
       }
     }
   }
+
+  test("Scd2Stream.versionsOf: order-independent change capture, ms ties, open tail") {
+    import java.sql.Timestamp
+    import graft.stream.Scd2Stream
+    import graft.stream.Scd2Stream.Ev
+    def ts(micros: Long): Timestamp = {
+      val t = new Timestamp(micros / 1000)
+      t.setNanos(((micros % 1000000) * 1000).toInt)
+      t
+    }
+    // a -> a -> b -> a: three versions; events fed OUT of order (the
+    // flatMapGroupsWithState iterator contract), with two events in the
+    // same millisecond distinguished only at microsecond grain
+    val evs = Seq(
+      Ev(7L, ts(2000500), 3L, "b"),
+      Ev(7L, ts(1000000), 1L, "a"),
+      Ev(7L, ts(2000100), 2L, "a"), // same ms as event 3, earlier micros
+      Ev(7L, ts(3000000), 4L, "a"))
+    val got = Scd2Stream.versionsOf(7L, evs)
+    assert(got.map(v => (v.version, v.attr, v.valid_from, v.valid_to)) == Seq(
+      (1L, "a", 1000L, Some(2000L)),
+      (2L, "b", 2000L, Some(3000L)),
+      (3L, "a", 3000L, None)))
+    // any permutation produces the identical version table
+    evs.permutations.take(12).foreach { p =>
+      assert(Scd2Stream.versionsOf(7L, p) == got)
+    }
+  }
 }
