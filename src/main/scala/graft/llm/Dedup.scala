@@ -437,7 +437,16 @@ object Dedup {
   def ngramPairs(s: SparkSession, d: String, threshold: Double = 0.8,
                  maxDf: Int = 10, minShared: Int = 2): DataFrame = {
     graft.expr.GraftFunctions.register(s)
-    val docsTok = Tables.documents(s, d)
+    ngramPairsFor(Tables.documents(s, d), threshold, maxDf, minShared)
+      .orderedBy("doc_a", "doc_b")
+  }
+
+  /** [[ngramPairs]] over an arbitrary (doc_id, text) frame without the
+    * harness ordering trailer — the composition entry point (the recall
+    * gauge consumes it as the reference pair set). */
+  private[llm] def ngramPairsFor(docs: DataFrame, threshold: Double,
+      maxDf: Int, minShared: Int): DataFrame = {
+    val docsTok = docs
       .select(col("doc_id"), TextStats.tokens(col("text")).as("toks"))
     val sh = docsTok
       .select(col("doc_id"), TextStats.shinglesExpr("toks").as("sh"))
@@ -473,7 +482,6 @@ object Dedup {
           (size(col("sh_a")) + size(col("sh_b")) - col("inter")), 4))
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
-      .orderedBy("doc_a", "doc_b")
   }
 
   /** Mirrors [[ngramPairs]]: rare-shingle postings join + Jaccard verify.
@@ -935,6 +943,80 @@ object Dedup {
        |SELECT doc_a, doc_b, jaccard FROM pairs WHERE jaccard >= $threshold
        |ORDER BY doc_a, doc_b""".stripMargin
 
+  /** MinHash-LSH recall GAUGE — the measurement a pipeline publishes next
+    * to its dedup config (the `q_sim_recall` pattern, applied to dedup):
+    * how many of the reference near-dup pairs does the banded LSH path
+    * recover? Reference pair set = [[ngramPairsFor]]'s rare-shingle truth
+    * (exact for pairs sharing ≥ `minShared` grams of df ≤ `maxDf` — the
+    * strongest deterministic ground truth that doesn't require an
+    * all-pairs scan; both sides verify with the same exact Jaccard, so
+    * the comparison is apples-to-apples). Output is ONE row:
+    * reference count, LSH count, intersection, recall. `lsh_pairs` can
+    * exceed `hit_pairs` — banding can surface a verified-true pair that
+    * shares no rare gram; both columns are emitted so the asymmetry is
+    * visible rather than folded into one ratio.
+    *
+    * Scale shape: two banded/df-capped chains (each individually
+    * 100 TB-safe, see [[near]] / [[ngramPairs]]) joined on pair ids —
+    * O(near-dup pairs) — then two one-row aggregates; the ratio is a
+    * single IEEE divide of exact longs. A gauge like this runs on a
+    * SAMPLE at corpus scale; nothing in the plan changes, only the input
+    * predicate. */
+  def nearRecallGauge(s: SparkSession, d: String, threshold: Double = 0.8,
+      bands: Int = 4, rows: Int = 3, maxDf: Int = 10,
+      minShared: Int = 2): DataFrame = {
+    graft.expr.GraftFunctions.register(s)
+    val docs = Tables.documents(s, d)
+    val truth = ngramPairsFor(docs, threshold, maxDf, minShared)
+      .select(col("doc_a"), col("doc_b"))
+    val lsh = nearPairsUnordered(docs, threshold, bands, rows)
+      .select(col("doc_a"), col("doc_b"), lit(1L).as("hit"))
+    val m = truth.join(lsh, Seq("doc_a", "doc_b"), "left")
+      .agg(count(lit(1)).as("truth_pairs"), count(col("hit")).as("hit_pairs"))
+    val n = lsh.agg(count(lit(1)).as("lsh_pairs"))
+    m.crossJoin(broadcast(n))
+      .select(col("truth_pairs"), col("lsh_pairs"), col("hit_pairs"),
+        round(lit(1.0) * col("hit_pairs") / col("truth_pairs"), 4).as("recall"))
+  }
+
+  /** Replays BOTH chains — [[nearOracleCtes]] verbatim for the LSH arm,
+    * the [[ngramOracle]] CTE bodies (t-prefixed names) for the reference
+    * arm — then the pair-id left join and the one-row ratio. */
+  private def nearRecallOracle(threshold: Double, bands: Int, rows: Int,
+                               maxDf: Int, minShared: Int): String = {
+    val hv = OracleSql.hexPrefixToLong("h", 12)
+    s"""WITH ${nearOracleCtes(bands, rows)},
+       |lsh AS (SELECT doc_a, doc_b FROM pairs WHERE jaccard >= $threshold),
+       |tw AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       |tsh AS (
+       |  SELECT doc_id, list_distinct(list_transform(range(1, len(toks) - 1),
+       |           i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS s
+       |  FROM tw WHERE len(toks) >= 3),
+       |tpost AS (SELECT doc_id, $hv AS gh FROM (
+       |  SELECT doc_id, substr(md5(g), 1, 12) AS h FROM (
+       |    SELECT doc_id, unnest(s) AS g FROM tsh))),
+       |trare AS (SELECT gh FROM tpost GROUP BY gh
+       |          HAVING count(*) >= 2 AND count(*) <= $maxDf),
+       |trp AS (SELECT doc_id, gh FROM tpost JOIN trare USING (gh)),
+       |tcand AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b
+       |          FROM trp x JOIN trp y ON x.gh = y.gh AND x.doc_id < y.doc_id
+       |          GROUP BY doc_a, doc_b HAVING count(*) >= $minShared),
+       |tpairs AS (
+       |  SELECT doc_a, doc_b,
+       |         round(1.0 * len(list_intersect(a.s, b.s)) /
+       |               (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 4) AS jaccard
+       |  FROM tcand JOIN tsh a ON a.doc_id = doc_a JOIN tsh b ON b.doc_id = doc_b),
+       |truth AS (SELECT doc_a, doc_b FROM tpairs WHERE jaccard >= $threshold),
+       |m AS (SELECT count(*) AS truth_pairs,
+       |             CAST(sum(CASE WHEN l.doc_a IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS hit_pairs
+       |      FROM truth t LEFT JOIN lsh l
+       |        ON t.doc_a = l.doc_a AND t.doc_b = l.doc_b),
+       |n AS (SELECT count(*) AS lsh_pairs FROM lsh)
+       |SELECT truth_pairs, lsh_pairs, hit_pairs,
+       |       round(1.0 * hit_pairs / truth_pairs, 4) AS recall
+       |FROM m CROSS JOIN n""".stripMargin
+  }
+
   // ---------------------------------------------------------------- SimHash
 
   /** 32-bit SimHash over the distinct-token set: token hash = first 8 hex
@@ -1376,6 +1458,8 @@ object Dedup {
         |FROM documents
         |GROUP BY fp ORDER BY fp""".stripMargin)),
     "q_dedup_near" -> QueryDef(near(_, _), Some(nearOracle(0.8, 4, 3))),
+    "q_dedup_recall" -> QueryDef(nearRecallGauge(_, _),
+      Some(nearRecallOracle(0.8, 4, 3, 10, 2))),
     // exact-recall complement to MinHash: rare-shingle inverted index with
     // the df ceiling as the built-in hot-bucket bound
     "q_dedup_ngram" -> QueryDef(ngramPairs(_, _), Some(ngramOracle(0.8, 10))),

@@ -426,7 +426,122 @@ object Multimodal {
        |FROM c ORDER BY doc_id""".stripMargin
   }
 
+  /** Perceptual-hash IMAGE dedup — the near-duplicate-image removal stage
+    * of a multimodal corpus pipeline (aHash family: pHash/aHash dedup is
+    * how production pipelines drop re-encoded/resized copies of one
+    * image). Ties the decode machinery to the dedup family: the hash is
+    * computed from the DECODED bitmap ([[parsedImg]]'s pixel slice), not
+    * from the raw payload bytes — two files with different headers but
+    * near-identical pixels collide, which is the point.
+    *
+    * Hash: 64 evenly-sampled pixels, bit j = (sample_j > image mean) —
+    * an aHash with point sampling in place of box means, kept in EXACT
+    * integer arithmetic (`sample·n > sum` avoids the mean divide) so the
+    * DuckDB oracle replays it bit-for-bit from the source text. Packed as
+    * two non-negative 32-bit halves (h0 = bits 0..31, h1 = 32..63) so
+    * hamming distance is two codegen'd `bit_count(xor)` calls and no
+    * sign-bit edge exists in either engine.
+    *
+    * Candidate generation is Hamming-LSH: 4 bands of 16 bits; docs
+    * sharing any identical band pair up, then verify hamming ≤ `maxHam`.
+    * Recall contract (pigeonhole): distance ≤ 3 is GUARANTEED a clean
+    * band; larger distances may be missed when the differing bits spread
+    * across all 4 bands — the standard banding trade, same as
+    * [[Dedup.simhashDocs]]'s. `maxBucket` caps the per-bucket join
+    * exactly as [[Dedup.near]]'s hot-bucket cap (a mono-color image
+    * cluster is the image-side boilerplate case), replayed in the
+    * oracle. Scale shape: per-doc state is two longs; only banded
+    * 16-bit keys shuffle; the verify join carries candidate ids + two
+    * longs per side — O(candidate pairs), never the corpus. */
+  def phashPairs(s: SparkSession, d: String, maxHam: Int = 8,
+                 maxBucket: Int = 64): DataFrame = {
+    graft.expr.GraftFunctions.register(s)
+    val parsed = parsedImg(packAsPgm(Tables.documents(s, d)))
+      .filter(col("h") >= 2)
+      .select(col("doc_id"), col("px"))
+      .withColumn("pn", length(col("px")).cast("long"))
+      .withColumn("ps", call_function("byte_sum", col("px")))
+    def bit(j: Int): Column =
+      when(call_function("byte_sum",
+        expr(s"substring(px, CAST(($j * pn) DIV 64 + 1 AS INT), 1)"))
+        * col("pn") > col("ps"), 1L).otherwise(0L)
+    val h0 = (0 until 32).map(j => bit(j) * lit(1L << j)).reduce(_ + _)
+    val h1 = (32 until 64).map(j => bit(j) * lit(1L << (j - 32))).reduce(_ + _)
+    val hashes = parsed.select(col("doc_id"), h0.as("h0"), h1.as("h1"))
+    def bandStruct(b: Int, c: Column) =
+      struct(lit(b).as("band"), c.cast("long").as("sig"))
+    val banded0 = hashes.select(col("doc_id"), explode(array(
+        bandStruct(0, col("h0").bitwiseAND(65535)),
+        bandStruct(1, shiftright(col("h0"), 16)),
+        bandStruct(2, col("h1").bitwiseAND(65535)),
+        bandStruct(3, shiftright(col("h1"), 16)))).as("bs"))
+      .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
+    // bucket-size window keys on the SAME (band, sig) the self-join
+    // shuffles on — Catalyst reuses the exchange (the Dedup.near pattern)
+    val wB = org.apache.spark.sql.expressions.Window.partitionBy("band", "sig")
+    val banded = banded0.withColumn("bn", count(lit(1)).over(wB))
+      .filter(col("bn") <= maxBucket).drop("bn")
+    val cand = banded.as("x").join(banded.as("y"),
+        col("x.band") === col("y.band") && col("x.sig") === col("y.sig") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    cand
+      .join(hashes.select(col("doc_id").as("doc_a"),
+        col("h0").as("a0"), col("h1").as("a1")), "doc_a")
+      .join(hashes.select(col("doc_id").as("doc_b"),
+        col("h0").as("b0"), col("h1").as("b1")), "doc_b")
+      .withColumn("hamming",
+        expr("CAST(bit_count(a0 ^ b0) + bit_count(a1 ^ b1) AS BIGINT)"))
+      .filter(col("hamming") <= maxHam)
+      .select(col("doc_a"), col("doc_b"), col("hamming"))
+      .orderedBy("doc_a", "doc_b")
+  }
+
+  /** Replays the hash from the SOURCE text (the pixel bytes are the first
+    * 32·⌊len/32⌋ characters — the multimodalOracle convention), then the
+    * banding, cap, self-join, and hamming verify in pure SQL. */
+  private def phashOracle(maxHam: Int, maxBucket: Int): String =
+    s"""WITH d AS (
+       |  SELECT doc_id, text, CAST(32 * (length(text) // 32) AS BIGINT) AS pn
+       |  FROM documents WHERE length(text) // 32 >= 2),
+       |c AS (
+       |  SELECT doc_id, pn,
+       |    CAST(list_sum(list_transform(range(1, pn + 1),
+       |      i -> ord(substr(text, CAST(i AS INT), 1)))) AS BIGINT) AS ps,
+       |    list_transform(range(0, 64),
+       |      j -> ord(substr(text, CAST(j * pn // 64 + 1 AS INT), 1))) AS sm
+       |  FROM d),
+       |b AS (
+       |  SELECT doc_id,
+       |    CAST(list_sum(list_transform(range(0, 32),
+       |      j -> CASE WHEN sm[CAST(j + 1 AS INT)] * pn > ps
+       |           THEN (CAST(1 AS BIGINT) << CAST(j AS INT)) ELSE 0 END)) AS BIGINT) AS h0,
+       |    CAST(list_sum(list_transform(range(0, 32),
+       |      j -> CASE WHEN sm[CAST(j + 33 AS INT)] * pn > ps
+       |           THEN (CAST(1 AS BIGINT) << CAST(j AS INT)) ELSE 0 END)) AS BIGINT) AS h1
+       |  FROM c),
+       |bands AS (
+       |  SELECT doc_id, 0 AS band, h0 % 65536 AS sig FROM b
+       |  UNION ALL SELECT doc_id, 1, h0 // 65536 FROM b
+       |  UNION ALL SELECT doc_id, 2, h1 % 65536 FROM b
+       |  UNION ALL SELECT doc_id, 3, h1 // 65536 FROM b),
+       |bc AS (SELECT band, sig FROM bands GROUP BY band, sig
+       |       HAVING count(*) <= $maxBucket),
+       |bk AS (SELECT bands.* FROM bands JOIN bc USING (band, sig)),
+       |cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+       |         FROM bk x JOIN bk y
+       |           ON x.band = y.band AND x.sig = y.sig AND x.doc_id < y.doc_id),
+       |p AS (
+       |  SELECT doc_a, doc_b,
+       |         CAST(bit_count(xor(a.h0, bb.h0))
+       |            + bit_count(xor(a.h1, bb.h1)) AS BIGINT) AS hamming
+       |  FROM cand JOIN b a ON a.doc_id = doc_a JOIN b bb ON bb.doc_id = doc_b)
+       |SELECT doc_a, doc_b, hamming FROM p WHERE hamming <= $maxHam
+       |ORDER BY doc_a, doc_b""".stripMargin
+
   val defs: Map[String, QueryDef] = Map(
+    "q_dedup_phash" -> QueryDef(phashPairs(_, _), Some(phashOracle(8, 64))),
     "q_media_decode" -> QueryDef(pgmDecode, Some(pgmOracle)),
     "q_media_streamed" -> QueryDef(pgmStreamed, Some(pgmOracle)),
     "q_audio_decode" -> QueryDef(wavDecode, Some(wavOracle)),

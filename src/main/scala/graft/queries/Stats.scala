@@ -570,7 +570,63 @@ object Stats {
       graft.stream.Scd2Stream.versions(ev).toDF()
     }.orderedBy("user_id", "version")
 
+  /** Column-level data PROFILE — the schema-audit pass a pipeline runs
+    * before training on a new corpus drop (null fraction, exact
+    * cardinality, value-length spread per column; the Deequ/profiler
+    * shape). Long format: one output row per column, built by stacking
+    * each column's string representation into (col_name, v) rows.
+    *
+    * Plan shape: ONE pass over the table — the stack() projection is a
+    * map-side expand (×5, no shuffle), then a single hash aggregation.
+    * The only shuffled payload is the (col_name, v) DISTINCT pairs that
+    * exact cardinality inherently requires (Spark plans the lone
+    * count(DISTINCT v) as a two-level partial-distinct aggregate, so
+    * duplicate values collapse map-side before the exchange); every other
+    * metric rides the same partial agg as O(1) state. At 100 TB the
+    * exact-distinct column is the one you'd swap for
+    * approx_count_distinct (the `q_distinct_sketch` path) — the rest of
+    * the profile is already bounded-state.
+    *
+    * Determinism: counts and lengths are exact integers; avg_len is one
+    * IEEE divide of two exact longs, rounded — the funnel `conv`
+    * discipline. */
+  def profile(s: SparkSession, d: String): DataFrame =
+    profileFor(Tables.documents(s, d),
+      Seq("doc_id", "text", "lang", "source", "n_chars"))
+
+  /** [[profile]] over an arbitrary frame — the composition entry point. */
+  def profileFor(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val stacked = df.select(expr(
+      s"stack(${cols.length}, " +
+        cols.map(c => s"'$c', CAST($c AS STRING)").mkString(", ") +
+        ") AS (col_name, v)"))
+    stacked.groupBy(col("col_name")).agg(
+      count(lit(1)).as("n_rows"),
+      sum(when(col("v").isNull, 1L).otherwise(0L)).as("n_nulls"),
+      countDistinct(col("v")).as("n_distinct"),
+      min(length(col("v"))).cast("long").as("min_len"),
+      max(length(col("v"))).cast("long").as("max_len"),
+      round(expr("CAST(sum(length(v)) AS DOUBLE) / count(v)"), 4).as("avg_len"))
+      .orderedBy("col_name")
+  }
+
+  private def profileOracle: String = {
+    val cols = Seq("doc_id", "text", "lang", "source", "n_chars")
+    val arms = cols.map(c =>
+      s"SELECT '$c' AS col_name, CAST($c AS VARCHAR) AS v FROM documents")
+    s"""WITH s AS (
+       |  ${arms.mkString("\n  UNION ALL ")})
+       |SELECT col_name, count(*) AS n_rows,
+       |       CAST(sum(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+       |       count(DISTINCT v) AS n_distinct,
+       |       CAST(min(length(v)) AS BIGINT) AS min_len,
+       |       CAST(max(length(v)) AS BIGINT) AS max_len,
+       |       round(CAST(sum(length(v)) AS DOUBLE) / count(v), 4) AS avg_len
+       |FROM s GROUP BY col_name ORDER BY col_name""".stripMargin
+  }
+
   val defs: Map[String, QueryDef] = Map(
+    "q_profile" -> QueryDef(profile, Some(profileOracle)),
     "q_funnel" -> QueryDef(funnel, Some(funnelOracle)),
     "q_retention" -> QueryDef(retention, Some(retentionOracle)),
     "q_scd2" -> QueryDef(scd2, Some(scd2Oracle)),

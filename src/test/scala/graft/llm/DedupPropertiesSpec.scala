@@ -280,4 +280,26 @@ class DedupPropertiesSpec extends SparkTestBase {
       assert(fps == m(id), s"doc $id: native=$fps declarative=${m(id)}")
     }
   }
+
+  test("nearRecallGauge: counts reconcile with the two pair sets it compares") {
+    // The gauge's one-row answer must be exactly the set arithmetic of its
+    // two published constituents: truth = ngram pairs, lsh = MinHash pairs,
+    // hits = their intersection on (doc_a, doc_b).
+    val d = "/root/testdata/sf0.001"
+    import org.apache.spark.sql.functions._
+    def pairSet(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("doc_a"), col("doc_b")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val truth = pairSet(Dedup.ngramPairs(spark, d))
+    val lsh = pairSet(Dedup.nearFor(graft.core.Tables.documents(spark, d)))
+    val r = Dedup.nearRecallGauge(spark, d).collect().head
+    assert(r.getLong(0) == truth.size, "truth_pairs")
+    assert(r.getLong(1) == lsh.size, "lsh_pairs")
+    assert(r.getLong(2) == (truth & lsh).size, "hit_pairs = intersection")
+    assert(r.getDouble(3) ==
+      BigDecimal(1.0 * (truth & lsh).size / truth.size)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    // the banded-LSH recall floor this config is shipped with
+    assert(r.getDouble(3) >= 0.8, s"recall collapsed: ${r.getDouble(3)}")
+  }
 }

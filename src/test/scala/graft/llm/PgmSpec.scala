@@ -122,4 +122,30 @@ class PgmSpec extends SparkTestBase {
     assert(out(3L).getLong(5) == 97L * 97 + 98 * 98 + 99 * 99 + 100 * 100,
       "energy computed over the bytes that exist")
   }
+
+  test("phashPairs: near-identical bitmaps pair with small hamming; " +
+    "band-colliding far pairs are rejected by the verify") {
+    // 128-char docs -> 32x4 bitmaps, 64 samples at byte positions 2j+1.
+    // doc1: 64x'a' + 64x'z' -> bits 0..31 = 0, 32..63 = 1.
+    // doc2: doc1 with the last 4 chars 'a' -> samples 62,63 flip; the mean
+    //   shifts but no other sample crosses it -> hamming(1,2) = 2.
+    // doc3: alternating "az" -> every sampled (odd) position is 'a', all
+    //   bits 0 -> shares band0 (=0) with doc1/doc2, candidate, but
+    //   hamming(1,3) = 32 -> must be dropped by the verify stage.
+    // doc4: 40 chars -> h=1, filtered before hashing.
+    val t1 = "a" * 64 + "z" * 64
+    val t2 = "a" * 64 + "z" * 60 + "aaaa"
+    val t3 = "az" * 64
+    val t4 = "a" * 40
+    val dir = java.nio.file.Files.createTempDirectory("graft-phash").toString
+    Seq((1L, t1), (2L, t2), (3L, t3), (4L, t4))
+      .map { case (id, t) => (id, t, "en", "s", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val pairs = Multimodal.phashPairs(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(pairs.keySet == Set((1L, 2L)),
+      s"only the near-identical bitmap pair survives, got ${pairs.keySet}")
+    assert(pairs((1L, 2L)) == 2L, "two sampled bits flipped")
+  }
 }

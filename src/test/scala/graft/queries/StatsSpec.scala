@@ -222,4 +222,25 @@ class StatsSpec extends SparkTestBase {
     assert(got.filter(_._2 == "unchanged").keySet == kept -- changed)
     assert(got.size == ids.size + added.size)
   }
+
+  test("profileFor: null counts, exact cardinality, and length spread per column") {
+    import spark.implicits._
+    val df = Seq(
+      (Option(1L), Option("xx")),
+      (None: Option[Long], Option("y")),
+      (Option(1L), None: Option[String])
+    ).toDF("a", "b")
+    val got = Stats.profileFor(df, Seq("a", "b")).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val a = got("a"); val b = got("b")
+    assert(a.getLong(1) == 3 && b.getLong(1) == 3, "n_rows counts nulls too")
+    assert(a.getLong(2) == 1, "one null in a")
+    assert(b.getLong(2) == 1, "one null in b")
+    assert(a.getLong(3) == 1, "a has one distinct non-null value")
+    assert(b.getLong(3) == 2)
+    // a's values stringify to "1" (len 1); b spans "y".."xx"
+    assert(a.getLong(4) == 1 && a.getLong(5) == 1)
+    assert(b.getLong(4) == 1 && b.getLong(5) == 2)
+    assert(b.getDouble(6) == 1.5, "avg_len over non-null cells only")
+  }
 }
