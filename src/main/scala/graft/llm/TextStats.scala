@@ -793,7 +793,40 @@ object TextStats {
        |FROM documents ORDER BY doc_id""".stripMargin
   }
 
+  /** Per-source vocabulary DIVERSITY gauge (type-token ratio — the
+    * Heaps-law dashboard metric a mixing pipeline publishes per source):
+    * a templated or machine-generated source shows far fewer distinct
+    * token types per token than natural text, which is a standard signal
+    * for down-weighting it in `q_mix_weights`-style source mixing.
+    *
+    * Plan shape: one explode pass; the (source, token) pairs collapse
+    * map-side in the partial-distinct aggregate before the single
+    * exchange — the same shuffle any exact per-group distinct inherently
+    * pays (the profile/distinct-sketch trade applies at corpus scale:
+    * swap countDistinct for HLL and the exchange carries registers).
+    * TTR is one IEEE divide of exact longs, rounded. */
+  def vocabGrowth(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("source"), explode(tokens(col("text"))).as("tok"))
+      .filter(length(col("tok")) > 0)
+      .groupBy(col("source")).agg(
+        count(lit(1)).as("n_tokens"),
+        countDistinct(col("tok")).as("n_types"))
+      .select(col("source"), col("n_tokens"), col("n_types"),
+        round(lit(1.0) * col("n_types") / col("n_tokens"), 4).as("ttr"))
+      .orderedBy("source")
+
+  private def vocabGrowthOracle: String =
+    """WITH t AS (
+      |  SELECT source, unnest(string_split(text, ' ')) AS tok
+      |  FROM documents),
+      |f AS (SELECT source, tok FROM t WHERE length(tok) > 0)
+      |SELECT source, count(*) AS n_tokens, count(DISTINCT tok) AS n_types,
+      |       round(1.0 * count(DISTINCT tok) / count(*), 4) AS ttr
+      |FROM f GROUP BY source ORDER BY source""".stripMargin
+
   val defs: Map[String, QueryDef] = Map(
+    "q_vocab_growth" -> QueryDef(vocabGrowth, Some(vocabGrowthOracle)),
     "q_quality" -> QueryDef(quality, Some(qualityOracle)),
     "q_text_stats" -> QueryDef(textStats, Some(
       """SELECT lang, count(*) AS doc_cnt,
