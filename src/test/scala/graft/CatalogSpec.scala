@@ -91,6 +91,30 @@ class CatalogSpec extends SparkTestBase {
     }
   }
 
+  test("plan guard: decoded binary payloads never cross an exchange") {
+    // The multimodal contract: media bytes are parsed and folded MAP-SIDE;
+    // every exchange carries scalars (ids, dims, hashes, fold results). A
+    // binary attribute in any exchange's output means the payload itself
+    // would ship through a shuffle/broadcast at corpus scale.
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.exchange.Exchange
+    import org.apache.spark.sql.types.BinaryType
+    def flatten(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => flatten(a.initialPlan)
+      case other => other +: other.children.flatMap(flatten)
+    }
+    for (n <- Seq("q_dedup_phash", "q_media_decode", "q_media_resize",
+        "q_audio_decode", "q_audio_frames", "q_multimodal")) {
+      val plan = Catalog.defs(n).build(spark, dir).queryExecution.executedPlan
+      val offenders = flatten(plan).collect {
+        case e: Exchange if e.output.exists(_.dataType == BinaryType) => e
+      }
+      assert(offenders.isEmpty,
+        s"$n ships a binary payload through an exchange:\n${offenders.mkString("\n")}")
+    }
+  }
+
   test("catalog queries run concurrently through one shared session") {
     // a shared SparkSession must serve parallel jobs (the FAIR-scheduler /
     // multi-tenant shape): 8 queries on 8 threads, results identical to

@@ -148,4 +148,57 @@ class PgmSpec extends SparkTestBase {
       s"only the near-identical bitmap pair survives, got ${pairs.keySet}")
     assert(pairs((1L, 2L)) == 2L, "two sampled bits flipped")
   }
+
+  test("phashPairs equals a full reference recompute on a random corpus; " +
+    "hamming<=3 recall is guaranteed") {
+    val rnd = new scala.util.Random(7)
+    def randText(n: Int) = (1 to n).map(_ => (32 + rnd.nextInt(95)).toChar).mkString
+    val bases = (0 until 12).map(i => (i.toLong, randText(64 + rnd.nextInt(300))))
+    // near-copies of half the corpus: flip 1-3 chars — usually a tiny
+    // hamming step from the base, occasionally larger when the mean moves
+    val copies = bases.take(6).zipWithIndex.map { case ((id, t), k) =>
+      val arr = t.toCharArray
+      (0 to k % 3).foreach { _ =>
+        arr(rnd.nextInt(arr.length)) = (32 + rnd.nextInt(95)).toChar
+      }
+      (100L + id, new String(arr))
+    }
+    val docs = bases ++ copies
+    val dir = java.nio.file.Files.createTempDirectory("graft-phash-prop").toString
+    docs.map { case (id, t) => (id, t, "en", "s", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+
+    // independent reference recompute of the whole operator
+    def hash(t: String): Option[(Long, Long)] = {
+      val pn = 32 * (t.length / 32)
+      if (pn / 32 < 2) None
+      else {
+        val b = t.getBytes("UTF-8")
+        val ps = b.take(pn).map(x => (x & 0xff).toLong).sum
+        def bit(j: Int) = if ((b((j * pn) / 64) & 0xff).toLong * pn > ps) 1L else 0L
+        Some(((0 until 32).map(j => bit(j) << j).sum,
+          (32 until 64).map(j => bit(j) << (j - 32)).sum))
+      }
+    }
+    val hs = docs.flatMap { case (id, t) => hash(t).map(id -> _) }.toMap
+    def bandsOf(h: (Long, Long)) =
+      Seq(h._1 & 0xffff, h._1 >>> 16, h._2 & 0xffff, h._2 >>> 16)
+    def ham(a: (Long, Long), b: (Long, Long)) =
+      java.lang.Long.bitCount(a._1 ^ b._1) + java.lang.Long.bitCount(a._2 ^ b._2)
+    val ids = hs.keys.toSeq.sorted
+    val expected = (for {
+      i <- ids; j <- ids if i < j
+      ba = bandsOf(hs(i)); bb = bandsOf(hs(j))
+      if (0 until 4).exists(k => ba(k) == bb(k)) && ham(hs(i), hs(j)) <= 8
+    } yield (i, j) -> ham(hs(i), hs(j)).toLong).toMap
+
+    val got = Multimodal.phashPairs(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got == expected, s"operator != reference:\n got=$got\n exp=$expected")
+    // the pigeonhole floor, checked against the IMPLEMENTATION's output:
+    // 4 bands over 64 bits — any pair within hamming 3 has an intact band
+    for { i <- ids; j <- ids if i < j && ham(hs(i), hs(j)) <= 3 }
+      assert(got.contains((i, j)), s"guaranteed-recall pair ($i,$j) missed")
+  }
 }
