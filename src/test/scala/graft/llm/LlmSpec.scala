@@ -582,4 +582,41 @@ class LlmSpec extends SparkTestBase {
     assert(got("srcA") == ((1L, 9L, 0.428571)), s"srcA: ${got("srcA")}") // 3/7
     assert(got("srcB") == ((1L, 16L, 0.571429)), s"srcB: ${got("srcB")}") // 4/7
   }
+
+  test("sourceDivergence equals a driver-side fixed-point reference recompute") {
+    // Pins the bit-exactness claim: the floor-scaled per-term longs must
+    // reproduce EXACTLY from the raw counts with the same IEEE op tree,
+    // independent of Spark's partitioning or aggregation order.
+    val d = "/root/testdata/sf0.001"
+    val rows = graft.core.Tables.documents(spark, d)
+      .select(col("source"), col("text")).collect()
+    val counts = scala.collection.mutable.Map[(String, String), Long]()
+      .withDefaultValue(0L)
+    rows.foreach { r =>
+      r.getString(1).split(" ", -1).filter(_.nonEmpty)
+        .foreach(t => counts((r.getString(0), t)) += 1)
+    }
+    val ct = counts.groupBy(_._1._2).map { case (t, m) => t -> m.values.sum }
+    val topV = ct.toSeq.sortBy { case (t, c) => (-c, t) }.take(100).toMap
+    val nn = topV.values.sum
+    val bySrc = counts.filter { case ((_, t), _) => topV.contains(t) }
+      .groupBy(_._1._1)
+    val expected = bySrc.map { case (src, m) =>
+      val ns = m.values.sum
+      // keys is a Set — map through a Seq or equal c_t values deduplicate
+      val cts = m.keys.toSeq.map { case (_, t) => topV(t) }.sum
+      val termSum = m.map { case ((_, t), o) =>
+        val num = (o * nn - ns * topV(t)).toDouble
+        val den = ns.toDouble * topV(t).toDouble * nn.toDouble
+        math.floor(num * num / den * 1e6).toLong
+      }.sum
+      val zero = math.floor(
+        ns.toDouble * (nn.toDouble - cts.toDouble) / nn.toDouble * 1e6).toLong
+      src -> (termSum + zero)
+    }
+    val got = TextStats.sourceDivergence(spark, d).collect()
+      .map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(got == expected,
+      s"fixed-point chi2 mismatch:\n got=$got\n exp=$expected")
+  }
 }
