@@ -78,6 +78,35 @@ object Catalog {
       .orderedBy("ws", "base")
   }
 
+  /** The min_by formulation under the OPTIMIZER REWRITE
+    * ([[graft.plans.OrderedFirstLastRewrite]]): the user writes the stock
+    * `min_by/max_by(value, struct(ts, value))` API — which alone plans
+    * SortAggregate (q_ohlc_minby, kept as the documented builtin path) —
+    * and the injected rule swaps in the hash-aggregable ordered
+    * first/last because the upstream IsNotNull filter lets constraint
+    * propagation prove null-safety. Runs in a conf-isolated child session
+    * (the q_join_bloom pattern) so the rule is scoped to this query; the
+    * IDENTICAL ohlcOracle adjudicates the rewrite, and CatalogSpec's
+    * generic no-SortAggregate guard fails the moment the rule stops
+    * firing. */
+  def qOhlcRewrite(spark: SparkSession, dir: String): DataFrame = {
+    val s2 = spark.newSession()
+    s2.experimental.extraOptimizations =
+      s2.experimental.extraOptimizations :+ graft.plans.OrderedFirstLastRewrite
+    val ev = Tables.events(s2, dir)
+      .filter(col("ts").isNotNull && col("value").isNotNull)
+    ev.groupBy(window(col("ts"), "1 minute"), col("event_type").as("base"))
+      .agg(
+        expr("min_by(value, struct(ts, value))").as("open"),
+        max(col("value")).as("high"),
+        min(col("value")).as("low"),
+        expr("max_by(value, struct(ts, value))").as("close"),
+        sum(col("value").cast("decimal(20,6)")).cast("double").as("volume"))
+      .select(unix_timestamp(col("window.start")).as("ws"), col("base"),
+        col("open"), col("high"), col("low"), col("close"), col("volume"))
+      .orderedBy("ws", "base")
+  }
+
   /** The reference's STREAMING spine under the batch oracle: the same
     * candle pipeline executed by the streaming engine — file source over
     * the same events data, `Trigger.AvailableNow` (process everything,
@@ -249,6 +278,9 @@ object Catalog {
   private val ohlcDefs: Map[String, QueryDef] = Map(
     "q_ohlc_1m" -> QueryDef(qOhlc1m, Some(ohlcOracle)),
     "q_ohlc_minby" -> QueryDef(qOhlcMinby, Some(ohlcOracle)),
+    // the same min_by SOURCE text under the optimizer rewrite — must
+    // hash-aggregate (generic plan guard) and hash-match the same oracle
+    "q_ohlc_rewrite" -> QueryDef(qOhlcRewrite, Some(ohlcOracle)),
     // the streaming engine's answer against the SAME SQL — batch ≡
     // streaming as a driver-oracled property
     "q_ohlc_streamed" -> QueryDef(qOhlcStreamed, Some(ohlcOracle)),

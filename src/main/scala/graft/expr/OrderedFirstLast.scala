@@ -373,8 +373,12 @@ object GraftFunctions {
 }
 
 /** SparkSessionExtensions hook — the cluster-deployment registration path:
-  * `spark-submit --conf spark.sql.extensions=graft.expr.GraftExtensions`. */
+  * `spark-submit --conf spark.sql.extensions=graft.expr.GraftExtensions`.
+  * Injects the function registry AND the min_by/max_by → ordered-first/last
+  * optimizer rewrite ([[graft.plans.OrderedFirstLastRewrite]]). */
 class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
-  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit =
+  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit = {
     GraftFunctions.functions.foreach(ext.injectFunction)
+    ext.injectOptimizerRule(_ => graft.plans.OrderedFirstLastRewrite)
+  }
 }

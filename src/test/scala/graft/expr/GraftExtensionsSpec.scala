@@ -41,4 +41,62 @@ class GraftExtensionsSpec extends SparkTestBase {
       SparkSession.setDefaultSession(spark)
     }
   }
+
+  test("min_by/max_by rewrite: fires only under proven null-safety, " +
+    "answers match the builtin, plan hash-aggregates") {
+    import org.apache.spark.sql.functions._
+    val s2 = spark.newSession()
+    s2.experimental.extraOptimizations =
+      s2.experimental.extraOptimizations :+ graft.plans.OrderedFirstLastRewrite
+    import s2.implicits._
+    val rnd = new scala.util.Random(11)
+    val rows = (1 to 400).map { i =>
+      (i % 7, rnd.nextInt(50).toLong, math.rint(rnd.nextDouble() * 100) / 10)
+    }
+    val df = rows.toDF("k", "t", "v")
+
+    // POSITIVE: IsNotNull-filtered input -> constraints prove safety, the
+    // rule swaps in the ordered aggregates; no SortAggregate anywhere
+    val safe = df.filter(col("t").isNotNull && col("v").isNotNull)
+      .groupBy(col("k"))
+      .agg(expr("min_by(v, struct(t, v))").as("f"),
+        expr("max_by(v, struct(t, v))").as("l"))
+    val safePlan = safe.queryExecution.executedPlan.toString
+    assert(safePlan.contains("first_by_ordered") &&
+      safePlan.contains("last_by_ordered"), s"rewrite did not fire:\n$safePlan")
+    assert(!safePlan.contains("SortAggregate"),
+      s"rewritten plan still sorts:\n$safePlan")
+
+    // answers identical to the untouched builtin (parent session, no rule)
+    val dfParent = {
+      import spark.implicits._
+      rows.toDF("k", "t", "v")
+    }
+    val builtin = dfParent.filter(col("t").isNotNull && col("v").isNotNull)
+      .groupBy(col("k"))
+      .agg(expr("min_by(v, struct(t, v))").as("f"),
+        expr("max_by(v, struct(t, v))").as("l"))
+    assert(builtin.queryExecution.executedPlan.toString.contains("SortAggregate"),
+      "precondition: the builtin path is expected to SortAggregate")
+    def m(rs: Array[org.apache.spark.sql.Row]) =
+      rs.map(r => r.getInt(0) -> ((r.getDouble(1), r.getDouble(2)))).toMap
+    assert(m(safe.collect()) == m(builtin.collect()))
+
+    // NEGATIVE: nullable inputs with NO IsNotNull guarantee -> the rule
+    // must leave the builtin (SortAggregate) in place
+    val nullable = df.select(col("k"),
+        when(col("t") % 13 === 0, lit(null)).otherwise(col("t")).as("t"),
+        col("v"))
+      .groupBy(col("k")).agg(expr("min_by(v, struct(t, v))").as("f"))
+    val nPlan = nullable.queryExecution.executedPlan.toString
+    assert(!nPlan.contains("first_by_ordered"),
+      s"rewrite fired without a null-safety proof:\n$nPlan")
+
+    // shape guard: ordering struct NOT keyed by the value itself -> no fire
+    // (the builtin's tie rule would be observable)
+    val otherKey = df.filter(col("t").isNotNull && col("v").isNotNull)
+      .groupBy(col("k")).agg(expr("min_by(v, struct(t, k))").as("f"))
+    assert(!otherKey.queryExecution.executedPlan.toString
+      .contains("first_by_ordered"), "rewrite fired on a foreign tie key")
+  }
 }
