@@ -107,6 +107,40 @@ object Catalog {
       .orderedBy("ws", "base")
   }
 
+  /** The reference's VERBATIM open/close formulation (reference
+    * `main.py:154-157` — `element_at(transform(array_sort(collect_list(
+    * named_struct('t', timestamp, 'p', price))), x -> x.p), 1 | size(...))`)
+    * run UNMODIFIED under [[graft.plans.OrderedFirstLastRewrite]]: a user
+    * porting the reference app keeps their query text, and the optimizer
+    * replaces the O(rows)-per-group collection state with the O(1)
+    * ordered aggregate (CatalogSpec asserts collect_list is GONE from the
+    * physical plan). Same oracle as q_ohlc_1m — the rewrite is correct or
+    * the hash gate fails. */
+  def qOhlcReference(spark: SparkSession, dir: String): DataFrame = {
+    val s2 = spark.newSession()
+    s2.experimental.extraOptimizations =
+      s2.experimental.extraOptimizations :+ graft.plans.OrderedFirstLastRewrite
+    val refOpen = "element_at(transform(array_sort(collect_list(" +
+      "named_struct('t', timestamp, 'p', price))), x -> x.p), 1)"
+    val refClose = "element_at(transform(array_sort(collect_list(" +
+      "named_struct('t', timestamp, 'p', price))), x -> x.p), " +
+      "size(collect_list(named_struct('t', timestamp, 'p', price))))"
+    val ev = Tables.events(s2, dir)
+      .filter(col("ts").isNotNull && col("value").isNotNull)
+      .select(col("ts").as("timestamp"), col("value").as("price"),
+        col("event_type").as("base"))
+    ev.groupBy(window(col("timestamp"), "1 minute"), col("base"))
+      .agg(
+        expr(refOpen).as("open"),
+        max(col("price")).as("high"),
+        min(col("price")).as("low"),
+        expr(refClose).as("close"),
+        sum(col("price").cast("decimal(20,6)")).cast("double").as("volume"))
+      .select(unix_timestamp(col("window.start")).as("ws"), col("base"),
+        col("open"), col("high"), col("low"), col("close"), col("volume"))
+      .orderedBy("ws", "base")
+  }
+
   /** The reference's STREAMING spine under the batch oracle: the same
     * candle pipeline executed by the streaming engine — file source over
     * the same events data, `Trigger.AvailableNow` (process everything,
@@ -281,6 +315,8 @@ object Catalog {
     // the same min_by SOURCE text under the optimizer rewrite — must
     // hash-aggregate (generic plan guard) and hash-match the same oracle
     "q_ohlc_rewrite" -> QueryDef(qOhlcRewrite, Some(ohlcOracle)),
+    // the reference's verbatim collect_list formulation under the rewrite
+    "q_ohlc_reference" -> QueryDef(qOhlcReference, Some(ohlcOracle)),
     // the streaming engine's answer against the SAME SQL — batch ≡
     // streaming as a driver-oracled property
     "q_ohlc_streamed" -> QueryDef(qOhlcStreamed, Some(ohlcOracle)),

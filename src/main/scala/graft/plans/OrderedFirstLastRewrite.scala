@@ -1,7 +1,7 @@
 package graft.plans
 
-import org.apache.spark.sql.catalyst.expressions.{CreateNamedStruct, Expression, IsNotNull}
-import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, MaxBy, MinBy}
+import org.apache.spark.sql.catalyst.expressions.{ArraySort, ArrayTransform, CreateNamedStruct, ElementAt, Expression, GetStructField, GreaterThan, If, IntegerLiteral, IsNotNull, LambdaFunction, LessThan, Literal, NamedLambdaVariable, Size}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, CollectList, MaxBy, MinBy}
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types._
@@ -64,9 +64,80 @@ object OrderedFirstLastRewrite extends Rule[LogicalPlan] {
       case _ => None
     }
 
+  /** The comparator is array_sort's DEFAULT ascending one. Two accepted
+    * shapes: the null-pruned form the optimizer leaves when the array
+    * elements are provably non-null —
+    * `(l, r) -> if (l < r) -1 else if (l > r) 1 else 0` — and the full
+    * null-handling template, matched with both lambda bodies' variables
+    * replaced by position markers so the bound (analyzed) comparator
+    * matches the unbound `ArraySort.defaultComparator`. */
+  private def isDefaultComparator(f: Expression): Boolean = f match {
+    case LambdaFunction(
+        If(LessThan(l1, r1), IntegerLiteral(-1),
+          If(GreaterThan(l2, r2), IntegerLiteral(1), IntegerLiteral(0))),
+        Seq(l, r), _) =>
+      l1.fastEquals(l) && r1.fastEquals(r) &&
+        l2.fastEquals(l) && r2.fastEquals(r)
+    case LambdaFunction(body, Seq(l, r), _) =>
+      def mark(e: Expression, lv: Expression, rv: Expression): Expression =
+        e.transform {
+          case v if v.fastEquals(lv) => Literal("L")
+          case v if v.fastEquals(rv) => Literal("R")
+        }
+      ArraySort.defaultComparator match {
+        case LambdaFunction(dBody, Seq(dl, dr), _) =>
+          mark(body, l, r).semanticEquals(mark(dBody, dl, dr))
+        case _ => false
+      }
+    case _ => false
+  }
+
+  /** struct('t', ts, 'p', p) with in-domain types. */
+  private def candleStruct(s: CreateNamedStruct): Boolean =
+    s.valExprs.length == 2 && orderedTs(s.valExprs.head) &&
+      s.valExprs(1).dataType == DoubleType
+
+  /** The reference's VERBATIM candle formulation (reference
+    * `main.py:154-157`):
+    * `element_at(transform(array_sort(collect_list(struct(t, p))), x -> x.p), i)`
+    * with i = 1 (open) or i = size(collect_list(struct(t, p))) (close) —
+    * O(rows) aggregation state per group, ObjectHashAggregate, array sort
+    * per group per output. When the extraction lambda reads the SECOND
+    * struct field (the price), the index selects the first/last element,
+    * and null-safety is proven, the whole expression IS the ordered
+    * first/last — replaced wholesale, which also deletes the
+    * collect_list the `size()` index referenced. */
+  private def referenceCandle(child: LogicalPlan, e: Expression): Option[Expression] =
+    e match {
+      case ElementAt(
+          ArrayTransform(
+            ArraySort(
+              ae @ AggregateExpression(CollectList(s: CreateNamedStruct, _, _), _, false, None, _),
+              cmp, _),
+            LambdaFunction(GetStructField(lv1: NamedLambdaVariable, 1, _),
+              Seq(lv2: NamedLambdaVariable), _)),
+          idx, None, _)
+          if lv1.exprId == lv2.exprId && isDefaultComparator(cmp) &&
+            candleStruct(s) && guaranteed(child, s.valExprs.head) &&
+            guaranteed(child, s.valExprs(1)) =>
+        idx match {
+          case IntegerLiteral(1) =>
+            Some(ae.copy(aggregateFunction =
+              FirstByOrderedDecl(s.valExprs.head, s.valExprs(1))))
+          case Size(AggregateExpression(CollectList(s2: CreateNamedStruct, _, _), _, false, None, _), _)
+              if s2.semanticEquals(s) =>
+            Some(ae.copy(aggregateFunction =
+              LastByOrderedDecl(s.valExprs.head, s.valExprs(1))))
+          case _ => None
+        }
+      case _ => None
+    }
+
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
     case agg: Aggregate =>
       agg.transformExpressions {
+        case e if referenceCandle(agg.child, e).isDefined =>
+          referenceCandle(agg.child, e).get
         case ae @ AggregateExpression(MinBy(v, ord), _, false, None, _) =>
           tsKey(ord, v)
             .filter(ts => guaranteed(agg.child, ts) && guaranteed(agg.child, v))

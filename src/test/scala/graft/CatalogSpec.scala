@@ -91,6 +91,24 @@ class CatalogSpec extends SparkTestBase {
     }
   }
 
+  test("plan guard: the reference's verbatim collect_list candle rewrites " +
+    "to the O(1) ordered aggregate") {
+    // q_ohlc_reference runs main.py's exact open/close expression text;
+    // the optimizer rule must delete EVERY collect_list (O(rows) state per
+    // group) and leave the declarative ordered aggregates in a plain
+    // HashAggregate
+    for (n <- Seq("q_ohlc_reference", "q_ohlc_rewrite")) {
+      val plan = Catalog.defs(n).build(spark, dir)
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("first_by_ordered") && plan.contains("last_by_ordered"),
+        s"$n: rewrite did not fire:\n$plan")
+      assert(!plan.contains("collect_list") && !plan.contains("min_by") &&
+        !plan.contains("max_by"), s"$n: original aggregate survived:\n$plan")
+      assert(!plan.contains("ObjectHashAggregate") && !plan.contains("SortAggregate"),
+        s"$n: expected plain HashAggregate:\n$plan")
+    }
+  }
+
   test("plan guard: decoded binary payloads never cross an exchange") {
     // The multimodal contract: media bytes are parsed and folded MAP-SIDE;
     // every exchange carries scalars (ids, dims, hashes, fold results). A

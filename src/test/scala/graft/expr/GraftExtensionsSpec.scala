@@ -98,5 +98,30 @@ class GraftExtensionsSpec extends SparkTestBase {
       .groupBy(col("k")).agg(expr("min_by(v, struct(t, k))").as("f"))
     assert(!otherKey.queryExecution.executedPlan.toString
       .contains("first_by_ordered"), "rewrite fired on a foreign tie key")
+
+    // the reference's verbatim collect_list formulation: same rewrite,
+    // same answers, collect_list deleted from the plan
+    val refDf = df.filter(col("t").isNotNull && col("v").isNotNull)
+      .select(col("k"), col("t").as("timestamp"), col("v").as("price"))
+    val ref = refDf.groupBy(col("k")).agg(
+      expr("element_at(transform(array_sort(collect_list(" +
+        "named_struct('t', timestamp, 'p', price))), x -> x.p), 1)").as("f"),
+      expr("element_at(transform(array_sort(collect_list(" +
+        "named_struct('t', timestamp, 'p', price))), x -> x.p), " +
+        "size(collect_list(named_struct('t', timestamp, 'p', price))))").as("l"))
+    val refPlan = ref.queryExecution.executedPlan.toString
+    assert(refPlan.contains("first_by_ordered") &&
+      refPlan.contains("last_by_ordered") && !refPlan.contains("collect_list"),
+      s"reference-formulation rewrite did not fire:\n$refPlan")
+    assert(m(ref.collect()) == m(builtin.collect()),
+      "reference formulation answers diverged from min_by/max_by")
+
+    // extraction of the ORDERING field (x.t) must not rewrite — the
+    // aggregate would return the wrong struct member
+    val wrongField = refDf.groupBy(col("k")).agg(
+      expr("element_at(transform(array_sort(collect_list(" +
+        "named_struct('t', timestamp, 'p', price))), x -> x.t), 1)").as("f"))
+    assert(!wrongField.queryExecution.executedPlan.toString
+      .contains("first_by_ordered"), "rewrite fired on the ordering field")
   }
 }
