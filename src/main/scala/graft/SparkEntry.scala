@@ -93,18 +93,7 @@ object Catalog {
     val s2 = spark.newSession()
     s2.experimental.extraOptimizations =
       s2.experimental.extraOptimizations :+ graft.plans.OrderedFirstLastRewrite
-    val ev = Tables.events(s2, dir)
-      .filter(col("ts").isNotNull && col("value").isNotNull)
-    ev.groupBy(window(col("ts"), "1 minute"), col("event_type").as("base"))
-      .agg(
-        expr("min_by(value, struct(ts, value))").as("open"),
-        max(col("value")).as("high"),
-        min(col("value")).as("low"),
-        expr("max_by(value, struct(ts, value))").as("close"),
-        sum(col("value").cast("decimal(20,6)")).cast("double").as("volume"))
-      .select(unix_timestamp(col("window.start")).as("ws"), col("base"),
-        col("open"), col("high"), col("low"), col("close"), col("volume"))
-      .orderedBy("ws", "base")
+    rewriteCandleAgg(Tables.events(s2, dir)).orderedBy("ws", "base")
   }
 
   /** The reference's VERBATIM open/close formulation (reference
@@ -140,6 +129,39 @@ object Catalog {
         col("open"), col("high"), col("low"), col("close"), col("volume"))
       .orderedBy("ws", "base")
   }
+
+  /** 18th batch≡streaming bridge — the OPTIMIZER RULE under the
+    * micro-batch planner: the stock min_by/max_by candle text, rewritten
+    * by [[graft.plans.OrderedFirstLastRewrite]] inside the streaming
+    * query's own (cloned) session, executed complete-mode over the file
+    * source and hash-compared against the IDENTICAL ohlcOracle. Every
+    * micro-batch re-plans through the session optimizer, so the rewrite
+    * must hold hands with StateStore restore/save — the custom
+    * declarative aggregate's merge path under streaming state, reached
+    * through the REWRITE rather than direct construction
+    * (StreamingSpec's rewrite-fires test additionally pins the
+    * first_by_ordered plan on lastExecution). */
+  def qOhlcRewriteStreamed(spark: SparkSession, dir: String): DataFrame =
+    Tables.runStreamComplete(spark, "ohlc_rewrite_streamed_") { cs =>
+      cs.experimental.extraOptimizations =
+        cs.experimental.extraOptimizations :+ graft.plans.OrderedFirstLastRewrite
+      rewriteCandleAgg(Tables.eventsStream(cs, dir))
+    }.orderedBy("ws", "base")
+
+  /** The min_by/max_by candle aggregation shared by [[qOhlcRewrite]] and
+    * its streaming twin: IsNotNull-filtered (the rewrite's constraint
+    * proof), stock-API aggregates, epoch window starts. */
+  private def rewriteCandleAgg(ev: DataFrame): DataFrame =
+    ev.filter(col("ts").isNotNull && col("value").isNotNull)
+      .groupBy(window(col("ts"), "1 minute"), col("event_type").as("base"))
+      .agg(
+        expr("min_by(value, struct(ts, value))").as("open"),
+        max(col("value")).as("high"),
+        min(col("value")).as("low"),
+        expr("max_by(value, struct(ts, value))").as("close"),
+        sum(col("value").cast("decimal(20,6)")).cast("double").as("volume"))
+      .select(unix_timestamp(col("window.start")).as("ws"), col("base"),
+        col("open"), col("high"), col("low"), col("close"), col("volume"))
 
   /** The reference's STREAMING spine under the batch oracle: the same
     * candle pipeline executed by the streaming engine — file source over
@@ -317,6 +339,8 @@ object Catalog {
     "q_ohlc_rewrite" -> QueryDef(qOhlcRewrite, Some(ohlcOracle)),
     // the reference's verbatim collect_list formulation under the rewrite
     "q_ohlc_reference" -> QueryDef(qOhlcReference, Some(ohlcOracle)),
+    // 18th bridge: the optimizer rewrite under the micro-batch planner
+    "q_ohlc_rewrite_streamed" -> QueryDef(qOhlcRewriteStreamed, Some(ohlcOracle)),
     // the streaming engine's answer against the SAME SQL — batch ≡
     // streaming as a driver-oracled property
     "q_ohlc_streamed" -> QueryDef(qOhlcStreamed, Some(ohlcOracle)),

@@ -704,4 +704,44 @@ class StreamingSpec extends SparkTestBase {
       assert(Scd2Stream.versionsOf(7L, p) == got)
     }
   }
+
+  test("optimizer rewrite fires under the micro-batch planner " +
+    "(first_by_ordered in lastExecution, no min_by)") {
+    import org.apache.spark.sql.functions._
+    val cs = spark.newSession()
+    cs.conf.set("spark.sql.shuffle.partitions", "4")
+    cs.experimental.extraOptimizations =
+      cs.experimental.extraOptimizations :+ graft.plans.OrderedFirstLastRewrite
+    val src = graft.core.Tables.eventsStream(cs, "/root/testdata/sf0.001")
+      .filter(col("ts").isNotNull && col("value").isNotNull)
+      .groupBy(col("event_type"))
+      .agg(expr("min_by(value, struct(ts, value))").as("open"),
+        expr("max_by(value, struct(ts, value))").as("close"))
+    val q = src.writeStream.outputMode("complete").format("memory")
+      .queryName("rewrite_streamed_guard")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try {
+      q.awaitTermination()
+      val plan = q
+        .asInstanceOf[org.apache.spark.sql.execution.streaming.runtime.StreamingQueryWrapper]
+        .streamingQuery.lastExecution.executedPlan.toString
+      assert(plan.contains("first_by_ordered") && plan.contains("last_by_ordered"),
+        s"rewrite did not reach the micro-batch plan:\n$plan")
+      assert(!plan.contains("min_by") && !plan.contains("SortAggregate"),
+        s"builtin survived under streaming:\n$plan")
+      // and the rewritten streaming answer matches the batch builtin
+      val batch = graft.core.Tables.events(spark, "/root/testdata/sf0.001")
+        .filter(col("ts").isNotNull && col("value").isNotNull)
+        .groupBy(col("event_type"))
+        .agg(expr("min_by(value, struct(ts, value))").as("open"),
+          expr("max_by(value, struct(ts, value))").as("close"))
+      def m(rs: Array[org.apache.spark.sql.Row]) =
+        rs.map(r => r.getString(0) -> ((r.getDouble(1), r.getDouble(2)))).toMap
+      assert(m(cs.table("rewrite_streamed_guard").collect()) == m(batch.collect()))
+    } finally {
+      q.stop()
+      cs.streams.resetTerminated()
+    }
+  }
 }
