@@ -354,20 +354,7 @@ object Dedup {
       .select(col("doc_id"), TextStats.shinglesExpr("toks").as("sh"))
       .filter(size(col("sh")) > 0)
     val banded0 = bandSignatures(sh, bands, rows)
-    // the bucket-size count windows over the SAME (band, sig) key the
-    // self-join shuffles on — Catalyst reuses the exchange, no extra shuffle
-    val banded = maxBucket match {
-      case Some(cap) =>
-        val wB = org.apache.spark.sql.expressions.Window.partitionBy("band", "sig")
-        banded0.withColumn("bn", count(lit(1)).over(wB))
-          .filter(col("bn") <= cap).drop("bn")
-      case None => banded0
-    }
-    val cand = banded.as("x").join(banded.as("y"),
-        col("x.band") === col("y.band") && col("x.sig") === col("y.sig") &&
-          col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-      .distinct()
+    val cand = bandedCandidates(banded0, "doc_id", maxBucket, "doc_a", "doc_b")
     // verify joins carry TOKENS and shingle AFTER the join: shingling the
     // full corpus twice more (the sh relation is referenced per side) cost
     // ~2/3 of the query — candidates are O(near-dups), so shingle them only
@@ -484,36 +471,72 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
 
+  /** The hot-bucket-cap + banded-self-join skeleton EVERY LSH family in
+    * this module shares (MinHash, SimHash, embedding sign-LSH, and the
+    * multimodal perceptual hash): cap each (band, sig) bucket before the
+    * quadratic join — the bucket-size count WINDOWS over the SAME
+    * (band, sig) key the self-join shuffles on, so Catalyst reuses the
+    * exchange and the cap costs no extra shuffle — then self-join within
+    * buckets and emit DISTINCT ordered id pairs. `carry` columns ride out
+    * as `<c>_a` / `<c>_b` (e.g. the SimHash value for an in-flight
+    * hamming distance). */
+  private[llm] def bandedCandidates(banded0: DataFrame, idCol: String,
+      maxBucket: Option[Int], outA: String, outB: String,
+      carry: Seq[String] = Nil): DataFrame = {
+    val banded = maxBucket match {
+      case Some(cap) =>
+        val wB = org.apache.spark.sql.expressions.Window.partitionBy("band", "sig")
+        banded0.withColumn("bn", count(lit(1)).over(wB))
+          .filter(col("bn") <= cap).drop("bn")
+      case None => banded0
+    }
+    val outs = (col(s"x.$idCol").as(outA) +: col(s"y.$idCol").as(outB) +:
+      carry.flatMap(c => Seq(col(s"x.$c").as(s"${c}_a"), col(s"y.$c").as(s"${c}_b"))))
+    banded.as("x").join(banded.as("y"),
+        col("x.band") === col("y.band") && col("x.sig") === col("y.sig") &&
+          col(s"x.$idCol") < col(s"y.$idCol"))
+      .select(outs: _*)
+      .distinct()
+  }
+
   /** Mirrors [[ngramPairs]]: rare-shingle postings join + Jaccard verify.
     * Shingles here are DISTINCT per doc (list_distinct in `sh`), so df
     * counts documents, matching the Spark side's set semantics; the
     * 48-bit hash key is rebuilt from 12 md5 hex chars (DuckDB has no
     * conv()). */
-  private def ngramOracle(threshold: Double, maxDf: Int,
-                          minShared: Int = 2): String = {
+  /** The rare-shingle truth chain as CTE text, NAME-PREFIXED so it can be
+    * embedded next to the MinHash CTEs without collisions — the single
+    * source for [[ngramOracle]] (no prefix) and the recall gauge's
+    * reference arm ("t" prefix); a change to the chain reaches both. */
+  private def ngramOracleCtes(maxDf: Int, minShared: Int,
+                              p: String = ""): String = {
     val hv = OracleSql.hexPrefixToLong("h", 12)
-    s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
-       |sh AS (
+    s"""${p}w AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       |${p}sh AS (
        |  SELECT doc_id, list_distinct(list_transform(range(1, len(toks) - 1),
        |           i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS s
-       |  FROM w WHERE len(toks) >= 3),
-       |post AS (SELECT doc_id, $hv AS gh FROM (
+       |  FROM ${p}w WHERE len(toks) >= 3),
+       |${p}post AS (SELECT doc_id, $hv AS gh FROM (
        |  SELECT doc_id, substr(md5(g), 1, 12) AS h FROM (
-       |    SELECT doc_id, unnest(s) AS g FROM sh))),
-       |rare AS (SELECT gh FROM post GROUP BY gh
+       |    SELECT doc_id, unnest(s) AS g FROM ${p}sh))),
+       |${p}rare AS (SELECT gh FROM ${p}post GROUP BY gh
        |         HAVING count(*) >= 2 AND count(*) <= $maxDf),
-       |rp AS (SELECT doc_id, gh FROM post JOIN rare USING (gh)),
-       |cand AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b
-       |         FROM rp x JOIN rp y ON x.gh = y.gh AND x.doc_id < y.doc_id
+       |${p}rp AS (SELECT doc_id, gh FROM ${p}post JOIN ${p}rare USING (gh)),
+       |${p}cand AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b
+       |         FROM ${p}rp x JOIN ${p}rp y ON x.gh = y.gh AND x.doc_id < y.doc_id
        |         GROUP BY doc_a, doc_b HAVING count(*) >= $minShared),
-       |pairs AS (
+       |${p}pairs AS (
        |  SELECT doc_a, doc_b,
        |         round(1.0 * len(list_intersect(a.s, b.s)) /
        |               (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 4) AS jaccard
-       |  FROM cand JOIN sh a ON a.doc_id = doc_a JOIN sh b ON b.doc_id = doc_b)
+       |  FROM ${p}cand JOIN ${p}sh a ON a.doc_id = doc_a JOIN ${p}sh b ON b.doc_id = doc_b)""".stripMargin
+  }
+
+  private def ngramOracle(threshold: Double, maxDf: Int,
+                          minShared: Int = 2): String =
+    s"""WITH ${ngramOracleCtes(maxDf, minShared)}
        |SELECT doc_a, doc_b, jaccard FROM pairs WHERE jaccard >= $threshold
        |ORDER BY doc_a, doc_b""".stripMargin
-  }
 
   /** CONTAINMENT detection — the asymmetric complement of [[ngramPairs]]:
     * Jaccard containment C(A,B) = |A∩B| / |A| flags A as (near-)contained
@@ -976,46 +999,31 @@ object Dedup {
     val n = lsh.agg(count(lit(1)).as("lsh_pairs"))
     m.crossJoin(broadcast(n))
       .select(col("truth_pairs"), col("lsh_pairs"), col("hit_pairs"),
-        round(lit(1.0) * col("hit_pairs") / col("truth_pairs"), 4).as("recall"))
+        // an empty reference set has no defined recall — NULL, not NaN
+        // (the vwap zero-denominator discipline), mirrored by the oracle
+        when(col("truth_pairs") > 0,
+          round(lit(1.0) * col("hit_pairs") / col("truth_pairs"), 4))
+          .as("recall"))
   }
 
   /** Replays BOTH chains — [[nearOracleCtes]] verbatim for the LSH arm,
     * the [[ngramOracle]] CTE bodies (t-prefixed names) for the reference
     * arm — then the pair-id left join and the one-row ratio. */
   private def nearRecallOracle(threshold: Double, bands: Int, rows: Int,
-                               maxDf: Int, minShared: Int): String = {
-    val hv = OracleSql.hexPrefixToLong("h", 12)
+                               maxDf: Int, minShared: Int): String =
     s"""WITH ${nearOracleCtes(bands, rows)},
        |lsh AS (SELECT doc_a, doc_b FROM pairs WHERE jaccard >= $threshold),
-       |tw AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
-       |tsh AS (
-       |  SELECT doc_id, list_distinct(list_transform(range(1, len(toks) - 1),
-       |           i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS s
-       |  FROM tw WHERE len(toks) >= 3),
-       |tpost AS (SELECT doc_id, $hv AS gh FROM (
-       |  SELECT doc_id, substr(md5(g), 1, 12) AS h FROM (
-       |    SELECT doc_id, unnest(s) AS g FROM tsh))),
-       |trare AS (SELECT gh FROM tpost GROUP BY gh
-       |          HAVING count(*) >= 2 AND count(*) <= $maxDf),
-       |trp AS (SELECT doc_id, gh FROM tpost JOIN trare USING (gh)),
-       |tcand AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b
-       |          FROM trp x JOIN trp y ON x.gh = y.gh AND x.doc_id < y.doc_id
-       |          GROUP BY doc_a, doc_b HAVING count(*) >= $minShared),
-       |tpairs AS (
-       |  SELECT doc_a, doc_b,
-       |         round(1.0 * len(list_intersect(a.s, b.s)) /
-       |               (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 4) AS jaccard
-       |  FROM tcand JOIN tsh a ON a.doc_id = doc_a JOIN tsh b ON b.doc_id = doc_b),
+       |${ngramOracleCtes(maxDf, minShared, "t")},
        |truth AS (SELECT doc_a, doc_b FROM tpairs WHERE jaccard >= $threshold),
        |m AS (SELECT count(*) AS truth_pairs,
-       |             CAST(sum(CASE WHEN l.doc_a IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS hit_pairs
+       |             CAST(COALESCE(sum(CASE WHEN l.doc_a IS NOT NULL THEN 1 ELSE 0 END), 0) AS BIGINT) AS hit_pairs
        |      FROM truth t LEFT JOIN lsh l
        |        ON t.doc_a = l.doc_a AND t.doc_b = l.doc_b),
        |n AS (SELECT count(*) AS lsh_pairs FROM lsh)
        |SELECT truth_pairs, lsh_pairs, hit_pairs,
-       |       round(1.0 * hit_pairs / truth_pairs, 4) AS recall
+       |       CASE WHEN truth_pairs > 0
+       |            THEN round(1.0 * hit_pairs / truth_pairs, 4) END AS recall
        |FROM m CROSS JOIN n""".stripMargin
-  }
 
   // ---------------------------------------------------------------- SimHash
 
@@ -1074,19 +1082,11 @@ object Dedup {
         }: _*)).as("bs"))
       .select(col("doc_id"), col("simhash"),
         col("bs.band").as("band"), col("bs.sig").as("sig"))
-    val banded = maxBucket match {
-      case Some(cap) =>
-        val wB = org.apache.spark.sql.expressions.Window.partitionBy("band", "sig")
-        banded0.withColumn("bn", count(lit(1)).over(wB))
-          .filter(col("bn") <= cap).drop("bn")
-      case None => banded0
-    }
-    banded.as("x").join(banded.as("y"),
-        col("x.band") === col("y.band") && col("x.sig") === col("y.sig") &&
-          col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
-        bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).cast("long").as("hamming"))
-      .distinct()
+    bandedCandidates(banded0, "doc_id", maxBucket, "doc_a", "doc_b",
+        carry = Seq("simhash"))
+      .select(col("doc_a"), col("doc_b"),
+        bit_count(col("simhash_a").bitwiseXOR(col("simhash_b")))
+          .cast("long").as("hamming"))
       .filter(col("hamming") <= maxHamming)
       .orderedBy("doc_a", "doc_b")
   }
@@ -1189,18 +1189,7 @@ object Dedup {
     // hot-bucket exposure in the dedup family (MinHash/SimHash have
     // 65k-bucket bands; this one needs the cap most). Same
     // count-window-over-the-join-key shape: the exchange is reused.
-    val banded = maxBucket match {
-      case Some(cap) =>
-        val wB = org.apache.spark.sql.expressions.Window.partitionBy("band", "sig")
-        banded0.withColumn("bn", count(lit(1)).over(wB))
-          .filter(col("bn") <= cap).drop("bn")
-      case None => banded0
-    }
-    val cand = banded.as("x").join(banded.as("y"),
-        col("x.band") === col("y.band") && col("x.sig") === col("y.sig") &&
-          col("x.vec_id") < col("y.vec_id"))
-      .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"))
-      .distinct()
+    val cand = bandedCandidates(banded0, "vec_id", maxBucket, "vec_a", "vec_b")
     cand
       .join(all.select(col("vec_id").as("vec_a"), col("e").as("ea")), "vec_a")
       .join(all.select(col("vec_id").as("vec_b"), col("e").as("eb")), "vec_b")

@@ -476,16 +476,9 @@ object Multimodal {
         bandStruct(2, col("h1").bitwiseAND(65535)),
         bandStruct(3, shiftright(col("h1"), 16)))).as("bs"))
       .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
-    // bucket-size window keys on the SAME (band, sig) the self-join
-    // shuffles on — Catalyst reuses the exchange (the Dedup.near pattern)
-    val wB = org.apache.spark.sql.expressions.Window.partitionBy("band", "sig")
-    val banded = banded0.withColumn("bn", count(lit(1)).over(wB))
-      .filter(col("bn") <= maxBucket).drop("bn")
-    val cand = banded.as("x").join(banded.as("y"),
-        col("x.band") === col("y.band") && col("x.sig") === col("y.sig") &&
-          col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-      .distinct()
+    // cap + self-join + distinct: the shared LSH skeleton
+    val cand = Dedup.bandedCandidates(banded0, "doc_id", Some(maxBucket),
+      "doc_a", "doc_b")
     cand
       .join(hashes.select(col("doc_id").as("doc_a"),
         col("h0").as("a0"), col("h1").as("a1")), "doc_a")

@@ -136,8 +136,9 @@ object OrderedFirstLastRewrite extends Rule[LogicalPlan] {
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
     case agg: Aggregate =>
       agg.transformExpressions {
-        case e if referenceCandle(agg.child, e).isDefined =>
-          referenceCandle(agg.child, e).get
+        // cheap type gate, then ONE full pattern evaluation; returning the
+        // node unchanged on no-match is a no-op for transform
+        case e: ElementAt => referenceCandle(agg.child, e).getOrElse(e)
         case ae @ AggregateExpression(MinBy(v, ord), _, false, None, _) =>
           tsKey(ord, v)
             .filter(ts => guaranteed(agg.child, ts) && guaranteed(agg.child, v))

@@ -596,9 +596,14 @@ object Stats {
 
   /** [[profile]] over an arbitrary frame — the composition entry point. */
   def profileFor(df: DataFrame, cols: Seq[String]): DataFrame = {
+    // public entry point: names are spliced into SQL, so quote the literal
+    // and backtick the identifier (a column like "n chars" must profile,
+    // not parse-error)
     val stacked = df.select(expr(
       s"stack(${cols.length}, " +
-        cols.map(c => s"'$c', CAST($c AS STRING)").mkString(", ") +
+        cols.map { c =>
+          s"'${c.replace("'", "''")}', CAST(`${c.replace("`", "``")}` AS STRING)"
+        }.mkString(", ") +
         ") AS (col_name, v)"))
     stacked.groupBy(col("col_name")).agg(
       count(lit(1)).as("n_rows"),

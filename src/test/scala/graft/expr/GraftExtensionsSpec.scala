@@ -36,6 +36,22 @@ class GraftExtensionsSpec extends SparkTestBase {
       val shingles = s2.sql("SELECT size(word_shingles(array('a','b','c'), 2, true)) AS n")
         .collect().head.getInt(0)
       assert(shingles == 2)
+      // the injected OPTIMIZER RULE path (extendedOperatorOptimizationRules
+      // — a different batch position than extraOptimizations): both rewrite
+      // patterns must fire inside the fixed-point batch too
+      val mb = s2.sql("""SELECT k, min_by(v, struct(t, v)) AS f
+        FROM VALUES (1, 1L, 2.0D), (1, 0L, 3.0D) AS r(k, t, v) GROUP BY k""")
+      val mbPlan = mb.queryExecution.executedPlan.toString
+      assert(mbPlan.contains("first_by_ordered") && !mbPlan.contains("min_by"),
+        s"injected rule missed min_by in the operator batch:\n$mbPlan")
+      assert(mb.collect().head.getDouble(1) == 3.0)
+      val rc = s2.sql("""SELECT k, element_at(transform(array_sort(
+          collect_list(named_struct('t', t, 'p', v))), x -> x.p), 1) AS f
+        FROM VALUES (1, 1L, 2.0D), (1, 0L, 3.0D) AS r(k, t, v) GROUP BY k""")
+      val rcPlan = rc.queryExecution.executedPlan.toString
+      assert(rcPlan.contains("first_by_ordered") && !rcPlan.contains("collect_list"),
+        s"injected rule missed the reference pattern in the operator batch:\n$rcPlan")
+      assert(rc.collect().head.getDouble(1) == 3.0)
     } finally {
       SparkSession.setActiveSession(spark)
       SparkSession.setDefaultSession(spark)
