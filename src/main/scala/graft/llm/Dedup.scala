@@ -504,12 +504,13 @@ object Dedup {
     * counts documents, matching the Spark side's set semantics; the
     * 48-bit hash key is rebuilt from 12 md5 hex chars (DuckDB has no
     * conv()). */
-  /** The rare-shingle truth chain as CTE text, NAME-PREFIXED so it can be
-    * embedded next to the MinHash CTEs without collisions — the single
-    * source for [[ngramOracle]] (no prefix) and the recall gauge's
-    * reference arm ("t" prefix); a change to the chain reaches both. */
-  private def ngramOracleCtes(maxDf: Int, minShared: Int,
-                              p: String = ""): String = {
+  /** The rare-shingle CANDIDATE chain as CTE text (through `cand`),
+    * NAME-PREFIXED so it can be embedded next to the MinHash CTEs without
+    * collisions — the single source for [[ngramOracle]], [[containOracle]]
+    * (different verify tails), and the recall gauge's reference arm
+    * ("t" prefix); a change to the chain reaches all three. */
+  private def ngramCandCtes(maxDf: Int, minShared: Int,
+                            p: String = ""): String = {
     val hv = OracleSql.hexPrefixToLong("h", 12)
     s"""${p}w AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
        |${p}sh AS (
@@ -524,13 +525,18 @@ object Dedup {
        |${p}rp AS (SELECT doc_id, gh FROM ${p}post JOIN ${p}rare USING (gh)),
        |${p}cand AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b
        |         FROM ${p}rp x JOIN ${p}rp y ON x.gh = y.gh AND x.doc_id < y.doc_id
-       |         GROUP BY doc_a, doc_b HAVING count(*) >= $minShared),
+       |         GROUP BY doc_a, doc_b HAVING count(*) >= $minShared)""".stripMargin
+  }
+
+  /** [[ngramCandCtes]] + the symmetric-Jaccard verify tail. */
+  private def ngramOracleCtes(maxDf: Int, minShared: Int,
+                              p: String = ""): String =
+    s"""${ngramCandCtes(maxDf, minShared, p)},
        |${p}pairs AS (
        |  SELECT doc_a, doc_b,
        |         round(1.0 * len(list_intersect(a.s, b.s)) /
        |               (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 4) AS jaccard
        |  FROM ${p}cand JOIN ${p}sh a ON a.doc_id = doc_a JOIN ${p}sh b ON b.doc_id = doc_b)""".stripMargin
-  }
 
   private def ngramOracle(threshold: Double, maxDf: Int,
                           minShared: Int = 2): String =
@@ -594,22 +600,8 @@ object Dedup {
   }
 
   private def containOracle(threshold: Double, maxDf: Int,
-                            minShared: Int = 2): String = {
-    val hv = OracleSql.hexPrefixToLong("h", 12)
-    s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
-       |sh AS (
-       |  SELECT doc_id, list_distinct(list_transform(range(1, len(toks) - 1),
-       |           i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS s
-       |  FROM w WHERE len(toks) >= 3),
-       |post AS (SELECT doc_id, $hv AS gh FROM (
-       |  SELECT doc_id, substr(md5(g), 1, 12) AS h FROM (
-       |    SELECT doc_id, unnest(s) AS g FROM sh))),
-       |rare AS (SELECT gh FROM post GROUP BY gh
-       |         HAVING count(*) >= 2 AND count(*) <= $maxDf),
-       |rp AS (SELECT doc_id, gh FROM post JOIN rare USING (gh)),
-       |cand AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b
-       |         FROM rp x JOIN rp y ON x.gh = y.gh AND x.doc_id < y.doc_id
-       |         GROUP BY doc_a, doc_b HAVING count(*) >= $minShared),
+                            minShared: Int = 2): String =
+    s"""WITH ${ngramCandCtes(maxDf, minShared)},
        |pairs AS (
        |  SELECT doc_a, doc_b,
        |         round(1.0 * len(list_intersect(a.s, b.s)) / len(a.s), 4) AS c_ab,
@@ -618,7 +610,6 @@ object Dedup {
        |SELECT doc_a, doc_b, c_ab, c_ba FROM pairs
        |WHERE c_ab >= $threshold OR c_ba >= $threshold
        |ORDER BY doc_a, doc_b""".stripMargin
-  }
 
   /** EXACT-SUBSTRING dedup at the long-span tier (Lee et al. 2022's
     * production companion to MinHash: two documents sharing any exact
