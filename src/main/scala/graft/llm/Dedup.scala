@@ -890,6 +890,96 @@ object Dedup {
        |SELECT id AS doc_id, least(id, min(r)) AS cluster FROM reach GROUP BY id
        |ORDER BY doc_id""".stripMargin
 
+  /** Connected components by ALTERNATING STAR CONTRACTION (large-star /
+    * small-star, Kiveris et al. 2014, "Connected Components in MapReduce
+    * and Beyond") over the same LSH pair graph as [[nearClusters]] — the
+    * production web-scale CC algorithm, here as a second, structurally
+    * different implementation adjudicated by the IDENTICAL semantic oracle
+    * (min reachable id via recursive CTE), so the answer is doubly
+    * algorithm-independent.
+    *
+    * Why ship both: min-label propagation ([[propagateMinLabels]]) runs
+    * O(log diameter) rounds but each round's label table re-joins the full
+    * edge list and labels move only one hop per jump level; star
+    * contraction REWRITES the edge list itself — large-star connects every
+    * larger neighbor of a node to its neighborhood minimum, small-star
+    * collapses each node's smaller neighbors onto their minimum — which
+    * the paper proves converges in O(log² n) rounds with the edge count
+    * NON-INCREASING per round (each emitted edge replaces one input edge,
+    * then dedups). Per-node state is a single min — neighborhoods are
+    * never collected (no collect_list / no degree-sized buffers), so a
+    * corpus-scale hub node costs one partial-aggregated min, not an
+    * O(degree) array. Every shuffle keys on a node id; rounds pin via
+    * [[graft.core.QueryDef.pinRound]] (localCheckpoint locally, reliable
+    * checkpoint under `checkpointDir` — docs/DEPLOY.md).
+    *
+    * Convergence is EXACT: a round ends with canonical (u > v, distinct)
+    * edges, and the loop stops when the round's pinned edge set equals the
+    * previous round's — one full-outer-join emptiness check per round over
+    * two already-checkpointed, edge-sized tables (reads cached blocks; no
+    * shuffle of the corpus, no re-execution of the round's plan). At the
+    * fixpoint the edge set is a star forest centered on component minima,
+    * so labels read off directly: non-roots carry their unique smaller
+    * neighbor, roots label themselves. */
+  def ccStars(s: SparkSession, d: String, threshold: Double = 0.8,
+              checkpointDir: Option[String] = None): DataFrame = {
+    val pairs = nearPairsUnordered(Tables.documents(s, d), threshold)
+      .select(col("doc_a"), col("doc_b"))
+    starLabels(pairs, checkpointDir)
+      .select(col("id").as("doc_id"), col("lbl").as("cluster"))
+      .orderedBy("doc_id")
+  }
+
+  /** The alternating large-star/small-star loop over an arbitrary pair
+    * list; returns (id, lbl) for every id appearing in `pairs`. */
+  private[llm] def starLabels(pairs: DataFrame,
+                              checkpointDir: Option[String] = None): DataFrame = {
+    // canonical edge set: directed larger -> smaller, self-loops dropped,
+    // deduped — the invariant every round re-establishes
+    val e0 = pairs.select(
+        greatest(col("doc_a"), col("doc_b")).as("u"),
+        least(col("doc_a"), col("doc_b")).as("v"))
+      .filter(col("u") =!= col("v")).distinct()
+    // node universe fixed up front (isolated minima survive contraction
+    // only as the v side, and the final labeling must cover every node)
+    val nodes = graft.core.QueryDef.pinRound(
+      e0.select(col("u").as("id")).unionByName(e0.select(col("v").as("id")))
+        .distinct(), checkpointDir)
+    var e = graft.core.QueryDef.pinRound(e0, checkpointDir)
+    var rounds = 0
+    var converged = false
+    while (!converged) {
+      rounds += 1
+      require(rounds <= 64, "star contraction failed to converge in 64 rounds")
+      // LARGE-STAR: for each node a (symmetric view), m = min(N(a) ∪ {a});
+      // every strictly-larger neighbor b > a re-attaches to m. Emitted
+      // (b, m) has b > a ≥ m, so the canonical direction is preserved.
+      val sym = e.select(col("u").as("a"), col("v").as("b"))
+        .unionByName(e.select(col("v").as("a"), col("u").as("b")))
+      val lmins = sym.groupBy(col("a")).agg(min(col("b")).as("mb"))
+        .select(col("a"), least(col("mb"), col("a")).as("m"))
+      val ls = sym.filter(col("b") > col("a")).join(lmins, "a")
+        .select(col("b").as("u"), col("m").as("v")).distinct()
+      // SMALL-STAR on the directed set: for each node u, m = min of its
+      // smaller neighbors; u and every other smaller neighbor attach to m.
+      val smins = ls.groupBy(col("u")).agg(min(col("v")).as("m"))
+      val ss = ls.join(smins, "u")
+        .select(col("v").as("node"), col("m"))
+        .filter(col("node") =!= col("m"))
+        .unionByName(smins.select(col("u").as("node"), col("m")))
+        .select(col("node").as("u"), col("m").as("v")).distinct()
+      val next = graft.core.QueryDef.pinRound(ss, checkpointDir)
+      // exact fixpoint test: canonical sets are equal ⟺ the full outer
+      // join of the two pinned tables has no one-sided row
+      converged = next.withColumn("l", lit(1))
+        .join(e.withColumn("r", lit(1)), Seq("u", "v"), "full_outer")
+        .filter(col("l").isNull || col("r").isNull).isEmpty
+      e = next
+    }
+    nodes.join(e.select(col("u").as("id"), col("v").as("lbl")), Seq("id"), "left")
+      .select(col("id"), coalesce(col("lbl"), col("id")).as("lbl"))
+  }
+
   /** The CTE chain shared by the near-dup oracle and composed pipelines
     * (ends with the `pairs` CTE; callers prepend `WITH ` or splice it after
     * their own CTEs). `source` is the (doc_id, text) relation to near-dedup
@@ -1451,6 +1541,10 @@ object Dedup {
     "q_dedup_substr" -> QueryDef(substrPairs(_, _), Some(substrOracle(20, 10))),
     "q_dedup_clusters" -> QueryDef(nearClusters(_, _),
       Some(nearClustersOracle(0.8))),
+    // the same components via ALTERNATING STAR CONTRACTION (Kiveris et
+    // al.) — a second, structurally different CC engine against the
+    // IDENTICAL semantic oracle
+    "q_dedup_cc" -> QueryDef(ccStars(_, _), Some(nearClustersOracle(0.8))),
     // damped PageRank on the same graph, fixed-point integer units —
     // canonical-representative ranking, bit-exact on any engine
     "q_graph_pagerank" -> QueryDef(pagerank(_, _), Some(pagerankOracle(0.8, 3))),

@@ -319,7 +319,13 @@ object TextStats {
     * instance⋈count join shuffles on the gram key, the scalar V
     * broadcasts, and the final per-doc avg is one doc-keyed hash agg. No
     * arm carries document text — only grams and counts. */
-  def qualityLm(s: SparkSession, d: String): DataFrame = {
+  def qualityLm(s: SparkSession, d: String): DataFrame =
+    qualityLmCore(s, d).orderedBy("doc_id")
+
+  /** Untrailed (doc_id, n_bigrams, xent) — the composition entry point for
+    * the CCNet-style bucket pruner ([[qualityPrune]]), which must not
+    * inherit the harness repartition(1) trailer in its lineage. */
+  private[llm] def qualityLmCore(s: SparkSession, d: String): DataFrame = {
     graft.expr.GraftFunctions.register(s)
     val t = Tables.documents(s, d)
       .select(col("doc_id"), tokens(col("text")).as("toks"))
@@ -337,11 +343,12 @@ object TextStats {
       .withColumn("nll", log2(col("ch") + col("vsz")) - log2(col("cbg") + 1))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_bigrams"), round(avg(col("nll")), 3).as("xent"))
-      .orderedBy("doc_id")
   }
 
-  private def qualityLmOracle: String =
-    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+  /** The bigram-LM scoring chain through the per-doc `lmscore` CTE —
+    * shared by the q_quality_lm oracle and the CCNet-prune oracle. */
+  private def qualityLmCtes: String =
+    """t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
       |bi AS (SELECT doc_id, unnest(list_transform(range(1, len(toks)),
       |                i -> toks[i] || ' ' || toks[i + 1])) AS bg
       |       FROM t WHERE len(toks) >= 2),
@@ -353,9 +360,108 @@ object TextStats {
       |sc AS (SELECT doc_id, log2(ch + vsz) - log2(cbg + 1) AS nll
       |       FROM bi JOIN cb USING (bg)
       |       JOIN hd ON split_part(bg, ' ', 1) = h
-      |       CROSS JOIN v)
-      |SELECT doc_id, count(*) AS n_bigrams, round(avg(nll), 3) AS xent
-      |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin
+      |       CROSS JOIN v),
+      |lmscore AS (SELECT doc_id, count(*) AS n_bigrams,
+      |                   round(avg(nll), 3) AS xent
+      |            FROM sc GROUP BY doc_id)""".stripMargin
+
+  private def qualityLmOracle: String =
+    s"""WITH $qualityLmCtes
+       |SELECT doc_id, n_bigrams, xent
+       |FROM lmscore ORDER BY doc_id""".stripMargin
+
+  /** CCNet-style PERPLEXITY-BUCKET PRUNING (Wenzek et al. 2020): score
+    * every document under the corpus's own bigram LM ([[qualityLmCore]]'s
+    * cross-entropy), split each LANGUAGE into 3 equal-count buckets by
+    * ascending xent (head / middle / tail — CCNet's terminology), and keep
+    * head+middle: the noisiest third of each language is dropped without a
+    * hand-tuned absolute threshold, which is the point of the design
+    * (per-language score distributions differ; a global cutoff would gut
+    * low-resource languages). Deterministic: the bucket assignment is
+    * ntile over a TOTAL order (xent is rounded to 3dp, ties break on
+    * doc_id), and ntile's fill rule (earlier buckets take the remainder)
+    * is the same SQL-standard definition in both engines. Documents under
+    * 2 tokens have no bigrams, hence no score — out of the pruner's scope
+    * on both sides (inner join).
+    *
+    * 100 TB shape: scoring is [[qualityLmCore]]'s two-arm corpus scan; the
+    * bucket split is ONE per-language range sort of the doc-id-keyed SCORE
+    * table (doc_id, lang, xent — never the bodies), exactly the global
+    * sort production CCNet runs; keep/drop then joins back to the corpus
+    * by doc_id at consumption time. */
+  def qualityPrune(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("lang"))
+    val w = Window.partitionBy(col("lang")).orderBy(col("xent"), col("doc_id"))
+    qualityLmCore(s, d).join(docs, "doc_id")
+      .withColumn("bucket", ntile(3).over(w).cast("long"))
+      .withColumn("keep", col("bucket") <= 2)
+      .select(col("doc_id"), col("lang"), col("xent"), col("bucket"), col("keep"))
+      .orderedBy("doc_id")
+  }
+
+  private def qualityPruneOracle: String =
+    s"""WITH $qualityLmCtes,
+       |j AS (SELECT s.doc_id, d.lang, s.xent
+       |      FROM lmscore s JOIN documents d USING (doc_id))
+       |SELECT doc_id, lang, xent,
+       |       CAST(ntile(3) OVER (PARTITION BY lang
+       |              ORDER BY xent, doc_id) AS BIGINT) AS bucket,
+       |       ntile(3) OVER (PARTITION BY lang ORDER BY xent, doc_id) <= 2 AS keep
+       |FROM j ORDER BY doc_id""".stripMargin
+
+  /** Buckets for the linear quality classifier's hashed feature space —
+    * test-scale width; production uses 2^18+ (the [[Vectorize.dim]]
+    * argument: the operator shape is width-independent). */
+  val clfBuckets = 64
+
+  /** Linear QUALITY CLASSIFIER over hashed unigram features — the
+    * fasttext-shaped model-based filter every production pipeline runs
+    * (GPT-3/LLaMA-style "quality classifier"): each token hashes into one
+    * of [[clfBuckets]] feature buckets (the [[Vectorize]] md5-prefix
+    * hashing trick), each bucket carries a FIXED weight, and the document's
+    * logit is the sum of its tokens' bucket weights. Weights here derive
+    * deterministically from the bucket id (md5-prefix int mod 2001 −
+    * 1000 ∈ [−1000, 1000] — a stand-in for trained parameters; the
+    * plumbing, not the weights, is the operator), in integer FIXED POINT
+    * so the logit is an exact BIGINT sum — order-independent, no libm.
+    * keep ⟺ logit > 0 ⟺ sigmoid(logit) > ½ (sigmoid is monotone, so the
+    * decision needs no exp() — the probability head stays off the hash
+    * gate). 100 TB shape: tokenize+hash+weight fan out map-side; in
+    * production the ≤2^18-row weight table broadcasts; here the weight is
+    * a closed-form expression, so the whole scorer is one projection into
+    * one doc-keyed partial-aggregated hash agg — document bodies never
+    * leave the scan. */
+  def qualityClf(s: SparkSession, d: String): DataFrame = {
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("t"))
+    val hv = conv(substring(md5(col("t")), 1, 8), 16, 10).cast("long")
+    val b = hv % clfBuckets
+    val wv = conv(substring(md5(concat(lit("w#"), b.cast("string"))), 1, 8), 16, 10)
+      .cast("long") % 2001 - 1000
+    toks.select(col("doc_id"), wv.as("w"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tok"), sum(col("w")).as("logit_fp"))
+      .withColumn("keep", col("logit_fp") > 0)
+      .orderedBy("doc_id")
+  }
+
+  private def qualityClfOracle: String = {
+    val hv = OracleSql.hexPrefixToLong("h")
+    val wv = OracleSql.hexPrefixToLong("hw")
+    s"""WITH toks AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+       |hb AS (
+       |  SELECT doc_id, ($hv) % $clfBuckets AS b
+       |  FROM (SELECT doc_id, substr(md5(t), 1, 8) AS h FROM toks)),
+       |w AS (
+       |  SELECT doc_id, ($wv) % 2001 - 1000 AS w
+       |  FROM (SELECT doc_id, substr(md5('w#' || CAST(b AS VARCHAR)), 1, 8) AS hw
+       |        FROM hb))
+       |SELECT doc_id, count(*) AS n_tok,
+       |       CAST(sum(w) AS BIGINT) AS logit_fp,
+       |       CAST(sum(w) AS BIGINT) > 0 AS keep
+       |FROM w GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
 
   /** Per-doc out-of-vocabulary rate against the corpus's own top-`k`
     * vocabulary — the vocabulary-coverage quality signal (docs full of
@@ -945,6 +1051,11 @@ object TextStats {
     "q_token_bpe" -> QueryDef(tokenBpe, Some(tokenBpeOracle)),
     "q_cooccur_pmi" -> QueryDef(cooccurPmi(_, _), Some(cooccurPmiOracle(5, 25))),
     "q_quality_lm" -> QueryDef(qualityLm, Some(qualityLmOracle)),
+    // CCNet-style per-language perplexity thirds: keep head+middle, drop
+    // the noisiest tail — no hand-tuned absolute threshold
+    "q_quality_prune" -> QueryDef(qualityPrune, Some(qualityPruneOracle)),
+    // fasttext-shaped hashed-feature linear scorer in exact fixed point
+    "q_quality_clf" -> QueryDef(qualityClf, Some(qualityClfOracle)),
     "q_quality_oov" -> QueryDef(oovRate(_, _), Some(oovOracle(20))),
     "q_quality_rep" -> QueryDef(qualityRep, Some(qualityRepOracle)),
     "q_lang_id" -> QueryDef(langId, Some(langIdOracle)),

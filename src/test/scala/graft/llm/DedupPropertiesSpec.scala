@@ -302,4 +302,37 @@ class DedupPropertiesSpec extends SparkTestBase {
     // the banded-LSH recall floor this config is shipped with
     assert(r.getDouble(3) >= 0.8, s"recall collapsed: ${r.getDouble(3)}")
   }
+
+  test("starLabels: exact min-id components on deep paths, cycles, and stars; " +
+    "agrees with propagateMinLabels") {
+    // adversarial graph shapes: a diameter-9 path (the under-merge class a
+    // fixed-round loop fails), a cycle, a hub star, and a 2-node component —
+    // ground truth from a Scala union-find
+    val pairs = Seq(
+      // path 1-2-3-...-10 wired high-to-low so label distance is maximal
+      (2L, 1L), (3L, 2L), (4L, 3L), (5L, 4L), (6L, 5L), (7L, 6L), (8L, 7L),
+      (9L, 8L), (10L, 9L),
+      // cycle 20-21-22-23-20
+      (20L, 21L), (21L, 22L), (22L, 23L), (23L, 20L),
+      // star centered at 31 (center is NOT the min — 30 is a leaf)
+      (31L, 30L), (31L, 32L), (31L, 33L),
+      // 2-node component + duplicate edge both directions
+      (41L, 40L), (40L, 41L)
+    ).toDF("doc_a", "doc_b")
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = { val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r } }
+    pairs.collect().foreach { r =>
+      val (a, b) = (find(r.getLong(0)), find(r.getLong(1)))
+      if (a != b) parent(math.max(a, b)) = math.min(a, b)
+    }
+    val nodes = pairs.collect().flatMap(r => Seq(r.getLong(0), r.getLong(1))).toSet
+    val truth = nodes.map(n => n -> find(n)).toMap
+    val stars = Dedup.starLabels(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(stars == truth, "star contraction != union-find ground truth")
+    val prop = Dedup.propagateMinLabels(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(prop == truth, "min-label propagation != union-find ground truth")
+  }
 }
