@@ -940,12 +940,15 @@ object Dedup {
         greatest(col("doc_a"), col("doc_b")).as("u"),
         least(col("doc_a"), col("doc_b")).as("v"))
       .filter(col("u") =!= col("v")).distinct()
-    // node universe fixed up front (isolated minima survive contraction
-    // only as the v side, and the final labeling must cover every node)
-    val nodes = graft.core.QueryDef.pinRound(
-      e0.select(col("u").as("id")).unionByName(e0.select(col("v").as("id")))
-        .distinct(), checkpointDir)
-    var e = graft.core.QueryDef.pinRound(e0, checkpointDir)
+    val first = graft.core.QueryDef.pinRound(e0, checkpointDir)
+    // node universe fixed up front (contraction can drop an interior node
+    // from the edge list, and the final labeling must cover every node) —
+    // derived LAZILY from the pinned round-0 edges, so the pair chain
+    // executes exactly once; the `nodes` reference keeps round 0's blocks
+    // alive until the final labeling join reads them
+    val nodes = first.select(col("u").as("id"))
+      .unionByName(first.select(col("v").as("id"))).distinct()
+    var e = first
     var rounds = 0
     var converged = false
     while (!converged) {
