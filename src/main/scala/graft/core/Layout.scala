@@ -20,10 +20,21 @@ object Layout {
     * equi-join bucketed the same way join with NO exchange and NO sort —
     * the pre-shuffle that pays for itself after one reuse at 100 TB.
     * (Bucketing requires the session catalog, hence saveAsTable.) */
-  def writeBucketed(df: DataFrame, table: String, buckets: Int, key: String): Unit =
+  def writeBucketed(df: DataFrame, table: String, buckets: Int, key: String): Unit = {
+    // idempotent across JVMs: a fresh session's in-memory catalog has no
+    // entry for `table`, but the managed location may survive from an
+    // earlier run — CREATE then fails LOCATION_ALREADY_EXISTS even under
+    // overwrite mode. Drop the catalog entry AND clear the leftover dir.
+    val s = df.sparkSession
+    s.sql(s"DROP TABLE IF EXISTS $table")
+    val loc = new org.apache.hadoop.fs.Path(
+      s.sessionState.catalog.defaultTablePath(
+        org.apache.spark.sql.catalyst.TableIdentifier(table)))
+    loc.getFileSystem(s.sparkContext.hadoopConfiguration).delete(loc, true)
     df.write.mode("overwrite")
       .bucketBy(buckets, key).sortBy(key)
       .format("parquet").saveAsTable(table)
+  }
 
   /** Salt a skewed key: `saltBuckets` pseudo-random buckets derived from
     * stable row content (deterministic — pmod of a hash, no rand()). The

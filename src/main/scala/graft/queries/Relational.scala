@@ -538,6 +538,45 @@ object Relational {
       .orderedBy("key")
   }
 
+  /** BUCKETED co-located join — the pre-shuffled layout that makes a
+    * RECURRING fact⋈fact join free of exchanges: both sides are written
+    * once as bucketed+sorted catalog tables on the join key
+    * ([[graft.core.Layout.writeBucketed]], the build step), then the
+    * serve-side join reads the bucketed scans whose reported distribution
+    * already satisfies the join's requirement — NO Exchange on either
+    * side (plan-guarded), where the same join over raw parquet shuffles
+    * both facts ([[joinSmj]]). Each side is pre-repartitioned by the
+    * key with Spark's own bucket hash so every task holds exactly one
+    * bucket and each bucket lands in ONE file — the layout under which
+    * the scan's per-bucket sort order is also usable. At 100 TB this is
+    * the canonical amortization: one bucketed write pays for itself the
+    * first time the daily join skips re-shuffling both tables. Same
+    * build-once/serve-many pattern as the persisted ANN index
+    * (q_sim_ivfpq_persisted); table names are dataset-keyed so scale
+    * factors never collide, and results are bit-identical to the plain
+    * join — the SAME oracle SQL shape adjudicates. Runs in a
+    * conf-isolated child session with auto-broadcast off, so the
+    * co-located SortMergeJoin is the strategy actually under test. */
+  def joinBucketed(s: SparkSession, d: String): DataFrame = {
+    val s2 = s.newSession()
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val tag = d.replaceAll("[^A-Za-z0-9]", "_")
+    val (tOrders, tCust) = (s"b_orders_$tag", s"b_customer_$tag")
+    graft.core.Layout.writeBucketed(
+      Tables.orders(s2, d).repartition(8, col("o_custkey")),
+      tOrders, 8, "o_custkey")
+    graft.core.Layout.writeBucketed(
+      Tables.customer(s2, d).repartition(8, col("c_custkey")),
+      tCust, 8, "c_custkey")
+    s2.table(tOrders)
+      .join(s2.table(tCust), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(
+        count(lit(1)).as("order_cnt"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("sum_total"))
+      .orderedBy("c_mktsegment")
+  }
+
   def unionQ(s: SparkSession, d: String): DataFrame =
     buildingCustomers(s, d).union(fOrderCustomers(s, d)).distinct().orderedBy("key")
 
@@ -563,6 +602,14 @@ object Relational {
         |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
         |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
         |GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin)),
+    // build-once bucketed layout, exchange-free serve-side join — the
+    // recurring-join amortization; plan guard asserts zero Exchange
+    // between the scans and the SMJ
+    "q_join_bucketed" -> QueryDef(joinBucketed, Some(
+      """SELECT c_mktsegment, count(*) AS order_cnt,
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_total
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)),
     "q_join_bloom" -> QueryDef(joinBloom, Some(
       """SELECT l_returnflag, count(*) AS item_cnt,
         |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price

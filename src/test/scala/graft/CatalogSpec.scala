@@ -175,6 +175,21 @@ class CatalogSpec extends SparkTestBase {
     val shj = plan("q_join_shj")
     assert(shj.contains("ShuffledHashJoin"),
       s"q_join_shj lost its shuffled-hash strategy:\n$shj")
+    // the bucketed layout's whole claim: the serve-side SortMergeJoin
+    // consumes the bucketed scans' distribution directly — zero Exchange
+    // anywhere UNDER the join (the post-join aggregate may shuffle). The
+    // join subtree prints LAST in this plan shape (agg above join), so
+    // everything after the SortMergeJoin line is its subtree — checked on
+    // the plan string because collect() does not descend into
+    // AdaptiveSparkPlanExec's wrapped plan.
+    val bkt = Catalog.defs("q_join_bucketed").build(spark, dir)
+      .queryExecution.executedPlan.toString
+    val smjIdx = bkt.indexOf("SortMergeJoin")
+    assert(smjIdx >= 0, s"q_join_bucketed lost its sort-merge strategy:\n$bkt")
+    assert(!bkt.substring(smjIdx).contains("Exchange"),
+      s"q_join_bucketed shuffles under the co-located join:\n$bkt")
+    assert("Bucketed: true".r.findAllIn(bkt).size == 2,
+      s"q_join_bucketed's scans are not both bucketed:\n$bkt")
   }
 
   test("plan guard: filters and projections reach the parquet scan") {
