@@ -88,6 +88,67 @@ object Pipeline {
       .select(col("doc_id"), col("bucket"), col("split"))
       .orderedBy("doc_id")
 
+  /** LEAKAGE-FREE split assignment — [[splitAssign]] with the constraint a
+    * per-document hash split silently violates: NEAR-DUPLICATES MUST LAND
+    * IN THE SAME SPLIT. Hashing doc_ids scatters the members of a near-dup
+    * cluster across train and test, so the model is evaluated on
+    * paraphrases of its own training data (the train/test contamination
+    * that inflates benchmarks; Lee et al. 2022 measure it directly). Here
+    * the split key is the near-dup CLUSTER label — connected components
+    * over the MinHash-LSH pair graph ([[Dedup.starLabels]], the star-
+    * contraction engine) — so a whole cluster moves as one unit; docs in
+    * no pair are their own singleton cluster. Assignment stays the salted
+    * md5 bucket rule of [[splitAssign]], applied to the cluster id.
+    *
+    * 100 TB shape: the CC loop is edge-sized (star contraction, no
+    * neighborhood collection), the label table is node-sized, and the
+    * corpus joins it ONCE by doc_id; everything else is the per-row split
+    * projection. */
+  def splitLeakfree(s: SparkSession, d: String, threshold: Double = 0.8,
+                    testPct: Int = 5, valPct: Int = 5,
+                    salt: String = "split"): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val labels = Dedup.starLabels(
+      Dedup.nearPairsUnordered(docs, threshold).select(col("doc_a"), col("doc_b")))
+    docs.select(col("doc_id"))
+      .join(labels.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("lbl"), col("doc_id")).as("cluster"))
+      .withColumn("bucket",
+        conv(substring(md5(concat_ws("#", lit(salt), col("cluster")).cast("binary")), 1, 8),
+          16, 10).cast("long") % 100)
+      .withColumn("split",
+        when(col("bucket") < testPct, "test")
+          .when(col("bucket") < testPct + valPct, "val")
+          .otherwise("train"))
+      .select(col("doc_id"), col("cluster"), col("bucket"), col("split"))
+      .orderedBy("doc_id")
+  }
+
+  private def splitLeakfreeOracle(threshold: Double, testPct: Int,
+                                  valPct: Int, salt: String): String = {
+    val hv = OracleSql.hexPrefixToLong("h")
+    s"""WITH RECURSIVE ${Dedup.nearOracleCtes(4, 3)},
+       |p2 AS (SELECT doc_a, doc_b FROM pairs WHERE jaccard >= $threshold),
+       |edges AS (SELECT doc_a AS src, doc_b AS dst FROM p2
+       |          UNION ALL SELECT doc_b, doc_a FROM p2),
+       |reach(id, r) AS (
+       |  SELECT src, dst FROM edges
+       |  UNION
+       |  SELECT reach.id, e.dst FROM reach JOIN edges e ON reach.r = e.src),
+       |lbl AS (SELECT id, least(id, min(r)) AS cluster FROM reach GROUP BY id),
+       |cl AS (SELECT d.doc_id, COALESCE(l.cluster, d.doc_id) AS cluster
+       |       FROM documents d LEFT JOIN lbl l ON l.id = d.doc_id),
+       |hh AS (SELECT doc_id, cluster,
+       |              substr(md5('$salt' || '#' || CAST(cluster AS VARCHAR)), 1, 8) AS h
+       |       FROM cl),
+       |b AS (SELECT doc_id, cluster, ($hv) % 100 AS bucket FROM hh)
+       |SELECT doc_id, cluster, bucket,
+       |       CASE WHEN bucket < $testPct THEN 'test'
+       |            WHEN bucket < ${testPct + valPct} THEN 'val'
+       |            ELSE 'train' END AS split
+       |FROM b ORDER BY doc_id""".stripMargin
+  }
+
   /** Deterministic EPOCH SHUFFLE + SHARDING — the last step before a
     * training run reads the corpus: every doc gets a seeded pseudo-random
     * priority (md5 of seed#doc_id — change the seed, get the next epoch's
@@ -659,6 +720,10 @@ object Pipeline {
     "q_mix_weights" -> QueryDef(mixWeights, Some(mixWeightsOracle)),
     "q_pack_tokens" -> QueryDef(packTokens(_, _), Some(packTokensOracle(1024))),
     "q_split_assign" -> QueryDef(splitAssign(_, _), Some(splitOracle(5, 5, "split"))),
+    // near-dup clusters move between splits as ONE unit — the train/test
+    // contamination guard a per-doc hash split silently lacks
+    "q_split_leakfree" -> QueryDef(splitLeakfree(_, _),
+      Some(splitLeakfreeOracle(0.8, 5, 5, "split"))),
     "q_shuffle_shard" -> QueryDef(shuffleShard(_, _),
       Some(shuffleShardOracle(8, "epoch0"))),
     "q_sample_stratified" -> QueryDef(sampleStratified(_, _),

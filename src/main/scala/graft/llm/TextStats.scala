@@ -431,8 +431,14 @@ object TextStats {
     * a closed-form expression, so the whole scorer is one projection into
     * one doc-keyed partial-aggregated hash agg — document bodies never
     * leave the scan. */
-  def qualityClf(s: SparkSession, d: String): DataFrame = {
-    val toks = Tables.documents(s, d)
+  def qualityClf(s: SparkSession, d: String): DataFrame =
+    qualityClfFrom(Tables.documents(s, d)).orderedBy("doc_id")
+
+  /** The scorer over an arbitrary (doc_id, text) frame — stateless
+    * projections plus one grouped aggregation, so it runs unchanged on a
+    * streaming frame (the [[Vectorize.hashingFrom]] bridge shape). */
+  private[llm] def qualityClfFrom(docs: DataFrame): DataFrame = {
+    val toks = docs
       .select(col("doc_id"), explode(tokens(col("text"))).as("t"))
     val hv = conv(substring(md5(col("t")), 1, 8), 16, 10).cast("long")
     val b = hv % clfBuckets
@@ -442,8 +448,18 @@ object TextStats {
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_tok"), sum(col("w")).as("logit_fp"))
       .withColumn("keep", col("logit_fp") > 0)
-      .orderedBy("doc_id")
   }
+
+  /** The classifier executed by the STREAMING engine (19th bridge): file
+    * source over the same documents parquet, AvailableNow, complete-mode
+    * aggregation into a memory sink, hash-compared against the IDENTICAL
+    * oracle SQL as q_quality_clf — the model-based filter under the
+    * micro-batch planner, the way a production scorer actually runs over
+    * an arriving corpus. */
+  def clfStreamed(s: SparkSession, d: String): DataFrame =
+    Tables.runStreamComplete(s, "clf_streamed_") { cs =>
+      qualityClfFrom(Tables.documentsStream(cs, d))
+    }.orderedBy("doc_id")
 
   private def qualityClfOracle: String = {
     val hv = OracleSql.hexPrefixToLong("h")
@@ -1056,6 +1072,8 @@ object TextStats {
     "q_quality_prune" -> QueryDef(qualityPrune, Some(qualityPruneOracle)),
     // fasttext-shaped hashed-feature linear scorer in exact fixed point
     "q_quality_clf" -> QueryDef(qualityClf, Some(qualityClfOracle)),
+    // 19th bridge: the same scorer under the micro-batch planner
+    "q_clf_streamed" -> QueryDef(clfStreamed, Some(qualityClfOracle)),
     "q_quality_oov" -> QueryDef(oovRate(_, _), Some(oovOracle(20))),
     "q_quality_rep" -> QueryDef(qualityRep, Some(qualityRepOracle)),
     "q_lang_id" -> QueryDef(langId, Some(langIdOracle)),

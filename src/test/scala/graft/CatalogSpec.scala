@@ -57,6 +57,7 @@ class CatalogSpec extends SparkTestBase {
     assert(o("q_bm25_streamed") == o("q_bm25_scored"))
     assert(o("q_scd2_streamed") == o("q_scd2"))
     assert(o("q_ohlc_rewrite_streamed") == o("q_ohlc_rewrite"))
+    assert(o("q_clf_streamed") == o("q_quality_clf"))
     // the persisted-index serve makes the same claim against its
     // in-memory twin: same search, same oracle
     assert(o("q_sim_ivfpq_persisted") == o("q_sim_ivfpq"))
