@@ -890,6 +890,41 @@ object Dedup {
        |SELECT id AS doc_id, least(id, min(r)) AS cluster FROM reach GROUP BY id
        |ORDER BY doc_id""".stripMargin
 
+  /** Cross-source DUPLICATION ATTRIBUTION MATRIX: near-dup pair counts per
+    * unordered source pair — the corpus-curation gauge that tells you
+    * which sources copy from which (a high off-diagonal cell means two
+    * crawls overlap; a high diagonal cell means a source self-duplicates),
+    * which is what drives per-source mixing weights and crawl dedup
+    * priorities. The pair list is pinned once (edge-sized) and BROADCAST
+    * to the two doc_id-keyed source lookups, so the corpus contributes two
+    * semi-join-shaped scans and never shuffles; the matrix itself is at
+    * most |sources|² rows. */
+  def dedupMatrix(s: SparkSession, d: String, threshold: Double = 0.8): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val pairs = nearPairsUnordered(docs, threshold)
+      .select(col("doc_a"), col("doc_b")).localCheckpoint(true)
+    val src = docs.select(col("doc_id"), col("source"))
+    broadcast(pairs)
+      .join(src.select(col("doc_id").as("doc_a"), col("source").as("sa")), "doc_a")
+      .join(src.select(col("doc_id").as("doc_b"), col("source").as("sb")), "doc_b")
+      .select(least(col("sa"), col("sb")).as("source_a"),
+        greatest(col("sa"), col("sb")).as("source_b"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("pair_cnt"))
+      .orderedBy("source_a", "source_b")
+  }
+
+  private def dedupMatrixOracle(threshold: Double): String =
+    s"""WITH ${nearOracleCtes(4, 3)},
+       |p2 AS (SELECT doc_a, doc_b FROM pairs WHERE jaccard >= $threshold),
+       |m AS (SELECT least(da.source, db.source) AS source_a,
+       |             greatest(da.source, db.source) AS source_b
+       |      FROM p2 JOIN documents da ON da.doc_id = p2.doc_a
+       |              JOIN documents db ON db.doc_id = p2.doc_b)
+       |SELECT source_a, source_b, count(*) AS pair_cnt
+       |FROM m GROUP BY source_a, source_b
+       |ORDER BY source_a, source_b""".stripMargin
+
   /** Connected components by ALTERNATING STAR CONTRACTION (large-star /
     * small-star, Kiveris et al. 2014, "Connected Components in MapReduce
     * and Beyond") over the same LSH pair graph as [[nearClusters]] — the
@@ -1548,6 +1583,9 @@ object Dedup {
     // al.) — a second, structurally different CC engine against the
     // IDENTICAL semantic oracle
     "q_dedup_cc" -> QueryDef(ccStars(_, _), Some(nearClustersOracle(0.8))),
+    // which sources duplicate which: near-dup pair counts per unordered
+    // source pair — the attribution gauge behind mixing weights
+    "q_dedup_matrix" -> QueryDef(dedupMatrix(_, _), Some(dedupMatrixOracle(0.8))),
     // damped PageRank on the same graph, fixed-point integer units —
     // canonical-representative ranking, bit-exact on any engine
     "q_graph_pagerank" -> QueryDef(pagerank(_, _), Some(pagerankOracle(0.8, 3))),
