@@ -149,6 +149,57 @@ object Pipeline {
        |FROM b ORDER BY doc_id""".stripMargin
   }
 
+  /** Per-source CORPUS DATASHEET ("datasheets for datasets", Gebru et al.
+    * 2021): the one-pass governance rollup a curation team publishes with
+    * every corpus release — per source: document volume, token volume,
+    * language spread, and the exact-duplicate rate against the WHOLE
+    * corpus (a doc counts as duplicated if its content key appears more
+    * than once anywhere, so a source copying another source shows dup mass
+    * even if it never self-duplicates).
+    *
+    * 100 TB shape: one corpus scan produces the slim keyed view (content
+    * hash + token count — never the body); duplicate groups come from one
+    * hash-keyed aggregate of that view, FILTERED to gn>1 before joining
+    * back (the dup-group table is orders of magnitude smaller than the
+    * corpus — broadcast at gate scale, hash join on the content key at
+    * corpus scale); the datasheet itself is |sources| rows. The dup rate
+    * is one IEEE divide of exact counts, rounded. */
+  def datasheet(s: SparkSession, d: String): DataFrame = {
+    val keyed = Tables.documents(s, d).select(
+      col("source"), col("lang"),
+      size(TextStats.tokens(col("text"))).as("n_tok"),
+      md5(col("text").cast("binary")).as("ck"),
+      length(col("text")).as("cl"))
+    val dups = keyed.groupBy(col("ck"), col("cl"))
+      .agg(count(lit(1)).as("gn")).filter(col("gn") > 1)
+    keyed.join(dups, Seq("ck", "cl"), "left")
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).as("sum_tokens"),
+        countDistinct(col("lang")).as("n_langs"),
+        sum(when(col("gn") > 1, 1L).otherwise(0L)).as("n_dup_docs"))
+      .withColumn("dup_rate",
+        round(lit(1.0) * col("n_dup_docs") / col("n_docs"), 4))
+      .orderedBy("source")
+  }
+
+  private def datasheetOracle: String =
+    """WITH k AS (
+      |  SELECT source, lang, len(string_split(text, ' ')) AS n_tok,
+      |         md5(text) AS ck, length(text) AS cl
+      |  FROM documents),
+      |g AS (SELECT ck, cl, count(*) AS gn FROM k GROUP BY ck, cl),
+      |dups AS (SELECT ck, cl, gn FROM g WHERE gn > 1),
+      |j AS (SELECT k.*, d.gn AS gn FROM k LEFT JOIN dups d USING (ck, cl))
+      |SELECT source, count(*) AS n_docs,
+      |       CAST(sum(n_tok) AS BIGINT) AS sum_tokens,
+      |       count(DISTINCT lang) AS n_langs,
+      |       CAST(sum(CASE WHEN gn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_docs,
+      |       round(1.0 * sum(CASE WHEN gn > 1 THEN 1 ELSE 0 END) / count(*), 4)
+      |         AS dup_rate
+      |FROM j GROUP BY source ORDER BY source""".stripMargin
+
   /** Deterministic EPOCH SHUFFLE + SHARDING — the last step before a
     * training run reads the corpus: every doc gets a seeded pseudo-random
     * priority (md5 of seed#doc_id — change the seed, get the next epoch's
@@ -724,6 +775,9 @@ object Pipeline {
     // contamination guard a per-doc hash split silently lacks
     "q_split_leakfree" -> QueryDef(splitLeakfree(_, _),
       Some(splitLeakfreeOracle(0.8, 5, 5, "split"))),
+    // per-source release datasheet: volume, tokens, language spread,
+    // whole-corpus exact-dup rate
+    "q_datasheet" -> QueryDef(datasheet, Some(datasheetOracle)),
     "q_shuffle_shard" -> QueryDef(shuffleShard(_, _),
       Some(shuffleShardOracle(8, "epoch0"))),
     "q_sample_stratified" -> QueryDef(sampleStratified(_, _),
