@@ -190,6 +190,36 @@ object Catalog {
         col("volume").cast("double").as("volume"))
     }.orderedBy("ws", "base")
 
+  /** MULTI-MICRO-BATCH accumulation bridge (20th — and the only one whose
+    * state provably spans batches): every other bridge's file source
+    * delivers the whole table in ONE AvailableNow micro-batch (single
+    * parquet file), so StateStore restore/save runs but each key's state
+    * is written once. Here the BUILD step lays the same events out as 4
+    * parquet files and the source rate-limits with maxFilesPerTrigger=1
+    * (honored by AvailableNow), so the candle aggregation RESTORES and
+    * MERGES partial per-window state across 4 micro-batches — the
+    * always-on production path — and the complete-mode sink must still
+    * hash-match the IDENTICAL batch oracle (q_ohlc_1m's SQL).
+    * StreamingSpec additionally pins that >1 batch actually ran. */
+  def qOhlcMultibatch(spark: SparkSession, d: String): DataFrame = {
+    val tmp = s"${sys.props("user.dir")}/target/graft_stream/" +
+      s"ohlc_mb_${d.replaceAll("[^A-Za-z0-9.]", "_")}"
+    val ev = Tables.events(spark, d)
+    ev.repartition(4).write.mode("overwrite").parquet(tmp)
+    Tables.runStreamComplete(spark, "ohlc_mb_") { cs =>
+      val src = cs.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1).parquet(tmp)
+        .withColumn("qty_dec", col("value").cast("decimal(20,6)"))
+      val candles = OhlcPipeline.candles(src, windowDuration = "1 minute",
+        tsCol = "ts", priceCol = "value", qtyCol = "qty_dec",
+        symbolCol = "event_type")
+      candles.select(
+        unix_timestamp(col("start_ts")).as("ws"), col("base"),
+        col("open"), col("high"), col("low"), col("close"),
+        col("volume").cast("double").as("volume"))
+    }.orderedBy("ws", "base")
+  }
+
   /** The CUSTOM-STATE streaming engine under the batch oracle (7th bridge,
     * and the one covering code no built-in aggregation runs):
     * [[graft.stream.StatefulCandles.closedCandles]] — flatMapGroupsWithState
@@ -344,6 +374,9 @@ object Catalog {
     // the streaming engine's answer against the SAME SQL — batch ≡
     // streaming as a driver-oracled property
     "q_ohlc_streamed" -> QueryDef(qOhlcStreamed, Some(ohlcOracle)),
+    // 20th bridge: per-window state restored and merged across 4
+    // rate-limited micro-batches, still against the identical batch SQL
+    "q_ohlc_multibatch" -> QueryDef(qOhlcMultibatch, Some(ohlcOracle)),
     // the flatMapGroupsWithState engine against its deterministic
     // emission-bound SQL (ms tie rule, volume deliberately omitted)
     "q_ohlc_stateful" -> QueryDef(qOhlcStateful, Some(ohlcStatefulOracle)),

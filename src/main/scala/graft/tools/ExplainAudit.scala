@@ -41,7 +41,9 @@ object ExplainAudit {
       "q_sim_index_ingest", "q_funnel", "q_fuzzy_match",
       "q_retention", "q_scd2", "q_graph_pagerank",
       "q_profile", "q_dedup_recall", "q_dedup_phash", "q_vocab_growth",
-      "q_source_divergence", "q_ohlc_rewrite", "q_ohlc_reference")
+      "q_source_divergence", "q_ohlc_rewrite", "q_ohlc_reference",
+      "q_quality_prune", "q_quality_clf", "q_join_bucketed",
+      "q_dedup_matrix", "q_datasheet", "q_split_leakfree")
     names.foreach { n =>
       println(s"\n========== $n ==========")
       n match {

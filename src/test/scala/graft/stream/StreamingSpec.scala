@@ -123,6 +123,30 @@ class StreamingSpec extends SparkTestBase {
     assert(one.count() > 0)
   }
 
+  test("maxFilesPerTrigger under AvailableNow: aggregation state merges across multiple micro-batches") {
+    // the q_ohlc_multibatch bridge's claim needs >1 batch to mean anything;
+    // this pins that a 4-file source with maxFilesPerTrigger=1 actually
+    // runs multiple batches AND the complete-mode state equals the batch agg
+    val d = "/root/testdata/sf0.001"
+    val tmp = java.nio.file.Files.createTempDirectory("graft-mb").toString
+    val ev = graft.core.Tables.events(spark, d)
+    ev.repartition(4).write.mode("overwrite").parquet(tmp)
+    val src = spark.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", 1).parquet(tmp)
+    val q = src.groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+      .writeStream.outputMode("complete").format("memory").queryName("mb_test")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination(120000L)
+    val batches = q.recentProgress.count(_.numInputRows > 0)
+    assert(batches >= 2, s"expected multiple micro-batches, got $batches")
+    val got = spark.table("mb_test").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    val want = ev.groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(got == want, "cross-batch state diverged from the batch aggregate")
+    spark.catalog.dropTempView("mb_test")
+  }
+
   test("multi-query orchestration: shared source lineage, awaitAnyTermination unblocks on first stop") {
     implicit val ctx = spark.sqlContext
     val input = MemoryStream[(String, Long, Double, Double)]
