@@ -830,7 +830,12 @@ object Dedup {
         struct(col("doc_a").as("src"), col("doc_b").as("dst")),
         struct(col("doc_b").as("src"), col("doc_a").as("dst")))).as("e"))
       .select(col("e.src").as("src"), col("e.dst").as("dst"))
-    val edges = if (eager) { val e = edgesPlan.persist(); e.count(); e }
+    // eager path pins the edge list the same way as every round (and the
+    // star-contraction twin): one materializing job, lineage truncated,
+    // and the reliable-checkpoint option applies to the edges too —
+    // persist()+count() kept a lazy columnar cache that cost one extra
+    // job and ignored checkpointDir
+    val edges = if (eager) graft.core.QueryDef.pinRound(edgesPlan, checkpointDir)
                 else edgesPlan
     val labels0 = edges.select(col("src").as("id")).distinct()
       .withColumn("lbl", col("id"))
@@ -856,20 +861,26 @@ object Dedup {
     if (!eager) // plan-shape path: fixed unroll, no actions
       return (1 to 3).foldLeft(labels0)((l, _) => round(l).drop("prev"))
     // per-round pinning: localCheckpoint by default; a checkpointDir swaps
-    // in reliable checkpoints for cluster runs (QueryDef.pinRound)
+    // in reliable checkpoints for cluster runs (QueryDef.pinRound).
+    // Rounds run in PAIRS with one pin + one convergence read per pair:
+    // labels only decrease, so "the second round of the pair changed
+    // nothing" alone proves the fixpoint, and halving the loop's job
+    // count halves what the loop pays in a busy JVM — the bench-tail cost
+    // of this query was per-job stalls (GC / cleaner backlog), not
+    // per-row work (BENCH r9-r12 oscillation; same-JVM median is ~3 s).
     var l = graft.core.QueryDef.pinRound(labels0, checkpointDir)
-    var rounds = 0
+    var pairsRun = 0
     var converged = false
     while (!converged) {
-      rounds += 1
-      require(rounds <= 64, "min-label propagation failed to converge in 64 rounds")
-      val next = graft.core.QueryDef.pinRound(round(l), checkpointDir)
+      pairsRun += 1
+      require(pairsRun <= 32, "min-label propagation failed to converge in 64 rounds")
+      val next = graft.core.QueryDef.pinRound(
+        round(round(l).drop("prev")), checkpointDir)
       // reads the blocks the checkpoint just wrote — a cached scan, not a
-      // re-execution of the round's shuffles
+      // re-execution of the pair's shuffles
       converged = next.filter(col("lbl") =!= col("prev")).isEmpty
       l = next.drop("prev")
     }
-    edges.unpersist(blocking = false)
     l
   }
 

@@ -277,7 +277,38 @@ object Advanced {
        |WHERE dist <= $maxDist
        |ORDER BY name_a, name_b""".stripMargin
 
+  /** FOOTER-ONLY aggregation — parquet AGGREGATE PUSHDOWN: global
+    * count/min/max answered from row-group STATISTICS, never decoding a
+    * data page. Needs the DSv2 parquet reader (v1 doesn't implement
+    * SupportsPushDownAggregates), so the query runs in a conf-isolated
+    * child session with parquet removed from useV1SourceList and
+    * `spark.sql.parquet.aggregatePushdown` on — the q_join_bloom scoping
+    * pattern. The plan guard asserts `PushedAggregation: [COUNT(*), ...]`
+    * on the scan: at 100 TB this is the difference between reading file
+    * FOOTERS (O(files)) and scanning every page of a fact column —
+    * the freshness/row-count/bounds check a pipeline runs before every
+    * ingest. min/max emit raw stored doubles (bit-identical
+    * cross-engine); no arithmetic touches them. */
+  def metaCount(s: SparkSession, d: String): DataFrame = {
+    val s2 = s.newSession()
+    s2.conf.set("spark.sql.sources.useV1SourceList", "")
+    s2.conf.set("spark.sql.parquet.aggregatePushdown", "true")
+    Tables.lineitem(s2, d).agg(
+      count(lit(1)).as("n_rows"),
+      min(col("l_quantity")).as("min_qty"),
+      max(col("l_quantity")).as("max_qty"),
+      min(col("l_orderkey")).as("min_key"),
+      max(col("l_orderkey")).as("max_key"))
+  }
+
   val defs: Map[String, QueryDef] = Map(
+    // footer-statistics aggregation: COUNT/MIN/MAX pushed into the DSv2
+    // parquet scan — O(files), not O(rows)
+    "q_meta_count" -> QueryDef(metaCount, Some(
+      """SELECT count(*) AS n_rows,
+        |       min(l_quantity) AS min_qty, max(l_quantity) AS max_qty,
+        |       min(l_orderkey) AS min_key, max(l_orderkey) AS max_key
+        |FROM lineitem""".stripMargin)),
     "q_fuzzy_match" -> QueryDef(fuzzyMatch(_, _), Some(fuzzyMatchOracle(3, 40))),
     "q_unpivot" -> QueryDef(unpivotQ, Some(unpivotOracle)),
     "q_sample_k" -> QueryDef(sampleK(_, _), Some(sampleKOracle(5, 42))),

@@ -194,6 +194,16 @@ class CatalogSpec extends SparkTestBase {
       s"q_join_bucketed's scans are not both bucketed:\n$bkt")
   }
 
+  test("plan guard: q_meta_count answers from parquet footer statistics") {
+    // the whole point of the query: the scan must report the pushed
+    // aggregates — an empty PushedAggregation means the DSv2/conf scoping
+    // silently broke and the 100 TB claim (O(files), not O(rows)) is gone
+    val p = Catalog.defs("q_meta_count").build(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("PushedAggregation: [COUNT(*)"),
+      s"q_meta_count no longer pushes its aggregates into the scan:\n$p")
+  }
+
   test("plan guard: filters and projections reach the parquet scan") {
     // a scan that reads every column for a narrow projection, or filters
     // rows after reading them all, wastes the dominant cost at 100 TB.

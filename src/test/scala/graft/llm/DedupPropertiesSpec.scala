@@ -335,4 +335,34 @@ class DedupPropertiesSpec extends SparkTestBase {
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(prop == truth, "min-label propagation != union-find ground truth")
   }
+
+  test("starLabels: random graphs match union-find (seeded property)") {
+    // sparse random graphs land in the awkward regime — many mid-sized
+    // components with mixed chains and merges — that the fixed-shape test
+    // can't cover; ground truth is the same Scala union-find
+    val genEdge = for {
+      a <- Gen.chooseNum(0L, 59L); b <- Gen.chooseNum(0L, 59L)
+    } yield (a, b)
+    var seed = Seed(99L)
+    (1 to 3).foreach { _ =>
+      val edges = (1 to 45).map { _ =>
+        val e = genEdge.apply(Gen.Parameters.default, seed).get
+        seed = seed.next
+        e
+      }.filter(e => e._1 != e._2)
+      val pairs = edges.toDF("doc_a", "doc_b")
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = { val p = parent.getOrElse(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r } }
+      edges.foreach { case (a0, b0) =>
+        val (a, b) = (find(a0), find(b0))
+        if (a != b) parent(math.max(a, b)) = math.min(a, b)
+      }
+      val truth = edges.flatMap(e => Seq(e._1, e._2)).toSet
+        .map((n: Long) => n -> find(n)).toMap
+      val got = Dedup.starLabels(pairs).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == truth, s"star contraction diverged on random graph: $edges")
+    }
+  }
 }
