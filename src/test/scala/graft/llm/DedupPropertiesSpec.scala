@@ -336,6 +336,21 @@ class DedupPropertiesSpec extends SparkTestBase {
     assert(prop == truth, "min-label propagation != union-find ground truth")
   }
 
+  test("splitLeakfree: both ends of every near-dup pair land in the same split") {
+    // the query's entire claim — a per-doc hash split violates this
+    val d = "/root/testdata/sf0.001"
+    val split = Pipeline.splitLeakfree(spark, d).collect()
+      .map(r => r.getLong(0) -> r.getString(3)).toMap
+    val pairs = Dedup.nearFor(graft.core.Tables.documents(spark, d))
+      .select(col("doc_a"), col("doc_b")).collect()
+    assert(pairs.nonEmpty, "no near-dup pairs at sf0.001 — test is vacuous")
+    pairs.foreach { r =>
+      val (a, b) = (r.getLong(0), r.getLong(1))
+      assert(split(a) == split(b),
+        s"near-dup pair ($a, $b) split across ${split(a)} / ${split(b)}")
+    }
+  }
+
   test("starLabels: random graphs match union-find (seeded property)") {
     // sparse random graphs land in the awkward regime — many mid-sized
     // components with mixed chains and merges — that the fixed-shape test
