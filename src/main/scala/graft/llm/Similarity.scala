@@ -470,7 +470,95 @@ object Similarity {
        |FROM embeddings GROUP BY label ORDER BY label""".stripMargin
   }
 
+  /** INDEX-DRIFT gauge — the missing piece of the index lifecycle
+    * (build → serve → ingest → WHEN TO RETRAIN): production IVF indexes
+    * retrain their quantizers on a drift schedule, and the trigger is
+    * exactly this statistic — how differently the INCREMENT occupies the
+    * trained coarse buckets vs the corpus the centroids were trained on.
+    * Per bucket: corpus occupancy, increment occupancy, and the χ² term
+    * of the increment against the corpus-proportional expectation with
+    * add-one smoothing (e_b = inc_total·(corpus_n+1)/(corpus_total+nb) —
+    * smoothing keeps a corpus-empty bucket from dividing by zero while
+    * still charging it as surprise). Σ term_fp / 1e6 over the rows is the
+    * retrain-trigger statistic; term_fp follows the fixed-point χ²
+    * discipline of [[TextStats.sourceDivergence]] (exact-decimal
+    * numerator, fixed IEEE tree, floor-scaled longs — bit-exact on any
+    * engine/partitioning). Increment convention is the dedup/ingest
+    * family's vec_id % 5 = 4.
+    *
+    * Scale shape: both occupancy aggregates broadcast the IDENTICAL
+    * trained [[centroidRow]] subtree (ReuseExchange collapses the two
+    * builds), partial-aggregate map-side, and shuffle only (bucket, count)
+    * partials; the drift table is nCentroids rows. */
+  def simDrift(s: SparkSession, d: String,
+               nCentroids: Int = 8, iters: Int = 2): DataFrame = {
+    val all = vecs(s, d)
+    val isNew = pmod(col("vec_id"), lit(5)) === 4
+    val corpus = all.filter(!isNew)
+    val cents = trainCentroids(corpus, nCentroids, iters, pin = true)
+    def occ(df: DataFrame, n: String) =
+      assignNearest(df, cents).groupBy(col("cid").as("bucket"))
+        .agg(count(lit(1)).as(n))
+    val o = occ(corpus, "corpus_n")
+      .join(occ(all.filter(isNew), "inc_n"), Seq("bucket"), "full_outer")
+      .select(col("bucket"),
+        coalesce(col("corpus_n"), lit(0L)).as("corpus_n"),
+        coalesce(col("inc_n"), lit(0L)).as("inc_n"))
+    val tot = o.agg(sum(col("corpus_n")).cast("long").as("ct"),
+      sum(col("inc_n")).cast("long").as("it"),
+      count(lit(1)).as("nb"))
+    val dec = (c: Column) => c.cast("decimal(19,0)")
+    o.crossJoin(broadcast(tot))
+      .withColumn("num",
+        (dec(col("inc_n")) * dec(col("ct") + col("nb"))
+          - dec(col("it")) * dec(col("corpus_n") + 1)).cast("double"))
+      .withColumn("den",
+        col("it").cast("double") * (col("corpus_n") + 1).cast("double")
+          * (col("ct") + col("nb")).cast("double"))
+      .withColumn("term_fp",
+        floor(col("num") * col("num") / col("den") * lit(1e6)).cast("long"))
+      .select(col("bucket"), col("corpus_n"), col("inc_n"), col("term_fp"))
+      .orderedBy("bucket")
+  }
+
+  private def simDriftOracle(nCentroids: Int, iters: Int): String =
+    s"""WITH ${trainBody(nCentroids, iters, dim = 64, vSql =
+         "SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings WHERE vec_id % 5 <> 4")},
+       |${assignCte("av", s"c$iters")},
+       |vn AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+       |       FROM embeddings WHERE vec_id % 5 = 4),
+       |an AS (
+       |  SELECT vec_id, cid AS bucket FROM (
+       |    SELECT n.vec_id, c.cid,
+       |           row_number() OVER (PARTITION BY n.vec_id
+       |             ORDER BY list_cosine_similarity(c.ce, n.e) DESC, c.cid) AS arn
+       |    FROM vn n, c$iters c) WHERE arn = 1),
+       |oc AS (SELECT bucket, count(*) AS corpus_n FROM av GROUP BY bucket),
+       |oi AS (SELECT bucket, count(*) AS inc_n FROM an GROUP BY bucket),
+       |o AS (SELECT bucket, COALESCE(corpus_n, 0) AS corpus_n,
+       |             COALESCE(inc_n, 0) AS inc_n
+       |      FROM oc FULL JOIN oi USING (bucket)),
+       |tot AS (SELECT CAST(sum(corpus_n) AS BIGINT) AS ct,
+       |               CAST(sum(inc_n) AS BIGINT) AS it,
+       |               count(*) AS nb FROM o)
+       |SELECT bucket, corpus_n, inc_n,
+       |       CAST(floor(
+       |         CAST(CAST(inc_n AS DECIMAL(19,0)) * CAST(ct + nb AS DECIMAL(19,0))
+       |            - CAST(it AS DECIMAL(19,0)) * CAST(corpus_n + 1 AS DECIMAL(19,0))
+       |              AS DOUBLE)
+       |         * CAST(CAST(inc_n AS DECIMAL(19,0)) * CAST(ct + nb AS DECIMAL(19,0))
+       |            - CAST(it AS DECIMAL(19,0)) * CAST(corpus_n + 1 AS DECIMAL(19,0))
+       |              AS DOUBLE)
+       |         / (CAST(it AS DOUBLE) * CAST(corpus_n + 1 AS DOUBLE)
+       |            * CAST(ct + nb AS DOUBLE))
+       |         * 1e6) AS BIGINT) AS term_fp
+       |FROM o CROSS JOIN tot
+       |ORDER BY bucket""".stripMargin
+
   val defs: Map[String, QueryDef] = Map(
+    // the retrain trigger: per-bucket occupancy drift of the ingest
+    // increment vs the trained corpus, fixed-point chi-square terms
+    "q_sim_drift" -> QueryDef(simDrift(_, _), Some(simDriftOracle(8, 2))),
     "q_embed_pool" -> QueryDef(embedPool(_, _), Some(embedPoolOracle(8))),
     "q_embed_quant" -> QueryDef(quantize, Some(quantizeOracle)),
     "q_sim_topk" -> QueryDef(topkBrute(_, _), Some(
