@@ -179,15 +179,7 @@ object Catalog {
     * no watermark eviction), exactly batch semantics. */
   def qOhlcStreamed(spark: SparkSession, dir: String): DataFrame =
     Tables.runStreamComplete(spark, "ohlc_streamed_") { cs =>
-      val src = Tables.eventsStream(cs, dir)
-        .withColumn("qty_dec", col("value").cast("decimal(20,6)"))
-      val candles = OhlcPipeline.candles(src, windowDuration = "1 minute",
-        tsCol = "ts", priceCol = "value", qtyCol = "qty_dec",
-        symbolCol = "event_type")
-      candles.select(
-        unix_timestamp(col("start_ts")).as("ws"), col("base"),
-        col("open"), col("high"), col("low"), col("close"),
-        col("volume").cast("double").as("volume"))
+      candleSelect(Tables.eventsStream(cs, dir))
     }.orderedBy("ws", "base")
 
   /** MULTI-MICRO-BATCH accumulation bridge (20th — and the only one whose
@@ -207,18 +199,23 @@ object Catalog {
     val ev = Tables.events(spark, d)
     ev.repartition(4).write.mode("overwrite").parquet(tmp)
     Tables.runStreamComplete(spark, "ohlc_mb_") { cs =>
-      val src = cs.readStream.schema(ev.schema)
-        .option("maxFilesPerTrigger", 1).parquet(tmp)
-        .withColumn("qty_dec", col("value").cast("decimal(20,6)"))
-      val candles = OhlcPipeline.candles(src, windowDuration = "1 minute",
-        tsCol = "ts", priceCol = "value", qtyCol = "qty_dec",
-        symbolCol = "event_type")
-      candles.select(
+      candleSelect(cs.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1).parquet(tmp))
+    }.orderedBy("ws", "base")
+  }
+
+  /** The qty-lifted candle pipeline + epoch projection shared by the
+    * file-source bridges ([[qOhlcStreamed]], [[qOhlcMultibatch]]) — one
+    * body, so a projection change cannot split the two bridges' claims. */
+  private def candleSelect(src: DataFrame): DataFrame =
+    OhlcPipeline.candles(
+        src.withColumn("qty_dec", col("value").cast("decimal(20,6)")),
+        windowDuration = "1 minute", tsCol = "ts", priceCol = "value",
+        qtyCol = "qty_dec", symbolCol = "event_type")
+      .select(
         unix_timestamp(col("start_ts")).as("ws"), col("base"),
         col("open"), col("high"), col("low"), col("close"),
         col("volume").cast("double").as("volume"))
-    }.orderedBy("ws", "base")
-  }
 
   /** The CUSTOM-STATE streaming engine under the batch oracle (7th bridge,
     * and the one covering code no built-in aggregation runs):

@@ -915,8 +915,12 @@ object Dedup {
     val pairs = nearPairsUnordered(docs, threshold)
       .select(col("doc_a"), col("doc_b")).localCheckpoint(true)
     val src = docs.select(col("doc_id"), col("source"))
-    broadcast(pairs)
-      .join(src.select(col("doc_id").as("doc_a"), col("source").as("sa")), "doc_a")
+    // both joins hint the pair-sized side: the second join's left input is
+    // the first join's result (still pair-sized — one source column wider),
+    // and without its own hint a corpus-scale planner would shuffle the
+    // doc_id/source projection on doc_b (review r12 finding)
+    broadcast(broadcast(pairs)
+        .join(src.select(col("doc_id").as("doc_a"), col("source").as("sa")), "doc_a"))
       .join(src.select(col("doc_id").as("doc_b"), col("source").as("sb")), "doc_b")
       .select(least(col("sa"), col("sb")).as("source_a"),
         greatest(col("sa"), col("sb")).as("source_b"))

@@ -1,6 +1,6 @@
 package graft.llm
 
-import org.apache.spark.sql.{DataFrame, SparkSession, functions}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession, functions}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.core.{OracleSql, QueryDef, Tables}
@@ -75,16 +75,23 @@ object Pipeline {
     * doc_id), so the split is stable across runs, machines, and engines
     * (rand()-based splits are none of those), and any future doc lands in
     * a split without re-shuffling the corpus. Per-row scalar work. */
+  /** The salted md5 split rule — ONE body shared by [[splitAssign]]
+    * (keyed on doc_id) and [[splitLeakfree]] (keyed on the near-dup
+    * cluster), so the two split families cannot de-synchronize. */
+  private def saltedBucket(salt: String, key: Column): Column =
+    conv(substring(md5(concat_ws("#", lit(salt), key).cast("binary")), 1, 8),
+      16, 10).cast("long") % 100
+
+  private def splitOf(bucket: Column, testPct: Int, valPct: Int): Column =
+    when(bucket < testPct, "test")
+      .when(bucket < testPct + valPct, "val")
+      .otherwise("train")
+
   def splitAssign(s: SparkSession, d: String,
                   testPct: Int = 5, valPct: Int = 5, salt: String = "split"): DataFrame =
     Tables.documents(s, d)
-      .withColumn("bucket",
-        conv(substring(md5(concat_ws("#", lit(salt), col("doc_id")).cast("binary")), 1, 8),
-          16, 10).cast("long") % 100)
-      .withColumn("split",
-        when(col("bucket") < testPct, "test")
-          .when(col("bucket") < testPct + valPct, "val")
-          .otherwise("train"))
+      .withColumn("bucket", saltedBucket(salt, col("doc_id")))
+      .withColumn("split", splitOf(col("bucket"), testPct, valPct))
       .select(col("doc_id"), col("bucket"), col("split"))
       .orderedBy("doc_id")
 
@@ -113,13 +120,8 @@ object Pipeline {
     docs.select(col("doc_id"))
       .join(labels.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
       .select(col("doc_id"), coalesce(col("lbl"), col("doc_id")).as("cluster"))
-      .withColumn("bucket",
-        conv(substring(md5(concat_ws("#", lit(salt), col("cluster")).cast("binary")), 1, 8),
-          16, 10).cast("long") % 100)
-      .withColumn("split",
-        when(col("bucket") < testPct, "test")
-          .when(col("bucket") < testPct + valPct, "val")
-          .otherwise("train"))
+      .withColumn("bucket", saltedBucket(salt, col("cluster")))
+      .withColumn("split", splitOf(col("bucket"), testPct, valPct))
       .select(col("doc_id"), col("cluster"), col("bucket"), col("split"))
       .orderedBy("doc_id")
   }

@@ -515,8 +515,13 @@ object Similarity {
       .withColumn("den",
         col("it").cast("double") * (col("corpus_n") + 1).cast("double")
           * (col("ct") + col("nb")).cast("double"))
+      // empty increment ⇒ den = 0 and num = 0: no increment means no
+      // drift, so the term is 0 by definition — an unguarded 0/0 would be
+      // NaN, which the two engines cast differently (the q_dedup_recall
+      // NULL-not-NaN discipline); the oracle carries the identical CASE
       .withColumn("term_fp",
-        floor(col("num") * col("num") / col("den") * lit(1e6)).cast("long"))
+        when(col("it") === 0, lit(0L)).otherwise(
+          floor(col("num") * col("num") / col("den") * lit(1e6)).cast("long")))
       .select(col("bucket"), col("corpus_n"), col("inc_n"), col("term_fp"))
       .orderedBy("bucket")
   }
@@ -542,7 +547,7 @@ object Similarity {
        |               CAST(sum(inc_n) AS BIGINT) AS it,
        |               count(*) AS nb FROM o)
        |SELECT bucket, corpus_n, inc_n,
-       |       CAST(floor(
+       |       CASE WHEN it = 0 THEN 0 ELSE CAST(floor(
        |         CAST(CAST(inc_n AS DECIMAL(19,0)) * CAST(ct + nb AS DECIMAL(19,0))
        |            - CAST(it AS DECIMAL(19,0)) * CAST(corpus_n + 1 AS DECIMAL(19,0))
        |              AS DOUBLE)
@@ -551,7 +556,7 @@ object Similarity {
        |              AS DOUBLE)
        |         / (CAST(it AS DOUBLE) * CAST(corpus_n + 1 AS DOUBLE)
        |            * CAST(ct + nb AS DOUBLE))
-       |         * 1e6) AS BIGINT) AS term_fp
+       |         * 1e6) AS BIGINT) END AS term_fp
        |FROM o CROSS JOIN tot
        |ORDER BY bucket""".stripMargin
 
