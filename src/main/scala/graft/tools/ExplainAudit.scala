@@ -43,7 +43,8 @@ object ExplainAudit {
       "q_profile", "q_dedup_recall", "q_dedup_phash", "q_vocab_growth",
       "q_source_divergence", "q_ohlc_rewrite", "q_ohlc_reference",
       "q_quality_prune", "q_quality_clf", "q_join_bucketed",
-      "q_dedup_matrix", "q_datasheet", "q_split_leakfree", "q_meta_count")
+      "q_dedup_matrix", "q_datasheet", "q_split_leakfree", "q_meta_count",
+      "q_sim_drift")
     names.foreach { n =>
       println(s"\n========== $n ==========")
       n match {

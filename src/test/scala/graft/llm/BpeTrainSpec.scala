@@ -51,6 +51,12 @@ class BpeTrainSpec extends SparkTestBase {
     assert(labels(Some(dir)) == Seq(1L -> 1L, 2L -> 1L, 3L -> 1L,
       10L -> 10L, 11L -> 10L))
     assert(labels(Some(dir)) == labels(None))
+    // the star-contraction engine honors the same option
+    def starLbls(ckpt: Option[String]) =
+      Dedup.starLabels(pairs, checkpointDir = ckpt)
+        .orderBy("id").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(starLbls(Some(dir)) == labels(None),
+      "reliable-checkpoint star contraction diverged")
     // durability is the point: the rounds must actually be ON DISK
     val files = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
       .filter(java.nio.file.Files.isRegularFile(_)).count()
