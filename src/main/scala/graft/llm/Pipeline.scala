@@ -55,20 +55,76 @@ object Pipeline {
       .select(col("doc_id"), col("n_tokens"))
       .orderedBy("doc_id")
 
-  private def oracle(minTokens: Int, maxTokens: Int, nearThreshold: Double): String =
-    s"""WITH q AS (
-       |  SELECT doc_id, text, len(string_split(text, ' ')) AS n_tokens,
+  /** Stage-1/2 CTE chain (q/qf/keepers/kept) shared by the clean oracle
+    * and the token-yield oracle; `extra` carries additional document
+    * columns (e.g. ", source") through every stage. */
+  private def cleanCtes(minTokens: Int, maxTokens: Int, extra: String = ""): String =
+    s"""q AS (
+       |  SELECT doc_id, text$extra, len(string_split(text, ' ')) AS n_tokens,
        |         md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fp
        |  FROM documents),
        |qf AS (SELECT * FROM q WHERE n_tokens >= $minTokens AND n_tokens <= $maxTokens),
        |keepers AS (SELECT min(doc_id) AS doc_id FROM qf GROUP BY fp),
-       |kept AS (SELECT qf.* FROM qf JOIN keepers USING (doc_id)),
+       |kept AS (SELECT qf.* FROM qf JOIN keepers USING (doc_id))""".stripMargin
+
+  private def oracle(minTokens: Int, maxTokens: Int, nearThreshold: Double): String =
+    s"""WITH ${cleanCtes(minTokens, maxTokens)},
        |${Dedup.nearOracleCtes(4, 3, source = "kept")},
        |dropped AS (SELECT DISTINCT doc_b AS doc_id FROM pairs
        |            WHERE jaccard >= $nearThreshold)
        |SELECT doc_id, n_tokens FROM kept
        |WHERE doc_id NOT IN (SELECT doc_id FROM dropped)
        |ORDER BY doc_id""".stripMargin
+
+  /** Per-source TOKEN YIELD through the cleaning pipeline — the number a
+    * pretraining data lead actually budgets with: of each source's raw
+    * token mass, how much SURVIVES quality gating + exact dedup +
+    * near-dedup ([[cleanSurvivors]], the q_pipeline_clean stages). A
+    * low-yield source is mostly duplicates or junk and gets down-weighted
+    * (or re-crawled) regardless of its raw size; corpus token budgets are
+    * planned on the kept column, not the raw one. One raw aggregate + the
+    * existing cleaning chain's aggregate, left-joined on source (a source
+    * whose every doc is filtered still reports with kept=0); the yield is
+    * one IEEE divide of exact BIGINT sums, rounded. */
+  def tokenYield(s: SparkSession, d: String,
+                 minTokens: Int = 20, maxTokens: Int = 500,
+                 nearThreshold: Double = 0.8): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val raw = docs
+      .withColumn("n_tokens", size(TextStats.tokens(col("text"))).cast("long"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("raw_docs"), sum(col("n_tokens")).as("raw_tokens"))
+    val kept = cleanSurvivors(docs, minTokens, maxTokens, nearThreshold)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("kept_docs"), sum(col("n_tokens")).as("kept_tokens"))
+    raw.join(kept, Seq("source"), "left")
+      .select(col("source"), col("raw_docs"), col("raw_tokens"),
+        coalesce(col("kept_docs"), lit(0L)).as("kept_docs"),
+        coalesce(col("kept_tokens"), lit(0L)).as("kept_tokens"))
+      .withColumn("token_yield",
+        round(lit(1.0) * col("kept_tokens") / col("raw_tokens"), 4))
+      .orderedBy("source")
+  }
+
+  private def tokenYieldOracle(minTokens: Int, maxTokens: Int,
+                               nearThreshold: Double): String =
+    s"""WITH ${cleanCtes(minTokens, maxTokens, extra = ", source")},
+       |${Dedup.nearOracleCtes(4, 3, source = "kept")},
+       |dropped AS (SELECT DISTINCT doc_b AS doc_id FROM pairs
+       |            WHERE jaccard >= $nearThreshold),
+       |surv AS (SELECT source, n_tokens FROM kept
+       |         WHERE doc_id NOT IN (SELECT doc_id FROM dropped)),
+       |r AS (SELECT source, count(*) AS raw_docs,
+       |             CAST(sum(n_tokens) AS BIGINT) AS raw_tokens
+       |      FROM q GROUP BY source),
+       |k AS (SELECT source, count(*) AS kept_docs,
+       |             CAST(sum(n_tokens) AS BIGINT) AS kept_tokens
+       |      FROM surv GROUP BY source)
+       |SELECT r.source, raw_docs, raw_tokens,
+       |       COALESCE(kept_docs, 0) AS kept_docs,
+       |       COALESCE(kept_tokens, 0) AS kept_tokens,
+       |       round(1.0 * COALESCE(kept_tokens, 0) / raw_tokens, 4) AS token_yield
+       |FROM r LEFT JOIN k USING (source) ORDER BY source""".stripMargin
 
   /** Deterministic train/val/test split assignment: bucket = 32-bit md5
     * prefix of the salted doc_id, mod 100 — a pure function of (salt,
@@ -780,6 +836,10 @@ object Pipeline {
     // per-source release datasheet: volume, tokens, language spread,
     // whole-corpus exact-dup rate
     "q_datasheet" -> QueryDef(datasheet, Some(datasheetOracle)),
+    // per-source token mass surviving the full cleaning pipeline — the
+    // corpus-budgeting number (plan on kept tokens, not raw)
+    "q_token_yield" -> QueryDef(tokenYield(_, _),
+      Some(tokenYieldOracle(20, 500, 0.8))),
     "q_shuffle_shard" -> QueryDef(shuffleShard(_, _),
       Some(shuffleShardOracle(8, "epoch0"))),
     "q_sample_stratified" -> QueryDef(sampleStratified(_, _),
