@@ -112,6 +112,36 @@ object Dedup {
   private[llm] def nearIncrementalFrom(s: SparkSession, batchDocs: DataFrame,
       corpusDocs: DataFrame, threshold: Double = 0.8,
       bands: Int = 4, rows: Int = 3): DataFrame = {
+    val pairs = incrementPairs(s, batchDocs, corpusDocs, threshold, bands, rows)
+    // per-batch-doc verdict counts from the shared pair engine; the hit
+    // table is O(near-dups in the increment) — broadcast the left join so
+    // the batch scan never sorts or exchanges
+    val hits = pairs.groupBy(col("doc_b").as("doc_id")).agg(
+      sum(when(col("from_corpus"), 1L).otherwise(0L)).as("corpus_hits"),
+      sum(when(!col("from_corpus"), 1L).otherwise(0L)).as("batch_hits"))
+    batchDocs.select(col("doc_id"))
+      .join(broadcast(hits), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("corpus_hits"), lit(0L)).as("corpus_hits"),
+        coalesce(col("batch_hits"), lit(0L)).as("batch_hits"),
+        (coalesce(col("corpus_hits"), lit(0L)) === 0 &&
+          coalesce(col("batch_hits"), lit(0L)) === 0).cast("long").as("survives"))
+      .orderedBy("doc_id")
+  }
+
+  /** Verified near-dup PAIRS involving the increment — the single pair
+    * engine behind the ingest verdicts ([[nearIncrementalFrom]]) and the
+    * incremental cluster merge ([[ccIncremental]]): (doc_a, doc_b,
+    * from_corpus), where doc_b is always the batch side and doc_a is the
+    * corpus partner (from_corpus) or the smaller within-batch id. Scale
+    * shape unchanged from the ingest chain: batch bands/shingles
+    * broadcast everywhere, the corpus is touched by exactly one banded
+    * scan plus a candidates-only shingle pass, and the within-batch
+    * self-join carries an explicit broadcast so a large increment can't
+    * silently fall to SortMergeJoin. */
+  private[llm] def incrementPairs(s: SparkSession, batchDocs: DataFrame,
+      corpusDocs: DataFrame, threshold: Double = 0.8,
+      bands: Int = 4, rows: Int = 3): DataFrame = {
     graft.expr.GraftFunctions.register(s)
     val corpusTok = corpusDocs
       .select(col("doc_id"), TextStats.tokens(col("text")).as("toks"))
@@ -129,41 +159,66 @@ object Dedup {
     val candBC = bandC.join(broadcast(bandB), Seq("band", "sig"))
       .select(col("doc_id").as("cid"), col("bid")).distinct()
     // within-batch candidates: increment-sized self-join — explicit
-    // broadcast like every other join in the chain, so a large increment
-    // can't silently fall to SortMergeJoin
+    // broadcast like every other join in the chain
     val candBB = bandB.as("x").join(broadcast(bandB.as("y")),
         col("x.band") === col("y.band") && col("x.sig") === col("y.sig") &&
           col("x.bid") < col("y.bid"))
       .select(col("x.bid").as("aid"), col("y.bid").as("bid")).distinct()
     val shBatch = shB.select(col("doc_id").as("bid"), col("sh").as("sh_b"))
-    def jaccardHits(withSets: DataFrame, out: String) =
+    def verified(withSets: DataFrame) =
       withSets
         .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
         .withColumn("j", round(lit(1.0) * col("inter") /
           (size(col("sh_a")) + size(col("sh_b")) - col("inter")), 4))
         .filter(col("j") >= threshold)
-        .groupBy(col("bid")).agg(count(lit(1)).as(out))
     // corpus verify: candidate ids broadcast into the token scan; ONLY
     // candidate corpus docs shingle
-    val verBC = jaccardHits(
+    val bcPairs = verified(
       corpusTok.select(col("doc_id").as("cid"), col("toks"))
         .join(broadcast(candBC), "cid")
         .withColumn("sh_a", TextStats.shinglesExpr("toks")).drop("toks")
-        .join(broadcast(shBatch), "bid"), "corpus_hits")
-    val verBB = jaccardHits(
+        .join(broadcast(shBatch), "bid"))
+      .select(col("cid").as("doc_a"), col("bid").as("doc_b"),
+        lit(true).as("from_corpus"))
+    val bbPairs = verified(
       candBB
         .join(broadcast(shBatch.select(col("bid").as("aid"), col("sh_b").as("sh_a"))), "aid")
-        .join(broadcast(shBatch), "bid"), "batch_hits")
-    // hit tables are O(near-dups in the increment) — broadcast both left
-    // joins so the batch scan never sorts or exchanges
-    batchDocs.select(col("doc_id"))
-      .join(broadcast(verBC.withColumnRenamed("bid", "doc_id")), Seq("doc_id"), "left")
-      .join(broadcast(verBB.withColumnRenamed("bid", "doc_id")), Seq("doc_id"), "left")
-      .select(col("doc_id"),
-        coalesce(col("corpus_hits"), lit(0L)).as("corpus_hits"),
-        coalesce(col("batch_hits"), lit(0L)).as("batch_hits"),
-        (coalesce(col("corpus_hits"), lit(0L)) === 0 &&
-          coalesce(col("batch_hits"), lit(0L)) === 0).cast("long").as("survives"))
+        .join(broadcast(shBatch), "bid"))
+      .select(col("aid").as("doc_a"), col("bid").as("doc_b"),
+        lit(false).as("from_corpus"))
+    bcPairs.unionByName(bbPairs)
+  }
+
+  /** INCREMENTAL connected components — the daily-ingest half of the
+    * clustering story: yesterday's corpus labels are already computed
+    * (here re-derived from the corpus pairs so the query is
+    * self-contained; in production they are the persisted artifact), the
+    * increment's pairs come from the [[incrementPairs]] engine, and the
+    * merge runs star contraction over (CONTRACTED label edges ∪ new
+    * pairs) — never re-clustering the corpus graph. Correct by the
+    * contraction identity CC(contract(G₁) ∪ G₂) = CC(G₁ ∪ G₂): the label
+    * table preserves exactly the connectivity of the corpus pairs (every
+    * non-root points at its component min), so the oracle is the FULL
+    * whole-graph semantic spec — the same recursive-CTE SQL as
+    * q_dedup_clusters/q_dedup_cc — and the driver hash-compare proves the
+    * incremental merge equals the from-scratch clustering. Scale shape:
+    * the corpus contributes its node-sized label table; the expensive LSH
+    * work is increment-sized; the merge graph is labels + new pairs, far
+    * smaller than the full pair graph. */
+  def ccIncremental(s: SparkSession, d: String, threshold: Double = 0.8,
+                    checkpointDir: Option[String] = None): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val isBatch = pmod(col("doc_id"), lit(5)) === 4
+    val corpus = docs.filter(!isBatch)
+    val corpusLabels = starLabels(
+      nearPairsUnordered(corpus, threshold).select(col("doc_a"), col("doc_b")),
+      checkpointDir)
+    val labelEdges = corpusLabels.filter(col("id") =!= col("lbl"))
+      .select(col("id").as("doc_a"), col("lbl").as("doc_b"))
+    val newPairs = incrementPairs(s, docs.filter(isBatch), corpus, threshold)
+      .select(col("doc_a"), col("doc_b"))
+    starLabels(labelEdges.unionByName(newPairs), checkpointDir)
+      .select(col("id").as("doc_id"), col("lbl").as("cluster"))
       .orderedBy("doc_id")
   }
 
@@ -1601,6 +1656,10 @@ object Dedup {
     // which sources duplicate which: near-dup pair counts per unordered
     // source pair — the attribution gauge behind mixing weights
     "q_dedup_matrix" -> QueryDef(dedupMatrix(_, _), Some(dedupMatrixOracle(0.8))),
+    // incremental cluster merge (contracted labels ∪ increment pairs)
+    // against the FULL-graph semantic oracle: the daily merge must equal
+    // the from-scratch clustering
+    "q_dedup_cc_incr" -> QueryDef(ccIncremental(_, _), Some(nearClustersOracle(0.8))),
     // damped PageRank on the same graph, fixed-point integer units —
     // canonical-representative ranking, bit-exact on any engine
     "q_graph_pagerank" -> QueryDef(pagerank(_, _), Some(pagerankOracle(0.8, 3))),
