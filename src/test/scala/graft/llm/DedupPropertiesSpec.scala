@@ -351,6 +351,36 @@ class DedupPropertiesSpec extends SparkTestBase {
     }
   }
 
+  test("contraction identity: merging contracted G1 labels with G2 edges " +
+    "equals CC over G1 ∪ G2 (seeded property)") {
+    // the correctness argument behind ccIncremental, exercised directly on
+    // random split graphs: CC(contract(G1) ∪ G2) = CC(G1 ∪ G2)
+    val genEdge = for {
+      a <- Gen.chooseNum(0L, 39L); b <- Gen.chooseNum(0L, 39L)
+    } yield (a, b)
+    var seed = Seed(7L)
+    (1 to 3).foreach { _ =>
+      def draw(n: Int) = (1 to n).map { _ =>
+        val e = genEdge.apply(Gen.Parameters.default, seed).get
+        seed = seed.next
+        e
+      }.filter(e => e._1 != e._2)
+      val g1 = draw(25)
+      val g2 = draw(12)
+      val full = Dedup.starLabels((g1 ++ g2).toDF("doc_a", "doc_b"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val l1 = Dedup.starLabels(g1.toDF("doc_a", "doc_b"))
+      val contracted = l1.filter(col("id") =!= col("lbl"))
+        .select(col("id").as("doc_a"), col("lbl").as("doc_b"))
+        .unionByName(g2.toDF("doc_a", "doc_b"))
+      val merged = Dedup.starLabels(contracted)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // the merge covers every node of the union graph that is in an edge;
+      // nodes only in G1 singleton components don't exist (edges only)
+      assert(merged == full, s"contraction identity violated: g1=$g1 g2=$g2")
+    }
+  }
+
   test("starLabels: random graphs match union-find (seeded property)") {
     // sparse random graphs land in the awkward regime — many mid-sized
     // components with mixed chains and merges — that the fixed-shape test
