@@ -127,6 +127,50 @@ object TextStats {
     * never shuffle, and the per-doc rollup is a second map-side-combining
     * hash agg. The bigram arm joins back by doc_id (docs under 2 tokens
     * have no bigrams — coalesced 0). */
+  /** Character-class ENTROPY — the Gopher/RefinedWeb-style gibberish
+    * detector (low entropy = repeated filler, high entropy ≈ uniform noise
+    * or encoded blobs; both tails get filtered): Shannon entropy over the
+    * 36 alphanumeric character classes. Implemented as a PURE PROJECTION —
+    * each class count is `length(text) − length(replace(text, c, ''))`,
+    * 36 fixed terms folded into one expression tree, so the operator
+    * needs no explode, no aggregate, and no shuffle at all: the cheapest
+    * possible 100 TB shape (scan → project). Determinism: counts are
+    * exact ints, each class term is a FIXED tree of IEEE ops
+    * (−(n/N)·log2(n/N)) on exactly-equal inputs, and the 36-term sum is a
+    * fixed-order COLUMN expression (not an aggregate), so there is no
+    * summation-order hazard; one final round(3). Classes with n=0
+    * contribute 0 via the same CASE on both engines. */
+  def qualityEntropy(s: SparkSession, d: String): DataFrame = {
+    val classes = ('a' to 'z') ++ ('0' to '9')
+    // non-regex replace() exists verbatim in both engines, so the count
+    // expression needs no quoting rules at all
+    val cnt = classes.map(c =>
+      expr(s"CAST(length(text) - length(replace(text, '$c', '')) AS BIGINT)"))
+    val n = cnt.reduce(_ + _)
+    val term = (c: Column) =>
+      when(c > 0, -(c.cast("double") / n.cast("double")) *
+        log2(c.cast("double") / n.cast("double"))).otherwise(lit(0.0))
+    val h = cnt.map(term).reduce(_ + _)
+    Tables.documents(s, d)
+      .select(col("doc_id"), n.as("n_alnum"), round(h, 3).as("entropy"))
+      .orderedBy("doc_id")
+  }
+
+  private def qualityEntropyOracle: String = {
+    val classes = ('a' to 'z') ++ ('0' to '9')
+    val cnt = (c: Char) => s"CAST(length(text) - length(replace(text, '$c', '')) AS BIGINT)"
+    val n = classes.map(cnt).mkString(" + ")
+    val terms = classes.map { c =>
+      s"""CASE WHEN ${cnt(c)} > 0
+         |  THEN -(CAST(${cnt(c)} AS DOUBLE) / CAST(n AS DOUBLE))
+         |       * log2(CAST(${cnt(c)} AS DOUBLE) / CAST(n AS DOUBLE))
+         |  ELSE 0.0 END""".stripMargin
+    }.mkString(" + ")
+    s"""WITH b AS (SELECT doc_id, text, $n AS n FROM documents)
+       |SELECT doc_id, n AS n_alnum, round($terms, 3) AS entropy
+       |FROM b ORDER BY doc_id""".stripMargin
+  }
+
   def qualityRep(s: SparkSession, d: String): DataFrame = {
     graft.expr.GraftFunctions.register(s)
     val t = Tables.documents(s, d)
@@ -1075,6 +1119,9 @@ object TextStats {
     // 19th bridge: the same scorer under the micro-batch planner
     "q_clf_streamed" -> QueryDef(clfStreamed, Some(qualityClfOracle)),
     "q_quality_oov" -> QueryDef(oovRate(_, _), Some(oovOracle(20))),
+    // character-class entropy as a pure projection — scan → project,
+    // zero shuffle; both distribution tails are filter targets
+    "q_quality_entropy" -> QueryDef(qualityEntropy, Some(qualityEntropyOracle)),
     "q_quality_rep" -> QueryDef(qualityRep, Some(qualityRepOracle)),
     "q_lang_id" -> QueryDef(langId, Some(langIdOracle)),
     "q_lang_ngram" -> QueryDef(langNgram(_, _), Some(langNgramOracle(8))),
