@@ -339,6 +339,8 @@ object GraftFunctions {
       }),
     (FunctionIdentifier("bpe_count"), info(classOf[BpeCount], "bpe_count"),
       (children: Seq[Expression]) => BpeCount(children(0))),
+    (FunctionIdentifier("char_class_counts"), info(classOf[CharClassCounts], "char_class_counts"),
+      (children: Seq[Expression]) => CharClassCounts(children(0))),
     (FunctionIdentifier("char_shingles"), info(classOf[CharShingles], "char_shingles"),
       (children: Seq[Expression]) => {
         val n = children(1) match {

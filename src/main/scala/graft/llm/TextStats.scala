@@ -141,18 +141,30 @@ object TextStats {
     * summation-order hazard; one final round(3). Classes with n=0
     * contribute 0 via the same CASE on both engines. */
   def qualityEntropy(s: SparkSession, d: String): DataFrame = {
-    val classes = ('a' to 'z') ++ ('0' to '9')
-    // non-regex replace() exists verbatim in both engines, so the count
-    // expression needs no quoting rules at all
-    val cnt = classes.map(c =>
-      expr(s"CAST(length(text) - length(replace(text, '$c', '')) AS BIGINT)"))
-    val n = cnt.reduce(_ + _)
+    graft.expr.GraftFunctions.register(s)
+    // ONE pass over the bytes via the native histogram
+    // ([[graft.expr.CharClassCounts]]) — the 36-replace() formulation this
+    // replaces walked the string once per class with an allocation each
+    // time (measured 2.4 s at sf0.1; the histogram runs sub-second). The
+    // histogram lands in its OWN projection so the 36 element_at reads in
+    // the entropy terms consume one materialized array, not 36 re-runs;
+    // fanOut because the driver parquet is one row group (q_unpivot class).
+    val counted = graft.core.QueryDef.fanOut(Tables.documents(s, d))
+      .select(col("doc_id"), call_function("char_class_counts", col("text")).as("cs"))
+    val cnt = (1 to 36).map(i => element_at(col("cs"), i))
+    // n gets ITS OWN projection too: inlined, the 36-element sum would be
+    // re-expanded into all ~72 term positions (≈2,600 element_at nodes —
+    // a codegen blow-up measured as 10× run-to-run swings); as an
+    // attribute each term is 2 array reads + 4 IEEE ops
+    val withN = counted.select(col("doc_id"), col("cs"),
+      cnt.reduce(_ + _).as("n_alnum"))
+    val n = col("n_alnum")
     val term = (c: Column) =>
       when(c > 0, -(c.cast("double") / n.cast("double")) *
         log2(c.cast("double") / n.cast("double"))).otherwise(lit(0.0))
     val h = cnt.map(term).reduce(_ + _)
-    Tables.documents(s, d)
-      .select(col("doc_id"), n.as("n_alnum"), round(h, 3).as("entropy"))
+    withN
+      .select(col("doc_id"), col("n_alnum"), round(h, 3).as("entropy"))
       .orderedBy("doc_id")
   }
 

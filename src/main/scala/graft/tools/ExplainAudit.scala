@@ -44,7 +44,7 @@ object ExplainAudit {
       "q_source_divergence", "q_ohlc_rewrite", "q_ohlc_reference",
       "q_quality_prune", "q_quality_clf", "q_join_bucketed",
       "q_dedup_matrix", "q_datasheet", "q_split_leakfree", "q_meta_count",
-      "q_sim_drift", "q_token_yield", "q_dedup_cc_incr")
+      "q_sim_drift", "q_token_yield", "q_dedup_cc_incr", "q_quality_entropy")
     names.foreach { n =>
       println(s"\n========== $n ==========")
       n match {
