@@ -1343,7 +1343,13 @@ object Dedup {
     * candidates verified with exact cosine >= threshold. Output is pair ids
     * only — cosine values stay inside (cross-engine last-ulp safety). */
   def embedPairs(s: SparkSession, d: String, threshold: Double = 0.45,
-                 maxBucket: Option[Int] = None): DataFrame = {
+                 maxBucket: Option[Int] = None): DataFrame =
+    embedPairsUnordered(s, d, threshold, maxBucket).orderedBy("vec_a", "vec_b")
+
+  /** [[embedPairs]] without the harness ordering trailer — the composition
+    * entry point for the embedding cluster graph ([[embedClusters]]). */
+  private[llm] def embedPairsUnordered(s: SparkSession, d: String,
+      threshold: Double = 0.45, maxBucket: Option[Int] = None): DataFrame = {
     graft.expr.GraftFunctions.register(s)
     def dot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
       call_function("vec_dot", a, b) // native codegen loop (expr.VectorExprs)
@@ -1384,12 +1390,51 @@ object Dedup {
       .join(all.select(col("vec_id").as("vec_b"), col("e").as("eb")), "vec_b")
       .filter(dot(col("ea"), col("eb")) >= threshold) // cosine of unit vectors
       .select(col("vec_a"), col("vec_b"))
-      .orderedBy("vec_a", "vec_b")
   }
+
+  /** Connected components over the EMBEDDING sign-LSH pair graph — the
+    * semantic-clustering composition: [[embedPairs]]' verified
+    * cosine-similar pairs through the star-contraction engine
+    * ([[starLabels]]), so semantically-equivalent groups (paraphrase
+    * families, translated twins) collapse onto a canonical
+    * representative the way [[nearClusters]] collapses lexical near-dups.
+    * Graph-based — unlike [[SemDedup]]'s trained-centroid scoping, the
+    * clusters here follow actual pairwise similarity edges, so a chain of
+    * pairwise-similar vectors merges even when its ends straddle k-means
+    * cells. Same scale shape as both parents: banded candidates, single
+    * dot verification, edge-sized contraction loop. */
+  def embedClusters(s: SparkSession, d: String, threshold: Double = 0.45,
+                    checkpointDir: Option[String] = None): DataFrame = {
+    graft.expr.GraftFunctions.register(s)
+    val pairs = embedPairsUnordered(s, d, threshold, None)
+      .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))
+    starLabels(pairs, checkpointDir)
+      .select(col("id").as("vec_id"), col("lbl").as("cluster"))
+      .orderedBy("vec_id")
+  }
+
+  private def embedClustersOracle(threshold: Double): String =
+    s"""WITH RECURSIVE ${embedPairsBody(threshold, None)},
+       |edges AS (SELECT vec_a AS src, vec_b AS dst FROM epairs
+       |          UNION ALL SELECT vec_b, vec_a FROM epairs),
+       |reach(id, r) AS (
+       |  SELECT src, dst FROM edges
+       |  UNION
+       |  SELECT reach.id, e.dst FROM reach JOIN edges e ON reach.r = e.src)
+       |SELECT id AS vec_id, least(id, min(r)) AS cluster FROM reach GROUP BY id
+       |ORDER BY vec_id""".stripMargin
 
   private def embedPairsOracle(threshold: Double,
                                maxBucket: Option[Int] = None): String =
-    s"""WITH v0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e0 FROM embeddings),
+    s"""WITH ${embedPairsBody(threshold, maxBucket)}
+       |SELECT vec_a, vec_b FROM epairs
+       |ORDER BY vec_a, vec_b""".stripMargin
+
+  /** The sign-LSH chain through the verified `epairs` CTE — shared by the
+    * pair oracle and the embedding-cluster oracle. */
+  private def embedPairsBody(threshold: Double,
+                             maxBucket: Option[Int] = None): String =
+    s"""v0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e0 FROM embeddings),
        |v AS (SELECT vec_id,
        |             list_transform(e0, x -> x / sqrt(list_dot_product(e0, e0))) AS e
        |      FROM v0),
@@ -1421,11 +1466,11 @@ object Dedup {
        |cand AS (
        |  SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b
        |  FROM banded x JOIN banded y
-       |    ON x.band = y.band AND x.sig = y.sig AND x.vec_id < y.vec_id)
-       |SELECT vec_a, vec_b
-       |FROM cand JOIN v a ON a.vec_id = vec_a JOIN v b ON b.vec_id = vec_b
-       |WHERE list_dot_product(a.e, b.e) >= $threshold
-       |ORDER BY vec_a, vec_b""".stripMargin
+       |    ON x.band = y.band AND x.sig = y.sig AND x.vec_id < y.vec_id),
+       |epairs AS (
+       |  SELECT vec_a, vec_b
+       |  FROM cand JOIN v a ON a.vec_id = vec_a JOIN v b ON b.vec_id = vec_b
+       |  WHERE list_dot_product(a.e, b.e) >= $threshold)""".stripMargin
 
   /** MOSS-style shared-substring pair detection over winnow fingerprints
     * (Schleimer et al., SIGMOD'03 "Winnowing: Local Algorithms for
@@ -1678,6 +1723,10 @@ object Dedup {
       Some(simhashPairsOracle(2, Some(4)))),
     "q_dedup_embed" -> QueryDef((s, d) => embedPairs(s, d),
       Some(embedPairsOracle(0.45))),
+    // star contraction over the sign-LSH pair graph: graph-based semantic
+    // clustering (chains merge across k-means cells, unlike SemDedup)
+    "q_embed_clusters" -> QueryDef(embedClusters(_, _),
+      Some(embedClustersOracle(0.45))),
     // the 100 TB shape: 2-bit sign-LSH bands have only 4 buckets each, so
     // the cap is what bounds the candidate join at corpus scale
     "q_dedup_embed_capped" -> QueryDef(
