@@ -142,20 +142,29 @@ object TextStats {
     * contribute 0 via the same CASE on both engines. */
   def qualityEntropy(s: SparkSession, d: String): DataFrame = {
     graft.expr.GraftFunctions.register(s)
-    // ONE pass over the bytes via the native histogram
-    // ([[graft.expr.CharClassCounts]]) — the 36-replace() formulation this
-    // replaces walked the string once per class with an allocation each
-    // time (measured 2.4 s at sf0.1; the histogram runs sub-second). The
-    // histogram lands in its OWN projection so the 36 element_at reads in
-    // the entropy terms consume one materialized array, not 36 re-runs;
-    // fanOut because the driver parquet is one row group (q_unpivot class).
-    val counted = graft.core.QueryDef.fanOut(Tables.documents(s, d))
+    // fanOut because the driver parquet is one row group (q_unpivot class)
+    qualityEntropyFrom(graft.core.QueryDef.fanOut(Tables.documents(s, d)))
+      .orderedBy("doc_id")
+  }
+
+  /** The scorer over an arbitrary (doc_id, text) frame — shared with the
+    * stateless streaming bridge (pure projections run unchanged under the
+    * micro-batch planner; no state store is ever instantiated).
+    *
+    * ONE pass over the bytes via the native histogram
+    * ([[graft.expr.CharClassCounts]]) — the 36-replace() formulation this
+    * replaces walked the string once per class with an allocation each
+    * time (measured 2.4 s at sf0.1; the histogram runs sub-second). The
+    * histogram lands in its OWN projection so the 36 element_at reads in
+    * the entropy terms consume one materialized array, not 36 re-runs;
+    * and n gets ITS OWN projection too: inlined, the 36-element sum would
+    * be re-expanded into all ~72 term positions (≈2,600 element_at nodes
+    * — a codegen blow-up measured as 10× run-to-run swings); as an
+    * attribute each term is 2 array reads + 4 IEEE ops. */
+  private[llm] def qualityEntropyFrom(docs: DataFrame): DataFrame = {
+    val counted = docs
       .select(col("doc_id"), call_function("char_class_counts", col("text")).as("cs"))
     val cnt = (1 to 36).map(i => element_at(col("cs"), i))
-    // n gets ITS OWN projection too: inlined, the 36-element sum would be
-    // re-expanded into all ~72 term positions (≈2,600 element_at nodes —
-    // a codegen blow-up measured as 10× run-to-run swings); as an
-    // attribute each term is 2 array reads + 4 IEEE ops
     val withN = counted.select(col("doc_id"), col("cs"),
       cnt.reduce(_ + _).as("n_alnum"))
     val n = col("n_alnum")
@@ -163,9 +172,23 @@ object TextStats {
       when(c > 0, -(c.cast("double") / n.cast("double")) *
         log2(c.cast("double") / n.cast("double"))).otherwise(lit(0.0))
     val h = cnt.map(term).reduce(_ + _)
-    withN
-      .select(col("doc_id"), col("n_alnum"), round(h, 3).as("entropy"))
-      .orderedBy("doc_id")
+    withN.select(col("doc_id"), col("n_alnum"), round(h, 3).as("entropy"))
+  }
+
+  /** The entropy scorer under the STREAMING engine (21st bridge — and the
+    * only STATELESS one): a pure projection needs no aggregation state,
+    * so it runs APPEND mode with no state store instantiated at all,
+    * completing the bridge taxonomy (complete-mode aggs, watermarked
+    * append, custom-state processors, foreachBatch, rate-limited
+    * multi-batch, and now stateless row-at-a-time scoring — the shape a
+    * production scorer fleet runs on an arriving corpus). Identical
+    * oracle SQL as the batch twin. */
+  def entropyStreamed(s: SparkSession, d: String): DataFrame = {
+    graft.expr.GraftFunctions.register(s)
+    Tables.runStreamAppend(s, "entropy_streamed_") { cs =>
+      graft.expr.GraftFunctions.register(cs)
+      qualityEntropyFrom(Tables.documentsStream(cs, d))
+    }.orderedBy("doc_id")
   }
 
   private def qualityEntropyOracle: String = {
@@ -1134,6 +1157,9 @@ object TextStats {
     // character-class entropy as a pure projection — scan → project,
     // zero shuffle; both distribution tails are filter targets
     "q_quality_entropy" -> QueryDef(qualityEntropy, Some(qualityEntropyOracle)),
+    // 21st bridge — stateless: pure projection under the micro-batch
+    // planner, append mode, no state store instantiated
+    "q_entropy_streamed" -> QueryDef(entropyStreamed, Some(qualityEntropyOracle)),
     "q_quality_rep" -> QueryDef(qualityRep, Some(qualityRepOracle)),
     "q_lang_id" -> QueryDef(langId, Some(langIdOracle)),
     "q_lang_ngram" -> QueryDef(langNgram(_, _), Some(langNgramOracle(8))),

@@ -59,6 +59,7 @@ class CatalogSpec extends SparkTestBase {
     assert(o("q_ohlc_rewrite_streamed") == o("q_ohlc_rewrite"))
     assert(o("q_clf_streamed") == o("q_quality_clf"))
     assert(o("q_ohlc_multibatch") == o("q_ohlc_1m"))
+    assert(o("q_entropy_streamed") == o("q_quality_entropy"))
     // the persisted-index serve makes the same claim against its
     // in-memory twin: same search, same oracle
     assert(o("q_sim_ivfpq_persisted") == o("q_sim_ivfpq"))
