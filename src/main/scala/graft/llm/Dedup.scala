@@ -222,6 +222,20 @@ object Dedup {
       .orderedBy("doc_id")
   }
 
+  /** Lazy audit plan for [[ccIncremental]] (tools.ExplainAudit): the
+    * increment pair chain whose all-broadcast shape is the query's scale
+    * claim. The catalog build itself runs TWO [[starLabels]] loops
+    * eagerly (per-round pinRound actions), so it has no single lazy plan
+    * to print — the per-round contraction shape is [[nearClusters]]'s and
+    * is audited there; auditing this query eagerly would pay the full
+    * double-contraction runtime and show only the trailing label join. */
+  def ccIncrementalAuditPlan(s: SparkSession, d: String,
+                             threshold: Double = 0.8): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val isBatch = pmod(col("doc_id"), lit(5)) === 4
+    incrementPairs(s, docs.filter(isBatch), docs.filter(!isBatch), threshold)
+  }
+
   /** [[nearIncremental]] under the STREAMING engine (the 14th
     * batch≡streaming bridge, VERDICT r11 item 5): the daily increment
     * arrives as an AvailableNow micro-batch and foreachBatch runs the
@@ -947,14 +961,24 @@ object Dedup {
   private def nearClustersOracle(threshold: Double): String =
     s"""WITH RECURSIVE ${nearOracleCtes(4, 3)},
        |p2 AS (SELECT doc_a, doc_b FROM pairs WHERE jaccard >= $threshold),
-       |edges AS (SELECT doc_a AS src, doc_b AS dst FROM p2
-       |          UNION ALL SELECT doc_b, doc_a FROM p2),
+       |${ccOracleTail("p2", "doc_a", "doc_b", "doc_id")}""".stripMargin
+
+  /** The recursive-CTE connected-components tail shared by every cluster
+    * oracle ([[nearClustersOracle]], [[embedClustersOracle]]): symmetric
+    * edges over a verified pair CTE, reachability with UNION dedup (the
+    * rule that terminates recursion on cyclic graphs), min-reachable-id
+    * labeling — one definition so a future fix to the reachability SQL
+    * cannot silently apply to one cluster oracle and not the other. */
+  private def ccOracleTail(pairCte: String, a: String, b: String,
+                           idCol: String): String =
+    s"""edges AS (SELECT $a AS src, $b AS dst FROM $pairCte
+       |          UNION ALL SELECT $b, $a FROM $pairCte),
        |reach(id, r) AS (
        |  SELECT src, dst FROM edges
        |  UNION
        |  SELECT reach.id, e.dst FROM reach JOIN edges e ON reach.r = e.src)
-       |SELECT id AS doc_id, least(id, min(r)) AS cluster FROM reach GROUP BY id
-       |ORDER BY doc_id""".stripMargin
+       |SELECT id AS $idCol, least(id, min(r)) AS cluster FROM reach GROUP BY id
+       |ORDER BY $idCol""".stripMargin
 
   /** Cross-source DUPLICATION ATTRIBUTION MATRIX: near-dup pair counts per
     * unordered source pair — the corpus-curation gauge that tells you
@@ -1415,14 +1439,7 @@ object Dedup {
 
   private def embedClustersOracle(threshold: Double): String =
     s"""WITH RECURSIVE ${embedPairsBody(threshold, None)},
-       |edges AS (SELECT vec_a AS src, vec_b AS dst FROM epairs
-       |          UNION ALL SELECT vec_b, vec_a FROM epairs),
-       |reach(id, r) AS (
-       |  SELECT src, dst FROM edges
-       |  UNION
-       |  SELECT reach.id, e.dst FROM reach JOIN edges e ON reach.r = e.src)
-       |SELECT id AS vec_id, least(id, min(r)) AS cluster FROM reach GROUP BY id
-       |ORDER BY vec_id""".stripMargin
+       |${ccOracleTail("epairs", "vec_a", "vec_b", "vec_id")}""".stripMargin
 
   private def embedPairsOracle(threshold: Double,
                                maxBucket: Option[Int] = None): String =

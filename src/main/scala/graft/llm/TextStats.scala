@@ -139,7 +139,14 @@ object TextStats {
     * (−(n/N)·log2(n/N)) on exactly-equal inputs, and the 36-term sum is a
     * fixed-order COLUMN expression (not an aggregate), so there is no
     * summation-order hazard; one final round(3). Classes with n=0
-    * contribute 0 via the same CASE on both engines. */
+    * contribute 0 via the same CASE on both engines. The residual,
+    * accepted cross-engine hazard is log2() itself — libm-dependent, not
+    * IEEE-pinned, same as the q_tfidf/q_quality_lm precedent: a 1–2 ulp
+    * divergence flips the rounded output only if a doc's 36-term sum
+    * lands within ~1e-13 of a 0.0005 boundary (none do at either SF;
+    * unlike q_graph_pagerank, whose per-round feedback AMPLIFIES ulp
+    * drift and therefore went fixed-point, this is a single non-iterated
+    * projection). */
   def qualityEntropy(s: SparkSession, d: String): DataFrame = {
     graft.expr.GraftFunctions.register(s)
     // fanOut because the driver parquet is one row group (q_unpivot class)

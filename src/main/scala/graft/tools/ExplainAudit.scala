@@ -58,6 +58,11 @@ object ExplainAudit {
           graft.llm.BpeTrain.trainFrom(
             graft.core.Tables.documents(spark, d), 2, checkpoint = false)
             .explain("formatted")
+        // incremental CC: the catalog build runs two eager star-contraction
+        // loops; audit the lazy increment-pair chain (the broadcast-shape
+        // claim) instead of executing the whole query
+        case "q_dedup_cc_incr" =>
+          graft.llm.Dedup.ccIncrementalAuditPlan(spark, d).explain("formatted")
         case _ =>
           graft.SparkEntry.queries(n)(spark, d).explain("formatted")
       }
