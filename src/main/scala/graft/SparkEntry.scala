@@ -194,14 +194,53 @@ object Catalog {
     * hash-match the IDENTICAL batch oracle (q_ohlc_1m's SQL).
     * StreamingSpec additionally pins that >1 batch actually ran. */
   def qOhlcMultibatch(spark: SparkSession, d: String): DataFrame = {
-    val tmp = s"${sys.props("user.dir")}/target/graft_stream/" +
-      s"ohlc_mb_${d.replaceAll("[^A-Za-z0-9.]", "_")}"
+    // staging root is conf-routed (spark.graft.stream.stageDir) so a
+    // cluster run stages on shared storage its executors can read
+    val tmp = Tables.stageDir(spark,
+      s"ohlc_mb_${d.replaceAll("[^A-Za-z0-9.]", "_")}")
     val ev = Tables.events(spark, d)
     ev.repartition(4).write.mode("overwrite").parquet(tmp)
     Tables.runStreamComplete(spark, "ohlc_mb_") { cs =>
       candleSelect(cs.readStream.schema(ev.schema)
         .option("maxFilesPerTrigger", 1).parquet(tmp))
     }.orderedBy("ws", "base")
+  }
+
+  /** UPDATE-MODE bridge (21st — closes the last spec-only streaming row,
+    * reference `main.py:215`'s output mode): the candle aggregation runs
+    * in outputMode=update over the 4-file rate-limited layout
+    * (maxFilesPerTrigger=1, the q_ohlc_multibatch staging), so a window
+    * whose events span micro-batches RE-EMITS a revised candle each batch
+    * it changes — the revision sequence that is update mode's observable.
+    * [[Tables.runStreamUpdateEmissions]] captures every emission with its
+    * batch id; folding LATEST-PER-(ws, base) reconstructs the final
+    * candles, which must hash-match the IDENTICAL batch oracle
+    * (q_ohlc_1m's SQL). StreamingSpec additionally pins that ≥1 candle
+    * was emitted more than once (a real revision happened) — together the
+    * two checks oracle both halves of the update contract: what is
+    * re-emitted (changed keys only, folded here) and that re-emission
+    * occurs at all. */
+  def qOhlcUpdateStreamed(spark: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val emissions = ohlcUpdateEmissions(spark, d)
+    val w = Window.partitionBy(col("ws"), col("base")).orderBy(col("__bid").desc)
+    emissions.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1).drop("rn", "__bid")
+      .orderedBy("ws", "base")
+  }
+
+  /** The raw tagged emission stream behind [[qOhlcUpdateStreamed]] —
+    * split out so StreamingSpec can assert on the revision sequence
+    * itself (≥1 key with >1 emission; per-key monotone batch ids). */
+  def ohlcUpdateEmissions(spark: SparkSession, d: String): DataFrame = {
+    val tmp = Tables.stageDir(spark,
+      s"ohlc_upd_${d.replaceAll("[^A-Za-z0-9.]", "_")}")
+    val ev = Tables.events(spark, d)
+    ev.repartition(4).write.mode("overwrite").parquet(tmp)
+    Tables.runStreamUpdateEmissions(spark, "ohlc_upd_") { cs =>
+      candleSelect(cs.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1).parquet(tmp))
+    }
   }
 
   /** The qty-lifted candle pipeline + epoch projection shared by the
@@ -374,6 +413,9 @@ object Catalog {
     // 20th bridge: per-window state restored and merged across 4
     // rate-limited micro-batches, still against the identical batch SQL
     "q_ohlc_multibatch" -> QueryDef(qOhlcMultibatch, Some(ohlcOracle)),
+    // 21st bridge: UPDATE output mode — per-batch revision emissions
+    // captured and folded latest-per-key, against the same batch SQL
+    "q_ohlc_update_streamed" -> QueryDef(qOhlcUpdateStreamed, Some(ohlcOracle)),
     // the flatMapGroupsWithState engine against its deterministic
     // emission-bound SQL (ms tie rule, volume deliberately omitted)
     "q_ohlc_stateful" -> QueryDef(qOhlcStateful, Some(ohlcStatefulOracle)),

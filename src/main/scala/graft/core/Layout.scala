@@ -19,18 +19,32 @@ object Layout {
   /** Save as a bucketed+sorted catalog table: both sides of a recurring
     * equi-join bucketed the same way join with NO exchange and NO sort —
     * the pre-shuffle that pays for itself after one reuse at 100 TB.
-    * (Bucketing requires the session catalog, hence saveAsTable.) */
+    * (Bucketing requires the session catalog, hence saveAsTable.)
+    * MANAGED tables only: `table` must not name an EXTERNAL table — the
+    * leftover-location cleanup below targets the catalog's managed
+    * default path, and the drop+delete+write sequence is not atomic
+    * across concurrent writers (one writer per table name at a time). */
   def writeBucketed(df: DataFrame, table: String, buckets: Int, key: String): Unit = {
     // idempotent across JVMs: a fresh session's in-memory catalog has no
     // entry for `table`, but the managed location may survive from an
     // earlier run — CREATE then fails LOCATION_ALREADY_EXISTS even under
-    // overwrite mode. Drop the catalog entry AND clear the leftover dir.
+    // overwrite mode. If the dropped table carried metadata (same-JVM
+    // re-run), clean ITS location; otherwise fall back to the managed
+    // default path, and only when something actually sits there — never
+    // blind-delete a path that may belong to an EXTERNAL table's data.
     val s = df.sparkSession
+    val catalog = s.sessionState.catalog
+    val ident = org.apache.spark.sql.catalyst.TableIdentifier(table)
+    if (catalog.tableExists(ident))
+      require(catalog.getTableMetadata(ident).tableType !=
+          org.apache.spark.sql.catalyst.catalog.CatalogTableType.EXTERNAL,
+        s"writeBucketed refuses to replace EXTERNAL table $table: dropping " +
+          "it would orphan its data while the managed-path cleanup below " +
+          "deleted unrelated files — rename, or drop the external table first")
     s.sql(s"DROP TABLE IF EXISTS $table")
-    val loc = new org.apache.hadoop.fs.Path(
-      s.sessionState.catalog.defaultTablePath(
-        org.apache.spark.sql.catalyst.TableIdentifier(table)))
-    loc.getFileSystem(s.sparkContext.hadoopConfiguration).delete(loc, true)
+    val loc = new org.apache.hadoop.fs.Path(catalog.defaultTablePath(ident))
+    val fs = loc.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
     df.write.mode("overwrite")
       .bucketBy(buckets, key).sortBy(key)
       .format("parquet").saveAsTable(table)

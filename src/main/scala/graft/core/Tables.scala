@@ -78,6 +78,20 @@ object Tables {
     s.readStream.schema(schema).parquet(s"$d/lineitem.*")
   }
 
+  /** Staging root for streaming bridges that lay data out as multiple
+    * files before reading them back through the file source
+    * (q_ohlc_multibatch, q_ohlc_update_streamed). Defaults to the
+    * driver-local build dir — correct on local[n], where driver and
+    * executors share a filesystem — and is overridden via
+    * `spark.graft.stream.stageDir` for CLUSTER runs, where the staging
+    * path must be shared storage the executors' streaming source can
+    * read (the reliable-checkpoint rule, docs/DEPLOY.md). */
+  def stageDir(s: SparkSession, sub: String): String = {
+    val root = s.conf.get("spark.graft.stream.stageDir",
+      s"${sys.props("user.dir")}/target/graft_stream")
+    s"$root/$sub"
+  }
+
   /** Run a finite streaming frame to termination (Trigger.AvailableNow,
     * complete mode, memory sink under a fresh name) and return the
     * materialized result — the executor of the batch≡streaming oracle
@@ -131,6 +145,38 @@ object Tables {
     q.awaitTermination()
     s.streams.resetTerminated()
     require(acc.get() != null, "foreachBatch bridge saw no micro-batch")
+    acc.get()
+  }
+
+  /** UPDATE-MODE emission capture (q_ohlc_update_streamed): runs `build`'s
+    * streaming aggregation with outputMode=update through foreachBatch,
+    * tagging every emitted row with its micro-batch id — the observable
+    * update mode adds over complete/append is the REVISION SEQUENCE (a
+    * key re-emits each batch its aggregate changes), and the per-batch
+    * capture is the only way to oracle it: the caller folds
+    * latest-per-key over `__bid` and hash-compares against the batch SQL,
+    * while a spec pins that some key actually revised. Same child-session
+    * isolation and per-batch localCheckpoint pinning as
+    * [[runStreamForeachBatch]]. */
+  def runStreamUpdateEmissions(parent: SparkSession, prefix: String)(
+      build: SparkSession => DataFrame): DataFrame = {
+    val s = parent.newSession()
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    val acc = new java.util.concurrent.atomic.AtomicReference[DataFrame](null)
+    val q = build(s).writeStream
+      .outputMode("update")
+      .foreachBatch { (batch: DataFrame, bid: Long) =>
+        val out = batch.withColumn("__bid", lit(bid)).localCheckpoint(true)
+        acc.updateAndGet(prev =>
+          if (prev == null) out else prev.unionByName(out))
+        ()
+      }
+      .queryName(prefix + java.util.UUID.randomUUID().toString.replace("-", ""))
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.streams.resetTerminated()
+    require(acc.get() != null, "update-mode bridge saw no micro-batch")
     acc.get()
   }
 

@@ -222,6 +222,62 @@ object Dedup {
       .orderedBy("doc_id")
   }
 
+  /** PERSISTED-LABEL incremental connected components — [[ccIncremental]]
+    * with the production artifact lifecycle it documents: the corpus
+    * cluster labels are a BUILD product written ONCE (star contraction
+    * over the corpus pair graph → parquet, the q_sim_ivfpq_persisted
+    * "index once, serve many" shape), and the daily SERVE step reads the
+    * node-sized label table back and contracts only (label edges ∪ the
+    * increment's pairs) — it never re-derives yesterday's clustering, the
+    * double-contraction cost [[ccIncremental]] pays for self-containment
+    * (VERDICT r12 item 1: 5.65 s, the top bench line). Correctness is the
+    * same contraction identity, so the oracle stays the FULL whole-graph
+    * recursive-CTE spec. The artifact path is fingerprinted by the source
+    * file's (length, mtime), so a testdata regen can never serve stale
+    * labels; an absent/partial artifact (no _SUCCESS) rebuilds. Serve
+    * cost at 100 TB: the label read is node-sized, the LSH work is
+    * increment-sized, the merge graph is labels + new pairs. */
+  def ccPersisted(s: SparkSession, d: String, threshold: Double = 0.8,
+                  checkpointDir: Option[String] = None): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val isBatch = pmod(col("doc_id"), lit(5)) === 4
+    val corpus = docs.filter(!isBatch)
+    val labelPath = labelArtifactPath(s, d, threshold)
+    val hPath = new org.apache.hadoop.fs.Path(labelPath)
+    val fs = hPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+    // ---- BUILD (once per corpus fingerprint): corpus labels → parquet
+    if (!fs.exists(new org.apache.hadoop.fs.Path(labelPath, "_SUCCESS")))
+      starLabels(
+          nearPairsUnordered(corpus, threshold).select(col("doc_a"), col("doc_b")),
+          checkpointDir)
+        .write.mode("overwrite").parquet(labelPath)
+    // ---- SERVE: read the node-sized artifact; contract labels ∪ new pairs
+    val corpusLabels = s.read.parquet(labelPath)
+    val labelEdges = corpusLabels.filter(col("id") =!= col("lbl"))
+      .select(col("id").as("doc_a"), col("lbl").as("doc_b"))
+    val newPairs = incrementPairs(s, docs.filter(isBatch), corpus, threshold)
+      .select(col("doc_a"), col("doc_b"))
+    starLabels(labelEdges.unionByName(newPairs), checkpointDir)
+      .select(col("id").as("doc_id"), col("lbl").as("cluster"))
+      .orderedBy("doc_id")
+  }
+
+  /** Label-artifact location for [[ccPersisted]]: keyed by dataset dir,
+    * threshold, and the documents file's (length, modification time) so
+    * scale factors never share labels and a regenerated corpus
+    * invalidates the artifact by construction (a fresh fingerprint is a
+    * fresh path — no staleness check to forget). */
+  private def labelArtifactPath(s: SparkSession, d: String,
+                                threshold: Double): String = {
+    val src = new org.apache.hadoop.fs.Path(s"$d/documents.parquet")
+    val st = src.getFileSystem(s.sparkContext.hadoopConfiguration)
+      .getFileStatus(src)
+    val fp = s"${st.getLen}_${st.getModificationTime}"
+    val dsafe = d.replaceAll("[^A-Za-z0-9.]", "_")
+    val tsafe = threshold.toString.replace('.', '_')
+    s"${sys.props("user.dir")}/target/graft_labels/${dsafe}_t${tsafe}_$fp"
+  }
+
   /** Lazy audit plan for [[ccIncremental]] (tools.ExplainAudit): the
     * increment pair chain whose all-broadcast shape is the query's scale
     * claim. The catalog build itself runs TWO [[starLabels]] loops
@@ -410,6 +466,16 @@ object Dedup {
               bands: Int = 4, rows: Int = 3, maxBucket: Option[Int] = None): DataFrame =
     nearPairsUnordered(docs, threshold, bands, rows, maxBucket)
       .orderedBy("doc_a", "doc_b")
+
+  /** Lazy audit plan for the cluster-keyed consumers of the LSH pair
+    * chain (tools.ExplainAudit: q_split_leakfree, q_dedup_matrix): those
+    * catalog builds pin pairs / run contraction loops eagerly, so their
+    * own plan prints only a trailing join — this exposes the unexecuted
+    * pair chain whose banded-candidate + broadcast-verify shape is the
+    * scale claim both queries inherit. */
+  def nearPairsAuditPlan(s: SparkSession, d: String,
+                         threshold: Double = 0.8): DataFrame =
+    nearPairsUnordered(Tables.documents(s, d), threshold)
 
   /** [[nearFor]] without the harness ordering trailer — the composition
     * entry point for downstream graph work ([[nearClusters]]), where a
@@ -1722,6 +1788,11 @@ object Dedup {
     // against the FULL-graph semantic oracle: the daily merge must equal
     // the from-scratch clustering
     "q_dedup_cc_incr" -> QueryDef(ccIncremental(_, _), Some(nearClustersOracle(0.8))),
+    // the same merge SERVED from the persisted corpus-label artifact
+    // (build-once parquet, fingerprinted path) — still against the
+    // full-graph semantic oracle
+    "q_dedup_cc_persisted" -> QueryDef(ccPersisted(_, _),
+      Some(nearClustersOracle(0.8))),
     // damped PageRank on the same graph, fixed-point integer units —
     // canonical-representative ranking, bit-exact on any engine
     "q_graph_pagerank" -> QueryDef(pagerank(_, _), Some(pagerankOracle(0.8, 3))),

@@ -169,10 +169,12 @@ object Pipeline {
     * projection. */
   def splitLeakfree(s: SparkSession, d: String, threshold: Double = 0.8,
                     testPct: Int = 5, valPct: Int = 5,
-                    salt: String = "split"): DataFrame = {
+                    salt: String = "split",
+                    checkpointDir: Option[String] = None): DataFrame = {
     val docs = Tables.documents(s, d)
     val labels = Dedup.starLabels(
-      Dedup.nearPairsUnordered(docs, threshold).select(col("doc_a"), col("doc_b")))
+      Dedup.nearPairsUnordered(docs, threshold).select(col("doc_a"), col("doc_b")),
+      checkpointDir)
     docs.select(col("doc_id"))
       .join(labels.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
       .select(col("doc_id"), coalesce(col("lbl"), col("doc_id")).as("cluster"))

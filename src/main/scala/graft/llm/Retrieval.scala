@@ -1,6 +1,7 @@
 package graft.llm
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.core.{QueryDef, Tables}
 import graft.core.QueryDef.OrderedOut
@@ -161,6 +162,106 @@ object Retrieval {
           col("score_dec").cast("double").as("score"))
     }.orderedBy("doc_id")
 
+  /** Query-TABLE BM25 (VERDICT r12 item 6): real retrieval scores a small
+    * frame of (qid, term) queries, not compile-time literals. Scale
+    * shape — the corpus-side cost is INDEPENDENT of the query count:
+    *   1. the query table and its distinct-term vocabulary ride one-row /
+    *      vocab-sized broadcasts (collect_set folds the tiny term list —
+    *      never corpus data — into a single broadcast row);
+    *   2. ONE corpus pass builds the hit table: tokenize, HOF-filter each
+    *      doc's tokens to the vocabulary (map-side, codegen), explode
+    *      only the MATCHED tokens — the exchange carries (doc, term)
+    *      partial counts for matching terms, a vanishing fraction of the
+    *      corpus (the inverted-index posting rows, built on the fly);
+    *   3. stats stay the frozen-index artifacts: one one-row (N, Σ|D|)
+    *      aggregate + a vocab-sized df table, both broadcast back;
+    *   4. scoring joins the hit table ONLY against broadcasts, so adding
+    *      queries adds broadcast-join fan-out on hit rows, zero new
+    *      corpus scans; per-query top-k is a window over hit rows keyed
+    *      on qid.
+    * Determinism: per-(term, doc) components round to DECIMAL(28,10)
+    * before the per-(qid, doc) SUM — decimal summation is exact and
+    * order-independent, so the dynamic-term-set fold (unlike [[bm25]]'s
+    * fixed 3-term expression tree) still never hinges on order; ties
+    * break on doc_id. */
+  def bm25Multi(s: SparkSession, d: String, k: Int = 5): DataFrame = {
+    import s.implicits._
+    val qterms = multiQueries.flatMap { case (q, ts) => ts.map(t => (q, t)) }
+      .toDF("qid", "term")
+    val vocabRow = qterms.agg(collect_set(col("term")).as("vocab"))
+    val docsTok = Tables.documents(s, d)
+      .select(col("doc_id"), TextStats.tokens(col("text")).as("toks"))
+    val stats = docsTok
+      .agg(count(lit(1)).as("n"), sum(size(col("toks")).cast("long")).as("sdl"))
+      .withColumn("avgdl", expr("CAST(sdl AS DOUBLE) / n"))
+    val hits = docsTok.crossJoin(broadcast(vocabRow))
+      .select(col("doc_id"), size(col("toks")).cast("long").as("dl"),
+        explode(filter(col("toks"), t => array_contains(col("vocab"), t)))
+          .as("term"))
+      .groupBy(col("doc_id"), col("dl"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dfr = hits.groupBy(col("term")).agg(count(lit(1)).as("df_t"))
+    val comp = expr(
+      "CAST(round(ln(1 + (n - df_t + CAST(0.5 AS DOUBLE)) / (df_t + CAST(0.5 AS DOUBLE))) * " +
+        "(tf * CAST(2.2 AS DOUBLE)) / (tf + CAST(1.2 AS DOUBLE) * " +
+        "(CAST(0.25 AS DOUBLE) + CAST(0.75 AS DOUBLE) * dl / avgdl)), 10) " +
+        "AS DECIMAL(28,10))")
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("score_dec").desc, col("doc_id"))
+    hits.join(broadcast(qterms), "term")
+      .join(broadcast(dfr), "term")
+      .crossJoin(broadcast(stats))
+      .withColumn("c", comp)
+      .groupBy(col("qid"), col("doc_id"))
+      .agg(sum(col("c")).as("score_dec"), count(lit(1)).as("n_hit"),
+        max(col("dl")).as("dl"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("qid"), col("rnk"), col("doc_id"), col("dl"), col("n_hit"),
+        col("score_dec").cast("double").as("score"))
+      .orderedBy("qid", "rnk")
+  }
+
+  /** The query table — corpus-vocabulary terms (TESTDATA.md word soup),
+    * shared verbatim by the engine and the oracle's VALUES clause. */
+  private val multiQueries: Seq[(Long, Seq[String])] = Seq(
+    1L -> Seq("spark", "join"),
+    2L -> Seq("window", "stream", "merge"),
+    3L -> Seq("hash", "filter", "scan"),
+    4L -> Seq("spark", "window", "fast"))
+
+  private def bm25MultiOracle(k: Int): String = {
+    val values = multiQueries.flatMap { case (q, ts) =>
+      ts.map(t => s"(CAST($q AS BIGINT), '$t')")
+    }.mkString(", ")
+    s"""WITH q(qid, term) AS (SELECT * FROM (VALUES $values)),
+       |t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       |base AS (SELECT count(*) AS n, sum(len(toks)) AS sdl,
+       |                CAST(sum(len(toks)) AS DOUBLE) / count(*) AS avgdl
+       |         FROM t),
+       |tok AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl,
+       |               unnest(toks) AS term FROM t),
+       |hits AS (SELECT doc_id, dl, term, count(*) AS tf
+       |         FROM tok WHERE term IN (SELECT DISTINCT term FROM q)
+       |         GROUP BY doc_id, dl, term),
+       |dfr AS (SELECT term, count(*) AS df_t FROM hits GROUP BY term),
+       |sc AS (SELECT q.qid, h.doc_id,
+       |              sum(CAST(round(ln(1 + (n - df_t + CAST(0.5 AS DOUBLE)) / (df_t + CAST(0.5 AS DOUBLE))) *
+       |                  (tf * CAST(2.2 AS DOUBLE)) / (tf + CAST(1.2 AS DOUBLE) *
+       |                  (CAST(0.25 AS DOUBLE) + CAST(0.75 AS DOUBLE) * dl / avgdl)), 10)
+       |                  AS DECIMAL(28,10))) AS score_dec,
+       |              count(*) AS n_hit, max(dl) AS dl
+       |       FROM q JOIN hits h USING (term) JOIN dfr USING (term), base
+       |       GROUP BY q.qid, h.doc_id),
+       |rk AS (SELECT qid, doc_id, dl, n_hit, score_dec,
+       |              row_number() OVER (PARTITION BY qid
+       |                ORDER BY score_dec DESC, doc_id) AS rnk
+       |       FROM sc)
+       |SELECT qid, CAST(rnk AS BIGINT) AS rnk, doc_id, dl, n_hit,
+       |       CAST(score_dec AS DOUBLE) AS score
+       |FROM rk WHERE rnk <= $k ORDER BY qid, rnk""".stripMargin
+  }
+
   private def scoredOracle: String = {
     val tfCols = terms.map(t =>
       s"len(list_filter(toks, x -> x = '$t')) AS tf_$t").mkString(",\n|            ")
@@ -186,6 +287,9 @@ object Retrieval {
 
   val defs: Map[String, QueryDef] = Map(
     "q_bm25" -> QueryDef(bm25(_, _), Some(bm25Oracle())),
+    // query-TABLE scoring: per-query top-k over a broadcast (qid, term)
+    // frame — corpus-side scans independent of the query count
+    "q_bm25_multi" -> QueryDef(bm25Multi(_, _), Some(bm25MultiOracle(5))),
     "q_bm25_scored" -> QueryDef(bm25Scored, Some(scoredOracle)),
     // the streaming engine scoring the same corpus against the same
     // frozen stats — the SAME oracle adjudicates (16th bridge)

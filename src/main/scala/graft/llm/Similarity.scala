@@ -325,31 +325,41 @@ object Similarity {
     * `iters` Lloyd's rounds are unrolled as (assign, recompute) CTE pairs
     * whose per-dim means use the exact-decimal recipe, so centroids are
     * bit-identical across engines. */
-  private[llm] def assignCte(a: String, c: String) =
+  /** Assignment CTE: nearest-centroid (cosine, ties → lowest cid) of
+    * `src`'s vectors against centroid CTE `c`. `src` defaults to the
+    * chain's own `v`; the compaction oracle points it at other vector
+    * CTEs (the full merged set) — the inner alias stays `v` so the
+    * emitted op tree is byte-identical for the default callers. */
+  private[llm] def assignCte(a: String, c: String, src: String = "v") =
     s"""$a AS (
        |  SELECT vec_id, e, cid AS bucket FROM (
        |    SELECT v.vec_id, v.e, c.cid,
        |           row_number() OVER (PARTITION BY v.vec_id
        |             ORDER BY list_cosine_similarity(c.ce, v.e) DESC, c.cid) AS arn
-       |    FROM v, $c c) WHERE arn = 1)""".stripMargin
+       |    FROM $src v, $c c) WHERE arn = 1)""".stripMargin
 
   /** The Lloyd's-training CTE chain (v, c0, a1/c1 .. a_iters/c_iters) —
-    * shared by [[bucketedBody]] and the centroid-export oracle. */
+    * shared by [[bucketedBody]] and the centroid-export oracle. `prefix`
+    * renames every CTE (`{p}v`, `{p}c0`, ...) so TWO independent trainings
+    * (the compaction oracle's old/new quantizers) compose in one WITH
+    * clause without name collisions; the default empty prefix emits the
+    * historical names. */
   private[llm] def trainBody(nCentroids: Int, iters: Int, dim: Int,
       vSql: String =
-        "SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings"): String = {
+        "SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings",
+      prefix: String = ""): String = {
     val meanCols = (1 to dim).map(i =>
       s"round(CAST(sum(CAST(e[$i] AS DECIMAL(20,8))) AS DOUBLE) / count(*), 6)")
       .mkString(",\n          ")
     val trainCtes = (1 to iters).map { t =>
-      s"""${assignCte(s"a$t", s"c${t - 1}")},
-         |c$t AS (
+      s"""${assignCte(s"${prefix}a$t", s"${prefix}c${t - 1}", s"${prefix}v")},
+         |${prefix}c$t AS (
          |  SELECT bucket AS cid,
          |         [$meanCols] AS ce
-         |  FROM a$t GROUP BY bucket)""".stripMargin
+         |  FROM ${prefix}a$t GROUP BY bucket)""".stripMargin
     }.mkString(",\n")
-    s"""v AS ($vSql),
-       |c0 AS (SELECT vec_id AS cid, e AS ce FROM v WHERE vec_id < $nCentroids),
+    s"""${prefix}v AS ($vSql),
+       |${prefix}c0 AS (SELECT vec_id AS cid, e AS ce FROM ${prefix}v WHERE vec_id < $nCentroids),
        |$trainCtes""".stripMargin
   }
 

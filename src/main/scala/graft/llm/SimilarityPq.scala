@@ -563,6 +563,83 @@ object SimilarityPq {
        |ORDER BY e1.vec_id""".stripMargin
   }
 
+  /** INDEX COMPACTION — the rebalance step [[indexIngest]] defers and
+    * `q_sim_drift` measures but (pre-r13) nothing acted on: after
+    * increments accumulate under a quantizer trained on the ORIGINAL
+    * corpus, the coarse centroids are RETRAINED on a deterministic
+    * md5-prefix sample of the MERGED corpus (the [[trainSampled]]
+    * predicate — the honest corpus-scale sample; FAISS retrains
+    * quantizers on drift schedules, on samples), and ONLY vectors whose
+    * coarse bucket changed are re-emitted as rewritten index rows
+    * (vec_id, old_bucket, new_bucket, c1..cm) — the delta a compactor
+    * applies to the hive-partitioned coded table. PQ codebooks stay
+    * FROZEN (this scheme encodes raw subvectors, not bucket residuals, so
+    * codes survive re-bucketing; the emitted rows carry them so the
+    * rewrite is a self-contained upsert in the [[indexIngest]] schema).
+    *
+    * Scale shape — the corpus is TOUCHED ONCE in the serve plan
+    * (CatalogSpec counts exactly one embeddings scan): both centroid sets
+    * and the codebooks are pinned one-row broadcasts, so the single scan
+    * flows map-side through old-assign argmax → new-assign argmax →
+    * changed-bucket filter → PQ encode; nothing vector-sized ever
+    * shuffles, and the rewrite set (the only output) is drift-sized, not
+    * corpus-sized. */
+  def indexCompact(s: SparkSession, d: String, nCentroids: Int = 8,
+                   trainIters: Int = 2): DataFrame = {
+    val all = Similarity.vecs(s, d)
+    val isNew = pmod(col("vec_id"), lit(5)) === 4
+    val corpus = all.filter(!isNew)
+    // OLD quantizer: the ingest-time artifact (corpus-only training)
+    val oldCents = Similarity.trainCentroids(corpus, nCentroids, trainIters,
+      pin = true)
+    // NEW quantizer: retrained on the sampled MERGED corpus
+    val newCents = Similarity.trainCentroids(trainSampled(all), nCentroids,
+      trainIters, pin = true)
+    val cb = codebooksRow(corpus, pin = true) // codebooks frozen
+    val oldA = Similarity.assignNearest(all, oldCents)
+      .select(col("vec_id"), col("e"), col("cid").as("old_bucket"))
+    val both = oldA.crossJoin(broadcast(Similarity.centroidRow(newCents)))
+      .select(col("vec_id"), col("e"), col("old_bucket"),
+        call_function("vec_argmax_cos", col("cs"), col("e")).as("new_bucket"))
+    val moved = both.filter(col("old_bucket") =!= col("new_bucket"))
+    encodeWith(moved, cb)
+      .select(col("vec_id") +: col("old_bucket") +: col("new_bucket") +:
+        (1 to m).map(j => col(s"c$j")): _*)
+      .orderedBy("vec_id")
+  }
+
+  /** Old train on corpus `v` (the [[pqSubCtes]] chain's own corpus CTE,
+    * so the frozen codebooks compose), new train on the sampled merged
+    * set under the `n` prefix, both assignments over the full set, PQ
+    * encode of the moved rows only. */
+  private def indexCompactOracle(nCentroids: Int, iters: Int): String = {
+    val encMoved = (1 to m).map { j =>
+      s"""sn$j AS (SELECT vec_id, list_slice(e, ${off(j)}, ${off(j) + ds - 1}) AS e FROM moved),
+         |${assignSql(s"encn_$j", s"sn$j", s"c${rounds}_$j")}""".stripMargin
+    }.mkString(",\n")
+    val joins = (2 to m)
+      .map(j => s"JOIN encn_$j e$j ON e$j.vec_id = e1.vec_id").mkString(" ")
+    val cols = (1 to m).map(j => s"e$j.bucket AS c$j").mkString(", ")
+    s"""WITH ${Similarity.trainBody(nCentroids, iters, dim,
+          "SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings WHERE vec_id % 5 <> 4")},
+       |${Similarity.trainBody(nCentroids, iters, dim,
+          s"SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings WHERE $trainSamplePred",
+          prefix = "n")},
+       |allv AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+       |${Similarity.assignCte("oa", s"c$iters", "allv")},
+       |${Similarity.assignCte("na", s"nc$iters", "allv")},
+       |moved AS (
+       |  SELECT oa.vec_id, oa.e, oa.bucket AS old_bucket, na.bucket AS new_bucket
+       |  FROM oa JOIN na ON na.vec_id = oa.vec_id
+       |  WHERE oa.bucket <> na.bucket),
+       |$pqSubCtes,
+       |$encMoved
+       |SELECT m.vec_id, m.old_bucket, m.new_bucket, $cols
+       |FROM encn_1 e1 $joins
+       |JOIN moved m ON m.vec_id = e1.vec_id
+       |ORDER BY m.vec_id""".stripMargin
+  }
+
   /** Index-artifact location for [[ivfPqPersisted]] — under the build
     * directory, keyed by the source dataset so scale factors never share
     * an index. */
@@ -645,6 +722,11 @@ object SimilarityPq {
       Some(ivfPqOracle(nQueries, k, nCentroids = 8, nprobe = 2, iters = 2))),
     // increment encoded against the EXISTING index's trained artifacts —
     // index update without retrain
-    "q_sim_index_ingest" -> QueryDef(indexIngest, Some(indexIngestOracle))
+    "q_sim_index_ingest" -> QueryDef(indexIngest, Some(indexIngestOracle)),
+    // drift-driven rebalance: coarse quantizer retrained on the sampled
+    // merged corpus, ONLY changed-bucket rows re-emitted; corpus touched
+    // once in the serve plan (plan-guarded)
+    "q_sim_index_compact" -> QueryDef(indexCompact(_, _),
+      Some(indexCompactOracle(8, 2)))
   )
 }

@@ -444,8 +444,12 @@ object Stats {
     * collected or windowed corpus-wide. The final stage counts are
     * four one-row aggregates unioned with the conversion ratio against
     * the entry stage (single IEEE divide on exact longs). */
-  def funnel(s: SparkSession, d: String): DataFrame = {
-    val ev = Tables.events(s, d)
+  def funnel(s: SparkSession, d: String): DataFrame =
+    funnelFrom(Tables.events(s, d)).orderedBy("stage")
+
+  /** The funnel chain over an explicit events frame — split out so the
+    * streaming bridge can run the IDENTICAL plan per micro-batch. */
+  private[queries] def funnelFrom(ev: DataFrame): DataFrame = {
     val t1 = ev.filter(col("event_type") === "signup")
       .groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
     val t2 = ev.filter(col("event_type") === "view").join(t1, "user_id")
@@ -467,8 +471,20 @@ object Stats {
     stages.crossJoin(broadcast(entry))
       .select(col("stage"), col("name"), col("users"),
         round(lit(1.0) * col("users") / col("u1"), 4).as("conv"))
-      .orderedBy("stage")
   }
+
+  /** [[funnel]] under the STREAMING engine (22nd bridge — the analytics
+    * tier's second): the event stream arrives as an AvailableNow
+    * micro-batch and foreachBatch runs the IDENTICAL stage-chain batch
+    * plan — filtered scans + user-keyed min-aggregates joined to the
+    * previous stage — against the same funnelOracle. The production
+    * shape: a conversion dashboard recomputed per ingest batch, stage
+    * tables user-keyed and monotonically shrinking, nothing corpus-wide
+    * in state. */
+  def funnelStreamed(s: SparkSession, d: String): DataFrame =
+    Tables.runStreamForeachBatch(s, "funnel_streamed_") { cs =>
+      Tables.eventsStream(cs, d)
+    } { (_, batch) => funnelFrom(batch) }.orderedBy("stage")
 
   private def funnelOracle: String =
     """WITH t1 AS (SELECT user_id, min(ts) AS t1 FROM events
@@ -615,6 +631,133 @@ object Stats {
       .orderedBy("col_name")
   }
 
+  /** [[profile]] at 100 TB — the swap the exact profile's scaladoc
+    * promises: per-column cardinality via the deterministic 64-register
+    * probabilistic sketch (q_distinct_sketch's register recipe — md5
+    * bucket + leading-zero rank, register-wise max) instead of exact
+    * countDistinct, so NOTHING value-sized ever shuffles. Plan shape: the
+    * same single stacked pass, then a (col_name, bucket) partial-max — at
+    * most cols×(m+1) rows into the exchange, vs the exact profile's
+    * (col_name, value) distinct pairs — and every other metric rides the
+    * same two-level aggregate as O(1) partial state. Registers are also
+    * the PERSISTABLE artifact: per-partition register tables merge
+    * register-wise (q_sketch_merge), so a daily profile never rescans
+    * history. NULLs keep their own bucket row through level 1 (carrying
+    * the null/length partials) and are excluded from the register math;
+    * the estimate is the standard HLL form with the small-range linear
+    * correction folded in via the empty-bucket term. ProfileSketchSpec
+    * pins the estimate inside a ±15% envelope of the exact profile. */
+  def profileSketch(s: SparkSession, d: String): DataFrame =
+    profileSketchFor(Tables.documents(s, d),
+      Seq("doc_id", "text", "lang", "source", "n_chars"))
+
+  /** Standard HLL alpha for m registers (Flajolet et al. 2007). */
+  private[queries] def hllAlpha(m: Int): Double = m match {
+    case 16 => 0.673
+    case 32 => 0.697
+    case 64 => 0.709
+    case _  => 0.7213 / (1 + 1.079 / m)
+  }
+
+  /** [[profileSketch]] over an arbitrary frame, m = 256 registers (raw
+    * stderr 1.04/√m ≈ 6.5%; 4× q_distinct_sketch's m because a schema
+    * audit mixes tiny enum columns with id columns, and the small-range
+    * linear-counting branch needs empty-bucket resolution). */
+  def profileSketchFor(df: DataFrame, cols: Seq[String], m: Int = 256): DataFrame = {
+    val stacked = df.select(expr(
+      s"stack(${cols.length}, " +
+        cols.map { c =>
+          s"'${c.replace("'", "''")}', CAST(`${c.replace("`", "``")}` AS STRING)"
+        }.mkString(", ") +
+        ") AS (col_name, v)"))
+    val h = conv(substring(md5(col("v").cast("binary")), 1, 8), 16, 10).cast("long")
+    // 32-bit hash, log2(m) bucket bits ⇒ the rank field is 32−log2(m)
+    // bits wide and rho ∈ [1, 33−log2(m)] (27 at q_distinct_sketch's
+    // m=64, 25 here)
+    val lg = (math.log(m) / math.log(2)).round.toInt
+    val rhoMax = 33 - lg
+    val lv1 = stacked
+      .withColumn("h", h) // null v ⇒ null h ⇒ the null-bucket row
+      .withColumn("bucket", col("h") % m)
+      .withColumn("w", expr(s"h DIV $m"))
+      .withColumn("rho",
+        when(col("w") === 0, lit(rhoMax)).otherwise(lit(rhoMax) - length(bin(col("w")))))
+      .groupBy(col("col_name"), col("bucket"))
+      .agg(max(col("rho")).as("reg"),
+        count(lit(1)).as("n"),
+        sum(when(col("v").isNull, 1L).otherwise(0L)).as("nulls"),
+        min(length(col("v"))).as("minl"), max(length(col("v"))).as("maxl"),
+        sum(length(col("v"))).as("suml"), count(col("v")).as("nv"))
+    lv1.groupBy(col("col_name")).agg(
+      sum(col("n")).as("n_rows"),
+      sum(col("nulls")).as("n_nulls"),
+      // THEN branch pinned to DOUBLE so the CASE (and the sum) is DOUBLE
+      // in both engines; every term is a power-of-two reciprocal ≥ 2^-27,
+      // so the ≤ m-term double sum is EXACT (≤ 33 mantissa bits) and
+      // order-independent — the q_distinct_sketch determinism argument
+      expr("sum(CASE WHEN bucket IS NULL THEN CAST(0 AS DOUBLE) " +
+        "ELSE 1.0 / shiftleft(CAST(1 AS BIGINT), CAST(reg AS INT)) END)").as("sp"),
+      sum(when(col("bucket").isNotNull, 1L).otherwise(0L)).as("nb"),
+      min(col("minl")).cast("long").as("min_len"),
+      max(col("maxl")).cast("long").as("max_len"),
+      round(expr("CAST(sum(suml) AS DOUBLE) / sum(nv)"), 4).as("avg_len"))
+      // standard HLL estimate with the SMALL-RANGE correction (Flajolet
+      // et al. 2007): when the raw estimate is ≤ 2.5m and empty buckets
+      // exist, linear counting m·ln(m/empty) is the better estimator —
+      // without it a 5-value enum column reads as ~50 (measured). The
+      // lone ln() is libm (may differ from the JVM by an ulp at a 4-dp
+      // rounding boundary — the q_quality_entropy acceptance); raw's
+      // register sum is exact (power-of-two terms), so the branch
+      // predicate itself is deterministic.
+      .withColumn("raw",
+        lit(hllAlpha(m) * m * m) / (col("sp") + (lit(m) - col("nb"))))
+      .select(col("col_name"), col("n_rows"), col("n_nulls"), col("nb"),
+        round(
+          when(col("raw") <= 2.5 * m && col("nb") < m,
+            lit(m.toDouble) * log(lit(m.toDouble) / (lit(m) - col("nb"))))
+            .otherwise(col("raw")), 4)
+          .as("distinct_est"),
+        col("min_len"), col("max_len"), col("avg_len"))
+      .orderedBy("col_name")
+  }
+
+  private def profileSketchOracle(m: Int): String = {
+    val cols = Seq("doc_id", "text", "lang", "source", "n_chars")
+    val arms = cols.map(c =>
+      s"SELECT '$c' AS col_name, CAST($c AS VARCHAR) AS v FROM documents")
+    val hv = graft.core.OracleSql.hexPrefixToLong("hx")
+    val rhoMax = 33 - (math.log(m) / math.log(2)).round.toInt
+    s"""WITH s AS (
+       |  ${arms.mkString("\n  UNION ALL ")}),
+       |hh AS (SELECT col_name, v, substr(md5(v), 1, 8) AS hx FROM s),
+       |h AS (SELECT col_name, v, $hv AS h FROM hh),
+       |b AS (SELECT col_name, v, h % $m AS bucket, h // $m AS w FROM h),
+       |r AS (SELECT col_name, bucket,
+       |             max(CASE WHEN w = 0 THEN $rhoMax ELSE $rhoMax - length(bin(w)) END) AS reg,
+       |             count(*) AS n,
+       |             CAST(sum(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nulls,
+       |             min(length(v)) AS minl, max(length(v)) AS maxl,
+       |             sum(length(v)) AS suml, count(v) AS nv
+       |      FROM b GROUP BY col_name, bucket),
+       |a AS (SELECT col_name, CAST(sum(n) AS BIGINT) AS n_rows,
+       |             CAST(sum(nulls) AS BIGINT) AS n_nulls,
+       |             sum(CASE WHEN bucket IS NULL THEN CAST(0 AS DOUBLE)
+       |                 ELSE 1.0 / (CAST(1 AS BIGINT) << CAST(reg AS INT)) END) AS sp,
+       |             CAST(sum(CASE WHEN bucket IS NULL THEN 0 ELSE 1 END) AS BIGINT) AS nb,
+       |             CAST(min(minl) AS BIGINT) AS min_len,
+       |             CAST(max(maxl) AS BIGINT) AS max_len,
+       |             round(CAST(sum(suml) AS DOUBLE) / sum(nv), 4) AS avg_len
+       |      FROM r GROUP BY col_name),
+       |est AS (SELECT *, ${hllAlpha(m) * m * m} / (sp + ($m - nb)) AS raw
+       |        FROM a)
+       |SELECT col_name, n_rows, n_nulls, nb,
+       |       round(CASE WHEN raw <= ${2.5 * m} AND nb < $m
+       |                  THEN CAST($m AS DOUBLE) * ln(CAST($m AS DOUBLE) / ($m - nb))
+       |                  ELSE raw END, 4) AS distinct_est,
+       |       min_len, max_len, avg_len
+       |FROM est ORDER BY col_name""".stripMargin
+  }
+
   private def profileOracle: String = {
     val cols = Seq("doc_id", "text", "lang", "source", "n_chars")
     val arms = cols.map(c =>
@@ -632,7 +775,12 @@ object Stats {
 
   val defs: Map[String, QueryDef] = Map(
     "q_profile" -> QueryDef(profile, Some(profileOracle)),
+    // the 100 TB profile: register-sketch cardinality (bounded shuffle)
+    // instead of exact countDistinct — oracle replays the register chain
+    "q_profile_sketch" -> QueryDef(profileSketch, Some(profileSketchOracle(256))),
     "q_funnel" -> QueryDef(funnel, Some(funnelOracle)),
+    // 22nd bridge: the funnel chain per micro-batch, same oracle
+    "q_funnel_streamed" -> QueryDef(funnelStreamed, Some(funnelOracle)),
     "q_retention" -> QueryDef(retention, Some(retentionOracle)),
     "q_scd2" -> QueryDef(scd2, Some(scd2Oracle)),
     "q_scd2_streamed" -> QueryDef(scd2Streamed, Some(scd2Oracle)),

@@ -40,7 +40,8 @@ object ExplainAudit {
       "q_sample_weighted", "q_audio_frames", "q_bpe_apply",
       "q_sim_index_ingest", "q_funnel", "q_fuzzy_match",
       "q_retention", "q_scd2", "q_graph_pagerank",
-      "q_profile", "q_dedup_recall", "q_dedup_phash", "q_vocab_growth",
+      "q_profile", "q_profile_sketch", "q_bm25_multi", "q_sim_index_compact",
+      "q_dedup_cc_persisted", "q_dedup_recall", "q_dedup_phash", "q_vocab_growth",
       "q_source_divergence", "q_ohlc_rewrite", "q_ohlc_reference",
       "q_quality_prune", "q_quality_clf", "q_join_bucketed",
       "q_dedup_matrix", "q_datasheet", "q_split_leakfree", "q_meta_count",
@@ -61,8 +62,19 @@ object ExplainAudit {
         // incremental CC: the catalog build runs two eager star-contraction
         // loops; audit the lazy increment-pair chain (the broadcast-shape
         // claim) instead of executing the whole query
-        case "q_dedup_cc_incr" =>
+        case "q_dedup_cc_incr" | "q_dedup_cc_persisted" =>
+          // both serve-side claims are the all-broadcast increment chain;
+          // the persisted variant's remaining work is a node-sized label
+          // scan + the same contraction round shape audited elsewhere
           graft.llm.Dedup.ccIncrementalAuditPlan(spark, d).explain("formatted")
+        // cluster-keyed split / attribution matrix: both run an eager
+        // contraction loop (resp. an eager pair pin) in the catalog build,
+        // so audit the lazy LSH pair chain — the part of the plan that
+        // carries each query's scale claim (banded candidates, df caps,
+        // broadcast verifies); the contraction round shape is audited via
+        // q_dedup_clusters' lazy unroll
+        case "q_split_leakfree" | "q_dedup_matrix" =>
+          graft.llm.Dedup.nearPairsAuditPlan(spark, d).explain("formatted")
         case _ =>
           graft.SparkEntry.queries(n)(spark, d).explain("formatted")
       }

@@ -243,4 +243,33 @@ class StatsSpec extends SparkTestBase {
     assert(b.getLong(4) == 1 && b.getLong(5) == 2)
     assert(b.getDouble(6) == 1.5, "avg_len over non-null cells only")
   }
+
+  test("profile sketch: distinct estimate within ±15% of the exact profile") {
+    // the envelope gauge behind q_profile_sketch's "swap countDistinct
+    // for registers" claim: per column, the 256-register estimate (raw
+    // HLL stderr ≈ 6.5%; linear counting below 2.5m) must land within
+    // ±15% of q_profile's exact n_distinct — wide enough for the
+    // estimator's variance, tight enough that a broken register chain
+    // (wrong rho width, missing correction) fails immediately (the
+    // uncorrected raw estimator read a 5-value enum as ~48)
+    val exact = Stats.profile(spark, d).collect()
+      .map(r => r.getString(0) -> r.getLong(3)).toMap
+    val est = Stats.profileSketch(spark, d).collect()
+      .map(r => r.getString(0) -> r.getDouble(4)).toMap
+    assert(exact.keySet == est.keySet && exact.size == 5)
+    for ((c, n) <- exact) {
+      val e = est(c)
+      assert(math.abs(e - n) <= 0.15 * n,
+        s"col=$c exact=$n sketch=$e outside the 15% envelope")
+    }
+    // the non-cardinality metrics must MATCH the exact profile exactly —
+    // they ride the same partial-agg state, only n_distinct is estimated
+    val exactRest = Stats.profile(spark, d).collect()
+      .map(r => (r.getString(0), (r.getLong(1), r.getLong(2), r.getLong(4),
+        r.getLong(5), r.getDouble(6)))).toMap
+    val sketchRest = Stats.profileSketch(spark, d).collect()
+      .map(r => (r.getString(0), (r.getLong(1), r.getLong(2), r.getLong(5),
+        r.getLong(6), r.getDouble(7)))).toMap
+    assert(exactRest == sketchRest)
+  }
 }

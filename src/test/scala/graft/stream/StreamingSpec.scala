@@ -147,6 +147,27 @@ class StreamingSpec extends SparkTestBase {
     spark.catalog.dropTempView("mb_test")
   }
 
+  test("update-mode bridge: candles are actually revised across micro-batches") {
+    // q_ohlc_update_streamed's oracle folds latest-per-key — correct even
+    // if every key were emitted once. This pins the half the fold can't:
+    // with the 4-file rate-limited layout, at least one (ws, base) key
+    // re-emits in a LATER batch (a genuine update-mode revision), so the
+    // bridge exercises re-emission, not just first-write. sf0.01, NOT the
+    // suite's usual sf0.001: there every candle holds exactly ONE event
+    // (1000 events / 1000 windows — measured), so no revision can exist;
+    // at sf0.01 ~200 candles hold 2-3 events and the round-robin 4-file
+    // split puts most of them across batches
+    val em = graft.Catalog.ohlcUpdateEmissions(spark, "/root/testdata/sf0.01")
+    val perKey = em.groupBy(col("ws"), col("base"))
+      .agg(count(lit(1)).as("n"), countDistinct(col("__bid")).as("nb"))
+    val revised = perKey.filter(col("nb") > 1).count()
+    assert(revised >= 1, "no candle was revised across batches — the " +
+      "update-mode bridge degenerated to single-emission")
+    // update mode emits a key at most once per batch
+    assert(em.groupBy(col("ws"), col("base"), col("__bid")).count()
+      .filter(col("count") > 1).count() == 0)
+  }
+
   test("multi-query orchestration: shared source lineage, awaitAnyTermination unblocks on first stop") {
     implicit val ctx = spark.sqlContext
     val input = MemoryStream[(String, Long, Double, Double)]
