@@ -275,7 +275,9 @@ object Dedup {
     val fp = s"${st.getLen}_${st.getModificationTime}"
     val dsafe = d.replaceAll("[^A-Za-z0-9.]", "_")
     val tsafe = threshold.toString.replace('.', '_')
-    s"${sys.props("user.dir")}/target/graft_labels/${dsafe}_t${tsafe}_$fp"
+    // v1: bump when the pair chain / contraction CODE changes semantics —
+    // the data fingerprint only invalidates on regen
+    s"${sys.props("user.dir")}/target/graft_labels/v1_${dsafe}_t${tsafe}_$fp"
   }
 
   /** Lazy audit plan for [[ccIncremental]] (tools.ExplainAudit): the

@@ -641,10 +641,22 @@ object SimilarityPq {
   }
 
   /** Index-artifact location for [[ivfPqPersisted]] — under the build
-    * directory, keyed by the source dataset so scale factors never share
-    * an index. */
-  private def indexRoot(d: String): String =
-    s"${sys.props("user.dir")}/target/graft_index/${d.replaceAll("[^A-Za-z0-9.]", "_")}"
+    * directory, keyed by the source dataset AND the embeddings file's
+    * (length, mtime) fingerprint (r13, the q_dedup_cc_persisted rule): a
+    * regenerated corpus is a fresh path by construction, so the build can
+    * safely be skipped whenever the artifacts already exist — "index
+    * once, query many" with the build amortized across runs instead of
+    * paid on every invocation. */
+  private def indexRoot(s: SparkSession, d: String): String = {
+    val src = new org.apache.hadoop.fs.Path(s"$d/embeddings.parquet")
+    val st = src.getFileSystem(s.sparkContext.hadoopConfiguration)
+      .getFileStatus(src)
+    // v1 + knob tag: bump the version when the trainer/encoder CODE
+    // changes semantics — the data fingerprint only invalidates on regen
+    s"${sys.props("user.dir")}/target/graft_index/" +
+      s"v1_m${m}k${ks}r${rounds}h${trainHexLt}_" +
+      s"${d.replaceAll("[^A-Za-z0-9.]", "_")}_${st.getLen}_${st.getModificationTime}"
+  }
 
   /** IVFPQ as a PERSISTED serving index — the on-disk half of the corpus-
     * scale similarity story ("index once, query many", the FAISS
@@ -668,22 +680,30 @@ object SimilarityPq {
                      nQueries: Int = nQueries, k: Int = k,
                      nCentroids: Int = 8, nprobe: Int = 2,
                      trainIters: Int = 2): DataFrame = {
-    val root = indexRoot(d)
+    val root = indexRoot(s, d)
     val all = Similarity.vecs(s, d)
-    // ---- BUILD: train once (pinned), encode, persist the three artifacts
-    val cents = Similarity.trainCentroids(all, nCentroids, trainIters, pin = true)
-    cents.write.mode("overwrite").parquet(s"$root/centroids")
-    val cb = codebooksRow(all, pin = true)
-    cb.select(explode(col("cm")).as(Seq("j", "cs")))
-      .select(col("j"), explode(col("cs")).as("c"))
-      .select(col("j"), col("c.cid").as("cid"), col("c.ce").as("ce"))
-      .write.mode("overwrite").parquet(s"$root/codebooks")
-    val assigned = Similarity.assignNearest(all, cents)
-      .select(col("vec_id"), col("e"), col("cid").as("bucket"))
-    graft.core.Layout.writePartitioned(
-      encodeWith(assigned, cb)
-        .select(col("vec_id") +: col("bucket") +: (1 to m).map(j => col(s"c$j")): _*),
-      s"$root/codes", "bucket")
+    // ---- BUILD once per corpus fingerprint: train (pinned), encode,
+    // persist the three artifacts. The completion marker is written LAST
+    // (the hive-partitioned codes write emits no root-level _SUCCESS), so
+    // a partial build rebuilds.
+    val donePath = new org.apache.hadoop.fs.Path(root, "_GRAFT_INDEX_DONE")
+    val fs = donePath.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(donePath)) {
+      val cents = Similarity.trainCentroids(all, nCentroids, trainIters, pin = true)
+      cents.write.mode("overwrite").parquet(s"$root/centroids")
+      val cb = codebooksRow(all, pin = true)
+      cb.select(explode(col("cm")).as(Seq("j", "cs")))
+        .select(col("j"), explode(col("cs")).as("c"))
+        .select(col("j"), col("c.cid").as("cid"), col("c.ce").as("ce"))
+        .write.mode("overwrite").parquet(s"$root/codebooks")
+      val assigned = Similarity.assignNearest(all, cents)
+        .select(col("vec_id"), col("e"), col("cid").as("bucket"))
+      graft.core.Layout.writePartitioned(
+        encodeWith(assigned, cb)
+          .select(col("vec_id") +: col("bucket") +: (1 to m).map(j => col(s"c$j")): _*),
+        s"$root/codes", "bucket")
+      fs.create(donePath, true).close()
+    }
     // ---- SERVE: everything below reads the artifacts, not the corpus
     // (queries keep their raw full-precision vectors — asymmetric search)
     val centsP = s.read.parquet(s"$root/centroids")

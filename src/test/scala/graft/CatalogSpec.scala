@@ -100,7 +100,7 @@ class CatalogSpec extends SparkTestBase {
       .collect().map(_.toSeq).toSeq
     val root = new java.io.File(s"${sys.props("user.dir")}/target/graft_labels")
     val arts = Option(root.listFiles()).getOrElse(Array.empty)
-      .filter(_.getName.startsWith(dir.replaceAll("[^A-Za-z0-9.]", "_")))
+      .filter(_.getName.contains(dir.replaceAll("[^A-Za-z0-9.]", "_")))
     assert(arts.nonEmpty, "label artifact missing after build")
     def stamp() = arts.flatMap(a => a.listFiles().map(f => f.getName -> f.lastModified()))
       .toMap
