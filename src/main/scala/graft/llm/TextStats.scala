@@ -658,6 +658,84 @@ object TextStats {
       .limit(k)
       .orderedBy("tok")
 
+  /** HEAVY HITTERS under a mergeable COUNT-MIN sketch (Cormode &
+    * Muthukrishnan 2005) — the bounded-state answer to "which terms are
+    * frequent" at a scale where the exact (term, count) aggregate is the
+    * bottleneck: the sketch is a d×w cell grid (d=4 md5 hash rows, w=256
+    * buckets — 1024 longs TOTAL), built map-side from the token stream
+    * with partial aggregation, so the corpus-scale shuffle carries AT
+    * MOST d·w fixed-width rows regardless of vocabulary size; cells are
+    * a commutative monoid (cellwise SUM), so per-partition / per-day
+    * sketch tables merge without rescanning history — the
+    * q_sketch_merge artifact story for frequencies. A point estimate is
+    * min over the term's d cells and can only OVERESTIMATE (collisions
+    * add; nothing subtracts) — est ≥ true count is pinned by spec.
+    *
+    * The query is the production validation gauge: exact top-k terms
+    * (the gauge side — at corpus scale a candidate stream replaces it;
+    * the sketch itself never needs the exact aggregate) joined against
+    * their CMS estimates, with the overestimate per term. All integer
+    * arithmetic — bit-exact on any engine and any partitioning. */
+  def heavyHitters(s: SparkSession, d: String, k: Int = 20,
+                   rowsD: Int = 4, w: Int = 256): DataFrame = {
+    val tok = graft.core.QueryDef.fanOut(Tables.documents(s, d))
+      .select(explode(tokens(col("text"))).as("term"))
+    def bucketOf(r: Int, c: Column): Column =
+      conv(substring(md5(concat(lit(s"$r#"), c).cast("binary")), 1, 8), 16, 10)
+        .cast("long") % w
+    // the sketch: d×w cells, partial-aggregated map-side — the only
+    // corpus-scale state; the ×d expand is a projection, never a shuffle
+    val cells = tok.select(explode(array((0 until rowsD).map(r =>
+        struct(lit(r).as("r"), bucketOf(r, col("term")).as("bucket"))): _*)).as("rb"))
+      .select(col("rb.r").as("r"), col("rb.bucket").as("bucket"))
+      .groupBy(col("r"), col("bucket")).agg(count(lit(1)).as("c"))
+    // gauge side: exact top-k (TakeOrderedAndProject — no global sort)
+    val topk = tok.groupBy(col("term")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("term")).limit(k)
+    // point lookups: k·d rows against the broadcast 1024-cell grid
+    val lookups = (0 until rowsD).map(r =>
+      topk.select(col("term"), col("cnt"), lit(r).as("r"),
+        bucketOf(r, col("term")).as("bucket")))
+      .reduce(_ unionByName _)
+    lookups.join(broadcast(cells), Seq("r", "bucket"))
+      .groupBy(col("term"), col("cnt"))
+      .agg(min(col("c")).as("est"))
+      .select(col("term"), col("cnt"), col("est"),
+        (col("est") - col("cnt")).as("over"))
+      .orderedBy("term")
+  }
+
+  private def heavyHittersOracle(k: Int, rowsD: Int, w: Int): String = {
+    val hv = graft.core.OracleSql.hexPrefixToLong("hx")
+    val cellArms = (0 until rowsD).map { r =>
+      s"""h$r AS (SELECT substr(md5('$r#' || term), 1, 8) AS hx FROM tok),
+         |b$r AS (SELECT ($hv) % $w AS bucket FROM h$r),
+         |cells$r AS (SELECT $r AS r, bucket, count(*) AS c FROM b$r GROUP BY bucket)"""
+        .stripMargin
+    }.mkString(",\n")
+    val cellsUnion = (0 until rowsD).map(r => s"SELECT * FROM cells$r")
+      .mkString(" UNION ALL ")
+    val lookupArms = (0 until rowsD).map { r =>
+      s"""th$r AS (SELECT term, cnt, substr(md5('$r#' || term), 1, 8) AS hx FROM topk),
+         |tb$r AS (SELECT term, cnt, ($hv) % $w AS bucket FROM th$r),
+         |lk$r AS (SELECT term, cnt, c FROM tb$r
+         |         JOIN cells ON cells.r = $r AND cells.bucket = tb$r.bucket)"""
+        .stripMargin
+    }.mkString(",\n")
+    val lkUnion = (0 until rowsD).map(r => s"SELECT * FROM lk$r")
+      .mkString(" UNION ALL ")
+    s"""WITH tok AS (SELECT unnest(string_split(text, ' ')) AS term FROM documents),
+       |$cellArms,
+       |cells AS ($cellsUnion),
+       |tc AS (SELECT term, count(*) AS cnt FROM tok GROUP BY term),
+       |topk AS (SELECT term, cnt FROM tc ORDER BY cnt DESC, term LIMIT $k),
+       |$lookupArms,
+       |lk AS ($lkUnion)
+       |SELECT term, cnt, min(c) AS est, min(c) - cnt AS over
+       |FROM lk GROUP BY term, cnt
+       |ORDER BY term""".stripMargin
+  }
+
   /** [[vocabTopk]] executed by the STREAMING engine — the fourth
     * batch≡streaming bridge, covering the one shape the other three
     * don't: global sort + limit over a streaming aggregation (legal only
@@ -1187,6 +1265,10 @@ object TextStats {
         |       CAST(length(canon) AS BIGINT) AS canon_len
         |FROM c ORDER BY doc_id""".stripMargin)),
     "q_vocab_topk" -> QueryDef(vocabTopk(_, _), Some(vocabOracle)),
+    // mergeable count-min sketch vs the exact top-k gauge: d×w bounded
+    // shuffle state, overestimate-only property pinned by spec
+    "q_heavy_hitters" -> QueryDef(heavyHitters(_, _),
+      Some(heavyHittersOracle(20, 4, 256))),
     "q_vocab_streamed" -> QueryDef(vocabStreamed(_, _), Some(vocabOracle)),
     "q_doc_fingerprint" -> QueryDef(docFingerprint, Some(
       """SELECT doc_id, md5(text) AS md5_text,

@@ -510,8 +510,13 @@ object Stats {
     * cohort day, a user-keyed join back, then a (cohort, offset)
     * aggregate — every shuffle keyed on user_id or the tiny cohort key;
     * nothing corpus-global. */
-  def retention(s: SparkSession, d: String): DataFrame = {
-    val act = Tables.events(s, d)
+  def retention(s: SparkSession, d: String): DataFrame =
+    retentionFrom(Tables.events(s, d)).orderedBy("cohort", "offset")
+
+  /** The retention chain over an explicit events frame — split out so the
+    * streaming bridge can run the IDENTICAL plan per micro-batch. */
+  private[queries] def retentionFrom(ev: DataFrame): DataFrame = {
+    val act = ev
       .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
     val coh = act.groupBy(col("user_id")).agg(min(col("day")).as("c_day"))
     val sizes = coh.groupBy(col("c_day")).agg(count(lit(1)).as("cohort_users"))
@@ -522,8 +527,16 @@ object Stats {
       .select(date_format(col("c_day"), "yyyy-MM-dd").as("cohort"),
         col("offset"), col("users"),
         round(lit(1.0) * col("users") / col("cohort_users"), 4).as("pct"))
-      .orderedBy("cohort", "offset")
   }
+
+  /** [[retention]] under the STREAMING engine (23rd bridge): the cohort
+    * chain per AvailableNow micro-batch via foreachBatch — the
+    * recomputed-per-ingest growth dashboard, same oracle as the batch
+    * twin. */
+  def retentionStreamed(s: SparkSession, d: String): DataFrame =
+    Tables.runStreamForeachBatch(s, "retention_streamed_") { cs =>
+      Tables.eventsStream(cs, d)
+    } { (_, batch) => retentionFrom(batch) }.orderedBy("cohort", "offset")
 
   private def retentionOracle: String =
     """WITH act AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
@@ -782,6 +795,8 @@ object Stats {
     // 22nd bridge: the funnel chain per micro-batch, same oracle
     "q_funnel_streamed" -> QueryDef(funnelStreamed, Some(funnelOracle)),
     "q_retention" -> QueryDef(retention, Some(retentionOracle)),
+    // 23rd bridge: the cohort chain per micro-batch, same oracle
+    "q_retention_streamed" -> QueryDef(retentionStreamed, Some(retentionOracle)),
     "q_scd2" -> QueryDef(scd2, Some(scd2Oracle)),
     "q_scd2_streamed" -> QueryDef(scd2Streamed, Some(scd2Oracle)),
     "q_outliers" -> QueryDef(outliers(_, _), Some(outliersOracle(3))),

@@ -40,7 +40,8 @@ object ExplainAudit {
       "q_sample_weighted", "q_audio_frames", "q_bpe_apply",
       "q_sim_index_ingest", "q_funnel", "q_fuzzy_match",
       "q_retention", "q_scd2", "q_graph_pagerank",
-      "q_profile", "q_profile_sketch", "q_bm25_multi", "q_sim_index_compact",
+      "q_profile", "q_profile_sketch", "q_bm25_multi", "q_heavy_hitters",
+      "q_sim_index_compact",
       "q_dedup_cc_persisted", "q_dedup_recall", "q_dedup_phash", "q_vocab_growth",
       "q_source_divergence", "q_ohlc_rewrite", "q_ohlc_reference",
       "q_quality_prune", "q_quality_clf", "q_join_bucketed",

@@ -64,6 +64,7 @@ class CatalogSpec extends SparkTestBase {
     // in-memory twin: same search, same oracle
     assert(o("q_sim_ivfpq_persisted") == o("q_sim_ivfpq"))
     assert(o("q_funnel_streamed") == o("q_funnel"))
+    assert(o("q_retention_streamed") == o("q_retention"))
     assert(o("q_ohlc_update_streamed") == o("q_ohlc_1m"))
     // persisted-label serve vs self-contained incremental merge vs
     // from-scratch clustering: one whole-graph semantic spec for all three

@@ -619,4 +619,41 @@ class LlmSpec extends SparkTestBase {
     assert(got == expected,
       s"fixed-point chi2 mismatch:\n got=$got\n exp=$expected")
   }
+
+  test("count-min heavy hitters: estimates only overestimate, and by the collision mass") {
+    val d = "/root/testdata/sf0.001"
+    val rows = TextStats.heavyHitters(spark, d).collect()
+    assert(rows.length == 20)
+    // the CMS invariant: collisions ADD, nothing subtracts — so the point
+    // estimate can never undercount (a broken bucket derivation on either
+    // lookup arm would undercount immediately)
+    rows.foreach { r =>
+      val (term, cnt, est, over) =
+        (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(est >= cnt, s"$term: CMS undercounted ($est < $cnt)")
+      assert(over == est - cnt)
+    }
+    // independent re-derivation (the sourceDivergence discipline): build
+    // the same d×w sketch in plain Scala from exact token counts and
+    // compare every top-term estimate — catches a wrong hash input, a
+    // wrong bucket mod, or a min over the wrong cell set
+    val counts = graft.core.Tables.documents(spark, d)
+      .select(explode(split(col("text"), " ")).as("t"))
+      .groupBy(col("t")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    def bucket(r: Int, term: String): Int = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$r#$term".getBytes("UTF-8"))
+      val hex = md.map("%02x".format(_)).mkString.take(8)
+      (java.lang.Long.parseLong(hex, 16) % 256).toInt
+    }
+    val cells = scala.collection.mutable.Map.empty[(Int, Int), Long]
+    for ((t, c) <- counts; r <- 0 until 4)
+      cells((r, bucket(r, t))) = cells.getOrElse((r, bucket(r, t)), 0L) + c
+    rows.foreach { r =>
+      val want = (0 until 4).map(i => cells((i, bucket(i, r.getString(0))))).min
+      assert(r.getLong(2) == want,
+        s"${r.getString(0)}: est ${r.getLong(2)} != re-derived $want")
+    }
+  }
 }
