@@ -253,8 +253,9 @@ object Dedup {
     * index, and the only corpus scan left is the candidates-only token
     * fetch for the exact-Jaccard verify. The artifact path is
     * fingerprinted by the source file's (length, mtime), so a testdata
-    * regen can never serve stale artifacts; an absent/partial artifact
-    * (no labels/_SUCCESS — labels are written last) rebuilds. Serve cost
+    * regen can never serve stale artifacts; each artifact (bands, labels)
+    * carries its own _SUCCESS, so a partial write rebuilds just that
+    * artifact. Serve cost
     * at 100 TB: band-index read + label read (both node-sized), LSH work
     * increment-sized, merge graph = labels + new pairs. */
   def ccPersisted(s: SparkSession, d: String, threshold: Double = 0.8,
@@ -263,29 +264,27 @@ object Dedup {
     val isBatch = pmod(col("doc_id"), lit(5)) === 4
     val corpus = docs.filter(!isBatch)
     val root = labelArtifactPath(s, d, threshold)
-    val labelPath = s"$root/labels"
     val bandPath = s"$root/bands"
     val fs = new org.apache.hadoop.fs.Path(root)
       .getFileSystem(s.sparkContext.hadoopConfiguration)
     // ---- BUILD (once per corpus fingerprint): the corpus BAND TABLE
-    // (the LSH index, 4 fixed-width rows/doc) and the contraction labels,
-    // labels LAST — their _SUCCESS is the whole build's completion marker
-    if (!fs.exists(new org.apache.hadoop.fs.Path(labelPath, "_SUCCESS"))) {
+    // (the LSH index, 4 fixed-width rows/doc) and the contraction labels —
+    // each artifact carries its own _SUCCESS, so a partial write of either
+    // rebuilds just that artifact
+    if (!fs.exists(new org.apache.hadoop.fs.Path(bandPath, "_SUCCESS"))) {
       graft.expr.GraftFunctions.register(s)
       val shC = corpus
         .select(col("doc_id"), TextStats.tokens(col("text")).as("toks"))
         .select(col("doc_id"), TextStats.shinglesExpr("toks").as("sh"))
         .filter(size(col("sh")) > 0)
       bandSignatures(shC, 4, 3).write.mode("overwrite").parquet(bandPath)
-      starLabels(
-          nearPairsUnordered(corpus, threshold).select(col("doc_a"), col("doc_b")),
-          checkpointDir)
-        .write.mode("overwrite").parquet(labelPath)
     }
     // ---- SERVE: read the node-sized artifacts; only the INCREMENT
     // shingles (candidate discovery joins the persisted band index), then
     // contract labels ∪ new pairs
-    val corpusLabels = s.read.parquet(labelPath)
+    val corpusLabels = persistedStarLabels(s, d, threshold, "labels",
+      nearPairsUnordered(corpus, threshold).select(col("doc_a"), col("doc_b")),
+      checkpointDir)
     val labelEdges = corpusLabels.filter(col("id") =!= col("lbl"))
       .select(col("id").as("doc_a"), col("lbl").as("doc_b"))
     val newPairs = incrementPairsFromBands(s, docs.filter(isBatch), corpus,
@@ -294,6 +293,25 @@ object Dedup {
     starLabels(labelEdges.unionByName(newPairs), checkpointDir)
       .select(col("id").as("doc_id"), col("lbl").as("cluster"))
       .orderedBy("doc_id")
+  }
+
+  /** Build-once star-contraction labels for an arbitrary pair chain,
+    * persisted under the fingerprinted artifact root: builds (and writes)
+    * when `<root>/<scope>/_SUCCESS` is absent, then reads the node-sized
+    * (id, lbl) table back. `scope` separates label sets over different
+    * graphs of the same corpus file — "labels" (corpus-only, the
+    * [[ccPersisted]] daily artifact) vs "full" (whole-graph, the
+    * [[graft.llm.Pipeline.splitLeakfree]] split key). */
+  private[llm] def persistedStarLabels(s: SparkSession, d: String,
+      threshold: Double, scope: String,
+      pairs: => DataFrame,
+      checkpointDir: Option[String] = None): DataFrame = {
+    val path = s"${labelArtifactPath(s, d, threshold)}/$scope"
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(path, "_SUCCESS")))
+      starLabels(pairs, checkpointDir).write.mode("overwrite").parquet(path)
+    s.read.parquet(path)
   }
 
   /** Label-artifact location for [[ccPersisted]]: keyed by dataset dir,

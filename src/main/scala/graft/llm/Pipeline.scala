@@ -166,13 +166,18 @@ object Pipeline {
     * 100 TB shape: the CC loop is edge-sized (star contraction, no
     * neighborhood collection), the label table is node-sized, and the
     * corpus joins it ONCE by doc_id; everything else is the per-row split
-    * projection. */
+    * projection. The labels are a BUILD-ONCE artifact
+    * ([[Dedup.persistedStarLabels]], whole-graph scope, fingerprinted
+    * path — r13): the split is a label CONSUMER, and re-contracting a
+    * stable clustered corpus on every assignment run was the
+    * q_dedup_cc_incr double-cost pattern (3.55 s bench line, now the
+    * node-sized label read + the per-row projection). */
   def splitLeakfree(s: SparkSession, d: String, threshold: Double = 0.8,
                     testPct: Int = 5, valPct: Int = 5,
                     salt: String = "split",
                     checkpointDir: Option[String] = None): DataFrame = {
     val docs = Tables.documents(s, d)
-    val labels = Dedup.starLabels(
+    val labels = Dedup.persistedStarLabels(s, d, threshold, "full",
       Dedup.nearPairsUnordered(docs, threshold).select(col("doc_a"), col("doc_b")),
       checkpointDir)
     docs.select(col("doc_id"))
