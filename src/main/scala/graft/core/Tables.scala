@@ -148,6 +148,37 @@ object Tables {
     acc.get()
   }
 
+  /** STATEFUL-FOLD twin of [[runStreamForeachBatch]] for bridges whose
+    * per-batch work folds DRIVER-HELD state across micro-batches (the
+    * streaming CC label maintenance, q_dedup_cc_streamed): `body` runs
+    * per micro-batch with the batch's session and updates the caller's
+    * own state refs — any frame that must outlive its micro-batch is the
+    * caller's to pin with an eager localCheckpoint, exactly as
+    * [[runStreamForeachBatch]] pins its per-batch results. Returns the
+    * number of micro-batches the source delivered, so specs can pin that
+    * the fold genuinely spanned batches (a single-batch delivery would
+    * make the fold trivially equal to its batch twin). */
+  def runStreamFold(parent: SparkSession, prefix: String)(
+      source: SparkSession => DataFrame)(
+      body: (SparkSession, DataFrame, Long) => Unit): Int = {
+    val s = parent.newSession()
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    val n = new java.util.concurrent.atomic.AtomicInteger(0)
+    val q = source(s).writeStream
+      .foreachBatch { (batch: DataFrame, bid: Long) =>
+        n.incrementAndGet()
+        body(batch.sparkSession, batch, bid)
+        ()
+      }
+      .queryName(prefix + java.util.UUID.randomUUID().toString.replace("-", ""))
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.streams.resetTerminated()
+    require(n.get() > 0, "foreachBatch fold saw no micro-batch")
+    n.get()
+  }
+
   /** UPDATE-MODE emission capture (q_ohlc_update_streamed): runs `build`'s
     * streaming aggregation with outputMode=update through foreachBatch,
     * tagging every emitted row with its micro-batch id — the observable

@@ -161,13 +161,26 @@ object Dedup {
       batchDocs: DataFrame, corpusDocs: DataFrame, bandC: DataFrame,
       threshold: Double = 0.8, bands: Int = 4, rows: Int = 3): DataFrame = {
     graft.expr.GraftFunctions.register(s)
-    val corpusTok = corpusDocs
-      .select(col("doc_id"), TextStats.tokens(col("text")).as("toks"))
     val shB = batchDocs
       .select(col("doc_id"), TextStats.tokens(col("text")).as("toks"))
       .select(col("doc_id"), TextStats.shinglesExpr("toks").as("sh"))
       .filter(size(col("sh")) > 0)
-    val bandB = bandSignatures(shB, bands, rows)
+    incrementPairsPrebanded(s, shB, bandSignatures(shB, bands, rows),
+      corpusDocs, bandC, threshold)
+  }
+
+  /** [[incrementPairsFromBands]] with the INCREMENT's shingles and band
+    * table also handed in — the streaming CC fold computes the batch's
+    * bands once and both feeds them here and accumulates them into its
+    * seen-band state, so the batch is shingled exactly once per
+    * micro-batch. `bandBDf` carries (doc_id, band, sig). */
+  private[llm] def incrementPairsPrebanded(s: SparkSession, shB: DataFrame,
+      bandBDf: DataFrame, corpusDocs: DataFrame, bandC: DataFrame,
+      threshold: Double = 0.8): DataFrame = {
+    graft.expr.GraftFunctions.register(s)
+    val corpusTok = corpusDocs
+      .select(col("doc_id"), TextStats.tokens(col("text")).as("toks"))
+    val bandB = bandBDf
       .select(col("band"), col("sig"), col("doc_id").as("bid"))
     // corpus×batch candidates: batch bands broadcast, corpus scanned in place
     val candBC = bandC.join(broadcast(bandB), Seq("band", "sig"))
@@ -293,6 +306,80 @@ object Dedup {
     starLabels(labelEdges.unionByName(newPairs), checkpointDir)
       .select(col("id").as("doc_id"), col("lbl").as("cluster"))
       .orderedBy("doc_id")
+  }
+
+  /** STREAMING connected components — the cluster-label state MAINTAINED
+    * under the streaming engine (24th batch≡streaming bridge, and the
+    * only one whose driver-held state is a GRAPH artifact): the corpus
+    * arrives as 4 rate-limited micro-batches (maxFilesPerTrigger=1 over
+    * the staged 4-file layout, the q_ohlc_multibatch delivery) and each
+    * batch folds the label state by the same contraction identity the
+    * incremental merge relies on —
+    * labels_t = contract(labelEdges(labels_{t-1}) ∪ pairs_t), where
+    * pairs_t are the batch's verified near-dup pairs against everything
+    * seen so far plus within the batch itself. Candidate discovery joins
+    * the batch's bands (broadcast) against the ACCUMULATED seen-band
+    * index — the [[ccPersisted]] band artifact held as fold state — so
+    * seen documents are never re-shingled; the exact-Jaccard verify
+    * fetches candidate tokens from the static table (candidates-only
+    * scan). Repeated application of CC(contract(G₁) ∪ G₂) = CC(G₁ ∪ G₂)
+    * makes the final labels equal the from-scratch whole-graph
+    * clustering, so the oracle is the IDENTICAL recursive-CTE spec as
+    * q_dedup_clusters/q_dedup_cc/q_dedup_cc_incr — the driver hash
+    * proves continuous graph maintenance equals batch reclustering.
+    * 100 TB shape: per-batch work is increment-sized LSH + a node-sized
+    * contraction (labels ∪ new pairs — never the full pair graph); the
+    * seen-band state is the fixed-width 4-rows/doc index, the exact
+    * artifact a production fold keeps in a state table. */
+  def ccStreamed(s: SparkSession, d: String, threshold: Double = 0.8): DataFrame =
+    ccStreamedStats(s, d, threshold)._1
+
+  /** [[ccStreamed]] plus the delivered micro-batch count, so the spec can
+    * pin that the label fold genuinely spanned >1 batch. */
+  private[llm] def ccStreamedStats(s: SparkSession, d: String,
+      threshold: Double = 0.8, nFiles: Int = 4): (DataFrame, Int) = {
+    val docs = Tables.documents(s, d)
+    val tmp = Tables.stageDir(s,
+      s"cc_str_${d.replaceAll("[^A-Za-z0-9.]", "_")}")
+    docs.repartition(nFiles).write.mode("overwrite").parquet(tmp)
+    val labels =
+      new java.util.concurrent.atomic.AtomicReference[DataFrame](null)
+    val seenBands =
+      new java.util.concurrent.atomic.AtomicReference[DataFrame](null)
+    val batches = Tables.runStreamFold(s, "cc_streamed_") { cs =>
+      cs.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1).parquet(tmp)
+    } { (bs, batch, _) =>
+      graft.expr.GraftFunctions.register(bs)
+      val shB = batch
+        .select(col("doc_id"), TextStats.tokens(col("text")).as("toks"))
+        .select(col("doc_id"), TextStats.shinglesExpr("toks").as("sh"))
+        .filter(size(col("sh")) > 0)
+      val bandB = bandSignatures(shB, 4, 3).localCheckpoint(true)
+      val prevBands = seenBands.get()
+      // lineage-free empty frame (not bandB.limit(0)): the seen-band side
+      // must not share bandB's plan subtree or the band-bucket join would
+      // be a same-lineage self-join on its using-columns
+      val noBands = bs.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](), bandB.schema)
+      val newPairs = incrementPairsPrebanded(bs, shB, bandB,
+          Tables.documents(bs, d),
+          if (prevBands == null) noBands else prevBands, threshold)
+        .select(col("doc_a"), col("doc_b"))
+      val prev = labels.get()
+      val labelEdges =
+        if (prev == null) newPairs.limit(0)
+        else prev.filter(col("id") =!= col("lbl"))
+          .select(col("id").as("doc_a"), col("lbl").as("doc_b"))
+      labels.set(starLabels(labelEdges.unionByName(newPairs))
+        .localCheckpoint(true))
+      seenBands.set(
+        if (prevBands == null) bandB
+        else prevBands.unionByName(bandB).localCheckpoint(true))
+    }
+    (labels.get()
+      .select(col("id").as("doc_id"), col("lbl").as("cluster"))
+      .orderedBy("doc_id"), batches)
   }
 
   /** Build-once star-contraction labels for an arbitrary pair chain,
@@ -1847,6 +1934,11 @@ object Dedup {
     // (build-once parquet, fingerprinted path) — still against the
     // full-graph semantic oracle
     "q_dedup_cc_persisted" -> QueryDef(ccPersisted(_, _),
+      Some(nearClustersOracle(0.8))),
+    // 24th bridge: the label state FOLDED across 4 rate-limited
+    // micro-batches (contraction identity per batch) — continuous graph
+    // maintenance under the streaming engine, same full-graph oracle
+    "q_dedup_cc_streamed" -> QueryDef(ccStreamed(_, _),
       Some(nearClustersOracle(0.8))),
     // damped PageRank on the same graph, fixed-point integer units —
     // canonical-representative ranking, bit-exact on any engine

@@ -155,6 +155,32 @@ class LlmSpec extends SparkTestBase {
       s"got $got")
   }
 
+  test("streaming CC: label fold spans >1 micro-batch and equals batch clustering") {
+    val d = "/root/testdata/sf0.001"
+    val (labels, batches) = Dedup.ccStreamedStats(spark, d)
+    // the bridge's claim needs the fold to genuinely span batches — a
+    // single-batch delivery would make it trivially equal to its twin
+    assert(batches >= 2, s"expected >1 micro-batch, got $batches")
+    val streamed = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val batch = Dedup.ccStars(spark, d).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(streamed == batch,
+      s"streamed labels diverge from batch CC: ${streamed.size} vs ${batch.size}")
+  }
+
+  test("streaming count-min: grid fold spans >1 micro-batch and equals the single-pass sketch") {
+    val d = "/root/testdata/sf0.001"
+    val (streamed, batches) = TextStats.heavyHittersStreamedStats(spark, d)
+    assert(batches >= 2, s"expected >1 micro-batch, got $batches")
+    val got = streamed.collect().map(r =>
+      r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val want = TextStats.heavyHitters(spark, d).collect().map(r =>
+      r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    // sum-monoid merge: the folded grid is row-identical to single-pass,
+    // so estimates (not just the exact gauge) must match exactly
+    assert(got == want, s"folded sketch diverges: $got vs $want")
+  }
+
   test("near-dup clusters: a diameter-6 chain converges to ONE cluster") {
     // the exact failure mode of the old fixed-3-round propagation: a path
     // graph 1-2-3-4-5-6-7 has diameter 6, so node 7's min label needs >3
