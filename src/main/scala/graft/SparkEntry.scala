@@ -397,6 +397,105 @@ object Catalog {
       |       CAST(sum(CAST(value AS DECIMAL(20,6))) AS DOUBLE) AS volume
       |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** 5-minute candles REBUILT FROM the 1-minute candles — the
+    * hierarchical resolution rollup every multi-resolution chart/archive
+    * serves from. OHLC is a MONOID (open = open of the earliest member,
+    * close = close of the latest, high/low = max/min, volume = exact
+    * decimal sum), so coarser candles re-aggregate from finer PARTIALS
+    * without ever rescanning raw trades — at 100 TB the 1-minute tier is
+    * ~5 orders of magnitude smaller than the trade stream, and every
+    * coarser resolution is candle-sized work. The merge reuses the same
+    * ordered aggregates as the spine, keyed by the member candle's start
+    * (unique per (5m-window, base), so the tie lane never engages). The
+    * oracle computes 5-minute candles DIRECTLY from raw events — the
+    * hash gate proves partial-merge ≡ direct aggregation. */
+  def qOhlcRollup(spark: SparkSession, dir: String): DataFrame = {
+    graft.expr.GraftFunctions.register(spark)
+    val m1 = OhlcPipeline.candles(
+      Tables.events(spark, dir)
+        .withColumn("qty_dec", col("value").cast("decimal(20,6)")),
+      windowDuration = "1 minute", tsCol = "ts", priceCol = "value",
+      qtyCol = "qty_dec", symbolCol = "event_type")
+    m1.groupBy(window(col("start_ts"), "5 minutes"), col("base"))
+      .agg(
+        expr("first_by_ordered(unix_micros(start_ts), open)").as("open"),
+        max(col("high")).as("high"),
+        min(col("low")).as("low"),
+        expr("last_by_ordered(unix_micros(start_ts), close)").as("close"),
+        sum(col("volume")).cast("double").as("volume"))
+      .select(unix_timestamp(col("window.start")).as("ws"), col("base"),
+        col("open"), col("high"), col("low"), col("close"), col("volume"))
+      .orderedBy("ws", "base")
+  }
+
+  private val ohlcRollupOracle =
+    """SELECT CAST(epoch(date_trunc('minute', ts))
+      |            - epoch(date_trunc('minute', ts)) % 300 AS BIGINT) AS ws,
+      |       event_type AS base,
+      |       first(value ORDER BY date_trunc('microseconds', ts), value) AS open,
+      |       max(value) AS high,
+      |       min(value) AS low,
+      |       last(value ORDER BY date_trunc('microseconds', ts), value) AS close,
+      |       CAST(sum(CAST(value AS DECIMAL(20,6))) AS DOUBLE) AS volume
+      |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  /** Gap-filled minute candles — the chart/backtest contract that every
+    * minute in a symbol's trading span exists: the minute grid per base
+    * (min..max observed window, a `sequence` explode — time-range-sized,
+    * never data-sized) left-joins the real candles, and empty minutes
+    * synthesize the conventional flat candle (open=high=low=close =
+    * previous close, volume 0) via a per-base running forward-fill
+    * (`last(close) ignoreNulls` over ws). No arithmetic is introduced —
+    * filled values are verbatim stored closes, volume 0 is exact — so
+    * the driver hash holds bit-for-bit. `gap` marks synthesized rows.
+    * 100 TB shape: everything past the spine is candle-sized (minutes ×
+    * bases); the one window sort is per-base over minute rows. */
+  def qOhlcGapfill(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val c = candleSelect(Tables.events(spark, dir))
+    val span = c.groupBy(col("base")).agg(min("ws").as("lo"), max("ws").as("hi"))
+    val grid = span.select(col("base"),
+      explode(sequence(col("lo"), col("hi"), lit(60L))).as("ws"))
+    val fill = Window.partitionBy("base").orderBy("ws")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(c, Seq("base", "ws"), "left")
+      .withColumn("fc", last(col("close"), ignoreNulls = true).over(fill))
+      .select(col("ws"), col("base"),
+        coalesce(col("open"), col("fc")).as("open"),
+        coalesce(col("high"), col("fc")).as("high"),
+        coalesce(col("low"), col("fc")).as("low"),
+        coalesce(col("close"), col("fc")).as("close"),
+        coalesce(col("volume"), lit(0.0)).as("volume"),
+        col("close").isNull.cast("long").as("gap"))
+      .orderedBy("ws", "base")
+  }
+
+  private val ohlcGapfillOracle =
+    """WITH c AS (
+      |  SELECT CAST(epoch(date_trunc('minute', ts)) AS BIGINT) AS ws,
+      |         event_type AS base,
+      |         first(value ORDER BY date_trunc('microseconds', ts), value) AS open,
+      |         max(value) AS high, min(value) AS low,
+      |         last(value ORDER BY date_trunc('microseconds', ts), value) AS close,
+      |         CAST(sum(CAST(value AS DECIMAL(20,6))) AS DOUBLE) AS volume
+      |  FROM events GROUP BY 1, 2),
+      |span AS (SELECT base, min(ws) AS lo, max(ws) AS hi FROM c GROUP BY 1),
+      |grid AS (SELECT base, CAST(unnest(generate_series(lo, hi, 60)) AS BIGINT) AS ws
+      |         FROM span),
+      |j AS (SELECT g.base, g.ws, c.open, c.high, c.low, c.close, c.volume
+      |      FROM grid g LEFT JOIN c ON g.base = c.base AND g.ws = c.ws),
+      |f AS (SELECT base, ws, open, high, low, close, volume,
+      |        last_value(close IGNORE NULLS) OVER
+      |          (PARTITION BY base ORDER BY ws
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS fc
+      |      FROM j)
+      |SELECT ws, base,
+      |       coalesce(open, fc) AS open, coalesce(high, fc) AS high,
+      |       coalesce(low, fc) AS low, coalesce(close, fc) AS close,
+      |       coalesce(volume, 0.0) AS volume,
+      |       CAST(CASE WHEN close IS NULL THEN 1 ELSE 0 END AS BIGINT) AS gap
+      |FROM f ORDER BY ws, base""".stripMargin
+
   private val ohlcDefs: Map[String, QueryDef] = Map(
     "q_ohlc_1m" -> QueryDef(qOhlc1m, Some(ohlcOracle)),
     "q_ohlc_minby" -> QueryDef(qOhlcMinby, Some(ohlcOracle)),
@@ -422,7 +521,12 @@ object Catalog {
     // the transformWithState engine (timers close to the GLOBAL watermark)
     "q_ohlc_tws" -> QueryDef(qOhlcTws, Some(ohlcTwsOracle)),
     "q_ohlc_vwap" -> QueryDef(qOhlcVwap, Some(ohlcVwapOracle)),
-    "q_vwap_streamed" -> QueryDef(qOhlcVwapStreamed, Some(ohlcVwapOracle))
+    "q_vwap_streamed" -> QueryDef(qOhlcVwapStreamed, Some(ohlcVwapOracle)),
+    // 5-minute candles merged from 1-minute PARTIALS (the OHLC monoid);
+    // oracle computes 5m directly from raw — partial-merge ≡ direct
+    "q_ohlc_rollup" -> QueryDef(qOhlcRollup, Some(ohlcRollupOracle)),
+    // minute-grid forward-fill: synthesized flat candles on empty minutes
+    "q_ohlc_gapfill" -> QueryDef(qOhlcGapfill, Some(ohlcGapfillOracle))
   )
 
   val defs: Map[String, QueryDef] =
