@@ -81,6 +81,27 @@ object Advanced {
       .orderedBy("event_id")
   }
 
+  /** [[joinAsofTolerance]] through the native merge exec
+    * ([[graft.plans.AsOfJoinExec]]) — exercises the exec's tolerance lane:
+    * the held candidate is still the latest click at ts' ≤ ts, and the
+    * single `lTime − candTime ≤ 10 min` comparison at emit decides
+    * match-vs-null (no later eligible click can exist, so checking only
+    * the candidate is sufficient). Same oracle as the composed twin. */
+  def joinAsofTolNative(s: SparkSession, d: String): DataFrame = {
+    val s2 = s.newSession()
+    val ev = Tables.events(s2, d)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("event_id").as("p_id"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+        col("event_id").as("click_id"))
+    graft.plans.AsOfJoin.asof(purchases, clicks,
+        Seq("user_id"), Seq("c_user"), "ts", "c_ts", Seq("click_id"),
+        toleranceUs = Some(600000000L))
+      .select(col("p_id").as("event_id"), col("click_id").as("asof_click_id"))
+      .orderedBy("event_id")
+  }
+
   /** Exact percentiles — interpolated (percentile/quantile_cont) and
     * discrete (percentile_disc/quantile_disc) agree across engines because
     * both use the standard (n-1)p linear-interpolation definition and the
@@ -301,6 +322,27 @@ object Advanced {
       max(col("l_orderkey")).as("max_key"))
   }
 
+  /** Shared by the composed and native tolerance as-of twins. */
+  private val asofTolOracle: String =
+    """WITH u AS (
+      |  SELECT user_id, ts, event_id AS click_id, ts AS click_ts,
+      |         0 AS is_p, NULL::BIGINT AS p_id
+      |  FROM events WHERE event_type = 'click'
+      |  UNION ALL
+      |  SELECT user_id, ts, NULL::BIGINT, NULL::TIMESTAMP_NS, 1, event_id
+      |  FROM events WHERE event_type = 'purchase'),
+      |w AS (
+      |  SELECT *,
+      |    last_value(click_id IGNORE NULLS) OVER win AS a_id,
+      |    last_value(click_ts IGNORE NULLS) OVER win AS a_ts
+      |  FROM u WINDOW win AS (
+      |    PARTITION BY user_id
+      |    ORDER BY date_trunc('microseconds', ts), is_p, click_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+      |SELECT p_id AS event_id,
+      |       CASE WHEN a_ts >= ts - INTERVAL 10 MINUTE THEN a_id END AS asof_click_id
+      |FROM w WHERE is_p = 1 ORDER BY event_id""".stripMargin
+
   val defs: Map[String, QueryDef] = Map(
     // footer-statistics aggregation: COUNT/MIN/MAX pushed into the DSv2
     // parquet scan — O(files), not O(rows)
@@ -337,24 +379,8 @@ object Advanced {
       """SELECT o_orderkey,
         |       o_totalprice / (SELECT max(o_totalprice) FROM orders) AS price_share
         |FROM orders ORDER BY o_orderkey""".stripMargin)),
-    "q_join_asof_tol" -> QueryDef(joinAsofTolerance, Some(
-      """WITH u AS (
-        |  SELECT user_id, ts, event_id AS click_id, ts AS click_ts,
-        |         0 AS is_p, NULL::BIGINT AS p_id
-        |  FROM events WHERE event_type = 'click'
-        |  UNION ALL
-        |  SELECT user_id, ts, NULL::BIGINT, NULL::TIMESTAMP_NS, 1, event_id
-        |  FROM events WHERE event_type = 'purchase'),
-        |w AS (
-        |  SELECT *,
-        |    last_value(click_id IGNORE NULLS) OVER win AS a_id,
-        |    last_value(click_ts IGNORE NULLS) OVER win AS a_ts
-        |  FROM u WINDOW win AS (
-        |    PARTITION BY user_id
-        |    ORDER BY date_trunc('microseconds', ts), is_p, click_id
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
-        |SELECT p_id AS event_id,
-        |       CASE WHEN a_ts >= ts - INTERVAL 10 MINUTE THEN a_id END AS asof_click_id
-        |FROM w WHERE is_p = 1 ORDER BY event_id""".stripMargin))
+    "q_join_asof_tol" -> QueryDef(joinAsofTolerance, Some(asofTolOracle)),
+    // the native exec's tolerance lane under the identical oracle
+    "q_join_asof_tol_native" -> QueryDef(joinAsofTolNative, Some(asofTolOracle))
   )
 }

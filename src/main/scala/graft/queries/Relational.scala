@@ -229,6 +229,29 @@ object Relational {
       .orderedBy("event_id")
   }
 
+  /** [[joinAsof]] through the NATIVE whole-operator extension
+    * ([[graft.plans.AsOfJoinExec]] — custom LogicalPlan + SparkStrategy +
+    * merge SparkPlan): each side shuffles independently on user_id, sorts
+    * map-side, and a single forward merge pass holds ONE candidate click
+    * per key — no union, no window buffer, no post-filter. Identical
+    * semantics (ties: `<=` at equal ts, highest click_id among equal-ts
+    * clicks — the right-side (c_ts, click_id) sort with last-kept
+    * candidate), adjudicated by the VERBATIM q_join_asof oracle. The
+    * strategy is scoped to a child session, the qOhlcRewrite pattern. */
+  def joinAsofNative(s: SparkSession, d: String): DataFrame = {
+    val s2 = s.newSession()
+    val ev = Tables.events(s2, d)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("event_id").as("p_id"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+        col("event_id").as("click_id"))
+    graft.plans.AsOfJoin.asof(purchases, clicks,
+        Seq("user_id"), Seq("c_user"), "ts", "c_ts", Seq("click_id"))
+      .select(col("p_id").as("event_id"), col("click_id").as("asof_click_id"))
+      .orderedBy("event_id")
+  }
+
   /** TPC-H Q1 shape: partial+final hash aggregation over lineitem. Sums go
     * through exact decimal casts (2dp data); disc_price is a single IEEE
     * multiply per row (deterministic) then an exact decimal sum. */
@@ -586,6 +609,25 @@ object Relational {
   def exceptQ(s: SparkSession, d: String): DataFrame =
     buildingCustomers(s, d).except(fOrderCustomers(s, d)).orderedBy("key")
 
+  /** Shared by q_join_asof (composed) and q_join_asof_native (custom
+    * exec): one spec, two execution strategies under the same hash. */
+  private val asofOracle: String =
+    """WITH u AS (
+      |  SELECT user_id, ts, event_id AS click_id, 0 AS is_p,
+      |         NULL::BIGINT AS p_id
+      |  FROM events WHERE event_type = 'click'
+      |  UNION ALL
+      |  SELECT user_id, ts, NULL::BIGINT, 1, event_id
+      |  FROM events WHERE event_type = 'purchase'),
+      |w AS (
+      |  SELECT *, last_value(click_id IGNORE NULLS) OVER (
+      |      PARTITION BY user_id
+      |      ORDER BY date_trunc('microseconds', ts), is_p, click_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS asof_click_id
+      |  FROM u)
+      |SELECT p_id AS event_id, asof_click_id FROM w WHERE is_p = 1
+      |ORDER BY event_id""".stripMargin
+
   val defs: Map[String, QueryDef] = Map(
     "q_join_broadcast" -> QueryDef(joinBroadcast, Some(
       """SELECT n_nationkey, n_name, r_name
@@ -644,22 +686,10 @@ object Relational {
         |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_total
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)),
-    "q_join_asof" -> QueryDef(joinAsof, Some(
-      """WITH u AS (
-        |  SELECT user_id, ts, event_id AS click_id, 0 AS is_p,
-        |         NULL::BIGINT AS p_id
-        |  FROM events WHERE event_type = 'click'
-        |  UNION ALL
-        |  SELECT user_id, ts, NULL::BIGINT, 1, event_id
-        |  FROM events WHERE event_type = 'purchase'),
-        |w AS (
-        |  SELECT *, last_value(click_id IGNORE NULLS) OVER (
-        |      PARTITION BY user_id
-        |      ORDER BY date_trunc('microseconds', ts), is_p, click_id
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS asof_click_id
-        |  FROM u)
-        |SELECT p_id AS event_id, asof_click_id FROM w WHERE is_p = 1
-        |ORDER BY event_id""".stripMargin)),
+    "q_join_asof" -> QueryDef(joinAsof, Some(asofOracle)),
+    // the SAME oracle adjudicates the native merge exec — composed window
+    // formulation and custom SparkPlan must agree row-for-row
+    "q_join_asof_native" -> QueryDef(joinAsofNative, Some(asofOracle)),
     "q_agg_hash" -> QueryDef(aggHash, Some(
       """SELECT l_returnflag, l_linestatus,
         |       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
