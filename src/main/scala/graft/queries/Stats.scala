@@ -676,7 +676,16 @@ object Stats {
     * stderr 1.04/√m ≈ 6.5%; 4× q_distinct_sketch's m because a schema
     * audit mixes tiny enum columns with id columns, and the small-range
     * linear-counting branch needs empty-bucket resolution). */
-  def profileSketchFor(df: DataFrame, cols: Seq[String], m: Int = 256): DataFrame = {
+  def profileSketchFor(df: DataFrame, cols: Seq[String], m: Int = 256): DataFrame =
+    profileServe(profileLv1(df, cols, m), m)
+
+  /** The per-(col_name, bucket) REGISTER + partials table — the profile's
+    * only corpus-scale aggregate, and the mergeable artifact: every field
+    * is a monoid (reg max, counts/length-sums sum, minl/maxl min/max), so
+    * per-partition/per-day tables fold without rescanning history
+    * ([[profileSketchStreamed]] exercises exactly that across
+    * micro-batches). */
+  private def profileLv1(df: DataFrame, cols: Seq[String], m: Int): DataFrame = {
     val stacked = df.select(expr(
       s"stack(${cols.length}, " +
         cols.map { c =>
@@ -687,9 +696,8 @@ object Stats {
     // 32-bit hash, log2(m) bucket bits ⇒ the rank field is 32−log2(m)
     // bits wide and rho ∈ [1, 33−log2(m)] (27 at q_distinct_sketch's
     // m=64, 25 here)
-    val lg = (math.log(m) / math.log(2)).round.toInt
-    val rhoMax = 33 - lg
-    val lv1 = stacked
+    val rhoMax = 33 - (math.log(m) / math.log(2)).round.toInt
+    stacked
       .withColumn("h", h) // null v ⇒ null h ⇒ the null-bucket row
       .withColumn("bucket", col("h") % m)
       .withColumn("w", expr(s"h DIV $m"))
@@ -701,6 +709,22 @@ object Stats {
         sum(when(col("v").isNull, 1L).otherwise(0L)).as("nulls"),
         min(length(col("v"))).as("minl"), max(length(col("v"))).as("maxl"),
         sum(length(col("v"))).as("suml"), count(col("v")).as("nv"))
+  }
+
+  /** Folds two lv1 register tables by their per-field monoids — the
+    * sketch-merge contract ([[profileSketchStreamed]]'s per-batch step;
+    * the same shape a daily profile pipeline runs over persisted
+    * register tables). */
+  private def profileLv1Merge(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b)
+      .groupBy(col("col_name"), col("bucket"))
+      .agg(max(col("reg")).as("reg"), sum(col("n")).as("n"),
+        sum(col("nulls")).as("nulls"),
+        min(col("minl")).as("minl"), max(col("maxl")).as("maxl"),
+        sum(col("suml")).as("suml"), sum(col("nv")).as("nv"))
+
+  /** The estimate/rollup half over a (possibly merged) lv1 table. */
+  private def profileServe(lv1: DataFrame, m: Int): DataFrame = {
     lv1.groupBy(col("col_name")).agg(
       sum(col("n")).as("n_rows"),
       sum(col("nulls")).as("n_nulls"),
@@ -732,6 +756,41 @@ object Stats {
           .as("distinct_est"),
         col("min_len"), col("max_len"), col("avg_len"))
       .orderedBy("col_name")
+  }
+
+  /** [[profileSketch]] with the register table MAINTAINED BY THE STREAM
+    * (26th batch≡streaming bridge, and the mixed-monoid one): the corpus
+    * arrives as 4 rate-limited micro-batches and each batch's lv1 table
+    * folds into the running state by per-field monoids — register-wise
+    * MAX (the HLL merge, the counterpart to q_hh_streamed's count-min
+    * SUM), plus sum/min/max for the count and length partials — exactly
+    * how a production pipeline maintains per-day column profiles without
+    * rescanning history. Fold state is ≤ cols×(m+1) fixed-width rows.
+    * Every field's merge is exact, so the folded table is row-identical
+    * to single-pass lv1 and the IDENTICAL batch oracle adjudicates. */
+  def profileSketchStreamed(s: SparkSession, d: String): DataFrame =
+    profileSketchStreamedStats(s, d)._1
+
+  /** [[profileSketchStreamed]] plus the delivered micro-batch count, so
+    * the spec can pin that the fold genuinely spanned >1 batch. */
+  private[queries] def profileSketchStreamedStats(
+      s: SparkSession, d: String, m: Int = 256): (DataFrame, Int) = {
+    val docs = Tables.documents(s, d)
+    val cols = Seq("doc_id", "text", "lang", "source", "n_chars")
+    val tmp = Tables.stageDir(s,
+      s"prof_str_${d.replaceAll("[^A-Za-z0-9.]", "_")}")
+    docs.repartition(4).write.mode("overwrite").parquet(tmp)
+    val state = new java.util.concurrent.atomic.AtomicReference[DataFrame](null)
+    val batches = Tables.runStreamFold(s, "profile_streamed_") { cs =>
+      cs.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1).parquet(tmp)
+    } { (bs, batch, _) =>
+      val bLv1 = profileLv1(batch, cols, m)
+      val prev = state.get()
+      state.set((if (prev == null) bLv1 else profileLv1Merge(prev, bLv1))
+        .localCheckpoint(true))
+    }
+    (profileServe(state.get(), m), batches)
   }
 
   private def profileSketchOracle(m: Int): String = {
@@ -791,6 +850,9 @@ object Stats {
     // the 100 TB profile: register-sketch cardinality (bounded shuffle)
     // instead of exact countDistinct — oracle replays the register chain
     "q_profile_sketch" -> QueryDef(profileSketch, Some(profileSketchOracle(256))),
+    // 26th bridge: the register table folded across micro-batches by its
+    // per-field monoids (HLL max + count/length sum/min/max) — same oracle
+    "q_profile_streamed" -> QueryDef(profileSketchStreamed, Some(profileSketchOracle(256))),
     "q_funnel" -> QueryDef(funnel, Some(funnelOracle)),
     // 22nd bridge: the funnel chain per micro-batch, same oracle
     "q_funnel_streamed" -> QueryDef(funnelStreamed, Some(funnelOracle)),

@@ -272,4 +272,15 @@ class StatsSpec extends SparkTestBase {
         r.getLong(6), r.getDouble(7)))).toMap
     assert(exactRest == sketchRest)
   }
+
+  test("streaming profile: register fold spans >1 micro-batch and equals the single-pass sketch") {
+    val (streamed, batches) = Stats.profileSketchStreamedStats(spark, d)
+    assert(batches >= 2, s"expected >1 micro-batch, got $batches")
+    // every lv1 field merges by an exact monoid (reg max, count/length
+    // sum/min/max), so the folded profile — estimates included — must be
+    // row-identical to the batch sketch
+    val got = streamed.collect().toSeq
+    val want = Stats.profileSketch(spark, d).collect().toSeq
+    assert(got == want, s"folded profile diverges:\n$got\nvs\n$want")
+  }
 }
