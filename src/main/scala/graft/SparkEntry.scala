@@ -411,11 +411,21 @@ object Catalog {
     * hash gate proves partial-merge ≡ direct aggregation. */
   def qOhlcRollup(spark: SparkSession, dir: String): DataFrame = {
     graft.expr.GraftFunctions.register(spark)
-    val m1 = OhlcPipeline.candles(
+    rollupCandles(m1Candles(spark, dir)).orderedBy("ws", "base")
+  }
+
+  /** The 1-minute candle tier (the spine's full candle schema). */
+  private def m1Candles(spark: SparkSession, dir: String): DataFrame =
+    OhlcPipeline.candles(
       Tables.events(spark, dir)
         .withColumn("qty_dec", col("value").cast("decimal(20,6)")),
       windowDuration = "1 minute", tsCol = "ts", priceCol = "value",
       qtyCol = "qty_dec", symbolCol = "event_type")
+
+  /** The OHLC monoid merge: 1-minute candles → 5-minute candles, shared
+    * by [[qOhlcRollup]] (inline tier) and [[qOhlcTiered]] (persisted
+    * tier). */
+  private def rollupCandles(m1: DataFrame): DataFrame =
     m1.groupBy(window(col("start_ts"), "5 minutes"), col("base"))
       .agg(
         expr("first_by_ordered(unix_micros(start_ts), open)").as("open"),
@@ -425,7 +435,38 @@ object Catalog {
         sum(col("volume")).cast("double").as("volume"))
       .select(unix_timestamp(col("window.start")).as("ws"), col("base"),
         col("open"), col("high"), col("low"), col("close"), col("volume"))
-      .orderedBy("ws", "base")
+
+  /** [[qOhlcRollup]] served from a PERSISTED 1-minute candle tier — the
+    * build-once artifact lifecycle (the q_sim_ivfpq_persisted /
+    * q_dedup_cc_persisted pattern) applied to the reference's own domain:
+    * a production OHLC archive materializes the 1-minute tier ONCE and
+    * every coarser resolution, chart query, and backtest reads candles,
+    * never raw trades. The tier path is fingerprinted by the events
+    * file's (length, mtime) + a code-version tag, so a regenerated corpus
+    * or a semantics change is a FRESH path by construction; _SUCCESS is
+    * written last so partial builds rebuild. Serve-side plan scans ONLY
+    * the candle artifact (CatalogSpec pins build-once + no events scan on
+    * the serve plan); the oracle is the direct-from-raw 5-minute SQL, so
+    * the hash proves persist → read-back → merge ≡ direct aggregation. */
+  def qOhlcTiered(spark: SparkSession, dir: String): DataFrame = {
+    graft.expr.GraftFunctions.register(spark)
+    val path = candleTierPath(spark, dir)
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(path, "_SUCCESS")))
+      m1Candles(spark, dir).write.mode("overwrite").parquet(path)
+    rollupCandles(spark.read.parquet(path)).orderedBy("ws", "base")
+  }
+
+  /** Candle-tier artifact location, fingerprinted like the CC label and
+    * IVFPQ index artifacts (llm/Dedup.scala labelArtifactPath). */
+  private def candleTierPath(spark: SparkSession, dir: String): String = {
+    val src = new org.apache.hadoop.fs.Path(s"$dir/events.parquet")
+    val st = src.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .getFileStatus(src)
+    val dsafe = dir.replaceAll("[^A-Za-z0-9.]", "_")
+    s"${sys.props("user.dir")}/target/graft_candles/" +
+      s"v1_${dsafe}_${st.getLen}_${st.getModificationTime}"
   }
 
   private val ohlcRollupOracle =
@@ -525,6 +566,9 @@ object Catalog {
     // 5-minute candles merged from 1-minute PARTIALS (the OHLC monoid);
     // oracle computes 5m directly from raw — partial-merge ≡ direct
     "q_ohlc_rollup" -> QueryDef(qOhlcRollup, Some(ohlcRollupOracle)),
+    // the rollup served from the PERSISTED build-once 1m candle tier —
+    // same direct-from-raw oracle: persist → read-back → merge ≡ direct
+    "q_ohlc_tiered" -> QueryDef(qOhlcTiered, Some(ohlcRollupOracle)),
     // minute-grid forward-fill: synthesized flat candles on empty minutes
     "q_ohlc_gapfill" -> QueryDef(qOhlcGapfill, Some(ohlcGapfillOracle))
   )

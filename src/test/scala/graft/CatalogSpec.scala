@@ -112,6 +112,30 @@ class CatalogSpec extends SparkTestBase {
     assert(stamp() == before, "repeat invocation rewrote the label artifact")
   }
 
+  test("persisted candle tier: built once, served without an events scan") {
+    // q_ohlc_tiered's artifact lifecycle: first build writes the 1m tier;
+    // a repeat invocation serves from it — same rows, no rewrite, and the
+    // SERVE plan's scans touch only the candle artifact, never raw events
+    val first = Catalog.defs("q_ohlc_tiered").build(spark, dir)
+      .collect().map(_.toSeq).toSeq
+    val root = new java.io.File(s"${sys.props("user.dir")}/target/graft_candles")
+    val arts = Option(root.listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.contains(dir.replaceAll("[^A-Za-z0-9.]", "_")))
+    assert(arts.nonEmpty, "candle-tier artifact missing after build")
+    def stamp() = arts.flatMap(a => a.listFiles().map(f => f.getName -> f.lastModified()))
+      .toMap
+    val before = stamp()
+    val serve = Catalog.defs("q_ohlc_tiered").build(spark, dir)
+    val second = serve.collect().map(_.toSeq).toSeq
+    assert(second == first, "serve-from-tier diverged from the build run")
+    assert(stamp() == before, "repeat invocation rewrote the candle tier")
+    val scans = serve.queryExecution.executedPlan.collectLeaves().map(_.toString)
+    assert(scans.exists(_.contains("graft_candles")),
+      s"serve plan does not scan the candle tier:\n${scans.mkString("\n")}")
+    assert(!scans.exists(_.contains("events.parquet")),
+      "serve plan still scans raw events — the tier is not doing its job")
+  }
+
   test("every catalog query is oracled except the two documented rows-only cases") {
     // q_agg_approx (HLL sketch) and q_dedup_near_ml (mllib murmur hashing)
     // cannot replay in DuckDB by design; anything else missing an oracle is
