@@ -511,6 +511,41 @@ object Catalog {
       .orderedBy("ws", "base")
   }
 
+  /** Largest minute-over-minute close moves — the monitoring query every
+    * candle pipeline hangs off the spine: Δclose per base via lag over
+    * the minute tier, global top-20 by |Δ|. Deterministic because the
+    * single IEEE subtraction of two stored doubles is bit-identical
+    * across engines and ranking ties break on (ws, base); the top-k
+    * plans TakeOrderedAndProject (bounded per-partition heaps — no
+    * global sort of the candle tier). */
+  def qOhlcMoves(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    graft.expr.GraftFunctions.register(spark)
+    val c = candleSelect(Tables.events(spark, dir))
+    val w = Window.partitionBy("base").orderBy("ws")
+    c.withColumn("prev_close", lag(col("close"), 1).over(w))
+      .filter(col("prev_close").isNotNull)
+      .withColumn("chg", col("close") - col("prev_close"))
+      .orderBy(abs(col("chg")).desc, col("ws"), col("base"))
+      .limit(20)
+      .select(col("ws"), col("base"), col("prev_close"), col("close"), col("chg"))
+      .orderedBy("ws", "base")
+  }
+
+  private val ohlcMovesOracle =
+    """WITH c AS (
+      |  SELECT CAST(epoch(date_trunc('minute', ts)) AS BIGINT) AS ws,
+      |         event_type AS base,
+      |         last(value ORDER BY date_trunc('microseconds', ts), value) AS close
+      |  FROM events GROUP BY 1, 2),
+      |l AS (SELECT ws, base, close,
+      |        lag(close) OVER (PARTITION BY base ORDER BY ws) AS prev_close
+      |      FROM c),
+      |m AS (SELECT ws, base, prev_close, close, close - prev_close AS chg
+      |      FROM l WHERE prev_close IS NOT NULL),
+      |t AS (SELECT * FROM m ORDER BY abs(chg) DESC, ws, base LIMIT 20)
+      |SELECT ws, base, prev_close, close, chg FROM t ORDER BY ws, base""".stripMargin
+
   private val ohlcGapfillOracle =
     """WITH c AS (
       |  SELECT CAST(epoch(date_trunc('minute', ts)) AS BIGINT) AS ws,
@@ -570,7 +605,9 @@ object Catalog {
     // same direct-from-raw oracle: persist → read-back → merge ≡ direct
     "q_ohlc_tiered" -> QueryDef(qOhlcTiered, Some(ohlcRollupOracle)),
     // minute-grid forward-fill: synthesized flat candles on empty minutes
-    "q_ohlc_gapfill" -> QueryDef(qOhlcGapfill, Some(ohlcGapfillOracle))
+    "q_ohlc_gapfill" -> QueryDef(qOhlcGapfill, Some(ohlcGapfillOracle)),
+    // top-20 |Δclose| minute moves — the monitor atop the candle tier
+    "q_ohlc_moves" -> QueryDef(qOhlcMoves, Some(ohlcMovesOracle))
   )
 
   val defs: Map[String, QueryDef] =

@@ -252,6 +252,37 @@ object Relational {
       .orderedBy("event_id")
   }
 
+  /** The NATIVE as-of exec under the STREAMING engine (27th
+    * batch≡streaming bridge, the custom-SparkPlan one): purchases arrive
+    * as 4 rate-limited micro-batches (maxFilesPerTrigger=1 over the
+    * staged layout) and EACH batch as-of joins the static click table
+    * through [[graft.plans.AsOfJoinExec]] inside foreachBatch — the
+    * stream-static enrichment serving shape, planning the custom
+    * strategy per micro-batch exactly as q_ohlc_rewrite_streamed proves
+    * the optimizer RULE under the micro-batch planner. Every purchase's
+    * match depends only on its own row and the static side, so the
+    * union of per-batch results is the batch answer and the VERBATIM
+    * asofOracle adjudicates. */
+  def joinAsofStreamed(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("event_id").as("p_id"))
+    val tmp = Tables.stageDir(s,
+      s"asof_str_${d.replaceAll("[^A-Za-z0-9.]", "_")}")
+    purchases.repartition(4).write.mode("overwrite").parquet(tmp)
+    Tables.runStreamForeachBatch(s, "asof_streamed_") { cs =>
+      cs.readStream.schema(purchases.schema)
+        .option("maxFilesPerTrigger", 1).parquet(tmp)
+    } { (bs, batch) =>
+      val clicks = Tables.events(bs, d).filter(col("event_type") === "click")
+        .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+          col("event_id").as("click_id"))
+      graft.plans.AsOfJoin.asof(batch, clicks,
+          Seq("user_id"), Seq("c_user"), "ts", "c_ts", Seq("click_id"))
+        .select(col("p_id").as("event_id"), col("click_id").as("asof_click_id"))
+    }.orderedBy("event_id")
+  }
+
   /** TPC-H Q1 shape: partial+final hash aggregation over lineitem. Sums go
     * through exact decimal casts (2dp data); disc_price is a single IEEE
     * multiply per row (deterministic) then an exact decimal sum. */
@@ -690,6 +721,9 @@ object Relational {
     // the SAME oracle adjudicates the native merge exec — composed window
     // formulation and custom SparkPlan must agree row-for-row
     "q_join_asof_native" -> QueryDef(joinAsofNative, Some(asofOracle)),
+    // 27th bridge: the custom exec planned PER MICRO-BATCH (stream-static
+    // as-of enrichment via foreachBatch) — same oracle again
+    "q_join_asof_streamed" -> QueryDef(joinAsofStreamed, Some(asofOracle)),
     "q_agg_hash" -> QueryDef(aggHash, Some(
       """SELECT l_returnflag, l_linestatus,
         |       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,

@@ -46,7 +46,9 @@ object ExplainAudit {
       "q_source_divergence", "q_ohlc_rewrite", "q_ohlc_reference",
       "q_quality_prune", "q_quality_clf", "q_join_bucketed",
       "q_dedup_matrix", "q_datasheet", "q_split_leakfree", "q_meta_count",
-      "q_sim_drift", "q_token_yield", "q_dedup_cc_incr", "q_quality_entropy")
+      "q_sim_drift", "q_token_yield", "q_dedup_cc_incr", "q_quality_entropy",
+      "q_join_asof_native", "q_join_asof_tol_native", "q_ohlc_rollup",
+      "q_ohlc_gapfill", "q_ohlc_tiered")
     names.foreach { n =>
       println(s"\n========== $n ==========")
       n match {

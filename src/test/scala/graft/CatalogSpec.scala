@@ -70,6 +70,17 @@ class CatalogSpec extends SparkTestBase {
     // from-scratch clustering: one whole-graph semantic spec for all three
     assert(o("q_dedup_cc_persisted") == o("q_dedup_cc_incr") &&
       o("q_dedup_cc_incr") == o("q_dedup_cc"))
+    // r13 folds: CC labels, count-min grid, profile registers
+    assert(o("q_dedup_cc_streamed") == o("q_dedup_cc"))
+    assert(o("q_hh_streamed") == o("q_heavy_hitters"))
+    assert(o("q_profile_streamed") == o("q_profile_sketch"))
+    // native exec vs composed twins vs the exec under the micro-batch
+    // planner: one spec, three execution strategies
+    assert(o("q_join_asof_native") == o("q_join_asof") &&
+      o("q_join_asof_streamed") == o("q_join_asof"))
+    assert(o("q_join_asof_tol_native") == o("q_join_asof_tol"))
+    // candle tier: persisted rollup vs inline rollup, direct-from-raw spec
+    assert(o("q_ohlc_tiered") == o("q_ohlc_rollup"))
   }
 
   test("plan guard: index compaction touches the corpus exactly once") {
