@@ -465,7 +465,7 @@ object Catalog {
     val st = src.getFileSystem(spark.sparkContext.hadoopConfiguration)
       .getFileStatus(src)
     val dsafe = dir.replaceAll("[^A-Za-z0-9.]", "_")
-    s"${sys.props("user.dir")}/target/graft_candles/" +
+    s"${Tables.artifactRoot(spark)}/graft_candles/" +
       s"v1_${dsafe}_${st.getLen}_${st.getModificationTime}"
   }
 

@@ -92,6 +92,15 @@ object Tables {
     s"$root/$sub"
   }
 
+  /** Root for BUILD-ONCE artifacts (CC labels, the IVFPQ serving index,
+    * the 1m candle tier): same cluster rule as [[stageDir]] — the
+    * driver-local build dir is only correct on local[n]; cluster runs
+    * route it to shared storage via `spark.graft.artifacts.dir` so the
+    * serve-side scans read a path every executor can reach. */
+  def artifactRoot(s: SparkSession): String =
+    s.conf.get("spark.graft.artifacts.dir",
+      s"${sys.props("user.dir")}/target")
+
   /** Run a finite streaming frame to termination (Trigger.AvailableNow,
     * complete mode, memory sink under a fresh name) and return the
     * materialized result — the executor of the batch≡streaming oracle

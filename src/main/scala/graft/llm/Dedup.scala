@@ -417,7 +417,7 @@ object Dedup {
     // v2 (v1 had no band index): bump when the pair chain / contraction
     // CODE changes semantics — the data fingerprint only invalidates on
     // regen
-    s"${sys.props("user.dir")}/target/graft_labels/v2_${dsafe}_t${tsafe}_$fp"
+    s"${graft.core.Tables.artifactRoot(s)}/graft_labels/v2_${dsafe}_t${tsafe}_$fp"
   }
 
   /** Lazy audit plan for [[ccIncremental]] (tools.ExplainAudit): the

@@ -653,7 +653,7 @@ object SimilarityPq {
       .getFileStatus(src)
     // v1 + knob tag: bump the version when the trainer/encoder CODE
     // changes semantics — the data fingerprint only invalidates on regen
-    s"${sys.props("user.dir")}/target/graft_index/" +
+    s"${graft.core.Tables.artifactRoot(s)}/graft_index/" +
       s"v1_m${m}k${ks}r${rounds}h${trainHexLt}_" +
       s"${d.replaceAll("[^A-Za-z0-9.]", "_")}_${st.getLen}_${st.getModificationTime}"
   }
