@@ -546,6 +546,47 @@ object Catalog {
       |t AS (SELECT * FROM m ORDER BY abs(chg) DESC, ws, base LIMIT 20)
       |SELECT ws, base, prev_close, close, chg FROM t ORDER BY ws, base""".stripMargin
 
+  /** Donchian channel + breakout flags — the rolling-extreme indicator
+    * layer over the minute tier: per base, the channel is the max high /
+    * min low over the PRECEDING 30 minutes EXCLUDING the current minute
+    * (RANGE frame on the epoch-second ws key, so calendar gaps narrow
+    * the frame instead of sliding over a fixed row count), and a close
+    * outside the channel flags a breakout. Deterministic: channel values
+    * are stored doubles selected by max/min, the breakout test is one
+    * comparison of bit-identical doubles, and an empty frame yields NULL
+    * channel/flags on both engines. The window sorts per (base) over
+    * minute rows — candle-tier-sized, never trade-sized. */
+  def qOhlcDonchian(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    graft.expr.GraftFunctions.register(spark)
+    val c = candleSelect(Tables.events(spark, dir))
+    val w = Window.partitionBy("base").orderBy(col("ws"))
+      .rangeBetween(-1800L, -60L)
+    c.select(col("ws"), col("base"), col("high"), col("low"), col("close"),
+        max(col("high")).over(w).as("ch_high"),
+        min(col("low")).over(w).as("ch_low"))
+      .withColumn("breakout_up", (col("close") > col("ch_high")).cast("long"))
+      .withColumn("breakout_dn", (col("close") < col("ch_low")).cast("long"))
+      .orderedBy("ws", "base")
+  }
+
+  private val ohlcDonchianOracle =
+    """WITH c AS (
+      |  SELECT CAST(epoch(date_trunc('minute', ts)) AS BIGINT) AS ws,
+      |         event_type AS base,
+      |         max(value) AS high, min(value) AS low,
+      |         last(value ORDER BY date_trunc('microseconds', ts), value) AS close
+      |  FROM events GROUP BY 1, 2),
+      |w AS (SELECT ws, base, high, low, close,
+      |        max(high) OVER win AS ch_high,
+      |        min(low) OVER win AS ch_low
+      |      FROM c WINDOW win AS (PARTITION BY base ORDER BY ws
+      |        RANGE BETWEEN 1800 PRECEDING AND 60 PRECEDING))
+      |SELECT ws, base, high, low, close, ch_high, ch_low,
+      |       CAST(close > ch_high AS BIGINT) AS breakout_up,
+      |       CAST(close < ch_low AS BIGINT) AS breakout_dn
+      |FROM w ORDER BY ws, base""".stripMargin
+
   private val ohlcGapfillOracle =
     """WITH c AS (
       |  SELECT CAST(epoch(date_trunc('minute', ts)) AS BIGINT) AS ws,
@@ -607,7 +648,9 @@ object Catalog {
     // minute-grid forward-fill: synthesized flat candles on empty minutes
     "q_ohlc_gapfill" -> QueryDef(qOhlcGapfill, Some(ohlcGapfillOracle)),
     // top-20 |Δclose| minute moves — the monitor atop the candle tier
-    "q_ohlc_moves" -> QueryDef(qOhlcMoves, Some(ohlcMovesOracle))
+    "q_ohlc_moves" -> QueryDef(qOhlcMoves, Some(ohlcMovesOracle)),
+    // 30-minute Donchian channel + breakout flags (range-frame window)
+    "q_ohlc_donchian" -> QueryDef(qOhlcDonchian, Some(ohlcDonchianOracle))
   )
 
   val defs: Map[String, QueryDef] =
