@@ -662,5 +662,5 @@ object Catalog {
       graft.llm.Similarity.defs ++ graft.llm.SimilarityPq.defs ++
       graft.llm.SemDedup.defs ++ graft.llm.Vectorize.defs ++
       graft.llm.Multimodal.defs ++ graft.llm.BpeTrain.defs ++
-      graft.llm.Retrieval.defs
+      graft.llm.Retrieval.defs ++ graft.source.TradeLogQueries.defs
 }

@@ -1,0 +1,188 @@
+package graft.source
+
+import java.io.{DataInputStream, DataOutputStream}
+import java.nio.charset.StandardCharsets
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path}
+
+/** The `graft-tradelog` on-disk format — a block-framed binary event log
+  * with a committed manifest, built so the DataSource V2 connector
+  * ([[TradeLogProvider]]) can demonstrate the full source contract this
+  * sandbox cannot exercise against Kafka (no spark-sql-kafka jar, no
+  * egress — reference `main.py:77-87`): real offset-tracked micro-batch
+  * reads, block-statistics skipping, column-pruned decoding, and an
+  * exactly-once distributed write.
+  *
+  * Layout under a directory:
+  *   - `part-<writerPartition>-<taskId>-<uuid>.gtl` — data files, a
+  *     sequence of BLOCKS: `[int32 nRows][int32 payloadLen][payload]`.
+  *   - `index.manifest` — the COMMIT POINT. Header line, then one CSV
+  *     line per block: `file,offset,payloadLen,nRows,minTsUs,maxTsUs`,
+  *     in (file, offset) order — the global block sequence streaming
+  *     offsets index into. Written atomically (temp + rename) by the
+  *     driver-side `BatchWrite.commit`; data files not listed here are
+  *     invisible to readers, which is what makes speculative/retried
+  *     writer tasks and aborted jobs harmless (each writer uses a
+  *     unique filename and only successful tasks' commit messages reach
+  *     the manifest).
+  *
+  * Row payload encoding (schema [[TradeLogFormat.schema]]):
+  *   `[nullMask byte][event_id i64][ts_us i64][user_id i64][value f64]
+  *    [etLen i16][event_type utf8][prLen i32][props utf8]`
+  * Fixed-width fields are always present (zero when null — the mask
+  * decides); var-length fields are present only when non-null. The
+  * decoder materializes ONLY the pruned columns and skips the rest by
+  * arithmetic (fixed) or length-prefix hop (var-length) — column pruning
+  * that actually avoids decode work, the parquet ReadSchema idea at
+  * byte-codec scale.
+  *
+  * Per-block `minTsUs/maxTsUs` (over non-null ts) are the skip
+  * statistics: a pushed ts-range conjunction drops whole blocks at plan
+  * time, so a time-slice query over a day-bucketed, ts-sorted log reads
+  * only the frames it needs — parquet row-group pruning re-expressed for
+  * this format (the write path sorts within partitions by ts, so block
+  * ranges are tight; see [[TradeLogQueries]]).
+  */
+object TradeLogFormat {
+  import org.apache.spark.sql.types._
+
+  val ManifestName = "index.manifest"
+  val ManifestHeader = "graft-tradelog v1"
+  val DefaultBlockRows = 1024
+
+  /** Fixed reader/writer schema (events-table shaped, FIXTURES.md). */
+  val schema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", TimestampType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** One committed block: where it sits and what its ts span is. */
+  final case class BlockMeta(file: String, offset: Long, payloadLen: Int,
+      nRows: Int, minTsUs: Long, maxTsUs: Long) {
+    def csv: String = s"$file,$offset,$payloadLen,$nRows,$minTsUs,$maxTsUs"
+  }
+
+  object BlockMeta {
+    def fromCsv(line: String): BlockMeta = {
+      val a = line.split(",", -1)
+      require(a.length == 6, s"bad manifest line: $line")
+      BlockMeta(a(0), a(1).toLong, a(2).toInt, a(3).toInt,
+        a(4).toLong, a(5).toLong)
+    }
+  }
+
+  /** Executor/driver-side FS handle. A fresh Configuration picks up the
+    * cluster's core-site/hdfs-site from the classpath — the same
+    * resolution every Hadoop-API consumer uses — so the connector works
+    * unchanged against local FS, HDFS, or an object store mount. */
+  def fs(dir: String): (FileSystem, Path) = {
+    val p = new Path(dir)
+    (p.getFileSystem(new Configuration()), p)
+  }
+
+  /** Read the committed manifest: the global block sequence. */
+  def readManifest(dir: String): Seq[BlockMeta] = {
+    val (filesystem, root) = fs(dir)
+    val in = filesystem.open(new Path(root, ManifestName))
+    try {
+      val src = scala.io.Source.fromInputStream(in, "UTF-8")
+      val lines = src.getLines().map(_.trim).filter(_.nonEmpty).toSeq
+      require(lines.headOption.contains(ManifestHeader),
+        s"not a graft-tradelog dir: $dir")
+      lines.tail.map(BlockMeta.fromCsv)
+    } finally in.close()
+  }
+
+  /** Atomic manifest publish: temp file + rename IS the commit. */
+  def writeManifest(dir: String, blocks: Seq[BlockMeta]): Unit = {
+    val (filesystem, root) = fs(dir)
+    val tmp = new Path(root,
+      s".$ManifestName.tmp-${java.util.UUID.randomUUID().toString.take(8)}")
+    val out = filesystem.create(tmp, true)
+    try {
+      val body = (ManifestHeader +: blocks.map(_.csv)).mkString("\n")
+      out.write(body.getBytes(StandardCharsets.UTF_8))
+    } finally out.close()
+    val target = new Path(root, ManifestName)
+    if (filesystem.exists(target)) filesystem.delete(target, false)
+    require(filesystem.rename(tmp, target), s"manifest rename failed: $target")
+  }
+
+  // ---- row codec ------------------------------------------------------
+
+  /** Encode one row (values in [[schema]] field order; null allowed) into
+    * `out`. Returns the row's ts micros, or Long.MinValue when ts null. */
+  def encodeRow(out: DataOutputStream, eventId: java.lang.Long,
+      tsUs: java.lang.Long, userId: java.lang.Long, eventType: String,
+      value: java.lang.Double, props: String): Long = {
+    var mask = 0
+    if (eventId == null) mask |= 1
+    if (tsUs == null) mask |= 2
+    if (userId == null) mask |= 4
+    if (eventType == null) mask |= 8
+    if (value == null) mask |= 16
+    if (props == null) mask |= 32
+    out.writeByte(mask)
+    out.writeLong(if (eventId == null) 0L else eventId)
+    out.writeLong(if (tsUs == null) 0L else tsUs)
+    out.writeLong(if (userId == null) 0L else userId)
+    out.writeDouble(if (value == null) 0.0 else value)
+    if (eventType != null) {
+      val b = eventType.getBytes(StandardCharsets.UTF_8)
+      require(b.length <= Short.MaxValue, "event_type too long")
+      out.writeShort(b.length); out.write(b)
+    }
+    if (props != null) {
+      val b = props.getBytes(StandardCharsets.UTF_8)
+      out.writeInt(b.length); out.write(b)
+    }
+    if (tsUs == null) Long.MinValue else tsUs
+  }
+
+  /** Decode a block payload, materializing only the columns whose
+    * [[schema]] ordinals appear in `wanted` (sorted). Calls `emit` with
+    * the per-ordinal values (UTF8String for strings, boxed primitives,
+    * null for nulls) laid out in `wanted` order. */
+  def decodeBlock(payload: Array[Byte], nRows: Int, wanted: Array[Int])(
+      emit: Array[Any] => Unit): Unit = {
+    val in = new DataInputStream(new java.io.ByteArrayInputStream(payload))
+    val want = new Array[Boolean](6)
+    // ordinal -> output slot (decode order is the BYTE layout — value
+    // before event_type — so slots map by ordinal, never arrival order)
+    val slotOf = new Array[Int](6)
+    wanted.zipWithIndex.foreach { case (ord, i) =>
+      want(ord) = true; slotOf(ord) = i
+    }
+    var r = 0
+    while (r < nRows) {
+      val row = new Array[Any](wanted.length)
+      def put(ord: Int, v: Any): Unit =
+        if (want(ord)) row(slotOf(ord)) = v
+      val mask = in.readUnsignedByte()
+      val eid = in.readLong(); put(0, if ((mask & 1) != 0) null else eid)
+      val ts = in.readLong(); put(1, if ((mask & 2) != 0) null else ts)
+      val uid = in.readLong(); put(2, if ((mask & 4) != 0) null else uid)
+      val v = in.readDouble(); put(4, if ((mask & 16) != 0) null else v)
+      if ((mask & 8) == 0) {
+        val n = in.readUnsignedShort()
+        if (want(3)) {
+          val b = new Array[Byte](n); in.readFully(b)
+          put(3, org.apache.spark.unsafe.types.UTF8String.fromBytes(b))
+        } else in.skipBytes(n)
+      } else put(3, null)
+      if ((mask & 32) == 0) {
+        val n = in.readInt()
+        if (want(5)) {
+          val b = new Array[Byte](n); in.readFully(b)
+          put(5, org.apache.spark.unsafe.types.UTF8String.fromBytes(b))
+        } else in.skipBytes(n)
+      } else put(5, null)
+      emit(row)
+      r += 1
+    }
+  }
+}

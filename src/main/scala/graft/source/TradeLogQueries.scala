@@ -1,0 +1,214 @@
+package graft.source
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.{OracleSql, QueryDef, Tables}
+import graft.core.QueryDef.OrderedOut
+
+/** Catalog queries for the DataSource V2 tradelog connector
+  * ([[TradeLogProvider]]) — each one puts a different leg of the
+  * source/sink contract under the driver's DuckDB hash gate by
+  * round-tripping the events table THROUGH the custom format and
+  * oracling the result against the original parquet:
+  *
+  *   - `q_tradelog_agg` — DSv2 write (distributed, manifest-committed)
+  *     then DSv2 batch read: per-type counts, exact value sums, ts
+  *     extremes. Any encode/decode/commit defect breaks the hash.
+  *   - `q_tradelog_digest` — row-level: an order-independent md5 digest
+  *     over EVERY column (strings, props JSON, µs timestamps), proving
+  *     the codec byte-exact, not just aggregate-exact.
+  *   - `q_tradelog_prune` — a 2-day time slice + projection: the scan
+  *     plans only manifest blocks whose ts span intersects the pushed
+  *     bounds and decodes only the pruned columns (TradeLogSpec pins
+  *     selected < total and the ReadSchema; the filters stay residual,
+  *     so the result is correct regardless — this query's oracle grades
+  *     the VALUES, the spec grades the pruning).
+  *   - `q_tradelog_streamed` — 28th batch≡streaming bridge, and the
+  *     only one through a CUSTOM MicroBatchStream: offset-tracked
+  *     rate-limited micro-batches (`maxBlocksPerTrigger` sized to ~3
+  *     batches at any sf) drain the committed block sequence under
+  *     AvailableNow, complete-mode aggregate, same SQL as the batch
+  *     twin — the Kafka-shaped ingest path with no broker available.
+  *
+  * Build-once artifact (the candle-tier/IVFPQ lifecycle): the log is
+  * written on first use under [[Tables.artifactRoot]], fingerprinted by
+  * the events file's (length, mtime) + a version tag; the atomic
+  * manifest rename is the success marker. Layout: day-bucketed writer
+  * partitions, ts-sorted within each (`sortWithinPartitions`), so block
+  * ts spans are tight and time-slice skipping actually bites — the
+  * time-partitioned log every production event archive keeps.
+  *
+  * 100 TB shape: the write is one narrow exchange (day hash) + local
+  * sort; reads are manifest-planned splits with no driver materialization
+  * (the manifest is block METADATA, ~bytes per 1024 rows — at 100 TB a
+  * production deployment would shard the manifest per day-partition, the
+  * same evolution parquet took with _metadata sidecars).
+  */
+object TradeLogQueries {
+
+  private val FormatName = "graft-tradelog"
+
+  /** Fingerprinted artifact path (the candleTierPath rule). */
+  private def logPath(s: SparkSession, dir: String): String = {
+    val src = new org.apache.hadoop.fs.Path(s"$dir/events.parquet")
+    val st = src.getFileSystem(s.sparkContext.hadoopConfiguration)
+      .getFileStatus(src)
+    val dsafe = dir.replaceAll("[^A-Za-z0-9.]", "_")
+    s"${Tables.artifactRoot(s)}/graft_tradelog/" +
+      s"v1_${dsafe}_${st.getLen}_${st.getModificationTime}"
+  }
+
+  /** Build the log once through the DSv2 WRITE path; the committed
+    * manifest is the success marker (its rename is atomic, so a torn
+    * build cannot present as complete). Returns the artifact path. */
+  def ensureLog(s: SparkSession, dir: String): String = {
+    val path = logPath(s, dir)
+    val (fs, root) = TradeLogFormat.fs(path)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(root,
+        TradeLogFormat.ManifestName))) {
+      Tables.events(s, dir)
+        .select(col("event_id"), col("ts"), col("user_id"),
+          col("event_type"), col("value"), col("props"))
+        .repartition(8, to_date(col("ts")))
+        .sortWithinPartitions("ts")
+        .write.format(FormatName).mode("overwrite")
+        .option("blockRows", 256)
+        .save(path)
+    }
+    path
+  }
+
+  /** The committed log through the batch read path. */
+  def readLog(s: SparkSession, dir: String): DataFrame =
+    s.read.format(FormatName).load(ensureLog(s, dir))
+
+  // ---- q_tradelog_agg -------------------------------------------------
+
+  def tradelogAgg(s: SparkSession, dir: String): DataFrame =
+    aggByType(readLog(s, dir)).orderedBy("event_type")
+
+  /** Shared by the batch query and the streaming bridge (one body, one
+    * claim): per-type count, exact 6dp-lifted value sum (the q_outliers
+    * lane), µs ts extremes. */
+  private def aggByType(log: DataFrame): DataFrame =
+    log.groupBy(col("event_type")).agg(
+      count(lit(1)).as("n"),
+      sum(round(col("value") * 1000000).cast("long")).as("sum_v6"),
+      min(unix_micros(col("ts"))).as("min_ts"),
+      max(unix_micros(col("ts"))).as("max_ts"))
+
+  private val tradelogAggOracle =
+    """SELECT event_type, count(*) AS n,
+      |       CAST(sum(CAST(round(value * 1000000) AS BIGINT)) AS BIGINT) AS sum_v6,
+      |       min(epoch_us(ts)) AS min_ts, max(epoch_us(ts)) AS max_ts
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  // ---- q_tradelog_digest ----------------------------------------------
+
+  /** Row-level round-trip proof: every column folds into an
+    * order-independent content digest per event_type (the q_unpivot
+    * hi/lo-lane discipline — sums of 16-bit md5 prefix lanes recombine
+    * exactly at any corpus size). `value` canonicalizes through its 2dp
+    * stored precision; ts through epoch µs — no cross-engine
+    * double-to-string in the hashed text. */
+  def tradelogDigest(s: SparkSession, dir: String): DataFrame = {
+    val log = readLog(s, dir)
+    val repr = concat_ws("#",
+      col("event_id"), unix_micros(col("ts")), col("user_id"),
+      col("event_type"), round(col("value") * 100).cast("long"),
+      col("props"))
+    val h32 = conv(substring(md5(repr.cast("binary")), 1, 8), 16, 10)
+      .cast("long")
+    log.groupBy(col("event_type")).agg(
+        count(lit(1)).as("n"),
+        sum(shiftright(h32, 16)).as("hi"),
+        sum(h32.bitwiseAND(lit(0xffffL))).as("lo"))
+      .select(col("event_type"), col("n"),
+        (col("hi").cast("decimal(38,0)") * lit(65536) + col("lo"))
+          .cast("string").as("digest"))
+      .orderedBy("event_type")
+  }
+
+  private val tradelogDigestOracle: String = {
+    val hv = OracleSql.hexPrefixToLong("h8")
+    s"""WITH r AS (
+       |  SELECT event_type,
+       |         CAST(event_id AS VARCHAR) || '#' ||
+       |         CAST(epoch_us(ts) AS VARCHAR) || '#' ||
+       |         CAST(user_id AS VARCHAR) || '#' ||
+       |         event_type || '#' ||
+       |         CAST(CAST(round(value * 100) AS BIGINT) AS VARCHAR) || '#' ||
+       |         props AS repr
+       |  FROM events),
+       |h AS (SELECT event_type, substr(md5(repr), 1, 8) AS h8 FROM r),
+       |l AS (SELECT event_type, $hv AS hv FROM h)
+       |SELECT event_type, count(*) AS n,
+       |       CAST(CAST(sum(hv // 65536) AS DECIMAL(38,0)) * 65536
+       |            + CAST(sum(hv % 65536) AS DECIMAL(38,0)) AS VARCHAR) AS digest
+       |FROM l GROUP BY event_type ORDER BY event_type""".stripMargin
+  }
+
+  // ---- q_tradelog_prune -----------------------------------------------
+
+  private val SliceLo = "2024-01-10 00:00:00"
+  private val SliceHi = "2024-01-12 00:00:00"
+
+  /** Time-slice + projection over the log: per-user activity in a 2-day
+    * window. The scan receives the ts bounds (block skip) and the 3-col
+    * ReadSchema (decode skip); Spark re-applies the filters exactly. */
+  def tradelogPrune(s: SparkSession, dir: String): DataFrame =
+    pruneSlice(readLog(s, dir))
+      .groupBy(col("user_id")).agg(
+        count(lit(1)).as("n"),
+        sum(round(col("value") * 1000000).cast("long")).as("sum_v6"))
+      .orderedBy("user_id")
+
+  /** The filtered/projected frame (split out so TradeLogSpec can pin the
+    * planned scan's block selection and read schema on exactly the frame
+    * the catalog query aggregates). */
+  def pruneSlice(log: DataFrame): DataFrame =
+    log.filter(col("ts") >= lit(SliceLo).cast("timestamp") &&
+        col("ts") < lit(SliceHi).cast("timestamp"))
+      .select(col("user_id"), col("value"), col("ts"))
+
+  private val tradelogPruneOracle =
+    s"""SELECT user_id, count(*) AS n,
+       |       CAST(sum(CAST(round(value * 1000000) AS BIGINT)) AS BIGINT) AS sum_v6
+       |FROM events
+       |WHERE ts >= TIMESTAMP '$SliceLo' AND ts < TIMESTAMP '$SliceHi'
+       |GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  // ---- q_tradelog_streamed (28th bridge) ------------------------------
+
+  /** The custom MicroBatchStream under the batch oracle: the committed
+    * block sequence drains in ~3 rate-limited micro-batches (per-sf
+    * sizing from the manifest — a fixed trigger size would collapse to
+    * one batch at sf0.001 or hundreds at sf0.1), complete-mode
+    * aggregation, memory sink, hash-compared against the IDENTICAL SQL
+    * as q_tradelog_agg. TradeLogSpec separately pins that >1 micro-batch
+    * actually ran and that offsets advanced monotonically. */
+  def tradelogStreamed(s: SparkSession, dir: String): DataFrame = {
+    val path = ensureLog(s, dir)
+    val perTrigger = streamTriggerBlocks(path)
+    Tables.runStreamComplete(s, "tradelog_streamed_") { cs =>
+      aggByType(cs.readStream.format(FormatName)
+        .option("maxBlocksPerTrigger", perTrigger).load(path))
+    }.orderedBy("event_type")
+  }
+
+  /** ~3 micro-batches at any scale. */
+  def streamTriggerBlocks(path: String): Int =
+    math.max(1, (TradeLogFormat.readManifest(path).size + 2) / 3)
+
+  val defs: Map[String, QueryDef] = Map(
+    // DSv2 write → DSv2 read round-trip under the aggregate oracle
+    "q_tradelog_agg" -> QueryDef(tradelogAgg, Some(tradelogAggOracle)),
+    // row-level codec proof: every column in an order-independent digest
+    "q_tradelog_digest" -> QueryDef(tradelogDigest, Some(tradelogDigestOracle)),
+    // pushed ts bounds + pruned decode; values oracled, pruning spec-pinned
+    "q_tradelog_prune" -> QueryDef(tradelogPrune, Some(tradelogPruneOracle)),
+    // 28th bridge: the custom MicroBatchStream, rate-limited offsets
+    "q_tradelog_streamed" -> QueryDef(tradelogStreamed, Some(tradelogAggOracle))
+  )
+}

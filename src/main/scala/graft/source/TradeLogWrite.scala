@@ -1,0 +1,154 @@
+package graft.source
+
+import java.io.{BufferedOutputStream, ByteArrayOutputStream, DataOutputStream}
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.write._
+import org.apache.spark.sql.types.StructType
+
+import TradeLogFormat.BlockMeta
+
+/** Exactly-once distributed write for the tradelog format.
+  *
+  * Protocol (the v2 commit contract): every task writes a UNIQUELY named
+  * data file (`part-<partition>-<task>-<uuid>.gtl`) and returns its block
+  * stats as the commit message; only messages from SUCCESSFUL tasks reach
+  * `BatchWrite.commit`, where the driver publishes the manifest
+  * atomically (temp + rename). Readers resolve blocks exclusively through
+  * the manifest, so files from failed, retried, or speculative tasks are
+  * never visible, and an aborted job leaves the previous committed state
+  * readable — the same observable semantics a transactional sink gives a
+  * foreachBatch writer. `SupportsTruncate` backs SaveMode.Overwrite. */
+final class TradeLogWriteBuilder(path: String, info: LogicalWriteInfo)
+    extends WriteBuilder with SupportsTruncate {
+  private var truncateFirst = false
+  // write option: rows per block (the skip-index granularity knob — the
+  // parquet row-group-size analogue)
+  private val blockRows =
+    Option(info.options().get("blockRows")).map(_.toInt)
+      .getOrElse(TradeLogFormat.DefaultBlockRows)
+  override def truncate(): WriteBuilder = { truncateFirst = true; this }
+  override def build(): Write = new Write {
+    override def toBatch: BatchWrite =
+      new TradeLogBatchWrite(path, info.schema(), truncateFirst, blockRows)
+    override def description(): String = s"GraftTradeLog write path=$path"
+  }
+}
+
+final class TradeLogBatchWrite(path: String, schema: StructType,
+    truncateFirst: Boolean, blockRows: Int) extends BatchWrite {
+
+  // written-schema contract: field names/types must match the format
+  require(schema.fields.map(f => (f.name, f.dataType)).sameElements(
+    TradeLogFormat.schema.fields.map(f => (f.name, f.dataType))),
+    s"graft-tradelog expects ${TradeLogFormat.schema.simpleString}, " +
+      s"got ${schema.simpleString}")
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo)
+      : DataWriterFactory = new TradeLogWriterFactory(path, blockRows)
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    if (truncateFirst) {
+      // overwrite: drop previously committed files NOW (commit time, not
+      // task time — concurrent readers of the old manifest stay valid
+      // until the rename below lands)
+      val (fs, root) = TradeLogFormat.fs(path)
+      val old = new org.apache.hadoop.fs.Path(root, TradeLogFormat.ManifestName)
+      val keep = messages.flatMap {
+        case m: TradeLogCommit => m.blocks.map(_.file)
+      }.toSet
+      if (fs.exists(old))
+        TradeLogFormat.readManifest(path).map(_.file).distinct
+          .filterNot(keep)
+          .foreach(f => fs.delete(new org.apache.hadoop.fs.Path(root, f), false))
+    }
+    val blocks = messages.flatMap { case m: TradeLogCommit => m.blocks }
+      .sortBy(b => (b.file, b.offset))
+    TradeLogFormat.writeManifest(path, blocks.toIndexedSeq)
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    val (fs, root) = TradeLogFormat.fs(path)
+    messages.foreach {
+      case m: TradeLogCommit => m.blocks.map(_.file).distinct.foreach(f =>
+        fs.delete(new org.apache.hadoop.fs.Path(root, f), false))
+      case _ => ()
+    }
+  }
+}
+
+final case class TradeLogCommit(blocks: Seq[BlockMeta])
+    extends WriterCommitMessage
+
+final class TradeLogWriterFactory(path: String, blockRows: Int)
+    extends DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long)
+      : DataWriter[InternalRow] =
+    new TradeLogDataWriter(path, partitionId, taskId, blockRows)
+}
+
+/** Per-task writer: buffers rows into blocks of `blockRows`, frames each
+  * block with its header, tracks per-block ts min/max for the skip
+  * index. Input rows arrive as InternalRow in [[TradeLogFormat.schema]]
+  * order (ts = epoch micros, strings = UTF8String). */
+final class TradeLogDataWriter(dir: String, partitionId: Int, taskId: Long,
+    blockRows: Int) extends DataWriter[InternalRow] {
+
+  private val fileName =
+    s"part-$partitionId-$taskId-" +
+      s"${java.util.UUID.randomUUID().toString.take(8)}.gtl"
+  private val (filesystem, root) = TradeLogFormat.fs(dir)
+  private val out = new DataOutputStream(new BufferedOutputStream(
+    filesystem.create(new org.apache.hadoop.fs.Path(root, fileName), true),
+    1 << 16))
+
+  private val blockBuf = new ByteArrayOutputStream(1 << 16)
+  private val blockOut = new DataOutputStream(blockBuf)
+  private var rowsInBlock = 0
+  private var minTs = Long.MaxValue
+  private var maxTs = Long.MinValue
+  private var bytesWritten = 0L
+  private val blocks = scala.collection.mutable.ArrayBuffer.empty[BlockMeta]
+
+  override def write(row: InternalRow): Unit = {
+    val ts = TradeLogFormat.encodeRow(blockOut,
+      if (row.isNullAt(0)) null else java.lang.Long.valueOf(row.getLong(0)),
+      if (row.isNullAt(1)) null else java.lang.Long.valueOf(row.getLong(1)),
+      if (row.isNullAt(2)) null else java.lang.Long.valueOf(row.getLong(2)),
+      if (row.isNullAt(3)) null else row.getUTF8String(3).toString,
+      if (row.isNullAt(4)) null else java.lang.Double.valueOf(row.getDouble(4)),
+      if (row.isNullAt(5)) null else row.getUTF8String(5).toString)
+    if (ts != Long.MinValue) { minTs = minTs.min(ts); maxTs = maxTs.max(ts) }
+    rowsInBlock += 1
+    if (rowsInBlock >= blockRows) flushBlock()
+  }
+
+  private def flushBlock(): Unit = if (rowsInBlock > 0) {
+    blockOut.flush()
+    val payload = blockBuf.toByteArray
+    out.writeInt(rowsInBlock)
+    out.writeInt(payload.length)
+    out.write(payload)
+    blocks += BlockMeta(fileName, bytesWritten, payload.length, rowsInBlock,
+      if (minTs == Long.MaxValue) Long.MinValue else minTs,
+      if (maxTs == Long.MinValue) Long.MaxValue else maxTs)
+    bytesWritten += 8L + payload.length
+    blockBuf.reset(); rowsInBlock = 0
+    minTs = Long.MaxValue; maxTs = Long.MinValue
+  }
+
+  override def commit(): WriterCommitMessage = {
+    flushBlock()
+    out.close()
+    if (blocks.isEmpty) // empty partition: no file to keep
+      filesystem.delete(new org.apache.hadoop.fs.Path(root, fileName), false)
+    TradeLogCommit(blocks.toIndexedSeq)
+  }
+
+  override def abort(): Unit = {
+    out.close()
+    filesystem.delete(new org.apache.hadoop.fs.Path(root, fileName), false)
+  }
+
+  override def close(): Unit = ()
+}
