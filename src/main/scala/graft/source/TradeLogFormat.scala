@@ -85,26 +85,38 @@ object TradeLogFormat {
   }
 
   /** Read the committed manifest: the global block sequence. */
-  def readManifest(dir: String): Seq[BlockMeta] = {
+  def readManifest(dir: String): Seq[BlockMeta] = readManifestFull(dir)._1
+
+  /** Manifest blocks plus the last committed streaming epoch (None for a
+    * batch-written log — the header carries ` epoch=N` only when the
+    * streaming sink published it). */
+  def readManifestFull(dir: String): (Seq[BlockMeta], Option[Long]) = {
     val (filesystem, root) = fs(dir)
     val in = filesystem.open(new Path(root, ManifestName))
     try {
       val src = scala.io.Source.fromInputStream(in, "UTF-8")
       val lines = src.getLines().map(_.trim).filter(_.nonEmpty).toSeq
-      require(lines.headOption.contains(ManifestHeader),
+      val head = lines.headOption.getOrElse("")
+      require(head == ManifestHeader || head.startsWith(ManifestHeader + " "),
         s"not a graft-tradelog dir: $dir")
-      lines.tail.map(BlockMeta.fromCsv)
+      val epoch = "epoch=(\\d+)".r.findFirstMatchIn(head).map(_.group(1).toLong)
+      (lines.tail.map(BlockMeta.fromCsv), epoch)
     } finally in.close()
   }
 
-  /** Atomic manifest publish: temp file + rename IS the commit. */
-  def writeManifest(dir: String, blocks: Seq[BlockMeta]): Unit = {
+  /** Atomic manifest publish: temp file + rename IS the commit. The
+    * streaming sink stamps its epoch into the header so a replayed epoch
+    * commit (driver restart between sink commit and checkpoint write) is
+    * detected and dropped instead of double-appending. */
+  def writeManifest(dir: String, blocks: Seq[BlockMeta],
+      epoch: Option[Long] = None): Unit = {
     val (filesystem, root) = fs(dir)
     val tmp = new Path(root,
       s".$ManifestName.tmp-${java.util.UUID.randomUUID().toString.take(8)}")
     val out = filesystem.create(tmp, true)
     try {
-      val body = (ManifestHeader +: blocks.map(_.csv)).mkString("\n")
+      val head = ManifestHeader + epoch.map(e => s" epoch=$e").getOrElse("")
+      val body = (head +: blocks.map(_.csv)).mkString("\n")
       out.write(body.getBytes(StandardCharsets.UTF_8))
     } finally out.close()
     val target = new Path(root, ManifestName)

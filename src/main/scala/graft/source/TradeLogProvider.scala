@@ -8,6 +8,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog._
 import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.expressions.aggregate
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsAdmissionControl, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.sources
@@ -61,7 +62,8 @@ final class TradeLogTable(path: String)
   override def schema(): StructType = TradeLogFormat.schema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
-      TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
+      TableCapability.BATCH_WRITE, TableCapability.TRUNCATE,
+      TableCapability.STREAMING_WRITE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new TradeLogScanBuilder(path, options)
   override def newWriteBuilder(
@@ -77,12 +79,13 @@ final class TradeLogTable(path: String)
   * how they surface in `.explain` (the parquet PushedFilters pattern). */
 final class TradeLogScanBuilder(path: String, options: CaseInsensitiveStringMap)
     extends ScanBuilder with SupportsPushDownFilters
-    with SupportsPushDownRequiredColumns {
+    with SupportsPushDownRequiredColumns with SupportsPushDownAggregates {
 
   private var required: StructType = TradeLogFormat.schema
   private var accepted: Array[Filter] = Array.empty
   private var tsLo: Long = Long.MinValue
   private var tsHi: Long = Long.MaxValue
+  private var pushedAgg: Option[Seq[aggregate.AggregateFunc]] = None
 
   /** V1 filter values for TimestampType arrive as java.sql.Timestamp or
     * java.time.Instant depending on the session's datetime-java8 conf;
@@ -117,12 +120,92 @@ final class TradeLogScanBuilder(path: String, options: CaseInsensitiveStringMap)
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  override def build(): Scan =
-    new TradeLogScan(path, required, tsLo, tsHi, options)
+  /** COMPLETE aggregate pushdown from block metadata: an unfiltered,
+    * ungrouped `count(*)` / `min(ts)` / `max(ts)` is answered from the
+    * manifest alone (nRows sums; per-block ts extremes are EXACT, not
+    * estimates) — no data file is ever opened. Spark only attempts the
+    * push when no filter remained un-pushed below the aggregate, and the
+    * guard additionally demands this builder saw no filters at all, so a
+    * pushed answer can never silently ignore a predicate. */
+  private def manifestAnswerable(agg: aggregate.Aggregation): Boolean = {
+    def isTs(e: org.apache.spark.sql.connector.expressions.Expression) =
+      e match {
+        case n: org.apache.spark.sql.connector.expressions.NamedReference =>
+          n.fieldNames.sameElements(Array("ts"))
+        case _ => false
+      }
+    agg.groupByExpressions.isEmpty && accepted.isEmpty &&
+      tsLo == Long.MinValue && tsHi == Long.MaxValue &&
+      agg.aggregateExpressions.nonEmpty &&
+      agg.aggregateExpressions.forall {
+        case _: aggregate.CountStar => true
+        case m: aggregate.Min => isTs(m.column)
+        case m: aggregate.Max => isTs(m.column)
+        case _ => false
+      }
+  }
+  override def supportCompletePushDown(agg: aggregate.Aggregation): Boolean =
+    manifestAnswerable(agg)
+  override def pushAggregation(agg: aggregate.Aggregation): Boolean =
+    // partial pushdown is declined: either the manifest answers COMPLETELY
+    // or the normal scan runs
+    manifestAnswerable(agg) && {
+      pushedAgg = Some(agg.aggregateExpressions.toSeq); true
+    }
+
+  override def build(): Scan = pushedAgg match {
+    case Some(aggs) => new TradeLogAggScan(path, aggs)
+    case None => new TradeLogScan(path, required, tsLo, tsHi, options)
+  }
 }
 
+/** Metadata-only scan for a completely-pushed aggregate: ONE row computed
+  * on the driver from the manifest; data files are never opened (spec
+  * proves it by deleting them). Blocks with no non-null ts contribute to
+  * the count but not the extremes — exactly min/max's null handling. */
+final class TradeLogAggScan(path: String,
+    aggs: Seq[aggregate.AggregateFunc]) extends Scan with Batch {
+  import org.apache.spark.sql.types._
+
+  override def readSchema(): StructType = StructType(aggs.zipWithIndex.map {
+    case (_: aggregate.CountStar, i) =>
+      StructField(s"agg_$i", LongType, nullable = false)
+    case (_, i) => StructField(s"agg_$i", TimestampType)
+  })
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"GraftTradeLog PushedAggregates path=$path " +
+      s"[${aggs.map(_.toString).mkString(", ")}]"
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val blocks = TradeLogFormat.readManifest(path)
+    val withTs = blocks.filter(_.minTsUs != Long.MinValue)
+    val values: Array[Any] = aggs.map {
+      case _: aggregate.CountStar => blocks.map(_.nRows.toLong).sum
+      case _: aggregate.Min =>
+        if (withTs.isEmpty) null else withTs.map(_.minTsUs).min
+      case _ =>
+        if (withTs.isEmpty) null else withTs.map(_.maxTsUs).max
+    }.toArray
+    Array(TradeLogAggRow(values))
+  }
+  override def createReaderFactory(): PartitionReaderFactory =
+    (partition: InputPartition) => {
+      val vs = partition.asInstanceOf[TradeLogAggRow].values
+      new PartitionReader[InternalRow] {
+        private var done = false
+        override def next(): Boolean = !done && { done = true; true }
+        override def get(): InternalRow = new GenericInternalRow(vs)
+        override def close(): Unit = ()
+      }
+    }
+}
+
+final case class TradeLogAggRow(values: Array[Any]) extends InputPartition
+
 final class TradeLogScan(path: String, required: StructType,
-    tsLo: Long, tsHi: Long, options: CaseInsensitiveStringMap) extends Scan {
+    tsLo: Long, tsHi: Long, options: CaseInsensitiveStringMap)
+    extends Scan with SupportsReportStatistics {
 
   /** Ordinals (into [[TradeLogFormat.schema]]) the reader materializes,
     * in pruned-schema order. */
@@ -140,6 +223,18 @@ final class TradeLogScan(path: String, required: StructType,
       b.minTsUs == Long.MinValue || (b.minTsUs <= tsHi && b.maxTsUs >= tsLo))
 
   override def readSchema(): StructType = required
+
+  /** Post-skip manifest stats (EXACT pre-residual-filter figures, the
+    * estimate contract) — what lets Catalyst cost a tradelog side small
+    * enough to broadcast after a time-slice, instead of defaulting to a
+    * shuffle join on an unknown-size custom source. */
+  override def estimateStatistics(): Statistics = new Statistics {
+    override def sizeInBytes(): java.util.OptionalLong =
+      java.util.OptionalLong.of(selectedBlocks.map(_.payloadLen.toLong).sum)
+    override def numRows(): java.util.OptionalLong =
+      java.util.OptionalLong.of(selectedBlocks.map(_.nRows.toLong).sum)
+  }
+
   override def description(): String = {
     val sel = if (tsLo == Long.MinValue && tsHi == Long.MaxValue) "all"
     else s"${selectedBlocks.size}/${allBlocks.size}"

@@ -179,6 +179,65 @@ object TradeLogQueries {
        |WHERE ts >= TIMESTAMP '$SliceLo' AND ts < TIMESTAMP '$SliceHi'
        |GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  // ---- q_tradelog_pushdown --------------------------------------------
+
+  /** Complete DSv2 aggregate pushdown: unfiltered count/min-ts/max-ts over
+    * the log are answered from the manifest's block metadata alone — the
+    * plan's scan is [[TradeLogAggScan]] (TradeLogSpec pins it, and proves
+    * the no-data-read claim by deleting every data file and re-running).
+    * Output leaves as epoch µs so no timestamp crosses engines. */
+  def tradelogPushdown(s: SparkSession, dir: String): DataFrame =
+    readLog(s, dir)
+      .agg(count(lit(1)).as("n"), min(col("ts")).as("mn"),
+        max(col("ts")).as("mx"))
+      .select(col("n"), unix_micros(col("mn")).as("min_ts"),
+        unix_micros(col("mx")).as("max_ts"))
+
+  private val tradelogPushdownOracle =
+    """SELECT count(*) AS n, epoch_us(min(ts)) AS min_ts,
+      |       epoch_us(max(ts)) AS max_ts FROM events""".stripMargin
+
+  // ---- q_tradelog_sink_streamed (29th bridge: the STREAMING SINK) -----
+
+  /** The custom STREAMING sink under the batch oracle — the Kafka-sink
+    * analogue (reference `main.py:208-217`) with the manifest as the
+    * transaction log: events stream in 4 rate-limited micro-batches
+    * (maxFilesPerTrigger=1 over the staged 4-file layout) through
+    * `writeStream.format("graft-tradelog")`, each epoch appending its
+    * blocks to the manifest in one atomic rename; the committed log is
+    * then read back through the batch scan and must hash-match the SAME
+    * aggregate oracle as the other tradelog queries. TradeLogSpec pins
+    * the epoch stamp advanced past batch 0, ≥2 data files landed, and
+    * that a replayed epoch commit is dropped (exactly-once). */
+  def tradelogSinkStreamed(s: SparkSession, dir: String): DataFrame = {
+    val dsafe = dir.replaceAll("[^A-Za-z0-9.]", "_")
+    val stage = Tables.stageDir(s, s"tlog_sink_src_$dsafe")
+    val ev = Tables.events(s, dir)
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value"), col("props"))
+    ev.repartition(4).write.mode("overwrite").parquet(stage)
+    // fresh sink dir per run: the epoch guard would (correctly) treat a
+    // rerun from a fresh checkpoint as a replay of epoch 0 and drop it
+    val sinkDir = Tables.stageDir(s,
+      s"tlog_sink_out_${java.util.UUID.randomUUID().toString.take(8)}")
+    val cs = s.newSession()
+    cs.conf.set("spark.sql.shuffle.partitions", "8")
+    val q = cs.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", 1).parquet(stage)
+      .writeStream.format(FormatName)
+      .option("checkpointLocation", s"$sinkDir/_ckpt")
+      .option("blockRows", 256)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start(s"$sinkDir/log")
+    q.awaitTermination()
+    val out = aggByType(s.read.format(FormatName).load(s"$sinkDir/log"))
+      .orderedBy("event_type").localCheckpoint(true)
+    val (fs, root) = TradeLogFormat.fs(sinkDir)
+    fs.delete(root, true)
+    out
+  }
+
   // ---- q_tradelog_streamed (28th bridge) ------------------------------
 
   /** The custom MicroBatchStream under the batch oracle: the committed
@@ -209,6 +268,12 @@ object TradeLogQueries {
     // pushed ts bounds + pruned decode; values oracled, pruning spec-pinned
     "q_tradelog_prune" -> QueryDef(tradelogPrune, Some(tradelogPruneOracle)),
     // 28th bridge: the custom MicroBatchStream, rate-limited offsets
-    "q_tradelog_streamed" -> QueryDef(tradelogStreamed, Some(tradelogAggOracle))
+    "q_tradelog_streamed" -> QueryDef(tradelogStreamed, Some(tradelogAggOracle)),
+    // complete aggregate pushdown: answered from block metadata only
+    "q_tradelog_pushdown" -> QueryDef(tradelogPushdown,
+      Some(tradelogPushdownOracle)),
+    // 29th bridge: the custom STREAMING SINK (epoch-committed manifest)
+    "q_tradelog_sink_streamed" -> QueryDef(tradelogSinkStreamed,
+      Some(tradelogAggOracle))
   )
 }

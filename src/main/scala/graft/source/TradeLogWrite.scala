@@ -4,6 +4,7 @@ import java.io.{BufferedOutputStream, ByteArrayOutputStream, DataOutputStream}
 
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.write._
+import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactory, StreamingWrite}
 import org.apache.spark.sql.types.StructType
 
 import TradeLogFormat.BlockMeta
@@ -31,8 +32,71 @@ final class TradeLogWriteBuilder(path: String, info: LogicalWriteInfo)
   override def build(): Write = new Write {
     override def toBatch: BatchWrite =
       new TradeLogBatchWrite(path, info.schema(), truncateFirst, blockRows)
+    override def toStreaming: StreamingWrite = {
+      require(!truncateFirst,
+        "graft-tradelog streaming sink is append-only (no complete/update)")
+      new TradeLogStreamingWrite(path, info.schema(), blockRows)
+    }
     override def description(): String = s"GraftTradeLog write path=$path"
   }
+}
+
+/** Streaming (micro-batch) sink: each epoch's writers use the same
+  * uniquely-named-file protocol as the batch write; `commit(epoch, …)`
+  * APPENDS the epoch's blocks to the manifest and stamps the epoch into
+  * the manifest header — one atomic rename per epoch. Exactly-once: a
+  * REPLAYED epoch (driver restarted after the sink committed but before
+  * the engine logged the batch) is detected by the stamped epoch and its
+  * duplicate files are dropped instead of double-appended — the
+  * idempotent-sink contract the engine's offset log assumes. */
+final class TradeLogStreamingWrite(path: String, schema: StructType,
+    blockRows: Int) extends StreamingWrite {
+
+  require(schema.fields.map(f => (f.name, f.dataType)).sameElements(
+    TradeLogFormat.schema.fields.map(f => (f.name, f.dataType))),
+    s"graft-tradelog expects ${TradeLogFormat.schema.simpleString}, " +
+      s"got ${schema.simpleString}")
+
+  override def createStreamingWriterFactory(info: PhysicalWriteInfo)
+      : StreamingDataWriterFactory =
+    new TradeLogStreamingWriterFactory(path, blockRows)
+
+  override def commit(epochId: Long,
+      messages: Array[WriterCommitMessage]): Unit = {
+    val (fs, root) = TradeLogFormat.fs(path)
+    val fresh = messages.flatMap { case m: TradeLogCommit => m.blocks }
+      .sortBy(b => (b.file, b.offset)).toIndexedSeq
+    val hasManifest = fs.exists(
+      new org.apache.hadoop.fs.Path(root, TradeLogFormat.ManifestName))
+    val (existing, lastEpoch) =
+      if (hasManifest) TradeLogFormat.readManifestFull(path)
+      else (Seq.empty[BlockMeta], None)
+    if (lastEpoch.exists(_ >= epochId)) {
+      // epoch replay: the previous attempt already published — drop the
+      // duplicates, leave the committed manifest untouched
+      fresh.map(_.file).distinct.foreach(f =>
+        fs.delete(new org.apache.hadoop.fs.Path(root, f), false))
+    } else {
+      TradeLogFormat.writeManifest(path, existing ++ fresh, Some(epochId))
+    }
+  }
+
+  override def abort(epochId: Long,
+      messages: Array[WriterCommitMessage]): Unit = {
+    val (fs, root) = TradeLogFormat.fs(path)
+    messages.foreach {
+      case m: TradeLogCommit => m.blocks.map(_.file).distinct.foreach(f =>
+        fs.delete(new org.apache.hadoop.fs.Path(root, f), false))
+      case _ => ()
+    }
+  }
+}
+
+final class TradeLogStreamingWriterFactory(path: String, blockRows: Int)
+    extends StreamingDataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long, epochId: Long)
+      : DataWriter[InternalRow] =
+    new TradeLogDataWriter(path, partitionId, taskId, blockRows)
 }
 
 final class TradeLogBatchWrite(path: String, schema: StructType,

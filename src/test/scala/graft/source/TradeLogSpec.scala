@@ -158,6 +158,103 @@ class TradeLogSpec extends SparkTestBase {
     assert(ends.last == nBlocks, s"drain must reach $nBlocks: $ends")
   }
 
+  test("aggregate pushdown: count/min/max answered from the manifest, no data read") {
+    val dir = tmpDir("aggpush")
+    df(trickyRows).write.format(Fmt).mode("overwrite")
+      .option("blockRows", 2).save(dir)
+    val agg = spark.read.format(Fmt).load(dir)
+      .agg(count(lit(1)).as("n"), min(col("ts")).as("mn"),
+        max(col("ts")).as("mx"))
+    val pushed = agg.queryExecution.sparkPlan.collect {
+      case b: BatchScanExec => b.scan
+    }
+    assert(pushed.exists(_.isInstanceOf[TradeLogAggScan]),
+      s"aggregate not pushed: ${agg.queryExecution.sparkPlan}")
+    // the no-data-read proof: delete every data file; the manifest alone
+    // must still answer (and a row-level read must now fail)
+    val (fs, root) = TradeLogFormat.fs(dir)
+    TradeLogFormat.readManifest(dir).map(_.file).distinct.foreach(f =>
+      fs.delete(new org.apache.hadoop.fs.Path(root, f), false))
+    val r = agg.collect().head
+    assert(r.getLong(0) == 6)
+    assert(r.getTimestamp(1) == ts("2024-01-01 00:00:00"))
+    assert(r.getTimestamp(2) == ts("2024-01-01 00:00:04"))
+    intercept[Exception] {
+      spark.read.format(Fmt).load(dir).select("event_id").collect()
+    }
+    // a filtered aggregate must NOT push (the guard + Spark's own gating)
+    val dir2 = tmpDir("aggpush2")
+    df(trickyRows).write.format(Fmt).mode("overwrite").save(dir2)
+    val filtered = spark.read.format(Fmt).load(dir2)
+      .filter(col("event_type") === "click").agg(count(lit(1)))
+    assert(!filtered.queryExecution.sparkPlan.collect {
+      case b: BatchScanExec => b.scan
+    }.exists(_.isInstanceOf[TradeLogAggScan]))
+    assert(filtered.collect().head.getLong(0) == 1)
+  }
+
+  test("scan reports manifest statistics, shrunk by block skipping") {
+    val dir = tmpDir("stats")
+    val rows = (0L until 40L).map(i =>
+      Row(i, ts(f"2024-01-01 ${i / 10}%02d:00:00"), i, "t", i.toDouble, "{}"))
+    df(rows).coalesce(1).sortWithinPartitions("ts")
+      .write.format(Fmt).mode("overwrite").option("blockRows", 5).save(dir)
+    val full = scanOf(spark.read.format(Fmt).load(dir))
+    assert(full.estimateStatistics().numRows().getAsLong == 40)
+    val sliced = scanOf(spark.read.format(Fmt).load(dir).filter(
+      col("ts") >= lit("2024-01-01 01:00:00").cast("timestamp") &&
+        col("ts") < lit("2024-01-01 02:00:00").cast("timestamp")))
+    val n = sliced.estimateStatistics().numRows().getAsLong
+    assert(n < 40 && n >= 10, s"pruned stats should shrink: $n")
+    assert(sliced.estimateStatistics().sizeInBytes().getAsLong <
+      full.estimateStatistics().sizeInBytes().getAsLong)
+  }
+
+  test("streaming sink: epoch-committed appends; replayed epoch is dropped") {
+    val srcDir = tmpDir("sink-src")
+    val rows = (0L until 20L).map(i =>
+      Row(i, ts(f"2024-01-01 00:${i}%02d:00"), i, if (i % 2 == 0) "a" else "b",
+        i.toDouble, "{}"))
+    df(rows).repartition(4).write.mode("overwrite").parquet(srcDir)
+    val sinkDir = tmpDir("sink-out") + "/log"
+    val q = spark.readStream.schema(TradeLogFormat.schema)
+      .option("maxFilesPerTrigger", 1).parquet(srcDir)
+      .writeStream.format(Fmt)
+      .option("checkpointLocation", s"$sinkDir/../_ckpt")
+      .option("blockRows", 4)
+      .outputMode("append").trigger(Trigger.AvailableNow()).start(sinkDir)
+    q.awaitTermination(120000L)
+    val (blocks, epoch) = TradeLogFormat.readManifestFull(sinkDir)
+    assert(epoch.exists(_ >= 3), s"4 micro-batches should stamp epoch>=3: $epoch")
+    assert(blocks.map(_.file).distinct.size >= 2,
+      "epoch appends should accumulate files from multiple batches")
+    assert(canon(spark.read.format(Fmt).load(sinkDir)) == canon(df(rows)))
+
+    // exactly-once: replaying an already-committed epoch must change
+    // nothing and must delete the replay's duplicate files
+    val sw = new TradeLogStreamingWrite(sinkDir, TradeLogFormat.schema, 4)
+    val w = new TradeLogDataWriter(sinkDir, 0, 99L, 4)
+    rows.take(3).foreach { r =>
+      w.write(org.apache.spark.sql.catalyst.InternalRow(
+        r.getLong(0),
+        Math.multiplyExact(r.getTimestamp(1).getTime, 1000L),
+        r.getLong(2),
+        org.apache.spark.unsafe.types.UTF8String.fromString(r.getString(3)),
+        r.getDouble(4),
+        org.apache.spark.unsafe.types.UTF8String.fromString(r.getString(5))))
+    }
+    val msg = w.commit().asInstanceOf[TradeLogCommit]
+    sw.commit(epoch.get, Array(msg)) // replay of the LAST committed epoch
+    val (after, epochAfter) = TradeLogFormat.readManifestFull(sinkDir)
+    assert(after == blocks && epochAfter == epoch,
+      "replayed epoch must leave the manifest untouched")
+    val (fs, root) = TradeLogFormat.fs(sinkDir)
+    msg.blocks.map(_.file).distinct.foreach(f => assert(
+      !fs.exists(new org.apache.hadoop.fs.Path(root, f)),
+      s"replay's duplicate file must be dropped: $f"))
+    assert(canon(spark.read.format(Fmt).load(sinkDir)) == canon(df(rows)))
+  }
+
   test("offset json round-trips; malformed json is rejected") {
     assert(TradeLogOffset.fromJson(TradeLogOffset(7).json()).block == 7)
     assert(TradeLogOffset.fromJson(""" { "block" : 12 } """).block == 12)
