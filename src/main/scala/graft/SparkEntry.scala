@@ -387,15 +387,10 @@ object Catalog {
       |                 / CAST(sum(CAST(value AS DECIMAL(20,6))) AS DOUBLE) END AS vwap
       |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
-  private val ohlcOracle =
-    """SELECT CAST(epoch(date_trunc('minute', ts)) AS BIGINT) AS ws,
-      |       event_type AS base,
-      |       first(value ORDER BY date_trunc('microseconds', ts), value) AS open,
-      |       max(value) AS high,
-      |       min(value) AS low,
-      |       last(value ORDER BY date_trunc('microseconds', ts), value) AS close,
-      |       CAST(sum(CAST(value AS DECIMAL(20,6))) AS DOUBLE) AS volume
-      |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+  // the canonical candle oracle lives on OhlcPipeline (no back-reference
+  // into this catalog object, so source-module defs can share it without
+  // a clinit cycle)
+  private def ohlcOracle = graft.ohlc.OhlcPipeline.ohlcOracle
 
   /** 5-minute candles REBUILT FROM the 1-minute candles — the
     * hierarchical resolution rollup every multi-resolution chart/archive

@@ -102,6 +102,21 @@ object OhlcPipeline {
       )
   }
 
+  /** The canonical 1-minute-candle DuckDB oracle over `events` (ws as
+    * epoch seconds, raw-double OHLC, exact-decimal volume — SURVEY §7.4
+    * determinism rules). Every query that claims candle semantics —
+    * batch, rewrite, and all streaming bridges — hash-compares against
+    * THIS text, so the bridges adjudicate the engine, not a twin. */
+  val ohlcOracle: String =
+    """SELECT CAST(epoch(date_trunc('minute', ts)) AS BIGINT) AS ws,
+      |       event_type AS base,
+      |       first(value ORDER BY date_trunc('microseconds', ts), value) AS open,
+      |       max(value) AS high,
+      |       min(value) AS low,
+      |       last(value ORDER BY date_trunc('microseconds', ts), value) AS close,
+      |       CAST(sum(CAST(value AS DECIMAL(20,6))) AS DOUBLE) AS volume
+      |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   /** Candle rows → Kafka-shaped output (topic, key, JSON value) —
     * main.py:173-188. */
   def toKafkaOutput(candles: DataFrame, topicPrefix: String): DataFrame =

@@ -112,8 +112,12 @@ object TradeLogQueries {
     * exactly at any corpus size). `value` canonicalizes through its 2dp
     * stored precision; ts through epoch µs — no cross-engine
     * double-to-string in the hashed text. */
-  def tradelogDigest(s: SparkSession, dir: String): DataFrame = {
-    val log = readLog(s, dir)
+  def tradelogDigest(s: SparkSession, dir: String): DataFrame =
+    digestOver(readLog(s, dir))
+
+  /** The digest body, shared with [[tradelogCompact]] (one expression
+    * tree, one claim — both logs must reproduce the same oracle hash). */
+  private def digestOver(log: DataFrame): DataFrame = {
     val repr = concat_ws("#",
       col("event_id"), unix_micros(col("ts")), col("user_id"),
       col("event_type"), round(col("value") * 100).cast("long"),
@@ -260,6 +264,67 @@ object TradeLogQueries {
   def streamTriggerBlocks(path: String): Int =
     math.max(1, (TradeLogFormat.readManifest(path).size + 2) / 3)
 
+  // ---- q_ohlc_tradelog (30th bridge: the reference dataflow, custom source)
+
+  /** The reference's PRODUCTION dataflow end-to-end through the custom
+    * connector — the closest this sandbox gets to `main.py`'s
+    * Kafka→parse→1-minute-OHLC pipeline (`main.py:77-188`): trades stream
+    * out of the tradelog via [[TradeLogMicroBatchStream]] in rate-limited
+    * micro-batches, the candle aggregation (custom ordered first/last
+    * open/close, exact-decimal volume) folds per-window state across
+    * those batches under the StateStore, and the result must hash-match
+    * `q_ohlc_1m`'s OWN oracle over the original parquet — custom source,
+    * codec, offsets, AND the OHLC engine adjudicated by one gate. */
+  def ohlcTradelogStreamed(s: SparkSession, dir: String): DataFrame = {
+    val path = ensureLog(s, dir)
+    val perTrigger = streamTriggerBlocks(path)
+    Tables.runStreamComplete(s, "ohlc_tlog_") { cs =>
+      val trades = cs.readStream.format(FormatName)
+        .option("maxBlocksPerTrigger", perTrigger).load(path)
+      graft.ohlc.OhlcPipeline.candles(
+          trades.withColumn("qty_dec", col("value").cast("decimal(20,6)")),
+          windowDuration = "1 minute", tsCol = "ts", priceCol = "value",
+          qtyCol = "qty_dec", symbolCol = "event_type")
+        .select(unix_timestamp(col("start_ts")).as("ws"), col("base"),
+          col("open"), col("high"), col("low"), col("close"),
+          col("volume").cast("double").as("volume"))
+    }.orderedBy("ws", "base")
+  }
+
+  // ---- q_tradelog_compact ---------------------------------------------
+
+  /** Log COMPACTION — the OPTIMIZE maintenance op every block format
+    * needs once streaming-sink epochs have accumulated small blocks: the
+    * committed log rewrites THROUGH the DSv2 write path into 8× larger
+    * ts-sorted blocks under a fresh fingerprinted artifact (the
+    * build-once rule — source artifact (len, mtime) keys the path), and
+    * the atomic manifest publish is the swap. The row-level digest over
+    * the COMPACTED log must equal `q_tradelog_digest`'s oracle over the
+    * original parquet — compaction preserved every byte of every column —
+    * and TradeLogSpec pins the mechanical claim (strictly fewer blocks,
+    * fewer files). 100 TB shape: compaction is one narrow day-keyed
+    * exchange + local sort, same as the build; at scale it runs
+    * per-day-partition, not whole-log. */
+  def tradelogCompact(s: SparkSession, dir: String): DataFrame =
+    digestOver(s.read.format(FormatName).load(ensureCompacted(s, dir)))
+
+  /** Build-once compacted twin of [[ensureLog]]'s artifact. */
+  def ensureCompacted(s: SparkSession, dir: String): String = {
+    val src = ensureLog(s, dir)
+    val path = s"$src-compacted"
+    val (fs, root) = TradeLogFormat.fs(path)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(root,
+        TradeLogFormat.ManifestName))) {
+      s.read.format(FormatName).load(src)
+        .repartition(4, to_date(col("ts")))
+        .sortWithinPartitions("ts")
+        .write.format(FormatName).mode("overwrite")
+        .option("blockRows", 2048)
+        .save(path)
+    }
+    path
+  }
+
   val defs: Map[String, QueryDef] = Map(
     // DSv2 write → DSv2 read round-trip under the aggregate oracle
     "q_tradelog_agg" -> QueryDef(tradelogAgg, Some(tradelogAggOracle)),
@@ -274,6 +339,13 @@ object TradeLogQueries {
       Some(tradelogPushdownOracle)),
     // 29th bridge: the custom STREAMING SINK (epoch-committed manifest)
     "q_tradelog_sink_streamed" -> QueryDef(tradelogSinkStreamed,
-      Some(tradelogAggOracle))
+      Some(tradelogAggOracle)),
+    // 30th bridge: the reference's Kafka->OHLC dataflow through the
+    // custom source, adjudicated by q_ohlc_1m's own oracle
+    "q_ohlc_tradelog" -> QueryDef(ohlcTradelogStreamed,
+      Some(graft.ohlc.OhlcPipeline.ohlcOracle)),
+    // OPTIMIZE: compaction preserves the row-level digest, fewer blocks
+    "q_tradelog_compact" -> QueryDef(tradelogCompact,
+      Some(tradelogDigestOracle))
   )
 }

@@ -255,6 +255,20 @@ class TradeLogSpec extends SparkTestBase {
     assert(canon(spark.read.format(Fmt).load(sinkDir)) == canon(df(rows)))
   }
 
+  test("compaction: strictly fewer blocks and files, identical content") {
+    val d = "/root/testdata/sf0.001"
+    val src = TradeLogQueries.ensureLog(spark, d)
+    val cmp = TradeLogQueries.ensureCompacted(spark, d)
+    val before = TradeLogFormat.readManifest(src)
+    val after = TradeLogFormat.readManifest(cmp)
+    assert(after.size < before.size,
+      s"compaction must shrink blocks: ${before.size} -> ${after.size}")
+    assert(after.map(_.file).distinct.size <= before.map(_.file).distinct.size)
+    assert(after.map(_.nRows.toLong).sum == before.map(_.nRows.toLong).sum)
+    assert(canon(spark.read.format(Fmt).load(cmp)) ==
+      canon(spark.read.format(Fmt).load(src)))
+  }
+
   test("offset json round-trips; malformed json is rejected") {
     assert(TradeLogOffset.fromJson(TradeLogOffset(7).json()).block == 7)
     assert(TradeLogOffset.fromJson(""" { "block" : 12 } """).block == 12)
