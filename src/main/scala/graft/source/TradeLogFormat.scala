@@ -60,20 +60,70 @@ object TradeLogFormat {
     StructField("value", DoubleType),
     StructField("props", StringType)))
 
-  /** One committed block: where it sits and what its ts span is. */
+  /** One committed block: where it sits, its ts span, and (7th CSV field,
+    * optional for manifests written before it existed) a hex-encoded
+    * user_id bloom filter — the parquet column-bloom idea at block
+    * granularity, so point lookups and runtime join filters skip blocks
+    * whose bloom provably misses every requested id. */
   final case class BlockMeta(file: String, offset: Long, payloadLen: Int,
-      nRows: Int, minTsUs: Long, maxTsUs: Long) {
-    def csv: String = s"$file,$offset,$payloadLen,$nRows,$minTsUs,$maxTsUs"
+      nRows: Int, minTsUs: Long, maxTsUs: Long, bloomHex: String = "") {
+    def csv: String =
+      s"$file,$offset,$payloadLen,$nRows,$minTsUs,$maxTsUs,$bloomHex"
+    def mightContainUser(id: Long): Boolean =
+      TradeLogFormat.bloomMightContain(bloomHex, id)
   }
 
   object BlockMeta {
     def fromCsv(line: String): BlockMeta = {
       val a = line.split(",", -1)
-      require(a.length == 6, s"bad manifest line: $line")
+      require(a.length == 6 || a.length == 7, s"bad manifest line: $line")
       BlockMeta(a(0), a(1).toLong, a(2).toInt, a(3).toInt,
-        a(4).toLong, a(5).toLong)
+        a(4).toLong, a(5).toLong, if (a.length == 7) a(6) else "")
     }
   }
+
+  // ---- per-block user_id bloom ---------------------------------------
+  // m = 8 bits per buffered row (m/n = 8, k = 3 → ~3% false positives at
+  // a full block), double hashing from a splitmix64 mix — the same
+  // fingerprint discipline as the dedup lanes: pure integer ops,
+  // deterministic on any JVM/partitioning.
+
+  private def mix64(z0: Long): Long = {
+    var z = z0 + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  private def bloomPositions(id: Long, mBits: Int): Seq[Int] = {
+    val h1 = mix64(id)
+    val h2 = mix64(id ^ 0x5851f42d4c957f2dL) | 1L
+    (0 until 3).map(i => (((h1 + i * h2) & Long.MaxValue) % mBits).toInt)
+  }
+
+  /** Fresh bloom accumulator for a block of up to `blockRows` rows. */
+  def bloomAlloc(blockRows: Int): Array[Long] =
+    new Array[Long](math.max(1, blockRows / 8)) // 8*blockRows bits / 64
+
+  def bloomAdd(bits: Array[Long], id: Long): Unit =
+    bloomPositions(id, bits.length * 64).foreach(p =>
+      bits(p >>> 6) |= (1L << (p & 63)))
+
+  def bloomHex(bits: Array[Long]): String =
+    bits.map(w => f"$w%016x").mkString
+
+  /** Conservative check: an absent bloom (legacy manifest line) reports
+    * "might contain". An all-zero bloom (every user_id in the block was
+    * null) correctly reports a miss for every id — null never equals. */
+  def bloomMightContain(hex: String, id: Long): Boolean =
+    hex.isEmpty || {
+      val mBits = hex.length * 4
+      bloomPositions(id, mBits).forall { p =>
+        val word = java.lang.Long.parseUnsignedLong(
+          hex.substring((p >>> 6) * 16, (p >>> 6) * 16 + 16), 16)
+        (word & (1L << (p & 63))) != 0
+      }
+    }
 
   /** Executor/driver-side FS handle. A fresh Configuration picks up the
     * cluster's core-site/hdfs-site from the classpath — the same

@@ -7,8 +7,9 @@ import scala.jdk.CollectionConverters._
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog._
-import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference, Transform}
 import org.apache.spark.sql.connector.expressions.aggregate
+import org.apache.spark.sql.connector.expressions.filter.Predicate
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsAdmissionControl, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.sources
@@ -100,6 +101,10 @@ final class TradeLogScanBuilder(path: String, options: CaseInsensitiveStringMap)
     case _ => None
   }
 
+  private var userIds: Option[Set[Long]] = None
+  private def restrictUsers(ids: Set[Long]): Unit =
+    userIds = Some(userIds.fold(ids)(_ intersect ids))
+
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     accepted = filters.flatMap {
       case f @ sources.GreaterThan("ts", v) =>
@@ -112,6 +117,11 @@ final class TradeLogScanBuilder(path: String, options: CaseInsensitiveStringMap)
         tsMicros(v).map { m => tsHi = tsHi.min(m); f }
       case f @ sources.EqualTo("ts", v) =>
         tsMicros(v).map { m => tsLo = tsLo.max(m); tsHi = tsHi.min(m); f }
+      // user_id point/set predicates drive the per-block bloom skip
+      case f @ sources.EqualTo("user_id", v: Long) =>
+        restrictUsers(Set(v)); Some(f)
+      case f @ sources.In("user_id", vs) =>
+        restrictUsers(vs.collect { case l: Long => l }.toSet); Some(f)
       case _ => None
     }
     filters // everything stays residual — skipping is advisory-only
@@ -155,7 +165,8 @@ final class TradeLogScanBuilder(path: String, options: CaseInsensitiveStringMap)
 
   override def build(): Scan = pushedAgg match {
     case Some(aggs) => new TradeLogAggScan(path, aggs)
-    case None => new TradeLogScan(path, required, tsLo, tsHi, options)
+    case None =>
+      new TradeLogScan(path, required, tsLo, tsHi, userIds, options)
   }
 }
 
@@ -204,8 +215,10 @@ final class TradeLogAggScan(path: String,
 final case class TradeLogAggRow(values: Array[Any]) extends InputPartition
 
 final class TradeLogScan(path: String, required: StructType,
-    tsLo: Long, tsHi: Long, options: CaseInsensitiveStringMap)
-    extends Scan with SupportsReportStatistics {
+    tsLo: Long, tsHi: Long, userIds: Option[Set[Long]],
+    options: CaseInsensitiveStringMap)
+    extends Scan with SupportsReportStatistics
+    with SupportsRuntimeV2Filtering {
 
   /** Ordinals (into [[TradeLogFormat.schema]]) the reader materializes,
     * in pruned-schema order. */
@@ -217,10 +230,58 @@ final class TradeLogScan(path: String, required: StructType,
 
   /** Block-stats skip: keep a block unless its ts span provably misses
     * the pushed conjunction (blocks with no non-null ts always survive —
-    * minTs of Long.MinValue encodes "unknown"). */
+    * minTs of Long.MinValue encodes "unknown") or its user_id bloom
+    * provably misses every requested id (legacy bloom-less blocks always
+    * survive). */
   private[source] lazy val selectedBlocks: Seq[BlockMeta] =
     allBlocks.filter(b =>
-      b.minTsUs == Long.MinValue || (b.minTsUs <= tsHi && b.maxTsUs >= tsLo))
+      (b.minTsUs == Long.MinValue || (b.minTsUs <= tsHi && b.maxTsUs >= tsLo))
+        && userIds.forall(_.exists(b.mightContainUser)))
+
+  // ---- runtime (join-driven) filtering --------------------------------
+  // The DPP surface: a broadcast join on user_id hands the build side's
+  // id set to the scan AT EXECUTION TIME, and the bloom index drops
+  // blocks before any partition is planned — dynamic partition pruning
+  // re-expressed over block metadata. Purely advisory, like the static
+  // skip: Spark re-applies the join itself.
+  @volatile private var runtimeIds: Option[Set[Long]] = None
+
+  override def filterAttributes(): Array[NamedReference] =
+    Array(Expressions.column("user_id"))
+
+  override def filter(predicates: Array[Predicate]): Unit =
+    predicates.foreach { p =>
+      def idOf(e: org.apache.spark.sql.connector.expressions.Expression)
+          : Option[Long] = e match {
+        case l: org.apache.spark.sql.connector.expressions.Literal[_] =>
+          l.value match {
+          case v: java.lang.Long => Some(v)
+          case v: java.lang.Integer => Some(v.toLong)
+          case _ => None
+        }
+        case _ => None
+      }
+      def isUserRef(e: org.apache.spark.sql.connector.expressions.Expression) =
+        e match {
+          case n: NamedReference => n.fieldNames.sameElements(Array("user_id"))
+          case _ => false
+        }
+      val ids: Option[Set[Long]] = p.name() match {
+        case "IN" if p.children().nonEmpty && isUserRef(p.children()(0)) =>
+          val vs = p.children().drop(1).map(idOf)
+          if (vs.forall(_.isDefined)) Some(vs.flatten.toSet) else None
+        case "=" if p.children().length == 2 && isUserRef(p.children()(0)) =>
+          idOf(p.children()(1)).map(Set(_))
+        case _ => None // unknown predicate: no restriction (advisory)
+      }
+      ids.foreach(s =>
+        runtimeIds = Some(runtimeIds.fold(s)(_ intersect s)))
+    }
+
+  /** Blocks after BOTH plan-time and runtime skipping. */
+  private[source] def effectiveBlocks: Seq[BlockMeta] =
+    runtimeIds.fold(selectedBlocks)(ids =>
+      selectedBlocks.filter(b => ids.exists(b.mightContainUser)))
 
   override def readSchema(): StructType = required
 
@@ -236,17 +297,21 @@ final class TradeLogScan(path: String, required: StructType,
   }
 
   override def description(): String = {
-    val sel = if (tsLo == Long.MinValue && tsHi == Long.MaxValue) "all"
-    else s"${selectedBlocks.size}/${allBlocks.size}"
+    val sel =
+      if (tsLo == Long.MinValue && tsHi == Long.MaxValue && userIds.isEmpty)
+        "all"
+      else s"${selectedBlocks.size}/${allBlocks.size}"
+    val users = userIds.fold("")(ids => s", PushedUserIds=${ids.toSeq.sorted
+      .mkString("[", ",", "]")}")
     s"GraftTradeLog path=$path, ReadSchema=${required.simpleString}, " +
-      s"PushedTsBounds=[$tsLo,$tsHi], blocks=$sel"
+      s"PushedTsBounds=[$tsLo,$tsHi]$users, blocks=$sel"
   }
 
   override def toBatch: Batch = new Batch {
     override def planInputPartitions(): Array[InputPartition] =
       // one partition per data file (its surviving blocks read
       // sequentially): parallelism == layout, the file-source shape
-      selectedBlocks.groupBy(_.file).toSeq.sortBy(_._1).map {
+      effectiveBlocks.groupBy(_.file).toSeq.sortBy(_._1).map {
         case (_, blocks) => TradeLogPartition(path, blocks.sortBy(_.offset))
       }.toArray
     override def createReaderFactory(): PartitionReaderFactory =

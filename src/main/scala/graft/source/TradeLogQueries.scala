@@ -55,8 +55,10 @@ object TradeLogQueries {
     val st = src.getFileSystem(s.sparkContext.hadoopConfiguration)
       .getFileStatus(src)
     val dsafe = dir.replaceAll("[^A-Za-z0-9.]", "_")
+    // v2: manifests carry per-block user_id blooms — a format-semantics
+    // change is a FRESH artifact path by construction (the build-once rule)
     s"${Tables.artifactRoot(s)}/graft_tradelog/" +
-      s"v1_${dsafe}_${st.getLen}_${st.getModificationTime}"
+      s"v2_${dsafe}_${st.getLen}_${st.getModificationTime}"
   }
 
   /** Build the log once through the DSv2 WRITE path; the committed
@@ -264,6 +266,64 @@ object TradeLogQueries {
   def streamTriggerBlocks(path: String): Int =
     math.max(1, (TradeLogFormat.readManifest(path).size + 2) / 3)
 
+  // ---- q_tradelog_point -----------------------------------------------
+
+  private val PointUser = 7L // exists at every sf (user_id domain starts at 0)
+
+  /** Point lookup — the needle-in-haystack shape the per-block user_id
+    * bloom exists for: one user's full event timeline. The pushed
+    * EqualTo(user_id) drops every block whose bloom provably misses the
+    * id; Spark re-applies the filter, so false-positive blocks (~3% at a
+    * full block) cost only decode, never correctness. How much skips is
+    * a LAYOUT property, like ts-locality: the tiny-sf artifacts pack all
+    * ~15 users into every block (nothing can skip, oracle still exact),
+    * while TradeLogSpec pins ≥75% skipped on a user-clustered log — the
+    * sorted/bucketed-by-user layout a production 100 TB archive keeps
+    * precisely so point reads touch only a user's own blocks. */
+  def tradelogPoint(s: SparkSession, dir: String): DataFrame =
+    pointSlice(readLog(s, dir))
+      .select(col("event_id"), unix_micros(col("ts")).as("ts_us"),
+        col("event_type"), col("value"))
+      .orderedBy("event_id")
+
+  /** The filtered frame (split out for TradeLogSpec's skip pin). */
+  def pointSlice(log: DataFrame): DataFrame =
+    log.filter(col("user_id") === PointUser)
+
+  private val tradelogPointOracle =
+    s"""SELECT event_id, epoch_us(ts) AS ts_us, event_type, value
+       |FROM events WHERE user_id = $PointUser ORDER BY event_id""".stripMargin
+
+  // ---- q_tradelog_semi (runtime join filtering) -----------------------
+
+  /** Join-driven RUNTIME block skipping (`SupportsRuntimeV2Filtering` —
+    * dynamic partition pruning re-expressed over block metadata): the
+    * log joins a small filtered dim (customers of one nation, broadcast),
+    * and at execution time Spark hands the build side's user_id set to
+    * the scan, whose bloom index drops non-matching blocks BEFORE
+    * planning partitions — the scan never knew the ids at plan time.
+    * TradeLogSpec pins the mechanism directly (scan.filter shrinks
+    * effectiveBlocks) and that the e2e plan carries the runtime-filter
+    * subquery; this oracle grades the joined VALUES. */
+  def tradelogSemi(s: SparkSession, dir: String): DataFrame = {
+    val log = readLog(s, dir)
+    val dim = Tables.customer(s, dir)
+      .filter(col("c_nationkey") === 19)
+      .select(col("c_custkey"))
+    log.join(broadcast(dim), col("user_id") === col("c_custkey"))
+      .groupBy(col("user_id")).agg(
+        count(lit(1)).as("n"),
+        sum(round(col("value") * 1000000).cast("long")).as("sum_v6"))
+      .orderedBy("user_id")
+  }
+
+  private val tradelogSemiOracle =
+    """SELECT user_id, count(*) AS n,
+      |       CAST(sum(CAST(round(value * 1000000) AS BIGINT)) AS BIGINT) AS sum_v6
+      |FROM events JOIN customer ON user_id = c_custkey
+      |WHERE c_nationkey = 19
+      |GROUP BY user_id ORDER BY user_id""".stripMargin
+
   // ---- q_ohlc_tradelog (30th bridge: the reference dataflow, custom source)
 
   /** The reference's PRODUCTION dataflow end-to-end through the custom
@@ -346,6 +406,10 @@ object TradeLogQueries {
       Some(graft.ohlc.OhlcPipeline.ohlcOracle)),
     // OPTIMIZE: compaction preserves the row-level digest, fewer blocks
     "q_tradelog_compact" -> QueryDef(tradelogCompact,
-      Some(tradelogDigestOracle))
+      Some(tradelogDigestOracle)),
+    // point lookup through the per-block user_id bloom index
+    "q_tradelog_point" -> QueryDef(tradelogPoint, Some(tradelogPointOracle)),
+    // runtime join filtering: broadcast dim ids skip blocks at exec time
+    "q_tradelog_semi" -> QueryDef(tradelogSemi, Some(tradelogSemiOracle))
   )
 }

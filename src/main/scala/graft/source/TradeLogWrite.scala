@@ -171,6 +171,7 @@ final class TradeLogDataWriter(dir: String, partitionId: Int, taskId: Long,
   private var rowsInBlock = 0
   private var minTs = Long.MaxValue
   private var maxTs = Long.MinValue
+  private var bloom = TradeLogFormat.bloomAlloc(blockRows)
   private var bytesWritten = 0L
   private val blocks = scala.collection.mutable.ArrayBuffer.empty[BlockMeta]
 
@@ -183,6 +184,7 @@ final class TradeLogDataWriter(dir: String, partitionId: Int, taskId: Long,
       if (row.isNullAt(4)) null else java.lang.Double.valueOf(row.getDouble(4)),
       if (row.isNullAt(5)) null else row.getUTF8String(5).toString)
     if (ts != Long.MinValue) { minTs = minTs.min(ts); maxTs = maxTs.max(ts) }
+    if (!row.isNullAt(2)) TradeLogFormat.bloomAdd(bloom, row.getLong(2))
     rowsInBlock += 1
     if (rowsInBlock >= blockRows) flushBlock()
   }
@@ -195,10 +197,12 @@ final class TradeLogDataWriter(dir: String, partitionId: Int, taskId: Long,
     out.write(payload)
     blocks += BlockMeta(fileName, bytesWritten, payload.length, rowsInBlock,
       if (minTs == Long.MaxValue) Long.MinValue else minTs,
-      if (maxTs == Long.MinValue) Long.MaxValue else maxTs)
+      if (maxTs == Long.MinValue) Long.MaxValue else maxTs,
+      TradeLogFormat.bloomHex(bloom))
     bytesWritten += 8L + payload.length
     blockBuf.reset(); rowsInBlock = 0
     minTs = Long.MaxValue; maxTs = Long.MinValue
+    bloom = TradeLogFormat.bloomAlloc(blockRows)
   }
 
   override def commit(): WriterCommitMessage = {

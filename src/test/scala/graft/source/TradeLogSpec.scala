@@ -255,6 +255,83 @@ class TradeLogSpec extends SparkTestBase {
     assert(canon(spark.read.format(Fmt).load(sinkDir)) == canon(df(rows)))
   }
 
+  /** A log where users are CLUSTERED into block-sized runs (the shape the
+    * bloom pays off on; the sf0.001 testdata artifact has 15 users in
+    * every 200-row block, so nothing can skip there — user-locality,
+    * like ts-locality, is a property of the layout, and production logs
+    * sorted/bucketed by user have it). 16 blocks, ~1 user each. */
+  private def clusteredLog(tag: String): String = {
+    val dir = tmpDir(tag)
+    val rows = (0L until 4000L).map(i =>
+      Row(i, ts(f"2024-01-01 ${i / 200}%02d:${(i % 200) / 4}%02d:00"),
+        i / 500, "t", i.toDouble, "{}"))
+    df(rows).coalesce(1).sortWithinPartitions("user_id", "ts")
+      .write.format(Fmt).mode("overwrite").option("blockRows", 250).save(dir)
+    dir
+  }
+
+  test("user_id bloom: point lookup skips blocks; conservative on legacy manifests") {
+    val dir = clusteredLog("bloom")
+    val log = spark.read.format(Fmt).load(dir)
+    val scan = scanOf(TradeLogQueries.pointSlice(log))
+    assert(scan.allBlocks.size == 16)
+    assert(scan.selectedBlocks.nonEmpty && scan.selectedBlocks.size <= 4,
+      s"bloom should skip most blocks for one clustered user: " +
+        s"${scan.selectedBlocks.size}/${scan.allBlocks.size}")
+    // conservative: the skipped read still returns ALL matching rows
+    assert(TradeLogQueries.pointSlice(log).count() == 500)
+    // on the REAL sf0.001 artifact (15 users in every block) nothing can
+    // skip — and nothing may be lost either
+    val real = TradeLogQueries.readLog(spark, "/root/testdata/sf0.001")
+    val viaSkip = TradeLogQueries.pointSlice(real).count()
+    val expected = graft.core.Tables.events(spark, "/root/testdata/sf0.001")
+      .filter(col("user_id") === 7).count()
+    assert(viaSkip == expected && expected > 0)
+    // a legacy 6-field manifest line (no bloom) parses and never skips
+    val legacy = TradeLogFormat.BlockMeta.fromCsv("f.gtl,0,10,1,5,9")
+    assert(legacy.bloomHex.isEmpty && legacy.mightContainUser(123L))
+    // an all-zero bloom (every user_id null) correctly misses every id
+    val zero = TradeLogFormat.bloomHex(TradeLogFormat.bloomAlloc(256))
+    assert(!TradeLogFormat.bloomMightContain(zero, 7L))
+    // no false negatives by construction
+    val bits = TradeLogFormat.bloomAlloc(256)
+    (0L until 300L).foreach(TradeLogFormat.bloomAdd(bits, _))
+    val hex = TradeLogFormat.bloomHex(bits)
+    (0L until 300L).foreach(id =>
+      assert(TradeLogFormat.bloomMightContain(hex, id)))
+  }
+
+  test("runtime join filtering: scan.filter shrinks blocks; DPP subquery injected e2e") {
+    import org.apache.spark.sql.connector.expressions.{Expressions => E}
+    import org.apache.spark.sql.connector.expressions.filter.Predicate
+    val log = spark.read.format(Fmt).load(clusteredLog("rtf"))
+    // mechanism: an IN(user_id, ...) handed to the scan at execution time
+    // drops the blocks whose blooms miss both ids
+    val scan = scanOf(log.select("user_id", "value"))
+    val before = scan.effectiveBlocks.size
+    scan.filter(Array(new Predicate("IN",
+      Array(E.column("user_id"), E.literal(3L), E.literal(7L)))))
+    val after = scan.effectiveBlocks.size
+    assert(after < before && after >= 4,
+      s"runtime filter should shrink: $before -> $after")
+    assert(scan.selectedBlocks.size == before,
+      "plan-time selection must be untouched (advisory layering)")
+    // e2e: the broadcast join on user_id hosts a dynamic-pruning subquery
+    // on the tradelog scan, and the joined values stay correct
+    val d = "/root/testdata/sf0.001"
+    val real = TradeLogQueries.readLog(spark, d)
+    val dim = graft.core.Tables.customer(spark, d)
+      .filter(col("c_nationkey") === 19).select(col("c_custkey"))
+    val joined = real.join(broadcast(dim),
+      col("user_id") === col("c_custkey"))
+    assert(joined.queryExecution.executedPlan.toString
+      .contains("dynamicpruning"),
+      "expected a runtime-filter subquery hosted on the tradelog scan")
+    val viaEvents = graft.core.Tables.events(spark, d)
+      .join(broadcast(dim), col("user_id") === col("c_custkey")).count()
+    assert(joined.count() == viaEvents && viaEvents > 0)
+  }
+
   test("compaction: strictly fewer blocks and files, identical content") {
     val d = "/root/testdata/sf0.001"
     val src = TradeLogQueries.ensureLog(spark, d)
