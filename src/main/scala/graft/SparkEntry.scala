@@ -420,8 +420,9 @@ object Catalog {
   /** The OHLC monoid merge: 1-minute candles → 5-minute candles, shared
     * by [[qOhlcRollup]] (inline tier) and [[qOhlcTiered]] (persisted
     * tier). */
-  private def rollupCandles(m1: DataFrame): DataFrame =
-    m1.groupBy(window(col("start_ts"), "5 minutes"), col("base"))
+  private def rollupCandles(m1: DataFrame,
+      duration: String = "5 minutes"): DataFrame =
+    m1.groupBy(window(col("start_ts"), duration), col("base"))
       .agg(
         expr("first_by_ordered(unix_micros(start_ts), open)").as("open"),
         max(col("high")).as("high"),
@@ -608,7 +609,130 @@ object Catalog {
       |       CAST(CASE WHEN close IS NULL THEN 1 ELSE 0 END AS BIGINT) AS gap
       |FROM f ORDER BY ws, base""".stripMargin
 
+  /** Exponential moving average over the HOURLY rollup closes — the
+    * first (and only) SEQUENTIALLY-RECURSIVE query in the catalog, made
+    * cross-engine exact with the fixed-point PageRank discipline:
+    * closes lift to exact µ-unit longs (+10⁹ positivity shift so
+    * floor division is identical under Spark's `div` and DuckDB's `//`
+    * even if a future regen ships negative prices; the shift commutes
+    * through the recursion exactly and is subtracted at the end), then
+    * ema₀ = c₀, emaₜ = ⌊(2·cₜ + 9·emaₜ₋₁) / 11⌋ — the span-10 EMA as
+    * pure integer ops, bit-identical on any engine. Spark runs the
+    * recursion as a per-base HOF fold over the ws-sorted close array
+    * (no UDF, no driver loop); the oracle replays it as a recursive
+    * CTE. 100 TB shape: the recursion is inherently sequential PER
+    * SYMBOL (state = one long) — parallelism comes from the symbol
+    * dimension, and the input is the candle tier, never raw trades; the
+    * array fold is quadratic in copies, so a year-scale backfill would
+    * promote it to an ordered TypedImperativeAggregate (the
+    * OrderedFirstLast seam) — same recursion, same oracle. */
+  def qOhlcEma(spark: SparkSession, dir: String): DataFrame = {
+    graft.expr.GraftFunctions.register(spark)
+    val c5 = rollupCandles(m1Candles(spark, dir), "1 hour")
+      .select(col("ws"), col("base"),
+        (round(col("close") * 1000000).cast("long") + lit(1000000000L))
+          .as("c6"))
+    c5.groupBy(col("base"))
+      .agg(array_sort(collect_list(struct(col("ws"), col("c6")))).as("cs"))
+      .withColumn("folded", expr(
+        """aggregate(
+          |  slice(cs, 2, size(cs) - 1),
+          |  transform(slice(cs, 1, 1),
+          |    x -> named_struct('ws', x.ws, 'ema', x.c6)),
+          |  (acc, x) -> concat(acc, array(named_struct('ws', x.ws,
+          |    'ema', (2 * x.c6 + 9 * element_at(acc, -1).ema) div 11))))
+          |""".stripMargin))
+      .select(col("base"), explode(col("folded")).as("e"))
+      .select(col("e.ws").as("ws"), col("base"),
+        (col("e.ema") - 1000000000L).as("ema6"))
+      .orderedBy("ws", "base")
+  }
+
+  private val ohlcEmaOracle =
+    """WITH RECURSIVE c AS (
+      |  SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS ws,
+      |         event_type AS base,
+      |         CAST(round(last(value ORDER BY date_trunc('microseconds', ts),
+      |                         value) * 1000000) AS BIGINT)
+      |           + 1000000000 AS c6
+      |  FROM events GROUP BY 1, 2),
+      |n AS (SELECT base, ws, c6,
+      |        row_number() OVER (PARTITION BY base ORDER BY ws) AS rn
+      |      FROM c),
+      |r AS (
+      |  SELECT base, ws, rn, c6 AS ema FROM n WHERE rn = 1
+      |  UNION ALL
+      |  SELECT n.base, n.ws, n.rn, (2 * n.c6 + 9 * r.ema) // 11
+      |  FROM n JOIN r ON n.base = r.base AND n.rn = r.rn + 1)
+      |SELECT ws, base, ema - 1000000000 AS ema6
+      |FROM r ORDER BY ws, base""".stripMargin
+
+  /** Bollinger bands on the minute tier — the q_outliers exact-variance
+    * discipline under a 30-minute RANGE frame: per-frame count / exact
+    * µ-lifted sum / exact decimal power sum, then ONE fixed IEEE tree
+    * (each step a single op on bit-identical inputs) for mean, std, and
+    * the ±2σ bands, so raw doubles hash across engines. `greatest(…,0)`
+    * pins the cancellation-negative variance case to 0 identically on
+    * both sides. Band units are µ-price (mid6/sd6/up6/dn6), matching the
+    * lifted sums — no extra unit-conversion ops in the hashed tree.
+    * 100 TB shape: the window sorts candle-tier rows per base; the frame
+    * state is 3 numbers (n, s1, s2) regardless of frame width. */
+  def qOhlcBollinger(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    graft.expr.GraftFunctions.register(spark)
+    val c = candleSelect(Tables.events(spark, dir))
+      .withColumn("c6", round(col("close") * 1000000).cast("long"))
+    val w = Window.partitionBy("base").orderBy(col("ws"))
+      .rangeBetween(-1740L, 0L)
+    c.select(col("ws"), col("base"), col("close"), col("c6"),
+        count(lit(1)).over(w).as("n"),
+        sum(col("c6")).over(w).as("s1"),
+        sum(col("c6").cast("decimal(19,0)") * col("c6").cast("decimal(19,0)"))
+          .over(w).as("s2"))
+      .withColumn("mid6", expr("CAST(s1 AS DOUBLE) / n"))
+      .withColumn("sd6", expr(
+        "sqrt(greatest(CAST(s2 AS DOUBLE) / n - mid6 * mid6, 0.0))"))
+      .withColumn("up6", expr("mid6 + 2 * sd6"))
+      .withColumn("dn6", expr("mid6 - 2 * sd6"))
+      .select(col("ws"), col("base"), col("close"), col("n"),
+        col("mid6"), col("sd6"), col("up6"), col("dn6"),
+        expr("CAST(CAST(c6 AS DOUBLE) > up6 AS BIGINT)").as("brk_up"),
+        expr("CAST(CAST(c6 AS DOUBLE) < dn6 AS BIGINT)").as("brk_dn"))
+      .orderedBy("ws", "base")
+  }
+
+  private val ohlcBollingerOracle =
+    """WITH c AS (
+      |  SELECT CAST(epoch(date_trunc('minute', ts)) AS BIGINT) AS ws,
+      |         event_type AS base,
+      |         last(value ORDER BY date_trunc('microseconds', ts), value) AS close
+      |  FROM events GROUP BY 1, 2),
+      |l AS (SELECT ws, base, close,
+      |        CAST(round(close * 1000000) AS BIGINT) AS c6 FROM c),
+      |w AS (SELECT ws, base, close, c6,
+      |        count(*) OVER win AS n,
+      |        CAST(sum(c6) OVER win AS BIGINT) AS s1,
+      |        sum(CAST(c6 AS DECIMAL(19,0)) * CAST(c6 AS DECIMAL(19,0)))
+      |          OVER win AS s2
+      |      FROM l WINDOW win AS (PARTITION BY base ORDER BY ws
+      |        RANGE BETWEEN 1740 PRECEDING AND CURRENT ROW)),
+      |m AS (SELECT ws, base, close, c6, n, s1, s2,
+      |        CAST(s1 AS DOUBLE) / n AS mid6 FROM w),
+      |s AS (SELECT ws, base, close, c6, n, mid6,
+      |        sqrt(greatest(CAST(s2 AS DOUBLE) / n - mid6 * mid6, 0.0)) AS sd6
+      |      FROM m),
+      |b AS (SELECT ws, base, close, c6, n, mid6, sd6,
+      |        mid6 + 2 * sd6 AS up6, mid6 - 2 * sd6 AS dn6 FROM s)
+      |SELECT ws, base, close, n, mid6, sd6, up6, dn6,
+      |       CAST(CAST(c6 AS DOUBLE) > up6 AS BIGINT) AS brk_up,
+      |       CAST(CAST(c6 AS DOUBLE) < dn6 AS BIGINT) AS brk_dn
+      |FROM b ORDER BY ws, base""".stripMargin
+
   private val ohlcDefs: Map[String, QueryDef] = Map(
+    // span-10 EMA over the 5-minute tier: exact integer recursion
+    "q_ohlc_ema" -> QueryDef(qOhlcEma, Some(ohlcEmaOracle)),
+    // 30-minute Bollinger bands: exact power sums, fixed IEEE tree
+    "q_ohlc_bollinger" -> QueryDef(qOhlcBollinger, Some(ohlcBollingerOracle)),
     "q_ohlc_1m" -> QueryDef(qOhlc1m, Some(ohlcOracle)),
     "q_ohlc_minby" -> QueryDef(qOhlcMinby, Some(ohlcOracle)),
     // the same min_by SOURCE text under the optimizer rewrite — must

@@ -64,4 +64,35 @@ class OhlcPropertiesSpec extends SparkTestBase {
       }
     }
   }
+
+  test("q_ohlc_ema: the HOF fold equals a plain Scala recursion, bounded by closes") {
+    val d = "/root/testdata/sf0.001"
+    import org.apache.spark.sql.functions._
+    // re-derive: hourly closes per base, then the integer recursion in
+    // plain Scala — the fold and the oracle must BOTH match this model
+    val got = graft.Catalog.qOhlcEma(spark, d).collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+    val closes = graft.core.Tables.events(spark, d)
+      .filter(col("ts").isNotNull)
+      .groupBy((unix_timestamp(col("ts")) - unix_timestamp(col("ts")) % 3600)
+          .as("ws"), col("event_type").as("base"))
+      .agg(expr("last_by_ordered(unix_micros(ts), value)").as("close"))
+      .collect().map(r => (r.getString(1), r.getLong(0), r.getDouble(2)))
+    assert(got.nonEmpty && got.size == closes.length)
+    closes.groupBy(_._1).foreach { case (base, rows) =>
+      val seq = rows.sortBy(_._2)
+      var ema = 0L
+      seq.zipWithIndex.foreach { case ((_, ws, close), i) =>
+        val c6 = math.round(close * 1000000) + 1000000000L
+        ema = if (i == 0) c6 else Math.floorDiv(2 * c6 + 9 * ema, 11L)
+        assert(got((ws, base)) == ema - 1000000000L,
+          s"fold diverged from the reference recursion at ($ws, $base)")
+      }
+      // EMA stays inside the close envelope (floor keeps the convex hull)
+      val c6s = seq.map(t => math.round(t._3 * 1000000))
+      seq.foreach { case (_, ws, _) =>
+        assert(got((ws, base)) >= c6s.min && got((ws, base)) <= c6s.max)
+      }
+    }
+  }
 }
