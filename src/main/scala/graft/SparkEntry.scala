@@ -667,6 +667,74 @@ object Catalog {
       |SELECT ws, base, ema - 1000000000 AS ema6
       |FROM r ORDER BY ws, base""".stripMargin
 
+  /** MACD(12, 26, 9) over the hourly closes — THREE coupled exact
+    * recursions folded in ONE pass with a 3-long accumulator (fast EMA,
+    * slow EMA, signal EMA of their difference), the [[qOhlcEma]]
+    * discipline composed: every recursion runs on +10⁹-shifted longs so
+    * floor division is engine-identical even where the MACD line itself
+    * goes NEGATIVE (the shift commutes through each recurrence exactly
+    * and cancels in the subtraction), and the signal line re-shifts the
+    * difference before its own recursion. macd₆ = e12 − e26,
+    * sig₆ = EMA₉(macd₆), hist₆ = macd₆ − sig₆ — all exact integers,
+    * replayed by a 3-column recursive CTE. 100 TB shape: same as
+    * q_ohlc_ema — one sequential pass per symbol over the candle tier,
+    * state three longs. */
+  def qOhlcMacd(spark: SparkSession, dir: String): DataFrame = {
+    graft.expr.GraftFunctions.register(spark)
+    val S = 1000000000L
+    val c5 = rollupCandles(m1Candles(spark, dir), "1 hour")
+      .select(col("ws"), col("base"),
+        (round(col("close") * 1000000).cast("long") + lit(S)).as("c6"))
+    c5.groupBy(col("base"))
+      .agg(array_sort(collect_list(struct(col("ws"), col("c6")))).as("cs"))
+      .withColumn("folded", expr(
+        s"""aggregate(
+           |  slice(cs, 2, size(cs) - 1),
+           |  transform(slice(cs, 1, 1), x -> named_struct(
+           |    'ws', x.ws, 'e12', x.c6, 'e26', x.c6, 'sig', ${S}L)),
+           |  (acc, x) -> concat(acc, array(named_struct(
+           |    'ws', x.ws,
+           |    'e12', (2 * x.c6 + 11 * element_at(acc, -1).e12) div 13,
+           |    'e26', (2 * x.c6 + 25 * element_at(acc, -1).e26) div 27,
+           |    'sig', (2 * ((2 * x.c6 + 11 * element_at(acc, -1).e12) div 13
+           |                 - (2 * x.c6 + 25 * element_at(acc, -1).e26) div 27
+           |                 + ${S}L)
+           |            + 7 * element_at(acc, -1).sig) div 9))))""".stripMargin))
+      .select(col("base"), explode(col("folded")).as("e"))
+      .select(col("e.ws").as("ws"), col("base"),
+        (col("e.e12") - col("e.e26")).as("macd6"),
+        (col("e.sig") - lit(S)).as("sig6"),
+        (col("e.e12") - col("e.e26") - (col("e.sig") - lit(S))).as("hist6"))
+      .orderedBy("ws", "base")
+  }
+
+  private val ohlcMacdOracle =
+    """WITH RECURSIVE c AS (
+      |  SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS ws,
+      |         event_type AS base,
+      |         CAST(round(last(value ORDER BY date_trunc('microseconds', ts),
+      |                         value) * 1000000) AS BIGINT)
+      |           + 1000000000 AS c6
+      |  FROM events GROUP BY 1, 2),
+      |n AS (SELECT base, ws, c6,
+      |        row_number() OVER (PARTITION BY base ORDER BY ws) AS rn
+      |      FROM c),
+      |r AS (
+      |  SELECT base, ws, rn, c6 AS e12, c6 AS e26,
+      |         CAST(1000000000 AS BIGINT) AS sig
+      |  FROM n WHERE rn = 1
+      |  UNION ALL
+      |  SELECT n.base, n.ws, n.rn,
+      |         (2 * n.c6 + 11 * r.e12) // 13,
+      |         (2 * n.c6 + 25 * r.e26) // 27,
+      |         (2 * ((2 * n.c6 + 11 * r.e12) // 13
+      |               - (2 * n.c6 + 25 * r.e26) // 27 + 1000000000)
+      |          + 7 * r.sig) // 9
+      |  FROM n JOIN r ON n.base = r.base AND n.rn = r.rn + 1)
+      |SELECT ws, base, e12 - e26 AS macd6, sig - 1000000000 AS sig6,
+      |       e12 - e26 - (sig - 1000000000) AS hist6
+      |FROM r ORDER BY ws, base""".stripMargin
+
   /** Bollinger bands on the minute tier — the q_outliers exact-variance
     * discipline under a 30-minute RANGE frame: per-frame count / exact
     * µ-lifted sum / exact decimal power sum, then ONE fixed IEEE tree
@@ -733,6 +801,8 @@ object Catalog {
     "q_ohlc_ema" -> QueryDef(qOhlcEma, Some(ohlcEmaOracle)),
     // 30-minute Bollinger bands: exact power sums, fixed IEEE tree
     "q_ohlc_bollinger" -> QueryDef(qOhlcBollinger, Some(ohlcBollingerOracle)),
+    // MACD(12,26,9): three coupled integer recursions in one fold
+    "q_ohlc_macd" -> QueryDef(qOhlcMacd, Some(ohlcMacdOracle)),
     "q_ohlc_1m" -> QueryDef(qOhlc1m, Some(ohlcOracle)),
     "q_ohlc_minby" -> QueryDef(qOhlcMinby, Some(ohlcOracle)),
     // the same min_by SOURCE text under the optimizer rewrite — must

@@ -48,7 +48,11 @@ final class TradeLogWriteBuilder(path: String, info: LogicalWriteInfo)
   * REPLAYED epoch (driver restarted after the sink committed but before
   * the engine logged the batch) is detected by the stamped epoch and its
   * duplicate files are dropped instead of double-appended — the
-  * idempotent-sink contract the engine's offset log assumes. */
+  * idempotent-sink contract the engine's offset log assumes.
+  * Single-writer assumption (the standard file-sink contract): one
+  * streaming query owns a log directory — the epoch read-modify-write is
+  * not atomic across concurrent WRITERS (concurrent readers are always
+  * safe; they see the last published manifest). */
 final class TradeLogStreamingWrite(path: String, schema: StructType,
     blockRows: Int) extends StreamingWrite {
 

@@ -51,7 +51,7 @@ object ExplainAudit {
       "q_ohlc_gapfill", "q_ohlc_tiered",
       "q_tradelog_agg", "q_tradelog_prune", "q_ohlc_moves", "q_ohlc_donchian",
       "q_tradelog_pushdown", "q_tradelog_point", "q_tradelog_semi",
-      "q_ohlc_ema", "q_ohlc_bollinger")
+      "q_ohlc_ema", "q_ohlc_bollinger", "q_ohlc_macd")
     names.foreach { n =>
       println(s"\n========== $n ==========")
       n match {

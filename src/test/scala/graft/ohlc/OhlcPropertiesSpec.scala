@@ -95,4 +95,39 @@ class OhlcPropertiesSpec extends SparkTestBase {
       }
     }
   }
+
+  test("q_ohlc_macd: the one-pass 3-recursion fold equals the plain Scala model") {
+    val d = "/root/testdata/sf0.001"
+    import org.apache.spark.sql.functions._
+    val got = graft.Catalog.qOhlcMacd(spark, d).collect()
+      .map(r => (r.getLong(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    val closes = graft.core.Tables.events(spark, d)
+      .filter(col("ts").isNotNull)
+      .groupBy((unix_timestamp(col("ts")) - unix_timestamp(col("ts")) % 3600)
+          .as("ws"), col("event_type").as("base"))
+      .agg(expr("last_by_ordered(unix_micros(ts), value)").as("close"))
+      .collect().map(r => (r.getString(1), r.getLong(0), r.getDouble(2)))
+    assert(got.nonEmpty && got.size == closes.length)
+    val S = 1000000000L
+    var sawNegativeMacd = false
+    closes.groupBy(_._1).foreach { case (base, rows) =>
+      var (e12, e26, sig) = (0L, 0L, 0L)
+      rows.sortBy(_._2).zipWithIndex.foreach { case ((_, ws, close), i) =>
+        val c6 = math.round(close * 1000000) + S
+        if (i == 0) { e12 = c6; e26 = c6; sig = S }
+        else {
+          e12 = Math.floorDiv(2 * c6 + 11 * e12, 13L)
+          e26 = Math.floorDiv(2 * c6 + 25 * e26, 27L)
+          sig = Math.floorDiv(2 * (e12 - e26 + S) + 7 * sig, 9L)
+        }
+        val macd = e12 - e26
+        if (macd < 0) sawNegativeMacd = true
+        assert(got((ws, base)) == (macd, sig - S, macd - (sig - S)),
+          s"fold diverged from the MACD model at ($ws, $base)")
+      }
+    }
+    // the sign-sensitive floor-division lane is actually exercised
+    assert(sawNegativeMacd, "fixture never drove the MACD line negative")
+  }
 }
