@@ -95,52 +95,88 @@ object TradeLogFormat {
     z ^ (z >>> 31)
   }
 
-  private def bloomPositions(id: Long, mBits: Int): Seq[Int] = {
-    val h1 = mix64(id)
-    val h2 = mix64(id ^ 0x5851f42d4c957f2dL) | 1L
-    (0 until 3).map(i => (((h1 + i * h2) & Long.MaxValue) % mBits).toInt)
-  }
-
   /** Fresh bloom accumulator for a block of up to `blockRows` rows. */
   def bloomAlloc(blockRows: Int): Array[Long] =
     new Array[Long](math.max(1, blockRows / 8)) // 8*blockRows bits / 64
 
-  def bloomAdd(bits: Array[Long], id: Long): Unit =
-    bloomPositions(id, bits.length * 64).foreach(p =>
-      bits(p >>> 6) |= (1L << (p & 63)))
+  /** Per-row write hot path: the k=3 double-hash positions are computed
+    * in an unrolled loop — no Seq, no closure, zero allocation. */
+  def bloomAdd(bits: Array[Long], id: Long): Unit = {
+    val mBits = bits.length * 64
+    val h1 = mix64(id)
+    val h2 = mix64(id ^ 0x5851f42d4c957f2dL) | 1L
+    var i = 0
+    while (i < 3) {
+      val p = (((h1 + i * h2) & Long.MaxValue) % mBits).toInt
+      bits(p >>> 6) |= (1L << (p & 63))
+      i += 1
+    }
+  }
 
   def bloomHex(bits: Array[Long]): String =
     bits.map(w => f"$w%016x").mkString
 
   /** Conservative check: an absent bloom (legacy manifest line) reports
     * "might contain". An all-zero bloom (every user_id in the block was
-    * null) correctly reports a miss for every id — null never equals. */
+    * null) correctly reports a miss for every id — null never equals.
+    * Decodes only the 3 probed 16-char words, never the whole hex. */
   def bloomMightContain(hex: String, id: Long): Boolean =
     hex.isEmpty || {
       val mBits = hex.length * 4
-      bloomPositions(id, mBits).forall { p =>
+      val h1 = mix64(id)
+      val h2 = mix64(id ^ 0x5851f42d4c957f2dL) | 1L
+      var i = 0
+      var ok = true
+      while (ok && i < 3) {
+        val p = (((h1 + i * h2) & Long.MaxValue) % mBits).toInt
         val word = java.lang.Long.parseUnsignedLong(
           hex.substring((p >>> 6) * 16, (p >>> 6) * 16 + 16), 16)
-        (word & (1L << (p & 63))) != 0
+        ok = (word & (1L << (p & 63))) != 0
+        i += 1
       }
+      ok
     }
 
-  /** Executor/driver-side FS handle. A fresh Configuration picks up the
-    * cluster's core-site/hdfs-site from the classpath — the same
-    * resolution every Hadoop-API consumer uses — so the connector works
-    * unchanged against local FS, HDFS, or an object store mount. */
-  def fs(dir: String): (FileSystem, Path) = {
+  /** Written-schema contract, shared by the batch and streaming write
+    * paths (one check, one claim). */
+  def requireWriteSchema(s: StructType): Unit =
+    require(s.fields.map(f => (f.name, f.dataType)).sameElements(
+      schema.fields.map(f => (f.name, f.dataType))),
+      s"graft-tradelog expects ${schema.simpleString}, got ${s.simpleString}")
+
+  /** Driver-side Hadoop conf: the ACTIVE session's hadoopConfiguration
+    * when one exists (so `spark.hadoop.*` — S3A credentials, a
+    * fs.defaultFS override, kerberos settings — reach the connector,
+    * exactly like every other artifact path in this repo), else the
+    * classpath core-site/hdfs-site. Executor-side readers/writers never
+    * call this: they receive the DRIVER's conf explicitly through
+    * [[HadoopConfBox]] in their factory. */
+  def driverConf(): Configuration =
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .map(_.sparkContext.hadoopConfiguration)
+      .getOrElse(new Configuration())
+
+  def fs(dir: String): (FileSystem, Path) = fs(dir, driverConf())
+
+  def fs(dir: String, conf: Configuration): (FileSystem, Path) = {
     val p = new Path(dir)
-    (p.getFileSystem(new Configuration()), p)
+    (p.getFileSystem(conf), p)
   }
 
   /** Read the committed manifest: the global block sequence. */
-  def readManifest(dir: String): Seq[BlockMeta] = readManifestFull(dir)._1
+  def readManifest(dir: String): Seq[BlockMeta] = readManifestMeta(dir)._1
 
-  /** Manifest blocks plus the last committed streaming epoch (None for a
-    * batch-written log — the header carries ` epoch=N` only when the
-    * streaming sink published it). */
+  /** Blocks + last committed streaming epoch (compat accessor). */
   def readManifestFull(dir: String): (Seq[BlockMeta], Option[Long]) = {
+    val (b, e, _) = readManifestMeta(dir)
+    (b, e)
+  }
+
+  /** Manifest blocks plus the last committed streaming (epoch, queryId)
+    * stamp (both None for a batch-written log — the header carries
+    * ` epoch=N qid=X` only when the streaming sink published it). */
+  def readManifestMeta(dir: String)
+      : (Seq[BlockMeta], Option[Long], Option[String]) = {
     val (filesystem, root) = fs(dir)
     val in = filesystem.open(new Path(root, ManifestName))
     try {
@@ -150,28 +186,37 @@ object TradeLogFormat {
       require(head == ManifestHeader || head.startsWith(ManifestHeader + " "),
         s"not a graft-tradelog dir: $dir")
       val epoch = "epoch=(\\d+)".r.findFirstMatchIn(head).map(_.group(1).toLong)
-      (lines.tail.map(BlockMeta.fromCsv), epoch)
+      val qid = "qid=(\\S+)".r.findFirstMatchIn(head).map(_.group(1))
+      (lines.tail.map(BlockMeta.fromCsv), epoch, qid)
     } finally in.close()
   }
 
-  /** Atomic manifest publish: temp file + rename IS the commit. The
-    * streaming sink stamps its epoch into the header so a replayed epoch
-    * commit (driver restart between sink commit and checkpoint write) is
-    * detected and dropped instead of double-appending. */
+  /** Atomic manifest publish: temp file + OVERWRITE rename IS the commit
+    * — FileContext's Rename.OVERWRITE replaces the old manifest in one
+    * step, so there is never a window with no manifest on disk (a
+    * delete-then-rename would leave a reader-visible gap, and a crash
+    * inside it would orphan the whole log). The streaming sink stamps
+    * (epoch, queryId) into the header so a replayed epoch commit (driver
+    * restart between sink commit and checkpoint write) is detected and
+    * dropped — scoped to the SAME query, so a fresh-checkpoint query
+    * appending to an existing log is never mistaken for a replay. */
   def writeManifest(dir: String, blocks: Seq[BlockMeta],
-      epoch: Option[Long] = None): Unit = {
-    val (filesystem, root) = fs(dir)
+      epoch: Option[Long] = None, qid: Option[String] = None): Unit = {
+    val conf = driverConf()
+    val (filesystem, root) = fs(dir, conf)
     val tmp = new Path(root,
       s".$ManifestName.tmp-${java.util.UUID.randomUUID().toString.take(8)}")
     val out = filesystem.create(tmp, true)
     try {
-      val head = ManifestHeader + epoch.map(e => s" epoch=$e").getOrElse("")
+      val head = ManifestHeader + epoch.map(e => s" epoch=$e").getOrElse("") +
+        qid.map(q => s" qid=$q").getOrElse("")
       val body = (head +: blocks.map(_.csv)).mkString("\n")
       out.write(body.getBytes(StandardCharsets.UTF_8))
     } finally out.close()
-    val target = new Path(root, ManifestName)
-    if (filesystem.exists(target)) filesystem.delete(target, false)
-    require(filesystem.rename(tmp, target), s"manifest rename failed: $target")
+    val target = filesystem.makeQualified(new Path(root, ManifestName))
+    val qtmp = filesystem.makeQualified(tmp)
+    org.apache.hadoop.fs.FileContext.getFileContext(target.toUri, conf)
+      .rename(qtmp, target, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
   }
 
   // ---- row codec ------------------------------------------------------
@@ -247,4 +292,28 @@ object TradeLogFormat {
       r += 1
     }
   }
+}
+
+/** Java-serializable Hadoop Configuration carrier: factories capture the
+  * DRIVER's resolved conf at plan time and ship it to executor-side
+  * readers/writers, so `spark.hadoop.*` settings apply on every task (a
+  * fresh `new Configuration()` on an executor would see only classpath
+  * XML). Built once per factory, not per task. */
+final class HadoopConfBox(@transient private var c: org.apache.hadoop.conf.Configuration)
+    extends java.io.Serializable {
+  def conf: org.apache.hadoop.conf.Configuration = c
+  private def writeObject(out: java.io.ObjectOutputStream): Unit = {
+    out.defaultWriteObject()
+    c.write(out)
+  }
+  private def readObject(in: java.io.ObjectInputStream): Unit = {
+    in.defaultReadObject()
+    c = new org.apache.hadoop.conf.Configuration(false)
+    c.readFields(in)
+  }
+}
+
+object HadoopConfBox {
+  /** Capture the driver's conf (call at plan/factory-creation time). */
+  def active(): HadoopConfBox = new HadoopConfBox(TradeLogFormat.driverConf())
 }

@@ -90,10 +90,15 @@ final class TradeLogScanBuilder(path: String, options: CaseInsensitiveStringMap)
 
   /** V1 filter values for TimestampType arrive as java.sql.Timestamp or
     * java.time.Instant depending on the session's datetime-java8 conf;
-    * both convert exactly to epoch micros. */
+    * both convert exactly to epoch micros. Timestamp needs FLOOR
+    * division to epoch seconds: `getTime` truncates toward zero while
+    * `getNanos` always carries the POSITIVE sub-second, so a plain
+    * `/ 1000` would mis-place every pre-1970 instant by up to a second
+    * (and the advisory block skip would then drop matching rows). */
   private def tsMicros(v: Any): Option[Long] = v match {
     case t: java.sql.Timestamp =>
-      Some(Math.addExact(Math.multiplyExact(t.getTime / 1000L, 1000000L),
+      Some(Math.addExact(
+        Math.multiplyExact(Math.floorDiv(t.getTime, 1000L), 1000000L),
         (t.getNanos / 1000).toLong))
     case i: java.time.Instant =>
       Some(Math.addExact(Math.multiplyExact(i.getEpochSecond, 1000000L),
@@ -315,7 +320,7 @@ final class TradeLogScan(path: String, required: StructType,
         case (_, blocks) => TradeLogPartition(path, blocks.sortBy(_.offset))
       }.toArray
     override def createReaderFactory(): PartitionReaderFactory =
-      new TradeLogReaderFactory(wanted)
+      new TradeLogReaderFactory(wanted, HadoopConfBox.active())
   }
 
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
@@ -327,20 +332,24 @@ final class TradeLogScan(path: String, required: StructType,
 final case class TradeLogPartition(dir: String, blocks: Seq[BlockMeta])
     extends InputPartition
 
-final class TradeLogReaderFactory(wanted: Array[Int])
-    extends PartitionReaderFactory {
+final class TradeLogReaderFactory(wanted: Array[Int],
+    confBox: HadoopConfBox) extends PartitionReaderFactory {
   override def createReader(partition: InputPartition)
       : PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[TradeLogPartition]
-    new TradeLogPartitionReader(p.dir, p.blocks, wanted)
+    new TradeLogPartitionReader(p.dir, p.blocks, wanted, confBox)
   }
 }
 
 /** Streams the partition's blocks: seek to each committed offset, read
-  * the framed payload, decode only the wanted ordinals. */
+  * the framed payload, decode only the wanted ordinals. The filesystem
+  * resolves from the DRIVER's conf (shipped in the factory's
+  * [[HadoopConfBox]]), so spark.hadoop.* settings apply on executors. */
 final class TradeLogPartitionReader(dir: String, blocks: Seq[BlockMeta],
-    wanted: Array[Int]) extends PartitionReader[InternalRow] {
-  private val (filesystem, root) = TradeLogFormat.fs(dir)
+    wanted: Array[Int],
+    confBox: HadoopConfBox = HadoopConfBox.active())
+    extends PartitionReader[InternalRow] {
+  private val (filesystem, root) = TradeLogFormat.fs(dir, confBox.conf)
   private val blockIt = blocks.iterator
   private var rows: Iterator[InternalRow] = Iterator.empty
 

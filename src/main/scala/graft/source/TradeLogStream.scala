@@ -75,7 +75,7 @@ final class TradeLogMicroBatchStream(path: String, wanted: Array[Int],
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new TradeLogReaderFactory(wanted)
+    new TradeLogReaderFactory(wanted, HadoopConfBox.active())
 
   override def commit(end: Offset): Unit = () // the offset log is the commit
   override def stop(): Unit = ()

@@ -29,41 +29,44 @@ final class TradeLogWriteBuilder(path: String, info: LogicalWriteInfo)
     Option(info.options().get("blockRows")).map(_.toInt)
       .getOrElse(TradeLogFormat.DefaultBlockRows)
   override def truncate(): WriteBuilder = { truncateFirst = true; this }
-  override def build(): Write = new Write {
-    override def toBatch: BatchWrite =
-      new TradeLogBatchWrite(path, info.schema(), truncateFirst, blockRows)
-    override def toStreaming: StreamingWrite = {
-      require(!truncateFirst,
-        "graft-tradelog streaming sink is append-only (no complete/update)")
-      new TradeLogStreamingWrite(path, info.schema(), blockRows)
+  override def build(): Write = {
+    TradeLogFormat.requireWriteSchema(info.schema())
+    new Write {
+      override def toBatch: BatchWrite =
+        new TradeLogBatchWrite(path, truncateFirst, blockRows)
+      override def toStreaming: StreamingWrite = {
+        require(!truncateFirst,
+          "graft-tradelog streaming sink is append-only (no complete/update)")
+        new TradeLogStreamingWrite(path, info.queryId(), blockRows)
+      }
+      override def description(): String = s"GraftTradeLog write path=$path"
     }
-    override def description(): String = s"GraftTradeLog write path=$path"
   }
 }
 
 /** Streaming (micro-batch) sink: each epoch's writers use the same
   * uniquely-named-file protocol as the batch write; `commit(epoch, …)`
-  * APPENDS the epoch's blocks to the manifest and stamps the epoch into
-  * the manifest header — one atomic rename per epoch. Exactly-once: a
-  * REPLAYED epoch (driver restarted after the sink committed but before
-  * the engine logged the batch) is detected by the stamped epoch and its
-  * duplicate files are dropped instead of double-appended — the
-  * idempotent-sink contract the engine's offset log assumes.
+  * APPENDS the epoch's blocks to the manifest and stamps (epoch,
+  * queryId) into the manifest header — one atomic overwrite-rename per
+  * epoch. Exactly-once: a REPLAYED epoch (driver restarted after the
+  * sink committed but before the engine logged the batch) is detected
+  * by the stamp and its duplicate files are dropped instead of
+  * double-appended — the idempotent-sink contract the engine's offset
+  * log assumes. The stamp is scoped to the QUERY: a different query
+  * writing into an existing log (fresh checkpoint, epochs restarting at
+  * 0) is a new writer, not a replay, and its batches append normally —
+  * never silently dropped.
   * Single-writer assumption (the standard file-sink contract): one
-  * streaming query owns a log directory — the epoch read-modify-write is
-  * not atomic across concurrent WRITERS (concurrent readers are always
-  * safe; they see the last published manifest). */
-final class TradeLogStreamingWrite(path: String, schema: StructType,
+  * streaming query owns a log directory at a time — the epoch
+  * read-modify-write is not atomic across concurrent WRITERS
+  * (concurrent readers are always safe; the overwrite-rename means they
+  * always see a complete published manifest). */
+final class TradeLogStreamingWrite(path: String, queryId: String,
     blockRows: Int) extends StreamingWrite {
-
-  require(schema.fields.map(f => (f.name, f.dataType)).sameElements(
-    TradeLogFormat.schema.fields.map(f => (f.name, f.dataType))),
-    s"graft-tradelog expects ${TradeLogFormat.schema.simpleString}, " +
-      s"got ${schema.simpleString}")
 
   override def createStreamingWriterFactory(info: PhysicalWriteInfo)
       : StreamingDataWriterFactory =
-    new TradeLogStreamingWriterFactory(path, blockRows)
+    new TradeLogStreamingWriterFactory(path, blockRows, HadoopConfBox.active())
 
   override def commit(epochId: Long,
       messages: Array[WriterCommitMessage]): Unit = {
@@ -72,16 +75,17 @@ final class TradeLogStreamingWrite(path: String, schema: StructType,
       .sortBy(b => (b.file, b.offset)).toIndexedSeq
     val hasManifest = fs.exists(
       new org.apache.hadoop.fs.Path(root, TradeLogFormat.ManifestName))
-    val (existing, lastEpoch) =
-      if (hasManifest) TradeLogFormat.readManifestFull(path)
-      else (Seq.empty[BlockMeta], None)
-    if (lastEpoch.exists(_ >= epochId)) {
-      // epoch replay: the previous attempt already published — drop the
-      // duplicates, leave the committed manifest untouched
+    val (existing, lastEpoch, lastQid) =
+      if (hasManifest) TradeLogFormat.readManifestMeta(path)
+      else (Seq.empty[BlockMeta], None, None)
+    if (lastQid.contains(queryId) && lastEpoch.exists(_ >= epochId)) {
+      // epoch replay BY THIS QUERY: the previous attempt already
+      // published — drop the duplicates, leave the manifest untouched
       fresh.map(_.file).distinct.foreach(f =>
         fs.delete(new org.apache.hadoop.fs.Path(root, f), false))
     } else {
-      TradeLogFormat.writeManifest(path, existing ++ fresh, Some(epochId))
+      TradeLogFormat.writeManifest(path, existing ++ fresh,
+        Some(epochId), Some(queryId))
     }
   }
 
@@ -96,43 +100,46 @@ final class TradeLogStreamingWrite(path: String, schema: StructType,
   }
 }
 
-final class TradeLogStreamingWriterFactory(path: String, blockRows: Int)
-    extends StreamingDataWriterFactory {
+final class TradeLogStreamingWriterFactory(path: String, blockRows: Int,
+    confBox: HadoopConfBox) extends StreamingDataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long, epochId: Long)
       : DataWriter[InternalRow] =
-    new TradeLogDataWriter(path, partitionId, taskId, blockRows)
+    new TradeLogDataWriter(path, partitionId, taskId, blockRows, confBox)
 }
 
-final class TradeLogBatchWrite(path: String, schema: StructType,
+final class TradeLogBatchWrite(path: String,
     truncateFirst: Boolean, blockRows: Int) extends BatchWrite {
 
-  // written-schema contract: field names/types must match the format
-  require(schema.fields.map(f => (f.name, f.dataType)).sameElements(
-    TradeLogFormat.schema.fields.map(f => (f.name, f.dataType))),
-    s"graft-tradelog expects ${TradeLogFormat.schema.simpleString}, " +
-      s"got ${schema.simpleString}")
-
   override def createBatchWriterFactory(info: PhysicalWriteInfo)
-      : DataWriterFactory = new TradeLogWriterFactory(path, blockRows)
+      : DataWriterFactory =
+    new TradeLogWriterFactory(path, blockRows, HadoopConfBox.active())
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val (fs, root) = TradeLogFormat.fs(path)
+    val fresh = messages.flatMap { case m: TradeLogCommit => m.blocks }
+      .sortBy(b => (b.file, b.offset)).toIndexedSeq
+    val manifestExists = fs.exists(
+      new org.apache.hadoop.fs.Path(root, TradeLogFormat.ManifestName))
+    val old = if (manifestExists) TradeLogFormat.readManifest(path)
+      else Seq.empty[TradeLogFormat.BlockMeta]
     if (truncateFirst) {
-      // overwrite: drop previously committed files NOW (commit time, not
-      // task time — concurrent readers of the old manifest stay valid
-      // until the rename below lands)
-      val (fs, root) = TradeLogFormat.fs(path)
-      val old = new org.apache.hadoop.fs.Path(root, TradeLogFormat.ManifestName)
-      val keep = messages.flatMap {
-        case m: TradeLogCommit => m.blocks.map(_.file)
-      }.toSet
-      if (fs.exists(old))
-        TradeLogFormat.readManifest(path).map(_.file).distinct
-          .filterNot(keep)
-          .foreach(f => fs.delete(new org.apache.hadoop.fs.Path(root, f), false))
+      // overwrite: PUBLISH FIRST, then garbage-collect. The atomic
+      // overwrite-rename is the commit point — a crash before it leaves
+      // the old log fully readable (old manifest + old files intact), a
+      // crash after it leaves the new log committed with some orphaned
+      // old files (harmless: readers resolve blocks only through the
+      // manifest). Deleting before publishing would let a crash or a
+      // concurrent reader observe a manifest whose files are gone.
+      TradeLogFormat.writeManifest(path, fresh)
+      val keep = fresh.map(_.file).toSet
+      old.map(_.file).distinct.filterNot(keep).foreach(f =>
+        fs.delete(new org.apache.hadoop.fs.Path(root, f), false))
+    } else {
+      // append (SaveMode.Append): the new blocks JOIN the committed set —
+      // replacing the manifest with only the fresh blocks would silently
+      // drop all previously committed data
+      TradeLogFormat.writeManifest(path, old ++ fresh)
     }
-    val blocks = messages.flatMap { case m: TradeLogCommit => m.blocks }
-      .sortBy(b => (b.file, b.offset))
-    TradeLogFormat.writeManifest(path, blocks.toIndexedSeq)
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {
@@ -148,24 +155,28 @@ final class TradeLogBatchWrite(path: String, schema: StructType,
 final case class TradeLogCommit(blocks: Seq[BlockMeta])
     extends WriterCommitMessage
 
-final class TradeLogWriterFactory(path: String, blockRows: Int)
-    extends DataWriterFactory {
+final class TradeLogWriterFactory(path: String, blockRows: Int,
+    confBox: HadoopConfBox) extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long)
       : DataWriter[InternalRow] =
-    new TradeLogDataWriter(path, partitionId, taskId, blockRows)
+    new TradeLogDataWriter(path, partitionId, taskId, blockRows, confBox)
 }
 
 /** Per-task writer: buffers rows into blocks of `blockRows`, frames each
   * block with its header, tracks per-block ts min/max for the skip
   * index. Input rows arrive as InternalRow in [[TradeLogFormat.schema]]
-  * order (ts = epoch micros, strings = UTF8String). */
+  * order (ts = epoch micros, strings = UTF8String). Resolves its
+  * filesystem from the DRIVER's conf (shipped via the factory's
+  * [[HadoopConfBox]]), so spark.hadoop.* settings apply on executors. */
 final class TradeLogDataWriter(dir: String, partitionId: Int, taskId: Long,
-    blockRows: Int) extends DataWriter[InternalRow] {
+    blockRows: Int,
+    confBox: HadoopConfBox = HadoopConfBox.active())
+    extends DataWriter[InternalRow] {
 
   private val fileName =
     s"part-$partitionId-$taskId-" +
       s"${java.util.UUID.randomUUID().toString.take(8)}.gtl"
-  private val (filesystem, root) = TradeLogFormat.fs(dir)
+  private val (filesystem, root) = TradeLogFormat.fs(dir, confBox.conf)
   private val out = new DataOutputStream(new BufferedOutputStream(
     filesystem.create(new org.apache.hadoop.fs.Path(root, fileName), true),
     1 << 16))

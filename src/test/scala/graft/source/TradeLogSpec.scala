@@ -230,21 +230,28 @@ class TradeLogSpec extends SparkTestBase {
       "epoch appends should accumulate files from multiple batches")
     assert(canon(spark.read.format(Fmt).load(sinkDir)) == canon(df(rows)))
 
-    // exactly-once: replaying an already-committed epoch must change
-    // nothing and must delete the replay's duplicate files
-    val sw = new TradeLogStreamingWrite(sinkDir, TradeLogFormat.schema, 4)
-    val w = new TradeLogDataWriter(sinkDir, 0, 99L, 4)
-    rows.take(3).foreach { r =>
-      w.write(org.apache.spark.sql.catalyst.InternalRow(
-        r.getLong(0),
-        Math.multiplyExact(r.getTimestamp(1).getTime, 1000L),
-        r.getLong(2),
-        org.apache.spark.unsafe.types.UTF8String.fromString(r.getString(3)),
-        r.getDouble(4),
-        org.apache.spark.unsafe.types.UTF8String.fromString(r.getString(5))))
+    // exactly-once: replaying an already-committed epoch OF THE SAME
+    // QUERY must change nothing and must delete the duplicate files
+    val (_, _, qid) = TradeLogFormat.readManifestMeta(sinkDir)
+    assert(qid.nonEmpty, "streaming commits must stamp their queryId")
+    def epochWrite(sw: TradeLogStreamingWrite, epochId: Long)
+        : TradeLogCommit = {
+      val w = new TradeLogDataWriter(sinkDir, 0, 99L, 4)
+      rows.take(3).foreach { r =>
+        w.write(org.apache.spark.sql.catalyst.InternalRow(
+          r.getLong(0),
+          Math.multiplyExact(r.getTimestamp(1).getTime, 1000L),
+          r.getLong(2),
+          org.apache.spark.unsafe.types.UTF8String.fromString(r.getString(3)),
+          r.getDouble(4),
+          org.apache.spark.unsafe.types.UTF8String.fromString(r.getString(5))))
+      }
+      val msg = w.commit().asInstanceOf[TradeLogCommit]
+      sw.commit(epochId, Array(msg))
+      msg
     }
-    val msg = w.commit().asInstanceOf[TradeLogCommit]
-    sw.commit(epoch.get, Array(msg)) // replay of the LAST committed epoch
+    val sameQ = new TradeLogStreamingWrite(sinkDir, qid.get, 4)
+    val msg = epochWrite(sameQ, epoch.get) // replay of the LAST epoch
     val (after, epochAfter) = TradeLogFormat.readManifestFull(sinkDir)
     assert(after == blocks && epochAfter == epoch,
       "replayed epoch must leave the manifest untouched")
@@ -253,6 +260,31 @@ class TradeLogSpec extends SparkTestBase {
       !fs.exists(new org.apache.hadoop.fs.Path(root, f)),
       s"replay's duplicate file must be dropped: $f"))
     assert(canon(spark.read.format(Fmt).load(sinkDir)) == canon(df(rows)))
+    // a DIFFERENT query writing epoch 0 into the owned log is a new
+    // writer, NOT a replay: its batch must append, never silently drop
+    val otherQ = new TradeLogStreamingWrite(sinkDir, "other-query", 4)
+    epochWrite(otherQ, 0L)
+    assert(spark.read.format(Fmt).load(sinkDir).count() == rows.size + 3,
+      "fresh-checkpoint query's epoch 0 must append, not be dropped")
+  }
+
+  test("batch append joins the committed set; overwrite publishes before deleting") {
+    val dir = tmpDir("append")
+    val a = (1L to 6L).map(i =>
+      Row(i, ts(f"2024-01-01 00:00:${i}%02d"), i, "a", i.toDouble, "{}"))
+    val b = (7L to 9L).map(i =>
+      Row(i, ts(f"2024-01-02 00:00:${i}%02d"), i, "b", i.toDouble, "{}"))
+    df(a).write.format(Fmt).mode("overwrite").option("blockRows", 4).save(dir)
+    df(b).write.format(Fmt).mode("append").option("blockRows", 4).save(dir)
+    assert(canon(spark.read.format(Fmt).load(dir)) == canon(df(a ++ b)))
+    // overwrite ordering: every file named by the (new) manifest exists
+    // the moment the manifest is readable — publish-then-GC means a
+    // reader can never resolve a block to a deleted file
+    df(b).write.format(Fmt).mode("overwrite").option("blockRows", 4).save(dir)
+    val (fs, root) = TradeLogFormat.fs(dir)
+    TradeLogFormat.readManifest(dir).map(_.file).distinct.foreach(f =>
+      assert(fs.exists(new org.apache.hadoop.fs.Path(root, f))))
+    assert(canon(spark.read.format(Fmt).load(dir)) == canon(df(b)))
   }
 
   /** A log where users are CLUSTERED into block-sized runs (the shape the
