@@ -185,6 +185,35 @@ object TradeLogQueries {
        |WHERE ts >= TIMESTAMP '$SliceLo' AND ts < TIMESTAMP '$SliceHi'
        |GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  // ---- q_tradelog_append ----------------------------------------------
+
+  /** Batch SaveMode.Append under the hash gate: the log is built in TWO
+    * writes — an overwrite with the even event_ids, then an APPEND with
+    * the odd ones — and the row-level digest over the result must equal
+    * the whole-table oracle, proving append JOINS the committed block
+    * set (a manifest replace would halve the digest). Build-once
+    * fingerprinted artifact like [[ensureLog]]. */
+  def tradelogAppend(s: SparkSession, dir: String): DataFrame =
+    digestOver(s.read.format(FormatName).load(ensureAppendLog(s, dir)))
+
+  def ensureAppendLog(s: SparkSession, dir: String): String = {
+    val path = s"${logPath(s, dir)}-append"
+    val (fs, root) = TradeLogFormat.fs(path)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(root,
+        TradeLogFormat.ManifestName))) {
+      val ev = Tables.events(s, dir)
+        .select(col("event_id"), col("ts"), col("user_id"),
+          col("event_type"), col("value"), col("props"))
+      ev.filter(col("event_id") % 2 === 0)
+        .write.format(FormatName).mode("overwrite")
+        .option("blockRows", 256).save(path)
+      ev.filter(col("event_id") % 2 === 1)
+        .write.format(FormatName).mode("append")
+        .option("blockRows", 256).save(path)
+    }
+    path
+  }
+
   // ---- q_tradelog_pushdown --------------------------------------------
 
   /** Complete DSv2 aggregate pushdown: unfiltered count/min-ts/max-ts over
@@ -409,6 +438,8 @@ object TradeLogQueries {
       Some(tradelogDigestOracle)),
     // point lookup through the per-block user_id bloom index
     "q_tradelog_point" -> QueryDef(tradelogPoint, Some(tradelogPointOracle)),
+    // batch append joins the committed set — whole-table digest holds
+    "q_tradelog_append" -> QueryDef(tradelogAppend, Some(tradelogDigestOracle)),
     // runtime join filtering: broadcast dim ids skip blocks at exec time
     "q_tradelog_semi" -> QueryDef(tradelogSemi, Some(tradelogSemiOracle))
   )
