@@ -41,24 +41,11 @@ object Catalog {
     * open/high/low/close are raw stored doubles (no arithmetic —
     * bit-identical across engines); volume is an exact decimal sum.
     */
-  def qOhlc1m(spark: SparkSession, dir: String): DataFrame = {
-    val candles = OhlcPipeline.candles(
-      Tables.events(spark, dir)
-        // exact-decimal quantity (events.value is 6dp-exact) so the volume
-        // sum is order-independent — double summation would flake vs DuckDB
-        .withColumn("qty_dec", col("value").cast("decimal(20,6)")),
-      windowDuration = "1 minute",
-      tsCol = "ts", priceCol = "value", qtyCol = "qty_dec", symbolCol = "event_type"
-    )
-    candles.select(
-      unix_timestamp(col("start_ts")).as("ws"),
-      col("base"),
-      col("open"), col("high"), col("low"), col("close"),
-      // exact decimal sum, one final double cast — canonicalizes the
-      // decimal width (Spark 30,6 vs DuckDB 38,6) out of the output type
-      col("volume").cast("double").as("volume")
-    ).orderedBy("ws", "base")
-  }
+  def qOhlc1m(spark: SparkSession, dir: String): DataFrame =
+    // ONE candle pipeline body (candleSelect) serves the flagship batch
+    // query, every file-source bridge, and the indicator tier — a
+    // projection change cannot split their claims
+    candleSelect(Tables.events(spark, dir)).orderedBy("ws", "base")
 
   /** Same query via the built-in min_by/max_by formulation
     * (OhlcPipeline.openExpr — SortAggregate path): keeps both open/close
@@ -194,16 +181,35 @@ object Catalog {
     * hash-match the IDENTICAL batch oracle (q_ohlc_1m's SQL).
     * StreamingSpec additionally pins that >1 batch actually ran. */
   def qOhlcMultibatch(spark: SparkSession, d: String): DataFrame = {
-    // staging root is conf-routed (spark.graft.stream.stageDir) so a
-    // cluster run stages on shared storage its executors can read
-    val tmp = Tables.stageDir(spark,
-      s"ohlc_mb_${d.replaceAll("[^A-Za-z0-9.]", "_")}")
-    val ev = Tables.events(spark, d)
-    ev.repartition(4).write.mode("overwrite").parquet(tmp)
+    val (tmp, schema) = stagedEvents4(spark, d)
     Tables.runStreamComplete(spark, "ohlc_mb_") { cs =>
-      candleSelect(cs.readStream.schema(ev.schema)
+      candleSelect(cs.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1).parquet(tmp))
     }.orderedBy("ws", "base")
+  }
+
+  /** The 4-file staged events layout shared by the multibatch and
+    * update-mode bridges (one layout, one claim). Staging root is
+    * conf-routed (spark.graft.stream.stageDir) so a cluster run stages
+    * on shared storage its executors can read; the path is fingerprinted
+    * by the source file's (length, mtime) — same rule as every build-once
+    * artifact — so warm-up + timed bench runs re-use the layout instead
+    * of re-writing the whole events table per invocation, and a testdata
+    * regen lands in a FRESH path by construction. */
+  private def stagedEvents4(spark: SparkSession, d: String)
+      : (String, org.apache.spark.sql.types.StructType) = {
+    val src = new org.apache.hadoop.fs.Path(s"$d/events.parquet")
+    val st = src.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .getFileStatus(src)
+    val tmp = Tables.stageDir(spark,
+      s"ohlc_mb_${d.replaceAll("[^A-Za-z0-9.]", "_")}" +
+        s"_${st.getLen}_${st.getModificationTime}")
+    val ev = Tables.events(spark, d)
+    val done = new org.apache.hadoop.fs.Path(tmp, "_SUCCESS")
+    if (!done.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .exists(done))
+      ev.repartition(4).write.mode("overwrite").parquet(tmp)
+    (tmp, ev.schema)
   }
 
   /** UPDATE-MODE bridge (21st — closes the last spec-only streaming row,
@@ -233,12 +239,9 @@ object Catalog {
     * split out so StreamingSpec can assert on the revision sequence
     * itself (≥1 key with >1 emission; per-key monotone batch ids). */
   def ohlcUpdateEmissions(spark: SparkSession, d: String): DataFrame = {
-    val tmp = Tables.stageDir(spark,
-      s"ohlc_upd_${d.replaceAll("[^A-Za-z0-9.]", "_")}")
-    val ev = Tables.events(spark, d)
-    ev.repartition(4).write.mode("overwrite").parquet(tmp)
+    val (tmp, schema) = stagedEvents4(spark, d)
     Tables.runStreamUpdateEmissions(spark, "ohlc_upd_") { cs =>
-      candleSelect(cs.readStream.schema(ev.schema)
+      candleSelect(cs.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1).parquet(tmp))
     }
   }
@@ -405,7 +408,6 @@ object Catalog {
     * oracle computes 5-minute candles DIRECTLY from raw events — the
     * hash gate proves partial-merge ≡ direct aggregation. */
   def qOhlcRollup(spark: SparkSession, dir: String): DataFrame = {
-    graft.expr.GraftFunctions.register(spark)
     rollupCandles(m1Candles(spark, dir)).orderedBy("ws", "base")
   }
 
@@ -445,6 +447,9 @@ object Catalog {
     * the serve plan); the oracle is the direct-from-raw 5-minute SQL, so
     * the hash proves persist → read-back → merge ≡ direct aggregation. */
   def qOhlcTiered(spark: SparkSession, dir: String): DataFrame = {
+    // LOAD-BEARING register: the serve path reads the persisted tier and
+    // never calls OhlcPipeline.candles (which registers as a side
+    // effect), yet rollupCandles resolves first_by_ordered by name
     graft.expr.GraftFunctions.register(spark)
     val path = candleTierPath(spark, dir)
     val fs = new org.apache.hadoop.fs.Path(path)
@@ -516,7 +521,6 @@ object Catalog {
     * global sort of the candle tier). */
   def qOhlcMoves(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    graft.expr.GraftFunctions.register(spark)
     val c = candleSelect(Tables.events(spark, dir))
     val w = Window.partitionBy("base").orderBy("ws")
     c.withColumn("prev_close", lag(col("close"), 1).over(w))
@@ -554,7 +558,6 @@ object Catalog {
     * minute rows — candle-tier-sized, never trade-sized. */
   def qOhlcDonchian(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    graft.expr.GraftFunctions.register(spark)
     val c = candleSelect(Tables.events(spark, dir))
     val w = Window.partitionBy("base").orderBy(col("ws"))
       .rangeBetween(-1800L, -60L)
@@ -626,27 +629,37 @@ object Catalog {
     * array fold is quadratic in copies, so a year-scale backfill would
     * promote it to an ordered TypedImperativeAggregate (the
     * OrderedFirstLast seam) — same recursion, same oracle. */
-  def qOhlcEma(spark: SparkSession, dir: String): DataFrame = {
-    graft.expr.GraftFunctions.register(spark)
-    val c5 = rollupCandles(m1Candles(spark, dir), "1 hour")
+  def qOhlcEma(spark: SparkSession, dir: String): DataFrame =
+    hourlyCloseFold(spark, dir,
+      seed = "named_struct('ws', x.ws, 'ema', x.c6)",
+      step = """named_struct('ws', x.ws,
+        'ema', (2 * x.c6 + 9 * element_at(acc, -1).ema) div 11)""")
+      .select(col("e.ws").as("ws"), col("base"),
+        (col("e.ema") - lit(Shift)).as("ema6"))
+      .orderedBy("ws", "base")
+
+  /** The sequential-recursion scaffold shared by [[qOhlcEma]] and
+    * [[qOhlcMacd]]: hourly rollup closes lifted to +Shift µ-unit longs,
+    * collected ws-sorted per base, folded with the caller's recurrence
+    * (`seed` builds the first element from `x`; `step` builds element i
+    * from `acc`/`x`), exploded back to rows as struct column `e`. One
+    * scaffold, one shift constant — a recurrence change cannot split the
+    * indicators\' shared claims. */
+  private val Shift = 1000000000L
+
+  private def hourlyCloseFold(spark: SparkSession, dir: String,
+      seed: String, step: String): DataFrame =
+    rollupCandles(m1Candles(spark, dir), "1 hour")
       .select(col("ws"), col("base"),
-        (round(col("close") * 1000000).cast("long") + lit(1000000000L))
-          .as("c6"))
-    c5.groupBy(col("base"))
+        (round(col("close") * 1000000).cast("long") + lit(Shift)).as("c6"))
+      .groupBy(col("base"))
       .agg(array_sort(collect_list(struct(col("ws"), col("c6")))).as("cs"))
       .withColumn("folded", expr(
-        """aggregate(
-          |  slice(cs, 2, size(cs) - 1),
-          |  transform(slice(cs, 1, 1),
-          |    x -> named_struct('ws', x.ws, 'ema', x.c6)),
-          |  (acc, x) -> concat(acc, array(named_struct('ws', x.ws,
-          |    'ema', (2 * x.c6 + 9 * element_at(acc, -1).ema) div 11))))
-          |""".stripMargin))
+        s"""aggregate(
+           |  slice(cs, 2, size(cs) - 1),
+           |  transform(slice(cs, 1, 1), x -> $seed),
+           |  (acc, x) -> concat(acc, array($step)))""".stripMargin))
       .select(col("base"), explode(col("folded")).as("e"))
-      .select(col("e.ws").as("ws"), col("base"),
-        (col("e.ema") - 1000000000L).as("ema6"))
-      .orderedBy("ws", "base")
-  }
 
   private val ohlcEmaOracle =
     """WITH RECURSIVE c AS (
@@ -679,34 +692,24 @@ object Catalog {
     * replayed by a 3-column recursive CTE. 100 TB shape: same as
     * q_ohlc_ema — one sequential pass per symbol over the candle tier,
     * state three longs. */
-  def qOhlcMacd(spark: SparkSession, dir: String): DataFrame = {
-    graft.expr.GraftFunctions.register(spark)
-    val S = 1000000000L
-    val c5 = rollupCandles(m1Candles(spark, dir), "1 hour")
-      .select(col("ws"), col("base"),
-        (round(col("close") * 1000000).cast("long") + lit(S)).as("c6"))
-    c5.groupBy(col("base"))
-      .agg(array_sort(collect_list(struct(col("ws"), col("c6")))).as("cs"))
-      .withColumn("folded", expr(
-        s"""aggregate(
-           |  slice(cs, 2, size(cs) - 1),
-           |  transform(slice(cs, 1, 1), x -> named_struct(
-           |    'ws', x.ws, 'e12', x.c6, 'e26', x.c6, 'sig', ${S}L)),
-           |  (acc, x) -> concat(acc, array(named_struct(
-           |    'ws', x.ws,
-           |    'e12', (2 * x.c6 + 11 * element_at(acc, -1).e12) div 13,
-           |    'e26', (2 * x.c6 + 25 * element_at(acc, -1).e26) div 27,
-           |    'sig', (2 * ((2 * x.c6 + 11 * element_at(acc, -1).e12) div 13
-           |                 - (2 * x.c6 + 25 * element_at(acc, -1).e26) div 27
-           |                 + ${S}L)
-           |            + 7 * element_at(acc, -1).sig) div 9))))""".stripMargin))
-      .select(col("base"), explode(col("folded")).as("e"))
+  def qOhlcMacd(spark: SparkSession, dir: String): DataFrame =
+    hourlyCloseFold(spark, dir,
+      seed = s"""named_struct(
+        'ws', x.ws, 'e12', x.c6, 'e26', x.c6, 'sig', ${Shift}L)""",
+      step = s"""named_struct(
+        'ws', x.ws,
+        'e12', (2 * x.c6 + 11 * element_at(acc, -1).e12) div 13,
+        'e26', (2 * x.c6 + 25 * element_at(acc, -1).e26) div 27,
+        'sig', (2 * ((2 * x.c6 + 11 * element_at(acc, -1).e12) div 13
+                     - (2 * x.c6 + 25 * element_at(acc, -1).e26) div 27
+                     + ${Shift}L)
+                + 7 * element_at(acc, -1).sig) div 9)""")
       .select(col("e.ws").as("ws"), col("base"),
         (col("e.e12") - col("e.e26")).as("macd6"),
-        (col("e.sig") - lit(S)).as("sig6"),
-        (col("e.e12") - col("e.e26") - (col("e.sig") - lit(S))).as("hist6"))
+        (col("e.sig") - lit(Shift)).as("sig6"),
+        (col("e.e12") - col("e.e26") - (col("e.sig") - lit(Shift)))
+          .as("hist6"))
       .orderedBy("ws", "base")
-  }
 
   private val ohlcMacdOracle =
     """WITH RECURSIVE c AS (
@@ -747,7 +750,6 @@ object Catalog {
     * state is 3 numbers (n, s1, s2) regardless of frame width. */
   def qOhlcBollinger(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    graft.expr.GraftFunctions.register(spark)
     val c = candleSelect(Tables.events(spark, dir))
       .withColumn("c6", round(col("close") * 1000000).cast("long"))
     val w = Window.partitionBy("base").orderBy(col("ws"))
@@ -797,7 +799,7 @@ object Catalog {
       |FROM b ORDER BY ws, base""".stripMargin
 
   private val ohlcDefs: Map[String, QueryDef] = Map(
-    // span-10 EMA over the 5-minute tier: exact integer recursion
+    // span-10 EMA over the hourly tier: exact integer recursion
     "q_ohlc_ema" -> QueryDef(qOhlcEma, Some(ohlcEmaOracle)),
     // 30-minute Bollinger bands: exact power sums, fixed IEEE tree
     "q_ohlc_bollinger" -> QueryDef(qOhlcBollinger, Some(ohlcBollingerOracle)),
