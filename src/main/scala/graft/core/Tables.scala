@@ -130,15 +130,23 @@ object Tables {
     * A parquet file source with no maxFilesPerTrigger delivers ALL files
     * in ONE AvailableNow micro-batch, so a whole-increment chain (e.g.
     * within-batch candidate self-joins) sees the same increment as its
-    * batch twin and hash-compares against the identical oracle SQL. */
-  def runStreamForeachBatch(parent: SparkSession, prefix: String)(
+    * batch twin and hash-compares against the identical oracle SQL.
+    * Bridges whose per-batch plan is NOT a per-row map (corpus-global
+    * aggregates, within-batch self-joins) are only correct under that
+    * one-batch delivery; they pass `requireSingleBatch = true` so a
+    * layout or trigger change that splits the source fails LOUDLY here
+    * instead of silently unioning duplicate stage rows. */
+  def runStreamForeachBatch(parent: SparkSession, prefix: String,
+      requireSingleBatch: Boolean = false)(
       source: SparkSession => DataFrame)(
       process: (SparkSession, DataFrame) => DataFrame): DataFrame = {
     val s = parent.newSession()
     s.conf.set("spark.sql.shuffle.partitions", "8")
     val acc = new java.util.concurrent.atomic.AtomicReference[DataFrame](null)
+    val nBatches = new java.util.concurrent.atomic.AtomicInteger(0)
     val q = source(s).writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
+        nBatches.incrementAndGet()
         // pin each batch's verdicts: the accumulated frame must outlive
         // the micro-batch execution that produced it. `process` gets the
         // BATCH's session — the stream cloned the child session at start,
@@ -154,6 +162,9 @@ object Tables {
     q.awaitTermination()
     s.streams.resetTerminated()
     require(acc.get() != null, "foreachBatch bridge saw no micro-batch")
+    require(!requireSingleBatch || nBatches.get() == 1,
+      s"bridge '$prefix' requires exactly one micro-batch (its per-batch " +
+        s"plan is corpus-global) but the source delivered ${nBatches.get()}")
     acc.get()
   }
 

@@ -447,7 +447,8 @@ object Dedup {
   def nearIncrStreamed(s: SparkSession, d: String, threshold: Double = 0.8,
                        bands: Int = 4, rows: Int = 3): DataFrame = {
     val isBatch = pmod(col("doc_id"), lit(5)) === 4
-    Tables.runStreamForeachBatch(s, "dedup_incr_streamed_") { cs =>
+    Tables.runStreamForeachBatch(s, "dedup_incr_streamed_",
+      requireSingleBatch = true) { cs =>
       Tables.documentsStream(cs, d).filter(isBatch)
     } { (cs, batch) =>
       nearIncrementalFrom(cs, batch,

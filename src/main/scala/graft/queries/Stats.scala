@@ -482,7 +482,8 @@ object Stats {
     * tables user-keyed and monotonically shrinking, nothing corpus-wide
     * in state. */
   def funnelStreamed(s: SparkSession, d: String): DataFrame =
-    Tables.runStreamForeachBatch(s, "funnel_streamed_") { cs =>
+    Tables.runStreamForeachBatch(s, "funnel_streamed_",
+      requireSingleBatch = true) { cs =>
       Tables.eventsStream(cs, d)
     } { (_, batch) => funnelFrom(batch) }.orderedBy("stage")
 
@@ -534,7 +535,8 @@ object Stats {
     * recomputed-per-ingest growth dashboard, same oracle as the batch
     * twin. */
   def retentionStreamed(s: SparkSession, d: String): DataFrame =
-    Tables.runStreamForeachBatch(s, "retention_streamed_") { cs =>
+    Tables.runStreamForeachBatch(s, "retention_streamed_",
+      requireSingleBatch = true) { cs =>
       Tables.eventsStream(cs, d)
     } { (_, batch) => retentionFrom(batch) }.orderedBy("cohort", "offset")
 

@@ -126,7 +126,17 @@ final class TradeLogScanBuilder(path: String, options: CaseInsensitiveStringMap)
       case f @ sources.EqualTo("user_id", v: Long) =>
         restrictUsers(Set(v)); Some(f)
       case f @ sources.In("user_id", vs) =>
-        restrictUsers(vs.collect { case l: Long => l }.toSet); Some(f)
+        // Restrict ONLY if every element converts to Long (mirrors the
+        // runtime filter() rule): a dropped value would make the bloom
+        // skip unsound, because skipped blocks are never re-checked by
+        // the residual. Unknown element type ⇒ accept without skipping.
+        val asLongs = vs.map {
+          case l: Long              => Some(l)
+          case i: java.lang.Integer => Some(i.toLong)
+          case _                    => None
+        }
+        if (asLongs.forall(_.isDefined)) restrictUsers(asLongs.flatten.toSet)
+        Some(f)
       case _ => None
     }
     filters // everything stays residual — skipping is advisory-only
@@ -353,15 +363,30 @@ final class TradeLogPartitionReader(dir: String, blocks: Seq[BlockMeta],
   private val blockIt = blocks.iterator
   private var rows: Iterator[InternalRow] = Iterator.empty
 
+  // One open stream per data FILE, not per block: a partition's blocks are
+  // grouped by file and sorted by offset, so the run reads as forward
+  // seeks on a single stream (an O(blocks)-opens pattern is costly on
+  // object stores). Keyed by file name so a mixed-file partition — not
+  // produced today — would still read correctly via reopen-on-change.
+  private var openFile: String = null
+  private var in: org.apache.hadoop.fs.FSDataInputStream = null
+  private def streamFor(file: String)
+      : org.apache.hadoop.fs.FSDataInputStream = {
+    if (openFile != file) {
+      if (in != null) in.close()
+      in = filesystem.open(new org.apache.hadoop.fs.Path(root, file))
+      openFile = file
+    }
+    in
+  }
+
   private def loadNextBlock(): Boolean = {
     if (!blockIt.hasNext) return false
     val b = blockIt.next()
-    val in = filesystem.open(new org.apache.hadoop.fs.Path(root, b.file))
     val payload = new Array[Byte](b.payloadLen)
-    try {
-      in.seek(b.offset + 8L) // skip the [nRows][payloadLen] frame header
-      in.readFully(payload)
-    } finally in.close()
+    val s = streamFor(b.file)
+    s.seek(b.offset + 8L) // skip the [nRows][payloadLen] frame header
+    s.readFully(payload)
     val buf = scala.collection.mutable.ArrayBuffer.empty[InternalRow]
     // decodeBlock allocates a fresh values array per row — safe to wrap
     TradeLogFormat.decodeBlock(payload, b.nRows, wanted)(v =>
@@ -377,5 +402,7 @@ final class TradeLogPartitionReader(dir: String, blocks: Seq[BlockMeta],
     true
   }
   override def get(): InternalRow = current
-  override def close(): Unit = ()
+  override def close(): Unit = {
+    if (in != null) { in.close(); in = null; openFile = null }
+  }
 }

@@ -120,8 +120,9 @@ final class TradeLogBatchWrite(path: String,
       .sortBy(b => (b.file, b.offset)).toIndexedSeq
     val manifestExists = fs.exists(
       new org.apache.hadoop.fs.Path(root, TradeLogFormat.ManifestName))
-    val old = if (manifestExists) TradeLogFormat.readManifest(path)
-      else Seq.empty[TradeLogFormat.BlockMeta]
+    val (old, lastEpoch, lastQid) =
+      if (manifestExists) TradeLogFormat.readManifestMeta(path)
+      else (Seq.empty[TradeLogFormat.BlockMeta], None, None)
     if (truncateFirst) {
       // overwrite: PUBLISH FIRST, then garbage-collect. The atomic
       // overwrite-rename is the commit point — a crash before it leaves
@@ -137,8 +138,14 @@ final class TradeLogBatchWrite(path: String,
     } else {
       // append (SaveMode.Append): the new blocks JOIN the committed set —
       // replacing the manifest with only the fresh blocks would silently
-      // drop all previously committed data
-      TradeLogFormat.writeManifest(path, old ++ fresh)
+      // drop all previously committed data. The streaming (epoch, qid)
+      // stamp is CARRIED FORWARD: erasing it would disarm the replay
+      // guard for a restartable streaming query whose epoch committed
+      // just before this batch append (the restart would double-append
+      // that epoch). Truncate intentionally resets the stamp — the log's
+      // content identity is new, so any prior stream must restart from a
+      // fresh checkpoint anyway.
+      TradeLogFormat.writeManifest(path, old ++ fresh, lastEpoch, lastQid)
     }
   }
 

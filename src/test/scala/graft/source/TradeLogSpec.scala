@@ -378,6 +378,58 @@ class TradeLogSpec extends SparkTestBase {
       canon(spark.read.format(Fmt).load(src)))
   }
 
+  test("batch append preserves the streaming (epoch, qid) replay stamp") {
+    // a batch append landing between a streaming epoch commit and the
+    // engine's batch log write must NOT erase the replay guard — a
+    // restarted query would otherwise double-append the epoch
+    val dir = tmpDir("stamp") + "/log"
+    val a = (1L to 4L).map(i =>
+      Row(i, ts(f"2024-01-01 00:00:${i}%02d"), i, "a", i.toDouble, "{}"))
+    df(a).write.format(Fmt).mode("overwrite").option("blockRows", 4).save(dir)
+    // simulate a committed streaming epoch stamping the manifest
+    val blocks = TradeLogFormat.readManifest(dir)
+    TradeLogFormat.writeManifest(dir, blocks, Some(5L), Some("qid-abc"))
+    val b = (5L to 6L).map(i =>
+      Row(i, ts(f"2024-01-02 00:00:${i}%02d"), i, "b", i.toDouble, "{}"))
+    df(b).write.format(Fmt).mode("append").option("blockRows", 4).save(dir)
+    val (_, epoch, qid) = TradeLogFormat.readManifestMeta(dir)
+    assert(epoch.contains(5L) && qid.contains("qid-abc"),
+      s"append must carry the stamp forward: epoch=$epoch qid=$qid")
+    assert(canon(spark.read.format(Fmt).load(dir)) == canon(df(a ++ b)))
+    // truncate resets the stamp: a new log identity invalidates any
+    // prior stream's checkpoint lineage by design
+    df(b).write.format(Fmt).mode("overwrite").option("blockRows", 4).save(dir)
+    val (_, e2, q2) = TradeLogFormat.readManifestMeta(dir)
+    assert(e2.isEmpty && q2.isEmpty)
+  }
+
+  test("pushed In(user_id) with a non-Long element never restricts blocks") {
+    val dir = clusteredLog("in-mixed")
+    val log = spark.read.format(Fmt).load(dir)
+    // all-Long IN restricts via the bloom
+    val longScan = scanOf(log.filter(col("user_id").isin(3L, 7L)))
+    assert(longScan.selectedBlocks.size < longScan.allBlocks.size)
+    assert(log.filter(col("user_id").isin(3L, 7L)).count() == 1000)
+    // an element the pushdown cannot convert to Long must disable the
+    // skip entirely (a partial set would silently lose rows)
+    val builder = new TradeLogScanBuilder(dir,
+      new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+        java.util.Collections.emptyMap()))
+    builder.pushFilters(Array(org.apache.spark.sql.sources.In("user_id",
+      Array[Any](3L, java.math.BigDecimal.valueOf(7)))))
+    val mixed = builder.build().asInstanceOf[TradeLogScan]
+    assert(mixed.selectedBlocks.size == mixed.allBlocks.size,
+      "mixed-type IN must not restrict the bloom skip")
+    // Integer elements DO convert (the runtime-filter rule, mirrored)
+    val builder2 = new TradeLogScanBuilder(dir,
+      new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+        java.util.Collections.emptyMap()))
+    builder2.pushFilters(Array(org.apache.spark.sql.sources.In("user_id",
+      Array[Any](java.lang.Integer.valueOf(3), 7L))))
+    val ints = builder2.build().asInstanceOf[TradeLogScan]
+    assert(ints.selectedBlocks.size < ints.allBlocks.size)
+  }
+
   test("offset json round-trips; malformed json is rejected") {
     assert(TradeLogOffset.fromJson(TradeLogOffset(7).json()).block == 7)
     assert(TradeLogOffset.fromJson(""" { "block" : 12 } """).block == 12)
