@@ -738,6 +738,127 @@ object Catalog {
       |       e12 - e26 - (sig - 1000000000) AS hist6
       |FROM r ORDER BY ws, base""".stripMargin
 
+  /** RSI(14, Wilder) over the hourly closes — the [[qOhlcEma]] exact
+    * integer discipline applied to the gain/loss DUAL recursion: per bar,
+    * gain = max(Δc6, 0) and loss = max(−Δc6, 0) (the +Shift lift cancels
+    * in the difference), then Wilder smoothing
+    * ag = (13·ag′ + gain) div 14 (and symmetrically al) — both
+    * accumulators non-negative longs, so floor division is
+    * engine-identical with no re-shift. Seeded ag = al = 0 at the first
+    * bar (the recursion's own fixed semantics, replayed verbatim by the
+    * oracle's recursive CTE). The RSI emits in BASIS POINTS as the exact
+    * integer (10000·ag) div (ag+al), 5000 when flat — no IEEE division
+    * anywhere. 100 TB shape: identical to q_ohlc_ema — one sequential
+    * pass per symbol over the candle tier, state two longs. */
+  def qOhlcRsi(spark: SparkSession, dir: String): DataFrame =
+    hourlyCloseFold(spark, dir,
+      seed = "named_struct('ws', x.ws, 'c6', x.c6, 'ag', 0L, 'al', 0L)",
+      step = """named_struct('ws', x.ws, 'c6', x.c6,
+        'ag', (13 * element_at(acc, -1).ag
+               + greatest(x.c6 - element_at(acc, -1).c6, 0L)) div 14,
+        'al', (13 * element_at(acc, -1).al
+               + greatest(element_at(acc, -1).c6 - x.c6, 0L)) div 14)""")
+      .select(col("e.ws").as("ws"), col("base"),
+        col("e.ag").as("ag6"), col("e.al").as("al6"),
+        when(col("e.ag") + col("e.al") === 0L, lit(5000L))
+          .otherwise(expr("(10000 * e.ag) div (e.ag + e.al)")).as("rsi_bp"))
+      .orderedBy("ws", "base")
+
+  private val ohlcRsiOracle =
+    """WITH RECURSIVE c AS (
+      |  SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS ws,
+      |         event_type AS base,
+      |         CAST(round(last(value ORDER BY date_trunc('microseconds', ts),
+      |                         value) * 1000000) AS BIGINT)
+      |           + 1000000000 AS c6
+      |  FROM events GROUP BY 1, 2),
+      |n AS (SELECT base, ws, c6,
+      |        row_number() OVER (PARTITION BY base ORDER BY ws) AS rn
+      |      FROM c),
+      |r AS (
+      |  SELECT base, ws, rn, c6,
+      |         CAST(0 AS BIGINT) AS ag, CAST(0 AS BIGINT) AS al
+      |  FROM n WHERE rn = 1
+      |  UNION ALL
+      |  SELECT n.base, n.ws, n.rn, n.c6,
+      |         (13 * r.ag + greatest(n.c6 - r.c6, 0)) // 14,
+      |         (13 * r.al + greatest(r.c6 - n.c6, 0)) // 14
+      |  FROM n JOIN r ON n.base = r.base AND n.rn = r.rn + 1)
+      |SELECT ws, base, ag AS ag6, al AS al6,
+      |       CASE WHEN ag + al = 0 THEN CAST(5000 AS BIGINT)
+      |            ELSE (10000 * ag) // (ag + al) END AS rsi_bp
+      |FROM r ORDER BY ws, base""".stripMargin
+
+  /** ATR(14, Wilder) over the hourly bars — the true-range recursion
+    * needs the FULL bar (high/low/close), so the close-only scaffold
+    * generalizes to [[hourlyBarFold]]: tr = max(h−l, |h−c′|, |l−c′|) on
+    * unshifted µ-price longs (differences sit inside abs/greatest, so no
+    * lift is needed; tr and atr are non-negative by construction), then
+    * atr = (13·atr′ + tr) div 14 seeded with the first bar's h−l. All
+    * exact integers replayed by the oracle's recursive CTE. 100 TB
+    * shape: one sequential pass per symbol over the candle tier, state
+    * two longs. */
+  def qOhlcAtr(spark: SparkSession, dir: String): DataFrame =
+    hourlyBarFold(spark, dir,
+      seed = """named_struct('ws', x.ws, 'c6', x.c6,
+        'tr', x.h6 - x.l6, 'atr', x.h6 - x.l6)""",
+      step = """named_struct('ws', x.ws, 'c6', x.c6,
+        'tr', greatest(x.h6 - x.l6,
+                       abs(x.h6 - element_at(acc, -1).c6),
+                       abs(x.l6 - element_at(acc, -1).c6)),
+        'atr', (13 * element_at(acc, -1).atr
+                + greatest(x.h6 - x.l6,
+                           abs(x.h6 - element_at(acc, -1).c6),
+                           abs(x.l6 - element_at(acc, -1).c6))) div 14)""")
+      .select(col("e.ws").as("ws"), col("base"),
+        col("e.tr").as("tr6"), col("e.atr").as("atr6"))
+      .orderedBy("ws", "base")
+
+  private val ohlcAtrOracle =
+    """WITH RECURSIVE c AS (
+      |  SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS ws,
+      |         event_type AS base,
+      |         CAST(round(max(value) * 1000000) AS BIGINT) AS h6,
+      |         CAST(round(min(value) * 1000000) AS BIGINT) AS l6,
+      |         CAST(round(last(value ORDER BY date_trunc('microseconds', ts),
+      |                         value) * 1000000) AS BIGINT) AS c6
+      |  FROM events GROUP BY 1, 2),
+      |n AS (SELECT base, ws, h6, l6, c6,
+      |        row_number() OVER (PARTITION BY base ORDER BY ws) AS rn
+      |      FROM c),
+      |r AS (
+      |  SELECT base, ws, rn, c6, h6 - l6 AS tr, h6 - l6 AS atr
+      |  FROM n WHERE rn = 1
+      |  UNION ALL
+      |  SELECT n.base, n.ws, n.rn, n.c6,
+      |         greatest(n.h6 - n.l6, abs(n.h6 - r.c6), abs(n.l6 - r.c6)),
+      |         (13 * r.atr
+      |          + greatest(n.h6 - n.l6, abs(n.h6 - r.c6), abs(n.l6 - r.c6)))
+      |           // 14
+      |  FROM n JOIN r ON n.base = r.base AND n.rn = r.rn + 1)
+      |SELECT ws, base, tr AS tr6, atr AS atr6
+      |FROM r ORDER BY ws, base""".stripMargin
+
+  /** [[hourlyCloseFold]] generalized to the full (h6, l6, c6) bar for
+    * recursions that need intra-bar range ([[qOhlcAtr]]); unshifted
+    * µ-price longs — callers keep differences inside abs/greatest. */
+  private def hourlyBarFold(spark: SparkSession, dir: String,
+      seed: String, step: String): DataFrame =
+    rollupCandles(m1Candles(spark, dir), "1 hour")
+      .select(col("ws"), col("base"),
+        round(col("high") * 1000000).cast("long").as("h6"),
+        round(col("low") * 1000000).cast("long").as("l6"),
+        round(col("close") * 1000000).cast("long").as("c6"))
+      .groupBy(col("base"))
+      .agg(array_sort(collect_list(
+        struct(col("ws"), col("h6"), col("l6"), col("c6")))).as("cs"))
+      .withColumn("folded", expr(
+        s"""aggregate(
+           |  slice(cs, 2, size(cs) - 1),
+           |  transform(slice(cs, 1, 1), x -> $seed),
+           |  (acc, x) -> concat(acc, array($step)))""".stripMargin))
+      .select(col("base"), explode(col("folded")).as("e"))
+
   /** Bollinger bands on the minute tier — the q_outliers exact-variance
     * discipline under a 30-minute RANGE frame: per-frame count / exact
     * µ-lifted sum / exact decimal power sum, then ONE fixed IEEE tree
@@ -805,6 +926,10 @@ object Catalog {
     "q_ohlc_bollinger" -> QueryDef(qOhlcBollinger, Some(ohlcBollingerOracle)),
     // MACD(12,26,9): three coupled integer recursions in one fold
     "q_ohlc_macd" -> QueryDef(qOhlcMacd, Some(ohlcMacdOracle)),
+    // RSI(14, Wilder): gain/loss dual recursion, basis-point integer RSI
+    "q_ohlc_rsi" -> QueryDef(qOhlcRsi, Some(ohlcRsiOracle)),
+    // ATR(14, Wilder): true-range recursion over the full hourly bar
+    "q_ohlc_atr" -> QueryDef(qOhlcAtr, Some(ohlcAtrOracle)),
     "q_ohlc_1m" -> QueryDef(qOhlc1m, Some(ohlcOracle)),
     "q_ohlc_minby" -> QueryDef(qOhlcMinby, Some(ohlcOracle)),
     // the same min_by SOURCE text under the optimizer rewrite — must

@@ -130,4 +130,70 @@ class OhlcPropertiesSpec extends SparkTestBase {
     // the sign-sensitive floor-division lane is actually exercised
     assert(sawNegativeMacd, "fixture never drove the MACD line negative")
   }
+
+  test("q_ohlc_rsi: the gain/loss fold equals the plain Wilder model; rsi in [0,10000]") {
+    val d = "/root/testdata/sf0.001"
+    import org.apache.spark.sql.functions._
+    val got = graft.Catalog.qOhlcRsi(spark, d).collect()
+      .map(r => (r.getLong(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    val closes = graft.core.Tables.events(spark, d)
+      .filter(col("ts").isNotNull)
+      .groupBy((unix_timestamp(col("ts")) - unix_timestamp(col("ts")) % 3600)
+          .as("ws"), col("event_type").as("base"))
+      .agg(expr("last_by_ordered(unix_micros(ts), value)").as("close"))
+      .collect().map(r => (r.getString(1), r.getLong(0), r.getDouble(2)))
+    assert(got.nonEmpty && got.size == closes.length)
+    closes.groupBy(_._1).foreach { case (base, rows) =>
+      var (prev, ag, al) = (0L, 0L, 0L)
+      rows.sortBy(_._2).zipWithIndex.foreach { case ((_, ws, close), i) =>
+        val c6 = math.round(close * 1000000) + 1000000000L
+        if (i > 0) {
+          ag = Math.floorDiv(13 * ag + math.max(c6 - prev, 0L), 14L)
+          al = Math.floorDiv(13 * al + math.max(prev - c6, 0L), 14L)
+        }
+        prev = c6
+        val rsi = if (ag + al == 0) 5000L
+          else Math.floorDiv(10000 * ag, ag + al)
+        assert(got((ws, base)) == (ag, al, rsi),
+          s"fold diverged from the RSI model at ($ws, $base)")
+        assert(rsi >= 0L && rsi <= 10000L)
+      }
+    }
+  }
+
+  test("q_ohlc_atr: the true-range fold equals the plain Wilder model; tr >= h-l") {
+    val d = "/root/testdata/sf0.001"
+    import org.apache.spark.sql.functions._
+    val got = graft.Catalog.qOhlcAtr(spark, d).collect()
+      .map(r => (r.getLong(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    val bars = graft.core.Tables.events(spark, d)
+      .filter(col("ts").isNotNull)
+      .groupBy((unix_timestamp(col("ts")) - unix_timestamp(col("ts")) % 3600)
+          .as("ws"), col("event_type").as("base"))
+      .agg(max(col("value")).as("h"), min(col("value")).as("l"),
+        expr("last_by_ordered(unix_micros(ts), value)").as("close"))
+      .collect()
+      .map(r => (r.getString(1), r.getLong(0),
+        r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+    assert(got.nonEmpty && got.size == bars.length)
+    bars.groupBy(_._1).foreach { case (base, rows) =>
+      var (prevC, atr) = (0L, 0L)
+      rows.sortBy(_._2).zipWithIndex.foreach {
+        case ((_, ws, h, l, close), i) =>
+          val h6 = math.round(h * 1000000)
+          val l6 = math.round(l * 1000000)
+          val c6 = math.round(close * 1000000)
+          val tr = if (i == 0) h6 - l6
+            else math.max(h6 - l6,
+              math.max(math.abs(h6 - prevC), math.abs(l6 - prevC)))
+          atr = if (i == 0) tr else Math.floorDiv(13 * atr + tr, 14L)
+          prevC = c6
+          assert(got((ws, base)) == (tr, atr),
+            s"fold diverged from the ATR model at ($ws, $base)")
+          assert(tr >= h6 - l6, "true range must dominate the bar range")
+      }
+    }
+  }
 }
