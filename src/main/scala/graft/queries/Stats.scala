@@ -374,6 +374,70 @@ object Stats {
       |FROM old o FULL OUTER JOIN new_snap n ON o.doc_id = n.doc_id
       |ORDER BY doc_id""".stripMargin
 
+  /** CDC UPSERT APPLY — the MERGE INTO core every lakehouse table format
+    * implements: a keyed SNAPSHOT (latest state per user from the base
+    * slice) merged with a CHANGE STREAM (the remaining slice, op = D on
+    * every 7th event id, else U; unkeyed target rows become inserts),
+    * LAST CHANGE PER KEY WINS in LOG-SEQUENCE order (event_id — the
+    * LSN/commit-sequence every real CDC feed orders by; a wall-clock
+    * order would need a tiebreak struct, which forces SortAggregate).
+    * Both sides fold to one row per key with a hash max_by on the
+    * atomic sequence column (partial+final HashAggregate, no sort),
+    * then ONE key-partitioned full-outer join applies the verdict: D
+    * drops the row, U overwrites or inserts, untouched keys pass
+    * through — each output row tagged kept/updated/inserted.
+    * 100 TB shape: the snapshot never moves except one shuffle on its
+    * own key; the change stream folds to ≤ |keys| rows map-side before
+    * the join; at production scale the folded change set is typically
+    * broadcast-sized and AQE picks BHJ — nothing corpus-wide, no sort. */
+  def cdcApply(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val snap = ev.filter(pmod(col("event_id"), lit(5)) < 3)
+      .groupBy(col("user_id"))
+      .agg(expr("max_by(value, event_id)").as("snap_value"))
+    val chg = ev.filter(pmod(col("event_id"), lit(5)) >= 3)
+      .groupBy(col("user_id"))
+      .agg(max(col("event_id")).as("last_seq"),
+        expr("max_by(value, event_id)").as("chg_value"))
+      .select(col("user_id"),
+        when(pmod(col("last_seq"), lit(7)) === 0, lit("D"))
+          .otherwise(lit("U")).as("op"),
+        col("chg_value"))
+    snap.join(chg, Seq("user_id"), "full_outer")
+      .filter(col("op").isNull || col("op") =!= "D")
+      .select(col("user_id"),
+        coalesce(col("chg_value"), col("snap_value")).as("value"),
+        when(col("op").isNull, lit("kept"))
+          .when(col("snap_value").isNull, lit("inserted"))
+          .otherwise(lit("updated")).as("src"))
+      .orderedBy("user_id")
+  }
+
+  private def cdcApplyOracle: String =
+    """WITH snap AS (
+      |  SELECT user_id, value AS snap_value FROM (
+      |    SELECT user_id, value,
+      |           row_number() OVER (PARTITION BY user_id
+      |             ORDER BY event_id DESC) AS rn
+      |    FROM events WHERE event_id % 5 < 3)
+      |  WHERE rn = 1),
+      |chg AS (
+      |  SELECT user_id, op, value AS chg_value FROM (
+      |    SELECT user_id, value,
+      |           CASE WHEN event_id % 7 = 0 THEN 'D' ELSE 'U' END AS op,
+      |           row_number() OVER (PARTITION BY user_id
+      |             ORDER BY event_id DESC) AS rn
+      |    FROM events WHERE event_id % 5 >= 3)
+      |  WHERE rn = 1)
+      |SELECT COALESCE(s.user_id, c.user_id) AS user_id,
+      |       COALESCE(chg_value, snap_value) AS value,
+      |       CASE WHEN op IS NULL THEN 'kept'
+      |            WHEN snap_value IS NULL THEN 'inserted'
+      |            ELSE 'updated' END AS src
+      |FROM snap s FULL OUTER JOIN chg c ON s.user_id = c.user_id
+      |WHERE op IS NULL OR op <> 'D'
+      |ORDER BY user_id""".stripMargin
+
   // q_outliers' shared formula strings — spliced VERBATIM into both the
   // Spark projection and the DuckDB oracle (the momentFormulas discipline:
   // exact integer power sums in, one fixed tree of IEEE double ops out, so
@@ -865,6 +929,9 @@ object Stats {
     "q_scd2_streamed" -> QueryDef(scd2Streamed, Some(scd2Oracle)),
     "q_outliers" -> QueryDef(outliers(_, _), Some(outliersOracle(3))),
     "q_snapshot_diff" -> QueryDef(snapshotDiff, Some(snapshotDiffOracle)),
+    // MERGE INTO core: last-change-wins upsert/delete apply onto a
+    // keyed snapshot, kept/updated/inserted tagged
+    "q_cdc_apply" -> QueryDef(cdcApply, Some(cdcApplyOracle)),
     "q_agg_stats" -> QueryDef(aggStats, Some(aggStatsOracle)),
     "q_quantile_hist" -> QueryDef(quantileHist, Some(quantileHistOracle)),
     "q_quantile_sketch" -> QueryDef(quantileSketch(_, _),

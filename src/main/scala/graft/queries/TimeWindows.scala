@@ -117,6 +117,140 @@ object TimeWindows {
         .select(col("click_id"), col("p_id"))
     }.orderedBy("click_id", "p_id")
 
+  /** LEFT-OUTER stream-stream interval join — the watermark-EVICTION
+    * bridge [[joinStreamed]] cannot exercise: an unmatched click emits
+    * its NULL-extended row only when the GLOBAL watermark passes the
+    * click's last possible match time (c_ts + 10 min), i.e. the state
+    * store's expiry machinery itself produces output rows. Finite input
+    * makes that flush unreachable for late clicks — the final watermark
+    * sits only 1 min past the last event — so the staged layout appends
+    * two SENTINEL files (negative user ids, hours past the corpus end,
+    * delivered LAST by forced mtime): the first pushes BOTH sides'
+    * watermarks beyond every real click's expiry, the second forces the
+    * one further micro-batch in which the engine evicts against that
+    * advanced watermark and emits the stragglers (AvailableNow runs no
+    * trailing no-data batch — measured). The 4 real files are ts-RANGE
+    * contiguous and delivered in range order (mtime-forced), so no row
+    * is ever late against the advancing watermark — matched pairs that
+    * SPAN files prove the buffered-state path. Sentinels are filtered
+    * from the output; the oracle is the plain batch LEFT JOIN.
+    * 100 TB shape: identical to [[joinStreamed]] — both sides shuffle
+    * once on user_id, state bounded by rate × (10 min + delay). */
+  def joinOuterStreamed(s: SparkSession, d: String): DataFrame = {
+    val (tmp, schema) = stagedEventsSentinel(s, d)
+    Tables.runStreamAppend(s, "join_outer_streamed_") { cs =>
+      def src = cs.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(tmp)
+      val c = src.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
+          col("ts").as("c_ts"))
+        .withWatermark("c_ts", "1 minute")
+      val p = src.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("p_id"), col("user_id").as("p_user"),
+          col("ts").as("p_ts"))
+        .withWatermark("p_ts", "1 minute")
+      c.join(p,
+        col("c_user") === col("p_user") &&
+          col("p_ts") >= col("c_ts") &&
+          col("p_ts") <= col("c_ts") + expr("INTERVAL 10 MINUTES"),
+        "left_outer")
+        .select(col("click_id"), col("c_user"), col("p_id"))
+      // the sentinel filter is applied BATCH-side below, never here: a
+      // filter on the left join key inside the streaming plan gets pushed
+      // beneath the EventTimeWatermark node, the sentinel click then
+      // never advances the click-side watermark, and the last real
+      // click's NULL row is never flushed (measured: exactly one row
+      // short at sf0.001)
+    }.filter(col("c_user") >= 0)
+      .select(col("click_id"), col("p_id"))
+      .orderedBy("click_id", "p_id")
+  }
+
+  private val joinOuterStreamedOracle: String =
+    """WITH c AS (
+      |  SELECT event_id AS click_id, user_id,
+      |         date_trunc('microseconds', ts) AS c_ts
+      |  FROM events WHERE event_type = 'click' AND ts IS NOT NULL),
+      |p AS (
+      |  SELECT event_id AS p_id, user_id,
+      |         date_trunc('microseconds', ts) AS p_ts
+      |  FROM events WHERE event_type = 'purchase' AND ts IS NOT NULL)
+      |SELECT click_id, p_id
+      |FROM c LEFT JOIN p ON c.user_id = p.user_id
+      |  AND p_ts >= c_ts AND p_ts <= c_ts + INTERVAL 10 MINUTE
+      |ORDER BY click_id, p_id""".stripMargin
+
+  /** The [[joinOuterStreamed]] staging: events split into 4 contiguous
+    * ts ranges (repartitionByRange — partition k's file holds range k)
+    * plus the 2-row sentinel file, with mtimes FORCED ascending in range
+    * order so the file source's oldest-first pick delivers ranges in
+    * time order and the sentinel strictly last (parallel-written parts
+    * share an mtime, so natural ordering would race). Fingerprinted
+    * build-once layout, same rule as the multibatch staging; `_STAGED`
+    * is the done marker because BOTH parquet writes must land before the
+    * layout is usable. */
+  private def stagedEventsSentinel(s: SparkSession, d: String)
+      : (String, org.apache.spark.sql.types.StructType) = {
+    val srcPath = new org.apache.hadoop.fs.Path(s"$d/events.parquet")
+    val conf = s.sparkContext.hadoopConfiguration
+    val st = srcPath.getFileSystem(conf).getFileStatus(srcPath)
+    // v2: layout-version tag busts the cache on staging-shape changes
+    // (v1 had one sentinel batch — insufficient, see writeSentinel)
+    val tmp = Tables.stageDir(s,
+      s"join_outer_v2_${d.replaceAll("[^A-Za-z0-9.]", "_")}" +
+        s"_${st.getLen}_${st.getModificationTime}")
+    val ev = Tables.events(s, d).filter(col("ts").isNotNull)
+    val root = new org.apache.hadoop.fs.Path(tmp)
+    val fs = root.getFileSystem(conf)
+    val done = new org.apache.hadoop.fs.Path(root, "_STAGED")
+    if (!fs.exists(done)) {
+      ev.repartitionByRange(4, col("ts"))
+        .write.mode("overwrite").parquet(tmp)
+      // range files FIRST-WRITE only: part-0000k's k is the ascending
+      // range id (RangePartitioner assigns ranges in partition order)
+      val ranged = fs.listStatus(root).map(_.getPath)
+        .filter(_.getName.startsWith("part-")).sortBy(_.getName)
+      require(ranged.length == 4, s"expected 4 range files: ${ranged.length}")
+      val maxTs = ev.agg(max(col("ts"))).head.getTimestamp(0)
+      val hourMs = 3600L * 1000L
+      // TWO sentinel batches: S1 advances both watermarks past every real
+      // click's expiry; S2 forces one MORE micro-batch, because state
+      // eviction applies the watermark computed at the PREVIOUS batch's
+      // end — measured: without S2 the engine terminates after S1 with
+      // the last click still buffered (no trailing no-data batch runs
+      // under AvailableNow), losing exactly one NULL row.
+      def writeSentinel(tag: Long): org.apache.hadoop.fs.Path = {
+        val before = fs.listStatus(root).map(_.getPath)
+          .filter(_.getName.startsWith("part-")).toSet
+        val rows = Seq(
+          (-2 * tag - 1, new java.sql.Timestamp(
+            maxTs.getTime + (2 * tag + 1) * hourMs), -2 * tag - 1,
+            "click", 0.0, null: String),
+          (-2 * tag - 2, new java.sql.Timestamp(
+            maxTs.getTime + (2 * tag + 2) * hourMs), -2 * tag - 2,
+            "purchase", 0.0, null: String))
+        s.createDataFrame(rows)
+          .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+          .coalesce(1).write.mode("append").parquet(tmp)
+        val added = fs.listStatus(root).map(_.getPath)
+          .filter(_.getName.startsWith("part-")).filterNot(before.contains)
+        require(added.length == 1,
+          s"expected exactly one sentinel file: ${added.length}")
+        added.head
+      }
+      val s1 = writeSentinel(0L)
+      val s2 = writeSentinel(1L)
+      val base = System.currentTimeMillis()
+      ranged.zipWithIndex.foreach { case (p, i) =>
+        fs.setTimes(p, base + i * 1000L, -1L)
+      }
+      fs.setTimes(s1, base + 600000L, -1L)
+      fs.setTimes(s2, base + 1200000L, -1L)
+      fs.create(done, true).close()
+    }
+    (tmp, ev.schema)
+  }
+
   /** Stream-static ENRICHMENT bridge — [[graft.stream.Enrich
     * .streamStaticJoin]] under the DuckDB oracle: the streaming events
     * fact joins the broadcast nation dim (user → geo via a deterministic
@@ -172,6 +306,10 @@ object TimeWindows {
     // the streaming join state machine against plain batch-join SQL —
     // batch ≡ streaming as a driver-oracled property
     "q_join_streamed" -> QueryDef(joinStreamed, Some(joinStreamedOracle)),
+    // watermark-EVICTION emission: unmatched clicks flush as NULL rows
+    // when the sentinel-pushed watermark passes their match horizon
+    "q_join_outer_streamed" -> QueryDef(joinOuterStreamed,
+      Some(joinOuterStreamedOracle)),
     "q_enrich_streamed" -> QueryDef(enrichStreamed, Some(enrichStreamedOracle)),
     "q_win_sliding" -> QueryDef(slidingOhlc, Some(slidingOracle)),
     // the streaming sliding-window fan-out against the SAME SQL
