@@ -164,9 +164,48 @@ object BpeTrain {
   def bpeApply(s: SparkSession, d: String): DataFrame =
     bpeApplyFrom(Tables.documents(s, d), nMerges)
 
+  /** [[bpeApply]] served from a PERSISTED merge table — the build-once
+    * artifact lifecycle (candle tier / CC labels / IVFPQ index) applied
+    * to the tokenizer: production trains ONCE and encodes forever, so
+    * the inline re-train q_bpe_apply pays per run (~2.2 s of iterative
+    * training jobs) is purely a self-containment artifact. The merge
+    * table (nMerges rows) persists under the corpus fingerprint; the
+    * serve side folds it into the same one-row broadcast and runs ONLY
+    * the encode chain. Identical oracle — persisted ≡ inline is itself
+    * the claim. */
+  def bpeServed(s: SparkSession, d: String): DataFrame = {
+    val path = mergesPath(s, d)
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(path, "_SUCCESS")))
+      trainFrom(Tables.documents(s, d), nMerges)
+        .write.mode("overwrite").parquet(path)
+    val mrow = s.read.parquet(path)
+      .agg(array_sort(collect_list(struct(col("rnk"), col("pair")))).as("ms"))
+    encodeWith(Tables.documents(s, d), mrow)
+  }
+
+  /** Merge-table artifact location, fingerprinted like the candle tier
+    * (SparkEntry.candleTierPath). */
+  private def mergesPath(s: SparkSession, d: String): String = {
+    val src = new org.apache.hadoop.fs.Path(s"$d/documents.parquet")
+    val st = src.getFileSystem(s.sparkContext.hadoopConfiguration)
+      .getFileStatus(src)
+    val dsafe = d.replaceAll("[^A-Za-z0-9.]", "_")
+    s"${Tables.artifactRoot(s)}/graft_bpe_merges/" +
+      s"v1_${dsafe}_${nMerges}_${st.getLen}_${st.getModificationTime}"
+  }
+
   private[graft] def bpeApplyFrom(docs: DataFrame, merges: Int): DataFrame = {
     val mrow = trainFrom(docs, merges)
       .agg(array_sort(collect_list(struct(col("rnk"), col("pair")))).as("ms"))
+    encodeWith(docs, mrow)
+  }
+
+  /** The encode chain shared by the inline and served apply paths: one
+    * fold over the distinct-word vocabulary against the broadcast merge
+    * row, then the doc-level fertility roll-up. */
+  private def encodeWith(docs: DataFrame, mrow: DataFrame): DataFrame = {
     val wc = docs
       .select(col("doc_id"), explode(TextStats.tokens(col("text"))).as("word"))
       .filter(length(col("word")) > 0)
@@ -224,6 +263,8 @@ object BpeTrain {
   val defs: Map[String, QueryDef] = Map(
     "q_bpe_train" -> QueryDef(bpeTrain, Some(bpeOracle)),
     // the encode half: trained merges applied corpus-wide in rank order
-    "q_bpe_apply" -> QueryDef(bpeApply, Some(bpeApplyOracle))
+    "q_bpe_apply" -> QueryDef(bpeApply, Some(bpeApplyOracle)),
+    // the same encode served from the persisted merge-table artifact
+    "q_bpe_served" -> QueryDef(bpeServed, Some(bpeApplyOracle))
   )
 }

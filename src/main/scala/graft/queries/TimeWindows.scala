@@ -138,7 +138,13 @@ object TimeWindows {
     * once on user_id, state bounded by rate × (10 min + delay). */
   def joinOuterStreamed(s: SparkSession, d: String): DataFrame = {
     val (tmp, schema) = stagedEventsSentinel(s, d)
-    Tables.runStreamAppend(s, "join_outer_streamed_") { cs =>
+    // 4 shuffle partitions, not the bridge default 8: the outer join
+    // instantiates 4 state store instances per partition per side per
+    // micro-batch, and this bridge runs 6 batches — store setup, not
+    // data, dominates at gate scale (same rationale as the default's own
+    // 32→8 note; production sizing is rate-based)
+    Tables.runStreamAppend(s, "join_outer_streamed_",
+      Map("spark.sql.shuffle.partitions" -> "4")) { cs =>
       def src = cs.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1).parquet(tmp)
       val c = src.filter(col("event_type") === "click")
