@@ -184,7 +184,17 @@ object Retrieval {
     * order-independent, so the dynamic-term-set fold (unlike [[bm25]]'s
     * fixed 3-term expression tree) still never hinges on order; ties
     * break on doc_id. */
-  def bm25Multi(s: SparkSession, d: String, k: Int = 5): DataFrame = {
+  def bm25Multi(s: SparkSession, d: String, k: Int = 5): DataFrame =
+    bm25MultiRanked(s, d)
+      .filter(col("rnk") <= k)
+      .select(col("qid"), col("rnk"), col("doc_id"), col("dl"), col("n_hit"),
+        col("score_dec").cast("double").as("score"))
+      .orderedBy("qid", "rnk")
+
+  /** The pre-top-k ranked frame behind [[bm25Multi]] — split out so the
+    * hybrid fusion ([[hybridRrf]]) can take its sparse arm from the
+    * identical rank chain. */
+  private def bm25MultiRanked(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val qterms = multiQueries.flatMap { case (q, ts) => ts.map(t => (q, t)) }
       .toDF("qid", "term")
@@ -216,10 +226,80 @@ object Retrieval {
       .agg(sum(col("c")).as("score_dec"), count(lit(1)).as("n_hit"),
         max(col("dl")).as("dl"))
       .withColumn("rnk", row_number().over(w).cast("long"))
+  }
+
+  /** HYBRID retrieval by Reciprocal Rank Fusion — the fusion layer every
+    * two-tower search stack runs: the SPARSE arm is [[bm25MultiRanked]]'s
+    * top-`kArm` per query, the DENSE arm is brute-force cosine top-`kArm`
+    * from the embeddings table (vec_id ≡ doc_id; query vectors are the
+    * query ids' own embeddings), fused per (qid, doc) as
+    * Σ 1/(60 + rank) over the arms a doc appears in (k=60, the canonical
+    * RRF constant) and re-ranked. Determinism: both arm ranks are exact
+    * integers under already-oracled orderings; the fused score is a
+    * FIXED two-term IEEE tree (coalesce(1/(60+r), 0) + same) on those
+    * integers, bit-identical cross-engine; final ties break on doc_id.
+    * 100 TB shape: each arm is its own already-audited plan (corpus
+    * scanned once per modality, queries broadcast, WindowGroupLimit
+    * prunes to kArm before any exchange); the fusion joins two
+    * (nQueries × kArm)-row frames — driver-trivial at any corpus size. */
+  def hybridRrf(s: SparkSession, d: String, kArm: Int = 10, k: Int = 5)
+      : DataFrame = {
+    val sparse = bm25MultiRanked(s, d).filter(col("rnk") <= kArm)
+      .select(col("qid"), col("doc_id"), col("rnk").as("r_s"))
+    val all = Similarity.vecs(s, d)
+    val qids = multiQueries.map(_._1)
+    val q = all.filter(col("vec_id").isin(qids: _*))
+      .select(col("vec_id").as("qid"), col("e").as("qe"))
+    val wD = Window.partitionBy(col("qid"))
+      .orderBy(col("cos").desc, col("doc_id"))
+    val dense = all.join(broadcast(q), col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("doc_id"),
+        Similarity.cosine(col("qe"), col("e")).as("cos"))
+      .withColumn("r_d", row_number().over(wD).cast("long"))
+      .filter(col("r_d") <= kArm)
+      .select(col("qid"), col("doc_id"), col("r_d"))
+    val wF = Window.partitionBy(col("qid"))
+      .orderBy(col("rrf").desc, col("doc_id"))
+    sparse.join(dense, Seq("qid", "doc_id"), "full_outer")
+      .withColumn("rrf",
+        coalesce(lit(1.0) / (lit(60L) + col("r_s")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(60L) + col("r_d")), lit(0.0)))
+      .withColumn("rnk", row_number().over(wF).cast("long"))
       .filter(col("rnk") <= k)
-      .select(col("qid"), col("rnk"), col("doc_id"), col("dl"), col("n_hit"),
-        col("score_dec").cast("double").as("score"))
+      .select(col("qid"), col("rnk"), col("doc_id"), col("rrf"))
       .orderedBy("qid", "rnk")
+  }
+
+  private def hybridRrfOracle(kArm: Int, k: Int): String = {
+    val qidList = multiQueries.map(_._1).mkString(", ")
+    s"""WITH sparse AS (
+       |  SELECT qid, doc_id, rnk AS r_s
+       |  FROM (${bm25MultiOracle(kArm).replace("\n", "\n|        ")})),
+       |qv AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qe
+       |       FROM embeddings WHERE vec_id IN ($qidList)),
+       |dc AS (SELECT qid, vec_id AS doc_id,
+       |              list_cosine_similarity(qe, CAST(embedding AS DOUBLE[])) AS cos
+       |       FROM qv JOIN embeddings ON vec_id != qid),
+       |dense AS (
+       |  SELECT qid, doc_id, r_d FROM (
+       |    SELECT qid, doc_id,
+       |           row_number() OVER (PARTITION BY qid
+       |             ORDER BY cos DESC, doc_id) AS r_d
+       |    FROM dc)
+       |  WHERE r_d <= $kArm),
+       |f AS (
+       |  SELECT COALESCE(s.qid, de.qid) AS qid,
+       |         COALESCE(s.doc_id, de.doc_id) AS doc_id,
+       |         COALESCE(CAST(1.0 AS DOUBLE) / (60 + s.r_s), CAST(0.0 AS DOUBLE))
+       |           + COALESCE(CAST(1.0 AS DOUBLE) / (60 + de.r_d), CAST(0.0 AS DOUBLE)) AS rrf
+       |  FROM sparse s FULL OUTER JOIN dense de
+       |    ON s.qid = de.qid AND s.doc_id = de.doc_id),
+       |r AS (SELECT qid, doc_id, rrf,
+       |             row_number() OVER (PARTITION BY qid
+       |               ORDER BY rrf DESC, doc_id) AS rnk
+       |      FROM f)
+       |SELECT qid, CAST(rnk AS BIGINT) AS rnk, doc_id, rrf
+       |FROM r WHERE rnk <= $k ORDER BY qid, rnk""".stripMargin
   }
 
   /** The query table — corpus-vocabulary terms (TESTDATA.md word soup),
@@ -290,6 +370,9 @@ object Retrieval {
     // query-TABLE scoring: per-query top-k over a broadcast (qid, term)
     // frame — corpus-side scans independent of the query count
     "q_bm25_multi" -> QueryDef(bm25Multi(_, _), Some(bm25MultiOracle(5))),
+    // two-tower fusion: BM25 arm + dense-cosine arm, RRF re-rank
+    "q_retrieval_rrf" -> QueryDef(hybridRrf(_, _),
+      Some(hybridRrfOracle(10, 5))),
     "q_bm25_scored" -> QueryDef(bm25Scored, Some(scoredOracle)),
     // the streaming engine scoring the same corpus against the same
     // frozen stats — the SAME oracle adjudicates (16th bridge)

@@ -49,6 +49,52 @@ object Similarity {
       .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
   }
 
+  /** HARD-NEGATIVE MINING — the contrastive-training data op: for each
+    * query vector, the top-k most-similar vectors whose LABEL DIFFERS
+    * (high-cosine wrong-class neighbors are exactly the "hard" negatives
+    * a two-tower trainer wants in its batch). [[topkBrute]]'s audited
+    * shape with the class-exclusion predicate folded into the broadcast
+    * join condition: queries (with their labels) broadcast, corpus
+    * scanned once, WindowGroupLimit prunes to k per query before any
+    * exchange — the n×q score set never shuffles. At production scale
+    * the brute arm swaps for the IVFPQ serving index (q_sim_ivfpq_*) with
+    * the same label filter applied post-probe; the mining semantics stay
+    * this query's. */
+  def mineHard(s: SparkSession, d: String,
+               nQueries: Int = 20, k: Int = 5): DataFrame = {
+    graft.expr.GraftFunctions.register(s)
+    val all = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("e"),
+        col("label").cast("long").as("label"))
+    val q = all.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("e").as("qe"),
+        col("label").as("qlabel"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nbr"))
+    all.join(broadcast(q),
+        col("vec_id") =!= col("qid") && col("label") =!= col("qlabel"))
+      .select(col("qid"), col("vec_id").as("nbr"), col("label"),
+        cosine(col("qe"), col("e")).as("cos"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("qid"), col("rnk"), col("nbr"), col("label"))
+      .orderedBy("qid", "rnk")
+  }
+
+  private def mineHardOracle(nQueries: Int, k: Int): String =
+    s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+       |                  CAST(label AS BIGINT) AS label FROM embeddings),
+       |q AS (SELECT vec_id AS qid, e AS qe, label AS qlabel
+       |      FROM v WHERE vec_id < $nQueries),
+       |c AS (SELECT qid, vec_id AS nbr, v.label,
+       |             list_cosine_similarity(qe, e) AS cos
+       |      FROM q JOIN v ON vec_id != qid AND v.label != qlabel),
+       |r AS (SELECT qid, nbr, label,
+       |             row_number() OVER (PARTITION BY qid
+       |               ORDER BY cos DESC, nbr) AS rnk
+       |      FROM c)
+       |SELECT qid, CAST(rnk AS BIGINT) AS rnk, nbr, label
+       |FROM r WHERE rnk <= $k ORDER BY qid, rnk""".stripMargin
+
   /** Exact top-k neighbors for each query vector (vec_id < nQueries). */
   def topkBrute(s: SparkSession, d: String, nQueries: Int = 20, k: Int = 5): DataFrame = {
     val all = vecs(s, d)
@@ -586,6 +632,8 @@ object Similarity {
         |             row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nbr) AS rnk
         |      FROM c)
         |SELECT qid, rnk, nbr FROM r WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin)),
+    // contrastive mining: top-k wrong-class neighbors per query
+    "q_mine_hard" -> QueryDef(mineHard(_, _), Some(mineHardOracle(20, 5))),
     "q_sim_bucketed" -> QueryDef(topkBucketed(_, _),
       Some(bucketedOracle(nQueries = 20, k = 3, nCentroids = 8,
         nprobe = 2, iters = 2, dim = 64))),
