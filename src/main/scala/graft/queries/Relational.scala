@@ -170,6 +170,60 @@ object Relational {
         sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("sum_total"))
       .orderedBy("c_mktsegment")
 
+  /** AQE SKEW-JOIN — the runtime answer to the same hot-key problem
+    * [[joinSalted]] solves by hand: a fact side where ~90% of rows share
+    * one join key sort-merge-joins a small dim (broadcast disabled to
+    * force the shuffle join), and ADAPTIVE execution detects the
+    * oversized partition at runtime and splits it across tasks
+    * (OptimizeSkewedJoin — `skew=true` in the final plan, pinned by
+    * CatalogSpec). Thresholds are scaled to gate-sized data in a CHILD
+    * session (the q_join_bloom conf-isolation pattern); production keeps
+    * the defaults and the same plan shape appears at real skew. The
+    * salted twin stays in the catalog: salting is the portable fix,
+    * AQE the zero-code one — both under the same oracle discipline. */
+  def joinSkewAqe(s0: SparkSession, d: String): DataFrame = {
+    val s = s0.newSession()
+    s.conf.set("spark.sql.adaptive.enabled", "true")
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    s.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    s.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "32KB")
+    s.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8KB")
+    s.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+    // the split must fire even though the agg below re-shuffles anyway
+    s.conf.set("spark.sql.adaptive.forceOptimizeSkewedJoin", "true")
+    // coalescing would wrap the stages in its own shuffle read first and
+    // mask the skew rule at gate scale (production partition sizes keep
+    // both rules active; only the thresholds are scaled here)
+    s.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    // fanOut: the skew SPLIT operates on map-output chunks, and the
+    // single-row-group testdata scan is ONE map task — an indivisible
+    // hot partition (at corpus scale the scan has thousands of splits
+    // and this guard is a no-op, the fanOut contract)
+    val fact = graft.core.QueryDef.fanOut(Tables.lineitem(s, d)).select(
+      when(pmod(col("l_orderkey"), lit(10)) < 9, lit(1L))
+        .otherwise(pmod(col("l_orderkey"), lit(25)) + 1).as("nk"),
+      col("l_extendedprice"))
+    val dim = Tables.nation(s, d)
+      .select((col("n_nationkey") + 1).as("nk"), col("n_name"))
+    fact.join(dim, "nk")
+      .groupBy(col("n_name"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double")
+          .as("sum_price"))
+      .orderedBy("n_name")
+  }
+
+  private val joinSkewAqeOracle: String =
+    """SELECT n_name, count(*) AS cnt,
+      |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+      |         AS sum_price
+      |FROM (SELECT CASE WHEN l_orderkey % 10 < 9 THEN 1
+      |                  ELSE l_orderkey % 25 + 1 END AS nk,
+      |             l_extendedprice FROM lineitem) f
+      |JOIN (SELECT n_nationkey + 1 AS nk, n_name FROM nation) n USING (nk)
+      |GROUP BY n_name ORDER BY n_name""".stripMargin
+
   /** Z-order clustering key (Layout.zorderKey) over events: interleave
     * 16 bits of user_id with 16 bits of the event's epoch-minute, plus the
     * coarse zkey>>20 file bucket a write job would range-partition on —
@@ -717,6 +771,9 @@ object Relational {
         |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_total
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)),
+    // the zero-code hot-key fix: AQE splits the skewed SMJ partition at
+    // runtime (skew=true pinned by CatalogSpec)
+    "q_join_skew_aqe" -> QueryDef(joinSkewAqe, Some(joinSkewAqeOracle)),
     "q_join_asof" -> QueryDef(joinAsof, Some(asofOracle)),
     // the SAME oracle adjudicates the native merge exec — composed window
     // formulation and custom SparkPlan must agree row-for-row

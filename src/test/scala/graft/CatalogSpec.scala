@@ -277,6 +277,21 @@ class CatalogSpec extends SparkTestBase {
       s"q_join_bucketed's scans are not both bucketed:\n$bkt")
   }
 
+  test("plan guard: q_join_skew_aqe actually splits the skewed partition") {
+    val dir = "/root/testdata/sf0.01"
+    val df = Catalog.defs("q_join_skew_aqe").build(spark, dir)
+    // AQE finalizes the plan only on execution, and only on THIS
+    // QueryExecution — a write would plan its own: collect() instead
+    assert(df.collect().nonEmpty)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("isFinalPlan=true"),
+      s"plan never finalized under AQE:\n$plan")
+    assert(plan.contains("SortMergeJoin"),
+      s"q_join_skew_aqe must shuffle-join (broadcast disabled):\n$plan")
+    assert(plan.contains("skew=true"),
+      s"AQE did not mark the skewed join split:\n$plan")
+  }
+
   test("plan guard: q_meta_count answers from parquet footer statistics") {
     // the whole point of the query: the scan must report the pushed
     // aggregates — an empty PushedAggregation means the DSv2/conf scoping
