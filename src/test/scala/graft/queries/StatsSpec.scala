@@ -283,4 +283,21 @@ class StatsSpec extends SparkTestBase {
     val want = Stats.profileSketch(spark, d).collect().toSeq
     assert(got == want, s"folded profile diverges:\n$got\nvs\n$want")
   }
+
+  test("streaming CDC: the change fold spans >1 micro-batch and equals the batch apply") {
+    val (streamed, batches) = Stats.cdcStreamedStats(spark, d)
+    assert(batches >= 2, s"expected >1 micro-batch, got $batches")
+    val got = streamed.collect().toSeq
+    val want = Stats.cdcApply(spark, d).collect().toSeq
+    assert(got == want, s"folded CDC apply diverges:\n$got\nvs\n$want")
+    // the fixture updates every keyed user (each has events in both
+    // slices), and the D lane actually drops rows: fewer output rows
+    // than distinct users proves deletes executed
+    val nUsers = graft.core.Tables.events(spark, d)
+      .select("user_id").distinct().count()
+    assert(got.nonEmpty && got.size < nUsers,
+      s"expected the D lane to drop users: ${got.size} of $nUsers")
+    assert(got.map(_.getString(2)).toSet.subsetOf(
+      Set("kept", "updated", "inserted")))
+  }
 }
