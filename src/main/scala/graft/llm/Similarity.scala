@@ -95,6 +95,101 @@ object Similarity {
        |SELECT qid, CAST(rnk AS BIGINT) AS rnk, nbr, label
        |FROM r WHERE rnk <= $k ORDER BY qid, rnk""".stripMargin
 
+  /** MMR DIVERSIFICATION — Maximal Marginal Relevance, the re-rank layer
+    * that stops a result page (or a RAG context window) from filling
+    * with near-duplicates: greedily pick k of the top-`nCand` candidates
+    * maximizing λ·rel(c) − (1−λ)·max_{s∈selected} sim(c, s), λ = 0.7.
+    * Determinism: every cosine crosses to an exact long ONCE
+    * (round(cos·1e10)), so the greedy score 7·r − 3·maxsim is pure
+    * integer arithmetic with nbr tiebreaks — the float boundary is the
+    * same single rounding the rank queries already rely on. Execution:
+    * candidates pack into ONE array row per query (nCand structs), and
+    * the whole greedy loop is an `aggregate` fold over that array —
+    * per-query work is k scans of an nCand-element array, no joins, no
+    * shuffles beyond the candidate top-k (the audited [[topkBrute]]
+    * shape). The oracle unrolls the same k steps as SQL CTEs. */
+  def simMmr(s: SparkSession, d: String,
+             nQueries: Int = 10, nCand: Int = 20, k: Int = 5): DataFrame = {
+    graft.expr.GraftFunctions.register(s)
+    val all = vecs(s, d)
+    val q = all.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("e").as("qe"))
+    val wC = Window.partitionBy(col("qid")).orderBy(col("r").desc, col("nbr"))
+    val cands = all.join(broadcast(q), col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("nbr"), col("e"),
+        expr("CAST(round(vec_dot(qe, e) / (sqrt(vec_dot(qe, qe)) * " +
+          "sqrt(vec_dot(e, e))) * 1e10) AS BIGINT)").as("r"))
+      .withColumn("crn", row_number().over(wC)).filter(col("crn") <= nCand)
+    // one array row per query, candidates sorted (r desc, nbr asc) via
+    // the negated-r struct prefix — element 1 IS the rel-argmax seed
+    val packed = cands.groupBy(col("qid"))
+      .agg(array_sort(collect_list(struct(
+        (lit(Long.MaxValue) - col("r")).as("negr"),
+        col("nbr"), col("r"), col("e")))).as("cs"))
+    // scaled cosine between two candidate vectors, spliced twice below
+    def simL(a: String, b: String): String =
+      s"CAST(round(vec_dot($a.e, $b.e) / (sqrt(vec_dot($a.e, $a.e)) * " +
+        s"sqrt(vec_dot($b.e, $b.e))) * 1e10) AS BIGINT)"
+    val greedy =
+      s"""aggregate(
+         |  sequence(2, $k),
+         |  transform(slice(cs, 1, 1),
+         |    x -> named_struct('nbr', x.nbr, 'e', x.e)),
+         |  (sel, step) -> concat(sel, array((
+         |    element_at(transform(array_sort(transform(
+         |      filter(cs, c -> !exists(sel, s -> s.nbr = c.nbr)),
+         |      c -> named_struct(
+         |        'negs', ${Long.MaxValue}L
+         |          - (7 * c.r - 3 * array_max(transform(sel,
+         |               s -> ${simL("c", "s")}))),
+         |        'nbr', c.nbr, 'e', c.e))),
+         |      p -> named_struct('nbr', p.nbr, 'e', p.e)), 1)))))""".stripMargin
+    packed
+      .withColumn("sel", expr(greedy))
+      .select(col("qid"), posexplode(expr("transform(sel, s -> s.nbr)")))
+      .select(col("qid"), (col("pos") + 1).cast("long").as("rnk"),
+        col("col").as("nbr"))
+      .orderedBy("qid", "rnk")
+  }
+
+  private def simMmrOracle(nQueries: Int, nCand: Int, k: Int): String = {
+    def step(i: Int): String =
+      s"""ms$i AS (
+         |  SELECT c.qid, c.nbr, any_value(c.e) AS e, any_value(c.r) AS r,
+         |         max(CAST(round(list_cosine_similarity(c.e, s.e) * 1e10)
+         |             AS BIGINT)) AS msim
+         |  FROM cand c JOIN selu${i - 1} s USING (qid)
+         |  WHERE NOT EXISTS (SELECT 1 FROM selu${i - 1} x
+         |                    WHERE x.qid = c.qid AND x.nbr = c.nbr)
+         |  GROUP BY c.qid, c.nbr),
+         |s$i AS (
+         |  SELECT qid, nbr, e FROM (
+         |    SELECT qid, nbr, e,
+         |           row_number() OVER (PARTITION BY qid
+         |             ORDER BY 7 * r - 3 * msim DESC, nbr) AS rn
+         |    FROM ms$i) WHERE rn = 1),
+         |selu$i AS (SELECT * FROM selu${i - 1}
+         |           UNION ALL SELECT qid, nbr, e, $i AS rnk FROM s$i)"""
+        .stripMargin
+    val steps = (2 to k).map(step).mkString(",\n")
+    s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+       |           FROM embeddings),
+       |q AS (SELECT vec_id AS qid, e AS qe FROM v WHERE vec_id < $nQueries),
+       |c0 AS (SELECT qid, vec_id AS nbr, e,
+       |              CAST(round(list_cosine_similarity(qe, e) * 1e10)
+       |                   AS BIGINT) AS r
+       |       FROM q JOIN v ON vec_id != qid),
+       |cand AS (SELECT qid, nbr, e, r FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY qid
+       |      ORDER BY r DESC, nbr) AS crn FROM c0) WHERE crn <= $nCand),
+       |selu1 AS (SELECT qid, nbr, e, 1 AS rnk FROM (
+       |    SELECT qid, nbr, e, row_number() OVER (PARTITION BY qid
+       |      ORDER BY r DESC, nbr) AS rn FROM cand) WHERE rn = 1),
+       |$steps
+       |SELECT qid, CAST(rnk AS BIGINT) AS rnk, nbr
+       |FROM selu$k ORDER BY qid, rnk""".stripMargin
+  }
+
   /** Exact top-k neighbors for each query vector (vec_id < nQueries). */
   def topkBrute(s: SparkSession, d: String, nQueries: Int = 20, k: Int = 5): DataFrame = {
     val all = vecs(s, d)
@@ -634,6 +729,8 @@ object Similarity {
         |SELECT qid, rnk, nbr FROM r WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin)),
     // contrastive mining: top-k wrong-class neighbors per query
     "q_mine_hard" -> QueryDef(mineHard(_, _), Some(mineHardOracle(20, 5))),
+    // MMR greedy diversification as one array fold per query
+    "q_sim_mmr" -> QueryDef(simMmr(_, _), Some(simMmrOracle(10, 20, 5))),
     "q_sim_bucketed" -> QueryDef(topkBucketed(_, _),
       Some(bucketedOracle(nQueries = 20, k = 3, nCentroids = 8,
         nprobe = 2, iters = 2, dim = 64))),

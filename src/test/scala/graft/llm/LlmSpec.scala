@@ -103,6 +103,26 @@ class LlmSpec extends SparkTestBase {
     assert(rTrained >= 0.5, f"trained IVF recall $rTrained%.3f below floor")
   }
 
+  test("MMR: rank 1 is the relevance argmax; diversification reorders at least one query") {
+    val d = "/root/testdata/sf0.01"
+    val mmr = Similarity.simMmr(spark, d).collect()
+      .groupBy(_.getLong(0))
+      .map { case (q, rows) =>
+        q -> rows.sortBy(_.getLong(1)).map(_.getLong(2)).toSeq }
+    val rel = Similarity.topkBrute(spark, d, nQueries = 10, k = 5).collect()
+      .groupBy(_.getLong(0))
+      .map { case (q, rows) =>
+        q -> rows.sortBy(_.getLong(1)).map(_.getLong(2)).toSeq }
+    assert(mmr.keySet == rel.keySet && mmr.size == 10)
+    // the seed is pure relevance — identical argmax in both rankings
+    mmr.foreach { case (q, sel) => assert(sel.head == rel(q).head,
+      s"MMR rank 1 must be the relevance argmax for qid=$q") }
+    // λ=0.7 must actually trade relevance for diversity somewhere,
+    // else the diversity term is dead code
+    assert(mmr.exists { case (q, sel) => sel != rel(q) },
+      "MMR never diverged from pure relevance ranking")
+  }
+
   test("tfidf: rare terms outrank ubiquitous ones; ranks deterministic") {
     // 'common' appears in every doc (idf floor: ln((N+1)/(N+1))+1 = 1);
     // each doc's repeated rare word (tf 2, df 1 → score 2·(ln(2)+1) ≈ 3.39)
