@@ -51,7 +51,9 @@ object ExplainAudit {
       "q_ohlc_gapfill", "q_ohlc_tiered",
       "q_tradelog_agg", "q_tradelog_prune", "q_ohlc_moves", "q_ohlc_donchian",
       "q_tradelog_pushdown", "q_tradelog_point", "q_tradelog_semi",
-      "q_ohlc_ema", "q_ohlc_bollinger", "q_ohlc_macd")
+      "q_ohlc_ema", "q_ohlc_bollinger", "q_ohlc_macd",
+      "q_ohlc_rsi", "q_ohlc_atr", "q_cdc_apply", "q_bpe_served",
+      "q_retrieval_rrf", "q_mine_hard", "q_sim_mmr", "q_join_skew_aqe")
     names.foreach { n =>
       println(s"\n========== $n ==========")
       n match {
