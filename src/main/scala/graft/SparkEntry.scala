@@ -738,6 +738,67 @@ object Catalog {
       |       e12 - e26 - (sig - 1000000000) AS hist6
       |FROM r ORDER BY ws, base""".stripMargin
 
+  /** INCREMENTAL candle-tier maintenance — the materialized-view update
+    * every OHLC archive actually runs: yesterday's tier (partial candles
+    * over the base slice) absorbs today's increment WITHOUT rescanning
+    * history, by the OHLC merge monoid keyed on (minute, base). Each
+    * partial carries its min/max event-time keys (atomic longs — the
+    * struct-key formulation would force SortAggregate), so the merge is
+    * one full-outer join resolving open/close by earlier/later key with
+    * the reference tie rule (same-µs tie → lowest price opens, highest
+    * closes — the ELSE least/greatest arms), high/low by null-skipping
+    * greatest/least, volume by exact decimal addition with ONE final
+    * double cast. The oracle is the VERBATIM full-recompute ohlcOracle —
+    * the hash proves increment-merge ≡ recompute. 100 TB shape: the
+    * increment's partials are a day's candles (broadcast-small); the
+    * tier never rescans, only joins on its own key. */
+  def qOhlcTierIncr(spark: SparkSession, dir: String): DataFrame =
+    tierIncrFrom(spark, Tables.events(spark, dir),
+      pmod(col("event_id"), lit(5)) === 4)
+
+  /** The merge body over an explicit events frame — split out so the
+    * spec can drive the same-µs tie arms with a constructed fixture
+    * (measure-zero in real data, so the oracle alone never fires them). */
+  private[graft] def tierIncrFrom(spark: SparkSession, ev: DataFrame,
+      isIncr: org.apache.spark.sql.Column): DataFrame = {
+    graft.expr.GraftFunctions.register(spark)
+    def partial(src: DataFrame): DataFrame =
+      src.groupBy(window(col("ts"), "1 minute"), col("event_type").as("base"))
+        .agg(
+          min(unix_micros(col("ts"))).as("fk"),
+          max(unix_micros(col("ts"))).as("lk"),
+          expr("first_by_ordered(unix_micros(ts), value)").as("open"),
+          max(col("value")).as("high"),
+          min(col("value")).as("low"),
+          expr("last_by_ordered(unix_micros(ts), value)").as("close"),
+          sum(col("value").cast("decimal(20,6)")).as("vol"))
+        .select(unix_timestamp(col("window.start")).as("ws"), col("base"),
+          col("fk"), col("lk"), col("open"), col("high"), col("low"),
+          col("close"), col("vol"))
+    val tier = partial(ev.filter(!isIncr)).alias("a")
+    val incr = partial(ev.filter(isIncr)).alias("b")
+    def a(n: String) = col(s"a.$n")
+    def b(n: String) = col(s"b.$n")
+    val zeroVol = lit(0).cast("decimal(20,6)")
+    tier.join(incr, Seq("ws", "base"), "full_outer")
+      .select(col("ws"), col("base"),
+        when(b("fk").isNull, a("open"))
+          .when(a("fk").isNull, b("open"))
+          .when(a("fk") < b("fk"), a("open"))
+          .when(b("fk") < a("fk"), b("open"))
+          .otherwise(least(a("open"), b("open"))).as("open"),
+        greatest(a("high"), b("high")).as("high"),
+        least(a("low"), b("low")).as("low"),
+        when(b("lk").isNull, a("close"))
+          .when(a("lk").isNull, b("close"))
+          .when(a("lk") > b("lk"), a("close"))
+          .when(b("lk") > a("lk"), b("close"))
+          .otherwise(greatest(a("close"), b("close"))).as("close"),
+        (coalesce(a("vol"), zeroVol) + coalesce(b("vol"), zeroVol))
+          .cast("double").as("volume"))
+      .orderedBy("ws", "base")
+  }
+
   /** RSI(14, Wilder) over the hourly closes — the [[qOhlcEma]] exact
     * integer discipline applied to the gain/loss DUAL recursion: per bar,
     * gain = max(Δc6, 0) and loss = max(−Δc6, 0) (the +Shift lift cancels
@@ -839,19 +900,83 @@ object Catalog {
       |SELECT ws, base, tr AS tr6, atr AS atr6
       |FROM r ORDER BY ws, base""".stripMargin
 
-  /** [[hourlyCloseFold]] generalized to the full (h6, l6, c6) bar for
-    * recursions that need intra-bar range ([[qOhlcAtr]]); unshifted
-    * µ-price longs — callers keep differences inside abs/greatest. */
+  /** HEIKIN-ASHI candles over the hourly bars — the smoothing transform
+    * charting stacks apply before trend detection, and ANOTHER exact
+    * recursion: haClose = (o+h+l+c) div 4 is per-bar, but
+    * haOpen_t = (haOpen_{t-1} + haClose_{t-1}) div 2 carries state, so
+    * it rides [[hourlyBarFold]] like RSI/ATR — all µ-price longs are
+    * positive, floor division is engine-identical, and haHigh/haLow are
+    * greatest/least over longs. Replayed by a recursive CTE. 100 TB
+    * shape: one sequential pass per symbol, state two longs. */
+  def qOhlcHeikin(spark: SparkSession, dir: String): DataFrame =
+    hourlyBarFold(spark, dir,
+      seed = """named_struct('ws', x.ws,
+        'hc', (x.o6 + x.h6 + x.l6 + x.c6) div 4,
+        'ho', (x.o6 + x.c6) div 2,
+        'hh', x.h6, 'hl', x.l6)""",
+      step = """named_struct('ws', x.ws,
+        'hc', (x.o6 + x.h6 + x.l6 + x.c6) div 4,
+        'ho', (element_at(acc, -1).ho + element_at(acc, -1).hc) div 2,
+        'hh', greatest(x.h6,
+                (element_at(acc, -1).ho + element_at(acc, -1).hc) div 2,
+                (x.o6 + x.h6 + x.l6 + x.c6) div 4),
+        'hl', least(x.l6,
+                (element_at(acc, -1).ho + element_at(acc, -1).hc) div 2,
+                (x.o6 + x.h6 + x.l6 + x.c6) div 4))""")
+      .select(col("e.ws").as("ws"), col("base"),
+        col("e.ho").as("ha_open6"), col("e.hc").as("ha_close6"),
+        col("e.hh").as("ha_high6"), col("e.hl").as("ha_low6"))
+      .orderedBy("ws", "base")
+
+  private val ohlcHeikinOracle =
+    """WITH RECURSIVE c AS (
+      |  SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS ws,
+      |         event_type AS base,
+      |         CAST(round(first(value ORDER BY date_trunc('microseconds', ts),
+      |                          value) * 1000000) AS BIGINT) AS o6,
+      |         CAST(round(max(value) * 1000000) AS BIGINT) AS h6,
+      |         CAST(round(min(value) * 1000000) AS BIGINT) AS l6,
+      |         CAST(round(last(value ORDER BY date_trunc('microseconds', ts),
+      |                         value) * 1000000) AS BIGINT) AS c6
+      |  FROM events GROUP BY 1, 2),
+      |n AS (SELECT base, ws, o6, h6, l6, c6,
+      |        row_number() OVER (PARTITION BY base ORDER BY ws) AS rn
+      |      FROM c),
+      |r AS (
+      |  SELECT base, ws, rn, o6, h6, l6, c6,
+      |         (o6 + h6 + l6 + c6) // 4 AS hc,
+      |         (o6 + c6) // 2 AS ho,
+      |         h6 AS hh, l6 AS hl
+      |  FROM n WHERE rn = 1
+      |  UNION ALL
+      |  SELECT n.base, n.ws, n.rn, n.o6, n.h6, n.l6, n.c6,
+      |         (n.o6 + n.h6 + n.l6 + n.c6) // 4,
+      |         (r.ho + r.hc) // 2,
+      |         greatest(n.h6, (r.ho + r.hc) // 2,
+      |                  (n.o6 + n.h6 + n.l6 + n.c6) // 4),
+      |         least(n.l6, (r.ho + r.hc) // 2,
+      |               (n.o6 + n.h6 + n.l6 + n.c6) // 4)
+      |  FROM n JOIN r ON n.base = r.base AND n.rn = r.rn + 1)
+      |SELECT ws, base, ho AS ha_open6, hc AS ha_close6,
+      |       hh AS ha_high6, hl AS ha_low6
+      |FROM r ORDER BY ws, base""".stripMargin
+
+  /** [[hourlyCloseFold]] generalized to the full (o6, h6, l6, c6) bar
+    * for recursions that need intra-bar range or the open
+    * ([[qOhlcAtr]], [[qOhlcHeikin]]); unshifted µ-price longs — callers
+    * keep differences inside abs/greatest. */
   private def hourlyBarFold(spark: SparkSession, dir: String,
       seed: String, step: String): DataFrame =
     rollupCandles(m1Candles(spark, dir), "1 hour")
       .select(col("ws"), col("base"),
+        round(col("open") * 1000000).cast("long").as("o6"),
         round(col("high") * 1000000).cast("long").as("h6"),
         round(col("low") * 1000000).cast("long").as("l6"),
         round(col("close") * 1000000).cast("long").as("c6"))
       .groupBy(col("base"))
       .agg(array_sort(collect_list(
-        struct(col("ws"), col("h6"), col("l6"), col("c6")))).as("cs"))
+        struct(col("ws"), col("o6"), col("h6"), col("l6"), col("c6"))))
+        .as("cs"))
       .withColumn("folded", expr(
         s"""aggregate(
            |  slice(cs, 2, size(cs) - 1),
@@ -930,6 +1055,10 @@ object Catalog {
     "q_ohlc_rsi" -> QueryDef(qOhlcRsi, Some(ohlcRsiOracle)),
     // ATR(14, Wilder): true-range recursion over the full hourly bar
     "q_ohlc_atr" -> QueryDef(qOhlcAtr, Some(ohlcAtrOracle)),
+    // Heikin-Ashi: per-bar smoothed candle with the recursive open
+    "q_ohlc_heikin" -> QueryDef(qOhlcHeikin, Some(ohlcHeikinOracle)),
+    // incremental tier maintenance: merge ≡ recompute under the same SQL
+    "q_ohlc_tier_incr" -> QueryDef(qOhlcTierIncr, Some(ohlcOracle)),
     "q_ohlc_1m" -> QueryDef(qOhlc1m, Some(ohlcOracle)),
     "q_ohlc_minby" -> QueryDef(qOhlcMinby, Some(ohlcOracle)),
     // the same min_by SOURCE text under the optimizer rewrite — must

@@ -131,6 +131,33 @@ class OhlcPropertiesSpec extends SparkTestBase {
     assert(sawNegativeMacd, "fixture never drove the MACD line negative")
   }
 
+  test("tier-incr merge: same-microsecond cross-slice ties resolve by the reference rule") {
+    import org.apache.spark.sql.functions.{col, lit}
+    import spark.implicits._
+    // one minute, one base; tier and increment each hold one event at the
+    // SAME µs — open must take the LOWEST price, close the HIGHEST (the
+    // single-pass lexicographic (ts, price) rule), regardless of slice
+    val t = java.sql.Timestamp.valueOf("2024-01-01 00:00:30")
+    val ev = Seq(
+      (0L, t, 1L, "x", 9.0, "{}"),  // tier slice (event_id % 5 != 4)
+      (4L, t, 1L, "x", 3.0, "{}"))  // increment slice
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val got = graft.Catalog.tierIncrFrom(spark, ev,
+      col("event_id") % lit(5) === 4).collect()
+    assert(got.length == 1)
+    val r = got.head
+    assert(r.getDouble(2) == 3.0, s"tie open must be lowest price: $r")
+    assert(r.getDouble(5) == 9.0, s"tie close must be highest price: $r")
+    assert(r.getDouble(3) == 9.0 && r.getDouble(4) == 3.0)
+    assert(r.getDouble(6) == 12.0) // volume = exact decimal sum
+    // one-sided minute: increment-only rows pass through unchanged
+    val ev2 = Seq((4L, t, 1L, "x", 5.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val r2 = graft.Catalog.tierIncrFrom(spark, ev2,
+      col("event_id") % lit(5) === 4).collect().head
+    assert(r2.getDouble(2) == 5.0 && r2.getDouble(5) == 5.0)
+  }
+
   test("q_ohlc_rsi: the gain/loss fold equals the plain Wilder model; rsi in [0,10000]") {
     val d = "/root/testdata/sf0.001"
     import org.apache.spark.sql.functions._
