@@ -219,6 +219,35 @@ object TradeLogFormat {
       .rename(qtmp, target, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
   }
 
+  /** RETENTION purge + vacuum — the metadata-only DELETE of every block
+    * whose entire ts span predates `cutoffUs`, then GC of data files no
+    * surviving block references. Blocks STRADDLING the cutoff (and
+    * blocks with an unknown span — all-null ts stores maxTsUs =
+    * Long.MaxValue) survive conservatively; a reader enforcing the
+    * retention boundary applies the ts predicate, which the same span
+    * metadata turns into block skips. Policy for null-ts rows inside a
+    * TIMED block: the span covers non-null ts only, so they expire with
+    * their block — the retention predicate excludes them regardless, and
+    * the ts-sorted writer layout clusters nulls into their own leading
+    * blocks (unknown span ⇒ kept) when they must be retained.
+    * The manifest rewrite is the usual
+    * atomic publish-then-GC (a crash after publish leaves harmless
+    * orphans, never dangling references) and CARRIES the streaming
+    * (epoch, qid) stamp forward. Returns (#blocks dropped, #files
+    * deleted). 100 TB shape: retention is O(manifest) driver work plus
+    * unlinks — no data is read or rewritten, the delete every
+    * time-partitioned archive actually runs. */
+  def purgeBefore(dir: String, cutoffUs: Long): (Int, Int) = {
+    val (blocks, epoch, qid) = readManifestMeta(dir)
+    val keep = blocks.filter(_.maxTsUs >= cutoffUs)
+    writeManifest(dir, keep, epoch, qid)
+    val ref = keep.map(_.file).toSet
+    val (filesystem, root) = fs(dir)
+    val dropped = blocks.map(_.file).distinct.filterNot(ref)
+    dropped.foreach(f => filesystem.delete(new Path(root, f), false))
+    (blocks.size - keep.size, dropped.size)
+  }
+
   // ---- row codec ------------------------------------------------------
 
   /** Encode one row (values in [[schema]] field order; null allowed) into

@@ -136,7 +136,11 @@ object TradeLogQueries {
       .orderedBy("event_type")
   }
 
-  private val tradelogDigestOracle: String = {
+  private val tradelogDigestOracle: String = digestOracleWhere("")
+
+  /** The digest oracle with an optional WHERE — the purge query grades
+    * the retained slice against the same text. */
+  private def digestOracleWhere(where: String): String = {
     val hv = OracleSql.hexPrefixToLong("h8")
     s"""WITH r AS (
        |  SELECT event_type,
@@ -146,7 +150,7 @@ object TradeLogQueries {
        |         event_type || '#' ||
        |         CAST(CAST(round(value * 100) AS BIGINT) AS VARCHAR) || '#' ||
        |         props AS repr
-       |  FROM events),
+       |  FROM events $where),
        |h AS (SELECT event_type, substr(md5(repr), 1, 8) AS h8 FROM r),
        |l AS (SELECT event_type, $hv AS hv FROM h)
        |SELECT event_type, count(*) AS n,
@@ -414,7 +418,48 @@ object TradeLogQueries {
     path
   }
 
+  // ---- q_tradelog_purge -------------------------------------------------
+
+  private val PurgeCutoff = "2024-01-15 00:00:00"
+
+  /** RETENTION purge under the digest gate — the time-based DELETE every
+    * event archive runs: a copy of the log drops (metadata-only) every
+    * block fully below the cutoff and GCs fully-expired files
+    * ([[TradeLogFormat.purgeBefore]]); the reader enforces the boundary
+    * with the ts predicate (which the same spans turn into block skips),
+    * and the row-level digest over the result must equal the oracle over
+    * `events WHERE ts >= cutoff` — purge dropped EXACTLY the expired
+    * rows' blocks and nothing the boundary still needs. TradeLogSpec
+    * pins the mechanics: blocks dropped, fully-expired files unlinked,
+    * straddling and unknown-span blocks conservatively kept, the
+    * streaming stamp preserved. */
+  def tradelogPurge(s: SparkSession, dir: String): DataFrame =
+    digestOver(s.read.format(FormatName).load(ensurePurged(s, dir))
+      .filter(col("ts") >= lit(PurgeCutoff).cast("timestamp")))
+
+  /** Build-once purged twin of [[ensureLog]]'s artifact. */
+  def ensurePurged(s: SparkSession, dir: String): String = {
+    val src = ensureLog(s, dir)
+    val path = s"$src-purged"
+    val (fs, root) = TradeLogFormat.fs(path)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(root,
+        TradeLogFormat.ManifestName))) {
+      s.read.format(FormatName).load(src)
+        .repartition(8, to_date(col("ts")))
+        .sortWithinPartitions("ts")
+        .write.format(FormatName).mode("overwrite")
+        .option("blockRows", 256)
+        .save(path)
+      TradeLogFormat.purgeBefore(path,
+        java.sql.Timestamp.valueOf(PurgeCutoff).getTime * 1000L)
+    }
+    path
+  }
+
   val defs: Map[String, QueryDef] = Map(
+    // retention DELETE: metadata purge + vacuum preserve the boundary digest
+    "q_tradelog_purge" -> QueryDef(tradelogPurge,
+      Some(digestOracleWhere(s"WHERE ts >= TIMESTAMP '$PurgeCutoff'"))),
     // DSv2 write → DSv2 read round-trip under the aggregate oracle
     "q_tradelog_agg" -> QueryDef(tradelogAgg, Some(tradelogAggOracle)),
     // row-level codec proof: every column in an order-independent digest

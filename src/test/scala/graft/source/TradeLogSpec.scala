@@ -430,6 +430,53 @@ class TradeLogSpec extends SparkTestBase {
     assert(ints.selectedBlocks.size < ints.allBlocks.size)
   }
 
+  test("retention purge: expired blocks dropped, expired files vacuumed, straddlers kept") {
+    val dir = tmpDir("purge") + "/log"
+    // 40 ts-sorted rows in 4 range files (repartitionByRange), 5-row
+    // blocks -> tight spans; one all-null-ts row appended in its OWN
+    // block (unknown span — inside a timed block it would expire with
+    // the block, the documented policy)
+    val timed = (0L until 40L).map(i =>
+      Row(i, ts(f"2024-01-01 ${i / 10}%02d:${(i % 10) * 5}%02d:00"), i, "t",
+        i.toDouble, "{}"))
+    val rows = timed :+ Row(99L, null, 99L, "t", 0.0, "{}")
+    df(timed).repartitionByRange(4, col("ts")).sortWithinPartitions("ts")
+      .write.format(Fmt).mode("overwrite").option("blockRows", 5).save(dir)
+    df(Seq(rows.last)).coalesce(1)
+      .write.format(Fmt).mode("append").option("blockRows", 5).save(dir)
+    // a streaming stamp must survive the purge rewrite
+    val blocks0 = TradeLogFormat.readManifest(dir)
+    TradeLogFormat.writeManifest(dir, blocks0, Some(3L), Some("qid-p"))
+    val (fs, root) = TradeLogFormat.fs(dir)
+    val files0 = blocks0.map(_.file).distinct
+    val cutoff = Timestamp.valueOf("2024-01-01 02:00:00").getTime * 1000L
+    val (droppedBlocks, droppedFiles) = TradeLogFormat.purgeBefore(dir, cutoff)
+    assert(droppedBlocks > 0, "no expired block was dropped")
+    assert(droppedFiles > 0, "no fully-expired file was vacuumed")
+    val (after, epoch, qid) = TradeLogFormat.readManifestMeta(dir)
+    assert(epoch.contains(3L) && qid.contains("qid-p"),
+      "purge must carry the streaming stamp forward")
+    // conservative survivors: every kept block's span reaches the cutoff
+    // or is unknown; the all-null-ts block is still readable
+    assert(after.forall(_.maxTsUs >= cutoff))
+    val back = spark.read.format(Fmt).load(dir)
+    assert(back.filter(col("ts").isNull).count() == 1,
+      "unknown-span block must survive a purge")
+    // boundary semantics: post-purge read + ts predicate == the slice
+    val got = canon(back.filter(
+      col("ts") >= lit("2024-01-01 02:00:00").cast("timestamp")))
+    val want = canon(df(rows.filter(r => r.get(1) != null &&
+      !r.getTimestamp(1).before(ts("2024-01-01 02:00:00")))))
+    assert(got == want, "purge lost or leaked rows at the boundary")
+    // vacuumed files are really gone; referenced files all exist
+    val refAfter = after.map(_.file).toSet
+    files0.filterNot(refAfter).foreach(f => assert(
+      !fs.exists(new org.apache.hadoop.fs.Path(root, f)),
+      s"expired file not vacuumed: $f"))
+    refAfter.foreach(f => assert(
+      fs.exists(new org.apache.hadoop.fs.Path(root, f))))
+  }
+
   test("offset json round-trips; malformed json is rejected") {
     assert(TradeLogOffset.fromJson(TradeLogOffset(7).json()).block == 7)
     assert(TradeLogOffset.fromJson(""" { "block" : 12 } """).block == 12)
