@@ -52,7 +52,10 @@ object Bench {
     // every other timed run (VERDICT r9 item 1).
     val runsLast = Set("q_dedup_clusters", "q_dedup_cc", "q_split_leakfree",
       "q_dedup_matrix", "q_dedup_cc_incr", "q_dedup_cc_persisted",
-      "q_dedup_cc_streamed", "q_embed_clusters")
+      "q_dedup_cc_streamed", "q_embed_clusters",
+      // r14: the two heaviest state-store bridges (6-batch outer join,
+      // 4-batch CDC fold) — same localCheckpoint/state pressure class
+      "q_join_outer_streamed", "q_cdc_streamed")
     val ordered = SparkEntry.queries.toSeq.sortBy { case (n, _) => (runsLast(n), n) }
 
     val results = ordered.map { case (name, fn) =>

@@ -424,6 +424,70 @@ object Relational {
       .orderedBy("l_returnflag")
   }
 
+  /** The EXACT `countDistinct` query text under the OPT-IN approximate
+    * rewrite ([[graft.plans.ApproxDistinctRewrite]]): the user writes
+    * count(DISTINCT …), the session flag consents to the estimate, and
+    * the optimizer swaps in the [[graft.expr.HllDistinct]] aggregate —
+    * O(64) state per group through ObjectHashAggregate partials instead
+    * of the exact distinct's Expand + per-group key sets. The oracle
+    * replays the full register chain per rewritten column, so the hash
+    * adjudicates the rewrite AND the custom aggregate's arithmetic in
+    * one gate; the untouched plain count(*) pins that the rule leaves
+    * non-distinct aggregates alone. CatalogSpec pins the plan (the
+    * hll_distinct aggregate present, no Expand) and the ±20% envelope
+    * against the exact twin. */
+  def distinctRewrite(s0: SparkSession, d: String): DataFrame = {
+    val s = s0.newSession()
+    s.conf.set(graft.plans.ApproxDistinctRewrite.ConfKey, "true")
+    s.experimental.extraOptimizations =
+      s.experimental.extraOptimizations :+ graft.plans.ApproxDistinctRewrite
+    // ONE distinct aggregate by design: session-local extraOptimizations
+    // run AFTER the built-in RewriteDistinctAggregates batch, which
+    // expands multi-distinct aggregates before this rule could see them
+    // (measured: with two countDistinct columns the rule never fires and
+    // the exact counts come back). A single distinct survives the
+    // logical batches intact (it plans at the physical stage), so the
+    // rewrite hits it. A cluster deployment injecting the rule through
+    // GraftExtensions' injectOptimizerRule runs inside the operator
+    // batch and covers the multi-distinct case too.
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        countDistinct(col("l_partkey")).as("parts"),
+        count(lit(1)).as("cnt"))
+      .orderedBy("l_returnflag")
+  }
+
+  private def distinctRewriteOracle(m: Int): String = {
+    val hv = OracleSql.hexPrefixToLong("hx")
+    def chain(c: String, tag: String, alias: String): String =
+      s"""p$tag AS (
+         |  SELECT l_returnflag, substr(md5(CAST($c AS VARCHAR)), 1, 8) AS hx
+         |  FROM lineitem),
+         |h$tag AS (SELECT l_returnflag, $hv AS h FROM p$tag),
+         |b$tag AS (SELECT l_returnflag, h % $m AS bucket, h // $m AS w
+         |          FROM h$tag),
+         |r$tag AS (SELECT l_returnflag, bucket,
+         |                 max(CASE WHEN w = 0 THEN 27
+         |                     ELSE 27 - length(bin(w)) END) AS reg
+         |          FROM b$tag GROUP BY l_returnflag, bucket),
+         |a$tag AS (SELECT l_returnflag,
+         |                 sum(CAST(1.0 AS DOUBLE)
+         |                     / (CAST(1 AS BIGINT) << CAST(reg AS INT))) AS sp,
+         |                 count(*) AS nb
+         |          FROM r$tag GROUP BY l_returnflag),
+         |e$tag AS (SELECT l_returnflag,
+         |                 CAST(round(${0.709 * m * m} / (sp + ($m - nb)))
+         |                      AS BIGINT) AS $alias
+         |          FROM a$tag)""".stripMargin
+    s"""WITH ${chain("l_partkey", "1", "parts")},
+       |c AS (SELECT l_returnflag, count(*) AS cnt
+       |      FROM lineitem GROUP BY l_returnflag)
+       |SELECT l_returnflag, parts, cnt
+       |FROM e1 JOIN c USING (l_returnflag)
+       |ORDER BY l_returnflag""".stripMargin
+  }
+
   private def distinctSketchOracle(m: Int): String = {
     val hv = OracleSql.hexPrefixToLong("hx")
     s"""WITH hsrc AS (
@@ -801,6 +865,10 @@ object Relational {
     "q_agg_approx" -> QueryDef(aggApprox, None,
       doc = "HLL approx_count_distinct — sketch differs from DuckDB's, rows-only check"),
     // the replayable sketch twin: md5-register HLL, full hash oracle
+    // opt-in approximate rewrite: count(DISTINCT) -> HllDistinct under
+    // the session flag; oracle replays the register chain per column
+    "q_distinct_rewrite" -> QueryDef(distinctRewrite,
+      Some(distinctRewriteOracle(64))),
     "q_distinct_sketch" -> QueryDef(distinctSketch(_, _),
       Some(distinctSketchOracle(64))),
     // sketch MERGEABILITY: daily register tables unioned register-wise —

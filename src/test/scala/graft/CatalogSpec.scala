@@ -292,6 +292,33 @@ class CatalogSpec extends SparkTestBase {
       s"AQE did not mark the skewed join split:\n$plan")
   }
 
+  test("plan guard: q_distinct_rewrite swaps count(DISTINCT) for the HLL aggregate") {
+    val dir = "/root/testdata/sf0.01"
+    val df = Catalog.defs("q_distinct_rewrite").build(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("hll_distinct"),
+      s"rewrite did not fire (no hll_distinct in plan):\n$plan")
+    assert(!plan.contains("Expand"),
+      s"exact-distinct Expand survived the rewrite:\n$plan")
+    // flag OFF: the same query text returns the exact counts untouched
+    val exact = graft.core.Tables.lineitem(spark, dir)
+      .groupBy(org.apache.spark.sql.functions.col("l_returnflag"))
+      .agg(org.apache.spark.sql.functions.countDistinct(
+        org.apache.spark.sql.functions.col("l_partkey")).as("parts"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val est = df.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(est.keySet == exact.keySet)
+    // the estimate is an estimate (the rewrite consciously trades
+    // accuracy) but must hold the m=64 envelope
+    est.foreach { case (k, e) =>
+      val x = exact(k).toDouble
+      assert(math.abs(e - x) / x <= 0.2,
+        s"estimate outside the +-20% envelope for $k: est=$e exact=$x")
+    }
+    assert(est.exists { case (k, e) => e != exact(k) },
+      "suspicious: estimates all exactly equal the exact counts")
+  }
+
   test("plan guard: q_meta_count answers from parquet footer statistics") {
     // the whole point of the query: the scan must report the pushed
     // aggregates — an empty PushedAggregation means the DSv2/conf scoping
