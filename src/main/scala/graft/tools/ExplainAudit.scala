@@ -53,7 +53,9 @@ object ExplainAudit {
       "q_tradelog_pushdown", "q_tradelog_point", "q_tradelog_semi",
       "q_ohlc_ema", "q_ohlc_bollinger", "q_ohlc_macd",
       "q_ohlc_rsi", "q_ohlc_atr", "q_cdc_apply", "q_bpe_served",
-      "q_retrieval_rrf", "q_mine_hard", "q_sim_mmr", "q_join_skew_aqe")
+      "q_retrieval_rrf", "q_mine_hard", "q_sim_mmr", "q_join_skew_aqe",
+      "q_ohlc_heikin", "q_ohlc_tier_incr", "q_tradelog_purge",
+      "q_distinct_rewrite")
     names.foreach { n =>
       println(s"\n========== $n ==========")
       n match {
