@@ -170,6 +170,100 @@ object Relational {
         sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("sum_total"))
       .orderedBy("c_mktsegment")
 
+  /** TPC-H Q1 (pricing summary report) — the canonical scan-heavy
+    * aggregate, verbatim shape on the testdata's lineitem: one pass,
+    * partial+final HashAggregate on a 2-value key, every measure exact.
+    * Float discipline: the per-row disc_price/charge products are fixed
+    * IEEE trees rounded to 6dp decimals before the EXACT sums (the bm25
+    * component rule), averages are one IEEE divide over exact sums, and
+    * each output casts to double ONCE. */
+  def tpchQ1(s: SparkSession, d: String): DataFrame = {
+    val cutoff = lit("1998-09-02").cast("timestamp")
+    val disc = expr(
+      "CAST(round(l_extendedprice * (1 - l_discount), 6) AS DECIMAL(28,6))")
+    val charge = expr(
+      "CAST(round(l_extendedprice * (1 - l_discount) * (1 + l_tax), 6) " +
+        "AS DECIMAL(28,6))")
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate") <= cutoff)
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(col("l_quantity").cast("decimal(18,2)")).cast("double")
+          .as("sum_qty"),
+        sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double")
+          .as("sum_base_price"),
+        sum(disc).cast("double").as("sum_disc_price"),
+        sum(charge).cast("double").as("sum_charge"),
+        (sum(col("l_quantity").cast("decimal(18,2)")).cast("double")
+          / count(lit(1))).as("avg_qty"),
+        (sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double")
+          / count(lit(1))).as("avg_price"),
+        (sum(col("l_discount").cast("decimal(18,2)")).cast("double")
+          / count(lit(1))).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderedBy("l_returnflag", "l_linestatus")
+  }
+
+  private val tpchQ1Oracle =
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+      |  CAST(sum(CAST(round(l_extendedprice * (1 - l_discount), 6)
+      |           AS DECIMAL(28,6))) AS DOUBLE) AS sum_disc_price,
+      |  CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * (1 + l_tax), 6)
+      |           AS DECIMAL(28,6))) AS DOUBLE) AS sum_charge,
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_qty,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_price,
+      |  CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_disc,
+      |  count(*) AS count_order
+      |FROM lineitem
+      |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  /** TPC-H Q3 (shipping-priority revenue), adapted to the testdata's
+    * orders (no o_shippriority column — dropped from the projection;
+    * otherwise verbatim): BUILDING-segment customers, orders placed
+    * before / lines shipped after the date, top 10 open orders by
+    * exact-decimal revenue. Plan: two key joins (the customer side
+    * broadcast-small after its filter), one (orderkey, orderdate)
+    * aggregate, TakeOrderedAndProject for the top-k. */
+  def tpchQ3(s: SparkSession, d: String): DataFrame = {
+    val date = lit("1998-03-15").cast("timestamp")
+    val rev = expr(
+      "CAST(round(l_extendedprice * (1 - l_discount), 6) AS DECIMAL(28,6))")
+    val c = Tables.customer(s, d)
+      .filter(col("c_mktsegment") === "BUILDING").select(col("c_custkey"))
+    val o = Tables.orders(s, d).filter(col("o_orderdate") < date)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"))
+    val l = Tables.lineitem(s, d).filter(col("l_shipdate") > date)
+      .select(col("l_orderkey"), rev.as("rev"))
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"))
+      .agg(sum(col("rev")).cast("double").as("revenue"))
+      .select(col("l_orderkey"),
+        unix_timestamp(col("o_orderdate")).as("o_date"), col("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+      .orderedBy("l_orderkey")
+  }
+
+  private val tpchQ3Oracle =
+    """SELECT l_orderkey, o_date, revenue FROM (
+      |  SELECT l_orderkey,
+      |         CAST(epoch(o_orderdate) AS BIGINT) AS o_date,
+      |         CAST(sum(CAST(round(l_extendedprice * (1 - l_discount), 6)
+      |                  AS DECIMAL(28,6))) AS DOUBLE) AS revenue
+      |  FROM customer JOIN orders ON c_custkey = o_custkey
+      |  JOIN lineitem ON l_orderkey = o_orderkey
+      |  WHERE c_mktsegment = 'BUILDING'
+      |    AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+      |    AND l_shipdate > TIMESTAMP '1998-03-15 00:00:00'
+      |  GROUP BY l_orderkey, o_orderdate
+      |  ORDER BY revenue DESC, l_orderkey LIMIT 10)
+      |ORDER BY l_orderkey""".stripMargin
+
   /** AQE SKEW-JOIN — the runtime answer to the same hot-key problem
     * [[joinSalted]] solves by hand: a fact side where ~90% of rows share
     * one join key sort-merge-joins a small dim (broadcast disabled to
@@ -838,6 +932,9 @@ object Relational {
     // the zero-code hot-key fix: AQE splits the skewed SMJ partition at
     // runtime (skew=true pinned by CatalogSpec)
     "q_join_skew_aqe" -> QueryDef(joinSkewAqe, Some(joinSkewAqeOracle)),
+    // the canonical benchmark shapes, verbatim on the testdata schema
+    "q_tpch_q1" -> QueryDef(tpchQ1, Some(tpchQ1Oracle)),
+    "q_tpch_q3" -> QueryDef(tpchQ3, Some(tpchQ3Oracle)),
     "q_join_asof" -> QueryDef(joinAsof, Some(asofOracle)),
     // the SAME oracle adjudicates the native merge exec — composed window
     // formulation and custom SparkPlan must agree row-for-row

@@ -48,6 +48,63 @@ object TimeWindows {
         col("n_events"), col("sum_value"))
       .orderedBy("user_id", "sess_start")
 
+  /** DYNAMIC-GAP sessions — the session_window API surface the static
+    * query cannot exercise: each event carries its OWN inactivity gap
+    * (purchases hold a session open 10 minutes, everything else 5), and
+    * the engine merges overlapping per-event windows. The oracle
+    * generalizes gaps-and-islands to a RUNNING MAX of per-event window
+    * ends (a fixed-gap lag-diff can't see an earlier long-gap event
+    * still holding the session open). Shared body with the streamed twin
+    * — the dynamic-gap session-merge state machine answers to the same
+    * SQL. */
+  def sessionsDynamic(s: SparkSession, d: String): DataFrame =
+    dynSessionsFrom(Tables.events(s, d)).orderedBy("user_id", "sess_start")
+
+  private def dynSessionsFrom(ev: DataFrame): DataFrame =
+    ev.groupBy(session_window(col("ts"),
+        when(col("event_type") === "purchase", lit("10 minutes"))
+          .otherwise(lit("5 minutes"))), col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(20,6)")).cast("double").as("sum_value"))
+      .select(
+        col("user_id"),
+        unix_micros(col("session_window.start")).as("sess_start"),
+        unix_micros(col("session_window.end")).as("sess_end"),
+        col("n_events"), col("sum_value"))
+
+  /** [[sessionsDynamic]] under the STREAMING engine (34th bridge): the
+    * dynamic-gap session-merge path through the session state store,
+    * same oracle. */
+  def sessionsDynamicStreamed(s: SparkSession, d: String): DataFrame =
+    Tables.runStreamComplete(s, "session_dyn_streamed_") { cs =>
+      dynSessionsFrom(Tables.eventsStream(cs, d))
+    }.orderedBy("user_id", "sess_start")
+
+  private lazy val sessionDynOracle: String =
+    """WITH e AS (
+      |  SELECT user_id, date_trunc('microseconds', ts) AS ts, value,
+      |         CASE WHEN event_type = 'purchase' THEN INTERVAL 10 MINUTE
+      |              ELSE INTERVAL 5 MINUTE END AS gap
+      |  FROM events),
+      |m AS (
+      |  SELECT user_id, ts, value, ts + gap AS e_end,
+      |         CASE WHEN max(ts + gap) OVER prev IS NULL
+      |                OR ts >= max(ts + gap) OVER prev
+      |              THEN 1 ELSE 0 END AS new_s
+      |  FROM e WINDOW prev AS (PARTITION BY user_id ORDER BY ts
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+      |g AS (
+      |  SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      |  FROM m)
+      |SELECT user_id,
+      |       epoch_us(min(ts)) AS sess_start,
+      |       epoch_us(max(e_end)) AS sess_end,
+      |       count(*) AS n_events,
+      |       CAST(sum(CAST(value AS DECIMAL(20,6))) AS DOUBLE) AS sum_value
+      |FROM g GROUP BY user_id, sid
+      |ORDER BY user_id, sess_start""".stripMargin
+
   /** [[sessions]] executed by the STREAMING engine (file source,
     * AvailableNow, complete mode, memory sink — the qOhlcStreamed bridge)
     * and registered against the IDENTICAL oracle SQL: the streaming
@@ -321,6 +378,11 @@ object TimeWindows {
     // the streaming sliding-window fan-out against the SAME SQL
     "q_sliding_streamed" -> QueryDef(slidingStreamed, Some(slidingOracle)),
     "q_win_session" -> QueryDef(sessions, Some(sessionOracle)),
+    // per-event dynamic inactivity gap; running-max gaps-and-islands oracle
+    "q_win_session_dyn" -> QueryDef(sessionsDynamic, Some(sessionDynOracle)),
+    // 34th bridge: the dynamic-gap session merge under the state store
+    "q_session_dyn_streamed" -> QueryDef(sessionsDynamicStreamed,
+      Some(sessionDynOracle)),
     // the streaming session-merge engine against the SAME gaps-and-islands
     // SQL — batch ≡ streaming as a driver-oracled property (see
     // q_ohlc_streamed for the tumbling-window twin)
