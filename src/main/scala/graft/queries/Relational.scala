@@ -264,6 +264,59 @@ object Relational {
       |  ORDER BY revenue DESC, l_orderkey LIMIT 10)
       |ORDER BY l_orderkey""".stripMargin
 
+  /** TPC-H Q5 (local-supplier volume) — the 6-way join classic, verbatim
+    * on the testdata schema: ASIA-region customers' orders in a 1-year
+    * window, revenue credited only when the line's supplier sits in the
+    * customer's own nation. Plan shape: region→nation→supplier fold to a
+    * broadcast-sized build side, customer broadcasts after its key-join,
+    * the two fact tables (orders, lineitem) meet on one orderkey
+    * exchange, and the n_name aggregate is 25-row state — the join-order
+    * stack Catalyst should (and does) pick with plain declarative
+    * input. Revenue is the Q1/Q3 exact-decimal lane. */
+  def tpchQ5(s: SparkSession, d: String): DataFrame = {
+    val lo = lit("1996-01-01").cast("timestamp")
+    val hi = lit("1997-01-01").cast("timestamp")
+    val rev = expr(
+      "CAST(round(l_extendedprice * (1 - l_discount), 6) AS DECIMAL(28,6))")
+    val nat = Tables.nation(s, d)
+      .join(broadcast(Tables.region(s, d).filter(col("r_name") === "ASIA")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey"), col("n_name"))
+    val sup = Tables.supplier(s, d)
+      .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("s_nationkey"), col("n_name"))
+    val cust = Tables.customer(s, d)
+      .select(col("c_custkey"), col("c_nationkey"))
+    val ord = Tables.orders(s, d)
+      .filter(col("o_orderdate") >= lo && col("o_orderdate") < hi)
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .select(col("o_orderkey"), col("c_nationkey"))
+    Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_suppkey"), rev.as("rev"))
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(sup),
+        col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(sum(col("rev")).cast("double").as("revenue"))
+      .orderedBy("n_name")
+  }
+
+  private val tpchQ5Oracle =
+    """SELECT n_name,
+      |       CAST(sum(CAST(round(l_extendedprice * (1 - l_discount), 6)
+      |                AS DECIMAL(28,6))) AS DOUBLE) AS revenue
+      |FROM customer
+      |JOIN orders ON c_custkey = o_custkey
+      |JOIN lineitem ON l_orderkey = o_orderkey
+      |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |WHERE r_name = 'ASIA'
+      |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+      |GROUP BY n_name ORDER BY n_name""".stripMargin
+
   /** AQE SKEW-JOIN — the runtime answer to the same hot-key problem
     * [[joinSalted]] solves by hand: a fact side where ~90% of rows share
     * one join key sort-merge-joins a small dim (broadcast disabled to
@@ -935,6 +988,7 @@ object Relational {
     // the canonical benchmark shapes, verbatim on the testdata schema
     "q_tpch_q1" -> QueryDef(tpchQ1, Some(tpchQ1Oracle)),
     "q_tpch_q3" -> QueryDef(tpchQ3, Some(tpchQ3Oracle)),
+    "q_tpch_q5" -> QueryDef(tpchQ5, Some(tpchQ5Oracle)),
     "q_join_asof" -> QueryDef(joinAsof, Some(asofOracle)),
     // the SAME oracle adjudicates the native merge exec — composed window
     // formulation and custom SparkPlan must agree row-for-row

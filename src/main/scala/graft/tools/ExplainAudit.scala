@@ -55,7 +55,8 @@ object ExplainAudit {
       "q_ohlc_rsi", "q_ohlc_atr", "q_cdc_apply", "q_bpe_served",
       "q_retrieval_rrf", "q_mine_hard", "q_sim_mmr", "q_join_skew_aqe",
       "q_ohlc_heikin", "q_ohlc_tier_incr", "q_tradelog_purge",
-      "q_distinct_rewrite")
+      "q_distinct_rewrite", "q_win_session_dyn",
+      "q_tpch_q1", "q_tpch_q3", "q_tpch_q5")
     names.foreach { n =>
       println(s"\n========== $n ==========")
       n match {
