@@ -312,6 +312,8 @@ object GraftFunctions {
         }
         SampleK(children(0), children(1), k)
       }),
+    (FunctionIdentifier("hll_distinct"), info(classOf[HllDistinct], "hll_distinct"),
+      (children: Seq[Expression]) => HllDistinct(children(0))),
     (FunctionIdentifier("quantile_sketch"), info(classOf[QuantileSketch], "quantile_sketch"),
       (children: Seq[Expression]) => {
         val k = children(2) match {

@@ -635,6 +635,48 @@ object Relational {
        |ORDER BY l_returnflag""".stripMargin
   }
 
+  /** The [[graft.expr.HllDistinct]] aggregate under the STREAMING engine
+    * (35th bridge): per-type distinct-user estimates through the
+    * complete-mode streaming aggregation — the TypedImperativeAggregate's
+    * serialize/merge path crosses the StateStore instead of a batch
+    * exchange, and the register replay adjudicates the result like the
+    * batch rewrite. Also the SQL-registration surface: the expression
+    * runs as the registered `hll_distinct` function, not a rule swap. */
+  def distinctStreamed(s: SparkSession, d: String): DataFrame =
+    Tables.runStreamComplete(s, "distinct_streamed_") { cs =>
+      graft.expr.GraftFunctions.register(cs)
+      Tables.eventsStream(cs, d)
+        .groupBy(col("event_type"))
+        .agg(expr("CAST(round(hll_distinct(user_id)) AS BIGINT)")
+          .as("users_est"),
+          count(lit(1)).as("n"))
+    }.orderedBy("event_type")
+
+  private def distinctStreamedOracle(m: Int): String = {
+    val hv = OracleSql.hexPrefixToLong("hx")
+    s"""WITH p AS (
+       |  SELECT event_type, substr(md5(CAST(user_id AS VARCHAR)), 1, 8) AS hx
+       |  FROM events WHERE user_id IS NOT NULL),
+       |h AS (SELECT event_type, $hv AS h FROM p),
+       |b AS (SELECT event_type, h % $m AS bucket, h // $m AS w FROM h),
+       |r AS (SELECT event_type, bucket,
+       |             max(CASE WHEN w = 0 THEN 27
+       |                 ELSE 27 - length(bin(w)) END) AS reg
+       |      FROM b GROUP BY event_type, bucket),
+       |a AS (SELECT event_type,
+       |             sum(CAST(1.0 AS DOUBLE)
+       |                 / (CAST(1 AS BIGINT) << CAST(reg AS INT))) AS sp,
+       |             count(*) AS nb
+       |      FROM r GROUP BY event_type),
+       |c AS (SELECT event_type, count(*) AS n FROM events GROUP BY event_type)
+       |SELECT event_type,
+       |       CAST(round(${0.709 * m * m} / (sp + ($m - nb))) AS BIGINT)
+       |         AS users_est,
+       |       n
+       |FROM a JOIN c USING (event_type)
+       |ORDER BY event_type""".stripMargin
+  }
+
   private def distinctSketchOracle(m: Int): String = {
     val hv = OracleSql.hexPrefixToLong("hx")
     s"""WITH hsrc AS (
@@ -1020,6 +1062,10 @@ object Relational {
     // the session flag; oracle replays the register chain per column
     "q_distinct_rewrite" -> QueryDef(distinctRewrite,
       Some(distinctRewriteOracle(64))),
+    // 35th bridge: the HLL TypedImperativeAggregate through the
+    // StateStore, invoked as the registered SQL function
+    "q_distinct_streamed" -> QueryDef(distinctStreamed,
+      Some(distinctStreamedOracle(64))),
     "q_distinct_sketch" -> QueryDef(distinctSketch(_, _),
       Some(distinctSketchOracle(64))),
     // sketch MERGEABILITY: daily register tables unioned register-wise —
