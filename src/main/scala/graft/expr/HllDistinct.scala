@@ -93,8 +93,24 @@ case class HllDistinct(
       if (regs(i) > 0) { nb += 1; sp += 1.0 / (1L << regs(i)) }
       i += 1
     }
-    // identical constant expression to the relational/oracle form
-    (0.709 * m * m) / (sp + (m - nb))
+    // empty sketch (every input NULL): the raw formula would report
+    // alpha·m ≈ 45, but count(DISTINCT) of an all-null group is 0 —
+    // the review-caught boundary; oracles LEFT-join and coalesce to 0
+    if (nb == 0) 0.0
+    else {
+      // identical constant expression to the relational/oracle form
+      val raw = (0.709 * m * m) / (sp + (m - nb))
+      // LINEAR COUNTING below 2.5·m (the standard HLL small-range
+      // correction, same branch as the q_profile_sketch oracle): the raw
+      // estimator is ~20× high at tiny cardinalities (review-measured:
+      // 2 distinct → 46). The branch condition compares the SAME exact
+      // double both engines compute, so they always take the same arm;
+      // ln() itself is last-ulp shared risk only at a rounding .5
+      // boundary, measure-zero over the 63 discrete nb values.
+      if (nb < m && raw <= 2.5 * m)
+        m * math.log(m.toDouble / (m - nb))
+      else raw
+    }
   }
 
   override def serialize(regs: Array[Int]): Array[Byte] = {

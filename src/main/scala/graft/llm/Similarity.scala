@@ -121,29 +121,46 @@ object Similarity {
           "sqrt(vec_dot(e, e))) * 1e10) AS BIGINT)").as("r"))
       .withColumn("crn", row_number().over(wC)).filter(col("crn") <= nCand)
     // one array row per query, candidates sorted (r desc, nbr asc) via
-    // the negated-r struct prefix — element 1 IS the rel-argmax seed
+    // the negated-r struct prefix — element 1 IS the rel-argmax seed.
+    // Negation offset is 1e12, NOT Long.MaxValue: scaled cosines span
+    // ±1e10 (scores ±1e11), and MaxValue − (negative) overflows — an
+    // ArithmeticException under this repo's default ANSI mode (review
+    // finding r14)
+    val Off = 1000000000000L
     val packed = cands.groupBy(col("qid"))
       .agg(array_sort(collect_list(struct(
-        (lit(Long.MaxValue) - col("r")).as("negr"),
+        (lit(Off) - col("r")).as("negr"),
         col("nbr"), col("r"), col("e")))).as("cs"))
     // scaled cosine between two candidate vectors, spliced twice below
     def simL(a: String, b: String): String =
       s"CAST(round(vec_dot($a.e, $b.e) / (sqrt(vec_dot($a.e, $a.e)) * " +
         s"sqrt(vec_dot($b.e, $b.e))) * 1e10) AS BIGINT)"
+    // guards (review finding r14): k = 1 must not build sequence(2, 1)
+    // (a DESCENDING [2, 1] — two bogus steps); a step whose remaining
+    // candidate set is EMPTY (fewer than k candidates for the query)
+    // returns sel unchanged instead of an ANSI element_at(…, 1) throw
+    require(k >= 1 && nCand >= k, s"need 1 <= k <= nCand, got k=$k nCand=$nCand")
+    val seedOnly =
+      "transform(slice(cs, 1, 1), x -> named_struct('nbr', x.nbr, 'e', x.e))"
     val greedy =
-      s"""aggregate(
-         |  sequence(2, $k),
-         |  transform(slice(cs, 1, 1),
-         |    x -> named_struct('nbr', x.nbr, 'e', x.e)),
-         |  (sel, step) -> concat(sel, array((
-         |    element_at(transform(array_sort(transform(
-         |      filter(cs, c -> !exists(sel, s -> s.nbr = c.nbr)),
-         |      c -> named_struct(
-         |        'negs', ${Long.MaxValue}L
-         |          - (7 * c.r - 3 * array_max(transform(sel,
-         |               s -> ${simL("c", "s")}))),
-         |        'nbr', c.nbr, 'e', c.e))),
-         |      p -> named_struct('nbr', p.nbr, 'e', p.e)), 1)))))""".stripMargin
+      if (k == 1) seedOnly
+      else
+        s"""aggregate(
+           |  sequence(2, $k),
+           |  $seedOnly,
+           |  (sel, step) -> CASE
+           |    WHEN size(filter(cs, c -> !exists(sel, s -> s.nbr = c.nbr))) = 0
+           |    THEN sel
+           |    ELSE concat(sel, array((
+           |      element_at(transform(array_sort(transform(
+           |        filter(cs, c -> !exists(sel, s -> s.nbr = c.nbr)),
+           |        c -> named_struct(
+           |          'negs', ${Off}L
+           |            - (7 * c.r - 3 * array_max(transform(sel,
+           |                 s -> ${simL("c", "s")}))),
+           |          'nbr', c.nbr, 'e', c.e))),
+           |        p -> named_struct('nbr', p.nbr, 'e', p.e)), 1))))
+           |    END)""".stripMargin
     packed
       .withColumn("sel", expr(greedy))
       .select(col("qid"), posexplode(expr("transform(sel, s -> s.nbr)")))

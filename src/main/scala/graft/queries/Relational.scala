@@ -610,7 +610,7 @@ object Relational {
     def chain(c: String, tag: String, alias: String): String =
       s"""p$tag AS (
          |  SELECT l_returnflag, substr(md5(CAST($c AS VARCHAR)), 1, 8) AS hx
-         |  FROM lineitem),
+         |  FROM lineitem WHERE $c IS NOT NULL),
          |h$tag AS (SELECT l_returnflag, $hv AS h FROM p$tag),
          |b$tag AS (SELECT l_returnflag, h % $m AS bucket, h // $m AS w
          |          FROM h$tag),
@@ -623,15 +623,19 @@ object Relational {
          |                     / (CAST(1 AS BIGINT) << CAST(reg AS INT))) AS sp,
          |                 count(*) AS nb
          |          FROM r$tag GROUP BY l_returnflag),
+         |raw$tag AS (SELECT l_returnflag, nb,
+         |                   ${0.709 * m * m} / (sp + ($m - nb)) AS raw
+         |            FROM a$tag),
          |e$tag AS (SELECT l_returnflag,
-         |                 CAST(round(${0.709 * m * m} / (sp + ($m - nb)))
-         |                      AS BIGINT) AS $alias
-         |          FROM a$tag)""".stripMargin
+         |                 CAST(round(CASE WHEN nb < $m AND raw <= ${2.5 * m}
+         |                   THEN $m * ln(CAST($m AS DOUBLE) / ($m - nb))
+         |                   ELSE raw END) AS BIGINT) AS $alias
+         |          FROM raw$tag)""".stripMargin
     s"""WITH ${chain("l_partkey", "1", "parts")},
        |c AS (SELECT l_returnflag, count(*) AS cnt
        |      FROM lineitem GROUP BY l_returnflag)
-       |SELECT l_returnflag, parts, cnt
-       |FROM e1 JOIN c USING (l_returnflag)
+       |SELECT l_returnflag, COALESCE(parts, CAST(0 AS BIGINT)) AS parts, cnt
+       |FROM c LEFT JOIN e1 USING (l_returnflag)
        |ORDER BY l_returnflag""".stripMargin
   }
 
@@ -668,12 +672,18 @@ object Relational {
        |                 / (CAST(1 AS BIGINT) << CAST(reg AS INT))) AS sp,
        |             count(*) AS nb
        |      FROM r GROUP BY event_type),
+       |raw AS (SELECT event_type, nb,
+       |               ${0.709 * m * m} / (sp + ($m - nb)) AS raw
+       |        FROM a),
+       |e AS (SELECT event_type,
+       |             CAST(round(CASE WHEN nb < $m AND raw <= ${2.5 * m}
+       |               THEN $m * ln(CAST($m AS DOUBLE) / ($m - nb))
+       |               ELSE raw END) AS BIGINT) AS users_est
+       |      FROM raw),
        |c AS (SELECT event_type, count(*) AS n FROM events GROUP BY event_type)
        |SELECT event_type,
-       |       CAST(round(${0.709 * m * m} / (sp + ($m - nb))) AS BIGINT)
-       |         AS users_est,
-       |       n
-       |FROM a JOIN c USING (event_type)
+       |       COALESCE(users_est, CAST(0 AS BIGINT)) AS users_est, n
+       |FROM c LEFT JOIN e USING (event_type)
        |ORDER BY event_type""".stripMargin
   }
 

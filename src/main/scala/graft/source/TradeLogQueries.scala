@@ -437,13 +437,19 @@ object TradeLogQueries {
     digestOver(s.read.format(FormatName).load(ensurePurged(s, dir))
       .filter(col("ts") >= lit(PurgeCutoff).cast("timestamp")))
 
-  /** Build-once purged twin of [[ensureLog]]'s artifact. */
+  /** Build-once purged twin of [[ensureLog]]'s artifact. The done marker
+    * is a dedicated `_PURGED` file written AFTER purgeBefore — the
+    * manifest alone cannot gate this build, because the copy's save()
+    * publishes a manifest BEFORE the purge runs, and a crash in between
+    * would otherwise freeze an unpurged log that still passes the
+    * boundary digest forever (review finding r14: the build-once
+    * "_SUCCESS last" rule applies to the WHOLE build). */
   def ensurePurged(s: SparkSession, dir: String): String = {
     val src = ensureLog(s, dir)
     val path = s"$src-purged"
     val (fs, root) = TradeLogFormat.fs(path)
-    if (!fs.exists(new org.apache.hadoop.fs.Path(root,
-        TradeLogFormat.ManifestName))) {
+    val done = new org.apache.hadoop.fs.Path(root, "_PURGED")
+    if (!fs.exists(done)) {
       s.read.format(FormatName).load(src)
         .repartition(8, to_date(col("ts")))
         .sortWithinPartitions("ts")
@@ -452,6 +458,7 @@ object TradeLogQueries {
         .save(path)
       TradeLogFormat.purgeBefore(path,
         java.sql.Timestamp.valueOf(PurgeCutoff).getTime * 1000L)
+      fs.create(done, true).close()
     }
     path
   }

@@ -292,6 +292,22 @@ class CatalogSpec extends SparkTestBase {
       s"AQE did not mark the skewed join split:\n$plan")
   }
 
+  test("hll_distinct: an all-null group estimates 0, matching count(DISTINCT)") {
+    graft.expr.GraftFunctions.register(spark)
+    import spark.implicits._
+    val df = Seq(("a", Option(1L)), ("a", Option(2L)),
+      ("b", None: Option[Long]), ("b", None: Option[Long]))
+      .toDF("g", "x")
+    val r = df.groupBy("g")
+      .agg(org.apache.spark.sql.functions.expr(
+        "CAST(round(hll_distinct(x)) AS BIGINT)").as("est"))
+      .collect().map(row => row.getString(0) -> row.getLong(1)).toMap
+    // the raw formula on an empty sketch would say ~45 (review finding);
+    // count(DISTINCT) of an all-null group is 0
+    assert(r("b") == 0L, s"empty sketch must estimate 0: $r")
+    assert(r("a") >= 1L && r("a") <= 3L)
+  }
+
   test("plan guard: q_distinct_rewrite swaps count(DISTINCT) for the HLL aggregate") {
     val dir = "/root/testdata/sf0.01"
     val df = Catalog.defs("q_distinct_rewrite").build(spark, dir)

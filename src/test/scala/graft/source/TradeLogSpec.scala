@@ -500,7 +500,10 @@ class TradeLogSpec extends SparkTestBase {
       Row(
         i.toLong,
         if (rnd.nextInt(5) == 0) null
-        else new Timestamp(rnd.between(0L, 4102444800000L)),
+        // NEGATIVE epochs included: the pre-1970 lane of the codec and
+        // the ts span index (review finding r14 — the survey row claims
+        // this coverage, so generate it)
+        else new Timestamp(rnd.between(-4102444800000L, 4102444800000L)),
         if (rnd.nextInt(5) == 0) null else rnd.between(-1000000L, 1000000L),
         if (rnd.nextInt(5) == 0) null else str(),
         if (rnd.nextInt(5) == 0) null else dbl(),
@@ -512,11 +515,11 @@ class TradeLogSpec extends SparkTestBase {
     val back = spark.read.format(Fmt).load(dir)
     assert(canon(back) == canon(df(rows)),
       "fuzzed rows did not survive the codec round-trip")
-    // the ts skip index stays sound on fuzzed spans: a full-range slice
-    // returns every timestamped row
+    // the ts skip index stays sound on fuzzed spans (negative epochs
+    // included): a full-range slice returns every timestamped row
     val n = back.filter(col("ts").isNotNull).count()
     val sliced = back.filter(
-      col("ts") >= lit("1970-01-01 00:00:00").cast("timestamp"))
+      col("ts") >= lit("1800-01-01 00:00:00").cast("timestamp"))
     assert(sliced.count() == n)
   }
 
