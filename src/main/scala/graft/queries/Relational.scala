@@ -317,6 +317,53 @@ object Relational {
       |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
       |GROUP BY n_name ORDER BY n_name""".stripMargin
 
+  /** TPC-H Q18 (large-volume customers) — the HAVING-semi-join classic:
+    * orders whose total line quantity exceeds 300, joined back to their
+    * customers and re-aggregated, top 100 by price. Plan shape: the
+    * HAVING aggregate folds lineitem once (exact-decimal quantity sums),
+    * its ≤1%-selectivity survivor set broadcasts into a semi-join on
+    * orders, and the final per-order aggregate reuses the orderkey
+    * exchange; TakeOrderedAndProject caps the output. The deliberate
+    * extra over the spec: an o_orderkey tiebreak so the top-100 cut is
+    * deterministic under the hash gate. */
+  def tpchQ18(s: SparkSession, d: String): DataFrame = {
+    val qty = sum(col("l_quantity").cast("decimal(18,2)"))
+    val big = Tables.lineitem(s, d)
+      .groupBy(col("l_orderkey")).agg(qty.as("q"))
+      .filter(col("q") > 300).select(col("l_orderkey").as("big_key"))
+    val l = Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_quantity"))
+      .join(broadcast(big), col("l_orderkey") === col("big_key"), "left_semi")
+    l.join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.customer(s, d).select(col("c_custkey"))),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_custkey"), col("o_orderkey"), col("o_orderdate"),
+        col("o_totalprice"))
+      .agg(qty.cast("double").as("total_qty"))
+      .select(col("c_custkey"), col("o_orderkey"),
+        unix_timestamp(col("o_orderdate")).as("o_date"),
+        col("o_totalprice"), col("total_qty"))
+      .orderBy(col("o_totalprice").desc, col("o_date"), col("o_orderkey"))
+      .limit(100)
+      .orderedBy("o_orderkey")
+  }
+
+  private val tpchQ18Oracle =
+    """SELECT c_custkey, o_orderkey, o_date, o_totalprice, total_qty FROM (
+      |  SELECT c_custkey, o_orderkey,
+      |         CAST(epoch(o_orderdate) AS BIGINT) AS o_date,
+      |         o_totalprice,
+      |         CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+      |           AS total_qty
+      |  FROM customer JOIN orders ON c_custkey = o_custkey
+      |  JOIN lineitem ON o_orderkey = l_orderkey
+      |  WHERE o_orderkey IN (
+      |    SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+      |    HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > 300)
+      |  GROUP BY c_custkey, o_orderkey, o_orderdate, o_totalprice
+      |  ORDER BY o_totalprice DESC, o_date, o_orderkey LIMIT 100)
+      |ORDER BY o_orderkey""".stripMargin
+
   /** AQE SKEW-JOIN — the runtime answer to the same hot-key problem
     * [[joinSalted]] solves by hand: a fact side where ~90% of rows share
     * one join key sort-merge-joins a small dim (broadcast disabled to
@@ -1041,6 +1088,7 @@ object Relational {
     "q_tpch_q1" -> QueryDef(tpchQ1, Some(tpchQ1Oracle)),
     "q_tpch_q3" -> QueryDef(tpchQ3, Some(tpchQ3Oracle)),
     "q_tpch_q5" -> QueryDef(tpchQ5, Some(tpchQ5Oracle)),
+    "q_tpch_q18" -> QueryDef(tpchQ18, Some(tpchQ18Oracle)),
     "q_join_asof" -> QueryDef(joinAsof, Some(asofOracle)),
     // the SAME oracle adjudicates the native merge exec — composed window
     // formulation and custom SparkPlan must agree row-for-row
