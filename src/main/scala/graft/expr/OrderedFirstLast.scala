@@ -365,6 +365,15 @@ object GraftFunctions {
             s"winnow_fps w must be an integer literal, got $other")
         }
         WinnowFps(children(0), w)
+      }),
+    (FunctionIdentifier("collect_up_to"), info(classOf[CollectUpTo], "collect_up_to"),
+      (children: Seq[Expression]) => {
+        val k = children(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+          case other => throw new IllegalArgumentException(
+            s"collect_up_to k must be an integer literal, got $other")
+        }
+        CollectUpTo(children(0), k)
       })
   )
 

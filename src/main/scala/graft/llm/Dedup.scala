@@ -675,7 +675,11 @@ object Dedup {
     *
     * Plan shape: the df ceiling makes per-gram posting lists TINY (≤
     * maxDf) by construction, so candidate pairs are generated IN-GROUP —
-    * `groupBy(gh).agg(collect_list(doc_id))`, filter the list size to
+    * `groupBy(gh).agg(collect_up_to(doc_id, maxDf + 1))` (the saturating
+    * aggregate [[graft.expr.CollectUpTo]]: per-group state is bounded at
+    * maxDf+1 longs even for a boilerplate gram carried by millions of
+    * docs — the df ceiling lives IN the buffer, not in a post-hoc filter
+    * over a fully materialized list), filter the list size to
     * [2, maxDf], expand the ≤ maxDf·(maxDf-1)/2 in-memory pairs per gram
     * with array lambdas. ONE hash-partial-aggregating exchange of 8-byte
     * keys and NO sort anywhere: the r6 count-window formulation kept one
@@ -711,6 +715,7 @@ object Dedup {
     * gauge consumes it as the reference pair set). */
   private[llm] def ngramPairsFor(docs: DataFrame, threshold: Double,
       maxDf: Int, minShared: Int): DataFrame = {
+    graft.expr.GraftFunctions.register(docs.sparkSession)
     val docsTok = docs
       .select(col("doc_id"), TextStats.tokens(col("text")).as("toks"))
     val sh = docsTok
@@ -725,7 +730,13 @@ object Dedup {
     // self-pair — dropped by the doc_a <> doc_b filter, exactly as the
     // self-join's x.doc_id < y.doc_id excluded it
     val cand = postings.groupBy(col("gh"))
-      .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
+      // df cap enforced INSIDE the buffer: collect_up_to saturates at
+      // maxDf+1 longs per group (a boilerplate gram shared by millions of
+      // docs costs O(maxDf) state, not O(df)); a saturated group reports
+      // size maxDf+1 and is dropped by the same [2, maxDf] filter that
+      // previously measured the full materialized list — kept groups were
+      // never truncated, so their (sorted) lists are byte-identical
+      .agg(expr(s"collect_up_to(doc_id, ${maxDf + 1})").as("ds"))
       .filter(size(col("ds")) >= 2 && size(col("ds")) <= maxDf)
       .select(explode(expr(
         """flatten(transform(ds, (a, i) ->
@@ -844,6 +855,7 @@ object Dedup {
     * fixture entry point. */
   private[llm] def containPairsFrom(docs: DataFrame, threshold: Double,
                                     maxDf: Int, minShared: Int): DataFrame = {
+    graft.expr.GraftFunctions.register(docs.sparkSession)
     val docsTok = docs
       .select(col("doc_id"), TextStats.tokens(col("text")).as("toks"))
     val sh = docsTok
@@ -854,7 +866,13 @@ object Dedup {
         conv(substring(md5(col("g").cast("binary")), 1, 12), 16, 10)
           .cast("long").as("gh"))
     val cand = postings.groupBy(col("gh"))
-      .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
+      // df cap enforced INSIDE the buffer: collect_up_to saturates at
+      // maxDf+1 longs per group (a boilerplate gram shared by millions of
+      // docs costs O(maxDf) state, not O(df)); a saturated group reports
+      // size maxDf+1 and is dropped by the same [2, maxDf] filter that
+      // previously measured the full materialized list — kept groups were
+      // never truncated, so their (sorted) lists are byte-identical
+      .agg(expr(s"collect_up_to(doc_id, ${maxDf + 1})").as("ds"))
       .filter(size(col("ds")) >= 2 && size(col("ds")) <= maxDf)
       .select(explode(expr(
         """flatten(transform(ds, (a, i) ->
@@ -916,6 +934,7 @@ object Dedup {
     * embedded-span fixture spec can drive it. */
   private[llm] def substrPairsFrom(docs: DataFrame, n: Int,
                                    maxDf: Int): DataFrame = {
+    graft.expr.GraftFunctions.register(docs.sparkSession)
     val docsTok = docs
       .select(col("doc_id"), TextStats.tokens(col("text")).as("toks"))
     val sp = docsTok.filter(size(col("toks")) >= n)
@@ -925,7 +944,13 @@ object Dedup {
         conv(substring(md5(col("g").cast("binary")), 1, 12), 16, 10)
           .cast("long").as("gh"))
     val cand = postings.groupBy(col("gh"))
-      .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
+      // df cap enforced INSIDE the buffer: collect_up_to saturates at
+      // maxDf+1 longs per group (a boilerplate gram shared by millions of
+      // docs costs O(maxDf) state, not O(df)); a saturated group reports
+      // size maxDf+1 and is dropped by the same [2, maxDf] filter that
+      // previously measured the full materialized list — kept groups were
+      // never truncated, so their (sorted) lists are byte-identical
+      .agg(expr(s"collect_up_to(doc_id, ${maxDf + 1})").as("ds"))
       .filter(size(col("ds")) >= 2 && size(col("ds")) <= maxDf)
       .select(explode(expr(
         """flatten(transform(ds, (a, i) ->
@@ -1718,12 +1743,19 @@ object Dedup {
     * scores 1.0. */
   def winnowPairs(s: SparkSession, d: String, w: Int = 4, maxDf: Int = 10,
                   minShared: Int = 2, threshold: Double = 0.5): DataFrame = {
+    graft.expr.GraftFunctions.register(s)
     val fp = TextStats.winnowSets(s, d, w)
     val post = fp.select(col("doc_id"), explode(col("fps")).as("f"))
     // fps are distinct within a doc (array_distinct), so a bucket holds a
     // doc at most once — no self-pair path, unlike ngramPairs' 48-bit case
     val cand = post.groupBy(col("f"))
-      .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
+      // df cap enforced INSIDE the buffer: collect_up_to saturates at
+      // maxDf+1 longs per group (a boilerplate gram shared by millions of
+      // docs costs O(maxDf) state, not O(df)); a saturated group reports
+      // size maxDf+1 and is dropped by the same [2, maxDf] filter that
+      // previously measured the full materialized list — kept groups were
+      // never truncated, so their (sorted) lists are byte-identical
+      .agg(expr(s"collect_up_to(doc_id, ${maxDf + 1})").as("ds"))
       .filter(size(col("ds")) >= 2 && size(col("ds")) <= maxDf)
       .select(explode(expr(
         """flatten(transform(ds, (a, i) ->

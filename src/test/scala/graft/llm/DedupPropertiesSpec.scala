@@ -410,4 +410,52 @@ class DedupPropertiesSpec extends SparkTestBase {
       assert(got == truth, s"star contraction diverged on random graph: $edges")
     }
   }
+
+  test("hot gram in EVERY doc: ngram chain stays bounded and result is exact, any partitioning") {
+    // One trigram planted in all 40 docs — the 100 TB boilerplate shape.
+    // With collect_up_to the hot gram's group buffer saturates at
+    // maxDf+1 = 11 longs (pinned physically in CollectUpToSpec); here we
+    // pin the SEMANTICS: the hot gram contributes nothing, the one planted
+    // rare near-dup pair is found exactly, and the answer is partitioning-
+    // invariant (the saturation sentinel survives any merge tree).
+    val hot = "every doc has this" // 4 tokens → 2 shared trigrams
+    def noise(seed: Int) =
+      (0 until 20).map(i => vocab((seed * 13 + i * 5) % vocab.size) + s"_${seed}_$i")
+    def longNoise(seed: Int) =
+      (0 until 48).map(i => vocab((seed * 13 + i * 5) % vocab.size) + s"_${seed}_$i")
+    val base = (0 until 38).map(id => id.toLong -> (noise(id) :+ hot).mkString(" "))
+    val nearA = (longNoise(100) :+ hot).mkString(" ")
+    val nearB = (longNoise(100).updated(47, "omega") :+ hot).mkString(" ") // 1-token tweak
+    val corpus = base ++ Seq(100L -> nearA, 101L -> nearB)
+    val expected = {
+      val (x, y) = (corpus.toMap.apply(100L), corpus.toMap.apply(101L))
+      assert(jaccard(x, y) >= 0.8, "fixture pair must clear the threshold")
+      Set((100L, 101L))
+    }
+    graft.expr.GraftFunctions.register(spark)
+    for (parts <- Seq(1, 8, 32)) {
+      val docs = corpus.toDF("doc_id", "text").repartition(parts)
+      val got = Dedup.ngramPairsFor(docs, threshold = 0.8, maxDf = 10,
+        minShared = 2).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == expected, s"parts=$parts: got $got")
+    }
+  }
+
+  test("plan guard: every inverted-index dedup chain aggregates with collect_up_to, never collect_list") {
+    // The shape regression this pins: reintroducing an unbounded
+    // collect_list-then-df-filter would reopen the O(df) hot-gram buffer.
+    val d = "/root/testdata/sf0.001"
+    val plans = Map(
+      "ngram" -> Dedup.ngramPairs(spark, d),
+      "contain" -> Dedup.containPairs(spark, d),
+      "substr" -> Dedup.substrPairs(spark, d),
+      "winnow" -> Dedup.winnowPairs(spark, d)
+    ).view.mapValues(_.queryExecution.executedPlan.toString)
+    plans.foreach { case (name, p) =>
+      assert(p.contains("collect_up_to"),
+        s"$name chain must use the bounded aggregate:\n$p")
+      assert(!p.contains("collect_list"),
+        s"$name chain must not materialize unbounded posting lists:\n$p")
+    }
+  }
 }
