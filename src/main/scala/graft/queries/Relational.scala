@@ -225,9 +225,13 @@ object Relational {
     * orders (no o_shippriority column — dropped from the projection;
     * otherwise verbatim): BUILDING-segment customers, orders placed
     * before / lines shipped after the date, top 10 open orders by
-    * exact-decimal revenue. Plan: two key joins (the customer side
-    * broadcast-small after its filter), one (orderkey, orderdate)
-    * aggregate, TakeOrderedAndProject for the top-k. */
+    * exact-decimal revenue. Plan: two key joins, one (orderkey,
+    * orderdate) aggregate, TakeOrderedAndProject for the top-k. The
+    * customer side carries NO broadcast hint on purpose: customer scales
+    * linearly with SF (FIXTURES.md), so a pinned broadcast would OOM a
+    * 100 TB run exactly when it matters — AQE's size-based choice
+    * broadcasts it at test SF (plan-guarded in CatalogSpec) and degrades
+    * to a shuffle join when the filtered side outgrows the threshold. */
   def tpchQ3(s: SparkSession, d: String): DataFrame = {
     val date = lit("1998-03-15").cast("timestamp")
     val rev = expr(
@@ -239,7 +243,7 @@ object Relational {
     val l = Tables.lineitem(s, d).filter(col("l_shipdate") > date)
       .select(col("l_orderkey"), rev.as("rev"))
     l.join(o, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
       .groupBy(col("l_orderkey"), col("o_orderdate"))
       .agg(sum(col("rev")).cast("double").as("revenue"))
       .select(col("l_orderkey"),
@@ -267,12 +271,15 @@ object Relational {
   /** TPC-H Q5 (local-supplier volume) — the 6-way join classic, verbatim
     * on the testdata schema: ASIA-region customers' orders in a 1-year
     * window, revenue credited only when the line's supplier sits in the
-    * customer's own nation. Plan shape: region→nation→supplier fold to a
-    * broadcast-sized build side, customer broadcasts after its key-join,
-    * the two fact tables (orders, lineitem) meet on one orderkey
-    * exchange, and the n_name aggregate is 25-row state — the join-order
-    * stack Catalyst should (and does) pick with plain declarative
-    * input. Revenue is the Q1/Q3 exact-decimal lane. */
+    * customer's own nation. Plan shape: region→nation fold to a
+    * broadcast-sized build side, the two fact tables (orders, lineitem)
+    * meet on one orderkey exchange, and the n_name aggregate is 25-row
+    * state. Hints ONLY on the fixed-cardinality dims (region 5 rows,
+    * nation 25 rows — constant at any SF); supplier and customer scale
+    * linearly with SF, so their join strategies are left to AQE's
+    * size-based choice (broadcast at test SF, plan-guarded; shuffle when
+    * a 100 TB run outgrows the threshold). Revenue is the Q1/Q3
+    * exact-decimal lane. */
   def tpchQ5(s: SparkSession, d: String): DataFrame = {
     val lo = lit("1996-01-01").cast("timestamp")
     val hi = lit("1997-01-01").cast("timestamp")
@@ -289,12 +296,12 @@ object Relational {
       .select(col("c_custkey"), col("c_nationkey"))
     val ord = Tables.orders(s, d)
       .filter(col("o_orderdate") >= lo && col("o_orderdate") < hi)
-      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
       .select(col("o_orderkey"), col("c_nationkey"))
     Tables.lineitem(s, d)
       .select(col("l_orderkey"), col("l_suppkey"), rev.as("rev"))
       .join(ord, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(sup),
+      .join(sup,
         col("l_suppkey") === col("s_suppkey") &&
           col("c_nationkey") === col("s_nationkey"))
       .groupBy(col("n_name"))
@@ -321,9 +328,15 @@ object Relational {
     * orders whose total line quantity exceeds 300, joined back to their
     * customers and re-aggregated, top 100 by price. Plan shape: the
     * HAVING aggregate folds lineitem once (exact-decimal quantity sums),
-    * its ≤1%-selectivity survivor set broadcasts into a semi-join on
-    * orders, and the final per-order aggregate reuses the orderkey
-    * exchange; TakeOrderedAndProject caps the output. The deliberate
+    * its survivor set broadcasts into a semi-join on orders, and the
+    * final per-order aggregate reuses the orderkey exchange;
+    * TakeOrderedAndProject caps the output. The ONE retained hint is on
+    * `big`: its cardinality is set by the `> 300` HAVING cut (TPC-H spec
+    * selectivity ~0.004% of orders — key-only rows, still broadcastable
+    * at 100 TB), not by SF-linear table size; customer, which DOES scale
+    * linearly, carries no hint — AQE broadcasts its key-only projection
+    * at test SF (plan-guarded) and shuffles it when it outgrows the
+    * threshold. The deliberate
     * extra over the spec: an o_orderkey tiebreak so the top-100 cut is
     * deterministic under the hash gate. */
   def tpchQ18(s: SparkSession, d: String): DataFrame = {
@@ -335,7 +348,7 @@ object Relational {
       .select(col("l_orderkey"), col("l_quantity"))
       .join(broadcast(big), col("l_orderkey") === col("big_key"), "left_semi")
     l.join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(Tables.customer(s, d).select(col("c_custkey"))),
+      .join(Tables.customer(s, d).select(col("c_custkey")),
         col("o_custkey") === col("c_custkey"))
       .groupBy(col("c_custkey"), col("o_orderkey"), col("o_orderdate"),
         col("o_totalprice"))

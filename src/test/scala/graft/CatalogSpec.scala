@@ -292,6 +292,29 @@ class CatalogSpec extends SparkTestBase {
       s"AQE did not mark the skewed join split:\n$plan")
   }
 
+  test("plan guard: TPC-H hints ride only fixed-cardinality sides; AQE picks the rest") {
+    // The 100 TB failure this pins: customer/supplier scale linearly with
+    // SF, so a hard broadcast() hint on them overrides AQE's size-based
+    // choice exactly when it becomes an OOM. Allowed hint budget per
+    // query: Q3 none at all, Q5 region (5 rows) + nation (25 rows), Q18
+    // the HAVING-cut survivor key set (~0.004% of orders, key-only).
+    def hintCount(n: String) = "ResolvedHint".r.findAllIn(
+      Catalog.defs(n).build(spark, dir).queryExecution.analyzed.toString).size
+    assert(hintCount("q_tpch_q3") == 0, "Q3 must carry no join hints")
+    assert(hintCount("q_tpch_q5") == 2, "Q5 may hint only region and nation")
+    assert(hintCount("q_tpch_q18") == 1, "Q18 may hint only the survivor set")
+    // and the strategies the hints used to force still arrive, now chosen
+    // by AQE from runtime sizes (so they degrade instead of OOM at scale)
+    for (n <- Seq("q_tpch_q3", "q_tpch_q5", "q_tpch_q18")) {
+      val df = Catalog.defs(n).build(spark, dir)
+      assert(df.collect().nonEmpty)
+      val p = df.queryExecution.executedPlan.toString
+      assert(p.contains("isFinalPlan=true"), s"$n never finalized under AQE:\n$p")
+      assert(p.contains("BroadcastHashJoin"),
+        s"$n: AQE no longer broadcasts the small sides at test SF:\n$p")
+    }
+  }
+
   test("hll_distinct: an all-null group estimates 0, matching count(DISTINCT)") {
     graft.expr.GraftFunctions.register(spark)
     import spark.implicits._
