@@ -175,11 +175,14 @@ object BpeTrain {
     * the claim. */
   def bpeServed(s: SparkSession, d: String): DataFrame = {
     val path = mergesPath(s, d)
-    val fs = new org.apache.hadoop.fs.Path(path)
-      .getFileSystem(s.sparkContext.hadoopConfiguration)
-    if (!fs.exists(new org.apache.hadoop.fs.Path(path, "_SUCCESS")))
+    // staged build + atomic rename: two sessions racing on a cold
+    // artifact path each train into their own staging dir and exactly
+    // one publishes — never an in-place overwrite another reader could
+    // catch half-replaced (Artifacts.publishOnce)
+    graft.core.Artifacts.publishOnce(s, path) { staging =>
       trainFrom(Tables.documents(s, d), nMerges)
-        .write.mode("overwrite").parquet(path)
+        .write.mode("overwrite").parquet(staging)
+    }
     val mrow = s.read.parquet(path)
       .agg(array_sort(collect_list(struct(col("rnk"), col("pair")))).as("ms"))
     encodeWith(Tables.documents(s, d), mrow)

@@ -236,16 +236,45 @@ object TradeLogFormat {
     * (epoch, qid) stamp forward. Returns (#blocks dropped, #files
     * deleted). 100 TB shape: retention is O(manifest) driver work plus
     * unlinks — no data is read or rewritten, the delete every
-    * time-partitioned archive actually runs. */
-  def purgeBefore(dir: String, cutoffUs: Long): (Int, Int) = {
+    * time-partitioned archive actually runs.
+    *
+    * Concurrent readers: a scan plans its block list against the
+    * manifest it read at PLAN time, so a reader in flight across the
+    * publish can still reference just-expired files. `vacuumGraceMs`
+    * bounds that window the lakehouse way (publish, then delayed GC):
+    * with a grace > the longest expected scan, the new manifest is
+    * visible immediately while expired files outlive every in-flight
+    * plan, to be unlinked by this or any later [[vacuum]] call once
+    * they age past the grace. The default 0 keeps the single-writer /
+    * no-concurrent-reader bench shape (immediate unlink). */
+  def purgeBefore(dir: String, cutoffUs: Long,
+      vacuumGraceMs: Long = 0L): (Int, Int) = {
     val (blocks, epoch, qid) = readManifestMeta(dir)
     val keep = blocks.filter(_.maxTsUs >= cutoffUs)
     writeManifest(dir, keep, epoch, qid)
-    val ref = keep.map(_.file).toSet
+    (blocks.size - keep.size, vacuum(dir, vacuumGraceMs))
+  }
+
+  /** Deferred GC: unlink every `*.gtl` data file the CURRENT manifest no
+    * longer references whose mtime is at least `graceMs` old. Safe to run
+    * any time (crash-orphaned writer files and expired purge victims are
+    * the only unreferenced files by construction); with a grace of one
+    * scan-duration bound it is also safe under concurrent readers, whose
+    * plans can only reference files that were manifest-listed — hence
+    * younger than their unlink horizon by at least the grace. Returns the
+    * number of files deleted. */
+  def vacuum(dir: String, graceMs: Long = 0L): Int = {
+    val (blocks, _, _) = readManifestMeta(dir)
+    val ref = blocks.map(_.file).toSet
     val (filesystem, root) = fs(dir)
-    val dropped = blocks.map(_.file).distinct.filterNot(ref)
-    dropped.foreach(f => filesystem.delete(new Path(root, f), false))
-    (blocks.size - keep.size, dropped.size)
+    val horizon = System.currentTimeMillis() - graceMs
+    val victims = filesystem.listStatus(root).toSeq.filter { st =>
+      val n = st.getPath.getName
+      st.isFile && n.endsWith(".gtl") && !ref(n) &&
+        st.getModificationTime <= horizon
+    }
+    victims.foreach(st => filesystem.delete(st.getPath, false))
+    victims.size
   }
 
   // ---- row codec ------------------------------------------------------

@@ -1,0 +1,52 @@
+package graft.core
+
+import graft.SparkTestBase
+import org.apache.hadoop.fs.Path
+
+/** Artifacts.publishOnce: the staged-rename build-once lifecycle. The
+  * claims under test: a published artifact is never rebuilt, a crash
+  * leftover (directory without _SUCCESS) is cleared and rebuilt, and the
+  * collision branch (two cold-path racers) leaves exactly the winner's
+  * artifact with no staging debris — the in-place-overwrite hazard the
+  * helper exists to remove. */
+class ArtifactsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def fs(p: String) =
+    new Path(p).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def writeArtifact(tag: String)(staging: String): Unit =
+    Seq((tag, 1L)).toDF("tag", "v").write.mode("overwrite").parquet(staging)
+
+  test("publishOnce builds when absent, skips when published, rebuilds crash leftovers") {
+    val root = java.nio.file.Files.createTempDirectory("graft-art").toString
+    val path = s"$root/merges/v1"
+    var builds = 0
+    def build(staging: String): Unit = { builds += 1; writeArtifact("a")(staging) }
+    Artifacts.publishOnce(spark, path)(build)
+    assert(builds == 1 && fs(path).exists(new Path(path, "_SUCCESS")))
+    assert(spark.read.parquet(path).collect().head.getString(0) == "a")
+    // published → the build fn must not run again
+    Artifacts.publishOnce(spark, path)(build)
+    assert(builds == 1, "published artifact was rebuilt")
+    // a directory WITHOUT the marker is a crash leftover: cleared + rebuilt
+    fs(path).delete(new Path(path, "_SUCCESS"), false)
+    Artifacts.publishOnce(spark, path)(build)
+    assert(builds == 2 && spark.read.parquet(path).count() == 1)
+  }
+
+  test("rename collision: the losing racer discards its staging dir, winner's artifact intact") {
+    val root = java.nio.file.Files.createTempDirectory("graft-art2").toString
+    val path = s"$root/merges/v1"
+    assert(Artifacts.stageAndPublish(spark, path)(writeArtifact("winner")))
+    // a second racer that already passed the exists-check builds and then
+    // loses the rename — driven directly via the check-free entry point
+    assert(!Artifacts.stageAndPublish(spark, path)(writeArtifact("loser")),
+      "second publisher must lose the rename race")
+    assert(spark.read.parquet(path).collect().head.getString(0) == "winner",
+      "winner's artifact must be untouched by the losing racer")
+    val leftover = fs(root).listStatus(new Path(s"$root/merges"))
+      .map(_.getPath.getName).filterNot(_ == "v1")
+    assert(leftover.isEmpty, s"staging debris left behind: ${leftover.toSeq}")
+  }
+}

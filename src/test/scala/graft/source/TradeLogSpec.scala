@@ -477,6 +477,37 @@ class TradeLogSpec extends SparkTestBase {
       fs.exists(new org.apache.hadoop.fs.Path(root, f))))
   }
 
+  test("purgeBefore with a vacuum grace defers unlinks past in-flight reader plans") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-tl-grace").toString
+    val timed = (0 until 40).map(i =>
+      Row(i.toLong, ts(f"2024-01-01 ${i / 10}%02d:${(i % 10) * 5}%02d:00"),
+        i.toLong, "t", i.toDouble, "{}"))
+    df(timed).repartitionByRange(4, col("ts")).sortWithinPartitions("ts")
+      .write.format(Fmt).mode("overwrite").option("blockRows", 5).save(dir)
+    // a reader IN FLIGHT across the purge: its input partitions (and so
+    // its block list) are pinned before the manifest swap — rdd.partitions
+    // forces planInputPartitions against the pre-purge manifest
+    val inflight = spark.read.format(Fmt).load(dir).queryExecution.toRdd
+    assert(inflight.partitions.nonEmpty)
+    val cutoff = Timestamp.valueOf("2024-01-01 02:00:00").getTime * 1000L
+    val (droppedBlocks, droppedNow) =
+      TradeLogFormat.purgeBefore(dir, cutoff, vacuumGraceMs = 3600L * 1000)
+    assert(droppedBlocks > 0 && droppedNow == 0,
+      "grace must defer every unlink while still publishing the manifest")
+    // new plans see the purged manifest immediately...
+    assert(spark.read.format(Fmt).load(dir)
+      .filter(col("ts") < lit("2024-01-01 02:00:00").cast("timestamp"))
+      .count() == 0, "purge must be metadata-visible at once")
+    // ...while the in-flight plan still reads every pre-purge row — the
+    // unlink that would have broken it is deferred past the grace
+    assert(inflight.count() == timed.size,
+      "grace window must keep pre-purge plans readable")
+    // a later vacuum past the grace does the actual GC
+    assert(TradeLogFormat.vacuum(dir, graceMs = 0L) > 0,
+      "expired files must be unlinkable once aged past the grace")
+    assert(TradeLogFormat.vacuum(dir, graceMs = 0L) == 0, "vacuum is idempotent")
+  }
+
   test("codec fuzz: 400 seeded-random rows round-trip byte-exactly") {
     val rnd = new scala.util.Random(20260815L)
     val exotic = "βüé  汉字🙂\t|,\\\"'\n"
