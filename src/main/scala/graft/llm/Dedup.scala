@@ -218,11 +218,20 @@ object Dedup {
 
   /** INCREMENTAL connected components — the daily-ingest half of the
     * clustering story: yesterday's corpus labels are already computed
-    * (here re-derived from the corpus pairs so the query is
-    * self-contained; in production they are the persisted artifact), the
-    * increment's pairs come from the [[incrementPairs]] engine, and the
-    * merge runs star contraction over (CONTRACTED label edges ∪ new
-    * pairs) — never re-clustering the corpus graph. Correct by the
+    * (served from the fingerprinted label artifact, built once by
+    * whichever of this / [[ccPersisted]] / the leak-free split runs
+    * first — r14 finding #3: the previous in-run re-derivation made the
+    * catalog's "incremental" row pay a from-scratch corpus contraction
+    * every run), the increment's pairs come from the [[incrementPairs]]
+    * engine, and the merge runs star contraction over (CONTRACTED label
+    * edges ∪ new pairs) — never re-clustering the corpus graph. The
+    * from-scratch label derivation this row used to run survives as
+    * [[ccIncrementalFromScratch]], pinned ≡ to this serving path by
+    * DedupPropertiesSpec. What still distinguishes this row from
+    * [[ccPersisted]]: only the LABELS are persisted here — candidate
+    * discovery re-shingles the corpus (the kept-labels-but-no-LSH-index
+    * production shape), where ccPersisted also serves the band index.
+    * Correct by the
     * contraction identity CC(contract(G₁) ∪ G₂) = CC(G₁ ∪ G₂): the label
     * table preserves exactly the connectivity of the corpus pairs (every
     * non-root points at its component min), so the oracle is the FULL
@@ -234,6 +243,30 @@ object Dedup {
     * smaller than the full pair graph. */
   def ccIncremental(s: SparkSession, d: String, threshold: Double = 0.8,
                     checkpointDir: Option[String] = None): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val isBatch = pmod(col("doc_id"), lit(5)) === 4
+    val corpus = docs.filter(!isBatch)
+    val corpusLabels = persistedStarLabels(s, d, threshold, "labels",
+      nearPairsUnordered(corpus, threshold).select(col("doc_a"), col("doc_b")),
+      checkpointDir)
+    val labelEdges = corpusLabels.filter(col("id") =!= col("lbl"))
+      .select(col("id").as("doc_a"), col("lbl").as("doc_b"))
+    val newPairs = incrementPairs(s, docs.filter(isBatch), corpus, threshold)
+      .select(col("doc_a"), col("doc_b"))
+    starLabels(labelEdges.unionByName(newPairs), checkpointDir)
+      .select(col("id").as("doc_id"), col("lbl").as("cluster"))
+      .orderedBy("doc_id")
+  }
+
+  /** The pre-r15 self-contained [[ccIncremental]] body — corpus labels
+    * re-derived from scratch every run instead of served from the
+    * artifact. Kept as the equivalence witness for the serving path
+    * (DedupPropertiesSpec pins ccIncremental ≡ this), not as a catalog
+    * row: paying a full corpus contraction per "incremental" run is
+    * exactly the shape the artifact exists to delete. */
+  private[llm] def ccIncrementalFromScratch(s: SparkSession, d: String,
+      threshold: Double = 0.8,
+      checkpointDir: Option[String] = None): DataFrame = {
     val docs = Tables.documents(s, d)
     val isBatch = pmod(col("doc_id"), lit(5)) === 4
     val corpus = docs.filter(!isBatch)
@@ -278,19 +311,18 @@ object Dedup {
     val corpus = docs.filter(!isBatch)
     val root = labelArtifactPath(s, d, threshold)
     val bandPath = s"$root/bands"
-    val fs = new org.apache.hadoop.fs.Path(root)
-      .getFileSystem(s.sparkContext.hadoopConfiguration)
     // ---- BUILD (once per corpus fingerprint): the corpus BAND TABLE
     // (the LSH index, 4 fixed-width rows/doc) and the contraction labels —
-    // each artifact carries its own _SUCCESS, so a partial write of either
-    // rebuilds just that artifact
-    if (!fs.exists(new org.apache.hadoop.fs.Path(bandPath, "_SUCCESS"))) {
+    // each artifact publishes independently via the staged atomic rename
+    // (Artifacts.publishOnce), so a crash leaves either a whole artifact
+    // or none, and racing sessions never read a half-replaced one
+    graft.core.Artifacts.publishOnce(s, bandPath) { staging =>
       graft.expr.GraftFunctions.register(s)
       val shC = corpus
         .select(col("doc_id"), TextStats.tokens(col("text")).as("toks"))
         .select(col("doc_id"), TextStats.shinglesExpr("toks").as("sh"))
         .filter(size(col("sh")) > 0)
-      bandSignatures(shC, 4, 3).write.mode("overwrite").parquet(bandPath)
+      bandSignatures(shC, 4, 3).write.mode("overwrite").parquet(staging)
     }
     // ---- SERVE: read the node-sized artifacts; only the INCREMENT
     // shingles (candidate discovery joins the persisted band index), then
@@ -394,10 +426,11 @@ object Dedup {
       pairs: => DataFrame,
       checkpointDir: Option[String] = None): DataFrame = {
     val path = s"${labelArtifactPath(s, d, threshold)}/$scope"
-    val fs = new org.apache.hadoop.fs.Path(path)
-      .getFileSystem(s.sparkContext.hadoopConfiguration)
-    if (!fs.exists(new org.apache.hadoop.fs.Path(path, "_SUCCESS")))
-      starLabels(pairs, checkpointDir).write.mode("overwrite").parquet(path)
+    // staged build + atomic rename (Artifacts.publishOnce): racing cold
+    // sessions each contract into their own staging dir, one publishes
+    graft.core.Artifacts.publishOnce(s, path) { staging =>
+      starLabels(pairs, checkpointDir).write.mode("overwrite").parquet(staging)
+    }
     s.read.parquet(path)
   }
 

@@ -441,6 +441,19 @@ class DedupPropertiesSpec extends SparkTestBase {
     }
   }
 
+  test("ccIncremental artifact serving equals the from-scratch label derivation") {
+    // r14 finding #3: the catalog's incremental row re-derived the corpus
+    // labels from scratch each run. It now serves them from the
+    // fingerprinted artifact; this pins the serving path to the
+    // self-contained derivation it replaced, label-for-label.
+    val d = "/root/testdata/sf0.001"
+    val served = Dedup.ccIncremental(spark, d).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val scratch = Dedup.ccIncrementalFromScratch(spark, d).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(served == scratch)
+  }
+
   test("plan guard: every inverted-index dedup chain aggregates with collect_up_to, never collect_list") {
     // The shape regression this pins: reintroducing an unbounded
     // collect_list-then-df-filter would reopen the O(df) hot-gram buffer.
