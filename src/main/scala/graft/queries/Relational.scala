@@ -377,6 +377,82 @@ object Relational {
       |  ORDER BY o_totalprice DESC, o_date, o_orderkey LIMIT 100)
       |ORDER BY o_orderkey""".stripMargin
 
+  /** TPC-H Q4 (order priority checking) — the correlated-EXISTS classic,
+    * the one canonical shape the catalog lacked (q_scalar_subq covers
+    * scalar subqueries only). Adapted to the testdata schema: lineitem
+    * has no commit/receipt dates, so "a late line exists" becomes
+    * `l_shipdate > o_orderdate + 90 days` — still correlated on BOTH the
+    * join key AND an outer column, exactly what exercises Catalyst's
+    * decorrelation. Written as SQL with the EXISTS left in, NOT as a
+    * hand-built semi-join: RewritePredicateSubquery must rewrite it to a
+    * left-semi join with the correlated predicate as a join condition
+    * (plan-guarded in CatalogSpec — no per-row subquery execution
+    * survives). Plan shape at scale: pushed date filter shrinks orders
+    * to the 3-month window before the semi-join; the lineitem side
+    * carries only (l_orderkey, l_shipdate); the priority aggregate is
+    * 5-row state. */
+  def tpchQ4(s: SparkSession, d: String): DataFrame = {
+    Tables.orders(s, d).createOrReplaceTempView("orders_q4")
+    Tables.lineitem(s, d).createOrReplaceTempView("lineitem_q4")
+    s.sql(
+      """SELECT o_orderpriority, count(*) AS order_count
+        |FROM orders_q4 o
+        |WHERE o_orderdate >= TIMESTAMP '1996-07-01 00:00:00'
+        |  AND o_orderdate <  TIMESTAMP '1996-10-01 00:00:00'
+        |  AND EXISTS (SELECT 1 FROM lineitem_q4 l
+        |              WHERE l.l_orderkey = o.o_orderkey
+        |                AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAYS)
+        |GROUP BY o_orderpriority""".stripMargin)
+      .orderedBy("o_orderpriority")
+  }
+
+  private val tpchQ4Oracle =
+    """SELECT o_orderpriority, count(*) AS order_count
+      |FROM orders o
+      |WHERE o_orderdate >= TIMESTAMP '1996-07-01 00:00:00'
+      |  AND o_orderdate <  TIMESTAMP '1996-10-01 00:00:00'
+      |  AND EXISTS (SELECT 1 FROM lineitem l
+      |              WHERE l.l_orderkey = o.o_orderkey
+      |                AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY)
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
+
+  /** TPC-H Q13 (customer distribution) — the left-outer-then-aggregate
+    * classic: every customer joined to their orders THROUGH a join-side
+    * predicate (adapted: `o_orderstatus <> 'F'` stands in for the spec's
+    * o_comment NOT LIKE — orders has no comment column), then
+    * count(o_orderkey) per customer, where the COUNT-of-nulls semantics
+    * carry the whole query: customers with no surviving order keep their
+    * row through the outer join and land in the c_count = 0 class, which
+    * an inner join (or a WHERE-side filter, which would turn the outer
+    * join inner) silently deletes. Second aggregate folds the per-customer
+    * counts into the (c_count, custdist) histogram — ≤ max-orders rows of
+    * state. Scale shape: one shuffle on custkey for the outer join +
+    * first aggregate, the histogram re-aggregates a customer-sized
+    * relation; no hints anywhere (AQE broadcasts customer at test SF,
+    * shuffles it at 100 TB — the Q3/Q5/Q18 rule). */
+  def tpchQ13(s: SparkSession, d: String): DataFrame = {
+    val c = Tables.customer(s, d).select(col("c_custkey"))
+    val o = Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"))
+    c.join(o, col("c_custkey") === col("o_custkey") &&
+        col("o_orderstatus") =!= "F", "left_outer")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy(col("c_count"))
+      .agg(count(lit(1)).as("custdist"))
+      .orderedBy("c_count")
+  }
+
+  private val tpchQ13Oracle =
+    """SELECT c_count, count(*) AS custdist FROM (
+      |  SELECT c_custkey, count(o_orderkey) AS c_count
+      |  FROM customer LEFT OUTER JOIN orders
+      |    ON c_custkey = o_custkey AND o_orderstatus <> 'F'
+      |  GROUP BY c_custkey)
+      |GROUP BY c_count
+      |ORDER BY c_count""".stripMargin
+
   /** AQE SKEW-JOIN — the runtime answer to the same hot-key problem
     * [[joinSalted]] solves by hand: a fact side where ~90% of rows share
     * one join key sort-merge-joins a small dim (broadcast disabled to
@@ -1102,6 +1178,8 @@ object Relational {
     "q_tpch_q3" -> QueryDef(tpchQ3, Some(tpchQ3Oracle)),
     "q_tpch_q5" -> QueryDef(tpchQ5, Some(tpchQ5Oracle)),
     "q_tpch_q18" -> QueryDef(tpchQ18, Some(tpchQ18Oracle)),
+    "q_tpch_q4" -> QueryDef(tpchQ4, Some(tpchQ4Oracle)),
+    "q_tpch_q13" -> QueryDef(tpchQ13, Some(tpchQ13Oracle)),
     "q_join_asof" -> QueryDef(joinAsof, Some(asofOracle)),
     // the SAME oracle adjudicates the native merge exec — composed window
     // formulation and custom SparkPlan must agree row-for-row

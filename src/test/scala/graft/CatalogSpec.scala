@@ -315,6 +315,26 @@ class CatalogSpec extends SparkTestBase {
     }
   }
 
+  test("plan guard: Q4's correlated EXISTS decorrelates to one semi-join; Q13 keeps its outer join") {
+    // Q4 is written with the EXISTS left in the SQL — Catalyst must
+    // rewrite it into a single left-semi join (with the correlated
+    // l_shipdate > o_orderdate + 90d predicate as a join condition), not
+    // a per-outer-row subquery. The optimized plan carrying any subquery
+    // expression would mean decorrelation regressed.
+    val q4 = Catalog.defs("q_tpch_q4").build(spark, dir)
+    val opt = q4.queryExecution.optimizedPlan.toString
+    assert(opt.contains("LeftSemi"),
+      s"Q4's EXISTS must decorrelate to a left-semi join:\n$opt")
+    assert(!opt.toLowerCase.contains("exists"),
+      s"Q4 still carries a subquery after optimization:\n$opt")
+    // Q13's whole point is the count-of-nulls class: the join-side status
+    // predicate must NOT collapse the outer join to inner (which would
+    // delete the zero-order customers from the histogram)
+    val q13 = Catalog.defs("q_tpch_q13").build(spark, dir)
+    assert(q13.queryExecution.optimizedPlan.toString.contains("LeftOuter"),
+      "Q13 lost its left-outer join")
+  }
+
   test("hll_distinct: an all-null group estimates 0, matching count(DISTINCT)") {
     graft.expr.GraftFunctions.register(spark)
     import spark.implicits._
