@@ -446,7 +446,8 @@ object SimilarityPq {
   /** The IVFPQ oracle chain through the ranked `rk` CTE — shared by the
     * search and its recall gauge. */
   private def ivfPqBody(nQueries: Int, nCentroids: Int,
-                        nprobe: Int, iters: Int): String =
+                        nprobe: Int, iters: Int,
+                        tombWhere: String = ""): String =
     s"""${Similarity.trainBody(nCentroids, iters, dim)},
        |${Similarity.assignCte("assigned", s"c$iters")},
        |$pqSubCtes,
@@ -462,13 +463,23 @@ object SimilarityPq {
        |              list_cosine_similarity(p.qe, r.recon) AS cos
        |       FROM probes p JOIN assigned a ON p.bucket = a.bucket
        |       JOIN recon r ON r.vec_id = a.vec_id
-       |       WHERE a.vec_id != p.qid),
+       |       WHERE a.vec_id != p.qid$tombWhere),
        |rk AS (SELECT qid, nbr, row_number() OVER (PARTITION BY qid
        |              ORDER BY cos DESC, nbr) AS rnk FROM sc)""".stripMargin
 
   private def ivfPqOracle(nQueries: Int, k: Int, nCentroids: Int,
                           nprobe: Int, iters: Int): String =
     s"""WITH ${ivfPqBody(nQueries, nCentroids, nprobe, iters)}
+       |SELECT qid, rnk, nbr FROM rk WHERE rnk <= $k ORDER BY qid, rnk""".stripMargin
+
+  /** Serve-minus-tombstones replay: the identical IVFPQ chain with the
+    * tombstone predicate (vec_id ≡ 3 mod 7) excluding indexed rows from
+    * the scoring join — queries are untouched (the workload is external
+    * to the index; only the TARGET set shrinks). */
+  private def indexDeleteOracle(nQueries: Int, k: Int, nCentroids: Int,
+                                nprobe: Int, iters: Int): String =
+    s"""WITH ${ivfPqBody(nQueries, nCentroids, nprobe, iters,
+          tombWhere = " AND a.vec_id % 7 != 3")}
        |SELECT qid, rnk, nbr FROM rk WHERE rnk <= $k ORDER BY qid, rnk""".stripMargin
 
   /** Recall@k of the composed IVFPQ index vs brute force — completes the
@@ -679,36 +690,63 @@ object SimilarityPq {
   def ivfPqPersisted(s: SparkSession, d: String,
                      nQueries: Int = nQueries, k: Int = k,
                      nCentroids: Int = 8, nprobe: Int = 2,
-                     trainIters: Int = 2): DataFrame = {
+                     trainIters: Int = 2): DataFrame =
+    serveIndex(s, ensureIndex(s, d, nCentroids, trainIters),
+      Similarity.vecs(s, d), None, nQueries, k, nprobe)
+      .orderedBy("qid", "rnk")
+
+  /** The BUILD half of [[ivfPqPersisted]] — train (pinned), encode,
+    * persist the three artifacts (centroids, codebooks, bucket-partitioned
+    * codes) once per corpus fingerprint, via the staged atomic publish
+    * (Artifacts.publishOnce: the whole three-artifact root appears in one
+    * rename, so a crash or a racing builder can never leave a partial
+    * index a server could read). Returns the artifact root. */
+  private[llm] def ensureIndex(s: SparkSession, d: String,
+      nCentroids: Int = 8, trainIters: Int = 2): String = {
     val root = indexRoot(s, d)
     val all = Similarity.vecs(s, d)
-    // ---- BUILD once per corpus fingerprint: train (pinned), encode,
-    // persist the three artifacts. The completion marker is written LAST
-    // (the hive-partitioned codes write emits no root-level _SUCCESS), so
-    // a partial build rebuilds.
-    val donePath = new org.apache.hadoop.fs.Path(root, "_GRAFT_INDEX_DONE")
-    val fs = donePath.getFileSystem(s.sparkContext.hadoopConfiguration)
-    if (!fs.exists(donePath)) {
+    graft.core.Artifacts.publishOnce(s, root) { staging =>
       val cents = Similarity.trainCentroids(all, nCentroids, trainIters, pin = true)
-      cents.write.mode("overwrite").parquet(s"$root/centroids")
+      cents.write.mode("overwrite").parquet(s"$staging/centroids")
       val cb = codebooksRow(all, pin = true)
       cb.select(explode(col("cm")).as(Seq("j", "cs")))
         .select(col("j"), explode(col("cs")).as("c"))
         .select(col("j"), col("c.cid").as("cid"), col("c.ce").as("ce"))
-        .write.mode("overwrite").parquet(s"$root/codebooks")
+        .write.mode("overwrite").parquet(s"$staging/codebooks")
       val assigned = Similarity.assignNearest(all, cents)
         .select(col("vec_id"), col("e"), col("cid").as("bucket"))
       graft.core.Layout.writePartitioned(
         encodeWith(assigned, cb)
           .select(col("vec_id") +: col("bucket") +: (1 to m).map(j => col(s"c$j")): _*),
-        s"$root/codes", "bucket")
-      fs.create(donePath, true).close()
+        s"$staging/codes", "bucket")
+      // root-level completion marker (the hive-partitioned codes write
+      // emits none): publishOnce's skip check and the historical
+      // partial-build rebuild rule both key on it
+      val stRoot = new org.apache.hadoop.fs.Path(staging)
+      stRoot.getFileSystem(s.sparkContext.hadoopConfiguration)
+        .create(new org.apache.hadoop.fs.Path(stRoot, "_SUCCESS"), true).close()
     }
-    // ---- SERVE: everything below reads the artifacts, not the corpus
-    // (queries keep their raw full-precision vectors — asymmetric search)
+    root
+  }
+
+  /** The SERVE half of [[ivfPqPersisted]]: everything reads the
+    * artifacts, not the corpus (queries keep their raw full-precision
+    * vectors — asymmetric search). `tomb`, when present, is the DELETE
+    * verb's tombstone key table (FAISS IDSelector / remove_ids shape):
+    * anti-joined against the coded table AT THE SCAN — deletion-sized and
+    * broadcast, applied before reconstruction so tombstoned rows never
+    * even decode, and placed on the codes side so the probe join's
+    * dynamic partition pruning is untouched. `codesDir` lets the
+    * compacted coded table ([[purgeTombstones]]) serve through the
+    * identical plan. */
+  private[llm] def serveIndex(s: SparkSession, root: String, all: DataFrame,
+      tomb: Option[DataFrame], nQueries: Int, k: Int, nprobe: Int,
+      codesDir: String = "codes"): DataFrame = {
     val centsP = s.read.parquet(s"$root/centroids")
     val cbP = toCbRow(s.read.parquet(s"$root/codebooks"))
-    val codesP = s.read.parquet(s"$root/codes")
+    val codesRaw = s.read.parquet(s"$root/$codesDir")
+    val codesP = tomb.fold(codesRaw)(t => codesRaw.join(broadcast(t),
+      col("vec_id") === col("tomb_id"), "left_anti"))
     val probes = Similarity.ivfProbes(all, centsP, nQueries, nprobe)
       .withColumn("qnrm", sqrt(call_function("vec_dot", col("qe"), col("qe"))))
     val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nbr"))
@@ -720,7 +758,76 @@ object SimilarityPq {
           (col("qnrm") * col("rnrm"))).as("cos"))
       .withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
       .select(col("qid"), col("rnk").cast("long").as("rnk"), col("nbr"))
+  }
+
+  /** The DELETE verb's tombstone table: vec_id ≡ 3 (mod 7) — a
+    * deterministic ~14% deletion set cutting across every coarse bucket,
+    * modeled as a key TABLE (not a predicate pushed into the scan)
+    * because that is the production artifact: deletes arrive as ids, the
+    * index is immutable until compaction, and serve consults the
+    * tombstone set (FAISS IDSelectorBatch under remove_ids). */
+  private[llm] def tombstones(all: DataFrame): DataFrame =
+    all.filter(pmod(col("vec_id"), lit(7)) === 3)
+      .select(col("vec_id").as("tomb_id"))
+
+  /** INDEX DELETE — the remaining production verb of the persisted-IVFPQ
+    * lifecycle (build / ingest / compact / serve / DELETE): serve the
+    * persisted index minus the tombstoned vectors. Logical delete only —
+    * the coded table is untouched; the tombstone key table broadcasts
+    * into an anti-join at the codes scan. The physical reclamation is
+    * [[purgeTombstones]] (folded into the compaction step), pinned by
+    * PqSpec to serve hash-identically to this masked path AND to equal a
+    * fresh encode of the surviving set under the same frozen artifacts.
+    * Scale shape: identical to [[ivfPqPersisted]] plus one broadcast
+    * anti-join of a deletion-sized key set; DPP still prunes unprobed
+    * bucket directories (the mask rides the codes side, not the probe
+    * side). */
+  def indexDelete(s: SparkSession, d: String,
+                  nQueries: Int = nQueries, k: Int = k,
+                  nCentroids: Int = 8, nprobe: Int = 2,
+                  trainIters: Int = 2): DataFrame = {
+    val all = Similarity.vecs(s, d)
+    serveIndex(s, ensureIndex(s, d, nCentroids, trainIters), all,
+      Some(tombstones(all)), nQueries, k, nprobe)
       .orderedBy("qid", "rnk")
+  }
+
+  /** Encode an arbitrary vector frame against a persisted index's FROZEN
+    * artifacts (centroids + codebooks read back, no retraining) — the
+    * spec witness that compaction is a pure rewrite: a fresh encode of
+    * the surviving set must byte-equal the compacted coded table. */
+  private[llm] def encodeAgainstIndex(s: SparkSession, root: String,
+      vectors: DataFrame): DataFrame = {
+    val centsP = s.read.parquet(s"$root/centroids")
+    val cbP = toCbRow(s.read.parquet(s"$root/codebooks"))
+    val assigned = Similarity.assignNearest(vectors, centsP)
+      .select(col("vec_id"), col("e"), col("cid").as("bucket"))
+    encodeWith(assigned, cbP)
+      .select(col("vec_id") +: col("bucket") +:
+        (1 to m).map(j => col(s"c$j")): _*)
+  }
+
+  /** Tombstone COMPACTION — the physical half of the delete verb, folded
+    * into the index-compaction family: rewrite the bucket-partitioned
+    * coded table minus the tombstoned rows into a `codes_live` artifact
+    * (same staged atomic publish as the build), after which serving needs
+    * no mask at all. Quantizers are untouched — this scheme encodes raw
+    * subvectors, so surviving codes are byte-identical to a fresh encode
+    * of the surviving set (the PqSpec round-trip equality). Returns the
+    * artifact root. */
+  private[llm] def purgeTombstones(s: SparkSession, d: String,
+      nCentroids: Int = 8, trainIters: Int = 2): String = {
+    val root = ensureIndex(s, d, nCentroids, trainIters)
+    val live = s.read.parquet(s"$root/codes")
+      .join(broadcast(tombstones(Similarity.vecs(s, d))),
+        col("vec_id") === col("tomb_id"), "left_anti")
+    graft.core.Artifacts.publishOnce(s, s"$root/codes_live") { staging =>
+      graft.core.Layout.writePartitioned(live, staging, "bucket")
+      val st = new org.apache.hadoop.fs.Path(staging)
+      st.getFileSystem(s.sparkContext.hadoopConfiguration)
+        .create(new org.apache.hadoop.fs.Path(st, "_SUCCESS"), true).close()
+    }
+    root
   }
 
   val defs: Map[String, QueryDef] = Map(
@@ -747,6 +854,13 @@ object SimilarityPq {
     // merged corpus, ONLY changed-bucket rows re-emitted; corpus touched
     // once in the serve plan (plan-guarded)
     "q_sim_index_compact" -> QueryDef(indexCompact(_, _),
-      Some(indexCompactOracle(8, 2)))
+      Some(indexCompactOracle(8, 2))),
+    // the delete verb: persisted serve with the tombstone key table
+    // anti-joined at the codes scan (logical delete; physical reclamation
+    // is purgeTombstones, spec-pinned ≡ this and ≡ a fresh encode of the
+    // survivors under the same frozen artifacts)
+    "q_sim_index_delete" -> QueryDef(indexDelete(_, _),
+      Some(indexDeleteOracle(nQueries, k, nCentroids = 8, nprobe = 2,
+        iters = 2)))
   )
 }

@@ -155,4 +155,38 @@ class PqSpec extends SparkTestBase {
     assert(smallBatch < total,
       "a 3-query batch (≤6 probes) should leave at least one bucket unread")
   }
+
+  test("delete + compact round-trip: masked serve ≡ compacted serve ≡ fresh encode of survivors") {
+    val all = Similarity.vecs(spark, d001)
+    // the delete verb must genuinely displace results, or every equality
+    // below is vacuous: some tombstoned vector sat in the unmasked top-k
+    val masked = SimilarityPq.indexDelete(spark, d001).collect().toSeq
+    val unmasked = SimilarityPq.ivfPqPersisted(spark, d001).collect().toSeq
+    assert(masked != unmasked,
+      "tombstone set displaced nothing — fixture is vacuous")
+    assert(!masked.exists(r => r.getLong(2) % 7 == 3),
+      "a tombstoned vector survived the delete mask")
+    // physical reclamation: rewrite codes minus tombstones, serve with NO
+    // mask through the identical plan — must hash-equal the masked serve
+    val root = SimilarityPq.purgeTombstones(spark, d001)
+    val compacted = SimilarityPq.serveIndex(spark, root, all, None,
+        SimilarityPq.nQueries, SimilarityPq.k, nprobe = 2,
+        codesDir = "codes_live")
+      .orderBy(col("qid"), col("rnk")).collect().toSeq
+    assert(compacted == masked,
+      "compacted index serves differently from the tombstone-masked index")
+    // and the compacted coded table equals a FRESH encode of the
+    // surviving set under the same frozen artifacts (quantizers untouched
+    // by deletion — the property that makes compaction a pure rewrite)
+    val live = all.join(SimilarityPq.tombstones(all),
+      col("vec_id") === col("tomb_id"), "left_anti")
+    val cols = col("vec_id") +: col("bucket") +:
+      (1 to SimilarityPq.m).map(j => col(s"c$j"))
+    val fresh = SimilarityPq.encodeAgainstIndex(spark, root, live)
+      .select(cols: _*).collect().map(_.toSeq).toSet
+    val stored = spark.read.parquet(s"$root/codes_live")
+      .select(cols: _*).collect().map(_.toSeq).toSet
+    assert(stored == fresh,
+      "compacted codes differ from a fresh encode of the surviving set")
+  }
 }
