@@ -194,12 +194,18 @@ object Retrieval {
   /** The pre-top-k ranked frame behind [[bm25Multi]] — split out so the
     * hybrid fusion ([[hybridRrf]]) can take its sparse arm from the
     * identical rank chain. */
-  private def bm25MultiRanked(s: SparkSession, d: String): DataFrame = {
+  private def bm25MultiRanked(s: SparkSession, d: String): DataFrame =
+    bm25MultiRankedFrom(s, Tables.documents(s, d))
+
+  /** [[bm25MultiRanked]] over an explicit (doc_id, text) frame — the
+    * composition point the streaming fusion bridge scores its
+    * micro-batch through. */
+  private def bm25MultiRankedFrom(s: SparkSession, docs: DataFrame): DataFrame = {
     import s.implicits._
     val qterms = multiQueries.flatMap { case (q, ts) => ts.map(t => (q, t)) }
       .toDF("qid", "term")
     val vocabRow = qterms.agg(collect_set(col("term")).as("vocab"))
-    val docsTok = Tables.documents(s, d)
+    val docsTok = docs
       .select(col("doc_id"), TextStats.tokens(col("text")).as("toks"))
     val stats = docsTok
       .agg(count(lit(1)).as("n"), sum(size(col("toks")).cast("long")).as("sdl"))
@@ -243,8 +249,14 @@ object Retrieval {
     * prunes to kArm before any exchange); the fusion joins two
     * (nQueries × kArm)-row frames — driver-trivial at any corpus size. */
   def hybridRrf(s: SparkSession, d: String, kArm: Int = 10, k: Int = 5)
-      : DataFrame = {
-    val sparse = bm25MultiRanked(s, d).filter(col("rnk") <= kArm)
+      : DataFrame =
+    hybridRrfFrom(s, d, Tables.documents(s, d), kArm, k)
+
+  /** [[hybridRrf]] with the sparse arm's corpus passed explicitly — the
+    * streaming bridge scores each micro-batch through this. */
+  private def hybridRrfFrom(s: SparkSession, d: String, docs: DataFrame,
+      kArm: Int = 10, k: Int = 5): DataFrame = {
+    val sparse = bm25MultiRankedFrom(s, docs).filter(col("rnk") <= kArm)
       .select(col("qid"), col("doc_id"), col("rnk").as("r_s"))
     val all = Similarity.vecs(s, d)
     val qids = multiQueries.map(_._1)
@@ -269,6 +281,25 @@ object Retrieval {
       .select(col("qid"), col("rnk"), col("doc_id"), col("rrf"))
       .orderedBy("qid", "rnk")
   }
+
+  /** [[hybridRrf]] under the STREAMING engine — the fusion SERVING
+    * bridge (the one r14 retrieval operator without a streaming twin):
+    * the document corpus arrives as an AvailableNow micro-batch and
+    * foreachBatch runs the IDENTICAL two-arm fusion batch plan — sparse
+    * arm scoring the batch's documents against the frozen query/vocab
+    * broadcasts, dense arm and its ranks from the static embeddings
+    * index, RRF fold, per-query re-rank — against the same fusion
+    * oracle. Both arms' serving inputs are frozen artifacts (stats,
+    * query table, dense index); the per-batch re-rank is corpus-global
+    * over the sparse arm, so the bridge pins single-batch delivery (the
+    * funnel/retention pattern) rather than silently unioning per-batch
+    * rank fragments. */
+  def rrfStreamed(s: SparkSession, d: String): DataFrame =
+    Tables.runStreamForeachBatch(s, "rrf_streamed_",
+      requireSingleBatch = true) { cs =>
+      Tables.documentsStream(cs, d)
+    } { (bs, batch) => hybridRrfFrom(bs, d, batch) }
+      .orderedBy("qid", "rnk")
 
   private def hybridRrfOracle(kArm: Int, k: Int): String = {
     val qidList = multiQueries.map(_._1).mkString(", ")
@@ -373,6 +404,9 @@ object Retrieval {
     // two-tower fusion: BM25 arm + dense-cosine arm, RRF re-rank
     "q_retrieval_rrf" -> QueryDef(hybridRrf(_, _),
       Some(hybridRrfOracle(10, 5))),
+    // the fusion chain executed by the streaming engine per ingest batch,
+    // adjudicated by the identical fusion oracle (36th bridge)
+    "q_rrf_streamed" -> QueryDef(rrfStreamed, Some(hybridRrfOracle(10, 5))),
     "q_bm25_scored" -> QueryDef(bm25Scored, Some(scoredOracle)),
     // the streaming engine scoring the same corpus against the same
     // frozen stats — the SAME oracle adjudicates (16th bridge)
