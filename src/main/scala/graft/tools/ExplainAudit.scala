@@ -56,7 +56,8 @@ object ExplainAudit {
       "q_retrieval_rrf", "q_mine_hard", "q_sim_mmr", "q_join_skew_aqe",
       "q_ohlc_heikin", "q_ohlc_tier_incr", "q_tradelog_purge",
       "q_distinct_rewrite", "q_win_session_dyn",
-      "q_tpch_q1", "q_tpch_q3", "q_tpch_q5", "q_tpch_q18")
+      "q_tpch_q1", "q_tpch_q3", "q_tpch_q5", "q_tpch_q18",
+      "q_tpch_q4", "q_tpch_q13", "q_sim_index_delete")
     names.foreach { n =>
       println(s"\n========== $n ==========")
       n match {
