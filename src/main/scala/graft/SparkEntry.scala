@@ -1099,7 +1099,8 @@ object Catalog {
   )
 
   val defs: Map[String, QueryDef] =
-    ohlcDefs ++ graft.queries.Relational.defs ++ graft.queries.Scalar.defs ++
+    ohlcDefs ++ graft.queries.Relational.defs ++ graft.queries.Tpch.defs ++
+      graft.queries.Scalar.defs ++
       graft.queries.TimeWindows.defs ++ graft.queries.Advanced.defs ++
       graft.queries.Stats.defs ++
       graft.llm.TextStats.defs ++ graft.llm.Dedup.defs ++

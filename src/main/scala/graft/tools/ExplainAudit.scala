@@ -57,7 +57,11 @@ object ExplainAudit {
       "q_ohlc_heikin", "q_ohlc_tier_incr", "q_tradelog_purge",
       "q_distinct_rewrite", "q_win_session_dyn",
       "q_tpch_q1", "q_tpch_q3", "q_tpch_q5", "q_tpch_q18",
-      "q_tpch_q4", "q_tpch_q13", "q_sim_index_delete")
+      "q_tpch_q4", "q_tpch_q13", "q_sim_index_delete",
+      "q_tpch_q2", "q_tpch_q6", "q_tpch_q7", "q_tpch_q8", "q_tpch_q9",
+      "q_tpch_q10", "q_tpch_q11", "q_tpch_q12", "q_tpch_q14", "q_tpch_q15",
+      "q_tpch_q16", "q_tpch_q17", "q_tpch_q19", "q_tpch_q20", "q_tpch_q21",
+      "q_tpch_q22")
     names.foreach { n =>
       println(s"\n========== $n ==========")
       n match {

@@ -303,6 +303,15 @@ class CatalogSpec extends SparkTestBase {
     assert(hintCount("q_tpch_q3") == 0, "Q3 must carry no join hints")
     assert(hintCount("q_tpch_q5") == 2, "Q5 may hint only region and nation")
     assert(hintCount("q_tpch_q18") == 1, "Q18 may hint only the survivor set")
+    // the r15 report shapes follow the same rule: hints only on the
+    // nation⋈region folds (Q7/Q8 instantiate that fold twice → 4 resolved
+    // hints), never on the SF-scaling fact/dim sides
+    assert(hintCount("q_tpch_q7") == 4, "Q7 may hint only its two nation-region folds")
+    assert(hintCount("q_tpch_q8") == 4, "Q8 may hint only its two nation-region folds")
+    assert(hintCount("q_tpch_q9") == 1, "Q9 may hint only nation")
+    assert(hintCount("q_tpch_q10") == 1, "Q10 may hint only nation")
+    for (n <- Seq("q_tpch_q6", "q_tpch_q12", "q_tpch_q14", "q_tpch_q19"))
+      assert(hintCount(n) == 0, s"$n must carry no join hints")
     // and the strategies the hints used to force still arrive, now chosen
     // by AQE from runtime sizes (so they degrade instead of OOM at scale)
     for (n <- Seq("q_tpch_q3", "q_tpch_q5", "q_tpch_q18")) {
@@ -333,6 +342,58 @@ class CatalogSpec extends SparkTestBase {
     val q13 = Catalog.defs("q_tpch_q13").build(spark, dir)
     assert(q13.queryExecution.optimizedPlan.toString.contains("LeftOuter"),
       "Q13 lost its left-outer join")
+  }
+
+  test("plan guard: the TPC-H subquery family decorrelates; Q19 pushes its OR-of-ANDs") {
+    def opt(n: String) =
+      Catalog.defs(n).build(spark, dir).queryExecution.optimizedPlan.toString
+    // Q2/Q17: correlated scalar aggregates (min cost of the same part /
+    // the part's own count+sum) must rewrite into aggregates grouped on
+    // the correlation key and joined back — a surviving scalar-subquery
+    // marker would mean per-outer-row execution
+    for (n <- Seq("q_tpch_q2", "q_tpch_q17")) {
+      val p = opt(n)
+      assert(!p.contains("scalar-subquery"),
+        s"$n still carries a correlated scalar subquery:\n$p")
+    }
+    // Q21: EXISTS → LeftSemi and NOT EXISTS → LeftAnti in ONE plan, both
+    // keyed on l_orderkey (hash-joinable) with the two-table correlation
+    // (l1 key + the OUTER o_orderdate lateness term) folded into the
+    // anti-join condition
+    val q21 = opt("q_tpch_q21")
+    assert(q21.contains("LeftSemi") && q21.contains("LeftAnti"),
+      s"Q21 must plan one semi and one anti join:\n$q21")
+    assert(!q21.toLowerCase.contains("exists"),
+      s"Q21 still carries a subquery after optimization:\n$q21")
+    assert(q21.contains("o_orderdate") && {
+      val anti = q21.linesIterator.filter(_.contains("LeftAnti")).mkString
+      anti.contains("l_shipdate") && anti.contains("o_orderdate")
+    }, s"Q21's anti-join condition lost the outer-column lateness term:\n$q21")
+    // Q16: NOT IN must become the null-aware anti join (parquet declares
+    // both key columns nullable, so the isnull disjunct is required)
+    val q16 = opt("q_tpch_q16")
+    assert(q16.contains("LeftAnti") && q16.contains("isnull"),
+      s"Q16's NOT IN did not plan a null-aware anti join:\n$q16")
+    // Q20: the grouped-HAVING membership test folds to a left-semi join
+    assert(opt("q_tpch_q20").contains("LeftSemi"),
+      "Q20's IN subquery did not fold to a semi join")
+    // Q22: the two uncorrelated cohort scalars MERGE into one shared
+    // aggregate (MergeScalarSubqueries' named_struct bundle) and the NOT
+    // EXISTS is a LeftAnti against the date-pruned orders scan
+    val q22 = opt("q_tpch_q22")
+    assert(q22.contains("mergedValue"),
+      s"Q22's cohort scalars no longer merge into one aggregate:\n$q22")
+    assert(q22.contains("LeftAnti"), s"Q22 lost its anti join:\n$q22")
+    // Q19: the single-side components of the OR-of-ANDs must reach BOTH
+    // scans as pushed filters (quantity bands → lineitem, brand/size
+    // bands → part) while the full disjunction rides the join
+    val q19 = Catalog.defs("q_tpch_q19").build(spark, dir)
+      .queryExecution.executedPlan.toString
+    val scans = q19.linesIterator.filter(_.contains("PushedFilters")).toSeq
+    assert(scans.exists(l => l.contains("l_quantity") && l.contains("Or(")),
+      s"Q19's quantity disjunction never reached the lineitem scan:\n$q19")
+    assert(scans.exists(l => l.contains("p_brand") && l.contains("Or(")),
+      s"Q19's brand/size disjunction never reached the part scan:\n$q19")
   }
 
   test("hll_distinct: an all-null group estimates 0, matching count(DISTINCT)") {
