@@ -177,14 +177,31 @@ object Relational {
     * IEEE trees rounded to 6dp decimals before the EXACT sums (the bm25
     * component rule), averages are one IEEE divide over exact sums, and
     * each output casts to double ONCE. */
-  def tpchQ1(s: SparkSession, d: String): DataFrame = {
+  def tpchQ1(s: SparkSession, d: String): DataFrame =
+    q1Aggregate(Tables.lineitem(s, d)).orderedBy("l_returnflag", "l_linestatus")
+
+  /** TPC-H Q1 under the STREAMING engine (37th bridge): the canonical
+    * pricing-summary aggregate as a complete-mode streaming aggregation
+    * over the lineitem file source — the same partial/merge lanes cross
+    * the StateStore instead of a batch exchange, and the IDENTICAL Q1
+    * oracle adjudicates the result. The one relational-canon shape worth
+    * bridging: pure grouped aggregation with 6-row state, exactly what a
+    * production pricing monitor would run per ingest batch. */
+  def tpchQ1Streamed(s: SparkSession, d: String): DataFrame =
+    Tables.runStreamComplete(s, "tpch_q1_streamed_") { cs =>
+      q1Aggregate(Tables.lineitemStream(cs, d))
+    }.orderedBy("l_returnflag", "l_linestatus")
+
+  /** ONE Q1 body serves the batch query and its streaming bridge — a
+    * measure change cannot split their claims. */
+  private def q1Aggregate(lineitem: DataFrame): DataFrame = {
     val cutoff = lit("1998-09-02").cast("timestamp")
     val disc = expr(
       "CAST(round(l_extendedprice * (1 - l_discount), 6) AS DECIMAL(28,6))")
     val charge = expr(
       "CAST(round(l_extendedprice * (1 - l_discount) * (1 + l_tax), 6) " +
         "AS DECIMAL(28,6))")
-    Tables.lineitem(s, d)
+    lineitem
       .filter(col("l_shipdate") <= cutoff)
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
@@ -201,7 +218,6 @@ object Relational {
         (sum(col("l_discount").cast("decimal(18,2)")).cast("double")
           / count(lit(1))).as("avg_disc"),
         count(lit(1)).as("count_order"))
-      .orderedBy("l_returnflag", "l_linestatus")
   }
 
   private val tpchQ1Oracle =
@@ -1175,6 +1191,7 @@ object Relational {
     "q_join_skew_aqe" -> QueryDef(joinSkewAqe, Some(joinSkewAqeOracle)),
     // the canonical benchmark shapes, verbatim on the testdata schema
     "q_tpch_q1" -> QueryDef(tpchQ1, Some(tpchQ1Oracle)),
+    "q_tpch_q1_streamed" -> QueryDef(tpchQ1Streamed, Some(tpchQ1Oracle)),
     "q_tpch_q3" -> QueryDef(tpchQ3, Some(tpchQ3Oracle)),
     "q_tpch_q5" -> QueryDef(tpchQ5, Some(tpchQ5Oracle)),
     "q_tpch_q18" -> QueryDef(tpchQ18, Some(tpchQ18Oracle)),

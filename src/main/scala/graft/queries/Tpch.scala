@@ -69,7 +69,7 @@ object Tpch {
     * copies. Dialect notes folded into the shared texts: `INTERVAL 60
     * DAY` (singular) parses in both; `%` / ordinal GROUP BY / CTEs /
     * LIKE / IN are common. */
-  private def sparkified(sql: String): String =
+  private[graft] def sparkified(sql: String): String =
     tableNames.foldLeft(sql)((acc, t) => acc.replaceAll("\\b" + t + "\\b", t + "_t"))
 
   private def sqlQuery(sql: String)(s: SparkSession, d: String): DataFrame = {

@@ -81,6 +81,8 @@ class CatalogSpec extends SparkTestBase {
     assert(o("q_join_asof_tol_native") == o("q_join_asof_tol"))
     // candle tier: persisted rollup vs inline rollup, direct-from-raw spec
     assert(o("q_ohlc_tiered") == o("q_ohlc_rollup"))
+    // r15: the relational canon under the streaming engine
+    assert(o("q_tpch_q1_streamed") == o("q_tpch_q1"))
   }
 
   test("plan guard: index compaction touches the corpus exactly once") {
