@@ -72,10 +72,17 @@ object Tpch {
   private[graft] def sparkified(sql: String): String =
     tableNames.foldLeft(sql)((acc, t) => acc.replaceAll("\\b" + t + "\\b", t + "_t"))
 
-  private def sqlQuery(sql: String)(s: SparkSession, d: String): DataFrame = {
-    reg(s, d)
-    s.sql(sparkified(sql))
-  }
+  /** The register→analyze window is serialized per session: the `_t`
+    * views are shared by all eight SQL-form queries, so two THREADS
+    * building against different dirs could otherwise interleave reg() and
+    * sql() and bind one query's plan to the other's dir. (Once sql()
+    * returns, the plan is bound — later re-registration is harmless, the
+    * property the CatalogSpec concurrency test relies on.) */
+  private def sqlQuery(sql: String)(s: SparkSession, d: String): DataFrame =
+    s.synchronized {
+      reg(s, d)
+      s.sql(sparkified(sql))
+    }
 
   // ------------------------------------------------------------------
   // Q2 — minimum-cost supplier (correlated scalar MIN subquery)
