@@ -705,6 +705,17 @@ object SimilarityPq {
       nCentroids: Int = 8, trainIters: Int = 2): String = {
     val root = indexRoot(s, d)
     val all = Similarity.vecs(s, d)
+    // marker migration: pre-r15 builds completed under _GRAFT_INDEX_DONE
+    // (no root _SUCCESS) — adopt them in place instead of letting
+    // publishOnce classify a complete legacy index as crash debris and
+    // silently rebuild it (r15 review finding)
+    locally {
+      val rp = new org.apache.hadoop.fs.Path(root)
+      val fs = rp.getFileSystem(s.sparkContext.hadoopConfiguration)
+      val legacy = new org.apache.hadoop.fs.Path(rp, "_GRAFT_INDEX_DONE")
+      val marker = new org.apache.hadoop.fs.Path(rp, "_SUCCESS")
+      if (fs.exists(legacy) && !fs.exists(marker)) fs.create(marker, true).close()
+    }
     graft.core.Artifacts.publishOnce(s, root) { staging =>
       val cents = Similarity.trainCentroids(all, nCentroids, trainIters, pin = true)
       cents.write.mode("overwrite").parquet(s"$staging/centroids")

@@ -29,7 +29,7 @@ object Advanced {
     * total, a combination rollup/cube can't express. DataFrame API has no
     * grouping-sets verb, so this goes through SQL over a temp view —
     * same Catalyst Aggregate(Expand) plan. */
-  def groupingSetsQ(s: SparkSession, d: String): DataFrame = {
+  def groupingSetsQ(s: SparkSession, d: String): DataFrame = s.synchronized {
     Tables.lineitem(s, d).createOrReplaceTempView("lineitem_gs")
     s.sql(
       """SELECT COALESCE(l_returnflag, 'ALL') AS rf,
@@ -43,7 +43,7 @@ object Advanced {
 
   /** Scalar subquery: every order's price as a share of the global max —
     * one broadcast scalar, one divide of raw stored doubles (deterministic). */
-  def scalarSubq(s: SparkSession, d: String): DataFrame = {
+  def scalarSubq(s: SparkSession, d: String): DataFrame = s.synchronized {
     Tables.orders(s, d).createOrReplaceTempView("orders_ss")
     s.sql(
       """SELECT o_orderkey,
@@ -106,7 +106,7 @@ object Advanced {
     * discrete (percentile_disc/quantile_disc) agree across engines because
     * both use the standard (n-1)p linear-interpolation definition and the
     * inputs are 2dp-exact doubles (interpolation = two IEEE ops). */
-  def percentileQ(s: SparkSession, d: String): DataFrame = {
+  def percentileQ(s: SparkSession, d: String): DataFrame = s.synchronized {
     Tables.lineitem(s, d).createOrReplaceTempView("lineitem_pct")
     s.sql(
       """SELECT l_returnflag,

@@ -407,7 +407,10 @@ object Relational {
     * to the 3-month window before the semi-join; the lineitem side
     * carries only (l_orderkey, l_shipdate); the priority aggregate is
     * 5-row state. */
-  def tpchQ4(s: SparkSession, d: String): DataFrame = {
+  def tpchQ4(s: SparkSession, d: String): DataFrame = s.synchronized {
+    // register→analyze serialized per session, same discipline as
+    // Tpch.sqlQuery: a concurrent builder re-registering the _q4 views
+    // for another dir between these lines would bind a cross-SF join
     Tables.orders(s, d).createOrReplaceTempView("orders_q4")
     Tables.lineitem(s, d).createOrReplaceTempView("lineitem_q4")
     s.sql(

@@ -242,39 +242,93 @@ object TradeLogFormat {
     * manifest it read at PLAN time, so a reader in flight across the
     * publish can still reference just-expired files. `vacuumGraceMs`
     * bounds that window the lakehouse way (publish, then delayed GC):
-    * with a grace > the longest expected scan, the new manifest is
-    * visible immediately while expired files outlive every in-flight
-    * plan, to be unlinked by this or any later [[vacuum]] call once
-    * they age past the grace. The default 0 keeps the single-writer /
-    * no-concurrent-reader bench shape (immediate unlink). */
+    * the delist journal records WHEN each file became unreferenced, and
+    * [[vacuum]] unlinks a victim only once it has been delisted for the
+    * grace — measured from the PURGE, not from the file's write time
+    * (retention victims are by definition old files, so an mtime-based
+    * grace would never engage; r15 review finding). The default 0 keeps
+    * the single-writer / no-concurrent-reader bench shape (immediate
+    * unlink). */
   def purgeBefore(dir: String, cutoffUs: Long,
       vacuumGraceMs: Long = 0L): (Int, Int) = {
     val (blocks, epoch, qid) = readManifestMeta(dir)
     val keep = blocks.filter(_.maxTsUs >= cutoffUs)
     writeManifest(dir, keep, epoch, qid)
+    val keptFiles = keep.map(_.file).toSet
+    val dropped = blocks.map(_.file).distinct.filterNot(keptFiles)
+    val now = System.currentTimeMillis()
+    writeTrash(dir, readTrash(dir) ++ dropped.map(f => f -> now))
     (blocks.size - keep.size, vacuum(dir, vacuumGraceMs))
   }
 
-  /** Deferred GC: unlink every `*.gtl` data file the CURRENT manifest no
-    * longer references whose mtime is at least `graceMs` old. Safe to run
-    * any time (crash-orphaned writer files and expired purge victims are
-    * the only unreferenced files by construction); with a grace of one
-    * scan-duration bound it is also safe under concurrent readers, whose
-    * plans can only reference files that were manifest-listed — hence
-    * younger than their unlink horizon by at least the grace. Returns the
-    * number of files deleted. */
+  /** Delist journal: `(file, delistMillis)` rows for every data file a
+    * manifest rewrite stopped referencing, published with the same
+    * tmp+atomic-rename as the manifest. The journal — not file mtime —
+    * is vacuum's GC authority: it both carries the correct grace origin
+    * (delist time) and keeps vacuum's hands off files it has never been
+    * told about, which is what protects an in-flight WRITER's
+    * pre-manifest-commit part files from being swept as garbage (r15
+    * review finding — the old "unlink anything unreferenced" rule could
+    * brick a log by deleting data its writer was about to commit). */
+  private val TrashName = "_trash.graftlog"
+
+  private[source] def readTrash(dir: String): Seq[(String, Long)] = {
+    val (filesystem, root) = fs(dir)
+    val p = new Path(root, TrashName)
+    if (!filesystem.exists(p)) return Seq.empty
+    val in = filesystem.open(p)
+    try {
+      scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+        .map(_.trim).filter(_.nonEmpty).map { l =>
+          val i = l.lastIndexOf(',')
+          l.substring(0, i) -> l.substring(i + 1).toLong
+        }.toSeq
+    } finally in.close()
+  }
+
+  private def writeTrash(dir: String, entries: Seq[(String, Long)]): Unit = {
+    val conf = driverConf()
+    val (filesystem, root) = fs(dir, conf)
+    val p = filesystem.makeQualified(new Path(root, TrashName))
+    if (entries.isEmpty) { filesystem.delete(p, false); return }
+    val tmp = filesystem.makeQualified(new Path(root,
+      s".$TrashName.tmp-${java.util.UUID.randomUUID().toString.take(8)}"))
+    val out = filesystem.create(tmp, true)
+    try {
+      out.write(entries.map { case (f, t) => s"$f,$t" }
+        .mkString("\n").getBytes(StandardCharsets.UTF_8))
+    } finally out.close()
+    org.apache.hadoop.fs.FileContext.getFileContext(p.toUri, conf)
+      .rename(tmp, p, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+  }
+
+  /** Deferred GC driven by the delist journal: unlink every journaled
+    * file whose delist timestamp is at least `graceMs` old and that the
+    * CURRENT manifest still does not reference (a re-committed file's
+    * entry is dropped without an unlink). Unreferenced `*.gtl` files the
+    * journal does NOT know (crash-orphaned writer part files, or victims
+    * of a pre-journal purge) are ADOPTED into the journal now and become
+    * deletable only by a LATER vacuum call once their adoption ages past
+    * that call's grace — so an in-flight writer always has at least one
+    * full vacuum cycle (plus the grace) to commit its manifest before
+    * its files are at risk. Returns the number of files deleted. */
   def vacuum(dir: String, graceMs: Long = 0L): Int = {
     val (blocks, _, _) = readManifestMeta(dir)
     val ref = blocks.map(_.file).toSet
     val (filesystem, root) = fs(dir)
-    val horizon = System.currentTimeMillis() - graceMs
-    val victims = filesystem.listStatus(root).toSeq.filter { st =>
-      val n = st.getPath.getName
-      st.isFile && n.endsWith(".gtl") && !ref(n) &&
-        st.getModificationTime <= horizon
+    val now = System.currentTimeMillis()
+    val journal = readTrash(dir)
+    val (due, pending) = journal.partition { case (_, t) => t <= now - graceMs }
+    val toDelete = due.collect { case (f, _) if !ref(f) => f }
+    toDelete.foreach(f => filesystem.delete(new Path(root, f), false))
+    val known = journal.map(_._1).toSet
+    val orphans = filesystem.listStatus(root).toSeq.collect {
+      case st if st.isFile && st.getPath.getName.endsWith(".gtl") &&
+        !ref(st.getPath.getName) && !known(st.getPath.getName) =>
+        st.getPath.getName -> now
     }
-    victims.foreach(st => filesystem.delete(st.getPath, false))
-    victims.size
+    writeTrash(dir, pending.filterNot { case (f, _) => ref(f) } ++ orphans)
+    toDelete.size
   }
 
   // ---- row codec ------------------------------------------------------

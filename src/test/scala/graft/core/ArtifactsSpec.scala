@@ -49,4 +49,44 @@ class ArtifactsSpec extends SparkTestBase {
       .map(_.getPath.getName).filterNot(_ == "v1")
     assert(leftover.isEmpty, s"staging debris left behind: ${leftover.toSeq}")
   }
+
+  test("a failed build leaves no staging debris and no artifact") {
+    val root = java.nio.file.Files.createTempDirectory("graft-art3").toString
+    val path = s"$root/merges/v1"
+    val boom = intercept[RuntimeException] {
+      Artifacts.publishOnce(spark, path) { staging =>
+        writeArtifact("partial")(staging) // half-done work, then the crash
+        throw new RuntimeException("job failed mid-build")
+      }
+    }
+    assert(boom.getMessage.contains("mid-build"))
+    val parent = new Path(s"$root/merges")
+    val names =
+      if (fs(root).exists(parent))
+        fs(root).listStatus(parent).map(_.getPath.getName).toSeq
+      else Seq.empty
+    assert(names.isEmpty,
+      s"failed cold builds must not accumulate staging debris: $names")
+    // and the next attempt builds cleanly
+    Artifacts.publishOnce(spark, path)(writeArtifact("good"))
+    assert(spark.read.parquet(path).collect().head.getString(0) == "good")
+  }
+
+  test("a racer landing between the marker check and the rebuild is respected, not destroyed") {
+    // drives publishOnce's lost-rename branch: the destination is taken by
+    // a COMPLETE (marked) artifact after this caller decided to build —
+    // publishOnce must defer to the winner instead of deleting it
+    val root = java.nio.file.Files.createTempDirectory("graft-art4").toString
+    val path = s"$root/merges/v1"
+    var winnerPlanted = false
+    Artifacts.publishOnce(spark, path) { staging =>
+      // simulate the concurrent winner completing while this build runs
+      Artifacts.stageAndPublish(spark, path)(writeArtifact("winner"))
+      winnerPlanted = true
+      writeArtifact("latecomer")(staging)
+    }
+    assert(winnerPlanted)
+    assert(spark.read.parquet(path).collect().head.getString(0) == "winner",
+      "publishOnce must defer to a concurrently published artifact")
+  }
 }

@@ -508,6 +508,40 @@ class TradeLogSpec extends SparkTestBase {
     assert(TradeLogFormat.vacuum(dir, graceMs = 0L) == 0, "vacuum is idempotent")
   }
 
+  test("vacuum: grace runs from DELIST time; unjournaled files are adopted, not swept") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-tl-vac2").toString
+    val timed = (0 until 20).map(i =>
+      Row(i.toLong, ts(f"2024-01-01 ${i / 5}%02d:${(i % 5) * 10}%02d:00"),
+        i.toLong, "t", i.toDouble, "{}"))
+    df(timed).repartitionByRange(4, col("ts")).sortWithinPartitions("ts")
+      .write.format(Fmt).mode("overwrite").option("blockRows", 5).save(dir)
+    val (fs, root) = TradeLogFormat.fs(dir)
+    // age every data file 48h: real retention victims are OLD files, so a
+    // grace measured from file mtime would never protect them (the r15
+    // review finding) — delist-time grace must
+    val old = System.currentTimeMillis() - 48L * 3600 * 1000
+    fs.listStatus(root).filter(_.getPath.getName.endsWith(".gtl"))
+      .foreach(st => fs.setTimes(st.getPath, old, -1))
+    val cutoff = Timestamp.valueOf("2024-01-01 02:00:00").getTime * 1000L
+    val (db, unlinkedNow) =
+      TradeLogFormat.purgeBefore(dir, cutoff, vacuumGraceMs = 3600L * 1000)
+    assert(db > 0, "no expired block dropped")
+    assert(unlinkedNow == 0,
+      "days-old victims must still ride the full delist grace")
+    // an in-flight WRITER's uncommitted part file: unreferenced AND
+    // unjournaled — vacuum may only ADOPT it, never sweep it on sight
+    val stray = new org.apache.hadoop.fs.Path(root, "part-inflight-writer.gtl")
+    locally { val o = fs.create(stray, true); o.write(7); o.close() }
+    val n1 = TradeLogFormat.vacuum(dir, graceMs = 0L)
+    assert(n1 > 0, "the journaled victims must unlink once past the grace")
+    assert(fs.exists(stray),
+      "vacuum swept an unjournaled file on first sight — an in-flight " +
+        "writer's pre-commit data would be destroyed")
+    // ...but an adopted orphan that never commits is GC'd by the NEXT call
+    assert(TradeLogFormat.vacuum(dir, graceMs = 0L) == 1 && !fs.exists(stray),
+      "an adopted orphan must be GC'd by the following vacuum")
+  }
+
   test("codec fuzz: 400 seeded-random rows round-trip byte-exactly") {
     val rnd = new scala.util.Random(20260815L)
     val exotic = "βüé  汉字🙂\t|,\\\"'\n"
