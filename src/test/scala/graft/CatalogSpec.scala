@@ -169,6 +169,13 @@ class CatalogSpec extends SparkTestBase {
       val plan = q.build(spark, dir).queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"),
         s"$name plans a CartesianProduct")
+      // the orderedBy doctrine, enforced mechanically: no catalog query
+      // may plan a rangepartitioning exchange — its RangePartitioner
+      // sampling pass executes the child plan a second time (2× tax at
+      // any scale); harness ordering rides repartition(1)+local sort and
+      // top-k rides TakeOrderedAndProject, neither of which samples
+      assert(!plan.contains("rangepartitioning"),
+        s"$name plans a sampling global sort (range exchange)")
       if (!sortAggAllowed(name))
         assert(!plan.contains("SortAggregate"),
           s"$name unexpectedly plans SortAggregate")
