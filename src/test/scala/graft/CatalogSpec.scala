@@ -169,11 +169,15 @@ class CatalogSpec extends SparkTestBase {
       val plan = q.build(spark, dir).queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"),
         s"$name plans a CartesianProduct")
-      // the orderedBy doctrine, enforced mechanically: no catalog query
-      // may plan a rangepartitioning exchange — its RangePartitioner
-      // sampling pass executes the child plan a second time (2× tax at
-      // any scale); harness ordering rides repartition(1)+local sort and
-      // top-k rides TakeOrderedAndProject, neither of which samples
+      // the orderedBy doctrine, enforced mechanically on the RETURNED
+      // plan (build-side staging writes are out of scope — e.g. the
+      // outer-join bridge's repartitionByRange file LAYOUT, a deliberate
+      // one-off write choice, not a per-query sort): no catalog query's
+      // own plan may carry a rangepartitioning exchange — its
+      // RangePartitioner sampling pass executes the child plan a second
+      // time (2× tax at any scale); harness ordering rides
+      // repartition(1)+local sort and top-k rides TakeOrderedAndProject,
+      // neither of which samples
       assert(!plan.contains("rangepartitioning"),
         s"$name plans a sampling global sort (range exchange)")
       if (!sortAggAllowed(name))
@@ -532,13 +536,11 @@ class CatalogSpec extends SparkTestBase {
 
   test("plan guard: q_shuffle_shard epoch shuffle has no global sort") {
     // The reading manifest must come from ONE hash exchange on shard +
-    // per-shard local sorts; a rangepartitioning exchange means Spark
-    // planned a global sort (with its double-execution sampling pass)
-    // over what is the whole corpus at 100 TB.
+    // per-shard local sorts. (The no-rangepartitioning half of this claim
+    // is now enforced catalog-wide by the generic guard above; here we
+    // pin the POSITIVE half — the shard hash exchange survives.)
     val plan = Catalog.defs("q_shuffle_shard").build(spark, dir)
       .queryExecution.executedPlan.toString
-    assert(!plan.contains("rangepartitioning"),
-      s"q_shuffle_shard planned a global range sort:\n$plan")
     assert(plan.contains("hashpartitioning(shard"),
       s"q_shuffle_shard lost its shard hash partitioning:\n$plan")
   }
