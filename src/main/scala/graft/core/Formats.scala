@@ -64,6 +64,26 @@ object Formats {
       .option("pathGlobFilter", glob)
       .load(path)
 
+  /** XML ingestion (built into Spark 4 core — no external jar): one row
+    * per `rowTag` element, explicit schema (inference is an extra full
+    * pass, the house rule). PERMISSIVE mode routes malformed elements to
+    * `_corrupt_record` like [[readJsonl]] — feed dumps and sitemap-style
+    * corpora always carry some broken markup, and dropping it must be a
+    * countable decision. Attributes surface as `_attrname` columns. */
+  def readXml(spark: SparkSession, path: String, rowTag: String,
+              ddl: String): DataFrame =
+    spark.read.format("xml")
+      .schema(ddl + ", _corrupt_record STRING")
+      .option("rowTag", rowTag)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .load(path)
+
+  def writeXml(df: DataFrame, path: String, rowTag: String,
+               rootTag: String): Unit =
+    df.write.mode("overwrite").format("xml")
+      .option("rowTag", rowTag).option("rootTag", rootTag).save(path)
+
   /** Union parquet datasets whose schemas drifted (columns added over
     * time): `mergeSchema` reconciles per-file footers into the union
     * schema, nulling absent columns — routine at corpus scale where

@@ -38,6 +38,35 @@ class FormatsSpec extends SparkTestBase {
     assert(clean.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L))
   }
 
+  test("XML round-trip preserves the documents table; malformed elements are isolated") {
+    val out = tmp("graft-xml")
+    val docs = Tables.documents(spark, d)
+    Formats.writeXml(docs, out, rowTag = "doc", rootTag = "corpus")
+    val back = Formats.readXml(spark, out, rowTag = "doc",
+      "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT")
+    // corrupt-only projections over raw XML are disallowed (Spark routes
+    // them through a cache) — partitionCorrupt already does exactly that
+    val (cleanRt, corruptRt) = Formats.partitionCorrupt(back)
+    assert(corruptRt.count() == 0)
+    assert(docsSorted(cleanRt) sameElements docsSorted(docs))
+    // malformed markup lands in _corrupt_record, clean rows unharmed
+    val dirty = tmp("graft-xml-dirty")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(dirty, "part0.xml"),
+      """<corpus>
+        |<doc><doc_id>1</doc_id><text>fine</text><lang>en</lang></doc>
+        |<doc><doc_id>borked</doc_id><text>bad type</text></doc>
+        |<doc><doc_id>2</doc_id><text>also fine</text><lang>de</lang></doc>
+        |</corpus>
+        |""".stripMargin)
+    val mixed = Formats.readXml(spark, dirty, rowTag = "doc",
+      "doc_id BIGINT, text STRING, lang STRING")
+    val (clean, corrupt) = Formats.partitionCorrupt(mixed)
+    assert(clean.count() == 2 && corrupt.count() == 1)
+    assert(clean.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+      == Seq(1L, 2L))
+  }
+
   test("CSV round-trip preserves the documents table (text has no delimiter collisions)") {
     val out = tmp("graft-csv")
     val docs = Tables.documents(spark, d)
