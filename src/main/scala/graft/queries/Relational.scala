@@ -436,6 +436,36 @@ object Relational {
       |GROUP BY o_orderpriority
       |ORDER BY o_orderpriority""".stripMargin
 
+  /** Correlated LATERAL subquery (top-k-per-row): each customer's two
+    * highest-value orders through a LATERAL (... ORDER BY ... LIMIT 2) —
+    * the remaining canonical subquery position after Q4's EXISTS and
+    * Q2/Q17's scalars. Written as SQL with the LATERAL left in: Catalyst
+    * must decorrelate it (DecorrelateLateralSubquery) into an equi-join
+    * against a WindowGroupLimit-pruned orders side — per-partition top-k
+    * BEFORE the exchange, never a per-customer nested loop (plan-guarded).
+    * At 100 TB that means orders is cut to ≤2 rows/customer map-side; the
+    * join shuffles only survivors. Tie discipline: o_orderkey breaks
+    * o_totalprice ties, so the top-2 SET is deterministic. */
+  def joinLateral(s: SparkSession, d: String): DataFrame = s.synchronized {
+    Tables.customer(s, d).createOrReplaceTempView("customer_lat")
+    Tables.orders(s, d).createOrReplaceTempView("orders_lat")
+    s.sql(
+      """SELECT c_custkey, o_orderkey, o_totalprice
+        |FROM customer_lat c,
+        |LATERAL (SELECT o_orderkey, o_totalprice FROM orders_lat
+        |         WHERE o_custkey = c.c_custkey
+        |         ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t""".stripMargin)
+      .orderedBy("c_custkey", "o_orderkey")
+  }
+
+  private val joinLateralOracle =
+    """SELECT c_custkey, o_orderkey, o_totalprice
+      |FROM customer c,
+      |LATERAL (SELECT o_orderkey, o_totalprice FROM orders
+      |         WHERE o_custkey = c.c_custkey
+      |         ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+      |ORDER BY c_custkey, o_orderkey""".stripMargin
+
   /** TPC-H Q13 (customer distribution) — the left-outer-then-aggregate
     * classic: every customer joined to their orders THROUGH a join-side
     * predicate (adapted: `o_orderstatus <> 'F'` stands in for the spec's
@@ -1200,6 +1230,7 @@ object Relational {
     "q_tpch_q18" -> QueryDef(tpchQ18, Some(tpchQ18Oracle)),
     "q_tpch_q4" -> QueryDef(tpchQ4, Some(tpchQ4Oracle)),
     "q_tpch_q13" -> QueryDef(tpchQ13, Some(tpchQ13Oracle)),
+    "q_join_lateral" -> QueryDef(joinLateral, Some(joinLateralOracle)),
     "q_join_asof" -> QueryDef(joinAsof, Some(asofOracle)),
     // the SAME oracle adjudicates the native merge exec — composed window
     // formulation and custom SparkPlan must agree row-for-row

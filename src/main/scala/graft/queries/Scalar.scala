@@ -144,11 +144,28 @@ object Scalar {
       .select(col("doc_id"), (col("pos") + 1).cast("long").as("pos"), col("tok"))
       .orderedBy("doc_id", "pos")
 
+  /** One oracle adjudicates both JSON-extraction lanes (string-path
+    * get_json_object and the VARIANT lane) — the bridge rule. */
+  private val jsonKOracle =
+    """SELECT event_id, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+      |FROM events ORDER BY event_id""".stripMargin
+
   def jsonGet(s: SparkSession, d: String): DataFrame =
     Tables.events(s, d).select(
       col("event_id"),
       get_json_object(col("props"), "$.k").cast("int").as("k")
     ).orderedBy("event_id")
+
+  /** The SAME extraction through Spark 4's VARIANT type (parse_json →
+    * variant_get): the open-format semi-structured path — parse once into
+    * the binary variant encoding, extract typed fields without
+    * re-tokenizing the JSON text per path (the get_json_object cost
+    * model). Shares [[jsonGet]]'s oracle verbatim: the variant lane must
+    * answer the identical question. */
+  def jsonVariant(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d).selectExpr("event_id",
+      "CAST(variant_get(parse_json(props), '$.k', 'int') AS INT) AS k")
+      .orderedBy("event_id")
 
   /** JSON serialize→parse round-trip (reference P2/P10): if from_json or
     * to_json corrupts anything, the oracle (which reads the source columns
@@ -307,9 +324,8 @@ object Scalar {
         |       unnest(range(1, len(string_split(text, ' ')) + 1)) AS pos,
         |       unnest(string_split(text, ' ')) AS tok
         |FROM documents ORDER BY doc_id, pos""".stripMargin)),
-    "q_json_get" -> QueryDef(jsonGet, Some(
-      """SELECT event_id, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
-        |FROM events ORDER BY event_id""".stripMargin)),
+    "q_json_get" -> QueryDef(jsonGet, Some(jsonKOracle)),
+    "q_json_variant" -> QueryDef(jsonVariant, Some(jsonKOracle)),
     "q_parse_json" -> QueryDef(parseJson, Some(
       """SELECT event_id, event_id AS pid, event_type AS pty
         |FROM events ORDER BY event_id""".stripMargin)),

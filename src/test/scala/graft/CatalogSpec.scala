@@ -397,6 +397,14 @@ class CatalogSpec extends SparkTestBase {
     assert(q22.contains("mergedValue"),
       s"Q22's cohort scalars no longer merge into one aggregate:\n$q22")
     assert(q22.contains("LeftAnti"), s"Q22 lost its anti join:\n$q22")
+    // the LATERAL top-k: decorrelated to an equi-join against a
+    // WindowGroupLimit-pruned side (map-side ≤2 rows/customer), never a
+    // per-customer nested loop
+    val lat = opt("q_join_lateral")
+    assert(lat.contains("WindowGroupLimit"),
+      s"q_join_lateral lost its map-side top-k pruning:\n$lat")
+    assert(!lat.contains("LateralJoin") && lat.contains("Join Inner"),
+      s"q_join_lateral did not decorrelate to an equi-join:\n$lat")
     // Q19: the single-side components of the OR-of-ANDs must reach BOTH
     // scans as pushed filters (quantity bands → lineitem, brand/size
     // bands → part) while the full disjunction rides the join
