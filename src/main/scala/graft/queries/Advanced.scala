@@ -343,7 +343,41 @@ object Advanced {
       |       CASE WHEN a_ts >= ts - INTERVAL 10 MINUTE THEN a_id END AS asof_click_id
       |FROM w WHERE is_p = 1 ORDER BY event_id""".stripMargin
 
+  /** Recursive CTE (Spark 4's UnionLoop): the gap-filled monthly order
+    * calendar — a generated date dimension LEFT-joined to the fact so
+    * zero-order months keep their row (the calendar-completeness report
+    * a sequence()-less SQL dialect writes exactly this way). ONE text
+    * runs in both engines (the Tpch shared-SQL rule): Spark executes the
+    * recursion as UnionLoop, DuckDB natively; months with no orders land
+    * via count-of-nulls. Scale shape: the recursion is bounded by the
+    * CALENDAR (80 rows — data-size independent), broadcast into the fact
+    * join; the aggregate is 80-group state. Bounds are fixed literals on
+    * purpose — a data-dependent recursion depth would make plan size
+    * data-dependent. */
+  private val cteRecursiveSql =
+    """WITH RECURSIVE months(m) AS (
+      |  SELECT CAST('1995-01-01 00:00:00' AS TIMESTAMP)
+      |  UNION ALL
+      |  SELECT m + INTERVAL 1 MONTH FROM months
+      |  WHERE m < CAST('2001-08-01 00:00:00' AS TIMESTAMP)
+      |)
+      |SELECT CAST(year(m) AS BIGINT) AS yr, CAST(month(m) AS BIGINT) AS mo,
+      |       count(o_orderkey) AS n_orders
+      |FROM months LEFT JOIN %TABLE%
+      |  ON year(o_orderdate) = year(m) AND month(o_orderdate) = month(m)
+      |GROUP BY 1, 2""".stripMargin
+
+  def cteRecursive(s: SparkSession, d: String): DataFrame = s.synchronized {
+    Tables.orders(s, d).createOrReplaceTempView("orders_rc")
+    s.sql(cteRecursiveSql.replace("%TABLE%", "orders_rc"))
+      .orderedBy("yr", "mo")
+  }
+
+  private val cteRecursiveOracle =
+    cteRecursiveSql.replace("%TABLE%", "orders") + "\nORDER BY yr, mo"
+
   val defs: Map[String, QueryDef] = Map(
+    "q_cte_recursive" -> QueryDef(cteRecursive, Some(cteRecursiveOracle)),
     // footer-statistics aggregation: COUNT/MIN/MAX pushed into the DSv2
     // parquet scan — O(files), not O(rows)
     "q_meta_count" -> QueryDef(metaCount, Some(
