@@ -349,23 +349,31 @@ object Advanced {
     * a sequence()-less SQL dialect writes exactly this way). ONE text
     * runs in both engines (the Tpch shared-SQL rule): Spark executes the
     * recursion as UnionLoop, DuckDB natively; months with no orders land
-    * via count-of-nulls. Scale shape: the recursion is bounded by the
-    * CALENDAR (80 rows — data-size independent), broadcast into the fact
-    * join; the aggregate is 80-group state. Bounds are fixed literals on
-    * purpose — a data-dependent recursion depth would make plan size
-    * data-dependent. */
+    * via count-of-nulls. Scale shape (r15 review fix): the fact side is
+    * pre-aggregated to per-month counts FIRST — map-side partial
+    * aggregation, 80-group state — and the calendar LEFT-joins that
+    * 80-row aggregate; joining the raw fact against the calendar instead
+    * would hash the entire fact table onto ≤80 month keys (a reducer
+    * funnel). The recursion itself is bounded by the CALENDAR (80 rows,
+    * data-size independent); bounds are fixed literals on purpose — a
+    * data-dependent recursion depth would make plan size data-dependent. */
   private val cteRecursiveSql =
     """WITH RECURSIVE months(m) AS (
       |  SELECT CAST('1995-01-01 00:00:00' AS TIMESTAMP)
       |  UNION ALL
       |  SELECT m + INTERVAL 1 MONTH FROM months
       |  WHERE m < CAST('2001-08-01 00:00:00' AS TIMESTAMP)
-      |)
+      |),
+      |per_month AS (
+      |  SELECT CAST(year(o_orderdate) AS BIGINT) AS o_yr,
+      |         CAST(month(o_orderdate) AS BIGINT) AS o_mo,
+      |         count(*) AS n
+      |  FROM %TABLE%
+      |  GROUP BY 1, 2)
       |SELECT CAST(year(m) AS BIGINT) AS yr, CAST(month(m) AS BIGINT) AS mo,
-      |       count(o_orderkey) AS n_orders
-      |FROM months LEFT JOIN %TABLE%
-      |  ON year(o_orderdate) = year(m) AND month(o_orderdate) = month(m)
-      |GROUP BY 1, 2""".stripMargin
+      |       COALESCE(n, CAST(0 AS BIGINT)) AS n_orders
+      |FROM months LEFT JOIN per_month
+      |  ON o_yr = CAST(year(m) AS BIGINT) AND o_mo = CAST(month(m) AS BIGINT)""".stripMargin
 
   def cteRecursive(s: SparkSession, d: String): DataFrame = s.synchronized {
     Tables.orders(s, d).createOrReplaceTempView("orders_rc")

@@ -446,25 +446,26 @@ object Relational {
     * At 100 TB that means orders is cut to ≤2 rows/customer map-side; the
     * join shuffles only survivors. Tie discipline: o_orderkey breaks
     * o_totalprice ties, so the top-2 SET is deterministic. */
+  // ONE text serves both engines (the Tpch shared-SQL rule — two
+  // hand-synced copies would fork silently on the next edit)
+  private val joinLateralSql =
+    """SELECT c_custkey, o_orderkey, o_totalprice
+      |FROM %CUST% c,
+      |LATERAL (SELECT o_orderkey, o_totalprice FROM %ORD%
+      |         WHERE o_custkey = c.c_custkey
+      |         ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t""".stripMargin
+
   def joinLateral(s: SparkSession, d: String): DataFrame = s.synchronized {
     Tables.customer(s, d).createOrReplaceTempView("customer_lat")
     Tables.orders(s, d).createOrReplaceTempView("orders_lat")
-    s.sql(
-      """SELECT c_custkey, o_orderkey, o_totalprice
-        |FROM customer_lat c,
-        |LATERAL (SELECT o_orderkey, o_totalprice FROM orders_lat
-        |         WHERE o_custkey = c.c_custkey
-        |         ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t""".stripMargin)
+    s.sql(joinLateralSql
+        .replace("%CUST%", "customer_lat").replace("%ORD%", "orders_lat"))
       .orderedBy("c_custkey", "o_orderkey")
   }
 
   private val joinLateralOracle =
-    """SELECT c_custkey, o_orderkey, o_totalprice
-      |FROM customer c,
-      |LATERAL (SELECT o_orderkey, o_totalprice FROM orders
-      |         WHERE o_custkey = c.c_custkey
-      |         ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
-      |ORDER BY c_custkey, o_orderkey""".stripMargin
+    joinLateralSql.replace("%CUST%", "customer").replace("%ORD%", "orders") +
+      "\nORDER BY c_custkey, o_orderkey"
 
   /** TPC-H Q13 (customer distribution) — the left-outer-then-aggregate
     * classic: every customer joined to their orders THROUGH a join-side
