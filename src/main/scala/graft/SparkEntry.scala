@@ -312,6 +312,42 @@ object Catalog {
         col("open"), col("high"), col("low"), col("close"))
     }.orderedBy("ws", "base")
 
+  /** The ListState primitive under the oracle (38th bridge — completes
+    * the transformWithState state-variable trio after TwsCandles'
+    * MapState/ValueState): per-user LAST-3 event buffer, update mode over
+    * the 4-file rate-limited layout. Each batch that touches a user
+    * re-emits that user's current top-3; since the ListState buffer
+    * accumulates across batches, folding LATEST-PER-(user, rank) by batch
+    * id reconstructs the final tails — which must hash-match the batch
+    * twin's window-rank oracle (q_last_k's SQL, shared verbatim). State
+    * is pruned back to ≤ k entries per key on every overflow, the bound a
+    * 100 TB history needs. */
+  def qLastKStreamed(spark: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val emissions = lastKEmissions(spark, d)
+    val w = Window.partitionBy(col("user_id"), col("rn"))
+      .orderBy(col("__bid").desc)
+    emissions.withColumn("pick", row_number().over(w))
+      .filter(col("pick") === 1).drop("pick", "__bid")
+      .orderedBy("user_id", "rn")
+  }
+
+  /** The raw tagged emission stream behind [[qLastKStreamed]] — split out
+    * so StreamingSpec can pin that ≥1 user's tail was genuinely REVISED
+    * across micro-batches (the update-mode observable). */
+  def lastKEmissions(spark: SparkSession, d: String): DataFrame = {
+    val (tmp, schema) = stagedEvents4(spark, d)
+    Tables.runStreamUpdateEmissions(spark, "lastk_") { cs =>
+      // multi-column-family state (the StatefulProcessor API) needs the
+      // RocksDB provider; child-session conf, nothing leaks to the caller
+      cs.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      graft.stream.TwsLastK.lastK(
+        cs.readStream.schema(schema)
+          .option("maxFilesPerTrigger", 1).parquet(tmp), 3)
+    }
+  }
+
   private val ohlcTwsOracle =
     """WITH t AS (
       |  SELECT event_type AS base, epoch_ms(ts) AS ms, value
@@ -1082,6 +1118,8 @@ object Catalog {
     "q_ohlc_stateful" -> QueryDef(qOhlcStateful, Some(ohlcStatefulOracle)),
     // the transformWithState engine (timers close to the GLOBAL watermark)
     "q_ohlc_tws" -> QueryDef(qOhlcTws, Some(ohlcTwsOracle)),
+    "q_lastk_streamed" -> QueryDef(qLastKStreamed,
+      Some(graft.queries.Stats.lastKOracle)),
     "q_ohlc_vwap" -> QueryDef(qOhlcVwap, Some(ohlcVwapOracle)),
     "q_vwap_streamed" -> QueryDef(qOhlcVwapStreamed, Some(ohlcVwapOracle)),
     // 5-minute candles merged from 1-minute PARTIALS (the OHLC monoid);

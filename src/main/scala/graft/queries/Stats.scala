@@ -321,6 +321,36 @@ object Stats {
       |              AND e.rn = 1
       |ORDER BY a.user_id, a.event_type""".stripMargin
 
+  /** Per-user LAST-K events (the recent-activity tail): the batch twin of
+    * the ListState streaming buffer ([[graft.stream.TwsLastK]]) — one
+    * window rank per user, top-3 kept. WindowGroupLimit prunes to ≤3
+    * rows/user map-side before the exchange (the q_join_lateral shape).
+    * (ts_us, event_id) is unique per user, so the rank never ties. */
+  def lastKBatch(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ep_us").desc, col("event_id").desc)
+    Tables.events(s, d)
+      .select(col("user_id"), unix_micros(col("ts")).as("ep_us"),
+        col("event_id"), col("value"))
+      .withColumn("rn", row_number().over(w).cast("bigint"))
+      .filter(col("rn") <= 3)
+      .select(col("user_id"), col("rn"), col("ep_us"), col("value"))
+      .orderedBy("user_id", "rn")
+  }
+
+  /** Shared by the batch twin and the ListState streaming bridge — the
+    * bridge rule: one oracle adjudicates both engines. */
+  private[graft] val lastKOracle =
+    """SELECT user_id, rn, ep_us, value FROM (
+      |  SELECT user_id,
+      |         CAST(row_number() OVER (PARTITION BY user_id
+      |           ORDER BY ts DESC, event_id DESC) AS BIGINT) AS rn,
+      |         epoch_us(ts) AS ep_us, value
+      |  FROM events)
+      |WHERE rn <= 3
+      |ORDER BY user_id, rn""".stripMargin
+
   /** Snapshot reconciliation — the incremental-ingestion diff (what
     * changed between two corpus crawls): FULL OUTER join of old vs new on
     * the stable key, rows classified added / removed / changed / unchanged
@@ -1000,6 +1030,7 @@ object Stats {
     "q_sketch_streamed" -> QueryDef(quantileSketchStreamed,
       Some(quantileSketchOracle(256, 7))),
     "q_sessionize" -> QueryDef(sessionize(_, _), Some(sessionizeOracle(5))),
-    "q_latest_by_key" -> QueryDef(latestByKey, Some(latestByKeyOracle))
+    "q_latest_by_key" -> QueryDef(latestByKey, Some(latestByKeyOracle)),
+    "q_last_k" -> QueryDef(lastKBatch, Some(lastKOracle))
   )
 }

@@ -83,6 +83,8 @@ class CatalogSpec extends SparkTestBase {
     assert(o("q_ohlc_tiered") == o("q_ohlc_rollup"))
     // r15: the relational canon under the streaming engine
     assert(o("q_tpch_q1_streamed") == o("q_tpch_q1"))
+    // r15: the ListState buffer vs its batch window-rank twin
+    assert(o("q_lastk_streamed") == o("q_last_k"))
   }
 
   test("plan guard: index compaction touches the corpus exactly once") {

@@ -168,6 +168,23 @@ class StreamingSpec extends SparkTestBase {
       .filter(col("count") > 1).count() == 0)
   }
 
+  test("ListState bridge: at least one user's last-k tail is revised across batches") {
+    // q_lastk_streamed's fold (latest per (user, rn)) is correct even if
+    // every user were emitted once; this pins the ListState observable —
+    // a user whose events span micro-batches re-emits a REVISED tail, so
+    // the buffer genuinely accumulates across batches (sf0.01: 500 users
+    // × 10000 events, the 4-file split scatters every user's events)
+    val em = graft.Catalog.lastKEmissions(spark, "/root/testdata/sf0.01")
+    val revised = em.groupBy(col("user_id"), col("rn"))
+      .agg(countDistinct(col("__bid")).as("nb"))
+      .filter(col("nb") > 1).count()
+    assert(revised >= 1, "no last-k tail was revised across batches — the " +
+      "ListState bridge degenerated to single-emission")
+    // update mode emits a (user, rank) at most once per batch
+    assert(em.groupBy(col("user_id"), col("rn"), col("__bid")).count()
+      .filter(col("count") > 1).count() == 0)
+  }
+
   test("multi-query orchestration: shared source lineage, awaitAnyTermination unblocks on first stop") {
     implicit val ctx = spark.sqlContext
     val input = MemoryStream[(String, Long, Double, Double)]
