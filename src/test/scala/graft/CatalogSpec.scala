@@ -405,6 +405,10 @@ class CatalogSpec extends SparkTestBase {
     val lat = opt("q_join_lateral")
     assert(lat.contains("WindowGroupLimit"),
       s"q_join_lateral lost its map-side top-k pruning:\n$lat")
+    // same pruning claim for the ListState bridge's batch twin: the
+    // window-rank filter must cut to ≤3 rows/user BEFORE the exchange
+    assert(opt("q_last_k").contains("WindowGroupLimit"),
+      "q_last_k lost its map-side top-k pruning")
     assert(!lat.contains("LateralJoin") && lat.contains("Join Inner"),
       s"q_join_lateral did not decorrelate to an equi-join:\n$lat")
     // Q19: the single-side components of the OR-of-ANDs must reach BOTH
