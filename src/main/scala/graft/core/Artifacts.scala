@@ -23,28 +23,58 @@ object Artifacts {
     *
     * Crash leftovers vs concurrent winners: an unmarked directory at
     * `path` is normally a pre-atomic-writer crash leftover (staged builds
-    * appear only via the rename) — BUT between observing it and deleting
+    * appear only via the rename) — BUT between observing it and acting on
     * it, a concurrent racer's rename can land a complete artifact, so a
-    * blind delete could destroy a published artifact the racer is already
-    * reading (r15 review finding). The loop below re-checks the marker
-    * IMMEDIATELY before each delete (shrinking the window from
-    * marker-check→delete across a whole call to one instruction gap),
-    * defers to the winner after a lost rename only if the winner is
-    * marked, retries (bounded) otherwise, and verifies the marker before
-    * returning. A filesystem with no atomic delete-if-unmarked cannot
-    * close the gap entirely; the residual worst case is a transient
-    * re-build of a deterministic artifact, never a half-read one. */
+    * blind in-place delete could destroy a published artifact the racer is
+    * already reading (r15/r16 review findings). The loop below therefore
+    * never deletes in place: it RENAMES the unmarked directory aside to a
+    * hidden tombstone (one atomic step — nothing new can land inside it
+    * afterwards), re-checks the marker on the quiesced tombstone, and
+    * restores a marked artifact untouched; only a tombstone that is
+    * verifiably unmarked AFTER the move is deleted. A published artifact
+    * is thus never destroyed. Residual for in-flight READERS of a racer's
+    * artifact that loses the gap race: path-based re-opens during the
+    * move→restore window can transiently fail (open handles are
+    * unaffected on posix filesystems), after which the identical artifact
+    * is back at the same path — a transient read retry, never a
+    * half-read or lost artifact. */
   def publishOnce(s: SparkSession, path: String)(build: String => Unit): Unit = {
+    val conf = s.sparkContext.hadoopConfiguration
     val p = new Path(path)
-    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val fs = p.getFileSystem(conf)
+    def renameNoReplace(src: Path, dst: Path): Boolean =
+      try {
+        FileContext.getFileContext(fs.makeQualified(dst).toUri, conf)
+          .rename(fs.makeQualified(src), fs.makeQualified(dst),
+            Options.Rename.NONE)
+        true
+      } catch {
+        // src vanished, dst taken, or parent contention: fall through to
+        // the loop's re-check — never force anything here
+        case _: java.io.IOException => false
+      }
     var attempts = 0
     while (!marked(fs, p) && attempts < 3) {
       attempts += 1
-      if (fs.exists(p) && !marked(fs, p)) fs.delete(p, true)
+      if (fs.exists(p) && !marked(fs, p)) {
+        val tomb = new Path(p.getParent,
+          s".${p.getName}.tomb-${java.util.UUID.randomUUID().toString.take(8)}")
+        if (renameNoReplace(p, tomb)) {
+          if (marked(fs, tomb)) {
+            // the gap fired: a racer's complete artifact landed between the
+            // marker check and the move. Restore it untouched — our own
+            // move just vacated the destination; if yet another racer
+            // publishes first, both are complete builds of the same
+            // deterministic artifact, so the tombstone copy is redundant.
+            if (!renameNoReplace(tomb, p)) fs.delete(tomb, true)
+            if (marked(fs, p)) return
+          } else fs.delete(tomb, true) // crash debris, quiesced off-path
+        }
+      }
       if (stageAndPublish(s, path)(build)) return
       // rename lost: somebody else owns the destination — if it is a
       // marked artifact they won fairly; if it is unmarked debris (their
-      // crash between our delete and rename), loop and clear it again
+      // crash between our move-aside and rename), loop and clear it again
     }
     if (!marked(fs, p))
       throw new IllegalStateException(

@@ -248,7 +248,15 @@ object TradeLogFormat {
     * (retention victims are by definition old files, so an mtime-based
     * grace would never engage; r15 review finding). The default 0 keeps
     * the single-writer / no-concurrent-reader bench shape (immediate
-    * unlink). */
+    * unlink).
+    *
+    * Returns (#blocks dropped by THIS purge, #files GC'd by the
+    * piggybacked [[vacuum]] pass). The second element is vacuum's total
+    * for this call — it can include victims of EARLIER purges whose grace
+    * just expired and previously adopted orphans past their age floor, so
+    * it may exceed (or undershoot, under a grace) this purge's own delist
+    * set (r16 advice: the two counters measure different things by
+    * design). */
   def purgeBefore(dir: String, cutoffUs: Long,
       vacuumGraceMs: Long = 0L): (Int, Int) = {
     val (blocks, epoch, qid) = readManifestMeta(dir)
@@ -257,36 +265,56 @@ object TradeLogFormat {
     val keptFiles = keep.map(_.file).toSet
     val dropped = blocks.map(_.file).distinct.filterNot(keptFiles)
     val now = System.currentTimeMillis()
-    writeTrash(dir, readTrash(dir) ++ dropped.map(f => f -> now))
+    writeTrash(dir, readTrash(dir) ++
+      dropped.map(f => TrashEntry(f, now, adopted = false)))
     (blocks.size - keep.size, vacuum(dir, vacuumGraceMs))
   }
 
-  /** Delist journal: `(file, delistMillis)` rows for every data file a
-    * manifest rewrite stopped referencing, published with the same
+  /** Delist journal: `(file, delistMillis, adopted)` rows for every data
+    * file a manifest rewrite stopped referencing, published with the same
     * tmp+atomic-rename as the manifest. The journal — not file mtime —
     * is vacuum's GC authority: it both carries the correct grace origin
     * (delist time) and keeps vacuum's hands off files it has never been
     * told about, which is what protects an in-flight WRITER's
     * pre-manifest-commit part files from being swept as garbage (r15
     * review finding — the old "unlink anything unreferenced" rule could
-    * brick a log by deleting data its writer was about to commit). */
+    * brick a log by deleting data its writer was about to commit).
+    * Adopted orphans (files vacuum found unreferenced but was never told
+    * about) carry a trailing `,o` marker so their deletion eligibility
+    * can honor [[OrphanMinAgeMs]] independently of the caller's grace.
+    *
+    * SINGLE MAINTENANCE WRITER assumption (the same contract as the
+    * manifest's epoch read-modify-write): journal updates are
+    * read-modify-write + atomic replace, so two CONCURRENT purge/vacuum
+    * callers are last-writer-wins — a lost entry is re-adopted as an
+    * orphan on the next vacuum pass (self-healing, delayed one adoption
+    * cycle), but maintenance ops should be serialized by the caller. */
   private val TrashName = "_trash.graftlog"
 
-  private[source] def readTrash(dir: String): Seq[(String, Long)] = {
+  /** One journal row: the delisted file, when it was delisted, and
+    * whether it entered via orphan ADOPTION rather than an explicit
+    * manifest-rewrite delist. */
+  final case class TrashEntry(file: String, delistMs: Long, adopted: Boolean) {
+    def line: String = s"$file,$delistMs${if (adopted) ",o" else ""}"
+  }
+
+  private[source] def readTrash(dir: String): Seq[TrashEntry] = {
     val (filesystem, root) = fs(dir)
     val p = new Path(root, TrashName)
     if (!filesystem.exists(p)) return Seq.empty
     val in = filesystem.open(p)
     try {
       scala.io.Source.fromInputStream(in, "UTF-8").getLines()
-        .map(_.trim).filter(_.nonEmpty).map { l =>
+        .map(_.trim).filter(_.nonEmpty).map { l0 =>
+          val adopted = l0.endsWith(",o")
+          val l = if (adopted) l0.dropRight(2) else l0
           val i = l.lastIndexOf(',')
-          l.substring(0, i) -> l.substring(i + 1).toLong
+          TrashEntry(l.substring(0, i), l.substring(i + 1).toLong, adopted)
         }.toSeq
     } finally in.close()
   }
 
-  private def writeTrash(dir: String, entries: Seq[(String, Long)]): Unit = {
+  private def writeTrash(dir: String, entries: Seq[TrashEntry]): Unit = {
     val conf = driverConf()
     val (filesystem, root) = fs(dir, conf)
     val p = filesystem.makeQualified(new Path(root, TrashName))
@@ -295,12 +323,22 @@ object TradeLogFormat {
       s".$TrashName.tmp-${java.util.UUID.randomUUID().toString.take(8)}"))
     val out = filesystem.create(tmp, true)
     try {
-      out.write(entries.map { case (f, t) => s"$f,$t" }
+      out.write(entries.map(_.line)
         .mkString("\n").getBytes(StandardCharsets.UTF_8))
     } finally out.close()
     org.apache.hadoop.fs.FileContext.getFileContext(p.toUri, conf)
       .rename(tmp, p, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
   }
+
+  /** Default minimum age an ADOPTED orphan must reach before vacuum may
+    * unlink it, independent of the caller's grace: with the bench-shaped
+    * default grace of 0, two back-to-back vacuum calls would otherwise
+    * adopt-then-delete an in-flight writer's uncommitted part file in
+    * milliseconds — exactly the hazard the journal exists to remove (r16
+    * advice). 5 minutes comfortably exceeds any sane manifest-commit
+    * latency; callers that KNOW no writer is in flight (tests, the
+    * strict single-writer bench) pass `orphanMinAgeMs = 0` explicitly. */
+  val OrphanMinAgeMs: Long = 5L * 60 * 1000
 
   /** Deferred GC driven by the delist journal: unlink every journaled
     * file whose delist timestamp is at least `graceMs` old and that the
@@ -309,26 +347,46 @@ object TradeLogFormat {
     * journal does NOT know (crash-orphaned writer part files, or victims
     * of a pre-journal purge) are ADOPTED into the journal now and become
     * deletable only by a LATER vacuum call once their adoption ages past
-    * that call's grace — so an in-flight writer always has at least one
-    * full vacuum cycle (plus the grace) to commit its manifest before
-    * its files are at risk. Returns the number of files deleted. */
-  def vacuum(dir: String, graceMs: Long = 0L): Int = {
+    * `max(graceMs, orphanMinAgeMs)` — so an in-flight writer always has
+    * at least one full vacuum cycle PLUS the orphan age floor to commit
+    * its manifest before its files are at risk, even under the default
+    * grace of 0 (r16 advice). Returns the number of files ACTUALLY
+    * deleted: a victim the filesystem refuses to delete stays journaled
+    * for the next pass and is not counted; an entry whose file is already
+    * gone is dropped silently. Journal updates are read-modify-write —
+    * see the single-maintenance-writer note on the journal above. */
+  def vacuum(dir: String, graceMs: Long = 0L,
+      orphanMinAgeMs: Long = OrphanMinAgeMs): Int = {
     val (blocks, _, _) = readManifestMeta(dir)
     val ref = blocks.map(_.file).toSet
     val (filesystem, root) = fs(dir)
     val now = System.currentTimeMillis()
     val journal = readTrash(dir)
-    val (due, pending) = journal.partition { case (_, t) => t <= now - graceMs }
-    val toDelete = due.collect { case (f, _) if !ref(f) => f }
-    toDelete.foreach(f => filesystem.delete(new Path(root, f), false))
-    val known = journal.map(_._1).toSet
+    val (due, pending) = journal.partition { e =>
+      val floor = if (e.adopted) math.max(graceMs, orphanMinAgeMs) else graceMs
+      e.delistMs <= now - floor
+    }
+    var deleted = 0
+    // count only files this call really unlinked; a refused delete keeps
+    // its journal entry alive for the next pass (r16 advice — the old
+    // code counted attempts and dropped failures from the journal)
+    val failed = due.filter { e =>
+      if (ref(e.file)) false // re-committed: drop the entry, no unlink
+      else {
+        val q = new Path(root, e.file)
+        if (!filesystem.exists(q)) false // already gone: drop silently
+        else if (filesystem.delete(q, false)) { deleted += 1; false }
+        else true // delete refused: retry on a later pass
+      }
+    }
+    val known = journal.map(_.file).toSet
     val orphans = filesystem.listStatus(root).toSeq.collect {
       case st if st.isFile && st.getPath.getName.endsWith(".gtl") &&
         !ref(st.getPath.getName) && !known(st.getPath.getName) =>
-        st.getPath.getName -> now
+        TrashEntry(st.getPath.getName, now, adopted = true)
     }
-    writeTrash(dir, pending.filterNot { case (f, _) => ref(f) } ++ orphans)
-    toDelete.size
+    writeTrash(dir, pending.filterNot(e => ref(e.file)) ++ failed ++ orphans)
+    deleted
   }
 
   // ---- row codec ------------------------------------------------------

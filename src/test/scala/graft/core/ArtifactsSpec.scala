@@ -29,10 +29,16 @@ class ArtifactsSpec extends SparkTestBase {
     // published → the build fn must not run again
     Artifacts.publishOnce(spark, path)(build)
     assert(builds == 1, "published artifact was rebuilt")
-    // a directory WITHOUT the marker is a crash leftover: cleared + rebuilt
+    // a directory WITHOUT the marker is a crash leftover: moved aside
+    // (never deleted in place — a racer's rename could have landed a
+    // complete artifact in the check→act gap), verified-unmarked, then
+    // cleared and rebuilt — with no tombstone debris left behind
     fs(path).delete(new Path(path, "_SUCCESS"), false)
     Artifacts.publishOnce(spark, path)(build)
     assert(builds == 2 && spark.read.parquet(path).count() == 1)
+    val debris = fs(root).listStatus(new Path(s"$root/merges"))
+      .map(_.getPath.getName).filterNot(_ == "v1")
+    assert(debris.isEmpty, s"tombstone/staging debris left: ${debris.toSeq}")
   }
 
   test("rename collision: the losing racer discards its staging dir, winner's artifact intact") {

@@ -66,8 +66,10 @@ class CollectUpToSpec extends SparkTestBase {
     val plan = df.groupBy($"g").agg(expr("collect_up_to(v, 3)"))
       .queryExecution.executedPlan.toString
     assert(plan.contains("ObjectHashAggregate"), s"got:\n$plan")
-    assert(plan.contains("partial_collect_up_to") || plan.contains("partial collect_up_to")
-      || plan.toLowerCase.contains("partial"),
-      s"map-side partial aggregation expected:\n$plan")
+    // the SPECIFIC mode marker (AggregateExpression renders Partial mode as
+    // `partial_<prettyName>(`): a generic "partial" substring would match
+    // almost any aggregate plan and never catch a final-only regression
+    assert(plan.contains("partial_collect_up_to("),
+      s"map-side partial_collect_up_to expected:\n$plan")
   }
 }

@@ -537,9 +537,18 @@ class TradeLogSpec extends SparkTestBase {
     assert(fs.exists(stray),
       "vacuum swept an unjournaled file on first sight — an in-flight " +
         "writer's pre-commit data would be destroyed")
-    // ...but an adopted orphan that never commits is GC'd by the NEXT call
-    assert(TradeLogFormat.vacuum(dir, graceMs = 0L) == 1 && !fs.exists(stray),
-      "an adopted orphan must be GC'd by the following vacuum")
+    // an adopted orphan additionally rides the ORPHAN AGE FLOOR, grace 0
+    // or not: back-to-back maintenance calls in the default configuration
+    // must never adopt-then-delete a slow writer's uncommitted file within
+    // milliseconds (r16 advice — the floor is what makes grace-0 purges
+    // safe next to live writers)
+    assert(TradeLogFormat.vacuum(dir, graceMs = 0L) == 0 && fs.exists(stray),
+      "an adopted orphan must survive follow-up vacuums until the age floor")
+    // ...and is GC'd by the next call only when the caller explicitly
+    // waives the floor (the known-no-writers shape: tests, offline GC)
+    assert(TradeLogFormat.vacuum(dir, graceMs = 0L, orphanMinAgeMs = 0L) == 1
+        && !fs.exists(stray),
+      "a floor-waived vacuum must GC the adopted orphan")
   }
 
   test("codec fuzz: 400 seeded-random rows round-trip byte-exactly") {
