@@ -51,7 +51,9 @@ object TradeLogFormat {
   val ManifestHeader = "graft-tradelog v1"
   val DefaultBlockRows = 1024
 
-  /** Fixed reader/writer schema (events-table shaped, FIXTURES.md). */
+  /** Base reader/writer schema (events-table shaped, FIXTURES.md) — the
+    * fixed 6-column prefix every tradelog block starts with. A widened
+    * log appends extra columns AFTER these (see [[xcolsOf]]). */
   val schema: StructType = StructType(Seq(
     StructField("event_id", LongType),
     StructField("ts", TimestampType),
@@ -60,15 +62,81 @@ object TradeLogFormat {
     StructField("value", DoubleType),
     StructField("props", StringType)))
 
-  /** One committed block: where it sits, its ts span, and (7th CSV field,
+  /** Number of base columns (the fixed prefix). */
+  val BaseCols: Int = 6
+
+  /** Extra-column types the evolution tail supports. Timestamps encode
+    * as epoch-µs i64, like `ts`. */
+  private val XcolTypes: Map[String, DataType] = Map(
+    "long" -> LongType, "double" -> DoubleType,
+    "string" -> StringType, "timestamp" -> TimestampType)
+
+  private def xcolTypeName(dt: DataType): String = dt match {
+    case LongType => "long"
+    case DoubleType => "double"
+    case StringType => "string"
+    case TimestampType => "timestamp"
+    case other => throw new IllegalArgumentException(
+      s"graft-tradelog extra columns support long/double/string/timestamp, got $other")
+  }
+
+  /** The manifest-header token for a widened schema's extra columns
+    * (empty string when the log is base-schema). Names are restricted so
+    * the space/semicolon/colon-delimited header stays parseable. */
+  def xcolsToken(xcols: Seq[StructField]): String =
+    if (xcols.isEmpty) ""
+    else {
+      xcols.foreach(f => require(f.name.matches("[A-Za-z0-9_]+"),
+        s"graft-tradelog extra column name must be [A-Za-z0-9_]+: ${f.name}"))
+      " xcols=" + xcols.map(f => s"${f.name}:${xcolTypeName(f.dataType)}")
+        .mkString(";")
+    }
+
+  private def parseXcols(token: String): Seq[StructField] =
+    token.split(";").toSeq.filter(_.nonEmpty).map { s =>
+      val Array(n, t) = s.split(":", 2)
+      StructField(n, XcolTypes.getOrElse(t,
+        throw new IllegalArgumentException(s"unknown xcol type: $t")))
+    }
+
+  /** The full table schema a manifest describes: base prefix + extras. */
+  def widenedSchema(xcols: Seq[StructField]): StructType =
+    StructType(schema.fields ++ xcols)
+
+  /** Merge the committed extra columns with a write's: widening is
+    * APPEND-ONLY, so one list must be a prefix of the other (same names,
+    * same types, same order) and the wider one wins — anything else is a
+    * conflicting evolution and fails the commit rather than silently
+    * reinterpreting old blocks' bytes. */
+  def mergeXcols(committed: Seq[StructField],
+      incoming: Seq[StructField]): Seq[StructField] = {
+    val (short, long) =
+      if (committed.length <= incoming.length) (committed, incoming)
+      else (incoming, committed)
+    require(long.take(short.length).map(f => (f.name, f.dataType)) ==
+      short.map(f => (f.name, f.dataType)),
+      s"graft-tradelog schema evolution is append-only: committed extras " +
+        s"[${committed.map(_.name).mkString(",")}] vs write extras " +
+        s"[${incoming.map(_.name).mkString(",")}] are not prefix-compatible")
+    long
+  }
+
+  /** One committed block: where it sits, its ts span, (7th CSV field,
     * optional for manifests written before it existed) a hex-encoded
     * user_id bloom filter — the parquet column-bloom idea at block
     * granularity, so point lookups and runtime join filters skip blocks
-    * whose bloom provably misses every requested id. */
+    * whose bloom provably misses every requested id — and (8th field,
+    * optional) the number of columns the block PHYSICALLY encodes.
+    * `nCols` is the schema-evolution ledger: widening appends columns to
+    * the table schema, old blocks keep their original nCols, and the
+    * reader null-fills any requested ordinal >= nCols without decoding
+    * anything (the parquet mergeSchema missing-column rule re-expressed
+    * at block granularity). */
   final case class BlockMeta(file: String, offset: Long, payloadLen: Int,
-      nRows: Int, minTsUs: Long, maxTsUs: Long, bloomHex: String = "") {
+      nRows: Int, minTsUs: Long, maxTsUs: Long, bloomHex: String = "",
+      nCols: Int = BaseCols) {
     def csv: String =
-      s"$file,$offset,$payloadLen,$nRows,$minTsUs,$maxTsUs,$bloomHex"
+      s"$file,$offset,$payloadLen,$nRows,$minTsUs,$maxTsUs,$bloomHex,$nCols"
     def mightContainUser(id: Long): Boolean =
       TradeLogFormat.bloomMightContain(bloomHex, id)
   }
@@ -76,9 +144,10 @@ object TradeLogFormat {
   object BlockMeta {
     def fromCsv(line: String): BlockMeta = {
       val a = line.split(",", -1)
-      require(a.length == 6 || a.length == 7, s"bad manifest line: $line")
+      require(a.length >= 6 && a.length <= 8, s"bad manifest line: $line")
       BlockMeta(a(0), a(1).toLong, a(2).toInt, a(3).toInt,
-        a(4).toLong, a(5).toLong, if (a.length == 7) a(6) else "")
+        a(4).toLong, a(5).toLong, if (a.length >= 7) a(6) else "",
+        if (a.length == 8) a(7).toInt else BaseCols)
     }
   }
 
@@ -138,11 +207,21 @@ object TradeLogFormat {
     }
 
   /** Written-schema contract, shared by the batch and streaming write
-    * paths (one check, one claim). */
-  def requireWriteSchema(s: StructType): Unit =
-    require(s.fields.map(f => (f.name, f.dataType)).sameElements(
-      schema.fields.map(f => (f.name, f.dataType))),
-      s"graft-tradelog expects ${schema.simpleString}, got ${s.simpleString}")
+    * paths (one check, one claim): the first [[BaseCols]] fields must be
+    * the base schema exactly (name and type); any TRAILING fields are the
+    * widening — supported types only, header-safe names. Returns the
+    * extra fields. Widening is append-only by construction: renames,
+    * drops, and type changes of base columns are rejected here, which is
+    * what makes per-block `nCols` a complete schema ledger. */
+  def requireWriteSchema(s: StructType): Seq[StructField] = {
+    require(s.fields.length >= BaseCols &&
+      s.fields.take(BaseCols).map(f => (f.name, f.dataType)).sameElements(
+        schema.fields.map(f => (f.name, f.dataType))),
+      s"graft-tradelog expects a ${schema.simpleString} prefix, got ${s.simpleString}")
+    val extra = s.fields.drop(BaseCols).toSeq
+    xcolsToken(extra) // validates names + types
+    extra
+  }
 
   /** Driver-side Hadoop conf: the ACTIVE session's hadoopConfiguration
     * when one exists (so `spark.hadoop.*` — S3A credentials, a
@@ -177,8 +256,41 @@ object TradeLogFormat {
     * ` epoch=N qid=X` only when the streaming sink published it). */
   def readManifestMeta(dir: String)
       : (Seq[BlockMeta], Option[Long], Option[String]) = {
+    val i = readManifestInfo(dir)
+    (i.blocks, i.epoch, i.qid)
+  }
+
+  /** Everything a committed manifest says: the block sequence, the
+    * streaming (epoch, qid) stamp, the manifest GENERATION (0 for
+    * pre-generation legacy manifests), and the extra-column fields of a
+    * widened schema (empty for a base-schema log). */
+  final case class ManifestInfo(blocks: Seq[BlockMeta], epoch: Option[Long],
+      qid: Option[String], gen: Long, xcols: Seq[StructField]) {
+    def tableSchema: StructType = widenedSchema(xcols)
+  }
+
+  def readManifestInfo(dir: String): ManifestInfo =
+    readManifestFile(dir, ManifestName)
+
+  /** A PINNED generation snapshot (`_manifests/gen-N.manifest`) — the
+    * read-at-version surface. Every [[writeManifest]] publishes its
+    * snapshot before the main manifest, so any committed state since the
+    * feature landed is addressable. Data-file availability bounds the
+    * horizon: purge+vacuum may have GC'd files an old generation
+    * references (the delist-journal grace window is the retention knob —
+    * the Iceberg/Delta snapshot-expiry trade, re-expressed). */
+  def readManifestInfoAt(dir: String, gen: Long): ManifestInfo = {
+    val name = s"$ManifestDirName/gen-$gen.manifest"
     val (filesystem, root) = fs(dir)
-    val in = filesystem.open(new Path(root, ManifestName))
+    require(filesystem.exists(new Path(root, name)),
+      s"graft-tradelog $dir has no generation $gen snapshot " +
+        "(pre-generation log, or the snapshot horizon was pruned)")
+    readManifestFile(dir, name)
+  }
+
+  private def readManifestFile(dir: String, name: String): ManifestInfo = {
+    val (filesystem, root) = fs(dir)
+    val in = filesystem.open(new Path(root, name))
     try {
       val src = scala.io.Source.fromInputStream(in, "UTF-8")
       val lines = src.getLines().map(_.trim).filter(_.nonEmpty).toSeq
@@ -187,8 +299,36 @@ object TradeLogFormat {
         s"not a graft-tradelog dir: $dir")
       val epoch = "epoch=(\\d+)".r.findFirstMatchIn(head).map(_.group(1).toLong)
       val qid = "qid=(\\S+)".r.findFirstMatchIn(head).map(_.group(1))
-      (lines.tail.map(BlockMeta.fromCsv), epoch, qid)
+      val gen = "gen=(\\d+)".r.findFirstMatchIn(head).map(_.group(1).toLong)
+        .getOrElse(0L)
+      val xcols = "xcols=(\\S+)".r.findFirstMatchIn(head).map(_.group(1))
+        .map(parseXcols).getOrElse(Seq.empty)
+      ManifestInfo(lines.tail.map(BlockMeta.fromCsv), epoch, qid, gen, xcols)
     } finally in.close()
+  }
+
+  val ManifestDirName = "_manifests"
+
+  /** Resolve an `asOfEpoch` read to the newest generation whose committed
+    * streaming epoch stamp is <= `epoch`. Only generations written by the
+    * streaming sink carry a stamp; batch-written generations are skipped
+    * (they have no epoch identity). Header-only reads — one small line
+    * per snapshot, driver-side. */
+  def resolveEpochGen(dir: String, epoch: Long): Long = {
+    val (filesystem, root) = fs(dir)
+    val mdir = new Path(root, ManifestDirName)
+    require(filesystem.exists(mdir),
+      s"graft-tradelog $dir has no generation snapshots (pre-generation log)")
+    val gens = filesystem.listStatus(mdir).toSeq
+      .map(_.getPath.getName)
+      .collect { case n if n.startsWith("gen-") && n.endsWith(".manifest") =>
+        n.stripPrefix("gen-").stripSuffix(".manifest").toLong }
+    val stamped = gens.flatMap { g =>
+      readManifestInfoAt(dir, g).epoch.collect { case e if e <= epoch => g }
+    }
+    require(stamped.nonEmpty,
+      s"graft-tradelog $dir has no committed generation at or before epoch $epoch")
+    stamped.max
   }
 
   /** Atomic manifest publish: temp file + OVERWRITE rename IS the commit
@@ -199,24 +339,49 @@ object TradeLogFormat {
     * (epoch, queryId) into the header so a replayed epoch commit (driver
     * restart between sink commit and checkpoint write) is detected and
     * dropped — scoped to the SAME query, so a fresh-checkpoint query
-    * appending to an existing log is never mistaken for a replay. */
+    * appending to an existing log is never mistaken for a replay.
+    *
+    * GENERATIONS + TIME TRAVEL: every publish stamps `gen=N` (previous
+    * committed generation + 1) and first pins its full content as
+    * `_manifests/gen-N.manifest` — snapshot BEFORE main manifest, so a
+    * crash between the two leaves an unreferenced snapshot (harmless),
+    * never a committed manifest without its pinned twin. Reads with
+    * `option("atGeneration", N)` / `option("asOfEpoch", E)` plan against
+    * the snapshot instead of the head. Snapshots are block METADATA
+    * (bytes per ~1024 rows); a production deployment prunes them with the
+    * same retention policy as the delist journal. `xcols` records the
+    * extra columns of a widened schema; rewrite paths (purge, append,
+    * epoch commits) must carry the CURRENT xcols forward or data written
+    * after a widening would lose its column identity. */
   def writeManifest(dir: String, blocks: Seq[BlockMeta],
-      epoch: Option[Long] = None, qid: Option[String] = None): Unit = {
+      epoch: Option[Long] = None, qid: Option[String] = None,
+      xcols: Seq[StructField] = Seq.empty): Unit = {
     val conf = driverConf()
     val (filesystem, root) = fs(dir, conf)
-    val tmp = new Path(root,
-      s".$ManifestName.tmp-${java.util.UUID.randomUUID().toString.take(8)}")
-    val out = filesystem.create(tmp, true)
-    try {
-      val head = ManifestHeader + epoch.map(e => s" epoch=$e").getOrElse("") +
-        qid.map(q => s" qid=$q").getOrElse("")
-      val body = (head +: blocks.map(_.csv)).mkString("\n")
-      out.write(body.getBytes(StandardCharsets.UTF_8))
-    } finally out.close()
-    val target = filesystem.makeQualified(new Path(root, ManifestName))
-    val qtmp = filesystem.makeQualified(tmp)
-    org.apache.hadoop.fs.FileContext.getFileContext(target.toUri, conf)
-      .rename(qtmp, target, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    val prevGen =
+      if (filesystem.exists(new Path(root, ManifestName)))
+        readManifestInfo(dir).gen
+      else 0L
+    val gen = prevGen + 1
+    val head = ManifestHeader + s" gen=$gen" +
+      epoch.map(e => s" epoch=$e").getOrElse("") +
+      qid.map(q => s" qid=$q").getOrElse("") +
+      xcolsToken(xcols)
+    val body = (head +: blocks.map(_.csv)).mkString("\n")
+      .getBytes(StandardCharsets.UTF_8)
+    def publish(target0: Path): Unit = {
+      val target = filesystem.makeQualified(target0)
+      val tmp = filesystem.makeQualified(new Path(root,
+        s".${target0.getName}.tmp-" +
+          java.util.UUID.randomUUID().toString.take(8)))
+      val out = filesystem.create(tmp, true)
+      try out.write(body) finally out.close()
+      org.apache.hadoop.fs.FileContext.getFileContext(target.toUri, conf)
+        .rename(tmp, target, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    }
+    filesystem.mkdirs(new Path(root, ManifestDirName))
+    publish(new Path(root, s"$ManifestDirName/gen-$gen.manifest"))
+    publish(new Path(root, ManifestName))
   }
 
   /** RETENTION purge + vacuum — the metadata-only DELETE of every block
@@ -259,9 +424,10 @@ object TradeLogFormat {
     * design). */
   def purgeBefore(dir: String, cutoffUs: Long,
       vacuumGraceMs: Long = 0L): (Int, Int) = {
-    val (blocks, epoch, qid) = readManifestMeta(dir)
+    val info = readManifestInfo(dir)
+    val blocks = info.blocks
     val keep = blocks.filter(_.maxTsUs >= cutoffUs)
-    writeManifest(dir, keep, epoch, qid)
+    writeManifest(dir, keep, info.epoch, info.qid, info.xcols)
     val keptFiles = keep.map(_.file).toSet
     val dropped = blocks.map(_.file).distinct.filterNot(keptFiles)
     val now = System.currentTimeMillis()
@@ -420,20 +586,70 @@ object TradeLogFormat {
     if (tsUs == null) Long.MinValue else tsUs
   }
 
-  /** Decode a block payload, materializing only the columns whose
-    * [[schema]] ordinals appear in `wanted` (sorted). Calls `emit` with
-    * the per-ordinal values (UTF8String for strings, boxed primitives,
-    * null for nulls) laid out in `wanted` order. */
-  def decodeBlock(payload: Array[Byte], nRows: Int, wanted: Array[Int])(
+  /** Encode the evolution TAIL for one row of a widened schema (appended
+    * directly after [[encodeRow]]'s base bytes): ceil(e/8) null-mask
+    * bytes (bit i set = extra col i null), then each extra column —
+    * long/timestamp as i64 (0 when null), double as f64 (0.0 when null),
+    * string as [i32 len][utf8] present only when non-null. `values` in
+    * xcols order: boxed primitives / UTF-8 byte arrays / null. */
+  def encodeExtras(out: DataOutputStream, types: Array[DataType],
+      values: Array[Any]): Unit = {
+    val e = types.length
+    if (e == 0) return
+    var b = 0
+    while (b * 8 < e) {
+      var m = 0
+      var i = 0
+      while (i < 8 && b * 8 + i < e) {
+        if (values(b * 8 + i) == null) m |= (1 << i)
+        i += 1
+      }
+      out.writeByte(m)
+      b += 1
+    }
+    var i = 0
+    while (i < e) {
+      val v = values(i)
+      types(i) match {
+        case LongType | TimestampType =>
+          out.writeLong(if (v == null) 0L else v.asInstanceOf[java.lang.Long])
+        case DoubleType =>
+          out.writeDouble(if (v == null) 0.0
+            else v.asInstanceOf[java.lang.Double])
+        case StringType =>
+          if (v != null) {
+            val bts = v.asInstanceOf[Array[Byte]]
+            out.writeInt(bts.length); out.write(bts)
+          }
+        case other => throw new IllegalArgumentException(
+          s"unsupported xcol type $other")
+      }
+      i += 1
+    }
+  }
+
+  /** Decode a block payload, materializing only the columns whose table
+    * ordinals appear in `wanted` (sorted). Calls `emit` with the
+    * per-ordinal values (UTF8String for strings, boxed primitives, null
+    * for nulls) laid out in `wanted` order. Schema evolution: `xtypes`
+    * is the TABLE's extra-column type list and `blockNCols` how many
+    * columns this block physically encodes — any wanted ordinal >=
+    * blockNCols null-fills without touching a byte (slots start null),
+    * and blocks narrower than the table decode only their own tail. */
+  def decodeBlock(payload: Array[Byte], nRows: Int, wanted: Array[Int],
+      blockNCols: Int = BaseCols, xtypes: Array[DataType] = Array.empty)(
       emit: Array[Any] => Unit): Unit = {
     val in = new DataInputStream(new java.io.ByteArrayInputStream(payload))
-    val want = new Array[Boolean](6)
+    val width = BaseCols + xtypes.length
+    val want = new Array[Boolean](width)
     // ordinal -> output slot (decode order is the BYTE layout — value
     // before event_type — so slots map by ordinal, never arrival order)
-    val slotOf = new Array[Int](6)
+    val slotOf = new Array[Int](width)
     wanted.zipWithIndex.foreach { case (ord, i) =>
       want(ord) = true; slotOf(ord) = i
     }
+    val e = math.max(0, blockNCols - BaseCols) // extras THIS block encodes
+    val masks = new Array[Int]((e + 7) / 8)
     var r = 0
     while (r < nRows) {
       val row = new Array[Any](wanted.length)
@@ -458,6 +674,33 @@ object TradeLogFormat {
           put(5, org.apache.spark.unsafe.types.UTF8String.fromBytes(b))
         } else in.skipBytes(n)
       } else put(5, null)
+      if (e > 0) {
+        var mi = 0
+        while (mi < masks.length) { masks(mi) = in.readUnsignedByte(); mi += 1 }
+        var i = 0
+        while (i < e) {
+          val isNull = (masks(i >> 3) & (1 << (i & 7))) != 0
+          val ord = BaseCols + i
+          xtypes(i) match {
+            case LongType | TimestampType =>
+              val lv = in.readLong(); put(ord, if (isNull) null else lv)
+            case DoubleType =>
+              val dv = in.readDouble(); put(ord, if (isNull) null else dv)
+            case StringType =>
+              if (!isNull) {
+                val n = in.readInt()
+                if (want(ord)) {
+                  val b = new Array[Byte](n); in.readFully(b)
+                  put(ord,
+                    org.apache.spark.unsafe.types.UTF8String.fromBytes(b))
+                } else in.skipBytes(n)
+              }
+            case other => throw new IllegalArgumentException(
+              s"unsupported xcol type $other")
+          }
+          i += 1
+        }
+      }
       emit(row)
       r += 1
     }

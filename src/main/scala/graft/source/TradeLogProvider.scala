@@ -49,24 +49,44 @@ import TradeLogFormat.BlockMeta
   */
 final class TradeLogProvider extends TableProvider with DataSourceRegister {
   override def shortName(): String = "graft-tradelog"
-  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    TradeLogFormat.schema
+  /** The CURRENT table schema: base prefix + whatever extra columns the
+    * committed manifest records (schema evolution — a widened log reads
+    * back with its union schema, old blocks null-filling the tail). A
+    * fresh directory (no manifest yet — the first write) is base-schema;
+    * widened FIRST writes are admitted by ACCEPT_ANY_SCHEMA + the write
+    * builder's own prefix validation, not by inference. */
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
+    val path = Option(options.get("path")).getOrElse(
+      throw new IllegalArgumentException("graft-tradelog requires a path"))
+    val (filesystem, root) = TradeLogFormat.fs(path)
+    if (filesystem.exists(new org.apache.hadoop.fs.Path(root,
+        TradeLogFormat.ManifestName)))
+      TradeLogFormat.readManifestInfo(path).tableSchema
+    else TradeLogFormat.schema
+  }
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: util.Map[String, String]): Table =
     new TradeLogTable(properties.asScala.getOrElse("path",
-      throw new IllegalArgumentException("graft-tradelog requires a path")))
+      throw new IllegalArgumentException("graft-tradelog requires a path")),
+      schema)
 }
 
-final class TradeLogTable(path: String)
+final class TradeLogTable(path: String,
+    tableSchema: StructType = TradeLogFormat.schema)
     extends Table with SupportsRead with SupportsWrite {
   override def name(): String = s"graft-tradelog `$path`"
-  override def schema(): StructType = TradeLogFormat.schema
+  override def schema(): StructType = tableSchema
+  // ACCEPT_ANY_SCHEMA: schema EVOLUTION means a write's schema may be
+  // wider than the inferred table schema (the widening write itself);
+  // Spark's by-name reconciliation is therefore deferred to the write
+  // builder, whose prefix check rejects anything that is not the base
+  // schema plus supported trailing columns.
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
       TableCapability.BATCH_WRITE, TableCapability.TRUNCATE,
-      TableCapability.STREAMING_WRITE)
+      TableCapability.STREAMING_WRITE, TableCapability.ACCEPT_ANY_SCHEMA)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new TradeLogScanBuilder(path, options)
+    new TradeLogScanBuilder(path, tableSchema, options)
   override def newWriteBuilder(
       info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
       : org.apache.spark.sql.connector.write.WriteBuilder =
@@ -78,11 +98,12 @@ final class TradeLogTable(path: String)
   * residual: Spark re-evaluates them exactly), while `pushedFilters`
   * reports the ts bounds the scan will use for block skipping, which is
   * how they surface in `.explain` (the parquet PushedFilters pattern). */
-final class TradeLogScanBuilder(path: String, options: CaseInsensitiveStringMap)
+final class TradeLogScanBuilder(path: String, tableSchema: StructType,
+    options: CaseInsensitiveStringMap)
     extends ScanBuilder with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns with SupportsPushDownAggregates {
 
-  private var required: StructType = TradeLogFormat.schema
+  private var required: StructType = tableSchema
   private var accepted: Array[Filter] = Array.empty
   private var tsLo: Long = Long.MinValue
   private var tsHi: Long = Long.MaxValue
@@ -161,6 +182,10 @@ final class TradeLogScanBuilder(path: String, options: CaseInsensitiveStringMap)
       }
     agg.groupByExpressions.isEmpty && accepted.isEmpty &&
       tsLo == Long.MinValue && tsHi == Long.MaxValue &&
+      // time travel pins a SNAPSHOT manifest; the agg scan answers from
+      // the head manifest, so a pinned read must take the normal path
+      !options.containsKey("atGeneration") &&
+      !options.containsKey("asOfEpoch") &&
       agg.aggregateExpressions.nonEmpty &&
       agg.aggregateExpressions.forall {
         case _: aggregate.CountStar => true
@@ -181,7 +206,8 @@ final class TradeLogScanBuilder(path: String, options: CaseInsensitiveStringMap)
   override def build(): Scan = pushedAgg match {
     case Some(aggs) => new TradeLogAggScan(path, aggs)
     case None =>
-      new TradeLogScan(path, required, tsLo, tsHi, userIds, options)
+      new TradeLogScan(path, tableSchema, required, tsLo, tsHi, userIds,
+        options)
   }
 }
 
@@ -229,19 +255,39 @@ final class TradeLogAggScan(path: String,
 
 final case class TradeLogAggRow(values: Array[Any]) extends InputPartition
 
-final class TradeLogScan(path: String, required: StructType,
+final class TradeLogScan(path: String, tableSchema: StructType,
+    required: StructType,
     tsLo: Long, tsHi: Long, userIds: Option[Set[Long]],
     options: CaseInsensitiveStringMap)
     extends Scan with SupportsReportStatistics
     with SupportsRuntimeV2Filtering {
 
-  /** Ordinals (into [[TradeLogFormat.schema]]) the reader materializes,
+  /** Ordinals (into the widened table schema) the reader materializes,
     * in pruned-schema order. */
   private[source] val wanted: Array[Int] =
-    required.fieldNames.map(TradeLogFormat.schema.fieldIndex)
+    required.fieldNames.map(tableSchema.fieldIndex)
+
+  /** Extra-column types of the widened table schema (evolution tail). */
+  private val xtypes: Array[org.apache.spark.sql.types.DataType] =
+    tableSchema.fields.drop(TradeLogFormat.BaseCols).map(_.dataType)
+
+  /** TIME TRAVEL: `atGeneration` pins an exact manifest generation,
+    * `asOfEpoch` resolves to the newest generation whose committed
+    * streaming epoch is <= the requested one. Either way the scan plans
+    * against the PINNED snapshot — concurrent appends/purges publish new
+    * head manifests and never disturb it (data-file availability bounds
+    * the horizon via the delist-journal grace; see readManifestInfoAt). */
+  private val travelGen: Option[Long] = {
+    val g = Option(options.get("atGeneration")).map(_.toLong)
+    val e = Option(options.get("asOfEpoch")).map(_.toLong)
+    require(g.isEmpty || e.isEmpty,
+      "graft-tradelog: set atGeneration OR asOfEpoch, not both")
+    g.orElse(e.map(ep => TradeLogFormat.resolveEpochGen(path, ep)))
+  }
 
   private[source] lazy val allBlocks: Seq[BlockMeta] =
-    TradeLogFormat.readManifest(path)
+    travelGen.fold(TradeLogFormat.readManifest(path))(g =>
+      TradeLogFormat.readManifestInfoAt(path, g).blocks)
 
   /** Block-stats skip: keep a block unless its ts span provably misses
     * the pushed conjunction (blocks with no non-null ts always survive —
@@ -330,12 +376,16 @@ final class TradeLogScan(path: String, required: StructType,
         case (_, blocks) => TradeLogPartition(path, blocks.sortBy(_.offset))
       }.toArray
     override def createReaderFactory(): PartitionReaderFactory =
-      new TradeLogReaderFactory(wanted, HadoopConfBox.active())
+      new TradeLogReaderFactory(wanted, xtypes, HadoopConfBox.active())
   }
 
-  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-    new TradeLogMicroBatchStream(path, wanted,
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream = {
+    require(travelGen.isEmpty,
+      "graft-tradelog: time travel (atGeneration/asOfEpoch) is batch-only — " +
+        "a stream's offsets already pin its own position in the block sequence")
+    new TradeLogMicroBatchStream(path, wanted, xtypes,
       Option(options.get("maxBlocksPerTrigger")).map(_.toInt))
+  }
 }
 
 /** One read split: a run of blocks within one data file. */
@@ -343,20 +393,26 @@ final case class TradeLogPartition(dir: String, blocks: Seq[BlockMeta])
     extends InputPartition
 
 final class TradeLogReaderFactory(wanted: Array[Int],
+    xtypes: Array[org.apache.spark.sql.types.DataType],
     confBox: HadoopConfBox) extends PartitionReaderFactory {
   override def createReader(partition: InputPartition)
       : PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[TradeLogPartition]
-    new TradeLogPartitionReader(p.dir, p.blocks, wanted, confBox)
+    new TradeLogPartitionReader(p.dir, p.blocks, wanted, xtypes, confBox)
   }
 }
 
 /** Streams the partition's blocks: seek to each committed offset, read
   * the framed payload, decode only the wanted ordinals. The filesystem
   * resolves from the DRIVER's conf (shipped in the factory's
-  * [[HadoopConfBox]]), so spark.hadoop.* settings apply on executors. */
+  * [[HadoopConfBox]]), so spark.hadoop.* settings apply on executors.
+  * Schema evolution: `xtypes` is the table's extra-column tail; a block
+  * narrower than every wanted ordinal (old blocks under a new-only
+  * projection) emits its row count of all-null rows WITHOUT opening the
+  * file — old data pays zero decode for new-column scans. */
 final class TradeLogPartitionReader(dir: String, blocks: Seq[BlockMeta],
     wanted: Array[Int],
+    xtypes: Array[org.apache.spark.sql.types.DataType] = Array.empty,
     confBox: HadoopConfBox = HadoopConfBox.active())
     extends PartitionReader[InternalRow] {
   private val (filesystem, root) = TradeLogFormat.fs(dir, confBox.conf)
@@ -383,13 +439,24 @@ final class TradeLogPartitionReader(dir: String, blocks: Seq[BlockMeta],
   private def loadNextBlock(): Boolean = {
     if (!blockIt.hasNext) return false
     val b = blockIt.next()
+    if (wanted.forall(_ >= b.nCols)) {
+      // every requested column postdates this block's schema (or the
+      // projection is empty — a count-style read): the manifest's row
+      // count IS the answer, all values null — no byte of the payload is
+      // fetched or decoded (the old-block zero-cost rule for new-column
+      // scans; also why a purge-surviving block whose file was GC'd can
+      // still serve a new-only projection)
+      rows = Iterator.fill(b.nRows)(
+        new GenericInternalRow(new Array[Any](wanted.length)))
+      return true
+    }
     val payload = new Array[Byte](b.payloadLen)
     val s = streamFor(b.file)
     s.seek(b.offset + 8L) // skip the [nRows][payloadLen] frame header
     s.readFully(payload)
     val buf = scala.collection.mutable.ArrayBuffer.empty[InternalRow]
     // decodeBlock allocates a fresh values array per row — safe to wrap
-    TradeLogFormat.decodeBlock(payload, b.nRows, wanted)(v =>
+    TradeLogFormat.decodeBlock(payload, b.nRows, wanted, b.nCols, xtypes)(v =>
       buf += new GenericInternalRow(v))
     rows = buf.iterator
     true

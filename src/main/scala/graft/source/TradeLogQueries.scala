@@ -55,10 +55,12 @@ object TradeLogQueries {
     val st = src.getFileSystem(s.sparkContext.hadoopConfiguration)
       .getFileStatus(src)
     val dsafe = dir.replaceAll("[^A-Za-z0-9.]", "_")
-    // v2: manifests carry per-block user_id blooms — a format-semantics
-    // change is a FRESH artifact path by construction (the build-once rule)
+    // v3: manifests carry generation stamps + pinned snapshots and
+    // per-block nCols (time travel + schema evolution) — a
+    // format-semantics change is a FRESH artifact path by construction
+    // (the build-once rule; v2 added the user_id blooms)
     s"${Tables.artifactRoot(s)}/graft_tradelog/" +
-      s"v2_${dsafe}_${st.getLen}_${st.getModificationTime}"
+      s"v3_${dsafe}_${st.getLen}_${st.getModificationTime}"
   }
 
   /** Build the log once through the DSv2 WRITE path; the committed
@@ -463,7 +465,131 @@ object TradeLogQueries {
     path
   }
 
+  // ---- q_tradelog_asof (TIME TRAVEL) ------------------------------------
+
+  /** Read-at-version — the Iceberg/Delta snapshot-read verb: the append
+    * log ([[ensureAppendLog]]: generation 1 = the even event_ids,
+    * generation 2 = the odd append) read with
+    * `option("atGeneration", 1)`, whose row-level digest must equal the
+    * oracle over ONLY the even half — the pinned snapshot serves the
+    * pre-append state exactly while the head manifest already contains
+    * everything (q_tradelog_append grades the head read of the SAME
+    * artifact against the whole-table digest, so the pair proves both
+    * states coexist). Every manifest publish pins its content under
+    * `_manifests/gen-N.manifest` BEFORE replacing the head, so any
+    * committed state is addressable; data-file availability bounds the
+    * horizon via the delist-journal grace (old generations whose files a
+    * purge+vacuum GC'd are metadata-only). TradeLogSpec pins the
+    * mechanics: pinned plans survive concurrent appends, asOfEpoch
+    * resolves streaming-sink epoch stamps, aggregate pushdown declines
+    * pinned reads. 100 TB shape: a snapshot is block metadata (~bytes
+    * per 1024 rows), so time travel costs one small manifest read — no
+    * data is copied, the Delta/Iceberg property. */
+  def tradelogAsof(s: SparkSession, dir: String): DataFrame =
+    digestOver(s.read.format(FormatName)
+      .option("atGeneration", 1)
+      .load(ensureAppendLog(s, dir)))
+
+  // ---- q_tradelog_evolve (SCHEMA EVOLUTION) ------------------------------
+
+  /** Widened-schema round-trip — the production "logs grow columns" verb:
+    * the log is written in two generations, the even event_ids with the
+    * BASE 6-column schema and the odd ones through a WIDENING append
+    * carrying three extra columns (xseq long, xtag string — null on every
+    * user_id % 3 = 0 row to exercise the tail's null mask — and xval
+    * double). The read-back union schema null-fills the extras on old
+    * blocks (per-block nCols is the ledger; no rewrite of old data), and
+    * a row-level digest over EVERY column, extras null-canonicalized,
+    * must equal the oracle that recomputes the mixed-generation table
+    * from events.parquet. TradeLogSpec pins the mechanics: old blocks
+    * keep nCols=6, conflicting evolutions are rejected, and a new-only
+    * projection over old blocks decodes NOTHING (the reader answers from
+    * the manifest row count alone). 100 TB shape: widening is an O(1)
+    * manifest-header change — the mergeSchema/ADD COLUMN property every
+    * lakehouse format keeps. */
+  def tradelogEvolve(s: SparkSession, dir: String): DataFrame = {
+    val log = s.read.format(FormatName).load(ensureEvolveLog(s, dir))
+    val repr = concat_ws("#",
+      col("event_id"), unix_micros(col("ts")), col("user_id"),
+      col("event_type"), round(col("value") * 100).cast("long"),
+      col("props"),
+      coalesce(col("xseq").cast("string"), lit("null")),
+      coalesce(col("xtag"), lit("null")),
+      coalesce(round(col("xval") * 100).cast("long").cast("string"),
+        lit("null")))
+    val h32 = conv(substring(md5(repr.cast("binary")), 1, 8), 16, 10)
+      .cast("long")
+    log.groupBy(col("event_type")).agg(
+        count(lit(1)).as("n"),
+        sum(shiftright(h32, 16)).as("hi"),
+        sum(h32.bitwiseAND(lit(0xffffL))).as("lo"))
+      .select(col("event_type"), col("n"),
+        (col("hi").cast("decimal(38,0)") * lit(65536) + col("lo"))
+          .cast("string").as("digest"))
+      .orderedBy("event_type")
+  }
+
+  /** Build-once mixed-generation artifact: base-schema evens, then a
+    * widening append of the odds. */
+  def ensureEvolveLog(s: SparkSession, dir: String): String = {
+    val path = s"${logPath(s, dir)}-evolve"
+    val (fs, root) = TradeLogFormat.fs(path)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(root,
+        TradeLogFormat.ManifestName))) {
+      val ev = Tables.events(s, dir)
+        .select(col("event_id"), col("ts"), col("user_id"),
+          col("event_type"), col("value"), col("props"))
+      ev.filter(col("event_id") % 2 === 0)
+        .write.format(FormatName).mode("overwrite")
+        .option("blockRows", 256).save(path)
+      ev.filter(col("event_id") % 2 === 1)
+        .withColumn("xseq", col("event_id") * 10)
+        .withColumn("xtag",
+          when(pmod(col("user_id"), lit(3)) =!= 0, upper(col("event_type"))))
+        .withColumn("xval", col("value"))
+        .write.format(FormatName).mode("append")
+        .option("blockRows", 256).save(path)
+    }
+    path
+  }
+
+  /** The evolve oracle recomputes the mixed-generation table from the
+    * parquet: odd event_ids carry the extras, even ones null-fill —
+    * byte-for-byte the text the Spark digest hashes. */
+  private val tradelogEvolveOracle: String = {
+    val hv = OracleSql.hexPrefixToLong("h8")
+    """WITH r AS (
+      |  SELECT event_type,
+      |         CAST(event_id AS VARCHAR) || '#' ||
+      |         CAST(epoch_us(ts) AS VARCHAR) || '#' ||
+      |         CAST(user_id AS VARCHAR) || '#' ||
+      |         event_type || '#' ||
+      |         CAST(CAST(round(value * 100) AS BIGINT) AS VARCHAR) || '#' ||
+      |         props || '#' ||
+      |         COALESCE(CAST(CASE WHEN event_id % 2 = 1
+      |                       THEN event_id * 10 END AS VARCHAR), 'null') || '#' ||
+      |         COALESCE(CASE WHEN event_id % 2 = 1 AND user_id % 3 <> 0
+      |                       THEN upper(event_type) END, 'null') || '#' ||
+      |         COALESCE(CAST(CASE WHEN event_id % 2 = 1
+      |                       THEN CAST(round(value * 100) AS BIGINT)
+      |                  END AS VARCHAR), 'null') AS repr
+      |  FROM events),
+      |h AS (SELECT event_type, substr(md5(repr), 1, 8) AS h8 FROM r),
+      |l AS (SELECT event_type, HV AS hv FROM h)
+      |SELECT event_type, count(*) AS n,
+      |       CAST(CAST(sum(hv // 65536) AS DECIMAL(38,0)) * 65536
+      |            + CAST(sum(hv % 65536) AS DECIMAL(38,0)) AS VARCHAR) AS digest
+      |FROM l GROUP BY event_type ORDER BY event_type""".stripMargin
+      .replace("HV", hv)
+  }
+
   val defs: Map[String, QueryDef] = Map(
+    // TIME TRAVEL: generation-pinned read serves the pre-append state
+    "q_tradelog_asof" -> QueryDef(tradelogAsof,
+      Some(digestOracleWhere("WHERE event_id % 2 = 0"))),
+    // SCHEMA EVOLUTION: widened append, old blocks null-fill on read
+    "q_tradelog_evolve" -> QueryDef(tradelogEvolve,
+      Some(tradelogEvolveOracle)),
     // retention DELETE: metadata purge + vacuum preserve the boundary digest
     "q_tradelog_purge" -> QueryDef(tradelogPurge,
       Some(digestOracleWhere(s"WHERE ts >= TIMESTAMP '$PurgeCutoff'"))),

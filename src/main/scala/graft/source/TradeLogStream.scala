@@ -32,6 +32,7 @@ object TradeLogOffset {
   * batches that takes. Each batch's partitions regroup its block range
   * by file — the same split shape as the batch scan. */
 final class TradeLogMicroBatchStream(path: String, wanted: Array[Int],
+    xtypes: Array[org.apache.spark.sql.types.DataType],
     maxBlocksPerTrigger: Option[Int])
     extends MicroBatchStream with SupportsAdmissionControl
     with SupportsTriggerAvailableNow {
@@ -75,7 +76,7 @@ final class TradeLogMicroBatchStream(path: String, wanted: Array[Int],
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new TradeLogReaderFactory(wanted, HadoopConfBox.active())
+    new TradeLogReaderFactory(wanted, xtypes, HadoopConfBox.active())
 
   override def commit(end: Offset): Unit = () // the offset log is the commit
   override def stop(): Unit = ()

@@ -30,14 +30,16 @@ final class TradeLogWriteBuilder(path: String, info: LogicalWriteInfo)
       .getOrElse(TradeLogFormat.DefaultBlockRows)
   override def truncate(): WriteBuilder = { truncateFirst = true; this }
   override def build(): Write = {
-    TradeLogFormat.requireWriteSchema(info.schema())
+    // prefix validation (the ACCEPT_ANY_SCHEMA contract: the table defers
+    // schema reconciliation to this check) — returns the evolution tail
+    val xcols = TradeLogFormat.requireWriteSchema(info.schema())
     new Write {
       override def toBatch: BatchWrite =
-        new TradeLogBatchWrite(path, truncateFirst, blockRows)
+        new TradeLogBatchWrite(path, truncateFirst, blockRows, xcols)
       override def toStreaming: StreamingWrite = {
         require(!truncateFirst,
           "graft-tradelog streaming sink is append-only (no complete/update)")
-        new TradeLogStreamingWrite(path, info.queryId(), blockRows)
+        new TradeLogStreamingWrite(path, info.queryId(), blockRows, xcols)
       }
       override def description(): String = s"GraftTradeLog write path=$path"
     }
@@ -62,11 +64,14 @@ final class TradeLogWriteBuilder(path: String, info: LogicalWriteInfo)
   * (concurrent readers are always safe; the overwrite-rename means they
   * always see a complete published manifest). */
 final class TradeLogStreamingWrite(path: String, queryId: String,
-    blockRows: Int) extends StreamingWrite {
+    blockRows: Int,
+    xcols: Seq[org.apache.spark.sql.types.StructField] = Seq.empty)
+    extends StreamingWrite {
 
   override def createStreamingWriterFactory(info: PhysicalWriteInfo)
       : StreamingDataWriterFactory =
-    new TradeLogStreamingWriterFactory(path, blockRows, HadoopConfBox.active())
+    new TradeLogStreamingWriterFactory(path, blockRows,
+      xcols.map(_.dataType).toArray, HadoopConfBox.active())
 
   override def commit(epochId: Long,
       messages: Array[WriterCommitMessage]): Unit = {
@@ -75,9 +80,11 @@ final class TradeLogStreamingWrite(path: String, queryId: String,
       .sortBy(b => (b.file, b.offset)).toIndexedSeq
     val hasManifest = fs.exists(
       new org.apache.hadoop.fs.Path(root, TradeLogFormat.ManifestName))
+    val info =
+      if (hasManifest) Some(TradeLogFormat.readManifestInfo(path)) else None
     val (existing, lastEpoch, lastQid) =
-      if (hasManifest) TradeLogFormat.readManifestMeta(path)
-      else (Seq.empty[BlockMeta], None, None)
+      (info.map(_.blocks).getOrElse(Seq.empty[BlockMeta]),
+        info.flatMap(_.epoch), info.flatMap(_.qid))
     if (lastQid.contains(queryId) && lastEpoch.exists(_ >= epochId)) {
       // epoch replay BY THIS QUERY: the previous attempt already
       // published — drop the duplicates, leave the manifest untouched
@@ -85,7 +92,9 @@ final class TradeLogStreamingWrite(path: String, queryId: String,
         fs.delete(new org.apache.hadoop.fs.Path(root, f), false))
     } else {
       TradeLogFormat.writeManifest(path, existing ++ fresh,
-        Some(epochId), Some(queryId))
+        Some(epochId), Some(queryId),
+        TradeLogFormat.mergeXcols(
+          info.map(_.xcols).getOrElse(Seq.empty), xcols))
     }
   }
 
@@ -101,18 +110,23 @@ final class TradeLogStreamingWrite(path: String, queryId: String,
 }
 
 final class TradeLogStreamingWriterFactory(path: String, blockRows: Int,
+    xtypes: Array[org.apache.spark.sql.types.DataType],
     confBox: HadoopConfBox) extends StreamingDataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long, epochId: Long)
       : DataWriter[InternalRow] =
-    new TradeLogDataWriter(path, partitionId, taskId, blockRows, confBox)
+    new TradeLogDataWriter(path, partitionId, taskId, blockRows, xtypes,
+      confBox)
 }
 
 final class TradeLogBatchWrite(path: String,
-    truncateFirst: Boolean, blockRows: Int) extends BatchWrite {
+    truncateFirst: Boolean, blockRows: Int,
+    xcols: Seq[org.apache.spark.sql.types.StructField] = Seq.empty)
+    extends BatchWrite {
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo)
       : DataWriterFactory =
-    new TradeLogWriterFactory(path, blockRows, HadoopConfBox.active())
+    new TradeLogWriterFactory(path, blockRows,
+      xcols.map(_.dataType).toArray, HadoopConfBox.active())
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val (fs, root) = TradeLogFormat.fs(path)
@@ -120,9 +134,11 @@ final class TradeLogBatchWrite(path: String,
       .sortBy(b => (b.file, b.offset)).toIndexedSeq
     val manifestExists = fs.exists(
       new org.apache.hadoop.fs.Path(root, TradeLogFormat.ManifestName))
+    val minfo =
+      if (manifestExists) Some(TradeLogFormat.readManifestInfo(path)) else None
     val (old, lastEpoch, lastQid) =
-      if (manifestExists) TradeLogFormat.readManifestMeta(path)
-      else (Seq.empty[TradeLogFormat.BlockMeta], None, None)
+      (minfo.map(_.blocks).getOrElse(Seq.empty[TradeLogFormat.BlockMeta]),
+        minfo.flatMap(_.epoch), minfo.flatMap(_.qid))
     if (truncateFirst) {
       // overwrite: PUBLISH FIRST, then garbage-collect. The atomic
       // overwrite-rename is the commit point — a crash before it leaves
@@ -131,7 +147,9 @@ final class TradeLogBatchWrite(path: String,
       // old files (harmless: readers resolve blocks only through the
       // manifest). Deleting before publishing would let a crash or a
       // concurrent reader observe a manifest whose files are gone.
-      TradeLogFormat.writeManifest(path, fresh)
+      // truncate REPLACES the schema identity too: the new write's xcols
+      // are the log's extras from here on (old blocks are gone)
+      TradeLogFormat.writeManifest(path, fresh, xcols = xcols)
       val keep = fresh.map(_.file).toSet
       old.map(_.file).distinct.filterNot(keep).foreach(f =>
         fs.delete(new org.apache.hadoop.fs.Path(root, f), false))
@@ -144,8 +162,12 @@ final class TradeLogBatchWrite(path: String,
       // just before this batch append (the restart would double-append
       // that epoch). Truncate intentionally resets the stamp — the log's
       // content identity is new, so any prior stream must restart from a
-      // fresh checkpoint anyway.
-      TradeLogFormat.writeManifest(path, old ++ fresh, lastEpoch, lastQid)
+      // fresh checkpoint anyway. A WIDENING append merges its extras with
+      // the committed ones (append-only prefix rule) — old blocks keep
+      // their own nCols and null-fill on read.
+      TradeLogFormat.writeManifest(path, old ++ fresh, lastEpoch, lastQid,
+        TradeLogFormat.mergeXcols(
+          minfo.map(_.xcols).getOrElse(Seq.empty), xcols))
     }
   }
 
@@ -163,20 +185,25 @@ final case class TradeLogCommit(blocks: Seq[BlockMeta])
     extends WriterCommitMessage
 
 final class TradeLogWriterFactory(path: String, blockRows: Int,
+    xtypes: Array[org.apache.spark.sql.types.DataType],
     confBox: HadoopConfBox) extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long)
       : DataWriter[InternalRow] =
-    new TradeLogDataWriter(path, partitionId, taskId, blockRows, confBox)
+    new TradeLogDataWriter(path, partitionId, taskId, blockRows, xtypes,
+      confBox)
 }
 
 /** Per-task writer: buffers rows into blocks of `blockRows`, frames each
   * block with its header, tracks per-block ts min/max for the skip
   * index. Input rows arrive as InternalRow in [[TradeLogFormat.schema]]
-  * order (ts = epoch micros, strings = UTF8String). Resolves its
-  * filesystem from the DRIVER's conf (shipped via the factory's
-  * [[HadoopConfBox]]), so spark.hadoop.* settings apply on executors. */
+  * order (ts = epoch micros, strings = UTF8String) plus the evolution
+  * tail `xtypes` (encoded after the base bytes; each block's nCols
+  * records the tail it carries). Resolves its filesystem from the
+  * DRIVER's conf (shipped via the factory's [[HadoopConfBox]]), so
+  * spark.hadoop.* settings apply on executors. */
 final class TradeLogDataWriter(dir: String, partitionId: Int, taskId: Long,
     blockRows: Int,
+    xtypes: Array[org.apache.spark.sql.types.DataType] = Array.empty,
     confBox: HadoopConfBox = HadoopConfBox.active())
     extends DataWriter[InternalRow] {
 
@@ -205,6 +232,23 @@ final class TradeLogDataWriter(dir: String, partitionId: Int, taskId: Long,
       if (row.isNullAt(3)) null else row.getUTF8String(3).toString,
       if (row.isNullAt(4)) null else java.lang.Double.valueOf(row.getDouble(4)),
       if (row.isNullAt(5)) null else row.getUTF8String(5).toString)
+    if (xtypes.nonEmpty) {
+      val xs = new Array[Any](xtypes.length)
+      var i = 0
+      while (i < xtypes.length) {
+        val ord = TradeLogFormat.BaseCols + i
+        if (!row.isNullAt(ord)) xs(i) = xtypes(i) match {
+          case org.apache.spark.sql.types.LongType |
+               org.apache.spark.sql.types.TimestampType =>
+            java.lang.Long.valueOf(row.getLong(ord))
+          case org.apache.spark.sql.types.DoubleType =>
+            java.lang.Double.valueOf(row.getDouble(ord))
+          case _ => row.getUTF8String(ord).getBytes
+        }
+        i += 1
+      }
+      TradeLogFormat.encodeExtras(blockOut, xtypes, xs)
+    }
     if (ts != Long.MinValue) { minTs = minTs.min(ts); maxTs = maxTs.max(ts) }
     if (!row.isNullAt(2)) TradeLogFormat.bloomAdd(bloom, row.getLong(2))
     rowsInBlock += 1
@@ -220,7 +264,8 @@ final class TradeLogDataWriter(dir: String, partitionId: Int, taskId: Long,
     blocks += BlockMeta(fileName, bytesWritten, payload.length, rowsInBlock,
       if (minTs == Long.MaxValue) Long.MinValue else minTs,
       if (maxTs == Long.MinValue) Long.MaxValue else maxTs,
-      TradeLogFormat.bloomHex(bloom))
+      TradeLogFormat.bloomHex(bloom),
+      TradeLogFormat.BaseCols + xtypes.length)
     bytesWritten += 8L + payload.length
     blockBuf.reset(); rowsInBlock = 0
     minTs = Long.MaxValue; maxTs = Long.MinValue

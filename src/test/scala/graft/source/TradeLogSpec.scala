@@ -412,7 +412,7 @@ class TradeLogSpec extends SparkTestBase {
     assert(log.filter(col("user_id").isin(3L, 7L)).count() == 1000)
     // an element the pushdown cannot convert to Long must disable the
     // skip entirely (a partial set would silently lose rows)
-    val builder = new TradeLogScanBuilder(dir,
+    val builder = new TradeLogScanBuilder(dir, TradeLogFormat.schema,
       new org.apache.spark.sql.util.CaseInsensitiveStringMap(
         java.util.Collections.emptyMap()))
     builder.pushFilters(Array(org.apache.spark.sql.sources.In("user_id",
@@ -421,7 +421,7 @@ class TradeLogSpec extends SparkTestBase {
     assert(mixed.selectedBlocks.size == mixed.allBlocks.size,
       "mixed-type IN must not restrict the bloom skip")
     // Integer elements DO convert (the runtime-filter rule, mirrored)
-    val builder2 = new TradeLogScanBuilder(dir,
+    val builder2 = new TradeLogScanBuilder(dir, TradeLogFormat.schema,
       new org.apache.spark.sql.util.CaseInsensitiveStringMap(
         java.util.Collections.emptyMap()))
     builder2.pushFilters(Array(org.apache.spark.sql.sources.In("user_id",
@@ -602,6 +602,191 @@ class TradeLogSpec extends SparkTestBase {
     assert(TradeLogOffset.fromJson(""" { "block" : 12 } """).block == 12)
     intercept[IllegalArgumentException] {
       TradeLogOffset.fromJson("""{"offset":3}""")
+    }
+  }
+
+  test("time travel: generation-pinned reads serve past states under concurrent appends") {
+    val dir = tmpDir("ttravel") + "/log"
+    val a = (1L to 6L).map(i =>
+      Row(i, ts(f"2024-01-01 00:00:${i}%02d"), i, "a", i.toDouble, "{}"))
+    val b = (7L to 9L).map(i =>
+      Row(i, ts(f"2024-01-02 00:00:${i}%02d"), i, "b", i.toDouble, "{}"))
+    df(a).write.format(Fmt).mode("overwrite").option("blockRows", 4).save(dir)
+    assert(TradeLogFormat.readManifestInfo(dir).gen == 1)
+    df(b).write.format(Fmt).mode("append").option("blockRows", 4).save(dir)
+    assert(TradeLogFormat.readManifestInfo(dir).gen == 2)
+    // head sees everything; the pin serves EXACTLY the first write
+    assert(spark.read.format(Fmt).load(dir).count() == 9)
+    val pinned = spark.read.format(Fmt).option("atGeneration", 1).load(dir)
+    assert(canon(pinned) == canon(df(a)))
+    // a pinned plan IN FLIGHT across a concurrent append keeps its state:
+    // the input partitions resolve against the snapshot, and further
+    // publishes only move the head manifest
+    val inflight = spark.read.format(Fmt).option("atGeneration", 1).load(dir)
+      .queryExecution.toRdd
+    assert(inflight.partitions.nonEmpty)
+    df(b).write.format(Fmt).mode("append").option("blockRows", 4).save(dir)
+    assert(TradeLogFormat.readManifestInfo(dir).gen == 3)
+    assert(inflight.count() == a.size,
+      "in-flight pinned plan must still read generation 1 exactly")
+    // a FRESH pinned read after the append also serves the old state
+    assert(canon(spark.read.format(Fmt).option("atGeneration", 1).load(dir))
+      == canon(df(a)), "read-at-old-generation after append must be stable")
+    assert(spark.read.format(Fmt).load(dir).count() == 12)
+    // aggregate pushdown answers from the HEAD manifest, so a pinned
+    // count must decline the push and still count the OLD rows
+    val pinnedCount = spark.read.format(Fmt).option("atGeneration", 1)
+      .load(dir).agg(count(lit(1)).as("n"))
+    assert(!pinnedCount.queryExecution.sparkPlan.toString
+      .contains("PushedAggregates"),
+      "pinned reads must not route through the head-manifest agg scan")
+    assert(pinnedCount.collect().head.getLong(0) == a.size.toLong)
+    // option hygiene: both pins at once, and unknown generations, fail loud
+    intercept[Exception] {
+      spark.read.format(Fmt).option("atGeneration", 1)
+        .option("asOfEpoch", 0).load(dir).collect()
+    }
+    val missing = intercept[Exception] {
+      spark.read.format(Fmt).option("atGeneration", 99).load(dir).collect()
+    }
+    assert(exceptionChain(missing).exists(_.contains("generation")),
+      s"unknown generation must name the problem: ${missing.getMessage}")
+  }
+
+  /** Messages of the whole cause chain (Spark wraps connector errors). */
+  private def exceptionChain(e: Throwable): Seq[String] =
+    Iterator.iterate(e)(_.getCause).takeWhile(_ != null).take(8)
+      .flatMap(t => Option(t.getMessage)).toSeq
+
+  test("asOfEpoch resolves the newest generation at or before the epoch stamp") {
+    val srcDir = tmpDir("asof-src")
+    val rows = (0L until 20L).map(i =>
+      Row(i, ts(f"2024-01-01 00:${i}%02d:00"), i, "a", i.toDouble, "{}"))
+    df(rows).repartition(4).write.mode("overwrite").parquet(srcDir)
+    val sinkDir = tmpDir("asof-out") + "/log"
+    val q = spark.readStream.schema(TradeLogFormat.schema)
+      .option("maxFilesPerTrigger", 1).parquet(srcDir)
+      .writeStream.format(Fmt)
+      .option("checkpointLocation", s"$sinkDir/../_ckpt")
+      .option("blockRows", 4)
+      .outputMode("append").trigger(Trigger.AvailableNow()).start(sinkDir)
+    q.awaitTermination(120000L)
+    val lastEpoch = TradeLogFormat.readManifestFull(sinkDir)._2.get
+    assert(lastEpoch >= 3)
+    // per-epoch reads: counts grow monotonically, the last equals the head
+    val counts = (0L to lastEpoch).map { e =>
+      spark.read.format(Fmt).option("asOfEpoch", e).load(sinkDir).count()
+    }
+    assert(counts == counts.sorted && counts.distinct.size == counts.size,
+      s"epoch reads must grow strictly: $counts")
+    // one file per epoch: the first epoch holds a strict subset, the last
+    // the whole log (file row-splits under repartition(4) are uneven)
+    assert(counts.head > 0 && counts.head < 20 && counts.last == 20,
+      s"got $counts")
+    // an epoch BETWEEN stamps resolves downward (asOf semantics), and an
+    // epoch before the first commit has nothing to serve
+    assert(spark.read.format(Fmt).option("asOfEpoch", lastEpoch + 5)
+      .load(sinkDir).count() == 20)
+    val early = intercept[Exception] {
+      spark.read.format(Fmt).option("asOfEpoch", -1).load(sinkDir).collect()
+    }
+    assert(exceptionChain(early).exists(_.contains("epoch")))
+  }
+
+  test("schema evolution: widening append, per-block nCols ledger, conflicts rejected") {
+    val dir = tmpDir("evolve") + "/log"
+    val a = (1L to 6L).map(i =>
+      Row(i, ts(f"2024-01-01 00:00:${i}%02d"), i, "a", i.toDouble, "{}"))
+    val b = (7L to 9L).map(i =>
+      Row(i, ts(f"2024-01-02 00:00:${i}%02d"), i, "b", i.toDouble, "{}"))
+    df(a).write.format(Fmt).mode("overwrite").option("blockRows", 4).save(dir)
+    df(b)
+      .withColumn("xs", col("event_id") * 2)
+      .withColumn("xt", when(col("event_id") % 2 === 0, lit("even")))
+      .write.format(Fmt).mode("append").option("blockRows", 4).save(dir)
+    val info = TradeLogFormat.readManifestInfo(dir)
+    assert(info.xcols.map(_.name) == Seq("xs", "xt"))
+    assert(info.blocks.exists(_.nCols == 6) && info.blocks.exists(_.nCols == 8),
+      "old blocks must keep their original width; new blocks record theirs")
+    val back = spark.read.format(Fmt).load(dir)
+    assert(back.schema.fieldNames.takeRight(2).toSeq == Seq("xs", "xt"))
+    val got = back.select("event_id", "xs", "xt").collect()
+      .map(r => (r.getLong(0),
+        if (r.isNullAt(1)) null else r.getLong(1),
+        if (r.isNullAt(2)) null else r.getString(2))).toSet
+    val want = a.map(r => (r.getLong(0), null, null)) ++
+      b.map(r => (r.getLong(0), r.getLong(0) * 2,
+        if (r.getLong(0) % 2 == 0) "even" else null))
+    assert(got == want.toSet, s"null-fill/round-trip mismatch: $got")
+    // a conflicting evolution (same position, different type) must fail
+    // the commit, never reinterpret committed bytes
+    val clash = intercept[Exception] {
+      df(b).withColumn("xs", lit("not-a-long"))
+        .write.format(Fmt).mode("append").save(dir)
+    }
+    assert(exceptionChain(clash).exists(_.contains("append-only")),
+      s"conflicting widening must be rejected: ${clash.getMessage}")
+    // base-schema appends into a widened log stay legal (narrow writer)
+    df(a.map(r => Row(r.getLong(0) + 100L, r.getTimestamp(1), r.getLong(2),
+        "c", r.getDouble(4), "{}")))
+      .write.format(Fmt).mode("append").option("blockRows", 4).save(dir)
+    assert(TradeLogFormat.readManifestInfo(dir).xcols.map(_.name)
+      == Seq("xs", "xt"), "a narrow append must not erase the widening")
+    assert(spark.read.format(Fmt).load(dir).filter(col("xs").isNull).count()
+      == 12) // 6 original + 6 narrow-appended rows null-fill
+  }
+
+  test("new-only projections over old blocks decode nothing (manifest-served nulls)") {
+    import org.apache.spark.sql.types.LongType
+    // a reader over a GHOST file proves the claim physically: if the
+    // all-wanted-postdate-the-block path touched the payload, opening the
+    // nonexistent file would throw — instead the manifest row count alone
+    // serves the all-null rows
+    val ghost = TradeLogFormat.BlockMeta(
+      "no-such-file.gtl", 0L, 999, 7, Long.MinValue, Long.MaxValue, "", 6)
+    val reader = new TradeLogPartitionReader(
+      tmpDir("ghost"), Seq(ghost), Array(6), Array(LongType))
+    var n = 0
+    while (reader.next()) {
+      assert(reader.get().isNullAt(0)); n += 1
+    }
+    reader.close()
+    assert(n == 7, "manifest row count must drive the null-fill emission")
+  }
+
+  test("evolution tail codec: 10 extras round-trip with nulls (multi-byte mask)") {
+    import org.apache.spark.sql.types._
+    val xtypes: Array[DataType] = Array(LongType, DoubleType, StringType,
+      TimestampType, LongType, StringType, DoubleType, LongType,
+      TimestampType, StringType)
+    val rows: Seq[Array[Any]] = Seq(
+      Array[Any](1L, 1.5, "α-one".getBytes("UTF-8"), 1000000L, -2L,
+        "".getBytes("UTF-8"), 0.0, 7L, -5L, "tail".getBytes("UTF-8")),
+      Array[Any](null, null, null, null, null, null, null, null, null, null),
+      Array[Any](9L, null, "mid".getBytes("UTF-8"), null, 3L, null, -1.25,
+        null, 123456789L, null))
+    val buf = new java.io.ByteArrayOutputStream()
+    val out = new java.io.DataOutputStream(buf)
+    rows.foreach { xs =>
+      TradeLogFormat.encodeRow(out, 1L, 2L, 3L, "t", 4.0, "{}")
+      TradeLogFormat.encodeExtras(out, xtypes, xs)
+    }
+    out.flush()
+    val wanted = (0 until 16).toArray
+    val got = scala.collection.mutable.ArrayBuffer.empty[Seq[Any]]
+    TradeLogFormat.decodeBlock(buf.toByteArray, rows.size, wanted, 16, xtypes)(
+      v => got += v.toSeq)
+    assert(got.size == rows.size)
+    rows.zip(got).foreach { case (xs, v) =>
+      val extras = v.drop(6)
+      xs.zip(extras).zip(xtypes).foreach {
+        case ((exp, act), StringType) =>
+          val e = if (exp == null) null
+            else new String(exp.asInstanceOf[Array[Byte]], "UTF-8")
+          assert(String.valueOf(act) == String.valueOf(e))
+        case ((exp, act), _) =>
+          assert(String.valueOf(act) == String.valueOf(exp))
+      }
     }
   }
 }
