@@ -332,6 +332,77 @@ object Catalog {
       .orderedBy("user_id", "rn")
   }
 
+  /** STATE TTL under the oracle (39th bridge): per-user running
+    * (count, exact value sum) on a transformWithState ValueState declared
+    * with a REAL `TTLConfig` — the engine-managed state retirement the
+    * other bridges' manual pruning cannot give (idle keys never return to
+    * prune themselves). Two AvailableNow runs share one checkpoint with a
+    * 3×ttl sleep between them, so every phase-1 state is
+    * expired-by-construction when phase 2 reads it (wall-clock TTL made
+    * deterministic — a sleep cannot undershoot; each phase is one
+    * micro-batch, so no intra-phase expiry window exists). Folding the
+    * update-mode emissions latest-per-user therefore yields the fresh
+    * phase-2 aggregate for users active in phase 2 and the retained
+    * phase-1 emission otherwise — exactly the batch oracle's FULL OUTER
+    * COALESCE over the two event slices. TtlSpec pins the physical side:
+    * numRowsTotal DROPS when the sweep retires expired keys the batch
+    * never touched, and a reappearing key restarts from zero. */
+  def qTtlStreamed(spark: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val (emissions, _, _) = ttlEmissions(spark, d)
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("__phase").desc, col("__bid").desc)
+    emissions.withColumn("pick", row_number().over(w))
+      .filter(col("pick") === 1).drop("pick", "__phase", "__bid")
+      .orderedBy("user_id")
+  }
+
+  /** The tagged two-phase emissions behind [[qTtlStreamed]] plus each
+    * phase's final progress (split out so TtlSpec can pin the state-store
+    * row counts across the expiry sweep). */
+  def ttlEmissions(spark: SparkSession, d: String): (DataFrame,
+      org.apache.spark.sql.streaming.StreamingQueryProgress,
+      org.apache.spark.sql.streaming.StreamingQueryProgress) = {
+    val ev = Tables.events(spark, d)
+      .select(col("user_id"), col("event_id"), col("value"))
+    val runId = java.util.UUID.randomUUID().toString.take(8)
+    val stage = Tables.stageDir(spark, s"ttl_src_$runId")
+    val ckpt = Tables.stageDir(spark, s"ttl_ckpt_$runId")
+    val ttlMs = 1000L
+    ev.filter(pmod(col("event_id"), lit(5)) < 3)
+      .coalesce(2).write.mode("overwrite").parquet(stage)
+    val (e1, p1) = graft.stream.TwsTtl.runPhase(
+      spark, stage, ckpt, ev.schema, ttlMs, 1)
+    Thread.sleep(3 * ttlMs) // expiry is now a certainty, not a race
+    ev.filter(pmod(col("event_id"), lit(5)) >= 3)
+      .coalesce(2).write.mode("append").parquet(stage)
+    val (e2, p2) = graft.stream.TwsTtl.runPhase(
+      spark, stage, ckpt, ev.schema, ttlMs, 2)
+    val out = (e1.unionByName(e2), p1, p2)
+    val (fs, root) = graft.source.TradeLogFormat.fs(stage)
+    fs.delete(root, true)
+    fs.delete(new org.apache.hadoop.fs.Path(ckpt), true)
+    out
+  }
+
+  /** The TTL bridge's batch twin: users active in the fresh slice restart
+    * there (their expired old-slice state reads as absent); users only in
+    * the old slice keep their last emission. */
+  private val ttlOracle =
+    """WITH olds AS (
+      |  SELECT user_id, count(*) AS n,
+      |         CAST(sum(CAST(round(value * 1000000) AS BIGINT)) AS BIGINT) AS sum_v6
+      |  FROM events WHERE event_id % 5 < 3 GROUP BY user_id),
+      |news AS (
+      |  SELECT user_id, count(*) AS n,
+      |         CAST(sum(CAST(round(value * 1000000) AS BIGINT)) AS BIGINT) AS sum_v6
+      |  FROM events WHERE event_id % 5 >= 3 GROUP BY user_id)
+      |SELECT COALESCE(n.user_id, o.user_id) AS user_id,
+      |       COALESCE(n.n, o.n) AS n,
+      |       COALESCE(n.sum_v6, o.sum_v6) AS sum_v6
+      |FROM olds o FULL OUTER JOIN news n ON o.user_id = n.user_id
+      |ORDER BY user_id""".stripMargin
+
   /** The raw tagged emission stream behind [[qLastKStreamed]] — split out
     * so StreamingSpec can pin that ≥1 user's tail was genuinely REVISED
     * across micro-batches (the update-mode observable). */
@@ -1120,6 +1191,9 @@ object Catalog {
     "q_ohlc_tws" -> QueryDef(qOhlcTws, Some(ohlcTwsOracle)),
     "q_lastk_streamed" -> QueryDef(qLastKStreamed,
       Some(graft.queries.Stats.lastKOracle)),
+    // 39th bridge: engine-managed state TTL — expired keys restart, the
+    // sweep retires untouched keys' rows (TtlSpec), fold ≡ the batch SQL
+    "q_ttl_streamed" -> QueryDef(qTtlStreamed, Some(ttlOracle)),
     "q_ohlc_vwap" -> QueryDef(qOhlcVwap, Some(ohlcVwapOracle)),
     "q_vwap_streamed" -> QueryDef(qOhlcVwapStreamed, Some(ohlcVwapOracle)),
     // 5-minute candles merged from 1-minute PARTIALS (the OHLC monoid);
