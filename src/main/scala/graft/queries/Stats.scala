@@ -500,6 +500,63 @@ object Stats {
     (cdcVerdict(cdcSnapshot(ev), state.get()).orderedBy("user_id"), batches)
   }
 
+  /** [[cdcStreamed]] composed with the TRANSACTIONAL SINK (40th bridge —
+    * the full production CDC loop: change feed → streaming MERGE fold →
+    * epoch-committed materialization → serve): the change stream folds
+    * to last-change-per-key INSIDE the streaming engine (update-mode
+    * aggregation, the state store holding one (last_seq, value) row per
+    * key) and each epoch APPENDS its changed-key emissions to the
+    * graft-tradelog sink via update-as-append (the Kafka-sink contract;
+    * one atomic manifest rename per epoch, replayed epochs dropped —
+    * TradeLogSpec pins the dedup on this exact upsert shape). The
+    * committed log is the upsert FEED: per-user emissions carry strictly
+    * increasing last_seq (update mode re-emits a key only when its argmax
+    * state changed), so the batch read-back folds last-write-per-key by
+    * the same exact argmax and the final apply against the static
+    * snapshot must hash-match [[cdcApplyOracle]] — the IDENTICAL oracle
+    * as q_cdc_apply and q_cdc_streamed, now adjudicating engine-held
+    * fold state AND the exactly-once sink in one gate. 100 TB shape:
+    * sink traffic is changed-keys-per-epoch (not corpus), the fold state
+    * is keys-sized, the read-back fold is one hash agg over the compact
+    * change log. */
+  def cdcSinkStreamed(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val stage = Tables.stageDir(s,
+      s"cdc_sink_src_${d.replaceAll("[^A-Za-z0-9.]", "_")}")
+    ev.filter(pmod(col("event_id"), lit(5)) >= 3)
+      .repartition(4).write.mode("overwrite").parquet(stage)
+    // fresh sink dir per run: the sink's epoch guard would (correctly)
+    // treat a rerun from a fresh checkpoint as a replay and drop epoch 0
+    val sinkDir = Tables.stageDir(s,
+      s"cdc_sink_out_${java.util.UUID.randomUUID().toString.take(8)}")
+    val cs = s.newSession()
+    cs.conf.set("spark.sql.shuffle.partitions", "8")
+    val folded = cs.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", 1).parquet(stage)
+      .groupBy(col("user_id"))
+      .agg(max(col("event_id")).as("event_id"),
+        expr("max_by(value, event_id)").as("value"))
+      .select(col("event_id"), lit(null).cast("timestamp").as("ts"),
+        col("user_id"), lit("chg").as("event_type"), col("value"),
+        lit(null).cast("string").as("props"))
+    val q = folded.writeStream.format("graft-tradelog")
+      .option("checkpointLocation", s"$sinkDir/_ckpt")
+      .option("blockRows", 256)
+      .outputMode("update")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start(s"$sinkDir/log")
+    q.awaitTermination()
+    val chg = s.read.format("graft-tradelog").load(s"$sinkDir/log")
+      .groupBy(col("user_id"))
+      .agg(max(col("event_id")).as("last_seq"),
+        expr("max_by(value, event_id)").as("chg_value"))
+    val out = cdcVerdict(cdcSnapshot(ev), chg)
+      .orderedBy("user_id").localCheckpoint(true)
+    val (fs, root) = graft.source.TradeLogFormat.fs(sinkDir)
+    fs.delete(root, true)
+    out
+  }
+
   private def cdcApplyOracle: String =
     """WITH snap AS (
       |  SELECT user_id, value AS snap_value FROM (
@@ -1022,6 +1079,9 @@ object Stats {
     // 33rd bridge: the CDC fold maintained across micro-batches, same
     // oracle — streamed merge materialization == batch apply
     "q_cdc_streamed" -> QueryDef(cdcStreamed, Some(cdcApplyOracle)),
+    // 40th bridge: the CDC fold INSIDE the engine, materialized through
+    // the epoch-committed tradelog sink (update-as-append), same oracle
+    "q_cdc_sink_streamed" -> QueryDef(cdcSinkStreamed, Some(cdcApplyOracle)),
     "q_agg_stats" -> QueryDef(aggStats, Some(aggStatsOracle)),
     "q_quantile_hist" -> QueryDef(quantileHist, Some(quantileHistOracle)),
     "q_quantile_sketch" -> QueryDef(quantileSketch(_, _),

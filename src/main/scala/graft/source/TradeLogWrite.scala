@@ -21,7 +21,13 @@ import TradeLogFormat.BlockMeta
   * readable — the same observable semantics a transactional sink gives a
   * foreachBatch writer. `SupportsTruncate` backs SaveMode.Overwrite. */
 final class TradeLogWriteBuilder(path: String, info: LogicalWriteInfo)
-    extends WriteBuilder with SupportsTruncate {
+    extends WriteBuilder with SupportsTruncate
+    // update-as-append (the Kafka-sink contract): an UPDATE-mode streaming
+    // aggregation may write here — each epoch APPENDS its changed-key
+    // rows, so the committed log is the upsert FEED and a reader folds
+    // last-write-per-key to materialize the table (q_cdc_sink_streamed).
+    // The log itself stays append-only; no row is ever rewritten.
+    with org.apache.spark.sql.internal.connector.SupportsStreamingUpdateAsAppend {
   private var truncateFirst = false
   // write option: rows per block (the skip-index granularity knob — the
   // parquet row-group-size analogue)

@@ -605,6 +605,64 @@ class TradeLogSpec extends SparkTestBase {
     }
   }
 
+  test("update-as-append upsert sink: multi-epoch fold feed; replayed epoch leaves the fold unchanged") {
+    import org.apache.spark.sql.types._
+    val srcDir = tmpDir("ups-src")
+    val rows = (0L until 20L).map(i =>
+      Row(i, ts(f"2024-01-01 00:${i}%02d:00"), i % 3, "u", i.toDouble, "{}"))
+    df(rows).repartition(4).write.mode("overwrite").parquet(srcDir)
+    val sinkDir = tmpDir("ups-out") + "/log"
+    // the q_cdc_sink_streamed shape: update-mode argmax fold per key,
+    // each epoch appending its changed-key emissions
+    val q = spark.readStream.schema(TradeLogFormat.schema)
+      .option("maxFilesPerTrigger", 1).parquet(srcDir)
+      .groupBy(col("user_id"))
+      .agg(max(col("event_id")).as("event_id"),
+        expr("max_by(value, event_id)").as("value"))
+      .select(col("event_id"), lit(null).cast("timestamp").as("ts"),
+        col("user_id"), lit("chg").as("event_type"), col("value"),
+        lit(null).cast("string").as("props"))
+      .writeStream.format(Fmt)
+      .option("checkpointLocation", s"$sinkDir/../_ckpt")
+      .option("blockRows", 4)
+      .outputMode("update")
+      .trigger(Trigger.AvailableNow()).start(sinkDir)
+    q.awaitTermination(120000L)
+    val (blocks, epoch) = TradeLogFormat.readManifestFull(sinkDir)
+    assert(epoch.exists(_ >= 3), s"4 micro-batches should stamp epoch>=3: $epoch")
+    def foldBack(): Map[Long, (Long, Double)] =
+      spark.read.format(Fmt).load(sinkDir)
+        .groupBy(col("user_id"))
+        .agg(max(col("event_id")).as("ls"),
+          expr("max_by(value, event_id)").as("cv"))
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2)))
+        .toMap
+    // the log is the upsert FEED: keys re-emit across epochs (more rows
+    // than keys), and last-write-per-key equals the direct batch fold
+    assert(spark.read.format(Fmt).load(sinkDir).count() > 3,
+      "update mode must have re-emitted keys across epochs")
+    val want = rows.groupBy(_.getLong(2)).map { case (u, rs) =>
+      val top = rs.maxBy(_.getLong(0))
+      u -> (top.getLong(0), top.getDouble(4))
+    }
+    assert(foldBack() == want, "read-back fold must equal the direct fold")
+    // REPLAYED EPOCH on the upsert path: a duplicate commit of the last
+    // epoch carrying a would-win argmax row (event_id 999) must be
+    // dropped whole — a double-append would flip every key's verdict
+    val (_, _, qid) = TradeLogFormat.readManifestMeta(sinkDir)
+    val w = new TradeLogDataWriter(sinkDir, 0, 77L, 4)
+    w.write(org.apache.spark.sql.catalyst.InternalRow(
+      999L, null, 0L,
+      org.apache.spark.unsafe.types.UTF8String.fromString("chg"),
+      -1.0, null))
+    val msg = w.commit().asInstanceOf[TradeLogCommit]
+    new TradeLogStreamingWrite(sinkDir, qid.get, 4).commit(epoch.get, Array(msg))
+    assert(TradeLogFormat.readManifestFull(sinkDir)._1 == blocks,
+      "replayed epoch must leave the manifest untouched")
+    assert(foldBack() == want,
+      "a replayed epoch's would-win upsert must not reach the fold")
+  }
+
   test("time travel: generation-pinned reads serve past states under concurrent appends") {
     val dir = tmpDir("ttravel") + "/log"
     val a = (1L to 6L).map(i =>
