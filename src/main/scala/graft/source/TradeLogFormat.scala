@@ -309,6 +309,30 @@ object TradeLogFormat {
 
   val ManifestDirName = "_manifests"
 
+  /** SNAPSHOT EXPIRY — the retention verb of the time-travel surface
+    * (Iceberg's expire_snapshots / Delta's log retention): delete every
+    * generation snapshot older than the newest `keepLast` (the head
+    * generation's snapshot always survives). Reads pinned at an expired
+    * generation fail loudly afterwards (`readManifestInfoAt`'s horizon
+    * message); the head manifest and all data files are untouched —
+    * snapshots are metadata only, so expiry is O(#snapshots) unlinks.
+    * Returns the number of snapshots deleted. Same single-maintenance-
+    * writer contract as the delist journal. */
+  def expireSnapshots(dir: String, keepLast: Int): Int = {
+    require(keepLast >= 1, s"keepLast must be >= 1, got $keepLast")
+    val (filesystem, root) = fs(dir)
+    val mdir = new Path(root, ManifestDirName)
+    if (!filesystem.exists(mdir)) return 0
+    val gens = filesystem.listStatus(mdir).toSeq
+      .map(_.getPath.getName)
+      .collect { case n if n.startsWith("gen-") && n.endsWith(".manifest") =>
+        n.stripPrefix("gen-").stripSuffix(".manifest").toLong }
+      .sorted
+    val victims = gens.dropRight(keepLast)
+    victims.count(g =>
+      filesystem.delete(new Path(mdir, s"gen-$g.manifest"), false))
+  }
+
   /** Resolve an `asOfEpoch` read to the newest generation whose committed
     * streaming epoch stamp is <= `epoch`. Only generations written by the
     * streaming sink carry a stamp; batch-written generations are skipped

@@ -182,10 +182,12 @@ final class TradeLogScanBuilder(path: String, tableSchema: StructType,
       }
     agg.groupByExpressions.isEmpty && accepted.isEmpty &&
       tsLo == Long.MinValue && tsHi == Long.MaxValue &&
-      // time travel pins a SNAPSHOT manifest; the agg scan answers from
-      // the head manifest, so a pinned read must take the normal path
+      // time travel pins a SNAPSHOT manifest (and changes-since diffs
+      // against one); the agg scan answers from the head manifest, so
+      // those reads must take the normal path
       !options.containsKey("atGeneration") &&
       !options.containsKey("asOfEpoch") &&
+      !options.containsKey("changesSinceGeneration") &&
       agg.aggregateExpressions.nonEmpty &&
       agg.aggregateExpressions.forall {
         case _: aggregate.CountStar => true
@@ -285,9 +287,31 @@ final class TradeLogScan(path: String, tableSchema: StructType,
     g.orElse(e.map(ep => TradeLogFormat.resolveEpochGen(path, ep)))
   }
 
-  private[source] lazy val allBlocks: Seq[BlockMeta] =
-    travelGen.fold(TradeLogFormat.readManifest(path))(g =>
-      TradeLogFormat.readManifestInfoAt(path, g).blocks)
+  /** CHANGES-SINCE read (`option("changesSinceGeneration", N)`) — the
+    * incremental-consumer verb (Delta CDF / Iceberg incremental scan for
+    * an append log): plan ONLY the blocks present in the head manifest
+    * but absent at generation N, i.e. everything committed after the
+    * consumer's last sync point. Block identity is (file, offset) —
+    * exact under append-only evolution (appends never rewrite committed
+    * blocks). A purge interleaved between N and now REMOVES blocks;
+    * removals are not change rows (the log has no delete records), so a
+    * consumer spanning purges sees only the additions — documented
+    * contract, spec-pinned. */
+  private val changesSince: Option[Long] =
+    Option(options.get("changesSinceGeneration")).map(_.toLong)
+  require(changesSince.isEmpty || travelGen.isEmpty,
+    "graft-tradelog: changesSinceGeneration cannot combine with a pinned read")
+
+  private[source] lazy val allBlocks: Seq[BlockMeta] = changesSince match {
+    case Some(n) =>
+      val base = TradeLogFormat.readManifestInfoAt(path, n).blocks
+        .map(b => (b.file, b.offset)).toSet
+      TradeLogFormat.readManifest(path)
+        .filterNot(b => base((b.file, b.offset)))
+    case None =>
+      travelGen.fold(TradeLogFormat.readManifest(path))(g =>
+        TradeLogFormat.readManifestInfoAt(path, g).blocks)
+  }
 
   /** Block-stats skip: keep a block unless its ts span provably misses
     * the pushed conjunction (blocks with no non-null ts always survive —
@@ -380,9 +404,10 @@ final class TradeLogScan(path: String, tableSchema: StructType,
   }
 
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream = {
-    require(travelGen.isEmpty,
-      "graft-tradelog: time travel (atGeneration/asOfEpoch) is batch-only — " +
-        "a stream's offsets already pin its own position in the block sequence")
+    require(travelGen.isEmpty && changesSince.isEmpty,
+      "graft-tradelog: time travel (atGeneration/asOfEpoch/" +
+        "changesSinceGeneration) is batch-only — a stream's offsets " +
+        "already pin its own position in the block sequence")
     new TradeLogMicroBatchStream(path, wanted, xtypes,
       Option(options.get("maxBlocksPerTrigger")).map(_.toInt))
   }

@@ -490,6 +490,26 @@ object TradeLogQueries {
       .option("atGeneration", 1)
       .load(ensureAppendLog(s, dir)))
 
+  // ---- q_tradelog_changes (INCREMENTAL CONSUMPTION / CDF) ----------------
+
+  /** Changes-since read — the incremental-ETL verb (Delta CDF / Iceberg
+    * incremental scan re-expressed for an append log): the append
+    * artifact read with `option("changesSinceGeneration", 1)` plans ONLY
+    * the blocks committed after generation 1 — the odd-half append — and
+    * its row digest must equal the oracle over exactly that slice. With
+    * q_tradelog_asof (the even half, at-generation) and
+    * q_tradelog_append (the whole log, head read) grading the SAME
+    * artifact, the three queries prove snapshot + delta + head are
+    * mutually consistent partitions of one committed history. 100 TB
+    * shape: the consumer's sync point is a generation number, the delta
+    * plan is a block-metadata set difference — no data is diffed, the
+    * "what's new since my checkpoint" read every downstream sync job
+    * runs. */
+  def tradelogChanges(s: SparkSession, dir: String): DataFrame =
+    digestOver(s.read.format(FormatName)
+      .option("changesSinceGeneration", 1)
+      .load(ensureAppendLog(s, dir)))
+
   // ---- q_tradelog_evolve (SCHEMA EVOLUTION) ------------------------------
 
   /** Widened-schema round-trip — the production "logs grow columns" verb:
@@ -587,6 +607,9 @@ object TradeLogQueries {
     // TIME TRAVEL: generation-pinned read serves the pre-append state
     "q_tradelog_asof" -> QueryDef(tradelogAsof,
       Some(digestOracleWhere("WHERE event_id % 2 = 0"))),
+    // INCREMENTAL CONSUMPTION: changes since gen 1 = exactly the append
+    "q_tradelog_changes" -> QueryDef(tradelogChanges,
+      Some(digestOracleWhere("WHERE event_id % 2 = 1"))),
     // SCHEMA EVOLUTION: widened append, old blocks null-fill on read
     "q_tradelog_evolve" -> QueryDef(tradelogEvolve,
       Some(tradelogEvolveOracle)),

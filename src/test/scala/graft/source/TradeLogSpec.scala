@@ -716,6 +716,64 @@ class TradeLogSpec extends SparkTestBase {
     Iterator.iterate(e)(_.getCause).takeWhile(_ != null).take(8)
       .flatMap(t => Option(t.getMessage)).toSeq
 
+  test("changes-since reads exactly the blocks committed after the sync generation") {
+    val dir = tmpDir("changes") + "/log"
+    val a = (1L to 6L).map(i =>
+      Row(i, ts(f"2024-01-01 00:00:${i}%02d"), i, "a", i.toDouble, "{}"))
+    val b = (7L to 9L).map(i =>
+      Row(i, ts(f"2024-01-02 00:00:${i}%02d"), i, "b", i.toDouble, "{}"))
+    val c = (10L to 11L).map(i =>
+      Row(i, ts(f"2024-01-03 00:00:${i}%02d"), i, "c", i.toDouble, "{}"))
+    df(a).write.format(Fmt).mode("overwrite").option("blockRows", 4).save(dir)
+    df(b).write.format(Fmt).mode("append").option("blockRows", 4).save(dir)
+    df(c).write.format(Fmt).mode("append").option("blockRows", 4).save(dir)
+    def changes(since: Long) = spark.read.format(Fmt)
+      .option("changesSinceGeneration", since).load(dir)
+    // each sync point sees exactly what landed after it
+    assert(canon(changes(1)) == canon(df(b ++ c)))
+    assert(canon(changes(2)) == canon(df(c)))
+    assert(changes(3).count() == 0, "no changes since the head generation")
+    // a purge between the sync point and now REMOVES blocks; removals are
+    // not change rows — the consumer sees only the additions (documented)
+    val cutoff = Timestamp.valueOf("2024-01-02 00:00:00").getTime * 1000L
+    TradeLogFormat.purgeBefore(dir, cutoff) // drops generation-1 blocks
+    assert(canon(changes(1)) == canon(df(b ++ c)),
+      "additions since gen 1 must survive an interleaved purge of gen-1 data")
+    // option hygiene: a changes read cannot combine with a pinned read
+    intercept[Exception] {
+      spark.read.format(Fmt).option("changesSinceGeneration", 1)
+        .option("atGeneration", 2).load(dir).collect()
+    }
+  }
+
+  test("snapshot expiry prunes old generations; recent pins and the head read survive") {
+    val dir = tmpDir("expire") + "/log"
+    val mk = (tag: String, lo: Long) => (lo until lo + 3).map(i =>
+      Row(i, ts(f"2024-01-01 00:00:${i}%02d"), i, tag, i.toDouble, "{}"))
+    df(mk("a", 1L)).write.format(Fmt).mode("overwrite")
+      .option("blockRows", 4).save(dir)
+    df(mk("b", 10L)).write.format(Fmt).mode("append")
+      .option("blockRows", 4).save(dir)
+    df(mk("c", 20L)).write.format(Fmt).mode("append")
+      .option("blockRows", 4).save(dir)
+    assert(TradeLogFormat.expireSnapshots(dir, keepLast = 2) == 1,
+      "exactly the oldest of 3 snapshots should expire")
+    // the expired generation fails loudly; the kept ones still serve
+    val gone = intercept[Exception] {
+      spark.read.format(Fmt).option("atGeneration", 1).load(dir).collect()
+    }
+    assert(exceptionChain(gone).exists(_.contains("generation")))
+    assert(spark.read.format(Fmt).option("atGeneration", 2).load(dir)
+      .count() == 6)
+    assert(spark.read.format(Fmt).load(dir).count() == 9,
+      "expiry is metadata-only: the head read is untouched")
+    // idempotent + floor: nothing left to expire, keepLast >= 1 enforced
+    assert(TradeLogFormat.expireSnapshots(dir, keepLast = 2) == 0)
+    intercept[IllegalArgumentException] {
+      TradeLogFormat.expireSnapshots(dir, keepLast = 0)
+    }
+  }
+
   test("asOfEpoch resolves the newest generation at or before the epoch stamp") {
     val srcDir = tmpDir("asof-src")
     val rows = (0L until 20L).map(i =>
