@@ -388,8 +388,12 @@ final class TradeLogScan(path: String, tableSchema: StructType,
       else s"${selectedBlocks.size}/${allBlocks.size}"
     val users = userIds.fold("")(ids => s", PushedUserIds=${ids.toSeq.sorted
       .mkString("[", ",", "]")}")
+    // surface the time-travel pin / delta sync point in .explain so a
+    // plan audit can tell a pinned or incremental read from a head read
+    val travel = travelGen.map(g => s", AtGeneration=$g").getOrElse("") +
+      changesSince.map(n => s", ChangesSinceGeneration=$n").getOrElse("")
     s"GraftTradeLog path=$path, ReadSchema=${required.simpleString}, " +
-      s"PushedTsBounds=[$tsLo,$tsHi]$users, blocks=$sel"
+      s"PushedTsBounds=[$tsLo,$tsHi]$users$travel, blocks=$sel"
   }
 
   override def toBatch: Batch = new Batch {
