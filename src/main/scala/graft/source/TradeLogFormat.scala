@@ -220,6 +220,14 @@ object TradeLogFormat {
       s"graft-tradelog expects a ${schema.simpleString} prefix, got ${s.simpleString}")
     val extra = s.fields.drop(BaseCols).toSeq
     xcolsToken(extra) // validates names + types
+    // a duplicate name (vs the base schema or another extra) would commit
+    // a permanently ambiguous table schema — fieldIndex/analysis break on
+    // every later read and only a truncate could repair the log (r16
+    // review finding). Case-insensitive, matching Spark's resolution.
+    val names = s.fields.map(_.name.toLowerCase)
+    require(names.distinct.length == names.length,
+      s"graft-tradelog write schema has duplicate column names: " +
+        s"${names.diff(names.distinct).distinct.mkString(", ")}")
     extra
   }
 
@@ -261,16 +269,27 @@ object TradeLogFormat {
   }
 
   /** Everything a committed manifest says: the block sequence, the
-    * streaming (epoch, qid) stamp, the manifest GENERATION (0 for
-    * pre-generation legacy manifests), and the extra-column fields of a
-    * widened schema (empty for a base-schema log). */
+    * streaming (epoch, qid) stamp, whether THIS generation is the
+    * streaming sink's own epoch commit (`epochCommit` — false on batch
+    * appends and purges, which CARRY the stamp forward for the replay
+    * guard without being epoch states themselves), the manifest
+    * GENERATION (0 for pre-generation legacy manifests), and the
+    * extra-column fields of a widened schema (empty for a base-schema
+    * log). */
   final case class ManifestInfo(blocks: Seq[BlockMeta], epoch: Option[Long],
-      qid: Option[String], gen: Long, xcols: Seq[StructField]) {
+      qid: Option[String], gen: Long, xcols: Seq[StructField],
+      epochCommit: Boolean = false) {
     def tableSchema: StructType = widenedSchema(xcols)
   }
 
   def readManifestInfo(dir: String): ManifestInfo =
     readManifestFile(dir, ManifestName)
+
+  /** Header-only read of the head manifest: everything but the block
+    * list, at one-line cost — what schema inference and epoch resolution
+    * need (a full readManifestInfo is O(blocks) CSV parsing). */
+  def readManifestHeader(dir: String): ManifestInfo =
+    readManifestFile(dir, ManifestName, headerOnly = true)
 
   /** A PINNED generation snapshot (`_manifests/gen-N.manifest`) — the
     * read-at-version surface. Every [[writeManifest]] publishes its
@@ -279,22 +298,24 @@ object TradeLogFormat {
     * horizon: purge+vacuum may have GC'd files an old generation
     * references (the delist-journal grace window is the retention knob —
     * the Iceberg/Delta snapshot-expiry trade, re-expressed). */
-  def readManifestInfoAt(dir: String, gen: Long): ManifestInfo = {
+  def readManifestInfoAt(dir: String, gen: Long,
+      headerOnly: Boolean = false): ManifestInfo = {
     val name = s"$ManifestDirName/gen-$gen.manifest"
     val (filesystem, root) = fs(dir)
     require(filesystem.exists(new Path(root, name)),
       s"graft-tradelog $dir has no generation $gen snapshot " +
         "(pre-generation log, or the snapshot horizon was pruned)")
-    readManifestFile(dir, name)
+    readManifestFile(dir, name, headerOnly)
   }
 
-  private def readManifestFile(dir: String, name: String): ManifestInfo = {
+  private def readManifestFile(dir: String, name: String,
+      headerOnly: Boolean = false): ManifestInfo = {
     val (filesystem, root) = fs(dir)
     val in = filesystem.open(new Path(root, name))
     try {
       val src = scala.io.Source.fromInputStream(in, "UTF-8")
-      val lines = src.getLines().map(_.trim).filter(_.nonEmpty).toSeq
-      val head = lines.headOption.getOrElse("")
+      val lineIt = src.getLines().map(_.trim).filter(_.nonEmpty)
+      val head = if (lineIt.hasNext) lineIt.next() else ""
       require(head == ManifestHeader || head.startsWith(ManifestHeader + " "),
         s"not a graft-tradelog dir: $dir")
       val epoch = "epoch=(\\d+)".r.findFirstMatchIn(head).map(_.group(1).toLong)
@@ -303,7 +324,11 @@ object TradeLogFormat {
         .getOrElse(0L)
       val xcols = "xcols=(\\S+)".r.findFirstMatchIn(head).map(_.group(1))
         .map(parseXcols).getOrElse(Seq.empty)
-      ManifestInfo(lines.tail.map(BlockMeta.fromCsv), epoch, qid, gen, xcols)
+      val ecommit = head.contains(" ecommit=1")
+      val blocks =
+        if (headerOnly) Seq.empty
+        else lineIt.map(BlockMeta.fromCsv).toSeq
+      ManifestInfo(blocks, epoch, qid, gen, xcols, ecommit)
     } finally in.close()
   }
 
@@ -333,11 +358,14 @@ object TradeLogFormat {
       filesystem.delete(new Path(mdir, s"gen-$g.manifest"), false))
   }
 
-  /** Resolve an `asOfEpoch` read to the newest generation whose committed
-    * streaming epoch stamp is <= `epoch`. Only generations written by the
-    * streaming sink carry a stamp; batch-written generations are skipped
-    * (they have no epoch identity). Header-only reads — one small line
-    * per snapshot, driver-side. */
+  /** Resolve an `asOfEpoch` read to the newest generation that IS a
+    * streaming-sink epoch commit with stamp <= `epoch`. The `ecommit`
+    * marker — not the epoch token alone — is the filter: batch appends
+    * and purges CARRY the (epoch, qid) stamp forward for the replay
+    * guard, so a later carried-stamp generation contains post-epoch
+    * state and must never resolve as the epoch itself (r16 review
+    * finding). Header-only snapshot reads — one line per generation,
+    * driver-side. */
   def resolveEpochGen(dir: String, epoch: Long): Long = {
     val (filesystem, root) = fs(dir)
     val mdir = new Path(root, ManifestDirName)
@@ -348,7 +376,8 @@ object TradeLogFormat {
       .collect { case n if n.startsWith("gen-") && n.endsWith(".manifest") =>
         n.stripPrefix("gen-").stripSuffix(".manifest").toLong }
     val stamped = gens.flatMap { g =>
-      readManifestInfoAt(dir, g).epoch.collect { case e if e <= epoch => g }
+      val info = readManifestInfoAt(dir, g, headerOnly = true)
+      info.epoch.collect { case e if info.epochCommit && e <= epoch => g }
     }
     require(stamped.nonEmpty,
       s"graft-tradelog $dir has no committed generation at or before epoch $epoch")
@@ -377,19 +406,27 @@ object TradeLogFormat {
     * extra columns of a widened schema; rewrite paths (purge, append,
     * epoch commits) must carry the CURRENT xcols forward or data written
     * after a widening would lose its column identity. */
+  /** `epochCommit` marks the generation as the streaming sink's OWN
+    * epoch publication (the ` ecommit=1` header token) — what asOfEpoch
+    * resolution keys on; carry-forward rewrites leave it false.
+    * `prevGen` lets commit paths that just read the manifest skip the
+    * redundant re-read (None = read it here; callers without the info —
+    * specs, fresh logs — pass nothing). */
   def writeManifest(dir: String, blocks: Seq[BlockMeta],
       epoch: Option[Long] = None, qid: Option[String] = None,
-      xcols: Seq[StructField] = Seq.empty): Unit = {
+      xcols: Seq[StructField] = Seq.empty,
+      epochCommit: Boolean = false,
+      prevGen: Option[Long] = None): Unit = {
     val conf = driverConf()
     val (filesystem, root) = fs(dir, conf)
-    val prevGen =
+    val gen = prevGen.getOrElse(
       if (filesystem.exists(new Path(root, ManifestName)))
-        readManifestInfo(dir).gen
-      else 0L
-    val gen = prevGen + 1
+        readManifestHeader(dir).gen
+      else 0L) + 1
     val head = ManifestHeader + s" gen=$gen" +
       epoch.map(e => s" epoch=$e").getOrElse("") +
       qid.map(q => s" qid=$q").getOrElse("") +
+      (if (epochCommit) " ecommit=1" else "") +
       xcolsToken(xcols)
     val body = (head +: blocks.map(_.csv)).mkString("\n")
       .getBytes(StandardCharsets.UTF_8)
@@ -451,7 +488,8 @@ object TradeLogFormat {
     val info = readManifestInfo(dir)
     val blocks = info.blocks
     val keep = blocks.filter(_.maxTsUs >= cutoffUs)
-    writeManifest(dir, keep, info.epoch, info.qid, info.xcols)
+    writeManifest(dir, keep, info.epoch, info.qid, info.xcols,
+      prevGen = Some(info.gen))
     val keptFiles = keep.map(_.file).toSet
     val dropped = blocks.map(_.file).distinct.filterNot(keptFiles)
     val now = System.currentTimeMillis()
@@ -665,6 +703,14 @@ object TradeLogFormat {
       emit: Array[Any] => Unit): Unit = {
     val in = new DataInputStream(new java.io.ByteArrayInputStream(payload))
     val width = BaseCols + xtypes.length
+    // a block WIDER than the reader's resolved schema means the log was
+    // widened after this plan resolved (a concurrent evolution): the tail
+    // cannot even be skipped without its types, so fail with the remedy
+    // instead of an index error deep in the byte walk (r16 review finding)
+    require(blockNCols <= width,
+      s"graft-tradelog block encodes $blockNCols columns but this reader " +
+        s"resolved $width — the log was widened after the plan was created; " +
+        "re-create the DataFrame to pick up the evolved schema")
     val want = new Array[Boolean](width)
     // ordinal -> output slot (decode order is the BYTE layout — value
     // before event_type — so slots map by ordinal, never arrival order)

@@ -49,20 +49,35 @@ import TradeLogFormat.BlockMeta
   */
 final class TradeLogProvider extends TableProvider with DataSourceRegister {
   override def shortName(): String = "graft-tradelog"
-  /** The CURRENT table schema: base prefix + whatever extra columns the
-    * committed manifest records (schema evolution — a widened log reads
-    * back with its union schema, old blocks null-filling the tail). A
-    * fresh directory (no manifest yet — the first write) is base-schema;
-    * widened FIRST writes are admitted by ACCEPT_ANY_SCHEMA + the write
-    * builder's own prefix validation, not by inference. */
+  /** The table schema of THIS read: base prefix + whatever extra columns
+    * the governing manifest records (schema evolution — a widened log
+    * reads back with its union schema, old blocks null-filling the
+    * tail). TIME TRAVEL resolves against the PINNED generation's own
+    * header, so `atGeneration`/`asOfEpoch` serve the schema a reader saw
+    * THEN — a pre-widening snapshot comes back without the later columns
+    * (the Delta/Iceberg snapshot-schema rule; r16 review finding).
+    * Changes-since reads use the head schema (delta blocks are the
+    * newest). Header-only reads — no block CSV is parsed for inference.
+    * A fresh directory (no manifest yet — the first write) is
+    * base-schema; widened FIRST writes are admitted by ACCEPT_ANY_SCHEMA
+    * + the write builder's own prefix validation, not by inference. */
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
     val path = Option(options.get("path")).getOrElse(
       throw new IllegalArgumentException("graft-tradelog requires a path"))
-    val (filesystem, root) = TradeLogFormat.fs(path)
-    if (filesystem.exists(new org.apache.hadoop.fs.Path(root,
-        TradeLogFormat.ManifestName)))
-      TradeLogFormat.readManifestInfo(path).tableSchema
-    else TradeLogFormat.schema
+    val pinnedGen = Option(options.get("atGeneration")).map(_.toLong)
+      .orElse(Option(options.get("asOfEpoch")).map(e =>
+        TradeLogFormat.resolveEpochGen(path, e.toLong)))
+    pinnedGen match {
+      case Some(g) =>
+        TradeLogFormat.readManifestInfoAt(path, g, headerOnly = true)
+          .tableSchema
+      case None =>
+        val (filesystem, root) = TradeLogFormat.fs(path)
+        if (filesystem.exists(new org.apache.hadoop.fs.Path(root,
+            TradeLogFormat.ManifestName)))
+          TradeLogFormat.readManifestHeader(path).tableSchema
+        else TradeLogFormat.schema
+    }
   }
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: util.Map[String, String]): Table =

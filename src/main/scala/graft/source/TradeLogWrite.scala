@@ -97,10 +97,14 @@ final class TradeLogStreamingWrite(path: String, queryId: String,
       fresh.map(_.file).distinct.foreach(f =>
         fs.delete(new org.apache.hadoop.fs.Path(root, f), false))
     } else {
+      // ecommit marks this generation as the epoch's OWN publication —
+      // the asOfEpoch anchor; later carry-forward rewrites stay unmarked
       TradeLogFormat.writeManifest(path, existing ++ fresh,
         Some(epochId), Some(queryId),
         TradeLogFormat.mergeXcols(
-          info.map(_.xcols).getOrElse(Seq.empty), xcols))
+          info.map(_.xcols).getOrElse(Seq.empty), xcols),
+        epochCommit = true,
+        prevGen = Some(info.map(_.gen).getOrElse(0L)))
     }
   }
 
@@ -155,7 +159,8 @@ final class TradeLogBatchWrite(path: String,
       // concurrent reader observe a manifest whose files are gone.
       // truncate REPLACES the schema identity too: the new write's xcols
       // are the log's extras from here on (old blocks are gone)
-      TradeLogFormat.writeManifest(path, fresh, xcols = xcols)
+      TradeLogFormat.writeManifest(path, fresh, xcols = xcols,
+        prevGen = Some(minfo.map(_.gen).getOrElse(0L)))
       val keep = fresh.map(_.file).toSet
       old.map(_.file).distinct.filterNot(keep).foreach(f =>
         fs.delete(new org.apache.hadoop.fs.Path(root, f), false))
@@ -173,7 +178,8 @@ final class TradeLogBatchWrite(path: String,
       // their own nCols and null-fill on read.
       TradeLogFormat.writeManifest(path, old ++ fresh, lastEpoch, lastQid,
         TradeLogFormat.mergeXcols(
-          minfo.map(_.xcols).getOrElse(Seq.empty), xcols))
+          minfo.map(_.xcols).getOrElse(Seq.empty), xcols),
+        prevGen = Some(minfo.map(_.gen).getOrElse(0L)))
     }
   }
 

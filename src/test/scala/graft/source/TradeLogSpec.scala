@@ -807,6 +807,17 @@ class TradeLogSpec extends SparkTestBase {
       spark.read.format(Fmt).option("asOfEpoch", -1).load(sinkDir).collect()
     }
     assert(exceptionChain(early).exists(_.contains("epoch")))
+    // a BATCH APPEND carries the (epoch, qid) stamp forward for the
+    // replay guard but is NOT an epoch commit: asOfEpoch of the last
+    // epoch must keep resolving the sink's own generation, never the
+    // carried-stamp post-epoch state (r16 review finding)
+    df(Seq(Row(100L, ts("2024-01-01 01:00:00"), 100L, "x", 1.0, "{}")))
+      .write.format(Fmt).mode("append").save(sinkDir)
+    assert(spark.read.format(Fmt).load(sinkDir).count() == 21)
+    assert(spark.read.format(Fmt).option("asOfEpoch", lastEpoch)
+      .load(sinkDir).count() == 20,
+      "asOfEpoch must anchor on the sink's ecommit generation, not a " +
+        "later batch append that inherited the stamp")
   }
 
   test("schema evolution: widening append, per-block nCols ledger, conflicts rejected") {
@@ -850,6 +861,23 @@ class TradeLogSpec extends SparkTestBase {
       == Seq("xs", "xt"), "a narrow append must not erase the widening")
     assert(spark.read.format(Fmt).load(dir).filter(col("xs").isNull).count()
       == 12) // 6 original + 6 narrow-appended rows null-fill
+    // a PINNED pre-widening read serves the snapshot's OWN schema — the
+    // later columns did not exist at generation 1 (the Delta/Iceberg
+    // snapshot-schema rule; r16 review finding)
+    val pinned = spark.read.format(Fmt).option("atGeneration", 1).load(dir)
+    assert(pinned.schema.fieldNames.toSeq
+      == TradeLogFormat.schema.fieldNames.toSeq,
+      s"pre-widening pin must not show later columns: ${pinned.schema}")
+    assert(pinned.count() == 6)
+    // an extra column shadowing a base column (or another extra) would
+    // commit a permanently ambiguous schema: rejected at the write
+    val dup = intercept[Exception] {
+      df(b).select(col("*"), (col("event_id") * 2).as("xs"),
+          col("event_id").as("user_ID")) // case-insensitive clash
+        .write.format(Fmt).mode("append").save(dir)
+    }
+    assert(exceptionChain(dup).exists(_.contains("duplicate")),
+      s"duplicate column names must be rejected: ${dup.getMessage}")
   }
 
   test("new-only projections over old blocks decode nothing (manifest-served nulls)") {
@@ -868,6 +896,25 @@ class TradeLogSpec extends SparkTestBase {
     }
     reader.close()
     assert(n == 7, "manifest row count must drive the null-fill emission")
+  }
+
+  test("a block wider than the resolved schema fails with the re-resolve remedy, not an index error") {
+    import org.apache.spark.sql.types._
+    // stale-plan shape: the reader resolved base-schema, a concurrent
+    // widening committed, and a 7-column block arrives — the tail cannot
+    // even be skipped without its types, so the decode must name the fix
+    val buf = new java.io.ByteArrayOutputStream()
+    val out = new java.io.DataOutputStream(buf)
+    TradeLogFormat.encodeRow(out, 1L, 2L, 3L, "t", 4.0, "{}")
+    TradeLogFormat.encodeExtras(out, Array[DataType](LongType),
+      Array[Any](7L))
+    out.flush()
+    val boom = intercept[IllegalArgumentException] {
+      TradeLogFormat.decodeBlock(buf.toByteArray, 1, Array(0), 7,
+        Array.empty[DataType])(_ => ())
+    }
+    assert(boom.getMessage.contains("widened after the plan"),
+      s"stale-schema decode must carry the remedy: ${boom.getMessage}")
   }
 
   test("evolution tail codec: 10 extras round-trip with nulls (multi-byte mask)") {
