@@ -427,8 +427,26 @@ final class TradeLogScan(path: String, tableSchema: StructType,
       "graft-tradelog: time travel (atGeneration/asOfEpoch/" +
         "changesSinceGeneration) is batch-only — a stream's offsets " +
         "already pin its own position in the block sequence")
+    // startingGeneration: begin a FRESH stream after the blocks committed
+    // at generation N — the Kafka startingOffsets analogue composed with
+    // the generation ledger ("resume from my last batch sync point").
+    // Sound only while N's blocks are a PREFIX of the head sequence
+    // (pure appends); an interleaved purge/truncate breaks the prefix and
+    // fails loudly here rather than silently mis-positioning the stream.
+    // Ignored on checkpoint resume (the offset log owns the position).
+    val startBlock = Option(options.get("startingGeneration")).map(_.toLong)
+      .map { g =>
+        val snap = TradeLogFormat.readManifestInfoAt(path, g).blocks
+        val head = TradeLogFormat.readManifest(path)
+        require(head.take(snap.size).map(b => (b.file, b.offset))
+            == snap.map(b => (b.file, b.offset)),
+          s"graft-tradelog: generation $g is not a prefix of the head " +
+            "block sequence (a purge/truncate intervened) — " +
+            "startingGeneration cannot position this stream")
+        snap.size
+      }.getOrElse(0)
     new TradeLogMicroBatchStream(path, wanted, xtypes,
-      Option(options.get("maxBlocksPerTrigger")).map(_.toInt))
+      Option(options.get("maxBlocksPerTrigger")).map(_.toInt), startBlock)
   }
 }
 

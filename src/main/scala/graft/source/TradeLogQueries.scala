@@ -102,11 +102,16 @@ object TradeLogQueries {
       min(unix_micros(col("ts"))).as("min_ts"),
       max(unix_micros(col("ts"))).as("max_ts"))
 
-  private val tradelogAggOracle =
-    """SELECT event_type, count(*) AS n,
-      |       CAST(sum(CAST(round(value * 1000000) AS BIGINT)) AS BIGINT) AS sum_v6,
-      |       min(epoch_us(ts)) AS min_ts, max(epoch_us(ts)) AS max_ts
-      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+  /** The per-type aggregate oracle with an optional WHERE — the
+    * incremental-stream bridge grades its post-sync-point slice against
+    * the same text. */
+  private def aggOracleWhere(where: String) =
+    s"""SELECT event_type, count(*) AS n,
+       |       CAST(sum(CAST(round(value * 1000000) AS BIGINT)) AS BIGINT) AS sum_v6,
+       |       min(epoch_us(ts)) AS min_ts, max(epoch_us(ts)) AS max_ts
+       |FROM events $where GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  private val tradelogAggOracle = aggOracleWhere("")
 
   // ---- q_tradelog_digest ----------------------------------------------
 
@@ -510,6 +515,28 @@ object TradeLogQueries {
       .option("changesSinceGeneration", 1)
       .load(ensureAppendLog(s, dir)))
 
+  // ---- q_tradelog_incr_streamed (41st bridge: stream FROM a sync point) --
+
+  /** The incremental CONSUMER as a stream (41st bridge — Kafka's
+    * startingOffsets composed with the generation ledger): a fresh
+    * streaming query over the append artifact starts AFTER generation
+    * 1's blocks (`startingGeneration`), drains only the odd-half append
+    * in rate-limited micro-batches, and its complete-mode per-type
+    * aggregate must hash-match the batch SQL over exactly that slice —
+    * the "catch up from my last batch sync point, then keep streaming"
+    * shape every lakehouse-to-stream handoff runs. The option positions
+    * only FRESH streams (the checkpoint offset log owns resumes) and
+    * fails loudly if a purge broke the prefix property (spec-pinned). */
+  def tradelogIncrStreamed(s: SparkSession, dir: String): DataFrame = {
+    val path = ensureAppendLog(s, dir)
+    val perTrigger = streamTriggerBlocks(path)
+    Tables.runStreamComplete(s, "tradelog_incr_") { cs =>
+      aggByType(cs.readStream.format(FormatName)
+        .option("startingGeneration", 1)
+        .option("maxBlocksPerTrigger", perTrigger).load(path))
+    }.orderedBy("event_type")
+  }
+
   // ---- q_tradelog_evolve (SCHEMA EVOLUTION) ------------------------------
 
   /** Widened-schema round-trip — the production "logs grow columns" verb:
@@ -610,6 +637,10 @@ object TradeLogQueries {
     // INCREMENTAL CONSUMPTION: changes since gen 1 = exactly the append
     "q_tradelog_changes" -> QueryDef(tradelogChanges,
       Some(digestOracleWhere("WHERE event_id % 2 = 1"))),
+    // 41st bridge: a fresh STREAM positioned after generation 1's blocks
+    // drains only the append — startingOffsets meets the generation ledger
+    "q_tradelog_incr_streamed" -> QueryDef(tradelogIncrStreamed,
+      Some(aggOracleWhere("WHERE event_id % 2 = 1"))),
     // SCHEMA EVOLUTION: widened append, old blocks null-fill on read
     "q_tradelog_evolve" -> QueryDef(tradelogEvolve,
       Some(tradelogEvolveOracle)),

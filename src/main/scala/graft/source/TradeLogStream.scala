@@ -33,7 +33,8 @@ object TradeLogOffset {
   * by file — the same split shape as the batch scan. */
 final class TradeLogMicroBatchStream(path: String, wanted: Array[Int],
     xtypes: Array[org.apache.spark.sql.types.DataType],
-    maxBlocksPerTrigger: Option[Int])
+    maxBlocksPerTrigger: Option[Int],
+    startBlock: Int = 0)
     extends MicroBatchStream with SupportsAdmissionControl
     with SupportsTriggerAvailableNow {
 
@@ -43,7 +44,10 @@ final class TradeLogMicroBatchStream(path: String, wanted: Array[Int],
   override def prepareForTriggerAvailableNow(): Unit =
     availableNowTarget = Some(blocks.size)
 
-  override def initialOffset(): Offset = TradeLogOffset(0)
+  // fresh streams may start past a generation sync point
+  // (startingGeneration); resumed streams never call this — the
+  // checkpoint's offset log owns the position
+  override def initialOffset(): Offset = TradeLogOffset(startBlock)
   override def deserializeOffset(json: String): Offset =
     TradeLogOffset.fromJson(json)
 

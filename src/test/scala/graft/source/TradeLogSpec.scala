@@ -746,6 +746,42 @@ class TradeLogSpec extends SparkTestBase {
     }
   }
 
+  test("startingGeneration positions a fresh stream after the sync point; purge breaks it loudly") {
+    val dir = tmpDir("startgen") + "/log"
+    val a = (1L to 6L).map(i =>
+      Row(i, ts(f"2024-01-01 00:00:${i}%02d"), i, "a", i.toDouble, "{}"))
+    val b = (7L to 9L).map(i =>
+      Row(i, ts(f"2024-01-02 00:00:${i}%02d"), i, "b", i.toDouble, "{}"))
+    df(a).write.format(Fmt).mode("overwrite").option("blockRows", 4).save(dir)
+    df(b).write.format(Fmt).mode("append").option("blockRows", 4).save(dir)
+    def drain(opts: Map[String, String]): Seq[Row] = {
+      val name = s"sg_${java.util.UUID.randomUUID().toString.take(8)}"
+      val reader = spark.readStream.format(Fmt)
+      opts.foreach { case (k, v) => reader.option(k, v) }
+      val q = reader.load(dir).writeStream.outputMode("append")
+        .format("memory").queryName(name)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(120000L)
+      val rows = spark.table(name).collect().toSeq
+      spark.catalog.dropTempView(name)
+      rows
+    }
+    // fresh stream from generation 1's sync point: only the append drains
+    val got = drain(Map("startingGeneration" -> "1"))
+    assert(got.map(_.getLong(0)).sorted == (7L to 9L),
+      s"stream must start after gen 1's blocks: ${got.map(_.getLong(0))}")
+    // unset -> earliest (the whole log)
+    assert(drain(Map.empty).size == 9)
+    // a purge breaks the prefix property: positioning must fail loudly,
+    // never silently skip the wrong blocks
+    val cutoff = Timestamp.valueOf("2024-01-02 00:00:00").getTime * 1000L
+    TradeLogFormat.purgeBefore(dir, cutoff)
+    val boom = intercept[Exception] { drain(Map("startingGeneration" -> "1")) }
+    assert(exceptionChain(boom).exists(_.contains("prefix")),
+      s"post-purge positioning must fail with the prefix message: " +
+        s"${boom.getMessage}")
+  }
+
   test("snapshot expiry prunes old generations; recent pins and the head read survive") {
     val dir = tmpDir("expire") + "/log"
     val mk = (tag: String, lo: Long) => (lo until lo + 3).map(i =>
