@@ -53,6 +53,37 @@ object Advanced {
       .orderedBy("o_orderkey")
   }
 
+  /** Spark 4 SQL PIPE syntax (`|>`) — the sequential query-composition
+    * surface Spark 4 added (the BigQuery pipe-SQL shape): each stage
+    * transforms the previous result top-to-bottom, including a
+    * post-aggregate WHERE with no HAVING keyword. The parser desugars to
+    * the identical logical plan, so the classic-SQL oracle adjudicates
+    * the PARSER surface: filter → AGGREGATE..GROUP BY → filter → project
+    * over lineitem must hash-match its nested-form equivalent. Exact
+    * integer cents, the q_outliers lifting discipline. */
+  def sqlPipe(s: SparkSession, d: String): DataFrame = s.synchronized {
+    Tables.lineitem(s, d).createOrReplaceTempView("lineitem_pipe")
+    s.sql(
+      """FROM lineitem_pipe
+        ||> WHERE l_quantity > 10
+        ||> AGGREGATE count(*) AS n,
+        |     CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+        |       AS sum_price_c
+        |   GROUP BY l_returnflag, l_linestatus
+        ||> WHERE n > 5
+        ||> SELECT l_returnflag AS rf, l_linestatus AS ls, n, sum_price_c""".stripMargin)
+      .orderedBy("rf", "ls")
+  }
+
+  private[queries] val sqlPipeOracle =
+    """SELECT l_returnflag AS rf, l_linestatus AS ls, count(*) AS n,
+      |       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+      |         AS sum_price_c
+      |FROM lineitem WHERE l_quantity > 10
+      |GROUP BY l_returnflag, l_linestatus
+      |HAVING count(*) > 5
+      |ORDER BY rf, ls""".stripMargin
+
   /** As-of with tolerance: the most recent same-user click, but only if it
     * happened within 10 minutes before the purchase — the bounded-staleness
     * variant of q_join_asof, same single-shuffle window formulation
@@ -385,6 +416,9 @@ object Advanced {
     cteRecursiveSql.replace("%TABLE%", "orders") + "\nORDER BY yr, mo"
 
   val defs: Map[String, QueryDef] = Map(
+    // Spark 4 pipe SQL: |> stages desugar to the classic plan (parser
+    // surface under the nested-form oracle)
+    "q_sql_pipe" -> QueryDef(sqlPipe, Some(sqlPipeOracle)),
     "q_cte_recursive" -> QueryDef(cteRecursive, Some(cteRecursiveOracle)),
     // footer-statistics aggregation: COUNT/MIN/MAX pushed into the DSv2
     // parquet scan — O(files), not O(rows)
