@@ -430,23 +430,13 @@ final class TradeLogScan(path: String, tableSchema: StructType,
     // startingGeneration: begin a FRESH stream after the blocks committed
     // at generation N — the Kafka startingOffsets analogue composed with
     // the generation ledger ("resume from my last batch sync point").
-    // Sound only while N's blocks are a PREFIX of the head sequence
-    // (pure appends); an interleaved purge/truncate breaks the prefix and
-    // fails loudly here rather than silently mis-positioning the stream.
-    // Ignored on checkpoint resume (the offset log owns the position).
-    val startBlock = Option(options.get("startingGeneration")).map(_.toLong)
-      .map { g =>
-        val snap = TradeLogFormat.readManifestInfoAt(path, g).blocks
-        val head = TradeLogFormat.readManifest(path)
-        require(head.take(snap.size).map(b => (b.file, b.offset))
-            == snap.map(b => (b.file, b.offset)),
-          s"graft-tradelog: generation $g is not a prefix of the head " +
-            "block sequence (a purge/truncate intervened) — " +
-            "startingGeneration cannot position this stream")
-        snap.size
-      }.getOrElse(0)
+    // Resolution and the prefix-soundness check live in the stream's
+    // initialOffset(), which only FRESH streams call — a checkpoint
+    // resume (whose offset log owns the position) must not re-validate a
+    // sync point that a later purge legitimately outdated.
     new TradeLogMicroBatchStream(path, wanted, xtypes,
-      Option(options.get("maxBlocksPerTrigger")).map(_.toInt), startBlock)
+      Option(options.get("maxBlocksPerTrigger")).map(_.toInt),
+      Option(options.get("startingGeneration")).map(_.toLong))
   }
 }
 

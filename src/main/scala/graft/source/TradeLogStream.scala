@@ -7,7 +7,17 @@ import org.apache.spark.sql.connector.read.streaming._
 /** Offset into the committed global block sequence (manifest order):
   * `block` = number of blocks fully consumed. JSON round-trips through
   * the checkpoint's offset log exactly like Kafka's partition-offset
-  * maps — restart resumes from the last committed block. */
+  * maps — restart resumes from the last committed block.
+  *
+  * OFFSET STABILITY CONTRACT: offsets index the manifest's block order,
+  * which appends only EXTEND — so offsets are stable under any sequence
+  * of appends/epoch commits. A retention PURGE removes blocks and shifts
+  * the indices of survivors: purging data an ACTIVE stream's checkpoint
+  * still indexes is therefore out of contract (retention must trail the
+  * slowest consumer, the Kafka retention-vs-consumer-lag rule). A
+  * production evolution would stamp each block with a monotone sequence
+  * id at commit so offsets survive compaction/purge — the same family of
+  * change as sharding the manifest per day-partition. */
 final case class TradeLogOffset(block: Int) extends Offset {
   override def json(): String = s"""{"block":$block}"""
 }
@@ -34,7 +44,7 @@ object TradeLogOffset {
 final class TradeLogMicroBatchStream(path: String, wanted: Array[Int],
     xtypes: Array[org.apache.spark.sql.types.DataType],
     maxBlocksPerTrigger: Option[Int],
-    startBlock: Int = 0)
+    startingGeneration: Option[Long] = None)
     extends MicroBatchStream with SupportsAdmissionControl
     with SupportsTriggerAvailableNow {
 
@@ -44,10 +54,23 @@ final class TradeLogMicroBatchStream(path: String, wanted: Array[Int],
   override def prepareForTriggerAvailableNow(): Unit =
     availableNowTarget = Some(blocks.size)
 
-  // fresh streams may start past a generation sync point
-  // (startingGeneration); resumed streams never call this — the
-  // checkpoint's offset log owns the position
-  override def initialOffset(): Offset = TradeLogOffset(startBlock)
+  /** Fresh streams may start past a generation sync point
+    * (`startingGeneration`): generation N's blocks must be a PREFIX of
+    * the head sequence (pure appends) or positioning fails loudly — a
+    * purge/truncate in between would otherwise silently mis-position the
+    * stream. Resumed streams never call this (the checkpoint's offset
+    * log owns the position), so a sync point outdated by a later purge
+    * can never break a legitimate resume (r16 review follow-up). */
+  override def initialOffset(): Offset = TradeLogOffset(
+    startingGeneration.fold(0) { g =>
+      val snap = TradeLogFormat.readManifestInfoAt(path, g).blocks
+      require(blocks.take(snap.size).map(b => (b.file, b.offset))
+          == snap.map(b => (b.file, b.offset)),
+        s"graft-tradelog: generation $g is not a prefix of the head " +
+          "block sequence (a purge/truncate intervened) — " +
+          "startingGeneration cannot position this stream")
+      snap.size
+    })
   override def deserializeOffset(json: String): Offset =
     TradeLogOffset.fromJson(json)
 

@@ -772,8 +772,36 @@ class TradeLogSpec extends SparkTestBase {
       s"stream must start after gen 1's blocks: ${got.map(_.getLong(0))}")
     // unset -> earliest (the whole log)
     assert(drain(Map.empty).size == 9)
-    // a purge breaks the prefix property: positioning must fail loudly,
-    // never silently skip the wrong blocks
+    // a CHECKPOINTED stream with the option set (foreachBatch — the
+    // memory sink cannot recover from a checkpoint)
+    val ckpt = tmpDir("startgen-ckpt")
+    def drainCkpt(): Seq[Long] = {
+      val got = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+      val q = spark.readStream.format(Fmt)
+        .option("startingGeneration", "1").load(dir)
+        .writeStream.outputMode("append")
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          b.collect().foreach(r => got.add(r.getLong(0))); ()
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(120000L)
+      import scala.jdk.CollectionConverters._
+      got.asScala.toSeq
+    }
+    assert(drainCkpt().sorted == (7L to 9L))
+    // a checkpoint RESUME with the option still set must keep working and
+    // deliver only NEW appends — the offset log owns the position and the
+    // sync point is never re-resolved on resume (r16 review follow-up:
+    // validation lives in initialOffset, which resumes never call)
+    df(Seq(Row(20L, ts("2024-01-03 00:00:00"), 20L, "c", 1.0, "{}")))
+      .write.format(Fmt).mode("append").save(dir)
+    assert(drainCkpt().sorted == Seq(20L),
+      "resume must deliver only the new rows, untouched by the option")
+    // a purge breaks the prefix property: FRESH positioning must fail
+    // loudly, never silently skip the wrong blocks. (Purging blocks an
+    // ACTIVE stream checkpoint still indexes is out of contract — see the
+    // offset-stability note on TradeLogOffset.)
     val cutoff = Timestamp.valueOf("2024-01-02 00:00:00").getTime * 1000L
     TradeLogFormat.purgeBefore(dir, cutoff)
     val boom = intercept[Exception] { drain(Map("startingGeneration" -> "1")) }
