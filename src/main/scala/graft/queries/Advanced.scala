@@ -75,6 +75,81 @@ object Advanced {
       .orderedBy("rf", "ls")
   }
 
+  /** Parameterized SQL (named `:marker` arguments — the injection-safe
+    * client surface, Spark 3.4+/4) and `EXECUTE IMMEDIATE ... USING`
+    * (SQL-side dynamic statements with positional binds, Spark 4), both
+    * under one hash gate: a parameterized selection of high-value open
+    * orders cross-joined with a dynamically executed scalar count. The
+    * literals live ONLY in the args map / USING clause, so the oracle
+    * (plain SQL with the same constants) adjudicates that binding is
+    * value-exact, typed, and reaches the scan as a normal pushed
+    * predicate. */
+  def sqlParams(s: SparkSession, d: String): DataFrame = s.synchronized {
+    Tables.orders(s, d).createOrReplaceTempView("orders_prm")
+    val filt = s.sql(
+      """SELECT o_orderkey,
+        |       CAST(round(o_totalprice * 100) AS BIGINT) AS price_c
+        |FROM orders_prm
+        |WHERE o_totalprice > :lo AND o_orderstatus = :st""".stripMargin,
+      Map("lo" -> 150000, "st" -> "O"))
+    val n = s.sql(
+      """EXECUTE IMMEDIATE
+        |  'SELECT count(*) AS n_open FROM orders_prm
+        |   WHERE o_orderstatus = ? AND o_totalprice > ?'
+        |  USING 'O', 150000""".stripMargin)
+    filt.crossJoin(n).orderedBy("o_orderkey")
+  }
+
+  private[queries] val sqlParamsOracle =
+    """SELECT o_orderkey,
+      |       CAST(round(o_totalprice * 100) AS BIGINT) AS price_c,
+      |       n.n_open
+      |FROM orders, (SELECT count(*) AS n_open FROM orders
+      |              WHERE o_orderstatus = 'O' AND o_totalprice > 150000) n
+      |WHERE o_totalprice > 150000 AND o_orderstatus = 'O'
+      |ORDER BY o_orderkey""".stripMargin
+
+  /** Spark 4 SQL SCRIPTING (BEGIN…END, DECLARE, WHILE/SET) — the
+    * procedural surface, doing genuinely iterative work: an adaptive
+    * histogram search that widens the bucket width ×10 until at most 32
+    * buckets remain, then returns the histogram at the chosen width. The
+    * loop's trip count is DATA-DEPENDENT (more rows → more distinct
+    * buckets → more iterations), and ×10 widths nest exactly, so the
+    * distinct-bucket count is monotone non-increasing in w — the first
+    * width satisfying the bound equals the minimum satisfying width,
+    * which is what the DECLARATIVE oracle computes over a candidate
+    * ladder. Scripting needs its own conf, scoped to a child session. */
+  def sqlScript(s: SparkSession, d: String): DataFrame = {
+    val cs = s.newSession()
+    cs.conf.set("spark.sql.scripting.enabled", "true")
+    Tables.orders(cs, d).createOrReplaceTempView("orders_scr")
+    cs.sql(
+      """BEGIN
+        |  DECLARE w BIGINT DEFAULT 1;
+        |  WHILE (SELECT count(DISTINCT CAST(floor(o_totalprice / w) AS BIGINT))
+        |         FROM orders_scr) > 32 DO
+        |    SET w = w * 10;
+        |  END WHILE;
+        |  SELECT w AS bucket_w,
+        |         CAST(floor(o_totalprice / w) AS BIGINT) AS bucket,
+        |         count(*) AS n
+        |  FROM orders_scr GROUP BY 1, 2;
+        |END""".stripMargin)
+      .orderedBy("bucket")
+  }
+
+  private[queries] val sqlScriptOracle =
+    """WITH cand(w) AS (
+      |  SELECT unnest([1, 10, 100, 1000, 10000, 100000, 1000000, 10000000])),
+      |h AS (SELECT w, CAST(floor(o_totalprice / w) AS BIGINT) AS bucket,
+      |             count(*) AS n
+      |      FROM orders CROSS JOIN cand GROUP BY w, bucket),
+      |m AS (SELECT w, count(*) AS nb FROM h GROUP BY w),
+      |pick AS (SELECT min(w) AS w FROM m WHERE nb <= 32)
+      |SELECT CAST(h.w AS BIGINT) AS bucket_w, h.bucket, h.n
+      |FROM h JOIN pick ON h.w = pick.w
+      |ORDER BY bucket""".stripMargin
+
   private[queries] val sqlPipeOracle =
     """SELECT l_returnflag AS rf, l_linestatus AS ls, count(*) AS n,
       |       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
@@ -419,6 +494,10 @@ object Advanced {
     // Spark 4 pipe SQL: |> stages desugar to the classic plan (parser
     // surface under the nested-form oracle)
     "q_sql_pipe" -> QueryDef(sqlPipe, Some(sqlPipeOracle)),
+    // named parameter markers + EXECUTE IMMEDIATE..USING under one gate
+    "q_sql_params" -> QueryDef(sqlParams, Some(sqlParamsOracle)),
+    // SQL scripting: a data-dependent WHILE loop vs its declarative twin
+    "q_sql_script" -> QueryDef(sqlScript, Some(sqlScriptOracle)),
     "q_cte_recursive" -> QueryDef(cteRecursive, Some(cteRecursiveOracle)),
     // footer-statistics aggregation: COUNT/MIN/MAX pushed into the DSv2
     // parquet scan — O(files), not O(rows)
