@@ -100,6 +100,35 @@ object Advanced {
     filt.crossJoin(n).orderedBy("o_orderkey")
   }
 
+  /** Spark 4 string COLLATIONS: grouping and equality under UTF8_LCASE.
+    * The order priorities are re-cased deterministically by key parity
+    * (evens upper, odds lower), then grouped on the COLLATED column —
+    * one group per case-insensitive value — with a collated-equality
+    * counter lane; min over a collation-equal group is an arbitrary case
+    * variant, so lower() canonicalizes the emitted key. Oracle: the
+    * lower()-normalized classic SQL (UTF8_LCASE equivalence for ASCII
+    * data ≡ lowercase equality). */
+  def collationQ(s: SparkSession, d: String): DataFrame = s.synchronized {
+    Tables.orders(s, d).createOrReplaceTempView("orders_col")
+    s.sql(
+      """WITH mixed AS (
+        |  SELECT CASE WHEN o_orderkey % 2 = 0 THEN upper(o_orderpriority)
+        |              ELSE lower(o_orderpriority) END AS pr
+        |  FROM orders_col),
+        |g AS (SELECT pr COLLATE UTF8_LCASE AS prc FROM mixed)
+        |SELECT lower(CAST(min(prc) AS STRING)) AS priority,
+        |       count(*) AS n,
+        |       sum(CASE WHEN prc = '1-URGENT' THEN 1 ELSE 0 END) AS n_urgent
+        |FROM g GROUP BY prc""".stripMargin)
+      .orderedBy("priority")
+  }
+
+  private[queries] val collationOracle =
+    """SELECT lower(o_orderpriority) AS priority, count(*) AS n,
+      |       CAST(sum(CASE WHEN lower(o_orderpriority) = '1-urgent'
+      |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_urgent
+      |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin
+
   private[queries] val sqlParamsOracle =
     """SELECT o_orderkey,
       |       CAST(round(o_totalprice * 100) AS BIGINT) AS price_c,
@@ -498,6 +527,8 @@ object Advanced {
     "q_sql_params" -> QueryDef(sqlParams, Some(sqlParamsOracle)),
     // SQL scripting: a data-dependent WHILE loop vs its declarative twin
     "q_sql_script" -> QueryDef(sqlScript, Some(sqlScriptOracle)),
+    // UTF8_LCASE collation: case-insensitive grouping + equality lanes
+    "q_collation" -> QueryDef(collationQ, Some(collationOracle)),
     "q_cte_recursive" -> QueryDef(cteRecursive, Some(cteRecursiveOracle)),
     // footer-statistics aggregation: COUNT/MIN/MAX pushed into the DSv2
     // parquet scan — O(files), not O(rows)
