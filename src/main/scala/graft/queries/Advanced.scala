@@ -100,14 +100,20 @@ object Advanced {
     filt.crossJoin(n).orderedBy("o_orderkey")
   }
 
-  /** Spark 4 string COLLATIONS: grouping and equality under UTF8_LCASE.
-    * The order priorities are re-cased deterministically by key parity
-    * (evens upper, odds lower), then grouped on the COLLATED column —
-    * one group per case-insensitive value — with a collated-equality
-    * counter lane; min over a collation-equal group is an arbitrary case
-    * variant, so lower() canonicalizes the emitted key. Oracle: the
-    * lower()-normalized classic SQL (UTF8_LCASE equivalence for ASCII
-    * data ≡ lowercase equality). */
+  /** Spark 4 string COLLATIONS: case-insensitive EQUALITY and IN
+    * membership under UTF8_LCASE, over order priorities re-cased
+    * deterministically by key parity (evens upper, odds lower).
+    *
+    * Scale note (found by this repo's own plan guard): GROUPING on a
+    * collated key plans a corpus-wide SortAggregate in Spark 4.1 —
+    * collated keys are not hash-aggregatable — so the 100 TB idiom is
+    * NORMALIZE-then-hash-group (lower() as the binary group key) and
+    * keep the collation where it belongs: the comparison semantics.
+    * The collated lanes here ('1-URGENT' equality and a mixed-case IN
+    * list, each matching every case variant) stay plain expressions
+    * inside a partial+final HashAggregate. Oracle: the
+    * lower()-normalized classic SQL (UTF8_LCASE ≡ lowercase equality on
+    * ASCII data). */
   def collationQ(s: SparkSession, d: String): DataFrame = s.synchronized {
     Tables.orders(s, d).createOrReplaceTempView("orders_col")
     s.sql(
@@ -115,18 +121,22 @@ object Advanced {
         |  SELECT CASE WHEN o_orderkey % 2 = 0 THEN upper(o_orderpriority)
         |              ELSE lower(o_orderpriority) END AS pr
         |  FROM orders_col),
-        |g AS (SELECT pr COLLATE UTF8_LCASE AS prc FROM mixed)
-        |SELECT lower(CAST(min(prc) AS STRING)) AS priority,
+        |g AS (SELECT pr, pr COLLATE UTF8_LCASE AS prc FROM mixed)
+        |SELECT lower(pr) AS priority,
         |       count(*) AS n,
-        |       sum(CASE WHEN prc = '1-URGENT' THEN 1 ELSE 0 END) AS n_urgent
-        |FROM g GROUP BY prc""".stripMargin)
+        |       sum(CASE WHEN prc = '1-URGENT' THEN 1 ELSE 0 END) AS n_urgent,
+        |       sum(CASE WHEN prc IN ('2-HIGH', '3-medium')
+        |                THEN 1 ELSE 0 END) AS n_hm
+        |FROM g GROUP BY lower(pr)""".stripMargin)
       .orderedBy("priority")
   }
 
   private[queries] val collationOracle =
     """SELECT lower(o_orderpriority) AS priority, count(*) AS n,
       |       CAST(sum(CASE WHEN lower(o_orderpriority) = '1-urgent'
-      |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_urgent
+      |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_urgent,
+      |       CAST(sum(CASE WHEN lower(o_orderpriority) IN ('2-high', '3-medium')
+      |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_hm
       |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin
 
   private[queries] val sqlParamsOracle =
