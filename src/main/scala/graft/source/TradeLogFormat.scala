@@ -131,23 +131,84 @@ object TradeLogFormat {
     * the table schema, old blocks keep their original nCols, and the
     * reader null-fills any requested ordinal >= nCols without decoding
     * anything (the parquet mergeSchema missing-column rule re-expressed
-    * at block granularity). */
+    * at block granularity).
+    *
+    * Fields 9-12 (all optional, legacy lines default conservatively):
+    * `nTsNull` — how many of the block's rows carry a NULL ts (-1 =
+    * unknown, pre-field manifests). A ts-range DELETE may drop a block
+    * metadata-only ONLY when its span sits inside the range AND
+    * nTsNull == 0: null-ts rows never match a ts predicate, so a block
+    * holding any must be rewritten, not dropped. `seq` — the block's
+    * MONOTONE commit sequence number, assigned by the committing driver
+    * (-1 on legacy lines → normalized to manifest position, which IS
+    * legacy append order). Streaming offsets are seq watermarks, so they
+    * survive purges and compactions of already-consumed blocks — the
+    * production evolution the r16 offset-stability note called for.
+    * `minUser`/`maxUser` — the block's user_id range (inverted range =
+    * provably no non-null user_id; legacy default = unbounded), the
+    * coarse tier above the bloom. */
   final case class BlockMeta(file: String, offset: Long, payloadLen: Int,
       nRows: Int, minTsUs: Long, maxTsUs: Long, bloomHex: String = "",
-      nCols: Int = BaseCols) {
+      nCols: Int = BaseCols, nTsNull: Int = -1, seq: Long = -1L,
+      minUser: Long = Long.MinValue, maxUser: Long = Long.MaxValue) {
     def csv: String =
-      s"$file,$offset,$payloadLen,$nRows,$minTsUs,$maxTsUs,$bloomHex,$nCols"
+      s"$file,$offset,$payloadLen,$nRows,$minTsUs,$maxTsUs,$bloomHex," +
+        s"$nCols,$nTsNull,$seq,$minUser,$maxUser"
     def mightContainUser(id: Long): Boolean =
-      TradeLogFormat.bloomMightContain(bloomHex, id)
+      id >= minUser && id <= maxUser &&
+        TradeLogFormat.bloomMightContain(bloomHex, id)
   }
 
   object BlockMeta {
     def fromCsv(line: String): BlockMeta = {
       val a = line.split(",", -1)
-      require(a.length >= 6 && a.length <= 8, s"bad manifest line: $line")
+      require(a.length >= 6 && a.length <= 12, s"bad manifest line: $line")
       BlockMeta(a(0), a(1).toLong, a(2).toInt, a(3).toInt,
         a(4).toLong, a(5).toLong, if (a.length >= 7) a(6) else "",
-        if (a.length == 8) a(7).toInt else BaseCols)
+        if (a.length >= 8) a(7).toInt else BaseCols,
+        if (a.length >= 9) a(8).toInt else -1,
+        if (a.length >= 10) a(9).toLong else -1L,
+        if (a.length >= 11) a(10).toLong else Long.MinValue,
+        if (a.length >= 12) a(11).toLong else Long.MaxValue)
+    }
+  }
+
+  /** One manifest SHARD: an immutable `_manifests/shard-*.csv` file of
+    * block CSV lines, listed in the manifest by this ref line — the
+    * two-level manifest (Iceberg's manifest-list/manifest split). Commits
+    * write shards only for the day buckets they TOUCH and carry every
+    * other ref forward byte-identical, so an append is O(touched days)
+    * driver work and a generation snapshot shares its predecessor's shard
+    * files. The ref carries the shard's block count, row count, ts span
+    * and user_id range, so a ts-sliced (or user-pointed) plan resolves
+    * only intersecting shards — block-level skipping then refines within
+    * them. Unknown spans stay conservative: a shard holding any
+    * unknown-ts block has minTsUs = Long.MinValue / maxTsUs =
+    * Long.MaxValue and is never pruned. */
+  final case class ShardRef(file: String, nBlocks: Int, nRows: Long,
+      minTsUs: Long, maxTsUs: Long, minUser: Long, maxUser: Long,
+      maxSeq: Long) {
+    def line: String =
+      s"S,$file,$nBlocks,$nRows,$minTsUs,$maxTsUs,$minUser,$maxUser,$maxSeq"
+    def intersectsTs(lo: Long, hi: Long): Boolean =
+      minTsUs <= hi && maxTsUs >= lo
+    def mightContainAnyUser(ids: Set[Long]): Boolean =
+      ids.exists(id => id >= minUser && id <= maxUser)
+  }
+
+  object ShardRef {
+    def of(file: String, blocks: Seq[BlockMeta]): ShardRef = {
+      require(blocks.nonEmpty, "a shard must hold at least one block")
+      ShardRef(file, blocks.size, blocks.map(_.nRows.toLong).sum,
+        blocks.map(_.minTsUs).min, blocks.map(_.maxTsUs).max,
+        blocks.map(_.minUser).min, blocks.map(_.maxUser).max,
+        blocks.map(_.seq).max)
+    }
+    def fromLine(l: String): ShardRef = {
+      val a = l.split(",", -1)
+      require(a.length == 9 && a(0) == "S", s"bad shard ref line: $l")
+      ShardRef(a(1), a(2).toInt, a(3).toLong, a(4).toLong, a(5).toLong,
+        a(6).toLong, a(7).toLong, a(8).toLong)
     }
   }
 
@@ -250,7 +311,10 @@ object TradeLogFormat {
     (p.getFileSystem(conf), p)
   }
 
-  /** Read the committed manifest: the global block sequence. */
+  /** Read the committed manifest: the global block sequence (seq order —
+    * append order for legacy flat logs). Resolves every shard of a
+    * two-level manifest; plan paths that can prune should use
+    * [[readManifestRefs]] + [[readShardBlocks]] instead. */
   def readManifest(dir: String): Seq[BlockMeta] = readManifestMeta(dir)._1
 
   /** Blocks + last committed streaming epoch (compat accessor). */
@@ -278,8 +342,12 @@ object TradeLogFormat {
     * log). */
   final case class ManifestInfo(blocks: Seq[BlockMeta], epoch: Option[Long],
       qid: Option[String], gen: Long, xcols: Seq[StructField],
-      epochCommit: Boolean = false) {
+      epochCommit: Boolean = false, shards: Seq[ShardRef] = Seq.empty,
+      maxSeq: Long = -1L) {
     def tableSchema: StructType = widenedSchema(xcols)
+    /** Total committed blocks, from refs alone when sharded. */
+    def blockCount: Int =
+      if (shards.nonEmpty) shards.map(_.nBlocks).sum else blocks.size
   }
 
   def readManifestInfo(dir: String): ManifestInfo =
@@ -291,90 +359,168 @@ object TradeLogFormat {
   def readManifestHeader(dir: String): ManifestInfo =
     readManifestFile(dir, ManifestName, headerOnly = true)
 
+  /** Shard refs without resolving their block lists — the O(#shards)
+    * planning read. On a legacy FLAT manifest the blocks are inline and
+    * come back populated (`shards` empty): callers treat that as "one
+    * unprunable shard". */
+  def readManifestRefs(dir: String): ManifestInfo =
+    readManifestFile(dir, ManifestName, refsOnly = true)
+
+  /** Resolve one shard's block list (seq order as written). */
+  def readShardBlocks(dir: String, ref: ShardRef): Seq[BlockMeta] = {
+    val (filesystem, root) = fs(dir)
+    val in = filesystem.open(new Path(root, s"$ManifestDirName/${ref.file}"))
+    try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+      .map(_.trim).filter(_.nonEmpty).map(BlockMeta.fromCsv).toSeq
+    finally in.close()
+  }
+
+  /** Full block resolve of an already-read (refs or flat) manifest. */
+  def resolveBlocks(dir: String, info: ManifestInfo): Seq[BlockMeta] =
+    if (info.shards.nonEmpty)
+      info.shards.flatMap(readShardBlocks(dir, _)).sortBy(_.seq)
+    else normalizeSeq(info.blocks)
+
+  /** Committed block count at O(#shards) cost (refs-only read). */
+  def countBlocks(dir: String): Int = readManifestRefs(dir).blockCount
+
+  /** Legacy flat manifests carry no seq: assign manifest position, which
+    * IS their append order (appends concatenated). Sharded blocks sort by
+    * their committed seq. */
+  private[source] def normalizeSeq(bs: Seq[BlockMeta]): Seq[BlockMeta] =
+    if (bs.forall(_.seq >= 0L)) bs.sortBy(_.seq)
+    else bs.zipWithIndex.map { case (b, i) => b.copy(seq = i.toLong) }
+
   /** A PINNED generation snapshot (`_manifests/gen-N.manifest`) — the
-    * read-at-version surface. Every [[writeManifest]] publishes its
-    * snapshot before the main manifest, so any committed state since the
-    * feature landed is addressable. Data-file availability bounds the
+    * read-at-version surface. Every commit CLAIMS its snapshot (atomic
+    * no-overwrite rename) before publishing the main manifest, so any
+    * committed state is addressable. Data-file availability bounds the
     * horizon: purge+vacuum may have GC'd files an old generation
     * references (the delist-journal grace window is the retention knob —
-    * the Iceberg/Delta snapshot-expiry trade, re-expressed). */
+    * the Iceberg/Delta snapshot-expiry trade, re-expressed). Snapshots
+    * above the committed head generation are in-flight or abandoned
+    * CLAIMS, not committed states — callers resolving "latest" semantics
+    * must bound by the head gen (see [[resolveEpochGen]]). */
   def readManifestInfoAt(dir: String, gen: Long,
-      headerOnly: Boolean = false): ManifestInfo = {
+      headerOnly: Boolean = false, refsOnly: Boolean = false): ManifestInfo = {
     val name = s"$ManifestDirName/gen-$gen.manifest"
     val (filesystem, root) = fs(dir)
     require(filesystem.exists(new Path(root, name)),
       s"graft-tradelog $dir has no generation $gen snapshot " +
         "(pre-generation log, or the snapshot horizon was pruned)")
-    readManifestFile(dir, name, headerOnly)
+    readManifestFile(dir, name, headerOnly, refsOnly)
   }
 
   private def readManifestFile(dir: String, name: String,
-      headerOnly: Boolean = false): ManifestInfo = {
+      headerOnly: Boolean = false, refsOnly: Boolean = false): ManifestInfo = {
     val (filesystem, root) = fs(dir)
     val in = filesystem.open(new Path(root, name))
-    try {
-      val src = scala.io.Source.fromInputStream(in, "UTF-8")
-      val lineIt = src.getLines().map(_.trim).filter(_.nonEmpty)
-      val head = if (lineIt.hasNext) lineIt.next() else ""
-      require(head == ManifestHeader || head.startsWith(ManifestHeader + " "),
-        s"not a graft-tradelog dir: $dir")
-      val epoch = "epoch=(\\d+)".r.findFirstMatchIn(head).map(_.group(1).toLong)
-      val qid = "qid=(\\S+)".r.findFirstMatchIn(head).map(_.group(1))
-      val gen = "gen=(\\d+)".r.findFirstMatchIn(head).map(_.group(1).toLong)
-        .getOrElse(0L)
-      val xcols = "xcols=(\\S+)".r.findFirstMatchIn(head).map(_.group(1))
-        .map(parseXcols).getOrElse(Seq.empty)
-      val ecommit = head.contains(" ecommit=1")
-      val blocks =
-        if (headerOnly) Seq.empty
-        else lineIt.map(BlockMeta.fromCsv).toSeq
-      ManifestInfo(blocks, epoch, qid, gen, xcols, ecommit)
-    } finally in.close()
+    val (head, refs, inline) =
+      try {
+        val src = scala.io.Source.fromInputStream(in, "UTF-8")
+        val lineIt = src.getLines().map(_.trim).filter(_.nonEmpty)
+        val head = if (lineIt.hasNext) lineIt.next() else ""
+        require(head == ManifestHeader || head.startsWith(ManifestHeader + " "),
+          s"not a graft-tradelog dir: $dir")
+        if (headerOnly) (head, Seq.empty[ShardRef], Seq.empty[BlockMeta])
+        else {
+          val (refLines, blockLines) = lineIt.toSeq.partition(_.startsWith("S,"))
+          (head, refLines.map(ShardRef.fromLine),
+            blockLines.map(BlockMeta.fromCsv))
+        }
+      } finally in.close()
+    val epoch = "epoch=(\\d+)".r.findFirstMatchIn(head).map(_.group(1).toLong)
+    val qid = "qid=(\\S+)".r.findFirstMatchIn(head).map(_.group(1))
+    val gen = "gen=(\\d+)".r.findFirstMatchIn(head).map(_.group(1).toLong)
+      .getOrElse(0L)
+    val xcols = "xcols=(\\S+)".r.findFirstMatchIn(head).map(_.group(1))
+      .map(parseXcols).getOrElse(Seq.empty)
+    val ecommit = head.contains(" ecommit=1")
+    val maxSeq = "maxSeq=(-?\\d+)".r.findFirstMatchIn(head)
+      .map(_.group(1).toLong).getOrElse(-1L)
+    val blocks =
+      if (refs.nonEmpty && !refsOnly)
+        refs.flatMap(readShardBlocks(dir, _)).sortBy(_.seq)
+      else if (refs.nonEmpty) Seq.empty
+      else normalizeSeq(inline)
+    ManifestInfo(blocks, epoch, qid, gen, xcols, ecommit, refs, maxSeq)
   }
 
   val ManifestDirName = "_manifests"
 
+  /** Generation numbers of every `gen-N.manifest` snapshot, strictly
+    * regex-matched so a stray file sharing the prefix/suffix can never
+    * abort a maintenance pass with a NumberFormatException (r16 advice). */
+  private def listSnapshotGens(filesystem: FileSystem, mdir: Path): Seq[Long] = {
+    val re = "^gen-(\\d+)\\.manifest$".r
+    filesystem.listStatus(mdir).toSeq.map(_.getPath.getName)
+      .flatMap(n => re.findFirstMatchIn(n).map(_.group(1).toLong))
+  }
+
   /** SNAPSHOT EXPIRY — the retention verb of the time-travel surface
     * (Iceberg's expire_snapshots / Delta's log retention): delete every
-    * generation snapshot older than the newest `keepLast` (the head
-    * generation's snapshot always survives). Reads pinned at an expired
-    * generation fail loudly afterwards (`readManifestInfoAt`'s horizon
-    * message); the head manifest and all data files are untouched —
-    * snapshots are metadata only, so expiry is O(#snapshots) unlinks.
-    * Returns the number of snapshots deleted. Same single-maintenance-
-    * writer contract as the delist journal. */
-  def expireSnapshots(dir: String, keepLast: Int): Int = {
+    * COMMITTED generation snapshot older than the newest `keepLast` (the
+    * head generation's snapshot always survives). Snapshots ABOVE the
+    * committed head are in-flight or abandoned commit CLAIMS, never
+    * counted or touched here — counting them could victimize the real
+    * head's snapshot (r16 advice); reclaiming a dead claim is the commit
+    * loop's takeover job. Reads pinned at an expired generation fail
+    * loudly afterwards (`readManifestInfoAt`'s horizon message); the
+    * head manifest and all data files are untouched.
+    *
+    * After deleting victims, shard files referenced by NO surviving
+    * manifest (head, kept snapshots, in-flight claims) are swept too —
+    * age-gated by `sweepMinAgeMs` so a concurrent commit's just-written,
+    * not-yet-claimed shards are never destroyed (the same floor as
+    * vacuum's orphan adoption). Returns the number of SNAPSHOTS deleted.
+    * Same single-maintenance-writer contract as the delist journal. */
+  def expireSnapshots(dir: String, keepLast: Int,
+      sweepMinAgeMs: Long = OrphanMinAgeMs): Int = {
     require(keepLast >= 1, s"keepLast must be >= 1, got $keepLast")
     val (filesystem, root) = fs(dir)
     val mdir = new Path(root, ManifestDirName)
-    if (!filesystem.exists(mdir)) return 0
-    val gens = filesystem.listStatus(mdir).toSeq
-      .map(_.getPath.getName)
-      .collect { case n if n.startsWith("gen-") && n.endsWith(".manifest") =>
-        n.stripPrefix("gen-").stripSuffix(".manifest").toLong }
+    if (!filesystem.exists(mdir) ||
+      !filesystem.exists(new Path(root, ManifestName))) return 0
+    val headGen = readManifestHeader(dir).gen
+    val committed = listSnapshotGens(filesystem, mdir).filter(_ <= headGen)
       .sorted
-    val victims = gens.dropRight(keepLast)
-    victims.count(g =>
+    val victims = committed.dropRight(keepLast)
+    val n = victims.count(g =>
       filesystem.delete(new Path(mdir, s"gen-$g.manifest"), false))
+    // shard sweep: collect every shard still referenced by the head or any
+    // surviving snapshot (claims above headGen included — their refs are a
+    // racer's in-flight commit), unlink the aged rest
+    val referenced = (readManifestRefs(dir).shards ++
+      listSnapshotGens(filesystem, mdir).flatMap(g =>
+        readManifestInfoAt(dir, g, refsOnly = true).shards))
+      .map(_.file).toSet
+    val now = System.currentTimeMillis()
+    val shardRe = "^shard-[0-9a-f]+\\.csv$".r
+    filesystem.listStatus(mdir).foreach { st =>
+      val name = st.getPath.getName
+      if (shardRe.findFirstIn(name).isDefined && !referenced(name) &&
+        st.getModificationTime <= now - sweepMinAgeMs)
+        filesystem.delete(st.getPath, false)
+    }
+    n
   }
 
-  /** Resolve an `asOfEpoch` read to the newest generation that IS a
-    * streaming-sink epoch commit with stamp <= `epoch`. The `ecommit`
-    * marker — not the epoch token alone — is the filter: batch appends
-    * and purges CARRY the (epoch, qid) stamp forward for the replay
-    * guard, so a later carried-stamp generation contains post-epoch
-    * state and must never resolve as the epoch itself (r16 review
-    * finding). Header-only snapshot reads — one line per generation,
-    * driver-side. */
+  /** Resolve an `asOfEpoch` read to the newest COMMITTED generation that
+    * IS a streaming-sink epoch commit with stamp <= `epoch`. Two filters:
+    * the `ecommit` marker — not the epoch token alone — because batch
+    * appends and purges CARRY the (epoch, qid) stamp forward for the
+    * replay guard (r16 review finding); and gen <= the head generation,
+    * because a snapshot above the head is an in-flight or crashed commit
+    * CLAIM whose data files were never published — resolving it would
+    * serve a never-committed state (r16 advice). Header-only snapshot
+    * reads — one line per generation, driver-side. */
   def resolveEpochGen(dir: String, epoch: Long): Long = {
     val (filesystem, root) = fs(dir)
     val mdir = new Path(root, ManifestDirName)
     require(filesystem.exists(mdir),
       s"graft-tradelog $dir has no generation snapshots (pre-generation log)")
-    val gens = filesystem.listStatus(mdir).toSeq
-      .map(_.getPath.getName)
-      .collect { case n if n.startsWith("gen-") && n.endsWith(".manifest") =>
-        n.stripPrefix("gen-").stripSuffix(".manifest").toLong }
+    val headGen = readManifestHeader(dir).gen
+    val gens = listSnapshotGens(filesystem, mdir).filter(_ <= headGen)
     val stamped = gens.flatMap { g =>
       val info = readManifestInfoAt(dir, g, headerOnly = true)
       info.epoch.collect { case e if info.epochCommit && e <= epoch => g }
@@ -384,65 +530,228 @@ object TradeLogFormat {
     stamped.max
   }
 
-  /** Atomic manifest publish: temp file + OVERWRITE rename IS the commit
-    * — FileContext's Rename.OVERWRITE replaces the old manifest in one
-    * step, so there is never a window with no manifest on disk (a
-    * delete-then-rename would leave a reader-visible gap, and a crash
-    * inside it would orphan the whole log). The streaming sink stamps
-    * (epoch, queryId) into the header so a replayed epoch commit (driver
-    * restart between sink commit and checkpoint write) is detected and
-    * dropped — scoped to the SAME query, so a fresh-checkpoint query
-    * appending to an existing log is never mistaken for a replay.
+  // ---- optimistic commit protocol --------------------------------------
+
+  /** What one commit wants the next generation to contain:
+    * `reuse` — shard refs carried forward byte-identical (untouched
+    * days); `rewrite` — shard files to re-emit from ALREADY-SEQUENCED
+    * blocks (purge/DELETE rewrites, legacy conversion); `fresh` — new
+    * blocks, sequenced here (monotone from the head's maxSeq) and
+    * grouped into per-day shards. Header fields as before; `resetSeq`
+    * restarts the sequence (truncate — a new content identity). */
+  final case class CommitSpec(
+      reuse: Seq[ShardRef] = Seq.empty,
+      rewrite: Seq[Seq[BlockMeta]] = Seq.empty,
+      fresh: Seq[BlockMeta] = Seq.empty,
+      epoch: Option[Long] = None,
+      qid: Option[String] = None,
+      xcols: Seq[StructField] = Seq.empty,
+      epochCommit: Boolean = false,
+      resetSeq: Boolean = false)
+
+  /** One day bucket of the block-to-shard grouping (µs epoch days;
+    * unknown-ts blocks collect in their own always-read bucket). */
+  private val DayUs = 86400000000L
+  private[source] def dayOf(minTsUs: Long): Long =
+    if (minTsUs == Long.MinValue) Long.MinValue
+    else Math.floorDiv(minTsUs, DayUs)
+
+  private def groupByDay(blocks: Seq[BlockMeta]): Seq[Seq[BlockMeta]] =
+    blocks.groupBy(b => dayOf(b.minTsUs)).toSeq.sortBy(_._1)
+      .map(_._2.sortBy(_.seq))
+
+  /** In-process commit serialization, keyed by qualified log root: local
+    * racers take the optimistic path deterministically (read outside the
+    * lock, claim+publish inside), and the filesystem's no-overwrite
+    * rename arbitrates cross-process racers — the Delta LogStore split. */
+  private val commitLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
+  /** Write `body` to a temp file and atomically rename it to `target`.
+    * With `overwrite = false` the rename is the commit CLAIM: it fails
+    * (returns false) when the target already exists — the lost race. */
+  private def publishAtomic(filesystem: FileSystem, conf: Configuration,
+      tmpDir: Path, target0: Path, body: Array[Byte],
+      overwrite: Boolean): Boolean = {
+    val target = filesystem.makeQualified(target0)
+    val tmp = filesystem.makeQualified(new Path(tmpDir,
+      s".${target0.getName}.tmp-" +
+        java.util.UUID.randomUUID().toString.take(8)))
+    val out = filesystem.create(tmp, true)
+    try out.write(body) finally out.close()
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(target.toUri, conf)
+    if (overwrite) {
+      fc.rename(tmp, target, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+      true
+    } else {
+      try { fc.rename(tmp, target); true }
+      catch {
+        case e: java.io.IOException =>
+          filesystem.delete(tmp, false)
+          // lost claim only if the destination really exists; anything
+          // else is a genuine IO failure and must surface
+          if (filesystem.exists(target)) false else throw e
+      }
+    }
+  }
+
+  /** After a lost claim for `gen`: wait for the racing claimant to
+    * publish its head (normal race — retry immediately after), or take
+    * over a DEAD claimant's orphan snapshot once it ages past
+    * `patienceMs` with the head still behind it. Takeover deletes the
+    * orphan so the generation can be re-claimed; the patience must
+    * exceed any sane claim→publish latency (two renames), which is why
+    * the default is a minute and specs pass ~0 to exercise the path. */
+  private def awaitHeadOrTakeover(filesystem: FileSystem, dir: String,
+      root: Path, gen: Long, patienceMs: Long): Unit = {
+    val snap = new Path(root, s"$ManifestDirName/gen-$gen.manifest")
+    var spins = 0
+    while (spins < 50) {
+      val headGen =
+        if (filesystem.exists(new Path(root, ManifestName)))
+          readManifestHeader(dir).gen
+        else 0L
+      if (headGen >= gen) return // racer published: retry against new head
+      val st =
+        try Some(filesystem.getFileStatus(snap))
+        catch { case _: java.io.FileNotFoundException => None }
+      st match {
+        case None => return // claim vanished (owner aborted): re-claim
+        case Some(s)
+          if System.currentTimeMillis() - s.getModificationTime > patienceMs =>
+          filesystem.delete(snap, false) // dead claimant: take over
+          return
+        case _ => Thread.sleep(50); spins += 1
+      }
+    }
+  }
+
+  /** OPTIMISTIC manifest commit — the Iceberg/Delta commit protocol for
+    * concurrent writers: read the head, build the next generation's
+    * shard set, then CLAIM `_manifests/gen-N.manifest` with an atomic
+    * no-overwrite rename. Exactly one claimant per generation wins and
+    * publishes the head (OVERWRITE rename — never a window with no
+    * manifest on disk); the loser deletes its attempt's shard files,
+    * re-reads the new head, re-runs `update` against it (re-validating
+    * schema prefixes, replay stamps, purge conflicts — whatever the
+    * caller checks), and retries with the next generation, bounded by
+    * `maxAttempts`. A crash between claim and head publish leaves an
+    * orphan snapshot that resolution ignores (it is above the head gen)
+    * and a later committer takes over after `claimPatienceMs`.
     *
-    * GENERATIONS + TIME TRAVEL: every publish stamps `gen=N` (previous
-    * committed generation + 1) and first pins its full content as
-    * `_manifests/gen-N.manifest` — snapshot BEFORE main manifest, so a
-    * crash between the two leaves an unreferenced snapshot (harmless),
-    * never a committed manifest without its pinned twin. Reads with
-    * `option("atGeneration", N)` / `option("asOfEpoch", E)` plan against
-    * the snapshot instead of the head. Snapshots are block METADATA
-    * (bytes per ~1024 rows); a production deployment prunes them with the
-    * same retention policy as the delist journal. `xcols` records the
-    * extra columns of a widened schema; rewrite paths (purge, append,
-    * epoch commits) must carry the CURRENT xcols forward or data written
-    * after a widening would lose its column identity. */
-  /** `epochCommit` marks the generation as the streaming sink's OWN
-    * epoch publication (the ` ecommit=1` header token) — what asOfEpoch
-    * resolution keys on; carry-forward rewrites leave it false.
-    * `prevGen` lets commit paths that just read the manifest skip the
-    * redundant re-read (None = read it here; callers without the info —
-    * specs, fresh logs — pass nothing). */
+    * `update` sees the head as refs (legacy flat manifests are converted
+    * to day shards first — a one-time O(blocks) migration commit) and
+    * returns None to abort (e.g. a detected epoch replay) or the spec of
+    * the new state. Returns the committed generation, or None on abort.
+    *
+    * 100 TB shape: an append is O(touched day shards) driver work — refs
+    * header read, per-day shard files for the fresh blocks, two renames —
+    * never O(all blocks); generation snapshots share shard files, so
+    * time travel stays O(metadata touched), the Iceberg manifest-list
+    * property. */
+  def commitManifest(dir: String, maxAttempts: Int = 12,
+      claimPatienceMs: Long = 60000L)(
+      update: Option[ManifestInfo] => Option[CommitSpec]): Option[Long] = {
+    val conf = driverConf()
+    val (filesystem, root) = fs(dir, conf)
+    val mdir = new Path(root, ManifestDirName)
+    filesystem.mkdirs(mdir)
+    val lock = commitLocks.computeIfAbsent(
+      filesystem.makeQualified(root).toString, _ => new Object)
+    var attempt = 0
+    while (attempt < maxAttempts) {
+      attempt += 1
+      val attemptShards = scala.collection.mutable.ArrayBuffer.empty[String]
+      def newShard(blocks: Seq[BlockMeta]): ShardRef = {
+        val name = "shard-" + java.util.UUID.randomUUID().toString
+          .replace("-", "").take(16) + ".csv"
+        publishAtomic(filesystem, conf, mdir, new Path(mdir, name),
+          blocks.map(_.csv).mkString("\n").getBytes(StandardCharsets.UTF_8),
+          overwrite = true)
+        attemptShards += name
+        ShardRef.of(name, blocks)
+      }
+      val prev0 =
+        if (filesystem.exists(new Path(root, ManifestName)))
+          Some(readManifestRefs(dir))
+        else None
+      // one-time legacy migration: a flat manifest's inline blocks become
+      // day shards (positional seq preserves append order), so this and
+      // every later commit is O(touched shards)
+      val prev = prev0.map { p =>
+        if (p.shards.isEmpty && p.blocks.nonEmpty) {
+          val seqd = normalizeSeq(p.blocks)
+          p.copy(shards = groupByDay(seqd).map(newShard),
+            maxSeq = seqd.map(_.seq).max)
+        } else p
+      }
+      update(prev) match {
+        case None =>
+          attemptShards.foreach(f =>
+            filesystem.delete(new Path(mdir, f), false))
+          return None
+        case Some(spec) =>
+          val gen = prev.map(_.gen).getOrElse(0L) + 1
+          val baseSeq =
+            if (spec.resetSeq) 0L
+            else prev.map(p => math.max(p.maxSeq,
+              p.shards.foldLeft(-1L)((a, r) => math.max(a, r.maxSeq))) + 1L)
+              .getOrElse(0L)
+          val freshSeqd = spec.fresh.zipWithIndex.map { case (b, i) =>
+            b.copy(seq = baseSeq + i) }
+          val newRefs =
+            (spec.rewrite.filter(_.nonEmpty) ++ groupByDay(freshSeqd))
+              .map(newShard)
+          val refs = spec.reuse ++ newRefs
+          val maxSeq = math.max(baseSeq + freshSeqd.size - 1,
+            refs.foldLeft(-1L)((a, r) => math.max(a, r.maxSeq)))
+          val head = ManifestHeader + s" gen=$gen" +
+            spec.epoch.map(e => s" epoch=$e").getOrElse("") +
+            spec.qid.map(q => s" qid=$q").getOrElse("") +
+            (if (spec.epochCommit) " ecommit=1" else "") +
+            xcolsToken(spec.xcols) +
+            s" maxSeq=$maxSeq"
+          val body = (head +: refs.map(_.line)).mkString("\n")
+            .getBytes(StandardCharsets.UTF_8)
+          val won = lock.synchronized {
+            publishAtomic(filesystem, conf, mdir,
+              new Path(mdir, s"gen-$gen.manifest"), body,
+              overwrite = false) && {
+              publishAtomic(filesystem, conf, root,
+                new Path(root, ManifestName), body, overwrite = true)
+              true
+            }
+          }
+          if (won) return Some(gen)
+          // lost the generation race: drop this attempt's shards, wait for
+          // the winner's head (or reclaim a dead claim), then recompute
+          attemptShards.foreach(f =>
+            filesystem.delete(new Path(mdir, f), false))
+          awaitHeadOrTakeover(filesystem, dir, root, gen, claimPatienceMs)
+      }
+    }
+    throw new IllegalStateException(
+      s"graft-tradelog commit to $dir lost $maxAttempts generation races — " +
+        "either contention is pathological or an abandoned claim is " +
+        "blocking (compare _manifests/gen-*.manifest to the head gen)")
+  }
+
+  /** Full-replace commit under the optimistic protocol (compat surface —
+    * specs and re-stamp paths): the given blocks become the log's entire
+    * content at the next generation, re-sequenced in the given order.
+    * The streaming sink stamps (epoch, queryId) so a replayed epoch
+    * commit is detected and dropped; `epochCommit` marks the generation
+    * as the sink's OWN epoch publication (what asOfEpoch resolution keys
+    * on) — carry-forward rewrites leave it false. */
   def writeManifest(dir: String, blocks: Seq[BlockMeta],
       epoch: Option[Long] = None, qid: Option[String] = None,
       xcols: Seq[StructField] = Seq.empty,
-      epochCommit: Boolean = false,
-      prevGen: Option[Long] = None): Unit = {
-    val conf = driverConf()
-    val (filesystem, root) = fs(dir, conf)
-    val gen = prevGen.getOrElse(
-      if (filesystem.exists(new Path(root, ManifestName)))
-        readManifestHeader(dir).gen
-      else 0L) + 1
-    val head = ManifestHeader + s" gen=$gen" +
-      epoch.map(e => s" epoch=$e").getOrElse("") +
-      qid.map(q => s" qid=$q").getOrElse("") +
-      (if (epochCommit) " ecommit=1" else "") +
-      xcolsToken(xcols)
-    val body = (head +: blocks.map(_.csv)).mkString("\n")
-      .getBytes(StandardCharsets.UTF_8)
-    def publish(target0: Path): Unit = {
-      val target = filesystem.makeQualified(target0)
-      val tmp = filesystem.makeQualified(new Path(root,
-        s".${target0.getName}.tmp-" +
-          java.util.UUID.randomUUID().toString.take(8)))
-      val out = filesystem.create(tmp, true)
-      try out.write(body) finally out.close()
-      org.apache.hadoop.fs.FileContext.getFileContext(target.toUri, conf)
-        .rename(tmp, target, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+      epochCommit: Boolean = false): Unit = {
+    commitManifest(dir) { _ =>
+      Some(CommitSpec(fresh = blocks, epoch = epoch, qid = qid,
+        xcols = xcols, epochCommit = epochCommit))
     }
-    filesystem.mkdirs(new Path(root, ManifestDirName))
-    publish(new Path(root, s"$ManifestDirName/gen-$gen.manifest"))
-    publish(new Path(root, ManifestName))
+    ()
   }
 
   /** RETENTION purge + vacuum — the metadata-only DELETE of every block
@@ -485,17 +794,47 @@ object TradeLogFormat {
     * design). */
   def purgeBefore(dir: String, cutoffUs: Long,
       vacuumGraceMs: Long = 0L): (Int, Int) = {
-    val info = readManifestInfo(dir)
-    val blocks = info.blocks
-    val keep = blocks.filter(_.maxTsUs >= cutoffUs)
-    writeManifest(dir, keep, info.epoch, info.qid, info.xcols,
-      prevGen = Some(info.gen))
-    val keptFiles = keep.map(_.file).toSet
-    val dropped = blocks.map(_.file).distinct.filterNot(keptFiles)
-    val now = System.currentTimeMillis()
-    writeTrash(dir, readTrash(dir) ++
-      dropped.map(f => TrashEntry(f, now, adopted = false)))
-    (blocks.size - keep.size, vacuum(dir, vacuumGraceMs))
+    // (dropped block count, delist candidates) from the WINNING attempt
+    val outcome = new java.util.concurrent.atomic.AtomicReference[
+      (Int, Seq[String])]((0, Seq.empty))
+    commitManifest(dir) { prevOpt =>
+      val prev = prevOpt.getOrElse(throw new IllegalArgumentException(
+        s"graft-tradelog $dir has no committed manifest to purge"))
+      val reuse = scala.collection.mutable.ArrayBuffer.empty[ShardRef]
+      val rewrite = scala.collection.mutable.ArrayBuffer.empty[Seq[BlockMeta]]
+      val dropped = scala.collection.mutable.ArrayBuffer.empty[BlockMeta]
+      val keptResolved = scala.collection.mutable.ArrayBuffer.empty[BlockMeta]
+      // shard triage: fully-retained refs carry forward UNRESOLVED (the
+      // O(touched shards) property), fully-expired shards resolve only for
+      // file accounting, straddlers rewrite their surviving blocks
+      prev.shards.foreach { r =>
+        if (r.minTsUs >= cutoffUs) reuse += r
+        else if (r.maxTsUs < cutoffUs) dropped ++= readShardBlocks(dir, r)
+        else {
+          val bs = readShardBlocks(dir, r)
+          val (keep, drop) = bs.partition(_.maxTsUs >= cutoffUs)
+          dropped ++= drop
+          keptResolved ++= keep
+          if (keep.nonEmpty) rewrite += keep
+        }
+      }
+      // delist candidates: files with dropped blocks and no RESOLVED kept
+      // block. A file also referenced by an unresolved retained shard is
+      // protected by vacuum's own still-referenced check at GC time — the
+      // journal is a hint, the manifest is the authority.
+      val keptFiles = keptResolved.map(_.file).toSet
+      val delisted = dropped.map(_.file).distinct.filterNot(keptFiles)
+      outcome.set((dropped.size, delisted.toSeq))
+      Some(CommitSpec(reuse = reuse.toSeq, rewrite = rewrite.toSeq,
+        epoch = prev.epoch, qid = prev.qid, xcols = prev.xcols))
+    }
+    val (nDropped, delisted) = outcome.get()
+    if (delisted.nonEmpty) {
+      val now = System.currentTimeMillis()
+      writeTrash(dir, readTrash(dir) ++
+        delisted.map(f => TrashEntry(f, now, adopted = false)))
+    }
+    (nDropped, vacuum(dir, vacuumGraceMs))
   }
 
   /** Delist journal: `(file, delistMillis, adopted)` rows for every data

@@ -61,12 +61,20 @@ final class TradeLogProvider extends TableProvider with DataSourceRegister {
     * A fresh directory (no manifest yet — the first write) is
     * base-schema; widened FIRST writes are admitted by ACCEPT_ANY_SCHEMA
     * + the write builder's own prefix validation, not by inference. */
+  /** asOfEpoch resolved ONCE here and threaded through the table to the
+    * scan, so an epoch commit landing between schema inference and scan
+    * construction can never pin the block list at a different generation
+    * than the schema was inferred from (r16 advice). Spark calls
+    * inferSchema then getTable on the same provider instance. */
+  @volatile private var resolvedPin: Option[Long] = None
+
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
     val path = Option(options.get("path")).getOrElse(
       throw new IllegalArgumentException("graft-tradelog requires a path"))
     val pinnedGen = Option(options.get("atGeneration")).map(_.toLong)
       .orElse(Option(options.get("asOfEpoch")).map(e =>
         TradeLogFormat.resolveEpochGen(path, e.toLong)))
+    resolvedPin = pinnedGen
     pinnedGen match {
       case Some(g) =>
         TradeLogFormat.readManifestInfoAt(path, g, headerOnly = true)
@@ -83,11 +91,12 @@ final class TradeLogProvider extends TableProvider with DataSourceRegister {
       properties: util.Map[String, String]): Table =
     new TradeLogTable(properties.asScala.getOrElse("path",
       throw new IllegalArgumentException("graft-tradelog requires a path")),
-      schema)
+      schema, resolvedPin)
 }
 
 final class TradeLogTable(path: String,
-    tableSchema: StructType = TradeLogFormat.schema)
+    tableSchema: StructType = TradeLogFormat.schema,
+    resolvedPin: Option[Long] = None)
     extends Table with SupportsRead with SupportsWrite {
   override def name(): String = s"graft-tradelog `$path`"
   override def schema(): StructType = tableSchema
@@ -101,7 +110,7 @@ final class TradeLogTable(path: String,
       TableCapability.BATCH_WRITE, TableCapability.TRUNCATE,
       TableCapability.STREAMING_WRITE, TableCapability.ACCEPT_ANY_SCHEMA)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new TradeLogScanBuilder(path, tableSchema, options)
+    new TradeLogScanBuilder(path, tableSchema, options, resolvedPin)
   override def newWriteBuilder(
       info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
       : org.apache.spark.sql.connector.write.WriteBuilder =
@@ -114,7 +123,8 @@ final class TradeLogTable(path: String,
   * reports the ts bounds the scan will use for block skipping, which is
   * how they surface in `.explain` (the parquet PushedFilters pattern). */
 final class TradeLogScanBuilder(path: String, tableSchema: StructType,
-    options: CaseInsensitiveStringMap)
+    options: CaseInsensitiveStringMap,
+    resolvedPin: Option[Long] = None)
     extends ScanBuilder with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns with SupportsPushDownAggregates {
 
@@ -224,7 +234,7 @@ final class TradeLogScanBuilder(path: String, tableSchema: StructType,
     case Some(aggs) => new TradeLogAggScan(path, aggs)
     case None =>
       new TradeLogScan(path, tableSchema, required, tsLo, tsHi, userIds,
-        options)
+        options, resolvedPin)
   }
 }
 
@@ -275,7 +285,8 @@ final case class TradeLogAggRow(values: Array[Any]) extends InputPartition
 final class TradeLogScan(path: String, tableSchema: StructType,
     required: StructType,
     tsLo: Long, tsHi: Long, userIds: Option[Set[Long]],
-    options: CaseInsensitiveStringMap)
+    options: CaseInsensitiveStringMap,
+    resolvedPin: Option[Long] = None)
     extends Scan with SupportsReportStatistics
     with SupportsRuntimeV2Filtering {
 
@@ -299,7 +310,12 @@ final class TradeLogScan(path: String, tableSchema: StructType,
     val e = Option(options.get("asOfEpoch")).map(_.toLong)
     require(g.isEmpty || e.isEmpty,
       "graft-tradelog: set atGeneration OR asOfEpoch, not both")
-    g.orElse(e.map(ep => TradeLogFormat.resolveEpochGen(path, ep)))
+    // asOfEpoch was resolved ONCE at schema inference and threaded here
+    // (r16 advice: a second resolution could pin a different generation
+    // than the schema came from); the orElse leg only serves scans built
+    // directly in specs, where no inference ran
+    resolvedPin.orElse(
+      g.orElse(e.map(ep => TradeLogFormat.resolveEpochGen(path, ep))))
   }
 
   /** CHANGES-SINCE read (`option("changesSinceGeneration", N)`) — the
@@ -317,16 +333,65 @@ final class TradeLogScan(path: String, tableSchema: StructType,
   require(changesSince.isEmpty || travelGen.isEmpty,
     "graft-tradelog: changesSinceGeneration cannot combine with a pinned read")
 
-  private[source] lazy val allBlocks: Seq[BlockMeta] = changesSince match {
+  /** Shard-level planning: resolve ONLY the shards whose ts span / user
+    * range intersects the pushed bounds — the two-level-manifest payoff
+    * (a narrow time slice over a years-deep log reads a handful of shard
+    * files, never the whole block ledger). Block-level skipping then
+    * refines within the resolved shards; both tiers are advisory (the
+    * residual filters keep results exact), and unknown spans stay
+    * conservative. Legacy flat manifests resolve inline (one unprunable
+    * "shard"). */
+  private def pruneShards(info: TradeLogFormat.ManifestInfo)
+      : (Seq[BlockMeta], Int, Int) =
+    if (info.shards.isEmpty)
+      (TradeLogFormat.resolveBlocks(path, info),
+        if (info.blocks.isEmpty) 0 else 1, if (info.blocks.isEmpty) 0 else 1)
+    else {
+      val sel = info.shards.filter(r =>
+        r.intersectsTs(tsLo, tsHi) &&
+          userIds.forall(ids => r.mightContainAnyUser(ids)))
+      (sel.flatMap(TradeLogFormat.readShardBlocks(path, _)).sortBy(_.seq),
+        sel.size, info.shards.size)
+    }
+
+  private lazy val shardPlan: (Seq[BlockMeta], Int, Int) = changesSince match {
     case Some(n) =>
-      val base = TradeLogFormat.readManifestInfoAt(path, n).blocks
-        .map(b => (b.file, b.offset)).toSet
-      TradeLogFormat.readManifest(path)
-        .filterNot(b => base((b.file, b.offset)))
+      // incremental diff at SHARD granularity: shard files are immutable
+      // and carried by ref, so shared refs contribute no candidates —
+      // only shards added (or rewritten) after the sync point resolve,
+      // and only sync-point shards the head dropped resolve for identity
+      // subtraction. Legacy flat manifests on either side fall back to
+      // the full identity diff.
+      val headI = TradeLogFormat.readManifestRefs(path)
+      val snapI = TradeLogFormat.readManifestInfoAt(path, n, refsOnly = true)
+      if (headI.shards.isEmpty || snapI.shards.isEmpty) {
+        val base = TradeLogFormat.resolveBlocks(path, snapI)
+          .map(b => (b.file, b.offset)).toSet
+        (TradeLogFormat.resolveBlocks(path, headI)
+          .filterNot(b => base((b.file, b.offset))), -1, -1)
+      } else {
+        val snapFiles = snapI.shards.map(_.file).toSet
+        val headFiles = headI.shards.map(_.file).toSet
+        val candidates = headI.shards.filterNot(r => snapFiles(r.file))
+          .flatMap(TradeLogFormat.readShardBlocks(path, _))
+        val baseOnly = snapI.shards.filterNot(r => headFiles(r.file))
+          .flatMap(TradeLogFormat.readShardBlocks(path, _))
+          .map(b => (b.file, b.offset)).toSet
+        (candidates.filterNot(b => baseOnly((b.file, b.offset)))
+          .sortBy(_.seq), -1, -1)
+      }
     case None =>
-      travelGen.fold(TradeLogFormat.readManifest(path))(g =>
-        TradeLogFormat.readManifestInfoAt(path, g).blocks)
+      pruneShards(travelGen match {
+        case Some(g) =>
+          TradeLogFormat.readManifestInfoAt(path, g, refsOnly = true)
+        case None => TradeLogFormat.readManifestRefs(path)
+      })
   }
+
+  private[source] lazy val allBlocks: Seq[BlockMeta] = shardPlan._1
+  /** Shards this plan resolved / the manifest's total (-1 = diff read). */
+  private[source] def shardsRead: Int = shardPlan._2
+  private[source] def shardsTotal: Int = shardPlan._3
 
   /** Block-stats skip: keep a block unless its ts span provably misses
     * the pushed conjunction (blocks with no non-null ts always survive —
@@ -407,8 +472,10 @@ final class TradeLogScan(path: String, tableSchema: StructType,
     // plan audit can tell a pinned or incremental read from a head read
     val travel = travelGen.map(g => s", AtGeneration=$g").getOrElse("") +
       changesSince.map(n => s", ChangesSinceGeneration=$n").getOrElse("")
+    val shards =
+      if (shardsTotal > 0) s", shards=$shardsRead/$shardsTotal" else ""
     s"GraftTradeLog path=$path, ReadSchema=${required.simpleString}, " +
-      s"PushedTsBounds=[$tsLo,$tsHi]$users$travel, blocks=$sel"
+      s"PushedTsBounds=[$tsLo,$tsHi]$users$travel$shards, blocks=$sel"
   }
 
   override def toBatch: Batch = new Batch {

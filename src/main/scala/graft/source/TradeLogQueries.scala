@@ -55,12 +55,12 @@ object TradeLogQueries {
     val st = src.getFileSystem(s.sparkContext.hadoopConfiguration)
       .getFileStatus(src)
     val dsafe = dir.replaceAll("[^A-Za-z0-9.]", "_")
-    // v3: manifests carry generation stamps + pinned snapshots and
-    // per-block nCols (time travel + schema evolution) — a
-    // format-semantics change is a FRESH artifact path by construction
-    // (the build-once rule; v2 added the user_id blooms)
+    // v4: two-level manifests (per-day shard files under _manifests),
+    // optimistic commit claims, per-block commit seq / null-ts count /
+    // user range — a format-semantics change is a FRESH artifact path by
+    // construction (the build-once rule; v3 added generations, v2 blooms)
     s"${Tables.artifactRoot(s)}/graft_tradelog/" +
-      s"v3_${dsafe}_${st.getLen}_${st.getModificationTime}"
+      s"v4_${dsafe}_${st.getLen}_${st.getModificationTime}"
   }
 
   /** Build the log once through the DSv2 WRITE path; the committed
@@ -74,7 +74,10 @@ object TradeLogQueries {
       Tables.events(s, dir)
         .select(col("event_id"), col("ts"), col("user_id"),
           col("event_type"), col("value"), col("props"))
-        .repartition(8, to_date(col("ts")))
+        // RANGE partitioning (not day-hash): contiguous time per writer,
+        // so blocks straddle only adjacent days and the per-day manifest
+        // shards get tight ts spans — what makes shard-level pruning bite
+        .repartitionByRange(8, col("ts"))
         .sortWithinPartitions("ts")
         .write.format(FormatName).mode("overwrite")
         .option("blockRows", 256)
@@ -207,11 +210,27 @@ object TradeLogQueries {
   def tradelogAppend(s: SparkSession, dir: String): DataFrame =
     digestOver(s.read.format(FormatName).load(ensureAppendLog(s, dir)))
 
-  def ensureAppendLog(s: SparkSession, dir: String): String = {
-    val path = s"${logPath(s, dir)}-append"
+  /** Two-commit artifacts gate on "head generation == 2", not bare
+    * manifest existence: the first commit already publishes a manifest,
+    * so a crash between the two would otherwise freeze a half-built
+    * artifact that every later run silently accepts (r16 advice). A
+    * partial build is wiped and rebuilt. */
+  private def ensureTwoGen(s: SparkSession, path: String)(
+      build: String => Unit): String = {
     val (fs, root) = TradeLogFormat.fs(path)
-    if (!fs.exists(new org.apache.hadoop.fs.Path(root,
-        TradeLogFormat.ManifestName))) {
+    val head = new org.apache.hadoop.fs.Path(root, TradeLogFormat.ManifestName)
+    val done = fs.exists(head) && TradeLogFormat.readManifestHeader(path).gen == 2
+    if (!done) {
+      if (fs.exists(root)) fs.delete(root, true)
+      build(path)
+      require(TradeLogFormat.readManifestHeader(path).gen == 2,
+        s"two-commit artifact build left $path at an unexpected generation")
+    }
+    path
+  }
+
+  def ensureAppendLog(s: SparkSession, dir: String): String =
+    ensureTwoGen(s, s"${logPath(s, dir)}-append") { path =>
       val ev = Tables.events(s, dir)
         .select(col("event_id"), col("ts"), col("user_id"),
           col("event_type"), col("value"), col("props"))
@@ -222,8 +241,6 @@ object TradeLogQueries {
         .write.format(FormatName).mode("append")
         .option("blockRows", 256).save(path)
     }
-    path
-  }
 
   // ---- q_tradelog_pushdown --------------------------------------------
 
@@ -302,9 +319,10 @@ object TradeLogQueries {
     }.orderedBy("event_type")
   }
 
-  /** ~3 micro-batches at any scale. */
+  /** ~3 micro-batches at any scale (block count from shard refs alone —
+    * O(#shards), no block CSV parse). */
   def streamTriggerBlocks(path: String): Int =
-    math.max(1, (TradeLogFormat.readManifest(path).size + 2) / 3)
+    math.max(1, (TradeLogFormat.countBlocks(path) + 2) / 3)
 
   // ---- q_tradelog_point -----------------------------------------------
 
@@ -416,7 +434,7 @@ object TradeLogQueries {
     if (!fs.exists(new org.apache.hadoop.fs.Path(root,
         TradeLogFormat.ManifestName))) {
       s.read.format(FormatName).load(src)
-        .repartition(4, to_date(col("ts")))
+        .repartitionByRange(4, col("ts"))
         .sortWithinPartitions("ts")
         .write.format(FormatName).mode("overwrite")
         .option("blockRows", 2048)
@@ -458,7 +476,7 @@ object TradeLogQueries {
     val done = new org.apache.hadoop.fs.Path(root, "_PURGED")
     if (!fs.exists(done)) {
       s.read.format(FormatName).load(src)
-        .repartition(8, to_date(col("ts")))
+        .repartitionByRange(8, col("ts"))
         .sortWithinPartitions("ts")
         .write.format(FormatName).mode("overwrite")
         .option("blockRows", 256)
@@ -577,12 +595,10 @@ object TradeLogQueries {
   }
 
   /** Build-once mixed-generation artifact: base-schema evens, then a
-    * widening append of the odds. */
-  def ensureEvolveLog(s: SparkSession, dir: String): String = {
-    val path = s"${logPath(s, dir)}-evolve"
-    val (fs, root) = TradeLogFormat.fs(path)
-    if (!fs.exists(new org.apache.hadoop.fs.Path(root,
-        TradeLogFormat.ManifestName))) {
+    * widening append of the odds (gen==2 completion guard — see
+    * [[ensureTwoGen]]). */
+  def ensureEvolveLog(s: SparkSession, dir: String): String =
+    ensureTwoGen(s, s"${logPath(s, dir)}-evolve") { path =>
       val ev = Tables.events(s, dir)
         .select(col("event_id"), col("ts"), col("user_id"),
           col("event_type"), col("value"), col("props"))
@@ -597,8 +613,6 @@ object TradeLogQueries {
         .write.format(FormatName).mode("append")
         .option("blockRows", 256).save(path)
     }
-    path
-  }
 
   /** The evolve oracle recomputes the mixed-generation table from the
     * parquet: odd event_ids carry the extras, even ones null-fill —

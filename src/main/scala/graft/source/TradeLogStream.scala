@@ -4,21 +4,23 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.read.{InputPartition, PartitionReaderFactory}
 import org.apache.spark.sql.connector.read.streaming._
 
-/** Offset into the committed global block sequence (manifest order):
-  * `block` = number of blocks fully consumed. JSON round-trips through
-  * the checkpoint's offset log exactly like Kafka's partition-offset
-  * maps — restart resumes from the last committed block.
+/** Offset into the committed block SEQUENCE: `block` is a seq WATERMARK —
+  * every block with `seq < block` has been fully consumed. JSON
+  * round-trips through the checkpoint's offset log exactly like Kafka's
+  * partition-offset maps — restart resumes from the last committed
+  * watermark.
   *
-  * OFFSET STABILITY CONTRACT: offsets index the manifest's block order,
-  * which appends only EXTEND — so offsets are stable under any sequence
-  * of appends/epoch commits. A retention PURGE removes blocks and shifts
-  * the indices of survivors: purging data an ACTIVE stream's checkpoint
-  * still indexes is therefore out of contract (retention must trail the
-  * slowest consumer, the Kafka retention-vs-consumer-lag rule). A
-  * production evolution would stamp each block with a monotone sequence
-  * id at commit so offsets survive compaction/purge — the same family of
-  * change as sharding the manifest per day-partition. */
-final case class TradeLogOffset(block: Int) extends Offset {
+  * OFFSET STABILITY CONTRACT: each block's `seq` is assigned once at
+  * commit time, monotonically across commits, and never reassigned — so
+  * watermarks are stable under appends, epoch commits, AND retention
+  * purges/compactions of already-consumed blocks (a purged block simply
+  * no longer appears below the watermark; survivors keep their seq).
+  * This is the production evolution the flat-index offset needed: Kafka
+  * offsets survive segment deletion the same way. Only TRUNCATE resets
+  * the sequence — a new content identity that voids any prior stream's
+  * checkpoint lineage by design (the startingGeneration consistency
+  * check catches a truncate interposed under a fresh sync point). */
+final case class TradeLogOffset(block: Long) extends Offset {
   override def json(): String = s"""{"block":$block}"""
 }
 
@@ -26,21 +28,22 @@ object TradeLogOffset {
   def fromJson(json: String): TradeLogOffset = {
     val m = """\{\s*"block"\s*:\s*(\d+)\s*\}""".r
     json.trim match {
-      case m(n) => TradeLogOffset(n.toInt)
+      case m(n) => TradeLogOffset(n.toLong)
       case _ => throw new IllegalArgumentException(s"bad tradelog offset: $json")
     }
   }
 }
 
-/** Micro-batch read over a committed tradelog: the manifest's block list
-  * is the topic, a block index is the offset. `SupportsAdmissionControl`
-  * applies `maxBlocksPerTrigger` per batch (the Kafka
-  * maxOffsetsPerTrigger idea — rate limiting lives in latestOffset, not
-  * in planInputPartitions), and `SupportsTriggerAvailableNow` pins the
-  * end target when the trigger starts, so AvailableNow drains exactly
-  * the blocks committed at start time across however many rate-limited
-  * batches that takes. Each batch's partitions regroup its block range
-  * by file — the same split shape as the batch scan. */
+/** Micro-batch read over a committed tradelog: the manifest's block
+  * sequence is the topic, a seq watermark is the offset.
+  * `SupportsAdmissionControl` applies `maxBlocksPerTrigger` per batch
+  * (the Kafka maxOffsetsPerTrigger idea — rate limiting lives in
+  * latestOffset, not in planInputPartitions), and
+  * `SupportsTriggerAvailableNow` pins the end target when the trigger
+  * starts, so AvailableNow drains exactly the blocks committed at start
+  * time across however many rate-limited batches that takes. Each
+  * batch's partitions regroup its block range by file — the same split
+  * shape as the batch scan. */
 final class TradeLogMicroBatchStream(path: String, wanted: Array[Int],
     xtypes: Array[org.apache.spark.sql.types.DataType],
     maxBlocksPerTrigger: Option[Int],
@@ -48,28 +51,49 @@ final class TradeLogMicroBatchStream(path: String, wanted: Array[Int],
     extends MicroBatchStream with SupportsAdmissionControl
     with SupportsTriggerAvailableNow {
 
+  /** The committed sequence at stream construction, seq-ascending (legacy
+    * flat logs normalize seq to manifest position — their append order). */
   private lazy val blocks = TradeLogFormat.readManifest(path).toIndexedSeq
   @volatile private var availableNowTarget: Option[Int] = None
+
+  /** Number of blocks below a seq watermark (blocks is seq-ascending). */
+  private def idxOf(watermark: Long): Int = {
+    var lo = 0; var hi = blocks.size
+    while (lo < hi) {
+      val mid = (lo + hi) >>> 1
+      if (blocks(mid).seq < watermark) lo = mid + 1 else hi = mid
+    }
+    lo
+  }
+
+  private def watermarkAfter(idx: Int): Long =
+    if (idx <= 0) 0L else blocks(idx - 1).seq + 1L
 
   override def prepareForTriggerAvailableNow(): Unit =
     availableNowTarget = Some(blocks.size)
 
   /** Fresh streams may start past a generation sync point
-    * (`startingGeneration`): generation N's blocks must be a PREFIX of
-    * the head sequence (pure appends) or positioning fails loudly — a
-    * purge/truncate in between would otherwise silently mis-position the
-    * stream. Resumed streams never call this (the checkpoint's offset
-    * log owns the position), so a sync point outdated by a later purge
-    * can never break a legitimate resume (r16 review follow-up). */
+    * (`startingGeneration`): the watermark is generation N's max seq + 1.
+    * Because seqs are commit-stable, a retention purge between the sync
+    * point and now is harmless (its victims simply sit below the
+    * watermark); what the consistency check must catch is a TRUNCATE,
+    * which restarts the sequence under new content — every head block
+    * below the sync watermark must be one of the snapshot's own blocks,
+    * or positioning fails loudly. Resumed streams never call this (the
+    * checkpoint's offset log owns the position). */
   override def initialOffset(): Offset = TradeLogOffset(
-    startingGeneration.fold(0) { g =>
-      val snap = TradeLogFormat.readManifestInfoAt(path, g).blocks
-      require(blocks.take(snap.size).map(b => (b.file, b.offset))
-          == snap.map(b => (b.file, b.offset)),
-        s"graft-tradelog: generation $g is not a prefix of the head " +
-          "block sequence (a purge/truncate intervened) — " +
+    startingGeneration.fold(0L) { g =>
+      val snap = TradeLogFormat.resolveBlocks(path,
+        TradeLogFormat.readManifestInfoAt(path, g, refsOnly = true))
+      val sync = if (snap.isEmpty) 0L else snap.map(_.seq).max + 1L
+      val snapIds = snap.map(b => (b.file, b.offset)).toSet
+      val foreign = blocks.take(idxOf(sync))
+        .filterNot(b => snapIds((b.file, b.offset)))
+      require(foreign.isEmpty,
+        s"graft-tradelog: generation $g is not a sequence prefix of the " +
+          "head (a truncate replaced the log's content identity) — " +
           "startingGeneration cannot position this stream")
-      snap.size
+      sync
     })
   override def deserializeOffset(json: String): Offset =
     TradeLogOffset.fromJson(json)
@@ -81,22 +105,25 @@ final class TradeLogMicroBatchStream(path: String, wanted: Array[Int],
   /** Rate-limited advance: at most `maxBlocksPerTrigger` blocks per
     * batch, never past the AvailableNow snapshot target. */
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
-    val from = start.asInstanceOf[TradeLogOffset].block
+    val from = idxOf(start.asInstanceOf[TradeLogOffset].block)
     val end = availableNowTarget.getOrElse(blocks.size)
     val step = maxBlocksPerTrigger.getOrElse(Int.MaxValue).toLong
-    TradeLogOffset(math.min(end.toLong, from.toLong + step).toInt)
+    val to = math.min(end.toLong, from.toLong + step).toInt
+    if (to <= from) start
+    else TradeLogOffset(watermarkAfter(to))
   }
 
   override def latestOffset(): Offset =
     throw new UnsupportedOperationException(
       "latestOffset(Offset, ReadLimit) is used (SupportsAdmissionControl)")
 
-  override def reportLatestOffset(): Offset = TradeLogOffset(blocks.size)
+  override def reportLatestOffset(): Offset =
+    TradeLogOffset(watermarkAfter(blocks.size))
 
   override def planInputPartitions(start: Offset, end: Offset)
       : Array[InputPartition] = {
-    val a = start.asInstanceOf[TradeLogOffset].block
-    val b = end.asInstanceOf[TradeLogOffset].block
+    val a = idxOf(start.asInstanceOf[TradeLogOffset].block)
+    val b = idxOf(end.asInstanceOf[TradeLogOffset].block)
     blocks.slice(a, b).groupBy(_.file).toSeq.sortBy(_._1).map {
       case (_, bs) => TradeLogPartition(path, bs.sortBy(_.offset))
     }.toArray

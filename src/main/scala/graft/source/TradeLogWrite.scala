@@ -84,28 +84,27 @@ final class TradeLogStreamingWrite(path: String, queryId: String,
     val (fs, root) = TradeLogFormat.fs(path)
     val fresh = messages.flatMap { case m: TradeLogCommit => m.blocks }
       .sortBy(b => (b.file, b.offset)).toIndexedSeq
-    val hasManifest = fs.exists(
-      new org.apache.hadoop.fs.Path(root, TradeLogFormat.ManifestName))
-    val info =
-      if (hasManifest) Some(TradeLogFormat.readManifestInfo(path)) else None
-    val (existing, lastEpoch, lastQid) =
-      (info.map(_.blocks).getOrElse(Seq.empty[BlockMeta]),
-        info.flatMap(_.epoch), info.flatMap(_.qid))
-    if (lastQid.contains(queryId) && lastEpoch.exists(_ >= epochId)) {
+    // optimistic commit: the replay check re-runs inside every retry
+    // against the CURRENT head, so a concurrent writer landing between
+    // read and claim can never outdate the guard. ecommit marks this
+    // generation as the epoch's OWN publication — the asOfEpoch anchor;
+    // later carry-forward rewrites stay unmarked.
+    val committed = TradeLogFormat.commitManifest(path) { prev =>
+      val (lastEpoch, lastQid) = (prev.flatMap(_.epoch), prev.flatMap(_.qid))
+      if (lastQid.contains(queryId) && lastEpoch.exists(_ >= epochId)) None
+      else Some(TradeLogFormat.CommitSpec(
+        reuse = prev.map(_.shards).getOrElse(Seq.empty),
+        fresh = fresh,
+        epoch = Some(epochId), qid = Some(queryId),
+        xcols = TradeLogFormat.mergeXcols(
+          prev.map(_.xcols).getOrElse(Seq.empty), xcols),
+        epochCommit = true))
+    }
+    if (committed.isEmpty)
       // epoch replay BY THIS QUERY: the previous attempt already
       // published — drop the duplicates, leave the manifest untouched
       fresh.map(_.file).distinct.foreach(f =>
         fs.delete(new org.apache.hadoop.fs.Path(root, f), false))
-    } else {
-      // ecommit marks this generation as the epoch's OWN publication —
-      // the asOfEpoch anchor; later carry-forward rewrites stay unmarked
-      TradeLogFormat.writeManifest(path, existing ++ fresh,
-        Some(epochId), Some(queryId),
-        TradeLogFormat.mergeXcols(
-          info.map(_.xcols).getOrElse(Seq.empty), xcols),
-        epochCommit = true,
-        prevGen = Some(info.map(_.gen).getOrElse(0L)))
-    }
   }
 
   override def abort(epochId: Long,
@@ -142,44 +141,49 @@ final class TradeLogBatchWrite(path: String,
     val (fs, root) = TradeLogFormat.fs(path)
     val fresh = messages.flatMap { case m: TradeLogCommit => m.blocks }
       .sortBy(b => (b.file, b.offset)).toIndexedSeq
-    val manifestExists = fs.exists(
-      new org.apache.hadoop.fs.Path(root, TradeLogFormat.ManifestName))
-    val minfo =
-      if (manifestExists) Some(TradeLogFormat.readManifestInfo(path)) else None
-    val (old, lastEpoch, lastQid) =
-      (minfo.map(_.blocks).getOrElse(Seq.empty[TradeLogFormat.BlockMeta]),
-        minfo.flatMap(_.epoch), minfo.flatMap(_.qid))
     if (truncateFirst) {
       // overwrite: PUBLISH FIRST, then garbage-collect. The atomic
-      // overwrite-rename is the commit point — a crash before it leaves
+      // claim+rename pair is the commit point — a crash before it leaves
       // the old log fully readable (old manifest + old files intact), a
       // crash after it leaves the new log committed with some orphaned
       // old files (harmless: readers resolve blocks only through the
       // manifest). Deleting before publishing would let a crash or a
       // concurrent reader observe a manifest whose files are gone.
-      // truncate REPLACES the schema identity too: the new write's xcols
-      // are the log's extras from here on (old blocks are gone)
-      TradeLogFormat.writeManifest(path, fresh, xcols = xcols,
-        prevGen = Some(minfo.map(_.gen).getOrElse(0L)))
+      // truncate REPLACES the schema identity too (the new write's xcols
+      // are the log's extras from here on) and RESTARTS the block
+      // sequence — any prior stream's checkpoint lineage is void anyway.
+      val oldFiles = new java.util.concurrent.atomic.AtomicReference[
+        Seq[String]](Seq.empty)
+      TradeLogFormat.commitManifest(path) { prev =>
+        oldFiles.set(prev.map(p =>
+          TradeLogFormat.resolveBlocks(path, p).map(_.file).distinct)
+          .getOrElse(Seq.empty))
+        Some(TradeLogFormat.CommitSpec(fresh = fresh, xcols = xcols,
+          resetSeq = true))
+      }
       val keep = fresh.map(_.file).toSet
-      old.map(_.file).distinct.filterNot(keep).foreach(f =>
+      oldFiles.get().filterNot(keep).foreach(f =>
         fs.delete(new org.apache.hadoop.fs.Path(root, f), false))
     } else {
       // append (SaveMode.Append): the new blocks JOIN the committed set —
-      // replacing the manifest with only the fresh blocks would silently
-      // drop all previously committed data. The streaming (epoch, qid)
-      // stamp is CARRIED FORWARD: erasing it would disarm the replay
-      // guard for a restartable streaming query whose epoch committed
-      // just before this batch append (the restart would double-append
-      // that epoch). Truncate intentionally resets the stamp — the log's
-      // content identity is new, so any prior stream must restart from a
-      // fresh checkpoint anyway. A WIDENING append merges its extras with
-      // the committed ones (append-only prefix rule) — old blocks keep
-      // their own nCols and null-fill on read.
-      TradeLogFormat.writeManifest(path, old ++ fresh, lastEpoch, lastQid,
-        TradeLogFormat.mergeXcols(
-          minfo.map(_.xcols).getOrElse(Seq.empty), xcols),
-        prevGen = Some(minfo.map(_.gen).getOrElse(0L)))
+      // the untouched day shards carry forward as refs (O(touched days)
+      // commit). The streaming (epoch, qid) stamp is CARRIED FORWARD:
+      // erasing it would disarm the replay guard for a restartable
+      // streaming query whose epoch committed just before this batch
+      // append (the restart would double-append that epoch). A WIDENING
+      // append merges its extras with the committed ones (append-only
+      // prefix rule) — old blocks keep their own nCols and null-fill on
+      // read. The merge re-validates inside every optimistic retry, so a
+      // conflicting concurrent evolution loses deterministically.
+      TradeLogFormat.commitManifest(path) { prev =>
+        Some(TradeLogFormat.CommitSpec(
+          reuse = prev.map(_.shards).getOrElse(Seq.empty),
+          fresh = fresh,
+          epoch = prev.flatMap(_.epoch), qid = prev.flatMap(_.qid),
+          xcols = TradeLogFormat.mergeXcols(
+            prev.map(_.xcols).getOrElse(Seq.empty), xcols)))
+      }
+      ()
     }
   }
 
@@ -232,6 +236,9 @@ final class TradeLogDataWriter(dir: String, partitionId: Int, taskId: Long,
   private var rowsInBlock = 0
   private var minTs = Long.MaxValue
   private var maxTs = Long.MinValue
+  private var nTsNull = 0
+  private var minUser = Long.MaxValue
+  private var maxUser = Long.MinValue
   private var bloom = TradeLogFormat.bloomAlloc(blockRows)
   private var bytesWritten = 0L
   private val blocks = scala.collection.mutable.ArrayBuffer.empty[BlockMeta]
@@ -262,7 +269,12 @@ final class TradeLogDataWriter(dir: String, partitionId: Int, taskId: Long,
       TradeLogFormat.encodeExtras(blockOut, xtypes, xs)
     }
     if (ts != Long.MinValue) { minTs = minTs.min(ts); maxTs = maxTs.max(ts) }
-    if (!row.isNullAt(2)) TradeLogFormat.bloomAdd(bloom, row.getLong(2))
+    else nTsNull += 1
+    if (!row.isNullAt(2)) {
+      val u = row.getLong(2)
+      TradeLogFormat.bloomAdd(bloom, u)
+      minUser = minUser.min(u); maxUser = maxUser.max(u)
+    }
     rowsInBlock += 1
     if (rowsInBlock >= blockRows) flushBlock()
   }
@@ -277,10 +289,14 @@ final class TradeLogDataWriter(dir: String, partitionId: Int, taskId: Long,
       if (minTs == Long.MaxValue) Long.MinValue else minTs,
       if (maxTs == Long.MinValue) Long.MaxValue else maxTs,
       TradeLogFormat.bloomHex(bloom),
-      TradeLogFormat.BaseCols + xtypes.length)
+      TradeLogFormat.BaseCols + xtypes.length,
+      // an all-null-user block keeps the inverted (provably-empty) range,
+      // which correctly skips every point lookup — null never equals
+      nTsNull = nTsNull, seq = -1L, minUser = minUser, maxUser = maxUser)
     bytesWritten += 8L + payload.length
     blockBuf.reset(); rowsInBlock = 0
-    minTs = Long.MaxValue; maxTs = Long.MinValue
+    minTs = Long.MaxValue; maxTs = Long.MinValue; nTsNull = 0
+    minUser = Long.MaxValue; maxUser = Long.MinValue
     bloom = TradeLogFormat.bloomAlloc(blockRows)
   }
 
