@@ -368,7 +368,13 @@ object Catalog {
     val runId = java.util.UUID.randomUUID().toString.take(8)
     val stage = Tables.stageDir(spark, s"ttl_src_$runId")
     val ckpt = Tables.stageDir(spark, s"ttl_ckpt_$runId")
-    val ttlMs = 1000L
+    // 400 ms ttl, 3×ttl sleep: determinism only needs sleep > ttl with
+    // margin (phase-1 state is written before runPhase returns, so its
+    // expiry lands at most writeEnd+ttl < sleepEnd) — the smaller grid
+    // shaves ~2 s of dead bench time vs the original 1 s/3 s (r16 #6's
+    // "the sleep leaves the bench"; the event-time lane removes the wall
+    // clock entirely)
+    val ttlMs = 400L
     ev.filter(pmod(col("event_id"), lit(5)) < 3)
       .coalesce(2).write.mode("overwrite").parquet(stage)
     val (e1, p1) = graft.stream.TwsTtl.runPhase(
@@ -402,6 +408,100 @@ object Catalog {
       |       COALESCE(n.sum_v6, o.sum_v6) AS sum_v6
       |FROM olds o FULL OUTER JOIN news n ON o.user_id = n.user_id
       |ORDER BY user_id""".stripMargin
+
+  /** EVENT-TIME state TTL (VERDICT r16 #6): the same idle-key retirement
+    * contract as [[qTtlStreamed]] with the clock swapped — retirement is
+    * driven by per-key EVENT-TIME timers firing under the watermark
+    * (`TwsTtl.EventTtlProcessor`), not wall-clock `TTLConfig`, so the
+    * bridge is bit-deterministic with NO sleep and no checkpoint-resumed
+    * second phase. The staged layout replaces the wall clock with the
+    * data's own: old slice at T0, new slice at T0+GAP (GAP ≫ ttl, so
+    * every returning key's gap restarts it), then two sentinel rows at
+    * T0+2·GAP / T0+3·GAP whose only job is to advance the watermark so
+    * the engine's timers fire for keys that never return (TtlSpec pins
+    * numRowsTotal FALLING across those batches). Folding the update-mode
+    * emissions latest-per-user (sentinels dropped) yields the identical
+    * FULL OUTER COALESCE batch oracle as the processing-time lane —
+    * shared verbatim, so the two clocks cannot drift. */
+  def qTtlEventStreamed(spark: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val (emissions, _) = ttlEventEmissions(spark, d)
+    val w = Window.partitionBy(col("user_id")).orderBy(col("__bid").desc)
+    emissions.withColumn("pick", row_number().over(w))
+      .filter(col("pick") === 1).drop("pick", "__bid")
+      .filter(col("user_id") >= 0) // sentinel watermark-advancers out
+      .orderedBy("user_id")
+  }
+
+  /** Tagged emissions + per-batch progress behind [[qTtlEventStreamed]]
+    * (split out so TtlSpec can pin the watermark-driven retirement). */
+  def ttlEventEmissions(spark: SparkSession, d: String)
+      : (DataFrame, Seq[org.apache.spark.sql.streaming.StreamingQueryProgress]) = {
+    val (tmp, schema) = stagedTtlEvent(spark, d)
+    graft.stream.TwsTtl.runEvent(spark, tmp, schema, ttlMs = 60000L)
+  }
+
+  /** The event-TTL slice layout: four single-file slices whose order IS
+    * the micro-batch order (maxFilesPerTrigger=1; mtimes forced to a
+    * strict ladder so the file source's mtime ordering is never a race).
+    * Build-once, fingerprinted by the source file's (length, mtime) —
+    * the [[stagedEvents4]] rule. Event times are synthetic constants per
+    * slice (T0, T0+1h, +2h, +3h against a 60 s ttl): the TTL contract
+    * only reads event-time DIFFERENCES, so pinning them to a grid makes
+    * every expiry decision exact while n/sum stay the real table's. */
+  private def stagedTtlEvent(spark: SparkSession, d: String)
+      : (String, org.apache.spark.sql.types.StructType) = {
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val src = new org.apache.hadoop.fs.Path(s"$d/events.parquet")
+    val st = src.getFileSystem(hconf).getFileStatus(src)
+    // layout-versioned name (v3 = 3-slice): a layout change must land in
+    // a FRESH path — the fingerprint alone only tracks the source table
+    val tmp = Tables.stageDir(spark,
+      s"ttl_ev3_${d.replaceAll("[^A-Za-z0-9.]", "_")}" +
+        s"_${st.getLen}_${st.getModificationTime}")
+    val root = new org.apache.hadoop.fs.Path(tmp)
+    val fs = root.getFileSystem(hconf)
+    val done = new org.apache.hadoop.fs.Path(root, "_STAGED")
+    val t0Ms = 1700000000000L
+    val gapMs = 3600000L
+    def withEt(df: DataFrame, ms: Long): DataFrame =
+      df.select(col("user_id").cast("long").as("user_id"),
+        col("event_id").cast("long").as("event_id"),
+        col("value").cast("double").as("value"),
+        timestamp_millis(lit(ms)).as("et"))
+    if (!fs.exists(done)) {
+      val ev = Tables.events(spark, d)
+        .select(col("user_id"), col("event_id"), col("value"))
+      val sent = (u: Long) => spark.range(1).select(
+        lit(u).as("user_id"), lit(-1L).as("event_id"),
+        lit(0.0).as("value"))
+      // one sentinel suffices: its batch advances the watermark past the
+      // old slice's t0+ttl deadlines (idle keys retire THERE, the bridge's
+      // engine claim), and the trailing no-data batch — watermark now past
+      // t0+gap+ttl — retires the new slice's keys too; a second sentinel
+      // batch would only re-prove the same mechanism at bench cost (the
+      // 4-slice variant lives in TtlSpec's fixture, where it pins the
+      // per-batch numRowsTotal ladder)
+      val slices = Seq(
+        withEt(ev.filter(pmod(col("event_id"), lit(5)) < 3), t0Ms),
+        withEt(ev.filter(pmod(col("event_id"), lit(5)) >= 3), t0Ms + gapMs),
+        withEt(sent(-1L), t0Ms + 2 * gapMs))
+      fs.delete(root, true)
+      slices.zipWithIndex.foreach { case (df, i) =>
+        val stage = new org.apache.hadoop.fs.Path(root, s"_build_$i")
+        df.coalesce(1).write.mode("overwrite").parquet(stage.toString)
+        val part = fs.listStatus(stage)
+          .map(_.getPath).filter(_.getName.startsWith("part-")).head
+        val dst = new org.apache.hadoop.fs.Path(root, f"slice-$i%04d.parquet")
+        fs.rename(part, dst)
+        fs.delete(stage, true)
+        fs.setTimes(dst, 1000L * (i + 1), -1) // strict mtime ladder
+      }
+      fs.create(done, true).close()
+    }
+    (tmp, withEt(spark.range(0).select(lit(0L).as("user_id"),
+      lit(0L).as("event_id"), lit(0.0).as("value")), t0Ms).schema)
+  }
 
   /** The raw tagged emission stream behind [[qLastKStreamed]] — split out
     * so StreamingSpec can pin that ≥1 user's tail was genuinely REVISED
@@ -1194,6 +1294,10 @@ object Catalog {
     // 39th bridge: engine-managed state TTL — expired keys restart, the
     // sweep retires untouched keys' rows (TtlSpec), fold ≡ the batch SQL
     "q_ttl_streamed" -> QueryDef(qTtlStreamed, Some(ttlOracle)),
+    // 42nd bridge: the SAME TTL contract on event-time timers — no wall
+    // clock, no sleep; idle keys retire when the watermark passes
+    // last_ms+ttl, returning keys restart on a >ttl event-time gap
+    "q_ttl_event_streamed" -> QueryDef(qTtlEventStreamed, Some(ttlOracle)),
     "q_ohlc_vwap" -> QueryDef(qOhlcVwap, Some(ohlcVwapOracle)),
     "q_vwap_streamed" -> QueryDef(qOhlcVwapStreamed, Some(ohlcVwapOracle)),
     // 5-minute candles merged from 1-minute PARTIALS (the OHLC monoid);

@@ -207,7 +207,14 @@ object Similarity {
        |FROM selu$k ORDER BY qid, rnk""".stripMargin
   }
 
-  /** Exact top-k neighbors for each query vector (vec_id < nQueries). */
+  /** Exact top-k neighbors for each query vector (vec_id < nQueries).
+    * COST NOTE: this is the brute arm — a full corpus scan scoring n×q
+    * pairs, kept deliberately as the ground-truth gauge that the recall
+    * queries (q_sim_recall, q_sim_ivfpq_recall) compare against. The
+    * serving twin at scale is the bucketed path (q_sim_bucketed /
+    * q_sim_ivfpq_persisted), which probes a handful of IVF partitions
+    * instead of the corpus; the brute arm's price is linear in corpus
+    * size per query batch and is never the production shape. */
   def topkBrute(s: SparkSession, d: String, nQueries: Int = 20, k: Int = 5): DataFrame = {
     val all = vecs(s, d)
     val q = all.filter(col("vec_id") < nQueries)

@@ -157,7 +157,11 @@ object Advanced {
     * distinct-bucket count is monotone non-increasing in w — the first
     * width satisfying the bound equals the minimum satisfying width,
     * which is what the DECLARATIVE oracle computes over a candidate
-    * ladder. Scripting needs its own conf, scoped to a child session. */
+    * ladder. Scripting needs its own conf, scoped to a child session.
+    * COST NOTE: each WHILE test runs one count(DISTINCT …) FULL SCAN of
+    * orders — that per-iteration scan is the price of a data-dependent
+    * procedural loop and is inherent to the operator, bounded here by
+    * the log10(price range) trip count (≈6 iterations at any SF). */
   def sqlScript(s: SparkSession, d: String): DataFrame = {
     val cs = s.newSession()
     cs.conf.set("spark.sql.scripting.enabled", "true")
