@@ -1,0 +1,81 @@
+package graft.source
+
+import org.apache.spark.sql.catalyst.analysis.NoSuchTableException
+import org.apache.spark.sql.connector.catalog.{Identifier, Table, TableCatalog, TableChange}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** Path-table catalog for the tradelog — the resolution bridge SQL DML
+  * needs: `DELETE FROM` / `MERGE INTO` only resolve against CATALOG
+  * tables, so a session registers
+  *
+  *   spark.sql.catalog.tlog = graft.source.TradeLogCatalog
+  *
+  * and addresses any log directory as `` tlog.`/path/to/log` `` — the
+  * Delta/Iceberg path-table idiom. `loadTable` serves the committed head
+  * state (widened schema included) as the SAME [[TradeLogTable]] the
+  * `spark.read.format` path builds, so every capability — batch/stream
+  * read, writes, time travel options, and the row-level operations of
+  * TradeLogRowLevel.scala — is identical through either door.
+  *
+  * This catalog is a RESOLVER, not a metastore: tables are directories,
+  * existence is the committed manifest, and lifecycle verbs (create/
+  * drop/rename) stay with the write path and the filesystem — attempts
+  * route to UnsupportedOperationException rather than pretending a
+  * registry exists. */
+final class TradeLogCatalog extends TableCatalog {
+
+  private var catalogName: String = "tradelog"
+
+  override def initialize(name: String,
+      options: CaseInsensitiveStringMap): Unit =
+    catalogName = name
+
+  override def name(): String = catalogName
+
+  /** The identifier's NAME is the log directory (namespace unused):
+    * `` tlog.`/abs/path` ``. A directory with no committed manifest is
+    * not a table yet — loading it is NoSuchTable, matching what a head
+    * read would throw less legibly. */
+  override def loadTable(ident: Identifier): Table = {
+    val path = ident.name()
+    val (fs, root) = TradeLogFormat.fs(path)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(root,
+        TradeLogFormat.ManifestName)))
+      throw new NoSuchTableException(ident)
+    new TradeLogTable(path,
+      TradeLogFormat.readManifestHeader(path).tableSchema,
+      acceptAnySchema = false)
+  }
+
+  override def tableExists(ident: Identifier): Boolean = {
+    val (fs, root) = TradeLogFormat.fs(ident.name())
+    fs.exists(new org.apache.hadoop.fs.Path(root,
+      TradeLogFormat.ManifestName))
+  }
+
+  override def listTables(namespace: Array[String]): Array[Identifier] =
+    Array.empty // path tables have no enumerable namespace
+
+  override def createTable(ident: Identifier,
+      columns: Array[org.apache.spark.sql.connector.catalog.Column],
+      partitions: Array[org.apache.spark.sql.connector.expressions.Transform],
+      properties: java.util.Map[String, String]): Table =
+    throw new UnsupportedOperationException(
+      "graft-tradelog path tables are created by writing to the path " +
+        "(df.write.format(\"graft-tradelog\").save(dir)), not by DDL")
+
+  override def alterTable(ident: Identifier,
+      changes: TableChange*): Table =
+    throw new UnsupportedOperationException(
+      "graft-tradelog schema evolution happens through widening writes " +
+        "(append-only extra columns), not ALTER TABLE")
+
+  override def dropTable(ident: Identifier): Boolean =
+    throw new UnsupportedOperationException(
+      "graft-tradelog path tables are dropped by deleting the directory")
+
+  override def renameTable(oldIdent: Identifier,
+      newIdent: Identifier): Unit =
+    throw new UnsupportedOperationException(
+      "graft-tradelog path tables rename with the directory")
+}

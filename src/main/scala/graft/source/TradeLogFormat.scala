@@ -837,6 +837,97 @@ object TradeLogFormat {
     (nDropped, vacuum(dir, vacuumGraceMs))
   }
 
+  // ---- exact metadata-only DELETE (SQL row-level fast path) ------------
+
+  /** Triage one committed state for an EXACT ts-range delete
+    * (`DELETE FROM … WHERE ts` bounds → drop rows with lo ≤ ts ≤ hi;
+    * `all` = an unconditioned delete, which also matches null-ts rows).
+    * Unlike [[purgeBefore]] — a retention POLICY that expires null-ts
+    * rows with their block — this is the SQL DELETE contract: a block may
+    * be dropped metadata-only ONLY when EVERY one of its rows provably
+    * matches (span inside the range and `nTsNull == 0`; legacy blocks
+    * with unknown null counts never qualify). Returns the commit plan
+    * `(reuse refs, shard rewrites, dropped blocks)`, or None when any
+    * block STRADDLES the range — the caller then falls back to the
+    * row-level copy-on-write rewrite, which Spark plans automatically
+    * when `canDeleteWhere` says no. */
+  private[source] def tsDeleteTriage(dir: String, prev: ManifestInfo,
+      loUs: Long, hiUs: Long, all: Boolean)
+      : Option[(Seq[ShardRef], Seq[Seq[BlockMeta]], Seq[BlockMeta])] = {
+    val reuse = scala.collection.mutable.ArrayBuffer.empty[ShardRef]
+    val rewrite = scala.collection.mutable.ArrayBuffer.empty[Seq[BlockMeta]]
+    val dropped = scala.collection.mutable.ArrayBuffer.empty[BlockMeta]
+    val shards =
+      if (prev.shards.nonEmpty) prev.shards
+      else if (prev.blocks.isEmpty) Seq.empty
+      // legacy flat manifest: triage its inline blocks as one pseudo-shard
+      else Seq(null: ShardRef)
+    shards.foreach { r =>
+      val inline = r == null
+      if (!inline && !all && !r.intersectsTs(loUs, hiUs)) reuse += r
+      else {
+        val bs = if (inline) normalizeSeq(prev.blocks)
+          else readShardBlocks(dir, r)
+        val (keep, rest) = bs.partition(b => !all &&
+          (b.minTsUs == Long.MinValue || b.maxTsUs < loUs || b.minTsUs > hiUs))
+        val (drop, straddle) = rest.partition(b => all ||
+          (loUs <= b.minTsUs && b.maxTsUs <= hiUs && b.nTsNull == 0))
+        if (straddle.nonEmpty) return None
+        dropped ++= drop
+        if (drop.isEmpty && !inline) reuse += r
+        else if (keep.nonEmpty) rewrite += keep
+      }
+    }
+    Some((reuse.toSeq, rewrite.toSeq, dropped.toSeq))
+  }
+
+  /** Execute an exact metadata-only ts-range DELETE under the optimistic
+    * commit protocol (the triage re-runs inside every retry, so a
+    * concurrent append can never slip matching blocks past the delete).
+    * Throws when a straddling block appears — [[tsDeleteTriage]] is the
+    * caller's feasibility gate and re-validation is the protocol's job.
+    * Fully-dereferenced data files enter the delist journal and the
+    * piggybacked [[vacuum]] pass, exactly like a retention purge.
+    * Returns (#blocks dropped, #files GC'd). */
+  def deleteWhereTs(dir: String, loUs: Long, hiUs: Long,
+      all: Boolean): (Int, Int) = {
+    val outcome = new java.util.concurrent.atomic.AtomicReference[
+      (Int, Seq[String])]((0, Seq.empty))
+    commitManifest(dir) { prevOpt =>
+      val prev = prevOpt.getOrElse(throw new IllegalArgumentException(
+        s"graft-tradelog $dir has no committed manifest to delete from"))
+      tsDeleteTriage(dir, prev, loUs, hiUs, all) match {
+        case None => throw new IllegalStateException(
+          s"graft-tradelog $dir: a concurrent commit introduced blocks " +
+            "straddling the delete range — re-run the DELETE (it will " +
+            "take the copy-on-write path)")
+        case Some((_, _, dropped)) if dropped.isEmpty => None // no-op
+        case Some((reuse, rewrite, dropped)) =>
+          // delist candidates: dropped files with no RESOLVED kept block —
+          // a file also referenced by an unresolved reused shard is
+          // protected by vacuum's own still-referenced check at GC time
+          // (the purgeBefore rule: the journal is a hint, the manifest is
+          // the authority)
+          val keptFiles = rewrite.flatten.map(_.file).toSet
+          outcome.set((dropped.size,
+            dropped.map(_.file).distinct.filterNot(keptFiles)))
+          Some(CommitSpec(reuse = reuse, rewrite = rewrite,
+            epoch = prev.epoch, qid = prev.qid, xcols = prev.xcols))
+      }
+    }
+    val (nDropped, delisted) = outcome.get()
+    journalDelisted(dir, delisted, System.currentTimeMillis())
+    (nDropped, vacuum(dir))
+  }
+
+  /** Append freshly-dereferenced data files to the delist journal (the
+    * shared epilogue of purge / metadata delete / row-level replace). */
+  private[source] def journalDelisted(dir: String, files: Seq[String],
+      now: Long): Unit =
+    if (files.nonEmpty)
+      writeTrash(dir, readTrash(dir) ++
+        files.map(f => TrashEntry(f, now, adopted = false)))
+
   /** Delist journal: `(file, delistMillis, adopted)` rows for every data
     * file a manifest rewrite stopped referencing, published with the same
     * tmp+atomic-rename as the manifest. The journal — not file mtime —

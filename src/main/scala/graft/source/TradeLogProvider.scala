@@ -96,19 +96,64 @@ final class TradeLogProvider extends TableProvider with DataSourceRegister {
 
 final class TradeLogTable(path: String,
     tableSchema: StructType = TradeLogFormat.schema,
-    resolvedPin: Option[Long] = None)
-    extends Table with SupportsRead with SupportsWrite {
+    resolvedPin: Option[Long] = None,
+    acceptAnySchema: Boolean = true)
+    extends Table with SupportsRead with SupportsWrite
+    with SupportsDeleteV2 with SupportsRowLevelOperations
+    with SupportsMetadataColumns {
   override def name(): String = s"graft-tradelog `$path`"
   override def schema(): StructType = tableSchema
+
+  /** `_file` — the data file serving each row (the Iceberg/Delta
+    * metadata-column idiom). Besides ad-hoc lineage queries, this is
+    * what the GROUP-BASED row-level operations key on: Spark's
+    * ReplaceData machinery only routes properly-projected data rows to
+    * the writer when the operation declares required metadata
+    * attributes, and `_file` is the tradelog's natural group identity. */
+  override def metadataColumns(): Array[MetadataColumn] = Array(
+    new MetadataColumn {
+      override def name(): String = "_file"
+      override def dataType(): org.apache.spark.sql.types.DataType =
+        org.apache.spark.sql.types.StringType
+      override def isNullable: Boolean = false
+      override def comment(): String =
+        "tradelog data file this row was read from"
+    })
+
+  // ---- SQL row-level operations (see TradeLogRowLevel.scala) ----------
+  /** Metadata-only DELETE feasibility: ts-bounds vocabulary AND every
+    * matching block provably fully-covered. A `false` here routes the
+    * command to the group-based copy-on-write rewrite below. */
+  override def canDeleteWhere(
+      predicates: Array[org.apache.spark.sql.connector.expressions
+        .filter.Predicate]): Boolean =
+    TradeLogDml.canMetadataDelete(path, predicates)
+  override def deleteWhere(
+      predicates: Array[org.apache.spark.sql.connector.expressions
+        .filter.Predicate]): Unit =
+    TradeLogDml.metadataDelete(path, predicates)
+  override def newRowLevelOperationBuilder(
+      info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
+      : org.apache.spark.sql.connector.write.RowLevelOperationBuilder =
+    () => new TradeLogRowLevelOperation(path, tableSchema, info.command())
   // ACCEPT_ANY_SCHEMA: schema EVOLUTION means a write's schema may be
   // wider than the inferred table schema (the widening write itself);
   // Spark's by-name reconciliation is therefore deferred to the write
   // builder, whose prefix check rejects anything that is not the base
-  // schema plus supported trailing columns.
-  override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
+  // schema plus supported trailing columns. The CATALOG door drops this
+  // capability (acceptAnySchema = false): UPDATE/MERGE assignment
+  // alignment is skipped for accept-any targets (the Kafka-sink rule),
+  // which would break SQL DML resolution — so widening writes go through
+  // the path door, and catalog-door writes reconcile by name like any
+  // exact-schema table.
+  override def capabilities(): util.Set[TableCapability] = {
+    val caps = util.EnumSet.of(
+      TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
       TableCapability.BATCH_WRITE, TableCapability.TRUNCATE,
-      TableCapability.STREAMING_WRITE, TableCapability.ACCEPT_ANY_SCHEMA)
+      TableCapability.STREAMING_WRITE)
+    if (acceptAnySchema) caps.add(TableCapability.ACCEPT_ANY_SCHEMA)
+    caps
+  }
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new TradeLogScanBuilder(path, tableSchema, options, resolvedPin)
   override def newWriteBuilder(
@@ -124,7 +169,8 @@ final class TradeLogTable(path: String,
   * how they surface in `.explain` (the parquet PushedFilters pattern). */
 final class TradeLogScanBuilder(path: String, tableSchema: StructType,
     options: CaseInsensitiveStringMap,
-    resolvedPin: Option[Long] = None)
+    resolvedPin: Option[Long] = None,
+    onScan: TradeLogScan => Unit = _ => ())
     extends ScanBuilder with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns with SupportsPushDownAggregates {
 
@@ -233,8 +279,12 @@ final class TradeLogScanBuilder(path: String, tableSchema: StructType,
   override def build(): Scan = pushedAgg match {
     case Some(aggs) => new TradeLogAggScan(path, aggs)
     case None =>
-      new TradeLogScan(path, tableSchema, required, tsLo, tsHi, userIds,
-        options, resolvedPin)
+      val s = new TradeLogScan(path, tableSchema, required, tsLo, tsHi,
+        userIds, options, resolvedPin)
+      // row-level operations register here so their ReplaceData write can
+      // learn exactly which blocks this scan planned (the COW group set)
+      onScan(s)
+      s
   }
 }
 
@@ -290,10 +340,17 @@ final class TradeLogScan(path: String, tableSchema: StructType,
     extends Scan with SupportsReportStatistics
     with SupportsRuntimeV2Filtering {
 
+  /** Output slots in pruned-schema order: a table-schema ordinal, or
+    * [[TradeLogScan.FileCol]] for the `_file` metadata column (filled by
+    * the reader from block metadata — no decode). */
+  private[source] val outCols: Array[Int] = required.fieldNames.map {
+    case "_file" => TradeLogScan.FileCol
+    case n => tableSchema.fieldIndex(n)
+  }
+
   /** Ordinals (into the widened table schema) the reader materializes,
-    * in pruned-schema order. */
-  private[source] val wanted: Array[Int] =
-    required.fieldNames.map(tableSchema.fieldIndex)
+    * in pruned-schema order (metadata columns excluded). */
+  private[source] val wanted: Array[Int] = outCols.filter(_ >= 0)
 
   /** Extra-column types of the widened table schema (evolution tail). */
   private val xtypes: Array[org.apache.spark.sql.types.DataType] =
@@ -408,11 +465,24 @@ final class TradeLogScan(path: String, tableSchema: StructType,
   // id set to the scan AT EXECUTION TIME, and the bloom index drops
   // blocks before any partition is planned — dynamic partition pruning
   // re-expressed over block metadata. Purely advisory, like the static
-  // skip: Spark re-applies the join itself.
+  // skip: Spark re-applies the join itself. `_file` is the second filter
+  // attribute — the group-filter lane row-level operations use (Spark's
+  // RowLevelOperationRuntimeGroupFiltering computes the DISTINCT `_file`
+  // of condition-matching rows and hands it here, so a straddling
+  // ts-range DELETE's copy-on-write rewrites only the files that hold
+  // matches, never the whole log — the Iceberg _file group idiom).
   @volatile private var runtimeIds: Option[Set[Long]] = None
+  @volatile private var runtimeFiles: Option[Set[String]] = None
 
-  override def filterAttributes(): Array[NamedReference] =
-    Array(Expressions.column("user_id"))
+  /** Only attributes the scan actually OUTPUTS: Spark's pruning rules
+    * resolve these against the relation output and fail on absent ones
+    * (a pruned-away user_id or an unrequested _file must not be
+    * advertised). */
+  override def filterAttributes(): Array[NamedReference] = {
+    val names = required.fieldNames.toSet
+    (if (names("user_id")) Seq(Expressions.column("user_id")) else Nil) ++
+      (if (names("_file")) Seq(Expressions.column("_file")) else Nil)
+  }.toArray
 
   override def filter(predicates: Array[Predicate]): Unit =
     predicates.foreach { p =>
@@ -426,27 +496,55 @@ final class TradeLogScan(path: String, tableSchema: StructType,
         }
         case _ => None
       }
-      def isUserRef(e: org.apache.spark.sql.connector.expressions.Expression) =
+      def isRef(e: org.apache.spark.sql.connector.expressions.Expression,
+          name: String) =
         e match {
-          case n: NamedReference => n.fieldNames.sameElements(Array("user_id"))
+          case n: NamedReference => n.fieldNames.sameElements(Array(name))
           case _ => false
         }
+      def fileOf(e: org.apache.spark.sql.connector.expressions.Expression)
+          : Option[String] = e match {
+        case l: org.apache.spark.sql.connector.expressions.Literal[_] =>
+          l.value match {
+            case s: org.apache.spark.unsafe.types.UTF8String =>
+              Some(s.toString)
+            case s: String => Some(s)
+            case _ => None
+          }
+        case _ => None
+      }
       val ids: Option[Set[Long]] = p.name() match {
-        case "IN" if p.children().nonEmpty && isUserRef(p.children()(0)) =>
+        case "IN" if p.children().nonEmpty &&
+            isRef(p.children()(0), "user_id") =>
           val vs = p.children().drop(1).map(idOf)
           if (vs.forall(_.isDefined)) Some(vs.flatten.toSet) else None
-        case "=" if p.children().length == 2 && isUserRef(p.children()(0)) =>
+        case "=" if p.children().length == 2 &&
+            isRef(p.children()(0), "user_id") =>
           idOf(p.children()(1)).map(Set(_))
         case _ => None // unknown predicate: no restriction (advisory)
       }
       ids.foreach(s =>
         runtimeIds = Some(runtimeIds.fold(s)(_ intersect s)))
+      val files: Option[Set[String]] = p.name() match {
+        case "IN" if p.children().nonEmpty &&
+            isRef(p.children()(0), "_file") =>
+          val vs = p.children().drop(1).map(fileOf)
+          if (vs.forall(_.isDefined)) Some(vs.flatten.toSet) else None
+        case "=" if p.children().length == 2 &&
+            isRef(p.children()(0), "_file") =>
+          fileOf(p.children()(1)).map(Set(_))
+        case _ => None
+      }
+      files.foreach(s =>
+        runtimeFiles = Some(runtimeFiles.fold(s)(_ intersect s)))
     }
 
   /** Blocks after BOTH plan-time and runtime skipping. */
-  private[source] def effectiveBlocks: Seq[BlockMeta] =
-    runtimeIds.fold(selectedBlocks)(ids =>
+  private[source] def effectiveBlocks: Seq[BlockMeta] = {
+    val byUser = runtimeIds.fold(selectedBlocks)(ids =>
       selectedBlocks.filter(b => ids.exists(b.mightContainUser)))
+    runtimeFiles.fold(byUser)(fs => byUser.filter(b => fs(b.file)))
+  }
 
   override def readSchema(): StructType = required
 
@@ -478,15 +576,25 @@ final class TradeLogScan(path: String, tableSchema: StructType,
       s"PushedTsBounds=[$tsLo,$tsHi]$users$travel$shards, blocks=$sel"
   }
 
+  /** The blocks the batch ACTUALLY planned (set at planInputPartitions
+    * time, after both plan-time and runtime skipping) — what a row-level
+    * operation's ReplaceData write must replace, exactly: rows in any
+    * other block were never read, so their blocks must survive the
+    * commit untouched. Null until a batch was planned. */
+  @volatile private[source] var plannedBlocks: Seq[BlockMeta] = null
+
   override def toBatch: Batch = new Batch {
-    override def planInputPartitions(): Array[InputPartition] =
+    override def planInputPartitions(): Array[InputPartition] = {
+      val eff = effectiveBlocks
+      plannedBlocks = eff
       // one partition per data file (its surviving blocks read
       // sequentially): parallelism == layout, the file-source shape
-      effectiveBlocks.groupBy(_.file).toSeq.sortBy(_._1).map {
+      eff.groupBy(_.file).toSeq.sortBy(_._1).map {
         case (_, blocks) => TradeLogPartition(path, blocks.sortBy(_.offset))
       }.toArray
+    }
     override def createReaderFactory(): PartitionReaderFactory =
-      new TradeLogReaderFactory(wanted, xtypes, HadoopConfBox.active())
+      new TradeLogReaderFactory(outCols, xtypes, HadoopConfBox.active())
   }
 
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream = {
@@ -507,17 +615,23 @@ final class TradeLogScan(path: String, tableSchema: StructType,
   }
 }
 
+object TradeLogScan {
+  /** Sentinel ordinal for the `_file` metadata column in [[TradeLogScan
+    * .outCols]]: filled from block metadata, never decoded. */
+  val FileCol: Int = -1
+}
+
 /** One read split: a run of blocks within one data file. */
 final case class TradeLogPartition(dir: String, blocks: Seq[BlockMeta])
     extends InputPartition
 
-final class TradeLogReaderFactory(wanted: Array[Int],
+final class TradeLogReaderFactory(outCols: Array[Int],
     xtypes: Array[org.apache.spark.sql.types.DataType],
     confBox: HadoopConfBox) extends PartitionReaderFactory {
   override def createReader(partition: InputPartition)
       : PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[TradeLogPartition]
-    new TradeLogPartitionReader(p.dir, p.blocks, wanted, xtypes, confBox)
+    new TradeLogPartitionReader(p.dir, p.blocks, outCols, xtypes, confBox)
   }
 }
 
@@ -528,15 +642,36 @@ final class TradeLogReaderFactory(wanted: Array[Int],
   * Schema evolution: `xtypes` is the table's extra-column tail; a block
   * narrower than every wanted ordinal (old blocks under a new-only
   * projection) emits its row count of all-null rows WITHOUT opening the
-  * file — old data pays zero decode for new-column scans. */
+  * file — old data pays zero decode for new-column scans. `outCols` may
+  * carry [[TradeLogScan.FileCol]] slots for the `_file` metadata column,
+  * filled from block metadata at zero decode cost. */
 final class TradeLogPartitionReader(dir: String, blocks: Seq[BlockMeta],
-    wanted: Array[Int],
+    outCols: Array[Int],
     xtypes: Array[org.apache.spark.sql.types.DataType] = Array.empty,
     confBox: HadoopConfBox = HadoopConfBox.active())
     extends PartitionReader[InternalRow] {
+  private val wanted: Array[Int] = outCols.filter(_ >= 0)
+  private val hasMeta: Boolean = wanted.length != outCols.length
   private val (filesystem, root) = TradeLogFormat.fs(dir, confBox.conf)
   private val blockIt = blocks.iterator
   private var rows: Iterator[InternalRow] = Iterator.empty
+
+  /** Wrap decoded data values into the output slot layout, filling
+    * `_file` slots; identity (zero-cost) when no metadata was asked. */
+  private def mkRow(data: Array[Any], file: String): InternalRow =
+    if (!hasMeta) new GenericInternalRow(data)
+    else {
+      val out = new Array[Any](outCols.length)
+      val f = org.apache.spark.unsafe.types.UTF8String.fromString(file)
+      var i = 0
+      var di = 0
+      while (i < outCols.length) {
+        if (outCols(i) == TradeLogScan.FileCol) out(i) = f
+        else { out(i) = data(di); di += 1 }
+        i += 1
+      }
+      new GenericInternalRow(out)
+    }
 
   // One open stream per data FILE, not per block: a partition's blocks are
   // grouped by file and sorted by offset, so the run reads as forward
@@ -566,7 +701,7 @@ final class TradeLogPartitionReader(dir: String, blocks: Seq[BlockMeta],
       // scans; also why a purge-surviving block whose file was GC'd can
       // still serve a new-only projection)
       rows = Iterator.fill(b.nRows)(
-        new GenericInternalRow(new Array[Any](wanted.length)))
+        mkRow(new Array[Any](wanted.length), b.file))
       return true
     }
     val payload = new Array[Byte](b.payloadLen)
@@ -576,7 +711,7 @@ final class TradeLogPartitionReader(dir: String, blocks: Seq[BlockMeta],
     val buf = scala.collection.mutable.ArrayBuffer.empty[InternalRow]
     // decodeBlock allocates a fresh values array per row — safe to wrap
     TradeLogFormat.decodeBlock(payload, b.nRows, wanted, b.nCols, xtypes)(v =>
-      buf += new GenericInternalRow(v))
+      buf += mkRow(v, b.file))
     rows = buf.iterator
     true
   }

@@ -644,7 +644,146 @@ object TradeLogQueries {
       .replace("HV", hv)
   }
 
+  // ---- q_tradelog_delete_sql (SQL ROW-LEVEL DELETE) -----------------------
+
+  private val DelCutoff = "2024-01-08 00:00:00"
+  private val DelUser = 11L // exists at every sf (user_id domain starts at 0)
+
+  /** SQL `DELETE FROM` THROUGH the connector (TradeLogRowLevel.scala) —
+    * both tiers in one artifact: a ts-range delete (straddling blocks →
+    * the copy-on-write lane, group-filtered to matching `_file`s) and a
+    * user-targeted delete (COW over bloom-hit groups). The survivors'
+    * row-level digest must equal the oracle over `events` minus exactly
+    * the deleted predicate sets — byte-exact row-level deletion with
+    * optimistic-commit semantics, the Iceberg/Delta DML verb. The DML
+    * runs once per artifact (done-marker gated); TradeLogDmlSpec pins
+    * the mechanics (metadata vs COW tiering, group narrowing, conflict
+    * validation). */
+  def tradelogDeleteSql(s: SparkSession, dir: String): DataFrame =
+    digestOver(s.read.format(FormatName).load(ensureDeleteSqlLog(s, dir)))
+
+  /** Build-once artifact: copy of the log, then the two SQL DELETEs
+    * through the path catalog; `_DML_DONE` written last (the whole-build
+    * success-marker rule). */
+  def ensureDeleteSqlLog(s: SparkSession, dir: String): String = {
+    val path = s"${logPath(s, dir)}-delsql"
+    val (fs, root) = TradeLogFormat.fs(path)
+    val done = new org.apache.hadoop.fs.Path(root, "_DML_DONE")
+    if (!fs.exists(done)) {
+      Tables.events(s, dir)
+        .select(col("event_id"), col("ts"), col("user_id"),
+          col("event_type"), col("value"), col("props"))
+        .repartitionByRange(8, col("ts"))
+        .sortWithinPartitions("ts")
+        .write.format(FormatName).mode("overwrite")
+        .option("blockRows", 256).save(path)
+      val cs = s.newSession()
+      cs.conf.set("spark.sql.catalog.graft_tlog",
+        classOf[TradeLogCatalog].getName)
+      cs.sql(s"DELETE FROM graft_tlog.`$path` " +
+        s"WHERE ts < TIMESTAMP '$DelCutoff'")
+      cs.sql(s"DELETE FROM graft_tlog.`$path` WHERE user_id = $DelUser")
+      fs.create(done, true).close()
+    }
+    path
+  }
+
+  private val tradelogDeleteSqlOracle: String = digestOracleWhere(
+    s"""WHERE (ts >= TIMESTAMP '$DelCutoff' OR ts IS NULL)
+       |  AND (user_id <> $DelUser OR user_id IS NULL)""".stripMargin)
+
+  // ---- q_tradelog_merge_sql (SQL MERGE INTO) ------------------------------
+
+  /** SQL `MERGE INTO` THROUGH the connector — the full CDC verb set
+    * (matched-delete / matched-update / not-matched-insert) applied to a
+    * tradelog snapshot table by Spark's group-based copy-on-write
+    * rewrite, with the manifest replace as the transaction. Target: the
+    * latest full row per user of the `event_id % 5 < 3` slice; source:
+    * the latest change per user of the complement with q_cdc_apply's op
+    * rule (`event_id % 7 = 0` → D). The merged table read back through
+    * the connector must match the SAME snapshot⊕changes relational
+    * fold q_cdc_apply's oracle adjudicates — MERGE and the declarative
+    * CDC apply are two engines for one semantic, and the oracle holds
+    * both. Re-merging the same source is a no-op (TradeLogDmlSpec). */
+  def tradelogMergeSql(s: SparkSession, dir: String): DataFrame =
+    s.read.format(FormatName).load(ensureMergeSqlLog(s, dir))
+      .select(col("user_id"), col("value"))
+      .orderedBy("user_id")
+
+  def ensureMergeSqlLog(s: SparkSession, dir: String): String = {
+    val path = s"${logPath(s, dir)}-mergesql"
+    val (fs, root) = TradeLogFormat.fs(path)
+    val done = new org.apache.hadoop.fs.Path(root, "_DML_DONE")
+    if (!fs.exists(done)) {
+      import org.apache.spark.sql.expressions.Window
+      val ev = Tables.events(s, dir)
+        .select(col("event_id"), col("ts"), col("user_id"),
+          col("event_type"), col("value"), col("props"))
+      val w = Window.partitionBy(col("user_id")).orderBy(col("event_id").desc)
+      ev.filter(pmod(col("event_id"), lit(5)) < 3)
+        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .drop("rn")
+        .repartitionByRange(4, col("user_id"))
+        .sortWithinPartitions("user_id")
+        .write.format(FormatName).mode("overwrite")
+        .option("blockRows", 64).save(path)
+      val cs = s.newSession()
+      cs.conf.set("spark.sql.catalog.graft_tlog",
+        classOf[TradeLogCatalog].getName)
+      Tables.events(cs, dir)
+        .select(col("event_id"), col("ts"), col("user_id"),
+          col("event_type"), col("value"), col("props"))
+        .filter(pmod(col("event_id"), lit(5)) >= 3)
+        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .drop("rn")
+        .withColumn("op",
+          when(pmod(col("event_id"), lit(7)) === 0, lit("D")).otherwise("U"))
+        .createOrReplaceTempView("graft_tlog_chg")
+      cs.sql(
+        s"""MERGE INTO graft_tlog.`$path` t USING graft_tlog_chg c
+           |ON t.user_id = c.user_id
+           |WHEN MATCHED AND c.op = 'D' THEN DELETE
+           |WHEN MATCHED THEN UPDATE SET value = c.value
+           |WHEN NOT MATCHED AND c.op <> 'D' THEN INSERT
+           |  (event_id, ts, user_id, event_type, value, props)
+           |  VALUES (c.event_id, c.ts, c.user_id, c.event_type, c.value,
+           |          c.props)""".stripMargin)
+      fs.create(done, true).close()
+    }
+    path
+  }
+
+  /** q_cdc_apply's snapshot⊕changes fold (Stats.cdcApplyOracle) reduced
+    * to the merged table's observable columns. */
+  private val tradelogMergeSqlOracle: String =
+    """WITH snap AS (
+      |  SELECT user_id, value AS snap_value FROM (
+      |    SELECT user_id, value,
+      |           row_number() OVER (PARTITION BY user_id
+      |             ORDER BY event_id DESC) AS rn
+      |    FROM events WHERE event_id % 5 < 3)
+      |  WHERE rn = 1),
+      |chg AS (
+      |  SELECT user_id, op, value AS chg_value FROM (
+      |    SELECT user_id, value,
+      |           CASE WHEN event_id % 7 = 0 THEN 'D' ELSE 'U' END AS op,
+      |           row_number() OVER (PARTITION BY user_id
+      |             ORDER BY event_id DESC) AS rn
+      |    FROM events WHERE event_id % 5 >= 3)
+      |  WHERE rn = 1)
+      |SELECT COALESCE(s.user_id, c.user_id) AS user_id,
+      |       COALESCE(chg_value, snap_value) AS value
+      |FROM snap s FULL OUTER JOIN chg c ON s.user_id = c.user_id
+      |WHERE op IS NULL OR op <> 'D'
+      |ORDER BY user_id""".stripMargin
+
   val defs: Map[String, QueryDef] = Map(
+    // SQL row-level DELETE through the connector (metadata + COW tiers)
+    "q_tradelog_delete_sql" -> QueryDef(tradelogDeleteSql,
+      Some(tradelogDeleteSqlOracle)),
+    // SQL MERGE INTO through the connector (group-based COW, CDC verbs)
+    "q_tradelog_merge_sql" -> QueryDef(tradelogMergeSql,
+      Some(tradelogMergeSqlOracle)),
     // TIME TRAVEL: generation-pinned read serves the pre-append state
     "q_tradelog_asof" -> QueryDef(tradelogAsof,
       Some(digestOracleWhere("WHERE event_id % 2 = 0"))),

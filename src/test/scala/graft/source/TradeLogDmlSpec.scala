@@ -1,0 +1,221 @@
+package graft.source
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+
+/** SQL row-level operations through the connector (DELETE / UPDATE /
+  * MERGE INTO) — the mechanical claims the catalog oracles cannot see:
+  *
+  *   1. a ts-range DELETE whose blocks are fully covered runs
+  *      METADATA-ONLY (generation bumps, zero new data files, the
+  *      dropped file leaves the manifest);
+  *   2. a user-targeted DELETE takes the copy-on-write path and rewrites
+  *      ONLY the blocks that might hold the user (bloom-pruned groups) —
+  *      untouched files stay referenced byte-identical;
+  *   3. UPDATE rewrites groups through the same COW lane;
+  *   4. MERGE INTO applies the full CDC verb set (update / delete /
+  *      insert) and the merged table read back THROUGH the connector
+  *      matches q_cdc_apply's adjudicated result on the same slices —
+  *      the verdict-r16 "reuse the q_cdc_apply oracle" check;
+  *   5. canDeleteWhere refuses what it cannot prove exact (straddling
+  *      ranges, non-ts vocabulary), routing those to COW.
+  */
+class TradeLogDmlSpec extends SparkTestBase {
+
+  private val Fmt = "graft-tradelog"
+  private val Sf = "/root/testdata/sf0.001"
+
+  private def tmpDir(tag: String): String =
+    java.nio.file.Files.createTempDirectory(s"graft-dml-$tag").toString
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  /** Child session with the path catalog registered (the SQL DML door). */
+  private def dmlSession(): SparkSession = {
+    val s = spark.newSession()
+    s.conf.set("spark.sql.catalog.tlog", classOf[TradeLogCatalog].getName)
+    s
+  }
+
+  private def sqlTable(dir: String): String = s"tlog.`$dir`"
+
+  /** 4 rows/block, two clean day-separated blocks + one mixed-day block
+    * when written ts-sorted in one partition of 12 rows. */
+  private def dayRows(day: Int, base: Long): Seq[Row] =
+    (0 until 4).map(i => Row(base + i, ts(f"2024-01-$day%02d 00:0$i:00"),
+      100L + i, s"t$i", i * 1.5, s"p$i"))
+
+  private def writeLog(dir: String, rows: Seq[Row], blockRows: Int = 4,
+      parts: Int = 1): Unit =
+    spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 1), TradeLogFormat.schema)
+      .repartitionByRange(parts, col("ts")).sortWithinPartitions("ts")
+      .write.format(Fmt).mode("overwrite")
+      .option("blockRows", blockRows).save(dir)
+
+  private def dataFiles(dir: String): Set[String] = {
+    val (fs, root) = TradeLogFormat.fs(dir)
+    fs.listStatus(root).map(_.getPath.getName).filter(_.endsWith(".gtl")).toSet
+  }
+
+  private def manifestFiles(dir: String): Set[String] =
+    TradeLogFormat.readManifest(dir).map(_.file).toSet
+
+  test("ts-range DELETE with covered blocks is metadata-only") {
+    val dir = tmpDir("del-meta")
+    // three single-day groups of 4 rows → three ts-tight blocks
+    writeLog(dir, dayRows(1, 0) ++ dayRows(2, 10) ++ dayRows(3, 20))
+    val before = dataFiles(dir)
+    val genBefore = TradeLogFormat.readManifestHeader(dir).gen
+    val s = dmlSession()
+    s.sql(s"DELETE FROM ${sqlTable(dir)} " +
+      "WHERE ts < TIMESTAMP '2024-01-02 00:00:00'")
+    // exactly day-1's 4 rows gone
+    val left = s.sql(s"SELECT event_id FROM ${sqlTable(dir)}")
+      .collect().map(_.getLong(0)).toSet
+    assert(left == ((10L until 14L) ++ (20L until 24L)).toSet)
+    // metadata-only: no data file was WRITTEN (COW would add .gtl files)
+    assert(dataFiles(dir).subsetOf(before),
+      "a metadata delete must not write data files")
+    assert(TradeLogFormat.readManifestHeader(dir).gen > genBefore)
+  }
+
+  test("a straddling ts cut refuses the metadata path and rewrites only matching groups") {
+    val dir = tmpDir("del-straddle")
+    // TWO writer partitions → day-1 and day-2 land in separate files
+    writeLog(dir, dayRows(1, 0) ++ dayRows(2, 10), parts = 2)
+    val before = dataFiles(dir)
+    val day2FilesBefore = TradeLogFormat.readManifest(dir)
+      .filter(_.minTsUs >= ts("2024-01-02 00:00:00").getTime * 1000L)
+      .map(_.file).toSet
+    val s = dmlSession()
+    // mid-block cut: day-1's block straddles the range, so canDeleteWhere
+    // must refuse and the command must fall to copy-on-write — which
+    // deletes EXACTLY the first 3 rows (a metadata drop would have taken
+    // the 4th with them or failed)
+    s.sql(s"DELETE FROM ${sqlTable(dir)} " +
+      "WHERE ts < TIMESTAMP '2024-01-01 00:02:30'")
+    val left = s.sql(s"SELECT event_id FROM ${sqlTable(dir)}")
+      .collect().map(_.getLong(0)).toSet
+    assert(left == Set(3L, 10L, 11L, 12L, 13L))
+    assert((manifestFiles(dir) -- before).nonEmpty,
+      "a straddling delete must take the COW path (fresh data files)")
+    // the runtime _file group filter keeps the rewrite to MATCHING files:
+    // day-2 held no matching row, so its original file is still serving
+    val day2After = TradeLogFormat.readManifest(dir)
+      .filter(_.minTsUs >= ts("2024-01-02 00:00:00").getTime * 1000L)
+      .map(_.file).toSet
+    assert(day2After == day2FilesBefore,
+      s"non-matching groups must not be rewritten: " +
+        s"$day2FilesBefore -> $day2After")
+  }
+
+  test("user-targeted DELETE takes copy-on-write and rewrites only bloom-hit groups") {
+    val dir = tmpDir("del-cow")
+    // two user-disjoint blocks: users 100-103 (day 1), users 200-203 (day 2)
+    val rowsA = (0 until 4).map(i =>
+      Row(i.toLong, ts(s"2024-01-01 00:0$i:00"), 100L + i, "a", 1.0, "x"))
+    val rowsB = (0 until 4).map(i =>
+      Row(10L + i, ts(s"2024-01-02 00:0$i:00"), 200L + i, "b", 2.0, "y"))
+    writeLog(dir, rowsA ++ rowsB)
+    val filesBefore = manifestFiles(dir)
+    val s = dmlSession()
+    s.sql(s"DELETE FROM ${sqlTable(dir)} WHERE user_id = 201")
+    val left = s.sql(s"SELECT user_id FROM ${sqlTable(dir)}")
+      .collect().map(_.getLong(0)).toSet
+    assert(left == Set(100L, 101L, 102L, 103L, 200L, 202L, 203L))
+    // COW: new data file(s) appeared in the manifest…
+    val filesAfter = manifestFiles(dir)
+    assert((filesAfter -- filesBefore).nonEmpty,
+      "a row-level delete rewrites groups into fresh files")
+    // …and the day-1 block (bloom-certain miss for 201) was NOT replaced:
+    // its original file is still referenced
+    val after = TradeLogFormat.readManifest(dir)
+    val day1 = after.filter(_.maxTsUs <
+      org.apache.spark.sql.catalyst.util.DateTimeUtils
+        .fromJavaTimestamp(ts("2024-01-02 00:00:00")))
+    assert(day1.nonEmpty && day1.forall(b => filesBefore(b.file)),
+      "an unaffected group must survive the COW commit untouched")
+  }
+
+  test("UPDATE rewrites through the COW lane") {
+    val dir = tmpDir("upd")
+    writeLog(dir, dayRows(1, 0) ++ dayRows(2, 10))
+    val s = dmlSession()
+    s.sql(s"UPDATE ${sqlTable(dir)} SET value = value * 2 " +
+      "WHERE event_id >= 10")
+    val got = s.sql(s"SELECT event_id, value FROM ${sqlTable(dir)}")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    (0 until 4).foreach(i => assert(got(i.toLong) == i * 1.5))
+    (0 until 4).foreach(i => assert(got(10L + i) == i * 3.0))
+    assert(got.size == 8)
+  }
+
+  test("MERGE INTO applies the CDC verb set and matches q_cdc_apply through the connector") {
+    val dir = tmpDir("merge")
+    val s = dmlSession()
+    val ev = graft.core.Tables.events(s, Sf)
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value"), col("props"))
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("event_id").desc)
+    // target: the latest FULL row per user of the snapshot slice
+    ev.filter(pmod(col("event_id"), lit(5)) < 3)
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .drop("rn")
+      .repartitionByRange(2, col("user_id")).sortWithinPartitions("user_id")
+      .write.format(Fmt).mode("overwrite").option("blockRows", 8).save(dir)
+    // source: the latest change per user with the q_cdc_apply op rule
+    ev.filter(pmod(col("event_id"), lit(5)) >= 3)
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .drop("rn")
+      .withColumn("op",
+        when(pmod(col("event_id"), lit(7)) === 0, lit("D")).otherwise("U"))
+      .createOrReplaceTempView("chg")
+    s.sql(
+      s"""MERGE INTO ${sqlTable(dir)} t USING chg c ON t.user_id = c.user_id
+         |WHEN MATCHED AND c.op = 'D' THEN DELETE
+         |WHEN MATCHED THEN UPDATE SET value = c.value
+         |WHEN NOT MATCHED AND c.op <> 'D' THEN INSERT
+         |  (event_id, ts, user_id, event_type, value, props)
+         |  VALUES (c.event_id, c.ts, c.user_id, c.event_type, c.value,
+         |          c.props)""".stripMargin)
+    val got = s.read.format(Fmt).load(dir)
+      .select(col("user_id"), col("value"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // the adjudicated CDC apply on the same slices (q_cdc_apply's oracle
+    // grades it in the driver gate) — the connector round-trip must agree
+    val expect = graft.queries.Stats.cdcApply(spark, Sf)
+      .select(col("user_id"), col("value"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got == expect,
+      s"MERGE result diverged from q_cdc_apply: got ${got.size} rows, " +
+        s"expected ${expect.size}")
+    // idempotent re-merge: same source, same final state
+    s.sql(
+      s"""MERGE INTO ${sqlTable(dir)} t USING chg c ON t.user_id = c.user_id
+         |WHEN MATCHED AND c.op = 'D' THEN DELETE
+         |WHEN MATCHED THEN UPDATE SET value = c.value
+         |WHEN NOT MATCHED AND c.op <> 'D' THEN INSERT
+         |  (event_id, ts, user_id, event_type, value, props)
+         |  VALUES (c.event_id, c.ts, c.user_id, c.event_type, c.value,
+         |          c.props)""".stripMargin)
+    val again = s.read.format(Fmt).load(dir)
+      .select(col("user_id"), col("value"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(again == expect, "re-merging the same source must be a no-op")
+  }
+
+  test("DELETE everything empties the table metadata-only") {
+    val dir = tmpDir("del-all")
+    writeLog(dir, dayRows(1, 0) ++ dayRows(2, 10))
+    val s = dmlSession()
+    s.sql(s"DELETE FROM ${sqlTable(dir)}")
+    assert(s.sql(s"SELECT count(*) AS n FROM ${sqlTable(dir)}")
+      .collect().head.getLong(0) == 0L)
+  }
+}
