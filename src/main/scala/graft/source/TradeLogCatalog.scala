@@ -47,6 +47,48 @@ final class TradeLogCatalog extends TableCatalog {
       acceptAnySchema = false)
   }
 
+  /** SQL time travel — `SELECT … FROM t VERSION AS OF n`: the version IS
+    * the manifest generation, resolved through the same pin the
+    * `atGeneration` read option uses (the table carries the resolved
+    * generation straight to the scan), and the table serves the
+    * snapshot's OWN schema (a pre-widening version hides later columns —
+    * the Delta/Iceberg snapshot-schema rule). Versions above the
+    * committed head are in-flight or abandoned commit CLAIMS and are
+    * refused, same as every other "latest" resolution. */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    val path = ident.name()
+    val gen =
+      try version.toLong
+      catch {
+        case _: NumberFormatException => throw new IllegalArgumentException(
+          s"graft-tradelog VERSION AS OF takes a generation number, " +
+            s"got '$version'")
+      }
+    val headGen = TradeLogFormat.readManifestHeader(path).gen
+    require(gen <= headGen,
+      s"graft-tradelog $path: generation $gen is not committed " +
+        s"(head is $headGen — a gen-$gen snapshot above head would be an " +
+        "in-flight or abandoned commit claim)")
+    new TradeLogTable(path,
+      TradeLogFormat.readManifestInfoAt(path, gen, headerOnly = true)
+        .tableSchema,
+      resolvedPin = Some(gen), acceptAnySchema = false)
+  }
+
+  /** `TIMESTAMP AS OF t` (DSv2 passes epoch MICROseconds): resolved to
+    * the newest generation whose snapshot published at or before t —
+    * commit time is the snapshot file's mtime, the Delta transaction-log
+    * rule ([[TradeLogFormat.resolveWallClockGen]]). */
+  override def loadTable(ident: Identifier, timestamp: Long): Table = {
+    val path = ident.name()
+    val gen = TradeLogFormat.resolveWallClockGen(path,
+      Math.floorDiv(timestamp, 1000L))
+    new TradeLogTable(path,
+      TradeLogFormat.readManifestInfoAt(path, gen, headerOnly = true)
+        .tableSchema,
+      resolvedPin = Some(gen), acceptAnySchema = false)
+  }
+
   override def tableExists(ident: Identifier): Boolean = {
     val (fs, root) = TradeLogFormat.fs(ident.name())
     fs.exists(new org.apache.hadoop.fs.Path(root,

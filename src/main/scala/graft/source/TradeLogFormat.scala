@@ -505,6 +505,36 @@ object TradeLogFormat {
     n
   }
 
+  /** Resolve a WALL-CLOCK time-travel read (`TIMESTAMP AS OF`) to the
+    * newest COMMITTED generation whose snapshot file was published at or
+    * before `tsMs` — the Delta rule: commit time IS the transaction-log
+    * file's modification time (a dead-claim takeover re-publishes the
+    * snapshot, so the mtime is always the time the WINNING commit
+    * landed). Bounded by the head generation like every "latest"
+    * resolution (orphan claims above head are never committed states);
+    * ties at millisecond granularity resolve to the highest generation,
+    * matching commit order. */
+  def resolveWallClockGen(dir: String, tsMs: Long): Long = {
+    val (filesystem, root) = fs(dir)
+    val mdir = new Path(root, ManifestDirName)
+    require(filesystem.exists(mdir),
+      s"graft-tradelog $dir has no generation snapshots (pre-generation log)")
+    val headGen = readManifestHeader(dir).gen
+    val eligible = listSnapshotGens(filesystem, mdir).filter(_ <= headGen)
+      .flatMap { g =>
+        val p = new Path(mdir, s"gen-$g.manifest")
+        val st =
+          try Some(filesystem.getFileStatus(p))
+          catch { case _: java.io.FileNotFoundException => None }
+        st.collect { case s if s.getModificationTime <= tsMs => g }
+      }
+    require(eligible.nonEmpty,
+      s"graft-tradelog $dir has no committed generation at or before " +
+        s"timestamp $tsMs ms (earliest surviving snapshot is later, or " +
+        "the horizon was expired)")
+    eligible.max
+  }
+
   /** Resolve an `asOfEpoch` read to the newest COMMITTED generation that
     * IS a streaming-sink epoch commit with stamp <= `epoch`. Two filters:
     * the `ecommit` marker — not the epoch token alone — because batch
@@ -854,6 +884,10 @@ object TradeLogFormat {
   private[source] def tsDeleteTriage(dir: String, prev: ManifestInfo,
       loUs: Long, hiUs: Long, all: Boolean)
       : Option[(Seq[ShardRef], Seq[Seq[BlockMeta]], Seq[BlockMeta])] = {
+    // an EMPTY range (lo > hi — contradictory bounds, or a strict
+    // comparison against the Long µs extreme) matches no row: exact
+    // no-op, every shard carries forward
+    if (!all && loUs > hiUs) return Some((prev.shards, Seq.empty, Seq.empty))
     val reuse = scala.collection.mutable.ArrayBuffer.empty[ShardRef]
     val rewrite = scala.collection.mutable.ArrayBuffer.empty[Seq[BlockMeta]]
     val dropped = scala.collection.mutable.ArrayBuffer.empty[BlockMeta]

@@ -150,7 +150,13 @@ object TradeLogQueries {
 
   /** The digest oracle with an optional WHERE — the purge query grades
     * the retained slice against the same text. */
-  private def digestOracleWhere(where: String): String = {
+  private def digestOracleWhere(where: String): String =
+    digestOracleExpr("value", where)
+
+  /** Digest oracle with a substituted VALUE expression — the UPDATE
+    * query grades the post-assignment table by recomputing the
+    * assignment declaratively (CASE over the same predicate). */
+  private def digestOracleExpr(valueExpr: String, where: String): String = {
     val hv = OracleSql.hexPrefixToLong("h8")
     s"""WITH r AS (
        |  SELECT event_type,
@@ -158,7 +164,7 @@ object TradeLogQueries {
        |         CAST(epoch_us(ts) AS VARCHAR) || '#' ||
        |         CAST(user_id AS VARCHAR) || '#' ||
        |         event_type || '#' ||
-       |         CAST(CAST(round(value * 100) AS BIGINT) AS VARCHAR) || '#' ||
+       |         CAST(CAST(round(($valueExpr) * 100) AS BIGINT) AS VARCHAR) || '#' ||
        |         props AS repr
        |  FROM events $where),
        |h AS (SELECT event_type, substr(md5(repr), 1, 8) AS h8 FROM r),
@@ -692,6 +698,70 @@ object TradeLogQueries {
     s"""WHERE (ts >= TIMESTAMP '$DelCutoff' OR ts IS NULL)
        |  AND (user_id <> $DelUser OR user_id IS NULL)""".stripMargin)
 
+  // ---- q_tradelog_version_sql (SQL TIME TRAVEL) ---------------------------
+
+  /** `SELECT … FROM t VERSION AS OF 1` through the path catalog — the SQL
+    * face of q_tradelog_asof's read option, resolved by the catalog's
+    * versioned `loadTable` to the same generation pin: over the append
+    * artifact (gen 1 = the even event_ids, gen 2 = the odd append) the
+    * pinned SELECT's digest must equal the even-half oracle while the
+    * head already holds everything. TradeLogDmlSpec pins the mechanics:
+    * a version above head refused, TIMESTAMP AS OF resolving by snapshot
+    * publish time (the Delta commit-time rule), pre-publish timestamps
+    * failing loudly. */
+  def tradelogVersionSql(s: SparkSession, dir: String): DataFrame = {
+    val path = ensureAppendLog(s, dir)
+    val cs = s.newSession()
+    cs.conf.set("spark.sql.catalog.graft_tlog",
+      classOf[TradeLogCatalog].getName)
+    digestOver(cs.sql(s"SELECT * FROM graft_tlog.`$path` VERSION AS OF 1"))
+  }
+
+  // ---- q_tradelog_update_sql (SQL UPDATE) ---------------------------------
+
+  private val UpdUsers = "3, 11, 19" // present at every sf
+
+  /** SQL `UPDATE` THROUGH the connector — the third row-level verb under
+    * the hash gate: `SET value = value * 2` for three point users, run by
+    * the group-based copy-on-write rewrite over a USER-CLUSTERED log
+    * (range-partitioned, sorted by user_id), so the per-block user range
+    * + bloom narrow the rewrite to the few groups holding those users.
+    * The survivors' digest must equal the oracle that recomputes the
+    * assignment declaratively (CASE over the same predicate) — value*2
+    * is a single exact IEEE op, the digest's 2dp canonicalization is the
+    * established cross-engine discipline. The DML runs once at artifact
+    * build (marker-gated: UPDATE is not content-idempotent, unlike the
+    * delete/merge artifacts). */
+  def tradelogUpdateSql(s: SparkSession, dir: String): DataFrame =
+    digestOver(s.read.format(FormatName).load(ensureUpdateSqlLog(s, dir)))
+
+  def ensureUpdateSqlLog(s: SparkSession, dir: String): String = {
+    val path = s"${logPath(s, dir)}-updsql"
+    val (fs, root) = TradeLogFormat.fs(path)
+    val done = new org.apache.hadoop.fs.Path(root, "_DML_DONE")
+    if (!fs.exists(done)) {
+      // a crash between save and marker rebuilds from the overwrite
+      // (truncate-first), so a half-applied UPDATE can never freeze in
+      Tables.events(s, dir)
+        .select(col("event_id"), col("ts"), col("user_id"),
+          col("event_type"), col("value"), col("props"))
+        .repartitionByRange(8, col("user_id"))
+        .sortWithinPartitions("user_id")
+        .write.format(FormatName).mode("overwrite")
+        .option("blockRows", 256).save(path)
+      val cs = s.newSession()
+      cs.conf.set("spark.sql.catalog.graft_tlog",
+        classOf[TradeLogCatalog].getName)
+      cs.sql(s"UPDATE graft_tlog.`$path` SET value = value * 2 " +
+        s"WHERE user_id IN ($UpdUsers)")
+      fs.create(done, true).close()
+    }
+    path
+  }
+
+  private val tradelogUpdateSqlOracle: String = digestOracleExpr(
+    s"CASE WHEN user_id IN ($UpdUsers) THEN value * 2 ELSE value END", "")
+
   // ---- q_tradelog_merge_sql (SQL MERGE INTO) ------------------------------
 
   /** SQL `MERGE INTO` THROUGH the connector — the full CDC verb set
@@ -781,6 +851,12 @@ object TradeLogQueries {
     // SQL row-level DELETE through the connector (metadata + COW tiers)
     "q_tradelog_delete_sql" -> QueryDef(tradelogDeleteSql,
       Some(tradelogDeleteSqlOracle)),
+    // SQL UPDATE through the connector (COW over user-clustered groups)
+    "q_tradelog_update_sql" -> QueryDef(tradelogUpdateSql,
+      Some(tradelogUpdateSqlOracle)),
+    // SQL time travel: VERSION AS OF 1 == the pre-append snapshot digest
+    "q_tradelog_version_sql" -> QueryDef(tradelogVersionSql,
+      Some(digestOracleWhere("WHERE event_id % 2 = 0"))),
     // SQL MERGE INTO through the connector (group-based COW, CDC verbs)
     "q_tradelog_merge_sql" -> QueryDef(tradelogMergeSql,
       Some(tradelogMergeSqlOracle)),

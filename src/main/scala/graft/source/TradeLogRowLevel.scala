@@ -199,10 +199,13 @@ private[source] object TradeLogDml {
     def leaf(p: Predicate): Boolean = p.name() match {
       case "ALWAYS_TRUE" => true
       case "AND" =>
-        val cs = p.children()
-        cs.length == 2 &&
-          leaf(cs(0).asInstanceOf[Predicate]) &&
-          leaf(cs(1).asInstanceOf[Predicate])
+        // children are Predicates for a real And node; anything else is
+        // outside the vocabulary (refuse, never throw — the COW path is
+        // the fallback, not an error)
+        p.children().length == 2 && p.children().forall {
+          case c: Predicate => leaf(c)
+          case _ => false
+        }
       case op @ ("<" | "<=" | ">" | ">=" | "=") =>
         val cs = p.children()
         if (cs.length != 2) return false
@@ -215,9 +218,14 @@ private[source] object TradeLogDml {
       case _ => false
     }
     def bound(op: String, m: Long): Unit = op match {
-      case "<"  => hi = hi.min(m - 1)
+      // strict forms at the Long µs extremes are unsatisfiable — encode
+      // the EMPTY range (lo > hi; the triage treats it as an exact no-op)
+      // instead of letting ±1 wrap to the other end of time
+      case "<"  => if (m == Long.MinValue) { lo = 0L; hi = -1L }
+                   else hi = hi.min(m - 1)
       case "<=" => hi = hi.min(m)
-      case ">"  => lo = lo.max(m + 1)
+      case ">"  => if (m == Long.MaxValue) { lo = 0L; hi = -1L }
+                   else lo = lo.max(m + 1)
       case ">=" => lo = lo.max(m)
       case "="  => lo = lo.max(m); hi = hi.min(m)
     }

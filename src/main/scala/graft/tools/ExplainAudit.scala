@@ -62,7 +62,11 @@ object ExplainAudit {
       "q_tpch_q10", "q_tpch_q11", "q_tpch_q12", "q_tpch_q14", "q_tpch_q15",
       "q_tpch_q16", "q_tpch_q17", "q_tpch_q19", "q_tpch_q20", "q_tpch_q21",
       "q_tpch_q22", "q_join_lateral", "q_json_variant", "q_cte_recursive", "q_last_k",
-      "q_tradelog_asof", "q_tradelog_evolve", "q_tradelog_changes", "q_sql_pipe", "q_sql_params", "q_sql_script", "q_collation")
+      "q_tradelog_asof", "q_tradelog_evolve", "q_tradelog_changes", "q_sql_pipe", "q_sql_params", "q_sql_script", "q_collation",
+      // r17: the DML queries' read-back plans (the DML itself runs once at
+      // artifact build; these audit the survivors-scan digest shapes)
+      "q_tradelog_delete_sql", "q_tradelog_update_sql",
+      "q_tradelog_merge_sql")
     names.foreach { n =>
       println(s"\n========== $n ==========")
       n match {

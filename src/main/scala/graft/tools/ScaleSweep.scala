@@ -42,23 +42,31 @@ object ScaleSweep {
   def main(args: Array[String]): Unit = {
     val reps = args.headOption.filter(_.forall(_.isDigit)).map(_.toInt)
       .getOrElse(3)
-    val names0 = if (args.exists(a => !a.forall(_.isDigit)))
-      args.filter(a => !a.forall(_.isDigit)).toSeq else DefaultQueries
-    val sfs = Seq("0.001", "0.01", "0.1")
+    // args: digits = reps; "/..." = EXTRA sf dirs appended as further
+    // decades (e.g. the ScaleUp synthetic sf1); anything else = query
+    val extraDirs = args.filter(_.contains("/")).toSeq
+    val names0 = if (args.exists(a => !a.forall(_.isDigit) && !a.contains("/")))
+      args.filter(a => !a.forall(_.isDigit) && !a.contains("/")).toSeq
+    else DefaultQueries
+    val dirs = Seq("0.001", "0.01", "0.1").map(sf =>
+      (s"sf$sf", s"/root/testdata/sf$sf")) ++
+      extraDirs.map(d => (d.split("/").last.take(8), d))
     val spark = BenchSession.build()
-    println(f"${"query"}%-24s ${"sf0.001"}%8s ${"sf0.01"}%8s ${"sf0.1"}%8s " +
-      f"${"e(3→2)"}%7s ${"e(2→1)"}%7s")
+    println((f"${"query"}%-24s" +:
+      dirs.map { case (l, _) => f"$l%9s" }).mkString +
+      dirs.sliding(2).map(p =>
+        f"${s"e(${p.head._1.stripPrefix("sf")}→${p.last._1.stripPrefix("sf")})"}%12s")
+        .mkString)
     names0.foreach { n =>
       val fn = graft.SparkEntry.queries(n)
-      val med = sfs.map { sf =>
-        val dir = s"/root/testdata/sf$sf"
+      val med = dirs.map { case (_, dir) =>
         spark.catalog.clearCache()
         System.gc()
         BenchSession.medianSec(reps) { BenchSession.noop(fn(spark, dir)) }
       }
       def e(lo: Double, hi: Double): Double = math.log10(hi / lo)
-      println(f"$n%-24s ${med(0)}%8.2f ${med(1)}%8.2f ${med(2)}%8.2f " +
-        f"${e(med(0), med(1))}%7.2f ${e(med(1), med(2))}%7.2f")
+      println((f"$n%-24s" +: med.map(m => f"$m%9.2f")).mkString +
+        med.sliding(2).map(p => f"${e(p.head, p.last)}%12.2f").mkString)
     }
     spark.stop()
   }

@@ -114,6 +114,30 @@ class TradeLogDmlSpec extends SparkTestBase {
         s"$day2FilesBefore -> $day2After")
   }
 
+  /** Guards a subtle soundness dependency: the COW write replaces
+    * exactly the blocks the scan PLANNED, which is only correct because
+    * the scan never receives a pushable form of the command condition —
+    * Spark wraps the survivor filter as Not(EqualNullSafe(cond, true)),
+    * untranslatable to V2 filters over nullable columns, so no static
+    * ts-skip can drop a fully-covered block from the replace set. If a
+    * future Spark simplification ever made that pushable, this test
+    * breaks: the fully-covered first block's rows would survive. */
+  test("COW delete removes fully-covered blocks too (no unsound static skip)") {
+    val dir = tmpDir("del-covered")
+    val rows = (0 until 6).map(i => Row(i.toLong,
+      ts(s"2024-01-01 00:0$i:00"), 100L + i, s"t$i", i * 1.5, s"p$i"))
+    writeLog(dir, rows, blockRows = 2) // blocks: (0,1) (2,3) (4,5)
+    val s = dmlSession()
+    // cutoff mid-block-1: block 0 fully covered, block 1 straddles —
+    // metadata tier refused, COW must still delete block 0's rows
+    s.sql(s"DELETE FROM ${sqlTable(dir)} " +
+      "WHERE ts < TIMESTAMP '2024-01-01 00:02:30'")
+    val left = s.sql(s"SELECT event_id FROM ${sqlTable(dir)}")
+      .collect().map(_.getLong(0)).toSet
+    assert(left == Set(3L, 4L, 5L),
+      s"rows of FULLY-covered blocks must be deleted by the COW path: $left")
+  }
+
   test("user-targeted DELETE takes copy-on-write and rewrites only bloom-hit groups") {
     val dir = tmpDir("del-cow")
     // two user-disjoint blocks: users 100-103 (day 1), users 200-203 (day 2)
@@ -208,6 +232,50 @@ class TradeLogDmlSpec extends SparkTestBase {
       .select(col("user_id"), col("value"))
       .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
     assert(again == expect, "re-merging the same source must be a no-op")
+  }
+
+  test("SQL time travel: VERSION AS OF pins, above-head refused, TIMESTAMP AS OF resolves by publish time") {
+    val dir = tmpDir("ttravel")
+    val s = dmlSession()
+    // two commits, far enough apart for distinct snapshot mtimes
+    writeLog(dir, dayRows(1, 0))
+    Thread.sleep(20)
+    spark.createDataFrame(
+        spark.sparkContext.parallelize(dayRows(2, 10), 1),
+        TradeLogFormat.schema)
+      .write.format(Fmt).mode("append").option("blockRows", 4).save(dir)
+    def ids(sql: String): Set[Long] =
+      s.sql(sql).collect().map(_.getLong(0)).toSet
+    val gen1 = (0L until 4L).toSet
+    val all = gen1 ++ (10L until 14L).toSet
+    assert(ids(s"SELECT event_id FROM ${sqlTable(dir)} VERSION AS OF 1") ==
+      gen1, "VERSION AS OF 1 must serve the pre-append snapshot")
+    assert(ids(s"SELECT event_id FROM ${sqlTable(dir)} VERSION AS OF 2") ==
+      all)
+    // a version above the committed head is an in-flight/abandoned claim
+    val above = intercept[Exception] {
+      s.sql(s"SELECT event_id FROM ${sqlTable(dir)} VERSION AS OF 99")
+        .collect()
+    }
+    assert(above.getMessage.contains("not committed"), above.getMessage)
+    // TIMESTAMP AS OF: commit time is the snapshot file's mtime
+    val (fs, root) = TradeLogFormat.fs(dir)
+    def mtime(g: Int): Long = fs.getFileStatus(new org.apache.hadoop.fs.Path(
+      root, s"${TradeLogFormat.ManifestDirName}/gen-$g.manifest"))
+      .getModificationTime
+    assert(mtime(1) < mtime(2), "spec premise: distinct commit times")
+    assert(ids(s"SELECT event_id FROM ${sqlTable(dir)} " +
+      s"TIMESTAMP AS OF timestamp_millis(${mtime(1)})") == gen1,
+      "a timestamp between the two publishes must serve generation 1")
+    assert(ids(s"SELECT event_id FROM ${sqlTable(dir)} " +
+      s"TIMESTAMP AS OF timestamp_millis(${mtime(2) + 3600000L})") == all)
+    val early = intercept[Exception] {
+      s.sql(s"SELECT event_id FROM ${sqlTable(dir)} " +
+        s"TIMESTAMP AS OF timestamp_millis(${mtime(1) - 3600000L})")
+        .collect()
+    }
+    assert(early.getMessage.contains("no committed generation"),
+      early.getMessage)
   }
 
   test("DELETE everything empties the table metadata-only") {
