@@ -4,6 +4,7 @@ import java.sql.Timestamp
 
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{StringType, StructField, StructType}
 
 import graft.SparkTestBase
 
@@ -276,6 +277,61 @@ class TradeLogDmlSpec extends SparkTestBase {
     }
     assert(early.getMessage.contains("no committed generation"),
       early.getMessage)
+  }
+
+  /** Row-level ops × schema evolution: a MERGE against a WIDENED log must
+    * write replacement blocks in the union schema — old narrow blocks it
+    * rewrites come back as wide blocks whose extras are null for carried
+    * rows, and the catalog door serves the union schema for the
+    * assignment resolution. Also pins INSERT INTO through the catalog
+    * door (the plain append verb of the SQL surface). */
+  test("MERGE on a widened log rewrites narrow blocks into the union schema; INSERT INTO appends") {
+    val dir = tmpDir("evolve-dml")
+    // gen 1: base-schema rows (narrow blocks, nCols = 6)
+    writeLog(dir, Seq(
+      Row(1L, ts("2024-01-01 00:00:00"), 10L, "a", 1.0, "x"),
+      Row(2L, ts("2024-01-01 00:01:00"), 20L, "b", 2.0, "y")))
+    // gen 2: widening append with one extra column
+    val wide = StructType(TradeLogFormat.schema.fields :+
+      StructField("xtag", StringType))
+    spark.createDataFrame(
+        spark.sparkContext.parallelize(Seq(
+          Row(3L, ts("2024-01-02 00:00:00"), 30L, "c", 3.0, "z", "T3")), 1),
+        wide)
+      .write.format(Fmt).mode("append").option("blockRows", 4).save(dir)
+    val s = dmlSession()
+    // source: update user 10's value, insert user 40 (with an xtag) —
+    // the view lives in the CHILD session, where the MERGE resolves
+    s.createDataFrame(
+        s.sparkContext.parallelize(Seq(
+          Row(11L, ts("2024-01-03 00:00:00"), 10L, "a", 9.0, "x2", "T1"),
+          Row(41L, ts("2024-01-03 00:01:00"), 40L, "d", 4.0, "w", "T4")), 1),
+        wide)
+      .createOrReplaceTempView("evolve_chg")
+    s.sql(
+      s"""MERGE INTO ${sqlTable(dir)} t USING evolve_chg c
+         |ON t.user_id = c.user_id
+         |WHEN MATCHED THEN UPDATE SET value = c.value, xtag = c.xtag
+         |WHEN NOT MATCHED THEN INSERT
+         |  (event_id, ts, user_id, event_type, value, props, xtag)
+         |  VALUES (c.event_id, c.ts, c.user_id, c.event_type, c.value,
+         |          c.props, c.xtag)""".stripMargin)
+    val got = s.read.format(Fmt).load(dir)
+      .selectExpr("user_id", "value", "xtag")
+      .collect().map(r => r.getLong(0) ->
+        (r.getDouble(1), Option(r.getString(2)).getOrElse("-"))).toMap
+    assert(got == Map(
+      10L -> (9.0, "T1"),  // updated, xtag assigned
+      20L -> (2.0, "-"),   // carried from a rewritten narrow block: null xtag
+      30L -> (3.0, "T3"),  // untouched wide block
+      40L -> (4.0, "T4")), // inserted
+      s"merged evolved state wrong: $got")
+    // INSERT INTO through the catalog door (by-name resolution)
+    s.sql(s"INSERT INTO ${sqlTable(dir)} VALUES " +
+      "(50, TIMESTAMP '2024-01-04 00:00:00', 50, 'e', 5.0, 'v', 'T5')")
+    val n = s.sql(s"SELECT count(*) AS n FROM ${sqlTable(dir)}")
+      .collect().head.getLong(0)
+    assert(n == 5L, s"INSERT INTO must append one row, got $n total")
   }
 
   test("DELETE everything empties the table metadata-only") {
