@@ -416,10 +416,11 @@ object Catalog {
     * bridge is bit-deterministic with NO sleep and no checkpoint-resumed
     * second phase. The staged layout replaces the wall clock with the
     * data's own: old slice at T0, new slice at T0+GAP (GAP ≫ ttl, so
-    * every returning key's gap restarts it), then two sentinel rows at
-    * T0+2·GAP / T0+3·GAP whose only job is to advance the watermark so
-    * the engine's timers fire for keys that never return (TtlSpec pins
-    * numRowsTotal FALLING across those batches). Folding the update-mode
+    * every returning key's gap restarts it), then ONE sentinel row at
+    * T0+2·GAP whose only job is to advance the watermark so the engine's
+    * timers fire for keys that never return (the trailing no-data batch
+    * then retires the new slice's keys; TtlSpec's 4-slice fixture pins
+    * the full numRowsTotal ladder). Folding the update-mode
     * emissions latest-per-user (sentinels dropped) yields the identical
     * FULL OUTER COALESCE batch oracle as the processing-time lane —
     * shared verbatim, so the two clocks cannot drift. */
@@ -441,14 +442,15 @@ object Catalog {
     graft.stream.TwsTtl.runEvent(spark, tmp, schema, ttlMs = 60000L)
   }
 
-  /** The event-TTL slice layout: four single-file slices whose order IS
+  /** The event-TTL slice layout: three single-file slices whose order IS
     * the micro-batch order (maxFilesPerTrigger=1; mtimes forced to a
     * strict ladder so the file source's mtime ordering is never a race).
     * Build-once, fingerprinted by the source file's (length, mtime) —
     * the [[stagedEvents4]] rule. Event times are synthetic constants per
-    * slice (T0, T0+1h, +2h, +3h against a 60 s ttl): the TTL contract
-    * only reads event-time DIFFERENCES, so pinning them to a grid makes
-    * every expiry decision exact while n/sum stay the real table's. */
+    * slice (T0, T0+1h, sentinel at +2h, against a 60 s ttl): the TTL
+    * contract only reads event-time DIFFERENCES, so pinning them to a
+    * grid makes every expiry decision exact while n/sum stay the real
+    * table's. */
   private def stagedTtlEvent(spark: SparkSession, d: String)
       : (String, org.apache.spark.sql.types.StructType) = {
     val hconf = spark.sparkContext.hadoopConfiguration

@@ -57,6 +57,7 @@ final class TradeLogCatalog extends TableCatalog {
     * refused, same as every other "latest" resolution. */
   override def loadTable(ident: Identifier, version: String): Table = {
     val path = ident.name()
+    requireTable(ident) // NoSuchTable, not a raw FileNotFound (r17 review)
     val gen =
       try version.toLong
       catch {
@@ -81,6 +82,7 @@ final class TradeLogCatalog extends TableCatalog {
     * rule ([[TradeLogFormat.resolveWallClockGen]]). */
   override def loadTable(ident: Identifier, timestamp: Long): Table = {
     val path = ident.name()
+    requireTable(ident)
     val gen = TradeLogFormat.resolveWallClockGen(path,
       Math.floorDiv(timestamp, 1000L))
     new TradeLogTable(path,
@@ -94,6 +96,9 @@ final class TradeLogCatalog extends TableCatalog {
     fs.exists(new org.apache.hadoop.fs.Path(root,
       TradeLogFormat.ManifestName))
   }
+
+  private def requireTable(ident: Identifier): Unit =
+    if (!tableExists(ident)) throw new NoSuchTableException(ident)
 
   override def listTables(namespace: Array[String]): Array[Identifier] =
     Array.empty // path tables have no enumerable namespace

@@ -289,6 +289,12 @@ object TradeLogFormat {
     require(names.distinct.length == names.length,
       s"graft-tradelog write schema has duplicate column names: " +
         s"${names.diff(names.distinct).distinct.mkString(", ")}")
+    // `_file` is the reader's METADATA column (block provenance): a data
+    // column of that name would be silently hijacked by the scan's
+    // metadata slot — reserved, like every lakehouse format's _-prefixed
+    // metadata namespace (r17 review finding)
+    require(!names.contains("_file"),
+      "graft-tradelog reserves the column name `_file` (metadata column)")
     extra
   }
 
@@ -928,6 +934,10 @@ object TradeLogFormat {
     val outcome = new java.util.concurrent.atomic.AtomicReference[
       (Int, Seq[String])]((0, Seq.empty))
     commitManifest(dir) { prevOpt =>
+      // reset per attempt: a retry that aborts (a concurrent commit
+      // already removed the blocks) must not journal or report the
+      // PREVIOUS attempt's drop set (r17 review finding)
+      outcome.set((0, Seq.empty))
       val prev = prevOpt.getOrElse(throw new IllegalArgumentException(
         s"graft-tradelog $dir has no committed manifest to delete from"))
       tsDeleteTriage(dir, prev, loUs, hiUs, all) match {

@@ -656,13 +656,26 @@ final class TradeLogPartitionReader(dir: String, blocks: Seq[BlockMeta],
   private val blockIt = blocks.iterator
   private var rows: Iterator[InternalRow] = Iterator.empty
 
+  // the current block's file name, encoded ONCE per block (not per row —
+  // the decode loop runs millions of times under a COW rewrite)
+  private var fileU8: org.apache.spark.unsafe.types.UTF8String = null
+  private var fileU8For: String = null
+  private def fileNameU8(file: String)
+      : org.apache.spark.unsafe.types.UTF8String = {
+    if (fileU8For != file) {
+      fileU8 = org.apache.spark.unsafe.types.UTF8String.fromString(file)
+      fileU8For = file
+    }
+    fileU8
+  }
+
   /** Wrap decoded data values into the output slot layout, filling
     * `_file` slots; identity (zero-cost) when no metadata was asked. */
   private def mkRow(data: Array[Any], file: String): InternalRow =
     if (!hasMeta) new GenericInternalRow(data)
     else {
       val out = new Array[Any](outCols.length)
-      val f = org.apache.spark.unsafe.types.UTF8String.fromString(file)
+      val f = fileNameU8(file)
       var i = 0
       var di = 0
       while (i < outCols.length) {

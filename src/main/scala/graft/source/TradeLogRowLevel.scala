@@ -130,7 +130,6 @@ final class TradeLogReplaceDataWrite(path: String, blockRows: Int,
       val reuse = scala.collection.mutable.ArrayBuffer.empty[
         TradeLogFormat.ShardRef]
       val rewrite = scala.collection.mutable.ArrayBuffer.empty[Seq[BlockMeta]]
-      val keptResolved = scala.collection.mutable.ArrayBuffer.empty[BlockMeta]
       var seen = 0
       // a block's ts span is contained in its shard's span (ShardRef.of),
       // so only shards intersecting some replaced block's span can hold
@@ -146,10 +145,7 @@ final class TradeLogReplaceDataWrite(path: String, blockRows: Int,
             bs.partition(b => replacedKeys((b.file, b.offset)))
           seen += gone.size
           if (gone.isEmpty) reuse += r
-          else {
-            keptResolved ++= keep
-            if (keep.nonEmpty) rewrite += keep
-          }
+          else if (keep.nonEmpty) rewrite += keep
         }
       }
       // conflict validation (re-runs on every optimistic retry): every

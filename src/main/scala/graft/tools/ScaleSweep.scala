@@ -48,9 +48,13 @@ object ScaleSweep {
     val names0 = if (args.exists(a => !a.forall(_.isDigit) && !a.contains("/")))
       args.filter(a => !a.forall(_.isDigit) && !a.contains("/")).toSeq
     else DefaultQueries
+    // label = first two underscore segments of the dir name, so the
+    // ScaleUp control (graft_x1_<fp>) and decade (graft_x10_<fp>) stay
+    // distinguishable in the header (r17 review finding)
     val dirs = Seq("0.001", "0.01", "0.1").map(sf =>
       (s"sf$sf", s"/root/testdata/sf$sf")) ++
-      extraDirs.map(d => (d.split("/").last.take(8), d))
+      extraDirs.map(d => (d.split("/").last.split("_").take(2)
+        .mkString("_").take(10), d))
     val spark = BenchSession.build()
     println((f"${"query"}%-24s" +:
       dirs.map { case (l, _) => f"$l%9s" }).mkString +

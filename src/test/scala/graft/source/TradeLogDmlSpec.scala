@@ -334,6 +334,32 @@ class TradeLogDmlSpec extends SparkTestBase {
     assert(n == 5L, s"INSERT INTO must append one row, got $n total")
   }
 
+  test("`_file` is a reserved name and versioned loads of non-tables fail as NoSuchTable") {
+    // (a) a widening write must not be able to shadow the metadata column
+    val dir = tmpDir("reserved")
+    val bad = StructType(TradeLogFormat.schema.fields :+
+      StructField("_file", StringType))
+    val err = intercept[Exception] {
+      spark.createDataFrame(
+          spark.sparkContext.parallelize(Seq(
+            Row(1L, ts("2024-01-01 00:00:00"), 1L, "a", 1.0, "p", "hijack")),
+            1), bad)
+        .write.format(Fmt).mode("overwrite").save(dir)
+    }
+    assert(err.getMessage != null && err.getMessage.contains("_file"),
+      s"a `_file` data column must be rejected at the write: $err")
+    // (b) VERSION AS OF on a directory with no committed manifest is
+    // TABLE_OR_VIEW_NOT_FOUND, not a raw FileNotFoundException
+    val s = dmlSession()
+    val missing = tmpDir("missing")
+    val nf = intercept[Exception] {
+      s.sql(s"SELECT * FROM tlog.`$missing` VERSION AS OF 1").collect()
+    }
+    assert(nf.getMessage.toUpperCase.contains("NOT") &&
+      !nf.toString.contains("FileNotFoundException"),
+      s"versioned load of a non-table must resolve as not-found: $nf")
+  }
+
   test("DELETE everything empties the table metadata-only") {
     val dir = tmpDir("del-all")
     writeLog(dir, dayRows(1, 0) ++ dayRows(2, 10))
