@@ -360,6 +360,51 @@ class TradeLogDmlSpec extends SparkTestBase {
       s"versioned load of a non-table must resolve as not-found: $nf")
   }
 
+  /** The documented stream-offset contract under row-level DML, pinned:
+    * a COW rewrite of an ALREADY-CONSUMED block restates its surviving
+    * rows at tail seqs, so a checkpointed stream re-receives exactly the
+    * survivors (the Delta-CDF restatement caveat) — never loses data,
+    * never crashes on the vanished seqs (offsets are seq watermarks). */
+  test("a stream resumes across a COW restatement: survivors re-delivered, nothing lost") {
+    val dir = tmpDir("stream-cow") + "/log"
+    val rows = Seq(
+      Row(1L, ts("2024-01-01 00:00:01"), 1L, "a", 1.0, "{}"),
+      Row(2L, ts("2024-01-01 00:00:02"), 2L, "a", 2.0, "{}"),
+      Row(3L, ts("2024-01-02 00:00:03"), 3L, "b", 3.0, "{}"),
+      Row(4L, ts("2024-01-02 00:00:04"), 4L, "b", 4.0, "{}"))
+    spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 1), TradeLogFormat.schema)
+      .write.format(Fmt).mode("overwrite").option("blockRows", 2).save(dir)
+    val ckpt = tmpDir("stream-cow-ckpt")
+    def drainCkpt(): Seq[Long] = {
+      val got = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+      val q = spark.readStream.format(Fmt).load(dir)
+        .writeStream.outputMode("append")
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          b.collect().foreach(r => got.add(r.getLong(0))); ()
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(120000L)
+      import scala.jdk.CollectionConverters._
+      got.asScala.toSeq
+    }
+    assert(drainCkpt().sorted == Seq(1L, 2L, 3L, 4L), "phase 1 drains all")
+    // COW-delete user 2: the consumed (1,2) block is replaced, its
+    // survivor (event 1) re-enters at a tail seq above the watermark
+    val s = dmlSession()
+    s.sql(s"DELETE FROM ${sqlTable(dir)} WHERE user_id = 2")
+    val phase2 = drainCkpt()
+    assert(phase2.sorted == Seq(1L),
+      s"the rewrite must restate exactly the survivors of the replaced " +
+        s"block — got $phase2")
+    // and the table itself is intact
+    val all = s.sql(s"SELECT event_id FROM ${sqlTable(dir)}")
+      .collect().map(_.getLong(0)).toSet
+    assert(all == Set(1L, 3L, 4L))
+  }
+
   test("DELETE everything empties the table metadata-only") {
     val dir = tmpDir("del-all")
     writeLog(dir, dayRows(1, 0) ++ dayRows(2, 10))
