@@ -13,6 +13,17 @@ import org.apache.spark.sql.SparkSession
   * times are comparable across rounds.
   */
 object Bench {
+  /** 1-minute load average from /proc/loadavg — recorded per query and at
+    * start/end so a loaded shared-box window is machine-detectable in
+    * BENCH_DETAIL.json instead of forensically reconstructed (VERDICT r17
+    * order sheet #1: three full benches were spent proving noise). -1.0
+    * when the proc file is unavailable (non-Linux). */
+  private def load1(): Double =
+    try java.nio.file.Files.readAllLines(
+      java.nio.file.Paths.get("/proc/loadavg")).get(0)
+      .split(" ")(0).toDouble
+    catch { case _: Throwable => -1.0 }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -58,8 +69,11 @@ object Bench {
       "q_join_outer_streamed", "q_cdc_streamed")
     val ordered = SparkEntry.queries.toSeq.sortBy { case (n, _) => (runsLast(n), n) }
 
+    val loadBefore = load1()
+    val loads = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val results = ordered.map { case (name, fn) =>
       isolate()
+      loads(name) = load1()
       val w0 = System.nanoTime()
       val ok = try { runOnce(fn); true } // warm-up: codegen + JIT + footers
       catch { case e: Throwable =>
@@ -95,11 +109,19 @@ object Bench {
     // 2000 chars of stdout (BENCH_r03..r07 all recorded parsed:null because
     // the 95-query full-precision line overflowed that window), so the
     // complete dump goes to a file the end-of-round snapshot commits.
+    val loadAfter = load1()
     val detail = results.map { case (k, v) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    // per-query 1-min loadavg sampled at each query's start: a line whose
+    // load is >> the run's floor was measured in a contended window — the
+    // self-adjudication signal (compare against RepeatTimer medians)
+    val loadDetail = loads.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     java.nio.file.Files.write(
       java.nio.file.Paths.get("BENCH_DETAIL.json"),
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$detail,"sf":"$sfDir"}"""
+      (s"""{"metric":"total","value":$total,"unit":"sec",""" +
+        s""""loadavg_before":$loadBefore,"loadavg_after":$loadAfter,""" +
+        s""""queries":$detail,"load1_at_start":$loadDetail,"sf":"$sfDir"}""")
         .getBytes("UTF-8"))
 
     // Compact stdout line: 2-decimal secs, most-expensive queries first,
@@ -112,7 +134,7 @@ object Bench {
       String.format(java.util.Locale.ROOT, pattern, Double.box(v))
     def entry(k: String, v: Double) = "\"" + k + "\":" + num(v, "%.2f")
     val budget = 1600
-    val head = s"""{"metric":"total","value":${num(total, "%.3f")},"unit":"sec","n_queries":${results.size},"detail":"BENCH_DETAIL.json","queries":{"""
+    val head = s"""{"metric":"total","value":${num(total, "%.3f")},"unit":"sec","n_queries":${results.size},"load_before":${num(loadBefore, "%.2f")},"load_after":${num(loadAfter, "%.2f")},"detail":"BENCH_DETAIL.json","queries":{"""
     val kept = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
     var used = head.length + 100 // slack for the omitted summary + sf suffix
     byCost.foreach { case (k, v) =>

@@ -186,7 +186,7 @@ object TimeWindows {
     * watermarks beyond every real click's expiry, the second forces the
     * one further micro-batch in which the engine evicts against that
     * advanced watermark and emits the stragglers (AvailableNow runs no
-    * trailing no-data batch — measured). The 4 real files are ts-RANGE
+    * trailing no-data batch — measured). The 3 real files are ts-RANGE
     * contiguous and delivered in range order (mtime-forced), so no row
     * is ever late against the advancing watermark — matched pairs that
     * SPAN files prove the buffered-state path. Sentinels are filtered
@@ -195,13 +195,14 @@ object TimeWindows {
     * once on user_id, state bounded by rate × (10 min + delay). */
   def joinOuterStreamed(s: SparkSession, d: String): DataFrame = {
     val (tmp, schema) = stagedEventsSentinel(s, d)
-    // 4 shuffle partitions, not the bridge default 8: the outer join
+    // 2 shuffle partitions, not the bridge default 8: the outer join
     // instantiates 4 state store instances per partition per side per
-    // micro-batch, and this bridge runs 6 batches — store setup, not
-    // data, dominates at gate scale (same rationale as the default's own
-    // 32→8 note; production sizing is rate-based)
+    // micro-batch, and this bridge runs 5 batches — store setup, not
+    // data, dominates at gate scale (r18 adjudication: the line's calm
+    // RepeatTimer median was 7.7 s with 4 partitions × 6 batches — real
+    // harness cost, not box noise; production sizing is rate-based)
     Tables.runStreamAppend(s, "join_outer_streamed_",
-      Map("spark.sql.shuffle.partitions" -> "4")) { cs =>
+      Map("spark.sql.shuffle.partitions" -> "2")) { cs =>
       def src = cs.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1).parquet(tmp)
       val c = src.filter(col("event_type") === "click")
@@ -243,7 +244,7 @@ object TimeWindows {
       |  AND p_ts >= c_ts AND p_ts <= c_ts + INTERVAL 10 MINUTE
       |ORDER BY click_id, p_id""".stripMargin
 
-  /** The [[joinOuterStreamed]] staging: events split into 4 contiguous
+  /** The [[joinOuterStreamed]] staging: events split into 3 contiguous
     * ts ranges (repartitionByRange — partition k's file holds range k)
     * plus the 2-row sentinel file, with mtimes FORCED ascending in range
     * order so the file source's oldest-first pick delivers ranges in
@@ -257,23 +258,25 @@ object TimeWindows {
     val srcPath = new org.apache.hadoop.fs.Path(s"$d/events.parquet")
     val conf = s.sparkContext.hadoopConfiguration
     val st = srcPath.getFileSystem(conf).getFileStatus(srcPath)
-    // v2: layout-version tag busts the cache on staging-shape changes
-    // (v1 had one sentinel batch — insufficient, see writeSentinel)
+    // v3: 3 range files, not 4 (r18 adjudication — the 6-batch harness
+    // cost 7.7 s calm; one fewer micro-batch keeps every semantic the
+    // bridge exists for: matched pairs still span files, eviction still
+    // needs the sentinel pair). v2 grew the second sentinel batch.
     val tmp = Tables.stageDir(s,
-      s"join_outer_v2_${d.replaceAll("[^A-Za-z0-9.]", "_")}" +
+      s"join_outer_v3_${d.replaceAll("[^A-Za-z0-9.]", "_")}" +
         s"_${st.getLen}_${st.getModificationTime}")
     val ev = Tables.events(s, d).filter(col("ts").isNotNull)
     val root = new org.apache.hadoop.fs.Path(tmp)
     val fs = root.getFileSystem(conf)
     val done = new org.apache.hadoop.fs.Path(root, "_STAGED")
     if (!fs.exists(done)) {
-      ev.repartitionByRange(4, col("ts"))
+      ev.repartitionByRange(3, col("ts"))
         .write.mode("overwrite").parquet(tmp)
       // range files FIRST-WRITE only: part-0000k's k is the ascending
       // range id (RangePartitioner assigns ranges in partition order)
       val ranged = fs.listStatus(root).map(_.getPath)
         .filter(_.getName.startsWith("part-")).sortBy(_.getName)
-      require(ranged.length == 4, s"expected 4 range files: ${ranged.length}")
+      require(ranged.length == 3, s"expected 3 range files: ${ranged.length}")
       val maxTs = ev.agg(max(col("ts"))).head.getTimestamp(0)
       val hourMs = 3600L * 1000L
       // TWO sentinel batches: S1 advances both watermarks past every real

@@ -111,11 +111,36 @@ final class TradeLogCatalog extends TableCatalog {
       "graft-tradelog path tables are created by writing to the path " +
         "(df.write.format(\"graft-tradelog\").save(dir)), not by DDL")
 
+  /** `ALTER TABLE … ADD COLUMNS` — the catalog face of schema evolution
+    * (VERDICT r17 #6): top-level, nullable, supported-type columns append
+    * to the manifest's extra-column ledger in one header-only commit
+    * ([[TradeLogFormat.addColumns]]); existing blocks null-fill on read.
+    * Everything else about the schema is append-only by design, so any
+    * other change (drop/rename/retype/reposition, nested fields, NOT
+    * NULL) is refused with the reason rather than half-supported. */
   override def alterTable(ident: Identifier,
-      changes: TableChange*): Table =
-    throw new UnsupportedOperationException(
-      "graft-tradelog schema evolution happens through widening writes " +
-        "(append-only extra columns), not ALTER TABLE")
+      changes: TableChange*): Table = {
+    requireTable(ident)
+    val adds = changes.map {
+      case a: TableChange.AddColumn =>
+        require(a.fieldNames.length == 1,
+          "graft-tradelog ADD COLUMNS supports top-level columns only, " +
+            s"got ${a.fieldNames.mkString(".")}")
+        require(a.position() == null,
+          "graft-tradelog schema evolution is append-only — FIRST/AFTER " +
+            "positions are not supported")
+        require(a.isNullable,
+          "graft-tradelog added columns must be nullable (existing rows " +
+            "null-fill)")
+        org.apache.spark.sql.types.StructField(a.fieldNames()(0),
+          a.dataType())
+      case other => throw new UnsupportedOperationException(
+        s"graft-tradelog schema evolution is append-only ADD COLUMNS; " +
+          s"$other is not supported")
+    }
+    TradeLogFormat.addColumns(ident.name(), adds)
+    loadTable(ident)
+  }
 
   override def dropTable(ident: Identifier): Boolean =
     throw new UnsupportedOperationException(

@@ -146,31 +146,91 @@ object TradeLogFormat {
     * production evolution the r16 offset-stability note called for.
     * `minUser`/`maxUser` — the block's user_id range (inverted range =
     * provably no non-null user_id; legacy default = unbounded), the
-    * coarse tier above the bloom. */
+    * coarse tier above the bloom.
+    *
+    * Fields 13-14 (optional, r18): the block's DELETE VECTOR — the
+    * merge-on-read tier (Iceberg v2 position deletes / Delta deletion
+    * vectors re-expressed at block granularity). `nDel` counts deleted
+    * row ordinals; `dvHex` is a hex-encoded bitmap over the block's
+    * 0..nRows-1 ordinals (bit set = row deleted), empty when nothing is
+    * deleted. Readers apply the mask at decode time, so a k-row DELETE
+    * rewrites ZERO data files — only the touched manifest shards. The
+    * block's identity (file, offset, seq) and its skip statistics are
+    * UNCHANGED by a DV (spans bound the live rows conservatively), which
+    * is what keeps streaming offsets, time travel, and changes-since
+    * reads coherent across MoR deletes. */
   final case class BlockMeta(file: String, offset: Long, payloadLen: Int,
       nRows: Int, minTsUs: Long, maxTsUs: Long, bloomHex: String = "",
       nCols: Int = BaseCols, nTsNull: Int = -1, seq: Long = -1L,
-      minUser: Long = Long.MinValue, maxUser: Long = Long.MaxValue) {
+      minUser: Long = Long.MinValue, maxUser: Long = Long.MaxValue,
+      nDel: Int = 0, dvHex: String = "") {
     def csv: String =
       s"$file,$offset,$payloadLen,$nRows,$minTsUs,$maxTsUs,$bloomHex," +
-        s"$nCols,$nTsNull,$seq,$minUser,$maxUser"
+        s"$nCols,$nTsNull,$seq,$minUser,$maxUser,$nDel,$dvHex"
     def mightContainUser(id: Long): Boolean =
       id >= minUser && id <= maxUser &&
         TradeLogFormat.bloomMightContain(bloomHex, id)
+    /** Rows a reader emits from this block after the delete mask. */
+    def liveRows: Int = nRows - nDel
   }
 
   object BlockMeta {
     def fromCsv(line: String): BlockMeta = {
       val a = line.split(",", -1)
-      require(a.length >= 6 && a.length <= 12, s"bad manifest line: $line")
+      require(a.length >= 6 && a.length <= 14, s"bad manifest line: $line")
       BlockMeta(a(0), a(1).toLong, a(2).toInt, a(3).toInt,
         a(4).toLong, a(5).toLong, if (a.length >= 7) a(6) else "",
         if (a.length >= 8) a(7).toInt else BaseCols,
         if (a.length >= 9) a(8).toInt else -1,
         if (a.length >= 10) a(9).toLong else -1L,
         if (a.length >= 11) a(10).toLong else Long.MinValue,
-        if (a.length >= 12) a(11).toLong else Long.MaxValue)
+        if (a.length >= 12) a(11).toLong else Long.MaxValue,
+        if (a.length >= 13) a(12).toInt else 0,
+        if (a.length >= 14) a(13) else "")
     }
+  }
+
+  // ---- per-block delete vector (merge-on-read tier) --------------------
+
+  /** Parse a DV hex bitmap to words; empty hex = no deletes (null). */
+  def dvWords(hex: String): Array[Long] =
+    if (hex.isEmpty) null
+    else Array.tabulate(hex.length / 16)(i =>
+      java.lang.Long.parseUnsignedLong(hex.substring(i * 16, i * 16 + 16), 16))
+
+  /** Is row ordinal `i` deleted? Null/short words = live (legacy). */
+  def dvDeleted(words: Array[Long], i: Int): Boolean =
+    words != null && (i >>> 6) < words.length &&
+      (words(i >>> 6) & (1L << (i & 63))) != 0
+
+  /** Hex-encode DV words (the bloomHex discipline — fixed 16-char words,
+    * decodable without a length prefix). */
+  def dvHexOf(words: Array[Long]): String =
+    words.map(w => f"$w%016x").mkString
+
+  def dvCount(words: Array[Long]): Int =
+    if (words == null) 0 else words.map(java.lang.Long.bitCount).sum
+
+  /** Merge `bits` (set-bit positions, 0-based row ordinals) into a
+    * block's existing DV; returns the block with the union mask and the
+    * recomputed nDel. `nRows` bounds every ordinal. */
+  def withDeletes(b: BlockMeta, bits: Array[Long]): BlockMeta = {
+    val words = {
+      val w = dvWords(b.dvHex)
+      val need = (b.nRows + 63) >>> 6
+      if (w == null) new Array[Long](need)
+      else if (w.length >= need) w
+      else java.util.Arrays.copyOf(w, need)
+    }
+    bits.zipWithIndex.foreach { case (w, i) =>
+      require(i < words.length ||  w == 0L,
+        s"graft-tradelog delete vector overruns block ${b.file}@${b.offset}")
+      if (w != 0L) words(i) |= w
+    }
+    val n = dvCount(words)
+    require(n <= b.nRows,
+      s"graft-tradelog delete vector marks $n of ${b.nRows} rows")
+    b.copy(nDel = n, dvHex = dvHexOf(words))
   }
 
   /** One manifest SHARD: an immutable `_manifests/shard-*.csv` file of
@@ -187,9 +247,10 @@ object TradeLogFormat {
     * Long.MaxValue and is never pruned. */
   final case class ShardRef(file: String, nBlocks: Int, nRows: Long,
       minTsUs: Long, maxTsUs: Long, minUser: Long, maxUser: Long,
-      maxSeq: Long) {
+      maxSeq: Long, nDel: Long = 0L) {
     def line: String =
-      s"S,$file,$nBlocks,$nRows,$minTsUs,$maxTsUs,$minUser,$maxUser,$maxSeq"
+      s"S,$file,$nBlocks,$nRows,$minTsUs,$maxTsUs,$minUser,$maxUser," +
+        s"$maxSeq,$nDel"
     def intersectsTs(lo: Long, hi: Long): Boolean =
       minTsUs <= hi && maxTsUs >= lo
     def mightContainAnyUser(ids: Set[Long]): Boolean =
@@ -202,13 +263,18 @@ object TradeLogFormat {
       ShardRef(file, blocks.size, blocks.map(_.nRows.toLong).sum,
         blocks.map(_.minTsUs).min, blocks.map(_.maxTsUs).max,
         blocks.map(_.minUser).min, blocks.map(_.maxUser).max,
-        blocks.map(_.seq).max)
+        blocks.map(_.seq).max,
+        // the MoR planning tier: compaction and pushed-aggregate guards
+        // find DV-carrying shards from refs alone — O(#shards), no resolve
+        blocks.map(_.nDel.toLong).sum)
     }
     def fromLine(l: String): ShardRef = {
       val a = l.split(",", -1)
-      require(a.length == 9 && a(0) == "S", s"bad shard ref line: $l")
+      require((a.length == 9 || a.length == 10) && a(0) == "S",
+        s"bad shard ref line: $l")
       ShardRef(a(1), a(2).toInt, a(3).toLong, a(4).toLong, a(5).toLong,
-        a(6).toLong, a(7).toLong, a(8).toLong)
+        a(6).toLong, a(7).toLong, a(8).toLong,
+        if (a.length >= 10) a(9).toLong else 0L)
     }
   }
 
@@ -289,14 +355,31 @@ object TradeLogFormat {
     require(names.distinct.length == names.length,
       s"graft-tradelog write schema has duplicate column names: " +
         s"${names.diff(names.distinct).distinct.mkString(", ")}")
-    // `_file` is the reader's METADATA column (block provenance): a data
-    // column of that name would be silently hijacked by the scan's
-    // metadata slot — reserved, like every lakehouse format's _-prefixed
-    // metadata namespace (r17 review finding)
-    require(!names.contains("_file"),
-      "graft-tradelog reserves the column name `_file` (metadata column)")
+    // `_file`/`_boff`/`_brow` are the reader's METADATA columns (block
+    // provenance + the MoR row id): a data column of those names would be
+    // silently hijacked by the scan's metadata slots — reserved, like
+    // every lakehouse format's _-prefixed metadata namespace (r17 review
+    // finding; r18 added the row-id pair)
+    Seq("_file", "_boff", "_brow").foreach(m =>
+      require(!names.contains(m),
+        s"graft-tradelog reserves the column name `$m` (metadata column)"))
     extra
   }
+
+  /** Retention grace for the vacuums that row-level DML piggybacks
+    * (COW replace, metadata DELETE, MoR full-block drops), read from the
+    * driver's Hadoop conf: set
+    * `spark.hadoop.graft.tradelog.dml.vacuum.grace.ms` to the snapshot
+    * retention window and a DELETE leaves its victims' data files on disk
+    * for that long — so a time-travel read pinned at a pre-DELETE
+    * generation keeps resolving (r17 advice: grace 0 unlinked files a
+    * VERSION AS OF read still referenced). The default 0 keeps the
+    * single-writer bench shape: any DML immediately invalidates
+    * older-generation time travel over its victim files — exactly the
+    * Delta VACUUM RETAIN 0 trade, and the documented horizon rule
+    * (`readManifestInfoAt`: data-file availability bounds the horizon). */
+  def dmlVacuumGraceMs(): Long =
+    driverConf().getLong("graft.tradelog.dml.vacuum.grace.ms", 0L)
 
   /** Driver-side Hadoop conf: the ACTIVE session's hadoopConfiguration
     * when one exists (so `spark.hadoop.*` — S3A credentials, a
@@ -349,11 +432,16 @@ object TradeLogFormat {
   final case class ManifestInfo(blocks: Seq[BlockMeta], epoch: Option[Long],
       qid: Option[String], gen: Long, xcols: Seq[StructField],
       epochCommit: Boolean = false, shards: Seq[ShardRef] = Seq.empty,
-      maxSeq: Long = -1L) {
+      maxSeq: Long = -1L, delMode: Option[String] = None) {
     def tableSchema: StructType = widenedSchema(xcols)
     /** Total committed blocks, from refs alone when sharded. */
     def blockCount: Int =
       if (shards.nonEmpty) shards.map(_.nBlocks).sum else blocks.size
+    /** Total DV-deleted rows, from refs alone when sharded (refs-only
+      * reads carry no inline blocks, so the shard tier answers). */
+    def totalDeletes: Long =
+      if (shards.nonEmpty) shards.map(_.nDel).sum
+      else blocks.map(_.nDel.toLong).sum
   }
 
   def readManifestInfo(dir: String): ManifestInfo =
@@ -444,12 +532,14 @@ object TradeLogFormat {
     val ecommit = head.contains(" ecommit=1")
     val maxSeq = "maxSeq=(-?\\d+)".r.findFirstMatchIn(head)
       .map(_.group(1).toLong).getOrElse(-1L)
+    val delMode = "delmode=(\\S+)".r.findFirstMatchIn(head).map(_.group(1))
     val blocks =
       if (refs.nonEmpty && !refsOnly)
         refs.flatMap(readShardBlocks(dir, _)).sortBy(_.seq)
       else if (refs.nonEmpty) Seq.empty
       else normalizeSeq(inline)
-    ManifestInfo(blocks, epoch, qid, gen, xcols, ecommit, refs, maxSeq)
+    ManifestInfo(blocks, epoch, qid, gen, xcols, ecommit, refs, maxSeq,
+      delMode)
   }
 
   val ManifestDirName = "_manifests"
@@ -583,7 +673,11 @@ object TradeLogFormat {
       qid: Option[String] = None,
       xcols: Seq[StructField] = Seq.empty,
       epochCommit: Boolean = false,
-      resetSeq: Boolean = false)
+      resetSeq: Boolean = false,
+      // table property: DELETE routing ("cow" | "mor"). None = carry the
+      // head's setting forward — commitManifest handles the inheritance,
+      // so no call site needs to know the property exists.
+      delMode: Option[String] = None)
 
   /** One day bucket of the block-to-shard grouping (µs epoch days;
     * unknown-ts blocks collect in their own always-read bucket). */
@@ -746,7 +840,11 @@ object TradeLogFormat {
             spec.qid.map(q => s" qid=$q").getOrElse("") +
             (if (spec.epochCommit) " ecommit=1" else "") +
             xcolsToken(spec.xcols) +
-            s" maxSeq=$maxSeq"
+            s" maxSeq=$maxSeq" +
+            // delete-mode property: explicit override, else inherited from
+            // the head — every commit path carries it without knowing it
+            spec.delMode.orElse(prev.flatMap(_.delMode))
+              .map(m => s" delmode=$m").getOrElse("")
           val body = (head +: refs.map(_.line)).mkString("\n")
             .getBytes(StandardCharsets.UTF_8)
           val won = lock.synchronized {
@@ -786,6 +884,53 @@ object TradeLogFormat {
     commitManifest(dir) { _ =>
       Some(CommitSpec(fresh = blocks, epoch = epoch, qid = qid,
         xcols = xcols, epochCommit = epochCommit))
+    }
+    ()
+  }
+
+  /** SCHEMA EVOLUTION through the metadata door — `ALTER TABLE … ADD
+    * COLUMNS` (the catalog routes here): append the fields to the
+    * committed extra-column list in ONE header-only commit. No block is
+    * touched — existing blocks keep their own nCols and null-fill the new
+    * ordinals on read, exactly like a widening write's evolution, so the
+    * two doors (widening append on the path door, ALTER+INSERT on the
+    * catalog door) commit the same ledger. Validation mirrors
+    * [[requireWriteSchema]]: supported types, header-safe names, no
+    * duplicates against the widened schema, reserved names refused. */
+  def addColumns(dir: String, fields: Seq[StructField]): Unit = {
+    require(fields.nonEmpty, "ALTER TABLE ADD COLUMNS needs columns")
+    commitManifest(dir) { prevOpt =>
+      val prev = prevOpt.getOrElse(throw new IllegalArgumentException(
+        s"graft-tradelog $dir has no committed manifest to evolve"))
+      val widened = prev.xcols ++ fields
+      xcolsToken(widened) // validates names + types
+      val names = (schema.fields ++ widened).map(_.name.toLowerCase)
+      require(names.distinct.length == names.length,
+        s"graft-tradelog ADD COLUMNS duplicates existing columns: " +
+          s"${names.diff(names.distinct).distinct.mkString(", ")}")
+      Seq("_file", "_boff", "_brow").foreach(m =>
+        require(!names.contains(m),
+          s"graft-tradelog reserves the column name `$m` (metadata column)"))
+      Some(CommitSpec(reuse = prev.shards, epoch = prev.epoch,
+        qid = prev.qid, xcols = widened))
+    }
+    ()
+  }
+
+  /** Set the table's DELETE routing property (the Iceberg
+    * `write.delete.mode` idea): "cow" (default — group-based
+    * copy-on-write) or "mor" (merge-on-read delete vectors, applied at
+    * scan time). One metadata-only commit; every later commit carries the
+    * property forward automatically. The metadata-only ts-range tier
+    * outranks both (dropping whole blocks beats either rewrite). */
+  def setDeleteMode(dir: String, mode: String): Unit = {
+    require(mode == "cow" || mode == "mor",
+      s"graft-tradelog delete mode must be cow or mor, got $mode")
+    commitManifest(dir) { prevOpt =>
+      val prev = prevOpt.getOrElse(throw new IllegalArgumentException(
+        s"graft-tradelog $dir has no committed manifest to configure"))
+      Some(CommitSpec(reuse = prev.shards, epoch = prev.epoch,
+        qid = prev.qid, xcols = prev.xcols, delMode = Some(mode)))
     }
     ()
   }
@@ -961,7 +1106,9 @@ object TradeLogFormat {
     }
     val (nDropped, delisted) = outcome.get()
     journalDelisted(dir, delisted, System.currentTimeMillis())
-    (nDropped, vacuum(dir))
+    // the DML retention grace (not a bare 0): a pinned pre-DELETE read
+    // stays resolvable for the configured window (r17 advice)
+    (nDropped, vacuum(dir, dmlVacuumGraceMs()))
   }
 
   /** Append freshly-dereferenced data files to the delist journal (the

@@ -109,7 +109,13 @@ final class TradeLogTable(path: String,
     * what the GROUP-BASED row-level operations key on: Spark's
     * ReplaceData machinery only routes properly-projected data rows to
     * the writer when the operation declares required metadata
-    * attributes, and `_file` is the tradelog's natural group identity. */
+    * attributes, and `_file` is the tradelog's natural group identity.
+    *
+    * `_boff` / `_brow` — the block offset and row-in-block ordinal: with
+    * `_file` they form the ROW ID of the merge-on-read delete lane
+    * ([[TradeLogDeltaDeleteOperation]], `SupportsDelta.rowId`) — the
+    * Iceberg (_file, _pos) position-delete identity at block granularity.
+    * All three are filled from block metadata at zero decode cost. */
   override def metadataColumns(): Array[MetadataColumn] = Array(
     new MetadataColumn {
       override def name(): String = "_file"
@@ -118,6 +124,22 @@ final class TradeLogTable(path: String,
       override def isNullable: Boolean = false
       override def comment(): String =
         "tradelog data file this row was read from"
+    },
+    new MetadataColumn {
+      override def name(): String = "_boff"
+      override def dataType(): org.apache.spark.sql.types.DataType =
+        org.apache.spark.sql.types.LongType
+      override def isNullable: Boolean = false
+      override def comment(): String =
+        "byte offset of this row's block within its data file"
+    },
+    new MetadataColumn {
+      override def name(): String = "_brow"
+      override def dataType(): org.apache.spark.sql.types.DataType =
+        org.apache.spark.sql.types.IntegerType
+      override def isNullable: Boolean = false
+      override def comment(): String =
+        "row ordinal within this row's block (the delete-vector bit)"
     })
 
   // ---- SQL row-level operations (see TradeLogRowLevel.scala) ----------
@@ -135,7 +157,16 @@ final class TradeLogTable(path: String,
   override def newRowLevelOperationBuilder(
       info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
       : org.apache.spark.sql.connector.write.RowLevelOperationBuilder =
-    () => new TradeLogRowLevelOperation(path, tableSchema, info.command())
+    () => {
+      // DELETE routing by the table's delmode property (one header line):
+      // "mor" → the SupportsDelta delete-vector lane; default → group
+      // COW. UPDATE/MERGE always take COW (their rewrite produces rows).
+      import org.apache.spark.sql.connector.write.RowLevelOperation.Command
+      val mor = info.command() == Command.DELETE &&
+        TradeLogFormat.readManifestHeader(path).delMode.contains("mor")
+      if (mor) new TradeLogDeltaDeleteOperation(path, tableSchema)
+      else new TradeLogRowLevelOperation(path, tableSchema, info.command())
+    }
   // ACCEPT_ANY_SCHEMA: schema EVOLUTION means a write's schema may be
   // wider than the inferred table schema (the widening write itself);
   // Spark's by-name reconciliation is therefore deferred to the write
@@ -259,6 +290,12 @@ final class TradeLogScanBuilder(path: String, tableSchema: StructType,
       !options.containsKey("atGeneration") &&
       !options.containsKey("asOfEpoch") &&
       !options.containsKey("changesSinceGeneration") &&
+      !options.containsKey("onlyDeleted") &&
+      // merge-on-read delete vectors make manifest stats NON-answers:
+      // count must exclude masked rows and a deleted row may hold a ts
+      // extreme — a DV'd log declines completely (refs-only check,
+      // O(#shards))
+      TradeLogFormat.readManifestRefs(path).totalDeletes == 0L &&
       agg.aggregateExpressions.nonEmpty &&
       agg.aggregateExpressions.forall {
         case _: aggregate.CountStar => true
@@ -340,11 +377,13 @@ final class TradeLogScan(path: String, tableSchema: StructType,
     extends Scan with SupportsReportStatistics
     with SupportsRuntimeV2Filtering {
 
-  /** Output slots in pruned-schema order: a table-schema ordinal, or
-    * [[TradeLogScan.FileCol]] for the `_file` metadata column (filled by
-    * the reader from block metadata — no decode). */
+  /** Output slots in pruned-schema order: a table-schema ordinal, or a
+    * negative sentinel for the `_file`/`_boff`/`_brow` metadata columns
+    * (filled by the reader from block metadata — no decode). */
   private[source] val outCols: Array[Int] = required.fieldNames.map {
     case "_file" => TradeLogScan.FileCol
+    case "_boff" => TradeLogScan.BoffCol
+    case "_brow" => TradeLogScan.BrowCol
     case n => tableSchema.fieldIndex(n)
   }
 
@@ -406,7 +445,8 @@ final class TradeLogScan(path: String, tableSchema: StructType,
     else {
       val sel = info.shards.filter(r =>
         r.intersectsTs(tsLo, tsHi) &&
-          userIds.forall(ids => r.mightContainAnyUser(ids)))
+          userIds.forall(ids => r.mightContainAnyUser(ids)) &&
+          (!onlyDeleted || r.nDel > 0L))
       (sel.flatMap(TradeLogFormat.readShardBlocks(path, _)).sortBy(_.seq),
         sel.size, info.shards.size)
     }
@@ -450,6 +490,13 @@ final class TradeLogScan(path: String, tableSchema: StructType,
   private[source] def shardsRead: Int = shardPlan._2
   private[source] def shardsTotal: Int = shardPlan._3
 
+  /** Maintenance read (`option("onlyDeleted", true)`): plan ONLY blocks
+    * carrying a delete vector — what [[TradeLogMaintenance
+    * .compactDeletes]] rewrites. Shard pruning comes free from the refs'
+    * nDel tier in [[pruneShards]]. */
+  private val onlyDeleted: Boolean =
+    Option(options.get("onlyDeleted")).exists(_.toBoolean)
+
   /** Block-stats skip: keep a block unless its ts span provably misses
     * the pushed conjunction (blocks with no non-null ts always survive —
     * minTs of Long.MinValue encodes "unknown") or its user_id bloom
@@ -458,7 +505,8 @@ final class TradeLogScan(path: String, tableSchema: StructType,
   private[source] lazy val selectedBlocks: Seq[BlockMeta] =
     allBlocks.filter(b =>
       (b.minTsUs == Long.MinValue || (b.minTsUs <= tsHi && b.maxTsUs >= tsLo))
-        && userIds.forall(_.exists(b.mightContainUser)))
+        && userIds.forall(_.exists(b.mightContainUser))
+        && (!onlyDeleted || b.nDel > 0))
 
   // ---- runtime (join-driven) filtering --------------------------------
   // The DPP surface: a broadcast join on user_id hands the build side's
@@ -556,7 +604,7 @@ final class TradeLogScan(path: String, tableSchema: StructType,
     override def sizeInBytes(): java.util.OptionalLong =
       java.util.OptionalLong.of(selectedBlocks.map(_.payloadLen.toLong).sum)
     override def numRows(): java.util.OptionalLong =
-      java.util.OptionalLong.of(selectedBlocks.map(_.nRows.toLong).sum)
+      java.util.OptionalLong.of(selectedBlocks.map(_.liveRows.toLong).sum)
   }
 
   override def description(): String = {
@@ -602,6 +650,12 @@ final class TradeLogScan(path: String, tableSchema: StructType,
       "graft-tradelog: time travel (atGeneration/asOfEpoch/" +
         "changesSinceGeneration) is batch-only — a stream's offsets " +
         "already pin its own position in the block sequence")
+    // the micro-batch reader materializes DATA ordinals only (`wanted`);
+    // a resolved metadata column would silently misalign emitted rows
+    // with the declared readSchema — fail cleanly instead (r17 advice)
+    require(outCols.forall(_ >= 0),
+      "graft-tradelog: metadata columns (_file/_boff/_brow) are " +
+        "batch-only — a streaming read cannot resolve them")
     // startingGeneration: begin a FRESH stream after the blocks committed
     // at generation N — the Kafka startingOffsets analogue composed with
     // the generation ledger ("resume from my last batch sync point").
@@ -616,9 +670,11 @@ final class TradeLogScan(path: String, tableSchema: StructType,
 }
 
 object TradeLogScan {
-  /** Sentinel ordinal for the `_file` metadata column in [[TradeLogScan
+  /** Sentinel ordinals for the metadata columns in [[TradeLogScan
     * .outCols]]: filled from block metadata, never decoded. */
   val FileCol: Int = -1
+  val BoffCol: Int = -2
+  val BrowCol: Int = -3
 }
 
 /** One read split: a run of blocks within one data file. */
@@ -669,18 +725,25 @@ final class TradeLogPartitionReader(dir: String, blocks: Seq[BlockMeta],
     fileU8
   }
 
-  /** Wrap decoded data values into the output slot layout, filling
-    * `_file` slots; identity (zero-cost) when no metadata was asked. */
-  private def mkRow(data: Array[Any], file: String): InternalRow =
+  /** Wrap decoded data values into the output slot layout, filling the
+    * `_file`/`_boff`/`_brow` metadata slots from block metadata;
+    * identity (zero-cost) when no metadata was asked. */
+  private def mkRow(data: Array[Any], b: BlockMeta, rowIdx: Int)
+      : InternalRow =
     if (!hasMeta) new GenericInternalRow(data)
     else {
       val out = new Array[Any](outCols.length)
-      val f = fileNameU8(file)
       var i = 0
       var di = 0
       while (i < outCols.length) {
-        if (outCols(i) == TradeLogScan.FileCol) out(i) = f
-        else { out(i) = data(di); di += 1 }
+        outCols(i) match {
+          case TradeLogScan.FileCol => out(i) = fileNameU8(b.file)
+          case TradeLogScan.BoffCol =>
+            out(i) = java.lang.Long.valueOf(b.offset)
+          case TradeLogScan.BrowCol =>
+            out(i) = java.lang.Integer.valueOf(rowIdx)
+          case _ => out(i) = data(di); di += 1
+        }
         i += 1
       }
       new GenericInternalRow(out)
@@ -706,6 +769,10 @@ final class TradeLogPartitionReader(dir: String, blocks: Seq[BlockMeta],
   private def loadNextBlock(): Boolean = {
     if (!blockIt.hasNext) return false
     val b = blockIt.next()
+    // merge-on-read delete vector: masked ordinals are never emitted —
+    // the scan-time application that lets a k-row DELETE rewrite zero
+    // data files (decoded once per block, tested per ordinal)
+    val dv = TradeLogFormat.dvWords(b.dvHex)
     if (wanted.forall(_ >= b.nCols)) {
       // every requested column postdates this block's schema (or the
       // projection is empty — a count-style read): the manifest's row
@@ -713,8 +780,9 @@ final class TradeLogPartitionReader(dir: String, blocks: Seq[BlockMeta],
       // fetched or decoded (the old-block zero-cost rule for new-column
       // scans; also why a purge-surviving block whose file was GC'd can
       // still serve a new-only projection)
-      rows = Iterator.fill(b.nRows)(
-        mkRow(new Array[Any](wanted.length), b.file))
+      rows = (0 until b.nRows).iterator
+        .filter(i => !TradeLogFormat.dvDeleted(dv, i))
+        .map(i => mkRow(new Array[Any](wanted.length), b, i))
       return true
     }
     val payload = new Array[Byte](b.payloadLen)
@@ -722,9 +790,15 @@ final class TradeLogPartitionReader(dir: String, blocks: Seq[BlockMeta],
     s.seek(b.offset + 8L) // skip the [nRows][payloadLen] frame header
     s.readFully(payload)
     val buf = scala.collection.mutable.ArrayBuffer.empty[InternalRow]
-    // decodeBlock allocates a fresh values array per row — safe to wrap
-    TradeLogFormat.decodeBlock(payload, b.nRows, wanted, b.nCols, xtypes)(v =>
-      buf += mkRow(v, b.file))
+    // decodeBlock allocates a fresh values array per row — safe to wrap.
+    // Deleted rows still DECODE (the byte walk is sequential) but are
+    // dropped here, pre-materialization — the Delta DV read shape.
+    var ri = 0
+    TradeLogFormat.decodeBlock(payload, b.nRows, wanted, b.nCols, xtypes) {
+      v =>
+        if (!TradeLogFormat.dvDeleted(dv, ri)) buf += mkRow(v, b, ri)
+        ri += 1
+    }
     rows = buf.iterator
     true
   }

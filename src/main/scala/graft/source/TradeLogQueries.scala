@@ -823,6 +823,322 @@ object TradeLogQueries {
     path
   }
 
+  // ---- q_tradelog_delete_mor (MERGE-ON-READ DELETE) -----------------------
+
+  private val MorUser = 11L
+  private val MorMod = 3L // event_id % 10 = 3 → ~10% of rows, every block
+
+  /** SQL `DELETE FROM` on a `delmode=mor` table — the merge-on-read tier
+    * (VERDICT r17 #2): both deletes route through the `SupportsDelta`
+    * lane ([[TradeLogDeltaDeleteOperation]]), folding row ids into
+    * per-block DELETE VECTORS; ZERO data files are rewritten (spec-pinned
+    * — the .gtl set is byte-identical before and after) and readers mask
+    * at scan time. The user-targeted delete narrows its scan by bloom;
+    * the modulo delete scatters DVs across every block — the worst case
+    * COW would amplify into a full-log rewrite and MoR commits as pure
+    * metadata. Survivors' digest equals the oracle over events minus both
+    * predicate sets — the same gate as the COW twin
+    * (q_tradelog_delete_sql), two engines for one DELETE semantic. */
+  def tradelogDeleteMor(s: SparkSession, dir: String): DataFrame =
+    digestOver(s.read.format(FormatName).load(ensureMorLog(s, dir)))
+
+  /** Build-once MoR artifact: ts-sorted copy → delmode=mor → two SQL
+    * DELETEs; `_DML_DONE` last (the whole-build marker rule). */
+  def ensureMorLog(s: SparkSession, dir: String): String =
+    buildMorDeleted(s, dir, "-mor")
+
+  private def buildMorDeleted(s: SparkSession, dir: String,
+      suffix: String): String = {
+    val path = s"${logPath(s, dir)}$suffix"
+    val (fs, root) = TradeLogFormat.fs(path)
+    val done = new org.apache.hadoop.fs.Path(root, "_DML_DONE")
+    if (!fs.exists(done)) {
+      Tables.events(s, dir)
+        .select(col("event_id"), col("ts"), col("user_id"),
+          col("event_type"), col("value"), col("props"))
+        .repartitionByRange(8, col("ts"))
+        .sortWithinPartitions("ts")
+        .write.format(FormatName).mode("overwrite")
+        .option("blockRows", 256).save(path)
+      TradeLogFormat.setDeleteMode(path, "mor")
+      val cs = s.newSession()
+      cs.conf.set("spark.sql.catalog.graft_tlog",
+        classOf[TradeLogCatalog].getName)
+      cs.sql(s"DELETE FROM graft_tlog.`$path` WHERE user_id = $MorUser")
+      cs.sql(s"DELETE FROM graft_tlog.`$path` " +
+        s"WHERE event_id % 10 = $MorMod")
+      fs.create(done, true).close()
+    }
+    path
+  }
+
+  private val tradelogDeleteMorOracle: String = digestOracleWhere(
+    s"""WHERE (user_id <> $MorUser OR user_id IS NULL)
+       |  AND (event_id % 10 <> $MorMod OR event_id IS NULL)""".stripMargin)
+
+  // ---- q_tradelog_mor_compacted (DV COMPACTION ≡ MASKED READ) -------------
+
+  /** Delete-vector COMPACTION under the same oracle: an independently
+    * built MoR artifact has its accumulated vectors folded into rewritten
+    * blocks ([[TradeLogMaintenance.compactDeletes]] — the `onlyDeleted`
+    * masked read feeding one distributed append whose commit replaces
+    * exactly the DV-carrying blocks). The compacted log's digest must
+    * equal the SAME survivors oracle as q_tradelog_delete_mor: compaction
+    * is physically destructive and observationally invisible. Spec pins
+    * the mechanics (no DV survives, fresh files landed, fully-
+    * dereferenced old files GC'd, a second compaction is a no-op). */
+  def tradelogMorCompacted(s: SparkSession, dir: String): DataFrame =
+    digestOver(s.read.format(FormatName).load(ensureMorCompacted(s, dir)))
+
+  def ensureMorCompacted(s: SparkSession, dir: String): String = {
+    val path = buildMorDeleted(s, dir, "-morc")
+    val (fs, root) = TradeLogFormat.fs(path)
+    val done = new org.apache.hadoop.fs.Path(root, "_COMPACTED")
+    if (!fs.exists(done)) {
+      TradeLogMaintenance.compactDeletes(s, path, blockRows = 256)
+      fs.create(done, true).close()
+    }
+    path
+  }
+
+  // ---- q_tradelog_merge_sync (MERGE … NOT MATCHED BY SOURCE) --------------
+
+  /** The full-table-sync CDC verb (VERDICT r17 #3): MERGE with BOTH
+    * `WHEN NOT MATCHED BY SOURCE` lanes — target rows absent from the
+    * source are deleted (even user_ids) or tombstoned (`value = -1`),
+    * on top of the matched-update/-delete and not-matched-insert verbs
+    * of q_tradelog_merge_sql. Spark rewrites this as the group-based COW
+    * over a FULL-OUTER row match: not-matched-by-source actions widen the
+    * touched group set to every group holding a target row the source
+    * misses — the documented cost of full-sync semantics. The merged
+    * table must match the declarative full-outer fold oracle. */
+  def tradelogMergeSync(s: SparkSession, dir: String): DataFrame =
+    s.read.format(FormatName).load(ensureMergeSyncLog(s, dir))
+      .select(col("user_id"), col("value"))
+      .orderedBy("user_id")
+
+  def ensureMergeSyncLog(s: SparkSession, dir: String): String = {
+    val path = s"${logPath(s, dir)}-mergesync"
+    val (fs, root) = TradeLogFormat.fs(path)
+    val done = new org.apache.hadoop.fs.Path(root, "_DML_DONE")
+    if (!fs.exists(done)) {
+      import org.apache.spark.sql.expressions.Window
+      val ev = Tables.events(s, dir)
+        .select(col("event_id"), col("ts"), col("user_id"),
+          col("event_type"), col("value"), col("props"))
+      val w = Window.partitionBy(col("user_id")).orderBy(col("event_id").desc)
+      ev.filter(pmod(col("event_id"), lit(5)) < 3)
+        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .drop("rn")
+        .repartitionByRange(4, col("user_id"))
+        .sortWithinPartitions("user_id")
+        .write.format(FormatName).mode("overwrite")
+        .option("blockRows", 64).save(path)
+      val cs = s.newSession()
+      cs.conf.set("spark.sql.catalog.graft_tlog",
+        classOf[TradeLogCatalog].getName)
+      Tables.events(cs, dir)
+        .select(col("event_id"), col("ts"), col("user_id"),
+          col("event_type"), col("value"), col("props"))
+        .filter(pmod(col("event_id"), lit(5)) >= 3)
+        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .drop("rn")
+        .withColumn("op",
+          when(pmod(col("event_id"), lit(7)) === 0, lit("D")).otherwise("U"))
+        .createOrReplaceTempView("graft_tlog_sync_chg")
+      cs.sql(
+        s"""MERGE INTO graft_tlog.`$path` t USING graft_tlog_sync_chg c
+           |ON t.user_id = c.user_id
+           |WHEN MATCHED AND c.op = 'D' THEN DELETE
+           |WHEN MATCHED THEN UPDATE SET value = c.value
+           |WHEN NOT MATCHED AND c.op <> 'D' THEN INSERT
+           |  (event_id, ts, user_id, event_type, value, props)
+           |  VALUES (c.event_id, c.ts, c.user_id, c.event_type, c.value,
+           |          c.props)
+           |WHEN NOT MATCHED BY SOURCE AND t.user_id % 2 = 0 THEN DELETE
+           |WHEN NOT MATCHED BY SOURCE THEN UPDATE SET value = -1
+           |""".stripMargin)
+      fs.create(done, true).close()
+    }
+    path
+  }
+
+  /** The full-outer fold: both-sides rows follow the matched verbs,
+    * source-only rows insert (unless D), target-only rows delete (even
+    * user) or tombstone to -1 — exactly the SQL's clause set. */
+  private val tradelogMergeSyncOracle: String =
+    """WITH snap AS (
+      |  SELECT user_id, value AS snap_value FROM (
+      |    SELECT user_id, value,
+      |           row_number() OVER (PARTITION BY user_id
+      |             ORDER BY event_id DESC) AS rn
+      |    FROM events WHERE event_id % 5 < 3)
+      |  WHERE rn = 1),
+      |chg AS (
+      |  SELECT user_id, op, value AS chg_value FROM (
+      |    SELECT user_id, value,
+      |           CASE WHEN event_id % 7 = 0 THEN 'D' ELSE 'U' END AS op,
+      |           row_number() OVER (PARTITION BY user_id
+      |             ORDER BY event_id DESC) AS rn
+      |    FROM events WHERE event_id % 5 >= 3)
+      |  WHERE rn = 1)
+      |SELECT COALESCE(s.user_id, c.user_id) AS user_id,
+      |       CASE WHEN op IS NOT NULL THEN chg_value ELSE -1 END AS value
+      |FROM snap s FULL OUTER JOIN chg c ON s.user_id = c.user_id
+      |-- op marks source presence (never null inside chg; a NULL user_id
+      |-- never matches ON, on either engine). Target-only survival is the
+      |-- SQL's clause order: the even-user DELETE fires only when its
+      |-- condition is TRUE (a NULL user_id falls through to the
+      |-- unconditional tombstone UPDATE), hence the IS NULL leg.
+      |WHERE (op IS NOT NULL AND op <> 'D')
+      |   OR (op IS NULL AND (s.user_id % 2 <> 0 OR s.user_id IS NULL))
+      |ORDER BY user_id""".stripMargin
+
+  // ---- q_tradelog_restore (SNAPSHOT ROLLBACK) ------------------------------
+
+  /** RESTORE-to-generation (VERDICT r17 #4) under the digest gate: the
+    * two-generation append artifact pattern (gen 1 = even event_ids,
+    * gen 2 = the odd append) rolled back with
+    * [[TradeLogMaintenance.restoreTo]] — a THIRD commit whose block set
+    * equals generation 1's (history preserved, the Iceberg rollback
+    * contract; nothing rewritten, the commit re-references gen 1's
+    * immutable shards). The head read's digest must equal the even-half
+    * oracle — the same text q_tradelog_asof pins for the PINNED read, now
+    * holding for the restored HEAD. Spec pins the rest: head gen == 3,
+    * time travel to gen 2 still serves the full table, post-restore
+    * appends work, changes-since-2 shows the restatement. */
+  def tradelogRestore(s: SparkSession, dir: String): DataFrame =
+    digestOver(s.read.format(FormatName).load(ensureRestoredLog(s, dir)))
+
+  def ensureRestoredLog(s: SparkSession, dir: String): String = {
+    val path = s"${logPath(s, dir)}-restore"
+    val (fs, root) = TradeLogFormat.fs(path)
+    val done = new org.apache.hadoop.fs.Path(root, "_RESTORED")
+    if (!fs.exists(done)) {
+      if (fs.exists(root)) fs.delete(root, true)
+      val ev = Tables.events(s, dir)
+        .select(col("event_id"), col("ts"), col("user_id"),
+          col("event_type"), col("value"), col("props"))
+      ev.filter(col("event_id") % 2 === 0)
+        .write.format(FormatName).mode("overwrite")
+        .option("blockRows", 256).save(path)
+      ev.filter(col("event_id") % 2 === 1)
+        .write.format(FormatName).mode("append")
+        .option("blockRows", 256).save(path)
+      val gen = TradeLogMaintenance.restoreTo(path, 1L)
+      require(gen == 3L, s"restore artifact expected generation 3, got $gen")
+      fs.create(done, true).close()
+    }
+    path
+  }
+
+  // ---- q_tradelog_optimize_z (OPTIMIZE with Z-ORDER clustering) -----------
+
+  /** OPTIMIZE ZORDER (VERDICT r17 #5): the log rewritten clustered by the
+    * Morton interleave of (hour-of-corpus, user_id) —
+    * [[graft.core.Layout.zorderKey]] composed with the compaction verb —
+    * so per-block min/max ts AND user range/bloom BOTH stay tight and a
+    * 2-dimensional predicate (time slice × user) skips on both axes,
+    * where the ts-sorted layout only serves its leading column. The
+    * digest gate proves the rewrite byte-preserving (same oracle as
+    * q_tradelog_digest); TradeLogSpec measures the 2-D skip fraction
+    * z-order wins over the ts-sort on a user-dense synthetic log. */
+  def tradelogOptimizeZ(s: SparkSession, dir: String): DataFrame =
+    digestOver(s.read.format(FormatName).load(ensureZordered(s, dir)))
+
+  /** Epoch hours of 2024-01-01T00:00Z — the corpus-local origin of the
+    * z-key's time dimension (events testdata spans January 2024). */
+  private val ZHourBase = 1704067200L / 3600L
+
+  def ensureZordered(s: SparkSession, dir: String): String = {
+    val src = ensureLog(s, dir)
+    val path = s"$src-zorder"
+    val (fs, root) = TradeLogFormat.fs(path)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(root,
+        TradeLogFormat.ManifestName))) {
+      val zkey = graft.core.Layout.zorderKey(
+        // hour index within the corpus (null ts → 0, its own leading
+        // cluster) × user id; both fit 16 bits at every sf
+        coalesce((unix_micros(col("ts")) / lit(3600000000L))
+          .cast("long") - lit(ZHourBase), lit(0L)),
+        pmod(coalesce(col("user_id"), lit(0L)), lit(65536L)))
+      s.read.format(FormatName).load(src)
+        .withColumn("__z", zkey)
+        .repartitionByRange(4, col("__z"))
+        .sortWithinPartitions("__z")
+        .drop("__z")
+        .write.format(FormatName).mode("overwrite")
+        .option("blockRows", 256)
+        .save(path)
+    }
+    path
+  }
+
+  // ---- q_tradelog_evolve_sql (CATALOG-DOOR SCHEMA EVOLUTION) --------------
+
+  /** `ALTER TABLE … ADD COLUMNS` + `INSERT INTO` through the catalog door
+    * (VERDICT r17 #6): the even event_ids commit with the base schema,
+    * the catalog widens the table by three columns in ONE header-only
+    * commit ([[TradeLogCatalog.alterTable]] → xcols ledger), and the odd
+    * rows INSERT with the widened schema via SQL — reproducing the PATH
+    * door's q_tradelog_evolve artifact through DDL+DML, under the
+    * identical mixed-generation digest oracle. Old blocks null-fill the
+    * new ordinals on read; no data file is touched by the ALTER. */
+  def tradelogEvolveSql(s: SparkSession, dir: String): DataFrame = {
+    val log = s.read.format(FormatName).load(ensureEvolveSqlLog(s, dir))
+    val repr = concat_ws("#",
+      col("event_id"), unix_micros(col("ts")), col("user_id"),
+      col("event_type"), round(col("value") * 100).cast("long"),
+      col("props"),
+      coalesce(col("xseq").cast("string"), lit("null")),
+      coalesce(col("xtag"), lit("null")),
+      coalesce(round(col("xval") * 100).cast("long").cast("string"),
+        lit("null")))
+    val h32 = conv(substring(md5(repr.cast("binary")), 1, 8), 16, 10)
+      .cast("long")
+    log.groupBy(col("event_type")).agg(
+        count(lit(1)).as("n"),
+        sum(shiftright(h32, 16)).as("hi"),
+        sum(h32.bitwiseAND(lit(0xffffL))).as("lo"))
+      .select(col("event_type"), col("n"),
+        (col("hi").cast("decimal(38,0)") * lit(65536) + col("lo"))
+          .cast("string").as("digest"))
+      .orderedBy("event_type")
+  }
+
+  def ensureEvolveSqlLog(s: SparkSession, dir: String): String = {
+    val path = s"${logPath(s, dir)}-evolvesql"
+    val (fs, root) = TradeLogFormat.fs(path)
+    val done = new org.apache.hadoop.fs.Path(root, "_DML_DONE")
+    if (!fs.exists(done)) {
+      if (fs.exists(root)) fs.delete(root, true)
+      val ev = Tables.events(s, dir)
+        .select(col("event_id"), col("ts"), col("user_id"),
+          col("event_type"), col("value"), col("props"))
+      ev.filter(col("event_id") % 2 === 0)
+        .write.format(FormatName).mode("overwrite")
+        .option("blockRows", 256).save(path)
+      val cs = s.newSession()
+      cs.conf.set("spark.sql.catalog.graft_tlog",
+        classOf[TradeLogCatalog].getName)
+      cs.sql(s"ALTER TABLE graft_tlog.`$path` ADD COLUMNS " +
+        "(xseq BIGINT, xtag STRING, xval DOUBLE)")
+      Tables.events(cs, dir)
+        .select(col("event_id"), col("ts"), col("user_id"),
+          col("event_type"), col("value"), col("props"))
+        .filter(col("event_id") % 2 === 1)
+        .withColumn("xseq", col("event_id") * 10)
+        .withColumn("xtag",
+          when(pmod(col("user_id"), lit(3)) =!= 0, upper(col("event_type"))))
+        .withColumn("xval", col("value"))
+        .createOrReplaceTempView("graft_tlog_evolve_src")
+      cs.sql(s"INSERT INTO graft_tlog.`$path` " +
+        "SELECT * FROM graft_tlog_evolve_src")
+      fs.create(done, true).close()
+    }
+    path
+  }
+
   /** q_cdc_apply's snapshot⊕changes fold (Stats.cdcApplyOracle) reduced
     * to the merged table's observable columns. */
   private val tradelogMergeSqlOracle: String =
@@ -848,6 +1164,26 @@ object TradeLogQueries {
       |ORDER BY user_id""".stripMargin
 
   val defs: Map[String, QueryDef] = Map(
+    // MERGE-ON-READ DELETE: delete vectors, zero data-file rewrites
+    "q_tradelog_delete_mor" -> QueryDef(tradelogDeleteMor,
+      Some(tradelogDeleteMorOracle)),
+    // DV COMPACTION: folding vectors into rewritten blocks preserves the
+    // same survivors digest (compaction ≡ masked read)
+    "q_tradelog_mor_compacted" -> QueryDef(tradelogMorCompacted,
+      Some(tradelogDeleteMorOracle)),
+    // MERGE with NOT MATCHED BY SOURCE: the full-table-sync CDC verb
+    "q_tradelog_merge_sync" -> QueryDef(tradelogMergeSync,
+      Some(tradelogMergeSyncOracle)),
+    // SNAPSHOT RESTORE: rollback-as-new-commit serves the gen-1 digest
+    "q_tradelog_restore" -> QueryDef(tradelogRestore,
+      Some(digestOracleWhere("WHERE event_id % 2 = 0"))),
+    // OPTIMIZE ZORDER: Morton-clustered rewrite preserves the digest
+    "q_tradelog_optimize_z" -> QueryDef(tradelogOptimizeZ,
+      Some(tradelogDigestOracle)),
+    // catalog-door evolution: ALTER ADD COLUMNS + INSERT INTO ≡ the path
+    // door's widening append (same mixed-generation oracle)
+    "q_tradelog_evolve_sql" -> QueryDef(tradelogEvolveSql,
+      Some(tradelogEvolveOracle)),
     // SQL row-level DELETE through the connector (metadata + COW tiers)
     "q_tradelog_delete_sql" -> QueryDef(tradelogDeleteSql,
       Some(tradelogDeleteSqlOracle)),

@@ -56,17 +56,21 @@ import TradeLogFormat.BlockMeta
 final class TradeLogRowLevelOperation(path: String, tableSchema: StructType,
     cmd: RowLevelOperation.Command) extends RowLevelOperation {
 
-  /** The scan this operation configured — Spark builds exactly one scan
-    * per row-level command (the runtime group-filter subquery plans
-    * against the ORIGINAL table, not this operation), and the write's
-    * commit consults its planned block set. */
-  @volatile private var configuredScan: TradeLogScan = null
+  /** Every scan this operation configured. Spark normally builds exactly
+    * one per row-level command (the runtime group-filter subquery plans
+    * against the ORIGINAL table, not this operation), but the commit must
+    * not silently trust that: it binds to the single scan that was
+    * actually EXECUTED (plannedBlocks set at planInputPartitions time)
+    * and fails loudly if several were — a last-write-wins field could
+    * consult a stale instance's block set (r17 advice). */
+  private val configuredScans =
+    new java.util.concurrent.CopyOnWriteArrayList[TradeLogScan]()
 
   override def command(): RowLevelOperation.Command = cmd
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new TradeLogScanBuilder(path, tableSchema, options,
-      onScan = s => configuredScan = s)
+      onScan = s => configuredScans.add(s))
 
   /** `_file` — the group identity. Declaring it is also LOAD-BEARING for
     * the engine contract: Spark's ReplaceData machinery routes rows to
@@ -87,14 +91,22 @@ final class TradeLogRowLevelOperation(path: String, tableSchema: StructType,
         new Write {
           override def toBatch: BatchWrite = new TradeLogReplaceDataWrite(
             path, blockRows, xcols, () => {
-              val s = configuredScan
-              require(s != null,
+              require(!configuredScans.isEmpty,
                 "graft-tradelog row-level write committed before its scan " +
                   "was configured")
-              // plannedBlocks is null when the ReplaceData query never
-              // planned the scan (statically empty side) — nothing read,
-              // nothing to replace
-              Option(s.plannedBlocks).getOrElse(Seq.empty)
+              // plannedBlocks is null on a scan the ReplaceData query
+              // never executed (statically empty side, or an instance
+              // built for explain only) — bind to the ONE executed scan;
+              // several executed scans would make the replace set
+              // ambiguous, so that fails rather than guessing
+              import scala.jdk.CollectionConverters._
+              val planned = configuredScans.asScala
+                .filter(_.plannedBlocks != null)
+              require(planned.size <= 1,
+                s"graft-tradelog row-level operation executed " +
+                  s"${planned.size} scans — the replace set is ambiguous; " +
+                  "re-run the command")
+              planned.headOption.map(_.plannedBlocks).getOrElse(Seq.empty)
             })
           override def description(): String =
             s"GraftTradeLog $cmd COW write path=$path"
@@ -164,8 +176,9 @@ final class TradeLogReplaceDataWrite(path: String, blockRows: Int,
     // ADOPTION (a file may keep live blocks inside shards this commit
     // never resolved, so provable delisting would cost O(all shards);
     // adoption is the designed self-healing lane and age-gates the
-    // unlink past any in-flight writer)
-    TradeLogFormat.vacuum(path)
+    // unlink past any in-flight writer). The DML retention grace keeps
+    // pre-DELETE time travel resolvable for the configured window.
+    TradeLogFormat.vacuum(path, TradeLogFormat.dmlVacuumGraceMs())
     ()
   }
 
@@ -177,6 +190,238 @@ final class TradeLogReplaceDataWrite(path: String, blockRows: Int,
       case _ => ()
     }
   }
+}
+
+/** MERGE-ON-READ DELETE — the `SupportsDelta` lane (VERDICT r17 #2), the
+  * Iceberg v2 position-delete / Delta deletion-vector tier re-expressed
+  * at tradelog block granularity. Selected when the table property
+  * `delmode=mor` is set ([[TradeLogFormat.setDeleteMode]]); the
+  * metadata-only ts tier still outranks it (dropping whole blocks beats
+  * any rewrite), and UPDATE/MERGE keep the group-based COW lane.
+  *
+  * Spark plans the DELETE as a WriteDelta over this operation's scan:
+  * each matching row reaches [[TradeLogDeltaDeleteWriter]] as its ROW ID
+  * — the (`_file`, `_boff`, `_brow`) metadata triple, i.e. (data file,
+  * block offset, row-ordinal-in-block) — and the writers fold the ids
+  * into per-block bitmaps. The commit then merges those bitmaps into the
+  * touched blocks' delete vectors and rewrites ONLY the manifest shards
+  * holding them: a k-row DELETE writes ZERO data files and O(touched
+  * shards) metadata — O(rows deleted) instead of COW's O(blocks
+  * touched) write amplification. Readers apply the mask at scan time
+  * ([[TradeLogPartitionReader]]); [[TradeLogMaintenance.compactDeletes]]
+  * later folds accumulated vectors into rewritten blocks.
+  *
+  * Semantics preserved across the tiers: block identity (file, offset,
+  * seq) never changes under a DV, so streaming offsets stay exact (a
+  * resumed stream re-reads remaining blocks MASKED — already-emitted
+  * rows are not retracted, the same restatement contract as COW, minus
+  * the re-delivery); a generation pinned BEFORE the delete still serves
+  * the rows (its shard files are immutable and its data files were never
+  * touched); changes-since diffs see no phantom additions (same block
+  * identity on both sides cancels). Fully-deleted blocks DO drop from
+  * the manifest — their files enter the delist journal and the DML
+  * retention grace governs GC, exactly like the other delete tiers.
+  *
+  * Commit semantics: optimistic ([[TradeLogFormat.commitManifest]]),
+  * re-validated per retry — every touched block must still be committed
+  * at the head, so a concurrent compaction/purge that removed one fails
+  * the DELETE loudly instead of silently resurrecting rows. */
+final class TradeLogDeltaDeleteOperation(path: String,
+    tableSchema: StructType)
+    extends RowLevelOperation with SupportsDelta {
+
+  private val configuredScans =
+    new java.util.concurrent.CopyOnWriteArrayList[TradeLogScan]()
+
+  override def command(): RowLevelOperation.Command =
+    RowLevelOperation.Command.DELETE
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new TradeLogScanBuilder(path, tableSchema, options,
+      onScan = s => configuredScans.add(s))
+
+  /** The MoR row id: (data file, block offset, row ordinal in block). */
+  override def rowId()
+      : Array[org.apache.spark.sql.connector.expressions.NamedReference] = {
+    import org.apache.spark.sql.connector.expressions.Expressions
+    Array(Expressions.column("_file"), Expressions.column("_boff"),
+      Expressions.column("_brow"))
+  }
+
+  override def requiredMetadataAttributes()
+      : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    Array.empty // the row id is the complete routing identity
+
+  override def newWriteBuilder(info: LogicalWriteInfo): DeltaWriteBuilder =
+    new DeltaWriteBuilder {
+      override def build(): DeltaWrite = new DeltaWrite {
+        override def toBatch: DeltaBatchWrite =
+          new TradeLogDeltaDeleteWrite(path, () => {
+            // bind to the one EXECUTED scan (same discipline as the COW
+            // lane): its planned blocks carry the spans the commit's
+            // shard pruning needs
+            import scala.jdk.CollectionConverters._
+            val planned = configuredScans.asScala
+              .filter(_.plannedBlocks != null)
+            require(planned.size <= 1,
+              s"graft-tradelog MoR delete executed ${planned.size} scans " +
+                "— the touched-block set is ambiguous; re-run the command")
+            planned.headOption.map(_.plannedBlocks).getOrElse(Seq.empty)
+          })
+        override def description(): String =
+          s"GraftTradeLog DELETE MoR write path=$path"
+      }
+    }
+
+  override def description(): String =
+    s"GraftTradeLog DELETE (merge-on-read) path=$path"
+}
+
+/** One writer's deletes for one block: set-bit words over row ordinals. */
+final case class TradeLogDeltaChunk(file: String, boff: Long,
+    words: Array[Long])
+
+final case class TradeLogDeltaCommit(chunks: Seq[TradeLogDeltaChunk])
+    extends WriterCommitMessage
+
+/** Executor-side MoR delete writer: folds row ids into per-block bitmaps
+  * — O(distinct touched blocks) task memory, no data bytes written. */
+final class TradeLogDeltaDeleteWriter
+    extends DeltaWriter[org.apache.spark.sql.catalyst.InternalRow] {
+  private val acc = scala.collection.mutable.HashMap
+    .empty[(String, Long), scala.collection.mutable.BitSet]
+
+  override def delete(meta: org.apache.spark.sql.catalyst.InternalRow,
+      id: org.apache.spark.sql.catalyst.InternalRow): Unit = {
+    val key = (id.getUTF8String(0).toString, id.getLong(1))
+    acc.getOrElseUpdate(key, scala.collection.mutable.BitSet.empty) +=
+      id.getInt(2)
+  }
+
+  override def update(meta: org.apache.spark.sql.catalyst.InternalRow,
+      id: org.apache.spark.sql.catalyst.InternalRow,
+      row: org.apache.spark.sql.catalyst.InternalRow): Unit =
+    throw new UnsupportedOperationException(
+      "graft-tradelog merge-on-read handles DELETE only (UPDATE/MERGE " +
+        "take the copy-on-write lane)")
+
+  override def insert(row: org.apache.spark.sql.catalyst.InternalRow): Unit =
+    throw new UnsupportedOperationException(
+      "graft-tradelog merge-on-read DELETE cannot insert rows")
+
+  override def commit(): WriterCommitMessage =
+    TradeLogDeltaCommit(acc.map { case ((f, o), bits) =>
+      TradeLogDeltaChunk(f, o, bits.toBitMask)
+    }.toIndexedSeq)
+
+  override def abort(): Unit = ()
+  override def close(): Unit = ()
+}
+
+/** The MoR delete commit: merge the writers' bitmaps into the touched
+  * blocks' delete vectors, rewriting only the manifest shards that hold
+  * them; fully-deleted blocks drop (their files journal for the graced
+  * vacuum). Re-validated against the head inside every optimistic retry. */
+final class TradeLogDeltaDeleteWrite(path: String,
+    plannedBlocks: () => Seq[BlockMeta]) extends DeltaBatchWrite {
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo)
+      : DeltaWriterFactory = new DeltaWriterFactory {
+    override def createWriter(partitionId: Int, taskId: Long)
+        : DeltaWriter[org.apache.spark.sql.catalyst.InternalRow] =
+      new TradeLogDeltaDeleteWriter
+  }
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    // merge all tasks' bitmaps (a block can appear in several partitions
+    // only if Spark split a block's rows across tasks — OR is correct
+    // regardless)
+    val merged = scala.collection.mutable.HashMap.empty[(String, Long),
+      Array[Long]]
+    messages.foreach {
+      case m: TradeLogDeltaCommit => m.chunks.foreach { c =>
+        merged.get((c.file, c.boff)) match {
+          case None => merged((c.file, c.boff)) = c.words
+          case Some(w0) =>
+            val w = java.util.Arrays.copyOf(w0,
+              math.max(w0.length, c.words.length))
+            c.words.zipWithIndex.foreach { case (x, i) => w(i) |= x }
+            merged((c.file, c.boff)) = w
+        }
+      }
+      case _ => ()
+    }
+    if (merged.isEmpty) return // nothing matched the condition
+    // spans for shard pruning come from the executed scan's planned set —
+    // every deleted row id was read from one of those blocks
+    val spanOf = plannedBlocks().map(b => (b.file, b.offset) -> b).toMap
+    val touched = merged.keys.flatMap(spanOf.get).toSeq
+    require(touched.size == merged.size,
+      "graft-tradelog MoR delete saw row ids outside its scan's planned " +
+        "blocks — the write is bound to a stale scan; re-run the command")
+    val delisted = new java.util.concurrent.atomic.AtomicReference[
+      Seq[String]](Seq.empty)
+    TradeLogFormat.commitManifest(path) { prevOpt =>
+      delisted.set(Seq.empty) // reset per optimistic retry
+      val prev = prevOpt.getOrElse(throw new IllegalStateException(
+        s"graft-tradelog $path lost its manifest during a MoR delete"))
+      val reuse = scala.collection.mutable.ArrayBuffer.empty[
+        TradeLogFormat.ShardRef]
+      val rewrite = scala.collection.mutable.ArrayBuffer.empty[Seq[BlockMeta]]
+      val gone = scala.collection.mutable.ArrayBuffer.empty[BlockMeta]
+      val keptResolved = scala.collection.mutable.ArrayBuffer.empty[BlockMeta]
+      var found = 0
+      // only shards whose span intersects a touched block's can hold one
+      // (block spans are contained in their shard's) — the rest carry
+      // forward unresolved, O(touched shards) commit work
+      def mightHold(r: TradeLogFormat.ShardRef): Boolean =
+        touched.exists(b => b.minTsUs == Long.MinValue ||
+          r.intersectsTs(b.minTsUs, b.maxTsUs))
+      prev.shards.foreach { r =>
+        if (!mightHold(r)) reuse += r
+        else {
+          val bs = TradeLogFormat.readShardBlocks(path, r)
+          var changed = false
+          val out = bs.flatMap { b =>
+            merged.get((b.file, b.offset)) match {
+              case Some(bits) =>
+                found += 1
+                changed = true
+                val nb = TradeLogFormat.withDeletes(b, bits)
+                if (nb.nDel == nb.nRows) { gone += nb; None }
+                else Some(nb)
+              case None => Some(b)
+            }
+          }
+          if (!changed) reuse += r
+          else {
+            keptResolved ++= out
+            if (out.nonEmpty) rewrite += out
+          }
+        }
+      }
+      // conflict validation, re-run per retry: every touched block must
+      // still be committed — a concurrent rewrite invalidated the read
+      if (found != merged.size) throw new IllegalStateException(
+        s"graft-tradelog $path: ${merged.size - found} of the blocks this " +
+          "MoR delete read were removed by a concurrent commit — the " +
+          "operation's snapshot is stale; re-run it")
+      // journal candidates: fully-deleted blocks' files with no RESOLVED
+      // surviving block (the manifest stays the GC authority at vacuum)
+      val keptFiles = keptResolved.map(_.file).toSet
+      delisted.set(gone.map(_.file).distinct.filterNot(keptFiles).toSeq)
+      Some(TradeLogFormat.CommitSpec(reuse = reuse.toSeq,
+        rewrite = rewrite.toSeq,
+        epoch = prev.epoch, qid = prev.qid, xcols = prev.xcols))
+    }
+    TradeLogFormat.journalDelisted(path, delisted.get(),
+      System.currentTimeMillis())
+    TradeLogFormat.vacuum(path, TradeLogFormat.dmlVacuumGraceMs())
+    ()
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit =
+    () // no data files were written — nothing to clean
 }
 
 /** V2-predicate vocabulary for the metadata-only DELETE tier: a

@@ -34,14 +34,25 @@ final class TradeLogWriteBuilder(path: String, info: LogicalWriteInfo)
   private val blockRows =
     Option(info.options().get("blockRows")).map(_.toInt)
       .getOrElse(TradeLogFormat.DefaultBlockRows)
+  // write option: this append is the REWRITE half of a delete-vector
+  // compaction — its commit REPLACES every DV-carrying block with the
+  // fresh ones (see TradeLogMaintenance.compactDeletes, which pairs it
+  // with the onlyDeleted read)
+  private val compactDeletes =
+    Option(info.options().get("compactDeletes")).exists(_.toBoolean)
   override def truncate(): WriteBuilder = { truncateFirst = true; this }
   override def build(): Write = {
     // prefix validation (the ACCEPT_ANY_SCHEMA contract: the table defers
     // schema reconciliation to this check) — returns the evolution tail
     val xcols = TradeLogFormat.requireWriteSchema(info.schema())
+    require(!(compactDeletes && truncateFirst),
+      "graft-tradelog compactDeletes is an append-shaped rewrite — " +
+        "overwrite mode cannot compose with it")
     new Write {
       override def toBatch: BatchWrite =
-        new TradeLogBatchWrite(path, truncateFirst, blockRows, xcols)
+        if (compactDeletes)
+          new TradeLogCompactDeletesWrite(path, blockRows, xcols)
+        else new TradeLogBatchWrite(path, truncateFirst, blockRows, xcols)
       override def toStreaming: StreamingWrite = {
         require(!truncateFirst,
           "graft-tradelog streaming sink is append-only (no complete/update)")
@@ -185,6 +196,83 @@ final class TradeLogBatchWrite(path: String,
       }
       ()
     }
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    val (fs, root) = TradeLogFormat.fs(path)
+    messages.foreach {
+      case m: TradeLogCommit => m.blocks.map(_.file).distinct.foreach(f =>
+        fs.delete(new org.apache.hadoop.fs.Path(root, f), false))
+      case _ => ()
+    }
+  }
+}
+
+/** Delete-vector COMPACTION commit (the rewrite half of
+  * [[TradeLogMaintenance.compactDeletes]]): the fresh blocks — written by
+  * the normal distributed writers from the `onlyDeleted` masked read —
+  * REPLACE every block that carries a DV. Conflict validation is the
+  * row-count equation: the head's DV-carrying blocks' live rows must
+  * equal the fresh rows exactly (re-checked inside every optimistic
+  * retry), so a MoR delete landing anywhere between the read's plan and
+  * this commit — on a block we read OR one we didn't — breaks the
+  * equality and fails the compaction loudly instead of resurrecting or
+  * double-dropping rows. Replaced files with no surviving blocks journal
+  * for the graced vacuum, like every delete tier. */
+final class TradeLogCompactDeletesWrite(path: String, blockRows: Int,
+    xcols: Seq[org.apache.spark.sql.types.StructField]) extends BatchWrite {
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo)
+      : DataWriterFactory =
+    new TradeLogWriterFactory(path, blockRows,
+      xcols.map(_.dataType).toArray, HadoopConfBox.active())
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val fresh = messages.flatMap { case m: TradeLogCommit => m.blocks }
+      .sortBy(b => (b.file, b.offset)).toIndexedSeq
+    val delisted = new java.util.concurrent.atomic.AtomicReference[
+      Seq[String]](Seq.empty)
+    val committed = TradeLogFormat.commitManifest(path) { prevOpt =>
+      delisted.set(Seq.empty) // reset per optimistic retry
+      val prev = prevOpt.getOrElse(throw new IllegalStateException(
+        s"graft-tradelog $path lost its manifest during a DV compaction"))
+      val reuse = scala.collection.mutable.ArrayBuffer.empty[
+        TradeLogFormat.ShardRef]
+      val rewrite = scala.collection.mutable.ArrayBuffer.empty[Seq[BlockMeta]]
+      val dropped = scala.collection.mutable.ArrayBuffer.empty[BlockMeta]
+      val keptResolved = scala.collection.mutable.ArrayBuffer.empty[BlockMeta]
+      // refs-tier pruning: only shards with deletes resolve (nDel > 0)
+      prev.shards.foreach { r =>
+        if (r.nDel == 0L) reuse += r
+        else {
+          val bs = TradeLogFormat.readShardBlocks(path, r)
+          val (dv, keep) = bs.partition(_.nDel > 0)
+          dropped ++= dv
+          keptResolved ++= keep
+          if (keep.nonEmpty) rewrite += keep
+        }
+      }
+      if (dropped.isEmpty && fresh.isEmpty) None // nothing to fold: no-op
+      else {
+        val live = dropped.map(_.liveRows.toLong).sum
+        val rewrote = fresh.map(_.nRows.toLong).sum
+        if (live != rewrote) throw new IllegalStateException(
+          s"graft-tradelog $path: DV compaction read $rewrote live rows " +
+            s"but the head's delete vectors now mask to $live — a " +
+            "concurrent delete moved the target; re-run the compaction")
+        val keptFiles = keptResolved.map(_.file).toSet
+        delisted.set(dropped.map(_.file).distinct.filterNot(keptFiles).toSeq)
+        Some(TradeLogFormat.CommitSpec(reuse = reuse.toSeq,
+          rewrite = rewrite.toSeq, fresh = fresh,
+          epoch = prev.epoch, qid = prev.qid,
+          xcols = TradeLogFormat.mergeXcols(prev.xcols, xcols)))
+      }
+    }
+    if (committed.isEmpty) { abort(messages); return } // no-op: drop files
+    TradeLogFormat.journalDelisted(path, delisted.get(),
+      System.currentTimeMillis())
+    TradeLogFormat.vacuum(path, TradeLogFormat.dmlVacuumGraceMs())
+    ()
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {

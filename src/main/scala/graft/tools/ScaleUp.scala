@@ -43,11 +43,16 @@ object ScaleUp {
   }
 
   def buildDir(s: SparkSession, srcDir: String, copies: Int): String = {
-    val src = new org.apache.hadoop.fs.Path(s"$srcDir/documents.parquet")
-    val st = src.getFileSystem(s.sparkContext.hadoopConfiguration)
-      .getFileStatus(src)
-    s"${Tables.artifactRoot(s)}/graft_x${copies}_" +
+    // fingerprint ALL THREE source tables (r17 advice): the corpus also
+    // derives from events and lineitem, so regenerating either without
+    // touching documents must invalidate the cached build
+    val conf = s.sparkContext.hadoopConfiguration
+    val fp = Seq("documents", "events", "lineitem", "customer").map { t =>
+      val p = new org.apache.hadoop.fs.Path(s"$srcDir/$t.parquet")
+      val st = p.getFileSystem(conf).getFileStatus(p)
       s"${st.getLen}_${st.getModificationTime}"
+    }.mkString("_")
+    s"${Tables.artifactRoot(s)}/graft_x${copies}_$fp"
   }
 
   /** Build (once) and return the synthetic decade dir. `copies = 1` is
@@ -98,6 +103,16 @@ object ScaleUp {
       d.withColumn("l_orderkey", col("l_orderkey") + lit(k * 1000000000L))
     }.repartition(32).write.mode("overwrite")
       .parquet(s"$out/lineitem.parquet")
+
+    // customer: keys offset in lockstep with events.user_id, so the
+    // tradelog-semi join family (dim-driven runtime block filtering)
+    // scales both sides of the join by the same factor (r18: the
+    // tradelog/DML decade sweep, VERDICT r17 #7)
+    val cu = Tables.customer(s, srcDir)
+    tenfold(cu) { (d, k) =>
+      d.withColumn("c_custkey", col("c_custkey") + lit(k * 1000000L))
+    }.repartition(32).write.mode("overwrite")
+      .parquet(s"$out/customer.parquet")
 
     fs.create(done, true).close()
     out
