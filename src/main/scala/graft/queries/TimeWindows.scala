@@ -195,14 +195,15 @@ object TimeWindows {
     * once on user_id, state bounded by rate × (10 min + delay). */
   def joinOuterStreamed(s: SparkSession, d: String): DataFrame = {
     val (tmp, schema) = stagedEventsSentinel(s, d)
-    // 2 shuffle partitions, not the bridge default 8: the outer join
-    // instantiates 4 state store instances per partition per side per
-    // micro-batch, and this bridge runs 5 batches — store setup, not
-    // data, dominates at gate scale (r18 adjudication: the line's calm
-    // RepeatTimer median was 7.7 s with 4 partitions × 6 batches — real
-    // harness cost, not box noise; production sizing is rate-based)
+    // 4 shuffle partitions: the outer join instantiates 4 state store
+    // instances per partition per side per micro-batch (setup cost), but
+    // each batch also pushes ~1/5 of the corpus through the join state —
+    // measured r18: 2 partitions cost MORE at sf0.1 (13.3 s median vs
+    // 7.7 s — per-batch processing is parallelism-bound, not
+    // setup-bound), so 4 is the balance point; production sizing is
+    // rate-based
     Tables.runStreamAppend(s, "join_outer_streamed_",
-      Map("spark.sql.shuffle.partitions" -> "2")) { cs =>
+      Map("spark.sql.shuffle.partitions" -> "4")) { cs =>
       def src = cs.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1).parquet(tmp)
       val c = src.filter(col("event_type") === "click")

@@ -493,9 +493,14 @@ final class TradeLogScan(path: String, tableSchema: StructType,
   /** Maintenance read (`option("onlyDeleted", true)`): plan ONLY blocks
     * carrying a delete vector — what [[TradeLogMaintenance
     * .compactDeletes]] rewrites. Shard pruning comes free from the refs'
-    * nDel tier in [[pruneShards]]. */
+    * nDel tier in [[pruneShards]]. Head-only by contract: a pinned or
+    * incremental onlyDeleted read would hand the compaction a STALE DV
+    * state to fold against the head's row-count equation. */
   private val onlyDeleted: Boolean =
     Option(options.get("onlyDeleted")).exists(_.toBoolean)
+  require(!onlyDeleted || (travelGen.isEmpty && changesSince.isEmpty),
+    "graft-tradelog: onlyDeleted is a head-only maintenance read — it " +
+      "cannot combine with time travel or changes-since options")
 
   /** Block-stats skip: keep a block unless its ts span provably misses
     * the pushed conjunction (blocks with no non-null ts always survive —
@@ -646,10 +651,11 @@ final class TradeLogScan(path: String, tableSchema: StructType,
   }
 
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream = {
-    require(travelGen.isEmpty && changesSince.isEmpty,
+    require(travelGen.isEmpty && changesSince.isEmpty && !onlyDeleted,
       "graft-tradelog: time travel (atGeneration/asOfEpoch/" +
-        "changesSinceGeneration) is batch-only — a stream's offsets " +
-        "already pin its own position in the block sequence")
+        "changesSinceGeneration) and the onlyDeleted maintenance read " +
+        "are batch-only — a stream's offsets already pin its own " +
+        "position in the block sequence")
     // the micro-batch reader materializes DATA ordinals only (`wanted`);
     // a resolved metadata column would silently misalign emitted rows
     // with the declared readSchema — fail cleanly instead (r17 advice)
