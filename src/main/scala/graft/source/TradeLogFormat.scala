@@ -211,6 +211,19 @@ object TradeLogFormat {
   def dvCount(words: Array[Long]): Int =
     if (words == null) 0 else words.map(java.lang.Long.bitCount).sum
 
+  /** Order-independent fingerprint of a DV state — the exact-identity
+    * token the DV compaction's conflict check compares (a row-COUNT
+    * equation alone can be defeated by two OFFSETTING concurrent deletes:
+    * one masking more rows in a block the compaction read, one masking a
+    * block it did not — r18 review finding). Covers identity AND mask
+    * bytes of every DV-carrying block. */
+  def dvFingerprint(blocks: Seq[BlockMeta]): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    blocks.filter(_.nDel > 0).map(b => s"${b.file},${b.offset},${b.dvHex}")
+      .sorted.foreach(l => md.update(l.getBytes(StandardCharsets.UTF_8)))
+    md.digest().map(x => f"$x%02x").mkString
+  }
+
   /** Merge `bits` (set-bit positions, 0-based row ordinals) into a
     * block's existing DV; returns the block with the union mask and the
     * recomputed nDel. `nRows` bounds every ordinal. */

@@ -37,15 +37,22 @@ object TradeLogMaintenance {
       blockRows: Int = TradeLogFormat.DefaultBlockRows): Int = {
     val refs = TradeLogFormat.readManifestRefs(dir)
     if (refs.totalDeletes == 0L) return 0
-    val nDv = refs.shards.filter(_.nDel > 0L)
+    // capture the DV state this compaction intends to fold — ONE resolve
+    // of the DV-carrying shards (the touched set). The fingerprint is the
+    // commit's exact-identity conflict token: any concurrent delete —
+    // masking more rows in a block we read, or a block we didn't —
+    // changes it and fails the commit loudly (a row-count equation alone
+    // can be defeated by two OFFSETTING deletes; r18 review finding).
+    val dvBlocks = refs.shards.filter(_.nDel > 0L)
       .flatMap(TradeLogFormat.readShardBlocks(dir, _))
-      .count(_.nDel > 0)
+      .filter(_.nDel > 0)
     s.read.format(FormatName).option("onlyDeleted", "true").load(dir)
       .write.format(FormatName).mode("append")
       .option("compactDeletes", "true")
+      .option("expectDvFingerprint", TradeLogFormat.dvFingerprint(dvBlocks))
       .option("blockRows", blockRows)
       .save(dir)
-    nDv
+    dvBlocks.size
   }
 
   /** RESTORE the table to generation `gen` as a new commit whose block

@@ -275,6 +275,16 @@ final class TradeLogScanBuilder(path: String, tableSchema: StructType,
     * push when no filter remained un-pushed below the aggregate, and the
     * guard additionally demands this builder saw no filters at all, so a
     * pushed answer can never silently ignore a predicate. */
+  // merge-on-read delete vectors make manifest stats NON-answers: count
+  // must exclude masked rows and a deleted row may hold a ts extreme — a
+  // DV'd log declines completely. Lazy + checked LAST, so the refs file
+  // read runs at most once per builder and only for aggregates every
+  // cheap structural check already accepted (r18 review finding: the
+  // read used to precede the expression check and ran from both
+  // supportCompletePushDown and pushAggregation).
+  private lazy val headHasDvDeletes: Boolean =
+    TradeLogFormat.readManifestRefs(path).totalDeletes > 0L
+
   private def manifestAnswerable(agg: aggregate.Aggregation): Boolean = {
     def isTs(e: org.apache.spark.sql.connector.expressions.Expression) =
       e match {
@@ -291,18 +301,14 @@ final class TradeLogScanBuilder(path: String, tableSchema: StructType,
       !options.containsKey("asOfEpoch") &&
       !options.containsKey("changesSinceGeneration") &&
       !options.containsKey("onlyDeleted") &&
-      // merge-on-read delete vectors make manifest stats NON-answers:
-      // count must exclude masked rows and a deleted row may hold a ts
-      // extreme — a DV'd log declines completely (refs-only check,
-      // O(#shards))
-      TradeLogFormat.readManifestRefs(path).totalDeletes == 0L &&
       agg.aggregateExpressions.nonEmpty &&
       agg.aggregateExpressions.forall {
         case _: aggregate.CountStar => true
         case m: aggregate.Min => isTs(m.column)
         case m: aggregate.Max => isTs(m.column)
         case _ => false
-      }
+      } &&
+      !headHasDvDeletes
   }
   override def supportCompletePushDown(agg: aggregate.Aggregation): Boolean =
     manifestAnswerable(agg)
@@ -345,6 +351,16 @@ final class TradeLogAggScan(path: String,
 
   override def planInputPartitions(): Array[InputPartition] = {
     val blocks = TradeLogFormat.readManifest(path)
+    // the pushdown was accepted when the head carried no delete vectors;
+    // this re-read is the head at EXECUTION time — a MoR DELETE landing
+    // in between would make raw-nRows sums and ts extremes answers to no
+    // committed snapshot, so fail loudly with the remedy (the normal
+    // scan masks at read time) instead of serving stale stats (r18
+    // review finding)
+    require(blocks.forall(_.nDel == 0),
+      s"graft-tradelog $path: a merge-on-read DELETE committed between " +
+        "aggregate-pushdown planning and execution — re-run the query " +
+        "(it will take the normal masked scan)")
     val withTs = blocks.filter(_.minTsUs != Long.MinValue)
     val values: Array[Any] = aggs.map {
       case _: aggregate.CountStar => blocks.map(_.nRows.toLong).sum

@@ -37,9 +37,12 @@ final class TradeLogWriteBuilder(path: String, info: LogicalWriteInfo)
   // write option: this append is the REWRITE half of a delete-vector
   // compaction — its commit REPLACES every DV-carrying block with the
   // fresh ones (see TradeLogMaintenance.compactDeletes, which pairs it
-  // with the onlyDeleted read)
+  // with the onlyDeleted read). expectDvFingerprint is the MANDATORY
+  // conflict token: the DV state the paired read captured.
   private val compactDeletes =
     Option(info.options().get("compactDeletes")).exists(_.toBoolean)
+  private val expectDvFp =
+    Option(info.options().get("expectDvFingerprint"))
   override def truncate(): WriteBuilder = { truncateFirst = true; this }
   override def build(): Write = {
     // prefix validation (the ACCEPT_ANY_SCHEMA contract: the table defers
@@ -50,9 +53,13 @@ final class TradeLogWriteBuilder(path: String, info: LogicalWriteInfo)
         "overwrite mode cannot compose with it")
     new Write {
       override def toBatch: BatchWrite =
-        if (compactDeletes)
-          new TradeLogCompactDeletesWrite(path, blockRows, xcols)
-        else new TradeLogBatchWrite(path, truncateFirst, blockRows, xcols)
+        if (compactDeletes) {
+          require(expectDvFp.isDefined,
+            "graft-tradelog compactDeletes requires expectDvFingerprint " +
+              "(use TradeLogMaintenance.compactDeletes, which captures it)")
+          new TradeLogCompactDeletesWrite(path, blockRows, xcols,
+            expectDvFp.get)
+        } else new TradeLogBatchWrite(path, truncateFirst, blockRows, xcols)
       override def toStreaming: StreamingWrite = {
         require(!truncateFirst,
           "graft-tradelog streaming sink is append-only (no complete/update)")
@@ -211,16 +218,21 @@ final class TradeLogBatchWrite(path: String,
 /** Delete-vector COMPACTION commit (the rewrite half of
   * [[TradeLogMaintenance.compactDeletes]]): the fresh blocks — written by
   * the normal distributed writers from the `onlyDeleted` masked read —
-  * REPLACE every block that carries a DV. Conflict validation is the
-  * row-count equation: the head's DV-carrying blocks' live rows must
-  * equal the fresh rows exactly (re-checked inside every optimistic
-  * retry), so a MoR delete landing anywhere between the read's plan and
-  * this commit — on a block we read OR one we didn't — breaks the
-  * equality and fails the compaction loudly instead of resurrecting or
-  * double-dropping rows. Replaced files with no surviving blocks journal
+  * REPLACE every block that carries a DV. Conflict validation is
+  * EXACT-IDENTITY (re-checked inside every optimistic retry): the head's
+  * DV state — (file, offset, mask bytes) of every DV-carrying block,
+  * order-independently fingerprinted — must equal the state the paired
+  * read captured, so a MoR delete landing anywhere between capture and
+  * commit fails loudly. A row-count equation alone is NOT sufficient:
+  * two offsetting concurrent deletes (more rows masked in a block we
+  * read + a fresh mask on a block we didn't) can balance the counts
+  * while losing the unread block's live rows and resurrecting the newly
+  * masked ones (r18 review finding). The count equation is kept as a
+  * secondary invariant. Replaced files with no surviving blocks journal
   * for the graced vacuum, like every delete tier. */
 final class TradeLogCompactDeletesWrite(path: String, blockRows: Int,
-    xcols: Seq[org.apache.spark.sql.types.StructField]) extends BatchWrite {
+    xcols: Seq[org.apache.spark.sql.types.StructField],
+    expectDvFingerprint: String) extends BatchWrite {
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo)
       : DataWriterFactory =
@@ -254,6 +266,14 @@ final class TradeLogCompactDeletesWrite(path: String, blockRows: Int,
       }
       if (dropped.isEmpty && fresh.isEmpty) None // nothing to fold: no-op
       else {
+        // exact-identity conflict check: the head's DV state must be the
+        // one the paired read captured (see class doc — counts alone can
+        // be defeated by offsetting concurrent deletes)
+        val headFp = TradeLogFormat.dvFingerprint(dropped.toSeq)
+        if (headFp != expectDvFingerprint) throw new IllegalStateException(
+          s"graft-tradelog $path: the delete-vector state changed between " +
+            "the compaction's read and its commit (a concurrent DELETE " +
+            "landed) — re-run the compaction")
         val live = dropped.map(_.liveRows.toLong).sum
         val rewrote = fresh.map(_.nRows.toLong).sum
         if (live != rewrote) throw new IllegalStateException(

@@ -181,6 +181,36 @@ class TradeLogMorSpec extends SparkTestBase {
     assert(TradeLogFormat.readManifestHeader(dir).gen == genAfter)
   }
 
+  test("DV compaction refuses a concurrent delete — exact-identity fingerprint, not counts") {
+    val dir = tmpDir("compact-race")
+    writeMorLog(dir, dayRows(1, 0) ++ dayRows(2, 10) ++ dayRows(3, 20))
+    val s = dmlSession()
+    s.sql(s"DELETE FROM ${sqlTable(dir)} WHERE user_id = 101")
+    // capture the DV state a compaction would fold...
+    val staleFp = TradeLogFormat.dvFingerprint(blocks(dir))
+    // ...then a concurrent delete lands between capture and commit
+    s.sql(s"DELETE FROM ${sqlTable(dir)} WHERE user_id = 102")
+    val e = intercept[Exception] {
+      spark.read.format(Fmt).option("onlyDeleted", "true").load(dir)
+        .write.format(Fmt).mode("append")
+        .option("compactDeletes", "true")
+        .option("expectDvFingerprint", staleFp)
+        .option("blockRows", 4).save(dir)
+    }
+    val msgs = Iterator.iterate(e: Throwable)(_.getCause)
+      .takeWhile(_ != null).map(m => Option(m.getMessage).getOrElse(""))
+      .mkString(" | ")
+    assert(msgs.contains("delete-vector state changed"), msgs)
+    // nothing was committed by the refused attempt; the verb (which
+    // captures a FRESH fingerprint) then folds both deletes cleanly
+    assert(spark.read.format(Fmt).load(dir).count() == 6L)
+    assert(TradeLogMaintenance.compactDeletes(spark, dir, blockRows = 4) == 3)
+    val users = spark.read.format(Fmt).load(dir)
+      .select("user_id").collect().map(_.getLong(0)).toSet
+    assert(users == Set(100L, 103L))
+    assert(TradeLogFormat.readManifestRefs(dir).totalDeletes == 0L)
+  }
+
   test("aggregate pushdown declines a DV'd log — count/min/max mask exactly") {
     val dir = tmpDir("aggdecline")
     writeMorLog(dir, dayRows(1, 0) ++ dayRows(2, 10))
