@@ -158,13 +158,15 @@ final class TradeLogTable(path: String,
       info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
       : org.apache.spark.sql.connector.write.RowLevelOperationBuilder =
     () => {
-      // DELETE routing by the table's delmode property (one header line):
-      // "mor" → the SupportsDelta delete-vector lane; default → group
-      // COW. UPDATE/MERGE always take COW (their rewrite produces rows).
+      // DELETE/UPDATE routing by the table's delmode property (one header
+      // line): "mor" → the SupportsDelta lane (delete vectors; UPDATE =
+      // DV + tail-appended new images); default → group COW. MERGE
+      // always takes COW (its group rewrite carries unmatched rows).
       import org.apache.spark.sql.connector.write.RowLevelOperation.Command
-      val mor = info.command() == Command.DELETE &&
+      val mor = (info.command() == Command.DELETE ||
+          info.command() == Command.UPDATE) &&
         TradeLogFormat.readManifestHeader(path).delMode.contains("mor")
-      if (mor) new TradeLogDeltaDeleteOperation(path, tableSchema)
+      if (mor) new TradeLogDeltaOperation(path, tableSchema, info.command())
       else new TradeLogRowLevelOperation(path, tableSchema, info.command())
     }
   // ACCEPT_ANY_SCHEMA: schema EVOLUTION means a write's schema may be

@@ -876,6 +876,44 @@ object TradeLogQueries {
     s"""WHERE (user_id <> $MorUser OR user_id IS NULL)
        |  AND (event_id % 10 <> $MorMod OR event_id IS NULL)""".stripMargin)
 
+  // ---- q_tradelog_update_mor (MERGE-ON-READ UPDATE) ------------------------
+
+  /** SQL `UPDATE` on a `delmode=mor` table — represented as DELETE +
+    * REINSERT through the `SupportsDelta` lane: the old images become
+    * delete-vector bits on their blocks (zero data-file rewrites), the
+    * new images append as fresh blocks at the sequence tail — a k-row
+    * UPDATE writes O(k) rows where COW rewrites O(touched blocks)
+    * (q_tradelog_update_sql is the COW twin under the IDENTICAL oracle:
+    * the digest recomputes the assignment as a CASE). Spec pins the
+    * mechanics: original files byte-identical, one fresh file, nDel ==
+    * rows updated, pre-update time travel serves old values. */
+  def tradelogUpdateMor(s: SparkSession, dir: String): DataFrame =
+    digestOver(s.read.format(FormatName).load(ensureUpdateMorLog(s, dir)))
+
+  def ensureUpdateMorLog(s: SparkSession, dir: String): String = {
+    val path = s"${logPath(s, dir)}-updmor"
+    val (fs, root) = TradeLogFormat.fs(path)
+    val done = new org.apache.hadoop.fs.Path(root, "_DML_DONE")
+    if (!fs.exists(done)) {
+      if (fs.exists(root)) fs.delete(root, true)
+      Tables.events(s, dir)
+        .select(col("event_id"), col("ts"), col("user_id"),
+          col("event_type"), col("value"), col("props"))
+        .repartitionByRange(8, col("ts"))
+        .sortWithinPartitions("ts")
+        .write.format(FormatName).mode("overwrite")
+        .option("blockRows", 256).save(path)
+      TradeLogFormat.setDeleteMode(path, "mor")
+      val cs = s.newSession()
+      cs.conf.set("spark.sql.catalog.graft_tlog",
+        classOf[TradeLogCatalog].getName)
+      cs.sql(s"UPDATE graft_tlog.`$path` SET value = value * 2 " +
+        s"WHERE user_id IN ($UpdUsers)")
+      fs.create(done, true).close()
+    }
+    path
+  }
+
   // ---- q_tradelog_mor_compacted (DV COMPACTION ≡ MASKED READ) -------------
 
   /** Delete-vector COMPACTION under the same oracle: an independently
@@ -1167,6 +1205,10 @@ object TradeLogQueries {
     // MERGE-ON-READ DELETE: delete vectors, zero data-file rewrites
     "q_tradelog_delete_mor" -> QueryDef(tradelogDeleteMor,
       Some(tradelogDeleteMorOracle)),
+    // MERGE-ON-READ UPDATE: DV the old images, tail-append the new ones —
+    // same oracle as the COW UPDATE twin (assignment recomputed as CASE)
+    "q_tradelog_update_mor" -> QueryDef(tradelogUpdateMor,
+      Some(tradelogUpdateSqlOracle)),
     // DV COMPACTION: folding vectors into rewritten blocks preserves the
     // same survivors digest (compaction ≡ masked read)
     "q_tradelog_mor_compacted" -> QueryDef(tradelogMorCompacted,

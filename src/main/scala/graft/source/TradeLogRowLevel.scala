@@ -192,21 +192,25 @@ final class TradeLogReplaceDataWrite(path: String, blockRows: Int,
   }
 }
 
-/** MERGE-ON-READ DELETE — the `SupportsDelta` lane (VERDICT r17 #2), the
-  * Iceberg v2 position-delete / Delta deletion-vector tier re-expressed
-  * at tradelog block granularity. Selected when the table property
-  * `delmode=mor` is set ([[TradeLogFormat.setDeleteMode]]); the
-  * metadata-only ts tier still outranks it (dropping whole blocks beats
-  * any rewrite), and UPDATE/MERGE keep the group-based COW lane.
+/** MERGE-ON-READ row-level operations — the `SupportsDelta` lane
+  * (VERDICT r17 #2), the Iceberg v2 position-delete / Delta
+  * deletion-vector tier re-expressed at tradelog block granularity.
+  * Selected when the table property `delmode=mor` is set
+  * ([[TradeLogFormat.setDeleteMode]]) for DELETE and UPDATE; the
+  * metadata-only ts tier still outranks DELETE (dropping whole blocks
+  * beats any rewrite), and MERGE keeps the group-based COW lane.
   *
-  * Spark plans the DELETE as a WriteDelta over this operation's scan:
-  * each matching row reaches [[TradeLogDeltaDeleteWriter]] as its ROW ID
-  * — the (`_file`, `_boff`, `_brow`) metadata triple, i.e. (data file,
+  * Spark plans the command as a WriteDelta over this operation's scan:
+  * each matching row reaches [[TradeLogDeltaWriter]] as its ROW ID —
+  * the (`_file`, `_boff`, `_brow`) metadata triple, i.e. (data file,
   * block offset, row-ordinal-in-block) — and the writers fold the ids
-  * into per-block bitmaps. The commit then merges those bitmaps into the
+  * into per-block bitmaps. UPDATE is represented as DELETE + REINSERT
+  * (`representUpdateAsDeleteAndInsert`): the updated rows' new images
+  * arrive as inserts and land in fresh data files at the sequence tail,
+  * exactly like an append. The commit then merges the bitmaps into the
   * touched blocks' delete vectors and rewrites ONLY the manifest shards
-  * holding them: a k-row DELETE writes ZERO data files and O(touched
-  * shards) metadata — O(rows deleted) instead of COW's O(blocks
+  * holding them: a k-row DELETE writes ZERO data files, a k-row UPDATE
+  * writes O(k) rows — O(rows touched) instead of COW's O(blocks
   * touched) write amplification. Readers apply the mask at scan time
   * ([[TradeLogPartitionReader]]); [[TradeLogMaintenance.compactDeletes]]
   * later folds accumulated vectors into rewritten blocks.
@@ -214,27 +218,32 @@ final class TradeLogReplaceDataWrite(path: String, blockRows: Int,
   * Semantics preserved across the tiers: block identity (file, offset,
   * seq) never changes under a DV, so streaming offsets stay exact (a
   * resumed stream re-reads remaining blocks MASKED — already-emitted
-  * rows are not retracted, the same restatement contract as COW, minus
-  * the re-delivery); a generation pinned BEFORE the delete still serves
-  * the rows (its shard files are immutable and its data files were never
-  * touched); changes-since diffs see no phantom additions (same block
-  * identity on both sides cancels). Fully-deleted blocks DO drop from
-  * the manifest — their files enter the delist journal and the DML
-  * retention grace governs GC, exactly like the other delete tiers.
+  * rows are not retracted; UPDATE's new images re-enter at tail seqs —
+  * the same restatement contract as COW); a generation pinned BEFORE
+  * the command still serves the old rows (its shard files are immutable
+  * and its data files were never touched); changes-since diffs see the
+  * new images as additions and no phantom re-reads of masked blocks.
+  * Fully-deleted blocks DO drop from the manifest — their files enter
+  * the delist journal and the DML retention grace governs GC, exactly
+  * like the other delete tiers.
   *
   * Commit semantics: optimistic ([[TradeLogFormat.commitManifest]]),
   * re-validated per retry — every touched block must still be committed
   * at the head, so a concurrent compaction/purge that removed one fails
-  * the DELETE loudly instead of silently resurrecting rows. */
-final class TradeLogDeltaDeleteOperation(path: String,
-    tableSchema: StructType)
+  * the command loudly instead of silently resurrecting rows. */
+final class TradeLogDeltaOperation(path: String,
+    tableSchema: StructType, cmd: RowLevelOperation.Command)
     extends RowLevelOperation with SupportsDelta {
 
   private val configuredScans =
     new java.util.concurrent.CopyOnWriteArrayList[TradeLogScan]()
 
-  override def command(): RowLevelOperation.Command =
-    RowLevelOperation.Command.DELETE
+  override def command(): RowLevelOperation.Command = cmd
+
+  /** UPDATE rows split into DELETE + REINSERT ops — the new image is an
+    * ordinary tail append, the old image a DV bit (the Iceberg
+    * merge-on-read UPDATE shape). */
+  override def representUpdateAsDeleteAndInsert(): Boolean = true
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new TradeLogScanBuilder(path, tableSchema, options,
@@ -255,41 +264,64 @@ final class TradeLogDeltaDeleteOperation(path: String,
   override def newWriteBuilder(info: LogicalWriteInfo): DeltaWriteBuilder =
     new DeltaWriteBuilder {
       override def build(): DeltaWrite = new DeltaWrite {
+        // insert images carry the TABLE schema's evolution tail; blockRows
+        // follows the write option like every other tradelog write
+        private val xtypes = tableSchema.fields
+          .drop(TradeLogFormat.BaseCols).map(_.dataType)
+        private val blockRows = Option(info.options().get("blockRows"))
+          .map(_.toInt).getOrElse(TradeLogFormat.DefaultBlockRows)
         override def toBatch: DeltaBatchWrite =
-          new TradeLogDeltaDeleteWrite(path, () => {
-            // bind to the one EXECUTED scan (same discipline as the COW
-            // lane): its planned blocks carry the spans the commit's
-            // shard pruning needs
-            import scala.jdk.CollectionConverters._
-            val planned = configuredScans.asScala
-              .filter(_.plannedBlocks != null)
-            require(planned.size <= 1,
-              s"graft-tradelog MoR delete executed ${planned.size} scans " +
-                "— the touched-block set is ambiguous; re-run the command")
-            planned.headOption.map(_.plannedBlocks).getOrElse(Seq.empty)
-          })
+          new TradeLogDeltaWrite(path, blockRows, xtypes,
+            tableSchema.fields.drop(TradeLogFormat.BaseCols).toSeq, () => {
+              // bind to the one EXECUTED scan (same discipline as the COW
+              // lane): its planned blocks carry the spans the commit's
+              // shard pruning needs
+              import scala.jdk.CollectionConverters._
+              val planned = configuredScans.asScala
+                .filter(_.plannedBlocks != null)
+              require(planned.size <= 1,
+                s"graft-tradelog MoR $cmd executed ${planned.size} scans " +
+                  "— the touched-block set is ambiguous; re-run the command")
+              planned.headOption.map(_.plannedBlocks).getOrElse(Seq.empty)
+            })
         override def description(): String =
-          s"GraftTradeLog DELETE MoR write path=$path"
+          s"GraftTradeLog $cmd MoR write path=$path"
       }
     }
 
   override def description(): String =
-    s"GraftTradeLog DELETE (merge-on-read) path=$path"
+    s"GraftTradeLog $cmd (merge-on-read) path=$path"
+}
+
+final class TradeLogDeltaWriterFactory(path: String, blockRows: Int,
+    xtypes: Array[org.apache.spark.sql.types.DataType],
+    confBox: HadoopConfBox) extends DeltaWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long)
+      : DeltaWriter[org.apache.spark.sql.catalyst.InternalRow] =
+    new TradeLogDeltaWriter(path, partitionId, taskId, blockRows,
+      xtypes, confBox)
 }
 
 /** One writer's deletes for one block: set-bit words over row ordinals. */
 final case class TradeLogDeltaChunk(file: String, boff: Long,
     words: Array[Long])
 
-final case class TradeLogDeltaCommit(chunks: Seq[TradeLogDeltaChunk])
-    extends WriterCommitMessage
+final case class TradeLogDeltaCommit(chunks: Seq[TradeLogDeltaChunk],
+    inserted: Seq[BlockMeta] = Seq.empty) extends WriterCommitMessage
 
-/** Executor-side MoR delete writer: folds row ids into per-block bitmaps
-  * — O(distinct touched blocks) task memory, no data bytes written. */
-final class TradeLogDeltaDeleteWriter
+/** Executor-side MoR writer: folds DELETE row ids into per-block bitmaps
+  * (O(distinct touched blocks) task memory, no data bytes), and routes
+  * REINSERT/INSERT images — an UPDATE's new rows — into an ordinary
+  * uniquely-named data file via the standard [[TradeLogDataWriter]]
+  * (created lazily: a pure DELETE writes no file at all). */
+final class TradeLogDeltaWriter(path: String, partitionId: Int,
+    taskId: Long, blockRows: Int,
+    xtypes: Array[org.apache.spark.sql.types.DataType],
+    confBox: HadoopConfBox)
     extends DeltaWriter[org.apache.spark.sql.catalyst.InternalRow] {
   private val acc = scala.collection.mutable.HashMap
     .empty[(String, Long), scala.collection.mutable.BitSet]
+  private var inserter: TradeLogDataWriter = null
 
   override def delete(meta: org.apache.spark.sql.catalyst.InternalRow,
       id: org.apache.spark.sql.catalyst.InternalRow): Unit = {
@@ -302,35 +334,49 @@ final class TradeLogDeltaDeleteWriter
       id: org.apache.spark.sql.catalyst.InternalRow,
       row: org.apache.spark.sql.catalyst.InternalRow): Unit =
     throw new UnsupportedOperationException(
-      "graft-tradelog merge-on-read handles DELETE only (UPDATE/MERGE " +
-        "take the copy-on-write lane)")
+      "graft-tradelog merge-on-read represents UPDATE as delete+reinsert" +
+        " — in-place update() is never planned")
 
-  override def insert(row: org.apache.spark.sql.catalyst.InternalRow): Unit =
-    throw new UnsupportedOperationException(
-      "graft-tradelog merge-on-read DELETE cannot insert rows")
+  override def insert(row: org.apache.spark.sql.catalyst.InternalRow): Unit = {
+    if (inserter == null)
+      inserter = new TradeLogDataWriter(path, partitionId, taskId,
+        blockRows, xtypes, confBox)
+    inserter.write(row)
+  }
 
-  override def commit(): WriterCommitMessage =
+  override def commit(): WriterCommitMessage = {
+    val blocks =
+      if (inserter == null) Seq.empty[BlockMeta]
+      else inserter.commit() match {
+        case TradeLogCommit(bs) => bs
+        case other => throw new IllegalStateException(s"unexpected $other")
+      }
     TradeLogDeltaCommit(acc.map { case ((f, o), bits) =>
       TradeLogDeltaChunk(f, o, bits.toBitMask)
-    }.toIndexedSeq)
+    }.toIndexedSeq, blocks)
+  }
 
-  override def abort(): Unit = ()
-  override def close(): Unit = ()
+  override def abort(): Unit = if (inserter != null) inserter.abort()
+  override def close(): Unit = if (inserter != null) inserter.close()
 }
 
-/** The MoR delete commit: merge the writers' bitmaps into the touched
-  * blocks' delete vectors, rewriting only the manifest shards that hold
-  * them; fully-deleted blocks drop (their files journal for the graced
-  * vacuum). Re-validated against the head inside every optimistic retry. */
-final class TradeLogDeltaDeleteWrite(path: String,
+/** The MoR commit: merge the writers' bitmaps into the touched blocks'
+  * delete vectors, rewriting only the manifest shards that hold them;
+  * fully-deleted blocks drop (their files journal for the graced
+  * vacuum); UPDATE's reinserted images append at the sequence tail like
+  * any fresh write. Re-validated against the head inside every
+  * optimistic retry. */
+final class TradeLogDeltaWrite(path: String, blockRows: Int,
+    xtypes: Array[org.apache.spark.sql.types.DataType],
+    xcols: Seq[org.apache.spark.sql.types.StructField],
     plannedBlocks: () => Seq[BlockMeta]) extends DeltaBatchWrite {
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo)
-      : DeltaWriterFactory = new DeltaWriterFactory {
-    override def createWriter(partitionId: Int, taskId: Long)
-        : DeltaWriter[org.apache.spark.sql.catalyst.InternalRow] =
-      new TradeLogDeltaDeleteWriter
-  }
+      : DeltaWriterFactory =
+    // a NAMED factory with explicit params: an anonymous one would
+    // capture this (non-serializable) write into the task closure
+    new TradeLogDeltaWriterFactory(path, blockRows, xtypes,
+      HadoopConfBox.active())
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     // merge all tasks' bitmaps (a block can appear in several partitions
@@ -338,20 +384,22 @@ final class TradeLogDeltaDeleteWrite(path: String,
     // regardless)
     val merged = scala.collection.mutable.HashMap.empty[(String, Long),
       Array[Long]]
-    messages.foreach {
-      case m: TradeLogDeltaCommit => m.chunks.foreach { c =>
-        merged.get((c.file, c.boff)) match {
-          case None => merged((c.file, c.boff)) = c.words
-          case Some(w0) =>
-            val w = java.util.Arrays.copyOf(w0,
-              math.max(w0.length, c.words.length))
-            c.words.zipWithIndex.foreach { case (x, i) => w(i) |= x }
-            merged((c.file, c.boff)) = w
+    val fresh = messages.flatMap {
+      case m: TradeLogDeltaCommit =>
+        m.chunks.foreach { c =>
+          merged.get((c.file, c.boff)) match {
+            case None => merged((c.file, c.boff)) = c.words
+            case Some(w0) =>
+              val w = java.util.Arrays.copyOf(w0,
+                math.max(w0.length, c.words.length))
+              c.words.zipWithIndex.foreach { case (x, i) => w(i) |= x }
+              merged((c.file, c.boff)) = w
+          }
         }
-      }
-      case _ => ()
-    }
-    if (merged.isEmpty) return // nothing matched the condition
+        m.inserted
+      case _ => Seq.empty[BlockMeta]
+    }.sortBy(b => (b.file, b.offset)).toIndexedSeq
+    if (merged.isEmpty && fresh.isEmpty) return // nothing matched
     // spans for shard pruning come from the executed scan's planned set —
     // every deleted row id was read from one of those blocks
     val spanOf = plannedBlocks().map(b => (b.file, b.offset) -> b).toMap
@@ -411,8 +459,9 @@ final class TradeLogDeltaDeleteWrite(path: String,
       val keptFiles = keptResolved.map(_.file).toSet
       delisted.set(gone.map(_.file).distinct.filterNot(keptFiles).toSeq)
       Some(TradeLogFormat.CommitSpec(reuse = reuse.toSeq,
-        rewrite = rewrite.toSeq,
-        epoch = prev.epoch, qid = prev.qid, xcols = prev.xcols))
+        rewrite = rewrite.toSeq, fresh = fresh,
+        epoch = prev.epoch, qid = prev.qid,
+        xcols = TradeLogFormat.mergeXcols(prev.xcols, xcols)))
     }
     TradeLogFormat.journalDelisted(path, delisted.get(),
       System.currentTimeMillis())
@@ -420,8 +469,16 @@ final class TradeLogDeltaDeleteWrite(path: String,
     ()
   }
 
-  override def abort(messages: Array[WriterCommitMessage]): Unit =
-    () // no data files were written — nothing to clean
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    // deletes leave no files; an UPDATE's reinserted images do
+    val (fs, root) = TradeLogFormat.fs(path)
+    messages.foreach {
+      case m: TradeLogDeltaCommit =>
+        m.inserted.map(_.file).distinct.foreach(f =>
+          fs.delete(new org.apache.hadoop.fs.Path(root, f), false))
+      case _ => ()
+    }
+  }
 }
 
 /** V2-predicate vocabulary for the metadata-only DELETE tier: a

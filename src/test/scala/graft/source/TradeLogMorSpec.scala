@@ -181,6 +181,47 @@ class TradeLogMorSpec extends SparkTestBase {
     assert(TradeLogFormat.readManifestHeader(dir).gen == genAfter)
   }
 
+  test("MoR UPDATE: old images masked in place, new images tail-appended") {
+    val dir = tmpDir("upd")
+    writeMorLog(dir, dayRows(1, 0) ++ dayRows(2, 10) ++ dayRows(3, 20))
+    val filesBefore = dataFiles(dir)
+    val sizesBefore = {
+      val (fs, root) = TradeLogFormat.fs(dir)
+      filesBefore.map(f => f -> fs.getFileStatus(
+        new org.apache.hadoop.fs.Path(root, f)).getLen).toMap
+    }
+    val genPre = TradeLogFormat.readManifestHeader(dir).gen
+    val s = dmlSession()
+    // user 101 appears once per day block → 3 rows updated
+    s.sql(s"UPDATE ${sqlTable(dir)} SET value = value + 100 " +
+      "WHERE user_id = 101")
+    // original files byte-identical (no rewrite), one fresh file appended
+    val after = dataFiles(dir)
+    assert(filesBefore.subsetOf(after) && (after -- filesBefore).size == 1,
+      s"expected exactly one appended image file: $after vs $filesBefore")
+    val (fs, root) = TradeLogFormat.fs(dir)
+    filesBefore.foreach(f => assert(fs.getFileStatus(
+      new org.apache.hadoop.fs.Path(root, f)).getLen == sizesBefore(f),
+      s"original file $f changed size under a MoR update"))
+    // DVs mask exactly the 3 old images; the new images re-enter at tail
+    val bs = blocks(dir)
+    assert(bs.map(_.nDel).sum == 3)
+    val updated = spark.read.format(Fmt).load(dir)
+      .filter(col("user_id") === 101L)
+      .select("value").collect().map(_.getDouble(0)).toSeq.sorted
+    assert(updated == Seq(101.5, 101.5, 101.5), s"got $updated")
+    assert(spark.read.format(Fmt).load(dir).count() == 12L)
+    // pre-update time travel serves the old values
+    val pinned = spark.read.format(Fmt)
+      .option("atGeneration", genPre).load(dir)
+      .filter(col("user_id") === 101L)
+      .select("value").collect().map(_.getDouble(0)).toSeq.sorted
+    assert(pinned == Seq(1.5, 1.5, 1.5))
+    // and compaction folds the update's vectors like any other
+    assert(TradeLogMaintenance.compactDeletes(spark, dir, blockRows = 4) == 3)
+    assert(spark.read.format(Fmt).load(dir).count() == 12L)
+  }
+
   test("DV compaction refuses a concurrent delete — exact-identity fingerprint, not counts") {
     val dir = tmpDir("compact-race")
     writeMorLog(dir, dayRows(1, 0) ++ dayRows(2, 10) ++ dayRows(3, 20))
