@@ -68,7 +68,8 @@ object ExplainAudit {
       "q_tradelog_delete_sql", "q_tradelog_update_sql",
       "q_tradelog_merge_sql",
       // r18: the MoR / restore / evolution / z-order read-back plans
-      "q_tradelog_delete_mor", "q_tradelog_mor_compacted",
+      "q_tradelog_delete_mor", "q_tradelog_update_mor",
+      "q_tradelog_mor_compacted",
       "q_tradelog_merge_sync", "q_tradelog_restore",
       "q_tradelog_optimize_z", "q_tradelog_evolve_sql")
     names.foreach { n =>
