@@ -292,6 +292,57 @@ class TradeLogMorSpec extends SparkTestBase {
       s"the stream must not emit masked rows: ${got.toSeq}")
   }
 
+  test("MoR x schema evolution: vectors mask mixed-width blocks; update images carry the union schema") {
+    val dir = tmpDir("evolve")
+    // gen 1: base-schema rows (narrow blocks, nCols = 6)
+    spark.createDataFrame(
+        spark.sparkContext.parallelize(dayRows(1, 0), 1),
+        TradeLogFormat.schema)
+      .repartitionByRange(1, col("ts")).sortWithinPartitions("ts")
+      .write.format(Fmt).mode("overwrite").option("blockRows", 4).save(dir)
+    // gen 2: a WIDENING append (xtag string) — wide blocks, nCols = 7
+    val widened = org.apache.spark.sql.types.StructType(
+      TradeLogFormat.schema.fields :+
+        org.apache.spark.sql.types.StructField("xtag",
+          org.apache.spark.sql.types.StringType))
+    spark.createDataFrame(
+        spark.sparkContext.parallelize(
+          (0 until 4).map(i => org.apache.spark.sql.Row(
+            10L + i, ts(f"2024-01-02 00:0$i:00"), 100L + i, s"t$i",
+            i * 1.5, s"p$i", s"tag$i")), 1), widened)
+      .repartitionByRange(1, col("ts")).sortWithinPartitions("ts")
+      .write.format(Fmt).mode("append").option("blockRows", 4).save(dir)
+    TradeLogFormat.setDeleteMode(dir, "mor")
+    val s = dmlSession()
+    // one DELETE touching BOTH widths: user 101 sits in the narrow day-1
+    // block AND the wide day-2 block
+    s.sql(s"DELETE FROM ${sqlTable(dir)} WHERE user_id = 101")
+    val bs = blocks(dir)
+    assert(bs.map(_.nDel).sum == 2 &&
+      bs.filter(_.nDel > 0).map(_.nCols).toSet == Set(6, 7),
+      s"a vector must mask narrow and wide blocks alike: $bs")
+    // an UPDATE of a NARROW block's row: the reinserted image carries the
+    // union schema (xtag null-filled), at full table width
+    s.sql(s"UPDATE ${sqlTable(dir)} SET value = 42.0 WHERE event_id = 0")
+    val got = spark.read.format(Fmt).load(dir)
+      .orderBy("event_id")
+      .select("event_id", "value", "xtag").collect()
+    assert(got.length == 6)
+    val updated = got.find(_.getLong(0) == 0L).get
+    assert(updated.getDouble(1) == 42.0 && updated.isNullAt(2))
+    assert(got.filter(_.getLong(0) >= 10L).forall(r => !r.isNullAt(2)),
+      "wide rows keep their extras through MoR commands")
+    // the reinserted image landed in a FULL-WIDTH block at the tail
+    val tail = blocks(dir).maxBy(_.seq)
+    assert(tail.nCols == 7 && tail.nRows == 1)
+    // and compaction folds the mixed-width vectors losslessly
+    TradeLogMaintenance.compactDeletes(spark, dir, blockRows = 4)
+    val after = spark.read.format(Fmt).load(dir)
+      .orderBy("event_id")
+      .select("event_id", "value", "xtag").collect()
+    assert(after.map(_.toString).toSeq == got.map(_.toString).toSeq)
+  }
+
   test("(_file,_boff,_brow) is a 1:1 row id; the names are reserved") {
     val dir = tmpDir("rowid")
     writeMorLog(dir, dayRows(1, 0) ++ dayRows(2, 10), blockRows = 3)
