@@ -914,6 +914,28 @@ object TradeLogQueries {
     path
   }
 
+  // ---- q_tradelog_mor_streamed (43rd bridge: the STREAMED masked read) ----
+
+  /** The MoR mask under the STREAMING engine and the driver gate: the
+    * DV'd artifact drains through [[TradeLogMicroBatchStream]] in
+    * rate-limited micro-batches — block seqs unchanged by the vectors,
+    * masked ordinals never emitted — and the complete-mode per-type
+    * aggregate must hash-match the batch SQL over exactly the survivors.
+    * With q_tradelog_delete_mor (batch read) on the same artifact, the
+    * two doors adjudicate one masked state. */
+  def tradelogMorStreamed(s: SparkSession, dir: String): DataFrame = {
+    val path = ensureMorLog(s, dir)
+    val perTrigger = streamTriggerBlocks(path)
+    Tables.runStreamComplete(s, "tradelog_mor_") { cs =>
+      aggByType(cs.readStream.format(FormatName)
+        .option("maxBlocksPerTrigger", perTrigger).load(path))
+    }.orderedBy("event_type")
+  }
+
+  private val tradelogMorStreamedOracle: String = aggOracleWhere(
+    s"""WHERE (user_id <> $MorUser OR user_id IS NULL)
+       |  AND (event_id % 10 <> $MorMod OR event_id IS NULL)""".stripMargin)
+
   // ---- q_tradelog_mor_compacted (DV COMPACTION ≡ MASKED READ) -------------
 
   /** Delete-vector COMPACTION under the same oracle: an independently
@@ -1209,6 +1231,10 @@ object TradeLogQueries {
     // same oracle as the COW UPDATE twin (assignment recomputed as CASE)
     "q_tradelog_update_mor" -> QueryDef(tradelogUpdateMor,
       Some(tradelogUpdateSqlOracle)),
+    // 43rd bridge: the delete-vector mask under the STREAMING reader —
+    // rate-limited micro-batches over the DV'd artifact, survivors SQL
+    "q_tradelog_mor_streamed" -> QueryDef(tradelogMorStreamed,
+      Some(tradelogMorStreamedOracle)),
     // DV COMPACTION: folding vectors into rewritten blocks preserves the
     // same survivors digest (compaction ≡ masked read)
     "q_tradelog_mor_compacted" -> QueryDef(tradelogMorCompacted,
