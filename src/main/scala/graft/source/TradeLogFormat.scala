@@ -163,21 +163,33 @@ object TradeLogFormat {
       nRows: Int, minTsUs: Long, maxTsUs: Long, bloomHex: String = "",
       nCols: Int = BaseCols, nTsNull: Int = -1, seq: Long = -1L,
       minUser: Long = Long.MinValue, maxUser: Long = Long.MaxValue,
-      nDel: Int = 0, dvHex: String = "") {
+      nDel: Int = 0, dvHex: String = "",
+      srcMinSeq: Long = -1L, srcMaxSeq: Long = -1L) {
     def csv: String =
       s"$file,$offset,$payloadLen,$nRows,$minTsUs,$maxTsUs,$bloomHex," +
-        s"$nCols,$nTsNull,$seq,$minUser,$maxUser,$nDel,$dvHex"
+        s"$nCols,$nTsNull,$seq,$minUser,$maxUser,$nDel,$dvHex," +
+        s"$srcMinSeq,$srcMaxSeq"
     def mightContainUser(id: Long): Boolean =
       id >= minUser && id <= maxUser &&
         TradeLogFormat.bloomMightContain(bloomHex, id)
     /** Rows a reader emits from this block after the delete mask. */
     def liveRows: Int = nRows - nDel
+    /** Fields 15-16 (optional, r19): REPLACE-commit provenance — the
+      * dataChange=false marker. A block written by a content-preserving
+      * rewrite (DV compaction, OPTIMIZE) carries the [min, max] commit
+      * seq of the blocks the rewrite folded, so an incremental consumer
+      * (seq-watermark stream, changes-since diff) positioned PAST the
+      * sources can skip it as a restatement instead of re-emitting every
+      * surviving row as a duplicate (r18 advice, high: the Delta
+      * dataChange=false / Iceberg streaming-skips-REPLACE rule). -1 =
+      * a normal data-change block. */
+    def isReplace: Boolean = srcMaxSeq >= 0L
   }
 
   object BlockMeta {
     def fromCsv(line: String): BlockMeta = {
       val a = line.split(",", -1)
-      require(a.length >= 6 && a.length <= 14, s"bad manifest line: $line")
+      require(a.length >= 6 && a.length <= 16, s"bad manifest line: $line")
       BlockMeta(a(0), a(1).toLong, a(2).toInt, a(3).toInt,
         a(4).toLong, a(5).toLong, if (a.length >= 7) a(6) else "",
         if (a.length >= 8) a(7).toInt else BaseCols,
@@ -186,7 +198,9 @@ object TradeLogFormat {
         if (a.length >= 11) a(10).toLong else Long.MinValue,
         if (a.length >= 12) a(11).toLong else Long.MaxValue,
         if (a.length >= 13) a(12).toInt else 0,
-        if (a.length >= 14) a(13) else "")
+        if (a.length >= 14) a(13) else "",
+        if (a.length >= 15) a(14).toLong else -1L,
+        if (a.length >= 16) a(15).toLong else -1L)
     }
   }
 
@@ -219,7 +233,11 @@ object TradeLogFormat {
     * bytes of every DV-carrying block. */
   def dvFingerprint(blocks: Seq[BlockMeta]): String = {
     val md = java.security.MessageDigest.getInstance("MD5")
-    blocks.filter(_.nDel > 0).map(b => s"${b.file},${b.offset},${b.dvHex}")
+    // one entry per line: without the terminator, adjacent-entry
+    // concatenation would be ambiguous and two distinct DV states could
+    // fingerprint-equal — this string is an exact-identity conflict token
+    // (r18 advice)
+    blocks.filter(_.nDel > 0).map(b => s"${b.file},${b.offset},${b.dvHex}\n")
       .sorted.foreach(l => md.update(l.getBytes(StandardCharsets.UTF_8)))
     md.digest().map(x => f"$x%02x").mkString
   }
@@ -240,6 +258,15 @@ object TradeLogFormat {
         s"graft-tradelog delete vector overruns block ${b.file}@${b.offset}")
       if (w != 0L) words(i) |= w
     }
+    // a set bit at ordinal >= nRows inside the LAST word would be silently
+    // accepted by the word-count check above, skewing nDel/liveRows (stats,
+    // the compaction row-count equation) while readers never emit those
+    // ordinals — it can only mean a corrupted row id, so fail (r18 advice)
+    val tail = b.nRows & 63
+    if (tail != 0)
+      require((words(words.length - 1) & ~((1L << tail) - 1)) == 0L,
+        s"graft-tradelog delete vector marks an ordinal >= nRows " +
+          s"(${b.nRows}) in block ${b.file}@${b.offset}")
     val n = dvCount(words)
     require(n <= b.nRows,
       s"graft-tradelog delete vector marks $n of ${b.nRows} rows")
@@ -518,7 +545,7 @@ object TradeLogFormat {
     readManifestFile(dir, name, headerOnly, refsOnly)
   }
 
-  private def readManifestFile(dir: String, name: String,
+  private[source] def readManifestFile(dir: String, name: String,
       headerOnly: Boolean = false, refsOnly: Boolean = false): ManifestInfo = {
     val (filesystem, root) = fs(dir)
     val in = filesystem.open(new Path(root, name))
@@ -591,18 +618,22 @@ object TradeLogFormat {
     if (!filesystem.exists(mdir) ||
       !filesystem.exists(new Path(root, ManifestName))) return 0
     val headGen = readManifestHeader(dir).gen
+    // ref-anchored generations (tag targets, branch fork points) are
+    // retained regardless of age — expiring one would orphan the ref
+    val anchored = TradeLogRefs.anchoredGens(dir)
     val committed = listSnapshotGens(filesystem, mdir).filter(_ <= headGen)
       .sorted
-    val victims = committed.dropRight(keepLast)
+    val victims = committed.dropRight(keepLast).filterNot(anchored)
     val n = victims.count(g =>
       filesystem.delete(new Path(mdir, s"gen-$g.manifest"), false))
-    // shard sweep: collect every shard still referenced by the head or any
+    // shard sweep: collect every shard still referenced by the head, any
     // surviving snapshot (claims above headGen included — their refs are a
-    // racer's in-flight commit), unlink the aged rest
+    // racer's in-flight commit), or any named ref's snapshot (staged
+    // branch commits), unlink the aged rest
     val referenced = (readManifestRefs(dir).shards ++
       listSnapshotGens(filesystem, mdir).flatMap(g =>
         readManifestInfoAt(dir, g, refsOnly = true).shards))
-      .map(_.file).toSet
+      .map(_.file).toSet ++ TradeLogRefs.referencedShards(dir)
     val now = System.currentTimeMillis()
     val shardRe = "^shard-[0-9a-f]+\\.csv$".r
     filesystem.listStatus(mdir).foreach { st =>
@@ -699,7 +730,7 @@ object TradeLogFormat {
     if (minTsUs == Long.MinValue) Long.MinValue
     else Math.floorDiv(minTsUs, DayUs)
 
-  private def groupByDay(blocks: Seq[BlockMeta]): Seq[Seq[BlockMeta]] =
+  private[source] def groupByDay(blocks: Seq[BlockMeta]): Seq[Seq[BlockMeta]] =
     blocks.groupBy(b => dayOf(b.minTsUs)).toSeq.sortBy(_._1)
       .map(_._2.sortBy(_.seq))
 
@@ -713,7 +744,7 @@ object TradeLogFormat {
   /** Write `body` to a temp file and atomically rename it to `target`.
     * With `overwrite = false` the rename is the commit CLAIM: it fails
     * (returns false) when the target already exists — the lost race. */
-  private def publishAtomic(filesystem: FileSystem, conf: Configuration,
+  private[source] def publishAtomic(filesystem: FileSystem, conf: Configuration,
       tmpDir: Path, target0: Path, body: Array[Byte],
       overwrite: Boolean): Boolean = {
     val target = filesystem.makeQualified(target0)
@@ -1220,7 +1251,10 @@ object TradeLogFormat {
   def vacuum(dir: String, graceMs: Long = 0L,
       orphanMinAgeMs: Long = OrphanMinAgeMs): Int = {
     val (blocks, _, _) = readManifestMeta(dir)
-    val ref = blocks.map(_.file).toSet
+    // reachable = the head PLUS every named ref's snapshot (a staged
+    // branch's data files and a tagged generation's files are referenced
+    // content, not grace-bounded garbage — the Iceberg ref-retention rule)
+    val ref = blocks.map(_.file).toSet ++ TradeLogRefs.referencedFiles(dir)
     val (filesystem, root) = fs(dir)
     val now = System.currentTimeMillis()
     val journal = readTrash(dir)
