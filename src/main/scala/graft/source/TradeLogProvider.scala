@@ -67,37 +67,62 @@ final class TradeLogProvider extends TableProvider with DataSourceRegister {
     * than the schema was inferred from (r16 advice). Spark calls
     * inferSchema then getTable on the same provider instance. */
   @volatile private var resolvedPin: Option[Long] = None
+  /** `option("ref", name)` resolved ONCE at schema inference, like the
+    * generation pin: a tag (or an unwritten branch) resolves to its main
+    * generation through [[resolvedPin]]; a written branch resolves to an
+    * exact (name, branch-local gen) snapshot pin, so a branch commit
+    * landing between inference and scan can never split the read. */
+  @volatile private var resolvedBranch: Option[(String, Long)] = None
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
     val path = Option(options.get("path")).getOrElse(
       throw new IllegalArgumentException("graft-tradelog requires a path"))
-    val pinnedGen = Option(options.get("atGeneration")).map(_.toLong)
-      .orElse(Option(options.get("asOfEpoch")).map(e =>
-        TradeLogFormat.resolveEpochGen(path, e.toLong)))
-    resolvedPin = pinnedGen
-    pinnedGen match {
-      case Some(g) =>
-        TradeLogFormat.readManifestInfoAt(path, g, headerOnly = true)
-          .tableSchema
+    Option(options.get("ref")) match {
+      case Some(name) =>
+        require(options.get("atGeneration") == null &&
+          options.get("asOfEpoch") == null,
+          "graft-tradelog: a ref read is already pinned — it cannot " +
+            "combine with atGeneration/asOfEpoch")
+        val r = TradeLogRefs.readRef(path, name)
+        if (r.gen == 0L) {
+          resolvedPin = Some(r.base)
+          TradeLogFormat.readManifestInfoAt(path, r.base, headerOnly = true)
+            .tableSchema
+        } else {
+          resolvedBranch = Some((name, r.gen))
+          TradeLogRefs.snapshotInfo(path, name, r.gen, headerOnly = true)
+            .tableSchema
+        }
       case None =>
-        val (filesystem, root) = TradeLogFormat.fs(path)
-        if (filesystem.exists(new org.apache.hadoop.fs.Path(root,
-            TradeLogFormat.ManifestName)))
-          TradeLogFormat.readManifestHeader(path).tableSchema
-        else TradeLogFormat.schema
+        val pinnedGen = Option(options.get("atGeneration")).map(_.toLong)
+          .orElse(Option(options.get("asOfEpoch")).map(e =>
+            TradeLogFormat.resolveEpochGen(path, e.toLong)))
+        resolvedPin = pinnedGen
+        pinnedGen match {
+          case Some(g) =>
+            TradeLogFormat.readManifestInfoAt(path, g, headerOnly = true)
+              .tableSchema
+          case None =>
+            val (filesystem, root) = TradeLogFormat.fs(path)
+            if (filesystem.exists(new org.apache.hadoop.fs.Path(root,
+                TradeLogFormat.ManifestName)))
+              TradeLogFormat.readManifestHeader(path).tableSchema
+            else TradeLogFormat.schema
+        }
     }
   }
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: util.Map[String, String]): Table =
     new TradeLogTable(properties.asScala.getOrElse("path",
       throw new IllegalArgumentException("graft-tradelog requires a path")),
-      schema, resolvedPin)
+      schema, resolvedPin, resolvedBranch = resolvedBranch)
 }
 
 final class TradeLogTable(path: String,
     tableSchema: StructType = TradeLogFormat.schema,
     resolvedPin: Option[Long] = None,
-    acceptAnySchema: Boolean = true)
+    acceptAnySchema: Boolean = true,
+    resolvedBranch: Option[(String, Long)] = None)
     extends Table with SupportsRead with SupportsWrite
     with SupportsDeleteV2 with SupportsRowLevelOperations
     with SupportsMetadataColumns {
@@ -158,13 +183,15 @@ final class TradeLogTable(path: String,
       info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
       : org.apache.spark.sql.connector.write.RowLevelOperationBuilder =
     () => {
-      // DELETE/UPDATE routing by the table's delmode property (one header
-      // line): "mor" → the SupportsDelta lane (delete vectors; UPDATE =
-      // DV + tail-appended new images); default → group COW. MERGE
-      // always takes COW (its group rewrite carries unmatched rows).
-      import org.apache.spark.sql.connector.write.RowLevelOperation.Command
-      val mor = (info.command() == Command.DELETE ||
-          info.command() == Command.UPDATE) &&
+      // Row-level routing by the table's delmode property (one header
+      // line): "mor" → the SupportsDelta lane for ALL THREE verbs —
+      // DELETE/UPDATE fold DVs (+ tail-appended new images), and MERGE
+      // (r19: the Iceberg write.merge.mode=merge-on-read half) plans as
+      // WriteDelta over a full row match: matched DELETE/UPDATE rows
+      // become DV bits + tail appends, not-matched inserts are ordinary
+      // appends — zero data files rewritten by the matched clauses.
+      // Default ("cow") → the group-based copy-on-write rewrite.
+      val mor =
         TradeLogFormat.readManifestHeader(path).delMode.contains("mor")
       if (mor) new TradeLogDeltaOperation(path, tableSchema, info.command())
       else new TradeLogRowLevelOperation(path, tableSchema, info.command())
@@ -188,7 +215,8 @@ final class TradeLogTable(path: String,
     caps
   }
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new TradeLogScanBuilder(path, tableSchema, options, resolvedPin)
+    new TradeLogScanBuilder(path, tableSchema, options, resolvedPin,
+      resolvedBranch = resolvedBranch)
   override def newWriteBuilder(
       info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
       : org.apache.spark.sql.connector.write.WriteBuilder =
@@ -203,7 +231,8 @@ final class TradeLogTable(path: String,
 final class TradeLogScanBuilder(path: String, tableSchema: StructType,
     options: CaseInsensitiveStringMap,
     resolvedPin: Option[Long] = None,
-    onScan: TradeLogScan => Unit = _ => ())
+    onScan: TradeLogScan => Unit = _ => (),
+    resolvedBranch: Option[(String, Long)] = None)
     extends ScanBuilder with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns with SupportsPushDownAggregates {
 
@@ -303,6 +332,7 @@ final class TradeLogScanBuilder(path: String, tableSchema: StructType,
       !options.containsKey("asOfEpoch") &&
       !options.containsKey("changesSinceGeneration") &&
       !options.containsKey("onlyDeleted") &&
+      !options.containsKey("ref") && // ref reads pin a snapshot manifest
       agg.aggregateExpressions.nonEmpty &&
       agg.aggregateExpressions.forall {
         case _: aggregate.CountStar => true
@@ -325,7 +355,7 @@ final class TradeLogScanBuilder(path: String, tableSchema: StructType,
     case Some(aggs) => new TradeLogAggScan(path, aggs)
     case None =>
       val s = new TradeLogScan(path, tableSchema, required, tsLo, tsHi,
-        userIds, options, resolvedPin)
+        userIds, options, resolvedPin, resolvedBranch)
       // row-level operations register here so their ReplaceData write can
       // learn exactly which blocks this scan planned (the COW group set)
       onScan(s)
@@ -391,7 +421,8 @@ final class TradeLogScan(path: String, tableSchema: StructType,
     required: StructType,
     tsLo: Long, tsHi: Long, userIds: Option[Set[Long]],
     options: CaseInsensitiveStringMap,
-    resolvedPin: Option[Long] = None)
+    resolvedPin: Option[Long] = None,
+    resolvedBranch: Option[(String, Long)] = None)
     extends Scan with SupportsReportStatistics
     with SupportsRuntimeV2Filtering {
 
@@ -419,17 +450,37 @@ final class TradeLogScan(path: String, tableSchema: StructType,
     * against the PINNED snapshot — concurrent appends/purges publish new
     * head manifests and never disturb it (data-file availability bounds
     * the horizon via the delist-journal grace; see readManifestInfoAt). */
+  /** REF read (`option("ref", name)` — branch/tag heads): resolved once
+    * at schema inference and threaded here like the generation pin; the
+    * orElse leg re-resolves only for scans built directly in specs. A
+    * tag / unwritten branch lands in [[travelGen]] instead (its head IS
+    * a main generation snapshot). */
+  /** A spec-built scan (no inference ran) resolves its own ref once. */
+  private val specRef: Option[TradeLogRefs.RefInfo] =
+    if (resolvedBranch.isEmpty && resolvedPin.isEmpty)
+      Option(options.get("ref")).map(TradeLogRefs.readRef(path, _))
+    else None
+
+  private val branchPin: Option[(String, Long)] =
+    resolvedBranch.orElse(
+      specRef.collect { case r if r.gen > 0L => (r.name, r.gen) })
+
   private val travelGen: Option[Long] = {
     val g = Option(options.get("atGeneration")).map(_.toLong)
     val e = Option(options.get("asOfEpoch")).map(_.toLong)
     require(g.isEmpty || e.isEmpty,
       "graft-tradelog: set atGeneration OR asOfEpoch, not both")
+    require(!options.containsKey("ref") || (g.isEmpty && e.isEmpty),
+      "graft-tradelog: a ref read is already pinned — it cannot combine " +
+        "with atGeneration/asOfEpoch")
     // asOfEpoch was resolved ONCE at schema inference and threaded here
     // (r16 advice: a second resolution could pin a different generation
-    // than the schema came from); the orElse leg only serves scans built
-    // directly in specs, where no inference ran
+    // than the schema came from); the orElse legs only serve scans built
+    // directly in specs, where no inference ran (a tag / unwritten
+    // branch pins its anchored MAIN generation)
     resolvedPin.orElse(
-      g.orElse(e.map(ep => TradeLogFormat.resolveEpochGen(path, ep))))
+        g.orElse(e.map(ep => TradeLogFormat.resolveEpochGen(path, ep))))
+      .orElse(specRef.collect { case r if r.gen == 0L => r.base })
   }
 
   /** CHANGES-SINCE read (`option("changesSinceGeneration", N)`) — the
@@ -444,8 +495,24 @@ final class TradeLogScan(path: String, tableSchema: StructType,
     * contract, spec-pinned. */
   private val changesSince: Option[Long] =
     Option(options.get("changesSinceGeneration")).map(_.toLong)
-  require(changesSince.isEmpty || travelGen.isEmpty,
+  require(changesSince.isEmpty || (travelGen.isEmpty && branchPin.isEmpty),
     "graft-tradelog: changesSinceGeneration cannot combine with a pinned read")
+
+  /** Maintenance read (`option("onlyDeleted", true)`): plan ONLY blocks
+    * carrying a delete vector — what [[TradeLogMaintenance
+    * .compactDeletes]] rewrites. Shard pruning comes free from the refs'
+    * nDel tier in [[pruneShards]]. Head-only by contract: a pinned or
+    * incremental onlyDeleted read would hand the compaction a STALE DV
+    * state to fold against the head's conflict token. Declared BEFORE
+    * pruneShards/selectedBlocks, which read it — their laziness made a
+    * later declaration work, but only by initialization-order accident
+    * (r18 advice). */
+  private val onlyDeleted: Boolean =
+    Option(options.get("onlyDeleted")).exists(_.toBoolean)
+  require(!onlyDeleted ||
+    (travelGen.isEmpty && changesSince.isEmpty && branchPin.isEmpty),
+    "graft-tradelog: onlyDeleted is a head-only maintenance read — it " +
+      "cannot combine with time travel, ref, or changes-since options")
 
   /** Shard-level planning: resolve ONLY the shards whose ts span / user
     * range intersects the pushed bounds — the two-level-manifest payoff
@@ -469,6 +536,28 @@ final class TradeLogScan(path: String, tableSchema: StructType,
         sel.size, info.shards.size)
     }
 
+  /** Replace-commit triage for the changes-since diff (the CDF face of
+    * the stream's rule, r18 advice): a block written by a DV compaction /
+    * OPTIMIZE restates rows whose source seqs span [srcMin, srcMax].
+    * Sources all at-or-below the sync point's max seq → their content was
+    * visible at the sync point, the restatement is not a change — skip.
+    * Sources all after → the originals were post-sync changes the rewrite
+    * then removed from the head, so this block is their only carrier —
+    * emit. Straddling → no exact answer exists; fail loudly. */
+  private def dropConsumedReplacements(bs: Seq[BlockMeta], baseMax: Long)
+      : Seq[BlockMeta] =
+    bs.filter { b =>
+      if (!b.isReplace) true
+      else if (b.srcMaxSeq <= baseMax) false
+      else if (b.srcMinSeq > baseMax) true
+      else throw new IllegalStateException(
+        s"graft-tradelog $path: block ${b.file}@${b.offset} was written " +
+          s"by a replace commit folding seqs [${b.srcMinSeq}," +
+          s"${b.srcMaxSeq}], which straddles the sync point's max seq " +
+          s"($baseMax) — the diff cannot be answered exactly; re-sync " +
+          "from the current head")
+    }
+
   private lazy val shardPlan: (Seq[BlockMeta], Int, Int) = changesSince match {
     case Some(n) =>
       // incremental diff at SHARD granularity: shard files are immutable
@@ -480,26 +569,36 @@ final class TradeLogScan(path: String, tableSchema: StructType,
       val headI = TradeLogFormat.readManifestRefs(path)
       val snapI = TradeLogFormat.readManifestInfoAt(path, n, refsOnly = true)
       if (headI.shards.isEmpty || snapI.shards.isEmpty) {
-        val base = TradeLogFormat.resolveBlocks(path, snapI)
-          .map(b => (b.file, b.offset)).toSet
-        (TradeLogFormat.resolveBlocks(path, headI)
-          .filterNot(b => base((b.file, b.offset))), -1, -1)
+        val baseBlocks = TradeLogFormat.resolveBlocks(path, snapI)
+        val base = baseBlocks.map(b => (b.file, b.offset)).toSet
+        val baseMax = math.max(snapI.maxSeq,
+          baseBlocks.foldLeft(-1L)((a, b) => math.max(a, b.seq)))
+        (dropConsumedReplacements(
+          TradeLogFormat.resolveBlocks(path, headI)
+            .filterNot(b => base((b.file, b.offset))), baseMax), -1, -1)
       } else {
         val snapFiles = snapI.shards.map(_.file).toSet
         val headFiles = headI.shards.map(_.file).toSet
+        val baseMax = math.max(snapI.maxSeq,
+          snapI.shards.foldLeft(-1L)((a, r) => math.max(a, r.maxSeq)))
         val candidates = headI.shards.filterNot(r => snapFiles(r.file))
           .flatMap(TradeLogFormat.readShardBlocks(path, _))
         val baseOnly = snapI.shards.filterNot(r => headFiles(r.file))
           .flatMap(TradeLogFormat.readShardBlocks(path, _))
           .map(b => (b.file, b.offset)).toSet
-        (candidates.filterNot(b => baseOnly((b.file, b.offset)))
-          .sortBy(_.seq), -1, -1)
+        (dropConsumedReplacements(
+          candidates.filterNot(b => baseOnly((b.file, b.offset))),
+          baseMax).sortBy(_.seq), -1, -1)
       }
     case None =>
-      pruneShards(travelGen match {
-        case Some(g) =>
-          TradeLogFormat.readManifestInfoAt(path, g, refsOnly = true)
-        case None => TradeLogFormat.readManifestRefs(path)
+      pruneShards(branchPin match {
+        case Some((name, bg)) =>
+          TradeLogRefs.snapshotInfo(path, name, bg, refsOnly = true)
+        case None => travelGen match {
+          case Some(g) =>
+            TradeLogFormat.readManifestInfoAt(path, g, refsOnly = true)
+          case None => TradeLogFormat.readManifestRefs(path)
+        }
       })
   }
 
@@ -507,18 +606,6 @@ final class TradeLogScan(path: String, tableSchema: StructType,
   /** Shards this plan resolved / the manifest's total (-1 = diff read). */
   private[source] def shardsRead: Int = shardPlan._2
   private[source] def shardsTotal: Int = shardPlan._3
-
-  /** Maintenance read (`option("onlyDeleted", true)`): plan ONLY blocks
-    * carrying a delete vector — what [[TradeLogMaintenance
-    * .compactDeletes]] rewrites. Shard pruning comes free from the refs'
-    * nDel tier in [[pruneShards]]. Head-only by contract: a pinned or
-    * incremental onlyDeleted read would hand the compaction a STALE DV
-    * state to fold against the head's row-count equation. */
-  private val onlyDeleted: Boolean =
-    Option(options.get("onlyDeleted")).exists(_.toBoolean)
-  require(!onlyDeleted || (travelGen.isEmpty && changesSince.isEmpty),
-    "graft-tradelog: onlyDeleted is a head-only maintenance read — it " +
-      "cannot combine with time travel or changes-since options")
 
   /** Block-stats skip: keep a block unless its ts span provably misses
     * the pushed conjunction (blocks with no non-null ts always survive —
@@ -640,6 +727,7 @@ final class TradeLogScan(path: String, tableSchema: StructType,
     // surface the time-travel pin / delta sync point in .explain so a
     // plan audit can tell a pinned or incremental read from a head read
     val travel = travelGen.map(g => s", AtGeneration=$g").getOrElse("") +
+      branchPin.map { case (n, g) => s", AtRef=$n@$g" }.getOrElse("") +
       changesSince.map(n => s", ChangesSinceGeneration=$n").getOrElse("")
     val shards =
       if (shardsTotal > 0) s", shards=$shardsRead/$shardsTotal" else ""
@@ -669,11 +757,12 @@ final class TradeLogScan(path: String, tableSchema: StructType,
   }
 
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream = {
-    require(travelGen.isEmpty && changesSince.isEmpty && !onlyDeleted,
+    require(travelGen.isEmpty && changesSince.isEmpty && !onlyDeleted &&
+      branchPin.isEmpty && !options.containsKey("ref"),
       "graft-tradelog: time travel (atGeneration/asOfEpoch/" +
-        "changesSinceGeneration) and the onlyDeleted maintenance read " +
-        "are batch-only — a stream's offsets already pin its own " +
-        "position in the block sequence")
+        "changesSinceGeneration), ref reads, and the onlyDeleted " +
+        "maintenance read are batch-only — a stream's offsets already " +
+        "pin its own position in the block sequence")
     // the micro-batch reader materializes DATA ordinals only (`wanted`);
     // a resolved metadata column would silently misalign emitted rows
     // with the declared readSchema — fail cleanly instead (r17 advice)

@@ -13,13 +13,19 @@ import org.apache.spark.sql.connector.read.streaming._
   * OFFSET STABILITY CONTRACT: each block's `seq` is assigned once at
   * commit time, monotonically across commits, and never reassigned — so
   * watermarks are stable under appends, epoch commits, AND retention
-  * purges/compactions of already-consumed blocks (a purged block simply
-  * no longer appears below the watermark; survivors keep their seq).
-  * This is the production evolution the flat-index offset needed: Kafka
-  * offsets survive segment deletion the same way. Only TRUNCATE resets
-  * the sequence — a new content identity that voids any prior stream's
-  * checkpoint lineage by design (the startingGeneration consistency
-  * check catches a truncate interposed under a fresh sync point). */
+  * purges of already-consumed blocks (a purged block simply no longer
+  * appears below the watermark). This is the production evolution the
+  * flat-index offset needed: Kafka offsets survive segment deletion the
+  * same way. Content-preserving REWRITES (DV compaction, OPTIMIZE)
+  * re-emit surviving rows in fresh blocks at tail seqs; those blocks
+  * carry replace provenance ([[TradeLogFormat.BlockMeta.srcMinSeq]]) and
+  * the stream SKIPS them when their sources sit below its starting
+  * watermark — the Delta dataChange=false / Iceberg skip-REPLACE rule —
+  * so a resumed consumer never re-receives compacted survivors (r18
+  * advice). Only TRUNCATE resets the sequence — a new content identity
+  * that voids any prior stream's checkpoint lineage by design (the
+  * startingGeneration consistency check catches a truncate interposed
+  * under a fresh sync point). */
 final case class TradeLogOffset(block: Long) extends Offset {
   override def json(): String = s"""{"block":$block}"""
 }
@@ -55,6 +61,37 @@ final class TradeLogMicroBatchStream(path: String, wanted: Array[Int],
     * flat logs normalize seq to manifest position — their append order). */
   private lazy val blocks = TradeLogFormat.readManifest(path).toIndexedSeq
   @volatile private var availableNowTarget: Option[Int] = None
+
+  /** This stream's STARTING watermark — the checkpoint resume position
+    * (the first offset the engine hands any planning call) or the fresh
+    * stream's initialOffset. Everything below it was consumed by this
+    * query's earlier incarnations; that boundary is what REPLACE-commit
+    * blocks (DV compaction, OPTIMIZE — dataChange=false restatements of
+    * already-sequenced rows) triage against: sources fully below →
+    * restatement, skip; sources fully at-or-above → the only carrier of
+    * never-consumed rows, emit; straddling → this query consumed PART of
+    * the replaced range, so exactly-once is unachievable either way —
+    * fail loudly (the Delta "data update detected" rule) instead of
+    * silently duplicating or losing rows. */
+  @volatile private var startWatermark: Long = -1L
+  private def noteStart(w: Long): Long = {
+    if (startWatermark < 0L) startWatermark = w
+    startWatermark
+  }
+
+  /** Should the batch spanning [start, …) emit this block? Data-change
+    * blocks always; replace blocks per the [[startWatermark]] triage. */
+  private def emits(b: TradeLogFormat.BlockMeta, w0: Long): Boolean =
+    if (!b.isReplace) true
+    else if (b.srcMaxSeq < w0) false // restates fully-consumed rows
+    else if (b.srcMinSeq >= w0) true // sources never consumed by this query
+    else throw new IllegalStateException(
+      s"graft-tradelog $path: block ${b.file}@${b.offset} was written by a " +
+        s"replace commit folding seqs [${b.srcMinSeq},${b.srcMaxSeq}], and " +
+        s"this stream's position ($w0) sits inside that range — part of " +
+        "the replaced rows were already emitted, so the stream cannot " +
+        "resume exactly-once across the rewrite; restart it from a fresh " +
+        "checkpoint (or run maintenance only on fully-consumed data)")
 
   /** Number of blocks below a seq watermark (blocks is seq-ascending). */
   private def idxOf(watermark: Long): Int = {
@@ -105,6 +142,7 @@ final class TradeLogMicroBatchStream(path: String, wanted: Array[Int],
   /** Rate-limited advance: at most `maxBlocksPerTrigger` blocks per
     * batch, never past the AvailableNow snapshot target. */
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    noteStart(start.asInstanceOf[TradeLogOffset].block)
     val from = idxOf(start.asInstanceOf[TradeLogOffset].block)
     val end = availableNowTarget.getOrElse(blocks.size)
     val step = maxBlocksPerTrigger.getOrElse(Int.MaxValue).toLong
@@ -122,11 +160,16 @@ final class TradeLogMicroBatchStream(path: String, wanted: Array[Int],
 
   override def planInputPartitions(start: Offset, end: Offset)
       : Array[InputPartition] = {
+    val w0 = noteStart(start.asInstanceOf[TradeLogOffset].block)
     val a = idxOf(start.asInstanceOf[TradeLogOffset].block)
     val b = idxOf(end.asInstanceOf[TradeLogOffset].block)
-    blocks.slice(a, b).groupBy(_.file).toSeq.sortBy(_._1).map {
-      case (_, bs) => TradeLogPartition(path, bs.sortBy(_.offset))
-    }.toArray
+    // replace-commit blocks (DV compaction / OPTIMIZE restatements) still
+    // OCCUPY their seqs — the watermark advances past a skipped one, it
+    // just plans no partition (the Delta dataChange=false skip)
+    blocks.slice(a, b).filter(emits(_, w0))
+      .groupBy(_.file).toSeq.sortBy(_._1).map {
+        case (_, bs) => TradeLogPartition(path, bs.sortBy(_.offset))
+      }.toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =

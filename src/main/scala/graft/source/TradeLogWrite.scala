@@ -43,14 +43,35 @@ final class TradeLogWriteBuilder(path: String, info: LogicalWriteInfo)
     Option(info.options().get("compactDeletes")).exists(_.toBoolean)
   private val expectDvFp =
     Option(info.options().get("expectDvFingerprint"))
+  // write option: this append is the rewrite half of a WHOLE-LOG OPTIMIZE
+  // (see TradeLogMaintenance.optimize): its commit REPLACES every
+  // committed block with the fresh clustered ones, conflict-validated
+  // against expectGeneration — the head generation the paired read
+  // planned. History survives: the commit is a new generation, so time
+  // travel spans an OPTIMIZE (r18 verdict #4 — the old ensureZordered
+  // overwrote a fresh path instead).
+  private val optimizeFull =
+    Option(info.options().get("optimizeFull")).exists(_.toBoolean)
+  private val expectGen =
+    Option(info.options().get("expectGeneration")).map(_.toLong)
+  // write option: commit this append to a named BRANCH head instead of
+  // main (the WAP staging door — see TradeLogRefs); main is untouched
+  // until TradeLogRefs.publish fast-forwards it
+  private val branch = Option(info.options().get("branch"))
   override def truncate(): WriteBuilder = { truncateFirst = true; this }
   override def build(): Write = {
     // prefix validation (the ACCEPT_ANY_SCHEMA contract: the table defers
     // schema reconciliation to this check) — returns the evolution tail
     val xcols = TradeLogFormat.requireWriteSchema(info.schema())
-    require(!(compactDeletes && truncateFirst),
-      "graft-tradelog compactDeletes is an append-shaped rewrite — " +
-        "overwrite mode cannot compose with it")
+    require(!((compactDeletes || optimizeFull) && truncateFirst),
+      "graft-tradelog compactDeletes/optimizeFull are append-shaped " +
+        "rewrites — overwrite mode cannot compose with them")
+    require(!(compactDeletes && optimizeFull),
+      "graft-tradelog: compactDeletes and optimizeFull are distinct " +
+        "maintenance rewrites — set one")
+    require(branch.isEmpty || !(truncateFirst || compactDeletes || optimizeFull),
+      "graft-tradelog: branch writes are plain appends — overwrite and " +
+        "maintenance rewrites target main only")
     new Write {
       override def toBatch: BatchWrite =
         if (compactDeletes) {
@@ -59,10 +80,19 @@ final class TradeLogWriteBuilder(path: String, info: LogicalWriteInfo)
               "(use TradeLogMaintenance.compactDeletes, which captures it)")
           new TradeLogCompactDeletesWrite(path, blockRows, xcols,
             expectDvFp.get)
-        } else new TradeLogBatchWrite(path, truncateFirst, blockRows, xcols)
+        } else if (optimizeFull) {
+          require(expectGen.isDefined,
+            "graft-tradelog optimizeFull requires expectGeneration " +
+              "(use TradeLogMaintenance.optimize, which captures it)")
+          new TradeLogOptimizeWrite(path, blockRows, xcols, expectGen.get)
+        } else new TradeLogBatchWrite(path, truncateFirst, blockRows, xcols,
+          branch)
       override def toStreaming: StreamingWrite = {
         require(!truncateFirst,
           "graft-tradelog streaming sink is append-only (no complete/update)")
+        require(branch.isEmpty,
+          "graft-tradelog streaming sink writes to main (the epoch replay " +
+            "guard lives in the head manifest) — branch is batch-only")
         new TradeLogStreamingWrite(path, info.queryId(), blockRows, xcols)
       }
       override def description(): String = s"GraftTradeLog write path=$path"
@@ -147,8 +177,8 @@ final class TradeLogStreamingWriterFactory(path: String, blockRows: Int,
 
 final class TradeLogBatchWrite(path: String,
     truncateFirst: Boolean, blockRows: Int,
-    xcols: Seq[org.apache.spark.sql.types.StructField] = Seq.empty)
-    extends BatchWrite {
+    xcols: Seq[org.apache.spark.sql.types.StructField] = Seq.empty,
+    branch: Option[String] = None) extends BatchWrite {
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo)
       : DataWriterFactory =
@@ -159,6 +189,17 @@ final class TradeLogBatchWrite(path: String,
     val (fs, root) = TradeLogFormat.fs(path)
     val fresh = messages.flatMap { case m: TradeLogCommit => m.blocks }
       .sortBy(b => (b.file, b.offset)).toIndexedSeq
+    if (branch.isDefined) {
+      // branch append (WAP staging): same spec shape as the main append,
+      // committed to the branch head; main is untouched until publish
+      TradeLogRefs.commitToBranch(path, branch.get) { prev =>
+        Some(TradeLogFormat.CommitSpec(
+          reuse = prev.shards, fresh = fresh,
+          epoch = prev.epoch, qid = prev.qid,
+          xcols = TradeLogFormat.mergeXcols(prev.xcols, xcols)))
+      }
+      return
+    }
     if (truncateFirst) {
       // overwrite: PUBLISH FIRST, then garbage-collect. The atomic
       // claim+rename pair is the commit point — a crash before it leaves
@@ -282,8 +323,95 @@ final class TradeLogCompactDeletesWrite(path: String, blockRows: Int,
             "concurrent delete moved the target; re-run the compaction")
         val keptFiles = keptResolved.map(_.file).toSet
         delisted.set(dropped.map(_.file).distinct.filterNot(keptFiles).toSeq)
+        // dataChange=false provenance: the fresh blocks RESTATE rows whose
+        // original blocks' seqs span [srcMin, srcMax] — a seq-watermark
+        // stream or changes-since diff positioned past the sources skips
+        // them instead of re-emitting every survivor (r18 advice, high;
+        // the offset-stability contract in TradeLogStream.scala)
+        val srcMin = dropped.map(_.seq).min
+        val srcMax = dropped.map(_.seq).max
         Some(TradeLogFormat.CommitSpec(reuse = reuse.toSeq,
-          rewrite = rewrite.toSeq, fresh = fresh,
+          rewrite = rewrite.toSeq,
+          fresh = fresh.map(_.copy(srcMinSeq = srcMin, srcMaxSeq = srcMax)),
+          epoch = prev.epoch, qid = prev.qid,
+          xcols = TradeLogFormat.mergeXcols(prev.xcols, xcols)))
+      }
+    }
+    if (committed.isEmpty) { abort(messages); return } // no-op: drop files
+    TradeLogFormat.journalDelisted(path, delisted.get(),
+      System.currentTimeMillis())
+    TradeLogFormat.vacuum(path, TradeLogFormat.dmlVacuumGraceMs())
+    ()
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    val (fs, root) = TradeLogFormat.fs(path)
+    messages.foreach {
+      case m: TradeLogCommit => m.blocks.map(_.file).distinct.foreach(f =>
+        fs.delete(new org.apache.hadoop.fs.Path(root, f), false))
+      case _ => ()
+    }
+  }
+}
+
+/** Whole-log OPTIMIZE commit (the rewrite half of
+  * [[TradeLogMaintenance.optimize]] — Iceberg rewrite_data_files, Delta
+  * OPTIMIZE [ZORDER]): the fresh blocks — the ENTIRE live content of the
+  * log, re-clustered and DV-masked by the paired head read — REPLACE
+  * every committed block as one new generation under the optimistic
+  * protocol, so history/time-travel spans the rewrite and post-optimize
+  * appends continue the sequence (r18 verdict #4; the prior shape
+  * overwrite-copied to a new path, orphaning the table's history).
+  *
+  * Conflict validation is generation-exact, re-checked inside every
+  * optimistic retry: the head generation must still be the one the
+  * paired read planned (`expectGeneration`). Coarser than compaction's
+  * DV fingerprint by design — OPTIMIZE reads the WHOLE log, so any
+  * interleaved commit (append, DELETE, DV write) invalidates the
+  * clustered rewrite; the Iceberg rewrite-data-files validation trade.
+  * Accumulated delete vectors FOLD into the rewrite (the masked read
+  * never emits masked rows, and the fresh blocks carry no DV) — OPTIMIZE
+  * over a DV'd log compacts and clusters in one commit (r18 verdict #5).
+  * Fresh blocks carry replace provenance over every dropped seq, so
+  * streams and changes-since diffs positioned past the sources skip the
+  * restatement (the same dataChange=false rule as compaction). Old data
+  * files journal for the graced vacuum, like every rewrite tier. */
+final class TradeLogOptimizeWrite(path: String, blockRows: Int,
+    xcols: Seq[org.apache.spark.sql.types.StructField],
+    expectGeneration: Long) extends BatchWrite {
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo)
+      : DataWriterFactory =
+    new TradeLogWriterFactory(path, blockRows,
+      xcols.map(_.dataType).toArray, HadoopConfBox.active())
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val fresh = messages.flatMap { case m: TradeLogCommit => m.blocks }
+      .sortBy(b => (b.file, b.offset)).toIndexedSeq
+    val delisted = new java.util.concurrent.atomic.AtomicReference[
+      Seq[String]](Seq.empty)
+    val committed = TradeLogFormat.commitManifest(path) { prevOpt =>
+      delisted.set(Seq.empty) // reset per optimistic retry
+      val prev = prevOpt.getOrElse(throw new IllegalStateException(
+        s"graft-tradelog $path lost its manifest during an OPTIMIZE"))
+      if (prev.gen != expectGeneration) throw new IllegalStateException(
+        s"graft-tradelog $path: a commit landed between this OPTIMIZE's " +
+          s"read (generation $expectGeneration) and its publish (head is " +
+          s"${prev.gen}) — the clustered rewrite is stale; re-run it")
+      val dropped = TradeLogFormat.resolveBlocks(path, prev)
+      if (dropped.isEmpty && fresh.isEmpty) None // empty log: no-op
+      else {
+        val live = dropped.map(_.liveRows.toLong).sum
+        val rewrote = fresh.map(_.nRows.toLong).sum
+        if (live != rewrote) throw new IllegalStateException(
+          s"graft-tradelog $path: OPTIMIZE rewrote $rewrote rows but the " +
+            s"head holds $live live rows — the paired read did not cover " +
+            "the log; aborting the rewrite")
+        delisted.set(dropped.map(_.file).distinct.toSeq)
+        val srcMin = dropped.map(_.seq).min
+        val srcMax = dropped.map(_.seq).max
+        Some(TradeLogFormat.CommitSpec(
+          fresh = fresh.map(_.copy(srcMinSeq = srcMin, srcMaxSeq = srcMax)),
           epoch = prev.epoch, qid = prev.qid,
           xcols = TradeLogFormat.mergeXcols(prev.xcols, xcols)))
       }
