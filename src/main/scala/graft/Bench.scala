@@ -24,6 +24,22 @@ object Bench {
       .split(" ")(0).toDouble
     catch { case _: Throwable => -1.0 }
 
+  /** Cumulative process CPU seconds (this JVM, all threads) — the delta
+    * around a timed run makes a contended line SELF-adjudicating
+    * (VERDICT r18 order sheet #3): external tenants inflate WALL time
+    * but not this process's CPU time, so a line whose wall time doubles
+    * while cpu_sec holds at its usual level was measured in a contended
+    * window, not regressed; a real plan regression inflates BOTH. -1.0
+    * when the bean is unavailable. */
+  private def cpuSec(): Double =
+    try java.lang.management.ManagementFactory.getOperatingSystemMXBean match {
+      case os: com.sun.management.OperatingSystemMXBean =>
+        val t = os.getProcessCpuTime
+        if (t < 0) -1.0 else t / 1e9
+      case _ => -1.0
+    }
+    catch { case _: Throwable => -1.0 }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -71,6 +87,10 @@ object Bench {
 
     val loadBefore = load1()
     val loads = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    // per-query process CPU seconds of the RECORDED timed run — wall vs
+    // cpu is the contention discriminator (see cpuSec)
+    val cpuByQuery =
+      scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val results = ordered.map { case (name, fn) =>
       isolate()
       loads(name) = load1()
@@ -82,25 +102,29 @@ object Bench {
       val warmSec = (System.nanoTime() - w0) / 1e9
       // the timed run is guarded too: one transient failure (OOM, FS
       // hiccup) records -1.0 for that query instead of losing the JSON line
-      def timed(): Double = {
+      def timed(): (Double, Double) = {
+        val c0 = cpuSec()
         val t0 = System.nanoTime()
         val ran = try { runOnce(fn); true }
         catch { case e: Throwable =>
           System.err.println(s"[bench] $name timed run failed: ${e.getMessage}"); false
         }
-        if (ran) (System.nanoTime() - t0) / 1e9 else -1.0
+        val c1 = cpuSec()
+        val cpu = if (c0 >= 0 && c1 >= 0) c1 - c0 else -1.0
+        if (ran) ((System.nanoTime() - t0) / 1e9, cpu) else (-1.0, -1.0)
       }
-      val sec1 = if (ok) timed() else -1.0
+      val (sec1, cpu1) = if (ok) timed() else (-1.0, -1.0)
       // bimodality guard: a warmed timed run that costs 2x its own warm-up
       // (which paid codegen + JIT on top of the same plan) was hit by an
       // environmental stall (GC pause / cleaner RPC storm), not the plan.
       // Re-isolate and take the min of two fully-executed runs.
-      val sec =
+      val (sec, cpu) =
         if (sec1 > 2.0 && sec1 > 2.0 * warmSec) {
           isolate()
-          val sec2 = timed()
-          if (sec2 >= 0) math.min(sec1, sec2) else sec1
-        } else sec1
+          val (sec2, cpu2) = timed()
+          if (sec2 >= 0 && sec2 < sec1) (sec2, cpu2) else (sec1, cpu1)
+        } else (sec1, cpu1)
+      cpuByQuery(name) = cpu
       name -> sec
     }
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
@@ -117,11 +141,17 @@ object Bench {
     // self-adjudication signal (compare against RepeatTimer medians)
     val loadDetail = loads.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    // per-query process CPU seconds of the recorded run: cpu ~= its usual
+    // level with wall inflated → contended window; both inflated → real
+    // regression (BASELINE.md "reading the bench detail")
+    val cpuDetail = cpuByQuery.map { case (k, v) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
     java.nio.file.Files.write(
       java.nio.file.Paths.get("BENCH_DETAIL.json"),
       (s"""{"metric":"total","value":$total,"unit":"sec",""" +
         s""""loadavg_before":$loadBefore,"loadavg_after":$loadAfter,""" +
-        s""""queries":$detail,"load1_at_start":$loadDetail,"sf":"$sfDir"}""")
+        s""""queries":$detail,"load1_at_start":$loadDetail,""" +
+        s""""cpu_sec":$cpuDetail,"sf":"$sfDir"}""")
         .getBytes("UTF-8"))
 
     // Compact stdout line: 2-decimal secs, most-expensive queries first,

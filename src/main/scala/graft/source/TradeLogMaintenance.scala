@@ -8,6 +8,9 @@ import org.apache.spark.sql.SparkSession
   *   - [[compactDeletes]] — fold accumulated merge-on-read delete
   *     vectors into rewritten blocks (Iceberg's rewrite_position_deletes
   *     + rewrite_data_files pair, Delta's PURGE).
+  *   - [[optimize]] — re-cluster the whole live content as one
+  *     history-preserving commit (Iceberg rewrite_data_files, Delta
+  *     OPTIMIZE [ZORDER]); DVs fold, time travel spans the rewrite.
   *   - [[restoreTo]] — roll the table back to a committed generation as
   *     a NEW commit (Iceberg rollback / Delta RESTORE): history is
   *     preserved, the restored state gets its own generation, and
@@ -53,6 +56,37 @@ object TradeLogMaintenance {
       .option("blockRows", blockRows)
       .save(dir)
     dvBlocks.size
+  }
+
+  /** OPTIMIZE — rewrite the table's ENTIRE live content into fresh
+    * clustered blocks as ONE history-preserving commit (Iceberg
+    * rewrite_data_files / Delta OPTIMIZE [ZORDER], r18 verdict #4): the
+    * read is the normal head scan (delete vectors mask at read time, so
+    * accumulated DVs FOLD into the rewrite — OPTIMIZE over a MoR log
+    * compacts and clusters in one pass, r18 verdict #5), `cluster`
+    * arranges the layout (z-order keys, range partitioning, sorts), and
+    * the commit replaces every block under the optimistic protocol with
+    * generation-exact conflict validation (see [[TradeLogOptimizeWrite]]).
+    * Time travel to pre-optimize generations keeps resolving within the
+    * DML retention grace; post-optimize appends continue the sequence;
+    * streams/changes-since skip the restatement via replace provenance.
+    * Returns the new head generation.
+    *
+    * 100 TB shape: a whole-log rewrite is the SMALL-table verb (serving
+    * indexes, dimension logs); a production archive runs it per
+    * day-partition on a maintenance cadence, exactly like compaction. */
+  def optimize(s: SparkSession, dir: String,
+      blockRows: Int = TradeLogFormat.DefaultBlockRows)(
+      cluster: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame)
+      : Long = {
+    val readGen = TradeLogFormat.readManifestHeader(dir).gen
+    cluster(s.read.format(FormatName).load(dir))
+      .write.format(FormatName).mode("append")
+      .option("optimizeFull", "true")
+      .option("expectGeneration", readGen)
+      .option("blockRows", blockRows)
+      .save(dir)
+    TradeLogFormat.readManifestHeader(dir).gen
   }
 
   /** RESTORE the table to generation `gen` as a new commit whose block

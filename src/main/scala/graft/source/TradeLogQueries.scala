@@ -1023,6 +1023,70 @@ object TradeLogQueries {
     path
   }
 
+  // ---- q_tradelog_merge_mor (MERGE-ON-READ MERGE INTO) ---------------------
+
+  /** MERGE INTO through the `SupportsDelta` lane (VERDICT r18 #2 — the
+    * Iceberg `write.merge.mode=merge-on-read` half): the IDENTICAL
+    * full-sync MERGE as q_tradelog_merge_sync, run on a `delmode=mor`
+    * table — matched UPDATE/DELETE rows (and the NOT-MATCHED-BY-SOURCE
+    * verbs) become delete-vector bits plus tail-appended new images,
+    * not-matched inserts are ordinary appends; ZERO data files are
+    * rewritten by the matched clauses (TradeLogMorSpec pins the .gtl set
+    * byte-identical plus fresh tail files). Same full-outer fold oracle
+    * as the COW twin: two write amplifications, one MERGE semantic. */
+  def tradelogMergeMor(s: SparkSession, dir: String): DataFrame =
+    s.read.format(FormatName).load(ensureMergeMorLog(s, dir))
+      .select(col("user_id"), col("value"))
+      .orderedBy("user_id")
+
+  def ensureMergeMorLog(s: SparkSession, dir: String): String = {
+    val path = s"${logPath(s, dir)}-mergemor"
+    val (fs, root) = TradeLogFormat.fs(path)
+    val done = new org.apache.hadoop.fs.Path(root, "_DML_DONE")
+    if (!fs.exists(done)) {
+      if (fs.exists(root)) fs.delete(root, true)
+      import org.apache.spark.sql.expressions.Window
+      val ev = Tables.events(s, dir)
+        .select(col("event_id"), col("ts"), col("user_id"),
+          col("event_type"), col("value"), col("props"))
+      val w = Window.partitionBy(col("user_id")).orderBy(col("event_id").desc)
+      ev.filter(pmod(col("event_id"), lit(5)) < 3)
+        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .drop("rn")
+        .repartitionByRange(4, col("user_id"))
+        .sortWithinPartitions("user_id")
+        .write.format(FormatName).mode("overwrite")
+        .option("blockRows", 64).save(path)
+      TradeLogFormat.setDeleteMode(path, "mor")
+      val cs = s.newSession()
+      cs.conf.set("spark.sql.catalog.graft_tlog",
+        classOf[TradeLogCatalog].getName)
+      Tables.events(cs, dir)
+        .select(col("event_id"), col("ts"), col("user_id"),
+          col("event_type"), col("value"), col("props"))
+        .filter(pmod(col("event_id"), lit(5)) >= 3)
+        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .drop("rn")
+        .withColumn("op",
+          when(pmod(col("event_id"), lit(7)) === 0, lit("D")).otherwise("U"))
+        .createOrReplaceTempView("graft_tlog_mor_chg")
+      cs.sql(
+        s"""MERGE INTO graft_tlog.`$path` t USING graft_tlog_mor_chg c
+           |ON t.user_id = c.user_id
+           |WHEN MATCHED AND c.op = 'D' THEN DELETE
+           |WHEN MATCHED THEN UPDATE SET value = c.value
+           |WHEN NOT MATCHED AND c.op <> 'D' THEN INSERT
+           |  (event_id, ts, user_id, event_type, value, props)
+           |  VALUES (c.event_id, c.ts, c.user_id, c.event_type, c.value,
+           |          c.props)
+           |WHEN NOT MATCHED BY SOURCE AND t.user_id % 2 = 0 THEN DELETE
+           |WHEN NOT MATCHED BY SOURCE THEN UPDATE SET value = -1
+           |""".stripMargin)
+      fs.create(done, true).close()
+    }
+    path
+  }
+
   /** The full-outer fold: both-sides rows follow the matched verbs,
     * source-only rows insert (unless D), target-only rows delete (even
     * user) or tombstone to -1 — exactly the SQL's clause set. */
@@ -1094,15 +1158,19 @@ object TradeLogQueries {
 
   // ---- q_tradelog_optimize_z (OPTIMIZE with Z-ORDER clustering) -----------
 
-  /** OPTIMIZE ZORDER (VERDICT r17 #5): the log rewritten clustered by the
-    * Morton interleave of (hour-of-corpus, user_id) —
-    * [[graft.core.Layout.zorderKey]] composed with the compaction verb —
-    * so per-block min/max ts AND user range/bloom BOTH stay tight and a
-    * 2-dimensional predicate (time slice × user) skips on both axes,
-    * where the ts-sorted layout only serves its leading column. The
-    * digest gate proves the rewrite byte-preserving (same oracle as
-    * q_tradelog_digest); TradeLogSpec measures the 2-D skip fraction
-    * z-order wins over the ts-sort on a user-dense synthetic log. */
+  /** OPTIMIZE ZORDER (VERDICT r17 #5, commit-shaped since r19 — VERDICT
+    * r18 #4): the log re-clustered IN PLACE by the Morton interleave of
+    * (hour-of-corpus, user_id) — [[graft.core.Layout.zorderKey]] driven
+    * through [[TradeLogMaintenance.optimize]]'s history-preserving
+    * replace commit (generation-exact conflict validation, replace
+    * provenance for streams, graced GC) — so per-block min/max ts AND
+    * user range/bloom BOTH stay tight and a 2-dimensional predicate
+    * (time slice × user) skips on both axes, where the ts-sorted layout
+    * only serves its leading column. The digest gate proves the rewrite
+    * byte-preserving (same oracle as q_tradelog_digest); TradeLogSpec
+    * measures the 2-D skip fraction z-order wins over the ts-sort and
+    * TradeLogLifecycleSpec pins the commit mechanics (time travel spans
+    * the OPTIMIZE, appends continue after it). */
   def tradelogOptimizeZ(s: SparkSession, dir: String): DataFrame =
     digestOver(s.read.format(FormatName).load(ensureZordered(s, dir)))
 
@@ -1110,26 +1178,108 @@ object TradeLogQueries {
     * z-key's time dimension (events testdata spans January 2024). */
   private val ZHourBase = 1704067200L / 3600L
 
+  /** The z-order clustering pass [[TradeLogMaintenance.optimize]] runs:
+    * Morton key → range partitions → local sort (one narrow exchange). */
+  def zorderCluster(log: DataFrame): DataFrame = {
+    val zkey = graft.core.Layout.zorderKey(
+      // hour index within the corpus (null ts → 0, its own leading
+      // cluster) × user id; both fit 16 bits at every sf
+      coalesce((unix_micros(col("ts")) / lit(3600000000L))
+        .cast("long") - lit(ZHourBase), lit(0L)),
+      pmod(coalesce(col("user_id"), lit(0L)), lit(65536L)))
+    log.withColumn("__z", zkey)
+      .repartitionByRange(4, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+  }
+
   def ensureZordered(s: SparkSession, dir: String): String = {
     val src = ensureLog(s, dir)
     val path = s"$src-zorder"
     val (fs, root) = TradeLogFormat.fs(path)
-    if (!fs.exists(new org.apache.hadoop.fs.Path(root,
-        TradeLogFormat.ManifestName))) {
-      val zkey = graft.core.Layout.zorderKey(
-        // hour index within the corpus (null ts → 0, its own leading
-        // cluster) × user id; both fit 16 bits at every sf
-        coalesce((unix_micros(col("ts")) / lit(3600000000L))
-          .cast("long") - lit(ZHourBase), lit(0L)),
-        pmod(coalesce(col("user_id"), lit(0L)), lit(65536L)))
+    val done = new org.apache.hadoop.fs.Path(root, "_OPTIMIZED")
+    if (!fs.exists(done)) {
+      if (fs.exists(root)) fs.delete(root, true)
+      // gen 1: the table as it lived before maintenance (ts-sorted copy);
+      // gen 2: OPTIMIZE ZORDER as a commit on the SAME path — history
+      // spans the rewrite instead of being orphaned at an old path
       s.read.format(FormatName).load(src)
-        .withColumn("__z", zkey)
-        .repartitionByRange(4, col("__z"))
-        .sortWithinPartitions("__z")
-        .drop("__z")
+        .repartitionByRange(8, col("ts")).sortWithinPartitions("ts")
         .write.format(FormatName).mode("overwrite")
-        .option("blockRows", 256)
-        .save(path)
+        .option("blockRows", 256).save(path)
+      val gen = TradeLogMaintenance.optimize(s, path, blockRows = 256)(
+        zorderCluster)
+      require(gen == 2L, s"optimize artifact expected generation 2, got $gen")
+      fs.create(done, true).close()
+    }
+    path
+  }
+
+  // ---- q_tradelog_optimize_mor (OPTIMIZE × DELETE VECTORS) -----------------
+
+  /** OPTIMIZE over a DV'd log (VERDICT r18 #5 — the Z-order × MoR
+    * composition): an independently built merge-on-read artifact (same
+    * two scattered DELETEs as q_tradelog_delete_mor) is re-clustered by
+    * [[TradeLogMaintenance.optimize]] — the masked head read feeds the
+    * z-ordered rewrite, so the accumulated vectors FOLD (no DV survives)
+    * while the survivors digest stays byte-identical to the SAME oracle
+    * as the masked read. One commit compacts and clusters. */
+  def tradelogOptimizeMor(s: SparkSession, dir: String): DataFrame =
+    digestOver(s.read.format(FormatName).load(ensureMorOptimized(s, dir)))
+
+  def ensureMorOptimized(s: SparkSession, dir: String): String = {
+    val path = buildMorDeleted(s, dir, "-morz")
+    val (fs, root) = TradeLogFormat.fs(path)
+    val done = new org.apache.hadoop.fs.Path(root, "_OPTIMIZED")
+    if (!fs.exists(done)) {
+      TradeLogMaintenance.optimize(s, path, blockRows = 256)(zorderCluster)
+      require(TradeLogFormat.readManifestRefs(path).totalDeletes == 0L,
+        "OPTIMIZE over a MoR log must fold every delete vector")
+      fs.create(done, true).close()
+    }
+    path
+  }
+
+  // ---- q_tradelog_branch (NAMED REFS / WRITE-AUDIT-PUBLISH) ----------------
+
+  /** Branch refs + WAP (VERDICT r18 #7): the even event_ids commit to
+    * MAIN (generation 1), a branch `audit` forks there, the odd half is
+    * STAGED onto the branch (`option("branch", "audit")` — a real
+    * distributed commit that leaves main untouched), and
+    * [[TradeLogRefs.publish]] fast-forwards main to the branch head as
+    * one re-referencing commit. The query reads THROUGH the ref
+    * (`option("ref", "audit")`) and its digest must equal the
+    * whole-table oracle — branch read ≡ the published state ≡ the sum of
+    * both halves. TradeLogLifecycleSpec pins the WAP mechanics: main
+    * serves only the evens pre-publish, a non-fast-forward publish fails
+    * loudly, tags stay immutable, vacuum spares staged files. */
+  def tradelogBranch(s: SparkSession, dir: String): DataFrame =
+    digestOver(s.read.format(FormatName)
+      .option("ref", "audit")
+      .load(ensureBranchLog(s, dir)))
+
+  def ensureBranchLog(s: SparkSession, dir: String): String = {
+    val path = s"${logPath(s, dir)}-branch"
+    val (fs, root) = TradeLogFormat.fs(path)
+    val done = new org.apache.hadoop.fs.Path(root, "_WAP_DONE")
+    if (!fs.exists(done)) {
+      if (fs.exists(root)) fs.delete(root, true)
+      val ev = Tables.events(s, dir)
+        .select(col("event_id"), col("ts"), col("user_id"),
+          col("event_type"), col("value"), col("props"))
+      ev.filter(col("event_id") % 2 === 0)
+        .write.format(FormatName).mode("overwrite")
+        .option("blockRows", 256).save(path)
+      TradeLogRefs.createBranch(path, "audit")
+      ev.filter(col("event_id") % 2 === 1)
+        .write.format(FormatName).mode("append")
+        .option("branch", "audit")
+        .option("blockRows", 256).save(path)
+      require(TradeLogFormat.readManifestHeader(path).gen == 1L,
+        "staging to a branch must leave main untouched")
+      val gen = TradeLogRefs.publish(path, "audit")
+      require(gen == 2L, s"WAP artifact expected generation 2, got $gen")
+      fs.create(done, true).close()
     }
     path
   }
@@ -1242,9 +1392,21 @@ object TradeLogQueries {
     // MERGE with NOT MATCHED BY SOURCE: the full-table-sync CDC verb
     "q_tradelog_merge_sync" -> QueryDef(tradelogMergeSync,
       Some(tradelogMergeSyncOracle)),
+    // MERGE-ON-READ MERGE INTO: the same full-sync MERGE through the
+    // SupportsDelta lane — DV bits + tail appends, zero matched rewrites
+    "q_tradelog_merge_mor" -> QueryDef(tradelogMergeMor,
+      Some(tradelogMergeSyncOracle)),
+    // OPTIMIZE over a DV'd log: masked read feeds the clustered rewrite,
+    // vectors fold, survivors digest preserved (z-order x MoR)
+    "q_tradelog_optimize_mor" -> QueryDef(tradelogOptimizeMor,
+      Some(tradelogDeleteMorOracle)),
     // SNAPSHOT RESTORE: rollback-as-new-commit serves the gen-1 digest
     "q_tradelog_restore" -> QueryDef(tradelogRestore,
       Some(digestOracleWhere("WHERE event_id % 2 = 0"))),
+    // NAMED REFS / WAP: stage to a branch, audit through the ref,
+    // fast-forward publish — the ref read serves the whole table
+    "q_tradelog_branch" -> QueryDef(tradelogBranch,
+      Some(tradelogDigestOracle)),
     // OPTIMIZE ZORDER: Morton-clustered rewrite preserves the digest
     "q_tradelog_optimize_z" -> QueryDef(tradelogOptimizeZ,
       Some(tradelogDigestOracle)),

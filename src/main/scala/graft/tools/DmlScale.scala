@@ -66,15 +66,23 @@ object DmlScale {
         fs.delete(root, true)
         ()
       }
+      // one FRESH log per timed tier: running the deletes sequentially
+      // against one log would time each later tier on a log the earlier
+      // deletes already shrank, biasing exactly the decade exponents this
+      // tool exists to measure (r18 advice)
       val (tBuild, logA) = timed(freshLog())
       val (tMeta, _) = timed(cs.sql(
         s"DELETE FROM tlog.`$logA` WHERE ts < TIMESTAMP '2024-01-05 00:00:00'"))
-      val (tSliv, _) = timed(cs.sql(
-        s"DELETE FROM tlog.`$logA` WHERE ts >= TIMESTAMP " +
-          "'2024-01-10 00:00:00' AND ts < TIMESTAMP '2024-01-10 00:00:30'"))
-      val (tCowScat, _) = timed(cs.sql(
-        s"DELETE FROM tlog.`$logA` WHERE event_id % 101 = 11"))
       rm(logA)
+      val logS = freshLog()
+      val (tSliv, _) = timed(cs.sql(
+        s"DELETE FROM tlog.`$logS` WHERE ts >= TIMESTAMP " +
+          "'2024-01-10 00:00:00' AND ts < TIMESTAMP '2024-01-10 00:00:30'"))
+      rm(logS)
+      val logC = freshLog()
+      val (tCowScat, _) = timed(cs.sql(
+        s"DELETE FROM tlog.`$logC` WHERE event_id % 101 = 11"))
+      rm(logC)
       val (_, logB) = timed(freshLog())
       TradeLogFormat.setDeleteMode(logB, "mor")
       val (tMorScat, _) = timed(cs.sql(
