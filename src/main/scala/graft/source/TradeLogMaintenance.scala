@@ -89,6 +89,37 @@ object TradeLogMaintenance {
     TradeLogFormat.readManifestHeader(dir).gen
   }
 
+  /** SCOPED OPTIMIZE — the per-partition maintenance shape a 100 TB
+    * archive actually schedules (Iceberg rewrite_data_files with a
+    * partition filter, Delta `OPTIMIZE WHERE`): rewrite ONLY the blocks
+    * whose known ts span sits fully inside [loUs, hiUs], leaving every
+    * other shard carried by reference. Read and commit share the exact
+    * containment rule (the `optimizeScope` read option plans precisely
+    * the blocks the commit replaces — a ts PREDICATE would residual-drop
+    * straddlers' out-of-range rows while the commit dropped their
+    * blocks). Straddling and unknown-span blocks stay in place,
+    * untouched. DVs inside the scope fold; outside they survive for a
+    * later pass. Conflict validation stays generation-exact — coarser
+    * than a per-scope token, conservatively correct (any interleaved
+    * commit re-runs the scoped pass). Returns the new head generation. */
+  def optimizeRange(s: SparkSession, dir: String, loUs: Long, hiUs: Long,
+      blockRows: Int = TradeLogFormat.DefaultBlockRows)(
+      cluster: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame)
+      : Long = {
+    require(loUs <= hiUs, s"optimizeRange needs loUs <= hiUs: $loUs > $hiUs")
+    val readGen = TradeLogFormat.readManifestHeader(dir).gen
+    val scoped = s.read.format(FormatName)
+      .option("optimizeScope", s"$loUs:$hiUs").load(dir)
+    cluster(scoped)
+      .write.format(FormatName).mode("append")
+      .option("optimizeFull", "true")
+      .option("optimizeScope", s"$loUs:$hiUs")
+      .option("expectGeneration", readGen)
+      .option("blockRows", blockRows)
+      .save(dir)
+    TradeLogFormat.readManifestHeader(dir).gen
+  }
+
   /** RESTORE the table to generation `gen` as a new commit whose block
     * set equals that generation's — the Iceberg rollback contract:
     * time travel to every generation (including the ones being rolled

@@ -332,6 +332,7 @@ final class TradeLogScanBuilder(path: String, tableSchema: StructType,
       !options.containsKey("asOfEpoch") &&
       !options.containsKey("changesSinceGeneration") &&
       !options.containsKey("onlyDeleted") &&
+      !options.containsKey("optimizeScope") &&
       !options.containsKey("ref") && // ref reads pin a snapshot manifest
       agg.aggregateExpressions.nonEmpty &&
       agg.aggregateExpressions.forall {
@@ -514,6 +515,35 @@ final class TradeLogScan(path: String, tableSchema: StructType,
     "graft-tradelog: onlyDeleted is a head-only maintenance read — it " +
       "cannot combine with time travel, ref, or changes-since options")
 
+  /** Maintenance read (`option("optimizeScope", "lo:hi")`, µs): plan
+    * ONLY blocks whose KNOWN ts span sits fully inside [lo, hi] — the
+    * read half of a scoped OPTIMIZE ([[TradeLogMaintenance
+    * .optimizeRange]]). Block-exact by construction: a ts PREDICATE
+    * would also read straddling blocks and then residual-drop their
+    * out-of-range rows, while the paired commit drops whole blocks —
+    * data loss; this option's containment rule and the commit's use the
+    * same span test, so the read covers exactly what the commit
+    * replaces. Head-only like onlyDeleted. */
+  private val optimizeScope: Option[(Long, Long)] =
+    Option(options.get("optimizeScope")).map { s =>
+      val a = s.split(":", 2)
+      require(a.length == 2, s"optimizeScope must be loUs:hiUs, got $s")
+      (a(0).toLong, a(1).toLong)
+    }
+  require(optimizeScope.isEmpty ||
+    (travelGen.isEmpty && changesSince.isEmpty && branchPin.isEmpty &&
+      !onlyDeleted),
+    "graft-tradelog: optimizeScope is a head-only maintenance read — it " +
+      "cannot combine with other read modes")
+
+  /** Fully-contained-in-scope test shared by the read and (via
+    * [[TradeLogOptimizeWrite]]) the commit: unknown spans never qualify
+    * — a block whose ts range is unknown cannot be proven inside. */
+  private def inScope(b: BlockMeta): Boolean = optimizeScope.forall {
+    case (lo, hi) =>
+      b.minTsUs != Long.MinValue && b.minTsUs >= lo && b.maxTsUs <= hi
+  }
+
   /** Shard-level planning: resolve ONLY the shards whose ts span / user
     * range intersects the pushed bounds — the two-level-manifest payoff
     * (a narrow time slice over a years-deep log reads a handful of shard
@@ -531,7 +561,8 @@ final class TradeLogScan(path: String, tableSchema: StructType,
       val sel = info.shards.filter(r =>
         r.intersectsTs(tsLo, tsHi) &&
           userIds.forall(ids => r.mightContainAnyUser(ids)) &&
-          (!onlyDeleted || r.nDel > 0L))
+          (!onlyDeleted || r.nDel > 0L) &&
+          optimizeScope.forall { case (lo, hi) => r.intersectsTs(lo, hi) })
       (sel.flatMap(TradeLogFormat.readShardBlocks(path, _)).sortBy(_.seq),
         sel.size, info.shards.size)
     }
@@ -616,7 +647,8 @@ final class TradeLogScan(path: String, tableSchema: StructType,
     allBlocks.filter(b =>
       (b.minTsUs == Long.MinValue || (b.minTsUs <= tsHi && b.maxTsUs >= tsLo))
         && userIds.forall(_.exists(b.mightContainUser))
-        && (!onlyDeleted || b.nDel > 0))
+        && (!onlyDeleted || b.nDel > 0)
+        && inScope(b))
 
   // ---- runtime (join-driven) filtering --------------------------------
   // The DPP surface: a broadcast join on user_id hands the build side's
@@ -758,11 +790,12 @@ final class TradeLogScan(path: String, tableSchema: StructType,
 
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream = {
     require(travelGen.isEmpty && changesSince.isEmpty && !onlyDeleted &&
-      branchPin.isEmpty && !options.containsKey("ref"),
+      optimizeScope.isEmpty && branchPin.isEmpty &&
+      !options.containsKey("ref"),
       "graft-tradelog: time travel (atGeneration/asOfEpoch/" +
-        "changesSinceGeneration), ref reads, and the onlyDeleted " +
-        "maintenance read are batch-only — a stream's offsets already " +
-        "pin its own position in the block sequence")
+        "changesSinceGeneration), ref reads, and the maintenance reads " +
+        "(onlyDeleted/optimizeScope) are batch-only — a stream's offsets " +
+        "already pin its own position in the block sequence")
     // the micro-batch reader materializes DATA ordinals only (`wanted`);
     // a resolved metadata column would silently misalign emitted rows
     // with the declared readSchema — fail cleanly instead (r17 advice)

@@ -1240,6 +1240,41 @@ object TradeLogQueries {
     path
   }
 
+  // ---- q_tradelog_optimize_scoped (PER-PARTITION OPTIMIZE) -----------------
+
+  /** SCOPED OPTIMIZE — the maintenance shape a 100 TB archive actually
+    * schedules (Iceberg rewrite_data_files with a partition filter /
+    * Delta `OPTIMIZE WHERE`): on an independently built MoR artifact
+    * (same scattered deletes), [[TradeLogMaintenance.optimizeRange]]
+    * re-clusters ONLY the blocks fully inside a mid-corpus week —
+    * O(scope) read/write/commit work, untouched day shards carried by
+    * reference, in-scope vectors folded, out-of-scope vectors left for a
+    * later pass. The whole-table digest must still equal the SAME
+    * survivors oracle as the masked read: a partial maintenance pass is
+    * observationally invisible. */
+  def tradelogOptimizeScoped(s: SparkSession, dir: String): DataFrame =
+    digestOver(s.read.format(FormatName).load(ensureMorScoped(s, dir)))
+
+  private def usOf(t: String): Long =
+    java.sql.Timestamp.valueOf(t).getTime * 1000L
+
+  def ensureMorScoped(s: SparkSession, dir: String): String = {
+    val path = buildMorDeleted(s, dir, "-mors")
+    val (fs, root) = TradeLogFormat.fs(path)
+    val done = new org.apache.hadoop.fs.Path(root, "_OPTIMIZED")
+    if (!fs.exists(done)) {
+      val before = TradeLogFormat.readManifestRefs(path).totalDeletes
+      TradeLogMaintenance.optimizeRange(s, path,
+        usOf("2024-01-08 00:00:00"), usOf("2024-01-18 00:00:00"),
+        blockRows = 256)(zorderCluster)
+      val after = TradeLogFormat.readManifestRefs(path).totalDeletes
+      require(after < before && after > 0L,
+        s"scoped optimize must fold in-scope vectors only ($before -> $after)")
+      fs.create(done, true).close()
+    }
+    path
+  }
+
   // ---- q_tradelog_branch (NAMED REFS / WRITE-AUDIT-PUBLISH) ----------------
 
   /** Branch refs + WAP (VERDICT r18 #7): the even event_ids commit to
@@ -1399,6 +1434,10 @@ object TradeLogQueries {
     // OPTIMIZE over a DV'd log: masked read feeds the clustered rewrite,
     // vectors fold, survivors digest preserved (z-order x MoR)
     "q_tradelog_optimize_mor" -> QueryDef(tradelogOptimizeMor,
+      Some(tradelogDeleteMorOracle)),
+    // SCOPED OPTIMIZE: one mid-corpus week re-clustered in place —
+    // per-partition maintenance, same survivors digest
+    "q_tradelog_optimize_scoped" -> QueryDef(tradelogOptimizeScoped,
       Some(tradelogDeleteMorOracle)),
     // SNAPSHOT RESTORE: rollback-as-new-commit serves the gen-1 digest
     "q_tradelog_restore" -> QueryDef(tradelogRestore,

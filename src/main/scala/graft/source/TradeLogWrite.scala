@@ -54,6 +54,16 @@ final class TradeLogWriteBuilder(path: String, info: LogicalWriteInfo)
     Option(info.options().get("optimizeFull")).exists(_.toBoolean)
   private val expectGen =
     Option(info.options().get("expectGeneration")).map(_.toLong)
+  // write option: the SCOPED variant ("loUs:hiUs") — replace only blocks
+  // whose known ts span sits fully inside the range (the per-partition
+  // maintenance shape a 100 TB archive actually schedules); must pair
+  // with the optimizeScope READ option carrying the same range
+  private val optScope: Option[(Long, Long)] =
+    Option(info.options().get("optimizeScope")).map { s =>
+      val a = s.split(":", 2)
+      require(a.length == 2, s"optimizeScope must be loUs:hiUs, got $s")
+      (a(0).toLong, a(1).toLong)
+    }
   // write option: commit this append to a named BRANCH head instead of
   // main (the WAP staging door — see TradeLogRefs); main is untouched
   // until TradeLogRefs.publish fast-forwards it
@@ -84,7 +94,8 @@ final class TradeLogWriteBuilder(path: String, info: LogicalWriteInfo)
           require(expectGen.isDefined,
             "graft-tradelog optimizeFull requires expectGeneration " +
               "(use TradeLogMaintenance.optimize, which captures it)")
-          new TradeLogOptimizeWrite(path, blockRows, xcols, expectGen.get)
+          new TradeLogOptimizeWrite(path, blockRows, xcols, expectGen.get,
+            optScope)
         } else new TradeLogBatchWrite(path, truncateFirst, blockRows, xcols,
           branch)
       override def toStreaming: StreamingWrite = {
@@ -378,12 +389,22 @@ final class TradeLogCompactDeletesWrite(path: String, blockRows: Int,
   * files journal for the graced vacuum, like every rewrite tier. */
 final class TradeLogOptimizeWrite(path: String, blockRows: Int,
     xcols: Seq[org.apache.spark.sql.types.StructField],
-    expectGeneration: Long) extends BatchWrite {
+    expectGeneration: Long,
+    scope: Option[(Long, Long)] = None) extends BatchWrite {
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo)
       : DataWriterFactory =
     new TradeLogWriterFactory(path, blockRows,
       xcols.map(_.dataType).toArray, HadoopConfBox.active())
+
+  /** The same fully-contained test as the paired `optimizeScope` read
+    * (unknown spans never qualify) — read and commit MUST agree on the
+    * replaced set or rows would be lost/duplicated. Unscoped = whole log. */
+  private def contained(b: BlockMeta): Boolean = scope match {
+    case None => true
+    case Some((lo, hi)) =>
+      b.minTsUs != Long.MinValue && b.minTsUs >= lo && b.maxTsUs <= hi
+  }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val fresh = messages.flatMap { case m: TradeLogCommit => m.blocks }
@@ -398,19 +419,43 @@ final class TradeLogOptimizeWrite(path: String, blockRows: Int,
         s"graft-tradelog $path: a commit landed between this OPTIMIZE's " +
           s"read (generation $expectGeneration) and its publish (head is " +
           s"${prev.gen}) — the clustered rewrite is stale; re-run it")
-      val dropped = TradeLogFormat.resolveBlocks(path, prev)
-      if (dropped.isEmpty && fresh.isEmpty) None // empty log: no-op
+      // O(scope-intersecting shards) commit work: untouched day shards
+      // carry forward by ref — the property that makes the scoped verb
+      // the schedulable per-partition maintenance shape at 100 TB
+      val reuse = scala.collection.mutable.ArrayBuffer.empty[
+        TradeLogFormat.ShardRef]
+      val rewrite = scala.collection.mutable.ArrayBuffer.empty[Seq[BlockMeta]]
+      val dropped = scala.collection.mutable.ArrayBuffer.empty[BlockMeta]
+      val keptResolved = scala.collection.mutable.ArrayBuffer.empty[BlockMeta]
+      def shardIntersects(r: TradeLogFormat.ShardRef): Boolean =
+        scope.forall { case (lo, hi) => r.intersectsTs(lo, hi) }
+      // commitManifest migrates a legacy flat head into day shards before
+      // update runs, so an empty `shards` here means an EMPTY log
+      prev.shards.foreach { r =>
+        if (!shardIntersects(r)) reuse += r
+        else {
+          val bs = TradeLogFormat.readShardBlocks(path, r)
+          val (drop, keep) = bs.partition(contained)
+          dropped ++= drop
+          keptResolved ++= keep
+          if (drop.isEmpty) reuse += r
+          else if (keep.nonEmpty) rewrite += keep
+        }
+      }
+      if (dropped.isEmpty && fresh.isEmpty) None // nothing in scope: no-op
       else {
         val live = dropped.map(_.liveRows.toLong).sum
         val rewrote = fresh.map(_.nRows.toLong).sum
         if (live != rewrote) throw new IllegalStateException(
           s"graft-tradelog $path: OPTIMIZE rewrote $rewrote rows but the " +
-            s"head holds $live live rows — the paired read did not cover " +
-            "the log; aborting the rewrite")
-        delisted.set(dropped.map(_.file).distinct.toSeq)
+            s"replaced blocks hold $live live rows — the paired read did " +
+            "not cover the scope; aborting the rewrite")
+        val keptFiles = keptResolved.map(_.file).toSet
+        delisted.set(dropped.map(_.file).distinct.filterNot(keptFiles).toSeq)
         val srcMin = dropped.map(_.seq).min
         val srcMax = dropped.map(_.seq).max
-        Some(TradeLogFormat.CommitSpec(
+        Some(TradeLogFormat.CommitSpec(reuse = reuse.toSeq,
+          rewrite = rewrite.toSeq,
           fresh = fresh.map(_.copy(srcMinSeq = srcMin, srcMaxSeq = srcMax)),
           epoch = prev.epoch, qid = prev.qid,
           xcols = TradeLogFormat.mergeXcols(prev.xcols, xcols)))

@@ -51,6 +51,11 @@ class TradeLogOptimizeSpec extends SparkTestBase {
       .write.format(Fmt).mode("overwrite")
       .option("blockRows", blockRows).save(dir)
 
+  private def dataFiles(dir: String): Set[String] = {
+    val (fs, root) = TradeLogFormat.fs(dir)
+    fs.listStatus(root).map(_.getPath.getName).filter(_.endsWith(".gtl")).toSet
+  }
+
   private def content(dir: String, opts: Map[String, String] = Map.empty)
       : Seq[String] = {
     val r = opts.foldLeft(spark.read.format(Fmt)) {
@@ -131,6 +136,70 @@ class TradeLogOptimizeSpec extends SparkTestBase {
     assert(TradeLogFormat.readManifestRefs(dir).totalDeletes == 0L,
       "no delete vector may survive an OPTIMIZE")
   }
+
+  test("SCOPED optimize rewrites only in-scope blocks; out-of-scope files untouched") {
+    val dir = tmpDir("scoped")
+    // three day files (range partitions), one block each
+    spark.createDataFrame(
+        spark.sparkContext.parallelize(
+          dayRows(1, 0) ++ dayRows(2, 10) ++ dayRows(3, 20), 1),
+        TradeLogFormat.schema)
+      .repartitionByRange(3, col("ts")).sortWithinPartitions("ts")
+      .write.format(Fmt).mode("overwrite").option("blockRows", 4).save(dir)
+    val before = content(dir)
+    val day2Blocks = TradeLogFormat.readManifest(dir)
+      .filter(b => b.minTsUs >= us("2024-01-02 00:00:00") &&
+        b.maxTsUs < us("2024-01-03 00:00:00"))
+    val day2Files = day2Blocks.map(_.file).toSet
+    val day2Seqs = day2Blocks.map(_.seq)
+    val otherFiles = dataFiles(dir) -- day2Files
+    // optimize ONLY day 2
+    val gen = TradeLogMaintenance.optimizeRange(spark, dir,
+      us("2024-01-02 00:00:00"), us("2024-01-03 00:00:00"), blockRows = 4)(
+      _.repartitionByRange(1, col("user_id"))
+        .sortWithinPartitions("user_id"))
+    assert(gen == 2L)
+    assert(content(dir) == before, "scoped optimize must preserve content")
+    // out-of-scope files untouched and still referenced; day-2's replaced
+    val after = dataFiles(dir)
+    assert(otherFiles.subsetOf(after),
+      "files outside the scope must survive untouched")
+    assert((after intersect day2Files).isEmpty,
+      "the scoped day's files must be rewritten (default grace reclaims)")
+    // replace provenance covers ONLY the scoped blocks' seq range
+    val rb = TradeLogFormat.readManifest(dir).filter(_.isReplace)
+    assert(rb.nonEmpty && rb.forall(b =>
+      b.srcMinSeq == day2Seqs.min && b.srcMaxSeq == day2Seqs.max),
+      s"the fold must span exactly day 2's seqs $day2Seqs: $rb")
+    // an empty scope is a no-op: no commit, generation unchanged
+    assert(TradeLogMaintenance.optimizeRange(spark, dir,
+      us("2025-01-01 00:00:00"), us("2025-02-01 00:00:00"), blockRows = 4)(
+      identity) == 2L)
+  }
+
+  test("SCOPED optimize folds in-scope DVs and leaves out-of-scope vectors for a later pass") {
+    val dir = tmpDir("scoped-dv")
+    spark.createDataFrame(
+        spark.sparkContext.parallelize(dayRows(1, 0) ++ dayRows(2, 10), 1),
+        TradeLogFormat.schema)
+      .repartitionByRange(2, col("ts")).sortWithinPartitions("ts")
+      .write.format(Fmt).mode("overwrite").option("blockRows", 4).save(dir)
+    TradeLogFormat.setDeleteMode(dir, "mor")
+    val s = dmlSession()
+    s.sql(s"DELETE FROM tlog.`$dir` WHERE user_id = 101") // one DV per day
+    val masked = content(dir)
+    TradeLogMaintenance.optimizeRange(spark, dir,
+      us("2024-01-02 00:00:00"), us("2024-01-03 00:00:00"), blockRows = 4)(
+      identity)
+    assert(content(dir) == masked)
+    val bs = TradeLogFormat.readManifest(dir)
+    assert(bs.filter(_.nDel > 0).map(_.minTsUs).forall(
+      _ < us("2024-01-02 00:00:00")),
+      s"day-1's vector survives for a later pass, day-2's folded: $bs")
+    assert(bs.map(_.nDel).sum == 1)
+  }
+
+  private def us(t: String): Long = ts(t).getTime * 1000L
 
   test("a resumed stream skips an OPTIMIZE's restatement") {
     val dir = tmpDir("stream") + "/log"
