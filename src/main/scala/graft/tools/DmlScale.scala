@@ -3,7 +3,7 @@ package graft.tools
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
-import graft.source.{TradeLogCatalog, TradeLogFormat}
+import graft.source.{TradeLogCatalog, TradeLogFormat, TradeLogMaintenance}
 
 /** Tradelog DML scaling measurement (VERDICT r17 #7): the manifest/DML
   * paths had plan-shape guarantees but no measured scale point. For each
@@ -23,6 +23,13 @@ import graft.source.{TradeLogCatalog, TradeLogFormat}
   *                 delete vectors, zero data-file writes (expected ~the
   *                 predicate SCAN cost alone — reads are irreducible,
   *                 writes are metadata)
+  *   optFull     — whole-log OPTIMIZE as a commit (expected ~linear —
+  *                 the rewrite IS the data size; the verb exists for
+  *                 small serving tables, not archives)
+  *   optScope    — ONE-DAY scoped OPTIMIZE (expected ~flat: O(scope)
+  *                 read/write + O(intersecting shards) commit — the
+  *                 per-partition maintenance shape that replaces optFull
+  *                 at archive scale)
   *   planRefs    — a head refs read (the O(#shards) planning cost)
   *
   * One timed run per tier per dir (these are order-of-magnitude decade
@@ -46,7 +53,7 @@ object DmlScale {
     cs.conf.set("spark.sql.catalog.tlog", classOf[TradeLogCatalog].getName)
     println(f"${"dir"}%-12s${"rows"}%10s${"build"}%9s${"delMeta"}%9s" +
       f"${"delCowSliv"}%11s${"delCowScat"}%11s${"delMorScat"}%11s" +
-      f"${"planRefs"}%9s${"shards"}%7s")
+      f"${"optFull"}%9s${"optScope"}%9s${"planRefs"}%9s${"shards"}%7s")
     dirs.foreach { dir =>
       val label = dir.split("/").last.split("_").take(2).mkString("_").take(12)
       val ev = Tables.events(spark, dir)
@@ -89,9 +96,22 @@ object DmlScale {
         s"DELETE FROM tlog.`$logB` WHERE event_id % 101 = 7"))
       val (tPlan, refs) = timed(TradeLogFormat.readManifestRefs(logB))
       rm(logB)
+      def tsCluster(df: org.apache.spark.sql.DataFrame) =
+        df.repartitionByRange(8, col("ts")).sortWithinPartitions("ts")
+      val logO = freshLog()
+      val (tOptFull, _) = timed(
+        TradeLogMaintenance.optimize(spark, logO, 1024)(tsCluster))
+      rm(logO)
+      val dayUs = 86400000000L
+      val jan10 = java.sql.Timestamp.valueOf("2024-01-10 00:00:00")
+        .getTime * 1000L
+      val logP = freshLog()
+      val (tOptScope, _) = timed(TradeLogMaintenance.optimizeRange(
+        spark, logP, jan10, jan10 + dayUs, 1024)(tsCluster))
+      rm(logP)
       println(f"$label%-12s$nRows%10d$tBuild%9.2f$tMeta%9.2f$tSliv%11.2f" +
-        f"$tCowScat%11.2f$tMorScat%11.2f${tPlan * 1000}%7.1fms" +
-        f"${refs.shards.size}%7d")
+        f"$tCowScat%11.2f$tMorScat%11.2f$tOptFull%9.2f$tOptScope%9.2f" +
+        f"${tPlan * 1000}%7.1fms${refs.shards.size}%7d")
     }
     spark.stop()
   }
