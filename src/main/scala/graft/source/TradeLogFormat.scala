@@ -395,12 +395,13 @@ object TradeLogFormat {
     require(names.distinct.length == names.length,
       s"graft-tradelog write schema has duplicate column names: " +
         s"${names.diff(names.distinct).distinct.mkString(", ")}")
-    // `_file`/`_boff`/`_brow` are the reader's METADATA columns (block
-    // provenance + the MoR row id): a data column of those names would be
-    // silently hijacked by the scan's metadata slots — reserved, like
-    // every lakehouse format's _-prefixed metadata namespace (r17 review
-    // finding; r18 added the row-id pair)
-    Seq("_file", "_boff", "_brow").foreach(m =>
+    // `_file`/`_boff`/`_brow`/`_change_type` are the reader's METADATA
+    // columns (block provenance, the MoR row id, the CDF verb): a data
+    // column of those names would be silently hijacked by the scan's
+    // metadata slots — reserved, like every lakehouse format's _-prefixed
+    // metadata namespace (r17 review finding; r18 added the row-id pair,
+    // r19 the change type)
+    Seq("_file", "_boff", "_brow", "_change_type").foreach(m =>
       require(!names.contains(m),
         s"graft-tradelog reserves the column name `$m` (metadata column)"))
     extra
@@ -952,7 +953,7 @@ object TradeLogFormat {
       require(names.distinct.length == names.length,
         s"graft-tradelog ADD COLUMNS duplicates existing columns: " +
           s"${names.diff(names.distinct).distinct.mkString(", ")}")
-      Seq("_file", "_boff", "_brow").foreach(m =>
+      Seq("_file", "_boff", "_brow", "_change_type").foreach(m =>
         require(!names.contains(m),
           s"graft-tradelog reserves the column name `$m` (metadata column)"))
       Some(CommitSpec(reuse = prev.shards, epoch = prev.epoch,

@@ -165,6 +165,15 @@ final class TradeLogTable(path: String,
       override def isNullable: Boolean = false
       override def comment(): String =
         "row ordinal within this row's block (the delete-vector bit)"
+    },
+    new MetadataColumn {
+      override def name(): String = "_change_type"
+      override def dataType(): org.apache.spark.sql.types.DataType =
+        org.apache.spark.sql.types.StringType
+      override def isNullable: Boolean = false
+      override def comment(): String =
+        "CDF verb of this row: insert, or delete on a " +
+          "withChangeTypes changes-since read (Delta _change_type)"
     })
 
   // ---- SQL row-level operations (see TradeLogRowLevel.scala) ----------
@@ -434,6 +443,7 @@ final class TradeLogScan(path: String, tableSchema: StructType,
     case "_file" => TradeLogScan.FileCol
     case "_boff" => TradeLogScan.BoffCol
     case "_brow" => TradeLogScan.BrowCol
+    case "_change_type" => TradeLogScan.ChangeCol
     case n => tableSchema.fieldIndex(n)
   }
 
@@ -498,6 +508,27 @@ final class TradeLogScan(path: String, tableSchema: StructType,
     Option(options.get("changesSinceGeneration")).map(_.toLong)
   require(changesSince.isEmpty || (travelGen.isEmpty && branchPin.isEmpty),
     "graft-tradelog: changesSinceGeneration cannot combine with a pinned read")
+
+  /** CDF DELETE ROWS (`option("withChangeTypes", true)` on a
+    * changes-since read — the Delta readChangeFeed verb): besides the
+    * additions ('insert'), emit every row whose DELETE-VECTOR bit was
+    * set since the sync point as a 'delete' row (`_change_type`
+    * metadata column). Exact for the MoR tier by construction: a DV
+    * change rewrites the block's manifest shard, so both versions of
+    * the block resolve in the diff and the delta mask (new & ~old) IS
+    * the deleted-row set; a MoR UPDATE surfaces as delete + insert
+    * (the Delta pre/post-image pair collapsed). Boundary, documented:
+    * whole-BLOCK removals (metadata-tier/COW deletes, retention purges,
+    * fully-masked MoR blocks) follow the existing restatement contract
+    * — the log keeps no tombstones for them; and a compaction that
+    * folded PRE-sync content destroys the delta, so withChangeTypes
+    * REFUSES such folds loudly instead of under-reporting (sync before
+    * compacting, the Delta CDF-retention rule re-expressed). */
+  private val withChangeTypes: Boolean =
+    Option(options.get("withChangeTypes")).exists(_.toBoolean)
+  require(!withChangeTypes || changesSince.isDefined,
+    "graft-tradelog: withChangeTypes qualifies a changes-since read — " +
+      "set changesSinceGeneration")
 
   /** Maintenance read (`option("onlyDeleted", true)`): plan ONLY blocks
     * carrying a delete vector — what [[TradeLogMaintenance
@@ -579,6 +610,17 @@ final class TradeLogScan(path: String, tableSchema: StructType,
       : Seq[BlockMeta] =
     bs.filter { b =>
       if (!b.isReplace) true
+      else if (withChangeTypes && b.srcMinSeq <= baseMax)
+        // the fold rewrote pre-sync content, destroying any DV deltas it
+        // carried — a plain diff may legally skip it (restatement), but a
+        // DELETE-tracKING read would silently under-report; refuse
+        throw new IllegalStateException(
+          s"graft-tradelog $path: block ${b.file}@${b.offset} was written " +
+            s"by a replace commit folding seqs [${b.srcMinSeq}," +
+            s"${b.srcMaxSeq}] at or before the sync point ($baseMax) — " +
+            "delete tracking across a fold of pre-sync content is not " +
+            "answerable; consume changes before compacting/optimizing, " +
+            "or re-sync from the current head")
       else if (b.srcMaxSeq <= baseMax) false
       else if (b.srcMinSeq > baseMax) true
       else throw new IllegalStateException(
@@ -589,38 +631,84 @@ final class TradeLogScan(path: String, tableSchema: StructType,
           "from the current head")
     }
 
+  /** The delete-rows half of a withChangeTypes diff: for a block present
+    * on BOTH sides of the sync point with a changed delete vector,
+    * synthesize a read of EXACTLY the newly-masked ordinals — the block
+    * meta re-masked so the reader (which skips set bits) emits the
+    * delta and nothing else. None when the vector is unchanged. */
+  private def dvDeltaBlock(head: BlockMeta, base: BlockMeta)
+      : Option[BlockMeta] = {
+    if (head.dvHex == base.dvHex) return None
+    val nw = (head.nRows + 63) >>> 6
+    val newDv = TradeLogFormat.dvWords(head.dvHex)
+    val oldDv = TradeLogFormat.dvWords(base.dvHex)
+    def word(a: Array[Long], i: Int): Long =
+      if (a == null || i >= a.length) 0L else a(i)
+    var delta = 0
+    val mask = new Array[Long](nw)
+    var i = 0
+    while (i < nw) {
+      var d = word(newDv, i) & ~word(oldDv, i)
+      if (i == nw - 1 && (head.nRows & 63) != 0)
+        d &= (1L << (head.nRows & 63)) - 1 // ignore stray beyond-nRows bits
+      delta += java.lang.Long.bitCount(d)
+      // emit-mask: every ordinal NOT in the delta is masked out (bits
+      // beyond nRows left clear — the reader never consults them and
+      // nDel must equal nRows - |delta| for liveRows)
+      mask(i) = ~d
+      if (i == nw - 1 && (head.nRows & 63) != 0)
+        mask(i) &= (1L << (head.nRows & 63)) - 1
+      i += 1
+    }
+    if (delta == 0) None
+    else Some(head.copy(dvHex = TradeLogFormat.dvHexOf(mask),
+      nDel = head.nRows - delta))
+  }
+
+  /** The changes-since diff: (additions, DV-delta delete blocks). The
+    * second element is empty unless withChangeTypes. Incremental diff at
+    * SHARD granularity: shard files are immutable and carried by ref, so
+    * shared refs contribute no candidates — only shards added (or
+    * rewritten) after the sync point resolve, and only sync-point shards
+    * the head dropped resolve for identity subtraction / DV-delta
+    * pairing. Legacy flat manifests on either side fall back to the full
+    * identity diff. */
+  private lazy val changesPlan: (Seq[BlockMeta], Seq[BlockMeta]) =
+    changesSince match {
+      case None => (Seq.empty, Seq.empty)
+      case Some(n) =>
+        val headI = TradeLogFormat.readManifestRefs(path)
+        val snapI = TradeLogFormat.readManifestInfoAt(path, n, refsOnly = true)
+        val (headCand, basePool, baseMax) =
+          if (headI.shards.isEmpty || snapI.shards.isEmpty) {
+            val baseBlocks = TradeLogFormat.resolveBlocks(path, snapI)
+            (TradeLogFormat.resolveBlocks(path, headI), baseBlocks,
+              math.max(snapI.maxSeq,
+                baseBlocks.foldLeft(-1L)((a, b) => math.max(a, b.seq))))
+          } else {
+            val snapFiles = snapI.shards.map(_.file).toSet
+            val headFiles = headI.shards.map(_.file).toSet
+            (headI.shards.filterNot(r => snapFiles(r.file))
+              .flatMap(TradeLogFormat.readShardBlocks(path, _)),
+              snapI.shards.filterNot(r => headFiles(r.file))
+                .flatMap(TradeLogFormat.readShardBlocks(path, _)),
+              math.max(snapI.maxSeq,
+                snapI.shards.foldLeft(-1L)((a, r) => math.max(a, r.maxSeq))))
+          }
+        val baseByKey = basePool.map(b => (b.file, b.offset) -> b).toMap
+        val additions = dropConsumedReplacements(
+          headCand.filterNot(b => baseByKey.contains((b.file, b.offset))),
+          baseMax).sortBy(_.seq)
+        val deletes =
+          if (!withChangeTypes) Seq.empty
+          else headCand.flatMap(b =>
+            baseByKey.get((b.file, b.offset)).flatMap(dvDeltaBlock(b, _)))
+            .sortBy(_.seq)
+        (additions, deletes)
+    }
+
   private lazy val shardPlan: (Seq[BlockMeta], Int, Int) = changesSince match {
-    case Some(n) =>
-      // incremental diff at SHARD granularity: shard files are immutable
-      // and carried by ref, so shared refs contribute no candidates —
-      // only shards added (or rewritten) after the sync point resolve,
-      // and only sync-point shards the head dropped resolve for identity
-      // subtraction. Legacy flat manifests on either side fall back to
-      // the full identity diff.
-      val headI = TradeLogFormat.readManifestRefs(path)
-      val snapI = TradeLogFormat.readManifestInfoAt(path, n, refsOnly = true)
-      if (headI.shards.isEmpty || snapI.shards.isEmpty) {
-        val baseBlocks = TradeLogFormat.resolveBlocks(path, snapI)
-        val base = baseBlocks.map(b => (b.file, b.offset)).toSet
-        val baseMax = math.max(snapI.maxSeq,
-          baseBlocks.foldLeft(-1L)((a, b) => math.max(a, b.seq)))
-        (dropConsumedReplacements(
-          TradeLogFormat.resolveBlocks(path, headI)
-            .filterNot(b => base((b.file, b.offset))), baseMax), -1, -1)
-      } else {
-        val snapFiles = snapI.shards.map(_.file).toSet
-        val headFiles = headI.shards.map(_.file).toSet
-        val baseMax = math.max(snapI.maxSeq,
-          snapI.shards.foldLeft(-1L)((a, r) => math.max(a, r.maxSeq)))
-        val candidates = headI.shards.filterNot(r => snapFiles(r.file))
-          .flatMap(TradeLogFormat.readShardBlocks(path, _))
-        val baseOnly = snapI.shards.filterNot(r => headFiles(r.file))
-          .flatMap(TradeLogFormat.readShardBlocks(path, _))
-          .map(b => (b.file, b.offset)).toSet
-        (dropConsumedReplacements(
-          candidates.filterNot(b => baseOnly((b.file, b.offset))),
-          baseMax).sortBy(_.seq), -1, -1)
-      }
+    case Some(_) => (changesPlan._1, -1, -1)
     case None =>
       pruneShards(branchPin match {
         case Some((name, bg)) =>
@@ -643,12 +731,20 @@ final class TradeLogScan(path: String, tableSchema: StructType,
     * minTs of Long.MinValue encodes "unknown") or its user_id bloom
     * provably misses every requested id (legacy bloom-less blocks always
     * survive). */
+  private def passesSkips(b: BlockMeta): Boolean =
+    (b.minTsUs == Long.MinValue || (b.minTsUs <= tsHi && b.maxTsUs >= tsLo)) &&
+      userIds.forall(_.exists(b.mightContainUser)) &&
+      (!onlyDeleted || b.nDel > 0) &&
+      inScope(b)
+
   private[source] lazy val selectedBlocks: Seq[BlockMeta] =
-    allBlocks.filter(b =>
-      (b.minTsUs == Long.MinValue || (b.minTsUs <= tsHi && b.maxTsUs >= tsLo))
-        && userIds.forall(_.exists(b.mightContainUser))
-        && (!onlyDeleted || b.nDel > 0)
-        && inScope(b))
+    allBlocks.filter(passesSkips)
+
+  /** withChangeTypes delete-rows blocks after the same advisory skips
+    * (their spans/blooms describe the original rows, so pushed ts/user
+    * bounds prune them identically; residuals re-apply exactly). */
+  private[source] lazy val deleteEmitBlocks: Seq[BlockMeta] =
+    changesPlan._2.filter(passesSkips)
 
   // ---- runtime (join-driven) filtering --------------------------------
   // The DPP surface: a broadcast join on user_id hands the build side's
@@ -744,9 +840,11 @@ final class TradeLogScan(path: String, tableSchema: StructType,
     * shuffle join on an unknown-size custom source. */
   override def estimateStatistics(): Statistics = new Statistics {
     override def sizeInBytes(): java.util.OptionalLong =
-      java.util.OptionalLong.of(selectedBlocks.map(_.payloadLen.toLong).sum)
+      java.util.OptionalLong.of(
+        (selectedBlocks ++ deleteEmitBlocks).map(_.payloadLen.toLong).sum)
     override def numRows(): java.util.OptionalLong =
-      java.util.OptionalLong.of(selectedBlocks.map(_.liveRows.toLong).sum)
+      java.util.OptionalLong.of(
+        (selectedBlocks ++ deleteEmitBlocks).map(_.liveRows.toLong).sum)
   }
 
   override def description(): String = {
@@ -760,7 +858,8 @@ final class TradeLogScan(path: String, tableSchema: StructType,
     // plan audit can tell a pinned or incremental read from a head read
     val travel = travelGen.map(g => s", AtGeneration=$g").getOrElse("") +
       branchPin.map { case (n, g) => s", AtRef=$n@$g" }.getOrElse("") +
-      changesSince.map(n => s", ChangesSinceGeneration=$n").getOrElse("")
+      changesSince.map(n => s", ChangesSinceGeneration=$n").getOrElse("") +
+      (if (withChangeTypes) ", WithChangeTypes" else "")
     val shards =
       if (shardsTotal > 0) s", shards=$shardsRead/$shardsTotal" else ""
     s"GraftTradeLog path=$path, ReadSchema=${required.simpleString}, " +
@@ -779,10 +878,15 @@ final class TradeLogScan(path: String, tableSchema: StructType,
       val eff = effectiveBlocks
       plannedBlocks = eff
       // one partition per data file (its surviving blocks read
-      // sequentially): parallelism == layout, the file-source shape
-      eff.groupBy(_.file).toSeq.sortBy(_._1).map {
+      // sequentially): parallelism == layout, the file-source shape.
+      // withChangeTypes adds per-file DELETE-rows partitions (the DV
+      // delta re-masked to emit exactly the newly-deleted ordinals).
+      (eff.groupBy(_.file).toSeq.sortBy(_._1).map {
         case (_, blocks) => TradeLogPartition(path, blocks.sortBy(_.offset))
-      }.toArray
+      } ++ deleteEmitBlocks.groupBy(_.file).toSeq.sortBy(_._1).map {
+        case (_, blocks) => TradeLogPartition(path, blocks.sortBy(_.offset),
+          changeType = "delete")
+      }).toArray
     }
     override def createReaderFactory(): PartitionReaderFactory =
       new TradeLogReaderFactory(outCols, xtypes, HadoopConfBox.active())
@@ -821,11 +925,14 @@ object TradeLogScan {
   val FileCol: Int = -1
   val BoffCol: Int = -2
   val BrowCol: Int = -3
+  val ChangeCol: Int = -4
 }
 
-/** One read split: a run of blocks within one data file. */
-final case class TradeLogPartition(dir: String, blocks: Seq[BlockMeta])
-    extends InputPartition
+/** One read split: a run of blocks within one data file. `changeType`
+  * fills the `_change_type` metadata slot ("insert" everywhere except a
+  * withChangeTypes diff's delete-rows partitions). */
+final case class TradeLogPartition(dir: String, blocks: Seq[BlockMeta],
+    changeType: String = "insert") extends InputPartition
 
 final class TradeLogReaderFactory(outCols: Array[Int],
     xtypes: Array[org.apache.spark.sql.types.DataType],
@@ -833,7 +940,8 @@ final class TradeLogReaderFactory(outCols: Array[Int],
   override def createReader(partition: InputPartition)
       : PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[TradeLogPartition]
-    new TradeLogPartitionReader(p.dir, p.blocks, outCols, xtypes, confBox)
+    new TradeLogPartitionReader(p.dir, p.blocks, outCols, xtypes, confBox,
+      p.changeType)
   }
 }
 
@@ -850,10 +958,13 @@ final class TradeLogReaderFactory(outCols: Array[Int],
 final class TradeLogPartitionReader(dir: String, blocks: Seq[BlockMeta],
     outCols: Array[Int],
     xtypes: Array[org.apache.spark.sql.types.DataType] = Array.empty,
-    confBox: HadoopConfBox = HadoopConfBox.active())
+    confBox: HadoopConfBox = HadoopConfBox.active(),
+    changeType: String = "insert")
     extends PartitionReader[InternalRow] {
   private val wanted: Array[Int] = outCols.filter(_ >= 0)
   private val hasMeta: Boolean = wanted.length != outCols.length
+  private val changeU8 =
+    org.apache.spark.unsafe.types.UTF8String.fromString(changeType)
   private val (filesystem, root) = TradeLogFormat.fs(dir, confBox.conf)
   private val blockIt = blocks.iterator
   private var rows: Iterator[InternalRow] = Iterator.empty
@@ -888,6 +999,7 @@ final class TradeLogPartitionReader(dir: String, blocks: Seq[BlockMeta],
             out(i) = java.lang.Long.valueOf(b.offset)
           case TradeLogScan.BrowCol =>
             out(i) = java.lang.Integer.valueOf(rowIdx)
+          case TradeLogScan.ChangeCol => out(i) = changeU8
           case _ => out(i) = data(di); di += 1
         }
         i += 1

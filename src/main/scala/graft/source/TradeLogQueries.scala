@@ -1275,6 +1275,103 @@ object TradeLogQueries {
     path
   }
 
+  // ---- q_tradelog_cdf (CHANGE DATA FEED WITH DELETE ROWS) ------------------
+
+  /** Changes-since with DELETE TRACKING (the Delta readChangeFeed verb,
+    * r19): over an artifact whose base generation holds the even
+    * event_ids, the odd half is appended and `user_id = 11` is
+    * MoR-deleted across BOTH halves; the `withChangeTypes` diff must
+    * emit exactly (a) the surviving odd rows as `_change_type='insert'`
+    * and (b) the even rows of user 11 as `'delete'` — the DV delta read
+    * back from the original blocks, no tombstone rows stored anywhere.
+    * Rows both inserted AND deleted since the sync point (odd user-11
+    * rows) net to NOTHING, the CDF collapse rule. Digest grouped by
+    * (change_type, event_type) against the declarative two-branch
+    * oracle. */
+  def tradelogCdf(s: SparkSession, dir: String): DataFrame = {
+    val log = s.read.format(FormatName)
+      .option("changesSinceGeneration", 1)
+      .option("withChangeTypes", "true")
+      .load(ensureCdfLog(s, dir))
+      .select(col("_change_type").as("change_type"), col("event_id"),
+        col("ts"), col("user_id"), col("event_type"), col("value"),
+        col("props"))
+    val repr = concat_ws("#",
+      col("change_type"), col("event_id"), unix_micros(col("ts")),
+      col("user_id"), col("event_type"),
+      round(col("value") * 100).cast("long"), col("props"))
+    val h32 = conv(substring(md5(repr.cast("binary")), 1, 8), 16, 10)
+      .cast("long")
+    log.groupBy(col("change_type"), col("event_type")).agg(
+        count(lit(1)).as("n"),
+        sum(shiftright(h32, 16)).as("hi"),
+        sum(h32.bitwiseAND(lit(0xffffL))).as("lo"))
+      .select(col("change_type"), col("event_type"), col("n"),
+        (col("hi").cast("decimal(38,0)") * lit(65536) + col("lo"))
+          .cast("string").as("digest"))
+      .orderedBy("change_type", "event_type")
+  }
+
+  def ensureCdfLog(s: SparkSession, dir: String): String = {
+    val path = s"${logPath(s, dir)}-cdf"
+    val (fs, root) = TradeLogFormat.fs(path)
+    val done = new org.apache.hadoop.fs.Path(root, "_DML_DONE")
+    if (!fs.exists(done)) {
+      if (fs.exists(root)) fs.delete(root, true)
+      val ev = Tables.events(s, dir)
+        .select(col("event_id"), col("ts"), col("user_id"),
+          col("event_type"), col("value"), col("props"))
+      ev.filter(col("event_id") % 2 === 0)
+        .repartitionByRange(8, col("ts")).sortWithinPartitions("ts")
+        .write.format(FormatName).mode("overwrite")
+        .option("blockRows", 256).save(path) // gen 1 = the sync point
+      TradeLogFormat.setDeleteMode(path, "mor")
+      ev.filter(col("event_id") % 2 === 1)
+        .repartitionByRange(8, col("ts")).sortWithinPartitions("ts")
+        .write.format(FormatName).mode("append")
+        .option("blockRows", 256).save(path)
+      val cs = s.newSession()
+      cs.conf.set("spark.sql.catalog.graft_tlog",
+        classOf[TradeLogCatalog].getName)
+      cs.sql(s"DELETE FROM graft_tlog.`$path` WHERE user_id = $MorUser")
+      fs.create(done, true).close()
+    }
+    path
+  }
+
+  /** The two CDF branches, declaratively: inserts = post-sync additions
+    * minus their own deletions (the collapse rule); deletes = pre-sync
+    * rows the DV delta masked. */
+  private val tradelogCdfOracle: String = {
+    val hv = OracleSql.hexPrefixToLong("h8")
+    s"""WITH chg AS (
+       |  SELECT 'insert' AS change_type, event_id, ts, user_id,
+       |         event_type, value, props
+       |  FROM events
+       |  WHERE event_id % 2 = 1 AND (user_id <> $MorUser OR user_id IS NULL)
+       |  UNION ALL
+       |  SELECT 'delete', event_id, ts, user_id, event_type, value, props
+       |  FROM events WHERE event_id % 2 = 0 AND user_id = $MorUser),
+       |r AS (
+       |  SELECT change_type, event_type,
+       |         change_type || '#' ||
+       |         CAST(event_id AS VARCHAR) || '#' ||
+       |         CAST(epoch_us(ts) AS VARCHAR) || '#' ||
+       |         CAST(user_id AS VARCHAR) || '#' ||
+       |         event_type || '#' ||
+       |         CAST(CAST(round(value * 100) AS BIGINT) AS VARCHAR) || '#' ||
+       |         props AS repr
+       |  FROM chg),
+       |h AS (SELECT change_type, event_type, substr(md5(repr), 1, 8) AS h8
+       |      FROM r),
+       |l AS (SELECT change_type, event_type, $hv AS hv FROM h)
+       |SELECT change_type, event_type, count(*) AS n,
+       |       CAST(CAST(sum(hv // 65536) AS DECIMAL(38,0)) * 65536
+       |            + CAST(sum(hv % 65536) AS DECIMAL(38,0)) AS VARCHAR) AS digest
+       |FROM l GROUP BY change_type, event_type
+       |ORDER BY change_type, event_type""".stripMargin
+  }
+
   // ---- q_tradelog_branch (NAMED REFS / WRITE-AUDIT-PUBLISH) ----------------
 
   /** Branch refs + WAP (VERDICT r18 #7): the even event_ids commit to
@@ -1446,6 +1543,9 @@ object TradeLogQueries {
     // fast-forward publish — the ref read serves the whole table
     "q_tradelog_branch" -> QueryDef(tradelogBranch,
       Some(tradelogDigestOracle)),
+    // CDF with delete rows: DV deltas read back as _change_type='delete',
+    // post-sync additions as 'insert', insert+delete collapsing to nothing
+    "q_tradelog_cdf" -> QueryDef(tradelogCdf, Some(tradelogCdfOracle)),
     // OPTIMIZE ZORDER: Morton-clustered rewrite preserves the digest
     "q_tradelog_optimize_z" -> QueryDef(tradelogOptimizeZ,
       Some(tradelogDigestOracle)),

@@ -603,6 +603,71 @@ class TradeLogMorSpec extends SparkTestBase {
     Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
       .map(m => Option(m.getMessage).getOrElse("")).toSeq
 
+  test("CDF delete rows: DV deltas as 'delete', additions as 'insert', collapse, second sync") {
+    val dir = tmpDir("cdf")
+    // gen 1 (the first sync point): day 1
+    spark.createDataFrame(
+        spark.sparkContext.parallelize(dayRows(1, 0), 1),
+        TradeLogFormat.schema)
+      .write.format(Fmt).mode("overwrite").option("blockRows", 4).save(dir)
+    TradeLogFormat.setDeleteMode(dir, "mor") // gen 2
+    spark.createDataFrame(
+        spark.sparkContext.parallelize(dayRows(2, 10), 1),
+        TradeLogFormat.schema)
+      .write.format(Fmt).mode("append").option("blockRows", 4).save(dir) // 3
+    val s = dmlSession()
+    s.sql(s"DELETE FROM ${sqlTable(dir)} WHERE user_id = 101") // gen 4
+    def changes(since: Long, wct: Boolean): Seq[(String, Long)] =
+      spark.read.format(Fmt).option("changesSinceGeneration", since)
+        .option("withChangeTypes", wct).load(dir)
+        .select(col("_change_type"), col("event_id")).collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSeq.sorted
+    // since gen 1: day-2 survivors insert; day-1's masked row deletes;
+    // the inserted-then-deleted day-2 row (event 11) NETS TO NOTHING
+    assert(changes(1L, wct = true) == Seq(("delete", 1L), ("insert", 10L),
+      ("insert", 12L), ("insert", 13L)))
+    // since gen 3 (post-append): no additions, both halves' masked rows
+    // are pure deletes
+    assert(changes(3L, wct = true) == Seq(("delete", 1L), ("delete", 11L)))
+    // without the flag the same sync points serve additions only —
+    // unchanged contract
+    assert(changes(3L, wct = false).isEmpty)
+    // a SECOND delete and a sync between the two: only the NEW delta
+    s.sql(s"DELETE FROM ${sqlTable(dir)} WHERE user_id = 102") // gen 5
+    assert(changes(4L, wct = true) == Seq(("delete", 2L), ("delete", 12L)))
+    // the metadata column on a NORMAL read is constant 'insert'
+    val normal = spark.read.format(Fmt).load(dir)
+      .select(col("_change_type")).distinct().collect().map(_.getString(0))
+    assert(normal.toSeq == Seq("insert"))
+  }
+
+  test("CDF delete tracking refuses a fold of pre-sync content") {
+    val dir = tmpDir("cdf-fold")
+    spark.createDataFrame(
+        spark.sparkContext.parallelize(dayRows(1, 0), 1),
+        TradeLogFormat.schema)
+      .write.format(Fmt).mode("overwrite").option("blockRows", 4).save(dir)
+    TradeLogFormat.setDeleteMode(dir, "mor")
+    spark.createDataFrame(
+        spark.sparkContext.parallelize(dayRows(2, 10), 1),
+        TradeLogFormat.schema)
+      .write.format(Fmt).mode("append").option("blockRows", 4).save(dir) // 3
+    val s = dmlSession()
+    s.sql(s"DELETE FROM ${sqlTable(dir)} WHERE user_id = 101")
+    TradeLogMaintenance.compactDeletes(spark, dir, blockRows = 4)
+    def read(wct: Boolean) =
+      spark.read.format(Fmt).option("changesSinceGeneration", 3)
+        .option("withChangeTypes", wct).load(dir)
+        .select("event_id").collect()
+    // the plain diff legally skips the fold (restatement of pre-sync
+    // content — the documented removal contract) ...
+    assert(read(wct = false).isEmpty)
+    // ... but DELETE TRACKING would silently under-report (the fold
+    // destroyed the post-sync DV delta), so it must refuse
+    val e = intercept[Exception] { read(wct = true) }
+    assert(exceptionChain(e).exists(_.contains("delete tracking")), e)
+  }
+
   test("(_file,_boff,_brow) is a 1:1 row id; the names are reserved") {
     val dir = tmpDir("rowid")
     writeMorLog(dir, dayRows(1, 0) ++ dayRows(2, 10), blockRows = 3)
