@@ -242,6 +242,31 @@ object TradeLogFormat {
     md.digest().map(x => f"$x%02x").mkString
   }
 
+  /** The [srcMin, srcMax] provenance span a rewrite commit stamps on its
+    * fresh blocks, folded TRANSITIVELY: a dropped block that was itself
+    * written by an earlier replace commit contributes its SOURCE span
+    * (srcMinSeq/srcMaxSeq), not its own seq. Without transitivity,
+    * compaction→OPTIMIZE chains re-base the span to the intermediate
+    * block's seq, and a consumer positioned before the FIRST fold sees
+    * srcMinSeq above its watermark and silently re-emits every surviving
+    * pre-sync row (r19 advice, high).
+    *
+    * Why the replace block's own seq is EXCLUDED from the union: a
+    * consumer at position p has emitted a dropped replace block's
+    * content iff it passed the restatement (seq < p) OR the originals
+    * (srcMaxSeq < p); fresh seqs always exceed every committed seq, so
+    * min(seq, srcMaxSeq) = srcMaxSeq and the exact skip bound is the
+    * source span alone. Unioning the own seq (the advice's literal
+    * formula) is over-conservative — a stream fully synced before a
+    * compaction→OPTIMIZE chain would straddle-fail loudly where a skip
+    * is provably safe (pinned by TradeLogOptimizeSpec's "synced before
+    * TWO successive folds" test). */
+  def replaceProvenance(dropped: Seq[BlockMeta]): (Long, Long) = {
+    val lo = dropped.map(b => if (b.isReplace) b.srcMinSeq else b.seq).min
+    val hi = dropped.map(b => if (b.isReplace) b.srcMaxSeq else b.seq).max
+    (lo, hi)
+  }
+
   /** Merge `bits` (set-bit positions, 0-based row ordinals) into a
     * block's existing DV; returns the block with the union mask and the
     * recomputed nDel. `nRows` bounds every ordinal. */

@@ -338,9 +338,10 @@ final class TradeLogCompactDeletesWrite(path: String, blockRows: Int,
         // original blocks' seqs span [srcMin, srcMax] — a seq-watermark
         // stream or changes-since diff positioned past the sources skips
         // them instead of re-emitting every survivor (r18 advice, high;
-        // the offset-stability contract in TradeLogStream.scala)
-        val srcMin = dropped.map(_.seq).min
-        val srcMax = dropped.map(_.seq).max
+        // the offset-stability contract in TradeLogStream.scala).
+        // Transitive across prior replaces (r19 advice, high).
+        val (srcMin, srcMax) =
+          TradeLogFormat.replaceProvenance(dropped.toSeq)
         Some(TradeLogFormat.CommitSpec(reuse = reuse.toSeq,
           rewrite = rewrite.toSeq,
           fresh = fresh.map(_.copy(srcMinSeq = srcMin, srcMaxSeq = srcMax)),
@@ -452,8 +453,9 @@ final class TradeLogOptimizeWrite(path: String, blockRows: Int,
             "not cover the scope; aborting the rewrite")
         val keptFiles = keptResolved.map(_.file).toSet
         delisted.set(dropped.map(_.file).distinct.filterNot(keptFiles).toSeq)
-        val srcMin = dropped.map(_.seq).min
-        val srcMax = dropped.map(_.seq).max
+        // transitive provenance across prior replace commits (r19 advice)
+        val (srcMin, srcMax) =
+          TradeLogFormat.replaceProvenance(dropped.toSeq)
         Some(TradeLogFormat.CommitSpec(reuse = reuse.toSeq,
           rewrite = rewrite.toSeq,
           fresh = fresh.map(_.copy(srcMinSeq = srcMin, srcMaxSeq = srcMax)),

@@ -589,12 +589,21 @@ class TradeLogMorSpec extends SparkTestBase {
     // head, so the fold is the only carrier of those changes — emitted
     assert(changes(1L).sorted == Seq(10L, 12L, 13L),
       "a fold of post-sync blocks must serve their surviving rows")
-    // now a fold SPANNING a sync point: mask one DAY-1 row too and
-    // re-compact — sources straddle gen 2's max seq, no exact answer
+    // a SECOND fold chains through the first: mask one DAY-1 row and one
+    // row of the first fold's output, re-compact. Transitive provenance
+    // (r19 advice, high) stamps the result with the ORIGINAL span [0,1]
+    // — entirely pre-sync for a gen-2 sync — so the additions diff
+    // resolves exactly (empty: a restatement, not new data) where the
+    // naive own-seq span would have refused as a straddle…
     s.sql(s"DELETE FROM ${sqlTable(dir)} WHERE event_id = 1")
     s.sql(s"DELETE FROM ${sqlTable(dir)} WHERE event_id = 12")
     TradeLogMaintenance.compactDeletes(spark, dir, blockRows = 4)
-    val e = intercept[Exception] { changes(2L) }
+    assert(changes(2L).isEmpty,
+      "a chained fold of pre-sync content must stay invisible to the diff")
+    // …while a sync point INSIDE the folded span still refuses loudly:
+    // gen 1 saw day-1 (seq 0) but not day-2 (seq 1), and the fold merged
+    // both into one block — no exact answer exists
+    val e = intercept[Exception] { changes(1L) }
     assert(exceptionChain(e).exists(_.contains("straddles the sync point")),
       s"a straddling fold must fail the diff loudly: $e")
   }

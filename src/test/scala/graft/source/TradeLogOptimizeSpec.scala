@@ -201,6 +201,65 @@ class TradeLogOptimizeSpec extends SparkTestBase {
 
   private def us(t: String): Long = ts(t).getTime * 1000L
 
+  test("replace provenance is TRANSITIVE across a compaction→OPTIMIZE chain") {
+    // r19 advice (high): after DV compaction folds seqs [a,b] into a
+    // block at seq c, a later OPTIMIZE folding that block must stamp
+    // src [min(a,c), max(b,c)] — NOT [c,c] — or a consumer positioned
+    // inside [a,b] re-emits every survivor as new data.
+    val dir = tmpDir("transitive") + "/log"
+    writeLog(dir, dayRows(1, 0) ++ dayRows(2, 10))
+    val origSeqs = TradeLogFormat.readManifest(dir).map(_.seq)
+    TradeLogFormat.setDeleteMode(dir, "mor")
+    val s = dmlSession()
+    s.sql(s"DELETE FROM tlog.`$dir` WHERE user_id = 101")
+    // fold 1: DV compaction rewrites the masked blocks
+    TradeLogMaintenance.compactDeletes(spark, dir, blockRows = 4)
+    val mid = TradeLogFormat.readManifest(dir).filter(_.isReplace)
+    assert(mid.nonEmpty && mid.forall(_.srcMinSeq == origSeqs.min))
+    // fold 2: whole-log OPTIMIZE folds the compaction's output again
+    TradeLogMaintenance.optimize(spark, dir, blockRows = 4)(
+      _.repartitionByRange(1, col("user_id"))
+        .sortWithinPartitions("user_id"))
+    val fin = TradeLogFormat.readManifest(dir).filter(_.isReplace)
+    assert(fin.nonEmpty)
+    assert(fin.forall(b => b.srcMinSeq == origSeqs.min &&
+        b.srcMaxSeq == origSeqs.max),
+      s"the second fold must carry exactly the ORIGINAL span $origSeqs — " +
+        "not the intermediate blocks' seqs (a consumer decides skip/emit " +
+        "against ORIGINAL content provenance): " +
+        fin.map(b => (b.seq, b.srcMinSeq, b.srcMaxSeq)).toString)
+  }
+
+  test("a stream synced before TWO successive folds resumes without duplicates") {
+    val dir = tmpDir("transtream") + "/log"
+    writeLog(dir, dayRows(1, 0) ++ dayRows(2, 10))
+    val ckpt = tmpDir("transtream-ckpt")
+    def drainCkpt(): Seq[Long] = {
+      val got = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+      val q = spark.readStream.format(Fmt).load(dir)
+        .writeStream.outputMode("append")
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          b.collect().foreach(r => got.add(r.getLong(0))); ()
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(120000L)
+      import scala.jdk.CollectionConverters._
+      got.asScala.toSeq
+    }
+    assert(drainCkpt().size == 8) // sync point: everything consumed
+    TradeLogFormat.setDeleteMode(dir, "mor")
+    val s = dmlSession()
+    s.sql(s"DELETE FROM tlog.`$dir` WHERE user_id = 101")
+    TradeLogMaintenance.compactDeletes(spark, dir, blockRows = 4)
+    TradeLogMaintenance.optimize(spark, dir, blockRows = 4)(
+      _.repartitionByRange(1, col("user_id"))
+        .sortWithinPartitions("user_id"))
+    assert(drainCkpt().isEmpty,
+      "a double fold of consumed blocks must stay invisible to the stream")
+  }
+
   test("a resumed stream skips an OPTIMIZE's restatement") {
     val dir = tmpDir("stream") + "/log"
     writeLog(dir, dayRows(1, 0) ++ dayRows(2, 10))
