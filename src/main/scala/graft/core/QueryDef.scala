@@ -62,6 +62,24 @@ object QueryDef {
       case None => df.localCheckpoint(eager = true)
     }
 
+  /** Free the executor block storage behind a [[pinRound]]/localCheckpoint
+    * frame the caller has superseded. A localCheckpoint pins its blocks
+    * via the plan's LogicalRDD node; dropping the Dataset reference only
+    * queues reclamation for the ContextCleaner's GC-driven pass, so an
+    * iterative fold that swaps in a fresh pin per round/micro-batch
+    * accumulates every superseded frame's blocks for the JVM's life under
+    * bench pressure (r19 verdict: q_dedup_cc_streamed grew past its band
+    * on exactly this). Walks the plan for LogicalRDD leaves and unpersists
+    * their RDDs non-blocking — a no-op for reliable-checkpoint pins
+    * (file-backed, no block storage) and for never-pinned frames. Call
+    * ONLY after every consumer of the frame's blocks has materialized. */
+  def freePin(df: DataFrame): Unit =
+    df.queryExecution.analyzed.foreach {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
+
   /** Guarded fan-out ahead of md5-heavy per-row stages: parquet can split
     * no finer than row-group boundaries and the driver testdata is written
     * as a single row group, so without this the whole downstream

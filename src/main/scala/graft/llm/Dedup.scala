@@ -403,11 +403,21 @@ object Dedup {
         if (prev == null) newPairs.limit(0)
         else prev.filter(col("id") =!= col("lbl"))
           .select(col("id").as("doc_a"), col("lbl").as("doc_b"))
-      labels.set(starLabels(labelEdges.unionByName(newPairs))
-        .localCheckpoint(true))
-      seenBands.set(
-        if (prevBands == null) bandB
-        else prevBands.unionByName(bandB).localCheckpoint(true))
+      // starLabels returns an internally-pinned frame (its own rounds
+      // freed) — no re-pin here. The swapped-out state frames are freed
+      // the moment their last reader has materialized: prev's blocks fed
+      // the contraction's round-0 pin, prevBands/bandB fed the new
+      // seen-band checkpoint. Without these frees every micro-batch
+      // leaked its predecessor's blocks for the JVM's life (r19 verdict
+      // #1 — the q_dedup_cc_streamed band regression).
+      labels.set(starLabels(labelEdges.unionByName(newPairs)))
+      if (prev != null) graft.core.QueryDef.freePin(prev)
+      if (prevBands == null) seenBands.set(bandB)
+      else {
+        seenBands.set(prevBands.unionByName(bandB).localCheckpoint(true))
+        graft.core.QueryDef.freePin(prevBands)
+        graft.core.QueryDef.freePin(bandB)
+      }
     }
     (labels.get()
       .select(col("id").as("doc_id"), col("lbl").as("cluster"))
@@ -429,7 +439,10 @@ object Dedup {
     // staged build + atomic rename (Artifacts.publishOnce): racing cold
     // sessions each contract into their own staging dir, one publishes
     graft.core.Artifacts.publishOnce(s, path) { staging =>
-      starLabels(pairs, checkpointDir).write.mode("overwrite").parquet(staging)
+      val lbl = starLabels(pairs, checkpointDir)
+      lbl.write.mode("overwrite").parquet(staging)
+      // the parquet write was the pinned labeling's last reader
+      graft.core.QueryDef.freePin(lbl)
     }
     s.read.parquet(path)
   }
@@ -1215,8 +1228,15 @@ object Dedup {
       // reads the blocks the checkpoint just wrote — a cached scan, not a
       // re-execution of the pair's shuffles
       converged = next.filter(col("lbl") =!= col("prev")).isEmpty
+      // the superseded round's blocks have no further reader (next is
+      // pinned; the check read next alone) — free them now instead of
+      // waiting on the ContextCleaner (bounded retention, r19 verdict #1)
+      graft.core.QueryDef.freePin(l)
       l = next.drop("prev")
     }
+    // the returned frame is a projection of the LAST pinned round — the
+    // edge pin has no remaining reader and releases here
+    graft.core.QueryDef.freePin(edges)
     l
   }
 
@@ -1347,6 +1367,13 @@ object Dedup {
     var e = first
     var rounds = 0
     var converged = false
+    // bounded retention: each round's pin supersedes the previous round's
+    // — free the old blocks as soon as the convergence check (the last
+    // reader) has run, keeping live pins at ~2 frames however many rounds
+    // the contraction takes (r19 verdict #1: the streamed CC fold calls
+    // this per micro-batch, and unreclaimed round pins grew the block
+    // manager monotonically). `first` stays pinned until the final
+    // labeling join below reads it through `nodes`.
     while (!converged) {
       rounds += 1
       require(rounds <= 64, "star contraction failed to converge in 64 rounds")
@@ -1373,10 +1400,22 @@ object Dedup {
       converged = next.withColumn("l", lit(1))
         .join(e.withColumn("r", lit(1)), Seq("u", "v"), "full_outer")
         .filter(col("l").isNull || col("r").isNull).isEmpty
+      if (e ne first) graft.core.QueryDef.freePin(e)
       e = next
     }
-    nodes.join(e.select(col("u").as("id"), col("v").as("lbl")), Seq("id"), "left")
-      .select(col("id"), coalesce(col("lbl"), col("id")).as("lbl"))
+    // pin the final labeling so every internal pin can be freed here —
+    // returning the lazy join would keep round-0 + the fixpoint round
+    // alive until some caller materializes (and a per-batch caller never
+    // frees them); the pin costs the one job the caller's materialization
+    // would have run anyway, and callers get a lineage-free frame
+    val out = graft.core.QueryDef.pinRound(
+      nodes.join(e.select(col("u").as("id"), col("v").as("lbl")), Seq("id"),
+          "left")
+        .select(col("id"), coalesce(col("lbl"), col("id")).as("lbl")),
+      checkpointDir)
+    graft.core.QueryDef.freePin(first)
+    if (e ne first) graft.core.QueryDef.freePin(e)
+    out
   }
 
   /** The CTE chain shared by the near-dup oracle and composed pipelines

@@ -188,6 +188,28 @@ class LlmSpec extends SparkTestBase {
       s"streamed labels diverge from batch CC: ${streamed.size} vs ${batch.size}")
   }
 
+  test("streaming CC: block-manager storage stays bounded across the fold's batches") {
+    // r19 verdict #1: the fold swapped a fresh localCheckpoint into its
+    // labels/seenBands state every micro-batch (and starLabels pinned
+    // every contraction round) without freeing the superseded frames, so
+    // block-manager storage grew monotonically batch over batch for the
+    // JVM's life. After the freePin fix the only pins surviving the fold
+    // are the final label frame and the final seen-band index — a 4-batch
+    // leak would leave ≳4 pins per batch (rounds + bands + labels), so a
+    // small end-state delta proves per-batch reclamation, not luck.
+    val sc = spark.sparkContext
+    val before = sc.getPersistentRDDs.keySet
+    val (labels, batches) = Dedup.ccStreamedStats(spark, "/root/testdata/sf0.001")
+    assert(batches >= 2)
+    val after = sc.getPersistentRDDs.keySet
+    val leaked = (after -- before).size
+    assert(leaked <= 3,
+      s"fold over $batches batches left $leaked pinned RDDs — superseded " +
+        "state frames are not being freed")
+    // the surviving label pin is the live result — still readable
+    assert(labels.count() > 0)
+  }
+
   test("streaming count-min: grid fold spans >1 micro-batch and equals the single-pass sketch") {
     val d = "/root/testdata/sf0.001"
     val (streamed, batches) = TextStats.heavyHittersStreamedStats(spark, d)
