@@ -517,9 +517,13 @@ final class TradeLogScan(path: String, tableSchema: StructType,
     * change rewrites the block's manifest shard, so both versions of
     * the block resolve in the diff and the delta mask (new & ~old) IS
     * the deleted-row set; a MoR UPDATE surfaces as delete + insert
-    * (the Delta pre/post-image pair collapsed). Boundary, documented:
-    * whole-BLOCK removals (metadata-tier/COW deletes, retention purges,
-    * fully-masked MoR blocks) follow the existing restatement contract
+    * (the Delta pre/post-image pair collapsed). A MoR DELETE that masks
+    * EVERY row of a block reports identically: the block is retained in
+    * the manifest (liveRows 0) precisely so this pairing resolves it —
+    * delete tracking never depends on how the statement's rows align
+    * with block boundaries (r19 advice, medium). Boundary, documented:
+    * whole-BLOCK removals (metadata-tier/COW deletes, retention purges)
+    * follow the existing restatement contract
     * — the log keeps no tombstones for them; and a compaction that
     * folded PRE-sync content destroys the delta, so withChangeTypes
     * REFUSES such folds loudly instead of under-reporting (sync before
@@ -735,6 +739,11 @@ final class TradeLogScan(path: String, tableSchema: StructType,
     (b.minTsUs == Long.MinValue || (b.minTsUs <= tsHi && b.maxTsUs >= tsLo)) &&
       userIds.forall(_.exists(b.mightContainUser)) &&
       (!onlyDeleted || b.nDel > 0) &&
+      // a fully-masked retained block (MoR DELETE of every row — kept in
+      // the manifest so CDF diffs resolve it) emits nothing: skip its
+      // file read entirely except on the maintenance lane that rewrites
+      // it away
+      (onlyDeleted || b.liveRows > 0) &&
       inScope(b)
 
   private[source] lazy val selectedBlocks: Seq[BlockMeta] =

@@ -112,33 +112,38 @@ class TradeLogMorSpec extends SparkTestBase {
       s"covered ts delete must drop blocks, not mask them: $after")
   }
 
-  test("fully-deleted block drops; file GC honors the DML retention grace") {
+  test("fully-masked block RETAINS (liveRows 0); its file reclaims at compaction") {
+    // r19 advice (medium): dropping a 100%-masked block from the manifest
+    // made the CDF delete feed depend on block alignment — the block now
+    // stays committed (the Delta DV rule: files leave the table at the
+    // next rewrite), planning skips it, and the fold + file GC move to
+    // the compaction that rewrites it away.
     val dir = tmpDir("full-block")
-    val hconf = spark.sparkContext.hadoopConfiguration
-    hconf.setLong(GraceKey, 3600000L)
-    try {
-      // two writer partitions → day-1 and day-2 in separate files
-      writeMorLog(dir, dayRows(1, 0) ++ dayRows(2, 10), parts = 2)
-      assert(dataFiles(dir).size == 2)
-      val genPre = TradeLogFormat.readManifestHeader(dir).gen
-      val s = dmlSession()
-      // event_id < 4 = ALL of day-1's rows (non-ts vocabulary → MoR lane)
-      s.sql(s"DELETE FROM ${sqlTable(dir)} WHERE event_id < 4")
-      val after = blocks(dir)
-      assert(after.size == 1 && after.forall(_.nDel == 0),
-        s"a 100%-deleted block must drop from the manifest: $after")
-      // the dereferenced file is journaled but GRACED — still on disk,
-      // so the pre-delete generation keeps serving the rows
-      assert(dataFiles(dir).size == 2,
-        "the DML grace must defer the dereferenced file's unlink")
-      val pinned = spark.read.format(Fmt)
-        .option("atGeneration", genPre).load(dir)
-      assert(pinned.count() == 8L,
-        "time travel pinned before the MoR delete must see the rows")
-      // manual reclaim past the grace: vacuum with grace 0 unlinks
-      assert(TradeLogFormat.vacuum(dir, 0L) == 1)
-      assert(dataFiles(dir).size == 1)
-    } finally hconf.unset(GraceKey)
+    // two writer partitions → day-1 and day-2 in separate files
+    writeMorLog(dir, dayRows(1, 0) ++ dayRows(2, 10), parts = 2)
+    assert(dataFiles(dir).size == 2)
+    val genPre = TradeLogFormat.readManifestHeader(dir).gen
+    val s = dmlSession()
+    // event_id < 4 = ALL of day-1's rows (non-ts vocabulary → MoR lane)
+    s.sql(s"DELETE FROM ${sqlTable(dir)} WHERE event_id < 4")
+    val after = blocks(dir)
+    assert(after.size == 2 && after.count(b => b.nDel == b.nRows) == 1,
+      s"a 100%-masked block must retain with a full vector: $after")
+    // the masked read serves only day-2; the retained block plans away
+    // (zero live rows — its file is never opened by a normal read)
+    assert(spark.read.format(Fmt).load(dir).count() == 4L)
+    assert(dataFiles(dir).size == 2, "the file stays referenced — no GC")
+    val pinned = spark.read.format(Fmt)
+      .option("atGeneration", genPre).load(dir)
+    assert(pinned.count() == 8L,
+      "time travel pinned before the MoR delete must see the rows")
+    // the compaction folds the fully-masked block (0 survivors) and the
+    // dereferenced file reclaims under the grace-0 vacuum it triggers
+    assert(TradeLogMaintenance.compactDeletes(spark, dir, blockRows = 4) >= 1)
+    assert(blocks(dir).forall(_.nDel == 0))
+    assert(dataFiles(dir).size == 1,
+      "the fold must reclaim the fully-masked block's file")
+    assert(spark.read.format(Fmt).load(dir).count() == 4L)
   }
 
   test("time travel pinned before a MoR delete serves unmasked rows") {
@@ -468,8 +473,9 @@ class TradeLogMorSpec extends SparkTestBase {
          |  THEN UPDATE SET value = -1
          |""".stripMargin)
     // matched/NMBS clauses rewrote NOTHING: original files byte-identical
-    // (the (100,101) block is FULLY masked and drops, but its file keeps
-    // live blocks); the new images (101, 104, 110) appended at the tail
+    // (the (100,101) block is FULLY masked but RETAINED — liveRows 0,
+    // CDF-resolvable — until a compaction folds it); the new images
+    // (101, 104, 110) appended at the tail
     val after = dataFiles(dir)
     assert(filesBefore.subsetOf(after) && (after -- filesBefore).nonEmpty,
       s"MoR MERGE must append, not rewrite: $after vs $filesBefore")
@@ -477,11 +483,13 @@ class TradeLogMorSpec extends SparkTestBase {
     filesBefore.foreach(f => assert(fs.getFileStatus(
       new org.apache.hadoop.fs.Path(root, f)).getLen == sizesBefore(f),
       s"original file $f changed under a MoR MERGE"))
-    // surviving original blocks: (102,103) with 102 masked, (104,105)
-    // with 104's old image masked; the fully-masked (100,101) dropped
+    // surviving original blocks: (100,101) fully masked, (102,103) with
+    // 102 masked, (104,105) with 104's old image masked
     val orig = blocks(dir).filter(b => filesBefore(b.file))
-    assert(orig.size == 2 && orig.map(_.nDel).sum == 2,
-      s"expected two half-masked original blocks: $orig")
+    assert(orig.size == 3 && orig.map(_.nDel).sum == 4,
+      s"expected one full + two half-masked original blocks: $orig")
+    assert(orig.count(b => b.nDel == b.nRows) == 1,
+      s"the 100%-masked block must retain with liveRows 0: $orig")
     // semantics: 100 NMBS-deleted, 101 updated to 9, 102 matched-deleted,
     // 103/105 untouched, 104 NMBS-tombstoned to -1, 110 inserted at 7
     val got = spark.read.format(Fmt).load(dir)
@@ -648,6 +656,28 @@ class TradeLogMorSpec extends SparkTestBase {
     val normal = spark.read.format(Fmt).load(dir)
       .select(col("_change_type")).distinct().collect().map(_.getString(0))
     assert(normal.toSeq == Seq("insert"))
+  }
+
+  test("CDF reports a DELETE that fully masks a block — alignment-independent (r19 advice)") {
+    val dir = tmpDir("cdf-full")
+    // one 4-row block per day; day-1's block will be 100% masked while
+    // day-2's is partially masked BY THE SAME STATEMENT
+    writeMorLog(dir, dayRows(1, 0) ++ dayRows(2, 10), parts = 2)
+    val syncGen = TradeLogFormat.readManifestHeader(dir).gen
+    val s = dmlSession()
+    // events 0-3 = ALL of day-1; event 10 = one row of day-2
+    s.sql(s"DELETE FROM ${sqlTable(dir)} WHERE event_id <= 3 OR event_id = 10")
+    val feed = spark.read.format(Fmt)
+      .option("changesSinceGeneration", syncGen)
+      .option("withChangeTypes", true).load(dir)
+      .select(col("_change_type"), col("event_id")).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq.sorted
+    // every deleted row reports, including the fully-masked block's four
+    // — previously those vanished from the feed (block dropped from the
+    // manifest, no base block to pair) while event 10 still reported
+    assert(feed == Seq(("delete", 0L), ("delete", 1L), ("delete", 2L),
+      ("delete", 3L), ("delete", 10L)),
+      s"delete tracking must not depend on block alignment: $feed")
   }
 
   test("CDF delete tracking refuses a fold of pre-sync content") {
