@@ -650,8 +650,14 @@ object TradeLogFormat {
     val committed = listSnapshotGens(filesystem, mdir).filter(_ <= headGen)
       .sorted
     val victims = committed.dropRight(keepLast).filterNot(anchored)
+    // re-read the anchor set immediately before each unlink: a tag
+    // published after the batch read above would otherwise anchor an
+    // already-victimized generation and dangle (r19 advice, low; the
+    // tag side re-validates after publishing — both checks together
+    // shrink the check-then-act window to the unlink itself)
     val n = victims.count(g =>
-      filesystem.delete(new Path(mdir, s"gen-$g.manifest"), false))
+      !TradeLogRefs.anchoredGens(dir).contains(g) &&
+        filesystem.delete(new Path(mdir, s"gen-$g.manifest"), false))
     // shard sweep: collect every shard still referenced by the head, any
     // surviving snapshot (claims above headGen included — their refs are a
     // racer's in-flight commit), or any named ref's snapshot (staged

@@ -92,7 +92,24 @@ object TradeLogRefs {
         s"$headGen) — a tag cannot anchor an in-flight claim")
     // the snapshot must still exist (not expired)
     TradeLogFormat.readManifestInfoAt(dir, g, headerOnly = true)
-    writeNewRef(dir, RefInfo(name, "tag", g, 0L))
+    val ref = writeNewRef(dir, RefInfo(name, "tag", g, 0L))
+    // …and must STILL exist after the ref is visible: expireSnapshots
+    // reads the anchor set before its deletes, so a tag racing an
+    // in-flight expiry can slip between that read and the unlink and
+    // anchor a victimized generation (r19 advice, low). Re-validate
+    // after publishing — the expiry re-reads anchors per unlink, so once
+    // this check passes the tag is in every later read's anchor set —
+    // and drop the dangling ref loudly if the snapshot is gone.
+    try TradeLogFormat.readManifestInfoAt(dir, g, headerOnly = true)
+    catch {
+      case e: Exception =>
+        dropRef(dir, name)
+        throw new IllegalStateException(
+          s"graft-tradelog $dir: generation $g was expired while tag " +
+            s"'$name' was being created — the tag was dropped; re-create " +
+            "it against a surviving snapshot", e)
+    }
+    ref
   }
 
   private def writeNewRef(dir: String, ref: RefInfo): RefInfo = {
@@ -234,7 +251,16 @@ object TradeLogRefs {
           val claim = new Path(mdir, s"gen-$bgen-$name.manifest")
           val won = lock.synchronized {
             TradeLogFormat.publishAtomic(fs, conf, mdir, claim, body,
-              overwrite = false) && {
+              overwrite = false) &&
+            // re-verify the claim still holds OUR body before the ref
+            // publish: the patience-based takeover below deletes a
+            // stalled claim and re-claims the same path, and a claimant
+            // slow between its claim and its publish (GC pause, FS
+            // stall) is indistinguishable from a dead one — publishing
+            // blindly would point the ref at the other racer's manifest
+            // or at a deleted file (r19 advice, low). A taken-over
+            // claimant loses LOUDLY here and retries instead.
+            claimHoldsBody(fs, claim, body) && {
               TradeLogFormat.publishAtomic(fs, conf,
                 new Path(root, RefsDirName), refPath(root, name),
                 RefInfo(name, "branch", ref.base, bgen).line
@@ -258,7 +284,13 @@ object TradeLogRefs {
                 case None => waiting = false // claim vanished: re-claim
                 case Some(s) if System.currentTimeMillis() -
                     s.getModificationTime > claimPatienceMs =>
-                  fs.delete(claim, false); waiting = false // dead claimant
+                  // dead claimant — but re-read the ref at the last
+                  // instant: if the claim's owner published while this
+                  // racer was deciding, deleting would unlink a LIVE
+                  // branch head (the same check-then-act shape as the
+                  // takeover race this path exists to resolve)
+                  if (readRef(dir, name).gen >= bgen) waiting = false
+                  else { fs.delete(claim, false); waiting = false }
                 case _ => Thread.sleep(50); spins += 1
               }
             }
@@ -268,6 +300,21 @@ object TradeLogRefs {
     throw new IllegalStateException(
       s"graft-tradelog branch commit to $dir@$name lost $maxAttempts races")
   }
+
+  /** Does the claim file exist and hold exactly `body`? False on any
+    * read failure — the caller treats that as a lost race. */
+  private[source] def claimHoldsBody(fs: org.apache.hadoop.fs.FileSystem,
+      claim: Path, body: Array[Byte]): Boolean =
+    try {
+      val in = fs.open(claim)
+      try {
+        val buf = new java.io.ByteArrayOutputStream(body.length + 64)
+        val tmp = new Array[Byte](8192)
+        var n = in.read(tmp)
+        while (n >= 0) { buf.write(tmp, 0, n); n = in.read(tmp) }
+        java.util.Arrays.equals(buf.toByteArray, body)
+      } finally in.close()
+    } catch { case _: java.io.IOException => false }
 
   /** FAST-FORWARD PUBLISH — the WAP "publish" verb: main adopts the
     * branch head as ONE re-referencing commit (nothing rewritten — the
