@@ -613,6 +613,52 @@ object TradeLogFormat {
   /** Generation numbers of every `gen-N.manifest` snapshot, strictly
     * regex-matched so a stray file sharing the prefix/suffix can never
     * abort a maintenance pass with a NumberFormatException (r16 advice). */
+  /** CDF-RETENTION SIDECAR (r19 verdict #3 — Delta's CDF-retention
+    * semantics completed): a rewrite commit (DV compaction / OPTIMIZE)
+    * destroys the dropped blocks' delete-vector history, which is what a
+    * changes-since withChangeTypes diff synced BEFORE the fold pairs
+    * against. The committing rewrite persists the dropped blocks' FINAL
+    * metadata (including their DVs) as `_manifests/fold-<gen>.csv`, so a
+    * later diff can (a) recover the pre-fold DV deltas and (b) re-serve
+    * folded post-sync additions from the dropped copies (whose data
+    * files ride the DML vacuum grace — the data half of the retention
+    * window). Swept with the snapshot horizon: expireSnapshots deletes
+    * `fold-<G>` alongside `gen-<G>` — past retention the diff refuses
+    * loudly again, never silently under-reports. Best-effort at commit
+    * (a crash between the manifest publish and this write degrades to
+    * the pre-sidecar refusal, losing no exactness). */
+  def writeFoldSidecar(dir: String, gen: Long,
+      dropped: Seq[BlockMeta]): Unit = {
+    val conf = driverConf()
+    val (filesystem, root) = fs(dir, conf)
+    val mdir = new Path(root, ManifestDirName)
+    publishAtomic(filesystem, conf, mdir, new Path(mdir, s"fold-$gen.csv"),
+      dropped.map(_.csv).mkString("\n").getBytes(StandardCharsets.UTF_8),
+      overwrite = true)
+    ()
+  }
+
+  /** Every fold sidecar with generation > `sinceGen`, keyed by block
+    * identity. (file, offset) is unique across folds — fresh blocks
+    * always land in fresh files, so a block is dropped at most once. */
+  def readFoldSidecars(dir: String, sinceGen: Long)
+      : Map[(String, Long), BlockMeta] = {
+    val (filesystem, root) = fs(dir)
+    val mdir = new Path(root, ManifestDirName)
+    if (!filesystem.exists(mdir)) return Map.empty
+    val re = "^fold-(\\d+)\\.csv$".r
+    filesystem.listStatus(mdir).toSeq.flatMap { st =>
+      re.findFirstMatchIn(st.getPath.getName) match {
+        case Some(m) if m.group(1).toLong > sinceGen =>
+          val in = filesystem.open(st.getPath)
+          try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+            .filter(_.nonEmpty).map(BlockMeta.fromCsv).toList
+          finally in.close()
+        case _ => Nil
+      }
+    }.map(b => (b.file, b.offset) -> b).toMap
+  }
+
   private def listSnapshotGens(filesystem: FileSystem, mdir: Path): Seq[Long] = {
     val re = "^gen-(\\d+)\\.manifest$".r
     filesystem.listStatus(mdir).toSeq.map(_.getPath.getName)
@@ -657,7 +703,12 @@ object TradeLogFormat {
     // shrink the check-then-act window to the unlink itself)
     val n = victims.count(g =>
       !TradeLogRefs.anchoredGens(dir).contains(g) &&
-        filesystem.delete(new Path(mdir, s"gen-$g.manifest"), false))
+        filesystem.delete(new Path(mdir, s"gen-$g.manifest"), false) && {
+          // the CDF-retention sidecar rides the same horizon: past it a
+          // changes-since read across that fold refuses instead of serving
+          filesystem.delete(new Path(mdir, s"fold-$g.csv"), false)
+          true
+        })
     // shard sweep: collect every shard still referenced by the head, any
     // surviving snapshot (claims above headGen included — their refs are a
     // racer's in-flight commit), or any named ref's snapshot (staged

@@ -613,18 +613,10 @@ final class TradeLogScan(path: String, tableSchema: StructType,
   private def dropConsumedReplacements(bs: Seq[BlockMeta], baseMax: Long)
       : Seq[BlockMeta] =
     bs.filter { b =>
+      // (withChangeTypes diffs that cross a fold of pre-sync content
+      // never reach here — changesPlan routes them through
+      // foldCrossingPlan, which serves from the retention sidecar)
       if (!b.isReplace) true
-      else if (withChangeTypes && b.srcMinSeq <= baseMax)
-        // the fold rewrote pre-sync content, destroying any DV deltas it
-        // carried — a plain diff may legally skip it (restatement), but a
-        // DELETE-tracKING read would silently under-report; refuse
-        throw new IllegalStateException(
-          s"graft-tradelog $path: block ${b.file}@${b.offset} was written " +
-            s"by a replace commit folding seqs [${b.srcMinSeq}," +
-            s"${b.srcMaxSeq}] at or before the sync point ($baseMax) — " +
-            "delete tracking across a fold of pre-sync content is not " +
-            "answerable; consume changes before compacting/optimizing, " +
-            "or re-sync from the current head")
       else if (b.srcMaxSeq <= baseMax) false
       else if (b.srcMinSeq > baseMax) true
       else throw new IllegalStateException(
@@ -700,16 +692,149 @@ final class TradeLogScan(path: String, tableSchema: StructType,
                 snapI.shards.foldLeft(-1L)((a, r) => math.max(a, r.maxSeq))))
           }
         val baseByKey = basePool.map(b => (b.file, b.offset) -> b).toMap
-        val additions = dropConsumedReplacements(
-          headCand.filterNot(b => baseByKey.contains((b.file, b.offset))),
-          baseMax).sortBy(_.seq)
-        val deletes =
-          if (!withChangeTypes) Seq.empty
-          else headCand.flatMap(b =>
-            baseByKey.get((b.file, b.offset)).flatMap(dvDeltaBlock(b, _)))
-            .sortBy(_.seq)
-        (additions, deletes)
+        val newInHead =
+          headCand.filterNot(b => baseByKey.contains((b.file, b.offset)))
+        // a DELETE-tracking diff whose window crosses a fold of pre-sync
+        // content routes through the retention sidecar (r19 verdict #3);
+        // the plain diff's replace triage is exact without it
+        if (withChangeTypes &&
+            newInHead.exists(b => b.isReplace && b.srcMinSeq <= baseMax))
+          foldCrossingPlan(n, headCand, newInHead, basePool, baseByKey,
+            baseMax)
+        else {
+          val additions =
+            dropConsumedReplacements(newInHead, baseMax).sortBy(_.seq)
+          val deletes =
+            if (!withChangeTypes) Seq.empty
+            else headCand.flatMap(b =>
+              baseByKey.get((b.file, b.offset)).flatMap(dvDeltaBlock(b, _)))
+              .sortBy(_.seq)
+          (additions, deletes)
+        }
     }
+
+  /** A withChangeTypes diff ACROSS a rewrite of pre-sync content —
+    * Delta's CDF-retention semantics (r19 verdict #3). The fold
+    * destroyed the dropped blocks' DV history and merged pre- and
+    * post-sync rows into restatements; the retention sidecar
+    * ([[TradeLogFormat.writeFoldSidecar]]) holds the dropped blocks'
+    * FINAL pre-fold state, which is exactly enough to serve the diff:
+    *
+    *   - head replace blocks restating ONLY pre-sync content: skipped
+    *     for additions (known at sync); their own accrued DV = post-fold
+    *     deletes of pre-sync rows — emitted as a full-DV delta;
+    *   - STRADDLING restatements: served from the dropped copies — the
+    *     post-sync dropped blocks emit (with their final masks) as
+    *     additions, the pre-sync dropped blocks pair for DV deltas; the
+    *     restatement itself contributes nothing. Exact because a fold is
+    *     content-preserving: restated rows ≡ dropped live rows (a
+    *     per-span row-count equation verifies the sidecar is complete);
+    *   - vanished pre-sync base blocks pair against their sidecar
+    *     entry for the delta accrued between sync and fold.
+    *
+    * Refusals (loud, never silent under-report): sidecar missing or
+    * incomplete (retention passed — expireSnapshots swept the fold's
+    * generation), a dropped data file already vacuumed (the data half of
+    * the retention window), post-fold deletes on a straddling
+    * restatement (row identity across a fold is untracked), or a
+    * CHAINED straddling fold inside the window. */
+  private def foldCrossingPlan(syncGen: Long, headCand: Seq[BlockMeta],
+      newInHead: Seq[BlockMeta], basePool: Seq[BlockMeta],
+      baseByKey: Map[(String, Long), BlockMeta], baseMax: Long)
+      : (Seq[BlockMeta], Seq[BlockMeta]) = {
+    val sidecars = TradeLogFormat.readFoldSidecars(path, syncGen)
+    def refuse(msg: String): Nothing = throw new IllegalStateException(
+      s"graft-tradelog $path: $msg — consume changes before the fold " +
+        "passes retention, or re-sync from the current head")
+    def fullDvDelta(b: BlockMeta): Option[BlockMeta] =
+      dvDeltaBlock(b, b.copy(nDel = 0, dvHex = ""))
+    val additions = scala.collection.mutable.ArrayBuffer.empty[BlockMeta]
+    val deletes = scala.collection.mutable.ArrayBuffer.empty[BlockMeta]
+    // 1. head-side new blocks
+    newInHead.foreach { b =>
+      if (!b.isReplace) additions += b
+      else if (b.srcMinSeq > baseMax) additions += b // only carrier
+      else if (b.srcMaxSeq <= baseMax) fullDvDelta(b).foreach(deletes += _)
+      else if (b.nDel > 0) refuse(
+        s"block ${b.file}@${b.offset} restates a fold straddling the " +
+          s"sync point (seqs [${b.srcMinSeq},${b.srcMaxSeq}]) and carries " +
+          "post-fold deletes — row identity across the fold is untracked")
+      // else: straddling, clean — content served from the sidecar below
+    }
+    // 2. per-straddling-span completeness: restated rows must equal the
+    // sidecar's dropped live rows, else the sidecar is gone/partial
+    newInHead.filter(b => b.isReplace && b.srcMinSeq <= baseMax &&
+        b.srcMaxSeq > baseMax)
+      .groupBy(b => (b.srcMinSeq, b.srcMaxSeq)).foreach {
+        case ((lo, hi), bs) =>
+          val restated = bs.map(_.nRows.toLong).sum
+          val droppedLive = sidecars.values
+            .filter(d => d.seq >= lo && d.seq <= hi)
+            .map(_.liveRows.toLong).sum
+          if (restated != droppedLive) refuse(
+            s"the fold of seqs [$lo,$hi] restates $restated rows but the " +
+              s"retention sidecar resolves $droppedLive — the sidecar " +
+              "was swept or the fold predates it")
+      }
+    // 3. sidecar blocks: recover what the folds destroyed
+    sidecars.values.toSeq.sortBy(_.seq).foreach { d =>
+      if (d.isReplace && d.srcMinSeq <= baseMax && d.srcMaxSeq > baseMax)
+        refuse(s"block ${d.file}@${d.offset} is a straddling restatement " +
+          "that was itself folded again (chained folds inside the diff " +
+          "window)")
+      else if (baseByKey.contains((d.file, d.offset)))
+        // vanished pre-sync base block: the delta accrued sync→fold
+        dvDeltaBlock(d, baseByKey((d.file, d.offset)))
+          .foreach(deletes += _)
+      else if (d.isReplace && d.srcMaxSeq <= baseMax)
+        // intermediate pre-sync restatement dropped by a later fold: its
+        // whole DV accrued post-sync
+        fullDvDelta(d).foreach(deletes += _)
+      else if (!d.isReplace && d.seq > baseMax) {
+        // post-sync content folded away — the dropped copy is the only
+        // carrier IF its restatement straddles (otherwise the head's
+        // post-sync replace already serves it)
+        val servedByHead = newInHead.exists(h => h.isReplace &&
+          h.srcMinSeq > baseMax && d.seq >= h.srcMinSeq &&
+          d.seq <= h.srcMaxSeq)
+        if (!servedByHead && d.liveRows > 0) additions += d
+      }
+      // pre-sync non-replace sidecar blocks absent from basePool cannot
+      // arise (their sync-point shard would have resolved them); post-sync
+      // replaces inside a post-sync head span were collapsed inserts
+    }
+    // 4. completeness for VANISHED pre-sync base blocks: one that was
+    // folded (covered by a replace span) but has no sidecar entry means
+    // the sidecar was swept — refusing here is what keeps "no silent
+    // under-report" when no straddling span exists to catch it
+    val headKeys = headCand.map(b => (b.file, b.offset)).toSet
+    val spans = (newInHead ++ sidecars.values).filter(_.isReplace)
+      .map(b => (b.srcMinSeq, b.srcMaxSeq))
+    basePool.filterNot(b => headKeys((b.file, b.offset))).foreach { b =>
+      if (!sidecars.contains((b.file, b.offset)) &&
+          spans.exists(s => b.seq >= s._1 && b.seq <= s._2)) refuse(
+        s"block ${b.file}@${b.offset} (seq ${b.seq}) was folded but its " +
+          "retention sidecar was swept — its DV delta is unrecoverable")
+      // not covered by any fold: a retention purge — removals are not
+      // change rows (the documented contract), skip silently
+    }
+    // 5. the data half of retention: every sidecar-served block's file
+    // must still exist (the DML vacuum grace) — check at plan time so the
+    // failure is a clean refusal, not a mid-scan FileNotFound
+    val (fsys, root) = TradeLogFormat.fs(path)
+    val sidecarKeys = sidecars.keySet
+    (additions ++ deletes).filter(b => sidecarKeys((b.file, b.offset)))
+      .map(_.file).distinct.foreach { f =>
+        if (!fsys.exists(new org.apache.hadoop.fs.Path(root, f))) refuse(
+          s"data file $f of a folded block was already vacuumed " +
+            "(graft.tradelog.dml.vacuum.grace.ms bounds the data half " +
+            "of CDF retention)")
+      }
+    // existing both-sides DV pairing still applies untouched
+    headCand.foreach(b => baseByKey.get((b.file, b.offset))
+      .flatMap(dvDeltaBlock(b, _)).foreach(deletes += _))
+    (additions.sortBy(_.seq).toSeq, deletes.sortBy(_.seq).toSeq)
+  }
 
   private lazy val shardPlan: (Seq[BlockMeta], Int, Int) = changesSince match {
     case Some(_) => (changesPlan._1, -1, -1)
@@ -902,11 +1027,15 @@ final class TradeLogScan(path: String, tableSchema: StructType,
   }
 
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream = {
-    require(travelGen.isEmpty && changesSince.isEmpty && !onlyDeleted &&
-      optimizeScope.isEmpty && branchPin.isEmpty &&
-      !options.containsKey("ref"),
+    // a REF stream is allowed (r19 verdict #5 — the WAP validation
+    // consumer: audit a staged branch with a streaming query before
+    // publish); the travelGen/branchPin that ref resolution populates
+    // are the stream's own head then, not a batch-only pin
+    val streamRef = Option(options.get("ref"))
+    require(changesSince.isEmpty && !onlyDeleted && optimizeScope.isEmpty &&
+      (streamRef.nonEmpty || (travelGen.isEmpty && branchPin.isEmpty)),
       "graft-tradelog: time travel (atGeneration/asOfEpoch/" +
-        "changesSinceGeneration), ref reads, and the maintenance reads " +
+        "changesSinceGeneration) and the maintenance reads " +
         "(onlyDeleted/optimizeScope) are batch-only — a stream's offsets " +
         "already pin its own position in the block sequence")
     // the micro-batch reader materializes DATA ordinals only (`wanted`);
@@ -924,7 +1053,8 @@ final class TradeLogScan(path: String, tableSchema: StructType,
     // sync point that a later purge legitimately outdated.
     new TradeLogMicroBatchStream(path, wanted, xtypes,
       Option(options.get("maxBlocksPerTrigger")).map(_.toInt),
-      Option(options.get("startingGeneration")).map(_.toLong))
+      Option(options.get("startingGeneration")).map(_.toLong),
+      refName = streamRef)
   }
 }
 

@@ -330,6 +330,30 @@ object TradeLogQueries {
   def streamTriggerBlocks(path: String): Int =
     math.max(1, (TradeLogFormat.countBlocks(path) + 2) / 3)
 
+  // ---- q_tradelog_branch_streamed (45th bridge: the WAP validation stream)
+
+  /** The ref STREAM under the whole-table oracle (r19 verdict #5 — the
+    * WAP validation consumer): [[TradeLogMicroBatchStream]] pinned to
+    * the `audit` branch head (`option("ref", ...)` on `readStream`)
+    * drains base + staged blocks in rate-limited micro-batches; the
+    * complete-mode per-type aggregate must equal the whole-table SQL —
+    * a streaming audit of staged-plus-base content ≡ the published
+    * state, which is exactly what lets a WAP pipeline validate a branch
+    * with a streaming consumer BEFORE publish. TradeLogRefsSpec pins
+    * the publish interplay: a checkpoint that drained the branch sees
+    * the fast-forward as ZERO new blocks (adoption is by reference,
+    * seqs unchanged), and post-publish staged commits resume the same
+    * checkpoint incrementally. */
+  def tradelogBranchStreamed(s: SparkSession, dir: String): DataFrame = {
+    val path = ensureBranchLog(s, dir)
+    val perTrigger = streamTriggerBlocks(path)
+    Tables.runStreamComplete(s, "tradelog_branch_") { cs =>
+      aggByType(cs.readStream.format(FormatName)
+        .option("ref", "audit")
+        .option("maxBlocksPerTrigger", perTrigger).load(path))
+    }.orderedBy("event_type")
+  }
+
   // ---- q_tradelog_point -----------------------------------------------
 
   private val PointUser = 7L // exists at every sf (user_id domain starts at 0)
@@ -1087,6 +1111,124 @@ object TradeLogQueries {
     path
   }
 
+  // ---- q_tradelog_merge_evolve (MERGE × SCHEMA EVOLUTION) ------------------
+
+  /** MERGE INTO against an EVOLVED table with a source carrying the added
+    * column, in BOTH write lanes (r19 verdict #4): the table commits
+    * with the base 6-column schema, `ALTER TABLE … ADD COLUMNS (xnote
+    * STRING)` widens it in one header-only commit, and the full-sync
+    * MERGE then drives the new column — matched UPDATEs SET it from the
+    * source, inserts carry it, NOT-MATCHED-BY-SOURCE survivors keep the
+    * old-block NULL fill (their blocks are never rewritten in the MoR
+    * lane; the COW lane's rewrite re-emits them with the union schema's
+    * null). The query unions the COW (`delmode` default) and MoR
+    * (`delmode=mor`) lanes under one oracle — the identical fold with a
+    * lane literal — so the digest proves evolution composes with BOTH
+    * merge write amplifications. TradeLogMorSpec pins the mechanics
+    * (old blocks keep nCols=6 in the MoR lane; only new images/inserts
+    * carry the widened width). */
+  def tradelogMergeEvolve(s: SparkSession, dir: String): DataFrame = {
+    val cow = s.read.format(FormatName)
+      .load(ensureMergeEvolveLog(s, dir, mor = false))
+      .select(lit("cow").as("lane"), col("user_id"), col("value"),
+        col("xnote"))
+    val morL = s.read.format(FormatName)
+      .load(ensureMergeEvolveLog(s, dir, mor = true))
+      .select(lit("mor").as("lane"), col("user_id"), col("value"),
+        col("xnote"))
+    cow.unionByName(morL).orderedBy("lane", "user_id")
+  }
+
+  def ensureMergeEvolveLog(s: SparkSession, dir: String,
+      mor: Boolean): String = {
+    val lane = if (mor) "mor" else "cow"
+    val path = s"${logPath(s, dir)}-mergeevolve-$lane"
+    val (fs, root) = TradeLogFormat.fs(path)
+    val done = new org.apache.hadoop.fs.Path(root, "_DML_DONE")
+    if (!fs.exists(done)) {
+      if (fs.exists(root)) fs.delete(root, true)
+      import org.apache.spark.sql.expressions.Window
+      val ev = Tables.events(s, dir)
+        .select(col("event_id"), col("ts"), col("user_id"),
+          col("event_type"), col("value"), col("props"))
+      val w = Window.partitionBy(col("user_id")).orderBy(col("event_id").desc)
+      ev.filter(pmod(col("event_id"), lit(5)) < 3)
+        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .drop("rn")
+        .repartitionByRange(4, col("user_id"))
+        .sortWithinPartitions("user_id")
+        .write.format(FormatName).mode("overwrite")
+        .option("blockRows", 64).save(path)
+      if (mor) TradeLogFormat.setDeleteMode(path, "mor")
+      val cs = s.newSession()
+      cs.conf.set("spark.sql.catalog.graft_tlog",
+        classOf[TradeLogCatalog].getName)
+      // the evolution: one header-only commit widens the table
+      cs.sql(s"ALTER TABLE graft_tlog.`$path` ADD COLUMNS (xnote STRING)")
+      Tables.events(cs, dir)
+        .select(col("event_id"), col("ts"), col("user_id"),
+          col("event_type"), col("value"), col("props"))
+        .filter(pmod(col("event_id"), lit(5)) >= 3)
+        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .drop("rn")
+        .withColumn("op",
+          when(pmod(col("event_id"), lit(7)) === 0, lit("D")).otherwise("U"))
+        // the added column from the SOURCE side; nulls on every
+        // event_id % 3 = 0 row exercise the tail null mask
+        .withColumn("xnote",
+          when(pmod(col("event_id"), lit(3)) === 0, lit(null).cast("string"))
+            .otherwise(concat(lit("n"), col("event_id").cast("string"))))
+        .createOrReplaceTempView(s"graft_tlog_evolve_chg_$lane")
+      cs.sql(
+        s"""MERGE INTO graft_tlog.`$path` t USING graft_tlog_evolve_chg_$lane c
+           |ON t.user_id = c.user_id
+           |WHEN MATCHED AND c.op = 'D' THEN DELETE
+           |WHEN MATCHED THEN UPDATE SET value = c.value, xnote = c.xnote
+           |WHEN NOT MATCHED AND c.op <> 'D' THEN INSERT
+           |  (event_id, ts, user_id, event_type, value, props, xnote)
+           |  VALUES (c.event_id, c.ts, c.user_id, c.event_type, c.value,
+           |          c.props, c.xnote)
+           |WHEN NOT MATCHED BY SOURCE AND t.user_id % 2 = 0 THEN DELETE
+           |WHEN NOT MATCHED BY SOURCE THEN UPDATE SET value = -1
+           |""".stripMargin)
+      fs.create(done, true).close()
+    }
+    path
+  }
+
+  /** [[tradelogMergeSyncOracle]]'s fold extended with the evolved
+    * column (matched U → source xnote, survivors → the old-block NULL
+    * fill, inserts → source xnote), emitted once per write lane. */
+  private val tradelogMergeEvolveOracle: String =
+    """WITH snap AS (
+      |  SELECT user_id, value AS snap_value FROM (
+      |    SELECT user_id, value,
+      |           row_number() OVER (PARTITION BY user_id
+      |             ORDER BY event_id DESC) AS rn
+      |    FROM events WHERE event_id % 5 < 3)
+      |  WHERE rn = 1),
+      |chg AS (
+      |  SELECT user_id, op, value AS chg_value, chg_xnote FROM (
+      |    SELECT user_id, value,
+      |           CASE WHEN event_id % 7 = 0 THEN 'D' ELSE 'U' END AS op,
+      |           CASE WHEN event_id % 3 = 0 THEN NULL
+      |                ELSE 'n' || CAST(event_id AS VARCHAR) END AS chg_xnote,
+      |           row_number() OVER (PARTITION BY user_id
+      |             ORDER BY event_id DESC) AS rn
+      |    FROM events WHERE event_id % 5 >= 3)
+      |  WHERE rn = 1),
+      |fold AS (
+      |  SELECT COALESCE(s.user_id, c.user_id) AS user_id,
+      |         CASE WHEN op IS NOT NULL THEN chg_value ELSE -1 END AS value,
+      |         CASE WHEN op IS NOT NULL THEN chg_xnote ELSE NULL END AS xnote
+      |  FROM snap s FULL OUTER JOIN chg c ON s.user_id = c.user_id
+      |  WHERE (op IS NOT NULL AND op <> 'D')
+      |     OR (op IS NULL AND (s.user_id % 2 <> 0 OR s.user_id IS NULL)))
+      |SELECT lane, user_id, value, xnote
+      |FROM (SELECT 'cow' AS lane UNION ALL SELECT 'mor') lanes
+      |CROSS JOIN fold
+      |ORDER BY lane, user_id""".stripMargin
+
   /** The full-outer fold: both-sides rows follow the matched verbs,
     * source-only rows insert (unless D), target-only rows delete (even
     * user) or tombstone to -1 — exactly the SQL's clause set. */
@@ -1342,6 +1484,81 @@ object TradeLogQueries {
   /** The two CDF branches, declaratively: inserts = post-sync additions
     * minus their own deletions (the collapse rule); deletes = pre-sync
     * rows the DV delta masked. */
+  // ---- q_tradelog_cdf_compacted (CDF ACROSS A FOLD — retention sidecar) ---
+
+  /** [[tradelogCdf]]'s read ACROSS a DV compaction (r19 verdict #3 —
+    * Delta's CDF-retention semantics): the identical two-branch artifact
+    * is compacted AFTER the deletes, folding every DV into fresh blocks
+    * and destroying the head's delete history; the diff is served from
+    * the retention sidecar instead — vanished pre-sync blocks pair for
+    * their DV deltas, the straddling restatement's post-sync content
+    * re-emits from the dropped copies (whose data files ride the DML
+    * vacuum grace) — and the digest must equal the SAME oracle as the
+    * uncompacted twin. TradeLogMorSpec pins the refusal boundary: sweep
+    * the sidecar (or the files) and the read fails loudly rather than
+    * under-report. */
+  def tradelogCdfCompacted(s: SparkSession, dir: String): DataFrame = {
+    val log = s.read.format(FormatName)
+      .option("changesSinceGeneration", 1)
+      .option("withChangeTypes", "true")
+      .load(ensureCdfCompactedLog(s, dir))
+      .select(col("_change_type").as("change_type"), col("event_id"),
+        col("ts"), col("user_id"), col("event_type"), col("value"),
+        col("props"))
+    val repr = concat_ws("#",
+      col("change_type"), col("event_id"), unix_micros(col("ts")),
+      col("user_id"), col("event_type"),
+      round(col("value") * 100).cast("long"), col("props"))
+    val h32 = conv(substring(md5(repr.cast("binary")), 1, 8), 16, 10)
+      .cast("long")
+    log.groupBy(col("change_type"), col("event_type")).agg(
+        count(lit(1)).as("n"),
+        sum(shiftright(h32, 16)).as("hi"),
+        sum(h32.bitwiseAND(lit(0xffffL))).as("lo"))
+      .select(col("change_type"), col("event_type"), col("n"),
+        (col("hi").cast("decimal(38,0)") * lit(65536) + col("lo"))
+          .cast("string").as("digest"))
+      .orderedBy("change_type", "event_type")
+  }
+
+  def ensureCdfCompactedLog(s: SparkSession, dir: String): String = {
+    val path = s"${logPath(s, dir)}-cdfc"
+    val (fs, root) = TradeLogFormat.fs(path)
+    val done = new org.apache.hadoop.fs.Path(root, "_DML_DONE")
+    if (!fs.exists(done)) {
+      if (fs.exists(root)) fs.delete(root, true)
+      val ev = Tables.events(s, dir)
+        .select(col("event_id"), col("ts"), col("user_id"),
+          col("event_type"), col("value"), col("props"))
+      ev.filter(col("event_id") % 2 === 0)
+        .repartitionByRange(8, col("ts")).sortWithinPartitions("ts")
+        .write.format(FormatName).mode("overwrite")
+        .option("blockRows", 256).save(path) // gen 1 = the sync point
+      TradeLogFormat.setDeleteMode(path, "mor")
+      ev.filter(col("event_id") % 2 === 1)
+        .repartitionByRange(8, col("ts")).sortWithinPartitions("ts")
+        .write.format(FormatName).mode("append")
+        .option("blockRows", 256).save(path)
+      val cs = s.newSession()
+      cs.conf.set("spark.sql.catalog.graft_tlog",
+        classOf[TradeLogCatalog].getName)
+      cs.sql(s"DELETE FROM graft_tlog.`$path` WHERE user_id = $MorUser")
+      // the retention window: keep the folded data files (Delta's
+      // deletedFileRetentionDuration) so the sidecar-served diff reads
+      val hconf = s.sparkContext.hadoopConfiguration
+      val graceKey = "graft.tradelog.dml.vacuum.grace.ms"
+      val prevGrace = Option(hconf.get(graceKey))
+      hconf.setLong(graceKey, 7L * 24 * 3600 * 1000)
+      try TradeLogMaintenance.compactDeletes(s, path, blockRows = 256)
+      finally prevGrace match {
+        case Some(v) => hconf.set(graceKey, v)
+        case None => hconf.unset(graceKey)
+      }
+      fs.create(done, true).close()
+    }
+    path
+  }
+
   private val tradelogCdfOracle: String = {
     val hv = OracleSql.hexPrefixToLong("h8")
     s"""WITH chg AS (
@@ -1543,9 +1760,20 @@ object TradeLogQueries {
     // fast-forward publish — the ref read serves the whole table
     "q_tradelog_branch" -> QueryDef(tradelogBranch,
       Some(tradelogDigestOracle)),
+    // 45th bridge: the WAP validation STREAM — a micro-batch stream
+    // pinned to the staged branch head, whole-table agg oracle
+    "q_tradelog_branch_streamed" -> QueryDef(tradelogBranchStreamed,
+      Some(tradelogAggOracle)),
+    // MERGE × schema evolution, both write lanes under one fold oracle
+    "q_tradelog_merge_evolve" -> QueryDef(tradelogMergeEvolve,
+      Some(tradelogMergeEvolveOracle)),
     // CDF with delete rows: DV deltas read back as _change_type='delete',
     // post-sync additions as 'insert', insert+delete collapsing to nothing
     "q_tradelog_cdf" -> QueryDef(tradelogCdf, Some(tradelogCdfOracle)),
+    // CDF ACROSS a DV compaction: the retention sidecar serves the same
+    // two-branch answer the uncompacted twin computes from live history
+    "q_tradelog_cdf_compacted" -> QueryDef(tradelogCdfCompacted,
+      Some(tradelogCdfOracle)),
     // OPTIMIZE ZORDER: Morton-clustered rewrite preserves the digest
     "q_tradelog_optimize_z" -> QueryDef(tradelogOptimizeZ,
       Some(tradelogDigestOracle)),

@@ -53,13 +53,29 @@ object TradeLogOffset {
 final class TradeLogMicroBatchStream(path: String, wanted: Array[Int],
     xtypes: Array[org.apache.spark.sql.types.DataType],
     maxBlocksPerTrigger: Option[Int],
-    startingGeneration: Option[Long] = None)
+    startingGeneration: Option[Long] = None,
+    refName: Option[String] = None)
     extends MicroBatchStream with SupportsAdmissionControl
     with SupportsTriggerAvailableNow {
 
+  require(refName.isEmpty || startingGeneration.isEmpty,
+    "graft-tradelog: startingGeneration positions against MAIN's " +
+      "generation ledger — it cannot combine with a ref stream (a ref " +
+      "stream's checkpoint already owns its position)")
+
   /** The committed sequence at stream construction, seq-ascending (legacy
-    * flat logs normalize seq to manifest position — their append order). */
-  private lazy val blocks = TradeLogFormat.readManifest(path).toIndexedSeq
+    * flat logs normalize seq to manifest position — their append order).
+    * With `refName` (r19 verdict #5 — the WAP validation consumer): the
+    * REF head's sequence instead — a staged branch streams through the
+    * same offset/triage machinery, and because a fast-forward publish
+    * adopts the branch's blocks BY REFERENCE (seqs unchanged), a
+    * checkpoint that drained the branch carries over a publish without
+    * re-emission. */
+  private lazy val blocks = (refName match {
+    case Some(n) => TradeLogFormat.resolveBlocks(path,
+      TradeLogRefs.headInfo(path, n, refsOnly = true))
+    case None => TradeLogFormat.readManifest(path)
+  }).toIndexedSeq
   @volatile private var availableNowTarget: Option[Int] = None
 
   /** This stream's STARTING watermark — the checkpoint resume position

@@ -296,8 +296,11 @@ final class TradeLogCompactDeletesWrite(path: String, blockRows: Int,
       .sortBy(b => (b.file, b.offset)).toIndexedSeq
     val delisted = new java.util.concurrent.atomic.AtomicReference[
       Seq[String]](Seq.empty)
+    val droppedRef = new java.util.concurrent.atomic.AtomicReference[
+      Seq[BlockMeta]](Seq.empty)
     val committed = TradeLogFormat.commitManifest(path) { prevOpt =>
       delisted.set(Seq.empty) // reset per optimistic retry
+      droppedRef.set(Seq.empty)
       val prev = prevOpt.getOrElse(throw new IllegalStateException(
         s"graft-tradelog $path lost its manifest during a DV compaction"))
       val reuse = scala.collection.mutable.ArrayBuffer.empty[
@@ -334,6 +337,7 @@ final class TradeLogCompactDeletesWrite(path: String, blockRows: Int,
             "concurrent delete moved the target; re-run the compaction")
         val keptFiles = keptResolved.map(_.file).toSet
         delisted.set(dropped.map(_.file).distinct.filterNot(keptFiles).toSeq)
+        droppedRef.set(dropped.toSeq)
         // dataChange=false provenance: the fresh blocks RESTATE rows whose
         // original blocks' seqs span [srcMin, srcMax] — a seq-watermark
         // stream or changes-since diff positioned past the sources skips
@@ -350,6 +354,10 @@ final class TradeLogCompactDeletesWrite(path: String, blockRows: Int,
       }
     }
     if (committed.isEmpty) { abort(messages); return } // no-op: drop files
+    // CDF-retention sidecar: the dropped blocks' final DV state, keyed by
+    // the fold's generation (best-effort — see writeFoldSidecar)
+    committed.foreach(g =>
+      TradeLogFormat.writeFoldSidecar(path, g, droppedRef.get()))
     TradeLogFormat.journalDelisted(path, delisted.get(),
       System.currentTimeMillis())
     TradeLogFormat.vacuum(path, TradeLogFormat.dmlVacuumGraceMs())
@@ -412,8 +420,11 @@ final class TradeLogOptimizeWrite(path: String, blockRows: Int,
       .sortBy(b => (b.file, b.offset)).toIndexedSeq
     val delisted = new java.util.concurrent.atomic.AtomicReference[
       Seq[String]](Seq.empty)
+    val droppedRef = new java.util.concurrent.atomic.AtomicReference[
+      Seq[BlockMeta]](Seq.empty)
     val committed = TradeLogFormat.commitManifest(path) { prevOpt =>
       delisted.set(Seq.empty) // reset per optimistic retry
+      droppedRef.set(Seq.empty)
       val prev = prevOpt.getOrElse(throw new IllegalStateException(
         s"graft-tradelog $path lost its manifest during an OPTIMIZE"))
       if (prev.gen != expectGeneration) throw new IllegalStateException(
@@ -453,6 +464,7 @@ final class TradeLogOptimizeWrite(path: String, blockRows: Int,
             "not cover the scope; aborting the rewrite")
         val keptFiles = keptResolved.map(_.file).toSet
         delisted.set(dropped.map(_.file).distinct.filterNot(keptFiles).toSeq)
+        droppedRef.set(dropped.toSeq)
         // transitive provenance across prior replace commits (r19 advice)
         val (srcMin, srcMax) =
           TradeLogFormat.replaceProvenance(dropped.toSeq)
@@ -464,6 +476,8 @@ final class TradeLogOptimizeWrite(path: String, blockRows: Int,
       }
     }
     if (committed.isEmpty) { abort(messages); return } // no-op: drop files
+    committed.foreach(g =>
+      TradeLogFormat.writeFoldSidecar(path, g, droppedRef.get()))
     TradeLogFormat.journalDelisted(path, delisted.get(),
       System.currentTimeMillis())
     TradeLogFormat.vacuum(path, TradeLogFormat.dmlVacuumGraceMs())

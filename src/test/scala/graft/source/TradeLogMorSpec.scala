@@ -20,10 +20,11 @@ import graft.SparkTestBase
   *      changes-since reads stay coherent;
   *   3. the mask applies at SCAN time (batch and micro-batch streaming);
   *   4. the metadata-only ts tier still outranks MoR on covered ranges;
-  *   5. a FULLY-deleted block drops from the manifest and its
-  *      fully-dereferenced file honors the DML retention grace
-  *      (`graft.tradelog.dml.vacuum.grace.ms` — the r17-advice fix),
-  *      so time travel pinned before the DELETE keeps resolving;
+  *   5. a FULLY-deleted block RETAINS in the manifest (liveRows 0, the
+  *      Delta DV rule — r19 advice: CDF delete feeds must resolve it),
+  *      planning skips its file, and the next compaction folds it and
+  *      reclaims the file; time travel pinned before the DELETE keeps
+  *      resolving throughout;
   *   6. compaction ≡ masked read: folding vectors into rewritten blocks
   *      preserves content exactly, clears every vector, and is a no-op
   *      on a clean log;
@@ -658,6 +659,51 @@ class TradeLogMorSpec extends SparkTestBase {
     assert(normal.toSeq == Seq("insert"))
   }
 
+  test("MERGE × evolution: old blocks keep base width; images and inserts carry the new column") {
+    // r19 verdict #4 — the q_tradelog_merge_evolve mechanics the digest
+    // cannot see: after ALTER ADD COLUMNS, a MoR MERGE's matched rows
+    // become DV bits on UNREWRITTEN base-width blocks (nCols stays 6 —
+    // the old-block null fill is a READ-side union-schema property, not
+    // a rewrite), while the new images and inserts commit at the
+    // widened width with the source's xnote.
+    val dir = tmpDir("merge-evolve")
+    writeMorLog(dir, dayRows(1, 0) ++ dayRows(2, 10))
+    val s = dmlSession()
+    s.sql(s"ALTER TABLE ${sqlTable(dir)} ADD COLUMNS (xnote STRING)")
+    import s.implicits._
+    Seq((101L, 9.0, "a", "U"), (102L, 0.0, "b", "D"),
+        (110L, 7.0, "c", "I"))
+      .toDF("user_id", "value", "xnote", "op")
+      .createOrReplaceTempView("evolve_chg")
+    s.sql(
+      s"""MERGE INTO ${sqlTable(dir)} t USING evolve_chg c
+         |ON t.user_id = c.user_id
+         |WHEN MATCHED AND c.op = 'D' THEN DELETE
+         |WHEN MATCHED THEN UPDATE SET value = c.value, xnote = c.xnote
+         |WHEN NOT MATCHED AND c.op = 'I' THEN INSERT
+         |  (event_id, ts, user_id, event_type, value, props, xnote)
+         |  VALUES (99, TIMESTAMP '2024-01-03 00:00:00', c.user_id, 'tX',
+         |          c.value, 'pX', c.xnote)
+         |""".stripMargin)
+    val bs = blocks(dir)
+    val base = bs.filter(_.nCols == TradeLogFormat.BaseCols)
+    val wide = bs.filter(_.nCols == TradeLogFormat.BaseCols + 1)
+    assert(base.nonEmpty && wide.nonEmpty, s"expected both widths: $bs")
+    assert(base.forall(_.nDel > 0),
+      "matched rows must be DV bits on the UNREWRITTEN base blocks")
+    val got = spark.read.format(Fmt).load(dir)
+      .select("user_id", "value", "xnote").collect()
+      .map(r => (r.getLong(0), r.getDouble(1),
+        Option(r.getString(2)).getOrElse(""))).toSet
+    // 101 updated twice over (once per day block's copy) to (9, a);
+    // 102 deleted; 110 inserted with c; untouched rows null-fill
+    assert(got.filter(_._1 == 101L) == Set((101L, 9.0, "a")))
+    assert(!got.exists(_._1 == 102L))
+    assert(got.filter(_._1 == 110L) == Set((110L, 7.0, "c")))
+    assert(got.filter(t => t._1 == 100L || t._1 == 103L).forall(_._3 == ""),
+      s"old-block rows must null-fill the added column: $got")
+  }
+
   test("CDF reports a DELETE that fully masks a block — alignment-independent (r19 advice)") {
     val dir = tmpDir("cdf-full")
     // one 4-row block per day; day-1's block will be 100% masked while
@@ -680,31 +726,79 @@ class TradeLogMorSpec extends SparkTestBase {
       s"delete tracking must not depend on block alignment: $feed")
   }
 
-  test("CDF delete tracking refuses a fold of pre-sync content") {
+  test("CDF serves across a fold within retention; refuses only past it (r19 #3)") {
     val dir = tmpDir("cdf-fold")
+    val hconf = spark.sparkContext.hadoopConfiguration
+    hconf.setLong(GraceKey, 3600000L) // the data half of CDF retention
+    try {
+      spark.createDataFrame(
+          spark.sparkContext.parallelize(dayRows(1, 0), 1),
+          TradeLogFormat.schema)
+        .write.format(Fmt).mode("overwrite").option("blockRows", 4).save(dir)
+      TradeLogFormat.setDeleteMode(dir, "mor")
+      spark.createDataFrame(
+          spark.sparkContext.parallelize(dayRows(2, 10), 1),
+          TradeLogFormat.schema)
+        .write.format(Fmt).mode("append").option("blockRows", 4).save(dir)
+      val s = dmlSession()
+      s.sql(s"DELETE FROM ${sqlTable(dir)} WHERE user_id = 101")
+      TradeLogMaintenance.compactDeletes(spark, dir, blockRows = 4)
+      def read(since: Long, wct: Boolean): Seq[(String, Long)] =
+        spark.read.format(Fmt).option("changesSinceGeneration", since)
+          .option("withChangeTypes", wct).load(dir)
+          .select(col("_change_type"), col("event_id")).collect()
+          .map(r => (r.getString(0), r.getLong(1))).toSeq.sorted
+      // the plain diff legally skips the fold (restatement of pre-sync
+      // content) — unchanged contract
+      assert(read(3L, wct = false).map(_._2).isEmpty)
+      // DELETE TRACKING now serves from the retention sidecar: both
+      // post-sync deletes report although the fold destroyed the head's
+      // DV history (previously this refused)
+      assert(read(3L, wct = true) == Seq(("delete", 1L), ("delete", 11L)),
+        "the sidecar must recover the folded DV deltas")
+      // a diff synced BEFORE day 2 crosses a STRADDLING fold: day-2
+      // survivors emit from the dropped copies, day-1's delta pairs —
+      // the full two-branch answer across the fold
+      assert(read(1L, wct = true) == Seq(("delete", 1L), ("insert", 10L),
+        ("insert", 12L), ("insert", 13L)),
+        "a straddling fold must serve additions from the dropped copies")
+      // past retention: expireSnapshots sweeps the fold's sidecar with
+      // its generation. A tag keeps the SYNC snapshot alive while the
+      // fold generation expires — the sharpest shape, because without
+      // the vanished-base completeness guard this diff would silently
+      // under-report instead of refusing.
+      TradeLogRefs.createTag(dir, "sync3", Some(3L))
+      spark.createDataFrame(
+          spark.sparkContext.parallelize(dayRows(3, 20), 1),
+          TradeLogFormat.schema)
+        .write.format(Fmt).mode("append").option("blockRows", 4).save(dir)
+      TradeLogFormat.expireSnapshots(dir, keepLast = 1, sweepMinAgeMs = 0L)
+      val e = intercept[Exception] { read(3L, wct = true) }
+      assert(exceptionChain(e).exists(m => m.contains("sidecar") ||
+        m.contains("retention")), e)
+    } finally hconf.unset(GraceKey)
+  }
+
+  test("CDF across a fold refuses when the dropped data files were vacuumed") {
+    // grace 0: the fold's own vacuum reclaims the dropped files at
+    // commit — the sidecar survives but the DATA half of retention is
+    // gone, and the refusal must be a clean plan-time message, not a
+    // mid-scan FileNotFound
+    val dir = tmpDir("cdf-fold-vac")
     spark.createDataFrame(
         spark.sparkContext.parallelize(dayRows(1, 0), 1),
         TradeLogFormat.schema)
       .write.format(Fmt).mode("overwrite").option("blockRows", 4).save(dir)
     TradeLogFormat.setDeleteMode(dir, "mor")
-    spark.createDataFrame(
-        spark.sparkContext.parallelize(dayRows(2, 10), 1),
-        TradeLogFormat.schema)
-      .write.format(Fmt).mode("append").option("blockRows", 4).save(dir) // 3
     val s = dmlSession()
     s.sql(s"DELETE FROM ${sqlTable(dir)} WHERE user_id = 101")
     TradeLogMaintenance.compactDeletes(spark, dir, blockRows = 4)
-    def read(wct: Boolean) =
-      spark.read.format(Fmt).option("changesSinceGeneration", 3)
-        .option("withChangeTypes", wct).load(dir)
+    val e = intercept[Exception] {
+      spark.read.format(Fmt).option("changesSinceGeneration", 1)
+        .option("withChangeTypes", true).load(dir)
         .select("event_id").collect()
-    // the plain diff legally skips the fold (restatement of pre-sync
-    // content — the documented removal contract) ...
-    assert(read(wct = false).isEmpty)
-    // ... but DELETE TRACKING would silently under-report (the fold
-    // destroyed the post-sync DV delta), so it must refuse
-    val e = intercept[Exception] { read(wct = true) }
-    assert(exceptionChain(e).exists(_.contains("delete tracking")), e)
+    }
+    assert(exceptionChain(e).exists(_.contains("vacuum")), e)
   }
 
   test("(_file,_boff,_brow) is a 1:1 row id; the names are reserved") {

@@ -178,6 +178,57 @@ class TradeLogRefsSpec extends SparkTestBase {
       (0L to 3L) ++ (10L to 13L) ++ (20L to 23L))
   }
 
+  test("a ref stream audits the staged branch; publish is invisible to its checkpoint") {
+    // r19 verdict #5 — the WAP validation consumer: a micro-batch stream
+    // pinned to a branch drains base + staged content while MAIN is
+    // untouched; a fast-forward publish adopts the branch's blocks BY
+    // REFERENCE (seqs unchanged), so the stream's checkpoint carries
+    // over the publish with zero re-emission; later staged commits
+    // resume the same checkpoint incrementally.
+    val dir = tmpDir("refstream")
+    df(dayRows(1, 0)).write.format(Fmt).mode("overwrite")
+      .option("blockRows", 4).save(dir)
+    TradeLogRefs.createBranch(dir, "wap")
+    df(dayRows(2, 10)).write.format(Fmt).mode("append")
+      .option("branch", "wap").option("blockRows", 4).save(dir)
+    val ckpt = tmpDir("refstream-ckpt")
+    def drain(opts: Map[String, String], ck: String): Seq[Long] = {
+      val got = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+      val r0 = spark.readStream.format(Fmt)
+      val q = opts.foldLeft(r0) { case (b, (k, v)) => b.option(k, v) }
+        .load(dir)
+        .writeStream.outputMode("append")
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          b.collect().foreach(r => got.add(r.getLong(0))); ()
+        }
+        .option("checkpointLocation", ck)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(120000L)
+      import scala.jdk.CollectionConverters._
+      got.asScala.toSeq.sorted
+    }
+    // the branch stream sees base + staged; MAIN still serves base only
+    assert(drain(Map("ref" -> "wap"), ckpt) == (0L to 3L) ++ (10L to 13L))
+    assert(ids(dir) == (0L to 3L))
+    // publish fast-forwards main; the SAME checkpoint re-drained sees
+    // nothing — the adoption-by-reference exactly-once claim
+    TradeLogRefs.publish(dir, "wap")
+    assert(drain(Map("ref" -> "wap"), ckpt).isEmpty,
+      "a fast-forward publish must be invisible to the branch stream")
+    // a post-publish staged commit resumes the checkpoint incrementally
+    df(dayRows(3, 20)).write.format(Fmt).mode("append")
+      .option("branch", "wap").option("blockRows", 4).save(dir)
+    assert(drain(Map("ref" -> "wap"), ckpt) == (20L to 23L))
+    // a fresh MAIN stream post-publish serves the published state once
+    assert(drain(Map.empty, tmpDir("refstream-main-ckpt")) ==
+      (0L to 3L) ++ (10L to 13L))
+    // batch-only reads still refuse to stream
+    intercept[Exception] {
+      drain(Map("atGeneration" -> "1"), tmpDir("refstream-bad-ckpt"))
+    }
+  }
+
   test("createTag racing snapshot expiry never leaves a dangling tag (r19 advice)") {
     // both sides now double-check across the race window: createTag
     // re-validates the snapshot AFTER publishing (dropping the ref
