@@ -994,10 +994,15 @@ final class TradeLogScan(path: String, tableSchema: StructType,
       branchPin.map { case (n, g) => s", AtRef=$n@$g" }.getOrElse("") +
       changesSince.map(n => s", ChangesSinceGeneration=$n").getOrElse("") +
       (if (withChangeTypes) ", WithChangeTypes" else "")
+    // the maintenance read surfaces likewise (r19 verdict #2: the plan
+    // audit greps for them)
+    val maint = optimizeScope.map { case (lo, hi) =>
+        s", OptimizeScope=[$lo,$hi]" }.getOrElse("") +
+      (if (onlyDeleted) ", OnlyDeleted" else "")
     val shards =
       if (shardsTotal > 0) s", shards=$shardsRead/$shardsTotal" else ""
     s"GraftTradeLog path=$path, ReadSchema=${required.simpleString}, " +
-      s"PushedTsBounds=[$tsLo,$tsHi]$users$travel$shards, blocks=$sel"
+      s"PushedTsBounds=[$tsLo,$tsHi]$users$travel$maint$shards, blocks=$sel"
   }
 
   /** The blocks the batch ACTUALLY planned (set at planInputPartitions
