@@ -638,25 +638,30 @@ object TradeLogFormat {
     ()
   }
 
-  /** Every fold sidecar with generation > `sinceGen`, keyed by block
-    * identity. (file, offset) is unique across folds — fresh blocks
-    * always land in fresh files, so a block is dropped at most once. */
+  /** Every fold sidecar with generation > `sinceGen`, grouped per fold
+    * (the fold's own dropped set — what the per-span completeness
+    * equation needs under CHAINED folds, where raw span membership
+    * over-counts earlier lineage copies). Within and across groups,
+    * (file, offset) is unique — fresh blocks always land in fresh
+    * files, so a block is dropped at most once. */
   def readFoldSidecars(dir: String, sinceGen: Long)
-      : Map[(String, Long), BlockMeta] = {
+      : Seq[(Long, Seq[BlockMeta])] = {
     val (filesystem, root) = fs(dir)
     val mdir = new Path(root, ManifestDirName)
-    if (!filesystem.exists(mdir)) return Map.empty
+    if (!filesystem.exists(mdir)) return Seq.empty
     val re = "^fold-(\\d+)\\.csv$".r
     filesystem.listStatus(mdir).toSeq.flatMap { st =>
       re.findFirstMatchIn(st.getPath.getName) match {
         case Some(m) if m.group(1).toLong > sinceGen =>
           val in = filesystem.open(st.getPath)
-          try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
-            .filter(_.nonEmpty).map(BlockMeta.fromCsv).toList
-          finally in.close()
+          val bs =
+            try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+              .filter(_.nonEmpty).map(BlockMeta.fromCsv).toList
+            finally in.close()
+          Seq(m.group(1).toLong -> bs)
         case _ => Nil
       }
-    }.map(b => (b.file, b.offset) -> b).toMap
+    }.sortBy(_._1)
   }
 
   private def listSnapshotGens(filesystem: FileSystem, mdir: Path): Seq[Long] = {

@@ -694,11 +694,17 @@ final class TradeLogScan(path: String, tableSchema: StructType,
         val baseByKey = basePool.map(b => (b.file, b.offset) -> b).toMap
         val newInHead =
           headCand.filterNot(b => baseByKey.contains((b.file, b.offset)))
-        // a DELETE-tracking diff whose window crosses a fold of pre-sync
-        // content routes through the retention sidecar (r19 verdict #3);
-        // the plain diff's replace triage is exact without it
-        if (withChangeTypes &&
-            newInHead.exists(b => b.isReplace && b.srcMinSeq <= baseMax))
+        // a DELETE-tracking diff whose window crosses ANY fold of
+        // pre-sync content routes through the retention sidecar (r19
+        // verdict #3); a PLAIN diff's replace triage is exact without it
+        // except on a STRADDLING fold — there the sidecar serves the
+        // post-sync additions from the dropped copies instead of
+        // refusing (r20: within retention, every diff is answerable
+        // across maintenance)
+        if ((withChangeTypes &&
+              newInHead.exists(b => b.isReplace && b.srcMinSeq <= baseMax))
+            || newInHead.exists(b => b.isReplace &&
+              b.srcMinSeq <= baseMax && b.srcMaxSeq > baseMax))
           foldCrossingPlan(n, headCand, newInHead, basePool, baseByKey,
             baseMax)
         else {
@@ -742,7 +748,9 @@ final class TradeLogScan(path: String, tableSchema: StructType,
       newInHead: Seq[BlockMeta], basePool: Seq[BlockMeta],
       baseByKey: Map[(String, Long), BlockMeta], baseMax: Long)
       : (Seq[BlockMeta], Seq[BlockMeta]) = {
-    val sidecars = TradeLogFormat.readFoldSidecars(path, syncGen)
+    val sidecarGroups = TradeLogFormat.readFoldSidecars(path, syncGen)
+    val sidecars: Map[(String, Long), BlockMeta] = sidecarGroups
+      .flatMap(_._2).map(b => (b.file, b.offset) -> b).toMap
     def refuse(msg: String): Nothing = throw new IllegalStateException(
       s"graft-tradelog $path: $msg — consume changes before the fold " +
         "passes retention, or re-sync from the current head")
@@ -754,62 +762,81 @@ final class TradeLogScan(path: String, tableSchema: StructType,
     newInHead.foreach { b =>
       if (!b.isReplace) additions += b
       else if (b.srcMinSeq > baseMax) additions += b // only carrier
-      else if (b.srcMaxSeq <= baseMax) fullDvDelta(b).foreach(deletes += _)
+      else if (b.srcMaxSeq <= baseMax) {
+        if (withChangeTypes) fullDvDelta(b).foreach(deletes += _)
+      }
       else if (b.nDel > 0) refuse(
         s"block ${b.file}@${b.offset} restates a fold straddling the " +
           s"sync point (seqs [${b.srcMinSeq},${b.srcMaxSeq}]) and carries " +
           "post-fold deletes — row identity across the fold is untracked")
       // else: straddling, clean — content served from the sidecar below
     }
-    // 2. per-straddling-span completeness: restated rows must equal the
-    // sidecar's dropped live rows, else the sidecar is gone/partial
+    // 2. per-straddling-span completeness: the head's restated rows must
+    // equal some fold group's dropped live rows — matched by the span
+    // the group's content RE-DERIVES (raw span membership over-counts
+    // under chains: an earlier lineage copy's seq can sit inside a later
+    // fold's transitive span without belonging to that fold)
     newInHead.filter(b => b.isReplace && b.srcMinSeq <= baseMax &&
         b.srcMaxSeq > baseMax)
       .groupBy(b => (b.srcMinSeq, b.srcMaxSeq)).foreach {
         case ((lo, hi), bs) =>
           val restated = bs.map(_.nRows.toLong).sum
-          val droppedLive = sidecars.values
-            .filter(d => d.seq >= lo && d.seq <= hi)
-            .map(_.liveRows.toLong).sum
-          if (restated != droppedLive) refuse(
-            s"the fold of seqs [$lo,$hi] restates $restated rows but the " +
-              s"retention sidecar resolves $droppedLive — the sidecar " +
-              "was swept or the fold predates it")
+          val matched = sidecarGroups.exists { case (_, g) =>
+            g.nonEmpty &&
+              TradeLogFormat.replaceProvenance(g) == ((lo, hi)) &&
+              g.map(_.liveRows.toLong).sum == restated
+          }
+          if (!matched) refuse(
+            s"the fold of seqs [$lo,$hi] restates $restated rows but no " +
+              "retention sidecar resolves that span and count — the " +
+              "sidecar was swept or the fold predates it")
       }
-    // 3. sidecar blocks: recover what the folds destroyed
-    sidecars.values.toSeq.sortBy(_.seq).foreach { d =>
+    // 3. sidecar blocks: recover what the folds destroyed. Content
+    // LINEAGE rule for chains (fold of a fold): each post-sync row must
+    // emit from the LATEST dropped copy of its lineage — a sidecar block
+    // is SUPERSEDED (and skipped) when a later restatement of it is
+    // itself servable: a head post-sync-only replace, or another sidecar
+    // replace whose span covers its seq. A head STRADDLING replace never
+    // supersedes — serving from the dropped copies IS its route.
+    val sideBlocks = sidecars.values.toSeq.sortBy(_.seq)
+    def superseded(d: BlockMeta): Boolean =
+      newInHead.exists(h => h.isReplace && h.srcMinSeq > baseMax &&
+        d.seq >= h.srcMinSeq && d.seq <= h.srcMaxSeq) ||
+      sideBlocks.exists(r => r.isReplace && (r ne d) &&
+        d.seq >= r.srcMinSeq && d.seq <= r.srcMaxSeq)
+    sideBlocks.foreach { d =>
       if (d.isReplace && d.srcMinSeq <= baseMax && d.srcMaxSeq > baseMax)
         refuse(s"block ${d.file}@${d.offset} is a straddling restatement " +
           "that was itself folded again (chained folds inside the diff " +
           "window)")
-      else if (baseByKey.contains((d.file, d.offset)))
+      else if (baseByKey.contains((d.file, d.offset))) {
         // vanished pre-sync base block: the delta accrued sync→fold
-        dvDeltaBlock(d, baseByKey((d.file, d.offset)))
+        if (withChangeTypes) dvDeltaBlock(d, baseByKey((d.file, d.offset)))
           .foreach(deletes += _)
-      else if (d.isReplace && d.srcMaxSeq <= baseMax)
+      }
+      else if (d.isReplace && d.srcMaxSeq <= baseMax) {
         // intermediate pre-sync restatement dropped by a later fold: its
         // whole DV accrued post-sync
-        fullDvDelta(d).foreach(deletes += _)
-      else if (!d.isReplace && d.seq > baseMax) {
-        // post-sync content folded away — the dropped copy is the only
-        // carrier IF its restatement straddles (otherwise the head's
-        // post-sync replace already serves it)
-        val servedByHead = newInHead.exists(h => h.isReplace &&
-          h.srcMinSeq > baseMax && d.seq >= h.srcMinSeq &&
-          d.seq <= h.srcMaxSeq)
-        if (!servedByHead && d.liveRows > 0) additions += d
+        if (withChangeTypes) fullDvDelta(d).foreach(deletes += _)
+      }
+      else if (d.seq > baseMax && (!d.isReplace || d.srcMinSeq > baseMax)) {
+        // post-sync content (original or an entirely-post-sync
+        // restatement of it) folded away — the dropped copy carries it
+        // unless a later servable restatement supersedes it
+        if (!superseded(d) && d.liveRows > 0) additions += d
       }
       // pre-sync non-replace sidecar blocks absent from basePool cannot
-      // arise (their sync-point shard would have resolved them); post-sync
-      // replaces inside a post-sync head span were collapsed inserts
+      // arise (their sync-point shard would have resolved them)
     }
-    // 4. completeness for VANISHED pre-sync base blocks: one that was
+    // 4. completeness for VANISHED pre-sync base blocks (delete-tracking
+    // only — a plain diff's removals are not change rows): one that was
     // folded (covered by a replace span) but has no sidecar entry means
     // the sidecar was swept — refusing here is what keeps "no silent
     // under-report" when no straddling span exists to catch it
     val headKeys = headCand.map(b => (b.file, b.offset)).toSet
     val spans = (newInHead ++ sidecars.values).filter(_.isReplace)
       .map(b => (b.srcMinSeq, b.srcMaxSeq))
+    if (withChangeTypes)
     basePool.filterNot(b => headKeys((b.file, b.offset))).foreach { b =>
       if (!sidecars.contains((b.file, b.offset)) &&
           spans.exists(s => b.seq >= s._1 && b.seq <= s._2)) refuse(
@@ -831,8 +858,9 @@ final class TradeLogScan(path: String, tableSchema: StructType,
             "of CDF retention)")
       }
     // existing both-sides DV pairing still applies untouched
-    headCand.foreach(b => baseByKey.get((b.file, b.offset))
-      .flatMap(dvDeltaBlock(b, _)).foreach(deletes += _))
+    if (withChangeTypes)
+      headCand.foreach(b => baseByKey.get((b.file, b.offset))
+        .flatMap(dvDeltaBlock(b, _)).foreach(deletes += _))
     (additions.sortBy(_.seq).toSeq, deletes.sortBy(_.seq).toSeq)
   }
 

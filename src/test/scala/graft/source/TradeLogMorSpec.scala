@@ -571,7 +571,13 @@ class TradeLogMorSpec extends SparkTestBase {
     assert(e.getMessage.contains("replace commit"), e.getMessage)
   }
 
-  test("changes-since skips a compaction's restatement, serves a post-sync fold, refuses a straddle") {
+  test("changes-since skips a compaction's restatement, serves a post-sync fold, serves a straddle from the sidecar") {
+    val hconf = spark.sparkContext.hadoopConfiguration
+    hconf.setLong(GraceKey, 3600000L) // keep dropped files for the serve
+    try { changesAcrossFolds() } finally hconf.unset(GraceKey)
+  }
+
+  private def changesAcrossFolds(): Unit = {
     val dir = tmpDir("cdf-compact")
     // gen 1: day 1; gen 2: day 2 appended
     spark.createDataFrame(
@@ -609,12 +615,13 @@ class TradeLogMorSpec extends SparkTestBase {
     TradeLogMaintenance.compactDeletes(spark, dir, blockRows = 4)
     assert(changes(2L).isEmpty,
       "a chained fold of pre-sync content must stay invisible to the diff")
-    // …while a sync point INSIDE the folded span still refuses loudly:
-    // gen 1 saw day-1 (seq 0) but not day-2 (seq 1), and the fold merged
-    // both into one block — no exact answer exists
-    val e = intercept[Exception] { changes(1L) }
-    assert(exceptionChain(e).exists(_.contains("straddles the sync point")),
-      s"a straddling fold must fail the diff loudly: $e")
+    // …and a sync point INSIDE the folded span — which has no exact
+    // block-level answer from the head alone — is served from the
+    // retention sidecar (r20): the post-sync lineage's LATEST dropped
+    // copy carries the additions (day-2's survivors after both deletes,
+    // through a fold-of-a-fold chain), day-1's restatement is skipped
+    assert(changes(1L).sorted == Seq(10L, 13L),
+      "a straddling fold must serve the post-sync additions exactly")
   }
 
   private def exceptionChain(e: Throwable): Seq[String] =
