@@ -95,19 +95,78 @@ final class TradeLogMicroBatchStream(path: String, wanted: Array[Int],
     startWatermark
   }
 
-  /** Should the batch spanning [start, …) emit this block? Data-change
-    * blocks always; replace blocks per the [[startWatermark]] triage. */
-  private def emits(b: TradeLogFormat.BlockMeta, w0: Long): Boolean =
-    if (!b.isReplace) true
-    else if (b.srcMaxSeq < w0) false // restates fully-consumed rows
-    else if (b.srcMinSeq >= w0) true // sources never consumed by this query
-    else throw new IllegalStateException(
-      s"graft-tradelog $path: block ${b.file}@${b.offset} was written by a " +
-        s"replace commit folding seqs [${b.srcMinSeq},${b.srcMaxSeq}], and " +
-        s"this stream's position ($w0) sits inside that range — part of " +
-        "the replaced rows were already emitted, so the stream cannot " +
-        "resume exactly-once across the rewrite; restart it from a fresh " +
-        "checkpoint (or run maintenance only on fully-consumed data)")
+  private def straddleRefusal(b: TradeLogFormat.BlockMeta, w0: Long,
+      extra: String): Nothing = throw new IllegalStateException(
+    s"graft-tradelog $path: block ${b.file}@${b.offset} was written by a " +
+      s"replace commit folding seqs [${b.srcMinSeq},${b.srcMaxSeq}], and " +
+      s"this stream's position ($w0) sits inside that range — part of " +
+      "the replaced rows were already emitted" + extra + "; restart it " +
+      "from a fresh checkpoint (or run maintenance only on " +
+      "fully-consumed data)")
+
+  /** All fold sidecars (the CDF-retention artifact, r20 — reused here as
+    * the stream's straddle-recovery source). */
+  private lazy val sidecarGroups = TradeLogFormat.readFoldSidecars(path, -1L)
+
+  /** A replace block whose fold STRADDLES the stream's position: serve
+    * the never-consumed half from the fold's retention sidecar — the
+    * dropped copies with seq at-or-above the position are exactly the
+    * rows this query has not emitted, and their seqs/masks are the
+    * pre-fold state the position was measured against. Served ONCE per
+    * span, at the span group's lowest-seq block (later group members
+    * plan nothing — deterministic across retries and restarts, since a
+    * later run's position is past the span's sources and triages to a
+    * plain skip). Refuses loudly (never silent dup/loss) when: the
+    * restatement carries post-fold deletes (row identity across the fold
+    * is untracked, and emitting pre-fold copies would resurrect them);
+    * no sidecar group re-derives the span with matching row counts
+    * (retention passed); a folded restatement itself straddles the
+    * position (chained straddle); or a needed data file was vacuumed. */
+  private def straddleService(k: TradeLogFormat.BlockMeta, w0: Long)
+      : Seq[TradeLogFormat.BlockMeta] = {
+    val span = (k.srcMinSeq, k.srcMaxSeq)
+    val group = blocks.filter(x => x.isReplace &&
+      x.srcMinSeq == span._1 && x.srcMaxSeq == span._2)
+    if (k.seq != group.map(_.seq).min) return Seq.empty // span already served
+    if (group.exists(_.nDel > 0)) straddleRefusal(k, w0,
+      " and the restatement carries post-fold deletes the pre-fold " +
+        "copies cannot reflect")
+    val restated = group.map(_.nRows.toLong).sum
+    val side = sidecarGroups.find { case (_, g) =>
+      g.nonEmpty && TradeLogFormat.replaceProvenance(g) == span &&
+        g.map(_.liveRows.toLong).sum == restated
+    }.getOrElse(straddleRefusal(k, w0,
+      " and no retention sidecar resolves the fold (swept, or the fold " +
+        "predates sidecars)"))._2
+    val copies = side.flatMap { d =>
+      if (d.isReplace && d.srcMinSeq < w0 && d.srcMaxSeq >= w0)
+        straddleRefusal(d, w0, " (a folded restatement itself straddles)")
+      else if (d.isReplace && d.srcMaxSeq < w0) None // consumed restatement
+      else if (!d.isReplace && d.seq < w0) None // consumed
+      else if (d.liveRows > 0) Some(d)
+      else None
+    }
+    // the data half of retention, checked at plan time for a clean error
+    val (fsys, root) = TradeLogFormat.fs(path)
+    copies.map(_.file).distinct.foreach { f =>
+      if (!fsys.exists(new org.apache.hadoop.fs.Path(root, f)))
+        straddleRefusal(k, w0,
+          s" and the dropped copy $f was already vacuumed (the DML " +
+            "vacuum grace bounds straddle recovery)")
+    }
+    copies
+  }
+
+  /** What the batch spanning [start, …) emits FOR this block: itself
+    * (data-change, or a restatement of never-consumed rows), nothing
+    * (restatement of consumed rows; a span already served), or the
+    * sidecar copies standing in for a straddling restatement. */
+  private def emitsFor(b: TradeLogFormat.BlockMeta, w0: Long)
+      : Seq[TradeLogFormat.BlockMeta] =
+    if (!b.isReplace) Seq(b)
+    else if (b.srcMaxSeq < w0) Seq.empty // restates fully-consumed rows
+    else if (b.srcMinSeq >= w0) Seq(b) // sources never consumed
+    else straddleService(b, w0)
 
   /** Number of blocks below a seq watermark (blocks is seq-ascending). */
   private def idxOf(watermark: Long): Int = {
@@ -181,8 +240,9 @@ final class TradeLogMicroBatchStream(path: String, wanted: Array[Int],
     val b = idxOf(end.asInstanceOf[TradeLogOffset].block)
     // replace-commit blocks (DV compaction / OPTIMIZE restatements) still
     // OCCUPY their seqs — the watermark advances past a skipped one, it
-    // just plans no partition (the Delta dataChange=false skip)
-    blocks.slice(a, b).filter(emits(_, w0))
+    // just plans no partition (the Delta dataChange=false skip); a
+    // STRADDLING restatement substitutes its sidecar copies (r20)
+    blocks.slice(a, b).flatMap(emitsFor(_, w0))
       .groupBy(_.file).toSeq.sortBy(_._1).map {
         case (_, bs) => TradeLogPartition(path, bs.sortBy(_.offset))
       }.toArray

@@ -551,6 +551,51 @@ class TradeLogMorSpec extends SparkTestBase {
       s"a fresh stream must read survivors exactly once: $fresh")
   }
 
+  test("a stream resumed INSIDE a replaced range serves the unconsumed half from the sidecar (r20)") {
+    // the last maintenance-vs-consumer refusal lifted: a checkpoint that
+    // consumed day-1 only, resumed AFTER a fold of day-1+day-2 (a span
+    // straddling its position), must emit exactly day-2's survivors
+    // from the fold's dropped copies — no duplication of day-1, no loss
+    // of day-2, and a second resume drains empty.
+    val dir = tmpDir("stream-straddle-serve") + "/log"
+    val hconf = spark.sparkContext.hadoopConfiguration
+    hconf.setLong(GraceKey, 3600000L)
+    try {
+      spark.createDataFrame(
+          spark.sparkContext.parallelize(dayRows(1, 0), 1),
+          TradeLogFormat.schema)
+        .write.format(Fmt).mode("overwrite").option("blockRows", 4).save(dir)
+      val ckpt = tmpDir("straddle-serve-ckpt")
+      def drainCkpt(): Seq[Long] = {
+        val got = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+        val q = spark.readStream.format(Fmt).load(dir)
+          .writeStream.outputMode("append")
+          .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+            b.collect().foreach(r => got.add(r.getLong(0))); ()
+          }
+          .option("checkpointLocation", ckpt)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination(120000L)
+        import scala.jdk.CollectionConverters._
+        got.asScala.toSeq.sorted
+      }
+      assert(drainCkpt() == (0L to 3L)) // day-1 consumed; position = 1
+      spark.createDataFrame(
+          spark.sparkContext.parallelize(dayRows(2, 10), 1),
+          TradeLogFormat.schema)
+        .write.format(Fmt).mode("append").option("blockRows", 4).save(dir)
+      TradeLogFormat.setDeleteMode(dir, "mor")
+      val s = dmlSession()
+      s.sql(s"DELETE FROM tlog.`$dir` WHERE user_id = 101") // masks both days
+      // the fold's span [0,1] straddles the checkpoint's position 1
+      TradeLogMaintenance.compactDeletes(spark, dir, blockRows = 4)
+      assert(drainCkpt() == Seq(10L, 12L, 13L),
+        "the resume must emit exactly day-2's survivors from the copies")
+      assert(drainCkpt().isEmpty, "a second resume must drain empty")
+    } finally hconf.unset(GraceKey)
+  }
+
   test("a stream positioned INSIDE a replaced seq range fails loudly (no silent dup/loss)") {
     val dir = tmpDir("stream-straddle")
     writeMorLog(dir, dayRows(1, 0) ++ dayRows(2, 10) ++ dayRows(3, 20))
