@@ -22,7 +22,10 @@ import org.apache.spark.sql.connector.read.streaming._
   * the stream SKIPS them when their sources sit below its starting
   * watermark — the Delta dataChange=false / Iceberg skip-REPLACE rule —
   * so a resumed consumer never re-receives compacted survivors (r18
-  * advice). Only TRUNCATE resets the sequence — a new content identity
+  * advice); a fold STRADDLING the position serves its never-consumed
+  * half from the retention sidecar within the retention window (r20 —
+  * see straddleService) and refuses loudly past it. Only TRUNCATE
+  * resets the sequence — a new content identity
   * that voids any prior stream's checkpoint lineage by design (the
   * startingGeneration consistency check catches a truncate interposed
   * under a fresh sync point). */
