@@ -32,6 +32,8 @@ object Dedup {
     * exchange; the 16-byte hash + length shuffles ~0.1% of that with a
     * collision probability (even md5 alone, 500B docs) below 1e-17. */
   def exact(s: SparkSession, d: String): DataFrame =
+    // not fanned out: one md5 per doc is cheaper than the added exchange
+    // (measured 0.15→0.52 median with a fan; shingle chains differ)
     Tables.documents(s, d)
       .select(md5(col("text").cast("binary")).as("ck"),
         length(col("text")).as("cl"), col("doc_id"))
@@ -58,7 +60,7 @@ object Dedup {
     * .writeBucketed]]) where the anti-join co-locates with zero shuffle
     * instead. Key is (md5, length) as in [[exact]]. */
   def incremental(s: SparkSession, d: String): DataFrame = {
-    val keyed = Tables.documents(s, d)
+    val keyed = Tables.documents(s, d) // md5-only pass: fan-out not worth it (see exact)
       .select(col("doc_id"), md5(col("text").cast("binary")).as("ck"),
         length(col("text")).cast("bigint").as("cl"))
     val batch  = keyed.filter(pmod(col("doc_id"), lit(5)) === 4)
@@ -143,7 +145,8 @@ object Dedup {
       corpusDocs: DataFrame, threshold: Double = 0.8,
       bands: Int = 4, rows: Int = 3): DataFrame = {
     graft.expr.GraftFunctions.register(s)
-    val shC = corpusDocs
+    // fanOut: the nearPairsUnordered rationale (1-task corpus band pass)
+    val shC = graft.core.QueryDef.fanOut(corpusDocs)
       .select(col("doc_id"), TextStats.tokens(col("text")).as("toks"))
       .select(col("doc_id"), TextStats.shinglesExpr("toks").as("sh"))
       .filter(size(col("sh")) > 0)
@@ -161,7 +164,8 @@ object Dedup {
       batchDocs: DataFrame, corpusDocs: DataFrame, bandC: DataFrame,
       threshold: Double = 0.8, bands: Int = 4, rows: Int = 3): DataFrame = {
     graft.expr.GraftFunctions.register(s)
-    val shB = batchDocs
+    // fanOut: the nearPairsUnordered rationale, increment side
+    val shB = graft.core.QueryDef.fanOut(batchDocs)
       .select(col("doc_id"), TextStats.tokens(col("text")).as("toks"))
       .select(col("doc_id"), TextStats.shinglesExpr("toks").as("sh"))
       .filter(size(col("sh")) > 0)
@@ -318,7 +322,9 @@ object Dedup {
     // or none, and racing sessions never read a half-replaced one
     graft.core.Artifacts.publishOnce(s, bandPath) { staging =>
       graft.expr.GraftFunctions.register(s)
-      val shC = corpus
+      // fanOut: the nearPairsUnordered rationale (build-once, but the
+      // first build's corpus band pass was 1-task)
+      val shC = graft.core.QueryDef.fanOut(corpus)
         .select(col("doc_id"), TextStats.tokens(col("text")).as("toks"))
         .select(col("doc_id"), TextStats.shinglesExpr("toks").as("sh"))
         .filter(size(col("sh")) > 0)
@@ -371,9 +377,12 @@ object Dedup {
   private[llm] def ccStreamedStats(s: SparkSession, d: String,
       threshold: Double = 0.8, nFiles: Int = 4): (DataFrame, Int) = {
     val docs = Tables.documents(s, d)
-    val tmp = Tables.stageDir(s,
-      s"cc_str_${d.replaceAll("[^A-Za-z0-9.]", "_")}")
-    docs.repartition(nFiles).write.mode("overwrite").parquet(tmp)
+    // build-once staged layout (r20 opt): the 4-file split is a pure
+    // function of the corpus — re-writing it per run put a corpus write
+    // inside every timed run of this bridge
+    val tmp = Tables.stageOnce(s, s"cc_str_f$nFiles", d, "documents") { p =>
+      docs.repartition(nFiles).write.mode("overwrite").parquet(p)
+    }
     val labels =
       new java.util.concurrent.atomic.AtomicReference[DataFrame](null)
     val seenBands =
@@ -383,7 +392,9 @@ object Dedup {
         .option("maxFilesPerTrigger", 1).parquet(tmp)
     } { (bs, batch, _) =>
       graft.expr.GraftFunctions.register(bs)
-      val shB = batch
+      // fanOut: each micro-batch is ONE staged file → 1-task shingle+band
+      // pass per batch without it (the nearPairsUnordered rationale)
+      val shB = graft.core.QueryDef.fanOut(batch)
         .select(col("doc_id"), TextStats.tokens(col("text")).as("toks"))
         .select(col("doc_id"), TextStats.shinglesExpr("toks").as("sh"))
         .filter(size(col("sh")) > 0)
@@ -563,7 +574,7 @@ object Dedup {
     val B = 1L << 40
     val canon = trim(regexp_replace(
       regexp_replace(lower(col("text")), "[^a-z0-9 ]", " "), " +", " "))
-    Tables.documents(s, d)
+    Tables.documents(s, d) // md5-only pass: fan-out not worth it (see exact)
       .select(md5(canon.cast("binary")).as("fp"), col("doc_id"), col("n_chars"))
       .groupBy(col("fp"))
       .agg(count(lit(1)).as("dups"),
@@ -594,7 +605,7 @@ object Dedup {
 
   /** Bag-of-words fingerprint dedup (order-insensitive exact dedup). */
   def fingerprint(s: SparkSession, d: String): DataFrame =
-    Tables.documents(s, d)
+    graft.core.QueryDef.fanOut(Tables.documents(s, d)) // 1-task md5 pass otherwise
       .withColumn("fp",
         md5(array_join(sort_array(array_distinct(TextStats.tokens(col("text")))), " ")
           .cast("binary")))
@@ -672,7 +683,11 @@ object Dedup {
   private[llm] def nearPairsUnordered(docs: DataFrame, threshold: Double = 0.8,
       bands: Int = 4, rows: Int = 3, maxBucket: Option[Int] = None): DataFrame = {
     graft.expr.GraftFunctions.register(docs.sparkSession)
-    val docsTok = docs
+    // fanOut (r20 opt): one-row-group corpus → the tokenize+shingle+
+    // minhash band pass ran as ONE task (JobProfile: 1.96 s single-task
+    // job inside q_dedup_cc); round-robin split is a no-op at corpus
+    // scale and the chain's broadcast-join strategies are unchanged
+    val docsTok = graft.core.QueryDef.fanOut(docs)
       .select(col("doc_id"), TextStats.tokens(col("text")).as("toks"))
     val sh = docsTok
       .select(col("doc_id"), TextStats.shinglesExpr("toks").as("sh"))
@@ -762,7 +777,8 @@ object Dedup {
   private[llm] def ngramPairsFor(docs: DataFrame, threshold: Double,
       maxDf: Int, minShared: Int): DataFrame = {
     graft.expr.GraftFunctions.register(docs.sparkSession)
-    val docsTok = docs
+    // fanOut: the nearPairsUnordered rationale (1-task gram/md5 pass)
+    val docsTok = graft.core.QueryDef.fanOut(docs)
       .select(col("doc_id"), TextStats.tokens(col("text")).as("toks"))
     val sh = docsTok
       .select(col("doc_id"), TextStats.shinglesExpr("toks").as("sh"))
@@ -902,7 +918,8 @@ object Dedup {
   private[llm] def containPairsFrom(docs: DataFrame, threshold: Double,
                                     maxDf: Int, minShared: Int): DataFrame = {
     graft.expr.GraftFunctions.register(docs.sparkSession)
-    val docsTok = docs
+    // fanOut: the nearPairsUnordered rationale (1-task gram/md5 pass)
+    val docsTok = graft.core.QueryDef.fanOut(docs)
       .select(col("doc_id"), TextStats.tokens(col("text")).as("toks"))
     val sh = docsTok
       .select(col("doc_id"), TextStats.shinglesExpr("toks").as("sh"))
@@ -981,7 +998,8 @@ object Dedup {
   private[llm] def substrPairsFrom(docs: DataFrame, n: Int,
                                    maxDf: Int): DataFrame = {
     graft.expr.GraftFunctions.register(docs.sparkSession)
-    val docsTok = docs
+    // fanOut: the nearPairsUnordered rationale (1-task gram/md5 pass)
+    val docsTok = graft.core.QueryDef.fanOut(docs)
       .select(col("doc_id"), TextStats.tokens(col("text")).as("toks"))
     val sp = docsTok.filter(size(col("toks")) >= n)
       .select(col("doc_id"), expr(s"word_shingles(toks, $n, true)").as("sp"))
@@ -1551,7 +1569,8 @@ object Dedup {
     * vote via explode → 32 conditional sums (map-side partial agg), sign →
     * bit. Near-identical token sets → tiny Hamming distance. */
   def simhashDocs(s: SparkSession, d: String): DataFrame = {
-    val ex = Tables.documents(s, d)
+    // fanOut: the nearPairsUnordered rationale (1-task token/md5 pass)
+    val ex = graft.core.QueryDef.fanOut(Tables.documents(s, d))
       .select(col("doc_id"),
         explode(array_distinct(TextStats.tokens(col("text")))).as("tok"))
       // conv(hex, 16, 10) of 8 hex chars fits a long exactly
@@ -1684,6 +1703,9 @@ object Dedup {
     def dot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
       call_function("vec_dot", a, b) // native codegen loop (expr.VectorExprs)
     // pre-normalize ONCE (n rows) so pair verification is a single dot
+    // (not fanned out: measured q_embed_clusters 2.69→3.34 median with a
+    // blanket fan — the per-row work here is a handful of native dots,
+    // cheaper than the added exchange; the contraction loop dominates)
     val all = Tables.embeddings(s, d)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("e0"))
       .select(col("vec_id"),

@@ -45,6 +45,13 @@ object Similarity {
 
   private[llm] def vecs(s: SparkSession, d: String): DataFrame = {
     graft.expr.GraftFunctions.register(s)
+    // NOT fanned out (r20 opt, measured): a blanket QueryDef.fanOut here
+    // parallelized the heavy encode/recon stages but ALSO inserted the
+    // round-robin exchange into every tiny Lloyd-round aggregation and
+    // broadcast build — net REGRESSION (q_sim_ivfpq 3.98→5.77 median).
+    // The fan-out lives at the one measured hot spot instead: the
+    // interpreted PQ encode/reconstruction corpus pass
+    // (SimilarityPq.coded / reconFromCodes).
     Tables.embeddings(s, d)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
   }

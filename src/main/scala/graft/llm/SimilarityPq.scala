@@ -160,7 +160,15 @@ object SimilarityPq {
                     trainOn: Option[DataFrame] = None,
                     hexLt: String = trainHexLt,
                     pin: Boolean = false): DataFrame =
-    encodeWith(df,
+    // fanOut on the ENCODE side only (r20 opt): the driver parquet is one
+    // row group, so the m-argmin encode and the interpreted recon
+    // projection above it ran as ONE task (JobProfile: 1.3 s single-task
+    // job inside q_sim_ivfpq). Training stays on the raw un-fanned frame
+    // — a blanket fan at the vecs source pushed the exchange into every
+    // tiny Lloyd-round aggregation and measured a net regression. The
+    // guarded round-robin split vanishes at corpus scale (QueryDef.fanOut
+    // contract), keeping the zero-content-shuffle doctrine intact.
+    encodeWith(graft.core.QueryDef.fanOut(df),
       codebooksRow(trainOn.getOrElse(df), msub, kse, rounds, hexLt, pin), msub)
 
   /** Encode `df`'s vectors against an ALREADY-BUILT codebook row — split
@@ -507,7 +515,10 @@ object SimilarityPq {
     def recon = concat((1 to msub).map(j =>
       element_at(filter(element_at(col("cm"), lit(j)),
         s => s("cid") === col(s"c$j")), 1)("ce")): _*)
-    codes.crossJoin(broadcast(cbRow))
+    // fanOut: the [[coded]] rationale, serve side — the persisted codes
+    // land in a handful of bucket files, so the interpreted recon pass
+    // otherwise runs on as few tasks
+    graft.core.QueryDef.fanOut(codes).crossJoin(broadcast(cbRow))
       .select(keep.map(col) ++ Seq(col("vec_id"), recon.as("recon"),
         sqrt(call_function("vec_dot", recon, recon)).as("rnrm")): _*)
   }

@@ -737,9 +737,10 @@ object TextStats {
   private[llm] def heavyHittersStreamedStats(s: SparkSession, d: String,
       k: Int = 20, rowsD: Int = 4, w: Int = 256): (DataFrame, Int) = {
     val docs = Tables.documents(s, d)
-    val tmp = Tables.stageDir(s,
-      s"hh_str_${d.replaceAll("[^A-Za-z0-9.]", "_")}")
-    docs.repartition(4).write.mode("overwrite").parquet(tmp)
+    // build-once staged layout (r20 opt, Tables.stageOnce rationale)
+    val tmp = Tables.stageOnce(s, "hh_str", d, "documents") { p =>
+      docs.repartition(4).write.mode("overwrite").parquet(p)
+    }
     val grid = new java.util.concurrent.atomic.AtomicReference[DataFrame](null)
     val batches = Tables.runStreamFold(s, "hh_streamed_") { cs =>
       cs.readStream.schema(docs.schema)

@@ -654,9 +654,10 @@ object Relational {
     val ev = Tables.events(s, d)
     val purchases = ev.filter(col("event_type") === "purchase")
       .select(col("user_id"), col("ts"), col("event_id").as("p_id"))
-    val tmp = Tables.stageDir(s,
-      s"asof_str_${d.replaceAll("[^A-Za-z0-9.]", "_")}")
-    purchases.repartition(4).write.mode("overwrite").parquet(tmp)
+    // build-once staged layout (r20 opt, Tables.stageOnce rationale)
+    val tmp = Tables.stageOnce(s, "asof_str", d, "events") { p =>
+      purchases.repartition(4).write.mode("overwrite").parquet(p)
+    }
     Tables.runStreamForeachBatch(s, "asof_streamed_") { cs =>
       cs.readStream.schema(purchases.schema)
         .option("maxFilesPerTrigger", 1).parquet(tmp)

@@ -483,10 +483,11 @@ object Stats {
   private[queries] def cdcStreamedStats(s: SparkSession, d: String)
       : (DataFrame, Int) = {
     val ev = Tables.events(s, d)
-    val tmp = Tables.stageDir(s,
-      s"cdc_str_${d.replaceAll("[^A-Za-z0-9.]", "_")}")
-    ev.filter(pmod(col("event_id"), lit(5)) >= 3)
-      .repartition(4).write.mode("overwrite").parquet(tmp)
+    // build-once staged layout (r20 opt, Tables.stageOnce rationale)
+    val tmp = Tables.stageOnce(s, "cdc_str", d, "events") { p =>
+      ev.filter(pmod(col("event_id"), lit(5)) >= 3)
+        .repartition(4).write.mode("overwrite").parquet(p)
+    }
     val state = new java.util.concurrent.atomic.AtomicReference[DataFrame](null)
     val batches = Tables.runStreamFold(s, "cdc_streamed_") { cs =>
       cs.readStream.schema(ev.schema)
@@ -521,10 +522,12 @@ object Stats {
     * change log. */
   def cdcSinkStreamed(s: SparkSession, d: String): DataFrame = {
     val ev = Tables.events(s, d)
-    val stage = Tables.stageDir(s,
-      s"cdc_sink_src_${d.replaceAll("[^A-Za-z0-9.]", "_")}")
-    ev.filter(pmod(col("event_id"), lit(5)) >= 3)
-      .repartition(4).write.mode("overwrite").parquet(stage)
+    // build-once staged layout (r20 opt, Tables.stageOnce rationale);
+    // only the SINK dir below must stay fresh per run
+    val stage = Tables.stageOnce(s, "cdc_sink_src", d, "events") { p =>
+      ev.filter(pmod(col("event_id"), lit(5)) >= 3)
+        .repartition(4).write.mode("overwrite").parquet(p)
+    }
     // fresh sink dir per run: the sink's epoch guard would (correctly)
     // treat a rerun from a fresh checkpoint as a replay and drop epoch 0
     val sinkDir = Tables.stageDir(s,
@@ -987,9 +990,10 @@ object Stats {
       s: SparkSession, d: String, m: Int = 256): (DataFrame, Int) = {
     val docs = Tables.documents(s, d)
     val cols = Seq("doc_id", "text", "lang", "source", "n_chars")
-    val tmp = Tables.stageDir(s,
-      s"prof_str_${d.replaceAll("[^A-Za-z0-9.]", "_")}")
-    docs.repartition(4).write.mode("overwrite").parquet(tmp)
+    // build-once staged layout (r20 opt, Tables.stageOnce rationale)
+    val tmp = Tables.stageOnce(s, "prof_str", d, "documents") { p =>
+      docs.repartition(4).write.mode("overwrite").parquet(p)
+    }
     val state = new java.util.concurrent.atomic.AtomicReference[DataFrame](null)
     val batches = Tables.runStreamFold(s, "profile_streamed_") { cs =>
       cs.readStream.schema(docs.schema)

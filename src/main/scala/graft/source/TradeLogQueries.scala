@@ -279,12 +279,14 @@ object TradeLogQueries {
     * the epoch stamp advanced past batch 0, ≥2 data files landed, and
     * that a replayed epoch commit is dropped (exactly-once). */
   def tradelogSinkStreamed(s: SparkSession, dir: String): DataFrame = {
-    val dsafe = dir.replaceAll("[^A-Za-z0-9.]", "_")
-    val stage = Tables.stageDir(s, s"tlog_sink_src_$dsafe")
     val ev = Tables.events(s, dir)
       .select(col("event_id"), col("ts"), col("user_id"),
         col("event_type"), col("value"), col("props"))
-    ev.repartition(4).write.mode("overwrite").parquet(stage)
+    // build-once staged layout (r20 opt, Tables.stageOnce rationale);
+    // only the SINK dir below must stay fresh per run
+    val stage = Tables.stageOnce(s, "tlog_sink_src", dir, "events") { p =>
+      ev.repartition(4).write.mode("overwrite").parquet(p)
+    }
     // fresh sink dir per run: the epoch guard would (correctly) treat a
     // rerun from a fresh checkpoint as a replay of epoch 0 and drop it
     val sinkDir = Tables.stageDir(s,
