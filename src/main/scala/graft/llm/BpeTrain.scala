@@ -83,17 +83,26 @@ object BpeTrain {
       if (checkpoint) graft.core.QueryDef.pinRound(df, checkpointDir) else df
     var v = pin(vocab0(docs))
     val rounds = (1 to merges).map { r =>
-      val best = pin(pairCounts(v)
-        .orderBy(col("cnt").desc, col("pair")).limit(1))
+      val best = pairCounts(v)
+        .orderBy(col("cnt").desc, col("pair")).limit(1)
       // ' a  b ' → ' ab ': one delimiter space survives on each side, so
-      // the double-space convention is restored around the merged symbol
-      v = v.crossJoin(broadcast(best))
+      // the double-space convention is restored around the merged symbol.
+      // ONE pin per round (r20 opt): the merged vocabulary CARRIES the
+      // winning (pair, cnt) as constant columns, so the round costs one
+      // broadcast build (which executes the pair-count argmax) plus one
+      // checkpoint — the separate best-pin job and its ~20 ms driver gap
+      // leave the loop (JobProfile: 85 jobs / 1.9 s driver gap before;
+      // the merge table reads back from the pins in ONE job at the end).
+      v = pin(v.crossJoin(broadcast(best))
         .select(trim(expr(
           "replace(concat(' ', seq, ' '), " +
             "concat(' ', replace(pair, ' ', '  '), ' '), " +
-            "concat(' ', replace(pair, ' ', ''), ' '))")).as("seq"), col("f"))
-      v = pin(v)
-      best.select(lit(r.toLong).as("rnk"), col("pair"), col("cnt"))
+            "concat(' ', replace(pair, ' ', ''), ' '))")).as("seq"), col("f"),
+          col("pair"), col("cnt")))
+      val out = v.select(lit(r.toLong).as("rnk"), col("pair"), col("cnt"))
+        .limit(1)
+      v = v.drop("pair", "cnt")
+      out
     }
     rounds.reduce(_ unionAll _)
   }
