@@ -349,8 +349,10 @@ object Dedup {
   /** STREAMING connected components — the cluster-label state MAINTAINED
     * under the streaming engine (24th batch≡streaming bridge, and the
     * only one whose driver-held state is a GRAPH artifact): the corpus
-    * arrives as 4 rate-limited micro-batches (maxFilesPerTrigger=1 over
-    * the staged 4-file layout, the q_ohlc_multibatch delivery) and each
+    * arrives as 3 rate-limited micro-batches (maxFilesPerTrigger=1 over
+    * the staged 3-file layout — 4 until r20; one fewer batch keeps every
+    * semantic the bridge exists for, the r18 join_outer rule — the
+    * q_ohlc_multibatch delivery) and each
     * batch folds the label state by the same contraction identity the
     * incremental merge relies on —
     * labels_t = contract(labelEdges(labels_{t-1}) ∪ pairs_t), where
@@ -375,7 +377,7 @@ object Dedup {
   /** [[ccStreamed]] plus the delivered micro-batch count, so the spec can
     * pin that the label fold genuinely spanned >1 batch. */
   private[llm] def ccStreamedStats(s: SparkSession, d: String,
-      threshold: Double = 0.8, nFiles: Int = 4): (DataFrame, Int) = {
+      threshold: Double = 0.8, nFiles: Int = 3): (DataFrame, Int) = {
     val docs = Tables.documents(s, d)
     // build-once staged layout (r20 opt): the 4-file split is a pure
     // function of the corpus — re-writing it per run put a corpus write
@@ -1392,27 +1394,37 @@ object Dedup {
     // this per micro-batch, and unreclaimed round pins grew the block
     // manager monotonically). `first` stays pinned until the final
     // labeling join below reads it through `nodes`.
-    while (!converged) {
-      rounds += 1
-      require(rounds <= 64, "star contraction failed to converge in 64 rounds")
-      // LARGE-STAR: for each node a (symmetric view), m = min(N(a) ∪ {a});
-      // every strictly-larger neighbor b > a re-attaches to m. Emitted
-      // (b, m) has b > a ≥ m, so the canonical direction is preserved.
-      val sym = e.select(col("u").as("a"), col("v").as("b"))
-        .unionByName(e.select(col("v").as("a"), col("u").as("b")))
+    // One full contraction round: LARGE-STAR then SMALL-STAR over the
+    // canonical directed edge set.
+    // LARGE-STAR: for each node a (symmetric view), m = min(N(a) ∪ {a});
+    // every strictly-larger neighbor b > a re-attaches to m. Emitted
+    // (b, m) has b > a ≥ m, so the canonical direction is preserved.
+    // SMALL-STAR on the directed set: for each node u, m = min of its
+    // smaller neighbors; u and every other smaller neighbor attach to m.
+    def round(in: DataFrame): DataFrame = {
+      val sym = in.select(col("u").as("a"), col("v").as("b"))
+        .unionByName(in.select(col("v").as("a"), col("u").as("b")))
       val lmins = sym.groupBy(col("a")).agg(min(col("b")).as("mb"))
         .select(col("a"), least(col("mb"), col("a")).as("m"))
       val ls = sym.filter(col("b") > col("a")).join(lmins, "a")
         .select(col("b").as("u"), col("m").as("v")).distinct()
-      // SMALL-STAR on the directed set: for each node u, m = min of its
-      // smaller neighbors; u and every other smaller neighbor attach to m.
       val smins = ls.groupBy(col("u")).agg(min(col("v")).as("m"))
-      val ss = ls.join(smins, "u")
+      ls.join(smins, "u")
         .select(col("v").as("node"), col("m"))
         .filter(col("node") =!= col("m"))
         .unionByName(smins.select(col("u").as("node"), col("m")))
         .select(col("node").as("u"), col("m").as("v")).distinct()
-      val next = graft.core.QueryDef.pinRound(ss, checkpointDir)
+    }
+    while (!converged) {
+      rounds += 1
+      require(rounds <= 64, "star contraction failed to converge in 64 rounds")
+      // Rounds deliberately NOT paired (r20 opt, measured): the
+      // propagateMinLabels pair trick halves pins for a loop that needs
+      // ~diameter rounds, but star contraction converges in 1–2 rounds on
+      // these graphs, so a pair always executes ≥2 full rounds where the
+      // single-round loop stops after the first no-op — pairing measured
+      // q_dedup_cc 2.2→3.7 / q_dedup_cc_streamed ~7→12 and was reverted.
+      val next = graft.core.QueryDef.pinRound(round(e), checkpointDir)
       // exact fixpoint test: canonical sets are equal ⟺ the full outer
       // join of the two pinned tables has no one-sided row
       converged = next.withColumn("l", lit(1))
