@@ -173,48 +173,51 @@ object Catalog {
     * state provably spans batches): every other bridge's file source
     * delivers the whole table in ONE AvailableNow micro-batch (single
     * parquet file), so StateStore restore/save runs but each key's state
-    * is written once. Here the BUILD step lays the same events out as 4
+    * is written once. Here the BUILD step lays the same events out as 3
     * parquet files and the source rate-limits with maxFilesPerTrigger=1
     * (honored by AvailableNow), so the candle aggregation RESTORES and
-    * MERGES partial per-window state across 4 micro-batches — the
+    * MERGES partial per-window state across 3 micro-batches — the
     * always-on production path — and the complete-mode sink must still
     * hash-match the IDENTICAL batch oracle (q_ohlc_1m's SQL).
     * StreamingSpec additionally pins that >1 batch actually ran. */
   def qOhlcMultibatch(spark: SparkSession, d: String): DataFrame = {
-    val (tmp, schema) = stagedEvents4(spark, d)
+    val (tmp, schema) = stagedEvents3(spark, d)
     Tables.runStreamComplete(spark, "ohlc_mb_") { cs =>
       candleSelect(cs.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1).parquet(tmp))
     }.orderedBy("ws", "base")
   }
 
-  /** The 4-file staged events layout shared by the multibatch and
-    * update-mode bridges (one layout, one claim). Staging root is
+  /** The 3-file staged events layout shared by the multibatch and
+    * update-mode bridges (one layout, one claim; 4 files until r20 —
+    * one fewer micro-batch keeps every cross-batch claim: windows still
+    * span the round-robin split, revisions still happen, and the specs
+    * pin both). Staging root is
     * conf-routed (spark.graft.stream.stageDir) so a cluster run stages
     * on shared storage its executors can read; the path is fingerprinted
     * by the source file's (length, mtime) — same rule as every build-once
     * artifact — so warm-up + timed bench runs re-use the layout instead
     * of re-writing the whole events table per invocation, and a testdata
     * regen lands in a FRESH path by construction. */
-  private def stagedEvents4(spark: SparkSession, d: String)
+  private def stagedEvents3(spark: SparkSession, d: String)
       : (String, org.apache.spark.sql.types.StructType) = {
     val src = new org.apache.hadoop.fs.Path(s"$d/events.parquet")
     val st = src.getFileSystem(spark.sparkContext.hadoopConfiguration)
       .getFileStatus(src)
     val tmp = Tables.stageDir(spark,
-      s"ohlc_mb_${d.replaceAll("[^A-Za-z0-9.]", "_")}" +
+      s"ohlc_mb3_${d.replaceAll("[^A-Za-z0-9.]", "_")}" +
         s"_${st.getLen}_${st.getModificationTime}")
     val ev = Tables.events(spark, d)
     val done = new org.apache.hadoop.fs.Path(tmp, "_SUCCESS")
     if (!done.getFileSystem(spark.sparkContext.hadoopConfiguration)
         .exists(done))
-      ev.repartition(4).write.mode("overwrite").parquet(tmp)
+      ev.repartition(3).write.mode("overwrite").parquet(tmp)
     (tmp, ev.schema)
   }
 
   /** UPDATE-MODE bridge (21st — closes the last spec-only streaming row,
     * reference `main.py:215`'s output mode): the candle aggregation runs
-    * in outputMode=update over the 4-file rate-limited layout
+    * in outputMode=update over the 3-file rate-limited layout
     * (maxFilesPerTrigger=1, the q_ohlc_multibatch staging), so a window
     * whose events span micro-batches RE-EMITS a revised candle each batch
     * it changes — the revision sequence that is update mode's observable.
@@ -239,7 +242,7 @@ object Catalog {
     * split out so StreamingSpec can assert on the revision sequence
     * itself (≥1 key with >1 emission; per-key monotone batch ids). */
   def ohlcUpdateEmissions(spark: SparkSession, d: String): DataFrame = {
-    val (tmp, schema) = stagedEvents4(spark, d)
+    val (tmp, schema) = stagedEvents3(spark, d)
     Tables.runStreamUpdateEmissions(spark, "ohlc_upd_") { cs =>
       candleSelect(cs.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1).parquet(tmp))
@@ -446,7 +449,7 @@ object Catalog {
     * the micro-batch order (maxFilesPerTrigger=1; mtimes forced to a
     * strict ladder so the file source's mtime ordering is never a race).
     * Build-once, fingerprinted by the source file's (length, mtime) —
-    * the [[stagedEvents4]] rule. Event times are synthetic constants per
+    * the [[stagedEvents3]] rule. Event times are synthetic constants per
     * slice (T0, T0+1h, sentinel at +2h, against a 60 s ttl): the TTL
     * contract only reads event-time DIFFERENCES, so pinning them to a
     * grid makes every expiry decision exact while n/sum stay the real
@@ -509,7 +512,7 @@ object Catalog {
     * so StreamingSpec can pin that ≥1 user's tail was genuinely REVISED
     * across micro-batches (the update-mode observable). */
   def lastKEmissions(spark: SparkSession, d: String): DataFrame = {
-    val (tmp, schema) = stagedEvents4(spark, d)
+    val (tmp, schema) = stagedEvents3(spark, d)
     Tables.runStreamUpdateEmissions(spark, "lastk_") { cs =>
       // multi-column-family state (the StatefulProcessor API) needs the
       // RocksDB provider; child-session conf, nothing leaks to the caller

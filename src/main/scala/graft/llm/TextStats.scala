@@ -738,8 +738,8 @@ object TextStats {
       k: Int = 20, rowsD: Int = 4, w: Int = 256): (DataFrame, Int) = {
     val docs = Tables.documents(s, d)
     // build-once staged layout (r20 opt, Tables.stageOnce rationale)
-    val tmp = Tables.stageOnce(s, "hh_str", d, "documents") { p =>
-      docs.repartition(4).write.mode("overwrite").parquet(p)
+    val tmp = Tables.stageOnce(s, "hh_str3", d, "documents") { p =>
+      docs.repartition(3).write.mode("overwrite").parquet(p)
     }
     val grid = new java.util.concurrent.atomic.AtomicReference[DataFrame](null)
     val batches = Tables.runStreamFold(s, "hh_streamed_") { cs =>

@@ -641,7 +641,7 @@ object Relational {
 
   /** The NATIVE as-of exec under the STREAMING engine (27th
     * batch≡streaming bridge, the custom-SparkPlan one): purchases arrive
-    * as 4 rate-limited micro-batches (maxFilesPerTrigger=1 over the
+    * as 3 rate-limited micro-batches (maxFilesPerTrigger=1 over the
     * staged layout) and EACH batch as-of joins the static click table
     * through [[graft.plans.AsOfJoinExec]] inside foreachBatch — the
     * stream-static enrichment serving shape, planning the custom
@@ -655,8 +655,8 @@ object Relational {
     val purchases = ev.filter(col("event_type") === "purchase")
       .select(col("user_id"), col("ts"), col("event_id").as("p_id"))
     // build-once staged layout (r20 opt, Tables.stageOnce rationale)
-    val tmp = Tables.stageOnce(s, "asof_str", d, "events") { p =>
-      purchases.repartition(4).write.mode("overwrite").parquet(p)
+    val tmp = Tables.stageOnce(s, "asof_str3", d, "events") { p =>
+      purchases.repartition(3).write.mode("overwrite").parquet(p)
     }
     Tables.runStreamForeachBatch(s, "asof_streamed_") { cs =>
       cs.readStream.schema(purchases.schema)

@@ -484,9 +484,9 @@ object Stats {
       : (DataFrame, Int) = {
     val ev = Tables.events(s, d)
     // build-once staged layout (r20 opt, Tables.stageOnce rationale)
-    val tmp = Tables.stageOnce(s, "cdc_str", d, "events") { p =>
+    val tmp = Tables.stageOnce(s, "cdc_str3", d, "events") { p =>
       ev.filter(pmod(col("event_id"), lit(5)) >= 3)
-        .repartition(4).write.mode("overwrite").parquet(p)
+        .repartition(3).write.mode("overwrite").parquet(p)
     }
     val state = new java.util.concurrent.atomic.AtomicReference[DataFrame](null)
     val batches = Tables.runStreamFold(s, "cdc_streamed_") { cs =>
@@ -524,9 +524,9 @@ object Stats {
     val ev = Tables.events(s, d)
     // build-once staged layout (r20 opt, Tables.stageOnce rationale);
     // only the SINK dir below must stay fresh per run
-    val stage = Tables.stageOnce(s, "cdc_sink_src", d, "events") { p =>
+    val stage = Tables.stageOnce(s, "cdc_sink_src3", d, "events") { p =>
       ev.filter(pmod(col("event_id"), lit(5)) >= 3)
-        .repartition(4).write.mode("overwrite").parquet(p)
+        .repartition(3).write.mode("overwrite").parquet(p)
     }
     // fresh sink dir per run: the sink's epoch guard would (correctly)
     // treat a rerun from a fresh checkpoint as a replay and drop epoch 0
@@ -991,8 +991,8 @@ object Stats {
     val docs = Tables.documents(s, d)
     val cols = Seq("doc_id", "text", "lang", "source", "n_chars")
     // build-once staged layout (r20 opt, Tables.stageOnce rationale)
-    val tmp = Tables.stageOnce(s, "prof_str", d, "documents") { p =>
-      docs.repartition(4).write.mode("overwrite").parquet(p)
+    val tmp = Tables.stageOnce(s, "prof_str3", d, "documents") { p =>
+      docs.repartition(3).write.mode("overwrite").parquet(p)
     }
     val state = new java.util.concurrent.atomic.AtomicReference[DataFrame](null)
     val batches = Tables.runStreamFold(s, "profile_streamed_") { cs =>

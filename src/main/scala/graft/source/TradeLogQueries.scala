@@ -271,7 +271,7 @@ object TradeLogQueries {
   /** The custom STREAMING sink under the batch oracle — the Kafka-sink
     * analogue (reference `main.py:208-217`) with the manifest as the
     * transaction log: events stream in 4 rate-limited micro-batches
-    * (maxFilesPerTrigger=1 over the staged 4-file layout) through
+    * (maxFilesPerTrigger=1 over the staged 3-file layout) through
     * `writeStream.format("graft-tradelog")`, each epoch appending its
     * blocks to the manifest in one atomic rename; the committed log is
     * then read back through the batch scan and must hash-match the SAME
@@ -284,8 +284,8 @@ object TradeLogQueries {
         col("event_type"), col("value"), col("props"))
     // build-once staged layout (r20 opt, Tables.stageOnce rationale);
     // only the SINK dir below must stay fresh per run
-    val stage = Tables.stageOnce(s, "tlog_sink_src", dir, "events") { p =>
-      ev.repartition(4).write.mode("overwrite").parquet(p)
+    val stage = Tables.stageOnce(s, "tlog_sink_src3", dir, "events") { p =>
+      ev.repartition(3).write.mode("overwrite").parquet(p)
     }
     // fresh sink dir per run: the epoch guard would (correctly) treat a
     // rerun from a fresh checkpoint as a replay of epoch 0 and drop it
