@@ -287,6 +287,8 @@ object GraftFunctions {
       (children: Seq[Expression]) => CosArgMax(children(0), children(1))),
     (FunctionIdentifier("vec_argmin_l2"), info(classOf[L2ArgMin], "vec_argmin_l2"),
       (children: Seq[Expression]) => L2ArgMin(children(0), children(1))),
+    (FunctionIdentifier("pq_recon"), info(classOf[PqRecon], "pq_recon"),
+      (children: Seq[Expression]) => PqRecon(children(0), children(1))),
     (FunctionIdentifier("byte_sum"), info(classOf[ByteSum], "byte_sum"),
       (children: Seq[Expression]) => ByteSum(children(0))),
     (FunctionIdentifier("byte_min"), info(classOf[ByteMin], "byte_min"),

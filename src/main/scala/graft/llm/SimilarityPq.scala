@@ -168,20 +168,66 @@ object SimilarityPq {
     // tiny Lloyd-round aggregation and measured a net regression. The
     // guarded round-robin split vanishes at corpus scale (QueryDef.fanOut
     // contract), keeping the zero-content-shuffle doctrine intact.
-    encodeWith(graft.core.QueryDef.fanOut(df),
-      codebooksRow(trainOn.getOrElse(df), msub, kse, rounds, hexLt, pin), msub)
+    codedWithCb(df, msub, kse, rounds, trainOn, hexLt, pin)._1
+
+  /** [[coded]] plus the codebook row it encoded against, so recon
+    * consumers can take their own scalar reference to the SAME (pinned)
+    * artifact instead of re-training. */
+  private def codedWithCb(df: DataFrame, msub: Int = m, kse: Int = ks,
+                          rounds: Int = rounds,
+                          trainOn: Option[DataFrame] = None,
+                          hexLt: String = trainHexLt,
+                          pin: Boolean = false): (DataFrame, DataFrame) = {
+    val cb = codebooksRow(trainOn.getOrElse(df), msub, kse, rounds, hexLt, pin)
+    (encodeWith(graft.core.QueryDef.fanOut(df), cb, msub), cb)
+  }
+
+  /** The one-row codebook map reaching consumers as a SCALAR SUBQUERY
+    * column instead of a crossJoin'd row column (r20 opt). The joined
+    * `cm` column materialized the full m×ks map (~60 KB) into EVERY
+    * corpus row at each codegen boundary — most expensively at the
+    * deliberate codegen→interpreted-recon barrier, where JobProfile
+    * measured ~20 CPU-seconds over a 2000-row corpus, a cost that GROWS
+    * WITH THE CORPUS at scale. The scalar subquery executes the (pinned)
+    * one-row plan once per query (ReuseSubquery dedupes repeated
+    * references) and reaches every expression as a plan-level constant —
+    * no per-row copy at any boundary. The temp view exists only long
+    * enough for analysis to inline it (the pinned-plan reference must
+    * not outlive the build — the r19 block-retention lesson). */
+  private def withCmScalar(cbRow: DataFrame)(
+      build: org.apache.spark.sql.Column => DataFrame): DataFrame = {
+    val name = "graft_cbrow_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    cbRow.createOrReplaceTempView(name)
+    try {
+      val out = build(expr(s"(SELECT cm FROM $name)"))
+      out.queryExecution.analyzed // force view inlining before the drop
+      out
+    } finally cbRow.sparkSession.catalog.dropTempView(name)
+  }
 
   /** Encode `df`'s vectors against an ALREADY-BUILT codebook row — split
     * from [[coded]] so the persisted-index build can encode against the
     * same pinned artifact it writes to disk (re-deriving the codebooks
-    * inside the encode would train a second time). */
+    * inside the encode would train a second time). Output carries NO cm
+    * column (see [[withCmScalar]]); reconstruction consumers take their
+    * own scalar reference to the same codebook row. */
   private def encodeWith(df: DataFrame, cbRow: DataFrame,
                          msub: Int = m): DataFrame = {
     val dsub = dim / msub
-    df.crossJoin(broadcast(cbRow))
-      .select(df.columns.map(col) ++ Seq(col("cm")) ++
+    withCmScalar(cbRow) { cm =>
+      df.select(df.columns.map(col) ++
         (1 to msub).map(j => call_function("vec_argmin_l2",
-          element_at(col("cm"), lit(j)), slice(col("e"), off(j, dsub), dsub)).as(s"c$j")): _*)
+          element_at(cm, lit(j)), slice(col("e"), off(j, dsub), dsub)).as(s"c$j")): _*)
+    }
+  }
+
+  /** The coded corpus frame (vec_id, cm, c1..cm) over the real trained
+    * chain — spec hook for the pq_recon ≡ filter-HOF equivalence pin
+    * (the spec's HOF side needs cm as a row column, so it is re-attached
+    * here via the crossJoin the query paths no longer use). */
+  private[graft] def codedForSpec(s: SparkSession, d: String): DataFrame = {
+    val (enc, cb) = codedWithCb(Similarity.vecs(s, d), pin = true)
+    enc.crossJoin(broadcast(cb))
   }
 
   /** Code-reconstructed vectors (vec_id, recon, rnrm): concat of each
@@ -209,11 +255,17 @@ object SimilarityPq {
                                rounds: Int, trainOn: Option[DataFrame],
                                hexLt: String, pin: Boolean,
                                keep: String*): DataFrame = {
-    def recon = concat((1 to msub).map(j =>
-      element_at(filter(element_at(col("cm"), lit(j)),
-        s => s("cid") === col(s"c$j")), 1)("ce")): _*)
-    coded(df, msub, kse, rounds, trainOn, hexLt, pin).select(keep.map(col) ++ Seq(col("vec_id"), recon.as("recon"),
-      sqrt(call_function("vec_dot", recon, recon)).as("rnrm")): _*)
+    // native interpreted lookup (expr.PqRecon) against the scalar-
+    // subquery codebook map (r20 opt): same values, same CodegenFallback
+    // barrier, none of the per-entry boxed-lambda cost and none of the
+    // per-row map materialization (withCmScalar's rationale)
+    val (enc, cb) = codedWithCb(df, msub, kse, rounds, trainOn, hexLt, pin)
+    withCmScalar(cb) { cm =>
+      def recon = call_function("pq_recon", cm,
+        array((1 to msub).map(j => col(s"c$j")): _*))
+      enc.select(keep.map(col) ++ Seq(col("vec_id"), recon.as("recon"),
+        sqrt(call_function("vec_dot", recon, recon)).as("rnrm")): _*)
+    }
   }
 
   private def reconstructed(all: DataFrame): DataFrame = withRecon(all, None)
@@ -511,17 +563,18 @@ object SimilarityPq {
     * stored row, never per (row, query) pair — [[withReconAt]]'s
     * rationale). */
   private def reconFromCodes(codes: DataFrame, cbRow: DataFrame,
-                             msub: Int, keep: String*): DataFrame = {
-    def recon = concat((1 to msub).map(j =>
-      element_at(filter(element_at(col("cm"), lit(j)),
-        s => s("cid") === col(s"c$j")), 1)("ce")): _*)
-    // fanOut: the [[coded]] rationale, serve side — the persisted codes
-    // land in a handful of bucket files, so the interpreted recon pass
-    // otherwise runs on as few tasks
-    graft.core.QueryDef.fanOut(codes).crossJoin(broadcast(cbRow))
-      .select(keep.map(col) ++ Seq(col("vec_id"), recon.as("recon"),
-        sqrt(call_function("vec_dot", recon, recon)).as("rnrm")): _*)
-  }
+                             msub: Int, keep: String*): DataFrame =
+    // native interpreted lookup against the scalar-subquery codebook map
+    // — the [[withReconAt]] swap, serve side. fanOut: the [[coded]]
+    // rationale — the persisted codes land in a handful of bucket files,
+    // so the interpreted recon pass otherwise runs on as few tasks
+    withCmScalar(cbRow) { cm =>
+      def recon = call_function("pq_recon", cm,
+        array((1 to msub).map(j => col(s"c$j")): _*))
+      graft.core.QueryDef.fanOut(codes)
+        .select(keep.map(col) ++ Seq(col("vec_id"), recon.as("recon"),
+          sqrt(call_function("vec_dot", recon, recon)).as("rnrm")): _*)
+    }
 
   /** INCREMENTAL index ingest — the ANN twin of the dedup family's
     * daily-increment pattern and the update half of the "index once,

@@ -126,6 +126,28 @@ class PqSpec extends SparkTestBase {
       f"refine lost recall: $refRec%.3f < $rawRec%.3f")
   }
 
+  test("pq_recon: native lookup equals the filter-HOF reconstruction bit-for-bit") {
+    // r20 opt: withReconAt swapped the per-subspace
+    // element_at(filter(cm[j], s -> s.cid = c_j), 1).ce concat for the
+    // native expr.PqRecon. Same inputs (the real trained codebook map +
+    // real codes over the driver corpus), both formulations projected
+    // side by side — every reconstructed vector must match exactly.
+    graft.expr.GraftFunctions.register(spark)
+    val m = SimilarityPq.m
+    // the REAL trained chain's coded frame: (vec_id, cm, c1..cm)
+    val enc = SimilarityPq.codedForSpec(spark, d001)
+    val hof = enc.selectExpr("vec_id",
+      (1 to m).map(j =>
+        s"element_at(filter(element_at(cm, $j), s -> s.cid = c$j), 1).ce")
+        .mkString("concat(", ", ", ") AS recon")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    val native = enc.selectExpr("vec_id",
+      s"pq_recon(cm, array(${(1 to m).map(j => s"c$j").mkString(",")})) AS recon")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(native.keySet == hof.keySet)
+    assert(native == hof, "native pq_recon diverged from the HOF formulation")
+  }
+
   test("PQ top-k is deterministic across runs") {
     val a = SimilarityPq.pqTopk(spark, d001).collect().toSeq
     val b = SimilarityPq.pqTopk(spark, d001).collect().toSeq
