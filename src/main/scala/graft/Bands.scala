@@ -23,33 +23,37 @@ package graft
   * Queries without a band entry get no verdict (they are the sub-2 s
   * tail where the discriminator has nothing to separate). */
 object Bands {
-  /** query -> (calm wall upper bound sec, healthy cpu_sec upper bound). */
+  /** query -> (calm wall upper bound sec, healthy cpu_sec upper bound).
+    * Re-pinned r20 optimization round: wallHi from the post-optimization
+    * RepeatTimer medians (5 reps, load 3–5 — conservative) + ~20% margin;
+    * cpuHi from the post-optimization bench detail's cpu_sec + ~30%
+    * (BASELINE.md "Round-20 optimization" band table). */
   val calm: Map[String, (Double, Double)] = Map(
-    "q_dedup_cc_streamed"    -> (10.0, 30.0),
-    "q_join_outer_streamed"  -> (6.5, 13.0),
-    "q_dedup_cc_persisted"   -> (3.6, 9.0),
-    "q_sim_ivfpq_recall"     -> (5.6, 10.0),
-    "q_join_streamed"        -> (5.2, 14.0),
-    "q_dedup_cc_incr"        -> (5.2, 14.0),
-    "q_sim_ivfpq"            -> (4.7, 10.5),
-    "q_lastk_streamed"       -> (3.9, 18.0),
-    "q_sim_ivfpq_rerank"     -> (4.6, 8.0),
-    "q_bpe_apply"            -> (4.4, 11.0),
-    "q_dedup_cc"             -> (4.3, 9.5),
-    "q_dedup_recall"         -> (3.3, 10.0),
-    "q_sim_index_compact"    -> (4.2, 7.0),
-    "q_dedup_clusters"       -> (4.2, 8.0),
-    "q_hh_streamed"          -> (3.8, 7.0),
-    "q_sliding_streamed"     -> (3.3, 16.0),
-    "q_ttl_streamed"         -> (3.9, 6.0),
-    "q_ttl_event_streamed"   -> (3.1, 7.0),
-    "q_graph_pagerank"       -> (3.7, 8.5),
-    "q_ohlc_multibatch"      -> (3.5, 17.5),
-    "q_embed_clusters"       -> (3.5, 6.5),
-    "q_cdc_sink_streamed"    -> (3.5, 16.0),
-    "q_cdc_streamed"         -> (2.5, 4.0),
-    "q_dedup_near"           -> (2.8, 6.0),
-    "q_ohlc_update_streamed" -> (3.2, 17.0)
+    "q_dedup_cc_streamed"    -> (7.0, 26.0),
+    "q_join_outer_streamed"  -> (5.2, 14.0),
+    "q_dedup_cc_persisted"   -> (2.4, 10.5),
+    "q_sim_ivfpq_recall"     -> (4.5, 30.0),
+    "q_join_streamed"        -> (2.7, 12.0),
+    "q_dedup_cc_incr"        -> (2.8, 17.0),
+    "q_sim_ivfpq"            -> (3.5, 27.0),
+    "q_lastk_streamed"       -> (2.3, 17.0),
+    "q_sim_ivfpq_rerank"     -> (4.2, 28.0),
+    "q_bpe_apply"            -> (3.1, 12.0),
+    "q_dedup_cc"             -> (2.1, 12.5),
+    "q_dedup_recall"         -> (2.2, 22.0),
+    "q_sim_index_compact"    -> (3.8, 8.0),
+    "q_dedup_clusters"       -> (1.6, 11.0),
+    "q_hh_streamed"          -> (2.5, 11.0),
+    "q_sliding_streamed"     -> (2.8, 18.0),
+    "q_ttl_streamed"         -> (3.4, 11.0),
+    "q_ttl_event_streamed"   -> (2.3, 7.0),
+    "q_graph_pagerank"       -> (1.6, 14.0),
+    "q_ohlc_multibatch"      -> (2.8, 16.5),
+    "q_embed_clusters"       -> (2.5, 7.0),
+    "q_cdc_sink_streamed"    -> (2.1, 9.0),
+    "q_cdc_streamed"         -> (1.2, 2.5),
+    "q_dedup_near"           -> (1.1, 11.0),
+    "q_ohlc_update_streamed" -> (2.5, 16.0)
   )
 
   /** None = no band on file; Some(true) = contended window (wall blown,

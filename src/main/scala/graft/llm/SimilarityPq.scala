@@ -145,8 +145,9 @@ object SimilarityPq {
     if (pin) trained.localCheckpoint(true) else trained
   }
 
-  /** (df.* , cm, c1..cm): every vector with its per-subspace
-    * nearest-codebook-entry codes, the codebook map kept for lookups;
+  /** (df.* , c1..cm): every vector with its per-subspace
+    * nearest-codebook-entry codes (the codebook map reaches lookups as a
+    * scalar subquery — [[withCmScalar]] — never as a row column);
     * codebooks train on `trainOn` (default: `df`'s own vectors).
     * Broadcast-only — the corpus never shuffles. `df` needs (vec_id, e);
     * extra columns ride along. `trainOn` matters when `df` is itself a
@@ -186,9 +187,11 @@ object SimilarityPq {
     * column instead of a crossJoin'd row column (r20 opt). The joined
     * `cm` column materialized the full m×ks map (~60 KB) into EVERY
     * corpus row at each codegen boundary — most expensively at the
-    * deliberate codegen→interpreted-recon barrier, where JobProfile
-    * measured ~20 CPU-seconds over a 2000-row corpus, a cost that GROWS
-    * WITH THE CORPUS at scale. The scalar subquery executes the (pinned)
+    * deliberate codegen→interpreted-recon barrier (tools.PqProbe
+    * attributes the chain's time to encode + scoring; the map-carry is
+    * the component that GROWS WITH THE CORPUS at scale, which is why it
+    * goes even though its sf0.1 share is modest). The scalar subquery
+    * executes the (pinned)
     * one-row plan once per query (ReuseSubquery dedupes repeated
     * references) and reaches every expression as a plan-level constant —
     * no per-row copy at any boundary. The temp view exists only long
