@@ -80,6 +80,37 @@ object QueryDef {
       case _ => ()
     }
 
+  /** Pin SEVERAL independent trained artifacts CONCURRENTLY — the
+    * optimization guide's "overlap independent jobs" (§2.6) applied to the
+    * eager-pin actions queries pay at build time. An iterative trainer's
+    * pin runs a chain of tiny jobs (Lloyd rounds over <=16 centroids)
+    * interleaved with driver-side planning, so one pin leaves almost every
+    * core idle; a query that composes 2-3 INDEPENDENT artifacts (coarse
+    * centroids, frozen PQ codebooks, a retrained quantizer) serializes
+    * those idle windows back to back. Running each pin from its own thread
+    * lets the FIFO scheduler back-fill one artifact's driver gaps and task
+    * tails with the others' jobs. Results are identical by construction:
+    * every artifact's plan is untouched and deterministic, each
+    * materializes exactly once, and no artifact reads another — only the
+    * wall-clock overlap changes. Threads inherit the caller's job
+    * description/group (Spark locals are InheritableThreadLocal), so UI
+    * labels stay right. Failures propagate to the caller. */
+  def pinPar(dfs: Seq[DataFrame]): Seq[DataFrame] =
+    if (dfs.lengthCompare(2) < 0) dfs.map(_.localCheckpoint(eager = true))
+    else {
+      val out = new Array[Either[Throwable, DataFrame]](dfs.size)
+      val threads = dfs.zipWithIndex.map { case (df, i) =>
+        val t = new Thread(
+          () => out(i) =
+            try Right(df.localCheckpoint(eager = true))
+            catch { case e: Throwable => Left(e) },
+          s"graft-pin-par-$i")
+        t.start(); t
+      }
+      threads.foreach(_.join())
+      out.toSeq.map { case Right(df) => df; case Left(e) => throw e }
+    }
+
   /** Guarded fan-out ahead of md5-heavy per-row stages: parquet can split
     * no finer than row-group boundaries and the driver testdata is written
     * as a single row group, so without this the whole downstream

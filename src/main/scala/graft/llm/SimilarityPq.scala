@@ -263,13 +263,26 @@ object SimilarityPq {
     // barrier, none of the per-entry boxed-lambda cost and none of the
     // per-row map materialization (withCmScalar's rationale)
     val (enc, cb) = codedWithCb(df, msub, kse, rounds, trainOn, hexLt, pin)
+    reconProject(enc, cb, msub, keep: _*)
+  }
+
+  /** [[withReconAt]] against a PRE-PINNED codebook — the shape
+    * QueryDef.pinPar callers need: training happened (concurrently with
+    * the caller's other artifacts) before this is invoked, so the encode
+    * and recon projection here are plan-identical to [[withRecon]]'s. */
+  private[llm] def withReconCb(df: DataFrame, cb: DataFrame,
+                               keep: String*): DataFrame =
+    reconProject(encodeWith(graft.core.QueryDef.fanOut(df), cb, m), cb, m,
+      keep: _*)
+
+  private def reconProject(enc: DataFrame, cb: DataFrame, msub: Int,
+                           keep: String*): DataFrame =
     withCmScalar(cb) { cm =>
       def recon = call_function("pq_recon", cm,
         array((1 to msub).map(j => col(s"c$j")): _*))
       enc.select(keep.map(col) ++ Seq(col("vec_id"), recon.as("recon"),
         sqrt(call_function("vec_dot", recon, recon)).as("rnrm")): _*)
     }
-  }
 
   private def reconstructed(all: DataFrame): DataFrame = withRecon(all, None)
 
@@ -441,14 +454,19 @@ object SimilarityPq {
                               nCentroids: Int = 8, nprobe: Int = 2,
                               trainIters: Int = 2): DataFrame = {
     val all = Similarity.vecs(s, d)
-    val cents = Similarity.trainCentroids(all, nCentroids, trainIters, pin = true)
+    // coarse centroids and PQ codebooks both train on the RAW corpus
+    // (same vector set, exactly what the oracle's pqSubCtes train from v)
+    // and are independent of each other — pin them concurrently
+    // (QueryDef.pinPar, guide §2.6) instead of serializing two mostly-idle
+    // Lloyd chains. Training on `assigned` instead would embed the coarse
+    // train+assign chain in the codebook broadcast and re-execute it
+    // there (measured: the r10 q_sim_ivfpq 10 s bench line).
+    val Seq(cents, cb) = graft.core.QueryDef.pinPar(Seq(
+      Similarity.trainCentroids(all, nCentroids, trainIters),
+      codebooksRow(all)))
     val assigned = Similarity.assignNearest(all, cents)
       .select(col("vec_id"), col("e"), col("cid").as("bucket"))
-    // codebooks train on the RAW corpus (same vector set, exactly what the
-    // oracle's pqSubCtes train from v) — training on `assigned` would
-    // embed the coarse train+assign chain in the codebook broadcast and
-    // re-execute it there (measured: the r10 q_sim_ivfpq 10 s bench line)
-    val rec = withRecon(assigned, Some(all), "bucket")
+    val rec = withReconCb(assigned, cb, "bucket")
     val probes = Similarity.ivfProbes(all, cents, nQueries, nprobe)
       .withColumn("qnrm", sqrt(call_function("vec_dot", col("qe"), col("qe"))))
     val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nbr"))
@@ -595,8 +613,12 @@ object SimilarityPq {
     val all = Similarity.vecs(s, d)
     val isNew = pmod(col("vec_id"), lit(5)) === 4
     val corpus = all.filter(!isNew)
-    val cents = Similarity.trainCentroids(corpus, 8, 2, pin = true)
-    val cb = codebooksRow(corpus, pin = true)
+    // the two trained artifacts are independent (both read only `corpus`)
+    // — pin them concurrently (QueryDef.pinPar, guide §2.6) instead of
+    // serializing two mostly-idle Lloyd chains
+    val Seq(cents, cb) = graft.core.QueryDef.pinPar(Seq(
+      Similarity.trainCentroids(corpus, 8, 2),
+      codebooksRow(corpus)))
     val assigned = Similarity.assignNearest(all.filter(isNew), cents)
       .select(col("vec_id"), col("e"), col("cid").as("bucket"))
     encodeWith(assigned, cb)
@@ -667,13 +689,17 @@ object SimilarityPq {
     val all = Similarity.vecs(s, d)
     val isNew = pmod(col("vec_id"), lit(5)) === 4
     val corpus = all.filter(!isNew)
-    // OLD quantizer: the ingest-time artifact (corpus-only training)
-    val oldCents = Similarity.trainCentroids(corpus, nCentroids, trainIters,
-      pin = true)
-    // NEW quantizer: retrained on the sampled MERGED corpus
-    val newCents = Similarity.trainCentroids(trainSampled(all), nCentroids,
-      trainIters, pin = true)
-    val cb = codebooksRow(corpus, pin = true) // codebooks frozen
+    // three INDEPENDENT trained artifacts — the old (ingest-time)
+    // quantizer, the retrained one, and the frozen codebooks — pinned
+    // concurrently (QueryDef.pinPar, guide §2.6): the heaviest
+    // multi-artifact build in the catalog paid three serialized
+    // mostly-idle Lloyd chains here
+    val Seq(oldCents, newCents, cb) = graft.core.QueryDef.pinPar(Seq(
+      // OLD quantizer: the ingest-time artifact (corpus-only training)
+      Similarity.trainCentroids(corpus, nCentroids, trainIters),
+      // NEW quantizer: retrained on the sampled MERGED corpus
+      Similarity.trainCentroids(trainSampled(all), nCentroids, trainIters),
+      codebooksRow(corpus))) // codebooks frozen
     val oldA = Similarity.assignNearest(all, oldCents)
       .select(col("vec_id"), col("e"), col("cid").as("old_bucket"))
     val both = oldA.crossJoin(broadcast(Similarity.centroidRow(newCents)))
@@ -784,9 +810,13 @@ object SimilarityPq {
       if (fs.exists(legacy) && !fs.exists(marker)) fs.create(marker, true).close()
     }
     graft.core.Artifacts.publishOnce(s, root) { staging =>
-      val cents = Similarity.trainCentroids(all, nCentroids, trainIters, pin = true)
+      // the two trained artifacts are independent — train them
+      // concurrently (QueryDef.pinPar, guide §2.6); the writes below read
+      // the pinned frames, so the artifact bytes are unchanged
+      val Seq(cents, cb) = graft.core.QueryDef.pinPar(Seq(
+        Similarity.trainCentroids(all, nCentroids, trainIters),
+        codebooksRow(all)))
       cents.write.mode("overwrite").parquet(s"$staging/centroids")
-      val cb = codebooksRow(all, pin = true)
       cb.select(explode(col("cm")).as(Seq("j", "cs")))
         .select(col("j"), explode(col("cs")).as("c"))
         .select(col("j"), col("c.cid").as("cid"), col("c.ce").as("ce"))
